@@ -1,0 +1,59 @@
+"""Aggregation stage: count/sum connector analogs.
+
+The reference's count connector counts records flowing through, grouped
+by configured attributes, and emits count metrics
+(internal/components/components.go:344; docs/components.md).  The
+north rule fixes our grouping: per-sink counts by **conv_id bucket,
+role, tool, and 1-minute ts window** — i.e.
+``groupBy(window(ts, '1 minute'), conv_bucket, role, tool, sink)``.
+
+The batch processor's ``metadata_keys`` partitioning
+(agent_config.yaml:119-121) is the precedent for grouping by a bucketed
+key rather than the raw key: we bucket conv_id into ``n_buckets`` hash
+buckets, which simultaneously (a) bounds output cardinality and (b)
+de-skews the Zipf head — a hot conversation shares its bucket but the
+window dimension splits its rows across time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_CONV_BUCKETS = 16
+
+
+def conv_bucket(col: str = "conv_id", n_buckets: int = N_CONV_BUCKETS):
+    """Deterministic hash bucket of conv_id (xxhash64, stable across
+    runs/partitionings — unlike monotonically_increasing_id)."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+
+
+def count_connector(
+    df: DataFrame,
+    window: str = "1 minute",
+    n_buckets: int = N_CONV_BUCKETS,
+    extra_keys: list[str] = ("sink",),
+) -> DataFrame:
+    """Per-sink grouped counts (the north rule's agg_counts output).
+
+    Output: (sink, conv_bucket, role, tool, window_start, n) — FIXTURES
+    §5.4.  One shuffle; Catalyst does map-side partial counts, so the
+    reduce side receives at most |groups| × map-partitions rows.
+    """
+    keys = [
+        *extra_keys,
+        conv_bucket(n_buckets=n_buckets).alias("conv_bucket"),
+        "role",
+        "tool",
+        F.window("ts", window).start.alias("window_start"),
+    ]
+    return df.groupBy(*keys).agg(F.count("*").alias("n"))
+
+
+def sum_connector(
+    df: DataFrame, value_col: str, keys: list[str]
+) -> DataFrame:
+    """Sum connector analog (components.go:348): sum a numeric attribute
+    grouped by attributes."""
+    return df.groupBy(*keys).agg(F.sum(value_col).alias("total"))

@@ -1,0 +1,135 @@
+"""Parse stage: vectorized regex field extraction over transcript text.
+
+Reimplements the stanza operator chain the reference runs inside its
+filelog receiver (reference: cmd/otelcol/config/collector/
+splunk_logs_config_linux.yaml):
+
+* ``regex_parser`` — named-capture regex over the body → attributes
+  (yaml:185-186 apache access, 839-840 syslog, 209-210 apache error)
+* ``severity`` parser with a custom mapping table (yaml:214-220)
+* ``timestamp`` parser — strftime layout → record timestamp
+  (yaml:187-189, layout ``%d/%b/%Y:%H:%M:%S %z``)
+
+Two implementations with identical output:
+
+* :func:`parse_turns` — ONE Arrow-batched pandas UDF doing all pattern
+  extractions per batch (``Series.str.extract``, patterns precompiled
+  in the closure).  This is the north-rule-mandated hot path: one
+  Python worker roundtrip per batch, all regex work vectorized in C.
+* :func:`parse_turns_builtin` — pure ``regexp_extract`` Catalyst
+  expressions (JVM, whole-stage codegen).  Used as a cross-check and
+  as the oracle-friendly formulation; on some workloads the JVM regex
+  path wins, on multi-pattern extraction the pandas path amortizes
+  better.  bench.py measures both.
+
+Non-matching turns yield NULL fields and are never dropped (stanza
+parsers pass records through unchanged on no-match).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .schema import PARSED_STRUCT
+
+# --- patterns (single source of truth, shared by both impls) ---------
+SEVERITY_RE = r"level=(TRACE|DEBUG|INFO|WARN|ERROR|FATAL)"
+CALL_RE = r"CALL (\w+)\(args=([^)]*)\) -> status=(\w+) dur=(\d+)ms"
+SPAN_RE = r"span id=([0-9a-f]{16}) parent=([0-9a-f]{16}|-) op=(\w+)"
+LOG_TS_RE = r"\[(\d{2}/[A-Z][a-z]{2}/\d{4}:\d{2}:\d{2}:\d{2}) \+0000\]"
+LOG_TS_FMT = "dd/MMM/yyyy:HH:mm:ss"  # Spark pattern for the fragment
+
+# Severity mapping table — the stanza severity operator's custom
+# mapping (yaml:214-220 maps tokens like ``emerg``→fatal).  We map the
+# raw token to a canonical lowercase severity, with syslog-style
+# aliases accepted.
+SEVERITY_MAP = {
+    "TRACE": "trace",
+    "DEBUG": "debug",
+    "INFO": "info",
+    "WARN": "warn",
+    "WARNING": "warn",
+    "ERROR": "error",
+    "ERR": "error",
+    "FATAL": "fatal",
+    "EMERG": "fatal",
+    "ALERT": "error3",  # mirrors the custom-mapping style of yaml:216
+    "CRIT": "error2",
+}
+
+
+def _severity_map_expr(raw: Column) -> Column:
+    """SEVERITY_MAP as a literal Catalyst map lookup (no UDF)."""
+    pairs: list[Column] = []
+    for k, v in SEVERITY_MAP.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    return F.element_at(F.create_map(*pairs), raw)
+
+
+@pandas_udf(PARSED_STRUCT)
+def _parse_udf(text: pd.Series) -> pd.DataFrame:
+    """All extractions in one Arrow batch pass."""
+    sev_re = re.compile(SEVERITY_RE)
+    call_re = re.compile(CALL_RE)
+    span_re = re.compile(SPAN_RE)
+    lts_re = re.compile(LOG_TS_RE)
+
+    sev_raw = text.str.extract(sev_re, expand=False)
+    severity = sev_raw.map(SEVERITY_MAP, na_action="ignore")
+
+    call = text.str.extract(call_re)
+    span = text.str.extract(span_re)
+    lts = text.str.extract(lts_re, expand=False)
+
+    dur = pd.to_numeric(call[3], errors="coerce").astype("Int64")
+    parent = span[1].where(span[1] != "-")
+    log_ts = pd.to_datetime(lts, format="%d/%b/%Y:%H:%M:%S", errors="coerce")
+
+    return pd.DataFrame(
+        {
+            "severity": severity,
+            "tool_name": call[0],
+            "tool_status": call[2],
+            "dur_ms": dur,
+            "span_id": span[0],
+            "parent_span_id": parent,
+            "span_op": span[2],
+            "log_ts": log_ts,
+        }
+    )
+
+
+def parse_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hot path: one pandas-UDF pass adding all parsed columns."""
+    parsed = df.withColumn("_p", _parse_udf(F.col(text_col)))
+    return parsed.select("*", "_p.*").drop("_p")
+
+
+def parse_turns_builtin(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """JVM-side equivalent via regexp_extract (whole-stage codegen)."""
+    t = F.col(text_col)
+
+    def ext(pattern: str, group: int) -> Column:
+        raw = F.regexp_extract(t, pattern, group)
+        return F.when(raw != "", raw)
+
+    parent_raw = ext(SPAN_RE, 2)
+    return (
+        df.withColumn("severity", _severity_map_expr(ext(SEVERITY_RE, 1)))
+        .withColumn("tool_name", ext(CALL_RE, 1))
+        .withColumn("tool_status", ext(CALL_RE, 3))
+        .withColumn("dur_ms", ext(CALL_RE, 4).cast("long"))
+        .withColumn("span_id", ext(SPAN_RE, 1))
+        .withColumn(
+            "parent_span_id", F.when(parent_raw != "-", parent_raw)
+        )
+        .withColumn("span_op", ext(SPAN_RE, 3))
+        .withColumn(
+            "log_ts", F.to_timestamp(ext(LOG_TS_RE, 1), LOG_TS_FMT)
+        )
+    )

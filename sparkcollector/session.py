@@ -1,0 +1,68 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+The reference collector sizes itself with a memory limiter and
+per-exporter queue/batch knobs (reference:
+cmd/otelcol/config/collector/splunk_logs_config_linux.yaml:1041-1049,
+internal/settings/settings.go:68-70).  On Spark those concerns map to
+executor memory, AQE, and Arrow batch sizing — set once here so every
+entrypoint (tests, bench, spark-submit job) gets the same plan-shaping
+configuration.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size bounds pandas-UDF peak memory per task: at 10k rows
+# of ~1 KiB transcript text a batch is ~10 MiB — safe at 100s of
+# concurrent tasks per executor, large enough to amortize Arrow IPC.
+ARROW_MAX_RECORDS_PER_BATCH = 10_000
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "sparkcollector",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; under
+    ``spark-submit`` the cluster manager's master wins (we only set it
+    when explicitly asked or when no active session exists).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and os.environ.get("SPARK_GRAFT_CPUS"):
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master:
+        builder = builder.master(master)
+
+    if shuffle_partitions is None:
+        # Default: match parallelism at local scale; a real cluster run
+        # overrides via --conf (AQE coalesces the excess anyway).
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        # Transcript text is wide; keep split sizes moderate so a scan
+        # task's working set fits executor memory at 100 TB inputs.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Broadcast lookups (role/tool dims) are tiny; raise threshold a
+        # little so Catalyst always broadcasts the enrich side.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,59 @@
+"""Partitioning, ordering, and skew mitigation helpers.
+
+North-rule requirements made explicit here:
+
+* **stable turn ordering** — ``repartition(conv_id)`` +
+  ``sortWithinPartitions(conv_id, turn_idx)`` before sink writes, so
+  the per-turn text sequence is deterministic across runs and across
+  parallelism levels (local[8] vs local[32]); ordering comes from the
+  sort, never from task scheduling (SURVEY.md §7.3 hard part 2).
+* **salting** — hot conv_ids (Zipf head) would serialize a grouped
+  aggregation; two-phase salted aggregation spreads a hot key over
+  ``n_salts`` reducers then combines (SURVEY.md §4.2; the reference's
+  analog is batching keyed by token / client IP,
+  agent_config.yaml:119-121, converter/traces.go:34-50).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def repartition_sorted(
+    df: DataFrame,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic layout: hash-partition by key, sort within."""
+    rep = (
+        df.repartition(num_partitions, F.col(key))
+        if num_partitions
+        else df.repartition(F.col(key))
+    )
+    return rep.sortWithinPartitions(key, order)
+
+
+def with_salt(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
+    """Derive a deterministic salt from a *secondary* column so the
+    same logical key spreads over ``n_salts`` reducer buckets."""
+    # salt from turn_idx (uniform within a conversation) — deterministic,
+    # no rand() (rand breaks retry idempotence and cross-run equality).
+    return df.withColumn("_salt", F.pmod(F.col("turn_idx"), F.lit(n_salts)))
+
+
+def salted_count(
+    df: DataFrame, keys: list[str | Column], n_salts: int = 16
+) -> DataFrame:
+    """Two-phase grouped count robust to hot keys.
+
+    Phase 1 groups by (keys, salt) — a hot key's rows land on up to
+    ``n_salts`` reducers; phase 2 sums the partial counts per key.
+    Catalyst's partial hash aggregation already does map-side combine,
+    so this matters when a single key's *reduce* side is the bottleneck
+    (one straggler task owning the whole Zipf head).
+    """
+    salted = with_salt(df, "", n_salts)
+    partial = salted.groupBy(*keys, "_salt").agg(F.count("*").alias("_partial"))
+    return partial.groupBy(*keys).agg(F.sum("_partial").alias("n"))
