@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship parse→enrich→route→aggregate pipeline on a
+transcripts view derived deterministically from the sf0.001 events
+table.  ``queries``/``oracle_sql`` expose every implemented operator
+(SURVEY.md §2 + training-data ops) with DuckDB-checkable oracles; the
+registry lives in ``sparkcollector.queries``.
 """
 
 from __future__ import annotations
@@ -16,23 +16,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from sparkcollector.aggregate import count_connector
+    from sparkcollector.job import build_pipeline
+    from sparkcollector.queries import transcripts_from_events
+
+    turns = transcripts_from_events(spark, "/root/testdata/sf0.001")
+    routed = build_pipeline(turns)
+    return count_connector(routed)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from sparkcollector.queries import queries as _q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (same column aliases)."""
+    from sparkcollector.queries import oracle_sql as _o
+
+    return _o()

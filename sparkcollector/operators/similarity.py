@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+* :func:`cosine_topk` — brute-force cosine against one query vector.
+  The scan is embarrassingly parallel (one pass, no shuffle except the
+  final top-k, which Catalyst executes as per-partition TakeOrdered →
+  driver merge of k rows per partition).  This is the exact baseline.
+* :func:`lsh_bucket_topk` — random-hyperplane LSH (SimHash for cosine):
+  a signed projection onto ``n_planes`` fixed seeded hyperplanes buckets
+  vectors; candidates share the query's bucket (with multi-probe on
+  1-bit flips), then exact cosine re-ranks candidates only.  At 100 TB
+  this turns a full scan into a partition-pruned bucket lookup if the
+  table is written partitioned/bucketed by ``bucket``.
+
+All arithmetic stays in Catalyst (``aggregate``/``zip_with`` over
+arrays, double precision) — no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    extra_cols: list[str] | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``.
+
+    Rounds before ranking and tie-breaks on ``id_col`` so results are
+    deterministic across partitionings and engines.
+    """
+    q = F.array([F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine_sim(F.col(vec_col), q), round_digits).alias("sim")
+    scored = df.select(id_col, *(extra_cols or []), sim)
+    return (
+        scored.orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, *(extra_cols or []), "sim")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes (numpy, seeded)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def simhash_bucket(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """Sign-pattern bucket id: bit i = (vec · plane_i) >= 0."""
+    bits = [
+        F.when(_dot(vec, F.array([F.lit(float(x)) for x in p])) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        * (2**i)
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    multiprobe_bits: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: bucket by SimHash, probe the query bucket and
+    its 1-bit-flip neighbors, exact-rank the candidates.
+
+    At scale: persist ``with_bucket`` output partitioned by ``bucket``
+    (Iceberg identity partition) and the probe becomes a partition-
+    pruned read of ~(1 + n_planes) buckets instead of a full scan.
+    """
+    import numpy as np
+
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    qarr = np.array(query_vec, dtype=float)
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(qarr, np.array(p))) >= 0:
+            qbucket |= 1 << i
+    probes = [qbucket]
+    if multiprobe_bits >= 1:
+        probes += [qbucket ^ (1 << i) for i in range(n_planes)]
+
+    bucketed = df.withColumn("bucket", simhash_bucket(F.col(vec_col), planes))
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    return cosine_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def knn_join_exact(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+) -> DataFrame:
+    """k-NN join: for each left row, its k nearest right rows by cosine.
+
+    Brute-force (broadcast right if small); at scale replace with the
+    bucketed variant.  Window ranks per left id — one shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    r = F.broadcast(
+        right.select(
+            F.col(right_id).alias("_rid"), F.col(vec_col).alias("_rvec")
+        )
+    )
+    joined = left.select(F.col(left_id).alias("_lid"), F.col(vec_col).alias("_lvec")).crossJoin(r)
+    scored = joined.withColumn(
+        "sim", F.round(cosine_sim(F.col("_lvec"), F.col("_rvec")), 4)
+    )
+    w = Window.partitionBy("_lid").orderBy(F.col("sim").desc(), F.col("_rid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias("neighbor_id"),
+            "sim",
+            "rn",
+        )
+    )

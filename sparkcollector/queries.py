@@ -1,0 +1,613 @@
+"""Driver-facing query registry: every operator as (Spark impl, DuckDB oracle).
+
+Each entry demonstrates one operator family from SURVEY.md §2 over the
+driver's testdata tables (region nation customer supplier part orders
+lineitem events documents embeddings).  The Spark callable takes
+``(spark, sf_dir)``; the oracle is ANSI-ish SQL DuckDB runs on the same
+parquet (views pre-registered by the driver).  Column names are aliased
+identically on both sides; float aggregates are made hash-stable by
+decimal-summing or explicit rounding; timestamps are emitted as
+formatted strings.
+
+The transcript-shaped queries derive a deterministic transcripts view
+from ``events`` (same derivation in both engines), then run the REAL
+pipeline operators (sparkcollector.parse/route/aggregate) on it — so
+the driver's oracle check covers the production code path, not a
+shadow implementation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import filters as Fl
+from .aggregate import sum_connector
+from .parse import parse_turns
+from .route import route
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------
+# transcripts view derived from events — shared by pipeline queries.
+# Spark and DuckDB build byte-identical (conv_id, turn_idx, role, text,
+# tool, ts) rows; parse/route then operate on `text` for real.
+# ---------------------------------------------------------------------
+
+_SEV_TOKEN = {
+    "error": "ERROR",
+    "signup": "INFO",
+    "view": "DEBUG",
+    "click": "TRACE",
+    "purchase": "WARN",
+}
+_ROLE = {"signup": "system", "purchase": "assistant", "error": "tool"}
+_TOOL = {"purchase": "bash", "error": "search"}
+
+
+def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sev = F.coalesce(
+        *[F.when(F.col("event_type") == k, F.lit(v)) for k, v in _SEV_TOKEN.items()]
+    )
+    role = F.coalesce(
+        *[F.when(F.col("event_type") == k, F.lit(v)) for k, v in _ROLE.items()],
+        F.lit("user"),
+    )
+    tool = F.coalesce(
+        *[F.when(F.col("event_type") == k, F.lit(v)) for k, v in _TOOL.items()],
+        F.lit("none"),
+    )
+    k = F.get_json_object("props", "$.k")
+    call = F.when(
+        F.col("event_type") == "purchase",
+        F.concat(F.lit(" CALL bash(args=a"), k, F.lit(") -> status=ok dur="), k, F.lit("ms")),
+    ).otherwise("")
+    span = F.when(
+        F.col("event_type") == "error",
+        F.concat(
+            F.lit(" span id="),
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 16),
+            F.lit(" parent=- op=retry"),
+        ),
+    ).otherwise("")
+    return ev.select(
+        F.concat(F.lit("conv-"), F.lpad(F.col("user_id").cast("string"), 8, "0")).alias(
+            "conv_id"
+        ),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.concat(F.lit("turn "), F.col("event_type"), F.lit(" level="), sev, call, span).alias(
+            "text"
+        ),
+        tool.alias("tool"),
+        F.col("ts"),
+    )
+
+
+_T_SQL = """
+  select 'conv-' || lpad(cast(user_id as varchar), 8, '0') as conv_id,
+         cast(row_number() over (partition by user_id order by ts, event_id) - 1 as int) as turn_idx,
+         case event_type when 'signup' then 'system' when 'purchase' then 'assistant'
+              when 'error' then 'tool' else 'user' end as role,
+         'turn ' || event_type || ' level=' ||
+           case event_type when 'error' then 'ERROR' when 'signup' then 'INFO'
+                when 'view' then 'DEBUG' when 'click' then 'TRACE' else 'WARN' end ||
+           case when event_type = 'purchase'
+                then ' CALL bash(args=a' || json_extract_string(props, '$.k')
+                     || ') -> status=ok dur=' || json_extract_string(props, '$.k') || 'ms'
+                else '' end ||
+           case when event_type = 'error'
+                then ' span id=' || substr(md5(cast(event_id as varchar)), 1, 16)
+                     || ' parent=- op=retry'
+                else '' end as text,
+         case event_type when 'purchase' then 'bash' when 'error' then 'search'
+              else 'none' end as tool,
+         ts
+  from events
+"""
+
+
+# ---------------------------------------------------------------------
+# 1. regex_parser (stanza regex_parser; yaml:185-189): named-group
+#    extraction over the constructed text — run through the REAL
+#    pandas-UDF parse stage.
+# ---------------------------------------------------------------------
+@register(
+    "regex_parse_extract",
+    f"""
+    with t as ({_T_SQL})
+    select conv_id, turn_idx,
+           regexp_extract(text, 'CALL (\\w+)\\(args=([^)]*)\\) -> status=(\\w+) dur=(\\d+)ms', 1) as tool_name,
+           regexp_extract(text, 'CALL (\\w+)\\(args=([^)]*)\\) -> status=(\\w+) dur=(\\d+)ms', 3) as tool_status,
+           cast(nullif(regexp_extract(text, 'CALL (\\w+)\\(args=([^)]*)\\) -> status=(\\w+) dur=(\\d+)ms', 4), '') as bigint) as dur_ms,
+           regexp_extract(text, 'span id=([0-9a-f]{{16}}) parent=([0-9a-f]{{16}}|-) op=(\\w+)', 1) as span_id,
+           regexp_extract(text, 'span id=([0-9a-f]{{16}}) parent=([0-9a-f]{{16}}|-) op=(\\w+)', 3) as span_op
+    from t
+    where text like '%CALL%' or text like '%span id=%'
+    """,
+)
+def q_regex_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    parsed = parse_turns(t)
+    return parsed.filter(
+        F.col("tool_name").isNotNull() | F.col("span_id").isNotNull()
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.coalesce("tool_name", F.lit("")).alias("tool_name"),
+        F.coalesce("tool_status", F.lit("")).alias("tool_status"),
+        "dur_ms",
+        F.coalesce("span_id", F.lit("")).alias("span_id"),
+        F.coalesce("span_op", F.lit("")).alias("span_op"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 2. severity parser with custom mapping (yaml:214-220)
+# ---------------------------------------------------------------------
+@register(
+    "severity_map_counts",
+    f"""
+    with t as ({_T_SQL})
+    select case regexp_extract(text, 'level=(TRACE|DEBUG|INFO|WARN|ERROR|FATAL)', 1)
+                when 'TRACE' then 'trace' when 'DEBUG' then 'debug' when 'INFO' then 'info'
+                when 'WARN' then 'warn' when 'ERROR' then 'error' when 'FATAL' then 'fatal'
+           end as severity,
+           count(*) as n
+    from t group by 1
+    """,
+)
+def q_severity_map_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    return parse_turns(t).groupBy("severity").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------
+# 3. routing connector: first-match-wins fan-out (components.go:346),
+#    run through the REAL parse + route stages.
+# ---------------------------------------------------------------------
+@register(
+    "route_fanout_counts",
+    f"""
+    with t as ({_T_SQL})
+    select case
+             when regexp_extract(text, 'span id=([0-9a-f]{{16}})', 1) <> '' then 'traces'
+             when regexp_extract(text, 'CALL (\\w+)\\(', 1) <> '' and tool <> 'none' then 'metrics'
+             when regexp_extract(text, 'level=(TRACE|DEBUG|INFO|WARN|ERROR|FATAL)', 1) <> '' then 'events'
+             else 'events' end as sink,
+           count(*) as n
+    from t group by 1
+    """,
+)
+def q_route_fanout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    routed = route(parse_turns(t))
+    return routed.groupBy("sink").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------
+# 4. count connector with 1-minute windows (north rule's agg shape;
+#    components.go:344).  conv bucket via pmod(user-derived id, 16) so
+#    both engines agree (xxhash64 is Spark-only).
+# ---------------------------------------------------------------------
+@register(
+    "count_connector_1min",
+    """
+    select event_type,
+           strftime(time_bucket(INTERVAL '1 minute', ts), '%Y-%m-%d %H:%M:%S') as window_start,
+           count(*) as n
+    from events group by 1, 2
+    """,
+)
+def q_count_connector_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.window("ts", "1 minute").start, "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------
+# 5. sum connector (components.go:348): decimal-sum for hash stability.
+# ---------------------------------------------------------------------
+@register(
+    "sum_connector",
+    """
+    select event_type,
+           cast(sum(cast(value as decimal(18,2))) as double) as total
+    from events group by 1
+    """,
+)
+def q_sum_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,2)")
+    )
+    return sum_connector(ev, "value", ["event_type"]).withColumn(
+        "total", F.col("total").cast("double")
+    )
+
+
+# ---------------------------------------------------------------------
+# 6. cumulativetodelta processor (components.go:322): per-series delta
+#    of successive points.
+# ---------------------------------------------------------------------
+@register(
+    "cumulative_to_delta",
+    """
+    select event_id,
+           round(value - lag(value) over (partition by user_id order by ts, event_id), 2) as delta
+    from events qualify delta is not null
+    """,
+)
+def q_cumulative_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("delta", F.round(F.col("value") - F.lag("value").over(w), 2))
+        .filter(F.col("delta").isNotNull())
+        .select("event_id", "delta")
+    )
+
+
+# ---------------------------------------------------------------------
+# 7. timestamp processor (pkg/processor/timestampprocessor): shift every
+#    ts by a fixed offset, preserving the zero sentinel (factory.go:108-117).
+# ---------------------------------------------------------------------
+@register(
+    "timestamp_offset",
+    """
+    select event_id,
+           strftime(case when ts = TIMESTAMP '1970-01-01 00:00:00' then ts
+                         else ts + INTERVAL 5 MINUTE end,
+                    '%Y-%m-%d %H:%M:%S.%f') as shifted_ts
+    from events
+    """,
+)
+def q_timestamp_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    epoch0 = F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+    shifted = F.when(F.col("ts") == epoch0, F.col("ts")).otherwise(
+        F.col("ts") + F.expr("INTERVAL 5 MINUTES")
+    )
+    return ev.select(
+        "event_id",
+        F.date_format(shifted, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("shifted_ts"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 8. dedup-once evaluator (discoveryreceiver/evaluator.go:110-113): emit
+#    at most one record per key.
+# ---------------------------------------------------------------------
+@register(
+    "dedup_once",
+    """
+    select user_id, event_type, min(event_id) as first_event_id
+    from events group by 1, 2
+    """,
+)
+def q_dedup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id")
+    )
+
+
+# ---------------------------------------------------------------------
+# 9. top-N per group (processlist snapshot analog, processlist.go:63-76)
+# ---------------------------------------------------------------------
+@register(
+    "topn_per_group",
+    """
+    select event_type, event_id, value from (
+      select event_type, event_id, value,
+             row_number() over (partition by event_type order by value desc, event_id) as rn
+      from events) where rn <= 3
+    """,
+)
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id", "value")
+    )
+
+
+# ---------------------------------------------------------------------
+# 10. broadcast lookup enrichment (output.go:256-259 / k8s attributes):
+#     fact ⋈ small dims, dims broadcast, aggregated.
+# ---------------------------------------------------------------------
+@register(
+    "broadcast_enrich",
+    """
+    select r.r_name as region, n.n_name as nation,
+           count(*) as n_customers,
+           cast(sum(cast(c.c_acctbal as decimal(18,2))) as double) as total_acctbal
+    from customer c join nation n on c.c_nationkey = n.n_nationkey
+                    join region r on n.n_regionkey = r.r_regionkey
+    group by 1, 2
+    """,
+)
+def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# 11. BasicStringFilter semantics (utils/filter/filter.go:41-107):
+#     globs + regex + '!' negation compiled to Catalyst predicates.
+#     Items: keep parts whose name matches glob 'small*' or regex
+#     '/.*bolt.*/', unless it matches the negated glob '!small b*'.
+# ---------------------------------------------------------------------
+@register(
+    "filter_glob_negation",
+    """
+    select p_partkey, p_name from part
+    where (p_name like 'small%' or regexp_matches(p_name, '.*bolt.*'))
+      and not (p_name like 'small b%')
+    """,
+)
+def q_filter_glob_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    pred = Fl.basic_string_filter(
+        F.col("p_name"), ["small*", "/.*bolt.*/", "!small b*"]
+    )
+    return p.filter(pred).select("p_partkey", "p_name")
+
+
+# ---------------------------------------------------------------------
+# 12. metrics_transform aggregate_labels (full_config_linux.yaml:503-545):
+#     TPC-H Q1-shaped grouped sum/mean/min/max over kept labels.
+# ---------------------------------------------------------------------
+@register(
+    "metrics_transform_agg",
+    """
+    select l_returnflag, l_linestatus,
+           cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,
+           cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_price,
+           round(avg(l_discount), 4) as avg_disc,
+           cast(min(cast(l_quantity as decimal(18,2))) as double) as min_qty,
+           cast(max(cast(l_quantity as decimal(18,2))) as double) as max_qty,
+           count(*) as n
+    from lineitem group by 1, 2
+    """,
+)
+def q_metrics_transform_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qd).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.min(qd).cast("double").alias("min_qty"),
+        F.max(qd).cast("double").alias("max_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 13. span_metrics connector (components.go:347): RED metrics by
+#     service/operation analog over orders.
+# ---------------------------------------------------------------------
+@register(
+    "span_metrics_red",
+    """
+    select o_orderpriority, o_orderstatus,
+           count(*) as calls,
+           cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total_value,
+           cast(max(cast(o_totalprice as decimal(18,2))) as double) as max_value
+    from orders group by 1, 2
+    """,
+)
+def q_span_metrics_red(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    pd_ = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("calls"),
+        F.sum(pd_).cast("double").alias("total_value"),
+        F.max(pd_).cast("double").alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 14. exact dedup (hash-groupBy) over documents
+# ---------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    """
+    select md5(text) as text_hash, min(doc_id) as keep_doc_id, count(*) as n_copies
+    from documents group by 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------
+# 15. token counting + quality scoring (text analysis for training data)
+# ---------------------------------------------------------------------
+@register(
+    "doc_token_stats",
+    """
+    select doc_id,
+           len(string_split(text, ' ')) as n_tokens,
+           len(list_distinct(string_split(text, ' '))) as n_distinct,
+           round(cast(len(replace(text, ' ', '')) as double)
+                 / len(string_split(text, ' ')), 4) as avg_token_len
+    from documents
+    """,
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            .cast("double")
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "doc_quality_score",
+    """
+    select doc_id,
+           round(cast(len(list_filter(string_split(text, ' '),
+                                      x -> x in ('the', 'a', 'and', 'of', 'to'))) as double)
+                 / len(string_split(text, ' ')), 4) as stopword_ratio,
+           case when len(string_split(text, ' ')) between 20 and 200 then 'ok'
+                else 'len_outlier' end as quality_band
+    from documents
+    """,
+)
+def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = F.array([F.lit(x) for x in ("the", "a", "and", "of", "to")])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    n_tok = F.size(toks)
+    return d.select(
+        "doc_id",
+        F.round(n_stop.cast("double") / n_tok, 4).alias("stopword_ratio"),
+        F.when(n_tok.between(20, 200), "ok").otherwise("len_outlier").alias(
+            "quality_band"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
+# 16. n-gram Jaccard near-dup detection (3-word shingles, threshold 0.5)
+#     Spark path is scale-honest: explode shingles → self-join on
+#     shingle → count common per pair → jaccard (no O(n²) cross join).
+# ---------------------------------------------------------------------
+@register(
+    "ngram_jaccard_dups",
+    """
+    with d as (select doc_id, string_split(text, ' ') as w from documents),
+    s as (select doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                for i in range(1, len(w) - 1)]) as sh
+          from d where len(w) >= 3),
+    e as (select doc_id, unnest(sh) as shingle from s),
+    pair as (select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as common
+             from e a join e b on a.shingle = b.shingle and a.doc_id < b.doc_id
+             group by 1, 2),
+    sz as (select doc_id, len(sh) as n from s)
+    select doc_a, doc_b,
+           round(cast(common as double) / (sa.n + sb.n - common), 4) as jaccard
+    from pair join sz sa on doc_a = sa.doc_id join sz sb on doc_b = sb.doc_id
+    where cast(common as double) / (sa.n + sb.n - common) >= 0.5
+    """,
+)
+def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+            ),
+        )
+    )
+    s = d.filter(F.size(w) >= 3).select("doc_id", sh.alias("sh"))
+    e = s.select("doc_id", F.explode("sh").alias("shingle"))
+    a, b = e.alias("a"), e.alias("b")
+    pair = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sz = s.select("doc_id", F.size("sh").alias("n"))
+    j = (
+        pair.join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jac", F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common")))
+        .filter(F.col("jac") >= 0.5)
+    )
+    return j.select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------
+# 17. ANN / similarity search: brute-force cosine top-k vs a fixed query
+#     vector (vec_id=0), double precision, rounded, id tie-break.
+# ---------------------------------------------------------------------
+@register(
+    "ann_cosine_topk",
+    """
+    with q as (select embedding as qv from embeddings where vec_id = 0)
+    select vec_id, label, sim from (
+      select vec_id, label,
+             round(list_cosine_similarity(cast(embedding as double[]),
+                                          cast((select qv from q) as double[])), 4) as sim,
+             row_number() over (
+               order by round(list_cosine_similarity(cast(embedding as double[]),
+                                                     cast((select qv from q) as double[])), 4) desc,
+                        vec_id) as rn
+      from embeddings where vec_id <> 0)
+    where rn <= 10
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk(
+        emb.filter(F.col("vec_id") != 0), list(qv), k=10, id_col="vec_id", extra_cols=["label"]
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
