@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Headline #1 is the flagship end-to-end pipeline (parse -> enrich ->
+route -> order -> aggregate, the north rule's job); the rest are
+representative operators from the SURVEY.md §2 registry.  Every query
+is materialized through the ``noop`` data source so the full result is
+computed (a bare ``count()`` would let Catalyst prune projected
+columns and under-measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "regex_parse_extract",
+    "route_fanout_counts",
+    "count_connector_1min",
+    "cumulative_to_delta",
+    "timestamp_offset",
+    "broadcast_enrich",
+    "metrics_transform_agg",
+    "span_metrics_red",
+    "dedup_exact",
+    "doc_token_stats",
+    "ngram_jaccard_dups",
+    "ann_cosine_topk",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from sparkcollector.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="sparkcollector-bench")
+
+    from pyspark.sql import functions as F
+
+    from sparkcollector.aggregate import count_connector
+    from sparkcollector.job import build_pipeline
+    from sparkcollector.queries import queries as registry
+    from sparkcollector.queries import transcripts_from_events
+
+    # Warm up JVM / parquet footer caches so q1 isn't charged for startup.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+
+    # -- e2e flagship pipeline: one pass, aggregate re-summed so every
+    #    stage (pandas-UDF parse, broadcast enrich, route, repartition+
+    #    sort, windowed grouped counts) actually executes.
+    t0 = time.time()
+    agg = count_connector(build_pipeline(transcripts_from_events(spark, sf_dir)))
+    n_turns = int(agg.agg(F.sum("n").alias("t")).collect()[0]["t"])
+    e2e = time.time() - t0
+    timings["e2e_pipeline"] = round(e2e, 3)
+
+    qs = registry()
+    for name in HEADLINE:
+        t0 = time.time()
+        _materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus) if cpus.isdigit() else cpus,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / e2e, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

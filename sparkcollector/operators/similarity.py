@@ -97,32 +97,46 @@ def lsh_bucket_topk(
     query_vec: list[float],
     k: int = 10,
     n_planes: int = 12,
+    n_tables: int = 3,
     multiprobe_bits: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 7,
 ) -> DataFrame:
-    """Approximate top-k: bucket by SimHash, probe the query bucket and
-    its 1-bit-flip neighbors, exact-rank the candidates.
+    """Approximate top-k: SimHash bucketing with OR-amplification.
 
-    At scale: persist ``with_bucket`` output partitioned by ``bucket``
-    (Iceberg identity partition) and the probe becomes a partition-
-    pruned read of ~(1 + n_planes) buckets instead of a full scan.
+    ``n_tables`` independent hash tables (distinct seeded hyperplane
+    sets); a row is a candidate if in ANY table its bucket equals the
+    query's bucket or a 1-bit-flip neighbor (multi-probe).  Candidates
+    are then exact-ranked by cosine.  Recall grows as
+    1-(1-p^planes)^tables — tables buy recall, planes buy precision.
+
+    At scale: persist the per-table bucket columns and write the table
+    partitioned by ``bucket_0`` (Iceberg identity partition); the
+    primary probe becomes a partition-pruned read of ~(1 + n_planes)
+    buckets instead of a full scan, and secondary tables prune via
+    min/max file skipping on their bucket columns.
     """
     import numpy as np
 
-    planes = hyperplanes(len(query_vec), n_planes, seed)
     qarr = np.array(query_vec, dtype=float)
-    qbucket = 0
-    for i, p in enumerate(planes):
-        if float(np.dot(qarr, np.array(p))) >= 0:
-            qbucket |= 1 << i
-    probes = [qbucket]
-    if multiprobe_bits >= 1:
-        probes += [qbucket ^ (1 << i) for i in range(n_planes)]
+    cond = None
+    bucketed = df
+    for t in range(n_tables):
+        planes = hyperplanes(len(query_vec), n_planes, seed + t)
+        qbucket = 0
+        for i, p in enumerate(planes):
+            if float(np.dot(qarr, np.array(p))) >= 0:
+                qbucket |= 1 << i
+        probes = [qbucket]
+        if multiprobe_bits >= 1:
+            probes += [qbucket ^ (1 << i) for i in range(n_planes)]
+        bcol = f"bucket_{t}"
+        bucketed = bucketed.withColumn(bcol, simhash_bucket(F.col(vec_col), planes))
+        c = F.col(bcol).isin(probes)
+        cond = c if cond is None else (cond | c)
 
-    bucketed = df.withColumn("bucket", simhash_bucket(F.col(vec_col), planes))
-    cand = bucketed.filter(F.col("bucket").isin(probes))
+    cand = bucketed.filter(cond)
     return cosine_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)
 
 

@@ -1,0 +1,48 @@
+"""Count/sum connector analogs + salted aggregation equivalence
+(components.go:344/348 behaviors; SURVEY.md §2.6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkcollector.aggregate import conv_bucket, count_connector, sum_connector
+from sparkcollector.parse import parse_turns
+from sparkcollector.route import route
+from sparkcollector.skew import salted_count
+
+
+def test_count_connector_total_matches_input(turns_df):
+    routed = route(parse_turns(turns_df))
+    agg = count_connector(routed)
+    total = agg.agg(F.sum("n").alias("t")).collect()[0]["t"]
+    assert total == turns_df.count()
+    assert set(agg.columns) == {"sink", "conv_bucket", "role", "tool", "window_start", "n"}
+
+
+def test_conv_bucket_deterministic_and_bounded(turns_df):
+    b = turns_df.select(conv_bucket().alias("b")).distinct().collect()
+    vals = {r["b"] for r in b}
+    assert vals <= set(range(16))
+    # stable across evaluations
+    b2 = {r["b"] for r in turns_df.select(conv_bucket().alias("b")).distinct().collect()}
+    assert vals == b2
+
+
+def test_salted_count_equals_plain_groupby(turns_df):
+    plain = {
+        (r["role"], r["tool"]): r["n"]
+        for r in turns_df.groupBy("role", "tool").agg(F.count("*").alias("n")).collect()
+    }
+    salted = {
+        (r["role"], r["tool"]): r["n"]
+        for r in salted_count(turns_df, ["role", "tool"], n_salts=8).collect()
+    }
+    assert plain == salted
+
+
+def test_sum_connector(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.5), ("b", 4.0)], ["k", "v"]
+    )
+    got = {r["k"]: r["total"] for r in sum_connector(df, "v", ["k"]).collect()}
+    assert got == {"a": 3.5, "b": 4.0}

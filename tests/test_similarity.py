@@ -1,0 +1,74 @@
+"""Similarity operators: exact cosine top-k vs numpy oracle; LSH
+bucketed variant returns plausible approximations; k-NN join shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import types as T
+
+from sparkcollector.operators.similarity import (
+    cosine_topk,
+    knn_join_exact,
+    lsh_bucket_topk,
+)
+
+DIM = 8
+N = 200
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((N, DIM)).astype(float)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(N)], schema
+    )
+    return df, vecs
+
+
+def _oracle_topk(vecs, q, k):
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    sims = np.round(sims, 4)
+    order = sorted(range(len(vecs)), key=lambda i: (-sims[i], i))[:k]
+    return [(i, sims[i]) for i in order]
+
+
+def test_cosine_topk_matches_numpy(emb):
+    df, vecs = emb
+    q = list(vecs[0])
+    got = [(r["vec_id"], r["sim"]) for r in cosine_topk(df, q, k=10).collect()]
+    exp = [(i, pytest.approx(s, abs=1e-9)) for i, s in _oracle_topk(vecs, vecs[0], 10)]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == e[1]
+
+
+def test_lsh_topk_contains_query_itself(emb):
+    df, vecs = emb
+    got = lsh_bucket_topk(df, list(vecs[5]), k=5, n_planes=8).collect()
+    assert got[0]["vec_id"] == 5 and got[0]["sim"] == 1.0
+
+
+def test_lsh_recall_reasonable(emb):
+    df, vecs = emb
+    exact = {i for i, _ in _oracle_topk(vecs, vecs[3], 10)}
+    approx = {r["vec_id"] for r in lsh_bucket_topk(df, list(vecs[3]), k=10, n_planes=8).collect()}
+    # multi-probe LSH at 8 planes over 200 vecs should recall >= 30%
+    assert len(exact & approx) >= 3
+
+
+def test_knn_join_shape(emb):
+    df, _ = emb
+    left = df.limit(5)
+    out = knn_join_exact(left, df, k=3).collect()
+    assert len(out) == 15
+    # nearest neighbor of each row is itself
+    self_hits = [r for r in out if r["rn"] == 1]
+    assert all(r["vec_id"] == r["neighbor_id"] for r in self_hits)
