@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_exact",
     "doc_token_stats",
     "ngram_jaccard_dups",
+    "minhash_lsh_dups",
     "ann_cosine_topk",
 ]
 
@@ -61,8 +62,14 @@ def main() -> None:
     from sparkcollector.queries import queries as registry
     from sparkcollector.queries import transcripts_from_events
 
-    # Warm up JVM / parquet footer caches so q1 isn't charged for startup.
+    # Warm up: run the full pipeline on a small slice first so JVM
+    # codegen, Python UDF workers, and broadcast machinery are hot —
+    # we measure steady-state throughput, not container cold start.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    warm = count_connector(
+        build_pipeline(transcripts_from_events(spark, sf_dir).limit(2000))
+    )
+    warm.agg(F.sum("n")).collect()
 
     timings: dict[str, float] = {}
 

@@ -1,0 +1,271 @@
+"""Near-duplicate detection over a documents table.
+
+Training-data dedup tiers, all pure Catalyst (no Python in the hot
+path), each honest about its 100 TB behavior:
+
+* :func:`exact_dup_groups` — hash-groupBy on md5(text): one shuffle of
+  (16-byte hash, id), the canonical exact-dedup.
+* :func:`shingles` / :func:`jaccard_pairs` — exact n-gram Jaccard.
+  Implemented as group-pairs, NOT a self-join: explode shingles once,
+  group by a 64-bit shingle hash, keep only shingles in >1 doc, and
+  expand each posting list into ordered pairs with nested array
+  ``transform``s.  Versus the naive ``e JOIN e ON shingle`` this scans
+  and shuffles the exploded table once (ids, not strings) and skips
+  the join build side entirely.  Still inherently quadratic in posting
+  -list length — which is why the scale path below exists.
+* :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash+LSH
+  banding: constant-size signature per doc (one shuffle), candidate
+  generation by band-bucket grouping (shuffle of (band, hash) pairs),
+  then exact-Jaccard verification of candidates only.  At 100 TB the
+  pair blow-up is bounded by bucket sizes, and the verify join touches
+  only candidates.
+* :func:`simhash64` — 64-bit SimHash of token sets (Hamming-distance
+  near-dup key; pairs whose simhash match on all-but-k bits are
+  candidates).
+
+Spark-first design notes: posting-list expansion uses
+``transform(sequence(...), ...)`` + ``flatten`` so pair generation is
+whole-stage-codegen JVM code; no UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via md5 hash-groupBy; keeps min id as canonical."""
+    return df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_hash")).agg(
+        F.min(id_col).alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+def shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, sh: array<string>)."""
+    from ..skew import ensure_parallelism
+
+    w = F.split(F.col(text_col), " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    # CPU-bound stage: make sure a small single-file scan doesn't
+    # serialize it onto one task (no-op on a well-split 100 TB scan).
+    return (
+        ensure_parallelism(df.select(id_col, text_col))
+        .filter(F.size(w) >= n)
+        .select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
+    )
+
+
+def _ordered_pairs(ids: Column) -> Column:
+    """All (a, b) with a<b from a sorted id array — JVM-side nested
+    transform, no UDF."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ids) - 1),
+            lambda i: F.transform(
+                F.slice(ids, i + 1, F.size(ids) - i),
+                lambda x: F.struct(
+                    F.element_at(ids, i).alias("doc_a"), x.alias("doc_b")
+                ),
+            ),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs >= threshold.
+
+    Group-pairs plan with ZERO joins: the per-doc shingle-set size is
+    carried through the explode as part of the posting-list element, so
+    each generated pair already knows (|A|, |B|) and jaccard is
+    |A∩B| / (|A|+|B|-|A∩B|) straight off the pair count.  Two shuffles
+    total (posting groupBy on an 8-byte shingle hash, then pair
+    groupBy); no size-lookup join, no recomputation of the shingle
+    stage for a broadcast build.
+    """
+    s = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    e = s.select(
+        F.struct(F.col("doc_id").alias("id"), F.size("sh").alias("n")).alias("d"),
+        F.explode("sh").alias("shingle"),
+    )
+    posting = (
+        e.groupBy(F.xxhash64("shingle").alias("h"))
+        .agg(F.sort_array(F.collect_list("d")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair = (
+        posting.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
+        .groupBy(
+            F.col("p.doc_a.id").alias("doc_a"),
+            F.col("p.doc_a.n").alias("na"),
+            F.col("p.doc_b.id").alias("doc_b"),
+            F.col("p.doc_b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    j = pair.withColumn(
+        "jac",
+        F.col("common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("common")),
+    ).filter(F.col("jac") >= threshold)
+    return j.select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------
+# MinHash + LSH banding (the 100 TB near-dup path)
+# ---------------------------------------------------------------------
+
+def minhash_signatures(
+    sh_df: DataFrame, n_perm: int = 32
+) -> DataFrame:
+    """(doc_id, sig: array<long>) — one shuffle, n_perm min-aggregates.
+
+    Permutation i is xxhash64(i, shingle); the signature is the
+    per-permutation min over the doc's shingles.
+    """
+    e = sh_df.select("doc_id", F.explode("sh").alias("shingle"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(n_perm)
+    ]
+    g = e.groupBy("doc_id").agg(*aggs)
+    return g.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    n_perm: int = 64,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, exact-verified.
+
+    Bands of ``rows_per_band`` signature rows; docs colliding in any
+    band become candidates; candidates are verified with EXACT Jaccard
+    over their shingle sets, so false positives are eliminated and the
+    output is the exact pair set up to LSH recall (for r=2, b=32 the
+    miss probability of a 0.5-Jaccard pair is (1-0.25)^32 ~ 1e-4,
+    while low-background-similarity false candidates are suppressed
+    ~20x versus r=1 — banding rows buy precision, bands buy recall).
+    """
+    s = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    sigs = minhash_signatures(s, n_perm=n_perm)
+    n_bands = n_perm // rows_per_band
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    cand = (
+        bands.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    # Candidates are a tiny fraction of the corpus (that's the point of
+    # LSH) — cut their lineage so the verify joins below don't re-run
+    # the signature+banding pipeline once per join side.
+    cand = cand.localCheckpoint(eager=True)
+
+    # exact verification over shingle sets, candidates only: stream the
+    # shingle table once against the broadcast candidate-doc list, then
+    # join the (small) per-candidate sets back to the pairs.
+    cand_docs = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    sets = s.join(F.broadcast(cand_docs), "doc_id").localCheckpoint(eager=True)
+    a = sets.withColumnsRenamed({"doc_id": "doc_a", "sh": "sha"})
+    b = sets.withColumnsRenamed({"doc_id": "doc_b", "sh": "shb"})
+    verified = (
+        cand.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .withColumn(
+            "jac",
+            F.size(F.array_intersect("sha", "shb")).cast("double")
+            / F.size(F.array_union("sha", "shb")),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
+
+
+def simhash64(text_col: Column) -> Column:
+    """64-bit SimHash over whitespace tokens, pure Catalyst.
+
+    Bit i of the output is the sign of sum over tokens of
+    (+1 if bit i of xxhash64(token) else -1).  Computed per bit via
+    array aggregates; 64 shiftright+sum expressions stay inside one
+    codegen stage.
+    """
+    toks = F.array_distinct(F.split(text_col, " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_cols = []
+    for i in range(64):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h, _i=i: acc
+            + F.when(F.shiftright(h, _i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(
+            F.when(vote >= 0, F.lit(1).cast("long")).otherwise(F.lit(0)).alias(f"b{i}")
+        )
+    out = F.lit(0).cast("long")
+    for i, b in enumerate(bit_cols):
+        out = out + F.shiftleft(b, i)
+    return out
+
+
+def simhash_dup_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Docs sharing an identical 64-bit SimHash (strongest band)."""
+    h = df.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sh64"))
+    return (
+        h.groupBy("sh64")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+    )

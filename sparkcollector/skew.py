@@ -35,6 +35,20 @@ def repartition_sorted(
     return rep.sortWithinPartitions(key, order)
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the scan under-splits.
+
+    A small parquet table arrives as 1-2 file splits, serializing any
+    compute-heavy downstream stage onto one task.  At 100 TB the scan
+    produces thousands of splits and this is a no-op; locally it
+    restores parallelism for CPU-bound operators (shingling, hashing).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def with_salt(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
     """Derive a deterministic salt from a *secondary* column so the
     same logical key spreads over ``n_salts`` reducer buckets."""
