@@ -1,0 +1,265 @@
+"""Telemetry processors from the reference, re-expressed Spark-first.
+
+Each function reimplements the observed semantics of one collector
+processor/connector (SURVEY.md §2.4-§2.6) as pure Catalyst expressions:
+
+* :func:`histogram_bucket_delta` — Prometheus cumulative histogram
+  buckets → per-bucket counts, +Inf bucket dropped
+  (internal/receiver/lightprometheusreceiver/scraper.go:218-235).
+* :func:`cpu_utilization` — delta(used)/delta(total)*100 between
+  consecutive samples per key, clamped to [0,100]
+  (internal/signalfx-agent/pkg/monitors/cpu/cpu.go:172-199).
+* :func:`probabilistic_sample` — consistent hash-based p%% sampling
+  (probabilisticsamplerprocessor, components.go:330).  Uses an
+  md5-derived 32-bit bucket so any engine reproduces the decision.
+* :func:`tail_sample` — buffer complete traces, keep whole traces
+  whose aggregate satisfies a policy (tailsamplingprocessor,
+  components.go:335).
+* :func:`metrics_transform` — rename series + ``aggregate_label_values``
+  (merge label values, re-aggregate)
+  (cmd/otelcol/config/collector/full_config_linux.yaml:503-545).
+* :func:`attributes_processor` — ordered attr actions: upsert / insert
+  / delete / extract (regex named groups) / hash (sha256)
+  (full_config_linux.yaml:438-463).
+* :func:`group_by_attrs` — regroup records under chosen keys
+  (groupbyattrsprocessor, components.go:324).
+* :func:`redact` — keep allowlisted columns, mask digit runs in the
+  rest (redactionprocessor, components.go:331).
+* :func:`invalid_value_audit` — skip non-numeric/NaN values but COUNT
+  them in synthesized error metrics
+  (signalfxgatewayprometheusremotewritereceiver/prometheus_to_otel.go:
+  129-166, 179-190).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# ---------------------------------------------------------------------
+# histogram bucket differencing
+# ---------------------------------------------------------------------
+
+def histogram_bucket_delta(
+    df: DataFrame, bucket_col: str = "cum_buckets", drop_last: bool = True
+) -> DataFrame:
+    """Cumulative bucket counts -> per-bucket counts, in-row.
+
+    ``zip_with(buckets, shift(buckets), (cur, prev) -> cur - prev)``;
+    the reference walks buckets subtracting the running previous value
+    and drops the +Inf bucket (scraper.go:218-235).
+    """
+    cum = F.col(bucket_col)
+    prev = F.concat(F.array(F.lit(0).cast("long")), F.slice(cum, 1, F.size(cum) - 1))
+    delta = F.zip_with(cum, prev, lambda c, p: c - p)
+    if drop_last:
+        delta = F.slice(delta, 1, F.size(cum) - 1)
+    return df.withColumn("bucket_counts", delta)
+
+
+# ---------------------------------------------------------------------
+# cpu utilization (lag + clamp)
+# ---------------------------------------------------------------------
+
+def cpu_utilization(
+    df: DataFrame,
+    key_cols: list[str],
+    used_col: str,
+    total_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """per-key delta ratio, percent, clamped to [0, 100].
+
+    utilization = clamp(delta(used) / delta(total) * 100); rows with no
+    previous sample or zero total-delta yield NULL (the monitor emits
+    nothing for the first sample, cpu.go:111-157).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    d_used = F.col(used_col) - F.lag(used_col).over(w)
+    d_total = F.col(total_col) - F.lag(total_col).over(w)
+    util = F.when(
+        d_total > 0,
+        F.least(F.greatest(d_used / d_total * 100.0, F.lit(0.0)), F.lit(100.0)),
+    )
+    return df.withColumn("utilization", util)
+
+
+# ---------------------------------------------------------------------
+# samplers
+# ---------------------------------------------------------------------
+
+def sample_bucket(col: Column, buckets: int = 100) -> Column:
+    """Engine-portable consistent hash bucket: first 8 md5 hex chars as
+    a 32-bit int, mod ``buckets``.  (DuckDB:
+    ``cast('0x' || substr(md5(x),1,8) as bigint) % buckets``.)"""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % buckets
+    )
+
+
+def probabilistic_sample(
+    df: DataFrame, key_col: str, percent: int
+) -> DataFrame:
+    """Keep ~percent%% of keys, consistently: the same key is always
+    kept or always dropped (hash-based, seed-free — the property the
+    probabilistic sampler guarantees for trace coherence)."""
+    return df.filter(sample_bucket(F.col(key_col)) < percent)
+
+
+@dataclass(frozen=True)
+class TailPolicy:
+    """Keep a whole trace iff any/all rows satisfy ``predicate_sql``."""
+
+    predicate_sql: str
+    mode: str = "any"  # any | all
+
+
+def tail_sample(
+    df: DataFrame, trace_col: str, policy: TailPolicy
+) -> DataFrame:
+    """Tail sampling: evaluate the policy over the COMPLETE trace, then
+    emit all rows of kept traces.  One aggregation + one broadcast-able
+    semi join on the (small) kept-trace list."""
+    p = F.expr(policy.predicate_sql)
+    agg = F.max(p.cast("int")) if policy.mode == "any" else F.min(p.cast("int"))
+    kept = (
+        df.groupBy(trace_col).agg(agg.alias("_keep")).filter(F.col("_keep") == 1)
+    ).select(trace_col)
+    return df.join(F.broadcast(kept), trace_col, "left_semi")
+
+
+# ---------------------------------------------------------------------
+# metrics_transform
+# ---------------------------------------------------------------------
+
+def metrics_transform(
+    df: DataFrame,
+    name_col: str,
+    value_col: str,
+    renames: dict[str, str] | None = None,
+    merge_values: dict[str, dict[str, str]] | None = None,
+    group_cols: list[str] | None = None,
+    aggregation: str = "sum",
+) -> DataFrame:
+    """Rename series; merge label values; re-aggregate.
+
+    ``renames`` maps old->new series name; ``merge_values`` maps
+    {label_col: {old_value: new_value}} (aggregate_label_values);
+    rows are then re-aggregated over (name, group_cols) with
+    sum/mean/min/max (yaml:515-545).
+    """
+    out = df
+    name = F.col(name_col)
+    if renames:
+        for old, new in renames.items():
+            name = F.when(name == old, new).otherwise(name)
+    out = out.withColumn(name_col, name)
+    if merge_values:
+        for label, mapping in merge_values.items():
+            c = F.col(label)
+            for old, new in mapping.items():
+                c = F.when(c == old, new).otherwise(c)
+            out = out.withColumn(label, c)
+    aggf = {
+        "sum": F.sum,
+        "mean": F.avg,
+        "min": F.min,
+        "max": F.max,
+    }[aggregation]
+    keys = [name_col, *(group_cols or [])]
+    return out.groupBy(*keys).agg(aggf(value_col).alias(value_col))
+
+
+# ---------------------------------------------------------------------
+# attributes processor (ordered actions)
+# ---------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class AttrAction:
+    """One action in the attributes processor's ordered list."""
+
+    action: str  # upsert | insert | delete | extract | hash
+    key: str
+    value: object | None = None  # upsert constant
+    from_attribute: str | None = None  # insert source
+    pattern: str | None = None  # extract regex with named groups
+    groups: tuple[str, ...] = field(default=())  # extract output names
+
+
+def attributes_processor(df: DataFrame, actions: list[AttrAction]) -> DataFrame:
+    """Apply ordered attribute actions as column operations
+    (full_config_linux.yaml:438-463: upsert, insert from_attribute,
+    delete, extract with named groups, hash)."""
+    out = df
+    for a in actions:
+        if a.action == "upsert":
+            out = out.withColumn(a.key, F.lit(a.value))
+        elif a.action == "insert":
+            src = F.col(a.from_attribute)
+            if a.key in out.columns:
+                out = out.withColumn(a.key, F.coalesce(F.col(a.key), src))
+            else:
+                out = out.withColumn(a.key, src)
+        elif a.action == "delete":
+            out = out.drop(a.key)
+        elif a.action == "extract":
+            for gi, gname in enumerate(a.groups, start=1):
+                raw = F.regexp_extract(F.col(a.key), a.pattern, gi)
+                out = out.withColumn(gname, F.when(raw != "", raw))
+        elif a.action == "hash":
+            out = out.withColumn(a.key, F.sha2(F.col(a.key).cast("string"), 256))
+        else:
+            raise ValueError(f"unknown action {a.action}")
+    return out
+
+
+def group_by_attrs(
+    df: DataFrame, keys: list[str], payload_cols: list[str]
+) -> DataFrame:
+    """Regroup records under resources keyed by chosen attributes
+    (groupbyattrsprocessor): one sorted record-list per key tuple."""
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    return df.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(payload)).alias("records"),
+        F.count("*").alias("n_records"),
+    )
+
+
+def redact(
+    df: DataFrame, allowed: list[str], mask_cols: list[str]
+) -> DataFrame:
+    """Redaction: project to the allowlist; mask digit runs in the
+    listed string columns (value masking analog)."""
+    out = df.select(*[c for c in df.columns if c in set(allowed)])
+    for c in mask_cols:
+        if c in out.columns:
+            out = out.withColumn(c, F.regexp_replace(F.col(c), r"\d", "*"))
+    return out
+
+
+# ---------------------------------------------------------------------
+# invalid-value audit (NaN/garbage accounting)
+# ---------------------------------------------------------------------
+
+def invalid_value_audit(
+    df: DataFrame, raw_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Skip unparseable numeric values but count them per group.
+
+    Mirrors the PRW receiver: NaN samples are not forwarded but are
+    tallied into synthesized error-count metrics
+    (prometheus_to_otel.go:129-166, 179-190).  Output per group:
+    valid count, invalid count, sum of valid values.
+    """
+    v = F.col(raw_col).try_cast("double")
+    return df.groupBy(*group_cols).agg(
+        F.count(F.when(v.isNotNull() & ~F.isnan(v), 1)).alias("n_valid"),
+        F.count(F.when(v.isNull() | F.isnan(v), 1)).alias("n_invalid"),
+        F.sum(F.when(~F.isnan(v), v)).alias("valid_sum"),
+    )

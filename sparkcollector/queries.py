@@ -615,6 +615,251 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 18. histogram bucket differencing (lightprometheusreceiver/
+#     scraper.go:218-235): cumulative buckets -> per-bucket counts.
+#     Cumulative arrays built from lineitem quantity <= thresholds.
+# ---------------------------------------------------------------------
+@register(
+    "histogram_bucket_delta",
+    """
+    with h as (
+      select l_returnflag,
+             [count(*) filter (l_quantity <= 10),
+              count(*) filter (l_quantity <= 20),
+              count(*) filter (l_quantity <= 30),
+              count(*) filter (l_quantity <= 40),
+              count(*)] as cum
+      from lineitem group by 1)
+    select l_returnflag, cast(i - 1 as int) as bucket,
+           cast(cum[i] - coalesce(cum[i-1], 0) as bigint) as n
+    from h, range(1, 5) t(i)
+    """,
+)
+def q_histogram_bucket_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import histogram_bucket_delta
+
+    li = _t(spark, sf_dir, "lineitem")
+    cum = li.groupBy("l_returnflag").agg(
+        F.array(
+            *[
+                F.count(F.when(F.col("l_quantity") <= b, 1))
+                for b in (10, 20, 30, 40)
+            ],
+            F.count("*"),
+        ).alias("cum_buckets")
+    )
+    d = histogram_bucket_delta(cum, "cum_buckets", drop_last=True)
+    return d.select(
+        "l_returnflag", F.posexplode("bucket_counts").alias("bucket", "n")
+    ).withColumn("bucket", F.col("bucket").cast("int"))
+
+
+# ---------------------------------------------------------------------
+# 19. cpu utilization derivation (cpu/cpu.go:172-199): per-key delta
+#     ratio, percent, clamped to [0,100].
+# ---------------------------------------------------------------------
+@register(
+    "cpu_utilization",
+    """
+    select event_id,
+           round(case when lag(ts) over w is not null
+                       and epoch(ts) - epoch(lag(ts) over w) > 0
+                      then least(greatest((value - lag(value) over w)
+                           / (epoch(ts) - epoch(lag(ts) over w)) * 100, 0), 100)
+                 end, 4) as utilization
+    from events
+    window w as (partition by user_id order by ts, event_id)
+    qualify utilization is not null
+    """,
+)
+def q_cpu_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import cpu_utilization
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn(
+            "total_s", F.unix_micros(F.col("ts").cast("timestamp")) / 1e6
+        )
+    )
+    out = cpu_utilization(
+        ev, ["user_id"], "value", "total_s", ["ts", "event_id"]
+    )
+    return (
+        out.filter(F.col("utilization").isNotNull())
+        .select("event_id", F.round("utilization", 4).alias("utilization"))
+    )
+
+
+# ---------------------------------------------------------------------
+# 20. probabilistic sampler (components.go:330): consistent hash-based
+#     p% sampling — portable md5 bucket so DuckDB agrees bit-for-bit.
+# ---------------------------------------------------------------------
+@register(
+    "probabilistic_sample",
+    """
+    select event_id, event_type from events
+    where cast(('0x' || substr(md5(cast(event_id as varchar)), 1, 8)) as bigint) % 100 < 25
+    """,
+)
+def q_probabilistic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import probabilistic_sample
+
+    ev = _t(spark, sf_dir, "events")
+    return probabilistic_sample(ev, "event_id", 25).select("event_id", "event_type")
+
+
+# ---------------------------------------------------------------------
+# 21. tail sampling (components.go:335): keep complete conversations
+#     in which ANY turn carries level=ERROR.
+# ---------------------------------------------------------------------
+@register(
+    "tail_sample_error_convs",
+    f"""
+    with t as ({_T_SQL})
+    select conv_id, turn_idx from t
+    where conv_id in (select conv_id from t where text like '%level=ERROR%')
+    """,
+)
+def q_tail_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import TailPolicy, tail_sample
+
+    t = transcripts_from_events(spark, sf_dir)
+    kept = tail_sample(t, "conv_id", TailPolicy("text LIKE '%level=ERROR%'", "any"))
+    return kept.select("conv_id", "turn_idx")
+
+
+# ---------------------------------------------------------------------
+# 22. metrics_transform rename + aggregate_label_values
+#     (full_config_linux.yaml:503-545).
+# ---------------------------------------------------------------------
+@register(
+    "metrics_transform_rename_merge",
+    """
+    select case event_type when 'purchase' then 'buy'
+                when 'click' then 'interaction' when 'view' then 'interaction'
+                else event_type end as event_type,
+           cast(sum(cast(value as decimal(18,2))) as double) as value
+    from events group by 1
+    """,
+)
+def q_metrics_transform_rename_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import metrics_transform
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,2)")
+    )
+    out = metrics_transform(
+        ev,
+        name_col="event_type",
+        value_col="value",
+        renames={"purchase": "buy"},
+        merge_values={"event_type": {"click": "interaction", "view": "interaction"}},
+        aggregation="sum",
+    )
+    return out.withColumn("value", F.col("value").cast("double"))
+
+
+# ---------------------------------------------------------------------
+# 23. attributes processor: extract + hash + upsert + delete
+#     (full_config_linux.yaml:438-463).
+# ---------------------------------------------------------------------
+@register(
+    "attributes_extract_hash",
+    """
+    select event_id,
+           regexp_extract(props, '"k": ?(\\d+)', 1) as k,
+           sha256(cast(user_id as varchar)) as user_hash,
+           'prod' as env
+    from events
+    """,
+)
+def q_attributes_extract_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import AttrAction, attributes_processor
+
+    ev = _t(spark, sf_dir, "events")
+    out = attributes_processor(
+        ev.withColumn("user_hash", F.col("user_id")),
+        [
+            AttrAction("extract", "props", pattern=r'"k": ?(\d+)', groups=("k",)),
+            AttrAction("hash", "user_hash"),
+            AttrAction("upsert", "env", value="prod"),
+            AttrAction("delete", "props"),
+        ],
+    )
+    return out.select("event_id", "k", "user_hash", "env")
+
+
+# ---------------------------------------------------------------------
+# 24. groupbyattrs (components.go:324): regroup records under key.
+# ---------------------------------------------------------------------
+@register(
+    "group_by_attrs",
+    """
+    with g as (select event_type, list_sort(list(event_id)) as ids, count(*) as n_records
+               from events group by 1)
+    select event_type, n_records, unnest(ids) as event_id from g
+    """,
+)
+def q_group_by_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import group_by_attrs
+
+    ev = _t(spark, sf_dir, "events")
+    g = group_by_attrs(ev, ["event_type"], ["event_id"])
+    return g.select(
+        "event_type",
+        "n_records",
+        F.explode("records").alias("r"),
+    ).select("event_type", "n_records", F.col("r.event_id").alias("event_id"))
+
+
+# ---------------------------------------------------------------------
+# 25. redaction (components.go:331): allowlist + digit masking.
+# ---------------------------------------------------------------------
+@register(
+    "redaction",
+    """
+    select event_id, regexp_replace(props, '\\d', '*', 'g') as props from events
+    """,
+)
+def q_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import redact
+
+    ev = _t(spark, sf_dir, "events")
+    return redact(ev, ["event_id", "props"], ["props"])
+
+
+# ---------------------------------------------------------------------
+# 26. invalid-value audit (prometheus_to_otel.go:129-166, 179-190):
+#     unparseable values skipped but counted per group.
+# ---------------------------------------------------------------------
+@register(
+    "invalid_value_audit",
+    """
+    with r as (select event_type,
+                      case when event_type = 'error' then 'not-a-number'
+                           else json_extract_string(props, '$.k') end as raw
+               from events)
+    select event_type,
+           count(*) filter (try_cast(raw as double) is not null) as n_valid,
+           count(*) filter (try_cast(raw as double) is null) as n_invalid,
+           cast(sum(try_cast(raw as double)) as double) as valid_sum
+    from r group by 1
+    """,
+)
+def q_invalid_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import invalid_value_audit
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "raw",
+        F.when(F.col("event_type") == "error", "not-a-number").otherwise(
+            F.get_json_object("props", "$.k")
+        ),
+    )
+    out = invalid_value_audit(ev, "raw", ["event_type"])
+    return out.withColumn("valid_sum", F.col("valid_sum").cast("double"))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -1,0 +1,115 @@
+"""Telemetry processor semantics (SURVEY.md §2.4-§2.6 behaviors)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkcollector.operators.telemetry import (
+    AttrAction,
+    TailPolicy,
+    attributes_processor,
+    cpu_utilization,
+    group_by_attrs,
+    histogram_bucket_delta,
+    invalid_value_audit,
+    metrics_transform,
+    probabilistic_sample,
+    redact,
+    sample_bucket,
+    tail_sample,
+)
+
+
+def test_histogram_bucket_delta(spark):
+    df = spark.createDataFrame([("m", [1, 4, 9, 9, 12])], ["k", "cum_buckets"])
+    r = histogram_bucket_delta(df).collect()[0]
+    # last (+Inf) bucket dropped, like scraper.go:218-235
+    assert r["bucket_counts"] == [1, 3, 5, 0]
+
+
+def test_cpu_utilization_clamp_and_first_sample(spark):
+    rows = [
+        ("h", 1, 10.0, 100.0),
+        ("h", 2, 60.0, 200.0),   # 50/100 -> 50%
+        ("h", 3, 55.0, 300.0),   # negative delta -> clamp 0
+        ("h", 4, 500.0, 400.0),  # 445/100 -> clamp 100
+    ]
+    df = spark.createDataFrame(rows, ["host", "t", "used", "total"])
+    out = {r["t"]: r["utilization"] for r in cpu_utilization(df, ["host"], "used", "total", ["t"]).collect()}
+    assert out[1] is None
+    assert out[2] == 50.0 and out[3] == 0.0 and out[4] == 100.0
+
+
+def test_probabilistic_sample_consistent(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["k"])
+    a = {r["k"] for r in probabilistic_sample(df, "k", 30).collect()}
+    b = {r["k"] for r in probabilistic_sample(df, "k", 30).collect()}
+    assert a == b  # same keys always kept
+    assert 0.2 < len(a) / 1000 < 0.4
+    # smaller percent is a subset of larger (bucket < p is monotone)
+    c = {r["k"] for r in probabilistic_sample(df, "k", 10).collect()}
+    assert c <= a
+
+
+def test_sample_bucket_matches_python_md5(spark):
+    import hashlib
+
+    df = spark.createDataFrame([("abc",), ("xyz",)], ["k"])
+    got = {r["k"]: r["b"] for r in df.select("k", sample_bucket(F.col("k")).alias("b")).collect()}
+    for k in ("abc", "xyz"):
+        assert got[k] == int(hashlib.md5(k.encode()).hexdigest()[:8], 16) % 100
+
+
+def test_tail_sample_any_keeps_whole_trace(spark):
+    rows = [("t1", 1, "ok"), ("t1", 2, "ERROR"), ("t2", 1, "ok")]
+    df = spark.createDataFrame(rows, ["trace", "i", "status"])
+    kept = tail_sample(df, "trace", TailPolicy("status = 'ERROR'", "any"))
+    assert {(r["trace"], r["i"]) for r in kept.collect()} == {("t1", 1), ("t1", 2)}
+
+
+def test_metrics_transform_rename_and_merge(spark):
+    rows = [("a", "x", 1.0), ("b", "x", 2.0), ("c", "x", 4.0)]
+    df = spark.createDataFrame(rows, ["name", "lbl", "v"])
+    out = metrics_transform(
+        df, "name", "v", renames={"a": "b"}, aggregation="sum"
+    )
+    got = {r["name"]: r["v"] for r in out.collect()}
+    assert got == {"b": 3.0, "c": 4.0}
+
+
+def test_attributes_processor_actions(spark):
+    df = spark.createDataFrame([("id=42 user=bob", "secret")], ["body", "token"])
+    out = attributes_processor(
+        df,
+        [
+            AttrAction("extract", "body", pattern=r"id=(\d+) user=(\w+)", groups=("rid", "user")),
+            AttrAction("hash", "token"),
+            AttrAction("upsert", "env", value="prod"),
+            AttrAction("delete", "body"),
+        ],
+    )
+    r = out.collect()[0]
+    assert r["rid"] == "42" and r["user"] == "bob" and r["env"] == "prod"
+    assert len(r["token"]) == 64 and "body" not in out.columns
+
+
+def test_group_by_attrs_sorted(spark):
+    df = spark.createDataFrame([("a", 3), ("a", 1), ("b", 2)], ["k", "v"])
+    out = {r["k"]: r for r in group_by_attrs(df, ["k"], ["v"]).collect()}
+    assert [x["v"] for x in out["a"]["records"]] == [1, 3]
+    assert out["a"]["n_records"] == 2
+
+
+def test_redact(spark):
+    df = spark.createDataFrame([("e1", "pin 1234", "drop-me")], ["id", "msg", "secret"])
+    out = redact(df, ["id", "msg"], ["msg"])
+    r = out.collect()[0]
+    assert r["msg"] == "pin ****" and "secret" not in out.columns
+
+
+def test_invalid_value_audit(spark):
+    rows = [("g", "1.5"), ("g", "nope"), ("g", None), ("h", "2")]
+    df = spark.createDataFrame(rows, ["grp", "raw"])
+    out = {r["grp"]: r for r in invalid_value_audit(df, "raw", ["grp"]).collect()}
+    assert out["g"]["n_valid"] == 1 and out["g"]["n_invalid"] == 2
+    assert out["g"]["valid_sum"] == 1.5 and out["h"]["n_valid"] == 1
