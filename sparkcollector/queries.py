@@ -860,6 +860,176 @@ def q_invalid_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("valid_sum", F.col("valid_sum").cast("double"))
 
 
+# ---------------------------------------------------------------------
+# 27. language ID (n-gram/stopword heuristic) over documents.
+# ---------------------------------------------------------------------
+def _lang_score_sql(lang: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, x -> x in ({lst}))) as s_{lang}"
+
+
+@register(
+    "language_id_counts",
+    """
+    with t as (select doc_id, string_split(lower(text), ' ') as toks from documents),
+    s as (select doc_id,
+                 {scores}
+          from t),
+    b as (select doc_id, greatest(s_en, s_de, s_fr, s_es) as best, * from s)
+    select case when s_en > 0 and s_en = best then 'en'
+                when s_de > 0 and s_de = best then 'de'
+                when s_fr > 0 and s_fr = best then 'fr'
+                when s_es > 0 and s_es = best then 'es'
+                else 'und' end as lang,
+           count(*) as n
+    from b group by 1
+    """.format(
+        scores=",\n                 ".join(
+            _lang_score_sql(lang, words)
+            for lang, words in [
+                ("en", ("the", "and", "of", "to", "a", "in", "is", "it", "you", "that")),
+                ("de", ("der", "die", "und", "das", "ist", "nicht", "ein", "ich", "mit", "zu")),
+                ("fr", ("le", "la", "et", "les", "des", "est", "un", "une", "que", "pour")),
+                ("es", ("el", "la", "y", "de", "que", "en", "un", "una", "es", "los")),
+            ]
+        )
+    ),
+)
+def q_language_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(language_id(F.col("text")).alias("lang")).groupBy("lang").agg(
+        F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------
+# 28. quality features + banding over documents.
+# ---------------------------------------------------------------------
+@register(
+    "doc_quality_features",
+    """
+    with f as (
+      select doc_id,
+             len(string_split(text, ' ')) as n_words,
+             len(text) as n_chars,
+             round(cast(len(text) - len(string_split(text, ' ')) + 1 as double)
+                   / len(string_split(text, ' ')), 4) as mean_word_len,
+             round(cast(len(list_filter(string_split(lower(text), ' '),
+                    x -> x in ('the','and','of','to','a','in','is','it','you','that'))) as double)
+                   / len(string_split(text, ' ')), 4) as stopword_ratio,
+             round(cast(len(regexp_extract_all(text, '[^\\w\\s]')) as double)
+                   / len(text), 4) as punct_ratio,
+             round(cast(len(regexp_extract_all(text, '\\d')) as double)
+                   / len(text), 4) as digit_ratio,
+             round(cast(len(list_distinct(string_split(text, ' '))) as double)
+                   / len(string_split(text, ' ')), 4) as distinct_ratio
+      from documents)
+    select *,
+           case when n_words not between 20 and 200 then 'len_outlier'
+                when distinct_ratio < 0.2 then 'repetitive'
+                when stopword_ratio > 0.6 then 'boilerplate'
+                else 'ok' end as band
+    from f
+    """,
+)
+def q_doc_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import quality_band, quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    f = quality_features(d.select("doc_id", "text")).drop("text")
+    return f.withColumn(
+        "band",
+        quality_band(
+            F.col("n_words"), F.col("stopword_ratio"), F.col("distinct_ratio")
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
+# 29. BPE-ish regex token counting over transcript turns.
+# ---------------------------------------------------------------------
+@register(
+    "token_count_bpe",
+    f"""
+    with t as ({_T_SQL})
+    select conv_id, turn_idx,
+           len(regexp_extract_all(text, '[a-zA-Z]+|\\d+|[^a-zA-Z\\d\\s]')) as n_tokens
+    from t
+    """,
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import token_count_bpe
+
+    t = transcripts_from_events(spark, sf_dir)
+    return t.select(
+        "conv_id", "turn_idx", token_count_bpe(F.col("text")).alias("n_tokens")
+    )
+
+
+# ---------------------------------------------------------------------
+# 30. document fingerprinting: rolling polynomial char hash (portable)
+#     + k-word window fingerprint count.
+# ---------------------------------------------------------------------
+@register(
+    "doc_fingerprint",
+    """
+    select doc_id,
+           list_reduce(list_prepend(cast(0 as bigint),
+                       list_transform(string_split(text, ''), c -> cast(ascii(c) as bigint))),
+                       (a, b) -> (a * 31 + b) % 1000000007) as fp,
+           cast(greatest(len(string_split(text, ' ')) - 4, 0) as int) as n_windows
+    from documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import char_fingerprint, word_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        char_fingerprint(F.col("text")).alias("fp"),
+        F.greatest(
+            F.size(word_fingerprints(F.col("text"), k=5)), F.lit(0)
+        ).cast("int").alias("n_windows"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 31. multiline reassembly (stanza multiline operator, yaml:89-90):
+#     events as (file=user_id, offset=event_id, line); records start at
+#     signup/purchase lines.
+# ---------------------------------------------------------------------
+@register(
+    "multiline_reassembly",
+    """
+    with l as (select user_id as file, event_id as ofs,
+                      event_type || ' ' || props as line,
+                      case when event_type in ('signup', 'purchase') then 1 else 0 end as st
+               from events),
+    t as (select *, sum(st) over (partition by file order by ofs
+                                  rows between unbounded preceding and current row) as record_id
+          from l)
+    select file, record_id, count(*) as n_lines,
+           string_agg(line, ' | ' order by ofs) as record
+    from t group by 1, 2
+    """,
+)
+def q_multiline_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.reassembly import reassemble_multiline
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.col("user_id").alias("file"),
+        F.col("event_id").alias("offset"),
+        F.concat_ws(" ", "event_type", "props").alias("line"),
+    )
+    return reassemble_multiline(
+        lines, r"^(signup|purchase)", joiner=" | "
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

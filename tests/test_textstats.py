@@ -1,0 +1,108 @@
+"""Text analysis + multiline reassembly semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkcollector.operators.reassembly import reassemble_multiline
+from sparkcollector.operators.textstats import (
+    FP_BASE,
+    FP_MOD,
+    char_fingerprint,
+    language_id,
+    quality_band,
+    quality_features,
+    token_count_bpe,
+    word_fingerprints,
+)
+
+
+def _one(spark, text):
+    return spark.createDataFrame([(text,)], ["text"])
+
+
+def test_language_id(spark):
+    cases = {
+        "the cat and the dog is in it": "en",
+        "der hund ist nicht mit der katze": "de",
+        "le chat est dans les jardins pour un moment": "fr",
+        "el perro y el gato en una casa": "es",
+        "zzz qqq xxx": "und",
+    }
+    df = spark.createDataFrame([(t,) for t in cases], ["text"])
+    got = {
+        r["text"]: r["lang"]
+        for r in df.select("text", language_id(F.col("text")).alias("lang")).collect()
+    }
+    assert got == cases
+
+
+def test_token_count_bpe(spark):
+    r = _one(spark, "hello, world! x2").select(
+        token_count_bpe(F.col("text")).alias("n")
+    ).collect()[0]
+    # hello , world ! x 2  -> 6
+    assert r["n"] == 6
+
+
+def test_quality_features_and_band(spark):
+    text = "the cat sat on the mat with a hat " * 4  # 36 words, repetitive
+    f = quality_features(_one(spark, text.strip())).collect()[0]
+    assert f["n_words"] == 36
+    assert 0 < f["stopword_ratio"] < 1
+    assert f["distinct_ratio"] == round(8 / 36, 4)
+    band = (
+        _one(spark, text.strip())
+        .select(
+            quality_band(
+                F.lit(36), F.lit(0.3), F.lit(round(8 / 36, 4))
+            ).alias("b")
+        )
+        .collect()[0]["b"]
+    )
+    assert band == "ok"
+    short = quality_band(F.lit(3), F.lit(0.3), F.lit(0.9))
+    assert _one(spark, "x").select(short.alias("b")).collect()[0]["b"] == "len_outlier"
+
+
+def test_char_fingerprint_matches_python(spark):
+    text = "abc xyz"
+    expected = 0
+    for ch in text:
+        expected = (expected * FP_BASE + ord(ch)) % FP_MOD
+    got = _one(spark, text).select(char_fingerprint(F.col("text")).alias("fp")).collect()[0]["fp"]
+    assert got == expected
+
+
+def test_word_fingerprints_window_count(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    got = _one(spark, text).select(
+        F.size(word_fingerprints(F.col("text"), k=5)).alias("n")
+    ).collect()[0]["n"]
+    assert got == 6  # 10 - 5 + 1
+    # identical windows hash identically
+    t2 = "a b c d e a b c d e"
+    fps = _one(spark, t2).select(word_fingerprints(F.col("text"), k=5).alias("f")).collect()[0]["f"]
+    assert fps[0] == fps[5]
+
+
+def test_reassemble_multiline(spark):
+    lines = [
+        ("f1", 1, "START record one"),
+        ("f1", 2, "  continuation a"),
+        ("f1", 3, "  continuation b"),
+        ("f1", 4, "START record two"),
+        ("f2", 1, "orphan head line"),
+        ("f2", 2, "START solo"),
+    ]
+    df = spark.createDataFrame(lines, ["file", "offset", "line"])
+    out = {
+        (r["file"], r["record_id"]): r
+        for r in reassemble_multiline(df, r"^START").collect()
+    }
+    assert out[("f1", 1)]["record"] == "START record one\n  continuation a\n  continuation b"
+    assert out[("f1", 1)]["n_lines"] == 3
+    assert out[("f1", 2)]["record"] == "START record two"
+    # head fragment before any start-match becomes record 0
+    assert out[("f2", 0)]["record"] == "orphan head line"
+    assert out[("f2", 1)]["record"] == "START solo"
