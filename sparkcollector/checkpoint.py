@@ -37,8 +37,9 @@ from pyspark.sql import DataFrame, SparkSession
 class Snapshot:
     snapshot_id: int
     ts: float
-    files: list[dict]  # [{path, rows}]
+    files: list[dict]  # [{path, rows, <partition cols...>}]
     metrics: dict = field(default_factory=dict)
+    data_dir: str | None = None  # set for hive-partitioned snapshots
 
 
 class SnapshotCatalog:
@@ -68,27 +69,44 @@ class SnapshotCatalog:
         return snaps[-1].snapshot_id if snaps else None
 
     # -- write path ----------------------------------------------------
-    def append(self, df: DataFrame, metrics: dict | None = None) -> Snapshot:
+    def append(
+        self,
+        df: DataFrame,
+        metrics: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> Snapshot:
         """Write ``df`` as a new data directory + snapshot commit.
 
-        Records per-file row counts (lineage) by reading back parquet
+        ``partition_by`` writes hive-style partition dirs (the Iceberg
+        identity-partition analog); lineage records each file with its
+        partition values.  Per-file row counts come from parquet
         footers — metadata-only, no data scan.
         """
         t0 = time.time()
         snap_id = (self.current_snapshot_id() or 0) + 1
         data_dir = os.path.join(self.table_dir, f"data-{snap_id:06d}")
-        df.write.mode("overwrite").parquet(data_dir)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
 
         import pyarrow.parquet as pq
 
         files = []
         total_rows = 0
-        for name in sorted(os.listdir(data_dir)):
-            if name.endswith(".parquet"):
-                p = os.path.join(data_dir, name)
-                rows = pq.ParquetFile(p).metadata.num_rows
-                files.append({"path": p, "rows": rows})
-                total_rows += rows
+        for root, _dirs, names in sorted(os.walk(data_dir)):
+            for name in sorted(names):
+                if name.endswith(".parquet"):
+                    p = os.path.join(root, name)
+                    rows = pq.ParquetFile(p).metadata.num_rows
+                    entry = {"path": p, "rows": rows}
+                    rel = os.path.relpath(root, data_dir)
+                    if rel != ".":
+                        for part in rel.split(os.sep):
+                            k, _, v = part.partition("=")
+                            entry[k] = v
+                    files.append(entry)
+                    total_rows += rows
 
         elapsed = time.time() - t0
         m = {
@@ -99,7 +117,13 @@ class SnapshotCatalog:
         }
         if metrics:
             m.update(metrics)
-        snap = Snapshot(snapshot_id=snap_id, ts=time.time(), files=files, metrics=m)
+        snap = Snapshot(
+            snapshot_id=snap_id,
+            ts=time.time(),
+            files=files,
+            metrics=m,
+            data_dir=data_dir if partition_by else None,
+        )
         snaps = self.snapshots()
         snaps.append(snap)
         self._commit(snaps)
@@ -117,18 +141,29 @@ class SnapshotCatalog:
 
         This is the resume primitive: a consumer persists the last
         snapshot id it processed and passes it here on restart.
+        Hive-partitioned snapshots read through their data-dir root so
+        partition columns (directory-encoded) resolve.
         """
-        paths = [
-            f["path"]
-            for s in self.snapshots()
-            if s.snapshot_id > since_snapshot_id
-            for f in s.files
-        ]
-        if not paths:
+        from functools import reduce
+
+        parts: list[DataFrame] = []
+        plain_paths: list[str] = []
+        for s in self.snapshots():
+            if s.snapshot_id <= since_snapshot_id:
+                continue
+            if s.data_dir:
+                parts.append(
+                    spark.read.option("basePath", s.data_dir).parquet(s.data_dir)
+                )
+            else:
+                plain_paths.extend(f["path"] for f in s.files)
+        if plain_paths:
+            parts.append(spark.read.parquet(*plain_paths))
+        if not parts:
             raise ValueError(
                 f"no data after snapshot {since_snapshot_id} in {self.table_dir}"
             )
-        return spark.read.parquet(*paths)
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
     def lineage(self) -> list[dict]:
         """Flattened per-partition lineage: snapshot → file → rows."""

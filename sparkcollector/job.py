@@ -42,16 +42,35 @@ def build_pipeline(
     rules: list[RoutingRule] | None = None,
     use_pandas_udf: bool = True,
     order_partitions: int | None = None,
+    sort_prefix: tuple[str, ...] = (),
 ) -> DataFrame:
     """The logical plan: parsed, enriched, routed, deterministically
     ordered turns (one DataFrame; Catalyst owns the physical plan)."""
     parser = parse_turns if use_pandas_udf else parse_turns_builtin
-    parsed = parser(turns)
+    # ONE exchange total: hash-repartition the NARROW input by conv_id
+    # up front.  This simultaneously (a) spreads a poorly-split small
+    # scan across every core for the CPU-bound parse, (b) shuffles the
+    # 6-column input instead of the post-parse/enrich wide rows, and
+    # (c) satisfies the explicit repartition(conv_id)-before-write
+    # requirement.  Parse/enrich/route are narrow ops after it, and the
+    # final ordering is a shuffle-free sortWithinPartitions.
+    spread = (
+        turns.repartition(order_partitions, F.col("conv_id"))
+        if order_partitions
+        else turns.repartition(F.col("conv_id"))
+    )
+    parsed = parser(spread)
     enriched = enrich_turns(parsed)
     routed = route(enriched, rules)
-    return repartition_sorted(
-        routed, "conv_id", "turn_idx", num_partitions=order_partitions
-    )
+    return routed.sortWithinPartitions(*sort_prefix, "conv_id", "turn_idx")
+
+
+def read_sink(spark: SparkSession, out_dir: str, sink: str) -> DataFrame:
+    """Read one routed sink with its exporter-shaped projection applied
+    (partition-pruned scan of the single-pass routed table)."""
+    proj, _schema = SINK_PROJECTIONS[sink]
+    routed = SnapshotCatalog(f"{out_dir}/routed").read(spark)
+    return proj(routed.filter(F.col("sink") == sink))
 
 
 def run_pipeline(
@@ -61,33 +80,60 @@ def run_pipeline(
     rules: list[RoutingRule] | None = None,
     use_pandas_udf: bool = True,
     write: bool = True,
+    strategy: str = "partitioned",
 ) -> dict:
-    """Execute the full job; returns phase metrics (turns/sec etc.)."""
+    """Execute the full job; returns phase metrics (turns/sec etc.).
+
+    ``partitioned`` (default, the at-scale path): ONE pass over the
+    data — parse/enrich/route/order, then ``partitionBy("sink")``
+    into the routed table; no persist, no recompute.  Row counts come
+    from parquet footers (metadata only) and the aggregate table is
+    computed from the written columnar data, where column pruning
+    reads just the 5 grouping columns instead of the whole record.
+
+    ``fanout``: collector-shaped N independent exporter writes with
+    distinct physical schemas (persist + N filtered projected writes).
+    """
     t0 = time.time()
     turns = spark.read.parquet(input_path)
-    routed = build_pipeline(turns, rules, use_pandas_udf=use_pandas_udf)
+    # Lead the within-partition sort with the sink column when we'll
+    # write partitionBy("sink") — see repartition_sorted.sort_prefix.
+    prefix = ("sink",) if (write and strategy == "partitioned") else ()
+    routed = build_pipeline(
+        turns, rules, use_pandas_udf=use_pandas_udf, sort_prefix=prefix
+    )
 
     metrics: dict = {}
-    if write:
-        routed.persist()
-    try:
+    if not write:
         n_turns = routed.count()
         t_routed = time.time()
-
-        counts = count_connector(routed)
-        if write:
-            sink_catalogs: dict[str, SnapshotCatalog] = {}
+        count_connector(routed).count()
+    elif strategy == "partitioned":
+        cat = SnapshotCatalog(f"{out_dir}/routed")
+        snap = cat.append(routed, partition_by=["sink"])
+        n_turns = snap.metrics["rows"]
+        for s in SINK_PROJECTIONS:
+            metrics[f"sink_{s}_rows"] = sum(
+                f["rows"] for f in snap.files if f.get("sink") == s
+            )
+        t_routed = time.time()
+        counts = count_connector(
+            cat.read(spark).select("sink", "conv_id", "role", "tool", "ts")
+        )
+        SnapshotCatalog(f"{out_dir}/agg_counts").append(counts)
+    else:  # fanout
+        routed.persist()
+        try:
+            n_turns = routed.count()
+            t_routed = time.time()
             for s, (proj, _) in SINK_PROJECTIONS.items():
                 cat = SnapshotCatalog(f"{out_dir}/sink_{s}")
                 snap = cat.append(proj(routed.filter(F.col("sink") == s)))
-                sink_catalogs[s] = cat
                 metrics[f"sink_{s}_rows"] = snap.metrics["rows"]
-            agg_cat = SnapshotCatalog(f"{out_dir}/agg_counts")
-            agg_cat.append(counts)
-        else:
-            counts.count()
-    finally:
-        if write:
+            SnapshotCatalog(f"{out_dir}/agg_counts").append(
+                count_connector(routed)
+            )
+        finally:
             routed.unpersist()
 
     elapsed = time.time() - t0
@@ -109,6 +155,9 @@ def main() -> None:
     p.add_argument("--master", default=None)
     p.add_argument("--builtin-parse", action="store_true")
     p.add_argument("--no-write", action="store_true")
+    p.add_argument(
+        "--strategy", choices=["partitioned", "fanout"], default="partitioned"
+    )
     args = p.parse_args()
 
     spark = get_spark(master=args.master, app_name="sparkcollector-job")
@@ -118,6 +167,7 @@ def main() -> None:
         args.out,
         use_pandas_udf=not args.builtin_parse,
         write=not args.no_write,
+        strategy=args.strategy,
     )
     print(json.dumps(metrics))
 

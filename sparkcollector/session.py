@@ -61,7 +61,22 @@ def get_spark(
         # Broadcast lookups (role/tool dims) are tiny; raise threshold a
         # little so Catalyst always broadcasts the enrich side.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Local mode runs every task in the driver JVM: size the heap
+        # for <threads> concurrent parquet writers (~128 MB row-group
+        # buffer each) + sort + shuffle buffers.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # Shuffle/spill files on the fastest local storage available —
+        # on a real cluster this is the executor's local NVMe; in this
+        # sandbox /dev/shm beats the 300 MB/s root disk.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_LOCAL_DIRS",
+                "/dev/shm/spark-local"
+                if os.path.isdir("/dev/shm")
+                else "/tmp/spark-local",
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -25,14 +25,23 @@ def repartition_sorted(
     key: str = "conv_id",
     order: str = "turn_idx",
     num_partitions: int | None = None,
+    sort_prefix: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Deterministic layout: hash-partition by key, sort within."""
+    """Deterministic layout: hash-partition by key, sort within.
+
+    ``sort_prefix`` prepends columns to the within-partition sort —
+    used to lead with the sink partition column before a
+    ``partitionBy`` write, so the file writer (which requires
+    partition-column ordering and would otherwise inject its own
+    UNSTABLE sort) sees the required prefix and preserves the
+    (key, order) sequence inside every written file.
+    """
     rep = (
         df.repartition(num_partitions, F.col(key))
         if num_partitions
         else df.repartition(F.col(key))
     )
-    return rep.sortWithinPartitions(key, order)
+    return rep.sortWithinPartitions(*sort_prefix, key, order)
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -1,0 +1,183 @@
+"""Structured Streaming pipeline: the collector's always-on mode.
+
+The reference is a streaming dataflow engine (receivers push batches
+through a synchronous consumer chain, SURVEY.md §3.1); our batch job
+is the axes-A+B graft of it.  This module re-expresses the SAME
+logical stages on Structured Streaming so the engine also covers the
+reference's native shape:
+
+* file-source ingest (the filelog receiver analog — new files under a
+  directory are discovered and checkpointed exactly-once, matching the
+  ``file_storage`` offset store, splunk_logs_config_linux.yaml:21-27),
+* identical parse/enrich/route stages (the SAME functions as batch —
+  one logical plan, two execution modes),
+* watermarked 1-minute windowed counts (the count connector under late
+  data; watermark bounds state like the batch processor's timeout),
+* ``foreachBatch`` fan-out appends into the same SnapshotCatalog sink
+  tables (idempotent per epoch — the HEC exporter's retry-safe queue),
+* :func:`conversation_sessions` — a custom stateful operator via
+  ``applyInPandasWithState``: per-conversation running counters with
+  idle-timeout finalization (the discovery receiver's correlation
+  state, endpoint_tracker.go:243-293, is the reference's analog of
+  keyed session state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..aggregate import N_CONV_BUCKETS, conv_bucket
+from ..enrich import enrich_turns
+from ..parse import parse_turns
+from ..route import RoutingRule, route
+from ..schema import TRANSCRIPTS_SCHEMA
+
+
+def stream_transcripts(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of transcript turns (schema fixed up front —
+    streaming scans can't infer)."""
+    return (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(input_dir)
+    )
+
+
+def stream_routed(
+    turns: DataFrame, rules: list[RoutingRule] | None = None
+) -> DataFrame:
+    """Parse + enrich + route on a streaming DataFrame — the same
+    narrow stages as the batch plan; no repartition needed (micro-batch
+    boundaries give per-epoch determinism, ordering is restored by the
+    sink sort in foreachBatch)."""
+    return route(enrich_turns(parse_turns(turns)), rules)
+
+
+def windowed_counts(
+    routed: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+    n_buckets: int = N_CONV_BUCKETS,
+) -> DataFrame:
+    """Count-connector aggregation with late-data bounds.
+
+    The watermark caps state: windows older than (max event time −
+    watermark) finalize and evict — the streaming analog of the batch
+    processor's flush timeout."""
+    return (
+        routed.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).start.alias("window_start"),
+            F.col("sink"),
+            conv_bucket(n_buckets=n_buckets).alias("conv_bucket"),
+            "role",
+            "tool",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def write_stream_sinks(
+    routed: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Fan-out the routed stream into the SnapshotCatalog sink tables.
+
+    ``foreachBatch`` gives the batch writer per epoch: each micro-batch
+    is sorted (conv_id, turn_idx) and appended partitioned-by-sink —
+    the same single-pass layout as the batch job, so batch and
+    streaming runs produce interchangeable sink tables.
+    """
+    from ..checkpoint import SnapshotCatalog
+
+    def write_epoch(df: DataFrame, epoch_id: int) -> None:
+        ordered = df.repartition(F.col("conv_id")).sortWithinPartitions(
+            "sink", "conv_id", "turn_idx"
+        )
+        SnapshotCatalog(f"{out_dir}/routed").append(
+            ordered, metrics={"epoch": epoch_id}, partition_by=["sink"]
+        )
+
+    w = (
+        routed.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+# ---------------------------------------------------------------------
+# custom stateful operator: per-conversation session tracking
+# ---------------------------------------------------------------------
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("n_errors", T.LongType()),
+        T.StructField("last_ts", T.DoubleType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("n_errors", T.LongType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+
+def conversation_sessions(
+    turns: DataFrame, idle_timeout_ms: int = 300_000
+) -> DataFrame:
+    """Keyed running session state per conversation.
+
+    ``applyInPandasWithState`` keeps (n_turns, n_errors, last_ts) per
+    conv_id; each micro-batch emits the updated totals, and a
+    conversation idle past the timeout emits a final ``closed`` row and
+    drops its state (bounded memory at 10^12-turn scale: state is one
+    tiny tuple per LIVE conversation, not per turn).
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        conv_id = key[0]
+        if state.hasTimedOut:
+            n_turns, n_errors, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"conv_id": conv_id, "n_turns": n_turns,
+                  "n_errors": n_errors, "closed": True}]
+            )
+            return
+        n_turns, n_errors, last_ts = state.get if state.exists else (0, 0, 0.0)
+        for pdf in pdf_iter:
+            n_turns += len(pdf)
+            n_errors += int(
+                pdf["text"].str.contains("level=ERROR", regex=False).sum()
+            )
+            ts_max = pdf["ts"].max()
+            if pd.notna(ts_max):
+                last_ts = max(last_ts, ts_max.timestamp())
+        state.update((n_turns, n_errors, last_ts))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            [{"conv_id": conv_id, "n_turns": n_turns,
+              "n_errors": n_errors, "closed": False}]
+        )
+
+    return turns.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -98,24 +98,59 @@ def test_builtin_parse_pipeline_identical(turns_df, routed_rows):
 
 
 def test_ordering_within_written_partitions(spark, turns_df, tmp_path):
-    """The events sink must be physically ordered by (conv_id, turn_idx)
-    within every written file — ordering from sortWithinPartitions,
-    never from task scheduling."""
+    """Every written routed file must be physically ordered by
+    (conv_id, turn_idx) — ordering from sortWithinPartitions, never
+    from task scheduling."""
     import glob
 
     import pyarrow.parquet as pq
+
+    m = run_pipeline(
+        spark,
+        turns_df.inputFiles()[0].replace("file:", ""),
+        str(tmp_path / "out"),
+    )
+    assert m["turns"] == turns_df.count()
+    assert (
+        m["sink_metrics_rows"] + m["sink_events_rows"] + m["sink_traces_rows"]
+        == m["turns"]
+    )
+    files = glob.glob(
+        str(tmp_path / "out" / "routed" / "data-*" / "sink=*" / "*.parquet")
+    )
+    assert files
+    for f in files:
+        t = pq.read_table(f, columns=["conv_id", "turn_idx"]).to_pandas()
+        key = list(zip(t.conv_id, t.turn_idx))
+        assert key == sorted(key), f
+
+
+def test_read_sink_projection(spark, turns_df, tmp_path):
+    from sparkcollector.job import read_sink
 
     run_pipeline(
         spark,
         turns_df.inputFiles()[0].replace("file:", ""),
         str(tmp_path / "out"),
     )
-    files = glob.glob(str(tmp_path / "out" / "sink_events" / "data-*" / "*.parquet"))
-    assert files
-    for f in files:
-        t = pq.read_table(f, columns=["conv_id", "turn_idx"]).to_pandas()
-        key = list(zip(t.conv_id, t.turn_idx))
-        assert key == sorted(key), f
+    ev = read_sink(spark, str(tmp_path / "out"), "events")
+    assert set(ev.columns) == {
+        "ts", "severity", "body", "source", "sourcetype", "conv_id", "turn_idx",
+    }
+    assert ev.count() > 0
+
+
+def test_fanout_strategy_counts_match(spark, turns_df, tmp_path):
+    m1 = run_pipeline(
+        spark, turns_df.inputFiles()[0].replace("file:", ""),
+        str(tmp_path / "o1"), strategy="partitioned",
+    )
+    m2 = run_pipeline(
+        spark, turns_df.inputFiles()[0].replace("file:", ""),
+        str(tmp_path / "o2"), strategy="fanout",
+    )
+    for k in ("sink_metrics_rows", "sink_events_rows", "sink_traces_rows", "turns"):
+        assert m1[k] == m2[k], k
 
 
 def test_snapshot_resume_full_equals_incremental(spark, turns_df, tmp_path):
