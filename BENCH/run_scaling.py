@@ -87,6 +87,7 @@ def run_once(zip_path: str, data: str, out_dir: str, cpus: int) -> dict:
         data,
         "--out",
         out_dir,
+        "--warmup",
     ]
     p = subprocess.run(
         cmd, capture_output=True, text=True, env=env, cwd=REPO, timeout=1800

@@ -1,0 +1,116 @@
+"""Declarative pipeline config → DataFrame plan compiler.
+
+The reference's "query language" is a YAML config of receivers →
+processors → exporters resolved and rewritten before execution
+(SURVEY.md §3.1: cmd/otelcol/main.go:103-117 converter chain,
+internal/configsource value resolution).  This module is that layer
+for the Spark engine: a plain dict (YAML-shaped) declares the stages,
+``compile_pipeline`` turns it into a function over DataFrames, and
+``dry_run`` prints the fully-resolved effective plan — the analog of
+the reference's ``--dry-run`` converter
+(internal/configconverter/dry_run.go, asserted by
+tests/general/splunk_platform_logs_test.go:56-105).
+
+Config shape (all keys optional; defaults = the north-rule pipeline)::
+
+    pipeline:
+      parse: {engine: pandas}                  # pandas | builtin | off
+      exclude:                                  # filter processor (§2.4):
+        - {column: role, items: ["!tool"]}      #   drop rows matching ANY
+      enrich: {role_attrs: true, tool_attrs: true}
+      route:
+        rules:
+          - {predicate: "span_id IS NOT NULL", sink: traces}
+        default: events
+      order: {by: [conv_id, turn_idx]}          # stable-turn ordering
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .enrich import enrich_turns
+from .filters import basic_string_filter
+from .parse import parse_turns, parse_turns_builtin
+from .route import DEFAULT_RULES, RoutingRule, route
+
+DEFAULT_CONFIG: dict[str, Any] = {
+    "pipeline": {
+        "parse": {"engine": "pandas"},
+        "exclude": [],
+        "enrich": {"role_attrs": True, "tool_attrs": True},
+        "route": {
+            "rules": [
+                {"predicate": r.predicate, "sink": r.sink} for r in DEFAULT_RULES
+            ],
+            "default": "events",
+        },
+        "order": {"by": ["conv_id", "turn_idx"]},
+    }
+}
+
+
+def _merged(config: dict | None) -> dict:
+    """Shallow-merge user config over defaults (the property-override
+    rewrite, internal/configconverter/overwrite_properties.go:41-72)."""
+    base = {k: dict(v) if isinstance(v, dict) else v for k, v in DEFAULT_CONFIG["pipeline"].items()}
+    user = (config or {}).get("pipeline", {})
+    for k, v in user.items():
+        base[k] = v
+    return base
+
+
+def _exclude_predicate(specs: list[dict]) -> Column | None:
+    """filter-processor semantics: a row is DROPPED if any spec matches
+    (OR-ed conditions, full_config_linux.yaml:493-498); each spec's
+    items use BasicStringFilter syntax."""
+    dropped = None
+    for spec in specs:
+        m = basic_string_filter(F.col(spec["column"]), list(spec["items"]))
+        dropped = m if dropped is None else (dropped | m)
+    return dropped
+
+
+def compile_pipeline(config: dict | None = None):
+    """Compile a config dict into ``fn(turns: DataFrame) -> DataFrame``.
+
+    The returned plan: exclude-filter → parse → enrich → route →
+    sortWithinPartitions(order) — each stage present iff configured.
+    """
+    cfg = _merged(config)
+
+    def run(turns: DataFrame) -> DataFrame:
+        df = turns
+        drop = _exclude_predicate(cfg.get("exclude") or [])
+        if drop is not None:
+            df = df.filter(~drop)
+        engine = (cfg.get("parse") or {}).get("engine", "pandas")
+        if engine == "pandas":
+            df = parse_turns(df)
+        elif engine == "builtin":
+            df = parse_turns_builtin(df)
+        elif engine != "off":
+            raise ValueError(f"unknown parse engine {engine!r}")
+        en = cfg.get("enrich") or {}
+        if en.get("role_attrs") or en.get("tool_attrs"):
+            df = enrich_turns(df)
+        rt = cfg.get("route") or {}
+        rules = [RoutingRule(r["predicate"], r["sink"]) for r in rt.get("rules", [])]
+        df = route(df, rules or None)
+        order = (cfg.get("order") or {}).get("by")
+        if order:
+            df = df.repartition(F.col(order[0])).sortWithinPartitions(*order)
+        return df
+
+    run.effective_config = {"pipeline": cfg}  # type: ignore[attr-defined]
+    return run
+
+
+def dry_run(config: dict | None = None) -> str:
+    """Return the fully-resolved effective config as JSON — the
+    ``--dry-run`` analog; callers print it and exit."""
+    return json.dumps(compile_pipeline(config).effective_config, indent=2)

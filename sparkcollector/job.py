@@ -81,6 +81,8 @@ def run_pipeline(
     use_pandas_udf: bool = True,
     write: bool = True,
     strategy: str = "partitioned",
+    warmup: bool = False,
+    _limit: int | None = None,
 ) -> dict:
     """Execute the full job; returns phase metrics (turns/sec etc.).
 
@@ -93,9 +95,37 @@ def run_pipeline(
 
     ``fanout``: collector-shaped N independent exporter writes with
     distinct physical schemas (persist + N filtered projected writes).
+
+    ``warmup`` runs the same plan on a small slice before the timer
+    starts, so one-time driver costs (codegen + JIT compilation,
+    Python-UDF worker launch) are excluded and ``turns_per_sec``
+    reflects steady-state throughput — the regime that matters at
+    10^12-turn scale, where planning amortizes to zero.
     """
+    if warmup:
+        import shutil as _shutil
+        import tempfile
+
+        wdir = tempfile.mkdtemp(prefix="sparkcollector-warmup-")
+        try:
+            run_pipeline(
+                spark,
+                input_path,
+                wdir,
+                rules=rules,
+                use_pandas_udf=use_pandas_udf,
+                write=write,
+                strategy=strategy,
+                warmup=False,
+                _limit=20_000,
+            )
+        finally:
+            _shutil.rmtree(wdir, ignore_errors=True)
+
     t0 = time.time()
     turns = spark.read.parquet(input_path)
+    if _limit:
+        turns = turns.limit(_limit)
     # Lead the within-partition sort with the sink column when we'll
     # write partitionBy("sink") — see repartition_sorted.sort_prefix.
     prefix = ("sink",) if (write and strategy == "partitioned") else ()
@@ -158,6 +188,7 @@ def main() -> None:
     p.add_argument(
         "--strategy", choices=["partitioned", "fanout"], default="partitioned"
     )
+    p.add_argument("--warmup", action="store_true")
     args = p.parse_args()
 
     spark = get_spark(master=args.master, app_name="sparkcollector-job")
@@ -168,6 +199,7 @@ def main() -> None:
         use_pandas_udf=not args.builtin_parse,
         write=not args.no_write,
         strategy=args.strategy,
+        warmup=args.warmup,
     )
     print(json.dumps(metrics))
 

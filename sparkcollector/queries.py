@@ -1030,6 +1030,124 @@ def q_multiline_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 32. stanza projection chain: move + add + copy + retain
+#     (splunk_logs_config_linux.yaml:56-61, 142-146, 221-233).
+# ---------------------------------------------------------------------
+@register(
+    "stanza_projection_chain",
+    f"""
+    with t as ({_T_SQL})
+    select text as body,
+           'linux:varlog' as sourcetype,
+           conv_id as source_conv,
+           conv_id, turn_idx
+    from t
+    """,
+)
+def q_stanza_projection_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    # move: text -> body; add: constant sourcetype; copy: conv_id;
+    # retain: final select list (column pruning).
+    return (
+        t.withColumnRenamed("text", "body")
+        .withColumn("sourcetype", F.lit("linux:varlog"))
+        .withColumn("source_conv", F.col("conv_id"))
+        .select("body", "sourcetype", "source_conv", "conv_id", "turn_idx")
+    )
+
+
+# ---------------------------------------------------------------------
+# 33. dimension-update side channel (dimension.go:29-60): SCD upsert /
+#     remove deltas merged into a dims table, last-write-wins.
+# ---------------------------------------------------------------------
+@register(
+    "dim_update_merge",
+    """
+    select n_name as nation,
+           case when n_name = 'FRANCE' then 'updated-comment'
+                when n_name = 'CANADA' then null
+                else 'c-' || n_name end as comment,
+           case when n_regionkey = 0 then null
+                else cast(n_regionkey as varchar) end as region
+    from nation
+    """,
+)
+def q_dim_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .enrich import apply_dim_updates
+
+    n = _t(spark, sf_dir, "nation")
+    dims = n.select(
+        F.col("n_name").alias("nation"),
+        F.concat(F.lit("c-"), F.col("n_name")).alias("comment"),
+        F.col("n_regionkey").cast("string").alias("region"),
+    )
+    r0 = [
+        (r["n_name"], "region", None, 1)
+        for r in n.filter("n_regionkey = 0").select("n_name").collect()
+    ]
+    updates = spark.createDataFrame(
+        [
+            ("FRANCE", "comment", "stale-comment", 1),
+            ("FRANCE", "comment", "updated-comment", 2),  # last wins
+            ("CANADA", "comment", None, 1),  # remove
+            *r0,
+        ],
+        ["nation", "property", "value", "seq"],
+    )
+    return apply_dim_updates(dims, updates)
+
+
+# ---------------------------------------------------------------------
+# 34. loadbalancing exporter (components.go:306): consistent-hash route
+#     to one of N backends; portable md5 bucket.
+# ---------------------------------------------------------------------
+@register(
+    "loadbalancing_assign",
+    """
+    select cast(('0x' || substr(md5(cast(user_id as varchar)), 1, 8)) as bigint) % 4
+             as backend,
+           count(*) as n
+    from events group by 1
+    """,
+)
+def q_loadbalancing_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import sample_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    assigned = ev.withColumn("backend", sample_bucket(F.col("user_id"), 4))
+    # the real exporter then does assigned.repartition(4, "backend")
+    return assigned.groupBy("backend").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------
+# 35. pipeline fan-in (agent_config.yaml:221-264): many receivers union
+#     into one pipeline (unionByName), then aggregate once.
+# ---------------------------------------------------------------------
+@register(
+    "fanin_union",
+    """
+    with a as (select event_type, value from events where event_id % 2 = 0),
+         b as (select event_type, value from events where event_id % 2 = 1)
+    select event_type, count(*) as n,
+           cast(sum(cast(value as decimal(18,2))) as double) as total
+    from (select * from a union all select * from b) group by 1
+    """,
+)
+def q_fanin_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter("event_id % 2 = 0").select("event_type", "value")
+    b = ev.filter("event_id % 2 = 1").select("value", "event_type")  # shuffled cols
+    return (
+        a.unionByName(b)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
