@@ -140,6 +140,111 @@ def lsh_bucket_topk(
     return cosine_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse
+    quantization).  Pure Catalyst: one dot/norm per centroid, argmax
+    via chained ``when`` — no UDF, no shuffle.
+
+    At scale, write the table partitioned by ``cluster`` (Iceberg
+    identity partition): a query probes ``nprobe`` clusters as a
+    partition-pruned read instead of a full scan.
+    """
+    v = F.col(vec_col)
+    sims = [
+        cosine_sim(v, F.array(*[F.lit(float(x)) for x in c]))
+        for c in centroids
+    ]
+    best = F.greatest(*sims) if len(sims) > 1 else sims[0]
+    cluster = F.lit(0)
+    for i in reversed(range(len(sims))):
+        cluster = F.when(sims[i] == best, F.lit(i)).otherwise(cluster)
+    return df.withColumn("cluster", cluster.cast("int"))
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    seed: int = 17,
+) -> list[list[float]]:
+    """Tiny k-means on a driver-side sample (the standard IVF training
+    shape: sample → train coarse quantizer → assign distributed).
+    Deterministic for a fixed (seed, input)."""
+    import numpy as np
+
+    rows = (
+        df.select(vec_col)
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=float)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            m = X[assign == j]
+            if len(m):
+                c = m.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C.tolist()
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` centroids nearest the query,
+    exact-rank candidates in those clusters only.  With
+    ``nprobe == len(centroids)`` this equals exact search (recall 1)."""
+    import numpy as np
+
+    q = np.array(query_vec, dtype=float)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    C = np.array(centroids, dtype=float)
+    order = np.argsort(-(C @ q))[:nprobe]
+    assigned = ivf_assign(df, centroids, vec_col=vec_col)
+    cand = assigned.filter(F.col("cluster").isin([int(i) for i in order]))
+    return cosine_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (training-data dedup).
+
+    Exact all-pairs via a broadcast self-join on the id-ordered half
+    (correct baseline; O(n^2) scoring stays JVM-side).  The scale path
+    is the same pattern bucketed: ``ivf_assign`` both sides, join on
+    ``cluster``, so only same-cluster pairs are scored.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine_sim(F.col("va"), F.col("vb")), round_digits)
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def knn_join_exact(
     left: DataFrame,
     right: DataFrame,

@@ -1148,6 +1148,31 @@ def q_fanin_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 36. embedding-cosine near-dup pairs (training-data dedup; exact
+#     baseline — the scale path buckets by IVF cluster first).
+#     Threshold 0.45 because the synthetic embeddings have no true
+#     near-dups (max pairwise cos = 0.513 at sf0.01).
+# ---------------------------------------------------------------------
+@register(
+    "embedding_cosine_dups",
+    """
+    select a.vec_id as id_a, b.vec_id as id_b,
+           round(list_cosine_similarity(cast(a.embedding as double[]),
+                                        cast(b.embedding as double[])), 4) as sim
+    from embeddings a join embeddings b on a.vec_id < b.vec_id
+    where round(list_cosine_similarity(cast(a.embedding as double[]),
+                                       cast(b.embedding as double[])), 4) >= 0.45
+    """,
+)
+def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import embedding_dup_pairs
+
+    return embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
