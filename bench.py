@@ -82,6 +82,17 @@ def main() -> None:
     e2e = time.time() - t0
     timings["e2e_pipeline"] = round(e2e, 3)
 
+    # Comparison point: the pure-Catalyst regexp_extract parse path
+    # (JVM codegen) vs the pandas-UDF hot path above.
+    t0 = time.time()
+    agg_b = count_connector(
+        build_pipeline(
+            transcripts_from_events(spark, sf_dir), use_pandas_udf=False
+        )
+    )
+    agg_b.agg(F.sum("n")).collect()
+    timings["e2e_builtin_parse"] = round(time.time() - t0, 3)
+
     qs = registry()
     for name in HEADLINE:
         t0 = time.time()

@@ -1173,6 +1173,71 @@ def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 37. group-wise UDTF surface (§2.9 monitor plugin API / trace batching
+#     by client IP, converter/traces.go:34-50): applyInPandas per-group
+#     normalization — z-score of value within each event_type group.
+# ---------------------------------------------------------------------
+@register(
+    "groupwise_zscore",
+    """
+    select event_id,
+           round((value - avg(value) over (partition by event_type))
+                 / stddev_samp(value) over (partition by event_type), 4) as z
+    from events
+    """,
+)
+def q_groupwise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        z = (pdf["value"] - pdf["value"].mean()) / pdf["value"].std(ddof=1)
+        return pd.DataFrame({"event_id": pdf["event_id"], "z": z.round(4)})
+
+    return ev.groupBy("event_type").applyInPandas(
+        norm, schema="event_id bigint, z double"
+    )
+
+
+# ---------------------------------------------------------------------
+# 38. discovery correlation (§2.7, discoveryreceiver/metric_evaluator.
+#     go:105-135): correlate two streams on a composite key and merge
+#     attributes.  Endpoints = per-user first event; telemetry = the
+#     rest; join on (user_id, event_type).
+# ---------------------------------------------------------------------
+@register(
+    "discovery_correlation",
+    """
+    with endpoints as (
+      select user_id, event_type, min(event_id) as endpoint_id
+      from events group by 1, 2),
+    telemetry as (select event_id, user_id, event_type, value from events)
+    select t.event_id, e.endpoint_id,
+           t.user_id, t.event_type,
+           round(t.value, 2) as value
+    from telemetry t join endpoints e
+      on t.user_id = e.user_id and t.event_type = e.event_type
+    """,
+)
+def q_discovery_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    endpoints = ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("endpoint_id")
+    )
+    telemetry = ev.select("event_id", "user_id", "event_type", "value")
+    return telemetry.join(
+        F.broadcast(endpoints), ["user_id", "event_type"]
+    ).select(
+        "event_id",
+        "endpoint_id",
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
