@@ -142,15 +142,34 @@ class SnapshotCatalog:
         This is the resume primitive: a consumer persists the last
         snapshot id it processed and passes it here on restart.
         Hive-partitioned snapshots read through their data-dir root so
-        partition columns (directory-encoded) resolve.
+        partition columns (directory-encoded) resolve.  Snapshots
+        superseded by a compaction are skipped; an incremental read
+        whose watermark falls INSIDE a compacted range would re-deliver
+        consumed rows, so it raises instead (same caveat as Iceberg
+        incremental reads across a rewrite).
         """
+        snaps = [s for s in self.snapshots() if "superseded_by" not in s.metrics]
+        for s in snaps:
+            ct = s.metrics.get("compacted_through")
+            if ct and 0 < since_snapshot_id < ct:
+                raise ValueError(
+                    f"snapshot {since_snapshot_id} was compacted away "
+                    f"(through {ct}); re-read from 0 or resume from "
+                    f"{s.snapshot_id}"
+                )
+        return self._union(
+            spark, [s for s in snaps if s.snapshot_id > since_snapshot_id],
+            f"no data after snapshot {since_snapshot_id} in {self.table_dir}",
+        )
+
+    def _union(
+        self, spark: SparkSession, snaps: list[Snapshot], empty_msg: str
+    ) -> DataFrame:
         from functools import reduce
 
         parts: list[DataFrame] = []
         plain_paths: list[str] = []
-        for s in self.snapshots():
-            if s.snapshot_id <= since_snapshot_id:
-                continue
+        for s in snaps:
             if s.data_dir:
                 parts.append(
                     spark.read.option("basePath", s.data_dir).parquet(s.data_dir)
@@ -160,10 +179,48 @@ class SnapshotCatalog:
         if plain_paths:
             parts.append(spark.read.parquet(*plain_paths))
         if not parts:
-            raise ValueError(
-                f"no data after snapshot {since_snapshot_id} in {self.table_dir}"
-            )
+            raise ValueError(empty_msg)
         return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def read_at(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
+        """Time travel: the table as of ``snapshot_id`` (inclusive) —
+        Iceberg's ``VERSION AS OF`` analog.  A snapshot superseded by a
+        compaction is still readable as long as the compaction itself
+        is outside the as-of range."""
+        live = [
+            s
+            for s in self.snapshots()
+            if s.snapshot_id <= snapshot_id
+            and not (
+                (sb := s.metrics.get("superseded_by")) and sb <= snapshot_id
+            )
+        ]
+        return self._union(
+            spark, live, f"no snapshot <= {snapshot_id} in {self.table_dir}"
+        )
+
+    def compact(self, spark: SparkSession, target_partitions: int = 4) -> Snapshot:
+        """Rewrite the table's live files into one coalesced snapshot
+        (the file_storage checkpoint's compaction analog,
+        splunk_logs_config_linux.yaml:25-27; Iceberg rewrite_data_files).
+
+        Old snapshots stay in the log for time travel; the compacted
+        snapshot becomes the current one and records which snapshot
+        range it replaces, so ``read()``/``read_since`` skip the
+        superseded files.
+        """
+        current = self.current_snapshot_id()
+        if current is None:
+            raise ValueError(f"nothing to compact in {self.table_dir}")
+        df = self.read(spark).coalesce(target_partitions)
+        snap = self.append(df, metrics={"compacted_through": current})
+        snaps = self.snapshots()
+        # mark superseded snapshots so readers skip them
+        for s in snaps:
+            if s.snapshot_id <= current:
+                s.metrics["superseded_by"] = snap.snapshot_id
+        self._commit(snaps)
+        return snap
 
     def lineage(self) -> list[dict]:
         """Flattened per-partition lineage: snapshot → file → rows."""

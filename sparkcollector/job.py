@@ -75,13 +75,15 @@ def read_sink(spark: SparkSession, out_dir: str, sink: str) -> DataFrame:
 
 def run_pipeline(
     spark: SparkSession,
-    input_path: str,
+    input_path: str | None,
     out_dir: str,
     rules: list[RoutingRule] | None = None,
     use_pandas_udf: bool = True,
     write: bool = True,
     strategy: str = "partitioned",
     warmup: bool = False,
+    input_table: str | None = None,
+    resume_state: str | None = None,
     _limit: int | None = None,
 ) -> dict:
     """Execute the full job; returns phase metrics (turns/sec etc.).
@@ -117,13 +119,35 @@ def run_pipeline(
                 write=write,
                 strategy=strategy,
                 warmup=False,
+                input_table=input_table,  # no resume_state: never advance it
                 _limit=20_000,
             )
         finally:
             _shutil.rmtree(wdir, ignore_errors=True)
 
     t0 = time.time()
-    turns = spark.read.parquet(input_path)
+    rs = last_snap = src_current = None
+    if input_table:
+        # Checkpointed resume: consume only snapshots committed after
+        # the persisted watermark (the file_storage offset-store
+        # analog); the watermark advances only after a successful run.
+        from .checkpoint import ResumeState
+
+        src = SnapshotCatalog(input_table)
+        rs = ResumeState(resume_state) if resume_state else None
+        last_snap = rs.get(input_table) if rs else 0
+        src_current = src.current_snapshot_id() or 0
+        if src_current <= last_snap:
+            return {
+                "turns": 0,
+                "skipped": True,
+                "total_sec": 0.0,
+                "turns_per_sec": 0.0,
+                "resumed_from_snapshot": last_snap,
+            }
+        turns = src.read_since(spark, last_snap)
+    else:
+        turns = spark.read.parquet(input_path)
     if _limit:
         turns = turns.limit(_limit)
     # Lead the within-partition sort with the sink column when we'll
@@ -147,8 +171,13 @@ def run_pipeline(
                 f["rows"] for f in snap.files if f.get("sink") == s
             )
         t_routed = time.time()
+        # Aggregate THIS epoch's data only (read back just the snapshot
+        # we wrote) — on resume, agg_counts accumulates per-epoch
+        # partials exactly like the count connector emits per batch.
         counts = count_connector(
-            cat.read(spark).select("sink", "conv_id", "role", "tool", "ts")
+            cat.read_since(spark, snap.snapshot_id - 1).select(
+                "sink", "conv_id", "role", "tool", "ts"
+            )
         )
         SnapshotCatalog(f"{out_dir}/agg_counts").append(counts)
     else:  # fanout
@@ -166,6 +195,9 @@ def run_pipeline(
         finally:
             routed.unpersist()
 
+    if rs is not None and src_current is not None:
+        rs.set(input_table, src_current)
+
     elapsed = time.time() - t0
     metrics.update(
         {
@@ -175,12 +207,26 @@ def run_pipeline(
             "turns_per_sec": round(n_turns / elapsed, 1),
         }
     )
+    if last_snap is not None:
+        metrics["resumed_from_snapshot"] = last_snap
+        metrics["processed_through_snapshot"] = src_current
     return metrics
 
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True)
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--input", help="raw parquet transcripts path")
+    g.add_argument(
+        "--input-table",
+        help="SnapshotCatalog table dir (enables checkpointed resume)",
+    )
+    p.add_argument(
+        "--resume-state",
+        help="watermark file; with --input-table, only snapshots after "
+        "the stored watermark are processed and the watermark advances "
+        "on success",
+    )
     p.add_argument("--out", required=True)
     p.add_argument("--master", default=None)
     p.add_argument("--builtin-parse", action="store_true")
@@ -200,6 +246,8 @@ def main() -> None:
         write=not args.no_write,
         strategy=args.strategy,
         warmup=args.warmup,
+        input_table=args.input_table,
+        resume_state=args.resume_state,
     )
     print(json.dumps(metrics))
 

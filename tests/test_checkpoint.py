@@ -39,6 +39,76 @@ def test_lineage_rows_sum(spark, tmp_path):
     assert sum(f["rows"] for f in cat.lineage()) == 30
 
 
+def test_time_travel_read_at(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "tbl"))
+    cat.append(spark.range(10))
+    cat.append(spark.range(10, 30))
+    assert cat.read_at(spark, 1).count() == 10
+    assert cat.read_at(spark, 2).count() == 30
+    with pytest.raises(ValueError):
+        cat.read_at(spark, 0)
+
+
+def test_compact_preserves_data_and_time_travel(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "tbl"))
+    cat.append(spark.range(10))
+    cat.append(spark.range(10, 30))
+    snap = cat.compact(spark, target_partitions=1)
+    assert snap.metrics["compacted_through"] == 2
+    # current read sees the single compacted snapshot, same data
+    assert cat.read(spark).count() == 30
+    live = [s for s in cat.snapshots() if "superseded_by" not in s.metrics]
+    assert [s.snapshot_id for s in live] == [snap.snapshot_id]
+    # time travel to before the compaction still works off old files
+    assert cat.read_at(spark, 1).count() == 10
+    # appends after compaction read incrementally
+    cat.append(spark.range(30, 35))
+    assert cat.read(spark).count() == 35
+    assert cat.read_since(spark, snap.snapshot_id).count() == 5
+    # a watermark strictly inside the compacted range is unusable
+    with pytest.raises(ValueError):
+        cat.read_since(spark, 1)
+
+
+def test_run_pipeline_resume(spark, turns_df, tmp_path):
+    from sparkcollector.job import run_pipeline
+
+    src = SnapshotCatalog(str(tmp_path / "src"))
+    half = turns_df.count() // 2
+    ordered = turns_df.orderBy("conv_id", "turn_idx")
+    first = ordered.limit(half)
+    src.append(first)
+
+    state = str(tmp_path / "state.json")
+    out = str(tmp_path / "out")
+    m1 = run_pipeline(
+        spark, None, out, input_table=src.table_dir, resume_state=state
+    )
+    assert m1["turns"] == half and m1["resumed_from_snapshot"] == 0
+
+    # no new data -> skipped, nothing written
+    m_skip = run_pipeline(
+        spark, None, out, input_table=src.table_dir, resume_state=state
+    )
+    assert m_skip.get("skipped") is True
+
+    # second batch -> only the delta is processed; sinks accumulate
+    src.append(ordered.subtract(first))
+    m2 = run_pipeline(
+        spark, None, out, input_table=src.table_dir, resume_state=state
+    )
+    assert m2["turns"] == turns_df.count() - half
+    assert m2["resumed_from_snapshot"] == 1
+
+    routed = SnapshotCatalog(f"{out}/routed").read(spark)
+    assert routed.count() == turns_df.count()
+    # agg partials across epochs sum to the total
+    from pyspark.sql import functions as F
+
+    agg = SnapshotCatalog(f"{out}/agg_counts").read(spark)
+    assert agg.agg(F.sum("n")).collect()[0][0] == turns_df.count()
+
+
 def test_resume_state_roundtrip(tmp_path):
     rs = ResumeState(str(tmp_path / "state.json"))
     assert rs.get("t") == 0
