@@ -1,0 +1,143 @@
+"""Prometheus text-exposition parser → typed metric rows.
+
+Reimplements the observed semantics of the in-repo lightprometheus
+receiver (reference: internal/receiver/lightprometheusreceiver/
+scraper.go:173-282): parse ``# TYPE`` headers and sample lines,
+attach the declared type to each sample, split ``_bucket``/``_sum``/
+``_count`` histogram series, and convert cumulative bucket counts to
+per-bucket counts with the +Inf bucket dropped (scraper.go:218-235).
+
+Pure Catalyst: lines are ``posexplode``d, TYPE declarations become a
+per-document (name → type) map joined back onto samples, labels parse
+with ``regexp_extract_all`` → ``map_from_arrays``.  No Python in the
+parse path — the exposition format is line-regular enough that the
+JVM regex engine handles it whole-stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TYPE_RE = r"^# TYPE (\S+) (\S+)\s*$"
+SAMPLE_RE = r"^([A-Za-z_:][A-Za-z0-9_:]*)(\{[^}]*\})?\s+([^\s]+)(?:\s+\d+)?\s*$"
+LABEL_RE = r'([A-Za-z_][A-Za-z0-9_]*)="((?:[^"\\]|\\.)*)"'
+
+
+def parse_exposition(
+    df: DataFrame, text_col: str = "body", doc_col: str = "doc_id"
+) -> DataFrame:
+    """Parse exposition documents into one row per sample.
+
+    Output: (doc_id, line_no, metric, mtype, labels:map, value:double).
+    ``mtype`` is the declared TYPE for the sample's metric family —
+    ``_bucket``/``_sum``/``_count`` suffixes resolve to their histogram
+    family name, like the reference's family grouping.  Unparseable /
+    comment lines are dropped; ``NaN`` values survive as doubles (the
+    caller decides NaN policy, cf. invalid_value_audit).
+    """
+    lines = df.select(
+        F.col(doc_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+
+    types = (
+        lines.select(
+            "doc_id",
+            F.regexp_extract("line", TYPE_RE, 1).alias("fam"),
+            F.regexp_extract("line", TYPE_RE, 2).alias("mtype"),
+        )
+        .filter(F.col("fam") != "")
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("fam"), F.collect_list("mtype")
+            ).alias("type_map")
+        )
+    )
+
+    name = F.regexp_extract("line", SAMPLE_RE, 1)
+    blob = F.regexp_extract("line", SAMPLE_RE, 2)
+    val = F.regexp_extract("line", SAMPLE_RE, 3)
+    samples = lines.select(
+        "doc_id",
+        "line_no",
+        name.alias("metric"),
+        blob.alias("_blob"),
+        val.alias("_val"),
+    ).filter(
+        (F.col("metric") != "") & ~F.col("metric").startswith("#")
+    )
+
+    # family name: strip histogram/summary suffixes for type lookup
+    fam = F.regexp_replace(F.col("metric"), r"_(bucket|sum|count)$", "")
+    labels = F.map_from_arrays(
+        F.regexp_extract_all(F.col("_blob"), F.lit(LABEL_RE), 1),
+        F.regexp_extract_all(F.col("_blob"), F.lit(LABEL_RE), 2),
+    )
+    out = (
+        samples.join(F.broadcast(types), "doc_id", "left")
+        .withColumn("fam", fam)
+        .select(
+            "doc_id",
+            "line_no",
+            "metric",
+            F.coalesce(
+                F.element_at(F.col("type_map"), F.col("metric")),
+                F.element_at(F.col("type_map"), F.col("fam")),
+                F.lit("untyped"),
+            ).alias("mtype"),
+            labels.alias("labels"),
+            F.col("_val").try_cast("double").alias("value"),
+        )
+        .filter(F.col("value").isNotNull() | (F.col("_val") == "NaN"))
+    )
+    return out
+
+
+def histogram_families(parsed: DataFrame) -> DataFrame:
+    """Collect ``_bucket`` samples into per-family cumulative arrays,
+    ordered by ``le``, ready for bucket differencing.
+
+    Output: (doc_id, family, les:array<double>, cum_buckets:array<long>)
+    with the ``+Inf`` bucket last (the reference drops it after
+    differencing, scraper.go:228-231).
+    """
+    b = parsed.filter(
+        (F.col("mtype") == "histogram") & F.col("metric").endswith("_bucket")
+    )
+    le = F.when(
+        F.element_at("labels", "le") == "+Inf", F.lit(float("inf"))
+    ).otherwise(F.element_at("labels", "le").cast("double"))
+    fam = F.regexp_replace("metric", r"_bucket$", "")
+    g = (
+        b.select("doc_id", fam.alias("family"), le.alias("le"), "value")
+        .groupBy("doc_id", "family")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("le"), F.col("value")))
+            ).alias("pairs")
+        )
+    )
+    return g.select(
+        "doc_id",
+        "family",
+        F.transform("pairs", lambda p: p["le"]).alias("les"),
+        F.transform("pairs", lambda p: p["value"].cast("long")).alias(
+            "cum_buckets"
+        ),
+    )
+
+
+def parse_histograms_delta(df: DataFrame, **kw) -> DataFrame:
+    """exposition docs → per-bucket (non-cumulative) histogram counts,
+    +Inf dropped — the full lightprometheus histogram path."""
+    from .telemetry import histogram_bucket_delta
+
+    fams = histogram_families(parse_exposition(df, **kw))
+    return histogram_bucket_delta(fams, "cum_buckets", drop_last=True).select(
+        "doc_id",
+        "family",
+        F.slice("les", 1, F.size("les") - 1).alias("bounds"),
+        "bucket_counts",
+    )

@@ -1238,6 +1238,47 @@ def q_discovery_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 39. prometheus exposition parse (lightprometheusreceiver/scraper.go:
+#     173-282): build an exposition document from events, parse it back
+#     with the REAL parser; ground truth is the direct aggregation.
+# ---------------------------------------------------------------------
+@register(
+    "prom_exposition_roundtrip",
+    """
+    select 'events_total' as metric, 'counter' as mtype,
+           event_type, count(*) as n
+    from events group by 3
+    """,
+)
+def q_prom_exposition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import parse_exposition
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.groupBy("event_type").agg(F.count("*").alias("n")).select(
+        F.concat(
+            F.lit('events_total{type="'),
+            F.col("event_type"),
+            F.lit('"} '),
+            F.col("n").cast("string"),
+        ).alias("line")
+    )
+    doc = lines.agg(
+        F.concat_ws(
+            "\n",
+            F.lit("# TYPE events_total counter"),
+            F.array_join(F.array_sort(F.collect_list("line")), "\n"),
+        ).alias("body")
+    ).select(F.lit(1).alias("doc_id"), "body")
+    parsed = parse_exposition(doc)
+    return parsed.select(
+        "metric",
+        "mtype",
+        F.element_at("labels", "type").alias("event_type"),
+        F.col("value").cast("long").alias("n"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -1,0 +1,72 @@
+"""Prometheus text-exposition parser (lightprometheus semantics)."""
+
+from __future__ import annotations
+
+import math
+
+from sparkcollector.operators.promparse import (
+    parse_exposition,
+    parse_histograms_delta,
+)
+
+DOC = """\
+# HELP http_requests_total Total requests.
+# TYPE http_requests_total counter
+http_requests_total{method="get",code="200"} 1027
+http_requests_total{method="post",code="400"} 3
+# TYPE temperature gauge
+temperature{site="a b",unit="c"} 23.5
+bare_metric 42
+broken line without value
+# TYPE rpc_latency histogram
+rpc_latency_bucket{le="0.1"} 5
+rpc_latency_bucket{le="0.5"} 9
+rpc_latency_bucket{le="1"} 9
+rpc_latency_bucket{le="+Inf"} 12
+rpc_latency_sum 7.7
+rpc_latency_count 12
+nan_metric NaN
+"""
+
+
+def _parsed(spark):
+    df = spark.createDataFrame([(1, DOC)], ["doc_id", "body"])
+    return parse_exposition(df)
+
+
+def test_sample_parsing_and_types(spark):
+    rows = {(r["metric"], tuple(sorted((r["labels"] or {}).items()))): r
+            for r in _parsed(spark).collect()}
+    r = rows[("http_requests_total", (("code", "200"), ("method", "get")))]
+    assert r["mtype"] == "counter" and r["value"] == 1027.0
+    r = rows[("temperature", (("site", "a b"), ("unit", "c")))]
+    assert r["mtype"] == "gauge" and r["value"] == 23.5
+    r = rows[("bare_metric", ())]
+    assert r["mtype"] == "untyped" and r["value"] == 42.0
+    # histogram children resolve to the family's declared type
+    assert rows[("rpc_latency_sum", ())]["mtype"] == "histogram"
+    assert rows[("rpc_latency_count", ())]["mtype"] == "histogram"
+
+
+def test_comment_and_broken_lines_dropped(spark):
+    metrics = {r["metric"] for r in _parsed(spark).collect()}
+    assert "broken" not in metrics
+    assert not any(m.startswith("#") for m in metrics)
+
+
+def test_nan_value_survives(spark):
+    nan_rows = [r for r in _parsed(spark).collect() if r["metric"] == "nan_metric"]
+    assert len(nan_rows) == 1
+    v = nan_rows[0]["value"]
+    assert v is None or math.isnan(v)
+
+
+def test_histogram_bucket_differencing(spark):
+    df = spark.createDataFrame([(1, DOC)], ["doc_id", "body"])
+    h = parse_histograms_delta(df).collect()
+    assert len(h) == 1
+    r = h[0]
+    assert r["family"] == "rpc_latency"
+    # cumulative [5, 9, 9, 12] -> deltas [5, 4, 0], +Inf dropped
+    assert r["bucket_counts"] == [5, 4, 0]
+    assert r["bounds"] == [0.1, 0.5, 1.0]
