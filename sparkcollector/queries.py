@@ -1279,6 +1279,67 @@ def q_prom_exposition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 40. batch sessionization: per-conversation rollup (the batch twin of
+#     streaming.conversation_sessions; endpoint_tracker state analog).
+# ---------------------------------------------------------------------
+@register(
+    "conversation_sessions_batch",
+    f"""
+    with t as ({_T_SQL})
+    select conv_id,
+           count(*) as n_turns,
+           count(*) filter (text like '%level=ERROR%') as n_errors,
+           count(distinct role) as n_roles,
+           round(epoch(max(ts)) - epoch(min(ts)), 3) as duration_s
+    from t group by 1
+    """,
+)
+def q_conversation_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    return t.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.count(F.when(F.col("text").contains("level=ERROR"), 1)).alias(
+            "n_errors"
+        ),
+        F.countDistinct("role").alias("n_roles"),
+        F.round(
+            F.unix_micros(F.max("ts").cast("timestamp")) / 1e6
+            - F.unix_micros(F.min("ts").cast("timestamp")) / 1e6,
+            3,
+        ).alias("duration_s"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 41. k-NN join (similarity search as a join): top-3 neighbors for each
+#     of the first 20 vectors.
+# ---------------------------------------------------------------------
+@register(
+    "knn_join_top3",
+    """
+    select vec_id, neighbor_id, sim, rn from (
+      select a.vec_id, b.vec_id as neighbor_id,
+             round(list_cosine_similarity(cast(a.embedding as double[]),
+                                          cast(b.embedding as double[])), 4) as sim,
+             row_number() over (
+               partition by a.vec_id
+               order by round(list_cosine_similarity(cast(a.embedding as double[]),
+                                                     cast(b.embedding as double[])), 4) desc,
+                        b.vec_id) as rn
+      from embeddings a cross join embeddings b
+      where a.vec_id < 20)
+    where rn <= 3
+    """,
+)
+def q_knn_join_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import knn_join_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 20)
+    return knn_join_exact(left, emb, k=3)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
