@@ -22,6 +22,9 @@ Config shape (all keys optional; defaults = the north-rule pipeline)::
         rules:
           - {predicate: "span_id IS NOT NULL", sink: traces}
         default: events
+      transform:                                # OTTL set-statements:
+        - {set: sourcetype, expr: "'XmlWinEventLog'",
+           where: "role = 'system'"}            #   conditional column set
       order: {by: [conv_id, turn_idx]}          # stable-turn ordering
 """
 
@@ -43,6 +46,7 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "parse": {"engine": "pandas"},
         "exclude": [],
         "enrich": {"role_attrs": True, "tool_attrs": True},
+        "transform": [],
         "route": {
             "rules": [
                 {"predicate": r.predicate, "sink": r.sink} for r in DEFAULT_RULES
@@ -98,6 +102,20 @@ def compile_pipeline(config: dict | None = None):
         en = cfg.get("enrich") or {}
         if en.get("role_attrs") or en.get("tool_attrs"):
             df = enrich_turns(df)
+        # OTTL transform statements (splunk_logs_config_windows.yaml:
+        # 171-241 style): ordered conditional sets; an unconditional
+        # statement overwrites, a conditional one preserves the prior
+        # value where the condition is false.
+        for stmt in cfg.get("transform") or []:
+            value = F.expr(stmt["expr"])
+            if stmt.get("where"):
+                prior = (
+                    F.col(stmt["set"])
+                    if stmt["set"] in df.columns
+                    else F.lit(None)
+                )
+                value = F.when(F.expr(stmt["where"]), value).otherwise(prior)
+            df = df.withColumn(stmt["set"], value)
         rt = cfg.get("route") or {}
         rules = [RoutingRule(r["predicate"], r["sink"]) for r in rt.get("rules", [])]
         df = route(df, rules or None)

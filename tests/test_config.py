@@ -44,6 +44,32 @@ def test_custom_route_rules(spark, turns_df):
     assert sinks["events"] == turns_df.filter("role != 'user'").count()
 
 
+def test_transform_statements(spark, turns_df):
+    cfg = {
+        "pipeline": {
+            "parse": {"engine": "off"},
+            "enrich": {},
+            "transform": [
+                {"set": "sourcetype", "expr": "'agent:turn'"},
+                {
+                    "set": "sourcetype",
+                    "expr": "'XmlWinEventLog'",
+                    "where": "role = 'system'",
+                },
+                {"set": "body_len", "expr": "length(text)"},
+            ],
+            "route": {"rules": [{"predicate": "true", "sink": "events"}]},
+            "order": None,
+        }
+    }
+    out = compile_pipeline(cfg)(turns_df)
+    rows = out.select("role", "sourcetype", "body_len", "text").collect()
+    for r in rows:
+        expected = "XmlWinEventLog" if r["role"] == "system" else "agent:turn"
+        assert r["sourcetype"] == expected
+        assert r["body_len"] == len(r["text"])
+
+
 def test_dry_run_prints_effective_config():
     cfg = json.loads(dry_run())
     p = cfg["pipeline"]
