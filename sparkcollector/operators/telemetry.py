@@ -244,6 +244,74 @@ def redact(
 
 
 # ---------------------------------------------------------------------
+# remaining OTLP metric types: exponential histogram + summary
+# ---------------------------------------------------------------------
+
+def exponential_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    scale: int = 2,
+) -> DataFrame:
+    """OTLP ExponentialHistogram aggregation (pmetric.Metrics type,
+    pkg/processor/timestampprocessor/metric_processor.go:67 iterates
+    it): base = 2^(2^-scale); bucket index = ceil(log_base(v)) - 1 for
+    positive v, with a separate zero-count.  Output one row per
+    (group, bucket) plus per-group zero/total counts — the sparse
+    representation OTLP uses.
+    """
+    base_ln = F.lit(float(2 ** (2**-scale))).cast("double")
+    v = F.col(value_col).cast("double")
+    idx = F.ceil(F.log(v) / F.log(base_ln)) - 1
+    pos = df.filter(v > 0).withColumn("bucket_idx", idx.cast("long"))
+    buckets = pos.groupBy(*group_cols, "bucket_idx").agg(
+        F.count("*").alias("bucket_count")
+    )
+    zeros = df.groupBy(*group_cols).agg(
+        F.count(F.when(v == 0, 1)).alias("zero_count"),
+        F.count(F.when(v > 0, 1)).alias("pos_count"),
+    )
+    return buckets.join(zeros, list(group_cols))
+
+
+def summary_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """OTLP Summary datapoints (metric_processor.go:77): per-group
+    quantile values + count + sum.  Uses EXACT percentiles
+    (``percentile``, interpolated) so results are engine-reproducible —
+    the approx sketch variant trades that for one-pass memory bounds.
+    Output: one row per (group, quantile).
+    """
+    pcts = F.percentile(
+        F.col(value_col), F.array(*[F.lit(q) for q in quantiles])
+    )
+    g = df.groupBy(*group_cols).agg(
+        pcts.alias("_qv"),
+        F.count(value_col).alias("n"),
+        F.sum(value_col).alias("total"),
+    )
+    qarr = F.array(*[F.lit(q) for q in quantiles])
+    return g.select(
+        *group_cols,
+        "n",
+        "total",
+        F.explode(F.arrays_zip(qarr.alias("q"), F.col("_qv").alias("v"))).alias(
+            "_z"
+        ),
+    ).select(
+        *group_cols,
+        "n",
+        "total",
+        F.col("_z.q").alias("quantile"),
+        F.col("_z.v").alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------
 # invalid-value audit (NaN/garbage accounting)
 # ---------------------------------------------------------------------
 

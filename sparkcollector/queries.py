@@ -1340,6 +1340,77 @@ def q_knn_join_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_exact(left, emb, k=3)
 
 
+# ---------------------------------------------------------------------
+# 42. OTLP ExponentialHistogram aggregation (metric_processor.go:67
+#     type): base-2^(2^-scale) sparse buckets + zero counts.
+# ---------------------------------------------------------------------
+@register(
+    "exp_histogram",
+    """
+    with pos as (
+      select event_type,
+             cast(ceil(ln(value) / ln(power(2, power(2, -2)))) - 1 as bigint) as bucket_idx
+      from events where value > 0),
+    b as (select event_type, bucket_idx, count(*) as bucket_count
+          from pos group by 1, 2),
+    z as (select event_type,
+                 count(*) filter (value = 0) as zero_count,
+                 count(*) filter (value > 0) as pos_count
+          from events group by 1)
+    select b.event_type, b.bucket_idx, b.bucket_count, z.zero_count, z.pos_count
+    from b join z on b.event_type = z.event_type
+    """,
+)
+def q_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import exponential_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return exponential_histogram(ev, "value", ["event_type"], scale=2)
+
+
+# ---------------------------------------------------------------------
+# 43. OTLP Summary quantiles (metric_processor.go:77 type): exact
+#     interpolated percentiles per group.
+# ---------------------------------------------------------------------
+@register(
+    "summary_quantiles",
+    """
+    with g as (
+      select event_type,
+             count(value) as n,
+             cast(sum(cast(value as decimal(18,2))) as double) as total,
+             quantile_cont(value, 0.5) as q50,
+             quantile_cont(value, 0.9) as q90,
+             quantile_cont(value, 0.99) as q99
+      from events group by 1)
+    select event_type, n, total, cast(q.quantile as double) as quantile,
+           round(q.value, 4) as value
+    from g, lateral (values (0.5, q50), (0.9, q90), (0.99, q99)) q(quantile, value)
+    """,
+)
+def q_summary_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import summary_quantiles
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_d", F.col("value").cast("decimal(18,2)")
+    )
+    out = summary_quantiles(ev, "value", ["event_type"])
+    # hash-stable total: recompute via decimal
+    totals = ev.groupBy("event_type").agg(
+        F.sum("value_d").cast("double").alias("total2")
+    )
+    return (
+        out.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.col("total2").alias("total"),
+            "quantile",
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
