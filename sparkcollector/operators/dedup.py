@@ -240,14 +240,17 @@ def simhash64(text_col: Column) -> Column:
     """
     toks = F.array_distinct(F.split(text_col, " "))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote_fn(i: int):
+        # closure, NOT a default arg: PySpark HOFs bind a Column to
+        # every lambda parameter including defaults.
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
     bit_cols = []
     for i in range(64):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h, _i=i: acc
-            + F.when(F.shiftright(h, _i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(i))
         bit_cols.append(
             F.when(vote >= 0, F.lit(1).cast("long")).otherwise(F.lit(0)).alias(f"b{i}")
         )
