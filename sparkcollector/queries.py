@@ -1005,7 +1005,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multiline_reassembly",
     """
     with l as (select user_id as file, event_id as ofs,
-                      event_type || ' ' || props as line,
+                      event_type || ' ' || coalesce(props, '') as line,
                       case when event_type in ('signup', 'purchase') then 1 else 0 end as st
                from events),
     t as (select *, sum(st) over (partition by file order by ofs
@@ -1023,7 +1023,12 @@ def q_multiline_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = ev.select(
         F.col("user_id").alias("file"),
         F.col("event_id").alias("offset"),
-        F.concat_ws(" ", "event_type", "props").alias("line"),
+        # NULL-props twin of the oracle's `event_type || ' ' ||
+        # coalesce(props, '')`: concat (not concat_ws) so a NULL
+        # event_type would propagate exactly like SQL `||`.
+        F.concat(
+            F.col("event_type"), F.lit(" "), F.coalesce(F.col("props"), F.lit(""))
+        ).alias("line"),
     )
     return reassemble_multiline(
         lines, r"^(signup|purchase)", joiner=" | "
