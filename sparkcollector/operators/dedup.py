@@ -87,6 +87,8 @@ def jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int = 1000,
+    observation=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs >= threshold.
 
@@ -97,6 +99,17 @@ def jaccard_pairs(
     total (posting groupBy on an 8-byte shingle hash, then pair
     groupBy); no size-lookup join, no recomputation of the shingle
     stage for a broadcast build.
+
+    ``max_df`` caps posting-list length (document frequency): a
+    stop-phrase shingle shared by 10^8 docs would otherwise OOM its
+    reducer and expand quadratically.  Dropping ubiquitous shingles is
+    standard near-dup practice (they carry no discriminative signal);
+    it makes the similarity estimate slightly conservative for pairs
+    whose overlap includes a dropped shingle.  Pass a
+    ``pyspark.sql.Observation`` as ``observation`` to record how many
+    posting lists were dropped (``shingles_dropped`` /
+    ``postings_total``) for the run's lineage metrics; pass
+    ``max_df=None`` to disable the cap (exact oracle mode).
     """
     s = shingles(df, n=n, text_col=text_col, id_col=id_col)
     e = s.select(
@@ -108,6 +121,16 @@ def jaccard_pairs(
         .agg(F.sort_array(F.collect_list("d")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_df is not None:
+        if observation is not None:
+            posting = posting.observe(
+                observation,
+                F.sum((F.size("ids") > max_df).cast("long")).alias(
+                    "shingles_dropped"
+                ),
+                F.count(F.lit(1)).alias("postings_total"),
+            )
+        posting = posting.filter(F.size("ids") <= max_df)
     pair = (
         posting.select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
         .groupBy(
@@ -208,18 +231,22 @@ def minhash_lsh_pairs(
     # the signature+banding pipeline once per join side.
     cand = cand.localCheckpoint(eager=True)
 
-    # exact verification over shingle sets, candidates only: stream the
-    # shingle table once against the broadcast candidate-doc list, then
-    # join the (small) per-candidate sets back to the pairs.
+    # exact verification over shingle sets, candidates only: semi-join
+    # the shingle table down to candidate docs, then join the
+    # per-candidate sets back to the pairs ON doc_id.  Deliberately NO
+    # broadcast hints: candidate count x shingle-array size is
+    # unbounded at 100 TB, so these must be plain shuffle joins on
+    # doc_id — AQE downgrades them to broadcast at runtime only when
+    # the localCheckpointed candidate stats show they actually fit.
     cand_docs = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
-    sets = s.join(F.broadcast(cand_docs), "doc_id").localCheckpoint(eager=True)
+    sets = s.join(cand_docs, "doc_id", "left_semi").localCheckpoint(eager=True)
     a = sets.withColumnsRenamed({"doc_id": "doc_a", "sh": "sha"})
     b = sets.withColumnsRenamed({"doc_id": "doc_b", "sh": "shb"})
     verified = (
-        cand.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .withColumn(
             "jac",
             F.size(F.array_intersect("sha", "shb")).cast("double")

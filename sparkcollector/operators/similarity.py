@@ -220,23 +220,73 @@ def ivf_topk(
     return cosine_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)
 
 
+def ivf_assign_multi(
+    df: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids (one
+    output row per (vector, cluster)).  Pure Catalyst: score every
+    centroid, rank the (sim, cluster) structs with ``array_sort``,
+    explode the top ``nprobe``.  Multi-assignment is the standard IVF
+    dedup trick: a near-dup pair straddling a Voronoi boundary still
+    collides because each side carries its runner-up cluster too.
+    """
+    v = F.col(vec_col)
+    scored = F.array(
+        *[
+            F.struct(
+                cosine_sim(v, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
+                F.lit(i).alias("cluster"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    return df.withColumn(
+        "cluster", F.explode(F.transform(top, lambda s: s["cluster"]))
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 4,
+    centroids: list[list[float]] | None = None,
+    nprobe: int = 2,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (training-data dedup).
 
-    Exact all-pairs via a broadcast self-join on the id-ordered half
-    (correct baseline; O(n^2) scoring stays JVM-side).  The scale path
-    is the same pattern bucketed: ``ivf_assign`` both sides, join on
-    ``cluster``, so only same-cluster pairs are scored.
+    With ``centroids`` (the 100 TB path): IVF multi-assign both sides
+    to their ``nprobe`` nearest centroids and join ON ``cluster`` — a
+    plain shuffle join whose per-key width is one Voronoi cell, so only
+    same/adjacent-cell pairs are ever scored.  O(n^2 / k) comparisons
+    instead of O(n^2), no broadcast of the fact table, and cells
+    partition-prune if the table is written partitioned by ``cluster``.
+    A >= ``threshold`` pair collides unless both sides' ``nprobe``
+    cells are disjoint — vanishingly rare for 0.95-cosine pairs, and
+    recall is tunable via ``nprobe``/``k``.
+
+    Without ``centroids``: exact all-pairs self-join (the small-table /
+    oracle baseline).  No broadcast hint either way — AQE broadcasts
+    the build side at runtime only when it fits.
     """
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    if centroids is not None:
+        a = ivf_assign_multi(a, centroids, nprobe=nprobe, vec_col="va")
+        b = ivf_assign_multi(b, centroids, nprobe=nprobe, vec_col="vb")
+        pairs = (
+            a.join(b, "cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .drop("cluster")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     sim = F.round(cosine_sim(F.col("va"), F.col("vb")), round_digits)
     return (
         pairs.withColumn("sim", sim)

@@ -124,14 +124,16 @@ def tail_sample(
     df: DataFrame, trace_col: str, policy: TailPolicy
 ) -> DataFrame:
     """Tail sampling: evaluate the policy over the COMPLETE trace, then
-    emit all rows of kept traces.  One aggregation + one broadcast-able
-    semi join on the (small) kept-trace list."""
+    emit all rows of kept traces.  One aggregation + one semi join on
+    the kept-trace list.  No broadcast hint: kept traces are
+    O(matching traces) — unbounded at 10^12 turns — so we let AQE
+    broadcast at runtime only when the aggregated side actually fits."""
     p = F.expr(policy.predicate_sql)
     agg = F.max(p.cast("int")) if policy.mode == "any" else F.min(p.cast("int"))
     kept = (
         df.groupBy(trace_col).agg(agg.alias("_keep")).filter(F.col("_keep") == 1)
     ).select(trace_col)
-    return df.join(F.broadcast(kept), trace_col, "left_semi")
+    return df.join(kept, trace_col, "left_semi")
 
 
 # ---------------------------------------------------------------------

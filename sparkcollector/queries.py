@@ -1171,17 +1171,22 @@ def q_fanin_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import embedding_dup_pairs
+    from .operators.similarity import embedding_dup_pairs, train_ivf_centroids
 
-    return embedding_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45
-    )
+    # The 100 TB plan: IVF multi-assign + same-cluster shuffle join —
+    # O(n^2/k) scored pairs, no fact-table broadcast.  nprobe=4 of k=8
+    # cells keeps recall 1.0 on this corpus even at the loose 0.45
+    # threshold (verified equal to the exact all-pairs oracle).
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, k=8, sample=2048, iters=5)
+    return embedding_dup_pairs(emb, threshold=0.45, centroids=cents, nprobe=4)
 
 
 # ---------------------------------------------------------------------
-# 37. group-wise UDTF surface (§2.9 monitor plugin API / trace batching
-#     by client IP, converter/traces.go:34-50): applyInPandas per-group
-#     normalization — z-score of value within each event_type group.
+# 37. group-wise z-score of value within each event_type group.  Pure
+#     window functions — avg/stddev stay in whole-stage codegen; the
+#     Python group-UDTF surface is demonstrated where Python is
+#     genuinely needed (trace_batch_by_ip, #46).
 # ---------------------------------------------------------------------
 @register(
     "groupwise_zscore",
@@ -1193,17 +1198,12 @@ def q_embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_groupwise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
+    from pyspark.sql.window import Window
 
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-
-    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
-        z = (pdf["value"] - pdf["value"].mean()) / pdf["value"].std(ddof=1)
-        return pd.DataFrame({"event_id": pdf["event_id"], "z": z.round(4)})
-
-    return ev.groupBy("event_type").applyInPandas(
-        norm, schema="event_id bigint, z double"
-    )
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return ev.select("event_id", F.round(z, 4).alias("z"))
 
 
 # ---------------------------------------------------------------------
@@ -1232,8 +1232,11 @@ def q_discovery_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("endpoint_id")
     )
     telemetry = ev.select("event_id", "user_id", "event_type", "value")
+    # No broadcast hint: endpoints is an aggregate OF THE FACT TABLE
+    # (O(distinct user x type), unbounded at scale).  AQE broadcasts at
+    # runtime only if the aggregated side turns out small.
     return telemetry.join(
-        F.broadcast(endpoints), ["user_id", "event_type"]
+        endpoints, ["user_id", "event_type"]
     ).select(
         "event_id",
         "endpoint_id",

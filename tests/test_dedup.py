@@ -70,3 +70,39 @@ def test_simhash_dup_candidates(spark):
     )
     pairs = {(r["doc_a"], r["doc_b"]) for r in simhash_dup_candidates(df).collect()}
     assert pairs == {(1, 2), (1, 5), (2, 5)}
+
+
+def test_jaccard_df_cap_drops_ubiquitous_shingle(spark):
+    """A shingle present in every doc is dropped by the df cap; the
+    Observation records the drop for lineage metrics."""
+    from pyspark.sql import Observation
+
+    # every doc shares the stop-phrase shingle "a b c"; pairs (1,2)
+    # additionally share all of "a b c d e".
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),
+            (3, "a b c x y"),
+            (4, "a b c p q"),
+        ],
+        ["doc_id", "text"],
+    )
+    obs = Observation("jaccard_cap")
+    out = jaccard_pairs(df, threshold=0.5, max_df=3, observation=obs).collect()
+    # (1,2) still found via their other shingles ("b c d", "c d e",
+    # df=2 <= cap); the estimate is conservative: common drops from 3
+    # to 2 while set sizes stay 3, so jaccard = 2/(3+3-2) = 0.5
+    # instead of the exact 1.0.  Pairs sharing ONLY the dropped
+    # stop-phrase shingle ((1,3), (3,4), ...) vanish entirely.
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out] == [(1, 2, 0.5)]
+    assert obs.get["shingles_dropped"] == 1
+    assert obs.get["postings_total"] >= 1
+
+
+def test_jaccard_df_cap_disabled_is_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], ["doc_id", "text"]
+    )
+    out = jaccard_pairs(df, threshold=0.5, max_df=None).collect()
+    assert out[0]["jaccard"] == 1.0
