@@ -146,9 +146,25 @@ class SnapshotCatalog:
         superseded by a compaction are skipped; an incremental read
         whose watermark falls INSIDE a compacted range would re-deliver
         consumed rows, so it raises instead (same caveat as Iceberg
-        incremental reads across a rewrite).
+        incremental reads across a rewrite).  A compaction snapshot
+        itself is a REWRITE of already-committed rows, never new data,
+        so incremental readers whose watermark covers the compacted
+        range skip it (Iceberg incremental reads skip replace/rewrite
+        snapshots the same way) — a consumer fully caught up at
+        ``since == compacted_through`` must not re-receive the whole
+        table.
         """
-        snaps = [s for s in self.snapshots() if "superseded_by" not in s.metrics]
+        live = self._live_since(self.snapshots(), since_snapshot_id)
+        return self._union(
+            spark, live,
+            f"no data after snapshot {since_snapshot_id} in {self.table_dir}",
+        )
+
+    @staticmethod
+    def _live_since(
+        all_snaps: list[Snapshot], since_snapshot_id: int
+    ) -> list[Snapshot]:
+        snaps = [s for s in all_snaps if "superseded_by" not in s.metrics]
         for s in snaps:
             ct = s.metrics.get("compacted_through")
             if ct and 0 < since_snapshot_id < ct:
@@ -157,10 +173,36 @@ class SnapshotCatalog:
                     f"(through {ct}); re-read from 0 or resume from "
                     f"{s.snapshot_id}"
                 )
-        return self._union(
-            spark, [s for s in snaps if s.snapshot_id > since_snapshot_id],
-            f"no data after snapshot {since_snapshot_id} in {self.table_dir}",
-        )
+        return [
+            s
+            for s in snaps
+            if s.snapshot_id > since_snapshot_id
+            and not (
+                since_snapshot_id > 0
+                and (ct := s.metrics.get("compacted_through"))
+                and ct <= since_snapshot_id
+            )
+        ]
+
+    def incremental_read(
+        self, spark: SparkSession, since_snapshot_id: int
+    ) -> tuple[DataFrame | None, int]:
+        """Race-free resume primitive: ONE listing of the snapshot log
+        yields both the incremental DataFrame and the watermark to
+        persist (the max snapshot id actually included in the read).
+
+        Calling ``current_snapshot_id()`` and ``read_since()``
+        separately is racy: a snapshot committed between the two calls
+        would be processed by the read but excluded from the watermark,
+        so the next run re-delivers it.  Returns ``(None, since)`` when
+        there is nothing new to consume.
+        """
+        all_snaps = self.snapshots()
+        live = self._live_since(all_snaps, since_snapshot_id)
+        if not live:
+            return None, since_snapshot_id
+        through = max(s.snapshot_id for s in live)
+        return self._union(spark, live, "unreachable: live is non-empty"), through
 
     def _union(
         self, spark: SparkSession, snaps: list[Snapshot], empty_msg: str

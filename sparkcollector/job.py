@@ -131,13 +131,17 @@ def run_pipeline(
         # Checkpointed resume: consume only snapshots committed after
         # the persisted watermark (the file_storage offset-store
         # analog); the watermark advances only after a successful run.
+        # incremental_read lists the snapshot log ONCE and returns the
+        # watermark actually covered by the read — a snapshot committed
+        # mid-listing is neither processed-but-unrecorded (duplicate on
+        # the next run) nor skipped.
         from .checkpoint import ResumeState
 
         src = SnapshotCatalog(input_table)
         rs = ResumeState(resume_state) if resume_state else None
         last_snap = rs.get(input_table) if rs else 0
-        src_current = src.current_snapshot_id() or 0
-        if src_current <= last_snap:
+        turns, src_current = src.incremental_read(spark, last_snap)
+        if turns is None:
             return {
                 "turns": 0,
                 "skipped": True,
@@ -145,7 +149,6 @@ def run_pipeline(
                 "turns_per_sec": 0.0,
                 "resumed_from_snapshot": last_snap,
             }
-        turns = src.read_since(spark, last_snap)
     else:
         turns = spark.read.parquet(input_path)
     if _limit:

@@ -96,12 +96,21 @@ def parse_exposition(
 
 
 def histogram_families(parsed: DataFrame) -> DataFrame:
-    """Collect ``_bucket`` samples into per-family cumulative arrays,
+    """Collect ``_bucket`` samples into per-SERIES cumulative arrays,
     ordered by ``le``, ready for bucket differencing.
 
-    Output: (doc_id, family, les:array<double>, cum_buckets:array<long>)
-    with the ``+Inf`` bucket last (the reference drops it after
-    differencing, scraper.go:228-231).
+    A histogram *series* is keyed by the full label set minus ``le``
+    (the reference scraper keys series the same way): two series of one
+    family that differ in any other label — e.g. ``method="GET"`` vs
+    ``"POST"`` — must NOT have their cumulative counts interleaved into
+    one array, which would produce wrong (even negative) deltas.
+
+    Output: (doc_id, family, series_key, series_labels,
+    les:array<double>, cum_buckets:array<long>) with the ``+Inf``
+    bucket last (the reference drops it after differencing,
+    scraper.go:228-231).  ``series_key`` is the canonical sorted
+    ``k=v,...`` rendering of the non-``le`` labels (groupable;
+    map-typed columns are not), ``series_labels`` the map itself.
     """
     b = parsed.filter(
         (F.col("mtype") == "histogram") & F.col("metric").endswith("_bucket")
@@ -110,18 +119,38 @@ def histogram_families(parsed: DataFrame) -> DataFrame:
         F.element_at("labels", "le") == "+Inf", F.lit(float("inf"))
     ).otherwise(F.element_at("labels", "le").cast("double"))
     fam = F.regexp_replace("metric", r"_bucket$", "")
+    series_labels = F.map_filter("labels", lambda k, _v: k != "le")
+    series_key = F.concat_ws(
+        ",",
+        F.array_sort(
+            F.transform(
+                F.map_entries(series_labels),
+                lambda e: F.concat_ws("=", e["key"], e["value"]),
+            )
+        ),
+    )
     g = (
-        b.select("doc_id", fam.alias("family"), le.alias("le"), "value")
-        .groupBy("doc_id", "family")
+        b.select(
+            "doc_id",
+            fam.alias("family"),
+            series_key.alias("series_key"),
+            series_labels.alias("series_labels"),
+            le.alias("le"),
+            "value",
+        )
+        .groupBy("doc_id", "family", "series_key")
         .agg(
+            F.first("series_labels").alias("series_labels"),
             F.array_sort(
                 F.collect_list(F.struct(F.col("le"), F.col("value")))
-            ).alias("pairs")
+            ).alias("pairs"),
         )
     )
     return g.select(
         "doc_id",
         "family",
+        "series_key",
+        "series_labels",
         F.transform("pairs", lambda p: p["le"]).alias("les"),
         F.transform("pairs", lambda p: p["value"].cast("long")).alias(
             "cum_buckets"
@@ -130,14 +159,16 @@ def histogram_families(parsed: DataFrame) -> DataFrame:
 
 
 def parse_histograms_delta(df: DataFrame, **kw) -> DataFrame:
-    """exposition docs → per-bucket (non-cumulative) histogram counts,
-    +Inf dropped — the full lightprometheus histogram path."""
+    """exposition docs → per-bucket (non-cumulative) histogram counts
+    per series, +Inf dropped — the full lightprometheus histogram path."""
     from .telemetry import histogram_bucket_delta
 
     fams = histogram_families(parse_exposition(df, **kw))
     return histogram_bucket_delta(fams, "cum_buckets", drop_last=True).select(
         "doc_id",
         "family",
+        "series_key",
+        "series_labels",
         F.slice("les", 1, F.size("les") - 1).alias("bounds"),
         "bucket_counts",
     )

@@ -21,6 +21,36 @@ from pyspark.sql import SparkSession
 ARROW_MAX_RECORDS_PER_BATCH = 10_000
 
 
+def _mem_total_gib() -> float:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) / (1024 * 1024)
+    except OSError:
+        pass
+    return 8.0
+
+
+def _default_driver_memory() -> str:
+    """Local-mode heap sized from host RAM: ~1/4 of MemTotal, clamped
+    to [2g, 24g].  (24g is right for the 128 GiB bench box; a 16 GiB
+    laptop gets 4g and still starts.)"""
+    gib = max(2, min(24, int(_mem_total_gib() // 4)))
+    return f"{gib}g"
+
+
+def _default_local_dir() -> str:
+    if os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 16 * 1024**3:
+                return "/dev/shm/spark-local"
+        except OSError:
+            pass
+    return "/tmp/spark-local"
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "sparkcollector",
@@ -80,19 +110,21 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Local mode runs every task in the driver JVM: size the heap
         # for <threads> concurrent parquet writers (~128 MB row-group
-        # buffer each) + sort + shuffle buffers.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # buffer each) + sort + shuffle buffers.  Sized from the host's
+        # actual RAM (not a hardcoded big-box value) so the JVM starts
+        # on small machines too; env override wins.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
         # Shuffle/spill files on the fastest local storage available —
-        # on a real cluster this is the executor's local NVMe; in this
-        # sandbox /dev/shm beats the 300 MB/s root disk.
+        # on a real cluster this is the executor's local NVMe.  tmpfs
+        # (/dev/shm) beats a slow root disk but competes with the heap
+        # for physical memory, so only pick it when it is big enough to
+        # hold spills comfortably (>= 16 GiB free); env override wins.
         .config(
             "spark.local.dir",
-            os.environ.get(
-                "SPARK_LOCAL_DIRS",
-                "/dev/shm/spark-local"
-                if os.path.isdir("/dev/shm")
-                else "/tmp/spark-local",
-            ),
+            os.environ.get("SPARK_LOCAL_DIRS", _default_local_dir()),
         )
         .config("spark.ui.enabled", "false")
     )

@@ -91,14 +91,24 @@ def write_stream_sinks(
     is sorted (conv_id, turn_idx) and appended partitioned-by-sink —
     the same single-pass layout as the batch job, so batch and
     streaming runs produce interchangeable sink tables.
+
+    Idempotent per epoch: Structured Streaming re-runs ``foreachBatch``
+    with the SAME ``epoch_id`` when a micro-batch is retried after a
+    failure between the catalog commit and the streaming-checkpoint
+    commit.  ``write_epoch`` therefore skips the append when the
+    snapshot log already records this epoch — the standard foreachBatch
+    idempotency check — so a retry cannot double-append.
     """
     from ..checkpoint import SnapshotCatalog
 
     def write_epoch(df: DataFrame, epoch_id: int) -> None:
+        cat = SnapshotCatalog(f"{out_dir}/routed")
+        if any(s.metrics.get("epoch") == epoch_id for s in cat.snapshots()):
+            return  # epoch already committed; retried micro-batch
         ordered = df.repartition(F.col("conv_id")).sortWithinPartitions(
             "sink", "conv_id", "turn_idx"
         )
-        SnapshotCatalog(f"{out_dir}/routed").append(
+        cat.append(
             ordered, metrics={"epoch": epoch_id}, partition_by=["sink"]
         )
 

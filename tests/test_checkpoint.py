@@ -115,3 +115,43 @@ def test_resume_state_roundtrip(tmp_path):
     rs.set("t", 7)
     rs.set("u", 3)
     assert rs.get("t") == 7 and rs.get("u") == 3
+
+
+def test_compaction_snapshot_skipped_by_caught_up_reader(spark, tmp_path):
+    """A consumer whose watermark == compacted_through must NOT be
+    re-delivered the compaction snapshot (it rewrites only rows the
+    consumer already processed — Iceberg incremental reads skip
+    rewrite snapshots the same way)."""
+    cat = SnapshotCatalog(str(tmp_path / "tbl"))
+    cat.append(spark.range(0, 10))
+    cat.append(spark.range(10, 30))
+    cat.compact(spark)  # snapshot 3, compacted_through=2
+
+    # fully caught-up reader (watermark 2): compaction is not new data
+    with pytest.raises(ValueError, match="no data after"):
+        cat.read_since(spark, since_snapshot_id=2)
+    df, through = cat.incremental_read(spark, 2)
+    assert df is None and through == 2
+
+    # rows appended AFTER the compaction still flow, without the
+    # compaction's rewrite of rows 0..29
+    cat.append(spark.range(30, 35))
+    inc = cat.read_since(spark, since_snapshot_id=2)
+    assert {r["id"] for r in inc.collect()} == set(range(30, 35))
+
+    # a watermark INSIDE the compacted range still raises
+    with pytest.raises(ValueError, match="compacted away"):
+        cat.read_since(spark, since_snapshot_id=1)
+
+
+def test_incremental_read_returns_covered_watermark(spark, tmp_path):
+    """incremental_read derives data and watermark from ONE listing —
+    the returned watermark is the max snapshot actually read."""
+    cat = SnapshotCatalog(str(tmp_path / "tbl"))
+    cat.append(spark.range(0, 5))
+    cat.append(spark.range(5, 9))
+    df, through = cat.incremental_read(spark, 0)
+    assert through == 2
+    assert df.count() == 9
+    df2, through2 = cat.incremental_read(spark, through)
+    assert df2 is None and through2 == 2

@@ -70,3 +70,28 @@ def test_histogram_bucket_differencing(spark):
     # cumulative [5, 9, 9, 12] -> deltas [5, 4, 0], +Inf dropped
     assert r["bucket_counts"] == [5, 4, 0]
     assert r["bounds"] == [0.1, 0.5, 1.0]
+
+
+MULTI_SERIES_DOC = """\
+# TYPE rpc_latency histogram
+rpc_latency_bucket{method="GET",le="0.1"} 5
+rpc_latency_bucket{method="GET",le="0.5"} 9
+rpc_latency_bucket{method="GET",le="+Inf"} 12
+rpc_latency_bucket{method="POST",le="0.1"} 1
+rpc_latency_bucket{method="POST",le="0.5"} 2
+rpc_latency_bucket{method="POST",le="+Inf"} 2
+"""
+
+
+def test_histogram_series_keyed_by_full_label_set(spark):
+    """Two series of one family with different non-le labels must
+    difference independently (the scraper keys series by the full
+    label set minus le) — interleaving them would yield wrong or
+    negative deltas."""
+    df = spark.createDataFrame([(1, MULTI_SERIES_DOC)], ["doc_id", "body"])
+    h = {r["series_key"]: r for r in parse_histograms_delta(df).collect()}
+    assert set(h) == {"method=GET", "method=POST"}
+    assert h["method=GET"]["bucket_counts"] == [5, 4]
+    assert h["method=POST"]["bucket_counts"] == [1, 1]
+    assert h["method=GET"]["bounds"] == [0.1, 0.5]
+    assert h["method=GET"]["series_labels"] == {"method": "GET"}
