@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .enrich import enrich_turns
-from .filters import basic_string_filter
+from .filters import overridable_string_filter
 from .parse import parse_turns, parse_turns_builtin
 from .route import DEFAULT_RULES, RoutingRule, route
 
@@ -71,10 +71,11 @@ def _merged(config: dict | None) -> dict:
 def _exclude_predicate(specs: list[dict]) -> Column | None:
     """filter-processor semantics: a row is DROPPED if any spec matches
     (OR-ed conditions, full_config_linux.yaml:493-498); each spec's
-    items use BasicStringFilter syntax."""
+    items use the agent's overridable filter syntax
+    (negation overrides, like monitor metric exclude lists)."""
     dropped = None
     for spec in specs:
-        m = basic_string_filter(F.col(spec["column"]), list(spec["items"]))
+        m = overridable_string_filter(F.col(spec["column"]), list(spec["items"]))
         dropped = m if dropped is None else (dropped | m)
     return dropped
 

@@ -103,9 +103,13 @@ def _match_column(col: Column, items: list[str]) -> Column:
     return out
 
 
-def basic_string_filter(col: Column, items: list[str]) -> Column:
-    """True where the value matches the filter (any positive matcher
-    hits and no negated matcher hits)."""
+def overridable_string_filter(col: Column, items: list[str]) -> Column:
+    """Gitignore-style: a value matches iff ANY positive pattern
+    matches AND NO negated pattern matches — a negated match of any
+    kind (literal, regex, or glob) wins outright, even over a positive
+    literal match (overridable.go:29-56; cases transcribed from
+    overridable_test.go).  A filter of only negated items matches
+    nothing."""
     pos, neg = _split_negation(items)
     matched = _match_column(col, pos)
     if neg:
@@ -113,19 +117,58 @@ def basic_string_filter(col: Column, items: list[str]) -> Column:
     return matched
 
 
-def overridable_string_filter(col: Column, items: list[str]) -> Column:
-    """Gitignore-style: negated patterns override positive matches;
-    matches `overridable.go:29-56` observed semantics."""
-    return basic_string_filter(col, items)
+def basic_string_filter(col: Column, items: list[str]) -> Column:
+    """BasicStringFilter semantics (filter.go:41-63) — DIFFERENT from
+    the overridable variant: each negated item is itself a matcher that
+    hits everything NOT matching it.
+
+    Decision order (mirrors Matches):
+      1. value equals a positive literal            -> True
+      2. value equals a negated literal             -> False
+      3. any negated literal exists in the filter   -> True
+         (``!foo`` alone matches every value except foo)
+      4. OR over pattern matchers, where a negated regex/glob
+         contributes ``NOT matches(pattern)``       -> that OR
+
+    So ``["!app"]`` matches "other" here but nothing in the
+    overridable variant.  Still one Catalyst expression per filter.
+    """
+    pos, neg = _split_negation(items)
+    # literals live in ONE map where the LAST occurrence wins (Go
+    # staticSet construction): ["app", "!app"] leaves app negated.
+    lit_map: dict[str, bool] = {}
+    for it in items:
+        negated = it.startswith("!")
+        stripped = it[1:] if negated else it
+        if not _is_regex(stripped) and not _is_glob(stripped):
+            lit_map[stripped] = negated
+    pos_lit = [k for k, v in lit_map.items() if not v]
+    neg_lit = [k for k, v in lit_map.items() if v]
+    pos_pat = [i for i in pos if _is_regex(i) or _is_glob(i)]
+    neg_pat = [i for i in neg if _is_regex(i) or _is_glob(i)]
+
+    fallthrough = _match_column(col, pos_pat)
+    for p in neg_pat:
+        fallthrough = fallthrough | ~_match_column(col, [p])
+
+    out = fallthrough
+    if neg_lit:
+        # any negated literal present: non-listed values match (step 3)
+        out = F.lit(True)
+        out = F.when(col.isin(neg_lit), F.lit(False)).otherwise(out)
+    if pos_lit:
+        out = F.when(col.isin(pos_lit), F.lit(True)).otherwise(out)
+    return out
 
 
 def string_map_filter(spec: dict[str, list[str] | str]) -> Column:
     """ALL key specs must match; ``key?`` tolerates a missing key.
 
     ``spec`` maps a column name (optionally suffixed ``?``) to an item
-    list (or single item) in BasicStringFilter syntax.  A missing
-    (NULL) column fails a required key and passes an optional one
-    (filter.go:120-131, 157).
+    list (or single item); per-value matching uses the OVERRIDABLE
+    filter — NewStringMapFilter builds OverridableStringFilter values
+    (filter.go:112-117).  A missing (NULL) column fails a required key
+    and passes an optional one (filter.go:120-131, 157).
     """
     conds: list[Column] = []
     for key, items in spec.items():
@@ -133,7 +176,7 @@ def string_map_filter(spec: dict[str, list[str] | str]) -> Column:
         name = key[:-1] if ok_missing else key
         items_list = [items] if isinstance(items, str) else list(items)
         col = F.col(name)
-        m = basic_string_filter(col, items_list)
+        m = overridable_string_filter(col, items_list)
         if ok_missing:
             conds.append(F.when(col.isNull(), F.lit(True)).otherwise(m))
         else:

@@ -1,0 +1,178 @@
+"""Encoding operators: processlist event encode, scripted-inputs split.
+
+* :func:`processlist_event` — the processlist monitor's single-event
+  encode (reference: internal/signalfx-agent/pkg/monitors/processlist/
+  processlist.go:45-51, 96-120, 136-158): the top-N process rows per
+  host collapse into ONE ``objects.top-info`` event whose message is
+  ``{"t": base64(zlib(escaped JSON object)), "v": version}``.  The
+  collect/rank/JSON-build stages are pure Catalyst; only the zlib
+  compression itself is a (scalar, Arrow-batched) pandas UDF — there
+  is no JVM-side zlib surface in Spark SQL, and the UDF sees one
+  already-built string per host, not per process.
+* :func:`decode_processlist_message` — the inverse (base64 → zlib
+  inflate → unescape), used by tests and the roundtrip oracle entry.
+* :func:`split_entries` — scripted_inputs stdout splitting
+  (internal/receiver/scriptedinputsreceiver/operator.go:130-164): a
+  captured output blob splits on a delimiter into one entry per line,
+  tagged with ``com.splunk.source`` / ``com.splunk.sourcetype``
+  attributes.  Pure Catalyst ``split`` + ``posexplode``.
+
+Scale note: per-host process lists are bounded (top-N), so the
+collect_list per host is O(N) — safe; the compression UDF processes
+one small string per host.
+"""
+
+from __future__ import annotations
+
+import base64
+import zlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+PROCESSLIST_VERSION = "0.0.30"
+
+
+# pandas_udf parses its DDL against the ACTIVE session, so the UDFs
+# are built lazily (first use), not at import time.
+def _zlib_b64():
+    @pandas_udf("string")
+    def f(s: pd.Series) -> pd.Series:
+        """base64(zlib(utf-8 bytes)) — Arrow-batched, one per host."""
+        return s.map(
+            lambda v: None
+            if v is None
+            else base64.b64encode(zlib.compress(v.encode("utf-8"))).decode(
+                "ascii"
+            )
+        )
+
+    return f
+
+
+def _b64_unzlib():
+    @pandas_udf("string")
+    def f(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None
+            if v is None
+            else zlib.decompress(base64.b64decode(v)).decode("utf-8")
+        )
+
+    return f
+
+
+def processlist_event(
+    df: DataFrame,
+    host_col: str = "host",
+    pid_col: str = "pid",
+    fields: list[str] | None = None,
+    top_n: int = 10,
+    order_col: str = "cpu_percent",
+) -> DataFrame:
+    """Top-``top_n`` processes per host → one encoded event per host.
+
+    Mirrors encodeEventMessage: processes render as a JSON object
+    ``{"<pid>": [field, ...], ...}``, backslashes are doubled, the
+    blob is zlib-compressed and base64-wrapped into
+    ``{"t":"<b64>","v":"<version>"}``.  Ranking (row_number over
+    ``order_col`` desc) and the JSON build are Catalyst; pids sort
+    numerically within the object so the message is deterministic.
+
+    Output: (host, n_procs, message).
+    """
+    fields = fields or ["command", "cpu_percent", "mem_percent"]
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(order_col).desc(), F.col(pid_col)
+    )
+    top = df.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= top_n
+    )
+
+    # per-field JSON scalar rendering: strings quoted+escaped via
+    # to_json on a 1-field struct (then strip the wrapper), numerics
+    # rendered as-is.
+    def _json_scalar(c: Column) -> Column:
+        j = F.to_json(F.struct(c.alias("x")))
+        return F.regexp_replace(
+            F.regexp_replace(j, r'^\{"x":', ""), r"\}$", ""
+        )
+
+    entry = F.concat(
+        F.lit('"'),
+        F.col(pid_col).cast("string"),
+        F.lit('":['),
+        F.concat_ws(",", *[_json_scalar(F.col(f)) for f in fields]),
+        F.lit("]"),
+    )
+    g = (
+        top.select(host_col, F.col(pid_col).cast("long").alias("_pid"), entry.alias("_e"))
+        .groupBy(host_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_procs"),
+            F.concat(
+                F.lit("{"),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("_pid"), F.col("_e")))
+                        ),
+                        lambda s: s["_e"],
+                    ),
+                ),
+                F.lit("}"),
+            ).alias("_json"),
+        )
+    )
+    escaped = F.regexp_replace(F.col("_json"), r"\\", r"\\\\")
+    return g.select(
+        F.col(host_col).alias("host"),
+        "n_procs",
+        F.concat(
+            F.lit('{"t":"'),
+            _zlib_b64()(escaped),
+            F.lit('","v":"'),
+            F.lit(PROCESSLIST_VERSION),
+            F.lit('"}'),
+        ).alias("message"),
+    )
+
+
+def decode_processlist_message(message: Column) -> Column:
+    """Inverse of :func:`processlist_event`'s message: extract ``t``,
+    base64-decode, inflate, un-escape — yields the JSON object text."""
+    t = F.get_json_object(message, "$.t")
+    return F.regexp_replace(_b64_unzlib()(t), r"\\\\", r"\\")
+
+
+def split_entries(
+    df: DataFrame,
+    text_col: str = "stdout",
+    delimiter: str = "\n",
+    source: str | None = None,
+    sourcetype: str | None = None,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Split a captured output blob into one entry per line with the
+    splunk source attributes attached (operator.go:150-158).
+
+    Output: original columns + (entry_no, entry[, com.splunk.source,
+    com.splunk.sourcetype]).
+    """
+    out = df.select(
+        "*",
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
+            "entry_no", "entry"
+        ),
+    ).drop(text_col)
+    if drop_empty:
+        out = out.filter(F.col("entry") != "")
+    if source is not None:
+        out = out.withColumn("com.splunk.source", F.lit(source))
+    if sourcetype is not None:
+        out = out.withColumn("com.splunk.sourcetype", F.lit(sourcetype))
+    return out

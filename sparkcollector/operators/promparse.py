@@ -172,3 +172,82 @@ def parse_histograms_delta(df: DataFrame, **kw) -> DataFrame:
         F.slice("les", 1, F.size("les") - 1).alias("bounds"),
         "bucket_counts",
     )
+
+
+# ---------------------------------------------------------------------
+# signalfxgatewayprometheusremotewrite receiver semantics
+# ---------------------------------------------------------------------
+
+def prw_type_by_convention(name: Column, labels: Column) -> Column:
+    """Best-effort metric-type inference from name/label conventions —
+    the PRW receiver's heuristic (reference: internal/receiver/
+    signalfxgatewayprometheusremotewritereceiver/internal/
+    prometheus_spec_utils.go:37-60).  Order of checks is significant:
+
+      le + _gsum/_gcount suffix -> gaugehistogram
+      le                        -> histogram
+      quantile                  -> summary
+      label named == metric     -> stateset
+      _total/_count/_counter/_created suffix -> counter
+      _bucket suffix            -> histogram
+      _info suffix              -> info
+      otherwise                 -> gauge
+    """
+    has_le = F.map_contains_key(labels, "le")
+    has_quantile = F.map_contains_key(labels, "quantile")
+    has_self = F.element_at(labels, name).isNotNull()
+    return (
+        F.when(
+            has_le & (name.endswith("_gsum") | name.endswith("_gcount")),
+            F.lit("gaugehistogram"),
+        )
+        .when(has_le, F.lit("histogram"))
+        .when(has_quantile, F.lit("summary"))
+        .when(has_self, F.lit("stateset"))
+        .when(
+            name.endswith("_total")
+            | name.endswith("_count")
+            | name.endswith("_counter")
+            | name.endswith("_created"),
+            F.lit("counter"),
+        )
+        .when(name.endswith("_bucket"), F.lit("histogram"))
+        .when(name.endswith("_info"), F.lit("info"))
+        .otherwise(F.lit("gauge"))
+    )
+
+
+def prw_error_metrics(
+    series: DataFrame,
+    name_col: str = "metric",
+    value_col: str = "value",
+    n_samples_col: str | None = "n_samples",
+) -> DataFrame:
+    """The three error-count metrics the PRW receiver synthesizes per
+    write request (prometheus_to_otel.go:104-166), as one aggregation:
+
+      prometheus.invalid_requests    — series with no samples
+      prometheus.total_bad_datapoints— series missing a __name__
+      prometheus.total_NAN_samples   — NaN sample values
+
+    Cumulative monotonic sums in the reference; here, per-batch counts
+    (the batch is the request).  Output: (metric, value:long) — one
+    row per error metric, always emitted (0 when clean).
+    """
+    no_samples = (
+        F.col(n_samples_col) < 1 if n_samples_col else F.lit(False)
+    )
+    agg = series.agg(
+        F.sum(no_samples.cast("long")).alias("invalid_requests"),
+        F.sum(F.col(name_col).isNull().cast("long")).alias("bad_datapoints"),
+        F.sum(F.isnan(F.col(value_col)).cast("long")).alias("nan_samples"),
+    )
+    stacked = agg.select(
+        F.stack(
+            F.lit(3),
+            F.lit("prometheus.invalid_requests"), F.col("invalid_requests"),
+            F.lit("prometheus.total_bad_datapoints"), F.col("bad_datapoints"),
+            F.lit("prometheus.total_NAN_samples"), F.col("nan_samples"),
+        ).alias("metric", "value")
+    )
+    return stacked

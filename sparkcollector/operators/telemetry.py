@@ -333,3 +333,122 @@ def invalid_value_audit(
         F.count(F.when(v.isNull() | F.isnan(v), 1)).alias("n_invalid"),
         F.sum(F.when(~F.isnan(v), v)).alias("valid_sum"),
     )
+
+
+# ---------------------------------------------------------------------
+# metricsgeneration processor (contrib processor registered at
+# internal/components/components.go:328): derive a new metric from a
+# pair of existing metrics sharing a label set, or metric x scale.
+# ---------------------------------------------------------------------
+
+def metrics_generation(
+    df: DataFrame,
+    rules: list[dict],
+    name_col: str = "metric",
+    value_col: str = "value",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """``calculate`` rules pair two metrics point-wise on their shared
+    label set (``group_cols``); ``scale`` rules multiply one metric by
+    a constant.  Rule shape::
+
+        {"name": "memory.utilization", "type": "calculate",
+         "metric1": "memory.usage", "metric2": "memory.limit",
+         "operation": "percent"}          # add|subtract|multiply|divide|percent
+        {"name": "disk.kb", "type": "scale",
+         "metric1": "disk.bytes", "scale_by": 0.001}
+
+    One hash-aggregation pivots the operand metrics per group (no
+    self-join), then each rule is a codegen arithmetic expression;
+    derived rows are unioned under the new metric name.  Division by
+    zero yields NULL (dropped, like the processor skipping invalid
+    datapoints).
+    """
+    group_cols = group_cols or []
+    operands = sorted(
+        {r["metric1"] for r in rules} | {r.get("metric2") for r in rules} - {None}
+    )
+    pivoted = df.groupBy(*group_cols).agg(
+        *[
+            F.max(
+                F.when(F.col(name_col) == m, F.col(value_col))
+            ).alias(f"_m{i}")
+            for i, m in enumerate(operands)
+        ]
+    )
+    idx = {m: f"_m{i}" for i, m in enumerate(operands)}
+    outs = []
+    for r in rules:
+        m1 = F.col(idx[r["metric1"]])
+        if r.get("type", "calculate") == "scale":
+            val = m1 * F.lit(float(r["scale_by"]))
+        else:
+            m2 = F.col(idx[r["metric2"]])
+            op = r["operation"]
+            val = {
+                "add": m1 + m2,
+                "subtract": m1 - m2,
+                "multiply": m1 * m2,
+                "divide": F.when(m2 != 0, m1 / m2),
+                "percent": F.when(m2 != 0, m1 * 100.0 / m2),
+            }[op]
+        outs.append(
+            pivoted.select(
+                *group_cols,
+                F.lit(r["name"]).alias(name_col),
+                val.cast("double").alias(value_col),
+            ).filter(F.col(value_col).isNotNull())
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+# ---------------------------------------------------------------------
+# trace batching by source IP: the smartagent trace converter batches
+# spans per reporting client IP so spans from different sources never
+# share a resource (converter/traces.go:34-50), then group-translates
+# each batch.  The batch shape is groupBy(ip).applyInPandas — the
+# genuine group-UDTF surface (a per-batch translator is imperative
+# code, not an aggregation).
+# ---------------------------------------------------------------------
+
+def trace_batch_by_ip(
+    df: DataFrame,
+    ip_col: str = "source_ip",
+    span_id_col: str = "span_id",
+    name_col: str = "name",
+) -> DataFrame:
+    """Group spans into per-source-IP batches and translate each batch.
+
+    Output: one row per span with its batch's resource attribution:
+    (source_ip, span_id, translated_name, batch_size, batch_index).
+    ``translated_name`` mirrors the zipkin translation's normalization
+    (lowercase, resource-scoped); ``batch_index`` is the span's stable
+    position in its batch (sorted by span id — deterministic under any
+    input partitioning).
+    """
+    import pandas as pd
+
+    def translate(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(span_id_col, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "source_ip": pdf[ip_col],
+                "span_id": pdf[span_id_col],
+                "translated_name": (
+                    pdf[ip_col].astype(str) + "/" + pdf[name_col].str.lower()
+                ),
+                "batch_size": n,
+                "batch_index": range(n),
+            }
+        )
+
+    return df.groupBy(ip_col).applyInPandas(
+        translate,
+        schema=(
+            "source_ip string, span_id bigint, translated_name string, "
+            "batch_size long, batch_index long"
+        ),
+    )

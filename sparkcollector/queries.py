@@ -388,9 +388,30 @@ def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_filter_glob_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
-    pred = Fl.basic_string_filter(
+    pred = Fl.overridable_string_filter(
         F.col("p_name"), ["small*", "/.*bolt.*/", "!small b*"]
     )
+    return p.filter(pred).select("p_partkey", "p_name")
+
+
+# ---------------------------------------------------------------------
+# 11b. TRUE BasicStringFilter negation (filter.go:41-63): a negated
+#      pattern is itself a matcher hitting everything that does NOT
+#      match it — ["/.*bolt.*/", "!/^small/"] matches names containing
+#      "bolt" OR not starting with "small" (unlike the overridable
+#      variant, where a lone negation matches nothing).
+# ---------------------------------------------------------------------
+@register(
+    "filter_basic_negated_matcher",
+    """
+    select p_partkey, p_name from part
+    where regexp_matches(p_name, '.*bolt.*')
+       or not regexp_matches(p_name, '^small')
+    """,
+)
+def q_filter_basic_negated_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    pred = Fl.basic_string_filter(F.col("p_name"), ["/.*bolt.*/", "!/^small/"])
     return p.filter(pred).select("p_partkey", "p_name")
 
 
@@ -1416,6 +1437,362 @@ def q_summary_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quantile",
             F.round("value", 4).alias("value"),
         )
+    )
+
+
+
+# ---------------------------------------------------------------------
+# 45. PRW name-convention type inference (signalfxgatewayprometheus
+#     remotewritereceiver, prometheus_spec_utils.go:37-60): synthesize
+#     series with convention-bearing names/labels from events, infer
+#     the metric type with the exact ordered heuristic.
+# ---------------------------------------------------------------------
+@register(
+    "prw_type_convention",
+    """
+    with s as (
+      select event_id,
+             event_type || case event_id % 5
+               when 0 then '_total' when 1 then '_bucket'
+               when 2 then '_info'  when 3 then '_gsum' else '' end as metric,
+             event_id % 3 = 0 as has_le,
+             event_id % 7 = 0 as has_quantile,
+             event_id % 11 = 0 as has_self
+      from events)
+    select event_id, metric,
+           case
+             when has_le and (ends_with(metric, '_gsum')
+                              or ends_with(metric, '_gcount'))
+               then 'gaugehistogram'
+             when has_le then 'histogram'
+             when has_quantile then 'summary'
+             when has_self then 'stateset'
+             when ends_with(metric, '_total') or ends_with(metric, '_count')
+               or ends_with(metric, '_counter')
+               or ends_with(metric, '_created') then 'counter'
+             when ends_with(metric, '_bucket') then 'histogram'
+             when ends_with(metric, '_info') then 'info'
+             else 'gauge'
+           end as mtype
+    from s
+    """,
+)
+def q_prw_type_convention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import prw_type_by_convention
+
+    ev = _t(spark, sf_dir, "events")
+    name = F.concat(
+        F.col("event_type"),
+        F.element_at(
+            F.array(
+                F.lit("_total"), F.lit("_bucket"), F.lit("_info"),
+                F.lit("_gsum"), F.lit(""),
+            ),
+            (F.col("event_id") % 5 + 1).cast("int"),
+        ),
+    )
+    labels = F.map_filter(
+        F.create_map(
+            F.lit("le"), F.when(F.col("event_id") % 3 == 0, F.lit("0.5")),
+            F.lit("quantile"), F.when(F.col("event_id") % 7 == 0, F.lit("0.9")),
+            name, F.when(F.col("event_id") % 11 == 0, F.lit("1")),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+    s = ev.select("event_id", name.alias("metric"), labels.alias("labels"))
+    return s.select(
+        "event_id",
+        "metric",
+        prw_type_by_convention(F.col("metric"), F.col("labels")).alias("mtype"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 46. PRW synthesized error metrics (prometheus_to_otel.go:104-166):
+#     invalid_requests / total_bad_datapoints / total_NAN_samples as
+#     one aggregation over a synthesized write request.
+# ---------------------------------------------------------------------
+@register(
+    "prw_error_metrics",
+    """
+    with s as (
+      select case when event_id % 17 = 0 then null else event_type end as metric,
+             case when event_id % 19 = 0 then cast('nan' as double)
+                  else value end as value,
+             case when event_id % 13 = 0 then 0 else 1 end as n_samples
+      from events)
+    select 'prometheus.invalid_requests' as metric,
+           sum(case when n_samples < 1 then 1 else 0 end) as value from s
+    union all
+    select 'prometheus.total_bad_datapoints',
+           sum(case when metric is null then 1 else 0 end) from s
+    union all
+    select 'prometheus.total_NAN_samples',
+           sum(case when isnan(value) then 1 else 0 end) from s
+    """,
+)
+def q_prw_error_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import prw_error_metrics
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.select(
+        F.when(F.col("event_id") % 17 != 0, F.col("event_type")).alias("metric"),
+        F.when(F.col("event_id") % 19 == 0, F.lit(float("nan")))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.when(F.col("event_id") % 13 == 0, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("n_samples"),
+    )
+    return prw_error_metrics(series)
+
+
+# ---------------------------------------------------------------------
+# 47. metricsgeneration processor (components.go:328): derive new
+#     metrics from pairs of existing ones (divide/add) and a scale
+#     rule, point-wise per shared label set (user_id).
+# ---------------------------------------------------------------------
+@register(
+    "metrics_generation",
+    """
+    with p as (
+      select user_id,
+             max(case when event_type = 'click' then value end) as click,
+             max(case when event_type = 'view' then value end) as view
+      from events group by user_id)
+    select * from (
+      select user_id, 'click_view_ratio' as metric,
+             round(click / view, 4) as value
+      from p where view is not null and view <> 0 and click is not null
+      union all
+      select user_id, 'engagement_total', round(click + view, 4)
+      from p where click is not null and view is not null
+      union all
+      select user_id, 'click_milli', round(click * 1000.0, 4)
+      from p where click is not null)
+    """,
+)
+def q_metrics_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import metrics_generation
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    rows = ev.select(
+        "user_id", F.col("event_type").alias("metric"), "value"
+    )
+    rules = [
+        {"name": "click_view_ratio", "type": "calculate",
+         "metric1": "click", "metric2": "view", "operation": "divide"},
+        {"name": "engagement_total", "type": "calculate",
+         "metric1": "click", "metric2": "view", "operation": "add"},
+        {"name": "click_milli", "type": "scale",
+         "metric1": "click", "scale_by": 1000.0},
+    ]
+    out = metrics_generation(rows, rules, group_cols=["user_id"])
+    return out.select("user_id", "metric", F.round("value", 4).alias("value"))
+
+
+# ---------------------------------------------------------------------
+# 48. trace batching by source IP (converter/traces.go:34-50): spans
+#     batch per reporting client IP so sources never share a resource;
+#     each batch group-translates via applyInPandas — the group-UDTF
+#     surface used where translation is genuinely imperative.
+# ---------------------------------------------------------------------
+@register(
+    "trace_batch_by_ip",
+    """
+    select 'ip-' || cast(user_id % 20 as varchar) as source_ip,
+           event_id as span_id,
+           'ip-' || cast(user_id % 20 as varchar) || '/' || lower(event_type)
+             as translated_name,
+           count(*) over (partition by user_id % 20) as batch_size,
+           row_number() over (partition by user_id % 20 order by event_id) - 1
+             as batch_index
+    from events
+    """,
+)
+def q_trace_batch_by_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import trace_batch_by_ip
+
+    ev = _t(spark, sf_dir, "events")
+    spans = ev.select(
+        F.concat(F.lit("ip-"), (F.col("user_id") % 20).cast("string")).alias(
+            "source_ip"
+        ),
+        F.col("event_id").alias("span_id"),
+        F.col("event_type").alias("name"),
+    )
+    return trace_batch_by_ip(spans)
+
+
+# ---------------------------------------------------------------------
+# 49. processlist single-event encode (processlist.go:96-120,136-158):
+#     top-N procs per host -> one JSON object -> escape -> zlib ->
+#     base64 -> {"t":...,"v":...}.  The oracle checks the DECODED
+#     message (DuckDB has no zlib), so the encode/decode pair is
+#     exercised end-to-end; the exact base64 bytes are pinned in
+#     tests/test_encode.py.
+# ---------------------------------------------------------------------
+@register(
+    "processlist_encode",
+    """
+    with procs as (
+      select 'h' || cast(user_id % 10 as varchar) as host,
+             event_id as pid, event_type as command,
+             cast(floor(value * 10) as bigint) as cpu_c,
+             cast(floor(value) as bigint) as mem_c
+      from events),
+    ranked as (
+      select *, row_number() over (partition by host
+                                   order by cpu_c desc, pid) as rn
+      from procs)
+    select host, count(*) as n_procs,
+           '{' || string_agg('"' || cast(pid as varchar) || '":["' ||
+                             command || '",' || cast(cpu_c as varchar) ||
+                             ',' || cast(mem_c as varchar) || ']',
+                             ',' order by pid) || '}' as procs_json
+    from ranked where rn <= 10
+    group by host
+    """,
+)
+def q_processlist_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.encode import decode_processlist_message, processlist_event
+
+    ev = _t(spark, sf_dir, "events")
+    procs = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string")).alias(
+            "host"
+        ),
+        F.col("event_id").alias("pid"),
+        F.col("event_type").alias("command"),
+        F.floor(F.col("value") * 10).cast("long").alias("cpu_c"),
+        F.floor(F.col("value")).cast("long").alias("mem_c"),
+    )
+    enc = processlist_event(
+        procs, host_col="host", pid_col="pid",
+        fields=["command", "cpu_c", "mem_c"], top_n=10, order_col="cpu_c",
+    )
+    return enc.select(
+        "host",
+        "n_procs",
+        decode_processlist_message(F.col("message")).alias("procs_json"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 50. scripted_inputs entry splitting (scriptedinputsreceiver/
+#     operator.go:130-164): captured stdout splits on newlines into
+#     one entry per line, tagged com.splunk.source/sourcetype.
+# ---------------------------------------------------------------------
+@register(
+    "scripted_inputs_split",
+    """
+    with blob as (
+      select user_id as host,
+             string_agg(event_type || '#' || cast(event_id as varchar),
+                        chr(10) order by event_id) as stdout
+      from events group by user_id)
+    select host,
+           cast(row_number() over (partition by host
+                                   order by entry) - 1 as int)
+             as entry_no_check,
+           entry,
+           'top' as "com.splunk.source",
+           'script' as "com.splunk.sourcetype"
+    from (select host, unnest(string_split(stdout, chr(10))) as entry
+          from blob)
+    """,
+)
+def q_scripted_inputs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.encode import split_entries
+
+    ev = _t(spark, sf_dir, "events")
+    blob = (
+        ev.select(
+            F.col("user_id").alias("host"),
+            F.concat(
+                F.col("event_type"), F.lit("#"), F.col("event_id").cast("string")
+            ).alias("line"),
+            "event_id",
+        )
+        .groupBy("host")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("event_id", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("stdout")
+        )
+    )
+    out = split_entries(
+        blob, text_col="stdout", delimiter="\n",
+        source="top", sourcetype="script",
+    )
+    # entry_no is the split position; re-derive a rank over entry text
+    # for an order-insensitive check (lines are unique per host).
+    w = Window.partitionBy("host").orderBy("entry")
+    return out.select(
+        "host",
+        (F.row_number().over(w) - 1).alias("entry_no_check"),
+        "entry",
+        "`com.splunk.source`",
+        "`com.splunk.sourcetype`",
+    )
+
+
+# ---------------------------------------------------------------------
+# 51. span JSON roundtrip (converter/traces.go:80-90): span structs
+#     serialize with to_json and parse back with from_json; the JSON
+#     string itself and the round-tripped fields both match the
+#     oracle's explicit rendering.
+# ---------------------------------------------------------------------
+@register(
+    "span_json_roundtrip",
+    """
+    select event_id as span_id,
+           '{"trace_id":"t' || cast(user_id as varchar) || '","span_id":' ||
+           cast(event_id as varchar) || ',"name":"' || event_type ||
+           '","duration_ms":' || cast(cast(floor(value * 1000) as bigint)
+                                      as varchar) || '}' as span_json,
+           event_type as name_rt,
+           cast(floor(value * 1000) as bigint) as duration_rt
+    from events
+    """,
+)
+def q_span_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    span = F.struct(
+        F.concat(F.lit("t"), F.col("user_id").cast("string")).alias("trace_id"),
+        F.col("event_id").alias("span_id"),
+        F.col("event_type").alias("name"),
+        F.floor(F.col("value") * 1000).cast("long").alias("duration_ms"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("trace_id", T.StringType()),
+            T.StructField("span_id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("duration_ms", T.LongType()),
+        ]
+    )
+    j = ev.select(
+        F.col("event_id").alias("span_id"), F.to_json(span).alias("span_json")
+    )
+    back = j.select(
+        "span_id", "span_json", F.from_json("span_json", schema).alias("s")
+    )
+    return back.select(
+        "span_id",
+        "span_json",
+        F.col("s.name").alias("name_rt"),
+        F.col("s.duration_ms").alias("duration_rt"),
     )
 
 

@@ -1,0 +1,93 @@
+"""Encoding operators: processlist event encode/decode, entry split.
+Reference: processlist.go:96-120,136-158; scriptedinputsreceiver/
+operator.go:130-164."""
+
+from __future__ import annotations
+
+import base64
+import json
+import zlib
+
+from pyspark.sql import functions as F
+
+from sparkcollector.operators.encode import (
+    PROCESSLIST_VERSION,
+    decode_processlist_message,
+    processlist_event,
+    split_entries,
+)
+
+
+def _procs(spark):
+    return spark.createDataFrame(
+        [
+            ("h1", 10, "bash", 90, 5),
+            ("h1", 2, "top", 40, 2),
+            ("h1", 7, "idle", 1, 1),
+            ("h2", 3, "py\\win", 50, 9),  # backslash exercises escaping
+        ],
+        ["host", "pid", "command", "cpu_c", "mem_c"],
+    )
+
+
+def test_processlist_event_message_format(spark):
+    out = {
+        r["host"]: r
+        for r in processlist_event(
+            _procs(spark), fields=["command", "cpu_c", "mem_c"],
+            top_n=2, order_col="cpu_c",
+        ).collect()
+    }
+    # top_n=2 drops h1's idle proc
+    assert out["h1"]["n_procs"] == 2
+    msg = json.loads(out["h1"]["message"])
+    assert set(msg) == {"t", "v"} and msg["v"] == PROCESSLIST_VERSION
+    # decode by hand: base64 -> zlib -> unescape
+    raw = zlib.decompress(base64.b64decode(msg["t"])).decode()
+    assert raw.replace("\\\\", "\\") == '{"2":["top",40,2],"10":["bash",90,5]}'
+
+
+def test_processlist_exact_encoded_bytes(spark):
+    """Pin the exact message for one host: the oracle can only check
+    the decoded roundtrip (DuckDB has no zlib), so the encoded bytes
+    are pinned here (zlib level-default, deterministic)."""
+    one = spark.createDataFrame(
+        [("h", 1, "a", 3, 4)], ["host", "pid", "command", "cpu_c", "mem_c"]
+    )
+    msg = processlist_event(
+        one, fields=["command", "cpu_c", "mem_c"], order_col="cpu_c"
+    ).collect()[0]["message"]
+    expected_t = base64.b64encode(
+        zlib.compress(b'{"1":["a",3,4]}')
+    ).decode()
+    assert json.loads(msg) == {"t": expected_t, "v": PROCESSLIST_VERSION}
+
+
+def test_processlist_decode_roundtrip_with_backslashes(spark):
+    enc = processlist_event(
+        _procs(spark), fields=["command", "cpu_c", "mem_c"], top_n=10,
+        order_col="cpu_c",
+    )
+    dec = {
+        r["host"]: r["decoded"]
+        for r in enc.select(
+            "host", decode_processlist_message(F.col("message")).alias("decoded")
+        ).collect()
+    }
+    # to_json escapes the backslash in py\win; decode un-doubles the
+    # processlist escaping layer, leaving valid JSON text
+    assert json.loads(dec["h2"]) == {"3": ["py\\win", 50, 9]}
+
+
+def test_split_entries(spark):
+    df = spark.createDataFrame(
+        [("j1", "line a\nline b\n\nline c")], ["job", "stdout"]
+    )
+    out = split_entries(
+        df, text_col="stdout", source="top", sourcetype="script"
+    ).collect()
+    assert [(r["entry_no"], r["entry"]) for r in out] == [
+        (0, "line a"), (1, "line b"), (3, "line c")
+    ]
+    assert all(r["com.splunk.source"] == "top" for r in out)
+    assert all(r["com.splunk.sourcetype"] == "script" for r in out)

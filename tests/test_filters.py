@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from sparkcollector.filters import (
     basic_string_filter,
     exclude_filter_set,
+    overridable_string_filter,
     string_map_filter,
 )
 
@@ -25,7 +26,15 @@ def names(spark):
 
 
 def _keep(df, items):
-    return {r["name"] for r in df.filter(basic_string_filter(F.col("name"), items)).collect()}
+    # overridable semantics (negation overrides positives) — the
+    # variant monitor include/exclude lists use; basic's divergent
+    # negation behavior is covered by the transcribed cases below.
+    return {
+        r["name"]
+        for r in df.filter(
+            overridable_string_filter(F.col("name"), items)
+        ).collect()
+    }
 
 
 def test_literal(names):
@@ -74,3 +83,97 @@ def test_exclude_filter_set(spark):
         [F.col("name") == "a", F.col("name") == "c"]
     )
     assert {r["name"] for r in df.filter(keep).collect()} == {"b"}
+
+
+# ---------------------------------------------------------------------
+# BasicStringFilter vs OverridableStringFilter divergent semantics.
+# Cases transcribed from the reference's filter_test.go /
+# overridable_test.go tables.
+# ---------------------------------------------------------------------
+
+def _matches(spark, fn, items, inputs):
+    from sparkcollector.filters import overridable_string_filter  # noqa: F401
+
+    df = spark.createDataFrame([(v,) for v in inputs], ["s"])
+    kept = {
+        r["s"] for r in df.filter(fn(F.col("s"), items)).collect()
+    }
+    return [v in kept for v in inputs]
+
+
+BASIC_CASES = [
+    # (filter items, inputs, expected) — filter_test.go:18-107
+    ([], ["process_"], [False]),
+    (["!app"], ["app", "something"], [False, True]),
+    (["other", "!app"], ["something", "app"], [True, False]),
+    (["/^process_/", "/^node_/"], ["process_"], [True]),
+    (["!/^process_/"], ["process_"], [False]),
+    (["!app", "!/^process_/"], ["other"], [True]),
+    (["!other", "!/^process_/"], ["other"], [False]),
+    (["app", "!/^process_/"], ["other"], [True]),
+    (["asdfdfasdf", "!/^node_/"], ["process_"], [True]),
+    (["asdfdfasdf", "/^node_/"], ["process_"], [False]),
+    # literal map is last-wins (staticSet construction)
+    (["app", "!app"], ["app", "other"], [False, True]),
+]
+
+OVERRIDABLE_CASES = [
+    # overridable_test.go:12-133
+    ([], ["process_", "", "asdf"], [False, False, False]),
+    (["*"], ["app", "asdf", "", "*"], [True, True, True, True]),
+    (["!app"], ["app", "other"], [False, False]),
+    (["app", "!app"], ["app", "other"], [False, False]),
+    (["other", "!app"], ["other", "something", "app"], [True, False, False]),
+    (
+        ["/^process_/", "/^node_/"],
+        ["process_", "node_", "process_asdf", "other"],
+        [True, True, True, False],
+    ),
+    (["!/^process_/"], ["process_", "other"], [False, False]),
+    (
+        ["app", "!/^process_/", "process_"],
+        ["other", "app", "process_cpu", "process_"],
+        [False, True, False, False],
+    ),
+    (["asdfdfasdf", "/^node_/"], ["node_test"], [True]),
+    (
+        ["process_*", "!process_cpu"],
+        ["process_mem", "process_cpu", "asdf"],
+        [True, False, False],
+    ),
+    (["*", "!process_cpu"], ["process_mem", "process_cpu", "asdf"], [True, False, True]),
+    (
+        ["metric_?", "!metric_a", "!metric_b", "random"],
+        ["metric_a", "metric_b", "metric_c", "asdf", "random"],
+        [False, False, True, False, True],
+    ),
+    (["!process_cpu", "*"], ["process_mem", "process_cpu", "asdf"], [True, False, True]),
+    (
+        ["/a.*/", "!/.*z/", "b", "alz"],
+        ["", "asdf", "asdz", "b", "wrong", "alz"],
+        [False, True, False, True, False, False],
+    ),
+]
+
+
+def test_basic_string_filter_reference_cases(spark):
+    for items, inputs, expected in BASIC_CASES:
+        got = _matches(spark, basic_string_filter, items, inputs)
+        assert got == expected, f"basic {items} on {inputs}: {got}"
+
+
+def test_overridable_string_filter_reference_cases(spark):
+    from sparkcollector.filters import overridable_string_filter
+
+    for items, inputs, expected in OVERRIDABLE_CASES:
+        got = _matches(spark, overridable_string_filter, items, inputs)
+        assert got == expected, f"overridable {items} on {inputs}: {got}"
+
+
+def test_basic_vs_overridable_divergence(spark):
+    """The case users silently get wrong: a negated-only filter matches
+    everything-but in basic, nothing in overridable."""
+    from sparkcollector.filters import overridable_string_filter
+
+    assert _matches(spark, basic_string_filter, ["!app"], ["x"]) == [True]
+    assert _matches(spark, overridable_string_filter, ["!app"], ["x"]) == [False]

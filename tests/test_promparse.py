@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from sparkcollector.operators.promparse import (
     parse_exposition,
     parse_histograms_delta,
@@ -95,3 +97,58 @@ def test_histogram_series_keyed_by_full_label_set(spark):
     assert h["method=POST"]["bucket_counts"] == [1, 1]
     assert h["method=GET"]["bounds"] == [0.1, 0.5]
     assert h["method=GET"]["series_labels"] == {"method": "GET"}
+
+
+def test_prw_type_by_convention_cases(spark):
+    """Transcribed from prometheus_spec_utils.go:37-60 ordering."""
+    from sparkcollector.operators.promparse import prw_type_by_convention
+
+    rows = [
+        # (metric, labels, expected)
+        ("x_gsum", {"le": "1"}, "gaugehistogram"),
+        ("x_gcount", {"le": "1"}, "gaugehistogram"),
+        ("x", {"le": "1"}, "histogram"),
+        ("x", {"quantile": "0.9"}, "summary"),
+        ("x", {"x": "on"}, "stateset"),
+        ("x_total", {}, "counter"),
+        ("x_count", {}, "counter"),
+        ("x_counter", {}, "counter"),
+        ("x_created", {}, "counter"),
+        ("x_bucket", {}, "histogram"),
+        ("x_info", {}, "info"),
+        ("x", {}, "gauge"),
+        # ordering: le beats the _total suffix
+        ("x_total", {"le": "1"}, "histogram"),
+        # quantile beats stateset
+        ("x", {"quantile": "0.5", "x": "on"}, "summary"),
+    ]
+    df = spark.createDataFrame(
+        [(m, l) for m, l, _ in rows], "metric string, labels map<string,string>"
+    )
+    got = [
+        r["t"]
+        for r in df.select(
+            prw_type_by_convention(F.col("metric"), F.col("labels")).alias("t")
+        ).collect()
+    ]
+    assert got == [e for _, _, e in rows]
+
+
+def test_prw_error_metrics_counts(spark):
+    from sparkcollector.operators.promparse import prw_error_metrics
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1.0, 1),
+            (None, 2.0, 1),          # missing name
+            ("b", float("nan"), 1),  # NaN sample
+            ("c", 3.0, 0),           # no samples
+        ],
+        "metric string, value double, n_samples int",
+    )
+    out = {r["metric"]: r["value"] for r in prw_error_metrics(df).collect()}
+    assert out == {
+        "prometheus.invalid_requests": 1,
+        "prometheus.total_bad_datapoints": 1,
+        "prometheus.total_NAN_samples": 1,
+    }

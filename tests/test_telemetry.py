@@ -113,3 +113,53 @@ def test_invalid_value_audit(spark):
     out = {r["grp"]: r for r in invalid_value_audit(df, "raw", ["grp"]).collect()}
     assert out["g"]["n_valid"] == 1 and out["g"]["n_invalid"] == 2
     assert out["g"]["valid_sum"] == 1.5 and out["h"]["n_valid"] == 1
+
+
+def test_metrics_generation_rules(spark):
+    from sparkcollector.operators.telemetry import metrics_generation
+
+    df = spark.createDataFrame(
+        [
+            (1, "mem.used", 50.0), (1, "mem.limit", 200.0),
+            (2, "mem.used", 30.0), (2, "mem.limit", 0.0),   # div-by-zero
+            (3, "mem.used", 10.0),                           # missing pair
+        ],
+        ["host", "metric", "value"],
+    )
+    rules = [
+        {"name": "mem.utilization", "type": "calculate",
+         "metric1": "mem.used", "metric2": "mem.limit",
+         "operation": "percent"},
+        {"name": "mem.used.kb", "type": "scale",
+         "metric1": "mem.used", "scale_by": 0.5},
+    ]
+    out = {
+        (r["host"], r["metric"]): r["value"]
+        for r in metrics_generation(df, rules, group_cols=["host"]).collect()
+    }
+    assert out[(1, "mem.utilization")] == 25.0
+    assert (2, "mem.utilization") not in out       # zero divisor dropped
+    assert (3, "mem.utilization") not in out       # missing operand dropped
+    assert out[(1, "mem.used.kb")] == 25.0
+    assert out[(2, "mem.used.kb")] == 15.0
+    assert out[(3, "mem.used.kb")] == 5.0
+
+
+def test_trace_batch_by_ip_batches(spark):
+    from sparkcollector.operators.telemetry import trace_batch_by_ip
+
+    df = spark.createDataFrame(
+        [
+            ("1.1.1.1", 20, "GET /a"),
+            ("1.1.1.1", 10, "POST /B"),
+            ("2.2.2.2", 5, "Q"),
+        ],
+        ["source_ip", "span_id", "name"],
+    )
+    out = {r["span_id"]: r for r in trace_batch_by_ip(df).collect()}
+    # spans from different IPs never share a batch; batch_index is the
+    # span's position sorted by span_id within its batch
+    assert out[10]["batch_size"] == 2 and out[10]["batch_index"] == 0
+    assert out[20]["batch_size"] == 2 and out[20]["batch_index"] == 1
+    assert out[5]["batch_size"] == 1 and out[5]["batch_index"] == 0
+    assert out[10]["translated_name"] == "1.1.1.1/post /b"
