@@ -264,6 +264,11 @@ class SnapshotCatalog:
         self._commit(snaps)
         return snap
 
+    def has_epoch(self, epoch_id: int) -> bool:
+        """True when a snapshot already records this streaming epoch —
+        the foreachBatch retry-idempotency check."""
+        return any(s.metrics.get("epoch") == epoch_id for s in self.snapshots())
+
     def lineage(self) -> list[dict]:
         """Flattened per-partition lineage: snapshot → file → rows."""
         return [

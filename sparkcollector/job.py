@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .aggregate import count_connector
+from .catalog import make_catalog, table_uri
 from .checkpoint import SnapshotCatalog
 from .enrich import enrich_turns
 from .parse import parse_turns, parse_turns_builtin
@@ -69,7 +70,7 @@ def read_sink(spark: SparkSession, out_dir: str, sink: str) -> DataFrame:
     """Read one routed sink with its exporter-shaped projection applied
     (partition-pruned scan of the single-pass routed table)."""
     proj, _schema = SINK_PROJECTIONS[sink]
-    routed = SnapshotCatalog(f"{out_dir}/routed").read(spark)
+    routed = make_catalog(table_uri(out_dir, "routed")).read(spark)
     return proj(routed.filter(F.col("sink") == sink))
 
 
@@ -137,7 +138,7 @@ def run_pipeline(
         # the next run) nor skipped.
         from .checkpoint import ResumeState
 
-        src = SnapshotCatalog(input_table)
+        src = make_catalog(input_table)
         rs = ResumeState(resume_state) if resume_state else None
         last_snap = rs.get(input_table) if rs else 0
         turns, src_current = src.incremental_read(spark, last_snap)
@@ -166,7 +167,11 @@ def run_pipeline(
         t_routed = time.time()
         count_connector(routed).count()
     elif strategy == "partitioned":
-        cat = SnapshotCatalog(f"{out_dir}/routed")
+        cat = make_catalog(table_uri(out_dir, "routed"))
+        # Snapshot ids are opaque (Iceberg's are not sequential):
+        # remember the pre-commit watermark instead of doing id
+        # arithmetic, so the epoch read-back works on any backend.
+        pre_commit = cat.current_snapshot_id() or 0
         snap = cat.append(routed, partition_by=["sink"])
         n_turns = snap.metrics["rows"]
         for s in SINK_PROJECTIONS:
@@ -178,21 +183,21 @@ def run_pipeline(
         # we wrote) — on resume, agg_counts accumulates per-epoch
         # partials exactly like the count connector emits per batch.
         counts = count_connector(
-            cat.read_since(spark, snap.snapshot_id - 1).select(
+            cat.read_since(spark, pre_commit).select(
                 "sink", "conv_id", "role", "tool", "ts"
             )
         )
-        SnapshotCatalog(f"{out_dir}/agg_counts").append(counts)
+        make_catalog(table_uri(out_dir, "agg_counts")).append(counts)
     else:  # fanout
         routed.persist()
         try:
             n_turns = routed.count()
             t_routed = time.time()
             for s, (proj, _) in SINK_PROJECTIONS.items():
-                cat = SnapshotCatalog(f"{out_dir}/sink_{s}")
+                cat = make_catalog(table_uri(out_dir, f"sink_{s}"))
                 snap = cat.append(proj(routed.filter(F.col("sink") == s)))
                 metrics[f"sink_{s}_rows"] = snap.metrics["rows"]
-            SnapshotCatalog(f"{out_dir}/agg_counts").append(
+            make_catalog(table_uri(out_dir, "agg_counts")).append(
                 count_connector(routed)
             )
         finally:

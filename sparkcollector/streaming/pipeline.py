@@ -99,11 +99,11 @@ def write_stream_sinks(
     snapshot log already records this epoch — the standard foreachBatch
     idempotency check — so a retry cannot double-append.
     """
-    from ..checkpoint import SnapshotCatalog
+    from ..catalog import make_catalog, table_uri
 
     def write_epoch(df: DataFrame, epoch_id: int) -> None:
-        cat = SnapshotCatalog(f"{out_dir}/routed")
-        if any(s.metrics.get("epoch") == epoch_id for s in cat.snapshots()):
+        cat = make_catalog(table_uri(out_dir, "routed"))
+        if cat.has_epoch(epoch_id):
             return  # epoch already committed; retried micro-batch
         ordered = df.repartition(F.col("conv_id")).sortWithinPartitions(
             "sink", "conv_id", "turn_idx"
