@@ -136,20 +136,37 @@ def frame_sample_stub(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Vectorized expand: one np.repeat per batch for the row fan-out
+        # (no per-row iterrows — the real kernel must keep this shape:
+        # a decoder call per FRAME row, never a Python loop per video).
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                dur = r["duration_ms"] or 0
-                for off in range(0, int(dur), every_ms):
-                    # STUB: real impl decodes the frame at `off`.
-                    chunk = None
-                    if r["content"] is not None and len(r["content"]):
-                        i = (off // every_ms) % max(len(r["content"]), 1)
-                        chunk = bytes(r["content"][i : i + 16])
-                    rows.append(
-                        {"media_id": r["media_id"], "frame_ms": off, "content": chunk}
-                    )
-            yield pd.DataFrame(rows, columns=["media_id", "frame_ms", "content"])
+            durs = pdf["duration_ms"].fillna(0).astype(int).to_numpy()
+            n_frames = np.maximum((durs + every_ms - 1) // every_ms, 0)
+            idx = np.repeat(np.arange(len(pdf)), n_frames)
+            # per-frame offset: global arange minus each row's start
+            starts = np.repeat(
+                np.concatenate(([0], np.cumsum(n_frames)[:-1])), n_frames
+            )
+            frame_i = np.arange(len(idx)) - starts
+            contents = pdf["content"].to_numpy()
+
+            def chunk(row_i: int, fi: int):
+                # STUB: real impl decodes the frame at offset fi*every_ms.
+                b = contents[row_i]
+                if b is None or not len(b):
+                    return None
+                j = fi % max(len(b), 1)
+                return bytes(b[j : j + 16])
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy()[idx],
+                    "frame_ms": frame_i * every_ms,
+                    "content": [
+                        chunk(r, f) for r, f in zip(idx, frame_i)
+                    ],
+                }
+            )
 
     return media.filter("kind = 'video'").mapInPandas(run, schema=frame_schema)
 

@@ -1796,6 +1796,71 @@ def q_span_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------
+# 52. discovery match styles (discoveryreceiver/config.go:35,80-82):
+#     strict / regexp / expr status-match rules as predicates.
+# ---------------------------------------------------------------------
+@register(
+    "discovery_match_styles",
+    """
+    select event_id,
+           event_type = 'error' as m_strict,
+           regexp_matches(event_type, '^(click|view)$') as m_regexp,
+           (value > 5 and event_type = 'purchase') as m_expr
+    from events
+    """,
+)
+def q_discovery_match_styles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.discovery import match_predicate
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        match_predicate(F.col("event_type"), "strict", "error").alias("m_strict"),
+        match_predicate(
+            F.col("event_type"), "regexp", "^(click|view)$"
+        ).alias("m_regexp"),
+        match_predicate(
+            F.col("value"), "expr", "value > 5 AND event_type = 'purchase'"
+        ).alias("m_expr"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 53. discovery receiver-config embed (evaluator.go:131-148): the
+#     correlated receiver's config serialized + base64'd into the
+#     discovery.receiver.config resource attribute.  Pure Catalyst
+#     base64(to_json(struct)).
+# ---------------------------------------------------------------------
+@register(
+    "discovery_embed_config",
+    """
+    select event_id,
+           to_base64(encode(
+             '{"rule":"type == ' || event_type ||
+             '","config":{"endpoint":"svc-' || cast(user_id as varchar) ||
+             '","interval":10}}')) as receiver_config_b64
+    from events
+    """,
+)
+def q_discovery_embed_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.discovery import RECEIVER_CONFIG_ATTR, embed_receiver_config
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("type == "), F.col("event_type")).alias("rule"),
+        F.concat(F.lit("svc-"), F.col("user_id").cast("string")).alias(
+            "endpoint"
+        ),
+        F.lit(10).alias("interval"),
+    )
+    out = embed_receiver_config(ev, "rule", ["endpoint", "interval"])
+    return out.select(
+        "event_id", F.col(f"`{RECEIVER_CONFIG_ATTR}`").alias("receiver_config_b64")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

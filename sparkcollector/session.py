@@ -68,6 +68,8 @@ def get_spark(
     if master:
         builder = builder.master(master)
 
+    if shuffle_partitions is None and os.environ.get("SPARK_SHUFFLE_PARTITIONS"):
+        shuffle_partitions = int(os.environ["SPARK_SHUFFLE_PARTITIONS"])
     if shuffle_partitions is None:
         # Default: match parallelism at local scale; a real cluster run
         # overrides via --conf (AQE coalesces the excess anyway).
@@ -100,7 +102,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
-            str(ARROW_MAX_RECORDS_PER_BATCH),
+            os.environ.get(
+                "SPARK_ARROW_BATCH", str(ARROW_MAX_RECORDS_PER_BATCH)
+            ),
         )
         # Transcript text is wide; keep split sizes moderate so a scan
         # task's working set fits executor memory at 100 TB inputs.
