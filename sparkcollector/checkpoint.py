@@ -264,6 +264,36 @@ class SnapshotCatalog:
         self._commit(snaps)
         return snap
 
+    def expire_snapshots(self, older_than_id: int) -> int:
+        """Table maintenance (Iceberg ``expire_snapshots`` analog):
+        physically delete the data files of snapshots that are BOTH
+        superseded by a compaction AND at or below ``older_than_id``,
+        then drop them from the log.  Live (non-superseded) snapshots
+        are never touched — they ARE the table.  Time travel to expired
+        ids stops working, exactly like Iceberg's expiry contract.
+        Returns the number of snapshots expired.
+        """
+        import shutil
+
+        snaps = self.snapshots()
+        expired = [
+            s
+            for s in snaps
+            if "superseded_by" in s.metrics and s.snapshot_id <= older_than_id
+        ]
+        for s in expired:
+            if s.data_dir:
+                shutil.rmtree(s.data_dir, ignore_errors=True)
+            else:
+                for f in s.files:
+                    try:
+                        os.remove(f["path"])
+                    except OSError:
+                        pass
+        keep = [s for s in snaps if s not in expired]
+        self._commit(keep)
+        return len(expired)
+
     def has_epoch(self, epoch_id: int) -> bool:
         """True when a snapshot already records this streaming epoch —
         the foreachBatch retry-idempotency check."""

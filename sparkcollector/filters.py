@@ -194,3 +194,48 @@ def exclude_filter_set(filters: list[Column]) -> Column:
     for f in filters:
         dropped = dropped | f
     return ~dropped
+
+
+def metric_filter(
+    metric_names: list[str] | None = None,
+    dimensions: dict[str, list[str] | str] | None = None,
+    name_col: str = "metric",
+    monitor_type: str | None = None,
+    monitor_type_col: str = "monitor_type",
+    negated: bool = False,
+) -> Column:
+    """One ``MetricFilter`` (subtractive, applied right before send) as
+    a Column predicate — True where the datapoint MATCHES the filter
+    (i.e. would be dropped when used in an exclude set).
+
+    Semantics (core/config/filters.go:12-57, makeNewFilterSet:59-79):
+    a datapoint matches when its metric name matches the (overridable)
+    name list AND every dimension spec matches; ``negated`` inverts
+    that result but does NOT negate the ``monitorType`` scope, which
+    always restricts the filter to one monitor's datapoints.  Missing
+    pieces default to match-all (a dims-only or names-only filter is
+    valid).  Combine several with :func:`exclude_filter_set`.
+    """
+    matched = F.lit(True)
+    if metric_names:
+        matched = matched & overridable_string_filter(
+            F.col(name_col), list(metric_names)
+        )
+    if dimensions:
+        matched = matched & string_map_filter(dimensions)
+    if negated:
+        matched = ~matched
+    if monitor_type is not None:
+        matched = (F.col(monitor_type_col) == monitor_type) & matched
+    return matched
+
+
+def monitor_include_filter(
+    col: Column, included: list[str], extra: list[str] | None = None
+) -> Column:
+    """Monitor metric allowlist: keep a metric iff it is in the
+    monitor's default included set OR the user's ``extraMetrics``
+    (globs/negation in the overridable dialect).  The packaged form of
+    the include-filter the agent builds per monitor."""
+    items = list(included) + list(extra or [])
+    return overridable_string_filter(col, items)

@@ -330,3 +330,60 @@ def knn_join_exact(
             "rn",
         )
     )
+
+
+def knn_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+) -> DataFrame:
+    """The 100 TB k-NN join: IVF multi-assign the LEFT side to its
+    ``nprobe`` nearest cells, single-assign the RIGHT side, join ON
+    ``cluster`` — a plain shuffle join scoring only same-cell pairs
+    (O(|L|·|R|/cells·nprobe) comparisons, no broadcast of either fact
+    table), then rank per left row.  With the right table written
+    partitioned by ``cluster`` (Iceberg identity partition) each probe
+    is a partition-pruned read.  Approximate: a true neighbor outside
+    the probed cells is missed; recall is tunable via ``nprobe`` (and
+    equals 1 when ``nprobe == len(centroids)``).
+
+    Same output shape as :func:`knn_join_exact`.
+    """
+    from pyspark.sql.window import Window
+
+    l_assigned = ivf_assign_multi(
+        left.select(
+            F.col(left_id).alias("_lid"), F.col(vec_col).alias("_lvec")
+        ),
+        centroids,
+        nprobe=nprobe,
+        vec_col="_lvec",
+    )
+    r_assigned = ivf_assign(
+        right.select(
+            F.col(right_id).alias("_rid"), F.col(vec_col).alias("_rvec")
+        ),
+        centroids,
+        vec_col="_rvec",
+    )
+    scored = (
+        l_assigned.join(r_assigned, "cluster")
+        .withColumn("sim", F.round(cosine_sim(F.col("_lvec"), F.col("_rvec")), 4))
+        .dropDuplicates(["_lid", "_rid"])
+    )
+    w = Window.partitionBy("_lid").orderBy(F.col("sim").desc(), F.col("_rid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias("neighbor_id"),
+            "sim",
+            "rn",
+        )
+    )

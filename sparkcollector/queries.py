@@ -1861,6 +1861,46 @@ def q_discovery_embed_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------
+# 55. MetricFilter exclude set (core/config/filters.go:12-79): drop
+#     datapoints matching any subtractive filter — name list AND all
+#     dimension specs (overridable matchers), monitorType scoping.
+# ---------------------------------------------------------------------
+@register(
+    "metric_filter_exclude",
+    """
+    with dp as (
+      select event_id, event_type as metric,
+             case when user_id % 2 = 0 then 'prod' else 'dev' end as env,
+             case when event_id % 3 = 0 then 'cpu' else 'disk' end as monitor_type
+      from events)
+    select event_id, metric, env, monitor_type from dp
+    where not (metric in ('click', 'view') and env = 'prod')
+      and not (monitor_type = 'cpu' and metric like 'err%')
+    """,
+)
+def q_metric_filter_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dp = ev.select(
+        "event_id",
+        F.col("event_type").alias("metric"),
+        F.when(F.col("user_id") % 2 == 0, "prod").otherwise("dev").alias("env"),
+        F.when(F.col("event_id") % 3 == 0, "cpu").otherwise("disk").alias(
+            "monitor_type"
+        ),
+    )
+    keep = Fl.exclude_filter_set(
+        [
+            Fl.metric_filter(
+                metric_names=["click", "view"], dimensions={"env": "prod"}
+            ),
+            Fl.metric_filter(metric_names=["err*"], monitor_type="cpu"),
+        ]
+    )
+    return dp.filter(keep)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -191,3 +191,23 @@ def conversation_sessions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_dedup_once(
+    turns: DataFrame,
+    keys: list[str] | None = None,
+    watermark_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same record
+    across micro-batches.  ``dropDuplicates`` keeps one state entry
+    per key; the watermark bounds that state (a key older than the
+    watermark can be evicted because a duplicate that late would be
+    dropped by the watermark anyway) — the streaming twin of the batch
+    ``dedup_once`` entry and the at-scale answer to at-least-once
+    upstream delivery (the HEC exporter's retry queue semantics).
+    """
+    keys = keys or ["conv_id", "turn_idx"]
+    return turns.withWatermark(watermark_col, watermark).dropDuplicates(
+        keys + [watermark_col]
+    )

@@ -155,3 +155,21 @@ def test_incremental_read_returns_covered_watermark(spark, tmp_path):
     assert df.count() == 9
     df2, through2 = cat.incremental_read(spark, through)
     assert df2 is None and through2 == 2
+
+
+def test_expire_snapshots_removes_only_superseded(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "tbl"))
+    cat.append(spark.range(0, 10))
+    cat.append(spark.range(10, 30))
+    cat.compact(spark)  # snapshot 3 supersedes 1-2
+    cat.append(spark.range(30, 35))  # live snapshot 4
+
+    n = cat.expire_snapshots(older_than_id=2)
+    assert n == 2
+    # full read unaffected: live data = compaction + later appends
+    assert cat.read(spark).count() == 35
+    # expired snapshots are gone from the log (time travel broken there)
+    ids = {s.snapshot_id for s in cat.snapshots()}
+    assert ids == {3, 4}
+    # nothing live was deleted: incremental read still works
+    assert cat.read_since(spark, 3).count() == 5

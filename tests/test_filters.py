@@ -177,3 +177,54 @@ def test_basic_vs_overridable_divergence(spark):
 
     assert _matches(spark, basic_string_filter, ["!app"], ["x"]) == [True]
     assert _matches(spark, overridable_string_filter, ["!app"], ["x"]) == [False]
+
+
+def test_metric_filter_name_and_dims_conjunction(spark):
+    from sparkcollector.filters import exclude_filter_set, metric_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "cpu.util", "prod", "cpu"),
+            (2, "cpu.util", "dev", "cpu"),
+            (3, "disk.io", "prod", "disk"),
+            (4, "err_count", "prod", "cpu"),
+            (5, "err_count", "prod", "disk"),
+        ],
+        ["id", "metric", "env", "monitor_type"],
+    )
+    keep = exclude_filter_set(
+        [
+            # name AND all dims must match for the datapoint to drop
+            metric_filter(metric_names=["cpu.util"], dimensions={"env": "prod"}),
+            # monitorType scopes the filter; err_count on disk survives
+            metric_filter(metric_names=["err*"], monitor_type="cpu"),
+        ]
+    )
+    got = {r["id"] for r in df.filter(keep).collect()}
+    assert got == {2, 3, 5}
+
+
+def test_metric_filter_negated_does_not_negate_monitor_type(spark):
+    from sparkcollector.filters import metric_filter
+
+    df = spark.createDataFrame(
+        [(1, "a", "cpu"), (2, "b", "cpu"), (3, "a", "disk")],
+        ["id", "metric", "monitor_type"],
+    )
+    # negated: matches datapoints NOT named 'a' — but still only cpu ones
+    m = metric_filter(metric_names=["a"], monitor_type="cpu", negated=True)
+    got = {r["id"] for r in df.filter(m).collect()}
+    assert got == {2}
+
+
+def test_monitor_include_filter_allowlist_with_extras(spark):
+    from sparkcollector.filters import monitor_include_filter
+
+    df = spark.createDataFrame(
+        [("cpu.util",), ("cpu.steal",), ("disk.io",), ("net.rx",)], ["m"]
+    )
+    keep = monitor_include_filter(
+        F.col("m"), included=["cpu.util"], extra=["disk.*", "!cpu.steal"]
+    )
+    got = {r["m"] for r in df.filter(keep).collect()}
+    assert got == {"cpu.util", "disk.io"}

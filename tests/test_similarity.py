@@ -72,3 +72,40 @@ def test_knn_join_shape(emb):
     # nearest neighbor of each row is itself
     self_hits = [r for r in out if r["rn"] == 1]
     assert all(r["vec_id"] == r["neighbor_id"] for r in self_hits)
+
+
+def test_knn_join_bucketed_matches_exact_on_clustered_data(spark):
+    """On cluster-structured data (the regime IVF serves), the bucketed
+    k-NN join reproduces the exact join with nprobe=2 of 4 cells —
+    while scoring only same-cell pairs.  Random isotropic vectors are
+    the known worst case for IVF recall (verified separately: recall<1
+    at nprobe<k there), which is why the oracle-checked entry is the
+    exact join and this is the documented scale path."""
+    import numpy as np
+
+    from sparkcollector.operators.similarity import (
+        knn_join_bucketed,
+        knn_join_exact,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((4, 8)) * 4
+    rows = []
+    for i in range(160):
+        c = i % 4
+        v = centers[c] + rng.standard_normal(8) * 0.2
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(df, k=4, sample=160, iters=8)
+    left = df.filter("vec_id < 12")
+
+    exact = {
+        (r["vec_id"], r["rn"]): r["neighbor_id"]
+        for r in knn_join_exact(left, df, k=3).collect()
+    }
+    bucketed = {
+        (r["vec_id"], r["rn"]): r["neighbor_id"]
+        for r in knn_join_bucketed(left, df, cents, k=3, nprobe=2).collect()
+    }
+    assert bucketed == exact

@@ -95,3 +95,58 @@ def test_conversation_sessions_state(spark, stream_input, turns_pdf, tmp_path):
     for conv, (n, ne) in got.items():
         assert n == exp_turns[conv], conv
         assert ne == int(exp_errors[conv]), conv
+
+
+def test_stream_dedup_once_drops_cross_batch_duplicates(spark, tmp_path):
+    """Re-delivered (conv_id, turn_idx, ts) rows across micro-batches
+    are dropped by the stateful dedup (at-least-once upstream -> one
+    row downstream)."""
+    from datetime import datetime
+
+    from sparkcollector.schema import TRANSCRIPTS_SCHEMA
+    from sparkcollector.streaming.pipeline import stream_dedup_once
+
+    rows = [
+        ("c1", 0, "user", "hello", "none", datetime(2024, 1, 1, 0, 0, 0)),
+        ("c1", 1, "assistant", "hi", "none", datetime(2024, 1, 1, 0, 0, 5)),
+    ]
+    import glob as _glob
+    import shutil as _shutil
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def _drop_flat(df, name):
+        # the file stream source watches FLAT files; extract the part
+        # file from the directory a DataFrame write produces
+        d = tmp_path / f"_stage_{name}"
+        df.coalesce(1).write.parquet(str(d))
+        part = _glob.glob(str(d / "part-*.parquet"))[0]
+        _shutil.copy(part, src / f"{name}.parquet")
+
+    _drop_flat(spark.createDataFrame(rows, schema=TRANSCRIPTS_SCHEMA), "batch0")
+    # second file re-delivers row 0 plus one new row
+    dup_rows = [
+        rows[0],
+        ("c1", 2, "user", "more", "none", datetime(2024, 1, 1, 0, 0, 9)),
+    ]
+    _drop_flat(
+        spark.createDataFrame(dup_rows, schema=TRANSCRIPTS_SCHEMA), "batch1"
+    )
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")  # one file per micro-batch
+        .parquet(str(src))
+    )
+    out: list = []
+    q = (
+        stream_dedup_once(stream)
+        .writeStream.foreachBatch(lambda df, _eid: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["conv_id"], r["turn_idx"]) for r in out)
+    assert got == [("c1", 0), ("c1", 1), ("c1", 2)]
