@@ -1901,6 +1901,100 @@ def q_metric_filter_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp.filter(keep)
 
 
+
+# ---------------------------------------------------------------------
+# 56. discovery entity-state events (endpoint_tracker.go:114-129,
+#     255-293): per emit-interval, a `state` event for every live
+#     entity; a `delete` event when an entity stops appearing.  Batch
+#     formulation: 10-minute activity windows per endpoint; a gap (or
+#     end) in the window sequence emits the delete one interval after
+#     the last active window — pure window + lead(), one shuffle.
+# ---------------------------------------------------------------------
+@register(
+    "entity_state_events",
+    """
+    with w as (
+      select user_id as endpoint_id,
+             time_bucket(INTERVAL '10 minutes', ts) as ws,
+             count(*) as n
+      from events group by 1, 2),
+    d as (select *, lead(ws) over (partition by endpoint_id order by ws) as nxt
+          from w)
+    select endpoint_id, strftime(ws, '%Y-%m-%d %H:%M:%S') as event_ts,
+           'state' as event, n
+    from w
+    union all
+    select endpoint_id,
+           strftime(ws + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S'),
+           'delete', 0
+    from d where nxt is null or nxt > ws + INTERVAL '10 minutes'
+    """,
+)
+def q_entity_state_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        ev.groupBy(
+            F.col("user_id").alias("endpoint_id"),
+            F.window("ts", "10 minutes").start.alias("ws"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql.window import Window as W
+
+    d = w.withColumn(
+        "nxt", F.lead("ws").over(W.partitionBy("endpoint_id").orderBy("ws"))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    state = w.select(
+        "endpoint_id",
+        F.date_format("ws", fmt).alias("event_ts"),
+        F.lit("state").alias("event"),
+        "n",
+    )
+    gone = d.filter(
+        F.col("nxt").isNull()
+        | (F.col("nxt") > F.col("ws") + F.expr("INTERVAL 10 minutes"))
+    ).select(
+        "endpoint_id",
+        F.date_format(
+            F.col("ws") + F.expr("INTERVAL 10 minutes"), fmt
+        ).alias("event_ts"),
+        F.lit("delete").alias("event"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    return state.unionByName(gone)
+
+
+# ---------------------------------------------------------------------
+# 57. encoding/decode before parse (§2.3: the filelog receiver decodes
+#     bytes with the configured charset before the stanza parsers run).
+#     Round-trip through binary: encode(text) -> decode(bin, 'UTF-8')
+#     -> regex parse — pure Catalyst, proving the byte path feeds the
+#     parser unchanged.
+# ---------------------------------------------------------------------
+@register(
+    "encoding_decode_parse",
+    """
+    select event_id,
+           event_type || ':' || coalesce(props, '') as decoded,
+           coalesce(regexp_extract(event_type || ':' || coalesce(props, ''),
+                                   '"k": (\\d+)', 1), '') as k_str
+    from events
+    """,
+)
+def q_encoding_decode_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    raw = F.concat(
+        F.col("event_type"), F.lit(":"), F.coalesce(F.col("props"), F.lit(""))
+    )
+    decoded = F.decode(F.encode(raw, "UTF-8"), "UTF-8")
+    return ev.select(
+        "event_id",
+        decoded.alias("decoded"),
+        F.regexp_extract(decoded, r'"k": (\d+)', 1).alias("k_str"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
