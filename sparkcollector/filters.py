@@ -51,10 +51,20 @@ def _glob_to_regex(glob: str) -> str:
             out.append(".")
         elif c == "[":
             j = glob.find("]", i + 1)
-            if j == -1:
+            # fail soft on malformed classes (unclosed, empty "[]", or
+            # content that isn't a valid class): treat "[" as a literal
+            # — filters come from user config and must never produce an
+            # uncompilable predicate (property-tested).
+            cls = glob[i : j + 1] if j > i + 1 else None
+            if cls is not None:
+                try:
+                    re.compile(cls)
+                except re.error:
+                    cls = None
+            if cls is None:
                 out.append(re.escape(c))
             else:
-                out.append(glob[i : j + 1])
+                out.append(cls)
                 i = j
         elif c == "{":
             j = glob.find("}", i + 1)

@@ -309,3 +309,92 @@ def simhash_dup_candidates(
         .select(F.explode(_ordered_pairs(F.col("ids"))).alias("p"))
         .select("p.doc_a", "p.doc_b")
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Banded exact-match candidate generation: the 64-bit SimHash splits
+    into ``n_bands`` contiguous 16-bit bands; by pigeonhole, any pair
+    within Hamming distance ``n_bands - 1`` collides exactly on at
+    least one band, so grouping per band finds ALL such pairs without
+    a self-join (recall 1 for ``max_hamming <= n_bands - 1``).
+    Candidates are then verified with ``bit_count(a XOR b)`` — one
+    codegen expression.  Shuffle volume: ``n_bands`` rows of
+    (16-bit key, id, hash) per doc; pair expansion bounded by band
+    bucket sizes, same group-pairs shape as :func:`jaccard_pairs`.
+
+    Output: (doc_a, doc_b, hamming).
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banded candidates guarantee recall only for max_hamming <= "
+            f"{n_bands - 1} (n_bands - 1); got {max_hamming}"
+        )
+    bits_per_band = 64 // n_bands
+    h = df.select(
+        F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sh64")
+    )
+    bands = h.select(
+        "doc_id",
+        "sh64",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("sh64", b * bits_per_band)
+                        .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sh64", "bb.band", "bb.key")
+    cand = (
+        bands.groupBy("band", "key")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col("doc_id").alias("id"), F.col("sh64")))
+            ).alias("ids")
+        )
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_ordered_pairs_structs(F.col("ids"))).alias("p"))
+        .select(
+            F.col("p.a.id").alias("doc_a"),
+            F.col("p.a.sh64").alias("ha"),
+            F.col("p.b.id").alias("doc_b"),
+            F.col("p.b.sh64").alias("hb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _ordered_pairs_structs(items: Column) -> Column:
+    """All (a, b) element pairs with index a < index b from a sorted
+    struct array — generalization of :func:`_ordered_pairs` to carry
+    arbitrary struct payloads through the pair expansion."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(items) - 1),
+            lambda i: F.transform(
+                F.slice(items, i + 1, F.size(items) - i),
+                lambda x: F.struct(
+                    F.element_at(items, i).alias("a"), x.alias("b")
+                ),
+            ),
+        )
+    )

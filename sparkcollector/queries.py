@@ -1995,6 +1995,47 @@ def q_encoding_decode_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------
+# 58. corpus_clean — the composed training-data pipeline: quality
+#     filter (token-length band) -> exact dedup (md5 canonical-keep)
+#     -> per-surviving-doc stats.  One declarative plan: the quality
+#     predicate pushes into the scan, dedup is one hash-groupBy, stats
+#     are narrow expressions — the shape a 100 TB corpus-cleaning run
+#     takes end to end.
+# ---------------------------------------------------------------------
+@register(
+    "corpus_clean",
+    """
+    with q as (
+      select doc_id, text, lang, md5(text) as th
+      from documents
+      where len(string_split(text, ' ')) between 20 and 200),
+    keep as (select min(doc_id) as doc_id from q group by th)
+    select q.doc_id, q.lang,
+           len(string_split(q.text, ' ')) as n_tokens,
+           len(q.text) as n_chars
+    from q join keep on q.doc_id = keep.doc_id
+    """,
+)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    q = d.filter(F.size(toks).between(20, 200))
+    keep = q.groupBy(F.md5(F.col("text").cast("binary")).alias("th")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        q.join(keep.select("doc_id"), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+            F.length("text").alias("n_chars"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

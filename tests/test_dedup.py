@@ -106,3 +106,54 @@ def test_jaccard_df_cap_disabled_is_exact(spark):
     )
     out = jaccard_pairs(df, threshold=0.5, max_df=None).collect()
     assert out[0]["jaccard"] == 1.0
+
+
+def test_simhash_hamming_pairs_matches_bruteforce(spark):
+    """Banded candidate generation finds EXACTLY the pairs a brute-force
+    all-pairs bit_count(xor) scan finds, for max_hamming <= n_bands-1
+    (pigeonhole guarantee)."""
+    from sparkcollector.operators.dedup import simhash64, simhash_hamming_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = [
+        (1, base),
+        (2, base),                                   # identical -> hamming 0
+        (3, base.replace("lazy", "sleepy")),         # tiny edit
+        (4, base.replace("quick", "slow").replace("dog", "cat")),
+        (5, "completely different text about spark shuffles and parquet files"),
+        (6, "another unrelated document discussing iceberg snapshot logs"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(df, max_hamming=3, n_bands=4).collect()
+    }
+
+    # brute-force oracle: all pairs, bit_count(xor) <= 3
+    h = df.select("doc_id", simhash64(F.col("text")).alias("h"))
+    a = h.withColumnsRenamed({"doc_id": "doc_a", "h": "ha"})
+    b = h.withColumnsRenamed({"doc_id": "doc_b", "h": "hb"})
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["ham"]
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias("ham"),
+        )
+        .filter(F.col("ham") <= 3)
+        .collect()
+    }
+    assert got == brute
+    assert got[(1, 2)] == 0  # identical docs collide exactly
+
+
+def test_simhash_hamming_pairs_rejects_unguaranteed_distance(spark):
+    import pytest
+
+    from sparkcollector.operators.dedup import simhash_hamming_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="recall only for"):
+        simhash_hamming_pairs(df, max_hamming=4, n_bands=4)
