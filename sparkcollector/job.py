@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,22 +45,37 @@ def build_pipeline(
     use_pandas_udf: bool = True,
     order_partitions: int | None = None,
     sort_prefix: tuple[str, ...] = (),
+    prepartitioned: bool = False,
 ) -> DataFrame:
     """The logical plan: parsed, enriched, routed, deterministically
-    ordered turns (one DataFrame; Catalyst owns the physical plan)."""
+    ordered turns (one DataFrame; Catalyst owns the physical plan).
+
+    ``prepartitioned=True`` declares that the input scan already
+    delivers conversation-whole partitions — a bucketed table
+    (``CLUSTERED BY (conv_id)``, Iceberg's ``bucket(N, conv_id)``
+    write distribution).  That is the production layout at
+    10^12-turn scale: the table is written bucket-partitioned once,
+    and every downstream pipeline run is then a pure map job — scan →
+    parse → enrich → route → sortWithinPartitions → write, ZERO
+    exchanges — instead of re-shuffling 100 TB of text per run.  The
+    ordering guarantee is identical (hash(conv_id) % B task placement
+    either way); only who does the hashing changes (the writer, once,
+    vs every reader)."""
     parser = parse_turns if use_pandas_udf else parse_turns_builtin
-    # ONE exchange total: hash-repartition the NARROW input by conv_id
-    # up front.  This simultaneously (a) spreads a poorly-split small
-    # scan across every core for the CPU-bound parse, (b) shuffles the
-    # 6-column input instead of the post-parse/enrich wide rows, and
-    # (c) satisfies the explicit repartition(conv_id)-before-write
-    # requirement.  Parse/enrich/route are narrow ops after it, and the
-    # final ordering is a shuffle-free sortWithinPartitions.
-    spread = (
-        turns.repartition(order_partitions, F.col("conv_id"))
-        if order_partitions
-        else turns.repartition(F.col("conv_id"))
-    )
+    # ONE exchange total (ZERO when prepartitioned): hash-repartition
+    # the NARROW input by conv_id up front.  This simultaneously (a)
+    # spreads a poorly-split small scan across every core for the
+    # CPU-bound parse, (b) shuffles the 6-column input instead of the
+    # post-parse/enrich wide rows, and (c) satisfies the explicit
+    # repartition(conv_id)-before-write requirement.  Parse/enrich/
+    # route are narrow ops after it, and the final ordering is a
+    # shuffle-free sortWithinPartitions.
+    if prepartitioned:
+        spread = turns
+    elif order_partitions:
+        spread = turns.repartition(order_partitions, F.col("conv_id"))
+    else:
+        spread = turns.repartition(F.col("conv_id"))
     parsed = parser(spread)
     enriched = enrich_turns(parsed)
     routed = route(enriched, rules)
@@ -85,6 +101,8 @@ def run_pipeline(
     warmup: bool = False,
     input_table: str | None = None,
     resume_state: str | None = None,
+    bucketed_input: str | None = None,
+    buckets: int = 32,
     _limit: int | None = None,
 ) -> dict:
     """Execute the full job; returns phase metrics (turns/sec etc.).
@@ -121,7 +139,13 @@ def run_pipeline(
                 strategy=strategy,
                 warmup=False,
                 input_table=input_table,  # no resume_state: never advance it
-                _limit=20_000,
+                bucketed_input=bucketed_input,
+                buckets=buckets,
+                # Default 20k rows is enough to warm a thread-local JVM;
+                # fresh executor JVMs (local-cluster, pinned campaigns)
+                # need ~10x more before C2 has compiled the hot loops —
+                # the scaling harness raises it via env.
+                _limit=int(os.environ.get("SPARK_GRAFT_WARMUP_ROWS", "20000")),
             )
         finally:
             _shutil.rmtree(wdir, ignore_errors=True)
@@ -150,6 +174,25 @@ def run_pipeline(
                 "turns_per_sec": 0.0,
                 "resumed_from_snapshot": last_snap,
             }
+    elif bucketed_input:
+        # Production table layout: conv_id-bucketed (Iceberg
+        # bucket(B, conv_id) write distribution).  The scan itself
+        # delivers conversation-whole, hash-placed partitions, so the
+        # pipeline runs with ZERO exchanges — the decisive shape at
+        # 100 TB, where re-shuffling the text column per run is the
+        # single largest cost in the whole job.
+        from .synth import register_bucketed_table
+
+        # Without a downstream operator REQUIRING the hash
+        # distribution, Spark's auto-bucketed-scan silently falls back
+        # to a split-by-size scan — which can split a conversation
+        # across tasks.  Force one-task-per-bucket reads: the bucket
+        # placement IS the ordering guarantee here.
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        name = register_bucketed_table(spark, bucketed_input, buckets)
+        turns = spark.table(name)
     else:
         turns = spark.read.parquet(input_path)
     if _limit:
@@ -158,7 +201,11 @@ def run_pipeline(
     # write partitionBy("sink") — see repartition_sorted.sort_prefix.
     prefix = ("sink",) if (write and strategy == "partitioned") else ()
     routed = build_pipeline(
-        turns, rules, use_pandas_udf=use_pandas_udf, sort_prefix=prefix
+        turns,
+        rules,
+        use_pandas_udf=use_pandas_udf,
+        sort_prefix=prefix,
+        prepartitioned=bool(bucketed_input) and not _limit,
     )
 
     metrics: dict = {}
@@ -229,6 +276,13 @@ def main() -> None:
         "--input-table",
         help="SnapshotCatalog table dir (enables checkpointed resume)",
     )
+    g.add_argument(
+        "--input-bucketed",
+        help="conv_id-bucketed transcripts location (CLUSTERED BY "
+        "(conv_id), the Iceberg bucket-transform layout); the pipeline "
+        "then runs shuffle-free",
+    )
+    p.add_argument("--buckets", type=int, default=32)
     p.add_argument(
         "--resume-state",
         help="watermark file; with --input-table, only snapshots after "
@@ -256,6 +310,8 @@ def main() -> None:
         warmup=args.warmup,
         input_table=args.input_table,
         resume_state=args.resume_state,
+        bucketed_input=args.input_bucketed,
+        buckets=args.buckets,
     )
     print(json.dumps(metrics))
 

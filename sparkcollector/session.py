@@ -63,10 +63,21 @@ def get_spark(
     when explicitly asked or when no active session exists).
     """
     builder = SparkSession.builder.appName(app_name)
+    if master is None and os.environ.get("SPARK_GRAFT_MASTER"):
+        # Full master URL override — used by the scaling harness to run
+        # the N-vs-4N-executor campaigns under local-cluster[n,c,m]
+        # (real separate executor JVMs, the closest single-host proxy
+        # for two cluster sizes).
+        master = os.environ["SPARK_GRAFT_MASTER"]
     if master is None and os.environ.get("SPARK_GRAFT_CPUS"):
         master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
     if master:
         builder = builder.master(master)
+    if master and master.startswith("local-cluster["):
+        # Executor heap must match the per-executor memory in the
+        # master string (MiB), or the worker refuses the executor.
+        mem_mib = master[len("local-cluster[") : -1].split(",")[2].strip()
+        builder = builder.config("spark.executor.memory", f"{mem_mib}m")
 
     if shuffle_partitions is None and os.environ.get("SPARK_SHUFFLE_PARTITIONS"):
         shuffle_partitions = int(os.environ["SPARK_SHUFFLE_PARTITIONS"])

@@ -168,3 +168,44 @@ def write_parquet(path: str, n_turns: int, seed: int = 42) -> None:
         table.column("turn_idx").cast(pa.int32()),
     )
     pq.write_table(table, path)
+
+
+TRANSCRIPT_DDL_COLS = (
+    "conv_id STRING, turn_idx INT, role STRING, text STRING, "
+    "tool STRING, ts TIMESTAMP"
+)
+
+
+def register_bucketed_table(
+    spark, location: str, buckets: int = 32, name: str = "transcripts_bucketed"
+) -> str:
+    """(Re-)register a conv_id-bucketed external transcripts table.
+
+    The files at ``location`` must have been written bucketed (see
+    :func:`write_bucketed_table`); bucket ids live in the file names,
+    so re-declaring the table in a fresh session is metadata-only.
+    This is the sandbox stand-in for an Iceberg table with a
+    ``bucket(B, conv_id)`` partition transform — the production layout
+    that lets every pipeline run skip the conv_id shuffle.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} ({TRANSCRIPT_DDL_COLS}) USING parquet "
+        f"CLUSTERED BY (conv_id) INTO {buckets} BUCKETS "
+        f"LOCATION '{location}'"
+    )
+    return name
+
+
+def write_bucketed_table(
+    spark, flat_parquet: str, location: str, buckets: int = 32
+) -> str:
+    """Materialize the transcripts bucketed by conv_id (one-time cost,
+    amortized over every subsequent shuffle-free pipeline run)."""
+    name = register_bucketed_table(spark, location, buckets)
+    spark.read.parquet(flat_parquet).createOrReplaceTempView("_flat_turns")
+    spark.sql(
+        f"INSERT OVERWRITE TABLE {name} "
+        "SELECT conv_id, turn_idx, role, text, tool, ts FROM _flat_turns"
+    )
+    return name

@@ -169,3 +169,67 @@ def test_snapshot_resume_full_equals_incremental(spark, turns_df, tmp_path):
     resumed = build_pipeline(src.read_since(spark, 1))
     first = build_pipeline(src.read_since(spark, 0)).count()
     assert resumed.count() + half == first
+
+
+def test_bucketed_input_shuffle_free_pipeline(spark, turns_df, tmp_path):
+    """The production-layout path: a conv_id-bucketed input table
+    (Iceberg bucket-transform stand-in) runs the pipeline with ZERO
+    shuffle exchanges, yields identical per-sink counts and routed-row
+    sets, keeps every conversation whole inside one task partition,
+    and writes files physically ordered by (conv_id, turn_idx)."""
+    import glob
+    import re
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from sparkcollector.synth import write_bucketed_table
+
+    flat = turns_df.inputFiles()[0].replace("file:", "")
+    loc = str(tmp_path / "bucketed")
+    write_bucketed_table(spark, flat, loc, buckets=8)
+
+    # plan shape: no shuffle exchange anywhere (broadcasts are fine)
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    routed = build_pipeline(
+        spark.table("transcripts_bucketed"),
+        sort_prefix=("sink",),
+        prepartitioned=True,
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"Exchange (hash|range|SinglePartition|RoundRobin)", plan), plan
+
+    # conversation-wholeness straight off the scan
+    nparts = (
+        spark.table("transcripts_bucketed")
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("conv_id")
+        .agg(F.countDistinct("pid").alias("np"))
+        .agg(F.max("np"))
+        .collect()[0][0]
+    )
+    assert nparts == 1
+
+    m_flat = run_pipeline(spark, flat, str(tmp_path / "out_flat"))
+    m_bkt = run_pipeline(
+        spark, None, str(tmp_path / "out_bkt"), bucketed_input=loc, buckets=8
+    )
+    for k in ("turns", "sink_metrics_rows", "sink_events_rows", "sink_traces_rows"):
+        assert m_bkt[k] == m_flat[k], k
+
+    files = glob.glob(
+        str(tmp_path / "out_bkt" / "routed" / "data-*" / "sink=*" / "*.parquet")
+    )
+    assert files
+    for f in files:
+        t = pq.read_table(f, columns=["conv_id", "turn_idx"]).to_pandas()
+        key = list(zip(t.conv_id, t.turn_idx))
+        assert key == sorted(key), f
+
+    # routed-row set equality between the two layouts
+    a = spark.read.parquet(str(tmp_path / "out_flat" / "routed" / "data-*"))
+    b = spark.read.parquet(str(tmp_path / "out_bkt" / "routed" / "data-*"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
