@@ -69,11 +69,40 @@ def spark_submit_bin() -> str:
     return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
 
 
-def run_once(zip_path: str, data: str, out_dir: str, cpus: int) -> dict:
+def ensure_bucketed(flat: str, buckets: int = 32) -> str:
+    """Materialize the conv_id-bucketed layout once (the production
+    Iceberg bucket-transform stand-in; pipeline then runs shuffle-free)."""
+    loc = flat.replace(".parquet", "_bucketed")
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        sys.path.insert(0, REPO)
+        from sparkcollector.session import get_spark
+        from sparkcollector.synth import write_bucketed_table
+
+        spark = get_spark(master="local[16]", app_name="bucketize")
+        write_bucketed_table(spark, flat, loc, buckets=buckets)
+        spark.stop()
+    return loc
+
+
+def run_once(
+    zip_path: str,
+    data: str,
+    out_dir: str,
+    cpus: int,
+    layout: str = "flat",
+    pin: bool = False,
+) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)  # get_spark -> local[cpus], shuffle=cpus
     env.pop("SPARK_GRAFT_SF_DIR", None)
-    cmd = [
+    env.setdefault("SPARK_GRAFT_WARMUP_ROWS", "200000")
+    cmd = []
+    if pin:
+        # cgroup-faithful core budget: an N-core executor on a real
+        # cluster is cpu-limited, and its JVM sizes thread pools from
+        # the cgroup quota -- taskset + ActiveProcessorCount model both.
+        cmd += ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"]
+    cmd += [
         spark_submit_bin(),
         # NB: must be on the submit command line — the driver JVM heap
         # is fixed before user code runs, so SparkSession.builder's
@@ -82,13 +111,15 @@ def run_once(zip_path: str, data: str, out_dir: str, cpus: int) -> dict:
         os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
         "--py-files",
         zip_path,
-        os.path.join(REPO, "BENCH", "job_submit.py"),
-        "--input",
-        data,
-        "--out",
-        out_dir,
-        "--warmup",
     ]
+    if pin:
+        cmd += ["--conf", f"spark.driver.extraJavaOptions=-XX:ActiveProcessorCount={cpus}"]
+    cmd += [os.path.join(REPO, "BENCH", "job_submit.py")]
+    if layout == "bucketed":
+        cmd += ["--input-bucketed", data]
+    else:
+        cmd += ["--input", data]
+    cmd += ["--out", out_dir, "--warmup"]
     p = subprocess.run(
         cmd, capture_output=True, text=True, env=env, cwd=REPO, timeout=1800
     )
@@ -112,10 +143,28 @@ def main() -> None:
         default=[32],
         help="additional parallelism levels reported as saturation evidence",
     )
+    ap.add_argument(
+        "--layout",
+        choices=["flat", "bucketed"],
+        default="flat",
+        help="bucketed = conv_id-bucketed input table, shuffle-free pipeline",
+    )
+    ap.add_argument(
+        "--pin",
+        action="store_true",
+        help="taskset each config to its nominal core budget + "
+        "-XX:ActiveProcessorCount (cgroup-faithful N-core-executor proxy)",
+    )
+    ap.add_argument("--tag", default="", help="suffix for the output JSON name")
+    ap.add_argument(
+        "--no-md", action="store_true", help="skip rewriting BENCH/BASELINE.md"
+    )
     args = ap.parse_args()
 
     zip_path = ensure_zip()
     data = ensure_data(args.turns)
+    if args.layout == "bucketed":
+        data = ensure_bucketed(data)
 
     # Interleave configs across reps so slow drifts of the shared host
     # hit every config equally; keep the best rep per config.
@@ -124,7 +173,7 @@ def main() -> None:
     for rep in range(args.reps):
         for cpus in configs:
             out = os.path.join(DATA_DIR, f"out_c{cpus}_r{rep}_{int(time.time())}")
-            m = run_once(zip_path, data, out, cpus)
+            m = run_once(zip_path, data, out, cpus, layout=args.layout, pin=args.pin)
             print(f"local[{cpus}] rep{rep}: {m}", file=sys.stderr)
             if cpus not in results or m["turns_per_sec"] > results[cpus]["turns_per_sec"]:
                 results[cpus] = m
@@ -135,6 +184,8 @@ def main() -> None:
     eff = (tp_4n / tp_n) / (args.large / args.small)
     summary = {
         "turns": args.turns,
+        "layout": args.layout,
+        "pinned": args.pin,
         "small_cpus": args.small,
         "large_cpus": args.large,
         "turns_per_sec_small": tp_n,
@@ -146,11 +197,14 @@ def main() -> None:
         },
         "detail": {str(k): v for k, v in results.items()},
     }
-    out_path = os.path.join(REPO, "BENCH", "scaling_r1.json")
+    name = f"scaling{('_' + args.tag) if args.tag else ''}.json"
+    out_path = os.path.join(REPO, "BENCH", name)
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
 
+    if args.no_md:
+        return
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(md, "w") as f:
         f.write(

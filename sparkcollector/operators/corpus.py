@@ -1,0 +1,167 @@
+"""Training-corpus curation operators.
+
+The reference pipeline ends at telemetry sinks; a 100 TB transcript /
+document corpus feeding model training needs four more first-class
+operations, built here Catalyst-first:
+
+* :func:`decontaminate` — remove training documents that overlap a
+  held-out benchmark set (n-gram collision ratio), the standard
+  test-set decontamination pass.
+* :func:`repetition_stats` — Gopher-style repetition quality signals
+  (duplicate-word ratio, most-frequent-n-gram mass) used to drop
+  degenerate/boilerplate text.
+* :func:`stratified_sample` — deterministic per-stratum subsampling
+  (domain/source rebalancing) via portable md5 bucketing: the same
+  row set is kept on ANY engine, any cluster size, any run.
+* :func:`chunk_text` — fixed-size overlapping word-window chunking
+  (RAG / pretraining block prep) as a generator expression, no UDF.
+
+Scale notes (10^9-document corpora):
+
+* decontaminate is a distinct-gram left-semi/anti pattern: both sides
+  are projected to (doc_id, gram) DISTINCT before the join, so a hot
+  gram contributes one row per document, never a cross product.  The
+  benchmark side is typically tiny (thousands of docs) — AQE will
+  broadcast it at runtime; no forced hint, same policy as the dedup
+  tier.
+* repetition_stats shuffles (doc_id, gram) pairs once; both aggregates
+  are partial-aggregated map-side.
+* stratified_sample and chunk_text are pure map ops — zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (array HOFs, no UDF)."""
+    if n == 1:
+        return words
+    # transform over start indices 0..len-n (1-based slice below)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop training docs whose distinct word-``n``-gram overlap with
+    the benchmark corpus exceeds ``threshold``.
+
+    Returns the KEPT training rows as
+    ``(doc_id, n_grams, n_contaminated, contamination)`` — callers
+    join back on ``doc_id`` for the full record (cheaper than carrying
+    text through the gram shuffle).
+    """
+    def grams_of(df: DataFrame) -> DataFrame:
+        words = F.split(F.col(text_col), " ")
+        return (
+            df.select(F.col(id_col), F.explode(_word_ngrams(words, n)).alias("gram"))
+            .distinct()
+        )
+
+    tg = grams_of(train)
+    bench_grams = grams_of(benchmark).select("gram").distinct()
+    flagged = (
+        tg.join(bench_grams, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    per_doc = tg.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    scored = per_doc.join(flagged, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+    )
+    contamination = F.col("n_contaminated") / F.col("n_grams")
+    return scored.withColumn(
+        "contamination", F.round(contamination, 6)
+    ).filter(contamination <= threshold)
+
+
+def repetition_stats(
+    df: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    * ``dup_word_ratio`` — 1 - distinct(words)/len(words)
+    * ``top_ngram_frac`` — occurrences of the most frequent word
+      ``n``-gram over total n-grams (boilerplate detector)
+
+    One (doc_id, gram) shuffle; word stats ride along map-side.
+    """
+    words = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        F.explode(_word_ngrams(words, n)).alias("gram"),
+    )
+    per_gram = base.groupBy(id_col, "n_words", "n_distinct", "gram").agg(
+        F.count("*").alias("c")
+    )
+    return per_gram.groupBy(id_col, "n_words", "n_distinct").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("total_c")
+    ).select(
+        id_col,
+        F.round(1 - F.col("n_distinct") / F.col("n_words"), 6).alias(
+            "dup_word_ratio"
+        ),
+        F.round(F.col("top_c") / F.col("total_c"), 6).alias("top_ngram_frac"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum subsampling: keep a row iff its md5
+    bucket (portable across engines) falls under its stratum's rate.
+    The domain-rebalancing pass of a corpus pipeline — e.g. keep 10%
+    of a dominant crawl source, 100% of books."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % buckets
+    )
+    rate = F.lit(default_rate)
+    for stratum, r in rates.items():
+        rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
+    return df.filter(bucket < rate * buckets)
+
+
+def chunk_text(
+    df: DataFrame,
+    size: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping word-window chunks: offsets 0, stride, 2*stride …
+    while < n_words; each chunk is ``size`` words (shorter at the
+    tail).  Pure generator expression — a map op with zero shuffles,
+    the RAG/pretraining block-prep shape."""
+    words = F.split(F.col(text_col), " ")
+    offsets = F.sequence(F.lit(0), F.size(words) - 1, F.lit(stride))
+    chunk = F.transform(
+        offsets,
+        lambda off, i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(F.slice(words, off + 1, size), " ").alias("chunk"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(chunk).alias("c")
+    ).select(id_col, F.col("c.chunk_idx"), F.col("c.chunk"))

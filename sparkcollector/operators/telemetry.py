@@ -452,3 +452,28 @@ def trace_batch_by_ip(
             "batch_size long, batch_index long"
         ),
     )
+
+
+def drop_monitor_id_dim(
+    df: DataFrame, dims_col: str = "dims", meta_col: str = "meta"
+) -> DataFrame:
+    """k8s/monitorID cardinality hygiene: delete the ``monitorID``
+    dimension when it duplicates the datapoint's meta value
+    (smartagentreceiver/converter/metrics.go:77-84 — receiver-creator
+    endpoint IDs would otherwise explode dimension cardinality).
+
+    Pure Catalyst ``map_filter``; rows where dims lacks monitorID or
+    the values differ are untouched.
+    """
+    dims, meta = F.col(dims_col), F.col(meta_col)
+    cleaned = F.map_filter(
+        dims,
+        lambda k, v: ~((k == F.lit("monitorID")) & (v == meta["monitorID"])),
+    )
+    # map_filter's lambda sees NULL meta['monitorID'] as NULL (not
+    # true) which would DROP the dim — only apply the filter when the
+    # meta key is actually set, per the reference's metaSet guard.
+    return df.withColumn(
+        dims_col,
+        F.when(meta["monitorID"].isNotNull(), cleaned).otherwise(dims),
+    )

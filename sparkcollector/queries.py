@@ -2036,6 +2036,140 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 60. monitorID dimension hygiene (§2.5, converter/metrics.go:77-84):
+#     drop the monitorID dim iff it duplicates the datapoint's meta
+#     value.  dims/meta maps are synthesized from event columns; the
+#     oracle states the same conditional drop in scalar form.
+# ---------------------------------------------------------------------
+@register(
+    "monitor_id_hygiene",
+    """
+    select event_id,
+           case when value > 300 then null
+                else cast(user_id as varchar) end as kept_monitor_id,
+           case when value > 300 then 1 else 2 end as n_dims
+    from events
+    """,
+)
+def q_monitor_id_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import drop_monitor_id_dim
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    # meta carries monitorID equal to the dim for value>300 (drop),
+    # a different id for 100<value<=300 (keep), unset otherwise (keep).
+    with_maps = ev.select(
+        "event_id",
+        F.create_map(
+            F.lit("monitorID"), uid, F.lit("kind"), F.col("event_type")
+        ).alias("dims"),
+        F.create_map(
+            F.lit("monitorID"),
+            F.when(F.col("value") > 300, uid).otherwise(
+                F.when(F.col("value") > 100, F.concat(uid, F.lit("-x")))
+            ),
+        ).alias("meta"),
+    )
+    cleaned = drop_monitor_id_dim(with_maps)
+    return cleaned.select(
+        "event_id",
+        F.col("dims")["monitorID"].alias("kept_monitor_id"),
+        F.size("dims").alias("n_dims"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 61-64. training-corpus curation tier (operators/corpus.py):
+#     decontamination, repetition quality, stratified subsampling,
+#     overlapping chunking.
+# ---------------------------------------------------------------------
+@register(
+    "decontaminate_benchmark",
+    """
+    with d as (select doc_id, string_split(text, ' ') as w from documents),
+    g as (select doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                for i in range(1, len(w) - 1)]) as sh
+          from d where len(w) >= 3),
+    e as (select doc_id, unnest(sh) as gram from g),
+    bench as (select distinct gram from e where doc_id % 17 = 0),
+    tg as (select * from e where doc_id % 17 <> 0),
+    flag as (select doc_id, count(*) as nc
+             from tg join bench using (gram) group by 1),
+    tot as (select doc_id, count(*) as ng from tg group by 1)
+    select t.doc_id, t.ng as n_grams,
+           coalesce(f.nc, 0) as n_contaminated,
+           round(cast(coalesce(f.nc, 0) as double) / t.ng, 6) as contamination
+    from tot t left join flag f using (doc_id)
+    where cast(coalesce(f.nc, 0) as double) / t.ng <= 0.5
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    train = d.filter(F.col("doc_id") % 17 != 0)
+    return decontaminate(train, bench, n=3, threshold=0.5)
+
+
+@register(
+    "repetition_quality",
+    """
+    with d as (select doc_id, string_split(text, ' ') as w from documents),
+    base as (select doc_id, len(w) as nw, len(list_distinct(w)) as nd,
+                    unnest([w[i] || ' ' || w[i+1]
+                            for i in range(1, len(w))]) as gram
+             from d where len(w) >= 2),
+    pg as (select doc_id, nw, nd, gram, count(*) as c
+           from base group by 1, 2, 3, 4)
+    select doc_id,
+           round(1 - cast(nd as double) / nw, 6) as dup_word_ratio,
+           round(cast(max(c) as double) / sum(c), 6) as top_ngram_frac
+    from pg group by doc_id, nw, nd
+    """,
+)
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), n=2)
+
+
+@register(
+    "stratified_sample",
+    """
+    select doc_id, source, lang from documents
+    where cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8)) as bigint)
+          % 10000
+          < 10000 * (case source when 'src0' then 0.25
+                                 when 'src1' then 0.5 else 0.9 end)
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, {"src0": 0.25, "src1": 0.5}, default_rate=0.9
+    ).select("doc_id", "source", "lang")
+
+
+@register(
+    "chunk_overlap",
+    """
+    with d as (select doc_id, string_split(text, ' ') as w from documents)
+    select doc_id, i as chunk_idx,
+           array_to_string(w[i*12 + 1 : i*12 + 16], ' ') as chunk
+    from d cross join unnest(range(0, cast(ceil(len(w) / 12.0) as int))) as t(i)
+    """,
+)
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import chunk_text
+
+    return chunk_text(_t(spark, sf_dir, "documents"), size=16, stride=12)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

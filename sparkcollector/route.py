@@ -161,3 +161,55 @@ def write_sinks(
     finally:
         routed.unpersist()
     return paths
+
+
+@dataclass(frozen=True)
+class ExporterDecl:
+    """A registered exporter as the pipeline config sees it: its
+    instance name (``signalfx``, ``signalfx/east`` …), its type, and
+    whether it can accept metadata (dimension) updates."""
+
+    name: str
+    type: str
+    accepts_metadata: bool = False
+
+
+def select_metadata_exporters(
+    registered: list[ExporterDecl],
+    dimension_clients: list[str] | None = None,
+    next_consumer: str | None = None,
+) -> list[str]:
+    """Which exporters receive dimension/metadata updates.
+
+    Reference semantics (smartagentreceiver/output.go:96-184,
+    getMetadataExporters + getLoneSFxExporter):
+
+    * ``dimension_clients`` unspecified (None) → default to the next
+      metrics consumer in the pipeline iff it accepts metadata;
+    * specified → match each named client against registered metric
+      exporters, keeping only metadata-capable matches (unknown names
+      are skipped);
+    * still empty AND clients were unspecified → fall back to the LONE
+      ``signalfx``-type exporter; two or more signalfx exporters means
+      there is no unambiguous default, so none is chosen.
+
+    In this engine the returned names key the dimension-update side
+    channel (enrich.dimension_update_merge): they select which SCD
+    MERGE tables the update stream fans out to.
+    """
+    by_name = {e.name: e for e in registered}
+    if dimension_clients is None:
+        if next_consumer is not None:
+            nxt = by_name.get(next_consumer)
+            if nxt is not None and nxt.accepts_metadata:
+                return [nxt.name]
+        sfx = [e for e in registered if e.type == "signalfx"]
+        if len(sfx) == 1 and sfx[0].accepts_metadata:
+            return [sfx[0].name]
+        return []
+    clients = [
+        by_name[c].name
+        for c in dimension_clients
+        if c in by_name and by_name[c].accepts_metadata
+    ]
+    return clients

@@ -66,3 +66,63 @@ def test_write_sinks_fanout_vs_partitioned_equal_counts(spark, turns_df, tmp_pat
         n_part = spark.read.parquet(p2[s]).count()
         assert n_fan == n_part, s
     assert sum(spark.read.parquet(p1[s]).count() for s in p1) == turns_df.count()
+
+
+class TestMetadataExporterSelection:
+    """Transcribed from smartagentreceiver/output_test.go:172-300
+    (invalid exporter, config-named clients, next-consumer default,
+    lone-signalfx default and its two-instance disqualification)."""
+
+    def _reg(self):
+        from sparkcollector.route import ExporterDecl
+
+        return [
+            ExporterDecl("signalfx", "signalfx", accepts_metadata=True),
+            ExporterDecl("otlp", "otlp", accepts_metadata=False),
+            ExporterDecl("splunk_hec", "splunk_hec", accepts_metadata=False),
+        ]
+
+    def test_invalid_named_client_is_skipped(self):
+        from sparkcollector.route import select_metadata_exporters
+
+        assert select_metadata_exporters(self._reg(), ["nonexistent"]) == []
+
+    def test_config_named_clients_match(self):
+        from sparkcollector.route import select_metadata_exporters
+
+        got = select_metadata_exporters(
+            self._reg(), ["signalfx", "otlp", "missing"]
+        )
+        # otlp matches by name but is not metadata-capable
+        assert got == ["signalfx"]
+
+    def test_next_consumer_default_when_unspecified(self):
+        from sparkcollector.route import ExporterDecl, select_metadata_exporters
+
+        reg = self._reg() + [
+            ExporterDecl("signalfx/east", "signalfx", accepts_metadata=True)
+        ]
+        # two sfx exporters, but the next consumer wins outright
+        got = select_metadata_exporters(
+            reg, None, next_consumer="signalfx/east"
+        )
+        assert got == ["signalfx/east"]
+
+    def test_lone_sfx_default(self):
+        from sparkcollector.route import select_metadata_exporters
+
+        assert select_metadata_exporters(self._reg(), None) == ["signalfx"]
+
+    def test_two_sfx_disqualifies_default(self):
+        from sparkcollector.route import ExporterDecl, select_metadata_exporters
+
+        reg = self._reg() + [
+            ExporterDecl("signalfx/east", "signalfx", accepts_metadata=True)
+        ]
+        assert select_metadata_exporters(reg, None) == []
+
+    def test_specified_clients_never_fall_back(self):
+        from sparkcollector.route import select_metadata_exporters
+
+        # explicit-but-unmatched list must NOT default to the lone sfx
+        assert select_metadata_exporters(self._reg(), ["missing"]) == []

@@ -163,3 +163,31 @@ def test_trace_batch_by_ip_batches(spark):
     assert out[20]["batch_size"] == 2 and out[20]["batch_index"] == 1
     assert out[5]["batch_size"] == 1 and out[5]["batch_index"] == 0
     assert out[10]["translated_name"] == "1.1.1.1/post /b"
+
+
+def test_drop_monitor_id_dim(spark):
+    """converter/metrics.go:77-84: delete dims.monitorID iff it equals
+    meta.monitorID; unset meta or differing values leave dims alone."""
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.telemetry import drop_monitor_id_dim
+
+    rows = [
+        ("dup", {"monitorID": "m1", "k": "v"}, {"monitorID": "m1"}),
+        ("diff", {"monitorID": "m1"}, {"monitorID": "m2"}),
+        ("nometa", {"monitorID": "m1"}, {}),
+        ("nodim", {"k": "v"}, {"monitorID": "m1"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, dims map<string,string>, meta map<string,string>"
+    )
+    out = {
+        r["id"]: r["d"]
+        for r in drop_monitor_id_dim(df)
+        .select("id", F.col("dims").alias("d"))
+        .collect()
+    }
+    assert out["dup"] == {"k": "v"}
+    assert out["diff"] == {"monitorID": "m1"}
+    assert out["nometa"] == {"monitorID": "m1"}
+    assert out["nodim"] == {"k": "v"}
