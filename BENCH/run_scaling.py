@@ -72,7 +72,7 @@ def spark_submit_bin() -> str:
 def ensure_bucketed(flat: str, buckets: int = 32) -> str:
     """Materialize the conv_id-bucketed layout once (the production
     Iceberg bucket-transform stand-in; pipeline then runs shuffle-free)."""
-    loc = flat.replace(".parquet", "_bucketed")
+    loc = flat.replace(".parquet", f"_bucketed{buckets}" if buckets != 32 else "_bucketed")
     if not os.path.exists(os.path.join(loc, "_SUCCESS")):
         sys.path.insert(0, REPO)
         from sparkcollector.session import get_spark
@@ -91,6 +91,7 @@ def run_once(
     cpus: int,
     layout: str = "flat",
     pin: bool = False,
+    buckets: int = 32,
 ) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)  # get_spark -> local[cpus], shuffle=cpus
@@ -116,7 +117,7 @@ def run_once(
         cmd += ["--conf", f"spark.driver.extraJavaOptions=-XX:ActiveProcessorCount={cpus}"]
     cmd += [os.path.join(REPO, "BENCH", "job_submit.py")]
     if layout == "bucketed":
-        cmd += ["--input-bucketed", data]
+        cmd += ["--input-bucketed", data, "--buckets", str(buckets)]
     else:
         cmd += ["--input", data]
     cmd += ["--out", out_dir, "--warmup"]
@@ -156,6 +157,7 @@ def main() -> None:
         "-XX:ActiveProcessorCount (cgroup-faithful N-core-executor proxy)",
     )
     ap.add_argument("--tag", default="", help="suffix for the output JSON name")
+    ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument(
         "--no-md", action="store_true", help="skip rewriting BENCH/BASELINE.md"
     )
@@ -164,7 +166,7 @@ def main() -> None:
     zip_path = ensure_zip()
     data = ensure_data(args.turns)
     if args.layout == "bucketed":
-        data = ensure_bucketed(data)
+        data = ensure_bucketed(data, buckets=args.buckets)
 
     # Interleave configs across reps so slow drifts of the shared host
     # hit every config equally; keep the best rep per config.
@@ -173,7 +175,10 @@ def main() -> None:
     for rep in range(args.reps):
         for cpus in configs:
             out = os.path.join(DATA_DIR, f"out_c{cpus}_r{rep}_{int(time.time())}")
-            m = run_once(zip_path, data, out, cpus, layout=args.layout, pin=args.pin)
+            m = run_once(
+                zip_path, data, out, cpus,
+                layout=args.layout, pin=args.pin, buckets=args.buckets,
+            )
             print(f"local[{cpus}] rep{rep}: {m}", file=sys.stderr)
             if cpus not in results or m["turns_per_sec"] > results[cpus]["turns_per_sec"]:
                 results[cpus] = m

@@ -203,6 +203,71 @@ def main() -> None:
         spark=spark,
     )
 
+    # --- bucketed-input pipeline: the production layout must be a
+    # pure map job (zero shuffle exchanges; broadcasts only) ---------
+    import tempfile
+
+    from sparkcollector.synth import write_bucketed_table, write_parquet
+
+    tmpd = tempfile.mkdtemp(prefix="audit-bucketed-")
+    write_parquet(f"{tmpd}/flat.parquet", 20_000, seed=3)
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    write_bucketed_table(spark, f"{tmpd}/flat.parquet", f"{tmpd}/bucketed", 8)
+    all_ok &= audit(
+        "bucketed_pipeline_shuffle_free",
+        lambda: build_pipeline(
+            spark.table("transcripts_bucketed"),
+            sort_prefix=("sink",),
+            prepartitioned=True,
+        ),
+        [
+            ("ZERO shuffle exchanges (pure map job)",
+             lambda p: not re.search(
+                 r"Exchange (hash|range|SinglePartition|RoundRobin)", p)),
+            ("broadcast enrich still present",
+             lambda p: "BroadcastHashJoin" in p),
+        ],
+        out,
+        "conv_id-bucketed input (Iceberg bucket-transform layout): the "
+        "scan delivers conversation-whole hash-placed partitions, so "
+        "nothing downstream needs a shuffle.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "decontaminate",
+        lambda: queries()["decontaminate_benchmark"](spark, SF_DIR),
+        [
+            ("semi join on grams", lambda p: "LeftSemi" in p),
+            ("no cartesian/broadcast-nested-loop",
+             lambda p: "CartesianProduct" not in p
+             and "BroadcastNestedLoopJoin" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "chunk_overlap_map_only",
+        lambda: queries()["chunk_overlap"](spark, SF_DIR),
+        [
+            ("zero exchanges (generator expression, no UDF)",
+             lambda p: "Exchange" not in p and "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "stratified_sample_pushdown",
+        lambda: queries()["stratified_sample"](spark, SF_DIR),
+        [
+            ("zero exchanges (deterministic hash filter)",
+             lambda p: "Exchange" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"
