@@ -15,6 +15,9 @@ operations, built here Catalyst-first:
   row set is kept on ANY engine, any cluster size, any run.
 * :func:`chunk_text` — fixed-size overlapping word-window chunking
   (RAG / pretraining block prep) as a generator expression, no UDF.
+* :func:`vocabulary` — top-k vocabulary induction (occurrence + doc
+  frequency) without a distinct-expand.
+* :func:`tfidf_top_terms` — per-document TF-IDF keyword extraction.
 
 Scale notes (10^9-document corpora):
 
@@ -140,6 +143,87 @@ def stratified_sample(
     for stratum, r in rates.items():
         rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
     return df.filter(bucket < rate * buckets)
+
+
+def vocabulary(
+    df: DataFrame,
+    top_k: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary induction: the ``top_k`` words by total
+    occurrence count, with document frequency — the first pass of any
+    tokenizer/vocab build over a training corpus.
+
+    Returns ``(word, n_occurrences, n_docs)`` ordered by count desc,
+    word asc (deterministic tie-break).
+
+    Scale: per-doc term counts first (shuffle keyed on
+    ``(doc_id, word)``, partial-aggregated map-side), THEN the global
+    roll-up on ``word`` — doc frequency is a plain ``count(*)`` over
+    that intermediate, avoiding the distinct-expand a
+    ``count_distinct(doc_id)`` would plan.  The final top-k is
+    ``TakeOrdered`` (heap per partition + driver merge), never a full
+    sort of the vocabulary.
+    """
+    words = F.split(F.col(text_col), " ")
+    per_doc = (
+        df.select(F.col(id_col), F.explode(words).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_doc.groupBy("word")
+        .agg(F.sum("c").alias("n_occurrences"), F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_occurrences"), "word")
+        .limit(top_k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` keywords by TF-IDF
+    (``tf * ln(N / df)``) — the classic keyword-extraction /
+    relevance-weighting pass.
+
+    Returns ``(doc_id, word, score, rank)`` with ``rank`` 1..k by
+    score desc, word asc (deterministic tie-break); words that appear
+    in EVERY document score 0 and still rank (ln(N/N)=0), matching the
+    textbook formula.
+
+    Scale: three keyed shuffles — ``(doc_id, word)`` term counts,
+    ``word`` doc-frequency roll-up, ``doc_id`` window rank — all
+    partial-aggregated or single-key; the corpus size ``N`` is a 1-row
+    aggregate (AQE broadcasts it).  No UDF anywhere.
+    """
+    words = F.split(F.col(text_col), " ")
+    tf = (
+        df.select(F.col(id_col), F.explode(words).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    docfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    from pyspark.sql.window import Window
+
+    scored = (
+        tf.join(docfreq, "word")
+        .crossJoin(n_docs)
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "word", "score", "rank")
+    )
 
 
 def chunk_text(

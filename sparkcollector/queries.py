@@ -2170,6 +2170,82 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_text(_t(spark, sf_dir, "documents"), size=16, stride=12)
 
 
+@register(
+    "vocab_topk",
+    """
+    with w as (select doc_id, unnest(string_split(text, ' ')) as word
+               from documents),
+    dw as (select doc_id, word, count(*) as c from w group by 1, 2)
+    select word, cast(sum(c) as bigint) as n_occurrences,
+           count(*) as n_docs
+    from dw group by word
+    order by n_occurrences desc, word
+    limit 50
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import vocabulary
+
+    return vocabulary(_t(spark, sf_dir, "documents"), top_k=50)
+
+
+@register(
+    "tfidf_keywords",
+    """
+    with w as (select doc_id, unnest(string_split(text, ' ')) as word
+               from documents),
+    tf as (select doc_id, word, count(*) as tf from w group by 1, 2),
+    dfq as (select word, count(*) as df from tf group by 1),
+    n as (select count(*) as n_docs from documents),
+    scored as (select t.doc_id, t.word,
+                      round(t.tf * ln(cast(n.n_docs as double) / d.df), 4)
+                        as score
+               from tf t join dfq d using (word) cross join n),
+    r as (select *, row_number() over
+            (partition by doc_id order by score desc, word) as rank
+          from scored)
+    select doc_id, word, score, rank from r where rank <= 3
+    """,
+)
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+# ---------------------------------------------------------------------
+# span JSON roundtrip (§2.8 json family): the trace converter
+# serializes span batches to JSON and parses them back
+# (pkg/receiver/smartagentreceiver/converter/traces.go:80-90).  Here:
+# struct -> to_json -> from_json -> fields, proving the roundtrip is
+# lossless; the oracle reads the fields straight off the table, so any
+# loss in either JSON step breaks the hash.  Pure Catalyst (JacksonGen/
+# JacksonParser inside codegen), zero shuffles.
+# ---------------------------------------------------------------------
+@register(
+    "span_json_roundtrip",
+    """
+    select event_id as span_id, user_id as trace_id,
+           event_type as name, round(value, 4) as duration
+    from events
+    """,
+)
+def q_span_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    span = F.struct(
+        F.col("event_id").alias("span_id"),
+        F.col("user_id").alias("trace_id"),
+        F.col("event_type").alias("name"),
+        F.round("value", 4).alias("duration"),
+    )
+    schema = "span_id bigint, trace_id bigint, name string, duration double"
+    return (
+        ev.select(F.to_json(span).alias("j"))
+        .select(F.from_json("j", schema).alias("s"))
+        .select("s.*")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -1,0 +1,108 @@
+"""Unit tests for the corpus-curation operators against hand-computed
+fixtures (the oracle entries in queries.py cover them at sf0.01; these
+pin the semantics on tiny inputs where the expected values are obvious)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from sparkcollector.operators.corpus import (
+    chunk_text,
+    decontaminate,
+    repetition_stats,
+    stratified_sample,
+    tfidf_top_terms,
+    vocabulary,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a b c a b c a b c", "src0"),
+        (2, "a b c d e f g h i", "src0"),
+        (3, "x y z x y z q r s", "src1"),
+        (4, "a a a a a a a a a", "src1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def test_vocabulary_counts_and_order(docs):
+    got = [tuple(r) for r in vocabulary(docs, top_k=3).collect()]
+    # a: doc1 x3 + doc2 x1 + doc4 x9 = 13 occurrences in 3 docs;
+    # b and c: 4 occurrences in 2 docs each -> b before c (tie-break).
+    assert got == [("a", 13, 3), ("b", 4, 2), ("c", 4, 2)]
+
+
+def test_vocabulary_top_k_bound(docs):
+    assert vocabulary(docs, top_k=2).count() == 2
+
+
+def test_tfidf_rank_and_score(docs):
+    out = {
+        (r["doc_id"], r["rank"]): (r["word"], r["score"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    # doc 4 is all 'a' (df=3 of N=4): score = 9 * ln(4/3).
+    w, s = out[(4, 1)]
+    assert w == "a"
+    assert s == pytest.approx(round(9 * math.log(4 / 3), 4))
+    # doc 3's words are unique to it (df=1): top score = 2 * ln(4).
+    w, s = out[(3, 1)]
+    assert w == "x"  # x,y,z tie at tf=2 -> word asc
+    assert s == pytest.approx(round(2 * math.log(4.0), 4))
+    # every doc contributes min(k, n_distinct_words) ranked rows:
+    # doc 4 has a single distinct word -> one row
+    assert sorted(out) == [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (4, 1)]
+
+
+def test_decontaminate_drops_overlapping_doc(spark, docs):
+    bench = spark.createDataFrame(
+        [(99, "a b c d e", "bench")], "doc_id bigint, text string, source string"
+    )
+    kept = {r["doc_id"] for r in decontaminate(docs.filter("doc_id <= 2"), bench, n=3, threshold=0.3).collect()}
+    # doc 1's distinct 3-grams {abc,bca,cab} overlap bench 1/3 > 0.3? exactly
+    # 1/3 > 0.3 -> dropped; doc 2 overlaps {abc,bcd,cde} = 3/7 -> dropped too?
+    # bench grams of "a b c d e": abc,bcd,cde. doc2 grams: abc..ghi (7), 3 hit
+    # -> 3/7 = 0.43 > 0.3 dropped. doc1: grams {a b c,b c a,c a b}, 1 hit of 3.
+    assert kept == set()
+    kept2 = {r["doc_id"] for r in decontaminate(docs.filter("doc_id <= 2"), bench, n=3, threshold=0.35).collect()}
+    assert kept2 == {1}
+
+
+def test_repetition_stats_values(docs):
+    out = {r["doc_id"]: r for r in repetition_stats(docs, n=2).collect()}
+    assert out[4]["dup_word_ratio"] == pytest.approx(1 - 1 / 9)
+    assert out[4]["top_ngram_frac"] == pytest.approx(1.0)  # only gram "a a"
+    assert out[2]["dup_word_ratio"] == pytest.approx(0.0)
+    assert out[2]["top_ngram_frac"] == pytest.approx(1 / 8)
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    rows = [(i, f"t{i}", "big" if i % 2 else "small") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    kept = stratified_sample(df, {"big": 0.1}, default_rate=1.0)
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in kept.collect())
+    assert a == b  # deterministic across runs
+    n_big = sum(1 for i in a if i % 2)
+    n_small = sum(1 for i in a if not i % 2)
+    assert n_small == 1000  # default rate 1.0 keeps every row
+    assert 50 <= n_big <= 150  # ~10% of 1000 md5 buckets
+
+
+def test_chunk_text_offsets_and_tail(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(str(i) for i in range(10)))], "doc_id bigint, text string"
+    )
+    rows = sorted(
+        (r["chunk_idx"], r["chunk"]) for r in chunk_text(df, size=4, stride=3).collect()
+    )
+    assert rows == [
+        (0, "0 1 2 3"),
+        (1, "3 4 5 6"),
+        (2, "6 7 8 9"),
+        (3, "9"),  # short tail chunk
+    ]
