@@ -65,6 +65,55 @@ def shingles(
     )
 
 
+def shingle_hashes(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct 64-bit n-gram shingle hashes per doc: (id, sh: array<long>).
+
+    The hot-path twin of :func:`shingles`: instead of materializing the
+    n-gram *strings* (``concat_ws`` allocates a new string per shingle
+    position), each shingle is hashed in place with
+    ``xxhash64(w[i], .., w[i+n-1])`` — multi-argument xxhash64 over the
+    word slices is injective up to hash collisions (words cannot
+    contain the split character), so ``array_distinct`` over the longs
+    yields the same set cardinality as over the strings with collision
+    probability ~|shingles|^2/2^65.  Downstream consumers
+    (:func:`jaccard_pairs`, :func:`minhash_lsh_pairs`) only ever need
+    equality/permutation-min over shingles, never the text, so the
+    8-byte representation cuts both compute and shuffle width.
+
+    Built in TWO projections on purpose: step 1 hashes each word once
+    (``transform(split(text), xxhash64)``), step 2 combines ``n``
+    consecutive word hashes per position.  Referencing the word array
+    inside step 2's position lambda directly would re-evaluate
+    ``split(text)`` once per array ELEMENT — higher-order-function
+    lambdas sit outside codegen subexpression elimination, making the
+    single-projection form O(len^2) per doc (measured 8x slower at
+    sf0.1).  The two-step form stays linear because CollapseProject
+    refuses to inline a non-cheap expression referenced more than
+    once, so ``hw`` is materialized per row.
+    """
+    from ..skew import ensure_parallelism
+
+    w = F.split(F.col(text_col), " ")
+    base = (
+        ensure_parallelism(df.select(id_col, text_col))
+        .filter(F.size(w) >= n)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(w, lambda t: F.xxhash64(t)).alias("hw"),
+        )
+    )
+    hw = F.col("hw")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(hw) - n),
+            lambda i: F.xxhash64(*[F.element_at(hw, i + j + 1) for j in range(n)]),
+        )
+    )
+    return base.select("doc_id", sh.alias("sh"))
+
+
 def _ordered_pairs(ids: Column) -> Column:
     """All (a, b) with a<b from a sorted id array — JVM-side nested
     transform, no UDF."""
@@ -111,14 +160,24 @@ def jaccard_pairs(
     ``postings_total``) for the run's lineage metrics; pass
     ``max_df=None`` to disable the cap (exact oracle mode).
     """
-    s = shingles(df, n=n, text_col=text_col, id_col=id_col)
-    # hash INSIDE the array before exploding: the Generate output and
-    # the aggregation key are 8-byte longs, never shingle strings —
-    # at 100 TB the exploded/shuffled volume drops ~5x vs exploding
-    # the raw n-grams.
+    # shingles are hashed to 8-byte longs BEFORE exploding (in fact
+    # before even materializing the n-gram strings — shingle_hashes
+    # hashes the word slices in place): the Generate output and the
+    # aggregation key are longs, never shingle strings — at 100 TB the
+    # exploded/shuffled volume drops ~5x vs exploding the raw n-grams.
+    s = shingle_hashes(df, n=n, text_col=text_col, id_col=id_col)
+    # explode_OUTER, deliberately: plain explode triggers
+    # InferFiltersFromGenerate, whose `size(sh) > 0 AND isnotnull(sh)`
+    # filter is then pushed below the shingle projections with the
+    # whole HOF chain inlined — evaluating the O(len) shingle build
+    # twice per row, once in its quadratic fully-inlined form (measured
+    # 10x slower at sf0.1).  The outer variant skips that inference;
+    # it is semantically identical here because shingle_hashes filters
+    # size(words) >= n, so `sh` is never empty and no null row can
+    # appear.
     e = s.select(
         F.struct(F.col("doc_id").alias("id"), F.size("sh").alias("n")).alias("d"),
-        F.explode(F.transform("sh", lambda x: F.xxhash64(x))).alias("h"),
+        F.explode_outer("sh").alias("h"),
     )
     posting = (
         e.groupBy("h")
@@ -157,29 +216,42 @@ def jaccard_pairs(
 # MinHash + LSH banding (the 100 TB near-dup path)
 # ---------------------------------------------------------------------
 
+def _signature(n_perm: int) -> Column:
+    """MinHash signature over the ``sh`` shingle-hash array as ONE
+    nested higher-order expression::
+
+        transform(sequence(0, n_perm-1),
+                  p -> array_min(transform(sh, x -> xxhash64(p, x))))
+
+    Permutation p is the OUTER lambda variable, so the whole signature
+    is two lambda bodies regardless of ``n_perm``.  The unrolled
+    formulation (``array(*[array_min(transform(sh, ...)) for i ...])``)
+    computes the same longs but emits 64 separate lambda closures —
+    Janino spent ~8s compiling that plan per session (pure fixed
+    overhead, measured at sf0.001 where data time is nil); the nested
+    form compiles in well under a second and runs the same per-row
+    work.  Re-hashing the 8-byte shingle hash (fixed-width input) is
+    also ~an order of magnitude cheaper than re-hashing the shingle
+    string per permutation."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_perm - 1)),
+        lambda p: F.array_min(F.transform("sh", lambda x: F.xxhash64(p, x))),
+    )
+
+
 def minhash_signatures(
     sh_df: DataFrame, n_perm: int = 32
 ) -> DataFrame:
     """(doc_id, sig: array<long>) — ZERO shuffles: the per-permutation
     min over a doc's shingles is an ``array_min(transform(...))`` pair
     per permutation, entirely inside one codegen stage over the
-    already-materialized shingle array.  (The explode + groupBy(doc_id)
-    formulation computes the same hashes but pays a full shuffle of the
-    exploded table — measured 3x slower at sf0.1 and strictly worse at
-    100 TB, where the exploded shuffle is ~30x input size.)
-
-    Permutation i is xxhash64(i, shingle); closure factory (NOT a
-    lambda default arg — PySpark HOFs bind a Column to every lambda
-    parameter including defaults).
+    already-materialized shingle-hash array (`shingle_hashes`).  (The
+    explode + groupBy(doc_id) formulation computes the same hashes but
+    pays a full shuffle of the exploded table — measured 3x slower at
+    sf0.1 and strictly worse at 100 TB, where the exploded shuffle is
+    ~30x input size.)
     """
-
-    def perm(i: int):
-        return lambda x: F.xxhash64(F.lit(i), x)
-
-    sig = F.array(
-        *[F.array_min(F.transform("sh", perm(i))) for i in range(n_perm)]
-    )
-    return sh_df.select("doc_id", sig.alias("sig"))
+    return sh_df.select("doc_id", _signature(n_perm).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -195,38 +267,42 @@ def minhash_lsh_pairs(
 
     Bands of ``rows_per_band`` signature rows; docs colliding in any
     band become candidates; candidates are verified with EXACT Jaccard
-    over their shingle sets, so false positives are eliminated and the
+    over their shingle-hash sets (equal to string-set Jaccard up to
+    64-bit hash collisions, ~1e-8 at 10^5 shingles), so false positives
+    are eliminated and the
     output is the exact pair set up to LSH recall (for r=2, b=32 the
     miss probability of a 0.5-Jaccard pair is (1-0.25)^32 ~ 1e-4,
     while low-background-similarity false candidates are suppressed
     ~20x versus r=1 — banding rows buy precision, bands buy recall).
     """
-    s = shingles(df, n=n, text_col=text_col, id_col=id_col)
-    sigs = minhash_signatures(s, n_perm=n_perm)
+    s = shingle_hashes(df, n=n, text_col=text_col, id_col=id_col)
     n_bands = n_perm // rows_per_band
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    F.col("sig"),
-                                    b * rows_per_band + 1,
-                                    rows_per_band,
-                                ),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bh"),
-                ),
-            )
-        ).alias("bb"),
+    # The signature is materialized as its own projection (it is
+    # referenced ``rows_per_band`` times inside the band lambda, so
+    # CollapseProject keeps it un-inlined), and the band keys are a
+    # single nested-HOF transform over it:
+    # ``b -> struct(b, xxhash64(sig[b*r+1], .., sig[b*r+r]))``.
+    # Everything stays in two compact lambdas — see :func:`_signature`
+    # for why unrolled per-band/per-permutation closures cost seconds
+    # of Janino compile per session.  explode_OUTER for the same
+    # reason as in :func:`jaccard_pairs`: skip the inferred
+    # ``size(..) > 0`` filter, which would otherwise be pushed down
+    # with the whole signature expression inlined and evaluated twice;
+    # the band array is never empty (n_bands is a literal), so no null
+    # row can appear.
+    sigd = s.select("doc_id", _signature(n_perm).alias("sig"))
+    r = rows_per_band
+    band_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                *[F.element_at(F.col("sig"), b * r + j + 1) for j in range(r)]
+            ).alias("bh"),
+        ),
+    )
+    bands = sigd.select(
+        "doc_id", F.explode_outer(band_expr).alias("bb")
     ).select("doc_id", "bb.band", "bb.bh")
     cand = (
         bands.groupBy("band", "bh")
