@@ -249,3 +249,100 @@ def chunk_text(
     return df.select(
         F.col(id_col), F.explode(chunk).alias("c")
     ).select(id_col, F.col("c.chunk_idx"), F.col("c.chunk"))
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PII scrubbing pass over a document corpus.
+
+    Replaces emails, IPv4 addresses, US-style phone numbers, and
+    32-hex secrets with typed placeholder tokens and counts each
+    category per document (the audit trail a curation pipeline keeps).
+    Mirrors the redaction processor's value-blocking semantics
+    (redactionprocessor README: blocked_values regexes masked in
+    place) applied to free text instead of attribute maps.
+
+    Pure Catalyst ``regexp_replace``/``regexp_extract_all`` — the
+    patterns are deliberately written in the common subset of Java
+    regex and RE2 so any engine applies the identical mask.  Per-row
+    narrow transform: no shuffle, fully codegen'd, scales linearly.
+    """
+    pats = [
+        ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+        ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+        ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+        ("secret", r"\b[0-9a-f]{32}\b", "<SECRET>"),
+    ]
+    out = df
+    clean = F.col(text_col)
+    for name, pat, token in pats:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(clean, F.lit(pat), F.lit(0))),
+        )
+        clean = F.regexp_replace(clean, pat, token)
+    return out.select(
+        id_col,
+        clean.alias("clean_text"),
+        "n_email",
+        "n_ip",
+        "n_phone",
+        "n_secret",
+    )
+
+
+def domain_mix(
+    df: DataFrame,
+    target_weights: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Rebalance a corpus toward a target domain mixture.
+
+    Unlike :func:`stratified_sample` (fixed per-stratum rates), the
+    keep rate here is DATA-DEPENDENT: given target mixture weights
+    w_d, the output size is maximized subject to every domain hitting
+    exactly its weight and no domain being oversampled — the binding
+    domain is the one with the smallest n_d / w_d, kept at 100%, and
+    every other domain is downsampled to match
+    (rate_d = min_k(n_k / w_k) * w_d / n_d — the standard waterfilling
+    mixture solve for training-data recipes).
+
+    Two tiny aggregates (per-domain counts then a global min — both
+    map-side-combined, bytes of data), a broadcast-size join of the
+    per-domain rate back onto the corpus (AQE broadcasts it: the rate
+    table has one row per domain), then the same portable md5-bucket
+    filter as :func:`stratified_sample` so the kept row set is
+    engine- and cluster-size-independent.  No full-table shuffle.
+    """
+    w = F.create_map(
+        *[F.lit(x) for kv in target_weights.items() for x in kv]
+    )
+    counts = (
+        df.filter(F.col(strata_col).isin(*target_weights.keys()))
+        .groupBy(strata_col)
+        .agg(F.count("*").alias("n_d"))
+        .withColumn("w_d", w[F.col(strata_col)])
+    )
+    binding = counts.agg(
+        F.min(F.col("n_d") / F.col("w_d")).alias("scale")
+    )
+    rates = counts.crossJoin(binding).select(
+        strata_col,
+        F.least(F.lit(1.0), F.col("scale") * F.col("w_d") / F.col("n_d")).alias(
+            "keep_rate"
+        ),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % buckets
+    )
+    return (
+        df.join(rates, strata_col)
+        .filter(bucket < F.col("keep_rate") * buckets)
+        .drop("keep_rate")
+    )

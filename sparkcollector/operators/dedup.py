@@ -474,3 +474,77 @@ def _ordered_pairs_structs(items: Column) -> Column:
             ),
         )
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Transitive closure of a near-dup pair set into clusters.
+
+    The top of the dedup tier: ``jaccard_pairs`` / ``minhash_lsh_pairs``
+    / ``simhash_hamming_pairs`` emit *pairs*; real dedup keeps ONE
+    canonical doc per connected component of the pair graph (pairs
+    (a,b),(b,c) must collapse a,b,c together, not drop b twice).
+
+    Min-label propagation: every node starts labeled with its own id;
+    each round every node takes the min label over itself and its
+    neighbors; converged when no label changes.  Rounds = graph
+    diameter, and near-dup components are small and dense (docs that
+    are all mutual near-dups), so convergence is 2-4 rounds in
+    practice; ``max_iter`` bounds pathological chains.  Each round is
+    ONE shuffle (a groupBy on node id after an edge join), the same
+    per-round cost as the alternating large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    that replaces this loop body if 100 TB graphs with long chains
+    ever show up; for dedup workloads the simple loop wins on constant
+    factors.  ``localCheckpoint(eager=True)`` truncates lineage each
+    round so the plan does not grow exponentially, and the convergence
+    test reuses the checkpointed result (no recompute).
+
+    Returns (doc_id, cluster_id, is_canonical) for every doc that
+    appears in at least one pair; ``cluster_id`` is the min doc id of
+    the component, ``is_canonical`` marks the one row to keep.
+    Singleton docs (no pairs) are implicitly canonical and not listed.
+    """
+    half = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("id"), F.least("src", "mn").alias("label")
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # min over self-label and every neighbor's label, one shuffle
+        msgs = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), "label")
+        )
+        new_labels = (
+            msgs.unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )

@@ -2214,36 +2214,188 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
-# span JSON roundtrip (§2.8 json family): the trace converter
-# serializes span batches to JSON and parses them back
-# (pkg/receiver/smartagentreceiver/converter/traces.go:80-90).  Here:
-# struct -> to_json -> from_json -> fields, proving the roundtrip is
-# lossless; the oracle reads the fields straight off the table, so any
-# loss in either JSON step breaks the hash.  Pure Catalyst (JacksonGen/
-# JacksonParser inside codegen), zero shuffles.
+# 63. dedup clustering (training-data pipeline tier top): transitive
+#     closure of the MinHash+LSH pair set into connected components —
+#     pairs (a,b),(b,c) collapse a,b,c into ONE cluster keeping one
+#     canonical doc, where pairwise dedup would wrongly drop b twice.
+#     Spark: min-label propagation (one shuffle per round, lineage
+#     truncated per round); oracle: recursive-CTE reachability over the
+#     same exact-Jaccard pair set.
 # ---------------------------------------------------------------------
 @register(
-    "span_json_roundtrip",
+    "dedup_clusters",
     """
-    select event_id as span_id, user_id as trace_id,
-           event_type as name, round(value, 4) as duration
-    from events
+    with recursive
+    d as (select doc_id, string_split(text, ' ') as w from documents),
+    s as (select doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                for i in range(1, len(w) - 1)]) as sh
+          from d where len(w) >= 3),
+    e as (select doc_id, unnest(sh) as shingle from s),
+    pair as (select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as common
+             from e a join e b on a.shingle = b.shingle and a.doc_id < b.doc_id
+             group by 1, 2),
+    sz as (select doc_id, len(sh) as n from s),
+    edges as (
+      select doc_a as src, doc_b as dst
+      from pair join sz sa on doc_a = sa.doc_id
+                join sz sb on doc_b = sb.doc_id
+      where cast(common as double) / (sa.n + sb.n - common) >= 0.5),
+    bi as (select src, dst from edges
+           union select dst, src from edges),
+    reach (a, b) as (
+      select src, dst from bi
+      union
+      select r.a, e.dst from reach r join bi e on r.b = e.src
+      where e.dst <> r.a),
+    comp as (select a as doc_id, least(min(b), a) as cluster_id
+             from reach group by a)
+    select doc_id, cluster_id, doc_id = cluster_id as is_canonical
+    from comp
     """,
 )
-def q_span_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, n=3, n_perm=64, rows_per_band=2
+    )
+    return dedup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------
+# 64. PII scrub (corpus curation; mirrors redactionprocessor
+#     blocked_values masking applied to free text): emails / IPv4 /
+#     phones / 32-hex secrets replaced with typed tokens + per-doc
+#     counts.  The PII-bearing text is synthesized deterministically
+#     from events columns on BOTH engines, so the masks and counts are
+#     fully exercised (the stock documents table contains no PII).
+# ---------------------------------------------------------------------
+@register(
+    "pii_scrub",
+    """
+    with t as (
+      select event_id as doc_id,
+             'evt ' || event_type
+             || case when event_id % 3 = 0
+                then ' contact u' || cast(user_id as varchar) || '@example.com'
+                else '' end
+             || case when event_id % 5 = 0
+                then ' from 10.' || cast(user_id % 256 as varchar)
+                     || '.0.' || cast(event_id % 256 as varchar)
+                else '' end
+             || case when event_id % 7 = 0
+                then ' call 555-' || lpad(cast(user_id % 1000 as varchar), 3, '0')
+                     || '-' || lpad(cast(event_id % 10000 as varchar), 4, '0')
+                else '' end
+             || case when event_id % 11 = 0
+                then ' key ' || md5(cast(event_id as varchar))
+                else '' end as text
+      from events),
+    c as (
+      select doc_id, text,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) as n_email,
+             regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') as t1
+      from t),
+    c2 as (
+      select doc_id, n_email,
+             len(regexp_extract_all(t1,
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) as n_ip,
+             regexp_replace(t1,
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                 '<IP>', 'g') as t2
+      from c),
+    c3 as (
+      select doc_id, n_email, n_ip,
+             len(regexp_extract_all(t2, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) as n_phone,
+             regexp_replace(t2, '\\b\\d{3}-\\d{3}-\\d{4}\\b',
+                 '<PHONE>', 'g') as t3
+      from c2),
+    c4 as (
+      select doc_id, n_email, n_ip, n_phone,
+             len(regexp_extract_all(t3, '\\b[0-9a-f]{32}\\b')) as n_secret,
+             regexp_replace(t3, '\\b[0-9a-f]{32}\\b', '<SECRET>', 'g')
+               as clean_text
+      from c3)
+    select doc_id, clean_text,
+           cast(n_email as int) as n_email, cast(n_ip as int) as n_ip,
+           cast(n_phone as int) as n_phone, cast(n_secret as int) as n_secret
+    from c4
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import scrub_pii
+
     ev = _t(spark, sf_dir, "events")
-    span = F.struct(
-        F.col("event_id").alias("span_id"),
-        F.col("user_id").alias("trace_id"),
-        F.col("event_type").alias("name"),
-        F.round("value", 4).alias("duration"),
+    eid, uid = F.col("event_id"), F.col("user_id")
+    text = F.concat(
+        F.lit("evt "),
+        F.col("event_type"),
+        F.when(
+            eid % 3 == 0,
+            F.concat(F.lit(" contact u"), uid.cast("string"), F.lit("@example.com")),
+        ).otherwise(""),
+        F.when(
+            eid % 5 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (uid % 256).cast("string"),
+                F.lit(".0."),
+                (eid % 256).cast("string"),
+            ),
+        ).otherwise(""),
+        F.when(
+            eid % 7 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((uid % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((eid % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+        F.when(
+            eid % 11 == 0, F.concat(F.lit(" key "), F.md5(eid.cast("string")))
+        ).otherwise(""),
     )
-    schema = "span_id bigint, trace_id bigint, name string, duration double"
-    return (
-        ev.select(F.to_json(span).alias("j"))
-        .select(F.from_json("j", schema).alias("s"))
-        .select("s.*")
-    )
+    docs = ev.select(eid.alias("doc_id"), text.alias("text"))
+    return scrub_pii(docs)
+
+
+# ---------------------------------------------------------------------
+# 65. domain mixing (corpus curation): waterfilling mixture solve —
+#     output is the largest corpus hitting target domain weights
+#     exactly with no domain oversampled; the binding domain
+#     (min n_d/w_d) keeps 100%, every other is hash-downsampled to
+#     match.  Data-dependent rates (two tiny aggregates + broadcast
+#     join), portable md5 bucketing for an engine-independent row set.
+# ---------------------------------------------------------------------
+@register(
+    "domain_mix",
+    """
+    with w(source, w_d) as (
+      select * from (values ('src0', 0.6), ('src1', 0.3), ('src2', 0.1))),
+    c as (select source, count(*) as n_d from documents
+          where source in ('src0', 'src1', 'src2') group by 1),
+    s as (select min(n_d / w_d) as scale from c join w using (source)),
+    r as (select source,
+                 least(1.0, (select scale from s) * w_d / n_d) as keep_rate
+          from c join w using (source))
+    select d.doc_id, d.source
+    from documents d join r using (source)
+    where cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8)) as bigint)
+          % 10000 < keep_rate * 10000
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import domain_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_mix(
+        docs, {"src0": 0.6, "src1": 0.3, "src2": 0.1}
+    ).select("doc_id", "source")
 
 
 def queries() -> dict[str, QueryFn]:

@@ -106,3 +106,48 @@ def test_chunk_text_offsets_and_tail(spark):
         (2, "6 7 8 9"),
         (3, "9"),  # short tail chunk
     ]
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from sparkcollector.operators.corpus import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+e@f.org from 10.0.0.1 call 555-123-4567"),
+            (2, "key " + "0" * 32 + " clean tail"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    r1 = out[1]
+    assert r1["clean_text"] == "mail <EMAIL> and <EMAIL> from <IP> call <PHONE>"
+    assert (r1["n_email"], r1["n_ip"], r1["n_phone"], r1["n_secret"]) == (2, 1, 1, 0)
+    r2 = out[2]
+    assert r2["clean_text"] == "key <SECRET> clean tail"
+    assert r2["n_secret"] == 1
+    r3 = out[3]
+    assert r3["clean_text"] == "nothing sensitive here"
+    assert (r3["n_email"], r3["n_ip"], r3["n_phone"], r3["n_secret"]) == (0, 0, 0, 0)
+
+
+def test_domain_mix_waterfilling_rates(spark):
+    from sparkcollector.operators.corpus import domain_mix
+
+    # 1000 docs of a, 1000 of b; target 75/25 -> binding domain is a
+    # (n/w: 1000/.75=1333 < 1000/.25=4000): a kept 100%, b at ~33.3%.
+    rows = [(i, f"t{i}", "a" if i < 1000 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    kept = domain_mix(df, {"a": 0.75, "b": 0.25})
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == sorted(r["doc_id"] for r in kept.collect())  # deterministic
+    n_a = sum(1 for i in ids if i < 1000)
+    n_b = len(ids) - n_a
+    assert n_a == 1000  # binding domain fully kept
+    assert 250 <= n_b <= 420  # ~333 expected under md5 bucketing
+    # untargeted domains are dropped entirely (inner join on rates)
+    df2 = df.union(
+        spark.createDataFrame([(9999, "x", "c")], "doc_id bigint, text string, source string")
+    )
+    kept2 = domain_mix(df2, {"a": 0.75, "b": 0.25})
+    assert kept2.filter("source = 'c'").count() == 0

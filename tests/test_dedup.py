@@ -157,3 +157,32 @@ def test_simhash_hamming_pairs_rejects_unguaranteed_distance(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="recall only for"):
         simhash_hamming_pairs(df, max_hamming=4, n_bands=4)
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    from sparkcollector.operators.dedup import dedup_clusters
+
+    # chain 1-2, 2-3 plus isolated pair 7-9: components {1,2,3}, {7,9}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a bigint, doc_b bigint"
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in dedup_clusters(pairs).collect()}
+    assert out == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        7: (7, True),
+        9: (7, False),
+    }
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    from sparkcollector.operators.dedup import dedup_clusters
+
+    # path graph 0-1-...-9: diameter 9, all one component labeled 0
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a bigint, doc_b bigint"
+    )
+    out = dedup_clusters(pairs).collect()
+    assert {r["cluster_id"] for r in out} == {0}
+    assert sum(r["is_canonical"] for r in out) == 1
