@@ -346,3 +346,154 @@ def domain_mix(
         .filter(bucket < F.col("keep_rate") * buckets)
         .drop("keep_rate")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence packing: chunk each group's token stream into
+    fixed-length training sequences.
+
+    Documents are concatenated in ``id_col`` order within each group
+    (shard) and the resulting token stream is cut into consecutive
+    ``seq_len``-token sequences, splitting documents at boundaries —
+    the standard pretraining pack (concat-then-chunk).  Output is one
+    row per (document × sequence it touches):
+
+    ``(group, seq_id, doc_id, seq_start, doc_start, n_tok)`` — the doc
+    contributes its tokens ``[doc_start, doc_start + n_tok)`` at offset
+    ``seq_start`` of sequence ``seq_id``.  A trainer joins this span
+    table back to the tokenized text to materialize batches; the span
+    table itself is the lineage record that makes the pack auditable.
+
+    Token counts are whitespace word counts here (swap in a real
+    tokenizer's count column upstream if available).
+
+    Scale: ONE shuffle — the cumulative-sum window partitioned by
+    ``group_col`` (groups = shards, thousands of them, so the window
+    parallelizes; no global ordering is ever required).  The explode
+    emits ceil(n_tok/seq_len)+1 ≈ 1-2 rows per doc.  All arithmetic is
+    codegen'd; no UDF.
+    """
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    toks = df.select(
+        group_col,
+        F.col(id_col),
+        n_tok.alias("n"),
+    ).withColumn("off", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    first_seq = (F.col("off") / seq_len).cast("bigint")
+    last_seq = ((F.col("off") + F.col("n") - 1) / seq_len).cast("bigint")
+    spans = toks.filter(F.col("n") > 0).select(
+        group_col,
+        id_col,
+        "n",
+        "off",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    seq_lo = F.col("seq_id") * seq_len
+    doc_start = F.greatest(seq_lo - F.col("off"), F.lit(0))
+    seq_start = F.greatest(F.col("off") - seq_lo, F.lit(0))
+    n_in_seq = (
+        F.least(F.col("off") + F.col("n"), seq_lo + seq_len)
+        - F.greatest(F.col("off"), seq_lo)
+    )
+    return spans.select(
+        group_col,
+        F.col("seq_id"),
+        id_col,
+        seq_start.cast("int").alias("seq_start"),
+        doc_start.cast("int").alias("doc_start"),
+        n_in_seq.cast("int").alias("n_tok"),
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: str = "0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-order shuffle into N output shards.
+
+    The pretraining-data shuffle: every doc gets a pseudo-random but
+    fully deterministic position — shard = md5(seed‖id) mod N, rank =
+    md5-order within the shard — so any engine, any cluster size, any
+    run derives the IDENTICAL order (the property that makes training
+    runs reproducible and resumable).  Seed changes reshuffle globally.
+
+    Scale: no global sort.  One shuffle for the per-shard rank window;
+    with n_shards in the thousands each window partition is
+    |corpus|/N docs, and writers emit shard files independently.  A
+    global position, when needed, is ``shard * ceil(|corpus|/N) +
+    rank`` after a per-shard count — never a single-partition
+    row_number over the whole corpus.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    out = df.withColumn("_h", h).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return out.withColumn("shard_rank", F.row_number().over(w)).drop("_h")
+
+
+def dimension_cardinality(
+    df: DataFrame,
+    dims: list[str],
+    rel_sd: float = 0.02,
+) -> DataFrame:
+    """Per-dimension cardinality audit (exact + HyperLogLog).
+
+    The collector guards against dimension explosion — a runaway tag
+    (e.g. a request id leaked into a dimension) multiplies timeseries
+    cardinality and melts the metrics backend.  This audit reports,
+    per dimension column: exact distinct count, HLL approximate count
+    (``approx_count_distinct``, the sketch that replaces the exact
+    count at 100 TB — mergeable, fixed memory), null count, and the
+    top value's share (a skew signal).
+
+    One pass over the data per dimension batch: all measures are
+    map-side partial aggregates stacked with a single unpivot; the
+    top-share needs one extra (dim, value) shuffle.  At scale, drop
+    the exact column and keep HLL only — the schema is the contract.
+    """
+    measures = []
+    for d in dims:
+        measures += [
+            F.lit(d),
+            F.struct(
+                F.countDistinct(F.col(d)).alias("exact_distinct"),
+                F.approx_count_distinct(F.col(d), rel_sd).alias("hll_distinct"),
+                F.sum(F.col(d).isNull().cast("long")).alias("nulls"),
+            ),
+        ]
+    wide = df.agg(F.map_from_arrays(
+        F.array(*measures[0::2]), F.array(*measures[1::2])
+    ).alias("m"))
+    audit = (
+        wide.select(F.explode("m").alias("dim", "s"))
+        .select("dim", "s.exact_distinct", "s.hll_distinct", "s.nulls")
+    )
+    top = None
+    for d in dims:
+        c = (
+            df.groupBy(F.lit(d).alias("dim"), F.col(d).cast("string").alias("v"))
+            .agg(F.count("*").alias("c"))
+            .groupBy("dim")
+            .agg((F.max("c") / F.sum("c")).alias("top_share"))
+        )
+        top = c if top is None else top.unionByName(c)
+    return audit.join(top, "dim")

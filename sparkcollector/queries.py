@@ -2398,6 +2398,119 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+# ---------------------------------------------------------------------
+# 66. sequence packing (pretraining block prep): concat each source
+#     shard's token stream in doc_id order and cut it into fixed
+#     64-token training sequences, splitting docs at boundaries — the
+#     GPT-style concat-then-chunk pack.  Output is the auditable span
+#     table (doc X sequence it touches).  ONE shuffle (per-group cumsum
+#     window); explode and arithmetic are codegen'd, no UDF.
+# ---------------------------------------------------------------------
+@register(
+    "pack_sequences",
+    """
+    with t as (
+      select source, doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) as n
+      from documents),
+    c as (
+      select source, doc_id, n,
+             coalesce(sum(n) over (partition by source order by doc_id
+                      rows between unbounded preceding and 1 preceding),
+                      0) as off
+      from t),
+    s as (
+      select source, doc_id, n, off,
+             unnest(range(cast(off // 64 as bigint),
+                          cast((off + n - 1) // 64 + 1 as bigint))) as seq_id
+      from c where n > 0)
+    select source, seq_id, doc_id,
+           cast(greatest(off - seq_id * 64, 0) as int) as seq_start,
+           cast(greatest(seq_id * 64 - off, 0) as int) as doc_start,
+           cast(least(off + n, seq_id * 64 + 64)
+                - greatest(off, seq_id * 64) as int) as n_tok
+    from s
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=64)
+
+
+# ---------------------------------------------------------------------
+# 67. deterministic training-order shuffle into 16 shards: shard =
+#     md5(seed|id) mod N, rank = md5 order within shard — identical
+#     permutation on any engine / cluster size / run (reproducible,
+#     resumable training).  No global sort: one window shuffle, shard
+#     partitions are |corpus|/N.
+# ---------------------------------------------------------------------
+@register(
+    "shuffle_shards",
+    """
+    with h as (
+      select doc_id, md5('0|' || cast(doc_id as varchar)) as hx
+      from documents),
+    s as (
+      select doc_id, hx,
+             cast(cast(('0x' || substr(hx, 1, 8)) as bigint) % 16 as int)
+               as shard
+      from h)
+    select doc_id, shard,
+           cast(row_number() over (partition by shard order by hx, doc_id)
+                as int) as shard_rank
+    from s
+    """,
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import shuffle_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return shuffle_shards(docs, n_shards=16).select(
+        "doc_id", "shard", "shard_rank"
+    )
+
+
+# ---------------------------------------------------------------------
+# 68. dimension-cardinality audit (dimension-explosion guard): per
+#     dimension column, exact distinct / null count / top-value share.
+#     The operator also computes the HyperLogLog sketch column
+#     (approx_count_distinct — the mergeable fixed-memory count that
+#     replaces exact at 100 TB); the oracle checks the exact columns
+#     and the unit test pins the sketch's error envelope.
+# ---------------------------------------------------------------------
+@register(
+    "dimension_cardinality",
+    """
+    with d as (
+      select 'event_type' as dim, cast(event_type as varchar) as v from events
+      union all select 'user_id', cast(user_id as varchar) from events
+      union all select 'props', cast(props as varchar) from events),
+    agg as (
+      select dim, cast(count(distinct v) as bigint) as exact_distinct,
+             cast(sum(case when v is null then 1 else 0 end) as bigint)
+               as nulls
+      from d group by dim),
+    top as (
+      select dim, max(c) * 1.0 / sum(c) as top_share
+      from (select dim, v, count(*) as c from d group by dim, v)
+      group by dim)
+    select dim, exact_distinct, nulls, round(top_share, 4) as top_share
+    from agg join top using (dim)
+    """,
+)
+def q_dimension_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import dimension_cardinality
+
+    ev = _t(spark, sf_dir, "events")
+    return dimension_cardinality(ev, ["event_type", "user_id", "props"]).select(
+        "dim",
+        "exact_distinct",
+        F.col("nulls").cast("long").alias("nulls"),
+        F.round("top_share", 4).alias("top_share"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

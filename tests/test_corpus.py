@@ -151,3 +151,70 @@ def test_domain_mix_waterfilling_rates(spark):
     )
     kept2 = domain_mix(df2, {"a": 0.75, "b": 0.25})
     assert kept2.filter("source = 'c'").count() == 0
+
+
+def test_pack_sequences_spans(spark):
+    from sparkcollector.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "w w w", "a"), (2, "w w w w", "a"), (3, "w w", "a"), (9, "x", "b")],
+        "doc_id bigint, text string, source string",
+    )
+    out = sorted(
+        (r["source"], r["seq_id"], r["doc_id"], r["seq_start"], r["doc_start"], r["n_tok"])
+        for r in pack_sequences(df, seq_len=4).collect()
+    )
+    assert out == [
+        ("a", 0, 1, 0, 0, 3),   # doc1 fills toks 0-2 of seq 0
+        ("a", 0, 2, 3, 0, 1),   # doc2's first token closes seq 0
+        ("a", 1, 2, 0, 1, 3),   # doc2 tokens 1-3 open seq 1
+        ("a", 1, 3, 3, 0, 1),   # doc3's first token closes seq 1
+        ("a", 2, 3, 0, 1, 1),   # doc3's tail starts seq 2
+        ("b", 0, 9, 0, 0, 1),   # group b packs independently
+    ]
+    # conservation: every token lands in exactly one span
+    import collections
+    per_doc = collections.Counter()
+    for _, _, d, _, _, n in out:
+        per_doc[d] += n
+    assert per_doc == {1: 3, 2: 4, 3: 2, 9: 1}
+
+
+def test_shuffle_shards_deterministic_and_complete(spark):
+    from sparkcollector.operators.corpus import shuffle_shards
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(500)], "doc_id bigint, text string"
+    )
+    a = shuffle_shards(df, n_shards=8, seed="s1").collect()
+    b = shuffle_shards(df, n_shards=8, seed="s1").collect()
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["shard_rank"]) for r in rows)
+    assert key(a) == key(b)  # fully deterministic
+    assert {r["doc_id"] for r in a} == set(range(500))  # permutation, no loss
+    assert all(0 <= r["shard"] < 8 for r in a)
+    import collections
+    per = collections.defaultdict(list)
+    for r in a:
+        per[r["shard"]].append(r["shard_rank"])
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))  # dense ranks
+    c = shuffle_shards(df, n_shards=8, seed="s2").collect()
+    assert key(a) != key(c)  # seed reshuffles
+
+
+def test_dimension_cardinality_audit(spark):
+    from sparkcollector.operators.corpus import dimension_cardinality
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", None), ("a", 2)],
+        "tag string, uid int",
+    )
+    out = {r["dim"]: r for r in dimension_cardinality(df, ["tag", "uid"]).collect()}
+    assert out["tag"]["exact_distinct"] == 2
+    assert out["tag"]["nulls"] == 0
+    assert out["tag"]["top_share"] == 0.75  # 'a' 3 of 4
+    assert out["uid"]["exact_distinct"] == 2
+    assert out["uid"]["nulls"] == 1
+    # HLL is a sketch: exact at these cardinalities, and always close
+    for d in ("tag", "uid"):
+        assert abs(out[d]["hll_distinct"] - out[d]["exact_distinct"]) <= 1
