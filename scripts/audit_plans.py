@@ -268,6 +268,61 @@ def main() -> None:
         spark=spark,
     )
 
+    all_ok &= audit(
+        "pack_sequences",
+        lambda: queries()["pack_sequences"](spark, SF_DIR),
+        [
+            ("exactly one exchange (per-group cumsum window)",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) == 1),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "concat-then-chunk packing: window cumsum is the only shuffle; "
+        "explode + span arithmetic are codegen'd.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "shuffle_shards",
+        lambda: queries()["shuffle_shards"](spark, SF_DIR),
+        [
+            ("one exchange (per-shard rank), NO global sort",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) == 1
+             and "rangepartitioning" not in p
+             and "SinglePartition" not in p),
+        ],
+        out,
+        "deterministic training shuffle: rank windows are per-shard — "
+        "a single-partition row_number over the corpus never appears.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "pii_scrub_map_only",
+        lambda: queries()["pii_scrub"](spark, SF_DIR),
+        [
+            ("zero exchanges (narrow regexp transform)",
+             lambda p: "Exchange" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "domain_mix",
+        lambda: queries()["domain_mix"](spark, SF_DIR),
+        [
+            ("no cartesian on the corpus side (1-row scale factor only)",
+             lambda p: len(re.findall(
+                 r"(?:CartesianProduct|BroadcastNestedLoopJoin)[^\n]*\(\d+\)",
+                 p)) <= 1),
+            ("adaptive plan (AQE broadcasts the per-domain rate join)",
+             lambda p: "AdaptiveSparkPlan" in p),
+        ],
+        out,
+        "waterfilling mix: the only nested-loop join is rates x 1-row "
+        "global scale; the corpus join is keyed on the domain column.",
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"
