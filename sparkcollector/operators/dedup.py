@@ -548,3 +548,94 @@ def dedup_clusters(
         F.col("label").alias("cluster_id"),
         (F.col("id") == F.col("label")).alias("is_canonical"),
     )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level duplicate spans: which TOKEN RANGES of each doc
+    also appear in other docs.
+
+    Document-level dedup (exact/MinHash/SimHash above) drops whole
+    docs; training corpora also carry *partial* duplication — license
+    headers, boilerplate, quoted passages — that substring-level dedup
+    removes (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better").  This is the distributed approximation of that
+    paper's suffix-array pass: every word ``n``-gram occurring in >=
+    ``min_docs`` distinct docs marks its ``[start, start+n)`` token
+    range, and overlapping/adjacent marked ranges are merged per doc
+    into maximal spans (gaps-and-islands), so a duplicated paragraph
+    reports as ONE span.
+
+    Returns ``(doc_id, span_start, span_end, n_grams)`` — token-index
+    spans plus how many duplicated grams support each span.
+
+    Scale (10^9 docs): grams are xxhash64'd to 8 bytes before the
+    shuffle.  For the default ``min_docs=2`` the cross-doc test is
+    ``min(doc_id) != max(doc_id)`` — both partials combine map-side,
+    so a boilerplate gram present in 10^8 docs costs its reducer O(1)
+    memory (a ``countDistinct`` here would funnel every (gram, doc)
+    pair of the hot key through one reducer); larger thresholds fall
+    back to countDistinct.  Three exchanges total: gram agg, the
+    dup-gram semi join (same key — AQE reuses the partitioning), and
+    the per-doc island window.  Hash collisions can only merge two
+    distinct grams (false dup mark) at ~n_grams^2 / 2^64 odds.
+    """
+    from ..skew import ensure_parallelism
+    from pyspark.sql.window import Window
+
+    w = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.struct(
+            i.alias("start"),
+            F.xxhash64(
+                F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)])
+            ).alias("g"),
+        ),
+    )
+    pos = (
+        ensure_parallelism(df.select(id_col, text_col))
+        .filter(F.size(w) >= n)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("p"))
+        .select("doc_id", F.col("p.start").alias("start"), F.col("p.g").alias("g"))
+    )
+    if min_docs == 2:
+        dup = (
+            pos.groupBy("g")
+            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+            .select("g")
+        )
+    else:
+        dup = (
+            pos.groupBy("g")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= min_docs)
+            .select("g")
+        )
+    hits = pos.join(dup, "g", "left_semi")
+    win = Window.partitionBy("doc_id").orderBy("start")
+    prev_end = F.max(F.col("start") + n).over(
+        win.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "new_island",
+        (F.col("start") > F.coalesce(prev_end, F.lit(-1))).cast("int"),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(win.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        marked.groupBy("doc_id", "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + n).alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )

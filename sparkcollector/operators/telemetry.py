@@ -477,3 +477,37 @@ def drop_monitor_id_dim(
         dims_col,
         F.when(meta["monitorID"].isNotNull(), cleaned).otherwise(dims),
     )
+
+
+def latency_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group latency percentiles — the P50/P95/P99 row of the RED
+    dashboard the spanmetrics connector feeds.
+
+    ``approx=False`` computes exact interpolated percentiles
+    (``percentile``, the quantile_cont definition — used for the
+    oracle-checked entry and anywhere a group's values fit a reducer).
+    ``approx=True`` swaps in ``approx_percentile`` (the KLL-style
+    mergeable sketch Spark ships): fixed memory per group regardless
+    of group size, partials combine map-side — the only viable form
+    when one service emits 10^10 spans.  Same output schema either
+    way, so the swap is a flag, not a rewrite; the unit test pins the
+    sketch to the exact answer's neighborhood.
+
+    One shuffle (the groupBy); both variants partial-aggregate.
+    """
+    fn = F.approx_percentile if approx else F.percentile
+    aggs = [
+        F.round(fn(F.col(value_col), F.lit(q)), 4).alias(
+            f"p{str(q).replace('0.', '')}"
+        )
+        for q in qs
+    ]
+    return df.groupBy(*group_cols).agg(
+        F.count("*").alias("calls"), *aggs
+    )

@@ -2511,6 +2511,79 @@ def q_dimension_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 69. substring-level duplicate spans (Lee et al. suffix-array dedup,
+#     distributed approximation): token ranges whose 5-grams appear in
+#     >=2 distinct docs, merged per doc into maximal spans.  The
+#     cross-doc test is min(doc_id) != max(doc_id) — fully map-side
+#     partial-aggregable, so boilerplate grams in 10^8 docs cost O(1)
+#     reducer memory.  Oracle mirrors with gram strings + windows.
+# ---------------------------------------------------------------------
+@register(
+    "duplicate_ngram_spans",
+    """
+    with d as (select doc_id, string_split(text, ' ') as w from documents),
+    g0 as (
+      select doc_id,
+             [{'start': i - 1,
+               'gram': w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                       || w[i+3] || ' ' || w[i+4]}
+              for i in range(1, len(w) - 3)] as gs
+      from d where len(w) >= 5),
+    g as (select doc_id, cast(s.start as int) as start, s.gram as gram
+          from (select doc_id, unnest(gs) as s from g0)),
+    dup as (select gram from g group by gram
+            having min(doc_id) <> max(doc_id)),
+    h as (select doc_id, start from g
+          where gram in (select gram from dup)),
+    c as (select doc_id, start,
+                 max(start + 5) over (partition by doc_id order by start
+                     rows between unbounded preceding and 1 preceding)
+                   as prev_end
+          from h),
+    i as (select doc_id, start,
+                 sum(case when start > coalesce(prev_end, -1)
+                     then 1 else 0 end)
+                   over (partition by doc_id order by start
+                         rows between unbounded preceding and current row)
+                   as island
+          from c)
+    select doc_id, min(start) as span_start,
+           cast(max(start) + 5 as int) as span_end,
+           cast(count(*) as bigint) as n_grams
+    from i group by doc_id, island
+    """,
+)
+def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import duplicate_ngram_spans
+
+    return duplicate_ngram_spans(_t(spark, sf_dir, "documents"), n=5)
+
+
+# ---------------------------------------------------------------------
+# 70. latency percentiles (spanmetrics P50/P95/P99): exact
+#     interpolated quantiles per event_type; the approx_percentile
+#     sketch twin (mergeable, fixed memory at 10^10 spans/group) is
+#     flag-swapped and envelope-tested in tests/test_telemetry.py.
+# ---------------------------------------------------------------------
+@register(
+    "latency_percentiles",
+    """
+    select event_type,
+           cast(count(*) as bigint) as calls,
+           round(quantile_cont(value, 0.5), 4) as p5,
+           round(quantile_cont(value, 0.95), 4) as p95,
+           round(quantile_cont(value, 0.99), 4) as p99
+    from events group by event_type
+    """,
+)
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import latency_percentiles
+
+    ev = _t(spark, sf_dir, "events")
+    return latency_percentiles(ev, "value", ["event_type"])
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

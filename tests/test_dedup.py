@@ -186,3 +186,54 @@ def test_dedup_clusters_long_chain_converges(spark):
     out = dedup_clusters(pairs).collect()
     assert {r["cluster_id"] for r in out} == {0}
     assert sum(r["is_canonical"] for r in out) == 1
+
+
+def test_duplicate_ngram_spans_merges_overlaps(spark):
+    from sparkcollector.operators.dedup import duplicate_ngram_spans
+
+    # docs 1 and 2 share the 7-token run "a b c d e f g" (doc 2 shifted);
+    # doc 3 is unrelated.  n=5 -> starts {0,1,2} in doc 1 merge into one
+    # span [0, 7); doc 2's copy sits at offset 2 -> span [2, 9).
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g x y"),
+            (2, "p q a b c d e f g"),
+            (3, "m n o r s t u v w"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+        for r in duplicate_ngram_spans(df, n=5).collect()
+    )
+    assert out == [(1, 0, 7, 3), (2, 2, 9, 3)]
+
+
+def test_duplicate_ngram_spans_distinct_spans_not_merged(spark):
+    from sparkcollector.operators.dedup import duplicate_ngram_spans
+
+    # two shared 5-gram runs separated by unique middles -> two spans
+    shared1, shared2 = "h1 h2 h3 h4 h5", "t1 t2 t3 t4 t5"
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared1} u1 u2 u3 {shared2}"),
+            (2, f"{shared1} v1 v2 v3 {shared2}"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_ngram_spans(df, n=5).collect()
+    )
+    assert out == [(1, 0, 5), (1, 8, 13), (2, 0, 5), (2, 8, 13)]
+
+
+def test_duplicate_ngram_spans_within_doc_repeat_not_cross(spark):
+    from sparkcollector.operators.dedup import duplicate_ngram_spans
+
+    # a doc repeating ITS OWN phrase is not cross-doc duplication
+    df = spark.createDataFrame(
+        [(1, "r1 r2 r3 r4 r5 z r1 r2 r3 r4 r5"), (2, "a b c d e f g h")],
+        "doc_id bigint, text string",
+    )
+    assert duplicate_ngram_spans(df, n=5).count() == 0

@@ -191,3 +191,28 @@ def test_drop_monitor_id_dim(spark):
     assert out["diff"] == {"monitorID": "m1"}
     assert out["nometa"] == {"monitorID": "m1"}
     assert out["nodim"] == {"k": "v"}
+
+
+def test_latency_percentiles_exact_and_sketch(spark):
+    from sparkcollector.operators.telemetry import latency_percentiles
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [("b", 5.0), ("b", 15.0)]
+    df = spark.createDataFrame(rows, "svc string, lat double")
+    out = {
+        r["svc"]: r
+        for r in latency_percentiles(df, "lat", ["svc"]).collect()
+    }
+    # group a = 1..100: interpolated p50 = 50.5, p95 = 95.05, p99 = 99.01
+    assert out["a"]["calls"] == 100
+    assert out["a"]["p5"] == 50.5
+    assert out["a"]["p95"] == 95.05
+    assert out["a"]["p99"] == 99.01
+    # two-point group: p50 interpolates the midpoint
+    assert out["b"]["p5"] == 10.0
+    sk = {
+        r["svc"]: r
+        for r in latency_percentiles(df, "lat", ["svc"], approx=True).collect()
+    }
+    # the sketch lands on an observed value near the exact rank
+    assert abs(sk["a"]["p5"] - 50.5) <= 2
+    assert abs(sk["a"]["p95"] - 95.05) <= 2
