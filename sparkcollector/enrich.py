@@ -116,3 +116,102 @@ def apply_dim_updates(dims: DataFrame, updates: DataFrame) -> DataFrame:
             .alias(p)
         )
     return joined.select(*out_cols)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-time (as-of) join: each left row picks up the LATEST
+    right row with ``right.ts <= left.ts`` for the same key.
+
+    The dimension-update side channel (``apply_dim_updates``) gives
+    the *current* state; an as-of join answers the historical form —
+    "what was this user's plan / this host's config *when the event
+    happened*" — the lookup every SCD-2 enrichment and backfill needs.
+    Spark has no ASOF JOIN operator; the naive range join
+    (``l.key = r.key AND r.ts <= l.ts`` + max-ts dedup) explodes to
+    O(events x updates-per-key) rows before pruning.
+
+    This is the linear-cost form: tag and union both inputs, then one
+    per-key window ordered by (ts, side) carries the last non-null
+    right values forward onto each left row (``last(..., ignorenulls)``
+    over unbounded-preceding..current).  Right rows sort BEFORE left
+    rows at equal ts, so the match is inclusive.  ONE shuffle (the
+    window), partials are streaming — a key with 10^8 events costs its
+    task a sort, never a cross product.  Left rows with no prior
+    update keep nulls (left-join semantics).
+
+    ``value_cols`` (default: all right columns except key+ts) must not
+    collide with left column names.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, by)]
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
+    r_types = dict(right.dtypes)
+    l_types = dict(left.dtypes)
+    l = left.withColumn("_side", F.lit(1))
+    for c in value_cols:
+        l = l.withColumn(c, F.lit(None).cast(r_types[c]))
+    r = right.select(by, on, *value_cols).withColumn("_side", F.lit(0))
+    for c in left.columns:
+        if c not in (by, on):
+            r = r.withColumn(c, F.lit(None).cast(l_types[c]))
+    u = l.unionByName(r.select(*l.columns))
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *[c for c in left.columns],
+        "_side",
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *[c for c in left.columns],
+        *[F.col(f"_c_{c}").alias(c) for c in value_cols],
+    )
+
+
+def rolling_features(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_sec: int = 300,
+) -> DataFrame:
+    """Trailing time-window features per key: count / mean / max of
+    ``value_col`` over the last ``window_sec`` seconds (inclusive),
+    attached to every row — the rate/baseline features a telemetry
+    anomaly detector or a per-user activity profile reads.
+
+    Pure window ``rangeBetween`` on epoch seconds: one shuffle, no
+    self-join (the naive formulation is a range self-join that
+    explodes quadratically on hot keys), streaming frame evaluation.
+    """
+    # NTZ timestamps can't cast straight to long in Spark 4; the hop
+    # through timestamp_ltz shifts by a constant (session tz) offset,
+    # which cannot change trailing-window membership.
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(epoch)
+        .rangeBetween(-window_sec, 0)
+    )
+    return df.select(
+        key_col,
+        ts_col,
+        value_col,
+        F.count("*").over(w).alias("n_win"),
+        F.round(F.avg(value_col).over(w), 4).alias("mean_win"),
+        F.round(F.max(value_col).over(w), 4).alias("max_win"),
+    )

@@ -2584,6 +2584,71 @@ def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latency_percentiles(ev, "value", ["event_type"])
 
 
+# ---------------------------------------------------------------------
+# 71. as-of join (point-in-time dimension lookup): each non-signup
+#     event picks up the user's LATEST signup value at-or-before its
+#     ts.  Spark side is the linear union+carry-forward window (ONE
+#     shuffle, no range explosion); oracle is DuckDB's native
+#     ASOF LEFT JOIN — two entirely different algorithms, same rows.
+# ---------------------------------------------------------------------
+@register(
+    "asof_join_enrich",
+    """
+    with upd as (
+      select user_id, ts, max(value) as upd_val
+      from events where event_type = 'signup' group by 1, 2),
+    ev as (
+      select event_id, user_id, ts from events
+      where event_type <> 'signup')
+    select ev.event_id, ev.user_id,
+           round(upd.upd_val, 4) as upd_val
+    from ev asof left join upd
+      on ev.user_id = upd.user_id and ev.ts >= upd.ts
+    """,
+)
+def q_asof_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .enrich import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    upd = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("upd_val"))
+    )
+    left = ev.filter(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(left, upd, on="ts", by="user_id").select(
+        "event_id", "user_id", F.round("upd_val", 4).alias("upd_val")
+    )
+
+
+# ---------------------------------------------------------------------
+# 72. rolling time-window features: per-user trailing-300s count /
+#     mean / max of value on every event — the baseline/rate features
+#     an anomaly detector reads.  Window rangeBetween on truncated
+#     epoch seconds (both engines truncate identically); one shuffle,
+#     no range self-join.
+# ---------------------------------------------------------------------
+@register(
+    "rolling_features",
+    """
+    select user_id, ts, value,
+           cast(count(*) over w as bigint) as n_win,
+           round(avg(value) over w, 4) as mean_win,
+           round(max(value) over w, 4) as max_win
+    from events
+    window w as (partition by user_id
+                 order by cast(floor(epoch(ts)) as bigint)
+                 range between 300 preceding and current row)
+    """,
+)
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .enrich import rolling_features
+
+    return rolling_features(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -49,3 +49,55 @@ def test_apply_dim_updates_upsert_remove_last_wins(spark):
     out = {r["svc"]: r for r in apply_dim_updates(dims, updates).collect()}
     assert out["web"]["owner"] == "dave" and out["web"]["tier"] == "t1"
     assert out["db"]["tier"] is None and out["db"]["owner"] == "bob"
+
+
+def test_asof_join_picks_latest_prior_update(spark):
+    from sparkcollector.enrich import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "e1"), (1, 10, "e2"), (1, 20, "e3"), (2, 7, "e4")],
+        "user_id bigint, ts bigint, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 3, "bronze"), (1, 10, "silver"), (1, 15, "gold"), (2, 9, "late")],
+        "user_id bigint, ts bigint, plan string",
+    )
+    out = {r["ev"]: r["plan"] for r in asof_join(left, right).collect()}
+    assert out == {
+        "e1": "bronze",   # latest update at ts<=5 is ts=3
+        "e2": "silver",   # equal ts matches (inclusive)
+        "e3": "gold",     # ts=15 < 20
+        "e4": None,       # user 2's only update is later -> null
+    }
+
+
+def test_asof_join_rejects_column_clash(spark):
+    import pytest as _pytest
+
+    from sparkcollector.enrich import asof_join
+
+    df = spark.createDataFrame([(1, 1, "x")], "user_id bigint, ts bigint, plan string")
+    with _pytest.raises(ValueError):
+        asof_join(df, df)
+
+
+def test_rolling_features_trailing_window(spark):
+    from sparkcollector.enrich import rolling_features
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(seconds=100), 20.0),
+        (1, t0 + dt.timedelta(seconds=400), 40.0),  # first row out of 300s window
+        (2, t0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    out = {
+        (r["user_id"], r["value"]): (r["n_win"], r["mean_win"], r["max_win"])
+        for r in rolling_features(df).collect()
+    }
+    assert out[(1, 10.0)] == (1, 10.0, 10.0)
+    assert out[(1, 20.0)] == (2, 15.0, 20.0)
+    assert out[(1, 40.0)] == (2, 30.0, 40.0)  # rows at t+100, t+400 (t0 aged out)
+    assert out[(2, 5.0)] == (1, 5.0, 5.0)
