@@ -511,3 +511,43 @@ def latency_percentiles(
     return df.groupBy(*group_cols).agg(
         F.count("*").alias("calls"), *aggs
     )
+
+
+def transform_attrs(
+    attrs: Column,
+    keep_keys: list[str] | None = None,
+    truncate_to: int | None = None,
+    limit_to: int | None = None,
+    replace_pattern: tuple[str, str] | None = None,
+) -> Column:
+    """OTTL map-function family over an attribute map column —
+    ``keep_keys`` / ``truncate_all`` / ``limit`` /
+    ``replace_all_patterns``, the transform processor's most-used
+    statements (docs/components.md transformprocessor; OTTL func
+    registry), applied in OTTL's order: keep -> replace -> truncate ->
+    limit.
+
+    All pure Catalyst map HOFs (map_filter / transform_values /
+    map_entries+slice) — per-row narrow compute, codegen'd, zero
+    shuffle, no UDF.  ``limit`` keeps the ``limit_to``
+    lexicographically-smallest keys: OTTL's own tie-break is
+    "arbitrary but priority keys first"; sorting makes it
+    deterministic across engines and runs (pass priority keys via
+    ``keep_keys`` first if needed).
+    """
+    m = attrs
+    if keep_keys is not None:
+        ks = F.array(*[F.lit(k) for k in keep_keys])
+        m = F.map_filter(m, lambda k, v: F.array_contains(ks, k))
+    if replace_pattern is not None:
+        pat, repl = replace_pattern
+        m = F.transform_values(
+            m, lambda k, v: F.regexp_replace(v, pat, repl)
+        )
+    if truncate_to is not None:
+        m = F.transform_values(m, lambda k, v: F.substring(v, 1, truncate_to))
+    if limit_to is not None:
+        m = F.map_from_entries(
+            F.slice(F.array_sort(F.map_entries(m)), 1, limit_to)
+        )
+    return m

@@ -2649,6 +2649,46 @@ def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_features(_t(spark, sf_dir, "events"))
 
 
+# ---------------------------------------------------------------------
+# 73. OTTL map-function family (transform processor: keep_keys ->
+#     replace_all_patterns -> truncate_all -> limit) over an attribute
+#     map built from event columns; exploded to (k, v) rows so the
+#     oracle (hand-computed per-key semantics) pins every function.
+#     Pure Catalyst map HOFs — zero shuffle, no UDF.
+# ---------------------------------------------------------------------
+@register(
+    "ottl_map_functions",
+    """
+    select event_id, 'type' as k,
+           substr(regexp_replace(event_type, '[0-9]+', 'N', 'g'), 1, 6) as v
+    from events
+    union all
+    select event_id, 'uid' as k,
+           substr(regexp_replace(cast(user_id as varchar), '[0-9]+', 'N', 'g'),
+                  1, 6) as v
+    from events
+    """,
+)
+def q_ottl_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import transform_attrs
+
+    ev = _t(spark, sf_dir, "events")
+    attrs = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+        F.lit("val"), F.col("value").cast("string"),
+        F.lit("blob"), F.col("props"),
+    )
+    m = transform_attrs(
+        attrs,
+        keep_keys=["type", "uid", "val"],
+        replace_pattern=(r"[0-9]+", "N"),
+        truncate_to=6,
+        limit_to=2,
+    )
+    return ev.select("event_id", F.explode(m).alias("k", "v"))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -216,3 +216,33 @@ def test_latency_percentiles_exact_and_sketch(spark):
     # the sketch lands on an observed value near the exact rank
     assert abs(sk["a"]["p5"] - 50.5) <= 2
     assert abs(sk["a"]["p95"] - 95.05) <= 2
+
+
+def test_transform_attrs_ottl_family(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.telemetry import transform_attrs
+
+    df = spark.createDataFrame(
+        [(1,)], "id int"
+    ).select(
+        "id",
+        F.create_map(
+            F.lit("service"), F.lit("checkout-7731"),
+            F.lit("debug_blob"), F.lit("x" * 50),
+            F.lit("zone"), F.lit("eu-west-42"),
+            F.lit("user"), F.lit("u9"),
+        ).alias("m"),
+    )
+    out = df.select(
+        transform_attrs(
+            F.col("m"),
+            keep_keys=["service", "zone", "user"],
+            replace_pattern=(r"\d+", "#"),
+            truncate_to=8,
+            limit_to=2,
+        ).alias("m")
+    ).collect()[0]["m"]
+    # keep_keys drops debug_blob; digits masked; truncated to 8 chars;
+    # limit keeps the 2 smallest keys (service, user) deterministically
+    assert out == {"service": "checkout", "user": "u#"}
