@@ -497,3 +497,189 @@ def dimension_cardinality(
         )
         top = c if top is None else top.unionByName(c)
     return audit.join(top, "dim")
+
+
+def lm_score(
+    df: DataFrame,
+    lm: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    floor_logprob: float = -20.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """CCNet-style language-model quality score: mean unigram
+    log-probability per document.
+
+    CCNet/RedPajama filter web text by LM perplexity; with no external
+    model available, the standard self-supervised stand-in is a unigram
+    LM estimated from the corpus itself (or from ``lm``, a reference
+    corpus with the same schema): ``logprob(w) = ln(count(w) / total)``,
+    and a document scores the mean over its token occurrences.  Low
+    scores flag gibberish / rare-token soup; suspiciously high scores
+    flag boilerplate.  Out-of-vocabulary tokens (only possible when
+    ``lm`` is a different corpus) take ``floor_logprob``.
+
+    Scale: tokens are one explode (narrow); the LM is a (word, count)
+    aggregate whose size is the vocabulary — millions of rows at 100 TB,
+    far under the fact table — so the score join is a fine shuffle join
+    and AQE broadcasts it when it fits; no forced hint (an aggregate of
+    a fact table is never safe to force-broadcast).  The 1-row total
+    joins via crossJoin of an aggregate — AQE handles it.  Output is
+    rounded to 6 decimals so the score is engine-portable.
+    """
+    tokens = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    src = tokens if lm is None else lm.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    counts = src.groupBy("word").agg(F.count("*").alias("c"))
+    total = src.agg(F.count("*").alias("n_total"))
+    logprobs = counts.crossJoin(total).select(
+        "word", F.log(F.col("c") / F.col("n_total")).alias("logprob")
+    )
+    scored = tokens.join(logprobs, "word", "left").select(
+        id_col,
+        F.coalesce("logprob", F.lit(float(floor_logprob))).alias("logprob"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("logprob"), round_digits).alias("mean_logprob"),
+    )
+
+
+def normalize_url(url: Column, https: bool = True) -> Column:
+    """Canonicalize a URL for web-corpus dedup (pure Catalyst).
+
+    The first pass of every web-scale pipeline (CommonCrawl curation)
+    is URL canonicalization so the same page fetched under trivially
+    different URLs dedups exactly:
+
+    * drop the fragment (``#...``),
+    * normalize the scheme to https (http/https are the same page for
+      dedup purposes) and lowercase it,
+    * lowercase the host and strip a leading ``www.``,
+    * drop default ports (``:80``/``:443``),
+    * drop tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+      ``ref``) and sort the survivors for order-insensitivity,
+    * strip a trailing ``/`` and a dangling ``?``.
+
+    All regexp/array HOFs — per-row narrow compute, codegen'd, zero
+    shuffle, no UDF.
+    """
+    u = F.regexp_replace(url, r"#.*$", "")
+    u = F.regexp_replace(u, r"^[Hh][Tt][Tt][Pp][Ss]?://", "https://" if https else "http://")
+    # lowercase the authority (scheme already normalized), keep path case
+    host = F.lower(F.regexp_extract(u, r"^https?://([^/?]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    rest = F.regexp_replace(u, r"^https?://[^/?]*", "")
+    path = F.regexp_replace(rest, r"\?.*$", "")
+    path = F.regexp_replace(path, r"/$", "")
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid|ref)="),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        F.lit("https://" if https else "http://"),
+        host,
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one document per canonical URL (the min id — deterministic
+    on any engine/cluster), with the duplicate count.
+
+    One shuffle on the canonical URL string; the groupBy is a plain
+    hash-agg with map-side partials.
+    """
+    return (
+        df.withColumn("canonical_url", normalize_url(F.col(url_col)))
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def sft_pairs(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+) -> DataFrame:
+    """Extract (prompt, response) training pairs from transcripts: each
+    ``response_role`` turn pairs with the NEAREST PRECEDING
+    ``prompt_role`` turn in its conversation (tool/system turns in
+    between are skipped, as SFT pair extraction does).
+
+    One window over (group, order) — ``last_value ... ignore nulls`` —
+    so the whole op is a single shuffle on the conversation key; on a
+    conv_id-bucketed table (the 100 TB layout) even that shuffle
+    disappears.  Responses with no preceding prompt are dropped.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prompt = F.last(
+        F.when(F.col(role_col) == prompt_role, F.col(text_col)),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        df.withColumn("prompt", prompt)
+        .filter((F.col(role_col) == response_role) & F.col("prompt").isNotNull())
+        .select(
+            group_col,
+            F.col(order_col).alias("response_turn"),
+            "prompt",
+            F.col(text_col).alias("response"),
+        )
+    )
+
+
+def quantile_filter(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    keep_top: float,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Keep the top ``keep_top`` fraction of rows per group by score —
+    RELATIVE quality filtering (per-domain thresholds), the fix for the
+    classic absolute-threshold failure mode where one domain's median
+    beats another domain's p99 and a global cut wipes out the weaker
+    domain entirely.
+
+    Uses ``cume_dist`` (rows <= mine / rows in group): keep rows with
+    ``cume_dist >= 1 - keep_top``.  cume_dist is tie-stable and has the
+    same definition in every SQL engine, so the kept set is
+    deterministic and engine-portable.  One shuffle on the group key;
+    at 10^9 docs per domain the window is a sort within each domain's
+    partitions — for truly huge groups switch the threshold to
+    ``approx_percentile`` per group and a semi-join (sketch path).
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(score_col)] + (
+        [F.col(order_col)] if order_col is not None else []
+    )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("score_cume", F.round(F.cume_dist().over(w), 6))
+        .filter(F.col("score_cume") >= 1.0 - keep_top)
+    )

@@ -1,0 +1,80 @@
+"""Hierarchy / tree traversal operators.
+
+Transcript corpora are not always linear: shared-conversation exports
+(regenerated answers, branched edits) are TREES of turns with a
+parent pointer, and training-data prep linearizes each root-to-node
+path into a flat context.  Spark has no recursive CTE, so the
+traversal is built as POINTER DOUBLING (path halving): each round
+every node learns its ancestor's ancestor and splices the two path
+fragments, so a depth-D tree converges in ceil(log2(D)) rounds of ONE
+self-join shuffle each — not D rounds as naive parent-chasing would.
+The DuckDB oracle for the registry entry is a plain recursive CTE:
+different algorithm, same rows.
+
+``localCheckpoint(eager=True)`` truncates lineage each round (same
+policy as ``dedup.dedup_clusters``) so the plan does not double in
+size per round, and the driver-side convergence probe reuses the
+checkpointed result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ancestor_paths(
+    df: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent_id",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Root-to-node path for every node of a parent-pointer forest.
+
+    Input: one row per node with ``id_col`` and ``parent_col``
+    (NULL parent = root).  Output: ``(id, depth, path)`` where
+    ``path`` is the array of node ids from the root down to the node
+    inclusive and ``depth`` is ``size(path) - 1``.
+
+    Pointer doubling: state is (id, anc, path) with ``path`` covering
+    the nodes strictly below ``anc`` down to ``id``.  One round joins
+    the state to itself on ``anc = other.id``; a node inherits its
+    ancestor's ancestor and prepends the ancestor's fragment, doubling
+    the resolved prefix.  ``max_rounds`` = 40 supports depth 2^40 —
+    effectively unbounded — but the loop exits as soon as every
+    ``anc`` is NULL (a 1-row ``limit(1).count()`` probe per round
+    against the checkpointed frame, so nothing recomputes).
+
+    Scale: each round shuffles (id-sized key, path array) once; the
+    arrays are O(depth) not O(tree size), so a 10^9-node forest of
+    bounded depth is rounds x one hash join, all JVM-side.
+    """
+    state = df.select(
+        F.col(id_col).alias("id"),
+        F.col(parent_col).alias("anc"),
+        F.array(F.col(id_col)).alias("path"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        if state.filter(F.col("anc").isNotNull()).limit(1).count() == 0:
+            break
+        hop = state.select(
+            F.col("id").alias("h_id"),
+            F.col("anc").alias("h_anc"),
+            F.col("path").alias("h_path"),
+        )
+        state = (
+            state.join(hop, state["anc"] == hop["h_id"], "left")
+            .select(
+                "id",
+                F.when(F.col("anc").isNull(), F.lit(None))
+                .otherwise(F.col("h_anc"))
+                .alias("anc"),
+                F.when(F.col("anc").isNull(), F.col("path"))
+                .otherwise(F.concat(F.col("h_path"), F.col("path")))
+                .alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        "id", (F.size("path") - 1).alias("depth"), "path"
+    )

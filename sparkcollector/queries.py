@@ -2689,6 +2689,193 @@ def q_ottl_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", F.explode(m).alias("k", "v"))
 
 
+# ---------------------------------------------------------------------
+# 74. Unigram-LM quality score (CCNet-style perplexity proxy): the LM
+#     is estimated from the corpus itself, every doc scores the mean
+#     token log-probability.  One explode + one vocab-sized join (AQE
+#     decides the broadcast — never forced, it aggregates the fact
+#     table).
+# ---------------------------------------------------------------------
+@register(
+    "lm_doc_score",
+    """
+    with w as (select doc_id, unnest(string_split(text, ' ')) as word
+               from documents),
+    c as (select word, count(*) as c from w group by 1),
+    t as (select count(*) as n from w)
+    select w.doc_id, count(*) as n_tokens,
+           round(avg(ln(c.c / t.n)), 4) as mean_logprob
+    from w join c using (word) cross join t
+    group by w.doc_id
+    """,
+)
+def q_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import lm_score
+
+    # round to 4 (not the default 6) for cross-engine float-sum parity
+    return lm_score(_t(spark, sf_dir, "documents"), round_digits=4)
+
+
+# ---------------------------------------------------------------------
+# 75. URL canonicalization + dedup (CommonCrawl-style first pass).  The
+#     query builds a deliberately messy URL (mixed-case scheme, www,
+#     default port, tracking params, unsorted query, trailing slash,
+#     fragment) from document columns; the oracle constructs the CLEAN
+#     form independently, so every normalization branch is pinned.
+# ---------------------------------------------------------------------
+@register(
+    "url_canonical_dedup",
+    """
+    select concat('https://', source, '.example.com/', lang, '/p/',
+                  cast(doc_id % 50 as varchar), '?a=1&b=2') as canonical_url,
+           min(doc_id) as doc_id, count(*) as n_dups
+    from documents
+    group by 1
+    """,
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import url_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTP://www."),
+            F.col("source"),
+            F.lit(".Example.com:80/"),
+            F.col("lang"),
+            F.lit("/p/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("/?utm_source=feed&b=2&fbclid=xyz&a=1#frag"),
+        ),
+    )
+    return url_dedup(docs)
+
+
+# ---------------------------------------------------------------------
+# 76. Tree linearization (branched-transcript root-to-node paths).
+#     Parent pointers form a binary-heap forest per user (parent(seq) =
+#     seq // 2 over the ts-ordered event sequence); the operator is
+#     generic pointer-doubling (graph.ancestor_paths, log-depth rounds
+#     of one self-join), the oracle a plain recursive CTE — different
+#     algorithm, same rows.
+# ---------------------------------------------------------------------
+@register(
+    "tree_linearize",
+    """
+    with recursive s as (
+      select event_id, user_id,
+             row_number() over (partition by user_id
+                                order by ts, event_id) as seq
+      from events),
+    e as (select c.event_id as id, p.event_id as parent
+          from s c left join s p
+            on p.user_id = c.user_id and p.seq = c.seq // 2),
+    r as (
+      select id, 0 as depth, cast(id as varchar) as path_str
+      from e where parent is null
+      union all
+      select e.id, r.depth + 1, r.path_str || ',' || cast(e.id as varchar)
+      from e join r on e.parent = r.id)
+    select id, depth, path_str from r
+    """,
+)
+def q_tree_linearize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.graph import ancestor_paths
+
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_id",
+        "user_id",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("seq"),
+    )
+    parent = seq.select(
+        F.col("user_id").alias("p_user"),
+        F.col("seq").alias("p_seq"),
+        F.col("event_id").alias("parent"),
+    )
+    nodes = seq.join(
+        parent,
+        (seq["user_id"] == parent["p_user"])
+        & (parent["p_seq"] == F.expr("seq div 2")),
+        "left",
+    ).select(F.col("event_id").alias("id"), "parent")
+    out = ancestor_paths(nodes, id_col="id", parent_col="parent")
+    return out.select(
+        "id",
+        "depth",
+        F.array_join(F.transform("path", lambda x: x.cast("string")), ",").alias(
+            "path_str"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
+# 77. SFT (prompt, response) pair extraction: each response-role row
+#     pairs with the nearest preceding prompt-role row in its group —
+#     one running last_value window, single shuffle on the group key
+#     (zero on the bucketed layout).
+# ---------------------------------------------------------------------
+@register(
+    "sft_pair_extract",
+    """
+    with w as (
+      select user_id, event_id, event_type, props,
+             last_value(case when event_type = 'click' then props end
+                        ignore nulls)
+               over (partition by user_id order by event_id
+                     rows between unbounded preceding and current row)
+               as prompt
+      from events)
+    select user_id, event_id as response_turn, prompt, props as response
+    from w
+    where event_type = 'purchase' and prompt is not null
+    """,
+)
+def q_sft_pair_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import sft_pairs
+
+    return sft_pairs(
+        _t(spark, sf_dir, "events"),
+        group_col="user_id",
+        order_col="event_id",
+        role_col="event_type",
+        text_col="props",
+        prompt_role="click",
+        response_role="purchase",
+    )
+
+
+# ---------------------------------------------------------------------
+# 78. Per-domain relative quality filter: keep the top 25% of docs per
+#     source by score (cume_dist — tie-stable and engine-portable), the
+#     fix for absolute thresholds wiping out weaker domains.  0.25 is
+#     binary-exact so the boundary compare is portable.
+# ---------------------------------------------------------------------
+@register(
+    "quantile_filter_per_domain",
+    """
+    with w as (
+      select doc_id, source, n_chars,
+             round(cume_dist() over (partition by source order by n_chars),
+                   6) as score_cume
+      from documents)
+    select doc_id, source, n_chars, score_cume
+    from w where score_cume >= 0.75
+    """,
+)
+def q_quantile_filter_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import quantile_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return quantile_filter(
+        docs, group_col="source", score_col="n_chars", keep_top=0.25
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -218,3 +218,116 @@ def test_dimension_cardinality_audit(spark):
     # HLL is a sketch: exact at these cardinalities, and always close
     for d in ("tag", "uid"):
         assert abs(out[d]["hll_distinct"] - out[d]["exact_distinct"]) <= 1
+
+
+def test_lm_score_self_unigram(spark):
+    from sparkcollector.operators.corpus import lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c c")], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in lm_score(df).collect()}
+    # corpus counts: a=2, b=2, c=2, total=6 -> every token logprob
+    # = ln(1/3); both docs average to ln(1/3)
+    expect = round(math.log(1 / 3), 6)
+    assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 3
+    assert got[1]["mean_logprob"] == expect
+    assert got[2]["mean_logprob"] == expect
+
+
+def test_lm_score_reference_corpus_and_oov_floor(spark):
+    from sparkcollector.operators.corpus import lm_score
+
+    train = spark.createDataFrame([(1, "a zzz")], "doc_id bigint, text string")
+    ref = spark.createDataFrame([(9, "a a b b")], "doc_id bigint, text string")
+    (row,) = lm_score(train, lm=ref, floor_logprob=-20.0).collect()
+    # a: ln(2/4); zzz: OOV -> floor
+    assert row["mean_logprob"] == round((math.log(0.5) - 20.0) / 2, 6)
+
+
+def test_normalize_url_branches(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.corpus import normalize_url
+
+    cases = [
+        # scheme+www+port+tracking+sort+trailing slash+fragment
+        (
+            "HTTP://www.Ex.COM:80/A/b/?utm_source=x&b=2&a=1&fbclid=f#frag",
+            "https://ex.com/A/b?a=1&b=2",
+        ),
+        # already-canonical stays put
+        ("https://ex.com/A/b?a=1&b=2", "https://ex.com/A/b?a=1&b=2"),
+        # all params tracking -> no dangling '?'
+        ("https://ex.com/p?utm_campaign=c", "https://ex.com/p"),
+        # bare host, trailing slash
+        ("http://www.Ex.com:443/", "https://ex.com"),
+    ]
+    df = spark.createDataFrame(cases, "url string, expect string")
+    bad = df.withColumn("got", normalize_url(F.col("url"))).filter(
+        F.col("got") != F.col("expect")
+    )
+    assert bad.count() == 0, bad.collect()
+
+
+def test_url_dedup_keeps_min_id(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.corpus import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (5, "http://www.ex.com/p?utm_source=x"),
+            (3, "https://ex.com/p"),
+            (7, "https://ex.com/q"),
+        ],
+        "doc_id bigint, url string",
+    )
+    got = {
+        r["canonical_url"]: (r["doc_id"], r["n_dups"])
+        for r in url_dedup(df).collect()
+    }
+    assert got == {"https://ex.com/p": (3, 2), "https://ex.com/q": (7, 1)}
+
+
+def test_sft_pairs_nearest_preceding_prompt(spark):
+    from sparkcollector.operators.corpus import sft_pairs
+
+    rows = [
+        ("c1", 0, "system", "sys"),
+        ("c1", 1, "user", "q1"),
+        ("c1", 2, "tool", "t"),
+        ("c1", 3, "assistant", "a1"),
+        ("c1", 4, "assistant", "a2"),   # still pairs with q1
+        ("c1", 5, "user", "q2"),
+        ("c1", 6, "assistant", "a3"),
+        ("c2", 0, "assistant", "orphan"),  # no preceding prompt -> dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = sorted(
+        (r["conv_id"], r["response_turn"], r["prompt"], r["response"])
+        for r in sft_pairs(df).collect()
+    )
+    assert got == [
+        ("c1", 3, "q1", "a1"),
+        ("c1", 4, "q1", "a2"),
+        ("c1", 6, "q2", "a3"),
+    ]
+
+
+def test_quantile_filter_per_group(spark):
+    from sparkcollector.operators.corpus import quantile_filter
+
+    rows = [("g1", i, float(i)) for i in range(1, 5)] + [
+        ("g2", 10 + i, float(100 + i)) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "grp string, id int, score double")
+    got = sorted(
+        r["id"] for r in quantile_filter(df, "grp", "score", keep_top=0.5).collect()
+    )
+    # per group of 4 with keep_top=0.5 the boundary is INCLUSIVE:
+    # cume_dist 0.5, 0.75, 1.0 all satisfy >= 0.5 (same semantics as
+    # the oracle's `score_cume >= 1 - keep_top`)
+    assert got == [2, 3, 4, 12, 13, 14]

@@ -1,0 +1,47 @@
+"""Unit tests for graph.ancestor_paths (pointer doubling)."""
+
+from __future__ import annotations
+
+
+def _run(spark, rows):
+    from sparkcollector.operators.graph import ancestor_paths
+
+    df = spark.createDataFrame(rows, "id bigint, parent_id bigint")
+    return {
+        r["id"]: (r["depth"], list(r["path"]))
+        for r in ancestor_paths(df).collect()
+    }
+
+
+def test_single_root(spark):
+    assert _run(spark, [(1, None)]) == {1: (0, [1])}
+
+
+def test_small_tree(spark):
+    #      1
+    #     / \
+    #    2   3
+    #   /
+    #  4
+    got = _run(spark, [(1, None), (2, 1), (3, 1), (4, 2)])
+    assert got == {
+        1: (0, [1]),
+        2: (1, [1, 2]),
+        3: (1, [1, 3]),
+        4: (2, [1, 2, 4]),
+    }
+
+
+def test_forest_two_roots(spark):
+    got = _run(spark, [(1, None), (2, 1), (10, None), (11, 10)])
+    assert got[11] == (1, [10, 11]) and got[2] == (1, [1, 2])
+
+
+def test_deep_chain_log_rounds(spark):
+    # depth 33 chain: naive parent-chasing needs 33 rounds; doubling
+    # needs ceil(log2(33)) + 1 = 7 — the loop must converge well under
+    # max_rounds and produce the exact root-to-leaf order.
+    n = 34
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, n)]
+    got = _run(spark, rows)
+    assert got[n - 1] == (n - 1, list(range(n)))
