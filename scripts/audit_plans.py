@@ -323,6 +323,66 @@ def main() -> None:
         spark=spark,
     )
 
+    all_ok &= audit(
+        "pq_adc_topk",
+        lambda: queries()["pq_adc_topk"](spark, SF_DIR),
+        [
+            ("TakeOrdered (per-partition heaps), no global sort",
+             lambda p: "TakeOrderedAndProject" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "ADC scan: codes + literal-LUT lookups are codegen'd into the "
+        "scan; top-k is TakeOrdered — zero shuffles end to end.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "lm_doc_score",
+        lambda: queries()["lm_doc_score"](spark, SF_DIR),
+        [
+            ("no forced broadcast of the vocab aggregate (AQE decides)",
+             lambda p: "AdaptiveSparkPlan" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "sft_pair_extract",
+        lambda: queries()["sft_pair_extract"](spark, SF_DIR),
+        [
+            ("exactly one exchange (the conversation-key window)",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) == 1),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "quantile_filter_per_domain",
+        lambda: queries()["quantile_filter_per_domain"](spark, SF_DIR),
+        [
+            ("exactly one exchange (the per-domain window)",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) == 1),
+            ("scan prunes to the 3 used columns",
+             lambda p: "text" not in p.split("ReadSchema")[-1][:200]
+             if "ReadSchema" in p else False),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "url_canonical_dedup",
+        lambda: queries()["url_canonical_dedup"](spark, SF_DIR),
+        [
+            ("exactly one exchange (hash-agg on canonical URL)",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) == 1),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

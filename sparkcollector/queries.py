@@ -2876,6 +2876,72 @@ def q_quantile_filter_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 79. Product-quantization ADC top-k (the compressed-codes ANN tier:
+#     m=4 subspaces x k=16 codes => 64-dim float vectors scanned as 4
+#     small ints).  Codebooks are pinned to a deterministic rule (the
+#     first 16 vectors' subvector slices = k-means random init with 0
+#     Lloyd iterations) so the oracle reproduces assignment + ADC
+#     arithmetic exactly; pq_train's Lloyd path is covered in pytest.
+#     Both engines do sequential left-fold double sums, so distances
+#     are bit-identical before the final round(4).
+# ---------------------------------------------------------------------
+@register(
+    "pq_adc_topk",
+    """
+    with js as (select unnest([0, 1, 2, 3]) as j),
+    cb as (
+      select vec_id as code, j,
+             embedding[j*16 + 1 : j*16 + 16] as cent
+      from embeddings cross join js
+      where vec_id < 16),
+    v as (
+      select vec_id, j, embedding[j*16 + 1 : j*16 + 16] as sub
+      from embeddings cross join js),
+    d as (
+      select v.vec_id, v.j, cb.code,
+             list_sum(list_transform(range(16), i ->
+               (cast(sub[i+1] as double) - cast(cent[i+1] as double))
+               * (cast(sub[i+1] as double) - cast(cent[i+1] as double))))
+               as d2
+      from v join cb using (j)),
+    codes as (
+      select vec_id, j, code
+      from (select *, row_number() over (partition by vec_id, j
+                                         order by d2, code) as rn from d)
+      where rn = 1),
+    q as (select j, code, d2 as qd from d where vec_id = 0),
+    adc as (
+      select c.vec_id,
+             round(list_sum(list(q.qd order by c.j)), 4) as adc_dist
+      from codes c join q on q.j = c.j and q.code = c.code
+      group by c.vec_id)
+    select vec_id, adc_dist from adc
+    order by adc_dist, vec_id limit 20
+    """,
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import pq_adc_topk, pq_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # bounded driver-side collect: 16 codebook seed rows + the query
+    # row — the same justified shape as IVF training
+    seed_rows = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 16).collect()
+    }
+    codebooks = [
+        [
+            [float(x) for x in seed_rows[c][j * 16 : (j + 1) * 16]]
+            for c in range(16)
+        ]
+        for j in range(4)
+    ]
+    query = [float(x) for x in seed_rows[0]]
+    codes = pq_assign(emb, codebooks)
+    return pq_adc_topk(codes, codebooks, query, topk=20)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
