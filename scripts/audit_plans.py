@@ -383,6 +383,46 @@ def main() -> None:
         spark=spark,
     )
 
+    all_ok &= audit(
+        "interval_join_bucketed",
+        lambda: queries()["interval_join_error_window"](spark, SF_DIR),
+        [
+            ("hash equi-join, NO nested loop / cartesian",
+             lambda p: "BroadcastNestedLoopJoin" not in p
+             and "CartesianProduct" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "bucketed range join: interval explode -> equi-join on bucket + "
+        "exact BETWEEN post-filter; the naive plan is a nested loop.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "bm25_retrieval",
+        lambda: queries()["bm25_retrieval"](spark, SF_DIR),
+        [
+            ("no (doc, word) explode shuffle — only the 1-row stats agg "
+             "exchanges",
+             lambda p: "Generate" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "term frequencies via array HOFs over split(text); the only "
+        "joins are against a 1-row aggregate.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "inverted_index_postings",
+        lambda: queries()["inverted_index_postings"](spark, SF_DIR),
+        [
+            ("two keyed shuffles: (term, doc) roll-up + per-term window",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) <= 3),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

@@ -215,3 +215,60 @@ def rolling_features(
         F.round(F.avg(value_col).over(w), 4).alias("mean_win"),
         F.round(F.max(value_col).over(w), 4).alias("max_win"),
     )
+
+
+def interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    fact_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_sec: int = 600,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Range (interval) join: every fact row whose ``fact_ts`` falls
+    inside an interval ``[start, end]`` — Spark has no range-join
+    operator, and the naive ``ON ts BETWEEN start AND end`` plan is a
+    BroadcastNestedLoopJoin (quadratic, undistributable when neither
+    side fits in memory).
+
+    Strategy: quantize time into ``bucket_sec`` buckets; an interval
+    explodes to the buckets it touches (``sequence(floor(s/b),
+    floor(e/b))`` — ceil(len/b)+1 rows, tiny when buckets are sized
+    near the interval length), facts map to ONE bucket, and the join
+    becomes a plain hash equi-join on (bucket [+ keys]) with the exact
+    BETWEEN as a post-filter.  This is the standard bucketed range
+    join (Databricks' range-join optimization, Flink's interval join)
+    — shuffle volume is O(facts + intervals x buckets_per_interval),
+    never a cross product, and AQE handles a small interval side with
+    a broadcast.
+
+    Returns facts x matching-interval rows (inner join), all columns
+    from both sides.
+    """
+    b = float(bucket_sec)
+    # NTZ timestamps can't cast straight to a number in Spark 4; the
+    # timestamp_ltz hop shifts by a constant offset on BOTH sides of
+    # the join, which cannot change bucket co-membership.
+    def epoch(c: Column) -> Column:
+        return c.cast("timestamp_ltz").cast("double")
+
+    fb = facts.withColumn("_bucket", F.floor(epoch(F.col(fact_ts)) / b))
+    ib = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(epoch(F.col(start_col)) / b),
+                F.floor(epoch(F.col(end_col)) / b),
+            )
+        ),
+    )
+    on = ["_bucket"] + (keys or [])
+    return (
+        fb.join(ib, on)
+        .filter(
+            (F.col(fact_ts) >= F.col(start_col))
+            & (F.col(fact_ts) <= F.col(end_col))
+        )
+        .drop("_bucket")
+    )

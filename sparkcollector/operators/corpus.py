@@ -683,3 +683,105 @@ def quantile_filter(
         df.withColumn("score_cume", F.round(F.cume_dist().over(w), 6))
         .filter(F.col("score_cume") >= 1.0 - keep_top)
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed term set — the
+    retrieval scorer for corpus search / hard-negative mining.
+
+    Shuffle-free except one 1-row corpus-stats aggregate: per-term
+    frequencies come from array HOFs over the split text (``size(
+    filter(words, w -> w = t))`` — no explode, no (doc, word) shuffle),
+    doc length from ``size(words)``; N / avgdl / per-term df are a
+    single 1-row aggregate crossJoined back (AQE broadcasts it).  The
+    score sums terms in LITERAL LIST ORDER, so double addition is
+    deterministic and engine-portable.  Uses the Lucene idf form
+    ``ln(1 + (N - df + .5)/(df + .5))`` (always positive).
+    """
+    words = F.split(F.col(text_col), " ")
+    proj = [F.col(id_col), F.size(words).alias("_dl")]
+    for i, t in enumerate(terms):
+        proj.append(
+            F.size(F.filter(words, lambda w: w == F.lit(t))).alias(f"_tf{i}")
+        )
+    per_doc = df.select(*proj)
+    aggs = [
+        F.count("*").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+    ] + [
+        F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+        for i in range(len(terms))
+    ]
+    stats = per_doc.agg(*aggs)
+    scored = per_doc.crossJoin(stats)
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        dfreq = F.col(f"_df{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0) + (F.col("_n") - dfreq + 0.5) / (dfreq + 0.5)
+        )
+        term = idf * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+        )
+        score = term if score is None else score + term
+    return scored.select(
+        id_col, F.round(score, round_digits).alias("bm25")
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    posting_cap: int = 8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Positional inverted index: one row per (term, doc) posting with
+    the 0-based token positions — the structure behind phrase search
+    and fast substring-contamination checks over a corpus.
+
+    Two keyed shuffles: (term, doc) position roll-up, then a per-term
+    window for document frequency + the posting cap.  ``posting_cap``
+    keeps the ``posting_cap`` SMALLEST doc ids per term (deterministic
+    on any engine) and ``max_df`` drops stop terms entirely — the same
+    bounded-posting-list policy as the Jaccard dedup tier: no single
+    hot term may produce an unbounded reducer.
+    """
+    from pyspark.sql.window import Window
+
+    tokens = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+    )
+    # sort positions NUMERICALLY before casting to string ("2" < "10")
+    postings = tokens.groupBy("term", id_col).agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("pos")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("pos_str")
+    )
+    w = Window.partitionBy("term")
+    out = (
+        postings.withColumn("doc_freq", F.count("*").over(w))
+        .withColumn(
+            "_rn",
+            F.row_number().over(w.orderBy(F.col(id_col))),
+        )
+        .filter(F.col("_rn") <= posting_cap)
+        .drop("_rn")
+    )
+    if max_df is not None:
+        out = out.filter(F.col("doc_freq") <= max_df)
+    return out.select("term", "doc_freq", id_col, "pos_str")

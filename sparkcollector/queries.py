@@ -2942,6 +2942,117 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(codes, codebooks, query, topk=20)
 
 
+# ---------------------------------------------------------------------
+# 80. Interval (range) join: events within 10 minutes after each error
+#     event — Spark has no range-join operator and the naive BETWEEN
+#     join plans a nested loop; enrich.interval_join buckets time and
+#     turns it into a hash equi-join + exact post-filter.  The oracle
+#     is the naive inequality join — different plan, same rows.
+# ---------------------------------------------------------------------
+@register(
+    "interval_join_error_window",
+    """
+    with err as (
+      select event_id as err_id, ts as start_ts,
+             ts + interval 10 minute as end_ts
+      from events where event_type = 'error')
+    select err.err_id, count(*) as n_in_window
+    from err join events e
+      on e.ts >= err.start_ts and e.ts <= err.end_ts
+    group by err.err_id
+    """,
+)
+def q_interval_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .enrich import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+    )
+    joined = interval_join(
+        ev, err, fact_ts="ts", start_col="start_ts", end_col="end_ts",
+        bucket_sec=600,
+    )
+    return joined.groupBy("err_id").agg(F.count("*").alias("n_in_window"))
+
+
+# ---------------------------------------------------------------------
+# 81. BM25 retrieval scoring against a fixed term set — shuffle-free
+#     except the 1-row corpus-stats aggregate; term frequencies via
+#     array HOFs (no explode).  e0-suffixed oracle literals force
+#     double arithmetic so both engines run the identical float
+#     expression tree.
+# ---------------------------------------------------------------------
+@register(
+    "bm25_retrieval",
+    """
+    with pd as (
+      select doc_id,
+             len(string_split(text, ' ')) as dl,
+             len(list_filter(string_split(text, ' '), w -> w = 'spark'))
+               as tf0,
+             len(list_filter(string_split(text, ' '), w -> w = 'window'))
+               as tf1,
+             len(list_filter(string_split(text, ' '), w -> w = 'hash'))
+               as tf2
+      from documents),
+    st as (
+      select count(*) as n, avg(dl) as avgdl,
+             sum(case when tf0 > 0 then 1 else 0 end) as df0,
+             sum(case when tf1 > 0 then 1 else 0 end) as df1,
+             sum(case when tf2 > 0 then 1 else 0 end) as df2
+      from pd)
+    select doc_id, round(
+        ln(1e0 + (n - df0 + 0.5e0) / (df0 + 0.5e0)) * tf0 * 2.2e0
+          / (tf0 + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * dl / avgdl))
+      + ln(1e0 + (n - df1 + 0.5e0) / (df1 + 0.5e0)) * tf1 * 2.2e0
+          / (tf1 + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * dl / avgdl))
+      + ln(1e0 + (n - df2 + 0.5e0) / (df2 + 0.5e0)) * tf2 * 2.2e0
+          / (tf2 + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * dl / avgdl)), 4)
+      as bm25
+    from pd cross join st
+    """,
+)
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import bm25_scores
+
+    return bm25_scores(
+        _t(spark, sf_dir, "documents"), terms=["spark", "window", "hash"]
+    )
+
+
+# ---------------------------------------------------------------------
+# 82. Positional inverted index with capped postings (phrase search /
+#     contamination lookup structure); the cap keeps the 8 smallest doc
+#     ids per term — the bounded-posting-list policy of the dedup tier.
+# ---------------------------------------------------------------------
+@register(
+    "inverted_index_postings",
+    """
+    with t as (
+      select doc_id, u.p - 1 as pos, u.w as term
+      from (select doc_id,
+                   unnest(list_transform(string_split(text, ' '),
+                                         (x, i) -> struct_pack(w := x, p := i)))
+                     as u
+            from documents)),
+    p as (select term, doc_id,
+                 string_agg(cast(pos as varchar), ',' order by pos) as pos_str
+          from t group by term, doc_id),
+    r as (select *, count(*) over (partition by term) as doc_freq,
+                 row_number() over (partition by term order by doc_id) as rn
+          from p)
+    select term, doc_freq, doc_id, pos_str from r where rn <= 8
+    """,
+)
+def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import inverted_index
+
+    return inverted_index(_t(spark, sf_dir, "documents"), posting_cap=8)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -331,3 +331,45 @@ def test_quantile_filter_per_group(spark):
     # cume_dist 0.5, 0.75, 1.0 all satisfy >= 0.5 (same semantics as
     # the oracle's `score_cume >= 1 - keep_top`)
     assert got == [2, 3, 4, 12, 13, 14]
+
+
+def test_bm25_ranks_matching_docs(spark):
+    from sparkcollector.operators.corpus import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark runs fast"),
+            (2, "spark runs on a cluster of machines today"),
+            (3, "ducks swim on the pond"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, ["spark"]).collect()}
+    # non-matching doc scores 0; higher tf (doc 1) outranks doc 2 even
+    # though doc 1 is shorter (both effects push the same way here)
+    assert got[3] == 0.0
+    assert got[1] > got[2] > 0.0
+
+
+def test_inverted_index_positions_and_cap(spark):
+    from sparkcollector.operators.corpus import inverted_index
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a"), (3, "b c")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        (r["term"], r["doc_id"]): (r["doc_freq"], r["pos_str"])
+        for r in inverted_index(df).collect()
+    }
+    assert rows[("a", 1)] == (2, "0,2")
+    assert rows[("a", 2)] == (2, "1")
+    assert rows[("b", 3)] == (3, "0")
+    assert rows[("c", 3)] == (1, "1")
+    # posting cap keeps the smallest doc ids
+    capped = inverted_index(df, posting_cap=2)
+    bs = sorted(r["doc_id"] for r in capped.filter("term = 'b'").collect())
+    assert bs == [1, 2]
+    # max_df drops stop terms entirely
+    nostop = inverted_index(df, max_df=2)
+    assert nostop.filter("term = 'b'").count() == 0

@@ -101,3 +101,69 @@ def test_rolling_features_trailing_window(spark):
     assert out[(1, 20.0)] == (2, 15.0, 20.0)
     assert out[(1, 40.0)] == (2, 30.0, 40.0)  # rows at t+100, t+400 (t0 aged out)
     assert out[(2, 5.0)] == (1, 5.0, 5.0)
+
+
+def test_interval_join_matches_naive(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sparkcollector.enrich import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    facts = spark.createDataFrame(
+        [(i, ts(m)) for i, m in enumerate([0, 5, 9, 10, 11, 25, 61])],
+        "fact_id bigint, ts timestamp",
+    )
+    ivals = spark.createDataFrame(
+        [(100, ts(0), ts(10)), (200, ts(8), ts(26)), (300, ts(50), ts(55))],
+        "ival_id bigint, start_ts timestamp, end_ts timestamp",
+    )
+    got = sorted(
+        (r["ival_id"], r["fact_id"])
+        for r in interval_join(
+            facts, ivals, fact_ts="ts", start_col="start_ts",
+            end_col="end_ts", bucket_sec=600,
+        ).collect()
+    )
+    naive = sorted(
+        (r["ival_id"], r["fact_id"])
+        for r in facts.crossJoin(ivals)
+        .filter(
+            (F.col("ts") >= F.col("start_ts")) & (F.col("ts") <= F.col("end_ts"))
+        )
+        .collect()
+    )
+    # boundary-inclusive on both ends, empty interval 300 matches nothing
+    assert got == naive
+    assert (100, 3) in got and (200, 5) in got
+    assert all(i != 300 for i, _ in got)
+
+
+def test_interval_join_with_keys(spark):
+    import datetime as dt
+
+    from sparkcollector.enrich import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    facts = spark.createDataFrame(
+        [(1, "u1", ts(5)), (2, "u2", ts(5))],
+        "fact_id bigint, user string, ts timestamp",
+    )
+    ivals = spark.createDataFrame(
+        [("u1", ts(0), ts(10))], "user string, start_ts timestamp, end_ts timestamp"
+    )
+    got = interval_join(
+        facts, ivals, fact_ts="ts", start_col="start_ts", end_col="end_ts",
+        keys=["user"],
+    ).collect()
+    # the equi-key restricts matches: u2's fact at the same time is out
+    assert [r["fact_id"] for r in got] == [1]
