@@ -57,3 +57,24 @@ def sum_connector(
     """Sum connector analog (components.go:348): sum a numeric attribute
     grouped by attributes."""
     return df.groupBy(*keys).agg(F.sum(value_col).alias("total"))
+
+
+def count_conditions(
+    df: DataFrame, conditions: dict[str, str], keys: list[str]
+) -> DataFrame:
+    """Multi-condition count connector: the reference's count connector
+    emits SEVERAL named count metrics, each gated by its own OTTL
+    condition list, in one pass over the stream
+    (connector/countconnector docs; components.go:344).  Re-expressed
+    as conditional aggregation: one ``sum(cast(cond as long))`` per
+    named metric — a single shuffle with map-side partials, never one
+    pass per metric.
+
+    ``conditions`` maps metric name -> boolean SQL expression (the
+    compiled OTTL condition, same surface as ``route.compile_rule``).
+    """
+    aggs = [
+        F.sum(F.expr(cond).cast("long")).alias(name)
+        for name, cond in conditions.items()
+    ]
+    return df.groupBy(*keys).agg(*aggs)

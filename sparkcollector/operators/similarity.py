@@ -528,3 +528,73 @@ def pq_adc_topk(
         .limit(topk)
         .select(id_col, "adc_dist")
     )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-label mean embedding (class centroids / prototype vectors),
+    output FLATTENED as ``(label, dim, mean)`` — the long form survives
+    any vector width, hashes portably, and reassembles into arrays
+    with one ``sort_array(collect_list(struct(dim, mean)))`` when a
+    caller wants vectors back.
+
+    One (label, dim) shuffle after a posexplode — at 10^9 vectors the
+    explode is narrow (dim small ints) and the aggregate is map-side
+    partial; no per-label collect, no UDF.
+    """
+    return (
+        df.select(
+            F.col(label_col),
+            F.posexplode(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("dim", "x"),
+        )
+        .groupBy(label_col, "dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("x"), round_digits).alias("mean"),
+        )
+    )
+
+
+def random_projection(
+    df: DataFrame,
+    matrix: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Dense random projection (Johnson–Lindenstrauss dimensionality
+    reduction): project each vector through a fixed ``k x d`` matrix,
+    output flattened as ``(id, dim, proj)``.
+
+    The matrix is an argument (same contract as the PQ codebooks): in
+    production it is a seeded Gaussian from :func:`hyperplanes`-style
+    deterministic generation; callers needing an engine-portable twin
+    can pass any closed-form matrix.  Per row: k zip_with/fold dot
+    products — narrow, codegen'd, zero shuffle, no UDF; left-fold
+    summation order makes results bit-identical across engines.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    projs = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in row]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            round_digits,
+        )
+        for row in matrix
+    ]
+    return df.select(
+        F.col(id_col), F.posexplode(F.array(*projs)).alias("dim", "proj")
+    )

@@ -3053,6 +3053,125 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(_t(spark, sf_dir, "documents"), posting_cap=8)
 
 
+# ---------------------------------------------------------------------
+# 83. Multi-condition count connector: several named count metrics,
+#     each gated by its own (compiled-OTTL) condition, in ONE grouped
+#     pass — the countconnector's `conditions` yaml surface.
+# ---------------------------------------------------------------------
+@register(
+    "count_connector_conditions",
+    """
+    select strftime(time_bucket(INTERVAL '1 minute', ts),
+                    '%Y-%m-%d %H:%M:%S') as window_start,
+           sum(case when event_type = 'error' then 1 else 0 end) as error_count,
+           sum(case when value > 100 then 1 else 0 end) as big_value_count,
+           sum(case when props is not null then 1 else 0 end) as with_props_count,
+           count(*) as total_count
+    from events group by 1
+    """,
+)
+def q_count_connector_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .aggregate import count_conditions
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "window_start",
+        F.date_format(F.window("ts", "1 minute").start, "yyyy-MM-dd HH:mm:ss"),
+    )
+    return count_conditions(
+        ev,
+        {
+            "error_count": "event_type = 'error'",
+            "big_value_count": "value > 100",
+            "with_props_count": "props is not null",
+            "total_count": "true",
+        },
+        keys=["window_start"],
+    )
+
+
+# ---------------------------------------------------------------------
+# 84. Per-label embedding centroids (prototype vectors), flattened to
+#     (label, dim, n, mean) — one (label, dim) shuffle, map-side
+#     partials, no per-label collect.
+# ---------------------------------------------------------------------
+@register(
+    "embedding_centroids",
+    """
+    select label, u.p - 1 as dim, count(*) as n,
+           round(avg(cast(u.x as double)), 4) as mean
+    from (select label,
+                 unnest(list_transform(embedding,
+                                       (x, i) -> struct_pack(x := x, p := i)))
+                   as u
+          from embeddings)
+    group by label, dim
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import embedding_centroids
+
+    return embedding_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------
+# 85. Random projection (JL dimensionality reduction) through a fixed
+#     8x64 matrix; the query uses a closed-form integer matrix
+#     ((i*31 + j*17) % 7 - 3) so the oracle rebuilds it exactly —
+#     production passes a seeded Gaussian.  Left-fold sums on both
+#     engines: bit-identical before round(4).
+# ---------------------------------------------------------------------
+@register(
+    "random_projection",
+    """
+    with js as (select unnest(range(8)) as j)
+    select vec_id, j as dim,
+           round(list_sum(list_transform(range(64), i ->
+             cast(embedding[i+1] as double)
+             * ((i*31 + j*17) % 7 - 3))), 4) as proj
+    from embeddings cross join js
+    """,
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import random_projection
+
+    matrix = [
+        [float((i * 31 + j * 17) % 7 - 3) for i in range(64)] for j in range(8)
+    ]
+    return random_projection(_t(spark, sf_dir, "embeddings"), matrix)
+
+
+# ---------------------------------------------------------------------
+# 86. Pivot to a wide user x event_type activity matrix (the
+#     feature-matrix shape classifiers consume); explicit value list so
+#     the schema is static — never the two-pass inferred pivot.
+# ---------------------------------------------------------------------
+@register(
+    "user_event_matrix",
+    """
+    select user_id,
+           cast(sum(case when event_type = 'click' then 1 else 0 end)
+                as bigint) as click,
+           cast(sum(case when event_type = 'view' then 1 else 0 end)
+                as bigint) as view,
+           cast(sum(case when event_type = 'purchase' then 1 else 0 end)
+                as bigint) as purchase,
+           cast(sum(case when event_type = 'signup' then 1 else 0 end)
+                as bigint) as signup,
+           cast(sum(case when event_type = 'error' then 1 else 0 end)
+                as bigint) as error
+    from events group by user_id
+    """,
+)
+def q_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -46,3 +46,29 @@ def test_sum_connector(spark):
     )
     got = {r["k"]: r["total"] for r in sum_connector(df, "v", ["k"]).collect()}
     assert got == {"a": 3.5, "b": 4.0}
+
+
+def test_count_conditions_single_pass(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.aggregate import count_conditions
+
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 200, "p"), ("b", 150, "p")],
+        "grp string, value int, props string",
+    )
+    got = {
+        r["grp"]: (r["big"], r["with_props"], r["total"])
+        for r in count_conditions(
+            df,
+            {"big": "value > 100", "with_props": "props is not null",
+             "total": "true"},
+            keys=["grp"],
+        ).collect()
+    }
+    assert got == {"a": (1, 1, 2), "b": (1, 1, 1)}
+    # one pass: a single aggregate, no per-metric scan/union
+    plan = count_conditions(
+        df, {"big": "value > 100"}, keys=["grp"]
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("aggregate") <= 2  # partial + final

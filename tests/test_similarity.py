@@ -109,3 +109,31 @@ def test_knn_join_bucketed_matches_exact_on_clustered_data(spark):
         for r in knn_join_bucketed(left, df, cents, k=3, nprobe=2).collect()
     }
     assert bucketed == exact
+
+
+def test_embedding_centroids_flat_means(spark):
+    from sparkcollector.operators.similarity import embedding_centroids
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 3.0], 0), (2, [3.0, 5.0], 0), (3, [10.0, 0.0], 1)],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    got = {
+        (r["label"], r["dim"]): (r["n"], r["mean"])
+        for r in embedding_centroids(df).collect()
+    }
+    assert got == {
+        (0, 0): (2, 2.0), (0, 1): (2, 4.0),
+        (1, 0): (1, 10.0), (1, 1): (1, 0.0),
+    }
+
+
+def test_random_projection_exact(spark):
+    from sparkcollector.operators.similarity import random_projection
+
+    df = spark.createDataFrame(
+        [(7, [1.0, 2.0, 3.0])], "vec_id bigint, embedding array<double>"
+    )
+    m = [[1.0, 0.0, -1.0], [0.5, 0.5, 0.5]]
+    got = {r["dim"]: r["proj"] for r in random_projection(df, m).collect()}
+    assert got == {0: 1.0 - 3.0, 1: 3.0}
