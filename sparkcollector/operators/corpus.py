@@ -785,3 +785,129 @@ def inverted_index(
     if max_df is not None:
         out = out.filter(F.col("doc_freq") <= max_df)
     return out.select("term", "doc_freq", id_col, "pos_str")
+
+
+def bpe_learn(
+    df: DataFrame,
+    n_merges: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Learn byte-pair-encoding merges from a corpus (Sennrich-style
+    tokenizer induction): start from character sequences per word,
+    repeatedly merge the globally most frequent adjacent symbol pair.
+
+    Genuinely iterative — each round depends on the previous round's
+    re-segmentation — so it runs as a driver loop of ``n_merges``
+    rounds, each round fully declarative:
+
+    * adjacent-pair counts: array HOF -> explode -> ONE (left, right)
+      shuffle, weighted by word frequency (the corpus collapses to its
+      word-frequency table first, so round cost scales with |vocab|,
+      not corpus size — the standard BPE trick);
+    * top pair: ``orderBy(freq desc, pair asc).limit(1)`` (TakeOrdered,
+      deterministic tie-break) — a 1-row driver collect per round, the
+      same justified shape as IVF training;
+    * re-segmentation: a left-fold ``aggregate`` over each symbol array
+      doing the greedy left-to-right non-overlapping merge — no UDF;
+      ``localCheckpoint`` truncates lineage per round (the
+      ``dedup_clusters`` policy).
+
+    Returns ``[(left, right, freq), ...]`` in merge order.  Word
+    frequencies use whitespace tokens; re-running with the returned
+    merges via :func:`bpe_segment` reproduces the segmentation.
+    """
+    wf = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+        .select(F.split("word", "").alias("seq"), "wc")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = wf.select(
+            "wc",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("seq") - 2),
+                    lambda i: F.struct(
+                        F.element_at("seq", i + 1).alias("l"),
+                        F.element_at("seq", i + 2).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        ).filter(F.size("seq") >= 2)
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("wc").alias("freq"))
+            .orderBy(F.desc("freq"), F.col("p.l"), F.col("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["freq"] < 2:
+            break
+        left, right = top[0]["p"]["l"], top[0]["p"]["r"]
+        merges.append((left, right, int(top[0]["freq"])))
+        merged = F.lit(left + right)
+        wf = wf.select(
+            F.aggregate(
+                "seq",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (x == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("seq"),
+            "wc",
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Apply learned BPE merges to text: per word, replay the merge
+    list in order with the same greedy left-fold used during training.
+    Pure Catalyst (len(merges) chained HOFs over each word's symbol
+    array) — a narrow map, zero shuffle; the learned merges are
+    config, exactly how a production tokenizer ships its merges.txt.
+    """
+    def merge_step(left: str, right: str):
+        # factory binds the pair per round (PySpark HOF lambdas must
+        # take exactly the declared args — no default-arg closures)
+        def step(acc: Column, x: Column) -> Column:
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(left + right)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return step
+
+    def apply_merges(seq: Column) -> Column:
+        for left, right, _ in merges:
+            seq = F.aggregate(
+                seq, F.array().cast("array<string>"), merge_step(left, right)
+            )
+        return seq
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    return df.withColumn(
+        out_col,
+        F.flatten(
+            F.transform(words, lambda w: apply_merges(F.split(w, "")))
+        ),
+    )

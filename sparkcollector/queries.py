@@ -3172,6 +3172,27 @@ def q_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 87. BPE tokenizer induction + application.  Genuinely iterative
+#     (each round re-segments on the previous round's merge) so there
+#     is NO oracle SQL — the driver records the weaker rows-only check;
+#     semantics are pinned instead by tests/test_bpe.py against a pure-
+#     Python Sennrich reference implementation.
+# ---------------------------------------------------------------------
+@register("bpe_tokenize", None)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import bpe_learn, bpe_segment
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_learn(docs, n_merges=8)
+    out = bpe_segment(docs, merges)
+    return out.select(
+        "doc_id",
+        F.size("tokens").alias("n_bpe_tokens"),
+        F.concat_ws(" ", F.slice("tokens", 1, 12)).alias("head_tokens"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
