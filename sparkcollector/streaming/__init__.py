@@ -3,6 +3,7 @@ pipeline (the reference's native always-on dataflow mode)."""
 
 from .pipeline import (  # noqa: F401
     conversation_sessions,
+    stream_interval_join,
     stream_routed,
     stream_transcripts,
     windowed_counts,

@@ -211,3 +211,46 @@ def stream_dedup_once(
     return turns.withWatermark(watermark_col, watermark).dropDuplicates(
         keys + [watermark_col]
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower_sec: int = 0,
+    upper_sec: int = 600,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    match right rows with ``right_ts`` in
+    ``[left_ts + lower_sec, left_ts + upper_sec]`` on equal ``keys`` —
+    the streaming twin of :func:`sparkcollector.enrich.interval_join`
+    (error-burst correlation, request/response pairing, trace
+    stitching as the events arrive).
+
+    Both sides carry a watermark and the join condition bounds event
+    time in BOTH directions, which is exactly what Spark's
+    stream-stream join needs to EVICT buffered state: a left row older
+    than (watermark + upper_sec) can never match future right rows and
+    is dropped, so state is O(rows inside the watermark horizon), not
+    O(stream).  ``left_ts``/``right_ts`` must be distinct column names
+    (rename upstream) so the joined schema is unambiguous.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = " and ".join(
+        [f"l.{k} = r.{k}" for k in keys]
+        + [
+            f"r.{right_ts} >= l.{left_ts} + interval {lower_sec} seconds",
+            f"r.{right_ts} <= l.{left_ts} + interval {upper_sec} seconds",
+        ]
+    )
+    joined = lw.join(rw, F.expr(cond), "inner")
+    # project the key columns once (qualified) + both payloads
+    dedup_keys = [F.col(f"l.{k}").alias(k) for k in keys]
+    payload = [
+        F.col(f"l.{c}") for c in left.columns if c not in keys
+    ] + [F.col(f"r.{c}") for c in right.columns if c not in keys]
+    return joined.select(*dedup_keys, *payload)

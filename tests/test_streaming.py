@@ -150,3 +150,50 @@ def test_stream_dedup_once_drops_cross_batch_duplicates(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted((r["conv_id"], r["turn_idx"]) for r in out)
     assert got == [("c1", 0), ("c1", 1), ("c1", 2)]
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    import datetime as dt
+
+    from sparkcollector.streaming import stream_interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    req_rows = [("c1", 1, ts(0)), ("c1", 2, ts(20)), ("c2", 3, ts(0))]
+    rsp_rows = [
+        ("c1", 10, ts(3)),   # matches req 1 (within 5 min)
+        ("c1", 11, ts(21)),  # matches req 2
+        ("c1", 12, ts(40)),  # matches nothing
+        ("c2", 13, ts(4)),   # matches req 3 (key-scoped)
+    ]
+    req_schema = "conv_id string, req_id int, req_ts timestamp"
+    rsp_schema = "conv_id string, rsp_id int, rsp_ts timestamp"
+    req_dir, rsp_dir = tmp_path / "req", tmp_path / "rsp"
+    spark.createDataFrame(req_rows, req_schema).coalesce(1).write.parquet(
+        str(req_dir)
+    )
+    spark.createDataFrame(rsp_rows, rsp_schema).coalesce(1).write.parquet(
+        str(rsp_dir)
+    )
+    left = spark.readStream.schema(req_schema).parquet(str(req_dir))
+    right = spark.readStream.schema(rsp_schema).parquet(str(rsp_dir))
+    joined = stream_interval_join(
+        left, right, keys=["conv_id"], left_ts="req_ts",
+        right_ts="rsp_ts", lower_sec=0, upper_sec=300,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sij_test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["req_id"], r["rsp_id"])
+        for r in spark.sql("select * from sij_test").collect()
+    )
+    assert got == [(1, 10), (2, 11), (3, 13)]
