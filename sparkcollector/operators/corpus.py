@@ -911,3 +911,36 @@ def bpe_segment(
             F.transform(words, lambda w: apply_merges(F.split(w, "")))
         ),
     )
+
+
+def conversation_features(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-conversation feature vector over a transcript table — the
+    signals a transcript-quality filter or a training-mix sampler
+    reads: turn counts, assistant/tool balance, mean turn length,
+    tool diversity, first/last timestamps.
+
+    ONE grouped pass, every measure a map-side partial aggregate (the
+    distinct-tool count is the only expand, bounded by the tool
+    vocabulary).  Timestamps are emitted second-truncated as strings so
+    the row is engine-portable.
+    """
+    return df.groupBy(conv_col).agg(
+        F.count("*").alias("n_turns"),
+        F.sum((F.col(role_col) == "assistant").cast("long")).alias(
+            "n_assistant"
+        ),
+        F.sum((F.col(tool_col) != "none").cast("long")).alias("n_tool_turns"),
+        F.countDistinct(F.col(tool_col)).alias("n_tools"),
+        F.round(F.avg(F.length(F.col(text_col)).cast("double")), 4).alias(
+            "avg_chars"
+        ),
+        F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )

@@ -551,3 +551,81 @@ def transform_attrs(
             F.slice(F.array_sort(F.map_entries(m)), 1, limit_to)
         )
     return m
+
+
+def tail_sampling_policies(
+    df: DataFrame,
+    trace_col: str,
+    policies: list[tuple[str, str, str]],
+    prob_percent: int | None = None,
+) -> DataFrame:
+    """Composite tail sampling: the reference's tail_sampling processor
+    evaluates an ORDERED policy list over each complete trace (and/or
+    string-attribute/latency policies, plus a probabilistic fallback)
+    and the first matching policy claims the trace.
+
+    ``policies`` is ``[(name, predicate_sql, mode)]`` with mode
+    ``any``/``all`` over the trace's rows; ``prob_percent`` appends the
+    portable-md5 probabilistic policy as the last resort.  ONE shuffle:
+    every policy aggregates in the same groupBy (map-side partials),
+    then a coalesced when-chain picks the first hit — never one pass
+    per policy.  Returns ``(trace_col, sampled_by)`` for sampled
+    traces; join back left_semi for the rows (the `tail_sample` shape —
+    no broadcast hint, AQE decides).
+    """
+    aggs = []
+    for name, pred, mode in policies:
+        p = F.expr(pred).cast("int")
+        agg = F.max(p) if mode == "any" else F.min(p)
+        aggs.append(agg.alias(f"_p_{name}"))
+    per = df.groupBy(trace_col).agg(*aggs)
+    branches = [
+        F.when(F.col(f"_p_{name}") == 1, F.lit(name))
+        for name, _, _ in policies
+    ]
+    if prob_percent is not None:
+        branches.append(
+            F.when(
+                sample_bucket(F.col(trace_col)) < prob_percent,
+                F.lit("probabilistic"),
+            )
+        )
+    dec = F.coalesce(*branches) if len(branches) > 1 else branches[0]
+    return (
+        per.select(F.col(trace_col), dec.alias("sampled_by"))
+        .filter(F.col("sampled_by").isNotNull())
+    )
+
+
+def duration_histogram(
+    df: DataFrame,
+    value_col: str,
+    bounds: list[float],
+    keys: list[str],
+) -> DataFrame:
+    """Explicit-bounds cumulative histogram (the spanmetrics
+    connector's duration histogram / Prometheus classic-histogram
+    shape): per group, the count of values ``<= le`` for each bound
+    plus the ``+Inf`` total.
+
+    One grouped pass computes EVERY bucket as a conditional aggregate
+    (cumulative by construction — no per-bucket scan, no explode);
+    ``stack`` unpivots to the long ``(le, n)`` form sinks expect.
+    NULL values count only toward ``+Inf``, matching the collector's
+    treatment of missing durations.
+    """
+    aggs = [
+        F.sum((F.col(value_col) <= F.lit(float(b))).cast("long")).alias(
+            f"_b{i}"
+        )
+        for i, b in enumerate(bounds)
+    ] + [F.count("*").alias("_binf")]
+    wide = df.groupBy(*keys).agg(*aggs)
+    pairs = ", ".join(
+        [f"'{float(b)}', _b{i}" for i, b in enumerate(bounds)]
+        + ["'+Inf', _binf"]
+    )
+    n = len(bounds) + 1
+    return wide.select(
+        *keys, F.expr(f"stack({n}, {pairs}) as (le, n)")
+    ).withColumn("n", F.coalesce("n", F.lit(0)))

@@ -3193,6 +3193,104 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 88. Composite tail-sampling policies (ordered first-match + the
+#     probabilistic last resort) — ONE grouped pass for every policy.
+# ---------------------------------------------------------------------
+@register(
+    "tail_sampling_policies",
+    f"""
+    with t as ({_T_SQL}),
+    per as (
+      select conv_id,
+             max(case when text like '%level=ERROR%' then 1 else 0 end)
+               as p_err,
+             max(case when turn_idx >= 20 then 1 else 0 end) as p_long
+      from t group by conv_id)
+    select conv_id,
+           case when p_err = 1 then 'errors'
+                when p_long = 1 then 'long'
+                when cast(('0x' || substr(md5(conv_id), 1, 8)) as bigint)
+                     % 100 < 10 then 'probabilistic'
+           end as sampled_by
+    from per
+    where p_err = 1 or p_long = 1
+       or cast(('0x' || substr(md5(conv_id), 1, 8)) as bigint) % 100 < 10
+    """,
+)
+def q_tail_sampling_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import tail_sampling_policies
+
+    t = transcripts_from_events(spark, sf_dir)
+    return tail_sampling_policies(
+        t,
+        "conv_id",
+        [
+            ("errors", "text like '%level=ERROR%'", "any"),
+            ("long", "turn_idx >= 20", "any"),
+        ],
+        prob_percent=10,
+    )
+
+
+# ---------------------------------------------------------------------
+# 89. Explicit-bounds cumulative duration histogram (spanmetrics /
+#     Prometheus classic shape): every bucket a conditional aggregate
+#     in one grouped pass, stack-unpivoted to (le, n).
+# ---------------------------------------------------------------------
+@register(
+    "span_duration_histogram",
+    """
+    select event_type, '25.0' as le,
+           cast(sum(case when value <= 25.0 then 1 else 0 end) as bigint) as n
+    from events group by event_type
+    union all
+    select event_type, '50.0',
+           cast(sum(case when value <= 50.0 then 1 else 0 end) as bigint)
+    from events group by event_type
+    union all
+    select event_type, '100.0',
+           cast(sum(case when value <= 100.0 then 1 else 0 end) as bigint)
+    from events group by event_type
+    union all
+    select event_type, '+Inf', count(*) from events group by event_type
+    """,
+)
+def q_span_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import duration_histogram
+
+    return duration_histogram(
+        _t(spark, sf_dir, "events"), "value", [25.0, 50.0, 100.0],
+        keys=["event_type"],
+    )
+
+
+# ---------------------------------------------------------------------
+# 90. Per-conversation feature vector (transcript-quality signals) —
+#     one grouped pass over the transcripts view.
+# ---------------------------------------------------------------------
+@register(
+    "conversation_features",
+    f"""
+    with t as ({_T_SQL})
+    select conv_id, count(*) as n_turns,
+           cast(sum(case when role = 'assistant' then 1 else 0 end)
+                as bigint) as n_assistant,
+           cast(sum(case when tool <> 'none' then 1 else 0 end)
+                as bigint) as n_tool_turns,
+           count(distinct tool) as n_tools,
+           round(avg(cast(length(text) as double)), 4) as avg_chars,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') as first_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') as last_ts
+    from t group by conv_id
+    """,
+)
+def q_conversation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import conversation_features
+
+    return conversation_features(transcripts_from_events(spark, sf_dir))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

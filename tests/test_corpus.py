@@ -373,3 +373,26 @@ def test_inverted_index_positions_and_cap(spark):
     # max_df drops stop terms entirely
     nostop = inverted_index(df, max_df=2)
     assert nostop.filter("term = 'b'").count() == 0
+
+
+def test_conversation_features_one_pass(spark):
+    import datetime as dt
+
+    from sparkcollector.operators.corpus import conversation_features
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("c1", "user", "hi", "none", t0),
+        ("c1", "assistant", "hello!", "none", t0 + dt.timedelta(seconds=90)),
+        ("c1", "tool", "ran", "bash", t0 + dt.timedelta(seconds=120)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, role string, text string, tool string, ts timestamp"
+    )
+    (r,) = conversation_features(df).collect()
+    assert (r["n_turns"], r["n_assistant"], r["n_tool_turns"], r["n_tools"]) == (
+        3, 1, 1, 2,
+    )
+    assert r["avg_chars"] == round((2 + 6 + 3) / 3, 4)
+    assert r["first_ts"] == "2024-01-01 12:00:00"
+    assert r["last_ts"] == "2024-01-01 12:02:00"

@@ -246,3 +246,63 @@ def test_transform_attrs_ottl_family(spark):
     # keep_keys drops debug_blob; digits masked; truncated to 8 chars;
     # limit keeps the 2 smallest keys (service, user) deterministically
     assert out == {"service": "checkout", "user": "u#"}
+
+
+def test_tail_sampling_policies_first_match_and_prob(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.telemetry import (
+        sample_bucket,
+        tail_sampling_policies,
+    )
+
+    rows = [
+        ("t1", "ok", 5), ("t1", "ERROR boom", 6),   # errors policy
+        ("t2", "ok", 30),                            # long policy
+        ("t3", "ERROR and", 40),                     # errors wins (ordered)
+        ("t4", "ok", 1),                             # probabilistic only
+    ]
+    df = spark.createDataFrame(rows, "trace string, text string, turn int")
+    got = {
+        r["trace"]: r["sampled_by"]
+        for r in tail_sampling_policies(
+            df,
+            "trace",
+            [("errors", "text like '%ERROR%'", "any"),
+             ("long", "turn >= 20", "any")],
+            prob_percent=100,
+        ).collect()
+    }
+    assert got["t1"] == "errors"
+    assert got["t2"] == "long"
+    assert got["t3"] == "errors"  # first match wins over 'long'
+    assert got["t4"] == "probabilistic"  # 100% fallback
+    # with the fallback off, t4 is dropped entirely
+    got2 = {
+        r["trace"]
+        for r in tail_sampling_policies(
+            df, "trace", [("errors", "text like '%ERROR%'", "any")]
+        ).collect()
+    }
+    assert got2 == {"t1", "t3"}
+    # the probabilistic bucket is the portable md5 bucket
+    b = df.select(sample_bucket(F.col("trace")).alias("b")).first()["b"]
+    assert 0 <= b < 100
+
+
+def test_duration_histogram_cumulative_and_null(spark):
+    from sparkcollector.operators.telemetry import duration_histogram
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 30.0), ("a", 200.0), ("a", None), ("b", 25.0)],
+        "svc string, dur double",
+    )
+    got = {
+        (r["svc"], r["le"]): r["n"]
+        for r in duration_histogram(df, "dur", [25.0, 50.0], ["svc"]).collect()
+    }
+    # cumulative: le=50 includes le=25's values; NULL only in +Inf
+    assert got == {
+        ("a", "25.0"): 1, ("a", "50.0"): 2, ("a", "+Inf"): 4,
+        ("b", "25.0"): 1, ("b", "50.0"): 1, ("b", "+Inf"): 1,
+    }
