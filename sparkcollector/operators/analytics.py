@@ -1,0 +1,87 @@
+"""Event-analytics operators (funnel / retention) — the queries the
+reference's `sql` monitor and signalfx dashboards run against event
+streams, re-expressed as distributed plans.
+
+Both are classic product-analytics shapes with a known quadratic trap
+(the naive formulations are order-dependent self-joins); the
+implementations here keep every stage a keyed aggregate or a keyed
+join so the plan survives 10^12 events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_stages(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the earliest time each
+    funnel step completed STRICTLY AFTER the previous step (first-
+    touch semantics), and the deepest stage reached.
+
+    One keyed aggregate per step + one keyed join per step — the
+    standard iterative funnel plan.  Each round's aggregate is
+    map-side partial and the join key is the user id, so no step is
+    ever a cross product; rounds = len(steps), a config constant.
+    Returns ``(user, t1..tk as second-truncated strings, stage)`` for
+    every user who completed step 1.
+    """
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    cur = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            df.filter(F.col(type_col) == step)
+            .select(user_col, F.col(ts_col).alias("_ts"))
+            .join(cur.select(user_col, f"_t{i-1}"), user_col)
+            .filter(F.col("_ts") > F.col(f"_t{i-1}"))
+            .groupBy(user_col)
+            .agg(F.min("_ts").alias(f"_t{i}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    stage = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        stage = stage + F.col(f"_t{i}").isNotNull().cast("int")
+    out_cols = [F.col(user_col)] + [
+        F.date_format(f"_t{i}", fmt).alias(f"t{i}")
+        for i in range(1, len(steps) + 1)
+    ]
+    return cur.select(*out_cols, stage.alias("stage"))
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week;
+    for each (cohort_week, week_offset) the count of cohort users
+    active that week — the retention-curve table.
+
+    Three keyed aggregates (per-user first week, distinct
+    user-week activity, the cohort roll-up) and one user-keyed join;
+    activity is deduplicated BEFORE the join so a power user
+    contributes one row per week, never per event.
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    first = df.groupBy(user_col).agg(F.min(week).alias("_cohort"))
+    active = df.select(user_col, week.alias("_week")).distinct()
+    return (
+        active.join(first, user_col)
+        .select(
+            F.date_format("_cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("_week", "_cohort") / 7).cast("int").alias("week_offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )

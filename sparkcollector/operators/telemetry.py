@@ -629,3 +629,33 @@ def duration_histogram(
     return wide.select(
         *keys, F.expr(f"stack({n}, {pairs}) as (le, n)")
     ).withColumn("n", F.coalesce("n", F.lit(0)))
+
+
+def log_templates(
+    df: DataFrame,
+    text_col: str = "text",
+    mask: str = "<*>",
+) -> DataFrame:
+    """Log-template mining (Drain-style, variable-masking tier):
+    collapse every log line to its constant skeleton by masking the
+    variable fields — numbers, hex ids, quoted values — then count
+    occurrences per template and keep the lexicographically-first raw
+    example.  The first step of log clustering / novel-error detection
+    over 10^12 lines.
+
+    Pure regexp_replace chain (narrow, codegen'd) + ONE template-keyed
+    shuffle with map-side partials; template cardinality is tiny
+    relative to line count, so the reduce side is small by
+    construction.
+    """
+    t = F.regexp_replace(F.col(text_col), r"[0-9a-f]{8,}", mask)
+    t = F.regexp_replace(t, r"\d+", mask)
+    t = F.regexp_replace(t, r"'[^']*'", mask)
+    return (
+        df.select(t.alias("template"), F.col(text_col))
+        .groupBy("template")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(text_col).alias("example"),
+        )
+    )

@@ -3291,6 +3291,113 @@ def q_conversation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_features(transcripts_from_events(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------
+# 91. Salted replicate join for hot keys: result rows equal the plain
+#     join exactly (the oracle IS the plain join); the salt spreads a
+#     Zipf-head key over n_salts reducers.
+# ---------------------------------------------------------------------
+@register(
+    "salted_join_hot_keys",
+    """
+    with dim as (select distinct user_id, user_id % 5 as tier from events)
+    select e.event_id, e.user_id, d.tier
+    from events e join dim d using (user_id)
+    """,
+)
+def q_salted_join_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.select("user_id").distinct().withColumn(
+        "tier", F.col("user_id") % 5
+    )
+    return salted_join(
+        ev.select("event_id", "user_id"), dim, "user_id",
+        n_salts=8, salt_from="event_id",
+    ).select("event_id", "user_id", "tier")
+
+
+# ---------------------------------------------------------------------
+# 92. Log-template mining (Drain-style variable masking) over the
+#     transcript text: mask hex ids / numbers / quoted values, count
+#     per skeleton, keep the first raw example.
+# ---------------------------------------------------------------------
+@register(
+    "log_templates",
+    f"""
+    with t as ({_T_SQL}),
+    m as (select regexp_replace(regexp_replace(regexp_replace(text,
+                   '[0-9a-f]{{8,}}', '<*>', 'g'),
+                   '[0-9]+', '<*>', 'g'),
+                   '''[^'']*''', '<*>', 'g') as template,
+                 text
+          from t)
+    select template, count(*) as n, min(text) as example
+    from m group by template
+    """,
+)
+def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import log_templates
+
+    return log_templates(transcripts_from_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------
+# 93. Ordered funnel (signup -> click -> purchase, first-touch,
+#     strictly-after ordering) — one keyed agg + join per step, never
+#     an order-dependent self-join.
+# ---------------------------------------------------------------------
+@register(
+    "funnel_stages",
+    """
+    with s1 as (select user_id, min(ts) as t1 from events
+                where event_type = 'signup' group by 1),
+    s2 as (select e.user_id, min(e.ts) as t2
+           from events e join s1 using (user_id)
+           where e.event_type = 'click' and e.ts > s1.t1 group by 1),
+    s3 as (select e.user_id, min(e.ts) as t3
+           from events e join s2 using (user_id)
+           where e.event_type = 'purchase' and e.ts > s2.t2 group by 1)
+    select s1.user_id,
+           strftime(t1, '%Y-%m-%d %H:%M:%S') as t1,
+           strftime(t2, '%Y-%m-%d %H:%M:%S') as t2,
+           strftime(t3, '%Y-%m-%d %H:%M:%S') as t3,
+           1 + case when t2 is not null then 1 else 0 end
+             + case when t3 is not null then 1 else 0 end as stage
+    from s1 left join s2 using (user_id) left join s3 using (user_id)
+    """,
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import funnel_stages
+
+    return funnel_stages(
+        _t(spark, sf_dir, "events"), ["signup", "click", "purchase"]
+    )
+
+
+# ---------------------------------------------------------------------
+# 94. Weekly cohort retention curve (first-seen week x week offset).
+# ---------------------------------------------------------------------
+@register(
+    "retention_cohorts",
+    """
+    with first as (select user_id, min(date_trunc('week', ts)) as cohort
+                   from events group by 1),
+    active as (select distinct user_id, date_trunc('week', ts) as week
+               from events)
+    select strftime(f.cohort, '%Y-%m-%d') as cohort_week,
+           cast(date_diff('day', f.cohort, a.week) / 7 as int) as week_offset,
+           count(distinct a.user_id) as n_users
+    from active a join first f using (user_id)
+    group by 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -80,3 +80,36 @@ def salted_count(
     salted = with_salt(df, "", n_salts)
     partial = salted.groupBy(*keys, "_salt").agg(F.count("*").alias("_partial"))
     return partial.groupBy(*keys).agg(F.sum("_partial").alias("n"))
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    salt_from: str | None = None,
+) -> DataFrame:
+    """Skew-robust equi-join: replicate each dim row ``n_salts`` times
+    and spread the fact side's hot keys across the replicas — the
+    classic salted join for when ONE key owns a Zipf head so large
+    that even AQE's skew-split leaves a straggler (its splits still
+    hash-collide on the single dim row's reducer).
+
+    The fact salt is DETERMINISTIC (xxhash64 of ``salt_from``, a
+    secondary column that varies within a key — e.g. turn_idx — never
+    ``rand()``, which breaks retry idempotence); the dim side explodes
+    ``sequence(0, n_salts-1)``, multiplying only the SMALL side.
+    Result rows equal the plain join exactly.
+    """
+    sf = salt_from or key
+    f = facts.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(sf)), F.lit(n_salts)).cast("int"),
+    )
+    d = dim.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("int"), F.lit(n_salts - 1).cast("int"))
+        ),
+    )
+    return f.join(d, [key, "_salt"]).drop("_salt")

@@ -1,0 +1,84 @@
+"""Funnel / retention analytics + salted join + log templates."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+
+def _ts(d, h=0):
+    return dt.datetime(2024, 1, d, h)
+
+
+def test_funnel_stages_ordering_and_depth(spark):
+    from sparkcollector.operators.analytics import funnel_stages
+
+    rows = [
+        # u1 completes the full funnel in order
+        (1, "signup", _ts(1)), (1, "click", _ts(2)), (1, "purchase", _ts(3)),
+        # u2: purchase BEFORE click -> stage 2 only
+        (2, "signup", _ts(1)), (2, "purchase", _ts(2)), (2, "click", _ts(3)),
+        # u3: click before signup doesn't count; no click after -> stage 1
+        (3, "click", _ts(1)), (3, "signup", _ts(2)),
+        # u4 never signs up -> absent
+        (4, "click", _ts(1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp")
+    got = {
+        r["user_id"]: r["stage"]
+        for r in funnel_stages(df, ["signup", "click", "purchase"]).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1}
+
+
+def test_retention_cohorts_offsets(spark):
+    from sparkcollector.operators.analytics import retention_cohorts
+
+    # week starts Mon 2024-01-01; u1 active weeks 0 and 2, u2 week 1 only
+    rows = [
+        (1, _ts(2)), (1, _ts(16)),
+        (2, _ts(9)), (2, _ts(10)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_salted_join_equals_plain_join(spark):
+    from sparkcollector.skew import salted_join
+
+    facts = spark.createDataFrame(
+        [(i, i % 3) for i in range(100)], "fact_id bigint, k bigint"
+    )
+    dim = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k bigint, v string"
+    )
+    got = sorted(
+        (r["fact_id"], r["v"])
+        for r in salted_join(facts, dim, "k", n_salts=4, salt_from="fact_id").collect()
+    )
+    plain = sorted((r["fact_id"], r["v"]) for r in facts.join(dim, "k").collect())
+    assert got == plain
+
+
+def test_log_templates_masking(spark):
+    from sparkcollector.operators.telemetry import log_templates
+
+    rows = [
+        ("request 123 took 45ms",),
+        ("request 999 took 7ms",),
+        ("conn deadbeef01 closed",),
+        ("user 'bob' logged in",),
+        ("user 'alice' logged in",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = {r["template"]: (r["n"], r["example"]) for r in log_templates(df).collect()}
+    assert got["request <*> took <*>ms"] == (2, "request 123 took 45ms")
+    assert got["conn <*> closed"] == (1, "conn deadbeef01 closed")
+    assert got["user <*> logged in"] == (2, "user 'alice' logged in")
