@@ -659,3 +659,56 @@ def log_templates(
             F.min(text_col).alias("example"),
         )
     )
+
+
+def span_from_attributes(
+    df: DataFrame,
+    keys: list[str],
+    name_col: str = "span_name",
+    separator: str = "/",
+) -> DataFrame:
+    """Span processor ``name.from_attributes``
+    (internal/components/components.go:334, contrib spanprocessor):
+    rebuild the span name from attribute values joined by
+    ``separator``; rows missing ANY listed attribute keep their
+    original name (the processor's no-op-on-missing rule).
+    Narrow map, codegen'd, zero shuffle.
+    """
+    parts = [F.col(k) for k in keys]
+    missing = None
+    for k in keys:
+        c = F.col(k).isNull()
+        missing = c if missing is None else (missing | c)
+    new_name = F.concat_ws(separator, *parts)
+    return df.withColumn(
+        name_col, F.when(missing, F.col(name_col)).otherwise(new_name)
+    )
+
+
+def span_to_attributes(
+    df: DataFrame,
+    rules: list[tuple[str, str, str]],
+    name_col: str = "span_name",
+) -> DataFrame:
+    """Span processor ``name.to_attributes``: each rule is
+    ``(attr_key, pattern, replacement)``.  The pattern's first capture
+    group becomes attribute ``attr_key``, and the span name is
+    rewritten with ``replacement`` (which keeps the non-captured
+    context and substitutes ``{attr_key}`` for the group) — the
+    cardinality-reduction rewrite that turns ``GET /user/123`` into
+    ``GET /user/{user_id}``.  Non-matching rows pass through with a
+    NULL attribute.  Pure regexp chain — narrow, zero shuffle.
+    """
+    out = df
+    for key, pattern, replacement in rules:
+        extracted = F.regexp_extract(F.col(name_col), pattern, 1)
+        out = out.withColumn(
+            key, F.when(extracted != "", extracted)
+        ).withColumn(
+            name_col,
+            F.when(
+                extracted != "",
+                F.regexp_replace(F.col(name_col), pattern, replacement),
+            ).otherwise(F.col(name_col)),
+        )
+    return out

@@ -3398,6 +3398,48 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_t(spark, sf_dir, "events"))
 
 
+# ---------------------------------------------------------------------
+# 95. Span processor (components.go:334): to_attributes extracts the
+#     id into an attribute and rewrites the name to the low-cardinality
+#     template; from_attributes rebuilds a name from attribute values.
+# ---------------------------------------------------------------------
+@register(
+    "span_name_rewrite",
+    """
+    with s as (select event_id, event_type,
+                      event_type || '/' || cast(user_id as varchar)
+                        as span_name
+               from events),
+    t as (select event_id, event_type,
+                 regexp_extract(span_name, '/([0-9]+)$', 1) as uid,
+                 regexp_replace(span_name, '/([0-9]+)$', '/{uid}')
+                   as span_name
+          from s)
+    select event_id, span_name, uid,
+           event_type || ':' || uid as rebuilt_name
+    from t
+    """,
+)
+def q_span_name_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import span_from_attributes, span_to_attributes
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.concat(
+            F.col("event_type"), F.lit("/"), F.col("user_id").cast("string")
+        ).alias("span_name"),
+    )
+    t = span_to_attributes(ev, [("uid", r"/([0-9]+)$", "/{uid}")])
+    rebuilt = span_from_attributes(
+        t.withColumn("rebuilt_name", F.lit(None).cast("string")),
+        keys=["event_type", "uid"],
+        name_col="rebuilt_name",
+        separator=":",
+    )
+    return rebuilt.select("event_id", "span_name", "uid", "rebuilt_name")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -306,3 +306,32 @@ def test_duration_histogram_cumulative_and_null(spark):
         ("a", "25.0"): 1, ("a", "50.0"): 2, ("a", "+Inf"): 4,
         ("b", "25.0"): 1, ("b", "50.0"): 1, ("b", "+Inf"): 1,
     }
+
+
+def test_span_processor_both_directions(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.telemetry import (
+        span_from_attributes,
+        span_to_attributes,
+    )
+
+    df = spark.createDataFrame(
+        [("GET /user/123/orders",), ("GET /health",)], "span_name string"
+    )
+    t = span_to_attributes(
+        df, [("user_id", r"/user/([0-9]+)/", "/user/{user_id}/")]
+    )
+    got = {r["span_name"]: r["user_id"] for r in t.collect()}
+    # matched: group extracted, context preserved around the template
+    assert got["GET /user/{user_id}/orders"] == "123"
+    # unmatched: name untouched, attribute NULL
+    assert got["GET /health"] is None
+    # from_attributes: missing attribute keeps the original name
+    f = span_from_attributes(
+        t.withColumn("verb", F.lit("GET")),
+        keys=["verb", "user_id"],
+        separator=" ",
+    )
+    names = sorted(r["span_name"] for r in f.collect())
+    assert names == ["GET /health", "GET 123"]
