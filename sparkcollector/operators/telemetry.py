@@ -712,3 +712,135 @@ def span_to_attributes(
             ).otherwise(F.col(name_col)),
         )
     return out
+
+
+def count_min_sketch(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build a Count-Min sketch of item frequencies: ``depth`` hash
+    rows x ``width`` buckets, each cell the count of items hashing
+    there.  THE mergeable fixed-memory frequency summary for 10^12-row
+    streams — the sketch is ``depth*width`` cells regardless of
+    cardinality, cells add across partitions/days, and any item's
+    count is over-estimated by at most the collision mass (never
+    under).
+
+    One explode (depth rows per item) + ONE (row, bucket) shuffle with
+    map-side partials.  Buckets use the portable md5 hash (same value
+    on any engine), seeded per row by prefixing the row index.
+    """
+    item = F.col(item_col).cast("string")
+    rows = F.explode(
+        F.sequence(F.lit(0).cast("int"), F.lit(depth - 1).cast("int"))
+    ).alias("d")
+    hashed = df.select(item.alias("_item"), rows).select(
+        "d",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("d").cast("string"), F.lit("|"), F.col("_item"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        ).alias("bucket"),
+    )
+    return hashed.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Estimate each item's frequency from a Count-Min sketch: hash the
+    item into every sketch row, take the MIN cell — the classic CM
+    point query (always >= the true count).  ``items`` is the
+    candidate set; the join is keyed on (d, bucket) against the
+    fixed-size sketch, which AQE broadcasts (depth*width cells —
+    bounded by construction, so the hint-free broadcast is safe here,
+    unlike fact-table aggregates).
+    """
+    item = F.col(item_col).cast("string")
+    probes = items.select(
+        F.col(item_col),
+        F.explode(
+            F.sequence(F.lit(0).cast("int"), F.lit(depth - 1).cast("int"))
+        ).alias("d"),
+    ).select(
+        F.col(item_col),
+        "d",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("d").cast("string"), F.lit("|"), item)
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(sketch, ["d", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("cm_count"))
+    )
+
+
+def rate_anomaly_scores(
+    df: DataFrame,
+    ts_col: str = "ts",
+    predicate_sql: str = "true",
+    trailing_min: int = 60,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Per-minute event-rate z-scores against a trailing baseline — the
+    error-burst detector a telemetry backend runs on count-connector
+    output: count matching rows per minute, compare each minute to the
+    mean/stddev of the previous ``trailing_min`` minutes (current
+    minute EXCLUDED), emit the z-score.
+
+    Two stages: the grouped per-minute count (map-side partials — this
+    is the stage that sees 10^12 rows) and a rangeBetween window over
+    the AGGREGATED minute series, which is tiny (one row per minute
+    [per key]: ~525k rows/year), so the global-order window's single
+    reducer is honest, not a scale bug; pass ``key_col`` to partition
+    the baseline per service/tenant.  Minutes with an undefined
+    baseline (fewer than 2 trailing points, or zero variance) emit a
+    NULL z.
+    """
+    minute = (
+        F.floor(F.col(ts_col).cast("timestamp_ltz").cast("long") / 60)
+    ).alias("minute_idx")
+    keys = ([F.col(key_col)] if key_col else []) + [minute]
+    counts = df.groupBy(*keys).agg(
+        F.sum(F.expr(predicate_sql).cast("long")).alias("n")
+    )
+    w = (
+        Window.partitionBy(*([key_col] if key_col else []))
+        .orderBy("minute_idx")
+        .rangeBetween(-trailing_min, -1)
+    )
+    mean = F.avg("n").over(w)
+    sd = F.stddev_samp("n").over(w)
+    z = F.when(sd > 0, F.round((F.col("n") - mean) / sd, 4))
+    return counts.select(
+        *([key_col] if key_col else []),
+        "minute_idx",
+        "n",
+        F.round(mean, 4).alias("baseline_mean"),
+        z.alias("z"),
+    )

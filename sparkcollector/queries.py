@@ -3440,6 +3440,80 @@ def q_span_name_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rebuilt.select("event_id", "span_name", "uid", "rebuilt_name")
 
 
+# ---------------------------------------------------------------------
+# 96. Count-Min sketch heavy hitters: build the depth x width sketch
+#     over user_id, point-query every distinct user, emit the exact
+#     count beside the CM estimate (always >= exact).  Portable md5
+#     row-seeded buckets make the sketch bit-identical across engines.
+# ---------------------------------------------------------------------
+@register(
+    "cm_sketch_counts",
+    """
+    with it as (select cast(user_id as varchar) as item from events),
+    h as (select item, d,
+                 cast(('0x' || substr(md5(cast(d as varchar) || '|' || item),
+                                      1, 8)) as bigint) % 256 as bucket
+          from it cross join (select unnest([0, 1, 2, 3]) as d)),
+    sk as (select d, bucket, count(*) as c from h group by 1, 2),
+    cand as (select distinct item from it),
+    probe as (select cand.item, hh.d,
+                     cast(('0x' || substr(md5(cast(hh.d as varchar) || '|'
+                                              || cand.item), 1, 8))
+                          as bigint) % 256 as bucket
+              from cand cross join (select unnest([0, 1, 2, 3]) as d) hh),
+    est as (select p.item, min(coalesce(sk.c, 0)) as cm_count
+            from probe p left join sk using (d, bucket) group by 1),
+    ex as (select item, count(*) as exact_count from it group by 1)
+    select ex.item, ex.exact_count, est.cm_count
+    from ex join est using (item)
+    """,
+)
+def q_cm_sketch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import cm_estimate, count_min_sketch
+
+    items = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("item")
+    )
+    sketch = count_min_sketch(items, "item", depth=4, width=256)
+    est = cm_estimate(sketch, items.distinct(), "item", depth=4, width=256)
+    exact = items.groupBy("item").agg(F.count("*").alias("exact_count"))
+    return exact.join(est, "item")
+
+
+# ---------------------------------------------------------------------
+# 97. Error-rate anomaly z-scores: per-minute error counts vs the
+#     trailing-60-minute mean/stddev (current minute excluded) — the
+#     burst detector over count-connector output.  The window runs on
+#     the minute-aggregated series (tiny by construction).
+# ---------------------------------------------------------------------
+@register(
+    "error_rate_anomaly",
+    """
+    with c as (
+      select cast(floor(epoch(ts) / 60) as bigint) as minute_idx,
+             sum(case when event_type = 'error' then 1 else 0 end) as n
+      from events group by 1),
+    w as (
+      select minute_idx, n,
+             avg(n) over tw as m, stddev_samp(n) over tw as sd
+      from c
+      window tw as (order by minute_idx
+                    range between 60 preceding and 1 preceding))
+    select minute_idx, n, round(m, 4) as baseline_mean,
+           case when sd > 0 then round((n - m) / sd, 4) end as z
+    from w
+    """,
+)
+def q_error_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import rate_anomaly_scores
+
+    return rate_anomaly_scores(
+        _t(spark, sf_dir, "events"),
+        predicate_sql="event_type = 'error'",
+        trailing_min=60,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

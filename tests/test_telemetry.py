@@ -335,3 +335,52 @@ def test_span_processor_both_directions(spark):
     )
     names = sorted(r["span_name"] for r in f.collect())
     assert names == ["GET /health", "GET 123"]
+
+
+def test_count_min_overestimates_never_under(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.telemetry import cm_estimate, count_min_sketch
+
+    # zipf-ish: item i appears (50 - i) times
+    rows = [(f"item{i}",) for i in range(40) for _ in range(50 - i)]
+    df = spark.createDataFrame(rows, "item string")
+    sketch = count_min_sketch(df, "item", depth=4, width=64)
+    # sketch is fixed-size regardless of cardinality
+    assert sketch.count() <= 4 * 64
+    est = cm_estimate(sketch, df.distinct(), "item", depth=4, width=64)
+    exact = df.groupBy("item").agg(F.count("*").alias("n"))
+    joined = est.join(exact, "item").collect()
+    assert all(r["cm_count"] >= r["n"] for r in joined)
+    # with 40 items in 64 buckets x 4 rows, the heavy hitter estimate
+    # is close: min-row collision mass is bounded
+    top = {r["item"]: r["cm_count"] for r in joined}["item0"]
+    assert 50 <= top <= 50 + 49  # at worst one full collision chain
+
+
+def test_rate_anomaly_z_flags_burst(spark):
+    import datetime as dt
+
+    from sparkcollector.operators.telemetry import rate_anomaly_scores
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # minutes 0..9: steady 2 errors/min with slight jitter; minute 10: 30
+    for m in range(10):
+        k = 2 + (m % 2)
+        for i in range(k):
+            rows.append((t0 + dt.timedelta(minutes=m, seconds=i),))
+    for i in range(30):
+        rows.append((t0 + dt.timedelta(minutes=10, seconds=i),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {
+        r["minute_idx"]: r
+        for r in rate_anomaly_scores(df, trailing_min=60).collect()
+    }
+    base = int(t0.timestamp() // 60)
+    burst = out[base + 10]
+    assert burst["n"] == 30
+    assert burst["baseline_mean"] == 2.5
+    assert burst["z"] is not None and burst["z"] > 10
+    # the first minute has no trailing baseline
+    assert out[base]["z"] is None
