@@ -78,3 +78,31 @@ def ancestor_paths(
     return state.select(
         "id", (F.size("path") - 1).alias("depth"), "path"
     )
+
+
+def subtree_rollup(
+    df: DataFrame,
+    paths: DataFrame,
+    id_col: str = "id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Aggregate a per-node metric over every node's SUBTREE (node +
+    all descendants) — the cost-rollup / thread-size query over a
+    conversation forest.
+
+    Uses :func:`ancestor_paths` output: exploding each node's
+    root-to-node path emits one (ancestor, node) row per ancestor, so
+    a single explode + ONE keyed aggregate computes every subtree sum
+    simultaneously — no per-node traversal, no recursion at query
+    time.  Explode volume is sum(depth) rows: linear for bounded-depth
+    forests (the transcript case), the same row count a recursive CTE
+    would touch.
+    """
+    contrib = paths.join(df, paths["id"] == df[id_col]).select(
+        F.explode(paths["path"]).alias("subtree_root"),
+        df[value_col].alias("_v"),
+    )
+    return contrib.groupBy("subtree_root").agg(
+        F.count("*").alias("subtree_size"),
+        F.sum("_v").alias("subtree_sum"),
+    )

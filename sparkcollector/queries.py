@@ -3514,6 +3514,90 @@ def q_error_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 98. Subtree rollup over the per-user heap forest: every node's
+#     (subtree size, value sum) from ONE path explode + keyed agg —
+#     query-time recursion-free; the oracle recurses a containment CTE.
+# ---------------------------------------------------------------------
+@register(
+    "subtree_rollup",
+    """
+    with recursive s as (
+      select event_id, user_id, value,
+             row_number() over (partition by user_id
+                                order by ts, event_id) as seq
+      from events),
+    e as (select c.event_id as id, p.event_id as parent, c.value
+          from s c left join s p
+            on p.user_id = c.user_id and p.seq = c.seq // 2),
+    r as (
+      select id as subtree_root, id as node from e
+      union all
+      select r.subtree_root, e.id from e join r on e.parent = r.node)
+    select r.subtree_root, count(*) as subtree_size,
+           round(sum(e2.value), 3) as subtree_sum
+    from r join e e2 on e2.id = r.node
+    group by 1
+    """,
+)
+def q_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.graph import ancestor_paths, subtree_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("seq"),
+    )
+    parent = seq.select(
+        F.col("user_id").alias("p_user"),
+        F.col("seq").alias("p_seq"),
+        F.col("event_id").alias("parent"),
+    )
+    nodes = seq.join(
+        parent,
+        (seq["user_id"] == parent["p_user"])
+        & (parent["p_seq"] == F.expr("seq div 2")),
+        "left",
+    ).select(F.col("event_id").alias("id"), "parent", "value")
+    paths = ancestor_paths(nodes.select("id", "parent"), "id", "parent")
+    out = subtree_rollup(nodes.select("id", "value"), paths)
+    return out.withColumn("subtree_sum", F.round("subtree_sum", 3))
+
+
+# ---------------------------------------------------------------------
+# 99. Binary media-column audit: byte length, content hash, magic-byte
+#     prefix over an opaque binary column (the multimodal table's
+#     metadata pass, with text bytes standing in for media bytes so the
+#     oracle can reproduce it).
+# ---------------------------------------------------------------------
+@register(
+    "binary_media_audit",
+    """
+    select doc_id,
+           octet_length(encode(text)) as byte_len,
+           sha256(text) as content_sha,
+           lower(substr(hex(encode(text)), 1, 8)) as magic_hex
+    from documents
+    """,
+)
+def q_binary_media_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "media", F.encode(F.col("text"), "UTF-8")
+    )
+    return docs.select(
+        "doc_id",
+        F.length("media").alias("byte_len"),
+        F.sha2("media", 256).alias("content_sha"),
+        F.lower(F.substring(F.hex("media"), 1, 8)).alias("magic_hex"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

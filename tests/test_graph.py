@@ -45,3 +45,25 @@ def test_deep_chain_log_rounds(spark):
     rows = [(0, None)] + [(i, i - 1) for i in range(1, n)]
     got = _run(spark, rows)
     assert got[n - 1] == (n - 1, list(range(n)))
+
+
+def test_subtree_rollup_sums(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.graph import ancestor_paths, subtree_rollup
+
+    #      1(v=1)
+    #     /      \
+    #    2(v=2)   3(v=4)
+    #   /
+    #  4(v=8)
+    nodes = spark.createDataFrame(
+        [(1, None, 1.0), (2, 1, 2.0), (3, 1, 4.0), (4, 2, 8.0)],
+        "id bigint, parent_id bigint, value double",
+    )
+    paths = ancestor_paths(nodes.select("id", "parent_id"))
+    got = {
+        r["subtree_root"]: (r["subtree_size"], r["subtree_sum"])
+        for r in subtree_rollup(nodes.select("id", "value"), paths).collect()
+    }
+    assert got == {1: (4, 15.0), 2: (2, 10.0), 3: (1, 4.0), 4: (1, 8.0)}
