@@ -844,3 +844,90 @@ def rate_anomaly_scores(
         F.round(mean, 4).alias("baseline_mean"),
         z.alias("z"),
     )
+
+
+def m4_downsample(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str | None = None,
+    key_col: str | None = None,
+    bucket_sec: int = 3600,
+) -> DataFrame:
+    """M4 time-series downsampling: per time bucket keep min / max /
+    first / last of the value — the error-free downsampling for line
+    charts (every pixel column renders exactly as the full series
+    would), and the aggregation signalfx rollups apply before plotting
+    10^12-point series.
+
+    ONE grouped pass: min/max are plain aggregates; first/last ride as
+    ``min_by/max_by(value, order)`` — no window, no sort, map-side
+    partials everywhere.  ``order_col`` must be UNIQUE within a bucket
+    (a sequence id); plain timestamps tie on truncation and make
+    first/last nondeterministic — pass the stream's unique id.
+    """
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    bucket = F.floor(epoch / bucket_sec).alias("bucket_idx")
+    order = F.col(order_col) if order_col else epoch
+    keys = ([F.col(key_col)] if key_col else []) + [bucket]
+    return df.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.round(F.min(value_col), 4).alias("v_min"),
+        F.round(F.max(value_col), 4).alias("v_max"),
+        F.round(F.min_by(value_col, order), 4).alias("v_first"),
+        F.round(F.max_by(value_col, order), 4).alias("v_last"),
+    )
+
+
+def fill_time_gaps(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "n",
+    key_col: str | None = None,
+    step_sec: int = 60,
+    fill: str = "zero",
+) -> DataFrame:
+    """Gap filling for regularized series: emit one row per ``step_sec``
+    bucket between each key's first and last observation, with missing
+    buckets filled by ``zero`` or ``locf`` (last-observation-carried-
+    forward) — what a rate chart needs so an empty minute reads 0, not
+    "no data".
+
+    The dense time axis comes from ``sequence(min, max)`` exploded per
+    key — O(span/step) rows, generated distributed, never a driver
+    loop — left-joined against the observed buckets; LOCF is one
+    ``last(value, ignorenulls)`` running window.  Input is expected
+    pre-aggregated to at most one row per (key, bucket) (e.g.
+    count-connector output).
+    """
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    obs = df.select(
+        *([F.col(key_col)] if key_col else []),
+        F.floor(epoch / step_sec).cast("long").alias("bucket_idx"),
+        F.col(value_col).alias("_v"),
+    )
+    gkeys = [key_col] if key_col else []
+    span = obs.groupBy(*gkeys).agg(
+        F.min("bucket_idx").alias("_lo"), F.max("bucket_idx").alias("_hi")
+    )
+    axis = span.select(
+        *gkeys,
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bucket_idx"),
+    )
+    dense = axis.join(obs, gkeys + ["bucket_idx"], "left")
+    if fill == "zero":
+        out = dense.withColumn("_v", F.coalesce("_v", F.lit(0)))
+    elif fill == "locf":
+        w = (
+            Window.partitionBy(*gkeys)
+            .orderBy("bucket_idx")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = dense.withColumn(
+            "_v", F.last("_v", ignorenulls=True).over(w)
+        )
+    else:
+        raise ValueError(f"unknown fill mode: {fill}")
+    return out.select(
+        *gkeys, "bucket_idx", F.col("_v").alias(value_col)
+    )

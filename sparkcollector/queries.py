@@ -3598,6 +3598,71 @@ def q_binary_media_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 100. M4 downsampling (min/max/first/last per hour bucket) — the
+#      error-free line-chart rollup; first/last keyed by the unique
+#      event id so both engines agree on ties.
+# ---------------------------------------------------------------------
+@register(
+    "m4_downsample",
+    """
+    select event_type,
+           cast(floor(epoch(ts) / 3600) as bigint) as bucket_idx,
+           count(*) as n,
+           round(min(value), 4) as v_min,
+           round(max(value), 4) as v_max,
+           round(arg_min(value, event_id), 4) as v_first,
+           round(arg_max(value, event_id), 4) as v_last
+    from events group by 1, 2
+    """,
+)
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import m4_downsample
+
+    return m4_downsample(
+        _t(spark, sf_dir, "events"),
+        order_col="event_id",
+        key_col="event_type",
+        bucket_sec=3600,
+    )
+
+
+# ---------------------------------------------------------------------
+# 101. Time-gap filling (zero-fill): dense per-minute axis per key via
+#      distributed sequence-explode, left join, coalesce 0 — an empty
+#      minute reads 0, not "no data".
+# ---------------------------------------------------------------------
+@register(
+    "fill_time_gaps",
+    """
+    with obs as (
+      select event_type, cast(floor(epoch(ts) / 60) as bigint) as bucket_idx,
+             count(*) as n
+      from events group by 1, 2),
+    span as (select event_type, min(bucket_idx) as lo, max(bucket_idx) as hi
+             from obs group by 1),
+    axis as (select event_type, unnest(generate_series(lo, hi)) as bucket_idx
+             from span)
+    select a.event_type, a.bucket_idx, coalesce(o.n, 0) as n
+    from axis a left join obs o using (event_type, bucket_idx)
+    """,
+)
+def q_fill_time_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import fill_time_gaps
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.col("ts").cast("timestamp_ltz").cast("long") / 60
+        ).cast("long").alias("_b"),
+    ).agg(F.count("*").alias("n"), F.min("ts").alias("ts"))
+    return fill_time_gaps(
+        counts, ts_col="ts", value_col="n", key_col="event_type",
+        step_sec=60, fill="zero",
+    ).drop("_b")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

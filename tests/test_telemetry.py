@@ -384,3 +384,56 @@ def test_rate_anomaly_z_flags_burst(spark):
     assert burst["z"] is not None and burst["z"] > 10
     # the first minute has no trailing baseline
     assert out[base]["z"] is None
+
+
+def test_m4_downsample_min_max_first_last(spark):
+    import datetime as dt
+
+    from sparkcollector.operators.telemetry import m4_downsample
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=1), 5.0),
+        (2, t0 + dt.timedelta(minutes=30), 1.0),
+        (3, t0 + dt.timedelta(minutes=59), 9.0),
+        (4, t0 + dt.timedelta(minutes=70), 2.0),  # next bucket
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, value double")
+    got = {
+        r["bucket_idx"]: r
+        for r in m4_downsample(df, order_col="event_id", bucket_sec=3600).collect()
+    }
+    b0 = int(t0.timestamp() // 3600)
+    r = got[b0]
+    assert (r["n"], r["v_min"], r["v_max"], r["v_first"], r["v_last"]) == (
+        3, 1.0, 9.0, 5.0, 9.0,
+    )
+    assert got[b0 + 1]["v_first"] == 2.0
+
+
+def test_fill_time_gaps_zero_and_locf(spark):
+    import datetime as dt
+
+    from sparkcollector.operators.telemetry import fill_time_gaps
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0, 3), ("a", t0 + dt.timedelta(minutes=3), 7),
+        ("b", t0, 1),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, n bigint")
+    base = int(t0.timestamp() // 60)
+    zero = {
+        (r["k"], r["bucket_idx"]): r["n"]
+        for r in fill_time_gaps(df, key_col="k", fill="zero").collect()
+    }
+    # a spans 4 minutes with the middle two zero-filled; b has one row
+    assert zero == {
+        ("a", base): 3, ("a", base + 1): 0, ("a", base + 2): 0,
+        ("a", base + 3): 7, ("b", base): 1,
+    }
+    locf = {
+        (r["k"], r["bucket_idx"]): r["n"]
+        for r in fill_time_gaps(df, key_col="k", fill="locf").collect()
+    }
+    assert locf[("a", base + 1)] == 3 and locf[("a", base + 2)] == 3
