@@ -3663,6 +3663,84 @@ def q_fill_time_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("_b")
 
 
+# ---------------------------------------------------------------------
+# 102. End-to-end dedup: MinHash-LSH pairs -> transitive clusters ->
+#      keep canonicals + singletons.  The full "dedup my corpus" query;
+#      the oracle replays it with exact Jaccard + a recursive CTE.
+# ---------------------------------------------------------------------
+@register(
+    "dedup_end_to_end",
+    """
+    with recursive
+    d as (select doc_id, string_split(text, ' ') as w from documents),
+    s as (select doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                for i in range(1, len(w) - 1)]) as sh
+          from d where len(w) >= 3),
+    e as (select doc_id, unnest(sh) as shingle from s),
+    pair as (select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as common
+             from e a join e b on a.shingle = b.shingle and a.doc_id < b.doc_id
+             group by 1, 2),
+    sz as (select doc_id, len(sh) as n from s),
+    edges as (
+      select doc_a as src, doc_b as dst
+      from pair join sz sa on doc_a = sa.doc_id
+                join sz sb on doc_b = sb.doc_id
+      where cast(common as double) / (sa.n + sb.n - common) >= 0.5),
+    bi as (select src, dst from edges
+           union select dst, src from edges),
+    reach (a, b) as (
+      select src, dst from bi
+      union
+      select r.a, e2.dst from reach r join bi e2 on r.b = e2.src
+      where e2.dst <> r.a),
+    comp as (select a as doc_id, least(min(b), a) as cluster_id
+             from reach group by a)
+    select doc_id, source from documents
+    where doc_id not in
+      (select doc_id from comp where doc_id <> cluster_id)
+    """,
+)
+def q_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.5, n=3, n_perm=64, rows_per_band=2
+    )
+    drop = dedup_clusters(pairs).filter(~F.col("is_canonical")).select("doc_id")
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------
+# 103. Z-order (Morton) clustering key — the Iceberg/Delta Z-ORDER
+#      layout key; pure arithmetic bit-interleave fold, zero shuffle.
+# ---------------------------------------------------------------------
+@register(
+    "zorder_clustering_key",
+    """
+    select event_id,
+           cast(list_sum(list_transform(range(16), i ->
+               (cast(floor((user_id % 65536) / 2**i) as bigint) % 2)
+                 * cast(2**(2*i) as bigint)
+             + (cast(floor((cast(floor(epoch(ts) / 60) as bigint) % 65536)
+                           / 2**i) as bigint) % 2)
+                 * cast(2**(2*i + 1) as bigint))) as bigint) as zkey
+    from events
+    """,
+)
+def q_zorder_clustering_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .skew import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("user_id") % 65536
+    y = (
+        F.floor(F.col("ts").cast("timestamp_ltz").cast("long") / 60)
+        .cast("long") % 65536
+    )
+    return ev.select("event_id", zorder_key(x, y, bits=16).alias("zkey"))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -113,3 +113,30 @@ def salted_join(
         ),
     )
     return f.join(d, [key, "_salt"]).drop("_salt")
+
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of two non-negative integer columns
+    — the space-filling-curve clustering key behind Iceberg/Delta
+    Z-ORDER table layout: sorting by this key co-locates rows close in
+    BOTH dimensions, so 2-D range predicates prune file-level min/max
+    stats instead of scanning one dimension's stripes.
+
+    Pure arithmetic fold over bit positions (shift via pow-of-two
+    division — HOF lambdas can't take literal-only shiftleft), all
+    JVM-side, zero shuffle.  ``bits`` per dimension; the key fits a
+    long for bits <= 31.
+    """
+    def term(i: Column) -> Column:
+        p = F.pow(F.lit(2.0), i.cast("double"))
+        xbit = (F.floor(x.cast("double") / p).cast("long") % 2)
+        ybit = (F.floor(y.cast("double") / p).cast("long") % 2)
+        even = F.pow(F.lit(2.0), (i * 2).cast("double")).cast("long")
+        odd = F.pow(F.lit(2.0), (i * 2 + 1).cast("double")).cast("long")
+        return xbit * even + ybit * odd
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + term(i),
+    )

@@ -237,3 +237,27 @@ def test_duplicate_ngram_spans_within_doc_repeat_not_cross(spark):
         "doc_id bigint, text string",
     )
     assert duplicate_ngram_spans(df, n=5).count() == 0
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.skew import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5)], "x int, y int"
+    )
+    got = [
+        r["z"]
+        for r in df.select(zorder_key(F.col("x"), F.col("y"), bits=4).alias("z"))
+        .collect()
+    ]
+    def morton(x, y):
+        z = 0
+        for i in range(4):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+    assert got == [morton(0, 0), morton(1, 0), morton(0, 1), morton(3, 5)]
+    # locality sanity: (3,5) interleaves to 0b100111 = 39
+    assert got[3] == 39
