@@ -423,6 +423,41 @@ def main() -> None:
         spark=spark,
     )
 
+    all_ok &= audit(
+        "m4_downsample",
+        lambda: queries()["m4_downsample"](spark, SF_DIR),
+        [
+            ("one grouped pass (single exchange), no window sort",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) == 1
+             and "Window" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "zorder_clustering_key",
+        lambda: queries()["zorder_clustering_key"](spark, SF_DIR),
+        [
+            ("zero exchanges (pure arithmetic fold)",
+             lambda p: "Exchange" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "cm_sketch_counts",
+        lambda: queries()["cm_sketch_counts"](spark, SF_DIR),
+        [
+            ("no nested loop / cartesian anywhere",
+             lambda p: "CartesianProduct" not in p),
+            ("adaptive plan (bounded sketch side broadcast at runtime)",
+             lambda p: "AdaptiveSparkPlan" in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"
