@@ -85,3 +85,42 @@ def retention_cohorts(
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct(user_col).alias("n_users"))
     )
+
+
+def event_transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (from_type, to_type) adjacent pair, the count
+    and the conditional probability P(to | from) — the
+    session-behavior model behind next-event prediction and
+    funnel-drop diagnosis.
+
+    One user-keyed window (lead) + one (from, to) aggregate + a
+    from-keyed total join — every stage partial-aggregated; the matrix
+    is |types|^2 rows regardless of corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(order_col)
+    pairs = (
+        df.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return counts.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("_tot"), round_digits).alias("p"),
+    )

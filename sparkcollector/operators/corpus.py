@@ -944,3 +944,43 @@ def conversation_features(
         F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
         F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "ws",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    each row draws a deterministic uniform ``u`` from the portable md5
+    hash of (seed, id) and scores ``u^(1/w)``; the ``k`` largest scores
+    are the sample — provably equivalent to sequential weighted draws,
+    and the BEST way to quality-weight a corpus subsample (weight =
+    quality score) while staying reproducible on any engine, any
+    cluster size, any run.
+
+    Zero shuffles until the final TakeOrdered (per-partition heaps) —
+    no rand() (breaks retry idempotence), no global sort.  Rows with
+    non-positive weight are excluded, matching the ES definition.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + 0.5) / 4294967296.0
+    w = F.col(weight_col).cast("double")
+    es_key = F.pow(u, 1.0 / w)
+    return (
+        df.filter(w > 0)
+        .withColumn("es_key", es_key)
+        .orderBy(F.desc("es_key"), id_col)
+        .limit(k)
+        .drop("es_key")
+    )

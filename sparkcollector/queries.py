@@ -3741,6 +3741,58 @@ def q_zorder_clustering_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", zorder_key(x, y, bits=16).alias("zkey"))
 
 
+# ---------------------------------------------------------------------
+# 104. Efraimidis–Spirakis weighted sampling: quality-weighted corpus
+#      subsample, deterministic on any engine (md5-derived uniforms,
+#      u^(1/w) keys, TakeOrdered top-k).
+# ---------------------------------------------------------------------
+@register(
+    "weighted_sample",
+    """
+    with s as (
+      select doc_id, source, n_chars,
+             pow((cast(('0x' || substr(md5('ws|' || cast(doc_id as varchar)),
+                                       1, 8)) as bigint) + 0.5e0)
+                 / 4294967296e0,
+                 1e0 / cast(n_chars as double)) as es_key
+      from documents where n_chars > 0)
+    select doc_id, source, n_chars
+    from s order by es_key desc, doc_id limit 50
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample(docs, "n_chars", k=50)
+
+
+# ---------------------------------------------------------------------
+# 105. First-order event-transition matrix P(to | from) over per-user
+#      sequences — |types|^2 output regardless of corpus size.
+# ---------------------------------------------------------------------
+@register(
+    "event_transition_matrix",
+    """
+    with p as (
+      select event_type as from_type,
+             lead(event_type) over (partition by user_id
+                                    order by event_id) as to_type
+      from events),
+    c as (select from_type, to_type, count(*) as n
+          from p where to_type is not null group by 1, 2),
+    t as (select from_type, sum(n) as tot from c group by 1)
+    select c.from_type, c.to_type, c.n,
+           round(c.n / cast(t.tot as double), 6) as p
+    from c join t using (from_type)
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import event_transition_matrix
+
+    return event_transition_matrix(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -82,3 +82,23 @@ def test_log_templates_masking(spark):
     assert got["request <*> took <*>ms"] == (2, "request 123 took 45ms")
     assert got["conn <*> closed"] == (1, "conn deadbeef01 closed")
     assert got["user <*> logged in"] == (2, "user 'alice' logged in")
+
+
+def test_event_transition_matrix_probs(spark):
+    from sparkcollector.operators.analytics import event_transition_matrix
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+        (2, 1, "a"), (2, 2, "c"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, event_id bigint, event_type string")
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in event_transition_matrix(df).collect()
+    }
+    # from 'a': 2x ->b, 1x ->c
+    assert got[("a", "b")] == (2, round(2 / 3, 6))
+    assert got[("a", "c")] == (1, round(1 / 3, 6))
+    assert got[("b", "a")] == (1, 1.0)
+    # last event of each user emits no transition
+    assert ("b", None) not in got and sum(n for n, _ in got.values()) == 4

@@ -396,3 +396,22 @@ def test_conversation_features_one_pass(spark):
     assert r["avg_chars"] == round((2 + 6 + 3) / 3, 4)
     assert r["first_ts"] == "2024-01-01 12:00:00"
     assert r["last_ts"] == "2024-01-01 12:02:00"
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    from sparkcollector.operators.corpus import weighted_sample
+
+    # 500 light rows (w=1) + 50 heavy rows (w=100)
+    rows = [(i, 1.0) for i in range(500)] + [
+        (1000 + i, 100.0) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    a = sorted(r["doc_id"] for r in weighted_sample(df, "w", k=50).collect())
+    b = sorted(r["doc_id"] for r in weighted_sample(df, "w", k=50).collect())
+    assert a == b and len(a) == 50  # deterministic
+    heavy = sum(1 for i in a if i >= 1000)
+    # heavy rows are 100x likelier per row; expect them to dominate
+    assert heavy >= 35
+    # zero/negative weights are excluded
+    z = spark.createDataFrame([(1, 0.0), (2, 1.0)], "doc_id bigint, w double")
+    assert [r["doc_id"] for r in weighted_sample(z, "w", k=5).collect()] == [2]
