@@ -3793,6 +3793,84 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transition_matrix(_t(spark, sf_dir, "events"))
 
 
+# ---------------------------------------------------------------------
+# 106. Pairwise metric correlations over per-minute series: pivot the
+#      5 event types to wide minute rows, Pearson-correlate each pair
+#      in ONE aggregate pass (no per-pair scan).
+# ---------------------------------------------------------------------
+@register(
+    "metric_correlations",
+    """
+    with m as (
+      select cast(floor(epoch(ts) / 60) as bigint) as minute_idx,
+             sum(case when event_type = 'click' then 1 else 0 end) as click,
+             sum(case when event_type = 'view' then 1 else 0 end) as view,
+             sum(case when event_type = 'error' then 1 else 0 end) as error
+      from events group by 1)
+    select 'click~view' as pair, round(corr(click, view), 3) as r from m
+    union all
+    select 'click~error', round(corr(click, error), 3) from m
+    union all
+    select 'view~error', round(corr(view, error), 3) from m
+    """,
+)
+def q_metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    minute = F.floor(
+        F.col("ts").cast("timestamp_ltz").cast("long") / 60
+    ).alias("minute_idx")
+    m = ev.groupBy(minute).agg(
+        *[
+            F.sum((F.col("event_type") == t).cast("long")).alias(t)
+            for t in ["click", "view", "error"]
+        ]
+    )
+    wide = m.agg(
+        F.round(F.corr("click", "view"), 3).alias("click~view"),
+        F.round(F.corr("click", "error"), 3).alias("click~error"),
+        F.round(F.corr("view", "error"), 3).alias("view~error"),
+    )
+    return wide.select(
+        F.expr(
+            "stack(3, 'click~view', `click~view`, "
+            "'click~error', `click~error`, "
+            "'view~error', `view~error`) as (pair, r)"
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# 107. Conversation rendering: assemble each conversation's turns into
+#      ONE ordered training-sample string (collect -> in-row sort ->
+#      join; ordering from the sorted struct array, never from task
+#      scheduling).
+# ---------------------------------------------------------------------
+@register(
+    "conversation_render",
+    f"""
+    with t as ({_T_SQL})
+    select conv_id,
+           string_agg(role || ': ' || text, chr(10) order by turn_idx)
+             as rendered
+    from t group by conv_id
+    """,
+)
+def q_conversation_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    line = F.concat(F.col("role"), F.lit(": "), F.col("text"))
+    return t.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("turn_idx"), line.alias("l")))
+                ),
+                lambda s: s["l"],
+            ),
+            "\n",
+        ).alias("rendered")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
