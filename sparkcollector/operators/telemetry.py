@@ -931,3 +931,60 @@ def fill_time_gaps(
     return out.select(
         *gkeys, "bucket_idx", F.col("_v").alias(value_col)
     )
+
+
+def batch_split(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    max_batch: int = 1000,
+) -> DataFrame:
+    """Batch processor ``send_batch_max_size`` semantics: within each
+    key, rows are packed in order into consecutive batches of at most
+    ``max_batch`` rows; each row gets its (batch_id, position) — the
+    deterministic unit a sink flushes.
+
+    One keyed window (row_number), then pure arithmetic: batch_id =
+    (rank-1) div max_batch.  On the conv_id-bucketed layout the window
+    shuffle disappears and batching is a per-task scan, exactly how
+    the collector batches an in-memory queue.
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    rank = F.row_number().over(w) - 1
+    return df.withColumn(
+        "batch_id", F.floor(rank / max_batch).cast("long")
+    ).withColumn("batch_pos", (rank % max_batch).cast("int"))
+
+
+def schema_expectations(
+    df: DataFrame,
+    rules: dict[str, str],
+) -> DataFrame:
+    """Data-quality expectation audit: each rule is a boolean SQL
+    predicate (``name -> expectation``); the audit reports, per rule,
+    how many rows violate it and the violation rate — the admission
+    gate a pipeline runs before committing a snapshot (the collector's
+    config-validation analog, applied to data instead of config).
+
+    ONE pass: every rule is a conditional aggregate (map-side
+    partials); output is |rules| rows via stack — never one scan per
+    rule.  NULL predicate results count as violations (an expectation
+    that cannot be evaluated is not met).
+    """
+    aggs = [F.count("*").alias("_total")] + [
+        F.sum(
+            (~F.coalesce(F.expr(pred), F.lit(False))).cast("long")
+        ).alias(f"_r{i}")
+        for i, pred in enumerate(rules.values())
+    ]
+    wide = df.agg(*aggs)
+    names = list(rules.keys())
+    pairs = ", ".join(
+        f"'{name}', _r{i}" for i, name in enumerate(names)
+    )
+    return wide.select(
+        F.expr(f"stack({len(names)}, {pairs}) as (rule, violations)"),
+        F.col("_total").alias("total"),
+    ).withColumn(
+        "violation_rate", F.round(F.col("violations") / F.col("total"), 6)
+    )

@@ -3871,6 +3871,76 @@ def q_conversation_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 108. Batch processor send_batch_max_size: deterministic in-order
+#      packing of each key's rows into <=N-row batches.
+# ---------------------------------------------------------------------
+@register(
+    "batch_split",
+    """
+    with r as (select user_id, event_id,
+                      row_number() over (partition by user_id
+                                         order by event_id) - 1 as rk
+               from events)
+    select user_id, event_id,
+           cast(rk // 25 as bigint) as batch_id,
+           cast(rk % 25 as int) as batch_pos
+    from r
+    """,
+)
+def q_batch_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import batch_split
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    return batch_split(ev, "user_id", "event_id", max_batch=25)
+
+
+# ---------------------------------------------------------------------
+# 109. Schema-expectation audit: per-rule violation counts in ONE pass
+#      (stack-unpivoted conditional aggregates; NULL predicate counts
+#      as a violation).
+# ---------------------------------------------------------------------
+@register(
+    "schema_expectations",
+    """
+    with u as (
+      select 'value_in_range' as rule,
+             sum(case when coalesce(value between 0 and 1000, false)
+                 then 0 else 1 end) as violations,
+             count(*) as total
+      from events
+      union all
+      select 'known_event_type',
+             sum(case when coalesce(event_type in
+                   ('click','view','purchase','signup','error'), false)
+                 then 0 else 1 end),
+             count(*)
+      from events
+      union all
+      select 'user_id_present',
+             sum(case when coalesce(user_id is not null, false)
+                 then 0 else 1 end),
+             count(*)
+      from events)
+    select rule, cast(violations as bigint) as violations, total,
+           round(violations / cast(total as double), 6) as violation_rate
+    from u
+    """,
+)
+def q_schema_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import schema_expectations
+
+    return schema_expectations(
+        _t(spark, sf_dir, "events"),
+        {
+            "value_in_range": "value between 0 and 1000",
+            "known_event_type":
+                "event_type in ('click','view','purchase','signup','error')",
+            "user_id_present": "user_id is not null",
+        },
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

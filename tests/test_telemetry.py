@@ -437,3 +437,31 @@ def test_fill_time_gaps_zero_and_locf(spark):
         for r in fill_time_gaps(df, key_col="k", fill="locf").collect()
     }
     assert locf[("a", base + 1)] == 3 and locf[("a", base + 2)] == 3
+
+
+def test_batch_split_packing(spark):
+    from sparkcollector.operators.telemetry import batch_split
+
+    rows = [("k", i) for i in range(7)] + [("j", 0)]
+    df = spark.createDataFrame(rows, "k string, i int")
+    got = {
+        (r["k"], r["i"]): (r["batch_id"], r["batch_pos"])
+        for r in batch_split(df, "k", "i", max_batch=3).collect()
+    }
+    assert got[("k", 0)] == (0, 0) and got[("k", 2)] == (0, 2)
+    assert got[("k", 3)] == (1, 0) and got[("k", 6)] == (2, 0)
+    assert got[("j", 0)] == (0, 0)
+
+
+def test_schema_expectations_null_counts_as_violation(spark):
+    from sparkcollector.operators.telemetry import schema_expectations
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (2000.0,)], "value double"
+    )
+    (r,) = schema_expectations(
+        df, {"in_range": "value between 0 and 1000"}
+    ).collect()
+    # NULL predicate (row 2) AND out-of-range (row 3) both violate
+    assert (r["rule"], r["violations"], r["total"]) == ("in_range", 2, 3)
+    assert r["violation_rate"] == round(2 / 3, 6)
