@@ -3941,6 +3941,116 @@ def q_schema_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 110. OTel SeverityNumber mapping: severity TEXT -> the 1-24 numeric
+#      scale (trace=1, debug=5, info=9, warn=13, error=17, fatal=21)
+#      via a create_map lookup — completes the severity parser family.
+# ---------------------------------------------------------------------
+@register(
+    "severity_number_map",
+    f"""
+    with t as ({_T_SQL})
+    select case regexp_extract(text, 'level=(TRACE|DEBUG|INFO|WARN|ERROR|FATAL)', 1)
+                when 'TRACE' then 1 when 'DEBUG' then 5 when 'INFO' then 9
+                when 'WARN' then 13 when 'ERROR' then 17 when 'FATAL' then 21
+           end as severity_number,
+           count(*) as n
+    from t group by 1
+    """,
+)
+def q_severity_number_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    sev_text = F.regexp_extract(
+        "text", r"level=(TRACE|DEBUG|INFO|WARN|ERROR|FATAL)", 1
+    )
+    mapping = F.create_map(
+        *[
+            x
+            for k, v in [
+                ("TRACE", 1), ("DEBUG", 5), ("INFO", 9),
+                ("WARN", 13), ("ERROR", 17), ("FATAL", 21),
+            ]
+            for x in (F.lit(k), F.lit(v))
+        ]
+    )
+    return (
+        t.select(mapping[sev_text].alias("severity_number"))
+        .groupBy("severity_number")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------
+# 111. Stale-series detection (dead-man switch): series whose last
+#      datapoint is older than the cutoff — last-seen per series vs the
+#      corpus max, one grouped pass + 1-row max crossJoin.
+# ---------------------------------------------------------------------
+@register(
+    "stale_series",
+    """
+    with last as (select user_id, max(ts) as last_ts from events group by 1),
+    mx as (select max(ts) as max_ts from events)
+    select l.user_id,
+           strftime(l.last_ts, '%Y-%m-%d %H:%M:%S') as last_seen,
+           cast(floor(epoch(mx.max_ts) - epoch(l.last_ts)) as bigint)
+             as silent_sec
+    from last l cross join mx
+    where l.last_ts < mx.max_ts - interval 24 hours
+    """,
+)
+def q_stale_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    last = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    j = last.crossJoin(mx)
+    epoch = lambda c: F.col(c).cast("timestamp_ltz").cast("double")  # noqa: E731
+    return j.filter(
+        F.col("last_ts") < F.col("max_ts") - F.expr("INTERVAL 24 HOURS")
+    ).select(
+        "user_id",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        F.floor(epoch("max_ts") - epoch("last_ts")).cast("bigint").alias(
+            "silent_sec"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
+# 112. Trace assembly (groupbytrace connector): collect a trace's span
+#      ids in deterministic order and flag completeness (root present).
+# ---------------------------------------------------------------------
+@register(
+    "trace_assembly",
+    f"""
+    with t as ({_T_SQL}),
+    sp as (select conv_id,
+                  regexp_extract(text, 'span id=([0-9a-f]{{16}})', 1) as span_id,
+                  regexp_extract(text, 'parent=([0-9a-f]{{16}}|-)', 1) as parent
+           from t
+           where regexp_extract(text, 'span id=([0-9a-f]{{16}})', 1) <> '')
+    select conv_id,
+           count(*) as n_spans,
+           string_agg(span_id, ',' order by span_id) as span_ids,
+           max(case when parent = '-' then 1 else 0 end) = 1 as has_root
+    from sp group by conv_id
+    """,
+)
+def q_trace_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    sp = t.select(
+        "conv_id",
+        F.regexp_extract("text", r"span id=([0-9a-f]{16})", 1).alias("span_id"),
+        F.regexp_extract("text", r"parent=([0-9a-f]{16}|-)", 1).alias("parent"),
+    ).filter(F.col("span_id") != "")
+    return sp.groupBy("conv_id").agg(
+        F.count("*").alias("n_spans"),
+        F.array_join(F.sort_array(F.collect_list("span_id")), ",").alias(
+            "span_ids"
+        ),
+        (F.max((F.col("parent") == "-").cast("int")) == 1).alias("has_root"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
