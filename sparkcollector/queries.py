@@ -4051,6 +4051,29 @@ def q_trace_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 113. Equi-depth binning (ntile): decile assignment per source by doc
+#      length with a UNIQUE order key so both engines cut ties
+#      identically — the feature-bucketing pass before stratified
+#      training splits.
+# ---------------------------------------------------------------------
+@register(
+    "equi_depth_bins",
+    """
+    select doc_id, source, n_chars,
+           ntile(10) over (partition by source
+                           order by n_chars, doc_id) as decile
+    from documents
+    """,
+)
+def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.withColumn("decile", F.ntile(10).over(w))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

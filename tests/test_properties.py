@@ -86,3 +86,91 @@ def test_severity_map_total(severities_ignored):
         else:
             assert out in {"trace", "debug", "info", "warn", "error",
                            "error2", "error3", "fatal"}
+
+
+def test_zorder_matches_python_morton_property(spark):
+    """zorder_key equals the reference Python Morton interleave for
+    arbitrary 16-bit inputs (hypothesis-driven batch)."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    from sparkcollector.skew import zorder_key
+
+    def morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    collected = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(0, 65535), st.integers(0, 65535))
+    def gen(x, y):
+        collected.append((x, y))
+
+    gen()
+    df = spark.createDataFrame(collected, "x int, y int")
+    got = [
+        (r["x"], r["y"], r["z"])
+        for r in df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y"), bits=16).alias("z")
+        ).collect()
+    ]
+    for x, y, z in got:
+        assert z == morton(x, y), (x, y, z)
+
+
+def test_transform_attrs_matches_python_model_property(spark):
+    """OTTL map-function chain equals a direct Python model on random
+    attribute maps (keep -> replace -> truncate -> limit order)."""
+    import re
+
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.telemetry import transform_attrs
+
+    keys = ["alpha", "beta", "gamma", "delta"]
+    cases = []
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.dictionaries(
+            st.sampled_from(keys),
+            st.text(
+                alphabet=st.characters(whitelist_categories=("Ll", "Nd")),
+                max_size=12,
+            ),
+            max_size=4,
+        )
+    )
+    def gen(m):
+        cases.append(dict(m))
+
+    gen()
+
+    def model(m):
+        kept = {k: v for k, v in m.items() if k in ("alpha", "beta", "gamma")}
+        rep = {k: re.sub(r"[0-9]+", "N", v) for k, v in kept.items()}
+        tru = {k: v[:5] for k, v in rep.items()}
+        return dict(sorted(tru.items())[:2])
+
+    rows = [(i, c) for i, c in enumerate(cases)]
+    df = spark.createDataFrame(rows, "id int, m map<string,string>")
+    out = {
+        r["id"]: r["t"]
+        for r in df.select(
+            "id",
+            transform_attrs(
+                F.col("m"),
+                keep_keys=["alpha", "beta", "gamma"],
+                replace_pattern=(r"[0-9]+", "N"),
+                truncate_to=5,
+                limit_to=2,
+            ).alias("t"),
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert out[i] == model(c), (c, out[i])
