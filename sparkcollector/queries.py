@@ -4074,6 +4074,70 @@ def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.withColumn("decile", F.ntile(10).over(w))
 
 
+# ---------------------------------------------------------------------
+# 114. Parse dead-letter routing: rows whose extraction fails route to
+#      a DLQ with a reason instead of being dropped silently (the
+#      stanza on_error=send semantics + the collector's error output).
+# ---------------------------------------------------------------------
+@register(
+    "parse_dead_letter",
+    f"""
+    with t as ({_T_SQL})
+    select conv_id, turn_idx,
+           case when regexp_extract(text, 'CALL (\\w+)\\(', 1) <> ''
+                then 'parsed' else 'dlq' end as route,
+           case when regexp_extract(text, 'CALL (\\w+)\\(', 1) = ''
+                then 'no_tool_call' end as reason
+    from t
+    """,
+)
+def q_parse_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    tool = F.regexp_extract("text", r"CALL (\w+)\(", 1)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.when(tool != "", "parsed").otherwise("dlq").alias("route"),
+        F.when(tool == "", "no_tool_call").alias("reason"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 115. Top-k per group with OTHER rollup: the dashboard legend op —
+#      rank values per group, keep the top 2, fold the tail into
+#      'OTHER', re-aggregate.  Rank ties cut by value name
+#      (deterministic on both engines).
+# ---------------------------------------------------------------------
+@register(
+    "topk_with_other",
+    """
+    with c as (select source, lang, count(*) as n from documents
+               group by 1, 2),
+    r as (select *, row_number() over (partition by source
+                                       order by n desc, lang) as rk
+          from c)
+    select source,
+           case when rk <= 2 then lang else 'OTHER' end as lang,
+           cast(sum(n) as bigint) as n
+    from r group by 1, 2
+    """,
+)
+def q_topk_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), "lang")
+    r = c.withColumn("rk", F.row_number().over(w))
+    return (
+        r.withColumn(
+            "lang", F.when(F.col("rk") <= 2, F.col("lang")).otherwise("OTHER")
+        )
+        .groupBy("source", "lang")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
