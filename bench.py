@@ -100,11 +100,30 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
+    # Round-2 flagship operators, timed SEPARATELY so the headline
+    # total stays directly comparable round over round.
+    extra: dict[str, float] = {}
+    for name in [
+        "dedup_end_to_end",
+        "pq_adc_topk",
+        "lm_doc_score",
+        "interval_join_error_window",
+        "tree_linearize",
+        "bm25_retrieval",
+    ]:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        _materialize(qs[name](spark, sf_dir))
+        extra[name] = round(time.time() - t0, 3)
+        print(f"  [extra] {name}: {extra[name]}s", file=sys.stderr)
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "extra_queries": extra,
         "sf": sf,
         "cpus": int(cpus) if cpus.isdigit() else cpus,
         "turns": n_turns,
