@@ -271,6 +271,13 @@ def run_pipeline(
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument(
+        "--run-query",
+        metavar="NAME",
+        help="run one registry query (sparkcollector.queries) against "
+        "--sf-dir and print row count + a result sample as JSON; "
+        "use NAME=list to list available queries",
+    )
     g.add_argument("--input", help="raw parquet transcripts path")
     g.add_argument(
         "--input-table",
@@ -289,7 +296,13 @@ def main() -> None:
         "the stored watermark are processed and the watermark advances "
         "on success",
     )
-    p.add_argument("--out", required=True)
+    p.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.01",
+        help="table directory for --run-query",
+    )
+    p.add_argument("--limit", type=int, default=5, help="--run-query sample rows")
+    p.add_argument("--out", help="output directory (required for pipeline runs)")
     p.add_argument("--master", default=None)
     p.add_argument("--builtin-parse", action="store_true")
     p.add_argument("--no-write", action="store_true")
@@ -298,6 +311,33 @@ def main() -> None:
     )
     p.add_argument("--warmup", action="store_true")
     args = p.parse_args()
+
+    if args.run_query:
+        from .queries import queries as _registry
+
+        qs = _registry()
+        if args.run_query == "list":
+            print(json.dumps(sorted(qs)))
+            return
+        if args.run_query not in qs:
+            p.error(f"unknown query {args.run_query!r}; try --run-query list")
+        spark = get_spark(master=args.master, app_name="sparkcollector-query")
+        df = qs[args.run_query](spark, args.sf_dir)
+        rows = [r.asDict(recursive=True) for r in df.limit(args.limit).collect()]
+        print(
+            json.dumps(
+                {
+                    "query": args.run_query,
+                    "rows": df.count(),
+                    "columns": df.columns,
+                    "sample": rows,
+                },
+                default=str,
+            )
+        )
+        return
+    if not args.out:
+        p.error("--out is required unless --run-query is used")
 
     spark = get_spark(master=args.master, app_name="sparkcollector-job")
     metrics = run_pipeline(

@@ -5,6 +5,7 @@ from .pipeline import (  # noqa: F401
     conversation_sessions,
     stream_interval_join,
     stream_routed,
+    stream_tail_sample,
     stream_transcripts,
     windowed_counts,
     write_stream_sinks,

@@ -254,3 +254,79 @@ def stream_interval_join(
         F.col(f"l.{c}") for c in left.columns if c not in keys
     ] + [F.col(f"r.{c}") for c in right.columns if c not in keys]
     return joined.select(*dedup_keys, *payload)
+
+
+TAIL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+TAIL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("turn_idxs", T.ArrayType(T.LongType())),
+        T.StructField("texts", T.ArrayType(T.StringType())),
+        T.StructField("matched", T.BooleanType()),
+    ]
+)
+
+
+def stream_tail_sample(
+    turns: DataFrame,
+    needle: str = "level=ERROR",
+    decision_wait_ms: int = 300_000,
+) -> DataFrame:
+    """Streaming tail sampling (the tailsampling processor's actual
+    shape): buffer each conversation's turns in keyed state for
+    ``decision_wait_ms`` (the processor's ``decision_wait``); when the
+    conversation goes idle, evaluate the policy over the COMPLETE
+    buffer and emit ALL its rows iff any turn contains ``needle`` —
+    otherwise emit nothing.  Nothing is emitted before the decision,
+    exactly like the processor (late spans would otherwise escape the
+    policy).
+
+    State is the buffered conversation — inherent to tail sampling and
+    identical to the reference's memory model: bounded by
+    decision_wait x arrival rate, NOT by stream length, because
+    decided conversations drop their state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        conv_id = key[0]
+        if state.hasTimedOut:
+            idxs, texts, matched = state.get
+            state.remove()
+            if matched:
+                yield pd.DataFrame(
+                    {
+                        "conv_id": conv_id,
+                        "turn_idx": list(idxs),
+                        "text": list(texts),
+                    }
+                )
+            return
+        idxs, texts, matched = (
+            state.get if state.exists else ([], [], False)
+        )
+        idxs, texts = list(idxs), list(texts)
+        for pdf in pdf_iter:
+            idxs += [int(x) for x in pdf["turn_idx"]]
+            texts += list(pdf["text"])
+            matched = matched or bool(
+                pdf["text"].str.contains(needle, regex=False).any()
+            )
+        state.update((idxs, texts, matched))
+        state.setTimeoutDuration(decision_wait_ms)
+        yield from ()
+
+    return turns.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=TAIL_OUTPUT_SCHEMA,
+        stateStructType=TAIL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

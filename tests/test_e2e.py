@@ -233,3 +233,29 @@ def test_bucketed_input_shuffle_free_pipeline(spark, turns_df, tmp_path):
     a = spark.read.parquet(str(tmp_path / "out_flat" / "routed" / "data-*"))
     b = spark.read.parquet(str(tmp_path / "out_bkt" / "routed" / "data-*"))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_cli_run_query_surface(spark, capsys, monkeypatch):
+    """`python -m sparkcollector.job --run-query NAME` runs any registry
+    query and prints JSON (list mode enumerates the registry)."""
+    import json as _json
+
+    from sparkcollector import job as jobmod
+
+    monkeypatch.setattr(
+        "sys.argv",
+        ["job", "--run-query", "list"],
+    )
+    jobmod.main()
+    names = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "dedup_exact" in names and len(names) >= 100
+
+    monkeypatch.setattr(
+        "sys.argv",
+        ["job", "--run-query", "severity_map_counts",
+         "--sf-dir", "/root/testdata/sf0.001", "--limit", "2"],
+    )
+    jobmod.main()
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["query"] == "severity_map_counts"
+    assert out["rows"] > 0 and len(out["sample"]) <= 2

@@ -197,3 +197,49 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from sij_test").collect()
     )
     assert got == [(1, 10), (2, 11), (3, 13)]
+
+
+def test_stream_tail_sample_emits_only_kept_conversations(spark, tmp_path):
+    import time
+
+    from sparkcollector.streaming import stream_tail_sample
+
+    schema = "conv_id string, turn_idx bigint, text string"
+    batch1 = [
+        ("keep", 0, "hello"),
+        ("keep", 1, "boom level=ERROR here"),
+        ("drop", 0, "all fine"),
+        ("drop", 1, "still fine"),
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(in_dir / "b1.parquet")
+    )
+    turns = spark.readStream.schema(schema).parquet(str(in_dir / "*"))
+    out = stream_tail_sample(turns, decision_wait_ms=1500)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tail_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    # let batch 1 buffer, wait past decision_wait, then push a dummy
+    # conversation so the next micro-batch fires the timeouts
+    time.sleep(6)
+    spark.createDataFrame(
+        [("late", 0, "nothing")], schema
+    ).coalesce(1).write.parquet(str(in_dir / "b2.parquet"))
+    deadline = time.time() + 60
+    rows = []
+    while time.time() < deadline:
+        rows = spark.sql("select * from tail_test").collect()
+        if rows:
+            break
+        time.sleep(2)
+    q.stop()
+    got = sorted((r["conv_id"], r["turn_idx"]) for r in rows)
+    # the matching conversation is emitted COMPLETE; the clean one never
+    assert got == [("keep", 0), ("keep", 1)], got
