@@ -749,12 +749,15 @@ def inverted_index(
     the 0-based token positions — the structure behind phrase search
     and fast substring-contamination checks over a corpus.
 
-    Two keyed shuffles: (term, doc) position roll-up, then a per-term
-    window for document frequency + the posting cap.  ``posting_cap``
-    keeps the ``posting_cap`` SMALLEST doc ids per term (deterministic
-    on any engine) and ``max_df`` drops stop terms entirely — the same
-    bounded-posting-list policy as the Jaccard dedup tier: no single
-    hot term may produce an unbounded reducer.
+    Shuffle order is the scale guard: document frequency comes from a
+    plain per-term AGGREGATE (map-side partials — safe for any term),
+    and the ``max_df`` stop-term drop is applied BEFORE the per-term
+    ranking window, so a boilerplate term with 10^9 postings never
+    reaches a single reducer's sort (the same bounded-posting-list
+    policy as the Jaccard dedup tier).  ``posting_cap`` then keeps the
+    ``posting_cap`` SMALLEST doc ids per surviving term (deterministic
+    on any engine).  With ``max_df=None`` the window must still rank
+    every posting — pass a cap at 100 TB.
     """
     from pyspark.sql.window import Window
 
@@ -772,18 +775,16 @@ def inverted_index(
             ),
         ).alias("pos_str")
     )
-    w = Window.partitionBy("term")
+    freq = postings.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    if max_df is not None:
+        freq = freq.filter(F.col("doc_freq") <= max_df)
+    guarded = postings.join(freq, "term")
+    w = Window.partitionBy("term").orderBy(F.col(id_col))
     out = (
-        postings.withColumn("doc_freq", F.count("*").over(w))
-        .withColumn(
-            "_rn",
-            F.row_number().over(w.orderBy(F.col(id_col))),
-        )
+        guarded.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= posting_cap)
         .drop("_rn")
     )
-    if max_df is not None:
-        out = out.filter(F.col("doc_freq") <= max_df)
     return out.select("term", "doc_freq", id_col, "pos_str")
 
 
