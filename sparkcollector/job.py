@@ -322,13 +322,15 @@ def main() -> None:
         if args.run_query not in qs:
             p.error(f"unknown query {args.run_query!r}; try --run-query list")
         spark = get_spark(master=args.master, app_name="sparkcollector-query")
-        df = qs[args.run_query](spark, args.sf_dir)
+        df = qs[args.run_query](spark, args.sf_dir).cache()
+        n_rows = df.count()  # materializes once; the sample reads the cache
         rows = [r.asDict(recursive=True) for r in df.limit(args.limit).collect()]
+        df.unpersist()
         print(
             json.dumps(
                 {
                     "query": args.run_query,
-                    "rows": df.count(),
+                    "rows": n_rows,
                     "columns": df.columns,
                     "sample": rows,
                 },

@@ -32,6 +32,8 @@ def funnel_stages(
     Returns ``(user, t1..tk as second-truncated strings, stage)`` for
     every user who completed step 1.
     """
+    if not steps:
+        raise ValueError("funnel_stages requires at least one step")
     fmt = "yyyy-MM-dd HH:mm:ss"
     cur = (
         df.filter(F.col(type_col) == steps[0])

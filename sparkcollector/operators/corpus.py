@@ -565,7 +565,9 @@ def normalize_url(url: Column, https: bool = True) -> Column:
     * strip a trailing ``/`` and a dangling ``?``.
 
     All regexp/array HOFs — per-row narrow compute, codegen'd, zero
-    shuffle, no UDF.
+    shuffle, no UDF.  URLs with a non-http(s) scheme (ftp:, mailto:,
+    data:, ...) pass through UNCHANGED — canonicalizing them with http
+    rules would produce garbage dedup keys.
     """
     u = F.regexp_replace(url, r"#.*$", "")
     u = F.regexp_replace(u, r"^[Hh][Tt][Tt][Pp][Ss]?://", "https://" if https else "http://")
@@ -583,12 +585,15 @@ def normalize_url(url: Column, https: bool = True) -> Column:
         & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid|ref)="),
     )
     canon_q = F.array_join(F.array_sort(params), "&")
-    return F.concat(
+    canonical = F.concat(
         F.lit("https://" if https else "http://"),
         host,
         path,
         F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
     )
+    is_http = url.rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://")
+    has_scheme = url.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+    return F.when(is_http | ~has_scheme, canonical).otherwise(url)
 
 
 def url_dedup(
@@ -706,6 +711,8 @@ def bm25_scores(
     deterministic and engine-portable.  Uses the Lucene idf form
     ``ln(1 + (N - df + .5)/(df + .5))`` (always positive).
     """
+    if not terms:
+        raise ValueError("bm25_scores requires a non-empty term list")
     words = F.split(F.col(text_col), " ")
     proj = [F.col(id_col), F.size(words).alias("_dl")]
     for i, t in enumerate(terms):
@@ -788,6 +795,28 @@ def inverted_index(
     return out.select("term", "doc_freq", id_col, "pos_str")
 
 
+def _bpe_merge_step(left: str, right: str):
+    """Greedy left-to-right non-overlapping merge fold for one BPE
+    pair — ONE definition shared by training (`bpe_learn`) and replay
+    (`bpe_segment`): the replay-reproduces-training contract holds
+    only because both run literally this fold.  A factory (not
+    default-arg lambdas) because PySpark HOF lambdas must take exactly
+    the declared arguments."""
+
+    def step(acc: Column, x: Column) -> Column:
+        return F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(left + right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return step
+
+
 def bpe_learn(
     df: DataFrame,
     n_merges: int = 10,
@@ -851,19 +880,11 @@ def bpe_learn(
             break
         left, right = top[0]["p"]["l"], top[0]["p"]["r"]
         merges.append((left, right, int(top[0]["freq"])))
-        merged = F.lit(left + right)
         wf = wf.select(
             F.aggregate(
                 "seq",
                 F.array().cast("array<string>"),
-                lambda acc, x: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(left))
-                    & (x == F.lit(right)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
+                _bpe_merge_step(left, right),
             ).alias("seq"),
             "wc",
         ).localCheckpoint(eager=True)
@@ -882,26 +903,11 @@ def bpe_segment(
     array) — a narrow map, zero shuffle; the learned merges are
     config, exactly how a production tokenizer ships its merges.txt.
     """
-    def merge_step(left: str, right: str):
-        # factory binds the pair per round (PySpark HOF lambdas must
-        # take exactly the declared args — no default-arg closures)
-        def step(acc: Column, x: Column) -> Column:
-            return F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(left))
-                & (x == F.lit(right)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.lit(left + right)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x)))
-
-        return step
-
     def apply_merges(seq: Column) -> Column:
         for left, right, _ in merges:
             seq = F.aggregate(
-                seq, F.array().cast("array<string>"), merge_step(left, right)
+                seq, F.array().cast("array<string>"),
+                _bpe_merge_step(left, right),
             )
         return seq
 

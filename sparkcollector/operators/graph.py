@@ -62,14 +62,19 @@ def ancestor_paths(
             F.col("anc").alias("h_anc"),
             F.col("path").alias("h_path"),
         )
+        # A DANGLING parent (anc set but no such node row: h_id NULL
+        # after the left join) terminates the walk with the path kept
+        # as-is — the node becomes the root of its fragment, instead
+        # of silently nulling path/depth.
+        resolved = F.col("anc").isNull() | F.col("h_id").isNull()
         state = (
             state.join(hop, state["anc"] == hop["h_id"], "left")
             .select(
                 "id",
-                F.when(F.col("anc").isNull(), F.lit(None))
+                F.when(resolved, F.lit(None))
                 .otherwise(F.col("h_anc"))
                 .alias("anc"),
-                F.when(F.col("anc").isNull(), F.col("path"))
+                F.when(resolved, F.col("path"))
                 .otherwise(F.concat(F.col("h_path"), F.col("path")))
                 .alias("path"),
             )

@@ -502,6 +502,8 @@ def pq_adc_topk(
     brute-force over 10^11 vectors feasible; stack it under
     :func:`ivf_assign` partition pruning for the full IVF-PQ shape.
     """
+    if not codebooks:
+        raise ValueError("pq_adc_topk requires non-empty codebooks")
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     assert len(query_vec) == m * dsub

@@ -128,7 +128,9 @@ def tail_sample(
     the kept-trace list.  No broadcast hint: kept traces are
     O(matching traces) — unbounded at 10^12 turns — so we let AQE
     broadcast at runtime only when the aggregated side actually fits."""
-    p = F.expr(policy.predicate_sql)
+    # NULL predicate results count as NOT matching (an unevaluable
+    # condition must not satisfy an 'all' policy nor an 'any' policy)
+    p = F.coalesce(F.expr(policy.predicate_sql), F.lit(False))
     agg = F.max(p.cast("int")) if policy.mode == "any" else F.min(p.cast("int"))
     kept = (
         df.groupBy(trace_col).agg(agg.alias("_keep")).filter(F.col("_keep") == 1)
@@ -575,7 +577,9 @@ def tail_sampling_policies(
     """
     aggs = []
     for name, pred, mode in policies:
-        p = F.expr(pred).cast("int")
+        # NULL predicate = not matched (min() would otherwise skip the
+        # row and let an 'all' policy pass on unevaluable conditions)
+        p = F.coalesce(F.expr(pred), F.lit(False)).cast("int")
         agg = F.max(p) if mode == "any" else F.min(p)
         aggs.append(agg.alias(f"_p_{name}"))
     per = df.groupBy(trace_col).agg(*aggs)
@@ -714,6 +718,22 @@ def span_to_attributes(
     return out
 
 
+def _cm_bucket(d: Column, item: Column, width: int) -> Column:
+    """Row-seeded portable CM bucket — ONE definition shared by sketch
+    build and point query: the two sides must hash bit-identically or
+    every estimate is silently wrong."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(d.cast("string"), F.lit("|"), item)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
 def count_min_sketch(
     df: DataFrame,
     item_col: str,
@@ -738,18 +758,7 @@ def count_min_sketch(
     ).alias("d")
     hashed = df.select(item.alias("_item"), rows).select(
         "d",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("d").cast("string"), F.lit("|"), F.col("_item"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % width
-        ).alias("bucket"),
+        _cm_bucket(F.col("d"), F.col("_item"), width).alias("bucket"),
     )
     return hashed.groupBy("d", "bucket").agg(F.count("*").alias("c"))
 
@@ -778,20 +787,7 @@ def cm_estimate(
     ).select(
         F.col(item_col),
         "d",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(F.col("d").cast("string"), F.lit("|"), item)
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % width
-        ).alias("bucket"),
+        _cm_bucket(F.col("d"), item, width).alias("bucket"),
     )
     return (
         probes.join(sketch, ["d", "bucket"], "left")

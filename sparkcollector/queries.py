@@ -3660,7 +3660,7 @@ def q_fill_time_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fill_time_gaps(
         counts, ts_col="ts", value_col="n", key_col="event_type",
         step_sec=60, fill="zero",
-    ).drop("_b")
+    )
 
 
 # ---------------------------------------------------------------------

@@ -101,10 +101,22 @@ def salted_join(
     ``sequence(0, n_salts-1)``, multiplying only the SMALL side.
     Result rows equal the plain join exactly.
     """
-    sf = salt_from or key
+    if salt_from is None:
+        # a salt derived from the join key itself is CONSTANT per key
+        # and silently defeats the whole mitigation (the hot key still
+        # lands on one reducer while the dim side pays n_salts x);
+        # spread by the full row content instead.
+        salt_src = F.xxhash64(*[F.col(c) for c in facts.columns])
+    elif salt_from == key:
+        raise ValueError(
+            "salt_from must differ from the join key: xxhash64(key) is "
+            "constant within a key and defeats the skew mitigation"
+        )
+    else:
+        salt_src = F.xxhash64(F.col(salt_from))
     f = facts.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(F.col(sf)), F.lit(n_salts)).cast("int"),
+        F.pmod(salt_src, F.lit(n_salts)).cast("int"),
     )
     d = dim.withColumn(
         "_salt",

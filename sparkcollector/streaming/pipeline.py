@@ -269,6 +269,7 @@ TAIL_STATE_SCHEMA = T.StructType(
         T.StructField("turn_idxs", T.ArrayType(T.LongType())),
         T.StructField("texts", T.ArrayType(T.StringType())),
         T.StructField("matched", T.BooleanType()),
+        T.StructField("decided", T.BooleanType()),
     ]
 )
 
@@ -289,8 +290,12 @@ def stream_tail_sample(
 
     State is the buffered conversation — inherent to tail sampling and
     identical to the reference's memory model: bounded by
-    decision_wait x arrival rate, NOT by stream length, because
-    decided conversations drop their state.
+    decision_wait x arrival rate, NOT by stream length.  A decided
+    conversation leaves an empty TOMBSTONE (the processor's
+    decided-trace cache) for 10x the decision wait, so rows arriving
+    after the decision are dropped rather than re-emitted as a
+    partial duplicate conversation; the tombstone's own timeout then
+    evicts it.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -298,8 +303,14 @@ def stream_tail_sample(
     def update(key, pdf_iter, state):
         conv_id = key[0]
         if state.hasTimedOut:
-            idxs, texts, matched = state.get
-            state.remove()
+            idxs, texts, matched, decided = state.get
+            if decided:
+                state.remove()  # tombstone eviction
+                return
+            # decision point: emit the complete kept conversation,
+            # then tombstone
+            state.update(([], [], False, True))
+            state.setTimeoutDuration(decision_wait_ms * 10)
             if matched:
                 yield pd.DataFrame(
                     {
@@ -309,9 +320,18 @@ def stream_tail_sample(
                     }
                 )
             return
-        idxs, texts, matched = (
-            state.get if state.exists else ([], [], False)
+        idxs, texts, matched, decided = (
+            state.get if state.exists else ([], [], False, False)
         )
+        if decided:
+            # late rows for an already-decided conversation: drop them,
+            # keep the tombstone alive
+            for _ in pdf_iter:
+                pass
+            state.update(([], [], False, True))
+            state.setTimeoutDuration(decision_wait_ms * 10)
+            yield from ()
+            return
         idxs, texts = list(idxs), list(texts)
         for pdf in pdf_iter:
             idxs += [int(x) for x in pdf["turn_idx"]]
@@ -319,7 +339,7 @@ def stream_tail_sample(
             matched = matched or bool(
                 pdf["text"].str.contains(needle, regex=False).any()
             )
-        state.update((idxs, texts, matched))
+        state.update((idxs, texts, matched, False))
         state.setTimeoutDuration(decision_wait_ms)
         yield from ()
 

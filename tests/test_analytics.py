@@ -102,3 +102,30 @@ def test_event_transition_matrix_probs(spark):
     assert got[("b", "a")] == (1, 1.0)
     # last event of each user emits no transition
     assert ("b", None) not in got and sum(n for n, _ in got.values()) == 4
+
+
+def test_salted_join_key_salt_rejected_and_default_spreads(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkcollector.skew import salted_join
+
+    facts = spark.createDataFrame(
+        [(i, 7) for i in range(50)], "fact_id bigint, k bigint"
+    )
+    dim = spark.createDataFrame([(7, "hot")], "k bigint, v string")
+    with _pytest.raises(ValueError, match="salt_from"):
+        salted_join(facts, dim, "k", salt_from="k")
+    # default (row-content salt) joins correctly AND actually spreads
+    out = salted_join(facts, dim, "k", n_salts=8)
+    assert out.count() == 50
+    n_salts_used = (
+        facts.withColumn(
+            "_s",
+            F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(8)),
+        )
+        .select("_s")
+        .distinct()
+        .count()
+    )
+    assert n_salts_used > 1

@@ -415,3 +415,19 @@ def test_weighted_sample_deterministic_and_biased(spark):
     # zero/negative weights are excluded
     z = spark.createDataFrame([(1, 0.0), (2, 1.0)], "doc_id bigint, w double")
     assert [r["doc_id"] for r in weighted_sample(z, "w", k=5).collect()] == [2]
+
+
+def test_normalize_url_non_http_passthrough(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.corpus import normalize_url
+
+    df = spark.createDataFrame(
+        [("ftp://ex.com/f",), ("mailto:a@b.co",), ("ex.com/p/?b=2&a=1",)],
+        "url string",
+    )
+    got = [r["g"] for r in df.select(normalize_url(F.col("url")).alias("g")).collect()]
+    # non-http(s) schemes untouched; scheme-less still canonicalizes
+    assert got[0] == "ftp://ex.com/f"
+    assert got[1] == "mailto:a@b.co"
+    assert got[2] == "https://ex.com/p?a=1&b=2"

@@ -67,3 +67,10 @@ def test_subtree_rollup_sums(spark):
         for r in subtree_rollup(nodes.select("id", "value"), paths).collect()
     }
     assert got == {1: (4, 15.0), 2: (2, 10.0), 3: (1, 4.0), 4: (1, 8.0)}
+
+
+def test_dangling_parent_becomes_fragment_root(spark):
+    # parent 99 has no node row: node 2 must keep a valid path rooted
+    # at itself, not collapse to NULL
+    got = _run(spark, [(1, None), (2, 99)])
+    assert got == {1: (0, [1]), 2: (0, [2])}

@@ -465,3 +465,26 @@ def test_schema_expectations_null_counts_as_violation(spark):
     # NULL predicate (row 2) AND out-of-range (row 3) both violate
     assert (r["rule"], r["violations"], r["total"]) == ("in_range", 2, 3)
     assert r["violation_rate"] == round(2 / 3, 6)
+
+
+def test_tail_policies_null_predicate_not_matching(spark):
+    from sparkcollector.operators.telemetry import (
+        TailPolicy,
+        tail_sample,
+        tail_sampling_policies,
+    )
+
+    df = spark.createDataFrame(
+        [("t1", None), ("t1", "x"), ("t2", "x"), ("t2", "x")],
+        "trace string, attr string",
+    )
+    # 'all' mode: the NULL row must fail the policy, not be skipped
+    got = {
+        r["trace"]
+        for r in tail_sampling_policies(
+            df, "trace", [("p", "attr = 'x'", "all")]
+        ).collect()
+    }
+    assert got == {"t2"}
+    kept = tail_sample(df, "trace", TailPolicy("attr = 'x'", "all"))
+    assert {r["trace"] for r in kept.collect()} == {"t2"}
