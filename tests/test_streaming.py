@@ -243,3 +243,52 @@ def test_stream_tail_sample_emits_only_kept_conversations(spark, tmp_path):
     got = sorted((r["conv_id"], r["turn_idx"]) for r in rows)
     # the matching conversation is emitted COMPLETE; the clean one never
     assert got == [("keep", 0), ("keep", 1)], got
+
+
+def test_stream_tail_sample_tombstone_drops_late_rows(spark, tmp_path):
+    import time
+
+    from sparkcollector.streaming import stream_tail_sample
+
+    schema = "conv_id string, turn_idx bigint, text string"
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [("keep", 0, "boom level=ERROR")], schema
+    ).coalesce(1).write.parquet(str(in_dir / "b1.parquet"))
+    turns = spark.readStream.schema(schema).parquet(str(in_dir / "*"))
+    out = stream_tail_sample(turns, decision_wait_ms=1500)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tomb_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    time.sleep(5)
+    # fire the decision
+    spark.createDataFrame([("x", 0, "n")], schema).coalesce(1).write.parquet(
+        str(in_dir / "b2.parquet")
+    )
+    deadline = time.time() + 45
+    while time.time() < deadline:
+        if spark.sql(
+            "select * from tomb_test where conv_id = 'keep'"
+        ).count():
+            break
+        time.sleep(2)
+    # LATE row for the already-decided conversation — would previously
+    # rebuild state and re-emit a partial duplicate at its timeout
+    spark.createDataFrame(
+        [("keep", 9, "late level=ERROR")], schema
+    ).coalesce(1).write.parquet(str(in_dir / "b3.parquet"))
+    time.sleep(6)
+    spark.createDataFrame([("y", 0, "n")], schema).coalesce(1).write.parquet(
+        str(in_dir / "b4.parquet")
+    )
+    time.sleep(8)
+    rows = spark.sql("select * from tomb_test where conv_id = 'keep'").collect()
+    q.stop()
+    got = sorted(r["turn_idx"] for r in rows)
+    assert got == [0], got  # the late turn 9 was dropped by the tombstone
