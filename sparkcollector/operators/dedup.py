@@ -639,3 +639,44 @@ def duplicate_ngram_spans(
         )
         .select("doc_id", "span_start", "span_end", "n_grams")
     )
+
+
+def levenshtein_block_join(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 20,
+    max_dist: int = 5,
+) -> DataFrame:
+    """Blocked string-similarity self-join: candidate pairs share a
+    BLOCKING key (e.g. source/domain/first-token) and match when the
+    Levenshtein distance of their text prefixes is within
+    ``max_dist`` — the classic typo/near-title dedup primitive.
+
+    Blocking is the scale story: the self-join is an equi-join on the
+    block key, so pair volume is sum(block_size^2), never corpus^2 —
+    the caller picks a block key with bounded group sizes (add a
+    :func:`dimension_cardinality` audit when unsure).  The distance
+    runs on a fixed-length prefix so the dynamic-programming cost per
+    pair is O(prefix_len^2), constant.  Pure Catalyst
+    (``levenshtein`` is a JVM builtin); ``a < b`` on the id kills the
+    mirror/self pairs.
+    """
+    left = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_a"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("_ta"),
+    )
+    right = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_b"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("_tb"),
+    )
+    return (
+        left.join(right, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("_ta", "_tb"))
+        .filter(F.col("dist") <= max_dist)
+        .select(F.col("_blk").alias(block_col), "id_a", "id_b", "dist")
+    )

@@ -4138,6 +4138,31 @@ def q_topk_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 116. Blocked Levenshtein similarity join (typo/near-title dedup):
+#      equi-join on the blocking key bounds pair volume, fixed-prefix
+#      distance bounds per-pair cost.
+# ---------------------------------------------------------------------
+@register(
+    "levenshtein_block_join",
+    """
+    with s as (select source, doc_id, substr(text, 1, 20) as t
+               from documents)
+    select a.source, a.doc_id as id_a, b.doc_id as id_b,
+           levenshtein(a.t, b.t) as dist
+    from s a join s b on a.source = b.source and a.doc_id < b.doc_id
+    where levenshtein(a.t, b.t) <= 5
+    """,
+)
+def q_levenshtein_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import levenshtein_block_join
+
+    return levenshtein_block_join(
+        _t(spark, sf_dir, "documents"), block_col="source",
+        prefix_len=20, max_dist=5,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

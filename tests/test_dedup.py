@@ -261,3 +261,26 @@ def test_zorder_key_interleaves_bits(spark):
     assert got == [morton(0, 0), morton(1, 0), morton(0, 1), morton(3, 5)]
     # locality sanity: (3,5) interleaves to 0b100111 = 39
     assert got[3] == 39
+
+
+def test_levenshtein_block_join_blocks_and_thresholds(spark):
+    from sparkcollector.operators.dedup import levenshtein_block_join
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "the quick brown fox"),
+            (2, "a", "the quick brown fix"),   # dist 1 within block
+            (3, "a", "completely different"),
+            (4, "b", "the quick brown fox"),   # same text, other block
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in levenshtein_block_join(
+            df, block_col="source", prefix_len=20, max_dist=2
+        ).collect()
+    )
+    # only the within-block near pair survives; cross-block identical
+    # text never pairs (blocking), far text exceeds the threshold
+    assert got == [(1, 2, 1)]
