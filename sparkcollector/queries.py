@@ -4163,6 +4163,36 @@ def q_levenshtein_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 117. CUBE aggregation: counts at every (source, lang) granularity —
+#      per-pair, per-source, per-lang, grand total — in ONE grouped
+#      pass (Catalyst expands grouping sets map-side, no per-level
+#      rescan).  NULL grouping slots render as 'ALL' so the row set is
+#      engine-portable.
+# ---------------------------------------------------------------------
+@register(
+    "cube_counts",
+    """
+    select coalesce(source, 'ALL') as source,
+           coalesce(lang, 'ALL') as lang,
+           count(*) as n
+    from documents
+    group by cube (source, lang)
+    """,
+)
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n",
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
