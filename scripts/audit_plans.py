@@ -415,8 +415,10 @@ def main() -> None:
         "inverted_index_postings",
         lambda: queries()["inverted_index_postings"](spark, SF_DIR),
         [
-            ("two keyed shuffles: (term, doc) roll-up + per-term window",
-             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) <= 3),
+            ("(term, doc) roll-up + df-guard agg/join + per-term window "
+             "(the extra shuffle IS the stop-term guard: max_df filters "
+             "BEFORE any single reducer sorts a term's postings)",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) <= 8),
             ("no Python / UDF in plan", lambda p: "Python" not in p),
         ],
         out,
