@@ -4193,6 +4193,64 @@ def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 118. Hopping (sliding) window counts: 10-minute windows every 5
+#      minutes — each event lands in exactly two windows (Spark's
+#      F.window slideDuration; the oracle replays the start-offset
+#      expansion explicitly).
+# ---------------------------------------------------------------------
+@register(
+    "hopping_window_counts",
+    """
+    select event_type,
+           strftime(to_timestamp(cast(floor(epoch(ts) / 300) as bigint) * 300
+                                 - off), '%Y-%m-%d %H:%M:%S') as window_start,
+           count(*) as n
+    from events cross join (select unnest([0, 300]) as off)
+    group by 1, 2
+    """,
+)
+def q_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(
+                F.window("ts", "10 minutes", "5 minutes").start,
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("window_start"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------
+# 119. Schema-full JSON parse of the props column (from_json with a
+#      declared schema — the §2.8 json family's strict path; malformed
+#      / NULL props yield NULL fields, counted explicitly).
+# ---------------------------------------------------------------------
+@register(
+    "json_props_struct",
+    """
+    select event_id,
+           cast(json_extract(props, '$.k') as bigint) as k,
+           (props is null or json_extract(props, '$.k') is null)
+             as missing_k
+    from events
+    """,
+)
+def q_json_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "_p", F.from_json("props", "struct<k:bigint>")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("_p.k").alias("k"),
+        (F.col("props").isNull() | F.col("_p.k").isNull()).alias("missing_k"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
