@@ -4251,6 +4251,74 @@ def q_json_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 120. Time-tolerance dedup: drop repeats of the same (user, type)
+#      arriving within 2 days of the previous occurrence — the
+#      fuzzy-time variant of dedup-once (duplicate ping suppression;
+#      tolerance sized so the filter actually bites on the test data).
+#      Lag window per key; deterministic order by (ts, event_id).
+# ---------------------------------------------------------------------
+@register(
+    "dedup_time_tolerance",
+    """
+    with w as (
+      select event_id, user_id, event_type, ts,
+             lag(ts) over (partition by user_id, event_type
+                           order by ts, event_id) as prev_ts
+      from events)
+    select event_id, user_id, event_type
+    from w
+    where prev_ts is null
+       or epoch(ts) - epoch(prev_ts) > 172800
+    """,
+)
+def q_dedup_time_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    epoch = lambda c: F.col(c).cast("timestamp_ltz").cast("double")  # noqa: E731
+    out = ev.withColumn("_prev", F.lag("ts").over(w))
+    return out.filter(
+        F.col("_prev").isNull()
+        | (epoch("ts") - F.col("_prev").cast("timestamp_ltz").cast("double") > 172800)
+    ).select("event_id", "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------
+# 121. Recency-decayed counts: sum of exp(-age/tau) per key at the
+#      corpus horizon — the decayed popularity score behind "trending"
+#      rankings; one grouped pass + a 1-row max crossJoin.
+# ---------------------------------------------------------------------
+@register(
+    "decayed_count",
+    """
+    with mx as (select max(ts) as now_ts from events)
+    select user_id,
+           round(sum(exp(-(epoch(mx.now_ts) - epoch(ts)) / 86400e0)), 4)
+             as decayed_n
+    from events cross join mx
+    group by user_id
+    """,
+)
+def q_decayed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("now_ts"))
+    epoch = lambda c: c.cast("timestamp_ltz").cast("double")  # noqa: E731
+    return (
+        ev.crossJoin(mx)
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.exp(-(epoch(F.col("now_ts")) - epoch(F.col("ts"))) / 86400.0)
+                ),
+                4,
+            ).alias("decayed_n")
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
