@@ -46,6 +46,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _epoch_s(c) -> "F.Column":
+    """Epoch seconds (fractional) of a timestamp column/name — the one
+    NTZ-safe conversion (timestamp_ltz hop, constant offset under the
+    session's pinned UTC) shared by every time-arithmetic query."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("timestamp_ltz").cast("double")
+
+
 # ---------------------------------------------------------------------
 # transcripts view derived from events — shared by pipeline queries.
 # Spark and DuckDB build byte-identical (conv_id, turn_idx, role, text,
@@ -4003,13 +4011,12 @@ def q_stale_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     last = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
     mx = ev.agg(F.max("ts").alias("max_ts"))
     j = last.crossJoin(mx)
-    epoch = lambda c: F.col(c).cast("timestamp_ltz").cast("double")  # noqa: E731
     return j.filter(
         F.col("last_ts") < F.col("max_ts") - F.expr("INTERVAL 24 HOURS")
     ).select(
         "user_id",
         F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
-        F.floor(epoch("max_ts") - epoch("last_ts")).cast("bigint").alias(
+        F.floor(_epoch_s("max_ts") - _epoch_s("last_ts")).cast("bigint").alias(
             "silent_sec"
         ),
     )
@@ -4173,8 +4180,9 @@ def q_levenshtein_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cube_counts",
     """
-    select coalesce(source, 'ALL') as source,
-           coalesce(lang, 'ALL') as lang,
+    select case when grouping(source) = 1 then 'ALL' else source end
+             as source,
+           case when grouping(lang) = 1 then 'ALL' else lang end as lang,
            count(*) as n
     from documents
     group by cube (source, lang)
@@ -4184,10 +4192,13 @@ def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
         docs.cube("source", "lang")
-        .agg(F.count("*").alias("n"))
+        .agg(F.count("*").alias("n"), F.grouping("source").alias("_gs"),
+             F.grouping("lang").alias("_gl"))
         .select(
-            F.coalesce("source", F.lit("ALL")).alias("source"),
-            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.when(F.col("_gs") == 1, "ALL").otherwise(F.col("source"))
+            .alias("source"),
+            F.when(F.col("_gl") == 1, "ALL").otherwise(F.col("lang"))
+            .alias("lang"),
             "n",
         )
     )
@@ -4203,8 +4214,10 @@ def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hopping_window_counts",
     """
     select event_type,
-           strftime(to_timestamp(cast(floor(epoch(ts) / 300) as bigint) * 300
-                                 - off), '%Y-%m-%d %H:%M:%S') as window_start,
+           strftime(timestamp '1970-01-01'
+                      + (cast(floor(epoch(ts) / 300) as bigint) * 300 - off)
+                        * interval 1 second,
+                    '%Y-%m-%d %H:%M:%S') as window_start,
            count(*) as n
     from events cross join (select unnest([0, 300]) as off)
     group by 1, 2
@@ -4233,8 +4246,12 @@ def q_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props_struct",
     """
     select event_id,
-           cast(json_extract(props, '$.k') as bigint) as k,
-           (props is null or json_extract(props, '$.k') is null)
+           case when props is not null and json_valid(props)
+                     and json_type(props, '$.k') in ('BIGINT', 'UBIGINT')
+                then cast(json_extract(props, '$.k') as bigint) end as k,
+           (props is null or not json_valid(props)
+            or json_type(props, '$.k') is null
+            or json_type(props, '$.k') not in ('BIGINT', 'UBIGINT'))
              as missing_k
     from events
     """,
@@ -4277,11 +4294,10 @@ def q_dedup_time_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    epoch = lambda c: F.col(c).cast("timestamp_ltz").cast("double")  # noqa: E731
     out = ev.withColumn("_prev", F.lag("ts").over(w))
     return out.filter(
         F.col("_prev").isNull()
-        | (epoch("ts") - F.col("_prev").cast("timestamp_ltz").cast("double") > 172800)
+        | (_epoch_s("ts") - _epoch_s("_prev") > 172800)
     ).select("event_id", "user_id", "event_type")
 
 
@@ -4304,14 +4320,13 @@ def q_dedup_time_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_decayed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     mx = ev.agg(F.max("ts").alias("now_ts"))
-    epoch = lambda c: c.cast("timestamp_ltz").cast("double")  # noqa: E731
     return (
         ev.crossJoin(mx)
         .groupBy("user_id")
         .agg(
             F.round(
                 F.sum(
-                    F.exp(-(epoch(F.col("now_ts")) - epoch(F.col("ts"))) / 86400.0)
+                    F.exp(-(_epoch_s("now_ts") - _epoch_s("ts")) / 86400.0)
                 ),
                 4,
             ).alias("decayed_n")
