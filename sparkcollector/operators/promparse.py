@@ -251,3 +251,32 @@ def prw_error_metrics(
         ).alias("metric", "value")
     )
     return stacked
+
+
+def statsd_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse StatsD protocol lines — ``name:value|type[|@rate]`` —
+    into typed samples (statsd receiver, docs/components.md:82; the
+    Prometheus exposition parser's sibling for the push protocol).
+
+    Counters scale by the inverse sample rate (a ``|@0.5`` counter
+    increment represents 2 events), gauges/timers pass through; lines
+    that do not match the grammar surface with ``mtype`` NULL (the
+    receiver's parse-error counter feeds off them).  Pure regexp
+    extracts — narrow, codegen'd, zero shuffle.
+    """
+    line = F.col(line_col)
+    pat = r"^([A-Za-z0-9_.]+):(-?[0-9.]+)\|(c|g|ms)(?:\|@([0-9.]+))?$"
+    name = F.regexp_extract(line, pat, 1)
+    raw = F.regexp_extract(line, pat, 2)
+    mtype = F.regexp_extract(line, pat, 3)
+    rate = F.regexp_extract(line, pat, 4)
+    value = raw.cast("double")
+    scaled = F.when(
+        (mtype == "c") & (rate != ""), value / rate.cast("double")
+    ).otherwise(value)
+    return df.select(
+        "*",
+        F.when(name != "", name).alias("metric"),
+        F.when(mtype != "", mtype).alias("mtype"),
+        F.when(name != "", F.round(scaled, 6)).alias("value"),
+    )

@@ -4334,6 +4334,73 @@ def q_decayed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 122. StatsD line-protocol parse + aggregate: counters sum scaled by
+#      1/sample-rate, gauges/timers summarize; malformed lines feed
+#      the parse-error count.  Lines constructed deterministically from
+#      event columns (counter for clicks @0.5, gauge for values, a
+#      malformed line for errors).
+# ---------------------------------------------------------------------
+@register(
+    "statsd_parse_agg",
+    """
+    with l as (
+      select case event_type
+               when 'click' then 'evt.click:1|c|@0.5'
+               when 'error' then 'garbled line'
+               else 'evt.' || event_type || ':' ||
+                    cast(round(value, 2) as varchar) || '|g'
+             end as line
+      from events),
+    p as (
+      select regexp_extract(line,
+               '^([A-Za-z0-9_.]+):(-?[0-9.]+)\\|(c|g|ms)(?:\\|@([0-9.]+))?$',
+               1) as metric,
+             regexp_extract(line,
+               '^([A-Za-z0-9_.]+):(-?[0-9.]+)\\|(c|g|ms)(?:\\|@([0-9.]+))?$',
+               2) as raw,
+             regexp_extract(line,
+               '^([A-Za-z0-9_.]+):(-?[0-9.]+)\\|(c|g|ms)(?:\\|@([0-9.]+))?$',
+               3) as mtype,
+             regexp_extract(line,
+               '^([A-Za-z0-9_.]+):(-?[0-9.]+)\\|(c|g|ms)(?:\\|@([0-9.]+))?$',
+               4) as rate
+      from l)
+    select nullif(metric, '') as metric,
+           nullif(mtype, '') as mtype,
+           count(*) as n,
+           round(sum(case when mtype = 'c' and rate <> ''
+                          then cast(raw as double) / cast(rate as double)
+                          when metric <> '' then cast(raw as double) end),
+                 4) as total
+    from p group by 1, 2
+    """,
+)
+def q_statsd_parse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import statsd_parse
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.when(F.col("event_type") == "click", F.lit("evt.click:1|c|@0.5"))
+        .when(F.col("event_type") == "error", F.lit("garbled line"))
+        .otherwise(
+            F.concat(
+                F.lit("evt."),
+                F.col("event_type"),
+                F.lit(":"),
+                F.round(F.col("value"), 2).cast("string"),
+                F.lit("|g"),
+            )
+        )
+        .alias("line")
+    )
+    parsed = statsd_parse(lines)
+    return parsed.groupBy("metric", "mtype").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

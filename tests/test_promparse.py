@@ -152,3 +152,27 @@ def test_prw_error_metrics_counts(spark):
         "prometheus.total_bad_datapoints": 1,
         "prometheus.total_NAN_samples": 1,
     }
+
+
+def test_statsd_parse_grammar_and_rate_scaling(spark):
+    from sparkcollector.operators.promparse import statsd_parse
+
+    df = spark.createDataFrame(
+        [
+            ("api.hits:1|c|@0.25",),   # counter, rate-scaled -> 4
+            ("api.hits:3|c",),         # counter, no rate -> 3
+            ("temp:-2.5|g",),          # gauge, negative
+            ("lat:120|ms",),           # timer
+            ("not a metric",),         # malformed
+        ],
+        "line string",
+    )
+    got = {
+        r["line"]: (r["metric"], r["mtype"], r["value"])
+        for r in statsd_parse(df).collect()
+    }
+    assert got["api.hits:1|c|@0.25"] == ("api.hits", "c", 4.0)
+    assert got["api.hits:3|c"] == ("api.hits", "c", 3.0)
+    assert got["temp:-2.5|g"] == ("temp", "g", -2.5)
+    assert got["lat:120|ms"] == ("lat", "ms", 120.0)
+    assert got["not a metric"] == (None, None, None)
