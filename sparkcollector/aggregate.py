@@ -78,3 +78,36 @@ def count_conditions(
         for name, cond in conditions.items()
     ]
     return df.groupBy(*keys).agg(*aggs)
+
+
+def session_window_counts(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessionization with Spark's NATIVE session window
+    (``F.session_window``) — the batch twin of the streaming
+    sessionizer in ``streaming/pipeline.py``: events of one key merge
+    into a session while each is within ``gap`` of the session's end.
+
+    This is the built-in operator path (Catalyst plans a single
+    keyed aggregation with session merge — no window-function
+    self-scan, no Python).  Output: one row per session with start,
+    end-of-activity, and event count.
+    """
+    return (
+        df.groupBy(*key_cols, F.session_window(F.col(ts_col), gap).alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            *key_cols,
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "first_ts",
+            "last_ts",
+        )
+    )

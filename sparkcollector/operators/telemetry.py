@@ -984,3 +984,130 @@ def schema_expectations(
     ).withColumn(
         "violation_rate", F.round(F.col("violations") / F.col("total"), 6)
     )
+
+
+def delta_to_cumulative(
+    df: DataFrame,
+    series_cols: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """deltatocumulative processor (the contrib inverse of
+    cumulativetodelta, components.go:322 family): re-accumulate delta
+    points into a cumulative series — per series identity, the running
+    sum of deltas in time order.
+
+    One window per series (single keyed shuffle; shuffle-free when the
+    input is already clustered by the series key).  The sum is carried
+    in ``decimal(28,6)`` so the accumulation is exact and
+    engine-portable — a double running sum's low bits depend on the
+    fold order and would not hash-stably compare across engines.
+    Ties in ``ts`` are broken by ``order_cols`` so the running prefix
+    is total-ordered (the collector keys points by start timestamp +
+    identity the same way).
+    """
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(ts_col, *(order_cols or []))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        "cumulative",
+        F.sum(F.col(value_col).cast("decimal(28,6)")).over(w),
+    )
+
+
+def log_dedup(
+    df: DataFrame,
+    body_col: str,
+    ts_col: str = "ts",
+    interval: str = "1 minute",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """logdedup processor (contrib logdedupprocessor semantics): within
+    each emit interval, collapse records with identical body (+severity
+    or other configured keys) into ONE record carrying first/last
+    observed timestamps and the suppressed count.
+
+    Single grouped pass over (tumbling window, body, keys) — hash
+    aggregation with map-side partials; no sort, no self-join.  At
+    100 TB the output cardinality is bounded by distinct bodies per
+    interval, which is the point of the operator.
+    """
+    keys = extra_keys or []
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), interval).alias("w"),
+            F.col(body_col),
+            *keys,
+        )
+        .agg(
+            F.count("*").alias("log_count"),
+            F.min(ts_col).alias("first_observed"),
+            F.max(ts_col).alias("last_observed"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            body_col,
+            *keys,
+            "log_count",
+            "first_observed",
+            "last_observed",
+        )
+    )
+
+
+def histogram_quantile(
+    buckets: DataFrame,
+    q: float,
+    keys: list[str],
+    le_col: str = "le",
+    n_col: str = "n",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Prometheus ``histogram_quantile(q, ...)`` over explicit-bounds
+    cumulative buckets (the signalfx dashboard / spanmetrics companion
+    of :func:`duration_histogram`): per group, find the first bucket
+    whose cumulative count reaches ``rank = q * total`` and linearly
+    interpolate within it; a quantile landing in the ``+Inf`` bucket
+    clamps to the highest finite bound (Prometheus behavior).
+
+    Pure Catalyst: one collect_list per group (bounded: |buckets| rows
+    each, a config constant), sorted in-row, then a closed-form fold —
+    no explode-back, no second shuffle.
+    """
+    le_d = F.when(F.col(le_col) == "+Inf", F.lit(float("inf"))).otherwise(
+        F.col(le_col).cast("double")
+    )
+    g = (
+        buckets.withColumn("_le", le_d)
+        .groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_le").alias("le"), F.col(n_col).alias("n")))
+            ).alias("bs")
+        )
+    )
+    bs = F.col("bs")
+    total = F.element_at(bs, -1)["n"]
+    rank = F.lit(float(q)) * total.cast("double")
+    # first bucket index whose cumulative n >= rank
+    idx = F.filter(
+        F.transform(bs, lambda s, i: F.struct((s["n"].cast("double") >= rank).alias("hit"), i.alias("i"))),
+        lambda s: s["hit"],
+    )[0]["i"]
+    cur = F.element_at(bs, idx + 1)
+    prev_n = F.when(idx > 0, F.element_at(bs, idx)["n"]).otherwise(F.lit(0)).cast("double")
+    prev_le = F.when(idx > 0, F.element_at(bs, idx)["le"]).otherwise(F.lit(0.0))
+    # +Inf bucket: clamp to highest finite bound (Prometheus rule)
+    highest_finite = F.element_at(bs, -2)["le"]
+    interp = prev_le + (cur["le"] - prev_le) * (rank - prev_n) / (
+        cur["n"].cast("double") - prev_n
+    )
+    val = F.when(~F.isnull(cur["le"]) & (cur["le"] == float("inf")), highest_finite).otherwise(interp)
+    return g.select(
+        *keys,
+        F.lit(float(q)).alias("q"),
+        F.round(val, round_digits).alias("quantile"),
+    )

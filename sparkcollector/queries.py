@@ -4401,6 +4401,233 @@ def q_statsd_parse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 123. deltatocumulative processor: re-accumulate delta points into a
+#      cumulative series (the contrib inverse of cumulativetodelta).
+#      Decimal accumulation so the running prefix is exact on both
+#      engines.
+# ---------------------------------------------------------------------
+@register(
+    "delta_to_cumulative",
+    """
+    select event_id,
+           event_type,
+           round(cast(sum(cast(value as decimal(28,6)))
+                        over (partition by event_type
+                              order by ts, event_id
+                              rows unbounded preceding) as double),
+                 4) as cum
+    from events
+    """,
+)
+def q_delta_to_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import delta_to_cumulative
+
+    ev = _t(spark, sf_dir, "events")
+    out = delta_to_cumulative(
+        ev, ["event_type"], "value", "ts", order_cols=["event_id"]
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("cumulative").cast("double"), 4).alias("cum"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 124. Native session windows (F.session_window): gap-based
+#      sessionization as ONE keyed aggregation with session merge —
+#      the batch twin of the streaming sessionizer.  Oracle replays
+#      gaps-and-islands (lag + cumulative new-session flags).
+# ---------------------------------------------------------------------
+@register(
+    "session_window_agg",
+    """
+    with o as (
+      select user_id, ts, event_id,
+             case when lag(ts) over w is null
+                    or ts > lag(ts) over w + INTERVAL '30 minutes'
+                  then 1 else 0 end as new_s
+      from events
+      window w as (partition by user_id order by ts, event_id)),
+    s as (
+      select user_id, ts,
+             sum(new_s) over (partition by user_id
+                              order by ts, event_id
+                              rows unbounded preceding) as sid
+      from o)
+    select user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') as session_start,
+           count(*) as n_events,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') as last_ts
+    from s group by user_id, sid
+    """,
+)
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .aggregate import session_window_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_window_counts(ev, ["user_id"], "ts", gap="30 minutes")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "user_id",
+        F.date_format("first_ts", fmt).alias("session_start"),
+        "n_events",
+        F.date_format("last_ts", fmt).alias("last_ts"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 125. logdedup processor: collapse identical bodies within an emit
+#      interval into one record with first/last observed + count
+#      (contrib logdedupprocessor semantics).
+# ---------------------------------------------------------------------
+@register(
+    "log_dedup_counts",
+    """
+    select strftime(time_bucket(INTERVAL '5 minutes', ts),
+                    '%Y-%m-%d %H:%M:%S') as window_start,
+           event_type as body,
+           count(*) as log_count,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') as first_observed,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') as last_observed
+    from events group by 1, 2
+    """,
+)
+def q_log_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import log_dedup
+
+    ev = _t(spark, sf_dir, "events").withColumnRenamed("event_type", "body")
+    out = log_dedup(ev, "body", "ts", interval="5 minutes")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        F.date_format("window_start", fmt).alias("window_start"),
+        "body",
+        "log_count",
+        F.date_format("first_observed", fmt).alias("first_observed"),
+        F.date_format("last_observed", fmt).alias("last_observed"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 126. IVF coarse assignment with PINNED centroids: the oracle replays
+#      the exact left-fold cosine arithmetic (dot and norms as nested
+#      left-assoc sums over the same operand order), so the argmax is
+#      bit-identical — the same pinned-structure pattern as
+#      pq_adc_topk.  Counts per cluster are the hash surface.
+# ---------------------------------------------------------------------
+def _ivf_pinned_centroids() -> list[list[float]]:
+    cs = []
+    for i in range(4):
+        c = [0.0] * 64
+        for j in range(16):
+            c[16 * i + j] = 1.0 if j % 2 == 0 else 0.5
+        cs.append(c)
+    return cs
+
+
+def _ivf_pinned_oracle() -> str:
+    import math
+
+    cs = _ivf_pinned_centroids()
+    # norm of each centroid, same left fold Catalyst constant-folds
+    norms = []
+    for c in cs:
+        acc = 0.0
+        for x in c:
+            acc = acc + x * x
+        norms.append(math.sqrt(acc))
+    nv = "0.0"
+    for j in range(64):
+        nv = (
+            f"({nv} + cast(embedding[{j+1}] as double)"
+            f" * cast(embedding[{j+1}] as double))"
+        )
+    sims = []
+    for ci, c in enumerate(cs):
+        dot = "0.0"
+        for j, x in enumerate(c):
+            dot = f"({dot} + cast(embedding[{j+1}] as double) * {x!r})"
+        sims.append(f"{dot} / (sqrt({nv}) * {norms[ci]!r})")
+    case = f"""
+      case when s0 >= s1 and s0 >= s2 and s0 >= s3 then 0
+           when s1 >= s2 and s1 >= s3 then 1
+           when s2 >= s3 then 2
+           else 3 end"""
+    return f"""
+    with s as (
+      select vec_id, {sims[0]} as s0, {sims[1]} as s1,
+             {sims[2]} as s2, {sims[3]} as s3
+      from embeddings),
+    a as (select vec_id, {case} as cluster from s)
+    select cluster, count(*) as n, min(vec_id) as min_vec
+    from a group by cluster
+    """
+
+
+# IVF coarse assignment with pinned centroids: oracle replays the exact
+# left-fold cosine arithmetic so the argmax cluster is bit-identical;
+# per-cluster counts are the hash surface (the IVF tier's oracle entry).
+@register("ivf_assign_pinned", _ivf_pinned_oracle())
+def q_ivf_assign_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_assign(emb, _ivf_pinned_centroids())
+    return out.groupBy("cluster").agg(
+        F.count("*").alias("n"), F.min("vec_id").alias("min_vec")
+    )
+
+
+# ---------------------------------------------------------------------
+# 127. histogram_quantile over explicit-bounds cumulative buckets
+#      (Prometheus/signalfx dashboard companion of duration_histogram):
+#      P95 per event_type from the bucket table, linear interpolation,
+#      +Inf clamps to the highest finite bound.  Oracle mirrors the
+#      exact interpolation expression over the same conditional sums.
+# ---------------------------------------------------------------------
+_HQ_BOUNDS = [10.0, 50.0, 100.0, 500.0]
+
+
+def _hq_oracle() -> str:
+    bs = _HQ_BOUNDS
+    cums = ", ".join(
+        f"sum(case when value <= {b!r} then 1 else 0 end) as b{i}"
+        for i, b in enumerate(bs)
+    )
+    whens = []
+    for i, b in enumerate(bs):
+        prev_n = f"cast(b{i-1} as double)" if i > 0 else "0.0"
+        prev_le = repr(bs[i - 1]) if i > 0 else "0.0"
+        interp = (
+            f"{prev_le} + ({b!r} - {prev_le}) * (rank - {prev_n})"
+            f" / (cast(b{i} as double) - {prev_n})"
+        )
+        whens.append(f"when cast(b{i} as double) >= rank then {interp}")
+    case = "case " + " ".join(whens) + f" else {bs[-1]!r} end"
+    return f"""
+    with w as (
+      select event_type, {cums}, count(*) as total
+      from events group by event_type),
+    r as (select *, 0.95 * cast(total as double) as rank from w)
+    select event_type, 0.95 as q, round({case}, 4) as quantile
+    from r
+    """
+
+
+# histogram_quantile(0.95, ...) over explicit-bounds cumulative buckets
+# (Prometheus/signalfx companion of duration_histogram): linear
+# interpolation inside the hit bucket; +Inf clamps to the last finite
+# bound.  Oracle mirrors the interpolation expression exactly.
+@register("histogram_quantile_p95", _hq_oracle())
+def q_histogram_quantile_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import duration_histogram, histogram_quantile
+
+    ev = _t(spark, sf_dir, "events")
+    buckets = duration_histogram(ev, "value", _HQ_BOUNDS, ["event_type"])
+    return histogram_quantile(buckets, 0.95, ["event_type"])
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

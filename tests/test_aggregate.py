@@ -72,3 +72,52 @@ def test_count_conditions_single_pass(spark):
         df, {"big": "value > 100"}, keys=["grp"]
     )._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("aggregate") <= 2  # partial + final
+
+
+def test_session_window_counts_gap_merge(spark):
+    import datetime as dt
+
+    from sparkcollector.aggregate import session_window_counts
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("u1", t0),
+        ("u1", t0 + dt.timedelta(minutes=10)),   # within gap: same session
+        ("u1", t0 + dt.timedelta(minutes=50)),   # 40min after last: new
+        ("u2", t0),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    out = session_window_counts(df, ["user"], "ts", gap="30 minutes")
+    got = {
+        (r["user"], r["session_start"]): r["n_events"] for r in out.collect()
+    }
+    assert got == {
+        ("u1", t0): 2,
+        ("u1", t0 + dt.timedelta(minutes=50)): 1,
+        ("u2", t0): 1,
+    }
+
+
+def test_session_window_boundary_semantics(spark):
+    import datetime as dt
+
+    from sparkcollector.aggregate import session_window_counts
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # Spark's native session window treats the gap as a CLOSED boundary:
+    # an event at exactly last_ts+gap still merges; one second past it
+    # starts a new session.  (The oracle in queries.py mirrors this with
+    # a strict `>` new-session test.)
+    df = spark.createDataFrame(
+        [("u", t0), ("u", t0 + dt.timedelta(minutes=30))],
+        "user string, ts timestamp",
+    )
+    out = session_window_counts(df, ["user"], "ts", gap="30 minutes")
+    assert out.count() == 1
+
+    df2 = spark.createDataFrame(
+        [("u", t0), ("u", t0 + dt.timedelta(minutes=30, seconds=1))],
+        "user string, ts timestamp",
+    )
+    out2 = session_window_counts(df2, ["user"], "ts", gap="30 minutes")
+    assert out2.count() == 2

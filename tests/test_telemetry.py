@@ -488,3 +488,72 @@ def test_tail_policies_null_predicate_not_matching(spark):
     assert got == {"t2"}
     kept = tail_sample(df, "trace", TailPolicy("attr = 'x'", "all"))
     assert {r["trace"] for r in kept.collect()} == {"t2"}
+
+
+def test_delta_to_cumulative_running_sum(spark):
+    from sparkcollector.operators.telemetry import delta_to_cumulative
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 1.5),
+            ("a", 2, 2.5),
+            ("a", 3, -1.0),
+            ("b", 1, 10.0),
+        ],
+        "series string, t int, value double",
+    )
+    got = {
+        (r["series"], r["t"]): float(r["cumulative"])
+        for r in delta_to_cumulative(df, ["series"], "value", "t").collect()
+    }
+    assert got == {
+        ("a", 1): 1.5,
+        ("a", 2): 4.0,
+        ("a", 3): 3.0,
+        ("b", 1): 10.0,
+    }
+
+
+def test_log_dedup_collapses_within_interval(spark):
+    import datetime as dt
+
+    from sparkcollector.operators.telemetry import log_dedup
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 10)
+    rows = [
+        ("disk full", t0),
+        ("disk full", t0 + dt.timedelta(seconds=30)),
+        ("disk full", t0 + dt.timedelta(minutes=2)),  # next window
+        ("oom", t0 + dt.timedelta(seconds=5)),
+    ]
+    df = spark.createDataFrame(rows, "body string, ts timestamp")
+    out = log_dedup(df, "body", "ts", interval="1 minute").collect()
+    by_key = {(r["window_start"].minute, r["body"]): r for r in out}
+    assert by_key[(0, "disk full")]["log_count"] == 2
+    assert by_key[(0, "disk full")]["first_observed"] == t0
+    assert by_key[(2, "disk full")]["log_count"] == 1
+    assert by_key[(0, "oom")]["log_count"] == 1
+
+
+def test_histogram_quantile_interpolation_and_inf_clamp(spark):
+    from sparkcollector.operators.telemetry import (
+        duration_histogram,
+        histogram_quantile,
+    )
+
+    # 10 values uniform in (0, 100]: P50 interpolates inside a bucket
+    vals = [(float(v),) for v in range(10, 101, 10)]
+    df = spark.createDataFrame(vals, "v double")
+    buckets = duration_histogram(df, "v", [25.0, 50.0, 100.0], [])
+    # rank = 0.5*10 = 5; first bucket with cum>=5 is le=50 (cum 5);
+    # prev (le=25) cum 2 -> 25 + 25*(5-2)/(5-2) = 50.0
+    got = histogram_quantile(buckets.withColumn("g", F.lit(1)), 0.5, ["g"]).collect()
+    assert got[0]["quantile"] == 50.0
+
+    # all mass beyond the last finite bound: clamp to it
+    df2 = spark.createDataFrame([(1000.0,), (2000.0,)], "v double")
+    b2 = duration_histogram(df2, "v", [25.0, 50.0, 100.0], []).withColumn(
+        "g", F.lit(1)
+    )
+    got2 = histogram_quantile(b2, 0.95, ["g"]).collect()
+    assert got2[0]["quantile"] == 100.0
