@@ -111,3 +111,50 @@ def session_window_counts(
             "last_ts",
         )
     )
+
+
+def time_rollup_pyramid(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: list[str],
+    levels: list[str] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Multi-resolution rollup pyramid (the signalfx backend's rollup
+    hierarchy / hypertable continuous-aggregate shape): counts, sums
+    and min/max at every time resolution in ONE grouping-sets pass —
+    Catalyst scans the input once and feeds all granularities from the
+    same map-side partials, instead of one scan per level.
+
+    Each output row carries its ``resolution`` and the truncated
+    ``bucket_ts``; finer levels roll up into coarser ones exactly
+    (sum/min/max are decomposable), which is what lets a chart query
+    read the coarsest level that satisfies its zoom.
+    """
+    truncs = [
+        F.date_trunc(lv, F.col(ts_col)).alias(f"_t_{lv}") for lv in levels
+    ]
+    base = df.select(*key_cols, F.col(value_col).alias("_v"), *truncs)
+    tcols = [f"_t_{lv}" for lv in levels]
+    agg = base.groupingSets(
+        [[*key_cols, t] for t in tcols],
+        *[F.col(c) for c in (*key_cols, *tcols)],
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("_v").alias("total"),
+        F.min("_v").alias("vmin"),
+        F.max("_v").alias("vmax"),
+    )
+    res = F.coalesce(
+        *[F.when(F.col(t).isNotNull(), F.lit(lv)) for lv, t in zip(levels, tcols)]
+    )
+    bucket = F.coalesce(*[F.col(t) for t in tcols])
+    return agg.select(
+        *key_cols,
+        res.alias("resolution"),
+        bucket.alias("bucket_ts"),
+        "n",
+        "total",
+        "vmin",
+        "vmax",
+    )

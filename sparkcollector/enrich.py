@@ -272,3 +272,33 @@ def interval_join(
         )
         .drop("_bucket")
     )
+
+
+def scd2_intervals(
+    updates: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build an SCD type-2 dimension (effective-interval form) from a
+    change log: per key, each update row becomes a version valid from
+    its own timestamp until the NEXT update's timestamp (NULL
+    ``valid_to`` = current version).  This is the materialized twin of
+    :func:`asof_join` — join facts with
+    ``fact.ts >= valid_from AND (fact.ts < valid_to OR valid_to IS
+    NULL)`` (or via :func:`interval_join`) instead of re-running the
+    carry-forward window per query.
+
+    ONE keyed window (lead), no self-join; shuffle-free when the change
+    log is clustered by key.  ``is_current`` is derived, not stored
+    state — rebuilding from the log is idempotent, which is what makes
+    the table safe to regenerate per snapshot at 100 TB.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *(order_cols or []))
+    return (
+        updates.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("version", F.row_number().over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(ts_col)
+    )

@@ -1111,3 +1111,58 @@ def histogram_quantile(
         F.lit(float(q)).alias("q"),
         F.round(val, round_digits).alias("quantile"),
     )
+
+
+def slo_burn_rate(
+    df: DataFrame,
+    ok_predicate: str,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    short_window: str = "5 minutes",
+    long_window: str = "1 hour",
+    objective: float = 0.99,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Multi-window SLO burn-rate detector (the Google SRE-workbook
+    alert shape signalfx detectors implement): per key and long
+    window, the error-budget burn rate over the long window AND the
+    max burn rate of the short windows inside it.  An alert fires only
+    when BOTH exceed the threshold — the short window confirms the
+    burn is still ongoing, the long one that it is material.
+
+    Burn rate = error_rate / (1 - objective).  TWO grouped passes over
+    the same scan (short windows roll up into long ones exactly —
+    window sizes are chosen aligned), joined on the long-window key:
+    no self-join of raw data, no window-function scan of 10^12 rows.
+    """
+    keys = keys or []
+    ok = F.coalesce(F.expr(ok_predicate), F.lit(False))
+    budget = 1.0 - objective
+    shorts = (
+        df.groupBy(*keys, F.window(ts_col, short_window).alias("sw"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((~ok).cast("long")).alias("err"),
+        )
+        .withColumn(
+            "lw_start", F.window(F.col("sw.start"), long_window)["start"]
+        )
+        .withColumn("sbr", F.col("err") / F.col("n") / F.lit(budget))
+    )
+    longs = shorts.groupBy(*keys, "lw_start").agg(
+        (F.sum("err") / F.sum("n") / F.lit(budget)).alias("long_burn"),
+        F.max("sbr").alias("max_short_burn"),
+        F.sum("n").alias("n"),
+        F.sum("err").alias("errors"),
+    )
+    return longs.select(
+        *keys,
+        "lw_start",
+        "n",
+        "errors",
+        F.round("long_burn", round_digits).alias("long_burn"),
+        F.round("max_short_burn", round_digits).alias("max_short_burn"),
+        (
+            (F.col("long_burn") > 1.0) & (F.col("max_short_burn") > 1.0)
+        ).alias("burning"),
+    )

@@ -4628,6 +4628,195 @@ def q_histogram_quantile_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantile(buckets, 0.95, ["event_type"])
 
 
+# ---------------------------------------------------------------------
+# 132. SCD type-2 dimension build from a change log: one lead() window
+#      per key turns updates into effective intervals (the materialized
+#      twin of asof_join; dim_update_merge's history-preserving
+#      sibling).
+# ---------------------------------------------------------------------
+@register(
+    "scd2_intervals_build",
+    """
+    select user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') as valid_from,
+           strftime(lead(ts) over w, '%Y-%m-%d %H:%M:%S') as valid_to,
+           row_number() over w as version,
+           (lead(ts) over w is null) as is_current
+    from events
+    window w as (partition by user_id order by ts, event_id)
+    """,
+)
+def q_scd2_intervals_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .enrich import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    out = scd2_intervals(ev, ["user_id"], "ts", order_cols=["event_id"])
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "version",
+        "is_current",
+    )
+
+
+# ---------------------------------------------------------------------
+# 133. Time-rollup pyramid (signalfx rollup hierarchy / hypertable
+#      continuous aggregate): minute+hour+day resolutions in ONE
+#      grouping-sets pass — one scan feeds all levels.  Oracle unions
+#      three per-level aggregations.  Decimal sums for hash stability.
+# ---------------------------------------------------------------------
+@register(
+    "time_rollup_pyramid",
+    """
+    with b as (select event_type,
+                      cast(round(value, 6) as decimal(18,6)) as v, ts
+               from events)
+    select event_type, 'minute' as resolution,
+           strftime(time_bucket(INTERVAL '1 minute', ts),
+                    '%Y-%m-%d %H:%M:%S') as bucket_ts,
+           count(*) as n, sum(v) as total, min(v) as vmin, max(v) as vmax
+    from b group by 1, 3
+    union all
+    select event_type, 'hour',
+           strftime(time_bucket(INTERVAL '1 hour', ts),
+                    '%Y-%m-%d %H:%M:%S'),
+           count(*), sum(v), min(v), max(v)
+    from b group by 1, 3
+    union all
+    select event_type, 'day',
+           strftime(time_bucket(INTERVAL '1 day', ts),
+                    '%Y-%m-%d %H:%M:%S'),
+           count(*), sum(v), min(v), max(v)
+    from b group by 1, 3
+    """,
+)
+def q_time_rollup_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .aggregate import time_rollup_pyramid
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.round("value", 6).cast("decimal(18,6)")
+    )
+    out = time_rollup_pyramid(ev, "ts", "v", ["event_type"])
+    return out.select(
+        "event_type",
+        "resolution",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "n",
+        "total",
+        "vmin",
+        "vmax",
+    )
+
+
+# ---------------------------------------------------------------------
+# 134. Multi-window SLO burn-rate detector (SRE-workbook alert shape;
+#      the signalfx detector analog): long-window burn AND max short-
+#      window burn per hour; alert only when both exceed 1.  Two
+#      grouped passes, short windows roll up into long exactly.
+# ---------------------------------------------------------------------
+_SLO_BUDGET = 1.0 - 0.99
+
+
+# Multi-window SLO burn-rate detector (SRE-workbook alert shape; the
+# signalfx detector analog): long-window burn AND max short-window burn
+# per hour; alert only when both exceed 1.  Two grouped passes.
+@register(
+    "slo_burn_rate",
+    f"""
+    with s as (
+      select time_bucket(INTERVAL '5 minutes', ts) as sw,
+             count(*) as n,
+             sum(case when event_type = 'error' then 1 else 0 end) as err
+      from events group by 1),
+    l as (
+      select time_bucket(INTERVAL '1 hour', sw) as lw,
+             sum(err) / sum(n) / {_SLO_BUDGET!r} as long_burn,
+             max(err / n / {_SLO_BUDGET!r}) as max_short_burn,
+             sum(n) as n, sum(err) as errors
+      from s group by 1)
+    select strftime(lw, '%Y-%m-%d %H:%M:%S') as lw_start,
+           n, errors,
+           round(long_burn, 6) as long_burn,
+           round(max_short_burn, 6) as max_short_burn,
+           (long_burn > 1.0 and max_short_burn > 1.0) as burning
+    from l
+    """,
+)
+def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import slo_burn_rate
+
+    ev = _t(spark, sf_dir, "events")
+    out = slo_burn_rate(
+        ev,
+        "event_type <> 'error'",
+        "ts",
+        keys=[],
+        short_window="5 minutes",
+        long_window="1 hour",
+        objective=0.99,
+    )
+    return out.select(
+        F.date_format("lw_start", "yyyy-MM-dd HH:mm:ss").alias("lw_start"),
+        "n",
+        "errors",
+        "long_burn",
+        "max_short_burn",
+        "burning",
+    )
+
+
+# ---------------------------------------------------------------------
+# 135. Star-schema revenue rollup (the classic warehouse join shape the
+#      enrich stage generalizes): lineitem ⋈ orders ⋈ customer ⋈
+#      nation, revenue by nation and month.  Catalyst broadcasts the
+#      dims (nation/customer) and shuffle-joins the two fact tables;
+#      decimal revenue for hash stability.
+# ---------------------------------------------------------------------
+@register(
+    "revenue_by_nation_month",
+    """
+    select n.n_name as nation,
+           strftime(date_trunc('month', o.o_orderdate), '%Y-%m') as month,
+           count(*) as n_items,
+           sum(cast(round(l.l_extendedprice * (1.0 - l.l_discount), 4)
+                    as decimal(18,4))) as revenue
+    from lineitem l
+    join orders o on l.l_orderkey = o.o_orderkey
+    join customer c on o.o_custkey = c.c_custkey
+    join nation n on c.c_nationkey = n.n_nationkey
+    group by 1, 2
+    """,
+)
+def q_revenue_by_nation_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    # price and discount carry <=2 decimals each, so the product is an
+    # EXACT 4-decimal value: rounding to 4 never lands on a midpoint
+    # (round(x, 2) did, and the engines disagreed by a cent).
+    rev = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    return (
+        # customer scales with SF: no forced broadcast (AQE decides);
+        # nation is a 25-row constant dim — always broadcast.
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+        )
+        .agg(F.count("*").alias("n_items"), F.sum(rev).alias("revenue"))
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

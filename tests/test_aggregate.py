@@ -121,3 +121,28 @@ def test_session_window_boundary_semantics(spark):
     )
     out2 = session_window_counts(df2, ["user"], "ts", gap="30 minutes")
     assert out2.count() == 2
+
+
+def test_time_rollup_pyramid_levels_consistent(spark):
+    import datetime as dt
+
+    from sparkcollector.aggregate import time_rollup_pyramid
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 30)
+    rows = [
+        ("a", t0, 1.0),
+        ("a", t0 + dt.timedelta(minutes=1), 2.0),
+        ("a", t0 + dt.timedelta(hours=2), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = time_rollup_pyramid(df, "ts", "v", ["k"]).collect()
+    by = {(r["resolution"], r["bucket_ts"]): r for r in out}
+    # three minute rows, two hour rows, one day row
+    assert sum(1 for r in out if r["resolution"] == "minute") == 3
+    assert sum(1 for r in out if r["resolution"] == "hour") == 2
+    assert sum(1 for r in out if r["resolution"] == "day") == 1
+    day = next(r for r in out if r["resolution"] == "day")
+    assert day["n"] == 3 and day["total"] == 7.0
+    assert day["vmin"] == 1.0 and day["vmax"] == 4.0
+    h10 = by[("hour", dt.datetime(2024, 1, 1, 10))]
+    assert h10["n"] == 2 and h10["total"] == 3.0

@@ -167,3 +167,29 @@ def test_interval_join_with_keys(spark):
     ).collect()
     # the equi-key restricts matches: u2's fact at the same time is out
     assert [r["fact_id"] for r in got] == [1]
+
+
+def test_scd2_intervals_versions(spark):
+    import datetime as dt
+
+    from sparkcollector.enrich import scd2_intervals
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("k1", t0, "v1"),
+            ("k1", t0 + dt.timedelta(days=1), "v2"),
+            ("k2", t0, "x"),
+        ],
+        "key string, ts timestamp, attr string",
+    )
+    out = {
+        (r["key"], r["version"]): r
+        for r in scd2_intervals(df, ["key"], "ts").collect()
+    }
+    assert out[("k1", 1)]["valid_from"] == t0
+    assert out[("k1", 1)]["valid_to"] == t0 + dt.timedelta(days=1)
+    assert out[("k1", 1)]["is_current"] is False
+    assert out[("k1", 2)]["valid_to"] is None
+    assert out[("k1", 2)]["is_current"] is True
+    assert out[("k2", 1)]["is_current"] is True

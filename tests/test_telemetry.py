@@ -557,3 +557,31 @@ def test_histogram_quantile_interpolation_and_inf_clamp(spark):
     )
     got2 = histogram_quantile(b2, 0.95, ["g"]).collect()
     assert got2[0]["quantile"] == 100.0
+
+
+def test_slo_burn_rate_multiwindow_gate(spark):
+    import datetime as dt
+
+    from sparkcollector.operators.telemetry import slo_burn_rate
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # hour 0: sustained 50% errors (burning with objective .5 budget);
+    # hour 1: all ok -> not burning
+    rows = []
+    for m in range(0, 60, 5):
+        rows.append(("err", t0 + dt.timedelta(minutes=m)))
+        rows.append(("ok", t0 + dt.timedelta(minutes=m, seconds=30)))
+    for m in range(0, 60, 5):
+        rows.append(("ok", t0 + dt.timedelta(hours=1, minutes=m)))
+    df = spark.createDataFrame(rows, "status string, ts timestamp")
+    out = {
+        r["lw_start"]: r
+        for r in slo_burn_rate(
+            df, "status = 'ok'", "ts", objective=0.75
+        ).collect()
+    }
+    burning = out[t0]
+    assert burning["burning"] is True
+    assert burning["long_burn"] == 2.0  # 50% errors / 25% budget
+    quiet = out[t0 + dt.timedelta(hours=1)]
+    assert quiet["burning"] is False and quiet["errors"] == 0
