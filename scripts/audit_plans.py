@@ -460,6 +460,85 @@ def main() -> None:
         spark=spark,
     )
 
+    all_ok &= audit(
+        "time_rollup_pyramid",
+        lambda: queries()["time_rollup_pyramid"](spark, SF_DIR),
+        [
+            ("ONE scan feeds all levels (grouping-sets Expand, a single "
+             "aggregation exchange — not one scan per resolution)",
+             lambda p: "Expand" in p
+             and len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+             and len(re.findall(r"Exchange \(\d+\)", p)) <= 1),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "slo_burn_rate",
+        lambda: queries()["slo_burn_rate"](spark, SF_DIR),
+        [
+            ("two grouped passes (short->long window roll-up), no "
+             "window-function sort of raw rows",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) <= 2
+             and "Window" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "scd2_intervals_build",
+        lambda: queries()["scd2_intervals_build"](spark, SF_DIR),
+        [
+            ("single keyed exchange feeding one window (lead/row_number "
+             "share the same sort)",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) == 1
+             and len(re.findall(r"\bWindow\b", p)) <= 2),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "revenue_by_nation_month",
+        lambda: queries()["revenue_by_nation_month"](spark, SF_DIR),
+        [
+            ("nation (25-row constant dim) broadcast; no cartesian",
+             lambda p: "BroadcastHashJoin" in p
+             and "CartesianProduct" not in p),
+            ("adaptive plan decides the customer join strategy",
+             lambda p: "AdaptiveSparkPlan" in p),
+        ],
+        out,
+        "facts shuffle-join; customer is NOT hint-broadcast (scales "
+        "with SF) — AQE broadcasts it only while it fits.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "session_window_agg",
+        lambda: queries()["session_window_agg"](spark, SF_DIR),
+        [
+            ("native session-window aggregation: one keyed exchange, no "
+             "self-join",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) <= 1
+             and "Join" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "histogram_quantile_p95",
+        lambda: queries()["histogram_quantile_p95"](spark, SF_DIR),
+        [
+            ("bucket fold is in-row (no second shuffle after the bucket "
+             "aggregation; no join back)",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) <= 2
+             and "Join" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"
