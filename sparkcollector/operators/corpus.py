@@ -991,3 +991,98 @@ def weighted_sample(
         .limit(k)
         .drop("es_key")
     )
+
+
+def split_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Segment documents into (doc, line_idx, line) rows — the input
+    shape for line-level corpus cleaning (C4 §2.2 line rules,
+    RefinedWeb line-wise dedup).  One narrow posexplode, no shuffle;
+    order is carried explicitly in ``line_idx`` so downstream
+    reassembly never depends on task order.
+    """
+    return df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), sep)).alias("line_idx", "line"),
+    )
+
+
+def line_filter(
+    lines: DataFrame,
+    keep_predicate: str,
+    id_col: str = "doc_id",
+    idx_col: str = "line_idx",
+    line_col: str = "line",
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style line-level cleaning: keep only lines satisfying a SQL
+    predicate (terminal punctuation, min words, no banned tokens, ...),
+    reassemble each document in original line order, and report
+    kept/dropped counts.
+
+    ONE grouped pass: the predicate is evaluated per line, kept lines
+    are collected as (idx, line) structs, sorted in-row, and rejoined —
+    no second shuffle, no join back, no Python.  NULL predicate = drop
+    (a rule that cannot be evaluated does not keep the line).
+    """
+    keep = F.coalesce(F.expr(keep_predicate), F.lit(False))
+    kept_struct = F.when(
+        keep, F.struct(F.col(idx_col).alias("i"), F.col(line_col).alias("l"))
+    )
+    return lines.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["l"]
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.sum((~keep).cast("long")).alias("n_dropped"),
+    )
+
+
+def line_dedup(
+    lines: DataFrame,
+    max_doc_freq: int,
+    id_col: str = "doc_id",
+    idx_col: str = "line_idx",
+    line_col: str = "line",
+    sep: str = "\n",
+) -> DataFrame:
+    """RefinedWeb-style boilerplate removal: drop every occurrence of a
+    line that appears in more than ``max_doc_freq`` distinct documents
+    (nav bars, cookie banners, license footers), preserving the order
+    of surviving lines.
+
+    Plan: one grouped pass computes per-line document frequency; only
+    lines EXCEEDING the cap survive that aggregate (boilerplate is by
+    definition a small set, so the join side is bounded — same
+    df-guard policy as the dedup tier's posting caps); a left join
+    flags occurrences and ONE grouped pass reassembles.  No forced
+    broadcast: AQE broadcasts the hot-line set only while it fits.
+    """
+    hot = (
+        lines.groupBy(line_col)
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select(line_col, F.lit(True).alias("_hot"))
+    )
+    flagged = lines.join(hot, line_col, "left")
+    keep = F.col("_hot").isNull()
+    kept_struct = F.when(
+        keep, F.struct(F.col(idx_col).alias("i"), F.col(line_col).alias("l"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["l"]
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.sum((~keep).cast("long")).alias("n_removed"),
+    )

@@ -4817,6 +4817,97 @@ def q_revenue_by_nation_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pseudo_lines(spark: SparkSession, sf_dir: str, words_per_line: int) -> DataFrame:
+    """Deterministic line segmentation of `documents` (the corpus has
+    no newlines, so fixed-width word chunks stand in for lines; the
+    operators themselves split on the real separator when present)."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    k = words_per_line
+    nl = F.ceil(F.size(w) / F.lit(float(k))).cast("int")
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nl - 1),
+                lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
+            )
+        ).alias("line_idx", "line"),
+    )
+
+
+_LINES_SQL = """
+    d as (select doc_id, string_split(text, ' ') as w from documents),
+    l as (select doc_id, i as line_idx,
+                 array_to_string(w[i*{k} + 1 : i*{k} + {k}], ' ') as line
+          from d cross join
+               unnest(range(0, cast(ceil(len(w) / {k}.0) as int))) as t(i))
+"""
+
+
+# ---------------------------------------------------------------------
+# 136. C4-style line-level cleaning: keep lines passing per-line rules
+#      (min words, no banned token), reassemble docs in original line
+#      order, report kept/dropped.  ONE grouped pass — in-row struct
+#      sort, no join back.
+# ---------------------------------------------------------------------
+@register(
+    "c4_line_filter",
+    "with "
+    + _LINES_SQL.format(k=8)
+    + """
+    select doc_id,
+           coalesce(string_agg(case when keep then line end,
+                               chr(10) order by line_idx), '') as clean_text,
+           sum(case when keep then 1 else 0 end) as n_kept,
+           sum(case when keep then 0 else 1 end) as n_dropped
+    from (select *,
+                 len(string_split(line, ' ')) >= 4
+                 and not list_contains(string_split(line, ' '), 'slow') as keep
+          from l)
+    group by doc_id
+    """,
+)
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import line_filter
+
+    lines = _pseudo_lines(spark, sf_dir, 8)
+    return line_filter(
+        lines,
+        "size(split(line, ' ')) >= 4"
+        " AND NOT array_contains(split(line, ' '), 'slow')",
+    )
+
+
+# ---------------------------------------------------------------------
+# 137. RefinedWeb-style boilerplate line removal: drop every occurrence
+#      of a line appearing in more than max_df distinct documents (nav
+#      bars / footers), preserving surviving-line order.  The hot-line
+#      set is bounded by construction; AQE decides its broadcast.
+# ---------------------------------------------------------------------
+@register(
+    "line_dedup_boilerplate",
+    "with "
+    + _LINES_SQL.format(k=2)
+    + """,
+    hot as (select line from l group by line
+            having count(distinct doc_id) > 25)
+    select l.doc_id,
+           coalesce(string_agg(case when h.line is null then l.line end,
+                               chr(10) order by l.line_idx), '') as clean_text,
+           sum(case when h.line is null then 1 else 0 end) as n_kept,
+           sum(case when h.line is null then 0 else 1 end) as n_removed
+    from l left join hot h on l.line = h.line
+    group by l.doc_id
+    """,
+)
+def q_line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import line_dedup
+
+    lines = _pseudo_lines(spark, sf_dir, 2)
+    return line_dedup(lines, max_doc_freq=25)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

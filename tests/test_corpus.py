@@ -431,3 +431,44 @@ def test_normalize_url_non_http_passthrough(spark):
     assert got[0] == "ftp://ex.com/f"
     assert got[1] == "mailto:a@b.co"
     assert got[2] == "https://ex.com/p?a=1&b=2"
+
+
+def test_split_lines_and_line_filter(spark):
+    from sparkcollector.operators.corpus import line_filter, split_lines
+
+    df = spark.createDataFrame(
+        [(1, "good line here\nbad\nanother good line")],
+        "doc_id long, text string",
+    )
+    lines = split_lines(df)
+    assert lines.count() == 3
+    out = line_filter(lines, "size(split(line, ' ')) >= 3").collect()[0]
+    assert out["clean_text"] == "good line here\nanother good line"
+    assert out["n_kept"] == 2 and out["n_dropped"] == 1
+
+
+def test_line_filter_null_predicate_drops(spark):
+    from sparkcollector.operators.corpus import line_filter
+
+    lines = spark.createDataFrame(
+        [(1, 0, "x"), (1, 1, None)], "doc_id long, line_idx int, line string"
+    )
+    out = line_filter(lines, "line = 'x'").collect()[0]
+    # NULL predicate result (line IS NULL) counts as dropped
+    assert out["n_kept"] == 1 and out["n_dropped"] == 1
+
+
+def test_line_dedup_removes_hot_lines_preserves_order(spark):
+    from sparkcollector.operators.corpus import line_dedup
+
+    rows = []
+    # 'FOOTER' appears in 3 docs; unique lines in each
+    for d in range(3):
+        rows += [(d, 0, f"unique {d} a"), (d, 1, "FOOTER"), (d, 2, f"unique {d} b")]
+    lines = spark.createDataFrame(rows, "doc_id long, line_idx int, line string")
+    out = {r["doc_id"]: r for r in line_dedup(lines, max_doc_freq=2).collect()}
+    assert out[0]["clean_text"] == "unique 0 a\nunique 0 b"
+    assert out[0]["n_kept"] == 2 and out[0]["n_removed"] == 1
+    # below the cap nothing is removed
+    out2 = line_dedup(lines, max_doc_freq=3).collect()
+    assert all(r["n_removed"] == 0 for r in out2)
