@@ -1166,3 +1166,98 @@ def slo_burn_rate(
             (F.col("long_burn") > 1.0) & (F.col("max_short_burn") > 1.0)
         ).alias("burning"),
     )
+
+
+def counter_rate(
+    df: DataFrame,
+    series_cols: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """PromQL ``rate()``/``increase()`` semantics over cumulative
+    counters, WITH counter-reset handling — the piece
+    ``cumulative_to_delta`` alone misses: when a process restarts the
+    cumulative value drops, and the increase since the previous sample
+    is the new value itself (the counter restarted from 0), never a
+    negative delta (prometheus extrapolation aside, this is the
+    collector's cumulativetodelta reset rule).
+
+    One keyed window; ``rate`` is NULL for the first point of a series
+    and for zero-width intervals (duplicate timestamps) rather than
+    dividing by zero.
+    """
+    w = Window.partitionBy(*series_cols).orderBy(ts_col, *(order_cols or []))
+    v = F.col(value_col).cast("double")
+    prev = F.lag(v).over(w)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    # first sample of a series: no increase (prometheus emits nothing),
+    # NOT the raw value — `otherwise(v)` would fire on NULL prev too
+    delta = F.when(prev.isNotNull() & (v >= prev), v - prev).when(
+        prev.isNotNull(), v
+    )
+    dt = (
+        F.col(ts_col).cast("timestamp_ltz").cast("double")
+        - prev_ts.cast("timestamp_ltz").cast("double")
+    )
+    return (
+        df.withColumn("increase", F.round(delta, round_digits))
+        .withColumn(
+            "rate",
+            F.when(dt > 0, F.round(delta / dt, round_digits)),
+        )
+        .withColumn("reset", v < prev)
+    )
+
+
+def seasonal_baseline_anomaly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    season_unit: str = "hour_of_day",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Historical-anomaly detector (the signalfx "same time yesterday /
+    last week" baseline): bucket events into windows, then compare each
+    window's count against the mean/stddev of all OTHER windows sharing
+    the same seasonal slot (hour-of-day by default) and key.
+
+    Two grouped passes (window counts, then seasonal stats via a
+    window function over the tiny per-slot series) — the raw table is
+    scanned once; the anomaly surface is |keys| x |slots| x |days|,
+    never row-scale.  Leave-one-out mean/std so a burst does not mask
+    itself.  z is NULL when fewer than 2 peer windows exist or the
+    peers have zero variance.
+    """
+    keys = keys or []
+    slot = {
+        "hour_of_day": F.hour(F.col(ts_col)),
+        "minute_of_hour": F.minute(F.col(ts_col)),
+        "day_of_week": F.dayofweek(F.col(ts_col)),
+    }[season_unit]
+    win = F.date_trunc("hour", F.col(ts_col))
+    counts = df.groupBy(*keys, win.alias("w"), slot.alias("slot")).agg(
+        F.count("*").alias("n")
+    )
+    peers = Window.partitionBy(*keys, "slot")
+    cnt = F.count("n").over(peers)
+    # leave-one-out mean/std from the sufficient statistics
+    s1 = F.sum("n").over(peers)
+    s2 = F.sum(F.col("n") * F.col("n")).over(peers)
+    m = (s1 - F.col("n")) / (cnt - 1)
+    var = (
+        (s2 - F.col("n") * F.col("n")) - (cnt - 1) * m * m
+    ) / (cnt - 2)
+    z = F.when(
+        (cnt >= 3) & (var > 0),
+        (F.col("n") - m) / F.sqrt(var),
+    )
+    return counts.select(
+        *keys,
+        "slot",
+        F.col("w").alias("window_start"),
+        "n",
+        F.round(m, round_digits).alias("baseline_mean"),
+        F.round(z, round_digits).alias("z"),
+    )

@@ -4908,6 +4908,131 @@ def q_line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(lines, max_doc_freq=25)
 
 
+# ---------------------------------------------------------------------
+# 138. PromQL rate()/increase() with counter-reset handling: a
+#      cumulative drop means the counter restarted, so the increase is
+#      the new value itself — never negative (the piece a bare lag
+#      delta misses).  NULL rate on the first sample and zero-width
+#      intervals.
+# ---------------------------------------------------------------------
+@register(
+    "counter_reset_rate",
+    """
+    with p as (
+      select event_id, value,
+             lag(value) over w as prev,
+             epoch(ts) - epoch(lag(ts) over w) as dt
+      from events
+      window w as (partition by user_id order by ts, event_id))
+    select event_id,
+           round(case when value >= prev then value - prev
+                      else value end, 4) as increase,
+           case when dt > 0
+                then round((case when value >= prev then value - prev
+                                 else value end) / dt, 4) end as rate,
+           (value < prev) as reset
+    from p where prev is not null
+    """,
+)
+def q_counter_reset_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import counter_rate
+
+    ev = _t(spark, sf_dir, "events")
+    out = counter_rate(ev, ["user_id"], "value", "ts", order_cols=["event_id"])
+    return out.filter(F.col("increase").isNotNull()).select(
+        "event_id", "increase", "rate", "reset"
+    )
+
+
+# ---------------------------------------------------------------------
+# 139. Sliding-window distinct users (hopping windows + count_distinct:
+#      the expensive-at-scale combination — each event lands in
+#      size/slide windows and distinct forces a two-level aggregate;
+#      the approx_count_distinct twin is the 10^12-row path and is
+#      envelope-tested in pytest).
+# ---------------------------------------------------------------------
+@register(
+    "hopping_distinct_users",
+    """
+    select event_type,
+           strftime(timestamp '1970-01-01'
+                      + (cast(floor(epoch(ts) / 300) as bigint) * 300 - off)
+                        * interval 1 second,
+                    '%Y-%m-%d %H:%M:%S') as window_start,
+           count(distinct user_id) as n_users,
+           count(*) as n_events
+    from events cross join (select unnest([0, 300]) as off)
+    group by 1, 2
+    """,
+)
+def q_hopping_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.date_format(
+            F.window("ts", "10 minutes", "5 minutes").start,
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("window_start"),
+    ).agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 140. Seasonal-baseline anomaly (signalfx "historical anomaly"
+#      detector): each hourly window's count vs the leave-one-out
+#      mean/std of all OTHER windows in the same hour-of-day slot.
+#      Two grouped passes; the anomaly surface is slot-scale, never
+#      row-scale.
+# ---------------------------------------------------------------------
+@register(
+    "seasonal_anomaly",
+    """
+    with c as (
+      select event_type, hour(ts) as slot,
+             time_bucket(INTERVAL '1 hour', ts) as w,
+             count(*) as n
+      from events group by 1, 2, 3),
+    s as (
+      select *,
+             count(*) over p as cnt,
+             sum(n) over p as s1,
+             sum(n * n) over p as s2
+      from c window p as (partition by event_type, slot)),
+    z as (
+      select *,
+             (s1 - n) / (cnt - 1) as m,
+             ((s2 - n * n) - (cnt - 1) * ((s1 - n) / (cnt - 1))
+                                       * ((s1 - n) / (cnt - 1)))
+               / (cnt - 2) as var
+      from s)
+    select event_type, slot,
+           strftime(w, '%Y-%m-%d %H:%M:%S') as window_start,
+           n,
+           round(m, 4) as baseline_mean,
+           case when cnt >= 3 and var > 0
+                then round((n - m) / sqrt(var), 4) end as z
+    from z
+    """,
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import seasonal_baseline_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    out = seasonal_baseline_anomaly(ev, "ts", keys=["event_type"])
+    return out.select(
+        "event_type",
+        "slot",
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "n",
+        "baseline_mean",
+        "z",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

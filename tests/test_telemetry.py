@@ -585,3 +585,58 @@ def test_slo_burn_rate_multiwindow_gate(spark):
     assert burning["long_burn"] == 2.0  # 50% errors / 25% budget
     quiet = out[t0 + dt.timedelta(hours=1)]
     assert quiet["burning"] is False and quiet["errors"] == 0
+
+
+def test_counter_rate_reset_handling(spark):
+    import datetime as dt
+
+    from sparkcollector.operators.telemetry import counter_rate
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("s", t0, 10.0),
+        ("s", t0 + dt.timedelta(seconds=10), 25.0),   # +15
+        ("s", t0 + dt.timedelta(seconds=20), 3.0),    # reset -> increase = 3
+        ("s", t0 + dt.timedelta(seconds=30), 8.0),    # +5
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, v double")
+    out = sorted(
+        counter_rate(df, ["series"], "v", "ts").collect(), key=lambda r: r["ts"]
+    )
+    assert out[0]["increase"] is None and out[0]["rate"] is None
+    assert out[1]["increase"] == 15.0 and out[1]["rate"] == 1.5
+    assert out[2]["increase"] == 3.0 and out[2]["reset"] is True
+    assert out[3]["increase"] == 5.0 and out[3]["reset"] is False
+
+
+def test_seasonal_baseline_anomaly_leave_one_out(spark):
+    import datetime as dt
+
+    from sparkcollector.operators.telemetry import seasonal_baseline_anomaly
+
+    # hour-of-day 3 on four days: counts 2,3,2,8 -> the burst window's
+    # baseline is mean(2,3,2) and z is large positive
+    rows = []
+    for day, n in [(1, 2), (2, 3), (3, 2), (4, 8)]:
+        for i in range(n):
+            rows.append((dt.datetime(2024, 1, day, 3, 0, i),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {r["window_start"]: r for r in seasonal_baseline_anomaly(df).collect()}
+    burst = out[dt.datetime(2024, 1, 4, 3)]
+    assert burst["n"] == 8 and burst["baseline_mean"] == round(7 / 3, 4)
+    assert burst["z"] is not None and burst["z"] > 3
+    quiet = out[dt.datetime(2024, 1, 1, 3)]
+    assert quiet["baseline_mean"] == round(13 / 3, 4)  # mean(3,2,8)
+    # zero-variance peers leave z undefined (never a fake alert)
+    rows0 = [
+        (dt.datetime(2024, 1, d, 5, 0, i),)
+        for d, n in [(1, 2), (2, 2), (3, 2), (4, 8)]
+        for i in range(n)
+    ]
+    out0 = {
+        r["window_start"]: r
+        for r in seasonal_baseline_anomaly(
+            spark.createDataFrame(rows0, "ts timestamp")
+        ).collect()
+    }
+    assert out0[dt.datetime(2024, 1, 4, 5)]["z"] is None
