@@ -539,6 +539,57 @@ def main() -> None:
         spark=spark,
     )
 
+    all_ok &= audit(
+        "c4_line_filter",
+        lambda: queries()["c4_line_filter"](spark, SF_DIR),
+        [
+            ("one grouped pass after the line explode (no join back, "
+             "in-row struct sort)",
+             lambda p: "Join" not in p
+             and len(re.findall(r"Exchange \(\d+\)", p)) <= 1),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "line_dedup_boilerplate",
+        lambda: queries()["line_dedup_boilerplate"](spark, SF_DIR),
+        [
+            ("no forced broadcast of the hot-line set (AQE decides); "
+             "no cartesian",
+             lambda p: "CartesianProduct" not in p
+             and "AdaptiveSparkPlan" in p),
+        ],
+        out,
+        "hot set is df-guarded (> max_df lines only) so the join side "
+        "is bounded by construction.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "counter_reset_rate",
+        lambda: queries()["counter_reset_rate"](spark, SF_DIR),
+        [
+            ("single keyed exchange, one Window (lag of value and ts "
+             "share the sort)",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) == 1),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "seasonal_anomaly",
+        lambda: queries()["seasonal_anomaly"](spark, SF_DIR),
+        [
+            ("raw table scanned once; anomaly stats run on the window-"
+             "count table (slot-scale), not row-scale",
+             lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

@@ -75,8 +75,12 @@ def parse_exposition(
         F.regexp_extract_all(F.col("_blob"), F.lit(LABEL_RE), 1),
         F.regexp_extract_all(F.col("_blob"), F.lit(LABEL_RE), 2),
     )
+    # NO broadcast hint: `types` is one row per scrape document —
+    # unbounded at 100 TB.  Both sides key on doc_id, so a shuffle join
+    # co-partitions them; AQE still broadcasts at runtime when the
+    # aggregated side actually fits.
     out = (
-        samples.join(F.broadcast(types), "doc_id", "left")
+        samples.join(types, "doc_id", "left")
         .withColumn("fam", fam)
         .select(
             "doc_id",
