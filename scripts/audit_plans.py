@@ -590,6 +590,19 @@ def main() -> None:
         spark=spark,
     )
 
+    all_ok &= audit(
+        "simhash_portable",
+        lambda: queries()["simhash_portable"](spark, SF_DIR),
+        [
+            ("zero exchanges (per-row fingerprint is a pure projection)",
+             lambda p: "Exchange" not in p),
+            ("no Python / UDF in plan (md5+HOF votes stay in codegen)",
+             lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

@@ -343,16 +343,14 @@ def minhash_lsh_pairs(
     return verified.select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
 
 
-def simhash64(text_col: Column) -> Column:
-    """64-bit SimHash over whitespace tokens, pure Catalyst.
+def _simhash_from_hashes(hashes: Column, n_bits: int) -> Column:
+    """SimHash bits from an array of integer token hashes.
 
     Bit i of the output is the sign of sum over tokens of
-    (+1 if bit i of xxhash64(token) else -1).  Computed per bit via
-    array aggregates; 64 shiftright+sum expressions stay inside one
+    (+1 if bit i of hash(token) else -1).  Computed per bit via
+    array aggregates; the shiftright+sum expressions stay inside one
     codegen stage.
     """
-    toks = F.array_distinct(F.split(text_col, " "))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     def vote_fn(i: int):
         # closure, NOT a default arg: PySpark HOFs bind a Column to
@@ -362,7 +360,7 @@ def simhash64(text_col: Column) -> Column:
         ).otherwise(-1)
 
     bit_cols = []
-    for i in range(64):
+    for i in range(n_bits):
         vote = F.aggregate(hashes, F.lit(0).cast("long"), vote_fn(i))
         bit_cols.append(
             F.when(vote >= 0, F.lit(1).cast("long")).otherwise(F.lit(0)).alias(f"b{i}")
@@ -371,6 +369,36 @@ def simhash64(text_col: Column) -> Column:
     for i, b in enumerate(bit_cols):
         out = out + F.shiftleft(b, i)
     return out
+
+
+def simhash64(text_col: Column) -> Column:
+    """64-bit SimHash over whitespace tokens, pure Catalyst
+    (xxhash64 token hashes — the fast in-engine variant)."""
+    toks = F.array_distinct(F.split(text_col, " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return _simhash_from_hashes(hashes, 64)
+
+
+def simhash32_portable(text_col: Column) -> Column:
+    """32-bit SimHash with an engine-portable token hash.
+
+    Same sign-of-votes construction as :func:`simhash64` but the token
+    hash is the first 8 md5 hex chars as a 32-bit integer —
+    reproducible bit-for-bit in any engine with md5
+    (``cast('0x' || substr(md5(tok),1,8) as bigint)``), so the whole
+    fingerprint is oracle-checkable.  Use :func:`simhash64` in
+    production (xxhash64 is one codegen intrinsic vs md5's digest);
+    this variant exists to pin the algorithm against an independent
+    implementation.
+    """
+    toks = F.array_distinct(F.split(text_col, " "))
+    hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+    )
+    return _simhash_from_hashes(hashes, 32)
 
 
 def simhash_dup_candidates(

@@ -5033,6 +5033,40 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 141. Portable 32-bit SimHash fingerprint: the sign-of-votes
+#      construction (operators/dedup.py simhash64) pinned against an
+#      independent implementation via an engine-portable md5 token
+#      hash.  Upgrades SimHash from pytest-only to oracle-checked.
+# ---------------------------------------------------------------------
+@register(
+    "simhash_portable",
+    """
+    with toks as (
+      select distinct doc_id, unnest(string_split(text, ' ')) as tok
+      from documents),
+    votes as (
+      select t.doc_id, r.i,
+             sum(case when (cast(('0x' || substr(md5(t.tok), 1, 8)) as bigint)
+                            >> r.i) & 1 = 1
+                      then 1 else -1 end) as v
+      from toks t cross join range(0, 32) r(i)
+      group by 1, 2)
+    select doc_id,
+           cast(sum(case when v >= 0 then cast(1 as bigint) << i else 0 end)
+                as bigint) as sh32
+    from votes group by 1
+    """,
+)
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash32_portable
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", simhash32_portable(F.col("text")).alias("sh32")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -72,6 +72,39 @@ def test_simhash_dup_candidates(spark):
     assert pairs == {(1, 2), (1, 5), (2, 5)}
 
 
+def test_simhash32_portable_matches_python_reference(spark):
+    """Bit-for-bit agreement with an independent hashlib implementation
+    (the same construction the DuckDB oracle of `simhash_portable`
+    pins)."""
+    import hashlib
+
+    from sparkcollector.operators.dedup import simhash32_portable
+
+    def ref(text: str) -> int:
+        toks = set(text.split(" "))
+        hashes = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+        out = 0
+        for i in range(32):
+            vote = sum(1 if (h >> i) & 1 else -1 for h in hashes)
+            if vote >= 0:
+                out |= 1 << i
+        return out
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "alpha beta  gamma",  # double space -> empty token, both sides
+        "single",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", simhash32_portable(F.col("text")).alias("h")
+        ).collect()
+    }
+    assert got == {i: ref(t) for i, t in enumerate(texts)}
+
+
 def test_jaccard_df_cap_drops_ubiquitous_shingle(spark):
     """A shingle present in every doc is dropped by the df cap; the
     Observation records the drop for lineage metrics."""
