@@ -111,3 +111,40 @@ def subtree_rollup(
         F.count("*").alias("subtree_size"),
         F.sum("_v").alias("subtree_sum"),
     )
+
+
+def service_graph_edges(
+    df: DataFrame,
+    id_col: str,
+    parent_col: str,
+    label_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Service-graph edge aggregation (the OTel servicegraph-connector
+    shape; this distribution ships only spanmetrics, but the backend
+    renders the same caller->callee map from span parent links):
+    every child span joins its parent ONCE and the (parent label,
+    child label) pair aggregates call count and latency stats.
+
+    ONE self-join shuffle on the parent pointer + ONE grouped pass
+    whose output is |labels|^2-bounded regardless of corpus size.
+    Roots (NULL parent) contribute no edge.  Value totals are
+    decimal-summed then cast so fold order can't move the hash.
+    """
+    child = df.select(
+        F.col(parent_col).alias("_pid"),
+        F.col(label_col).alias("callee"),
+        F.col(value_col).cast("decimal(18,2)").alias("_v"),
+    ).filter(F.col("_pid").isNotNull())
+    parent = df.select(
+        F.col(id_col).alias("_pid"), F.col(label_col).alias("caller")
+    )
+    return (
+        child.join(parent, "_pid")
+        .groupBy("caller", "callee")
+        .agg(
+            F.count("*").alias("n_calls"),
+            F.sum("_v").cast("double").alias("total_value"),
+            F.max("_v").cast("double").alias("max_value"),
+        )
+    )

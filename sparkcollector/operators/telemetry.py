@@ -1261,3 +1261,34 @@ def seasonal_baseline_anomaly(
         F.round(m, round_digits).alias("baseline_mean"),
         F.round(z, round_digits).alias("z"),
     )
+
+
+def apdex(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    threshold: float,
+) -> DataFrame:
+    """Apdex score per key group — the industry-standard satisfaction
+    ratio the signalfx backend surfaces over spanmetrics latencies
+    (satisfied: v <= T; tolerating: T < v <= 4T; frustrated beyond):
+    ``apdex = (satisfied + tolerating/2) / n``.
+
+    ONE grouped pass of conditional aggregates (same plan family as
+    span_metrics_red / duration_histogram: map-side partials, no
+    self-join per band).  The score is computed from the integer band
+    counts — ``(2*satisfied + tolerating) / (2*n)`` in double, rounded
+    to 4 — so engines agree bit-for-bit; the raw band counts ride
+    along for dashboards that re-weight.
+    """
+    v = F.col(value_col)
+    sat = F.sum(F.when(v <= threshold, 1).otherwise(0)).alias("n_satisfied")
+    tol = F.sum(
+        F.when((v > threshold) & (v <= 4 * threshold), 1).otherwise(0)
+    ).alias("n_tolerating")
+    out = df.groupBy(*keys).agg(F.count("*").alias("n_calls"), sat, tol)
+    score = (
+        (2 * F.col("n_satisfied") + F.col("n_tolerating"))
+        / (2.0 * F.col("n_calls"))
+    )
+    return out.withColumn("apdex", F.round(score, 4))

@@ -5067,6 +5067,90 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 142. Apdex score (the satisfaction ratio the signalfx backend
+#      surfaces over spanmetrics latencies): satisfied <= T,
+#      tolerating <= 4T, apdex = (sat + tol/2)/n — one grouped pass
+#      of conditional aggregates, integer band counts so engines
+#      agree bit-for-bit.
+# ---------------------------------------------------------------------
+@register(
+    "apdex_score",
+    """
+    with b as (
+      select event_type, count(*) as n_calls,
+             sum(case when value <= 50 then 1 else 0 end) as n_satisfied,
+             sum(case when value > 50 and value <= 200 then 1 else 0 end)
+               as n_tolerating
+      from events group by 1)
+    select event_type,
+           n_calls,
+           cast(n_satisfied as bigint) as n_satisfied,
+           cast(n_tolerating as bigint) as n_tolerating,
+           round((2 * n_satisfied + n_tolerating) / (2.0 * n_calls), 4)
+             as apdex
+    from b
+    """,
+)
+def q_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import apdex
+
+    ev = _t(spark, sf_dir, "events")
+    return apdex(ev, "value", ["event_type"], threshold=50.0)
+
+
+# ---------------------------------------------------------------------
+# 143. Service-graph edges (OTel servicegraph-connector shape; this
+#      distribution ships spanmetrics only, but the backend renders
+#      the same caller->callee map from span parent links): child
+#      spans join their parent once, (caller, callee) aggregates RED
+#      stats.  Parent links come from the per-user heap forest
+#      (parent(seq) = seq // 2), same convention as tree_linearize.
+# ---------------------------------------------------------------------
+@register(
+    "service_graph_edges",
+    """
+    with s as (
+      select event_id, user_id, event_type, value,
+             row_number() over (partition by user_id
+                                order by ts, event_id) as seq
+      from events)
+    select p.event_type as caller, c.event_type as callee,
+           count(*) as n_calls,
+           cast(sum(cast(c.value as decimal(18,2))) as double)
+             as total_value,
+           cast(max(cast(c.value as decimal(18,2))) as double)
+             as max_value
+    from s c join s p
+      on p.user_id = c.user_id and p.seq = c.seq // 2
+    where c.seq > 1
+    group by 1, 2
+    """,
+)
+def q_service_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.graph import service_graph_edges
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id", "event_type", "value", F.row_number().over(w).alias("seq")
+    )
+    nodes = s.select(
+        F.concat_ws(":", "user_id", "seq").alias("nid"),
+        F.when(
+            F.col("seq") > 1,
+            F.concat_ws(
+                ":", F.col("user_id"), F.floor(F.col("seq") / 2).cast("long")
+            ),
+        ).alias("pid"),
+        "event_type",
+        "value",
+    )
+    return service_graph_edges(nodes, "nid", "pid", "event_type", "value")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

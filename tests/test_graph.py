@@ -74,3 +74,26 @@ def test_dangling_parent_becomes_fragment_root(spark):
     # at itself, not collapse to NULL
     got = _run(spark, [(1, None), (2, 99)])
     assert got == {1: (0, [1]), 2: (0, [2])}
+
+
+def test_service_graph_edges(spark):
+    """Two callers, roots excluded, decimal-stable totals."""
+    from sparkcollector.operators.graph import service_graph_edges
+
+    rows = [
+        # (id, parent, label, value)
+        ("a", None, "gw", 1.0),       # root: no edge
+        ("b", "a", "auth", 2.5),      # gw -> auth
+        ("c", "a", "auth", 3.5),      # gw -> auth
+        ("d", "c", "db", 10.0),       # auth -> db
+        ("e", "zz", "db", 4.0),       # dangling parent: no edge
+    ]
+    df = spark.createDataFrame(rows, ["id", "parent", "label", "value"])
+    got = {
+        (r["caller"], r["callee"]): (r["n_calls"], r["total_value"], r["max_value"])
+        for r in service_graph_edges(df, "id", "parent", "label", "value").collect()
+    }
+    assert got == {
+        ("gw", "auth"): (2, 6.0, 3.5),
+        ("auth", "db"): (1, 10.0, 10.0),
+    }

@@ -640,3 +640,25 @@ def test_seasonal_baseline_anomaly_leave_one_out(spark):
         ).collect()
     }
     assert out0[dt.datetime(2024, 1, 4, 5)]["z"] is None
+
+
+def test_apdex_bands_and_score(spark):
+    from sparkcollector.operators.telemetry import apdex
+
+    rows = [
+        ("svc", 10.0),   # satisfied (<= 50)
+        ("svc", 50.0),   # satisfied (boundary closed)
+        ("svc", 51.0),   # tolerating
+        ("svc", 200.0),  # tolerating (4T boundary closed)
+        ("svc", 201.0),  # frustrated
+        ("other", 999.0),  # frustrated only
+    ]
+    df = spark.createDataFrame(rows, ["service", "value"])
+    got = {
+        r["service"]: (
+            r["n_calls"], r["n_satisfied"], r["n_tolerating"], r["apdex"]
+        )
+        for r in apdex(df, "value", ["service"], threshold=50.0).collect()
+    }
+    # svc: (2 + 2/2) / 5 = 0.6; other: 0/1 = 0.0
+    assert got == {"svc": (5, 2, 2, 0.6), "other": (1, 0, 0, 0.0)}
