@@ -603,6 +603,39 @@ def main() -> None:
         spark=spark,
     )
 
+    all_ok &= audit(
+        "apdex_score",
+        lambda: queries()["apdex_score"](spark, SF_DIR),
+        [
+            ("one grouped pass of conditional aggregates (single keyed "
+             "exchange, map-side partials)",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) == 1
+             and "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "service_graph_edges",
+        lambda: queries()["service_graph_edges"](spark, SF_DIR),
+        [
+            ("parent link resolved by ONE equi-join (no cartesian, no "
+             "iterative propagation)",
+             lambda p: "CartesianProduct" not in p
+             and "BroadcastNestedLoopJoin" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+            ("edge aggregate output is |labels|^2-bounded: final agg "
+             "keyed on (caller, callee)",
+             lambda p: "caller" in p and "callee" in p),
+        ],
+        out,
+        "both join sides derive from the same windowed frame; at 100 TB "
+        "the join shuffles on the composite parent pointer — no "
+        "forced broadcast, AQE decides.",
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"
