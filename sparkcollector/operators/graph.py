@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def ancestor_paths(
@@ -110,6 +111,65 @@ def subtree_rollup(
     return contrib.groupBy("subtree_root").agg(
         F.count("*").alias("subtree_size"),
         F.sum("_v").alias("subtree_sum"),
+    )
+
+
+def critical_path(
+    df: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Critical path per tree root: the root-to-leaf chain with the
+    largest total cost — the span chain that determines a trace's
+    end-to-end latency (the trace-waterfall question the sapm/otlp
+    trace sinks feed; computed here over the same parent-pointer
+    forests as :func:`ancestor_paths`).
+
+    Pipeline: pointer-doubled root-to-node paths (log-depth rounds),
+    then ONE explode + join + keyed aggregate prices every path, a
+    ``left_anti`` against the parent set keeps leaves only, and a
+    per-root window picks the argmax with a DETERMINISTIC tie-break
+    (cost desc, then leaf id asc) so the result is engine-portable.
+    Costs sum in decimal so fold order cannot move the total.
+
+    Scale: explode volume is sum(depth) rows (same as any reachability
+    expansion); the final window partitions by root — one row per
+    root survives, and per-root fan-in is that tree's leaf count,
+    bounded for transcript forests.
+    """
+    paths = ancestor_paths(df, id_col, parent_col)
+    vals = df.select(
+        F.col(id_col).alias("_vid"),
+        F.col(value_col).cast("decimal(18,2)").alias("_v"),
+    )
+    contrib = paths.select(
+        "id",
+        F.element_at("path", 1).alias("root"),
+        "depth",
+        F.explode("path").alias("_vid"),
+    )
+    costs = contrib.join(vals, "_vid").groupBy("id", "root", "depth").agg(
+        F.sum("_v").alias("_cost")
+    )
+    parent_ids = (
+        df.select(F.col(parent_col).alias("id"))
+        .filter(F.col("id").isNotNull())
+        .distinct()
+    )
+    leaves = costs.join(parent_ids, "id", "left_anti")
+    w = Window.partitionBy("root").orderBy(
+        F.col("_cost").desc(), F.col("id").asc()
+    )
+    return (
+        leaves.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "root",
+            F.col("id").alias("leaf_id"),
+            "depth",
+            F.col("_cost").cast("double").alias("path_cost"),
+        )
     )
 
 

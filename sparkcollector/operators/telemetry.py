@@ -278,6 +278,45 @@ def exponential_histogram(
     return buckets.join(zeros, list(group_cols))
 
 
+def exp_histogram_merge(
+    df: DataFrame,
+    group_cols: list[str],
+    scale_col: str = "scale",
+    idx_col: str = "bucket_idx",
+    count_col: str = "bucket_count",
+) -> DataFrame:
+    """Merge sparse ExponentialHistogram series whose scales differ —
+    the OTLP aggregation rule (the spec's downscale-then-add; the
+    collector applies it whenever the batch/cumulative paths combine
+    exponential-histogram datapoints, pmetric type iterated at
+    metric_processor.go:67): the merge group's target scale is the
+    SMALLEST scale present, and a bucket index ``i`` at scale ``s``
+    maps to ``floor(i / 2^(s-t))`` at target ``t`` (arithmetic shift,
+    so negative indexes round toward -inf), then counts add.
+
+    ONE window pass to learn the group minimum + ONE keyed aggregate
+    on (group, downscaled index) — both shuffle on the group key, and
+    the input here is already bucket-sized (series x occupied buckets),
+    orders of magnitude below datapoint scale, so this never touches
+    raw-event volume.  Pure Catalyst; ``floor(i / 2^d)`` on doubles is
+    exact for every index a float64 sample can produce.
+    """
+    w = Window.partitionBy(*group_cols)
+    t = F.min(F.col(scale_col)).over(w)
+    d = (F.col(scale_col) - t).cast("double")
+    j = F.floor(F.col(idx_col) / F.pow(F.lit(2.0), d)).cast("long")
+    return (
+        df.select(
+            *group_cols,
+            t.alias("target_scale"),
+            j.alias("m_idx"),
+            F.col(count_col).alias("_c"),
+        )
+        .groupBy(*group_cols, "target_scale", "m_idx")
+        .agg(F.sum("_c").alias("bucket_count"))
+    )
+
+
 def summary_quantiles(
     df: DataFrame,
     value_col: str,

@@ -5151,6 +5151,124 @@ def q_service_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return service_graph_edges(nodes, "nid", "pid", "event_type", "value")
 
 
+# ---------------------------------------------------------------------
+# 144. ExponentialHistogram merge with downscaling (the OTLP spec's
+#      merge rule for series of differing scales): target scale =
+#      group minimum; bucket i at scale s -> floor(i / 2^(s-t));
+#      counts add.  Series here get scale 1 or 2 by event_type so the
+#      'short' merge group genuinely exercises the downscale.
+# ---------------------------------------------------------------------
+@register(
+    "exp_histogram_merge",
+    """
+    with ser as (
+      select case when length(event_type) >= 6 then 'long' else 'short' end
+               as grp,
+             event_type,
+             1 + length(event_type) % 2 as scale,
+             cast(ceil(ln(value)
+                       / (ln(2) * power(2, -(1 + length(event_type) % 2))))
+                  - 1 as bigint) as bucket_idx,
+             count(*) as bucket_count
+      from events where value > 0
+      group by 1, 2, 3, 4),
+    t as (select *, min(scale) over (partition by grp) as target_scale
+          from ser)
+    select grp, target_scale,
+           cast(floor(bucket_idx / power(2, scale - target_scale)) as bigint)
+             as m_idx,
+           cast(sum(bucket_count) as bigint) as bucket_count
+    from t group by 1, 2, 3
+    """,
+)
+def q_exp_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import exp_histogram_merge
+
+    ev = _t(spark, sf_dir, "events")
+    scale = (F.lit(1) + F.length("event_type") % 2).cast("int")
+    pos = ev.filter(F.col("value") > 0).select(
+        F.when(F.length("event_type") >= 6, F.lit("long"))
+        .otherwise(F.lit("short"))
+        .alias("grp"),
+        "event_type",
+        scale.alias("scale"),
+        "value",
+    )
+    idx = (
+        F.ceil(
+            F.log(F.col("value"))
+            / (
+                F.log(F.lit(2.0))
+                * F.pow(F.lit(2.0), -F.col("scale").cast("double"))
+            )
+        )
+        - 1
+    )
+    ser = pos.withColumn("bucket_idx", idx.cast("long")).groupBy(
+        "grp", "event_type", "scale", "bucket_idx"
+    ).agg(F.count("*").alias("bucket_count"))
+    return exp_histogram_merge(ser, ["grp"])
+
+
+# ---------------------------------------------------------------------
+# 145. Trace critical path (the span chain that determines a trace's
+#      end-to-end latency): pointer-doubled paths over the per-user
+#      heap forest, decimal path costs, deterministic per-root argmax
+#      (cost desc, leaf id asc).  Oracle replays with a recursive CTE
+#      — different algorithm, same rows.
+# ---------------------------------------------------------------------
+@register(
+    "trace_critical_path",
+    """
+    with recursive s as (
+      select user_id, value,
+             row_number() over (partition by user_id
+                                order by ts, event_id) as seq
+      from events),
+    nodes as (
+      select concat(user_id, ':', seq) as id,
+             case when seq > 1 then concat(user_id, ':', seq // 2) end as pid,
+             cast(value as decimal(18,2)) as v
+      from s),
+    rec as (
+      select id, id as root, 0 as depth, cast(v as decimal(28,2)) as cost
+      from nodes where pid is null
+      union all
+      select n.id, r.root, r.depth + 1,
+             cast(r.cost + n.v as decimal(28,2))
+      from nodes n join rec r on n.pid = r.id),
+    leaves as (
+      select * from rec
+      where id not in (select pid from nodes where pid is not null)),
+    pick as (
+      select root, id as leaf_id, depth, cast(cost as double) as path_cost,
+             row_number() over (partition by root
+                                order by cost desc, id) as rn
+      from leaves)
+    select root, leaf_id, depth, path_cost from pick where rn = 1
+    """,
+)
+def q_trace_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.graph import critical_path
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select("user_id", "value", F.row_number().over(w).alias("seq"))
+    nodes = s.select(
+        F.concat_ws(":", "user_id", "seq").alias("nid"),
+        F.when(
+            F.col("seq") > 1,
+            F.concat_ws(
+                ":", F.col("user_id"), F.floor(F.col("seq") / 2).cast("long")
+            ),
+        ).alias("pid"),
+        "value",
+    )
+    return critical_path(nodes, "nid", "pid", "value")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -97,3 +97,31 @@ def test_service_graph_edges(spark):
         ("gw", "auth"): (2, 6.0, 3.5),
         ("auth", "db"): (1, 10.0, 10.0),
     }
+
+
+def test_critical_path_argmax_and_tiebreak(spark):
+    from sparkcollector.operators.graph import critical_path
+
+    rows = [
+        # forest 1: a -> {b -> d, c}; critical = a-b-d = 13
+        ("a", None, 1.0),
+        ("b", "a", 2.0),
+        ("c", "a", 5.0),
+        ("d", "b", 10.0),
+        # forest 2: tie between two leaves (cost 3.0 each) -> lower id
+        ("r", None, 1.0),
+        ("x", "r", 2.0),
+        ("y", "r", 2.0),
+        # forest 3: single node
+        ("z", None, 4.0),
+    ]
+    df = spark.createDataFrame(rows, ["id", "parent", "value"])
+    got = {
+        r["root"]: (r["leaf_id"], r["depth"], r["path_cost"])
+        for r in critical_path(df, "id", "parent", "value").collect()
+    }
+    assert got == {
+        "a": ("d", 2, 13.0),
+        "r": ("x", 1, 3.0),
+        "z": ("z", 0, 4.0),
+    }

@@ -662,3 +662,29 @@ def test_apdex_bands_and_score(spark):
     }
     # svc: (2 + 2/2) / 5 = 0.6; other: 0/1 = 0.0
     assert got == {"svc": (5, 2, 2, 0.6), "other": (1, 0, 0, 0.0)}
+
+
+def test_exp_histogram_merge_downscale(spark):
+    """Scale-2 buckets fold into scale-1 via floor(i/2) — negatives
+    round toward -inf (arithmetic shift) — and counts add."""
+    from sparkcollector.operators.telemetry import exp_histogram_merge
+
+    rows = [
+        # (grp, series, scale, bucket_idx, bucket_count)
+        ("g", "a", 2, 5, 3),    # 5 >> 1 -> 2
+        ("g", "a", 2, -3, 1),   # floor(-1.5) -> -2
+        ("g", "b", 1, 2, 2),    # already at target
+        ("h", "c", 3, 4, 7),    # single-series group: no downscale
+    ]
+    df = spark.createDataFrame(
+        rows, ["grp", "series", "scale", "bucket_idx", "bucket_count"]
+    )
+    got = {
+        (r["grp"], r["target_scale"], r["m_idx"]): r["bucket_count"]
+        for r in exp_histogram_merge(df, ["grp"]).collect()
+    }
+    assert got == {
+        ("g", 1, 2): 5,   # 3 (downscaled) + 2 (native)
+        ("g", 1, -2): 1,
+        ("h", 3, 4): 7,
+    }
