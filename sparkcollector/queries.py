@@ -5269,6 +5269,41 @@ def q_trace_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return critical_path(nodes, "nid", "pid", "value")
 
 
+# ---------------------------------------------------------------------
+# 146. Int8 scalar quantization with reconstruction audit (the 4x
+#      embedding-compression tier before PQ's 64x): corpus [min,max]
+#      from ONE scalar agg, floor-binned codes (no round-midpoint
+#      ambiguity), per-vector code checksum + bin-midpoint MSE.
+#      Integer code sums are exact; MSE fold-order ulps sit ~1e-11
+#      below the compare's 1e-9 rounding, so the hash is stable.
+# ---------------------------------------------------------------------
+@register(
+    "scalar_quantize_error",
+    """
+    with st as (
+      select min(cast(x as double)) as mn, max(cast(x as double)) as mx
+      from (select unnest(embedding) as x from embeddings)),
+    el as (select vec_id, cast(unnest(embedding) as double) as e
+           from embeddings),
+    q as (
+      select vec_id, e, mn, mx,
+             least(cast(floor((e - mn) / (mx - mn) * 256) as bigint),
+                   255) as code
+      from el, st)
+    select vec_id,
+           cast(sum(code) as bigint) as code_sum,
+           sum((e - (mn + (code + 0.5) * (mx - mn) / 256))
+               * (e - (mn + (code + 0.5) * (mx - mn) / 256))) / 64 as mse
+    from q group by vec_id
+    """,
+)
+def q_scalar_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import scalar_quantize_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return scalar_quantize_stats(emb, "embedding", "vec_id", bins=256)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -137,3 +137,22 @@ def test_random_projection_exact(spark):
     m = [[1.0, 0.0, -1.0], [0.5, 0.5, 0.5]]
     got = {r["dim"]: r["proj"] for r in random_projection(df, m).collect()}
     assert got == {0: 1.0 - 3.0, 1: 3.0}
+
+
+def test_scalar_quantize_codes_and_mse(spark):
+    """Known 2-vector corpus: mn=0, mx=4 -> bin width 4/256; codes and
+    bin-midpoint MSE are hand-checkable."""
+    from sparkcollector.operators.similarity import scalar_quantize_stats
+
+    rows = [(1, [0.0, 4.0]), (2, [2.0, 2.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: (r["code_sum"], r["mse"])
+        for r in scalar_quantize_stats(df, "embedding", "vec_id").collect()
+    }
+    # x=0 -> code 0, dq = (0+.5)*4/256 = 1/128; x=4 -> floor(256) clamps
+    # to 255, dq = 255.5*4/256 = 3.9921875; x=2 -> code 128, dq = 2.0078125
+    mse1 = ((0 - 1 / 128) ** 2 + (4 - 3.9921875) ** 2) / 2
+    mse2 = 2 * (2 - 2.0078125) ** 2 / 2
+    assert got[1][0] == 255 and abs(got[1][1] - mse1) < 1e-15
+    assert got[2][0] == 256 and abs(got[2][1] - mse2) < 1e-15
