@@ -636,6 +636,53 @@ def main() -> None:
         spark=spark,
     )
 
+    all_ok &= audit(
+        "exp_histogram_merge",
+        lambda: queries()["exp_histogram_merge"](spark, SF_DIR),
+        [
+            ("no Python / UDF in plan (log/floor binning + window min "
+             "+ keyed agg all codegen)",
+             lambda p: "Python" not in p),
+            ("no cartesian / nested-loop join",
+             lambda p: "CartesianProduct" not in p
+             and "NestedLoop" not in p),
+        ],
+        out,
+        "window + merge agg run on the BUCKET table (series x occupied "
+        "buckets), orders of magnitude below datapoint volume.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "trace_critical_path",
+        lambda: queries()["trace_critical_path"](spark, SF_DIR),
+        [
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+            ("leaf selection is a left-anti join (no NOT IN subquery "
+             "rewrite into nested loops)",
+             lambda p: "LeftAnti" in p and "NestedLoop" not in p),
+        ],
+        out,
+        "path expansion is pointer-doubled upstream (log-depth rounds, "
+        "lineage truncated per round) — the audited plan prices paths "
+        "with one explode+join+agg and a per-root argmax window.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "scalar_quantize_error",
+        lambda: queries()["scalar_quantize_error"](spark, SF_DIR),
+        [
+            ("corpus stats join is a 1-row BROADCAST (no shuffle of "
+             "the vector table)",
+             lambda p: "BroadcastNestedLoopJoin" in p
+             or "BroadcastExchange" in p),
+            ("no Python / UDF in plan (codes, dequant, MSE fold all "
+             "array HOFs)",
+             lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"
