@@ -683,6 +683,49 @@ def main() -> None:
         spark=spark,
     )
 
+    all_ok &= audit(
+        "rate_limit_throttle",
+        lambda: queries()["rate_limit_throttle"](spark, SF_DIR),
+        [
+            ("window rank and count agg share the (key, win_start) "
+             "partitioning (<=2 exchanges)",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) <= 2),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "tumbling-window N-per-key throttle: embarrassingly parallel "
+        "(vs the reference's sequential last-emission chain, which is "
+        "the bounded-cardinality throttle_exact fold).",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "compaction_binpack",
+        lambda: queries()["compaction_binpack"](spark, SF_DIR),
+        [
+            ("single keyed exchange: prefix-sum window and group agg "
+             "share the source partitioning",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) <= 2),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "compaction planning parallel per source partition; group id "
+        "is pure arithmetic on the exclusive prefix sum.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "ewma_event_rate",
+        lambda: queries()["ewma_event_rate"](spark, SF_DIR),
+        [
+            ("fold runs on the BUCKET table (minute counts), not raw "
+             "rows: bucket agg partials before the keyed exchange",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan (sequential recurrence is an "
+             "in-row array fold)", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

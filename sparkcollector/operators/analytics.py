@@ -126,3 +126,49 @@ def event_transition_matrix(
         "n",
         F.round(F.col("n") / F.col("_tot"), round_digits).alias("p"),
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """EWMA smoothing (the SignalFlow ``ewma(alpha)`` analytics block a
+    signalfx detector runs before thresholding): per key, over the
+    ``order_col``-sorted series, ``s_1 = x_1`` and
+    ``s_i = alpha*x_i + (1-alpha)*s_{i-1}``; returns the final
+    smoothed level per key plus the series length and last raw value
+    — the (level, raw) pair a deviation detector compares.
+
+    The recurrence is sequential per key, so it runs as an in-row
+    left fold over the per-key sorted value array: one grouped pass,
+    state O(points-per-key) — bounded when the input is already
+    bucketed (a count-connector minute series), which is the intended
+    feed.  Closed form ``s_n = (1-a)^(n-1) x_1 + a * sum (1-a)^(n-i)
+    x_i`` is what an oracle replays; fold-vs-closed-form float drift
+    is ~1e-14 relative, far under the compare's rounding.
+    """
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    F.col(value_col).cast("double").alias("x"),
+                )
+            )
+        ).alias("_pts")
+    )
+    xs = F.transform("_pts", lambda p: p["x"])
+    ewma = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return per_key.select(
+        "key",
+        F.size("_pts").cast("long").alias("n_points"),
+        F.element_at(xs, -1).alias("last_raw"),
+        ewma.alias("ewma"),
+    )

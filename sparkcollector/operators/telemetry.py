@@ -1331,3 +1331,91 @@ def apdex(
         / (2.0 * F.col("n_calls"))
     )
     return out.withColumn("apdex", F.round(score, 4))
+
+
+def rate_limit(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    order_col: str | None = None,
+    window_sec: int = 60,
+    max_per_window: int = 1,
+) -> DataFrame:
+    """Throttling / rate-limiting: at most ``max_per_window`` rows per
+    key per tumbling ``window_sec`` window; the rest are flagged
+    suppressed (the ThrottledLogger shape,
+    internal/signalfx-agent/pkg/utils/log.go:60-155, and the
+    tail-sampling ``rate_limiting`` policy, generalized from 1/duration
+    to N/window).
+
+    The reference throttles relative to the *last emission* (a
+    sequential per-key chain); the distributed analog is the tumbling
+    window — same guarantee class (<= N per key per window, <= 2N per
+    any sliding ``window_sec`` span) but embarrassingly parallel: one
+    keyed window ranked by (ts, tiebreak), rank <= N keeps.  For the
+    exact last-emission replay on bounded-cardinality keys (log
+    messages) see :func:`throttle_exact`.
+
+    Adds ``win_start`` (epoch seconds of the window) and boolean
+    ``kept``; drops nothing so the caller can count suppressions.
+    """
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    win = (F.floor(epoch / window_sec) * window_sec).cast("long")
+    out = df.withColumn("win_start", win)
+    order = [F.col(ts_col).asc()] + (
+        [F.col(order_col).asc()] if order_col else []
+    )
+    w = Window.partitionBy(key_col, "win_start").orderBy(*order)
+    return out.withColumn(
+        "kept", F.row_number().over(w) <= max_per_window
+    )
+
+
+def throttle_exact(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    duration_sec: int = 60,
+) -> DataFrame:
+    """Exact ThrottledLogger replay (utils/log.go:124-136): per key, a
+    row is emitted iff its ts is >= the last *emitted* ts + duration —
+    the first row always emits.  The decision chain is inherently
+    sequential, so this runs as an in-row left fold over the per-key
+    ts-sorted array: state O(rows-per-key), which is fine for the
+    reference's use (keys are distinct log MESSAGES — bounded
+    cardinality, modest per-key volume).  For unbounded keys use
+    :func:`rate_limit`.
+
+    Returns one row per key: (key, n_total, n_kept, first/last kept
+    epoch seconds).
+    """
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sort_array(F.collect_list(epoch)).alias("_ts")
+    )
+    # fold state: (last_emit, n_kept, last_kept); emit when
+    # t >= last_emit + duration.
+    init = F.struct(
+        F.element_at("_ts", 1).alias("last_emit"),
+        F.lit(1).cast("long").alias("n_kept"),
+        F.element_at("_ts", 1).alias("last_kept"),
+    )
+    folded = F.aggregate(
+        F.slice("_ts", 2, F.greatest(F.size("_ts") - 1, F.lit(0))),
+        init,
+        lambda acc, t: F.when(
+            t >= acc["last_emit"] + duration_sec,
+            F.struct(
+                t.alias("last_emit"),
+                (acc["n_kept"] + 1).alias("n_kept"),
+                t.alias("last_kept"),
+            ),
+        ).otherwise(acc),
+    )
+    return per_key.select(
+        "key",
+        F.size("_ts").cast("long").alias("n_total"),
+        folded["n_kept"].alias("n_kept"),
+        F.element_at("_ts", 1).alias("first_kept_s"),
+        folded["last_kept"].alias("last_kept_s"),
+    )

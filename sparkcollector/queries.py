@@ -5304,6 +5304,130 @@ def q_scalar_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scalar_quantize_stats(emb, "embedding", "vec_id", bins=256)
 
 
+
+# ---------------------------------------------------------------------
+# 147. Rate limiting / throttling (ThrottledLogger, signalfx-agent
+#      utils/log.go:60-155; tail-sampling rate_limiting policy
+#      generalized to N-per-window): at most 2 events per event_type
+#      per hour survive, rank by (ts, event_id) so the keep set is
+#      deterministic on any engine.  Counts are integers — the hash
+#      is exact.  The last-emission-relative sequential variant is
+#      telemetry.throttle_exact (unit-tested vs a pandas replay).
+# ---------------------------------------------------------------------
+@register(
+    "rate_limit_throttle",
+    """
+    with r as (
+      select event_type,
+             cast(floor(epoch(ts) / 3600) * 3600 as bigint) as win_start,
+             row_number() over (
+               partition by event_type, floor(epoch(ts) / 3600)
+               order by ts, event_id) as rn
+      from events)
+    select event_type, win_start,
+           cast(count(*) as bigint) as n_total,
+           cast(sum(case when rn <= 2 then 1 else 0 end) as bigint)
+             as n_kept
+    from r group by 1, 2
+    """,
+)
+def q_rate_limit_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import rate_limit
+
+    ev = _t(spark, sf_dir, "events")
+    rl = rate_limit(
+        ev,
+        "event_type",
+        ts_col="ts",
+        order_col="event_id",
+        window_sec=3600,
+        max_per_window=2,
+    )
+    return rl.groupBy("event_type", "win_start").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 148. Compaction bin-packing (Iceberg rewrite_data_files binPack; the
+#      scheduling half of SnapshotCatalog.compact): documents stand in
+#      for the file inventory (size = n_chars), packed per source in
+#      doc_id order into ~1500-byte rewrite groups by the cumulative-
+#      split rule floor(exclusive_prefix / target).  Per-partition
+#      windows keep the planning parallel; integer output, exact hash.
+# ---------------------------------------------------------------------
+@register(
+    "compaction_binpack",
+    """
+    with p as (
+      select source, n_chars,
+             coalesce(sum(n_chars) over (
+               partition by source order by doc_id
+               rows between unbounded preceding and 1 preceding),
+               0) as pre
+      from documents)
+    select source,
+           cast(floor(pre / 1500) as bigint) as group_id,
+           cast(count(*) as bigint) as n_files,
+           cast(sum(n_chars) as bigint) as total_bytes
+    from p group by 1, 2
+    """,
+)
+def q_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .skew import binpack_files
+
+    docs = _t(spark, sf_dir, "documents")
+    bp = binpack_files(
+        docs, "n_chars", "doc_id", target_bytes=1500, partition_col="source"
+    )
+    return bp.groupBy("source", "group_id").agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 149. EWMA smoothing (SignalFlow ewma(alpha) analytics block; the
+#      level a signalfx detector thresholds): per event_type minute
+#      counts, s_i = 0.3*x_i + 0.7*s_{i-1} folded in bucket order.
+#      Spark runs the sequential fold in-row (F.aggregate); the oracle
+#      replays the SAME left fold via DuckDB list_reduce — identical
+#      IEEE operation order, so the doubles match bit-for-bit (a
+#      closed-form oracle drifts ~1e-14 and trips the compare's
+#      integer-collapse canonicalization when the fold lands on an
+#      exact integer).
+# ---------------------------------------------------------------------
+@register(
+    "ewma_event_rate",
+    """
+    with b as (
+      select event_type as key,
+             cast(floor(epoch(ts) / 60) as bigint) as bkt,
+             cast(count(*) as double) as x
+      from events group by 1, 2),
+    g as (
+      select key, list(x order by bkt) as xs
+      from b group by key)
+    select key,
+           cast(len(xs) as bigint) as n_points,
+           xs[len(xs)] as last_raw,
+           list_reduce(xs, (acc, x) ->
+             cast(0.3 as double) * x + cast(0.7 as double) * acc) as ewma
+    from g
+    """,
+)
+def q_ewma_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import ewma_smooth
+
+    ev = _t(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        F.col("event_type"),
+        F.floor(_epoch_s("ts") / 60).cast("long").alias("bkt"),
+    ).agg(F.count("*").cast("double").alias("x"))
+    return ewma_smooth(buckets, "event_type", "bkt", "x", alpha=0.3)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

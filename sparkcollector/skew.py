@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def repartition_sorted(
@@ -151,4 +152,38 @@ def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
         F.sequence(F.lit(0), F.lit(bits - 1)),
         F.lit(0).cast("long"),
         lambda acc, i: acc + term(i),
+    )
+
+
+def binpack_files(
+    df: DataFrame,
+    size_col: str,
+    order_col: str,
+    target_bytes: int,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Compaction planning (Iceberg ``rewrite_data_files`` binPack
+    strategy; the scheduling half of ``SnapshotCatalog.compact``):
+    pack a file inventory, in deterministic ``order_col`` order, into
+    rewrite groups of ~``target_bytes`` each — group id is
+    ``floor(exclusive_prefix_sum / target)``, the cumulative-split
+    rule, so a group exceeds the target by at most one file and a
+    file larger than the target gets a group of its own.
+
+    One ranked window per ``partition_col`` (the parallel unit — an
+    engine plans compaction per partition exactly so one hot
+    partition's window doesn't serialize the whole table); pure
+    arithmetic after the prefix sum, no second shuffle.
+    """
+    pkeys = [partition_col] if partition_col else []
+    w = (
+        Window.partitionBy(*pkeys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(
+        F.sum(F.col(size_col).cast("long")).over(w), F.lit(0).cast("long")
+    )
+    return df.withColumn(
+        "group_id", F.floor(prefix / F.lit(target_bytes)).cast("long")
     )

@@ -129,3 +129,24 @@ def test_salted_join_key_salt_rejected_and_default_spreads(spark):
         .count()
     )
     assert n_salts_used > 1
+
+
+def test_ewma_smooth_matches_pandas_fold(spark):
+    from sparkcollector.operators.analytics import ewma_smooth
+
+    rows = [("k", i, float(x)) for i, x in enumerate([4, 1, 7, 7, 2])]
+    df = spark.createDataFrame(rows, ["g", "bkt", "x"])
+    r = ewma_smooth(df, "g", "bkt", "x", alpha=0.3).collect()[0]
+    s = 4.0
+    for x in [1.0, 7.0, 7.0, 2.0]:
+        s = 0.3 * x + 0.7 * s
+    assert r["n_points"] == 5 and r["last_raw"] == 2.0
+    assert r["ewma"] == s  # identical IEEE fold -> exact equality
+
+
+def test_ewma_smooth_single_point_is_identity(spark):
+    from sparkcollector.operators.analytics import ewma_smooth
+
+    df = spark.createDataFrame([("k", 0, 9.0)], ["g", "bkt", "x"])
+    r = ewma_smooth(df, "g", "bkt", "x").collect()[0]
+    assert r["ewma"] == 9.0 and r["n_points"] == 1

@@ -317,3 +317,29 @@ def test_levenshtein_block_join_blocks_and_thresholds(spark):
     # only the within-block near pair survives; cross-block identical
     # text never pairs (blocking), far text exceeds the threshold
     assert got == [(1, 2, 1)]
+
+
+def test_binpack_files_cumulative_split(spark):
+    """floor(exclusive_prefix/target) grouping: groups exceed target by
+    at most one file; an oversized file gets its own group; packing is
+    independent per partition column."""
+    from sparkcollector.skew import binpack_files
+
+    rows = [
+        ("s1", 1, 500), ("s1", 2, 600), ("s1", 3, 700),
+        ("s1", 4, 2000), ("s1", 5, 100),
+        ("s2", 1, 100),
+    ]
+    df = spark.createDataFrame(rows, ["src", "fid", "sz"])
+    got = {
+        (r["src"], r["fid"]): r["group_id"]
+        for r in binpack_files(
+            df, "sz", "fid", target_bytes=1500, partition_col="src"
+        ).collect()
+    }
+    # prefixes s1: 0,500,1100,1800,3800 -> groups 0,0,0,1,2
+    assert got == {
+        ("s1", 1): 0, ("s1", 2): 0, ("s1", 3): 0,
+        ("s1", 4): 1, ("s1", 5): 2,
+        ("s2", 1): 0,
+    }

@@ -688,3 +688,48 @@ def test_exp_histogram_merge_downscale(spark):
         ("g", 1, -2): 1,
         ("h", 3, 4): 7,
     }
+
+
+def test_rate_limit_tumbling_window_keeps_n(spark):
+    """At most N per key per tumbling window, ranked by (ts, tiebreak);
+    suppressed rows flagged, not dropped (ThrottledLogger shape,
+    utils/log.go:60-155, N-per-window generalization)."""
+    import datetime as dt
+
+    from sparkcollector.operators.telemetry import rate_limit
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+    rows = [
+        ("a", 1, t0),                                  # win 0: kept
+        ("a", 2, t0 + dt.timedelta(seconds=5)),        # win 0: kept
+        ("a", 3, t0 + dt.timedelta(seconds=10)),       # win 0: over cap
+        ("a", 4, t0 + dt.timedelta(seconds=65)),       # win 1: kept
+        ("b", 5, t0 + dt.timedelta(seconds=5)),        # other key: kept
+    ]
+    df = spark.createDataFrame(rows, ["k", "event_id", "ts"])
+    out = rate_limit(
+        df, "k", ts_col="ts", order_col="event_id",
+        window_sec=60, max_per_window=2,
+    )
+    kept = {r["event_id"]: r["kept"] for r in out.collect()}
+    assert kept == {1: True, 2: True, 3: False, 4: True, 5: True}
+    # nothing dropped
+    assert out.count() == 5
+
+
+def test_throttle_exact_matches_sequential_replay(spark):
+    """Per-key last-emission chain (utils/log.go:124-136): emit iff
+    ts >= last_emitted + duration; first row always emits."""
+    import datetime as dt
+
+    from sparkcollector.operators.telemetry import throttle_exact
+
+    t0 = dt.datetime(2025, 1, 1)
+    secs = [0, 10, 60, 61, 130]
+    df = spark.createDataFrame(
+        [("m", t0 + dt.timedelta(seconds=s)) for s in secs], ["k", "ts"]
+    )
+    r = throttle_exact(df, "k", duration_sec=60).collect()[0]
+    # kept: 0 (first), 60 (>=0+60), 130 (>=60+60); suppressed: 10, 61
+    assert r["n_total"] == 5 and r["n_kept"] == 3
+    assert r["last_kept_s"] - r["first_kept_s"] == 130.0
