@@ -726,6 +726,50 @@ def main() -> None:
         spark=spark,
     )
 
+    all_ok &= audit(
+        "hll_distinct",
+        lambda: queries()["hll_distinct"](spark, SF_DIR),
+        [
+            ("register build has map-side partials (max combines "
+             "before the shuffle)", lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan (md5 split + bin-length rho all "
+             "codegen)", lambda p: "Python" not in p),
+        ],
+        out,
+        "the sketch shuffles m=256 cells per group, never key "
+        "cardinality — the 10^12-row twin of count_distinct.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "bloom_filter_probe",
+        lambda: queries()["bloom_filter_probe"](spark, SF_DIR),
+        [
+            ("no cartesian / nested-loop join",
+             lambda p: "CartesianProduct" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "positions table is <= m_bits rows by construction — AQE "
+        "broadcasts the probe join; only maybe-rows need exact "
+        "follow-up at scale.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "kmeans_lloyd_step",
+        lambda: queries()["kmeans_lloyd_step"](spark, SF_DIR),
+        [
+            ("embeddings scanned once (assign + component sums in one "
+             "pass)",
+             lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+            ("component sums combine map-side (shuffle is k*dim "
+             "cells, never vector count)",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

@@ -249,3 +249,55 @@ def monitor_include_filter(
     the include-filter the agent builds per monitor."""
     items = list(included) + list(extra or [])
     return overridable_string_filter(col, items)
+
+
+def bloom_build(df, key_col: str, m_bits: int = 4096, k: int = 4):
+    """Bloom filter over a key set, materialized as the DISTINCT set of
+    set bit positions (<= ``m_bits`` rows regardless of key count) —
+    the bounded-size membership structure that replaces shuffling a
+    10^12-row fact table against a suppression/allow list: the
+    positions table broadcasts by construction, the probe is a local
+    hash-join per partition, and only "maybe" rows (true members +
+    the ~(1-e^-kn/m)^k false-positive mass) need the exact follow-up.
+
+    Positions use the same row-seeded portable md5 bucket as the
+    Count-Min sketch (one shared definition — build and probe must
+    hash bit-identically), so an oracle replays the filter exactly.
+    """
+    from .operators.telemetry import _cm_bucket
+
+    key = F.col(key_col).cast("string")
+    seeds = F.explode(
+        F.sequence(F.lit(0).cast("int"), F.lit(k - 1).cast("int"))
+    ).alias("_d")
+    return (
+        df.select(key.alias("_key"), seeds)
+        .select(_cm_bucket(F.col("_d"), F.col("_key"), m_bits).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(bits, df, key_col: str, m_bits: int = 4096, k: int = 4):
+    """Probe a Bloom filter built by :func:`bloom_build`: a key is
+    ``in_filter`` iff ALL ``k`` of its positions are set (count of
+    matched probe rows == k; a left join against the bounded positions
+    table, which AQE broadcasts).  No false negatives by construction.
+    """
+    from .operators.telemetry import _cm_bucket
+
+    key = F.col(key_col).cast("string")
+    probes = df.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(F.lit(0).cast("int"), F.lit(k - 1).cast("int"))
+        ).alias("_d"),
+    ).select(
+        F.col(key_col),
+        _cm_bucket(F.col("_d"), key, m_bits).alias("pos"),
+    )
+    hit = bits.withColumn("_hit", F.lit(1))
+    return (
+        probes.join(hit, "pos", "left")
+        .groupBy(key_col)
+        .agg((F.count("_hit") == k).alias("in_filter"))
+    )

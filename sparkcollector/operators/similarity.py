@@ -650,3 +650,47 @@ def scalar_quantize_stats(
             / F.size(v_dbl)
         ).alias("mse"),
     )
+
+
+def kmeans_lloyd_step(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """One distributed Lloyd iteration over the full vector table (the
+    at-scale refinement step after :func:`train_ivf_centroids`'s
+    driver-side sampling): assign every vector to its nearest centroid
+    (:func:`ivf_assign`, pure Catalyst argmax), then recompute each
+    centroid as the component-wise mean via the classic posexplode →
+    (cluster, pos) partial-sum shape — the component sums combine
+    map-side, so the shuffle is k*dim cells, never vector count.
+
+    Returns per cluster: ``n`` (assigned vectors) and ``shift`` (L2
+    distance between the old and recomputed centroid, the Lloyd
+    convergence metric), rounded so engines agree despite
+    sum-order float drift.  Empty clusters emit no row.
+    """
+    arrs = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    assigned = ivf_assign(df, centroids, vec_col=vec_col)
+    comp = assigned.select(
+        "cluster", F.posexplode(vec_col).alias("pos", "_x")
+    )
+    sums = comp.groupBy("cluster", "pos").agg(
+        F.sum(F.col("_x").cast("double")).alias("_s"),
+        F.count("*").alias("_n"),
+    )
+    old = F.element_at(
+        F.element_at(arrs, F.col("cluster") + 1), F.col("pos") + 1
+    ).cast("double")
+    d2 = F.pow(F.col("_s") / F.col("_n") - old, F.lit(2.0))
+    return (
+        sums.withColumn("_d2", d2)
+        .groupBy("cluster")
+        .agg(
+            F.max("_n").alias("n"),
+            F.round(F.sqrt(F.sum("_d2")), round_digits).alias("shift"),
+        )
+    )

@@ -1419,3 +1419,70 @@ def throttle_exact(
         F.element_at("_ts", 1).alias("first_kept_s"),
         folded["last_kept"].alias("last_kept_s"),
     )
+
+
+def hll_registers(
+    df: DataFrame,
+    item_col: str,
+    group_cols: list[str],
+    b: int = 8,
+) -> DataFrame:
+    """HyperLogLog register table: per group, ``m = 2^b`` max-rho
+    registers over the portable md5 hash — the mergeable fixed-memory
+    DISTINCT sketch (the scale twin of ``count_distinct`` the same way
+    ``count_min_sketch`` twins exact counts: at 10^12 rows the exact
+    distinct shuffles every key, the sketch shuffles ``m`` cells per
+    group and registers merge across partitions/days with ``max``).
+
+    Hash split: the first ``b/4`` hex chars of ``md5(item)`` pick the
+    register, the next 13 (52 bits) feed rho = leading-zeros+1 —
+    bit-identical on any engine that has md5, so an oracle can replay
+    the registers exactly.  ``F.bin`` has no leading zeros, so
+    ``rho = 53 - bitlen(w)`` with the all-zero word pinned to 53.
+    """
+    if b % 4 != 0:
+        raise ValueError("b must be a multiple of 4 (hex-digit aligned)")
+    h = F.md5(F.col(item_col).cast("string"))
+    idx = F.conv(F.substring(h, 1, b // 4), 16, 10).cast("int")
+    w = F.conv(F.substring(h, b // 4 + 1, 13), 16, 10).cast("bigint")
+    rho = (
+        F.when(w == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        df.select(*group_cols, idx.alias("reg"), rho.alias("_rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("_rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str],
+    b: int = 8,
+) -> DataFrame:
+    """Distinct-count estimate from an HLL register table: the classic
+    Flajolet et al. raw estimate ``alpha_m * m^2 / sum(2^-M_j)`` (empty
+    registers contribute 2^0 = 1) with the small-range linear-counting
+    correction ``m * ln(m / zeros)`` when ``raw <= 2.5m`` and empty
+    registers remain.  All terms are exact powers of two except the
+    final division/log, so engines agree to well under the rounding.
+    """
+    m = 1 << b
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("_occupied"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_sp"),
+    )
+    zeros = (F.lit(m) - F.col("_occupied")).cast("int")
+    raw = F.lit(alpha_m2) / (F.col("_sp") + zeros.cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        zeros.alias("zero_registers"),
+        F.round(est, 4).alias("est_distinct"),
+    )

@@ -4526,7 +4526,10 @@ def _ivf_pinned_centroids() -> list[list[float]]:
     return cs
 
 
-def _ivf_pinned_oracle() -> str:
+def _ivf_pinned_sims_case() -> tuple[list[str], str]:
+    """SQL fragments replaying ivf_assign's exact left-fold cosine
+    arithmetic and >=-chained argmax for the pinned centroids — shared
+    by every oracle that needs the bit-identical cluster assignment."""
     import math
 
     cs = _ivf_pinned_centroids()
@@ -4554,6 +4557,11 @@ def _ivf_pinned_oracle() -> str:
            when s1 >= s2 and s1 >= s3 then 1
            when s2 >= s3 then 2
            else 3 end"""
+    return sims, case
+
+
+def _ivf_pinned_oracle() -> str:
+    sims, case = _ivf_pinned_sims_case()
     return f"""
     with s as (
       select vec_id, {sims[0]} as s0, {sims[1]} as s1,
@@ -5426,6 +5434,181 @@ def q_ewma_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(_epoch_s("ts") / 60).cast("long").alias("bkt"),
     ).agg(F.count("*").cast("double").alias("x"))
     return ewma_smooth(buckets, "event_type", "bkt", "x", alpha=0.3)
+
+
+# ---------------------------------------------------------------------
+# 150. HyperLogLog distinct sketch (the mergeable count-distinct twin
+#      of cm_sketch_counts): m=256 portable md5 registers per
+#      event_type over user_id, classic raw estimate with the
+#      linear-counting small-range correction, exact distinct beside
+#      it.  Registers are bit-identical across engines; the estimate
+#      is rounded(4) against sum-order float drift.
+# ---------------------------------------------------------------------
+def _hll_oracle() -> str:
+    m = 256
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    return f"""
+    with h as (select event_type,
+                      md5(cast(user_id as varchar)) as hx
+               from events),
+    r0 as (select event_type,
+                  cast(('0x' || substr(hx, 1, 2)) as bigint) as reg,
+                  cast(('0x' || substr(hx, 3, 13)) as bigint) as w
+           from h),
+    r as (select event_type, reg,
+                 max(case when w = 0 then 53
+                          else 53 - length(bin(w)) end) as rho
+          from r0 group by 1, 2),
+    a as (select event_type,
+                 cast(256 - count(*) as int) as zero_registers,
+                 sum(pow(2.0, -rho)) as sp
+          from r group by 1),
+    e as (select event_type, zero_registers,
+                 {alpha_m2!r} / (sp + cast(zero_registers as double))
+                   as raw
+          from a),
+    x as (select event_type,
+                 count(distinct user_id) as exact_distinct
+          from events group by 1)
+    select e.event_type, x.exact_distinct, e.zero_registers,
+           round(case when raw <= 640.0 and zero_registers > 0
+                      then 256.0
+                           * ln(256.0 / cast(zero_registers as double))
+                      else raw end, 4) as est_distinct
+    from e join x using (event_type)
+    """
+
+
+# HyperLogLog distinct sketch: m=256 portable md5 registers per
+# event_type over user_id — mergeable fixed-memory count-distinct with
+# the linear-counting small-range correction, exact distinct beside it.
+@register("hll_distinct", _hll_oracle())
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import hll_estimate, hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", ["event_type"])
+    est = hll_estimate(regs, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return exact.join(est, "event_type")
+
+
+# ---------------------------------------------------------------------
+# 151. Bloom-filter membership probe: build the filter over the
+#      'error'-event user set (the suppression-list shape), probe the
+#      full user universe, audit true members vs false positives.
+#      The filter is a <=4096-row positions table — the bounded
+#      structure that replaces shuffling the fact table against a big
+#      key list at 10^12 rows.  Integer counts, exact hash.
+# ---------------------------------------------------------------------
+@register(
+    "bloom_filter_probe",
+    """
+    with keys as (select distinct cast(user_id as varchar) as item
+                  from events where event_type = 'error'),
+    bits as (select distinct
+               cast(('0x' || substr(md5(cast(d as varchar) || '|' || item),
+                                    1, 8)) as bigint) % 4096 as pos
+             from keys cross join (select unnest([0, 1, 2, 3]) as d)),
+    uni as (select distinct cast(user_id as varchar) as item from events),
+    probe as (select item,
+                cast(('0x' || substr(md5(cast(d as varchar) || '|' || item),
+                                     1, 8)) as bigint) % 4096 as pos
+              from uni cross join (select unnest([0, 1, 2, 3]) as d)),
+    hit as (select p.item, count(b.pos) as nhit
+            from probe p left join bits b on p.pos = b.pos group by 1),
+    lab as (select h.item, h.nhit = 4 as in_filter,
+                   k.item is not null as is_member
+            from hit h left join keys k on h.item = k.item)
+    select cast(count(*) as bigint) as n_probed,
+           cast(sum(case when in_filter then 1 else 0 end) as bigint)
+             as n_in_filter,
+           cast(sum(case when is_member then 1 else 0 end) as bigint)
+             as n_members,
+           cast(sum(case when in_filter and not is_member then 1
+                         else 0 end) as bigint) as n_false_pos
+    from lab
+    """,
+)
+def q_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .filters import bloom_build, bloom_probe
+
+    ev = _t(spark, sf_dir, "events")
+    members = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.col("user_id").cast("string").alias("item"))
+        .distinct()
+    )
+    universe = ev.select(
+        F.col("user_id").cast("string").alias("item")
+    ).distinct()
+    bits = bloom_build(members, "item", m_bits=4096, k=4)
+    probed = bloom_probe(bits, universe, "item", m_bits=4096, k=4)
+    labeled = probed.join(
+        members.withColumn("_m", F.lit(1)), "item", "left"
+    )
+    return labeled.agg(
+        F.count("*").alias("n_probed"),
+        F.sum(F.col("in_filter").cast("long")).alias("n_in_filter"),
+        F.sum(F.col("_m").isNotNull().cast("long")).alias("n_members"),
+        F.sum(
+            (F.col("in_filter") & F.col("_m").isNull()).cast("long")
+        ).alias("n_false_pos"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 152. Distributed k-means Lloyd step over the full embedding table
+#      (the at-scale refinement after train_ivf_centroids' driver-side
+#      sample): pinned-centroid assignment replayed bit-identically
+#      (same machinery as ivf_assign_pinned), component sums via the
+#      posexplode -> (cluster, pos) partial-sum shape, centroid shift
+#      as the convergence metric.
+# ---------------------------------------------------------------------
+def _kmeans_lloyd_oracle() -> str:
+    sims, case = _ivf_pinned_sims_case()
+    cs = _ivf_pinned_centroids()
+    cent_rows = ", ".join(
+        f"({ci}, {j + 1}, {x!r})"
+        for ci, c in enumerate(cs)
+        for j, x in enumerate(c)
+    )
+    return f"""
+    with s as (
+      select embedding, {sims[0]} as s0, {sims[1]} as s1,
+             {sims[2]} as s2, {sims[3]} as s3
+      from embeddings),
+    a as (select embedding, {case} as cluster from s),
+    c as (select cluster,
+                 generate_subscripts(embedding, 1) as pos,
+                 unnest(embedding) as x
+          from a),
+    g as (select cluster, pos, sum(cast(x as double)) as s,
+                 count(*) as n
+          from c group by 1, 2),
+    cent as (select * from (values {cent_rows}) as t(cluster, pos, v)),
+    d as (select g.cluster, g.n,
+                 pow(g.s / g.n - cast(cent.v as double), 2) as d2
+          from g join cent
+            on g.cluster = cent.cluster and g.pos = cent.pos)
+    select cast(cluster as int) as cluster,
+           cast(max(n) as bigint) as n,
+           round(sqrt(sum(d2)), 6) as shift
+    from d group by cluster
+    """
+
+
+# Distributed k-means Lloyd step over the full embedding table: pinned
+# bit-identical assignment, posexplode component partial-sums, centroid
+# shift (L2 old->new) as the convergence metric per cluster.
+@register("kmeans_lloyd_step", _kmeans_lloyd_oracle())
+def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import kmeans_lloyd_step
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_step(emb, _ivf_pinned_centroids())
 
 
 def queries() -> dict[str, QueryFn]:

@@ -228,3 +228,30 @@ def test_monitor_include_filter_allowlist_with_extras(spark):
     )
     got = {r["m"] for r in df.filter(keep).collect()}
     assert got == {"cpu.util", "disk.io"}
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.filters import bloom_build, bloom_probe
+
+    members = spark.createDataFrame(
+        [(f"m{i}",) for i in range(200)], ["item"]
+    )
+    others = spark.createDataFrame(
+        [(f"o{i}",) for i in range(2000)], ["item"]
+    )
+    bits = bloom_build(members, "item", m_bits=4096, k=4)
+    assert bits.count() <= 4096
+    got = {
+        r["item"]: r["in_filter"]
+        for r in bloom_probe(
+            bits, members.unionByName(others), "item", m_bits=4096, k=4
+        ).collect()
+    }
+    # every member passes (no false negatives, the Bloom guarantee)
+    assert all(got[f"m{i}"] for i in range(200))
+    # false-positive rate near (1-e^{-kn/m})^k ~ 0.24% for n=200,
+    # m=4096, k=4 — allow generous slack
+    fp = sum(1 for i in range(2000) if got[f"o{i}"]) / 2000
+    assert fp < 0.05

@@ -156,3 +156,38 @@ def test_scalar_quantize_codes_and_mse(spark):
     mse2 = 2 * (2 - 2.0078125) ** 2 / 2
     assert got[1][0] == 255 and abs(got[1][1] - mse1) < 1e-15
     assert got[2][0] == 256 and abs(got[2][1] - mse2) < 1e-15
+
+
+def test_kmeans_lloyd_step_hand_checked(spark):
+    """Two orthogonal pinned centroids, four 2-d vectors: assignment
+    by cosine, shift = L2 distance from old centroid to the assigned
+    vectors' mean."""
+    import math
+
+    from sparkcollector.operators.similarity import kmeans_lloyd_step
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.2]),   # both nearer x-axis centroid
+        (3, [0.0, 1.0]),
+        (4, [0.2, 1.0]),   # both nearer y-axis centroid
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["cluster"]: (r["n"], r["shift"])
+        for r in kmeans_lloyd_step(
+            df, [[1.0, 0.0], [0.0, 1.0]]
+        ).collect()
+    }
+    # cluster 0 mean = (1.0, 0.1): shift = 0.1; cluster 1 symmetric
+    assert got[0][0] == 2 and got[1][0] == 2
+    assert math.isclose(got[0][1], 0.1, abs_tol=1e-6)
+    assert math.isclose(got[1][1], 0.1, abs_tol=1e-6)
+
+
+def test_kmeans_lloyd_step_empty_cluster_no_row(spark):
+    from sparkcollector.operators.similarity import kmeans_lloyd_step
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    out = kmeans_lloyd_step(df, [[1.0, 0.0], [0.0, 1.0]]).collect()
+    assert len(out) == 1 and out[0]["cluster"] == 0

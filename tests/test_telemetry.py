@@ -733,3 +733,44 @@ def test_throttle_exact_matches_sequential_replay(spark):
     # kept: 0 (first), 60 (>=0+60), 130 (>=60+60); suppressed: 10, 61
     assert r["n_total"] == 5 and r["n_kept"] == 3
     assert r["last_kept_s"] - r["first_kept_s"] == 130.0
+
+
+def test_hll_registers_merge_and_estimate_accuracy(spark):
+    """Registers are mergeable (max across shards == whole-set
+    registers) and the m=256 estimate lands within ~3 standard
+    errors (1.04/sqrt(256) ~ 6.5%) of the true distinct count."""
+    from sparkcollector.operators.telemetry import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [("g", f"item-{i}") for i in range(5000)], ["g", "k"]
+    )
+    regs = hll_registers(df, "k", ["g"])
+    est = hll_estimate(regs, ["g"]).collect()[0]
+    assert abs(est["est_distinct"] - 5000) / 5000 < 0.20
+    # merge property: shard registers max-combine to the whole
+    a = hll_registers(df.filter(F.col("k") < "item-3"), "k", ["g"])
+    b = hll_registers(df.filter(F.col("k") >= "item-3"), "k", ["g"])
+    merged = (
+        a.unionByName(b)
+        .groupBy("g", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    whole = {(r["reg"], r["rho"]) for r in regs.collect()}
+    assert {(r["reg"], r["rho"]) for r in merged.collect()} == whole
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Tiny cardinality hits the linear-counting branch and is near
+    exact there."""
+    from sparkcollector.operators.telemetry import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame([("g", f"x{i}") for i in range(20)], ["g", "k"])
+    est = hll_estimate(hll_registers(df, "k", ["g"]), ["g"]).collect()[0]
+    assert abs(est["est_distinct"] - 20) < 3
+    assert est["zero_registers"] > 0
