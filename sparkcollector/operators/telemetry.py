@@ -1486,3 +1486,145 @@ def hll_estimate(
         zeros.alias("zero_registers"),
         F.round(est, 4).alias("est_distinct"),
     )
+
+
+def exemplar_attach(
+    df: DataFrame,
+    group_cols: list[str],
+    bounds: tuple[float, ...],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window_sec: int = 60,
+) -> DataFrame:
+    """OTLP histogram exemplars (the sampled measurement with trace
+    context the signalfx backend uses for APM metric->trace
+    correlation): per (group, tumbling window, explicit-bounds
+    bucket), keep the bucket count plus ONE exemplar — the max-value
+    row, ties broken by min id so the pick is deterministic on any
+    engine.
+
+    One ranked window and one grouped aggregate over the SAME
+    (group, window, bucket) keys, so the rank's exchange is reused by
+    the aggregate — a single shuffle at datapoint volume, and the
+    output is bucket-cardinality (bounded), carrying (exemplar_id,
+    exemplar_value) as the trace link.
+    """
+    idx = F.lit(len(bounds))
+    for i in reversed(range(len(bounds))):
+        idx = F.when(F.col(value_col) <= bounds[i], F.lit(i)).otherwise(idx)
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    win = (F.floor(epoch / window_sec) * window_sec).cast("long")
+    bucketed = df.select(
+        *group_cols,
+        win.alias("win_start"),
+        idx.cast("int").alias("bucket_idx"),
+        F.col(value_col).alias("_v"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.partitionBy(*group_cols, "win_start", "bucket_idx").orderBy(
+        F.col("_v").desc(), F.col("_id").asc()
+    )
+    ranked = bucketed.withColumn("_rn", F.row_number().over(w))
+    return ranked.groupBy(*group_cols, "win_start", "bucket_idx").agg(
+        F.count("*").alias("n"),
+        F.max(F.when(F.col("_rn") == 1, F.col("_id"))).alias(
+            "exemplar_id"
+        ),
+        F.max(F.when(F.col("_rn") == 1, F.col("_v"))).alias(
+            "exemplar_value"
+        ),
+    )
+
+
+def exp_histogram_quantile(
+    buckets: DataFrame,
+    group_cols: list[str],
+    q: float = 0.95,
+    scale: int = 2,
+    idx_col: str = "bucket_idx",
+    count_col: str = "bucket_count",
+    total_col: str = "pos_count",
+) -> DataFrame:
+    """Quantile estimate from ExponentialHistogram buckets (the
+    native-histogram companion of ``histogram_quantile`` over explicit
+    bounds): bucket ``i`` at scale ``s`` covers ``(2^(i*2^-s),
+    2^((i+1)*2^-s)]``; rank = q * positive count, walk the cumulative
+    counts to the covering bucket, interpolate linearly inside it
+    (the Prometheus convention).
+
+    Runs on the bucket table (group x occupied buckets — tiny by
+    construction): one window cumsum sharing the group key, then pure
+    arithmetic.  ``i * 2^-scale`` is a dyadic rational, exact in
+    float64, so both the bounds and the rank replay bit-identically
+    on any engine; the interpolation is rounded(4) only against
+    division drift.
+    """
+    f = 2.0 ** (-scale)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(count_col).over(w).cast("double")
+    df = buckets.withColumn("_cum", cum)
+    rank = F.lit(q) * F.col(total_col).cast("double")
+    prev = F.col("_cum") - F.col(count_col).cast("double")
+    lower = F.pow(F.lit(2.0), F.col(idx_col).cast("double") * f)
+    upper = F.pow(F.lit(2.0), (F.col(idx_col) + 1).cast("double") * f)
+    est = lower + (upper - lower) * (rank - prev) / F.col(
+        count_col
+    ).cast("double")
+    return (
+        df.filter((F.col("_cum") >= rank) & (prev < rank))
+        .select(
+            *group_cols,
+            F.lit(q).alias("q"),
+            F.round(est, 4).alias("quantile"),
+        )
+    )
+
+
+def semconv_migrate(
+    df: DataFrame,
+    map_col: str,
+    steps: list[tuple[int, dict[str, str]]],
+    from_version_col: str | None = None,
+) -> DataFrame:
+    """Semantic-convention schema migration (the OTel schemaprocessor
+    shape: collector configs pin a schema URL and the processor
+    upgrades attribute names version by version): fold the ordered
+    rename steps over a map column — each step rewrites keys through
+    its rename table, values untouched, unknown keys pass through.
+
+    When ``from_version_col`` is given, a row only applies steps
+    NEWER than its recorded source version (mixed-version sources
+    upgrading to one target — the processor's actual job).  Pure
+    Catalyst: one ``map_from_entries(transform(map_entries(...)))``
+    chain per step, no shuffle, no UDF.
+    """
+    def make_renamer(renames):
+        # closure factory: F.transform inspects lambda arity, so the
+        # callable must take exactly ONE parameter (a default arg would
+        # receive the element index instead of the captured dict)
+        def rename_entry(e):
+            k = e["key"]
+            new = k
+            for old, nk in sorted(renames.items()):
+                new = F.when(k == old, F.lit(nk)).otherwise(new)
+            return F.struct(new.alias("key"), e["value"].alias("value"))
+
+        return rename_entry
+
+    out = F.col(map_col)
+    for version, renames in steps:
+        stepped = F.map_from_entries(
+            F.transform(F.map_entries(out), make_renamer(renames))
+        )
+        if from_version_col is not None:
+            out = F.when(
+                F.col(from_version_col) < version, stepped
+            ).otherwise(out)
+        else:
+            out = stepped
+    return df.withColumn(map_col, out)

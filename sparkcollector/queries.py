@@ -5611,6 +5611,164 @@ def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd_step(emb, _ivf_pinned_centroids())
 
 
+# ---------------------------------------------------------------------
+# 153. OTLP histogram exemplars (APM metric->trace correlation): per
+#      (event_type, 1-min window, explicit-bounds bucket) keep the
+#      count plus ONE exemplar — max value, ties to min event_id —
+#      the deterministic argmax both engines replay identically.
+# ---------------------------------------------------------------------
+@register(
+    "exemplar_attach",
+    """
+    with c as (
+      select event_type,
+             cast(floor(epoch(ts) / 60) * 60 as bigint) as win_start,
+             case when value <= 10.0 then 0
+                  when value <= 50.0 then 1
+                  when value <= 100.0 then 2
+                  when value <= 500.0 then 3
+                  else 4 end as bucket_idx,
+             value, event_id
+      from events),
+    r as (select *, row_number() over (
+            partition by event_type, win_start, bucket_idx
+            order by value desc, event_id) as rn
+          from c)
+    select event_type, win_start, cast(bucket_idx as int) as bucket_idx,
+           cast(count(*) as bigint) as n,
+           max(case when rn = 1 then event_id end) as exemplar_id,
+           max(case when rn = 1 then value end) as exemplar_value
+    from r group by 1, 2, 3
+    """,
+)
+def q_exemplar_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import exemplar_attach
+
+    ev = _t(spark, sf_dir, "events")
+    return exemplar_attach(
+        ev, ["event_type"], bounds=(10.0, 50.0, 100.0, 500.0)
+    )
+
+
+# ---------------------------------------------------------------------
+# 154. ExponentialHistogram quantile (native-histogram companion of
+#      histogram_quantile_p95): P95 per event_type from the scale-2
+#      bucket table — cumulative walk to the covering bucket, linear
+#      interpolation between 2^(i/4) bounds.  i*2^-scale is dyadic
+#      (exact float64) so the bounds replay bit-identically.
+# ---------------------------------------------------------------------
+@register(
+    "exp_histogram_quantile",
+    """
+    with pos as (
+      select event_type,
+             cast(ceil(ln(value) / ln(power(2, power(2, -2)))) - 1
+                  as bigint) as bucket_idx
+      from events where value > 0),
+    b as (select event_type, bucket_idx, count(*) as bucket_count
+          from pos group by 1, 2),
+    z as (select event_type,
+                 count(*) filter (value > 0) as pos_count
+          from events group by 1),
+    c as (select b.event_type, b.bucket_idx, b.bucket_count,
+                 z.pos_count,
+                 sum(b.bucket_count) over (
+                   partition by b.event_type
+                   order by b.bucket_idx) as cum
+          from b join z on b.event_type = z.event_type),
+    r as (select *,
+                 0.95 * cast(pos_count as double) as rk,
+                 cast(cum as double) as cumd,
+                 cast(cum - bucket_count as double) as prev
+          from c)
+    select event_type, 0.95 as q,
+           round(pow(2.0, cast(bucket_idx as double) * 0.25)
+                 + (pow(2.0, cast(bucket_idx + 1 as double) * 0.25)
+                    - pow(2.0, cast(bucket_idx as double) * 0.25))
+                   * (rk - prev) / cast(bucket_count as double), 4)
+             as quantile
+    from r where cumd >= rk and prev < rk
+    """,
+)
+def q_exp_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import (
+        exp_histogram_quantile,
+        exponential_histogram,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    buckets = exponential_histogram(ev, "value", ["event_type"], scale=2)
+    return exp_histogram_quantile(buckets, ["event_type"], q=0.95, scale=2)
+
+
+# ---------------------------------------------------------------------
+# 155. Semantic-convention schema migration (OTel schemaprocessor:
+#      configs pin a schema URL, the processor upgrades attribute
+#      names version by version): mixed-version sources (user_id % 3)
+#      fold only the rename steps NEWER than their recorded version.
+#      Output is the sorted k=v rendering; the oracle states the
+#      expected end-state names per version independently.
+# ---------------------------------------------------------------------
+@register(
+    "semconv_migrate",
+    """
+    select event_id,
+           cast(user_id % 3 as int) as src_version,
+           case cast(user_id % 3 as int)
+             when 0 then 'custom.tag=' || event_type
+                  || '|http.request.method=' || event_type
+                  || '|server.address=host-'
+                  || cast(user_id % 10 as varchar)
+             when 1 then 'custom.tag=' || event_type
+                  || '|http.method=' || event_type
+                  || '|server.address=host-'
+                  || cast(user_id % 10 as varchar)
+             else 'custom.tag=' || event_type
+                  || '|http.method=' || event_type
+                  || '|net.peer.name=host-'
+                  || cast(user_id % 10 as varchar)
+           end as attrs
+    from events
+    """,
+)
+def q_semconv_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import semconv_migrate
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 3).cast("int").alias("src_version"),
+        F.create_map(
+            F.lit("http.method"), F.col("event_type"),
+            F.lit("net.peer.name"),
+            F.concat(
+                F.lit("host-"), (F.col("user_id") % 10).cast("string")
+            ),
+            F.lit("custom.tag"), F.col("event_type"),
+        ).alias("attrs"),
+    )
+    migrated = semconv_migrate(
+        ev,
+        "attrs",
+        steps=[
+            (1, {"http.method": "http.request.method"}),
+            (2, {"net.peer.name": "server.address"}),
+        ],
+        from_version_col="src_version",
+    )
+    rendered = F.array_join(
+        F.sort_array(
+            F.transform(
+                F.map_entries("attrs"),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        "|",
+    )
+    return migrated.select(
+        "event_id", "src_version", rendered.alias("attrs")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
