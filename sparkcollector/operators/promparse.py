@@ -284,3 +284,196 @@ def statsd_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
         F.when(mtype != "", mtype).alias("mtype"),
         F.when(name != "", F.round(scaled, 6)).alias("value"),
     )
+
+
+CARBON_RE = (
+    r"^([A-Za-z0-9_.-]+)((?:;[A-Za-z0-9_.-]+=[A-Za-z0-9_.-]*)*)"
+    r" (-?[0-9.]+) ([0-9]+)$"
+)
+
+
+def carbon_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse Carbon / Graphite plaintext protocol lines —
+    ``dotted.metric.path[;tag=value...] value timestamp`` — into typed
+    samples (carbonreceiver, components.go:217; the wavefront receiver
+    at components.go:282 shares this grammar with ``source=`` handled
+    as an ordinary tag).
+
+    Graphite tag support: everything after the first ``;`` in the name
+    part splits into a ``tags`` map.  Lines that do not match the
+    grammar surface with ``metric`` NULL (the receiver's malformed
+    counter feeds off them) — never dropped silently.  Pure regexp +
+    array HOFs, codegen'd, zero shuffle.
+    """
+    line = F.col(line_col)
+    path = F.regexp_extract(line, CARBON_RE, 1)
+    tags_raw = F.regexp_extract(line, CARBON_RE, 2)
+    raw = F.regexp_extract(line, CARBON_RE, 3)
+    ts_raw = F.regexp_extract(line, CARBON_RE, 4)
+    entries = F.filter(F.split(tags_raw, ";"), lambda s: s != "")
+    tags = F.map_from_entries(
+        F.transform(
+            entries,
+            lambda s: F.struct(
+                F.substring_index(s, "=", 1).alias("key"),
+                F.substring_index(s, "=", -1).alias("value"),
+            ),
+        )
+    )
+    ok = path != ""
+    return df.select(
+        "*",
+        F.when(ok, path).alias("metric"),
+        F.when(ok, tags).alias("tags"),
+        F.when(ok, raw.try_cast("double")).alias("value"),
+        F.when(ok, ts_raw.try_cast("long")).alias("ts_s"),
+    )
+
+
+INFLUX_RE = (
+    r"^([A-Za-z0-9_.-]+)((?:,[A-Za-z0-9_.-]+=[A-Za-z0-9_.-]+)*)"
+    r" ([^ ]+)(?: ([0-9]+))?$"
+)
+
+
+def influx_line_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse InfluxDB line protocol —
+    ``measurement[,tag=v...] field=value[,field=value...] [ts_ns]`` —
+    into one row per field (influxdbreceiver, components.go:235; the
+    receiver's influx->OTel mapping names each field's metric
+    ``<measurement>_<field>``).
+
+    Field typing follows the protocol: ``123i`` integer, bare number
+    float (both land in ``dvalue``), ``t/f/true/false`` boolean,
+    ``"quoted"`` string (``svalue``).  Escaped separators inside
+    quoted strings are out of scope for the synthetic corpus (noted,
+    not silently wrong: such lines fail the grammar and surface with
+    ``measurement`` NULL, as do all malformed lines).  One
+    regexp-split-explode — the only row multiplication is the field
+    count, bounded by line length.
+    """
+    line = F.col(line_col)
+    meas = F.regexp_extract(line, INFLUX_RE, 1)
+    tags_raw = F.regexp_extract(line, INFLUX_RE, 2)
+    fields_raw = F.regexp_extract(line, INFLUX_RE, 3)
+    ts_raw = F.regexp_extract(line, INFLUX_RE, 4)
+    tag_entries = F.filter(F.split(tags_raw, ","), lambda s: s != "")
+    tags = F.map_from_entries(
+        F.transform(
+            tag_entries,
+            lambda s: F.struct(
+                F.substring_index(s, "=", 1).alias("key"),
+                F.substring_index(s, "=", -1).alias("value"),
+            ),
+        )
+    )
+    ok = meas != ""
+    base = df.select(
+        "*",
+        F.when(ok, meas).alias("measurement"),
+        F.when(ok, tags).alias("tags"),
+        F.when(ok, ts_raw.try_cast("long")).alias("ts_ns"),
+        F.when(ok, F.split(fields_raw, ",")).otherwise(
+            F.array(F.lit(None).cast("string"))
+        ).alias("_fields"),
+    )
+    f = F.col("_field")
+    key = F.substring_index(f, "=", 1)
+    val = F.substring_index(f, "=", -1)
+    is_int = val.rlike(r"^-?[0-9]+i$")
+    is_float = val.rlike(r"^-?[0-9]+(\.[0-9]+)?([eE]-?[0-9]+)?$")
+    is_bool = val.rlike(r"^(t|T|true|True|TRUE|f|F|false|False|FALSE)$")
+    is_str = val.rlike(r'^".*"$')
+    ftype = (
+        F.when(is_int, F.lit("int"))
+        .when(is_float, F.lit("float"))
+        .when(is_bool, F.lit("bool"))
+        .when(is_str, F.lit("string"))
+    )
+    dvalue = (
+        F.when(is_int, F.expr("substring(_fval, 1, length(_fval) - 1)").try_cast("double"))
+        .when(is_float, val.try_cast("double"))
+        .when(is_bool, val.rlike(r"^(t|T|true|True|TRUE)$").cast("double"))
+    )
+    svalue = F.when(is_str, F.expr("substring(_fval, 2, length(_fval) - 2)"))
+    return (
+        base.select(
+            "*", F.explode_outer("_fields").alias("_field")
+        )
+        .withColumn("_fval", val)
+        .select(
+            *[c for c in df.columns],
+            "measurement",
+            "tags",
+            "ts_ns",
+            F.when(F.col("measurement").isNotNull() & key.isNotNull(),
+                   key).alias("field"),
+            ftype.alias("ftype"),
+            F.round(dvalue, 6).alias("dvalue"),
+            svalue.alias("svalue"),
+            F.when(
+                F.col("measurement").isNotNull(),
+                F.concat(F.col("measurement"), F.lit("_"), key),
+            ).alias("metric"),
+        )
+    )
+
+
+def hec_envelope_parse(df: DataFrame, json_col: str = "payload") -> DataFrame:
+    """Parse Splunk HEC JSON event envelopes (splunkhecreceiver,
+    components.go:270) — ``{"time":..., "host":..., "source":...,
+    "sourcetype":..., "event":..., "fields":{...}}`` — splitting the
+    metric shape from the log shape the way the receiver does:
+    ``event == "metric"`` marks a metrics envelope whose datapoints
+    live in ``fields`` under ``metric_name:<name>`` keys (the HEC
+    metrics convention); anything else is one log event.
+
+    Output is one unified frame: log envelopes keep ``event`` text
+    with ``metric`` NULL; metric envelopes explode to one row per
+    ``metric_name:*`` field with ``event`` NULL.  ``time`` accepts
+    fractional epoch seconds (number or JSON string — ``get_json_object``
+    + cast handles both).  Malformed JSON yields NULL fields, counted
+    upstream, never dropped.  get_json_object/from_json only — no
+    Python, one explode on the metric branch.
+    """
+    j = F.col(json_col)
+    time_s = F.get_json_object(j, "$.time").try_cast("double")
+    host = F.get_json_object(j, "$.host")
+    source = F.get_json_object(j, "$.source")
+    sourcetype = F.get_json_object(j, "$.sourcetype")
+    event = F.get_json_object(j, "$.event")
+    fields = F.from_json(
+        F.get_json_object(j, "$.fields"), "map<string,string>"
+    )
+    base = df.select(
+        "*",
+        time_s.alias("time"),
+        host.alias("host"),
+        source.alias("source"),
+        sourcetype.alias("sourcetype"),
+        event.alias("event"),
+        fields.alias("_fields"),
+    )
+    is_metric = F.col("event") == "metric"
+    logs = base.filter(~F.coalesce(is_metric, F.lit(False))).select(
+        *df.columns,
+        "time", "host", "source", "sourcetype", "event",
+        F.lit(None).cast("string").alias("metric"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    metrics = (
+        base.filter(F.coalesce(is_metric, F.lit(False)))
+        .select(
+            *df.columns, "time", "host", "source", "sourcetype",
+            F.explode_outer("_fields").alias("_k", "_v"),
+        )
+        .filter(F.col("_k").startswith("metric_name:"))
+        .select(
+            *df.columns,
+            "time", "host", "source", "sourcetype",
+            F.lit(None).cast("string").alias("event"),
+            F.expr("substring(_k, 13)").alias("metric"),
+            F.col("_v").try_cast("double").alias("value"),
+        )
+    )
+    return logs.unionByName(metrics)

@@ -5769,6 +5769,260 @@ def q_semconv_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 156. Carbon / Graphite plaintext protocol parse (carbonreceiver,
+#      components.go:217; wavefront shares the grammar): dotted path,
+#      ;tag=value pairs, integer-rendered value and epoch so both
+#      engines replay the text bit-identically; malformed lines
+#      surface as NULL metric, never dropped.
+# ---------------------------------------------------------------------
+@register(
+    "carbon_line_parse",
+    """
+    select event_id,
+           case when event_id % 20 = 0 then NULL
+                else 'svc.' || event_type || '.host-'
+                     || cast(user_id % 10 as varchar) end as metric,
+           case when event_id % 20 = 0 then NULL
+                else 'env='
+                     || case when event_id % 2 = 0 then 'prod'
+                             else 'dev' end
+                     || '|region=r' || cast(user_id % 3 as varchar)
+           end as tags,
+           case when event_id % 20 = 0 then NULL
+                else cast(cast(floor(value * 1000) as bigint) as double)
+           end as value,
+           case when event_id % 20 = 0 then NULL
+                else cast(floor(epoch(ts)) as bigint) end as ts_s
+    from events
+    """,
+)
+def q_carbon_line_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import carbon_parse
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    path = F.concat(
+        F.lit("svc."),
+        F.col("event_type"),
+        F.lit(".host-"),
+        (uid % 10).cast("string"),
+    )
+    env = F.when(F.col("event_id") % 2 == 0, F.lit("prod")).otherwise(
+        F.lit("dev")
+    )
+    ival = F.floor(F.col("value") * 1000).cast("long").cast("string")
+    eps = F.floor(_epoch_s("ts")).cast("long").cast("string")
+    line = F.when(
+        F.col("event_id") % 20 == 0, F.lit("not a carbon line")
+    ).otherwise(
+        F.concat(
+            path,
+            F.lit(";env="),
+            env,
+            F.lit(";region=r"),
+            (uid % 3).cast("string"),
+            F.lit(" "),
+            ival,
+            F.lit(" "),
+            eps,
+        )
+    )
+    parsed = carbon_parse(ev.select("event_id", line.alias("line")))
+    rendered = F.array_join(
+        F.sort_array(
+            F.transform(
+                F.map_entries("tags"),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        "|",
+    )
+    return parsed.select(
+        "event_id", "metric", rendered.alias("tags"), "value", "ts_s"
+    )
+
+
+# ---------------------------------------------------------------------
+# 157. InfluxDB line protocol parse (influxdbreceiver,
+#      components.go:235): measurement,tags fields [ts_ns], one output
+#      row per field with protocol typing (123i int / bare float /
+#      t|f bool / "quoted" string); metric = measurement_field (the
+#      receiver's influx->OTel naming).  Integer-rendered numerics so
+#      the text replays identically on both engines.
+# ---------------------------------------------------------------------
+@register(
+    "influx_line_parse",
+    """
+    with base as (
+      select event_id, user_id, event_type,
+             event_id % 20 = 0 as bad,
+             'app' as meas,
+             'dc=dc' || cast(user_id % 3 as varchar)
+               || '|host=h' || cast(user_id % 5 as varchar) as tags,
+             cast(floor(epoch(ts)) as bigint) * 1000000000 as ts_ns,
+             cast(user_id % 100 as bigint) as reqs,
+             cast(floor(value * 1000) as bigint) as lat,
+             cast(floor(value * 100) as bigint) as val
+      from events)
+    select event_id, meas as measurement, tags, ts_ns,
+           'requests' as field, 'int' as ftype,
+           cast(reqs as double) as dvalue,
+           cast(NULL as varchar) as svalue,
+           'app_requests' as metric
+    from base where not bad and event_type = 'click'
+    union all
+    select event_id, meas, tags, ts_ns, 'latency', 'float',
+           cast(lat as double), NULL, 'app_latency'
+    from base where not bad and event_type = 'click'
+    union all
+    select event_id, meas, tags, ts_ns, 'up', 'bool', 0.0, NULL,
+           'app_up'
+    from base where not bad and event_type = 'error'
+    union all
+    select event_id, meas, tags, ts_ns, 'msg', 'string', NULL, 'err',
+           'app_msg'
+    from base where not bad and event_type = 'error'
+    union all
+    select event_id, meas, tags, ts_ns, 'value', 'float',
+           cast(val as double), NULL, 'app_value'
+    from base where not bad and event_type not in ('click', 'error')
+    union all
+    select event_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    from base where bad
+    """,
+)
+def q_influx_line_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import influx_line_parse
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    tags = F.concat(
+        F.lit(",dc=dc"),
+        (uid % 3).cast("string"),
+        F.lit(",host=h"),
+        (uid % 5).cast("string"),
+    )
+    ts_ns = (F.floor(_epoch_s("ts")).cast("long") * F.lit(1000000000)).cast(
+        "string"
+    )
+    reqs = (uid % 100).cast("string")
+    lat = F.floor(F.col("value") * 1000).cast("long").cast("string")
+    val = F.floor(F.col("value") * 100).cast("long").cast("string")
+    fields = (
+        F.when(
+            F.col("event_type") == "click",
+            F.concat(F.lit("requests="), reqs, F.lit("i,latency="), lat),
+        )
+        .when(F.col("event_type") == "error", F.lit('up=f,msg="err"'))
+        .otherwise(F.concat(F.lit("value="), val))
+    )
+    line = F.when(
+        F.col("event_id") % 20 == 0, F.lit("@@ not influx @@")
+    ).otherwise(
+        F.concat(F.lit("app"), tags, F.lit(" "), fields, F.lit(" "), ts_ns)
+    )
+    parsed = influx_line_parse(ev.select("event_id", line.alias("line")))
+    rendered = F.when(
+        F.col("measurement").isNotNull(),
+        F.array_join(
+            F.sort_array(
+                F.transform(
+                    F.map_entries("tags"),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                )
+            ),
+            "|",
+        ),
+    )
+    return parsed.select(
+        "event_id",
+        "measurement",
+        rendered.alias("tags"),
+        "ts_ns",
+        "field",
+        "ftype",
+        "dvalue",
+        "svalue",
+        "metric",
+    )
+
+
+# ---------------------------------------------------------------------
+# 158. Splunk HEC JSON envelope parse (splunkhecreceiver,
+#      components.go:270): event=="metric" envelopes explode their
+#      metric_name:* fields into datapoints, everything else is one
+#      log event; malformed JSON surfaces as an all-NULL group.
+#      Grouped rollup keeps the output bounded and integer-valued.
+# ---------------------------------------------------------------------
+@register(
+    "hec_envelope",
+    """
+    with base as (
+      select event_id, user_id, event_type,
+             event_id % 25 = 0 as bad,
+             'h' || cast(user_id % 5 as varchar) as host,
+             floor(epoch(ts)) as eps,
+             cast(user_id % 1000 as bigint) as clicks,
+             cast(floor(value * 100) as bigint) as lat
+      from events)
+    select host, cast(NULL as varchar) as sourcetype,
+           'clicks' as metric, cast(count(*) as bigint) as n,
+           cast(sum(clicks) as double) as total,
+           max(eps) as max_time
+    from base where not bad and event_type = 'click' group by host
+    union all
+    select host, NULL, 'latency_ms', count(*),
+           cast(sum(lat) as double), max(eps)
+    from base where not bad and event_type = 'click' group by host
+    union all
+    select host, 'transcript', NULL, count(*), NULL, max(eps)
+    from base where not bad and event_type <> 'click' group by host
+    union all
+    select NULL, NULL, NULL, count(*), NULL, NULL
+    from base where bad
+    """,
+)
+def q_hec_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import hec_envelope_parse
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    eps = F.floor(_epoch_s("ts")).cast("long").cast("string")
+    host = F.concat(F.lit("h"), (uid % 5).cast("string"))
+    clicks = (uid % 1000).cast("string")
+    lat = F.floor(F.col("value") * 100).cast("long").cast("string")
+    metric_env = F.concat(
+        F.lit('{"time":'),
+        eps,
+        F.lit(',"host":"'),
+        host,
+        F.lit('","event":"metric","fields":{"metric_name:clicks":"'),
+        clicks,
+        F.lit('","metric_name:latency_ms":"'),
+        lat,
+        F.lit('"}}'),
+    )
+    log_env = F.concat(
+        F.lit('{"time":'),
+        eps,
+        F.lit(',"host":"'),
+        host,
+        F.lit('","source":"app","sourcetype":"transcript","event":"'),
+        F.col("event_type"),
+        F.lit(' turn"}'),
+    )
+    payload = F.when(F.col("event_id") % 25 == 0, F.lit("not json")).otherwise(
+        F.when(F.col("event_type") == "click", metric_env).otherwise(log_env)
+    )
+    parsed = hec_envelope_parse(ev.select(payload.alias("payload")))
+    return parsed.groupBy("host", "sourcetype", "metric").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("total"),
+        F.max("time").alias("max_time"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -176,3 +176,79 @@ def test_statsd_parse_grammar_and_rate_scaling(spark):
     assert got["temp:-2.5|g"] == ("temp", "g", -2.5)
     assert got["lat:120|ms"] == ("lat", "ms", 120.0)
     assert got["not a metric"] == (None, None, None)
+
+
+def test_carbon_parse_grammar(spark):
+    from sparkcollector.operators.promparse import carbon_parse
+
+    df = spark.createDataFrame(
+        [
+            ("sys.cpu.user;host=web1;dc=east 42.5 1704067200",),
+            ("sys.cpu.user 7 1704067260",),      # no tags
+            ("bogus",),                           # malformed
+        ],
+        "line string",
+    )
+    rows = {r["line"]: r for r in carbon_parse(df).collect()}
+    tagged = rows["sys.cpu.user;host=web1;dc=east 42.5 1704067200"]
+    assert tagged["metric"] == "sys.cpu.user"
+    assert tagged["tags"] == {"host": "web1", "dc": "east"}
+    assert tagged["value"] == 42.5
+    assert tagged["ts_s"] == 1704067200
+    plain = rows["sys.cpu.user 7 1704067260"]
+    assert plain["metric"] == "sys.cpu.user" and plain["tags"] == {}
+    assert rows["bogus"]["metric"] is None
+
+
+def test_influx_line_parse_field_typing(spark):
+    from sparkcollector.operators.promparse import influx_line_parse
+
+    df = spark.createDataFrame(
+        [
+            ('cpu,host=a usage=0.5,cores=8i,up=t,note="hi" 1704067200000000000',),
+            ("mem free=100",),               # no tags, no ts
+            ("@@ nope",),                    # malformed
+        ],
+        "line string",
+    )
+    out = influx_line_parse(df).collect()
+    cpu = {r["field"]: r for r in out if r["measurement"] == "cpu"}
+    assert set(cpu) == {"usage", "cores", "up", "note"}
+    assert cpu["usage"]["ftype"] == "float" and cpu["usage"]["dvalue"] == 0.5
+    assert cpu["cores"]["ftype"] == "int" and cpu["cores"]["dvalue"] == 8.0
+    assert cpu["up"]["ftype"] == "bool" and cpu["up"]["dvalue"] == 1.0
+    assert cpu["note"]["ftype"] == "string" and cpu["note"]["svalue"] == "hi"
+    assert cpu["cores"]["metric"] == "cpu_cores"
+    assert cpu["usage"]["ts_ns"] == 1704067200000000000
+    mem = [r for r in out if r["measurement"] == "mem"]
+    assert len(mem) == 1 and mem[0]["ts_ns"] is None
+    bad = [r for r in out if r["measurement"] is None]
+    assert len(bad) == 1 and bad[0]["field"] is None
+
+
+def test_hec_envelope_metric_vs_log_and_fractional_time(spark):
+    from sparkcollector.operators.promparse import hec_envelope_parse
+
+    df = spark.createDataFrame(
+        [
+            ('{"time":1704067200.123,"host":"web1","event":"metric",'
+             '"fields":{"metric_name:cpu":"0.9","metric_name:mem":"512",'
+             '"extra":"x"}}',),
+            ('{"time":"1704067201","host":"web2","source":"s",'
+             '"sourcetype":"st","event":"hello world"}',),
+            ("not json",),
+        ],
+        "payload string",
+    )
+    out = hec_envelope_parse(df).collect()
+    metrics = {r["metric"]: r for r in out if r["metric"] is not None}
+    # only metric_name:* fields become datapoints; "extra" is dropped
+    assert set(metrics) == {"cpu", "mem"}
+    assert metrics["cpu"]["value"] == 0.9
+    assert abs(metrics["cpu"]["time"] - 1704067200.123) < 1e-9
+    logs = [r for r in out if r["metric"] is None and r["host"] is not None]
+    assert len(logs) == 1
+    assert logs[0]["event"] == "hello world"
+    assert logs[0]["time"] == 1704067201.0  # string time accepted
+    bad = [r for r in out if r["host"] is None]
+    assert len(bad) == 1 and bad[0]["event"] is None
