@@ -302,3 +302,78 @@ def scd2_intervals(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop(ts_col)
     )
+
+
+def k8s_owner_resolve(
+    pods: DataFrame,
+    replicasets: DataFrame,
+    pod_name_col: str = "pod_name",
+    rs_col: str = "rs_name",
+    deploy_col: str = "deploy_name",
+) -> DataFrame:
+    """Resolve each pod's top-level workload through the k8s owner
+    chain — pod -> ReplicaSet -> Deployment — the way the
+    k8sattributes processor (components.go:325) and the smart agent's
+    pod/replicaset caches do (internal/signalfx-agent/pkg/monitors/
+    kubernetes/utils/replicasetcache.go:34-57: a ReplicaSet's
+    OwnerReferences point at its Deployment; podcache joins pods to
+    that).
+
+    A pod with no ReplicaSet owner is its own workload
+    (kind=Pod); a ReplicaSet with no Deployment owner is the workload
+    itself (kind=ReplicaSet).  The dimension side is cluster metadata
+    — O(workloads), always tiny next to the datapoint stream — so the
+    join is an explicit broadcast: at 100 TB the fact side streams
+    through map-side hash lookups, zero shuffle.
+    """
+    rs = F.broadcast(
+        replicasets.select(
+            F.col(rs_col), F.col(deploy_col).alias("_deploy")
+        )
+    )
+    joined = pods.join(rs, rs_col, "left")
+    kind = (
+        F.when(F.col("_deploy").isNotNull(), F.lit("Deployment"))
+        .when(F.col(rs_col).isNotNull(), F.lit("ReplicaSet"))
+        .otherwise(F.lit("Pod"))
+    )
+    name = F.coalesce(F.col("_deploy"), F.col(rs_col), F.col(pod_name_col))
+    return joined.select(
+        *pods.columns,
+        kind.alias("workload_kind"),
+        name.alias("workload_name"),
+    ).drop("_deploy")
+
+
+def resource_detection(
+    df: DataFrame,
+    detectors: list[tuple[str, dict[str, "F.Column"]]],
+    override: bool = False,
+) -> DataFrame:
+    """resourcedetection processor precedence (components.go:332):
+    detectors run in configured order and the FIRST one that supplies
+    an attribute wins; with ``override=False`` (the default) an
+    attribute already present on the resource beats every detector,
+    with ``override=True`` the detected value replaces it.
+
+    ``detectors`` is the ordered config list: (detector_name,
+    {attribute: Column-or-NULL}).  Everything folds to one
+    ``coalesce`` per attribute — pure Catalyst, no shuffle, and the
+    plan stays a single Project over the scan.
+    """
+    by_attr: dict[str, list] = {}
+    for _name, attrs in detectors:
+        for key, col in attrs.items():
+            by_attr.setdefault(key, []).append(col)
+    for key, cols in by_attr.items():
+        detected = F.coalesce(*cols) if len(cols) > 1 else cols[0]
+        if key in df.columns:
+            merged = (
+                F.coalesce(detected, F.col(key))
+                if override
+                else F.coalesce(F.col(key), detected)
+            )
+        else:
+            merged = detected
+        df = df.withColumn(key, merged)
+    return df

@@ -477,3 +477,72 @@ def hec_envelope_parse(df: DataFrame, json_col: str = "payload") -> DataFrame:
         )
     )
     return logs.unionByName(metrics)
+
+
+COLLECTD_SCHEMA = (
+    "array<struct<values:array<double>,dstypes:array<string>,"
+    "dsnames:array<string>,time:double,interval:double,host:string,"
+    "plugin:string,plugin_instance:string,type:string,"
+    "type_instance:string>>"
+)
+
+
+def collectd_parse(df: DataFrame, json_col: str = "payload") -> DataFrame:
+    """Flatten collectd write_http JSON payloads (collectdreceiver,
+    components.go:221) — an array of value-lists, each carrying
+    parallel ``values``/``dstypes``/``dsnames`` arrays plus plugin
+    identity — into one datapoint row per value.
+
+    Metric naming follows the signalfx collectd convention: dot-join
+    of plugin, type, type_instance and dsname, skipping empty parts
+    and the ``value`` dsname (a single-value list's dsname carries no
+    information).  dstype maps to metric temporality: counter/derive
+    -> cumulative, absolute -> delta, gauge -> gauge.  Malformed JSON
+    yields one all-NULL row (the receiver's error counter feeds off
+    it).  from_json + two explodes + arrays_zip — no Python, row
+    growth bounded by the payload's own value count.
+    """
+    recs = F.from_json(F.col(json_col), COLLECTD_SCHEMA)
+    rec = F.col("_rec")
+    exploded = df.select("*", F.explode_outer(recs).alias("_rec")).select(
+        "*",
+        F.explode_outer(
+            F.arrays_zip(
+                rec["values"].alias("v"),
+                rec["dstypes"].alias("dst"),
+                rec["dsnames"].alias("dsn"),
+            )
+        ).alias("_z"),
+    )
+    dsname = F.col("_z")["dsn"]
+    name = F.concat_ws(
+        ".",
+        *[
+            F.when(part.isNotNull() & (part != ""), part)
+            for part in (
+                rec["plugin"],
+                rec["type"],
+                rec["type_instance"],
+                F.when(dsname != "value", dsname),
+            )
+        ],
+    )
+    dstype = F.col("_z")["dst"]
+    mtype = (
+        F.when(dstype.isin("counter", "derive"), F.lit("cumulative"))
+        .when(dstype == "absolute", F.lit("delta"))
+        .when(dstype == "gauge", F.lit("gauge"))
+    )
+    ok = rec.isNotNull()
+    return exploded.select(
+        *df.columns,
+        F.when(ok, name).alias("metric"),
+        mtype.alias("mtype"),
+        rec["host"].alias("host"),
+        F.when(
+            rec["plugin_instance"] != "", rec["plugin_instance"]
+        ).alias("plugin_instance"),
+        F.col("_z")["v"].alias("value"),
+        rec["time"].alias("time_s"),
+        rec["interval"].alias("interval_s"),
+    )

@@ -6023,6 +6023,198 @@ def q_hec_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 159. collectd write_http JSON flatten (collectdreceiver,
+#      components.go:221): value-lists with parallel values/dstypes/
+#      dsnames arrays explode to datapoints; signalfx dot-join naming
+#      (empty parts and dsname 'value' skipped); dstype -> temporality.
+# ---------------------------------------------------------------------
+@register(
+    "collectd_flatten",
+    """
+    with base as (
+      select event_id, user_id, event_type,
+             event_id % 20 = 0 as bad,
+             'host-' || cast(user_id % 5 as varchar) as host,
+             floor(epoch(ts)) as eps,
+             cast(user_id % 500 as bigint) as a,
+             cast(user_id % 700 as bigint) as b,
+             cast(floor(value * 100) as bigint) as c
+      from events)
+    select event_id, 'disk.disk_octets.read' as metric,
+           'cumulative' as mtype, host, 'sda' as plugin_instance,
+           cast(a as double) as value, eps as time_s,
+           cast(10 as double) as interval_s
+    from base where not bad and event_type = 'click'
+    union all
+    select event_id, 'disk.disk_octets.write', 'cumulative', host,
+           'sda', cast(b as double), eps, cast(10 as double)
+    from base where not bad and event_type = 'click'
+    union all
+    select event_id, 'memory.memory.' || event_type, 'gauge', host,
+           NULL, cast(c as double), eps, cast(10 as double)
+    from base where not bad and event_type <> 'click'
+    union all
+    select event_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    from base where bad
+    """,
+)
+def q_collectd_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import collectd_parse
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    host = F.concat(F.lit("host-"), (uid % 5).cast("string"))
+    eps = F.floor(_epoch_s("ts")).cast("long").cast("string")
+    a = (uid % 500).cast("string")
+    b = (uid % 700).cast("string")
+    c = F.floor(F.col("value") * 100).cast("long").cast("string")
+    disk = F.concat(
+        F.lit('[{"values":['), a, F.lit(","), b,
+        F.lit('],"dstypes":["counter","counter"],'
+              '"dsnames":["read","write"],"time":'),
+        eps,
+        F.lit(',"interval":10,"host":"'), host,
+        F.lit('","plugin":"disk","plugin_instance":"sda",'
+              '"type":"disk_octets","type_instance":""}]'),
+    )
+    mem = F.concat(
+        F.lit('[{"values":['), c,
+        F.lit('],"dstypes":["gauge"],"dsnames":["value"],"time":'),
+        eps,
+        F.lit(',"interval":10,"host":"'), host,
+        F.lit('","plugin":"memory","plugin_instance":"",'
+              '"type":"memory","type_instance":"'),
+        F.col("event_type"),
+        F.lit('"}]'),
+    )
+    payload = F.when(F.col("event_id") % 20 == 0, F.lit("nope")).otherwise(
+        F.when(F.col("event_type") == "click", disk).otherwise(mem)
+    )
+    return collectd_parse(
+        ev.select("event_id", payload.alias("payload"))
+    ).drop("payload")
+
+
+# ---------------------------------------------------------------------
+# 160. k8s owner-chain workload resolution (k8sattributesprocessor,
+#      components.go:325; replicasetcache.go:34-57): pod -> ReplicaSet
+#      -> Deployment via two broadcast hash lookups; ownerless pods
+#      are their own workload.  Pods from orders, ReplicaSets from
+#      customer (FK guaranteed), Deployments keyed by nation.
+# ---------------------------------------------------------------------
+@register(
+    "k8s_owner_workloads",
+    """
+    with pods as (
+      select 'pod-' || cast(o_orderkey as varchar) as pod_name,
+             case when o_orderkey % 7 <> 0
+                  then 'rs-' || cast(o_custkey as varchar) end as rs_name
+      from orders),
+    rs as (
+      select 'rs-' || cast(c_custkey as varchar) as rs_name,
+             case when c_custkey % 5 <> 0
+                  then 'dep-' || cast(c_nationkey as varchar)
+             end as deploy_name
+      from customer)
+    select p.pod_name,
+           case when p.rs_name is null then 'Pod'
+                when r.deploy_name is null then 'ReplicaSet'
+                else 'Deployment' end as workload_kind,
+           coalesce(r.deploy_name, p.rs_name, p.pod_name)
+             as workload_name
+    from pods p left join rs r on p.rs_name = r.rs_name
+    """,
+)
+def q_k8s_owner_workloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .enrich import k8s_owner_resolve
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    pods = o.select(
+        F.concat(F.lit("pod-"), F.col("o_orderkey").cast("string")).alias(
+            "pod_name"
+        ),
+        F.when(
+            F.col("o_orderkey") % 7 != 0,
+            F.concat(F.lit("rs-"), F.col("o_custkey").cast("string")),
+        ).alias("rs_name"),
+    )
+    rs = c.select(
+        F.concat(F.lit("rs-"), F.col("c_custkey").cast("string")).alias(
+            "rs_name"
+        ),
+        F.when(
+            F.col("c_custkey") % 5 != 0,
+            F.concat(F.lit("dep-"), F.col("c_nationkey").cast("string")),
+        ).alias("deploy_name"),
+    )
+    out = k8s_owner_resolve(pods, rs)
+    return out.select("pod_name", "workload_kind", "workload_name")
+
+
+# ---------------------------------------------------------------------
+# 161. resourcedetection precedence (components.go:332): ordered
+#      detectors, first supplier of an attribute wins, existing
+#      resource attributes beat detectors under override=false.
+# ---------------------------------------------------------------------
+@register(
+    "resource_detection_precedence",
+    """
+    select event_id,
+           case when event_type = 'error' then 'preset-host'
+                when user_id % 2 = 0
+                  then 'env-h' || cast(user_id % 5 as varchar)
+                else 'sys-h' || cast(user_id % 7 as varchar)
+           end as host_name,
+           case when user_id % 4 = 0
+                then 'r' || cast(user_id % 3 as varchar)
+           end as cloud_region,
+           'linux' as os_type
+    from events
+    """,
+)
+def q_resource_detection_precedence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .enrich import resource_detection
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit("preset-host")).alias(
+            "host_name"
+        ),
+    )
+    uid = F.col("user_id")
+    detectors = [
+        (
+            "env",
+            {
+                "host_name": F.when(
+                    uid % 2 == 0,
+                    F.concat(F.lit("env-h"), (uid % 5).cast("string")),
+                ),
+                "cloud_region": F.when(
+                    uid % 4 == 0,
+                    F.concat(F.lit("r"), (uid % 3).cast("string")),
+                ),
+            },
+        ),
+        (
+            "system",
+            {
+                "host_name": F.concat(
+                    F.lit("sys-h"), (uid % 7).cast("string")
+                ),
+                "os_type": F.lit("linux"),
+            },
+        ),
+    ]
+    out = resource_detection(ev, detectors, override=False)
+    return out.select("event_id", "host_name", "cloud_region", "os_type")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

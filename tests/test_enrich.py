@@ -193,3 +193,46 @@ def test_scd2_intervals_versions(spark):
     assert out[("k1", 2)]["valid_to"] is None
     assert out[("k1", 2)]["is_current"] is True
     assert out[("k2", 1)]["is_current"] is True
+
+
+def test_k8s_owner_resolve_chain(spark):
+    from sparkcollector.enrich import k8s_owner_resolve
+
+    pods = spark.createDataFrame(
+        [("pod-a", "rs-1"), ("pod-b", "rs-2"), ("pod-c", None)],
+        "pod_name string, rs_name string",
+    )
+    rs = spark.createDataFrame(
+        [("rs-1", "dep-x"), ("rs-2", None)],
+        "rs_name string, deploy_name string",
+    )
+    got = {
+        r["pod_name"]: (r["workload_kind"], r["workload_name"])
+        for r in k8s_owner_resolve(pods, rs).collect()
+    }
+    assert got["pod-a"] == ("Deployment", "dep-x")
+    assert got["pod-b"] == ("ReplicaSet", "rs-2")
+    assert got["pod-c"] == ("Pod", "pod-c")
+
+
+def test_resource_detection_override_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.enrich import resource_detection
+
+    df = spark.createDataFrame(
+        [("e1", "preset"), ("e2", None)], "id string, host string"
+    )
+    detectors = [
+        ("env", {"host": F.lit("env-host"), "region": F.lit("r1")}),
+    ]
+    keep = {
+        r["id"]: r["host"]
+        for r in resource_detection(df, detectors, override=False).collect()
+    }
+    assert keep == {"e1": "preset", "e2": "env-host"}
+    win = {
+        r["id"]: r["host"]
+        for r in resource_detection(df, detectors, override=True).collect()
+    }
+    assert win == {"e1": "env-host", "e2": "env-host"}

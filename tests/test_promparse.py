@@ -252,3 +252,30 @@ def test_hec_envelope_metric_vs_log_and_fractional_time(spark):
     assert logs[0]["time"] == 1704067201.0  # string time accepted
     bad = [r for r in out if r["host"] is None]
     assert len(bad) == 1 and bad[0]["event"] is None
+
+
+def test_collectd_parse_multi_record_and_dstypes(spark):
+    from sparkcollector.operators.promparse import collectd_parse
+
+    payload = (
+        '[{"values":[1,2],"dstypes":["counter","derive"],'
+        '"dsnames":["read","write"],"time":100.5,"interval":10,'
+        '"host":"h1","plugin":"disk","plugin_instance":"sda",'
+        '"type":"disk_octets","type_instance":""},'
+        '{"values":[3],"dstypes":["absolute"],"dsnames":["value"],'
+        '"time":101,"interval":10,"host":"h1","plugin":"uptime",'
+        '"plugin_instance":"","type":"uptime","type_instance":""}]'
+    )
+    df = spark.createDataFrame([(payload,), ("garbage",)], "payload string")
+    out = collectd_parse(df).collect()
+    named = {r["metric"]: r for r in out if r["metric"] is not None}
+    assert set(named) == {
+        "disk.disk_octets.read", "disk.disk_octets.write", "uptime.uptime"
+    }
+    assert named["disk.disk_octets.read"]["mtype"] == "cumulative"
+    assert named["disk.disk_octets.write"]["mtype"] == "cumulative"
+    assert named["uptime.uptime"]["mtype"] == "delta"  # absolute
+    assert named["uptime.uptime"]["plugin_instance"] is None
+    assert named["disk.disk_octets.read"]["time_s"] == 100.5
+    bad = [r for r in out if r["metric"] is None]
+    assert len(bad) == 1 and bad[0]["value"] is None
