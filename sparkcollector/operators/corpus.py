@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _word_ngrams(words: Column, n: int) -> Column:
@@ -1085,4 +1086,52 @@ def line_dedup(
         ).alias("clean_text"),
         F.sum(keep.cast("long")).alias("n_kept"),
         F.sum((~keep).cast("long")).alias("n_removed"),
+    )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str | None = None,
+) -> DataFrame:
+    """Token-budget dynamic batching with power-of-two padding — the
+    batch-assembly pass a trainer's data loader runs (fairseq
+    ``batch_by_size`` shape, made deterministic and distributed):
+    pad every doc to the next power of two, then within each
+    (group, padded length) bucket pack docs in id order,
+    ``max(1, budget // padded)`` docs per batch, so every batch's
+    padded token total is <= budget (single over-long docs get their
+    own batch).
+
+    Pure integer arithmetic — the padded length comes from the bit
+    length of ``n-1`` (no float log2, whose libm rounding differs
+    across engines).  One window per (group, padded) bucket; buckets
+    are numerous and balanced, so the shuffle parallelizes.
+    """
+    n = (
+        F.col(len_col)
+        if len_col
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    )
+    docs = df.select(group_col, id_col, n.cast("long").alias("n_tok"))
+    padded = F.when(F.col("n_tok") <= 1, F.lit(1)).otherwise(
+        # shiftleft()'s bit-count arg must be a literal in the Python
+        # API; the SQL form takes a column
+        F.expr("shiftleft(1, length(bin(n_tok - 1)))")
+    ).cast("long")
+    sized = docs.withColumn("padded_len", padded)
+    per_batch = F.greatest(
+        F.floor(F.lit(budget) / F.col("padded_len")), F.lit(1)
+    )
+    w = Window.partitionBy(group_col, "padded_len").orderBy(id_col)
+    rn = F.row_number().over(w)
+    return sized.select(
+        group_col,
+        id_col,
+        "n_tok",
+        "padded_len",
+        F.floor((rn - 1) / per_batch).cast("long").alias("batch_id"),
     )

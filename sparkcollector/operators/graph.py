@@ -208,3 +208,71 @@ def service_graph_edges(
             F.max("_v").cast("double").alias("max_value"),
         )
     )
+
+
+def pagerank_step(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_nodes: int,
+    damping: float = 0.85,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rank_col: str | None = None,
+) -> DataFrame:
+    """One distributed PageRank iteration (link-graph authority for
+    corpus ranking — the web-scale companion of the k-means Lloyd
+    step: iterative algorithm, one step as a pure dataflow; the
+    caller loops, feeding each output back as ``rank_col``).
+
+    r1(v) = (1-d)/N + d * (Σ_{u->v} r0(u)/outdeg(u) + dangling/N)
+
+    where ``dangling`` is the rank mass of nodes with no out-edges
+    (redistributed uniformly — the standard correction, without which
+    rank leaks every round).
+
+    Scale: two shuffles keyed by node id (out-degree count, then the
+    contribution aggregate) — both hash-agg with map-side partials;
+    the dangling mass is a 1-row aggregate cross-joined back
+    (broadcast).  No collect, no windows; state per round is exactly
+    one (node, rank) table.
+    """
+    r = (
+        F.col(rank_col)
+        if rank_col
+        else F.lit(1.0) / F.lit(float(n_nodes))
+    )
+    ranked = nodes.select(F.col(node_col), r.alias("_r"))
+    deg = edges.groupBy(src_col).agg(F.count("*").alias("_deg"))
+    contrib = (
+        edges.join(deg, src_col)
+        .join(
+            ranked.withColumnRenamed(node_col, src_col).withColumnRenamed(
+                "_r", "_rs"
+            ),
+            src_col,
+        )
+        .groupBy(F.col(dst_col).alias(node_col))
+        .agg(F.sum(F.col("_rs") / F.col("_deg")).alias("_in"))
+    )
+    dangling = (
+        ranked.join(
+            deg.withColumnRenamed(src_col, node_col), node_col, "left_anti"
+        )
+        .agg(F.coalesce(F.sum("_r"), F.lit(0.0)).alias("_dm"))
+    )
+    return (
+        ranked.join(contrib, node_col, "left")
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            node_col,
+            (
+                F.lit((1.0 - damping) / n_nodes)
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("_in"), F.lit(0.0))
+                    + F.col("_dm") / F.lit(float(n_nodes))
+                )
+            ).alias("rank"),
+        )
+    )

@@ -6215,6 +6215,137 @@ def q_resource_detection_precedence(
     return out.select("event_id", "host_name", "cloud_region", "os_type")
 
 
+# ---------------------------------------------------------------------
+# 162. Token-budget batch packing (trainer data-loader batching,
+#      fairseq batch_by_size shape): pad to next power of two via bit
+#      length (no float log2), pack each (source, padded) bucket in
+#      doc order at max(1, budget//padded) docs per batch.
+# ---------------------------------------------------------------------
+@register(
+    "length_bucket_batches",
+    """
+    with d as (
+      select source, doc_id,
+             cast(len(string_split(text, ' ')) as bigint) as n_tok
+      from documents),
+    p as (
+      select *, case when n_tok <= 1 then cast(1 as bigint)
+                     else cast(1 as bigint)
+                          << length(bin(n_tok - 1)) end as padded_len
+      from d),
+    r as (
+      select *, row_number() over (
+               partition by source, padded_len order by doc_id) as rn,
+             greatest(cast(floor(256.0 / padded_len) as bigint),
+                      cast(1 as bigint)) as per_batch
+      from p)
+    select source, doc_id, n_tok, padded_len,
+           cast(floor(cast(rn - 1 as double) / per_batch) as bigint)
+             as batch_id
+    from r
+    """,
+)
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import length_bucket_batches
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.split(F.col("text"), " ").alias("_w")
+    )
+    return length_bucket_batches(
+        docs.select(
+            "source", "doc_id", F.size("_w").alias("n_tok")
+        ),
+        budget=256,
+        len_col="n_tok",
+    )
+
+
+# ---------------------------------------------------------------------
+# 163. Exact range-partitioning boundaries (RangePartitioner's
+#      deterministic twin; the layout decision before a global sort /
+#      Iceberg sort-order write): boundary i = smallest value whose
+#      cumulative count reaches ceil(i*total/k), k=8 over doc length.
+# ---------------------------------------------------------------------
+@register(
+    "range_partition_bounds",
+    """
+    with d as (
+      select cast(len(string_split(text, ' ')) as bigint) as n
+      from documents),
+    h as (select n, count(*) as c from d group by n),
+    t as (select sum(c) as total from h),
+    cum as (
+      select n, c,
+             sum(c) over (order by n rows unbounded preceding) as cum
+      from h)
+    select i as boundary, n as bound
+    from cum, t, range(1, 8) as r(i)
+    where cum >= ceil(i * total / 8.0)
+      and cum - c < ceil(i * total / 8.0)
+    """,
+)
+def q_range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .skew import range_partition_bounds
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n")
+    )
+    return range_partition_bounds(docs, "n", k=8)
+
+
+# ---------------------------------------------------------------------
+# 164. One PageRank iteration (link-graph authority for corpus
+#      ranking; the Lloyd-step pattern for iterative algorithms): a
+#      64-node graph derived from user ids, exact-binary rank
+#      arithmetic (uniform 1/64 start, out-degrees <= 2) so both
+#      engines replay the step bit-identically; dangling mass
+#      redistributed uniformly.
+# ---------------------------------------------------------------------
+@register(
+    "pagerank_iteration",
+    """
+    with e as (
+      select distinct src, dst from (
+        select (user_id % 64) as src, ((user_id * 7 + 3) % 64) as dst
+        from events
+        union
+        select (user_id % 64), ((user_id * 13 + 5) % 64) from events)
+      where src % 9 <> 0),
+    n as (select cast(range as bigint) as node from range(64)),
+    deg as (select src, count(*) as d from e group by src),
+    contrib as (
+      select e.dst as node,
+             sum((cast(1 as double) / 64) / deg.d) as cin
+      from e join deg on e.src = deg.src group by e.dst),
+    dang as (
+      select coalesce(sum(cast(1 as double) / 64), cast(0 as double))
+               as dm
+      from n where node not in (select src from e))
+    select n.node,
+           round((cast(1 as double) - cast(0.85 as double)) / 64
+                 + cast(0.85 as double)
+                   * (coalesce(contrib.cin, 0) + dang.dm / 64),
+                 12) as rank
+    from n left join contrib on n.node = contrib.node, dang
+    """,
+)
+def q_pagerank_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank_step
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    e1 = ev.select(
+        (uid % 64).alias("src"), ((uid * 7 + 3) % 64).alias("dst")
+    )
+    e2 = ev.select(
+        (uid % 64).alias("src"), ((uid * 13 + 5) % 64).alias("dst")
+    )
+    edges = e1.union(e2).distinct().filter(F.col("src") % 9 != 0)
+    nodes = spark.range(64).select(F.col("id").alias("node"))
+    out = pagerank_step(nodes, edges, n_nodes=64)
+    return out.select("node", F.round("rank", 12).alias("rank"))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

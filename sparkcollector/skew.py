@@ -187,3 +187,51 @@ def binpack_files(
     return df.withColumn(
         "group_id", F.floor(prefix / F.lit(target_bytes)).cast("long")
     )
+
+
+def range_partition_bounds(
+    df: DataFrame, col: str, k: int
+) -> DataFrame:
+    """Exact k-way range-partitioning boundaries — the deterministic
+    twin of Spark's RangePartitioner sampling pass (a global sort /
+    sortWithinPartitions layout decision starts here; Iceberg's
+    sort-order writer makes the same choice).
+
+    Boundary i (1..k-1) is the smallest value whose cumulative row
+    count reaches ``ceil(i * total / k)`` — pure integer thresholds,
+    so both engines agree bit-for-bit.
+
+    Scale: ONE shuffle builds the per-value histogram (map-side
+    combine collapses the fact table to distinct-value cardinality);
+    the cumulative window then runs over that tiny table.  The
+    single-partition window is bounded by DISTINCT VALUES of the sort
+    key, not rows — the same argument as histogram-bucket ops.  At
+    100 TB with a high-cardinality key, bucket the key first (the
+    sampling RangePartitioner trades exactness for that; this
+    operator is the exact tier).
+    """
+    hist = df.groupBy(col).agg(F.count("*").alias("_c"))
+    w = (
+        Window.orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = hist.agg(F.sum("_c").alias("_total"))
+    cum = (
+        hist.withColumn("_cum", F.sum("_c").over(w))
+        .crossJoin(F.broadcast(total))
+    )
+    i = F.col("boundary")
+    thresh = F.ceil(i * F.col("_total") / F.lit(k))
+    return (
+        cum.select(
+            F.explode(F.sequence(F.lit(1), F.lit(k - 1))).alias("boundary"),
+            F.col(col).alias("bound"),
+            "_c",
+            "_cum",
+            "_total",
+        )
+        .filter(
+            (F.col("_cum") >= thresh) & (F.col("_cum") - F.col("_c") < thresh)
+        )
+        .select("boundary", "bound")
+    )

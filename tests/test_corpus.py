@@ -472,3 +472,33 @@ def test_line_dedup_removes_hot_lines_preserves_order(spark):
     # below the cap nothing is removed
     out2 = line_dedup(lines, max_doc_freq=3).collect()
     assert all(r["n_removed"] == 0 for r in out2)
+
+
+def test_length_bucket_batches_budget_respected(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.corpus import length_bucket_batches
+
+    rows = [("s", i, "w " * n) for i, n in enumerate(
+        [1, 2, 3, 5, 9, 16, 17, 300, 301, 4]
+    )]
+    df = spark.createDataFrame(
+        [(s, i, t.strip()) for s, i, t in rows],
+        "source string, doc_id long, text string",
+    )
+    out = length_bucket_batches(df, budget=32)
+    rws = out.collect()
+    # padded length is the next power of two
+    for r in rws:
+        p = r["padded_len"]
+        assert p >= r["n_tok"] and (p == 1 or p < 2 * r["n_tok"] + 1)
+        assert (p & (p - 1)) == 0
+    # every batch's padded total fits the budget unless a single doc
+    # alone exceeds it (then it is alone in its batch)
+    agg = (
+        out.groupBy("source", "padded_len", "batch_id")
+        .agg(F.count("*").alias("n"), F.sum("padded_len").alias("tot"))
+        .collect()
+    )
+    for r in agg:
+        assert r["tot"] <= 32 or r["n"] == 1

@@ -343,3 +343,16 @@ def test_binpack_files_cumulative_split(spark):
         ("s1", 4): 1, ("s1", 5): 2,
         ("s2", 1): 0,
     }
+
+
+def test_range_partition_bounds_quartiles(spark):
+    from sparkcollector.skew import range_partition_bounds
+
+    # 100 rows of value v repeated v times-ish: known quartiles
+    data = [(v,) for v in range(1, 101)]
+    df = spark.createDataFrame(data, "n long")
+    got = {
+        r["boundary"]: r["bound"]
+        for r in range_partition_bounds(df, "n", k=4).collect()
+    }
+    assert got == {1: 25, 2: 50, 3: 75}

@@ -125,3 +125,26 @@ def test_critical_path_argmax_and_tiebreak(spark):
         "r": ("x", 1, 3.0),
         "z": ("z", 0, 4.0),
     }
+
+
+def test_pagerank_step_conserves_mass_and_converges_direction(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.graph import pagerank_step
+
+    # 4 nodes: 0->1, 0->2, 1->2, 3 dangling; node 2 should gain rank
+    nodes = spark.range(4).select(F.col("id").alias("node"))
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2)], "src long, dst long"
+    )
+    r1 = pagerank_step(nodes, edges, n_nodes=4)
+    got = {r["node"]: r["rank"] for r in r1.collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-12  # mass conserved
+    assert got[2] == max(got.values())           # two in-edges wins
+    assert got[3] == min(got.values())           # no in-edges
+    # second iteration feeds the first one's output back
+    r2 = pagerank_step(
+        r1.withColumnRenamed("rank", "r0"), edges, n_nodes=4, rank_col="r0"
+    )
+    got2 = {r["node"]: r["rank"] for r in r2.collect()}
+    assert abs(sum(got2.values()) - 1.0) < 1e-12
