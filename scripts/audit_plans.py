@@ -770,6 +770,163 @@ def main() -> None:
         spark=spark,
     )
 
+    all_ok &= audit(
+        "exemplar_attach",
+        lambda: queries()["exemplar_attach"](spark, SF_DIR),
+        [
+            ("rank window and bucket aggregate share ONE keyed "
+             "exchange (same (group, window, bucket) keys)",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) <= 1),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "output is bucket-cardinality; the exemplar pick is a "
+        "deterministic argmax inside the same shuffle.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "exp_histogram_quantile",
+        lambda: queries()["exp_histogram_quantile"](spark, SF_DIR),
+        [
+            ("bucket build combines map-side before the keyed "
+             "exchange", lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "cumsum window runs on the bucket table (group x occupied "
+        "buckets), never raw datapoints.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "semconv_migrate",
+        lambda: queries()["semconv_migrate"](spark, SF_DIR),
+        [
+            ("zero exchanges: rename fold is a pure projection",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) == 0),
+            ("no Python / UDF in plan (map HOFs only)",
+             lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "carbon_line_parse",
+        lambda: queries()["carbon_line_parse"](spark, SF_DIR),
+        [
+            ("zero exchanges: line grammar is regexp + array HOFs",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) == 0),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "influx_line_parse",
+        lambda: queries()["influx_line_parse"](spark, SF_DIR),
+        [
+            ("zero exchanges: parse + field explode are map-side",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) == 0),
+            ("row growth only via Generate (field explode)",
+             lambda p: "Generate" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "hec_envelope",
+        lambda: queries()["hec_envelope"](spark, SF_DIR),
+        [
+            ("union branches aggregate with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan (get_json_object + from_json)",
+             lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "collectd_flatten",
+        lambda: queries()["collectd_flatten"](spark, SF_DIR),
+        [
+            ("zero exchanges: from_json + double explode, map-side",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) == 0),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "k8s_owner_workloads",
+        lambda: queries()["k8s_owner_workloads"](spark, SF_DIR),
+        [
+            ("owner chain resolves via BroadcastHashJoin",
+             lambda p: "BroadcastHashJoin" in p),
+            ("no SortMergeJoin (dimension side is cluster metadata, "
+             "always broadcastable)", lambda p: "SortMergeJoin" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "at 100 TB the pod fact stream hash-looks-up workloads "
+        "map-side; zero shuffle of the fact table.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "resource_detection_precedence",
+        lambda: queries()["resource_detection_precedence"](spark, SF_DIR),
+        [
+            ("zero exchanges: precedence folds to coalesce in one "
+             "Project",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) == 0),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "length_bucket_batches",
+        lambda: queries()["length_bucket_batches"](spark, SF_DIR),
+        [
+            ("single keyed exchange for the per-bucket pack window",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) <= 1),
+            ("no Python / UDF in plan (bit-length padding, integer "
+             "arithmetic)", lambda p: "Python" not in p),
+        ],
+        out,
+        "window keys are (source, padded_len) — many balanced "
+        "buckets, so the pack parallelizes at any scale.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "range_partition_bounds",
+        lambda: queries()["range_partition_bounds"](spark, SF_DIR),
+        [
+            ("histogram combines map-side before the value shuffle",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "cumsum window runs over DISTINCT key values (post-histogram), "
+        "not rows — the fact table collapses in the map stage.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "pagerank_iteration",
+        lambda: queries()["pagerank_iteration"](spark, SF_DIR),
+        [
+            ("contribution aggregate has map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("dangling mass joins back as a broadcast (1-row "
+             "aggregate)", lambda p: "BroadcastNestedLoopJoin" in p
+             or "BroadcastHashJoin" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "state per round is one (node, rank) table; shuffles keyed "
+        "by node id only.",
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"
