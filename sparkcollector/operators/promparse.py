@@ -546,3 +546,119 @@ def collectd_parse(df: DataFrame, json_col: str = "payload") -> DataFrame:
         rec["time"].alias("time_s"),
         rec["interval"].alias("interval_s"),
     )
+
+
+SYSLOG_RE = (
+    r"^<(\d{1,3})>(\d) (\S+) (\S+) (\S+) (\S+) (\S+) "
+    r"(-|\[.*\]) ?(.*)$"
+)
+
+SEVERITY_NAMES = (
+    "emerg", "alert", "crit", "err",
+    "warning", "notice", "info", "debug",
+)
+
+
+def syslog_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse RFC 5424 syslog lines (syslogreceiver, components.go:275)
+    — ``<PRI>VERSION TIMESTAMP HOSTNAME APP-NAME PROCID MSGID
+    STRUCTURED-DATA MSG`` — decomposing PRI into facility (pri / 8)
+    and severity (pri % 8) with the RFC's severity keyword attached
+    (the receiver maps these to OTel SeverityNumber downstream;
+    ``severity_number_map`` completes that hop).
+
+    The timestamp stays TEXT (the stanza pipeline's timestamp parser
+    owns conversion); structured data is captured raw (``-`` nilvalue
+    -> NULL).  Malformed lines surface with ``pri`` NULL.  One regexp
+    per field, zero shuffle.
+    """
+    line = F.col(line_col)
+    g = lambda i: F.regexp_extract(line, SYSLOG_RE, i)  # noqa: E731
+    pri = g(1).try_cast("int")
+    ok = g(1) != ""
+    sev = pri % 8
+    sev_name = F.element_at(
+        F.array(*[F.lit(s) for s in SEVERITY_NAMES]), sev + 1
+    )
+    nil = F.lit(None).cast("string")
+    return df.select(
+        "*",
+        F.when(ok, pri).alias("pri"),
+        F.when(ok, (pri / 8).cast("int")).alias("facility"),
+        F.when(ok, sev).alias("severity"),
+        F.when(ok, sev_name).alias("severity_text"),
+        F.when(ok, g(2).try_cast("int")).alias("version"),
+        F.when(ok, g(3)).alias("ts_text"),
+        F.when(ok & (g(4) != "-"), g(4)).alias("host"),
+        F.when(ok & (g(5) != "-"), g(5)).alias("app"),
+        F.when(ok & (g(6) != "-"), g(6)).alias("procid"),
+        F.when(ok & (g(7) != "-"), g(7)).alias("msgid"),
+        F.when(ok & (g(8) != "-"), g(8)).otherwise(nil).alias("sd"),
+        F.when(ok, g(9)).alias("msg"),
+    )
+
+
+def journald_parse(df: DataFrame, json_col: str = "payload") -> DataFrame:
+    """Parse journald JSON-export records (journaldreceiver,
+    components.go:237; ``journalctl -o json`` is the receiver's wire
+    format): ``MESSAGE``, ``PRIORITY`` (syslog 0-7, a JSON string),
+    ``_SYSTEMD_UNIT``, ``_HOSTNAME`` and the microsecond
+    ``__REALTIME_TIMESTAMP``.
+
+    Priority maps to the same RFC severity keywords the syslog parser
+    uses.  Unparseable JSON or missing fields yield NULLs —
+    journald's schema is open, so absence is data, not an error.
+    get_json_object + try_cast only; zero shuffle.
+    """
+    j = F.col(json_col)
+    prio = F.get_json_object(j, "$.PRIORITY").try_cast("int")
+    # element_at(arr, NULL) does NOT null-propagate here (observed:
+    # returns the last element) — guard the lookup explicitly
+    sev_name = F.when(
+        prio.isNotNull(),
+        F.element_at(F.array(*[F.lit(s) for s in SEVERITY_NAMES]), prio + 1),
+    )
+    return df.select(
+        "*",
+        F.get_json_object(j, "$.__REALTIME_TIMESTAMP")
+        .try_cast("long")
+        .alias("ts_us"),
+        F.get_json_object(j, "$._HOSTNAME").alias("host"),
+        F.get_json_object(j, "$._SYSTEMD_UNIT").alias("unit"),
+        prio.alias("priority"),
+        sev_name.alias("severity_text"),
+        F.get_json_object(j, "$.MESSAGE").alias("message"),
+    )
+
+
+WAVEFRONT_RE = (
+    r"^([A-Za-z0-9_.\-]+) (-?[0-9.]+)(?: ([0-9]+))? source=(\S+)"
+    r"((?: [A-Za-z0-9_.\-]+=\"[^\"]*\")*)$"
+)
+
+
+def wavefront_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse Wavefront data-format lines (wavefrontreceiver,
+    components.go:282) — ``<metric> <value> [<epoch>] source=<src>
+    [tag="value" ...]`` — carbon's sibling with a mandatory source
+    and quoted point tags.
+
+    Tags parse with one ``regexp_extract_all`` pair into a map;
+    malformed lines surface with ``metric`` NULL.  Zero shuffle.
+    """
+    line = F.col(line_col)
+    g = lambda i: F.regexp_extract(line, WAVEFRONT_RE, i)  # noqa: E731
+    ok = g(1) != ""
+    tags_raw = g(5)
+    tags = F.map_from_arrays(
+        F.regexp_extract_all(tags_raw, F.lit(r'([A-Za-z0-9_.\-]+)="'), 1),
+        F.regexp_extract_all(tags_raw, F.lit(r'="([^"]*)"'), 1),
+    )
+    return df.select(
+        "*",
+        F.when(ok, g(1)).alias("metric"),
+        F.when(ok, g(2).try_cast("double")).alias("value"),
+        F.when(ok & (g(3) != ""), g(3).try_cast("long")).alias("ts_s"),
+        F.when(ok, g(4)).alias("source"),
+        F.when(ok, tags).alias("tags"),
+    )

@@ -6346,6 +6346,202 @@ def q_pagerank_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("rank", 12).alias("rank"))
 
 
+# ---------------------------------------------------------------------
+# 165. RFC 5424 syslog parse (syslogreceiver, components.go:275):
+#      PRI decomposes to facility/severity with RFC keywords, '-'
+#      nilvalues -> NULL, timestamp stays text (the stanza timestamp
+#      parser owns conversion), malformed lines surface NULL.
+# ---------------------------------------------------------------------
+@register(
+    "syslog_parse_fields",
+    """
+    with base as (
+      select event_id, user_id, event_type,
+             event_id % 20 = 0 as bad,
+             cast(user_id % 24 as int) as fac,
+             cast(event_id % 8 as int) as sev,
+             strftime(ts, '%Y-%m-%dT%H:%M:%SZ') as iso
+      from events)
+    select event_id,
+           case when bad then NULL else fac * 8 + sev end as pri,
+           case when bad then NULL else fac end as facility,
+           case when bad then NULL else sev end as severity,
+           case when bad then NULL else
+             case sev when 0 then 'emerg' when 1 then 'alert'
+                      when 2 then 'crit' when 3 then 'err'
+                      when 4 then 'warning' when 5 then 'notice'
+                      when 6 then 'info' else 'debug' end
+           end as severity_text,
+           case when bad then NULL else 1 end as version,
+           case when bad then NULL else iso end as ts_text,
+           case when bad then NULL
+                else 'host-' || cast(user_id % 5 as varchar) end as host,
+           case when bad then NULL
+                else 'app-' || cast(user_id % 3 as varchar) end as app,
+           case when bad or user_id % 11 = 0 then NULL
+                else cast(user_id % 9000 + 1000 as varchar) end as procid,
+           case when bad then NULL
+                else 'ID' || cast(event_id % 100 as varchar) end as msgid,
+           cast(NULL as varchar) as sd,
+           case when bad then NULL
+                else event_type || ' happened' end as msg
+    from base
+    """,
+)
+def q_syslog_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import syslog_parse
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    pri = (uid % 24) * 8 + (F.col("event_id") % 8)
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    procid = F.when(
+        uid % 11 == 0, F.lit("-")
+    ).otherwise((uid % 9000 + 1000).cast("string"))
+    line = F.when(F.col("event_id") % 20 == 0, F.lit("garbage")).otherwise(
+        F.concat(
+            F.lit("<"), pri.cast("string"), F.lit(">1 "), iso,
+            F.lit(" host-"), (uid % 5).cast("string"),
+            F.lit(" app-"), (uid % 3).cast("string"),
+            F.lit(" "), procid,
+            F.lit(" ID"), (F.col("event_id") % 100).cast("string"),
+            F.lit(" - "), F.col("event_type"), F.lit(" happened"),
+        )
+    )
+    return syslog_parse(ev.select("event_id", line.alias("line"))).drop(
+        "line"
+    )
+
+
+# ---------------------------------------------------------------------
+# 166. journald JSON-export parse (journaldreceiver,
+#      components.go:237): microsecond __REALTIME_TIMESTAMP, PRIORITY
+#      (string 0-7) -> RFC severity keyword, open schema so missing
+#      fields are NULL data, not errors.
+# ---------------------------------------------------------------------
+@register(
+    "journald_export",
+    """
+    with base as (
+      select event_id, user_id, event_type,
+             event_id % 25 = 0 as bad,
+             user_id % 7 = 0 as sparse,
+             cast(floor(epoch(ts)) * 1000000 as bigint) as us,
+             cast(event_id % 8 as int) as prio
+      from events)
+    select event_id,
+           case when bad then NULL else us end as ts_us,
+           case when bad then NULL
+                else 'host-' || cast(user_id % 5 as varchar) end as host,
+           case when bad or sparse then NULL
+                else event_type || '.service' end as unit,
+           case when bad or sparse then NULL else prio end as priority,
+           case when bad or sparse then NULL else
+             case prio when 0 then 'emerg' when 1 then 'alert'
+                       when 2 then 'crit' when 3 then 'err'
+                       when 4 then 'warning' when 5 then 'notice'
+                       when 6 then 'info' else 'debug' end
+           end as severity_text,
+           case when bad then NULL
+                else event_type || ' msg' end as message
+    from base
+    """,
+)
+def q_journald_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import journald_parse
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    us = (F.floor(_epoch_s("ts")) * 1000000).cast("long").cast("string")
+    full = F.concat(
+        F.lit('{"__REALTIME_TIMESTAMP":"'), us,
+        F.lit('","PRIORITY":"'), (F.col("event_id") % 8).cast("string"),
+        F.lit('","_HOSTNAME":"host-'), (uid % 5).cast("string"),
+        F.lit('","_SYSTEMD_UNIT":"'), F.col("event_type"),
+        F.lit('.service","MESSAGE":"'), F.col("event_type"),
+        F.lit(' msg"}'),
+    )
+    sparse = F.concat(
+        F.lit('{"__REALTIME_TIMESTAMP":"'), us,
+        F.lit('","_HOSTNAME":"host-'), (uid % 5).cast("string"),
+        F.lit('","MESSAGE":"'), F.col("event_type"), F.lit(' msg"}'),
+    )
+    payload = F.when(F.col("event_id") % 25 == 0, F.lit("nope")).otherwise(
+        F.when(uid % 7 == 0, sparse).otherwise(full)
+    )
+    return journald_parse(
+        ev.select("event_id", payload.alias("payload"))
+    ).drop("payload")
+
+
+# ---------------------------------------------------------------------
+# 167. Wavefront data-format parse (wavefrontreceiver,
+#      components.go:282): carbon's sibling — mandatory source,
+#      optional epoch, quoted point tags.
+# ---------------------------------------------------------------------
+@register(
+    "wavefront_points",
+    """
+    with base as (
+      select event_id, user_id, event_type,
+             event_id % 20 = 0 as bad,
+             event_type = 'click' as notags,
+             cast(floor(value * 1000) as bigint) as ival,
+             cast(floor(epoch(ts)) as bigint) as eps
+      from events)
+    select event_id,
+           case when bad then NULL
+                when notags then 'cpu.load' else 'req.latency'
+           end as metric,
+           case when bad then NULL
+                else cast(ival as double) end as value,
+           case when bad or notags then NULL else eps end as ts_s,
+           case when bad then NULL
+                else 'host-' || cast(user_id % 5 as varchar)
+           end as source,
+           case when bad then NULL when notags then ''
+                else 'dc=dc' || cast(user_id % 3 as varchar)
+                     || '|env=prod'
+           end as tags
+    from base
+    """,
+)
+def q_wavefront_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import wavefront_parse
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    ival = F.floor(F.col("value") * 1000).cast("long").cast("string")
+    eps = F.floor(_epoch_s("ts")).cast("long").cast("string")
+    src = F.concat(F.lit("host-"), (uid % 5).cast("string"))
+    tagged = F.concat(
+        F.lit("req.latency "), ival, F.lit(" "), eps,
+        F.lit(" source="), src,
+        F.lit(' env="prod" dc="dc'), (uid % 3).cast("string"), F.lit('"'),
+    )
+    plain = F.concat(F.lit("cpu.load "), ival, F.lit(" source="), src)
+    line = F.when(F.col("event_id") % 20 == 0, F.lit("nope!")).otherwise(
+        F.when(F.col("event_type") == "click", plain).otherwise(tagged)
+    )
+    parsed = wavefront_parse(ev.select("event_id", line.alias("line")))
+    rendered = F.when(
+        F.col("metric").isNotNull(),
+        F.array_join(
+            F.sort_array(
+                F.transform(
+                    F.map_entries("tags"),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                )
+            ),
+            "|",
+        ),
+    )
+    return parsed.select(
+        "event_id", "metric", "value", "ts_s", "source",
+        rendered.alias("tags"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

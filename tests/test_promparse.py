@@ -279,3 +279,71 @@ def test_collectd_parse_multi_record_and_dstypes(spark):
     assert named["disk.disk_octets.read"]["time_s"] == 100.5
     bad = [r for r in out if r["metric"] is None]
     assert len(bad) == 1 and bad[0]["value"] is None
+
+
+def test_syslog_parse_rfc5424(spark):
+    from sparkcollector.operators.promparse import syslog_parse
+
+    df = spark.createDataFrame(
+        [
+            ("<165>1 2024-01-01T00:00:00Z web1 app 123 ID9 - hi there",),
+            ("<13>1 2024-01-01T00:00:01Z - - - - [x@1 k=\"v\"] msg",),
+            ("trash",),
+        ],
+        "line string",
+    )
+    rows = syslog_parse(df).collect()
+    full = next(r for r in rows if r["pri"] == 165)
+    assert (full["facility"], full["severity"]) == (20, 5)
+    assert full["severity_text"] == "notice"
+    assert full["host"] == "web1" and full["procid"] == "123"
+    assert full["sd"] is None and full["msg"] == "hi there"
+    nils = next(r for r in rows if r["pri"] == 13)
+    assert nils["severity_text"] == "notice"
+    assert nils["host"] is None and nils["app"] is None
+    assert nils["sd"] == '[x@1 k="v"]' and nils["msg"] == "msg"
+    bad = next(r for r in rows if r["pri"] is None)
+    assert bad["msg"] is None
+
+
+def test_journald_parse_priority_and_sparse(spark):
+    from sparkcollector.operators.promparse import journald_parse
+
+    df = spark.createDataFrame(
+        [
+            ('{"__REALTIME_TIMESTAMP":"1704067200000000","PRIORITY":"3",'
+             '"_HOSTNAME":"h1","_SYSTEMD_UNIT":"ssh.service",'
+             '"MESSAGE":"boom"}',),
+            ('{"MESSAGE":"no priority"}',),
+            ("bad",),
+        ],
+        "payload string",
+    )
+    rows = {r["message"]: r for r in journald_parse(df).collect()}
+    assert rows["boom"]["priority"] == 3
+    assert rows["boom"]["severity_text"] == "err"
+    assert rows["boom"]["ts_us"] == 1704067200000000
+    assert rows["no priority"]["priority"] is None
+    assert rows["no priority"]["severity_text"] is None
+    assert None in rows  # malformed row surfaces with NULL message
+
+
+def test_wavefront_parse_tags_and_optional_ts(spark):
+    from sparkcollector.operators.promparse import wavefront_parse
+
+    df = spark.createDataFrame(
+        [
+            ('cpu.load 0.5 1704067200 source=web1 env="prod" dc="east"',),
+            ("mem.free 12 source=web2",),
+            ("not wavefront",),
+        ],
+        "line string",
+    )
+    rows = {r["metric"]: r for r in wavefront_parse(df).collect()}
+    cpu = rows["cpu.load"]
+    assert cpu["value"] == 0.5 and cpu["ts_s"] == 1704067200
+    assert cpu["source"] == "web1"
+    assert cpu["tags"] == {"env": "prod", "dc": "east"}
+    mem = rows["mem.free"]
+    assert mem["ts_s"] is None and mem["tags"] == {}
+    assert None in rows
