@@ -172,3 +172,84 @@ def ewma_smooth(
         F.element_at(xs, -1).alias("last_raw"),
         ewma.alias("ewma"),
     )
+
+
+def alert_hysteresis(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    fire: float,
+    clear: float,
+) -> DataFrame:
+    """Fire/clear threshold detector with hysteresis (the signalfx
+    detector shape: an alert FIRES above ``fire`` and only CLEARS
+    below ``clear`` — points between the two hold the previous state,
+    preventing threshold chatter).
+
+    The sequential state machine has a closed form: a point's state
+    equals the side of the most recent DECISIVE point (one outside
+    the [clear, fire] band), so it is one ``last_value(ignorenulls)``
+    window — fully parallel per key, no array fold, no Python.
+    Output is per-point: ``state`` (1=alert), ``fire_edge`` /
+    ``clear_edge`` transition flags.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("double")
+    decide = F.when(v > fire, F.lit(1)).when(v < clear, F.lit(0))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    state = F.coalesce(
+        F.last(decide, ignorenulls=True).over(w), F.lit(0)
+    )
+    out = df.withColumn("state", state)
+    wl = Window.partitionBy(*key_cols).orderBy(order_col)
+    prev = F.coalesce(F.lag("state").over(wl), F.lit(0))
+    return out.select(
+        "*",
+        ((F.col("state") == 1) & (prev == 0)).alias("fire_edge"),
+        ((F.col("state") == 0) & (prev == 1)).alias("clear_edge"),
+    )
+
+
+def flap_detect(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    state_col: str,
+    window_col: str,
+    min_transitions: int = 3,
+) -> DataFrame:
+    """Flap detection (the anti-chatter guard a notification layer
+    runs on detector output): per key and coarse window, count state
+    TRANSITIONS (state != previous state, ordered within the key);
+    windows with ``>= min_transitions`` flag as flapping and would be
+    muted.
+
+    The lag runs per key across the full series (so a transition on
+    a window boundary still counts, attributed to the later point's
+    window), then one grouped count — the lag window and the
+    aggregate share the key-hash exchange.
+    """
+    from pyspark.sql.window import Window
+
+    wl = Window.partitionBy(*key_cols).orderBy(order_col)
+    prev = F.lag(F.col(state_col)).over(wl)
+    trans = (
+        prev.isNotNull() & (F.col(state_col) != prev)
+    ).cast("long")
+    return (
+        df.withColumn("_t", trans)
+        .groupBy(*key_cols, window_col)
+        .agg(
+            F.sum("_t").alias("n_transitions"),
+            F.count("*").alias("n_points"),
+        )
+        .withColumn(
+            "flapping", F.col("n_transitions") >= min_transitions
+        )
+    )

@@ -1628,3 +1628,51 @@ def semconv_migrate(
         else:
             out = stepped
     return df.withColumn(map_col, out)
+
+
+def rollup_by_type(
+    df: DataFrame,
+    group_cols: list[str],
+    type_col: str = "mtype",
+    value_col: str = "value",
+) -> DataFrame:
+    """Type-aware rollup selection (the signalfx backend's default
+    rollup per metric type, which the signalfx exporter's datapoint
+    types feed — components.go:312): gauges average within the
+    window, counters sum, cumulative counters roll up as max-min
+    (the window's increase).
+
+    ONE grouped pass: every rollup is a conditional aggregate over
+    the same keys, so adding types never adds shuffles; the emitted
+    ``rollup`` column records which function produced the value.
+    """
+    v = F.col(value_col).cast("double")
+    is_g = F.col(type_col) == "gauge"
+    is_c = F.col(type_col) == "counter"
+    is_cc = F.col(type_col) == "cumulative"
+    agg = df.groupBy(*group_cols, type_col).agg(
+        F.count("*").alias("n"),
+        F.avg(F.when(is_g, v)).alias("_avg"),
+        F.sum(F.when(is_c, v)).alias("_sum"),
+        (
+            F.max(F.when(is_cc, v)) - F.min(F.when(is_cc, v))
+        ).alias("_delta"),
+    )
+    rollup = (
+        F.when(is_g, F.lit("average"))
+        .when(is_c, F.lit("sum"))
+        .when(is_cc, F.lit("delta"))
+        .otherwise(F.lit("latest"))
+    )
+    value = (
+        F.when(is_g, F.col("_avg"))
+        .when(is_c, F.col("_sum"))
+        .when(is_cc, F.col("_delta"))
+    )
+    return agg.select(
+        *group_cols,
+        type_col,
+        "n",
+        rollup.alias("rollup"),
+        F.round(value, 6).alias("value"),
+    )

@@ -6542,6 +6542,146 @@ def q_wavefront_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 168. Fire/clear hysteresis detector (signalfx detector fire vs
+#      clear thresholds — no chatter between the two): state = side
+#      of the most recent decisive point, one last_value(ignorenulls)
+#      window; per-type fire/clear edge counts.
+# ---------------------------------------------------------------------
+@register(
+    "alert_hysteresis_edges",
+    """
+    with p as (
+      select event_type, event_id, value,
+             case when value > 400 then 1
+                  when value < 50 then 0 end as d
+      from events),
+    s as (
+      select event_type, event_id,
+             coalesce(last_value(d ignore nulls) over (
+               partition by event_type order by event_id
+               rows unbounded preceding), 0) as state
+      from p),
+    t as (
+      select event_type, state,
+             coalesce(lag(state) over (
+               partition by event_type order by event_id), 0) as prev
+      from s)
+    select event_type,
+           cast(sum(case when state = 1 and prev = 0
+                         then 1 else 0 end) as bigint) as n_fires,
+           cast(sum(case when state = 0 and prev = 1
+                         then 1 else 0 end) as bigint) as n_clears,
+           cast(sum(state) as bigint) as alert_points,
+           cast(count(*) as bigint) as n_points
+    from t group by 1
+    """,
+)
+def q_alert_hysteresis_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import alert_hysteresis
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    pts = alert_hysteresis(
+        ev, ["event_type"], "event_id", "value", fire=400.0, clear=50.0
+    )
+    return pts.groupBy("event_type").agg(
+        F.sum(F.col("fire_edge").cast("long")).alias("n_fires"),
+        F.sum(F.col("clear_edge").cast("long")).alias("n_clears"),
+        F.sum("state").cast("long").alias("alert_points"),
+        F.count("*").alias("n_points"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 169. Flap detection (notification anti-chatter): per user and day,
+#      count state transitions (error vs non-error), flag >= 3 as
+#      flapping; boundary transitions attribute to the later point's
+#      window.
+# ---------------------------------------------------------------------
+@register(
+    "flap_windows",
+    """
+    with s as (
+      select user_id, event_id,
+             case when event_type = 'error' then 1 else 0 end as state,
+             cast(floor(epoch(ts) / 86400) as bigint) as day
+      from events),
+    t as (
+      select user_id, day, state,
+             lag(state) over (
+               partition by user_id order by event_id) as prev
+      from s)
+    select user_id, day,
+           cast(sum(case when prev is not null and state <> prev
+                         then 1 else 0 end) as bigint) as n_transitions,
+           cast(count(*) as bigint) as n_points,
+           sum(case when prev is not null and state <> prev
+                    then 1 else 0 end) >= 3 as flapping
+    from t group by 1, 2
+    """,
+)
+def q_flap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import flap_detect
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        (F.col("event_type") == "error").cast("int").alias("state"),
+        F.floor(_epoch_s("ts") / 86400).cast("long").alias("day"),
+    )
+    return flap_detect(
+        ev, ["user_id"], "event_id", "state", "day", min_transitions=3
+    )
+
+
+# ---------------------------------------------------------------------
+# 170. Type-aware rollup selection (signalfx backend default rollups
+#      over the exporter's datapoint types, components.go:312):
+#      gauge -> average, counter -> sum, cumulative -> max-min delta,
+#      in ONE conditional-aggregate pass.  Integer-valued doubles so
+#      sums are fold-order exact.
+# ---------------------------------------------------------------------
+@register(
+    "rollup_by_type",
+    """
+    with d as (
+      select case event_type when 'click' then 'counter'
+                             when 'view' then 'gauge'
+                             when 'error' then 'cumulative'
+                             else 'other' end as mtype,
+             cast(floor(epoch(ts) / 3600) as bigint) as hour,
+             floor(value) as v
+      from events)
+    select hour, mtype, cast(count(*) as bigint) as n,
+           case mtype when 'gauge' then 'average'
+                      when 'counter' then 'sum'
+                      when 'cumulative' then 'delta'
+                      else 'latest' end as rollup,
+           round(case mtype
+                   when 'gauge' then sum(v) / count(*)
+                   when 'counter' then sum(v)
+                   when 'cumulative' then max(v) - min(v)
+                 end, 6) as value
+    from d group by hour, mtype
+    """,
+)
+def q_rollup_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import rollup_by_type
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "click", F.lit("counter"))
+        .when(F.col("event_type") == "view", F.lit("gauge"))
+        .when(F.col("event_type") == "error", F.lit("cumulative"))
+        .otherwise(F.lit("other"))
+        .alias("mtype"),
+        F.floor(_epoch_s("ts") / 3600).cast("long").alias("hour"),
+        F.floor(F.col("value")).alias("value"),
+    )
+    return rollup_by_type(ev, ["hour"], "mtype", "value")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

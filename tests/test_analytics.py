@@ -150,3 +150,46 @@ def test_ewma_smooth_single_point_is_identity(spark):
     df = spark.createDataFrame([("k", 0, 9.0)], ["g", "bkt", "x"])
     r = ewma_smooth(df, "g", "bkt", "x").collect()[0]
     assert r["ewma"] == 9.0 and r["n_points"] == 1
+
+
+def test_alert_hysteresis_holds_between_thresholds(spark):
+    from sparkcollector.operators.analytics import alert_hysteresis
+
+    # fire > 10, clear < 5; middle values hold the previous state
+    vals = [(1, 3.0), (2, 12.0), (3, 7.0), (4, 11.0), (5, 4.0), (6, 8.0)]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in vals], "key string, i long, v double"
+    )
+    out = {
+        r["i"]: (r["state"], r["fire_edge"], r["clear_edge"])
+        for r in alert_hysteresis(
+            df, ["key"], "i", "v", fire=10.0, clear=5.0
+        ).collect()
+    }
+    assert out[1] == (0, False, False)
+    assert out[2] == (1, True, False)   # fires
+    assert out[3] == (1, False, False)  # 7 holds alert (no chatter)
+    assert out[4] == (1, False, False)  # still alert, no re-fire
+    assert out[5] == (0, False, True)   # clears below 5
+    assert out[6] == (0, False, False)  # 8 holds ok
+
+
+def test_flap_detect_counts_transitions_per_window(spark):
+    from sparkcollector.operators.analytics import flap_detect
+
+    rows = [
+        ("u", 1, 0, "d1"), ("u", 2, 1, "d1"), ("u", 3, 0, "d1"),
+        ("u", 4, 1, "d1"),                     # 3 transitions in d1
+        ("u", 5, 1, "d2"), ("u", 6, 0, "d2"),  # 1 transition in d2
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, i long, state int, win string"
+    )
+    got = {
+        r["win"]: (r["n_transitions"], r["flapping"])
+        for r in flap_detect(
+            df, ["key"], "i", "state", "win", min_transitions=3
+        ).collect()
+    }
+    assert got["d1"] == (3, True)
+    assert got["d2"] == (1, False)

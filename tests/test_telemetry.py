@@ -774,3 +774,23 @@ def test_hll_small_range_linear_counting(spark):
     est = hll_estimate(hll_registers(df, "k", ["g"]), ["g"]).collect()[0]
     assert abs(est["est_distinct"] - 20) < 3
     assert est["zero_registers"] > 0
+
+
+def test_rollup_by_type_selects_per_type_function(spark):
+    from sparkcollector.operators.telemetry import rollup_by_type
+
+    rows = [
+        ("w1", "gauge", 2.0), ("w1", "gauge", 4.0),
+        ("w1", "counter", 5.0), ("w1", "counter", 7.0),
+        ("w1", "cumulative", 100.0), ("w1", "cumulative", 160.0),
+        ("w1", "other", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "win string, mtype string, value double")
+    got = {
+        r["mtype"]: (r["rollup"], r["value"])
+        for r in rollup_by_type(df, ["win"]).collect()
+    }
+    assert got["gauge"] == ("average", 3.0)
+    assert got["counter"] == ("sum", 12.0)
+    assert got["cumulative"] == ("delta", 60.0)
+    assert got["other"] == ("latest", None)
