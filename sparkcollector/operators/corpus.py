@@ -1135,3 +1135,121 @@ def length_bucket_batches(
         "padded_len",
         F.floor((rn - 1) / per_batch).cast("long").alias("batch_id"),
     )
+
+
+def chat_format_lint(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """SFT conversation-structure lint (the validation pass before
+    chat-template rendering): per conversation — first/last role,
+    turn count, count of consecutive same-role pairs (template
+    breakers), and a ``valid`` verdict (opens with system or user,
+    no role repeats, closes with an assistant turn).
+
+    One lag window + one grouped aggregate sharing the conversation
+    key; first/last roles via struct min/max (deterministic argmin,
+    no collect).
+    """
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    prev = F.lag(F.col(role_col)).over(w)
+    rep = (prev.isNotNull() & (prev == F.col(role_col))).cast("long")
+    agg = (
+        df.withColumn("_rep", rep)
+        .groupBy(conv_col)
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.min(F.struct(F.col(idx_col), F.col(role_col)))[
+                role_col
+            ].alias("first_role"),
+            F.max(F.struct(F.col(idx_col), F.col(role_col)))[
+                role_col
+            ].alias("last_role"),
+            F.sum("_rep").alias("n_role_repeats"),
+        )
+    )
+    valid = (
+        F.col("first_role").isin("system", "user")
+        & (F.col("n_role_repeats") == 0)
+        & (F.col("last_role") == "assistant")
+    )
+    return agg.withColumn("valid", valid)
+
+
+def train_val_split(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "s0",
+    train_tenths: int = 8,
+    val_tenths: int = 1,
+) -> DataFrame:
+    """Deterministic stratified train/val/test split with EXACT
+    per-stratum counts: docs rank by ``md5(seed|id)`` within their
+    stratum, the first ``floor(n*train/10)`` are train, the next
+    ``floor(n*val/10)`` val, the rest test.  Changing the seed
+    re-deals the split; changing the corpus only locally perturbs it.
+
+    Ranking is the md5 order (engine-portable, reproducible on any
+    cluster size — the ``shuffle_shards`` argument); ONE window per
+    stratum plus its count, sharing the stratum-key exchange.
+    """
+    h = F.md5(
+        F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(h, id_col)
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(
+        group_col,
+        id_col,
+        F.row_number().over(w).alias("_rank"),
+        F.count("*").over(wn).alias("_n"),
+    )
+    train_n = F.floor(F.col("_n") * train_tenths / 10)
+    val_n = F.floor(F.col("_n") * val_tenths / 10)
+    split = (
+        F.when(F.col("_rank") <= train_n, F.lit("train"))
+        .when(F.col("_rank") <= train_n + val_n, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return ranked.select(group_col, id_col, split.alias("split"))
+
+
+def truncate_middle(
+    df: DataFrame,
+    head_tokens: int,
+    tail_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    marker: str = "...",
+) -> DataFrame:
+    """Middle truncation to a token budget (the long-context squeeze
+    that keeps a document's head and tail — instructions usually
+    front-load, conclusions tail-load): docs over
+    ``head_tokens + tail_tokens`` whitespace tokens keep the first
+    ``head_tokens`` and last ``tail_tokens`` with a marker between;
+    shorter docs pass through.
+
+    Pure array slicing in-row — zero shuffle, no UDF.
+    """
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    over = n > (head_tokens + tail_tokens)
+    squeezed = F.concat_ws(
+        " ",
+        F.array_join(F.slice(words, 1, head_tokens), " "),
+        F.lit(marker),
+        F.array_join(
+            F.slice(words, n - tail_tokens + 1, tail_tokens), " "
+        ),
+    )
+    out_text = F.when(over, squeezed).otherwise(F.col(text_col))
+    return df.select(
+        id_col,
+        n.cast("long").alias("n_tok"),
+        over.alias("truncated"),
+        out_text.alias("out_text"),
+        F.size(F.split(out_text, " ")).cast("long").alias("out_n_tok"),
+    )

@@ -6682,6 +6682,99 @@ def q_rollup_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_by_type(ev, ["hour"], "mtype", "value")
 
 
+# ---------------------------------------------------------------------
+# 171. SFT conversation-structure lint (the validation pass before
+#      chat-template rendering): first/last role, consecutive
+#      same-role pairs, opens-with-system-or-user AND no-repeats AND
+#      closes-with-assistant verdict — per conversation.
+# ---------------------------------------------------------------------
+@register(
+    "chat_format_lint",
+    f"""
+    with t as ({_T_SQL}),
+    l as (select conv_id, turn_idx, role,
+            lag(role) over (
+              partition by conv_id order by turn_idx) as prev
+          from t)
+    select conv_id, cast(count(*) as bigint) as n_turns,
+           arg_min(role, turn_idx) as first_role,
+           arg_max(role, turn_idx) as last_role,
+           cast(sum(case when prev = role then 1 else 0 end)
+                as bigint) as n_role_repeats,
+           (arg_min(role, turn_idx) in ('system', 'user')
+            and sum(case when prev = role then 1 else 0 end) = 0
+            and arg_max(role, turn_idx) = 'assistant') as valid
+    from l group by conv_id
+    """,
+)
+def q_chat_format_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import chat_format_lint
+
+    t = transcripts_from_events(spark, sf_dir)
+    return chat_format_lint(t)
+
+
+# ---------------------------------------------------------------------
+# 172. Deterministic stratified train/val/test split with EXACT
+#      per-stratum counts (md5 rank within source; 80/10/10) — the
+#      split-assignment lineage table of a training pipeline.
+# ---------------------------------------------------------------------
+@register(
+    "train_val_test_split",
+    """
+    with r as (
+      select source, doc_id,
+             row_number() over (
+               partition by source
+               order by md5('s0|' || cast(doc_id as varchar)),
+                        doc_id) as rank,
+             count(*) over (partition by source) as n
+      from documents)
+    select source, doc_id,
+           case when rank <= floor(n * 8 / 10) then 'train'
+                when rank <= floor(n * 8 / 10) + floor(n * 1 / 10)
+                  then 'val'
+                else 'test' end as split
+    from r
+    """,
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import train_val_split
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id")
+    return train_val_split(docs)
+
+
+# ---------------------------------------------------------------------
+# 173. Middle truncation to a token budget (long-context squeeze:
+#      keep the head and tail, elide the middle with a marker) —
+#      head 40 + tail 20 whitespace tokens over documents.
+# ---------------------------------------------------------------------
+@register(
+    "truncate_middle_tokens",
+    """
+    with d as (
+      select doc_id, string_split(text, ' ') as ws, text
+      from documents),
+    s as (select doc_id, len(ws) as n, ws, text from d)
+    select doc_id, cast(n as bigint) as n_tok,
+           n > 60 as truncated,
+           case when n > 60 then
+             array_to_string(ws[1:40], ' ') || ' ... '
+             || array_to_string(ws[n-19:n], ' ')
+           else text end as out_text,
+           cast(case when n > 60 then 61 else n end as bigint)
+             as out_n_tok
+    from s
+    """,
+)
+def q_truncate_middle_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import truncate_middle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return truncate_middle(docs, head_tokens=40, tail_tokens=20)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

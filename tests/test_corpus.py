@@ -502,3 +502,66 @@ def test_length_bucket_batches_budget_respected(spark):
     )
     for r in agg:
         assert r["tot"] <= 32 or r["n"] == 1
+
+
+def test_chat_format_lint_verdicts(spark):
+    from sparkcollector.operators.corpus import chat_format_lint
+
+    rows = [
+        # c1 valid: user -> assistant
+        ("c1", 0, "user"), ("c1", 1, "assistant"),
+        # c2 invalid: double assistant
+        ("c2", 0, "system"), ("c2", 1, "assistant"), ("c2", 2, "assistant"),
+        # c3 invalid: ends with user
+        ("c3", 0, "user"), ("c3", 1, "assistant"), ("c3", 2, "user"),
+        # c4 invalid: opens with tool
+        ("c4", 0, "tool"), ("c4", 1, "assistant"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string"
+    )
+    got = {r["conv_id"]: r for r in chat_format_lint(df).collect()}
+    assert got["c1"]["valid"] and got["c1"]["n_role_repeats"] == 0
+    assert not got["c2"]["valid"] and got["c2"]["n_role_repeats"] == 1
+    assert not got["c3"]["valid"] and got["c3"]["last_role"] == "user"
+    assert not got["c4"]["valid"] and got["c4"]["first_role"] == "tool"
+
+
+def test_train_val_split_exact_counts_and_determinism(spark):
+    from sparkcollector.operators.corpus import train_val_split
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(20)] + [("b", i) for i in range(100, 105)],
+        "source string, doc_id long",
+    )
+    out = train_val_split(df).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["source"], []).append(r["split"])
+    a = by["a"]
+    assert (a.count("train"), a.count("val"), a.count("test")) == (16, 2, 2)
+    b = by["b"]  # n=5: floor(4.0)=4 train, floor(0.5)=0 val, 1 test
+    assert (b.count("train"), b.count("val"), b.count("test")) == (4, 0, 1)
+    # deterministic: re-run produces the identical assignment
+    again = {(r["source"], r["doc_id"]): r["split"]
+             for r in train_val_split(df).collect()}
+    assert all(again[(r["source"], r["doc_id"])] == r["split"] for r in out)
+
+
+def test_truncate_middle_budget_and_passthrough(spark):
+    from sparkcollector.operators.corpus import truncate_middle
+
+    long_text = " ".join(f"w{i}" for i in range(100))
+    short_text = "just a few words"
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in
+           truncate_middle(df, head_tokens=10, tail_tokens=5).collect()}
+    t = got[1]
+    assert t["truncated"] and t["out_n_tok"] == 16
+    words = t["out_text"].split(" ")
+    assert words[:10] == [f"w{i}" for i in range(10)]
+    assert words[10] == "..."
+    assert words[11:] == [f"w{i}" for i in range(95, 100)]
+    assert not got[2]["truncated"] and got[2]["out_text"] == short_text
