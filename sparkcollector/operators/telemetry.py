@@ -1676,3 +1676,59 @@ def rollup_by_type(
         rollup.alias("rollup"),
         F.round(value, 6).alias("value"),
     )
+
+
+def labels_to_props_tags(
+    df: DataFrame, labels_col: str = "labels"
+) -> DataFrame:
+    """k8s label set -> SignalFx properties and tags (the smart
+    agent's PropsAndTagsFromLabels, internal/signalfx-agent/pkg/
+    monitors/kubernetes/utils/labels.go:10-36): label keys sanitize
+    ``.`` and ``/`` to ``_``; labels WITHOUT a value become TAGS,
+    valued labels become PROPERTIES.
+
+    One ``map_entries`` explode — row growth bounded by label count;
+    output carries (sanitized_key, kind, value) per label with value
+    NULL for tags (matching the reference's props/tags split).
+    """
+    exploded = df.select(
+        "*", F.explode(F.map_entries(F.col(labels_col))).alias("_e")
+    )
+    key = F.col("_e")["key"]
+    val = F.col("_e")["value"]
+    sanitized = F.translate(key, "./", "__")
+    kind = F.when(val == "", F.lit("tag")).otherwise(F.lit("property"))
+    return exploded.select(
+        *[c for c in df.columns if c != labels_col],
+        sanitized.alias("key"),
+        kind.alias("kind"),
+        F.when(val != "", val).alias("value"),
+    )
+
+
+def flatten_struct_dotpath(df: DataFrame, sep: str = ".") -> DataFrame:
+    """Flatten nested struct columns into dot-path top-level columns
+    — the log-body / OTLP-resource flatten a columnar sink schema
+    wants (nested bodies become individually prunable, filterable
+    parquet columns instead of one opaque blob).
+
+    Schema-driven recursion over ``df.schema``: every leaf becomes
+    one aliased column reference, so the whole operator is a single
+    Project — zero shuffle, zero UDF, and column pruning still
+    reaches the scan for any subset of the flattened output.
+    """
+    from pyspark.sql.types import StructType
+
+    cols: list = []
+
+    def walk(path: list[str], dtype) -> None:
+        if isinstance(dtype, StructType):
+            for f in dtype.fields:
+                walk(path + [f.name], f.dataType)
+        else:
+            ref = ".".join(f"`{p}`" for p in path)
+            cols.append(F.col(ref).alias(sep.join(path)))
+
+    for field in df.schema.fields:
+        walk([field.name], field.dataType)
+    return df.select(*cols)

@@ -137,3 +137,32 @@ def word_fingerprints(text: Column, k: int = 5) -> Column:
             lambda acc, h: (acc * FP_BASE + h) % FP_MOD,
         ),
     )
+
+
+def tokenizer_fertility(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tokenizer fertility audit by detected language — tokens per
+    word and characters per token under the BPE-ish pre-tokenizer
+    (the efficiency report run before locking a vocab: high fertility
+    marks languages the tokenizer serves poorly, a standard
+    multilingual-corpus health metric).
+
+    Ratios are computed as ONE division of two exact integer sums per
+    language (engine-portable — no averaging of per-doc floats), in a
+    single grouped pass over per-doc integer counts.
+    """
+    t = F.col(text_col)
+    per_doc = df.select(
+        language_id(t).alias("lang"),
+        F.size(tokens(t)).cast("long").alias("n_words"),
+        token_count_bpe(t).cast("long").alias("n_bpe"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_bpe").alias("total_tokens"),
+        F.round(F.sum("n_bpe") / F.sum("n_words"), 6).alias("fertility"),
+        F.round(F.sum("n_chars") / F.sum("n_bpe"), 6).alias(
+            "chars_per_token"
+        ),
+    )

@@ -6775,6 +6775,142 @@ def q_truncate_middle_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truncate_middle(docs, head_tokens=40, tail_tokens=20)
 
 
+# ---------------------------------------------------------------------
+# 174. k8s labels -> SignalFx props/tags split (PropsAndTagsFromLabels,
+#      internal/signalfx-agent/pkg/monitors/kubernetes/utils/
+#      labels.go:10-36): './' sanitize to '_', empty-value labels are
+#      tags, valued ones properties.
+# ---------------------------------------------------------------------
+@register(
+    "k8s_labels_props_tags",
+    """
+    with base as (
+      select event_id, user_id, event_type,
+             user_id % 2 = 0 as tiertag
+      from events)
+    select event_id, 'app_kubernetes_io_name' as key,
+           'property' as kind, event_type as value
+    from base
+    union all
+    select event_id, 'tier',
+           case when tiertag then 'tag' else 'property' end,
+           case when tiertag then NULL else 'web' end
+    from base
+    union all
+    select event_id, 'team_owner', 'property',
+           't' || cast(user_id % 4 as varchar)
+    from base
+    """,
+)
+def q_k8s_labels_props_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import labels_to_props_tags
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    labels = F.create_map(
+        F.lit("app.kubernetes.io/name"), F.col("event_type"),
+        F.lit("tier"),
+        F.when(uid % 2 == 0, F.lit("")).otherwise(F.lit("web")),
+        F.lit("team.owner"),
+        F.concat(F.lit("t"), (uid % 4).cast("string")),
+    )
+    return labels_to_props_tags(
+        ev.select("event_id", labels.alias("labels"))
+    )
+
+
+# ---------------------------------------------------------------------
+# 175. Nested-struct dot-path flatten (log-body / OTLP-resource
+#      flatten before a columnar sink: leaves become individually
+#      prunable parquet columns): schema-driven, one Project.
+# ---------------------------------------------------------------------
+@register(
+    "struct_flatten_dotpath",
+    """
+    select event_id,
+           user_id as "ctx.user.id",
+           'u' || cast(user_id % 100 as varchar) as "ctx.user.name",
+           event_type as "ctx.http.method",
+           cast(user_id % 5 * 100 + 200 as bigint) as "ctx.http.status"
+    from events
+    """,
+)
+def q_struct_flatten_dotpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import flatten_struct_dotpath
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.struct(
+                uid.alias("id"),
+                F.concat(F.lit("u"), (uid % 100).cast("string")).alias(
+                    "name"
+                ),
+            ).alias("user"),
+            F.struct(
+                F.col("event_type").alias("method"),
+                ((uid % 5) * 100 + 200).alias("status"),
+            ).alias("http"),
+        ).alias("ctx"),
+    )
+    return flatten_struct_dotpath(nested)
+
+
+# ---------------------------------------------------------------------
+# 176. Tokenizer fertility by language (tokens/word and chars/token
+#      under the BPE-ish pre-tokenizer, per detected language — the
+#      multilingual tokenizer-efficiency audit).  Ratios are single
+#      divisions of exact integer sums.
+# ---------------------------------------------------------------------
+@register(
+    "tokenizer_fertility",
+    """
+    with t as (select doc_id, text,
+                      string_split(lower(text), ' ') as toks
+               from documents),
+    s as (select doc_id, text, toks,
+                 {scores}
+          from t),
+    b as (select *, greatest(s_en, s_de, s_fr, s_es) as best from s),
+    l as (select case when s_en > 0 and s_en = best then 'en'
+                      when s_de > 0 and s_de = best then 'de'
+                      when s_fr > 0 and s_fr = best then 'fr'
+                      when s_es > 0 and s_es = best then 'es'
+                      else 'und' end as lang,
+                 cast(len(string_split(text, ' ')) as bigint) as n_words,
+                 cast(len(regexp_extract_all(text,
+                   '[a-zA-Z]+|\\d+|[^a-zA-Z\\d\\s]')) as bigint) as n_bpe,
+                 cast(length(text) as bigint) as n_chars
+          from b)
+    select lang, cast(count(*) as bigint) as n_docs,
+           sum(n_words) as total_words,
+           sum(n_bpe) as total_tokens,
+           round(cast(sum(n_bpe) as double) / sum(n_words), 6)
+             as fertility,
+           round(cast(sum(n_chars) as double) / sum(n_bpe), 6)
+             as chars_per_token
+    from l group by lang
+    """.format(
+        scores=",\n                 ".join(
+            _lang_score_sql(lang, words)
+            for lang, words in [
+                ("en", ("the", "and", "of", "to", "a", "in", "is", "it", "you", "that")),
+                ("de", ("der", "die", "und", "das", "ist", "nicht", "ein", "ich", "mit", "zu")),
+                ("fr", ("le", "la", "et", "les", "des", "est", "un", "une", "que", "pour")),
+                ("es", ("el", "la", "y", "de", "que", "en", "un", "una", "es", "los")),
+            ]
+        )
+    ),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import tokenizer_fertility
+
+    docs = _t(spark, sf_dir, "documents")
+    return tokenizer_fertility(docs)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

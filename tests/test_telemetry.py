@@ -794,3 +794,42 @@ def test_rollup_by_type_selects_per_type_function(spark):
     assert got["counter"] == ("sum", 12.0)
     assert got["cumulative"] == ("delta", 60.0)
     assert got["other"] == ("latest", None)
+
+
+def test_labels_to_props_tags_sanitize_and_split(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.telemetry import labels_to_props_tags
+
+    df = spark.createDataFrame([(1,)], "id long").select(
+        "id",
+        F.create_map(
+            F.lit("app.kubernetes.io/name"), F.lit("web"),
+            F.lit("emptytag"), F.lit(""),
+        ).alias("labels"),
+    )
+    got = {
+        r["key"]: (r["kind"], r["value"])
+        for r in labels_to_props_tags(df).collect()
+    }
+    assert got["app_kubernetes_io_name"] == ("property", "web")
+    assert got["emptytag"] == ("tag", None)
+
+
+def test_flatten_struct_dotpath_deep_and_flat(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.telemetry import flatten_struct_dotpath
+
+    df = spark.createDataFrame([(1, "x")], "id long, plain string").select(
+        "id",
+        "plain",
+        F.struct(
+            F.struct(F.lit(7).alias("deep")).alias("inner"),
+            F.lit("v").alias("leaf"),
+        ).alias("outer"),
+    )
+    out = flatten_struct_dotpath(df)
+    assert out.columns == ["id", "plain", "outer.inner.deep", "outer.leaf"]
+    row = out.collect()[0]
+    assert row["outer.inner.deep"] == 7 and row["plain"] == "x"

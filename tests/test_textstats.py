@@ -106,3 +106,18 @@ def test_reassemble_multiline(spark):
     # head fragment before any start-match becomes record 0
     assert out[("f2", 0)]["record"] == "orphan head line"
     assert out[("f2", 1)]["record"] == "START solo"
+
+
+def test_tokenizer_fertility_exact_ratios(spark):
+    from sparkcollector.operators.textstats import tokenizer_fertility
+
+    # "the and of" -> en, 3 words, 3 bpe tokens; "hello, world" -> und
+    df = spark.createDataFrame(
+        [("the and of",), ("xx yy, zz!",)], "text string"
+    )
+    got = {r["lang"]: r for r in tokenizer_fertility(df).collect()}
+    en = got["en"]
+    assert en["total_words"] == 3 and en["total_tokens"] == 3
+    assert en["fertility"] == 1.0
+    und = got["und"]
+    assert und["total_words"] == 3 and und["total_tokens"] == 5
