@@ -1253,3 +1253,77 @@ def truncate_middle(
         out_text.alias("out_text"),
         F.size(F.split(out_text, " ")).cast("long").alias("out_n_tok"),
     )
+
+
+def loss_mask_spans(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    train_roles: tuple[str, ...] = ("assistant",),
+) -> DataFrame:
+    """SFT loss-mask span table: per turn, its token offset range in
+    the rendered conversation and whether those tokens TRAIN (the
+    standard chat-SFT rule: loss on assistant turns only, prompts /
+    system / tool output masked).  The trainer joins this span table
+    against the packed token stream — the masking twin of
+    ``pack_sequences``' lineage output.
+
+    One cumulative-sum window per conversation (keyed, parallel);
+    token counts are whitespace words, swap in a tokenizer count
+    column upstream.
+    """
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    return df.select(
+        conv_col,
+        idx_col,
+        F.col(role_col),
+        F.coalesce(F.sum(n_tok).over(w), F.lit(0)).alias("start_tok"),
+        n_tok.alias("n_tok"),
+        F.col(role_col).isin(*train_roles).alias("trainable"),
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    band_col: str,
+    id_col: str = "doc_id",
+    seed: str = "c0",
+) -> DataFrame:
+    """Exact global curriculum position WITHOUT a global sort:
+    training order = easy bands first, random (but seeded,
+    reproducible) order inside each band.
+
+    The global index decomposes as ``band offset + within-band md5
+    rank``: one keyed window ranks inside each band in parallel, and
+    the offsets come from the tiny per-band count table (exclusive
+    prefix sum over |bands| rows, broadcast back).  No single-
+    partition window ever sees the fact table — the scale-honest
+    form of ``row_number() over (order by band, md5)``.
+    """
+    h = F.md5(
+        F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))
+    )
+    wb = Window.partitionBy(band_col).orderBy(h, id_col)
+    ranked = df.select(
+        band_col, id_col, (F.row_number().over(wb) - 1).alias("_rk")
+    )
+    sizes = df.groupBy(band_col).agg(F.count("*").alias("_n"))
+    wo = (
+        Window.orderBy(band_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = sizes.select(
+        band_col, F.coalesce(F.sum("_n").over(wo), F.lit(0)).alias("_off")
+    )
+    return ranked.join(F.broadcast(offsets), band_col).select(
+        band_col,
+        id_col,
+        (F.col("_off") + F.col("_rk")).cast("long").alias("global_pos"),
+    )

@@ -1732,3 +1732,36 @@ def flatten_struct_dotpath(df: DataFrame, sep: str = ".") -> DataFrame:
     for field in df.schema.fields:
         walk([field.name], field.dataType)
     return df.select(*cols)
+
+
+def staleness_segments(
+    df: DataFrame,
+    series_cols: list[str],
+    order_col: str,
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Prometheus staleness-marker segmentation: a NaN sample marks
+    the END of a series segment (the scrape protocol's explicit
+    "series went away" signal; the PRW receiver counts these as
+    NAN_samples).  Non-marker points group into segments split at
+    the markers — segment id = running marker count — and each
+    segment reports its point count and time span.
+
+    One keyed cumulative window + one grouped aggregate over the same
+    series keys (shared exchange); markers themselves are excluded
+    from the output, their count is the audit column upstream.
+    """
+    marker = F.isnan(F.col(value_col)).cast("long")
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = F.sum(marker).over(w)
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    pts = df.withColumn("_seg", seg).filter(~F.isnan(F.col(value_col)))
+    return pts.groupBy(*series_cols, F.col("_seg").alias("segment")).agg(
+        F.count("*").alias("n_points"),
+        F.round(F.max(epoch) - F.min(epoch), 3).alias("duration_s"),
+    )

@@ -6911,6 +6911,104 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(docs)
 
 
+# ---------------------------------------------------------------------
+# 177. SFT loss-mask span table (loss on assistant turns only): per
+#      turn, its token offset range in the rendered conversation and
+#      the trainable flag — the masking twin of pack_sequences.
+# ---------------------------------------------------------------------
+@register(
+    "loss_mask_spans",
+    f"""
+    with t as ({_T_SQL})
+    select conv_id, turn_idx, role,
+           cast(coalesce(sum(len(string_split(text, ' '))) over (
+             partition by conv_id order by turn_idx
+             rows between unbounded preceding and 1 preceding), 0)
+             as bigint) as start_tok,
+           cast(len(string_split(text, ' ')) as bigint) as n_tok,
+           role = 'assistant' as trainable
+    from t
+    """,
+)
+def q_loss_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import loss_mask_spans
+
+    t = transcripts_from_events(spark, sf_dir)
+    return loss_mask_spans(t)
+
+
+# ---------------------------------------------------------------------
+# 178. Curriculum ordering (easy bands first, seeded-random inside a
+#      band): exact global position from band offsets + within-band
+#      md5 rank — no global sort window ever sees the fact table.
+# ---------------------------------------------------------------------
+@register(
+    "curriculum_order_bands",
+    """
+    with d as (
+      select doc_id,
+             least(cast(floor(len(string_split(text, ' ')) / 50)
+                        as bigint), 5) as band
+      from documents)
+    select band, doc_id,
+           cast(row_number() over (
+             order by band,
+                      md5('c0|' || cast(doc_id as varchar)),
+                      doc_id) - 1 as bigint) as global_pos
+    from d
+    """,
+)
+def q_curriculum_order_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import curriculum_order
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.least(
+            F.floor(F.size(F.split(F.col("text"), " ")) / 50),
+            F.lit(5),
+        ).cast("long").alias("band"),
+    )
+    return curriculum_order(docs, "band")
+
+
+# ---------------------------------------------------------------------
+# 179. Prometheus staleness-marker segmentation: NaN samples split a
+#      series into segments (running marker count); per segment,
+#      point count and time span.  Markers excluded from output.
+# ---------------------------------------------------------------------
+@register(
+    "staleness_segments",
+    """
+    with p as (
+      select event_type, event_id, ts,
+             case when event_id % 17 = 0 then 'nan'::double
+                  else value end as v
+      from events),
+    s as (
+      select *, sum(case when isnan(v) then 1 else 0 end) over (
+               partition by event_type order by event_id
+               rows unbounded preceding) as seg
+      from p)
+    select event_type, cast(seg as bigint) as segment,
+           cast(count(*) as bigint) as n_points,
+           round(max(epoch(ts)) - min(epoch(ts)), 3) as duration_s
+    from s where not isnan(v) group by 1, 2
+    """,
+)
+def q_staleness_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import staleness_segments
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("event_id") % 17 == 0, F.lit(float("nan"))
+        ).otherwise(F.col("value")).alias("value"),
+    )
+    return staleness_segments(ev, ["event_type"], "event_id")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

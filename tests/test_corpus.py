@@ -565,3 +565,40 @@ def test_truncate_middle_budget_and_passthrough(spark):
     assert words[10] == "..."
     assert words[11:] == [f"w{i}" for i in range(95, 100)]
     assert not got[2]["truncated"] and got[2]["out_text"] == short_text
+
+
+def test_loss_mask_spans_offsets_and_flags(spark):
+    from sparkcollector.operators.corpus import loss_mask_spans
+
+    rows = [
+        ("c", 0, "user", "hello there friend"),       # 3 tokens
+        ("c", 1, "assistant", "hi you"),              # 2 tokens
+        ("c", 2, "tool", "result one two three"),     # 4 tokens
+        ("c", 3, "assistant", "done"),                # 1 token
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {r["turn_idx"]: r for r in loss_mask_spans(df).collect()}
+    assert [got[i]["start_tok"] for i in range(4)] == [0, 3, 5, 9]
+    assert [got[i]["trainable"] for i in range(4)] == [
+        False, True, False, True
+    ]
+    assert got[3]["n_tok"] == 1
+
+
+def test_curriculum_order_is_band_major_and_dense(spark):
+    from sparkcollector.operators.corpus import curriculum_order
+
+    df = spark.createDataFrame(
+        [(0, i) for i in range(5)] + [(1, i) for i in range(100, 103)],
+        "band long, doc_id long",
+    )
+    rows = curriculum_order(df, "band").collect()
+    pos = sorted(r["global_pos"] for r in rows)
+    assert pos == list(range(8))  # dense 0..n-1
+    by_band = {r["doc_id"]: (r["band"], r["global_pos"]) for r in rows}
+    # every band-0 position precedes every band-1 position
+    assert max(p for b, p in by_band.values() if b == 0) < min(
+        p for b, p in by_band.values() if b == 1
+    )

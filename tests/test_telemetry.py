@@ -833,3 +833,27 @@ def test_flatten_struct_dotpath_deep_and_flat(spark):
     assert out.columns == ["id", "plain", "outer.inner.deep", "outer.leaf"]
     row = out.collect()[0]
     assert row["outer.inner.deep"] == 7 and row["plain"] == "x"
+
+
+def test_staleness_segments_split_on_nan(spark):
+    from sparkcollector.operators.telemetry import staleness_segments
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("s", 1, t0, 1.0),
+        ("s", 2, t0 + datetime.timedelta(seconds=10), 2.0),
+        ("s", 3, t0 + datetime.timedelta(seconds=20), float("nan")),
+        ("s", 4, t0 + datetime.timedelta(seconds=30), 3.0),
+        ("s", 5, t0 + datetime.timedelta(seconds=45), 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, i long, ts timestamp, value double"
+    )
+    got = {
+        r["segment"]: (r["n_points"], r["duration_s"])
+        for r in staleness_segments(df, ["k"], "i").collect()
+    }
+    assert got[0] == (2, 10.0)   # before the marker
+    assert got[1] == (2, 15.0)   # after the marker
