@@ -927,6 +927,172 @@ def main() -> None:
         spark=spark,
     )
 
+    for name in (
+        "syslog_parse_fields",
+        "journald_export",
+        "wavefront_points",
+    ):
+        all_ok &= audit(
+            name,
+            (lambda n: lambda: queries()[n](spark, SF_DIR))(name),
+            [
+                ("zero exchanges: line/JSON grammar is regexp + HOFs",
+                 lambda p: len(re.findall(r"Exchange \(\d+\)", p)) == 0),
+                ("no Python / UDF in plan", lambda p: "Python" not in p),
+            ],
+            out,
+            spark=spark,
+        )
+    all_ok &= audit(
+        "alert_hysteresis_edges",
+        lambda: queries()["alert_hysteresis_edges"](spark, SF_DIR),
+        [
+            ("hysteresis state is ONE last_value window (no fold, no "
+             "self-join): single keyed exchange shared with the "
+             "aggregate",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) <= 1),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "flap_windows",
+        lambda: queries()["flap_windows"](spark, SF_DIR),
+        [
+            ("lag window and window-count aggregate share the key "
+             "exchange",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) <= 2),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "rollup_by_type",
+        lambda: queries()["rollup_by_type"](spark, SF_DIR),
+        [
+            ("ONE grouped pass for all rollup types (conditional "
+             "aggregates, map-side partials)",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "chat_format_lint",
+        lambda: queries()["chat_format_lint"](spark, SF_DIR),
+        [
+            ("lag window and lint aggregate share the conversation "
+             "key exchange (plus the transcripts-view turn window)",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) <= 2),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "train_val_test_split",
+        lambda: queries()["train_val_test_split"](spark, SF_DIR),
+        [
+            ("single stratum-key exchange (rank + stratum count share "
+             "it)",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) <= 1),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "truncate_middle_tokens",
+        lambda: queries()["truncate_middle_tokens"](spark, SF_DIR),
+        [
+            ("zero exchanges: pure in-row array slicing",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) == 0),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "k8s_labels_props_tags",
+        lambda: queries()["k8s_labels_props_tags"](spark, SF_DIR),
+        [
+            ("zero exchanges: map_entries explode is map-side",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) == 0),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "struct_flatten_dotpath",
+        lambda: queries()["struct_flatten_dotpath"](spark, SF_DIR),
+        [
+            ("zero exchanges: schema-driven flatten is one Project",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) == 0),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "tokenizer_fertility",
+        lambda: queries()["tokenizer_fertility"](spark, SF_DIR),
+        [
+            ("per-language sums combine map-side before the lang "
+             "exchange", lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan (langid + BPE counts are HOFs)",
+             lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "loss_mask_spans",
+        lambda: queries()["loss_mask_spans"](spark, SF_DIR),
+        [
+            ("two keyed exchanges: the view's turn-number window "
+             "(user_id) and the cumsum window (conv_id — derived "
+             "from user_id, but Catalyst cannot know that)",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) <= 2),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "at scale, pre-partitioning the transcripts table by user_id "
+        "makes both windows shuffle-free (same policy as the "
+        "pipeline's conv_id repartition).",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "curriculum_order_bands",
+        lambda: queries()["curriculum_order_bands"](spark, SF_DIR),
+        [
+            ("band offsets join back as a broadcast",
+             lambda p: "BroadcastHashJoin" in p),
+            ("no SortMergeJoin (offsets table is |bands| rows)",
+             lambda p: "SortMergeJoin" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "the only unpartitioned window runs over the per-band count "
+        "table (|bands| rows), never the corpus.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "staleness_segments",
+        lambda: queries()["staleness_segments"](spark, SF_DIR),
+        [
+            ("marker cumsum window and segment aggregate share the "
+             "series-key exchange",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) <= 1),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"
