@@ -253,3 +253,38 @@ def flap_detect(
             "flapping", F.col("n_transitions") >= min_transitions
         )
     )
+
+
+def top_movers(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Top-movers ranking (the dashboard "biggest changes" panel):
+    per time bucket, the k keys whose count changed most vs their own
+    previous bucket, ranked by |delta| (ties to the smaller key).
+
+    Counts aggregate first (map-side partials collapse the fact
+    table), so both windows — the per-key lag and the per-bucket rank
+    — run over (keys x buckets) rows, never raw events.  First bucket
+    per key compares against 0 (a new key IS a mover).
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(key_col, bucket_col).agg(
+        F.count("*").alias("n")
+    )
+    wl = Window.partitionBy(key_col).orderBy(bucket_col)
+    prev = F.coalesce(F.lag("n").over(wl), F.lit(0))
+    delta = (F.col("n") - prev).alias("delta")
+    scored = counts.select(
+        key_col, bucket_col, "n", prev.alias("prev_n"), delta
+    )
+    wr = Window.partitionBy(bucket_col).orderBy(
+        F.abs(F.col("delta")).desc(), F.col(key_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+    )

@@ -1327,3 +1327,53 @@ def curriculum_order(
         id_col,
         (F.col("_off") + F.col("_rk")).cast("long").alias("global_pos"),
     )
+
+
+def code_fence_extract(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fence: str = "```",
+) -> DataFrame:
+    """Extract fenced code blocks from markdown-ish documents (the
+    code-mining pass of a training pipeline): lines between a pair of
+    ``fence`` lines form one block; an unclosed trailing fence keeps
+    everything after it (matching how markdown renderers treat a
+    dangling fence).
+
+    Gaps-and-islands over a line explode: block membership = running
+    fence count is ODD; block id = (count+1)/2.  One keyed window +
+    one grouped reassembly (array-sorted by line position, no
+    collect-to-driver); docs without fences emit nothing.
+    """
+    lines = F.posexplode(F.split(F.col(text_col), "\n"))
+    ex = df.select(F.col(id_col), lines.alias("pos", "line"))
+    is_fence = (F.trim(F.col("line")) == fence).cast("long")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = ex.select(
+        id_col,
+        "pos",
+        "line",
+        F.sum(is_fence).over(w).alias("_fc"),
+        is_fence.alias("_isf"),
+    )
+    inside = (F.col("_fc") % 2 == 1) & (F.col("_isf") == 0)
+    blocks = marked.filter(inside).groupBy(
+        F.col(id_col), ((F.col("_fc") + 1) / 2).cast("long").alias("block_id")
+    ).agg(
+        F.count("*").alias("n_lines"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("code"),
+    )
+    return blocks

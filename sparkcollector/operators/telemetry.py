@@ -1765,3 +1765,46 @@ def staleness_segments(
         F.count("*").alias("n_points"),
         F.round(F.max(epoch) - F.min(epoch), 3).alias("duration_s"),
     )
+
+
+def uptime_percent(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+    expected_interval_s: float = 60.0,
+    gap_factor: float = 2.0,
+) -> DataFrame:
+    """Uptime percentage from heartbeat gaps (the availability number
+    a dead-man-switch detector reports): a gap between consecutive
+    datapoints longer than ``gap_factor * expected_interval_s``
+    counts as downtime of ``gap - expected_interval_s`` (the series
+    was up for one interval after its last point, down for the rest).
+
+    One keyed lag window + one grouped aggregate over the same series
+    keys (shared exchange); decimal accumulation of gap seconds so
+    the downtime sum replays identically on any engine.
+    """
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    order = [F.col(c) for c in (order_cols or [ts_col])]
+    w = Window.partitionBy(*series_cols).orderBy(*order)
+    gap = epoch - F.lag(epoch).over(w)
+    down = F.when(
+        gap > gap_factor * expected_interval_s,
+        (gap - expected_interval_s).cast("decimal(28,6)"),
+    ).otherwise(F.lit(0).cast("decimal(28,6)"))
+    pts = df.select(*series_cols, epoch.alias("_e"), down.alias("_d"))
+    return pts.groupBy(*series_cols).agg(
+        F.count("*").alias("n_points"),
+        F.round((F.max("_e") - F.min("_e")), 3).alias("span_s"),
+        F.round(F.sum("_d").cast("double"), 3).alias("downtime_s"),
+        F.round(
+            F.when(
+                F.max("_e") > F.min("_e"),
+                1.0
+                - F.sum("_d").cast("double")
+                / (F.max("_e") - F.min("_e")),
+            ).otherwise(F.lit(1.0)),
+            6,
+        ).alias("uptime_pct"),
+    )

@@ -7009,6 +7009,132 @@ def q_staleness_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staleness_segments(ev, ["event_type"], "event_id")
 
 
+# ---------------------------------------------------------------------
+# 180. Heartbeat uptime percentage (dead-man-switch availability): a
+#      gap over 2x the expected interval counts as downtime of
+#      gap - interval; decimal gap accumulation, single division.
+# ---------------------------------------------------------------------
+@register(
+    "uptime_percent",
+    """
+    with p as (select event_type, epoch(ts) as e, event_id
+               from events),
+    l as (select event_type, e,
+                 e - lag(e) over (
+                   partition by event_type
+                   order by e, event_id) as gap
+          from p),
+    d as (select event_type, e,
+                 case when gap > 120
+                      then cast(gap - 60 as decimal(28,6))
+                      else cast(0 as decimal(28,6)) end as down
+          from l)
+    select event_type, cast(count(*) as bigint) as n_points,
+           round(max(e) - min(e), 3) as span_s,
+           round(cast(sum(down) as double), 3) as downtime_s,
+           round(case when max(e) > min(e)
+                      then 1.0 - cast(sum(down) as double)
+                               / (max(e) - min(e))
+                      else 1.0 end, 6) as uptime_pct
+    from d group by 1
+    """,
+)
+def q_uptime_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import uptime_percent
+
+    ev = _t(spark, sf_dir, "events")
+    return uptime_percent(
+        ev,
+        ["event_type"],
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+        expected_interval_s=60.0,
+        gap_factor=2.0,
+    )
+
+
+# ---------------------------------------------------------------------
+# 181. Top movers (dashboard "biggest changes"): per hour, top-3 keys
+#      by |count delta| vs their own previous hour; new keys compare
+#      against 0.  Both windows run on the (key x bucket) count
+#      table, never raw events.
+# ---------------------------------------------------------------------
+@register(
+    "top_movers",
+    """
+    with c as (
+      select event_type,
+             cast(floor(epoch(ts) / 3600) as bigint) as hour,
+             count(*) as n
+      from events group by 1, 2),
+    l as (
+      select event_type, hour, n,
+             coalesce(lag(n) over (
+               partition by event_type order by hour), 0) as prev_n
+      from c),
+    r as (
+      select *, n - prev_n as delta,
+             row_number() over (
+               partition by hour
+               order by abs(n - prev_n) desc, event_type) as rank
+      from l)
+    select event_type, hour, cast(n as bigint) as n,
+           cast(prev_n as bigint) as prev_n,
+           cast(delta as bigint) as delta,
+           cast(rank as int) as rank
+    from r where rank <= 3
+    """,
+)
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import top_movers
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(_epoch_s("ts") / 3600).cast("long").alias("hour"),
+    )
+    return top_movers(ev, "event_type", "hour", k=3)
+
+
+# ---------------------------------------------------------------------
+# 182. Markdown code-fence extraction (code mining for training
+#      data): gaps-and-islands over a line explode — block = odd
+#      running fence count; dangling trailing fences keep their tail.
+# ---------------------------------------------------------------------
+@register(
+    "code_fence_extract",
+    """
+    select event_id as doc_id, cast(1 as bigint) as block_id,
+           cast(1 as bigint) as n_lines,
+           'dangling ' || event_type as code
+    from events where user_id % 7 = 0
+    union all
+    select event_id, 1, 2,
+           'code ' || event_type || chr(10) || 'x = '
+             || cast(user_id % 10 as varchar)
+    from events where user_id % 7 <> 0 and user_id % 5 <> 0
+    """,
+)
+def q_code_fence_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import code_fence_extract
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    fenced = F.concat(
+        F.lit("intro line\n```\ncode "),
+        F.col("event_type"),
+        F.lit("\nx = "),
+        (uid % 10).cast("string"),
+        F.lit("\n```\ntrailer"),
+    )
+    dangling = F.concat(F.lit("start\n```\ndangling "), F.col("event_type"))
+    plain = F.lit("plain doc\nno code here")
+    text = F.when(uid % 7 == 0, dangling).otherwise(
+        F.when(uid % 5 == 0, plain).otherwise(fenced)
+    )
+    docs = ev.select(F.col("event_id").alias("doc_id"), text.alias("text"))
+    return code_fence_extract(docs)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -193,3 +193,23 @@ def test_flap_detect_counts_transitions_per_window(spark):
     }
     assert got["d1"] == (3, True)
     assert got["d2"] == (1, False)
+
+
+def test_top_movers_ranks_by_abs_delta(spark):
+    from sparkcollector.operators.analytics import top_movers
+
+    rows = (
+        [("a", 1)] * 10 + [("b", 1)] * 2
+        + [("a", 2)] * 1 + [("b", 2)] * 8 + [("c", 2)] * 3
+    )
+    df = spark.createDataFrame(rows, "key string, bucket long")
+    got = {
+        (r["bucket"], r["key"]): (r["delta"], r["rank"])
+        for r in top_movers(df, "key", "bucket", k=2).collect()
+    }
+    # bucket 2: a dropped 9, b rose 6, c new +3 -> top2 = a, b
+    assert got[(2, "a")] == (-9, 1)
+    assert got[(2, "b")] == (6, 2)
+    assert (2, "c") not in got
+    # bucket 1: both keys are new movers vs 0
+    assert got[(1, "a")] == (10, 1)

@@ -602,3 +602,20 @@ def test_curriculum_order_is_band_major_and_dense(spark):
     assert max(p for b, p in by_band.values() if b == 0) < min(
         p for b, p in by_band.values() if b == 1
     )
+
+
+def test_code_fence_extract_blocks(spark):
+    from sparkcollector.operators.corpus import code_fence_extract
+
+    doc1 = "intro\n```\nline1\nline2\n```\nmiddle\n```\nonly\n```\nend"
+    doc2 = "start\n```\ndangling tail"
+    doc3 = "no fences at all"
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3)], "doc_id long, text string"
+    )
+    rows = code_fence_extract(df).collect()
+    by = {(r["doc_id"], r["block_id"]): r for r in rows}
+    assert by[(1, 1)]["code"] == "line1\nline2"
+    assert by[(1, 2)]["code"] == "only"
+    assert by[(2, 1)]["code"] == "dangling tail"
+    assert all(r["doc_id"] != 3 for r in rows)

@@ -857,3 +857,25 @@ def test_staleness_segments_split_on_nan(spark):
     }
     assert got[0] == (2, 10.0)   # before the marker
     assert got[1] == (2, 15.0)   # after the marker
+
+
+def test_uptime_percent_gap_accounting(spark):
+    import datetime
+
+    from sparkcollector.operators.telemetry import uptime_percent
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # heartbeats at 0,60,120 then a 300s outage, then 420,480
+    offs = [0, 60, 120, 420, 480]
+    df = spark.createDataFrame(
+        [("s", i, t0 + datetime.timedelta(seconds=o))
+         for i, o in enumerate(offs)],
+        "k string, i long, ts timestamp",
+    )
+    r = uptime_percent(
+        df, ["k"], order_cols=["ts", "i"],
+        expected_interval_s=60.0, gap_factor=2.0,
+    ).collect()[0]
+    assert r["span_s"] == 480.0
+    assert r["downtime_s"] == 240.0  # 300s gap minus one interval
+    assert r["uptime_pct"] == 0.5
