@@ -176,3 +176,41 @@ def split_entries(
     if sourcetype is not None:
         out = out.withColumn("com.splunk.sourcetype", F.lit(sourcetype))
     return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Keyed diff of two table versions (the regression-diff / CDC
+    shape an Iceberg snapshot compare produces): one row per changed
+    key with ``change`` in {added, removed, changed}, plus a
+    per-column md5 over the compared fields so 'changed' is
+    content-exact, not schema-guessy.  Unchanged keys emit nothing.
+
+    ONE full-outer hash join on the key — the canonical minimal plan;
+    both sides prune to key + compared columns before the shuffle.
+    """
+    def fp(df: DataFrame) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "\x1f", *[F.col(c).cast("string") for c in compare_cols]
+            )
+        )
+        return df.select(*key_cols, h.alias("_h"))
+
+    o = fp(old).withColumnRenamed("_h", "_ho")
+    n = fp(new).withColumnRenamed("_h", "_hn")
+    j = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )

@@ -1808,3 +1808,76 @@ def uptime_percent(
             6,
         ).alias("uptime_pct"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Winsorize a value column to per-group percentile bounds (the
+    robust-scaling clamp before feature extraction / detector
+    training — outliers saturate instead of dominating).
+
+    Exact interpolated percentiles (engine-reproducible, same policy
+    as ``summary_quantiles``) from ONE grouped aggregate, joined back
+    broadcast (groups are bounded); the clamp itself is a pure
+    Project.  Output keeps the original value beside the clamped one
+    plus which side clipped, so the pass is auditable.
+    """
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(v, F.lit(lo)).alias("_lo"),
+        F.percentile(v, F.lit(hi)).alias("_hi"),
+    )
+    j = df.join(F.broadcast(bounds), group_cols)
+    clamped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    side = (
+        F.when(v < F.col("_lo"), F.lit("lo"))
+        .when(v > F.col("_hi"), F.lit("hi"))
+    )
+    return j.select(
+        *df.columns,
+        F.round(F.col("_lo"), 6).alias("lo_bound"),
+        F.round(F.col("_hi"), 6).alias("hi_bound"),
+        F.round(clamped, 6).alias("clamped"),
+        side.alias("clipped"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier detection via median absolute deviation (the
+    detector that survives the outliers it hunts — mean/stddev
+    z-scores get dragged by the very anomalies they should flag):
+    flag points with ``|x - median| > k * 1.4826 * MAD``.
+
+    Two grouped percentile passes (median, then median of absolute
+    deviations) — each a map-side-combining aggregate — and one
+    broadcast join back; groups are bounded, facts never shuffle.
+    """
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*group_cols).agg(
+        F.percentile(v, F.lit(0.5)).alias("_med")
+    )
+    dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "_ad", F.abs(v - F.col("_med"))
+    )
+    mad = dev.groupBy(*group_cols).agg(
+        F.percentile(F.col("_ad"), F.lit(0.5)).alias("_mad"),
+        F.max("_med").alias("_med"),
+    )
+    scored = df.join(F.broadcast(mad), group_cols)
+    thresh = F.lit(k * 1.4826) * F.col("_mad")
+    return scored.select(
+        *df.columns,
+        F.round(F.col("_med"), 6).alias("median"),
+        F.round(F.col("_mad"), 6).alias("mad"),
+        (F.abs(v - F.col("_med")) > thresh).alias("outlier"),
+    )

@@ -7135,6 +7135,112 @@ def q_code_fence_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_fence_extract(docs)
 
 
+# ---------------------------------------------------------------------
+# 183. Winsorize to per-group percentile bounds (robust-scaling clamp
+#      before feature extraction): exact interpolated p05/p95, one
+#      grouped aggregate + broadcast join back, auditable clip side.
+# ---------------------------------------------------------------------
+@register(
+    "winsorize_clamp",
+    """
+    with b as (
+      select event_type,
+             quantile_cont(value, 0.05) as lo,
+             quantile_cont(value, 0.95) as hi
+      from events group by 1)
+    select e.event_id, e.event_type, e.value,
+           round(lo, 6) as lo_bound, round(hi, 6) as hi_bound,
+           round(least(greatest(e.value, lo), hi), 6) as clamped,
+           case when e.value < lo then 'lo'
+                when e.value > hi then 'hi' end as clipped
+    from events e join b using (event_type)
+    """,
+)
+def q_winsorize_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import winsorize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return winsorize(ev, "value", ["event_type"], lo=0.05, hi=0.95)
+
+
+# ---------------------------------------------------------------------
+# 184. MAD robust outliers (the detector that survives its own
+#      anomalies): |x - median| > k * 1.4826 * MAD; two grouped
+#      percentile passes, facts never shuffle.
+# ---------------------------------------------------------------------
+@register(
+    "mad_outlier_flags",
+    """
+    with m as (
+      select event_type, quantile_cont(value, 0.5) as med
+      from events group by 1),
+    a as (
+      select e.event_type,
+             quantile_cont(abs(e.value - m.med), 0.5) as mad,
+             max(m.med) as med
+      from events e join m using (event_type)
+      group by e.event_type)
+    select e.event_id, e.event_type, e.value,
+           round(a.med, 6) as median, round(a.mad, 6) as mad,
+           abs(e.value - a.med)
+             > cast(3.0 as double) * cast(1.4826 as double) * a.mad
+             as outlier
+    from events e join a using (event_type)
+    """,
+)
+def q_mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import mad_outliers
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return mad_outliers(ev, "value", ["event_type"], k=3.0)
+
+
+# ---------------------------------------------------------------------
+# 185. Keyed snapshot diff (Iceberg CDC / regression-diff shape):
+#      added/removed/changed per key via content md5, one full-outer
+#      hash join; the "new" version is synthesized deterministically
+#      (drops %19, edits %7, adds %23 under shifted ids).
+# ---------------------------------------------------------------------
+@register(
+    "snapshot_diff_docs",
+    """
+    select doc_id, 'removed' as change
+    from documents where doc_id % 19 = 0
+    union all
+    select doc_id, 'changed'
+    from documents where doc_id % 19 <> 0 and doc_id % 7 = 0
+    union all
+    select doc_id + 1000000, 'added'
+    from documents where doc_id % 23 = 0
+    """,
+)
+def q_snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.encode import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    did = F.col("doc_id")
+    new = docs.filter(~(did % 19 == 0)).withColumn(
+        "text",
+        F.when(
+            did % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    adds = docs.filter(did % 23 == 0).select(
+        (did + 1000000).alias("doc_id"),
+        "source",
+        F.lit("brand new doc").alias("text"),
+    )
+    return snapshot_diff(
+        docs, new.unionByName(adds), ["doc_id"], ["source", "text"]
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

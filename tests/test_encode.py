@@ -91,3 +91,17 @@ def test_split_entries(spark):
     ]
     assert all(r["com.splunk.source"] == "top" for r in out)
     assert all(r["com.splunk.sourcetype"] == "script" for r in out)
+
+
+def test_snapshot_diff_changes_only(spark):
+    from sparkcollector.operators.encode import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k long, v string"
+    )
+    got = {r["k"]: r["change"]
+           for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}

@@ -879,3 +879,34 @@ def test_uptime_percent_gap_accounting(spark):
     assert r["span_s"] == 480.0
     assert r["downtime_s"] == 240.0  # 300s gap minus one interval
     assert r["uptime_pct"] == 0.5
+
+
+def test_winsorize_clamps_and_flags(spark):
+    from sparkcollector.operators.telemetry import winsorize
+
+    vals = list(range(1, 101))  # 1..100
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate(vals)],
+        "grp string, i long, value double",
+    )
+    out = winsorize(df, "value", ["grp"], lo=0.05, hi=0.95).collect()
+    los = [r for r in out if r["clipped"] == "lo"]
+    his = [r for r in out if r["clipped"] == "hi"]
+    assert len(los) == 5 and len(his) == 5  # 1..5 and 96..100 clip
+    assert all(r["clamped"] == r["lo_bound"] for r in los)
+    mid = next(r for r in out if r["value"] == 50.0)
+    assert mid["clipped"] is None and mid["clamped"] == 50.0
+
+
+def test_mad_outliers_robust_to_the_outlier(spark):
+    from sparkcollector.operators.telemetry import mad_outliers
+
+    vals = [10.0, 11.0, 12.0, 10.5, 11.5, 10.2, 11.8, 1000.0]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)],
+        "grp string, i long, value double",
+    )
+    out = {r["value"]: r["outlier"] for r in
+           mad_outliers(df, "value", ["grp"], k=3.0).collect()}
+    assert out[1000.0] is True
+    assert all(not flag for v, flag in out.items() if v != 1000.0)
