@@ -288,3 +288,107 @@ def top_movers(
         scored.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
     )
+
+
+def trend_slope(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+) -> DataFrame:
+    """Least-squares trend slope per series (the detector primitive
+    behind "metric is trending up": fit count ~ a + b*t over the
+    bucketed series, report b in counts-per-bucket).
+
+    Exact integer sums feed the one closed-form division —
+    slope = (n*Sty - St*Sy) / (n*Stt - St*St) — so the result is
+    engine-reproducible; t is the bucket index relative to the
+    series' own first bucket.  Counts aggregate first; the min-bucket
+    window and the sum aggregate share the series-key exchange.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(key_col, bucket_col).agg(
+        F.count("*").alias("y")
+    )
+    wk = Window.partitionBy(key_col)
+    t = (F.col(bucket_col) - F.min(bucket_col).over(wk)).alias("t")
+    pts = counts.select(key_col, t, "y")
+    g = pts.groupBy(key_col).agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    )
+    num = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast(
+        "double"
+    )
+    return g.select(
+        key_col,
+        "n",
+        F.round(
+            F.when(den != 0, num / den), 9
+        ).alias("slope_per_bucket"),
+    )
+
+
+def holt_smooth(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend — the
+    signalfx "double EWMA" detector block; plain EWMA lags trending
+    series, Holt tracks them): per key over the ordered series,
+
+      l_i = alpha*x_i + (1-alpha)*(l_{i-1} + t_{i-1})
+      t_i = beta*(l_i - l_{i-1}) + (1-beta)*t_{i-1}
+
+    seeded l_1 = x_1, t_1 = 0; the one-step forecast is l + t.
+    Sequential per key, so it runs as an in-row struct fold over the
+    per-key sorted array (same policy as ``ewma_smooth``); intended
+    feed is a bucketed series, state O(points-per-key).
+    """
+    a, b = float(alpha), float(beta)
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    F.col(value_col).cast("double").alias("x"),
+                )
+            )
+        ).alias("_pts")
+    )
+    xs = F.transform("_pts", lambda p: p["x"])
+    seed = F.struct(
+        F.element_at(xs, 1).alias("l"), F.lit(0.0).alias("t")
+    )
+
+    def step(acc, x):
+        lv = F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["t"])
+        tr = (
+            F.lit(b)
+            * ((F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["t"])) - acc["l"])
+            + F.lit(1.0 - b) * acc["t"]
+        )
+        return F.struct(lv.alias("l"), tr.alias("t"))
+
+    folded = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        seed,
+        step,
+    )
+    return per_key.select(
+        "key",
+        F.size("_pts").cast("long").alias("n_points"),
+        F.round(folded["l"], 6).alias("level"),
+        F.round(folded["t"], 6).alias("trend"),
+        F.round(folded["l"] + folded["t"], 6).alias("forecast"),
+    )

@@ -1881,3 +1881,40 @@ def mad_outliers(
         F.round(F.col("_mad"), 6).alias("mad"),
         (F.abs(v - F.col("_med")) > thresh).alias("outlier"),
     )
+
+
+def heatmap_grid(
+    df: DataFrame,
+    bounds: tuple[float, ...],
+    time_col: str = "ts",
+    value_col: str = "value",
+    window_sec: int = 3600,
+) -> DataFrame:
+    """Latency-heatmap grid (the time x bucket density a heatmap
+    panel renders): per (tumbling window, explicit-bounds bucket),
+    the count and its fraction of the window's total — fraction from
+    ONE integer division so it replays exactly.
+
+    One grouped pass for cells; the per-window totals come from a
+    window sum OVER THE CELL TABLE (windows x buckets rows), sharing
+    the window-key exchange — raw points shuffle once.
+    """
+    idx = F.lit(len(bounds))
+    for i in reversed(range(len(bounds))):
+        idx = F.when(
+            F.col(value_col) <= bounds[i], F.lit(i)
+        ).otherwise(idx)
+    epoch = F.col(time_col).cast("timestamp_ltz").cast("long")
+    win = (F.floor(epoch / window_sec) * window_sec).cast("long")
+    cells = df.groupBy(
+        win.alias("win_start"), idx.cast("int").alias("bucket_idx")
+    ).agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("win_start")
+    total = F.sum("n").over(wt)
+    return cells.select(
+        "win_start",
+        "bucket_idx",
+        "n",
+        total.alias("win_total"),
+        F.round(F.col("n").cast("double") / total, 6).alias("fraction"),
+    )

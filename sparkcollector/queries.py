@@ -7241,6 +7241,132 @@ def q_snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 186. Holt double-exponential smoothing (level + trend; the signalfx
+#      double-EWMA detector block): in-row struct fold over the
+#      per-type minute series; DuckDB replays the identical IEEE fold
+#      via list_transform + list_reduce.
+# ---------------------------------------------------------------------
+@register(
+    "holt_winters_level",
+    """
+    with b as (select event_type as key,
+                      cast(floor(epoch(ts) / 60) as bigint) as bkt,
+                      cast(count(*) as double) as x
+               from events group by 1, 2),
+    g as (select key, list(x order by bkt) as xs from b group by key),
+    -- NB: state rides in ONE list-valued field: duckdb 1.0's
+    -- list_reduce evaluates multiple computed struct fields with a
+    -- shared mutating acc (field order changes results); a single
+    -- [l, t] field sidesteps that.
+    f as (select key, len(xs) as n,
+            list_reduce(
+              list_transform(xs, v -> struct_pack(
+                v := v, s := [v, cast(0 as double)])),
+              (acc, x) -> struct_pack(
+                v := x.v,
+                s := [cast(0.5 as double) * x.v
+                      + cast(0.5 as double) * (acc.s[1] + acc.s[2]),
+                      cast(0.3 as double)
+                        * ((cast(0.5 as double) * x.v
+                            + cast(0.5 as double)
+                              * (acc.s[1] + acc.s[2]))
+                           - acc.s[1])
+                      + cast(0.7 as double) * acc.s[2]])
+            ) as st
+          from g)
+    select key, cast(n as bigint) as n_points,
+           round(st.s[1], 6) as level, round(st.s[2], 6) as trend,
+           round(st.s[1] + st.s[2], 6) as forecast
+    from f
+    """,
+)
+def q_holt_winters_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import holt_smooth
+
+    ev = _t(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        F.col("event_type"),
+        F.floor(_epoch_s("ts") / 60).cast("long").alias("bkt"),
+    ).agg(F.count("*").cast("double").alias("x"))
+    return holt_smooth(
+        buckets, "event_type", "bkt", "x", alpha=0.5, beta=0.3
+    )
+
+
+# ---------------------------------------------------------------------
+# 187. Latency-heatmap grid (time x explicit-bounds bucket density):
+#      one grouped pass for cells, per-window totals from a window
+#      sum over the CELL table, fraction = one integer division.
+# ---------------------------------------------------------------------
+@register(
+    "latency_heatmap",
+    """
+    with c as (
+      select cast(floor(epoch(ts) / 3600) * 3600 as bigint)
+               as win_start,
+             cast(case when value <= 10 then 0
+                       when value <= 50 then 1
+                       when value <= 100 then 2
+                       when value <= 500 then 3
+                       else 4 end as int) as bucket_idx
+      from events),
+    g as (select win_start, bucket_idx, count(*) as n
+          from c group by 1, 2)
+    select win_start, bucket_idx, cast(n as bigint) as n,
+           cast(sum(n) over (partition by win_start) as bigint)
+             as win_total,
+           round(cast(n as double)
+                 / sum(n) over (partition by win_start), 6) as fraction
+    from g
+    """,
+)
+def q_latency_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import heatmap_grid
+
+    ev = _t(spark, sf_dir, "events")
+    return heatmap_grid(
+        ev, bounds=(10.0, 50.0, 100.0, 500.0), window_sec=3600
+    )
+
+
+# ---------------------------------------------------------------------
+# 188. Least-squares trend slope per series (the "trending up"
+#      detector primitive): closed form over exact integer sums,
+#      t = bucket index relative to the series' first bucket.
+# ---------------------------------------------------------------------
+@register(
+    "trend_slope_minutes",
+    """
+    with c as (select event_type,
+                      cast(floor(epoch(ts) / 60) as bigint) as bkt,
+                      count(*) as y
+               from events group by 1, 2),
+    p as (select event_type,
+                 bkt - min(bkt) over (partition by event_type) as t,
+                 y
+          from c),
+    g as (select event_type, count(*) as n, sum(t) as st, sum(y) as sy,
+                 sum(t * y) as sty, sum(t * t) as stt
+          from p group by 1)
+    select event_type, cast(n as bigint) as n,
+           round(case when cast(n * stt - st * st as double) <> 0
+                      then cast(n * sty - st * sy as double)
+                           / cast(n * stt - st * st as double) end, 9)
+             as slope_per_bucket
+    from g
+    """,
+)
+def q_trend_slope_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import trend_slope
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(_epoch_s("ts") / 60).cast("long").alias("bkt"),
+    )
+    return trend_slope(ev, "event_type", "bkt")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -213,3 +213,42 @@ def test_top_movers_ranks_by_abs_delta(spark):
     assert (2, "c") not in got
     # bucket 1: both keys are new movers vs 0
     assert got[(1, "a")] == (10, 1)
+
+
+def test_holt_smooth_tracks_trend(spark):
+    from sparkcollector.operators.analytics import holt_smooth
+
+    # linear ramp: Holt's forecast should overshoot the last value,
+    # plain level alone would lag it
+    df = spark.createDataFrame(
+        [("k", i, float(2 * i)) for i in range(20)],
+        "key2 string, o long, x double",
+    )
+    r = holt_smooth(df, "key2", "o", "x", alpha=0.5, beta=0.3).collect()[0]
+    assert r["n_points"] == 20
+    assert r["trend"] > 1.0           # tracks the +2/step ramp
+    assert r["forecast"] > r["level"]
+    # hand-fold parity
+    l, t = 0.0, 0.0
+    for x in [2.0 * i for i in range(1, 20)]:
+        nl = 0.5 * x + 0.5 * (l + t)
+        t = 0.3 * (nl - l) + 0.7 * t
+        l = nl
+    assert abs(r["level"] - round(l, 6)) < 1e-9
+    assert abs(r["trend"] - round(t, 6)) < 1e-9
+
+
+def test_trend_slope_exact_line(spark):
+    from sparkcollector.operators.analytics import trend_slope
+
+    # key 'up': bucket b repeated b+1 times -> counts 1,2,3,4 over
+    # buckets 10..13 -> slope exactly 1
+    rows = []
+    for b in range(10, 14):
+        rows += [("up", b)] * (b - 9)
+    rows += [("flat", 5), ("flat", 6), ("flat", 7)]  # counts all 1
+    df = spark.createDataFrame(rows, "key string, bkt long")
+    got = {r["key"]: r["slope_per_bucket"]
+           for r in trend_slope(df, "key", "bkt").collect()}
+    assert got["up"] == 1.0
+    assert got["flat"] == 0.0

@@ -910,3 +910,20 @@ def test_mad_outliers_robust_to_the_outlier(spark):
            mad_outliers(df, "value", ["grp"], k=3.0).collect()}
     assert out[1000.0] is True
     assert all(not flag for v, flag in out.items() if v != 1000.0)
+
+
+def test_heatmap_grid_fractions_sum_to_one(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.telemetry import heatmap_grid
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(t0, 5.0), (t0, 20.0), (t0, 20.0), (t0, 200.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = heatmap_grid(df, bounds=(10.0, 50.0, 100.0), window_sec=3600)
+    cells = {r["bucket_idx"]: r for r in out.collect()}
+    assert cells[0]["n"] == 1 and cells[1]["n"] == 2 and cells[3]["n"] == 1
+    assert all(r["win_total"] == 4 for r in cells.values())
+    assert abs(sum(r["fraction"] for r in cells.values()) - 1.0) < 1e-9
