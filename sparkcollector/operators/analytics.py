@@ -392,3 +392,120 @@ def holt_smooth(
         F.round(folded["t"], 6).alias("trend"),
         F.round(folded["l"] + folded["t"], 6).alias("forecast"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    h: float = 3.0,
+) -> DataFrame:
+    """CUSUM changepoint detection over a bucketed count series (the
+    level-shift detector: a sustained mean change makes the running
+    sum of deviations drift, and its |max| marks WHERE the level
+    shifted): per key, cusum_i = sum_{j<=i}(x_j - mean); report the
+    max |cusum|, the bucket where it peaks (ties to the earliest),
+    and a flag against ``h * std * sqrt(n)`` (the random-walk null
+    scales with sqrt(n)).
+
+    Counts aggregate first; mean/std come from exact integer sums;
+    the ordered cumsum is sequential per key so it replays
+    identically on any engine.  Two passes over the bucket table
+    sharing the key exchange.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(key_col, bucket_col).agg(
+        F.count("*").cast("double").alias("x")
+    )
+    wk = Window.partitionBy(key_col)
+    mean = F.sum("x").over(wk) / F.count("*").over(wk)
+    wo = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col("x") - mean).over(wo)
+    pts = counts.select(
+        key_col,
+        bucket_col,
+        "x",
+        mean.alias("_mean"),
+        F.abs(cum).alias("_ac"),
+    )
+    wmax = Window.partitionBy(key_col)
+    peaked = pts.withColumn("_maxac", F.max("_ac").over(wmax))
+    g = (
+        peaked.filter(F.col("_ac") == F.col("_maxac"))
+        .groupBy(key_col)
+        .agg(
+            F.min(bucket_col).alias("changepoint_bucket"),
+            F.max("_maxac").alias("_m"),
+        )
+    )
+    stats = counts.groupBy(key_col).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("_sx"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+    )
+    joined = g.join(stats, key_col)
+    var = F.col("_sxx") / F.col("n") - (
+        F.col("_sx") / F.col("n")
+    ) * (F.col("_sx") / F.col("n"))
+    thresh = F.lit(h) * F.sqrt(var) * F.sqrt(F.col("n").cast("double"))
+    return joined.select(
+        key_col,
+        "n",
+        "changepoint_bucket",
+        F.round(F.col("_m"), 6).alias("max_abs_cusum"),
+        (F.col("_m") > thresh).alias("shifted"),
+    )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Weighted quantiles (duration-weighted latency, size-weighted
+    doc length): quantile q = smallest value whose cumulative weight
+    reaches ``q * total`` — the lower weighted-quantile convention,
+    exact and engine-reproducible with integer weights.
+
+    Same scale shape as ``range_partition_bounds``: ONE shuffle
+    builds the per-value weight histogram (map-side combine collapses
+    the fact table to distinct values); the cumulative window then
+    runs over that bounded table.
+    """
+    from pyspark.sql.window import Window
+
+    hist = df.groupBy(*group_cols, value_col).agg(
+        F.sum(weight_col).alias("_w")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy(*group_cols)
+    cum = hist.select(
+        *group_cols,
+        F.col(value_col),
+        "_w",
+        F.sum("_w").over(w).alias("_cum"),
+        F.sum("_w").over(wt).alias("_total"),
+    )
+    qarr = F.explode(F.array(*[F.lit(q) for q in qs])).alias("q")
+    thresh = F.col("q") * F.col("_total")
+    return (
+        cum.select(*group_cols, value_col, "_w", "_cum", "_total", qarr)
+        .filter(
+            (F.col("_cum") >= thresh)
+            & (F.col("_cum") - F.col("_w") < thresh)
+        )
+        .select(
+            *group_cols, "q", F.col(value_col).alias("quantile_value")
+        )
+    )

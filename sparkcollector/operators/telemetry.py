@@ -1918,3 +1918,47 @@ def heatmap_grid(
         total.alias("win_total"),
         F.round(F.col("n").cast("double") / total, 6).alias("fraction"),
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Inter-arrival-time statistics per series (the burstiness
+    profile: CV ~ 1 is Poisson-like, >> 1 bursty, << 1 metronomic —
+    what a capacity planner reads before sizing queues): mean gap,
+    population std, coefficient of variation.
+
+    Gaps come from one keyed lag window; moments from decimal gap /
+    gap-squared sums (exact at micro precision, fold-order free); the
+    final mean/std/cv are single double operations.
+    """
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    order = [F.col(c) for c in (order_cols or [ts_col])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    # decimal(18,6): the square must stay inside decimal(38,12) on
+    # BOTH engines (28,6 squared overflows duckdb's 38-digit cap)
+    gap = (epoch - F.lag(epoch).over(w)).cast("decimal(18,6)")
+    pts = df.select(*key_cols, gap.alias("_g")).filter(
+        F.col("_g").isNotNull()
+    )
+    g = pts.groupBy(*key_cols).agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("_g").alias("_sg"),
+        F.sum(F.col("_g") * F.col("_g")).alias("_sgg"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("_sg").cast("double") / n
+    var = F.col("_sgg").cast("double") / n - (
+        F.col("_sg").cast("double") / n
+    ) * (F.col("_sg").cast("double") / n)
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return g.select(
+        *key_cols,
+        "n_gaps",
+        F.round(mean, 6).alias("mean_gap_s"),
+        F.round(std, 6).alias("std_gap_s"),
+        F.round(F.when(mean > 0, std / mean), 6).alias("cv"),
+    )

@@ -7367,6 +7367,137 @@ def q_trend_slope_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_slope(ev, "event_type", "bkt")
 
 
+# ---------------------------------------------------------------------
+# 189. CUSUM changepoint detection (level-shift detector): running
+#      sum of deviations from the series mean; |max| marks the shift,
+#      flagged against h*std*sqrt(n).  Ordered cumsum replays
+#      sequentially-identical on both engines.
+# ---------------------------------------------------------------------
+@register(
+    "cusum_changepoint",
+    """
+    with c as (select event_type,
+                      cast(floor(epoch(ts) / 60) as bigint) as bkt,
+                      cast(count(*) as double) as x
+               from events group by 1, 2),
+    m as (select event_type, bkt, x,
+                 sum(x) over (partition by event_type)
+                   / count(*) over (partition by event_type) as mean
+          from c),
+    s as (select event_type, bkt,
+                 abs(sum(x - mean) over (
+                   partition by event_type order by bkt
+                   rows unbounded preceding)) as ac
+          from m),
+    p as (select event_type, bkt, ac,
+                 max(ac) over (partition by event_type) as mx
+          from s),
+    g as (select event_type, min(bkt) as changepoint_bucket,
+                 max(mx) as m
+          from p where ac = mx group by 1),
+    t as (select event_type, count(*) as n, sum(x) as sx,
+                 sum(x * x) as sxx
+          from c group by 1)
+    select g.event_type, cast(t.n as bigint) as n,
+           g.changepoint_bucket,
+           round(g.m, 6) as max_abs_cusum,
+           g.m > cast(3.0 as double)
+                 * sqrt(t.sxx / t.n - (t.sx / t.n) * (t.sx / t.n))
+                 * sqrt(cast(t.n as double)) as shifted
+    from g join t using (event_type)
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(_epoch_s("ts") / 60).cast("long").alias("bkt"),
+    )
+    return cusum_changepoint(ev, "event_type", "bkt", h=3.0)
+
+
+# ---------------------------------------------------------------------
+# 190. Weighted quantiles (duration/size-weighted percentile; lower
+#      convention — smallest value whose cumulative weight reaches
+#      q*total): histogram first, window over distinct values only.
+# ---------------------------------------------------------------------
+@register(
+    "weighted_quantiles",
+    """
+    with d as (select event_type, floor(value) as v,
+                      cast(user_id % 9 + 1 as bigint) as w
+               from events),
+    h as (select event_type, v, sum(w) as tw from d group by 1, 2),
+    c as (select event_type, v, tw,
+                 sum(tw) over (partition by event_type order by v
+                               rows unbounded preceding) as cum,
+                 sum(tw) over (partition by event_type) as total
+          from h)
+    select event_type, q, v as quantile_value
+    from c, (values (cast(0.5 as double)), (cast(0.9 as double)))
+           as qq(q)
+    where cum >= q * total and cum - tw < q * total
+    """,
+)
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import weighted_quantiles
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value")).alias("v"),
+        (F.col("user_id") % 9 + 1).alias("w"),
+    )
+    return weighted_quantiles(
+        ev, "v", "w", ["event_type"], qs=(0.5, 0.9)
+    ).withColumnRenamed("v", "quantile_value")
+
+
+# ---------------------------------------------------------------------
+# 191. Inter-arrival statistics (burstiness profile: CV ~ 1 Poisson,
+#      >> 1 bursty): keyed lag gaps, decimal moment sums, single
+#      double mean/std/cv at the end.
+# ---------------------------------------------------------------------
+@register(
+    "interarrival_stats",
+    """
+    with p as (select event_type, epoch(ts) as e, event_id
+               from events),
+    l as (select event_type,
+                 cast(e - lag(e) over (
+                   partition by event_type
+                   order by e, event_id) as decimal(18,6)) as g
+          from p),
+    f as (select event_type, g from l where g is not null),
+    a as (select event_type, count(*) as n_gaps, sum(g) as sg,
+                 -- widen one operand: DECIMAL(18) squares overflow
+                 -- duckdb's int64 storage; (19,6) forces int128
+                 sum(cast(g as decimal(19,6)) * g) as sgg
+          from f group by 1),
+    b as (select event_type, n_gaps,
+                 cast(sg as double) / cast(n_gaps as double) as mean,
+                 sqrt(greatest(
+                   cast(sgg as double) / cast(n_gaps as double)
+                   - (cast(sg as double) / cast(n_gaps as double))
+                     * (cast(sg as double) / cast(n_gaps as double)),
+                   cast(0 as double))) as std
+          from a)
+    select event_type, cast(n_gaps as bigint) as n_gaps,
+           round(mean, 6) as mean_gap_s,
+           round(std, 6) as std_gap_s,
+           round(case when mean > 0 then std / mean end, 6) as cv
+    from b
+    """,
+)
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import interarrival_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return interarrival_stats(
+        ev, ["event_type"], ts_col="ts", order_cols=["ts", "event_id"]
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -252,3 +252,38 @@ def test_trend_slope_exact_line(spark):
            for r in trend_slope(df, "key", "bkt").collect()}
     assert got["up"] == 1.0
     assert got["flat"] == 0.0
+
+
+def test_cusum_changepoint_locates_level_shift(spark):
+    from sparkcollector.operators.analytics import cusum_changepoint
+
+    # counts 1/bucket for buckets 0..9, then 5/bucket for 10..19:
+    # |CUSUM| peaks exactly at the shift boundary (bucket 9)
+    rows = []
+    for b in range(10):
+        rows.append(("k", b))
+    for b in range(10, 20):
+        rows += [("k", b)] * 5
+    df = spark.createDataFrame(rows, "key string, bkt long")
+    r = cusum_changepoint(df, "key", "bkt", h=1.0).collect()[0]
+    assert r["changepoint_bucket"] == 9
+    assert r["shifted"] is True
+    # a flat series never flags
+    flat = spark.createDataFrame(
+        [("f", b) for b in range(20)], "key string, bkt long"
+    )
+    rf = cusum_changepoint(flat, "key", "bkt", h=1.0).collect()[0]
+    assert rf["shifted"] is False
+
+
+def test_weighted_quantiles_lower_convention(spark):
+    from sparkcollector.operators.analytics import weighted_quantiles
+
+    # values 1,2,3 with weights 1,1,8: p50 lands in the heavy value
+    df = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 8)],
+        "grp string, v double, w long",
+    )
+    got = {r["q"]: r["quantile_value"]
+           for r in weighted_quantiles(df, "v", "w", ["grp"]).collect()}
+    assert got[0.5] == 3.0 and got[0.9] == 3.0

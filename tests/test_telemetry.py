@@ -927,3 +927,26 @@ def test_heatmap_grid_fractions_sum_to_one(spark):
     assert cells[0]["n"] == 1 and cells[1]["n"] == 2 and cells[3]["n"] == 1
     assert all(r["win_total"] == 4 for r in cells.values())
     assert abs(sum(r["fraction"] for r in cells.values()) - 1.0) < 1e-9
+
+
+def test_interarrival_stats_poisson_vs_metronome(spark):
+    import datetime
+
+    from sparkcollector.operators.telemetry import interarrival_stats
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [("tick", i, t0 + datetime.timedelta(seconds=60 * i))
+            for i in range(10)]
+    # bursty: gaps 1,1,1,117 repeated
+    offs, cur = [], 0
+    for i in range(12):
+        cur += 1 if i % 4 != 3 else 117
+        offs.append(cur)
+    rows += [("burst", i, t0 + datetime.timedelta(seconds=o))
+             for i, o in enumerate(offs)]
+    df = spark.createDataFrame(rows, "k string, i long, ts timestamp")
+    got = {r["k"]: r for r in interarrival_stats(
+        df, ["k"], order_cols=["ts", "i"]).collect()}
+    assert got["tick"]["mean_gap_s"] == 60.0
+    assert got["tick"]["cv"] == 0.0          # metronomic
+    assert got["burst"]["cv"] > 1.0          # bursty
