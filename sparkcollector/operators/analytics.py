@@ -509,3 +509,64 @@ def weighted_quantiles(
             *group_cols, "q", F.col(value_col).alias("quantile_value")
         )
     )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_pair_count: int = 1,
+) -> DataFrame:
+    """Item co-occurrence with lift (market-basket association over
+    conversations: which tools appear together more often than
+    chance): for unordered item pairs sharing a group,
+    ``lift = P(a,b) / (P(a) P(b))`` over group-presence
+    probabilities.
+
+    The pair join is DISTINCT item-per-group first (a group
+    contributes each pair once, however many repeats), and the
+    self-join is keyed on the group with ``a < b`` — pair volume per
+    group is C(distinct items, 2), bounded by the item vocabulary,
+    never by event count.  Probabilities are single divisions of
+    exact counts.
+    """
+    present = df.select(group_col, item_col).distinct()
+    totals = present.select(group_col).distinct().agg(
+        F.count("*").alias("_ng")
+    )
+    item_counts = present.groupBy(item_col).agg(
+        F.count("*").alias("_na")
+    )
+    a = present.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("item_a")
+    )
+    b = present.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("item_b")
+    )
+    pairs = (
+        a.join(b, "_g")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= min_pair_count)
+    )
+    ca = item_counts.select(
+        F.col(item_col).alias("item_a"), F.col("_na").alias("n_a")
+    )
+    cb = item_counts.select(
+        F.col(item_col).alias("item_b"), F.col("_na").alias("n_b")
+    )
+    joined = (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(totals))
+    )
+    n = F.col("_ng").cast("double")
+    lift = (F.col("n_both").cast("double") / n) / (
+        (F.col("n_a").cast("double") / n)
+        * (F.col("n_b").cast("double") / n)
+    )
+    return joined.select(
+        "item_a", "item_b", "n_both", "n_a", "n_b",
+        F.round(lift, 6).alias("lift"),
+    )

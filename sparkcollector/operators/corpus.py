@@ -1377,3 +1377,93 @@ def code_fence_extract(
         ).alias("code"),
     )
     return blocks
+
+
+def negative_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 2,
+    n_shards: int = 8,
+    seed: str = "n0",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    doc pairs with ``k`` pseudo-random other docs — rank neighbors at
+    offsets 1..k in a seeded md5 ordering — reproducible on any
+    engine and cluster size (the ``shuffle_shards`` argument).
+
+    Scale: ranking happens WITHIN md5-assigned shards (each a keyed
+    window over corpus/n_shards rows), and negatives wrap around
+    inside the shard — no global sort, no cross-shard join; since
+    shard assignment is itself pseudo-random, within-shard neighbors
+    are unbiased negatives.  Emits nothing for single-doc shards
+    (self-pairs are never valid negatives).
+    """
+    h = F.md5(
+        F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_shards
+    )
+    w = Window.partitionBy("_shard").orderBy("_h", id_col)
+    wn = Window.partitionBy("_shard")
+    ranked = df.select(
+        F.col(id_col), h.alias("_h"), shard.alias("_shard")
+    ).select(
+        id_col,
+        "_shard",
+        (F.row_number().over(w) - 1).alias("_rk"),
+        F.count("*").over(wn).alias("_n"),
+    )
+    offs = ranked.select(
+        id_col,
+        "_shard",
+        "_rk",
+        "_n",
+        F.explode(
+            F.sequence(F.lit(1), F.least(F.lit(k), F.col("_n") - 1))
+        ).alias("j"),
+    ).filter(F.col("_n") > 1)
+    target = (F.col("_rk") + F.col("j")) % F.col("_n")
+    lhs = offs.select(
+        F.col(id_col).alias("doc_id_a"),
+        "_shard",
+        "j",
+        target.alias("_trk"),
+    )
+    rhs = ranked.select(
+        F.col(id_col).alias("doc_id_b"),
+        "_shard",
+        F.col("_rk").alias("_trk"),
+    )
+    return lhs.join(rhs, ["_shard", "_trk"]).select(
+        "doc_id_a", "j", "doc_id_b"
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Within-document paragraph dedup (self-repetition cleanup —
+    generation loops and scraped boilerplate repeat whole paragraphs
+    inside one document): keep each paragraph's FIRST occurrence,
+    preserve original order, report kept/dropped counts.
+
+    Pure in-row array work — no explode, no shuffle: positions of
+    first occurrences via ``array_position`` inside a filter HOF over
+    the paragraph array.
+    """
+    paras = F.split(F.col(text_col), sep)
+    kept = F.filter(
+        F.transform(paras, lambda p, i: F.struct(p.alias("p"), i.alias("i"))),
+        lambda s: F.array_position(paras, s["p"]) == s["i"] + 1,
+    )
+    kept_paras = F.transform(kept, lambda s: s["p"])
+    return df.select(
+        id_col,
+        F.size(paras).cast("long").alias("n_paras"),
+        F.size(kept_paras).cast("long").alias("n_kept"),
+        F.array_join(kept_paras, sep).alias("out_text"),
+    )

@@ -7498,6 +7498,118 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 192. Co-occurrence lift (market-basket association: which event
+#      types share users beyond chance): distinct presence first, so
+#      pair volume is C(vocabulary, 2) per group, never event count.
+# ---------------------------------------------------------------------
+@register(
+    "tool_cooccurrence_lift",
+    """
+    with pr as (select distinct user_id, event_type from events),
+    ng as (select count(distinct user_id) as n from pr),
+    ic as (select event_type, count(*) as na from pr group by 1),
+    pairs as (
+      select a.event_type as item_a, b.event_type as item_b,
+             count(*) as n_both
+      from pr a join pr b
+        on a.user_id = b.user_id and a.event_type < b.event_type
+      group by 1, 2)
+    select item_a, item_b, cast(n_both as bigint) as n_both,
+           cast(ca.na as bigint) as n_a, cast(cb.na as bigint) as n_b,
+           round((cast(n_both as double) / cast(n as double))
+                 / ((cast(ca.na as double) / cast(n as double))
+                    * (cast(cb.na as double) / cast(n as double))), 6)
+             as lift
+    from pairs
+    join ic ca on ca.event_type = item_a
+    join ic cb on cb.event_type = item_b, ng
+    """,
+)
+def q_tool_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import cooccurrence_lift
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return cooccurrence_lift(ev, "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------
+# 193. Deterministic negative sampling (contrastive-pair mining):
+#      rank neighbors at offsets 1..k in a seeded md5 order WITHIN
+#      md5 shards — reproducible, no global sort, no cross-shard
+#      join.
+# ---------------------------------------------------------------------
+@register(
+    "negative_pairs_docs",
+    """
+    with h as (select doc_id,
+                      md5('n0|' || cast(doc_id as varchar)) as hx
+               from documents),
+    s as (select doc_id, hx,
+                 cast(('0x' || substr(hx, 1, 8)) as bigint) % 8
+                   as shard
+          from h),
+    r as (select doc_id, shard, hx,
+                 row_number() over (
+                   partition by shard order by hx, doc_id) - 1 as rk,
+                 count(*) over (partition by shard) as n
+          from s),
+    o as (select doc_id as doc_id_a, shard, rk, n, j
+          from r, range(1, 3) as t(j)
+          where n > 1 and j <= least(2, n - 1))
+    select o.doc_id_a, cast(o.j as bigint) as j,
+           r2.doc_id as doc_id_b
+    from o join r r2
+      on r2.shard = o.shard and r2.rk = (o.rk + o.j) % o.n
+    """,
+)
+def q_negative_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import negative_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return negative_pairs(docs, k=2, n_shards=8, seed="n0")
+
+
+# ---------------------------------------------------------------------
+# 194. Within-document paragraph dedup (self-repetition cleanup):
+#      keep first occurrences, preserve order — pure in-row array
+#      HOFs, no explode, no shuffle.
+# ---------------------------------------------------------------------
+@register(
+    "paragraph_dedup_docs",
+    """
+    with base as (
+      select event_id, user_id % 3 = 0 as clean,
+             'para one about ' || event_type as a,
+             'second para ' || cast(user_id % 10 as varchar) as b,
+             'unique tail ' || cast(event_id % 7 as varchar) as c
+      from events)
+    select event_id as doc_id,
+           cast(case when clean then 3 else 4 end as bigint) as n_paras,
+           cast(3 as bigint) as n_kept,
+           a || chr(10) || chr(10) || b || chr(10) || chr(10) || c
+             as out_text
+    from base
+    """,
+)
+def q_paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import paragraph_dedup
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    a = F.concat(F.lit("para one about "), F.col("event_type"))
+    b = F.concat(F.lit("second para "), (uid % 10).cast("string"))
+    c = F.concat(
+        F.lit("unique tail "), (F.col("event_id") % 7).cast("string")
+    )
+    nn = F.lit("\n\n")
+    clean = F.concat(a, nn, b, nn, c)
+    dup = F.concat(a, nn, b, nn, a, nn, c)
+    text = F.when(uid % 3 == 0, clean).otherwise(dup)
+    docs = ev.select(F.col("event_id").alias("doc_id"), text.alias("text"))
+    return paragraph_dedup(docs)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

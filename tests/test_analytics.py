@@ -287,3 +287,22 @@ def test_weighted_quantiles_lower_convention(spark):
     got = {r["q"]: r["quantile_value"]
            for r in weighted_quantiles(df, "v", "w", ["grp"]).collect()}
     assert got[0.5] == 3.0 and got[0.9] == 3.0
+
+
+def test_cooccurrence_lift_values(spark):
+    from sparkcollector.operators.analytics import cooccurrence_lift
+
+    # 4 groups: {a,b} {a,b} {a} {c} -> P(a)=3/4 P(b)=2/4 P(ab)=2/4
+    rows = [
+        (1, "a"), (1, "b"), (1, "b"),  # repeats collapse
+        (2, "a"), (2, "b"),
+        (3, "a"),
+        (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "grp long, item string")
+    out = {(r["item_a"], r["item_b"]): r
+           for r in cooccurrence_lift(df, "grp", "item").collect()}
+    ab = out[("a", "b")]
+    assert (ab["n_both"], ab["n_a"], ab["n_b"]) == (2, 3, 2)
+    assert abs(ab["lift"] - (0.5 / (0.75 * 0.5))) < 1e-6  # round(6)
+    assert ("a", "c") not in out  # never co-occur

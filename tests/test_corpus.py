@@ -619,3 +619,32 @@ def test_code_fence_extract_blocks(spark):
     assert by[(1, 2)]["code"] == "only"
     assert by[(2, 1)]["code"] == "dangling tail"
     assert all(r["doc_id"] != 3 for r in rows)
+
+
+def test_negative_pairs_no_self_and_k_per_doc(spark):
+    from sparkcollector.operators.corpus import negative_pairs
+
+    df = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    rows = negative_pairs(df, k=2, n_shards=4, seed="t").collect()
+    assert all(r["doc_id_a"] != r["doc_id_b"] for r in rows)
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id_a"], set()).add(r["j"])
+    # every doc gets offsets {1, 2} (all shards have >= 3 docs at n=40)
+    assert all(js == {1, 2} for js in per_doc.values())
+    assert len(per_doc) == 40
+    # deterministic across runs
+    again = sorted((r["doc_id_a"], r["j"], r["doc_id_b"]) for r in
+                   negative_pairs(df, k=2, n_shards=4, seed="t").collect())
+    assert again == sorted(
+        (r["doc_id_a"], r["j"], r["doc_id_b"]) for r in rows)
+
+
+def test_paragraph_dedup_keeps_first_in_order(spark):
+    from sparkcollector.operators.corpus import paragraph_dedup
+
+    text = "alpha\n\nbeta\n\nalpha\n\ngamma\n\nbeta"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = paragraph_dedup(df).collect()[0]
+    assert r["n_paras"] == 5 and r["n_kept"] == 3
+    assert r["out_text"] == "alpha\n\nbeta\n\ngamma"
