@@ -570,3 +570,51 @@ def cooccurrence_lift(
         "item_a", "item_b", "n_both", "n_a", "n_b",
         F.round(lift, 6).alias("lift"),
     )
+
+
+def user_churn_weekly(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    week_sec: int = 604800,
+) -> DataFrame:
+    """Weekly new/retained/churned accounting (the growth-accounting
+    companion of the retention curve): per week — active users, new
+    (first week ever), retained (also active the previous week), and
+    churned (active last week, gone this week = prev active −
+    retained).
+
+    Presence deduplicates to (user, week) FIRST; one user-keyed lag
+    window classifies new/retained; the churn subtraction runs on the
+    tiny per-week table.  Weeks are epoch buckets (TZ-free).
+    """
+    from pyspark.sql.window import Window
+
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    week = F.floor(epoch / week_sec).cast("long")
+    presence = df.select(
+        F.col(user_col).alias("_u"), week.alias("week")
+    ).distinct()
+    w = Window.partitionBy("_u").orderBy("week")
+    prev = F.lag("week").over(w)
+    marked = presence.select(
+        "week",
+        prev.isNull().cast("long").alias("_new"),
+        (prev == F.col("week") - 1).cast("long").alias("_ret"),
+    )
+    byweek = marked.groupBy("week").agg(
+        F.count("*").alias("n_active"),
+        F.sum("_new").alias("n_new"),
+        F.sum(F.coalesce(F.col("_ret"), F.lit(0))).alias("n_retained"),
+    )
+    ww = Window.orderBy("week")
+    prev_active = F.lag("n_active").over(ww)
+    return byweek.select(
+        "week",
+        "n_active",
+        "n_new",
+        "n_retained",
+        F.coalesce(
+            prev_active - F.col("n_retained"), F.lit(0)
+        ).cast("long").alias("n_churned"),
+    )

@@ -276,3 +276,50 @@ def pagerank_step(
             ).alias("rank"),
         )
     )
+
+
+def span_clock_skew(
+    df: DataFrame,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Span clock-skew audit over the per-group heap forest (the
+    trace-quality lint: a child span that STARTS BEFORE its parent
+    means skewed clocks or broken context propagation — spanmetrics
+    and critical-path math silently degrade on such traces): per
+    group, span count, violation count, and the worst skew in
+    seconds.
+
+    Same parent rule as ``tree_linearize``: node seq (1-based in
+    ``order_col`` order) has parent seq//2.  One keyed window + one
+    self-join on (group, parent_seq) + one grouped aggregate — all on
+    the group key.
+    """
+    from pyspark.sql.window import Window
+
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    seq = df.select(
+        F.col(group_col).alias("_g"),
+        F.row_number().over(w).alias("_seq"),
+        epoch.alias("_e"),
+    )
+    child = seq.filter(F.col("_seq") > 1).select(
+        "_g",
+        F.col("_seq").alias("_cseq"),
+        F.floor(F.col("_seq") / 2).cast("long").alias("_pseq"),
+        F.col("_e").alias("_ce"),
+    )
+    parent = seq.select(
+        "_g", F.col("_seq").alias("_pseq"), F.col("_e").alias("_pe")
+    )
+    joined = child.join(parent, ["_g", "_pseq"])
+    skew = F.col("_pe") - F.col("_ce")
+    return joined.groupBy(F.col("_g").alias(group_col)).agg(
+        (F.count("*") + 1).alias("n_spans"),
+        F.sum((skew > 0).cast("long")).alias("n_violations"),
+        F.round(
+            F.greatest(F.max(skew), F.lit(0.0)), 3
+        ).alias("max_skew_s"),
+    )

@@ -1962,3 +1962,46 @@ def interarrival_stats(
         F.round(std, 6).alias("std_gap_s"),
         F.round(F.when(mean > 0, std / mean), 6).alias("cv"),
     )
+
+
+def template_drift(
+    df: DataFrame,
+    period_col: str,
+    text_col: str = "text",
+    mask: str = "<*>",
+) -> DataFrame:
+    """Log-template distribution drift between two periods (the
+    "did the error mix change after the deploy" question): per
+    template, its share of each period's lines and the absolute share
+    delta — the per-template terms of the L1 distance between the two
+    template distributions.
+
+    Masking is ``log_templates``' regexp chain; counts aggregate in
+    ONE grouped pass with per-period conditional sums, shares divide
+    by broadcast period totals.  Templates absent from a period count
+    0 there (that IS drift).
+    """
+    t = F.regexp_replace(F.col(text_col), r"[0-9a-f]{8,}", mask)
+    t = F.regexp_replace(t, r"\d+", mask)
+    t = F.regexp_replace(t, r"'[^']*'", mask)
+    p = F.col(period_col)
+    per = df.select(t.alias("template"), p.alias("_p"))
+    counts = per.groupBy("template").agg(
+        F.sum((F.col("_p") == "a").cast("long")).alias("n_a"),
+        F.sum((F.col("_p") == "b").cast("long")).alias("n_b"),
+    )
+    totals = per.agg(
+        F.sum((F.col("_p") == "a").cast("long")).alias("_ta"),
+        F.sum((F.col("_p") == "b").cast("long")).alias("_tb"),
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    share_a = F.col("n_a").cast("double") / F.col("_ta")
+    share_b = F.col("n_b").cast("double") / F.col("_tb")
+    return j.select(
+        "template",
+        "n_a",
+        "n_b",
+        F.round(share_a, 6).alias("share_a"),
+        F.round(share_b, 6).alias("share_b"),
+        F.round(F.abs(share_a - share_b), 6).alias("share_delta"),
+    )

@@ -7610,6 +7610,136 @@ def q_paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(docs)
 
 
+# ---------------------------------------------------------------------
+# 195. Log-template drift between periods (the "did the error mix
+#      change after the deploy" check): per-template share in period
+#      a vs b + |delta| — the L1-distance terms.
+# ---------------------------------------------------------------------
+@register(
+    "template_drift_periods",
+    f"""
+    with t as ({_T_SQL}),
+    m as (select regexp_replace(regexp_replace(regexp_replace(text,
+                   '[0-9a-f]{{8,}}', '<*>', 'g'),
+                   '[0-9]+', '<*>', 'g'),
+                   '''[^'']*''', '<*>', 'g') as template,
+                 case when cast(floor(epoch(ts) / 86400) as bigint)
+                           % 2 = 0
+                      then 'a' else 'b' end as p
+          from t),
+    c as (select template,
+                 sum(case when p = 'a' then 1 else 0 end) as n_a,
+                 sum(case when p = 'b' then 1 else 0 end) as n_b
+          from m group by 1),
+    tot as (select sum(case when p = 'a' then 1 else 0 end) as ta,
+                   sum(case when p = 'b' then 1 else 0 end) as tb
+            from m)
+    select template, cast(n_a as bigint) as n_a,
+           cast(n_b as bigint) as n_b,
+           round(cast(n_a as double) / ta, 6) as share_a,
+           round(cast(n_b as double) / tb, 6) as share_b,
+           round(abs(cast(n_a as double) / ta
+                     - cast(n_b as double) / tb), 6) as share_delta
+    from c, tot
+    """,
+)
+def q_template_drift_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import template_drift
+
+    t = transcripts_from_events(spark, sf_dir)
+    period = F.when(
+        F.floor(_epoch_s("ts") / 86400).cast("long") % 2 == 0, F.lit("a")
+    ).otherwise(F.lit("b"))
+    return template_drift(
+        t.select("text", period.alias("period")), "period"
+    )
+
+
+# ---------------------------------------------------------------------
+# 196. Weekly growth accounting (new / retained / churned users):
+#      dedup to (user, week) presence first, classify with one
+#      user-keyed lag, churn = prev active - retained on the tiny
+#      per-week table.
+# ---------------------------------------------------------------------
+@register(
+    "user_churn_weekly",
+    """
+    with p as (select distinct user_id as u,
+                      cast(floor(epoch(ts) / 604800) as bigint) as week
+               from events),
+    m as (select week,
+                 case when lag(week) over (
+                        partition by u order by week) is null
+                      then 1 else 0 end as nw,
+                 case when lag(week) over (
+                        partition by u order by week) = week - 1
+                      then 1 else 0 end as rt
+          from p),
+    b as (select week, count(*) as n_active, sum(nw) as n_new,
+                 sum(rt) as n_retained
+          from m group by 1)
+    select week, cast(n_active as bigint) as n_active,
+           cast(n_new as bigint) as n_new,
+           cast(n_retained as bigint) as n_retained,
+           cast(coalesce(lag(n_active) over (order by week)
+                         - n_retained, 0) as bigint) as n_churned
+    from b
+    """,
+)
+def q_user_churn_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import user_churn_weekly
+
+    ev = _t(spark, sf_dir, "events")
+    return user_churn_weekly(ev)
+
+
+# ---------------------------------------------------------------------
+# 197. Span clock-skew audit over the per-user heap forest (child
+#      starting before its parent = skewed clocks / broken context):
+#      seq window + self-join on (user, parent seq) + grouped counts.
+#      Skew injected deterministically (event_id % 13 backdates 1h).
+# ---------------------------------------------------------------------
+@register(
+    "span_clock_skew_audit",
+    """
+    with e as (select user_id, event_id,
+                      epoch(ts) - case when event_id % 13 = 0
+                                       then 3600 else 0 end as e
+               from events),
+    s as (select user_id as g,
+                 row_number() over (
+                   partition by user_id order by event_id) as seq,
+                 e
+          from e),
+    c as (select g, seq as cseq,
+                 cast(floor(seq / 2.0) as bigint) as pseq,
+                 e as ce
+          from s where seq > 1),
+    j as (select c.g, c.ce, s.e as pe
+          from c join s on s.g = c.g and s.seq = c.pseq)
+    select g as user_id, cast(count(*) + 1 as bigint) as n_spans,
+           cast(sum(case when pe - ce > 0 then 1 else 0 end)
+                as bigint) as n_violations,
+           round(greatest(max(pe - ce), cast(0 as double)), 3)
+             as max_skew_s
+    from j group by g
+    """,
+)
+def q_span_clock_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import span_clock_skew
+
+    ev = _t(spark, sf_dir, "events")
+    skewed = ev.select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.col("event_id") % 13 == 0,
+            F.col("ts") - F.expr("INTERVAL 3600 SECONDS"),
+        ).otherwise(F.col("ts")).alias("ts"),
+    )
+    return span_clock_skew(skewed, "user_id", "ts", "event_id")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

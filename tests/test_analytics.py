@@ -306,3 +306,28 @@ def test_cooccurrence_lift_values(spark):
     assert (ab["n_both"], ab["n_a"], ab["n_b"]) == (2, 3, 2)
     assert abs(ab["lift"] - (0.5 / (0.75 * 0.5))) < 1e-6  # round(6)
     assert ("a", "c") not in out  # never co-occur
+
+
+def test_user_churn_weekly_accounting(spark):
+    import datetime
+
+    from sparkcollector.operators.analytics import user_churn_weekly
+
+    base = datetime.datetime(2024, 1, 4)  # inside some epoch week W
+    week = datetime.timedelta(days=7)
+
+    def at(u, w):
+        return (u, base + w * week)
+
+    # u1 active W0,W1,W2; u2 active W0 only; u3 joins W1, skips W2
+    rows = [at(1, 0), at(1, 1), at(1, 2), at(2, 0), at(3, 1)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = sorted(
+        (r["week"], r["n_active"], r["n_new"], r["n_retained"],
+         r["n_churned"])
+        for r in user_churn_weekly(df).collect()
+    )
+    w0, w1, w2 = got
+    assert w0[1:] == (2, 2, 0, 0)      # u1,u2 new
+    assert w1[1:] == (2, 1, 1, 1)      # u3 new, u1 retained, u2 churned
+    assert w2[1:] == (1, 0, 1, 1)      # u1 retained, u3 churned

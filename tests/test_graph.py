@@ -148,3 +148,25 @@ def test_pagerank_step_conserves_mass_and_converges_direction(spark):
     )
     got2 = {r["node"]: r["rank"] for r in r2.collect()}
     assert abs(sum(got2.values()) - 1.0) < 1e-12
+
+
+def test_span_clock_skew_detects_backdated_child(spark):
+    import datetime
+
+    from sparkcollector.operators.graph import span_clock_skew
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    # heap: seq2,3 children of 1; seq4 child of 2.  seq3 backdated
+    # 50s before its parent -> one violation, skew 50s
+    rows = [
+        (7, 1, ts(100)), (7, 2, ts(110)), (7, 3, ts(50)), (7, 4, ts(120)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    r = span_clock_skew(df).collect()[0]
+    assert r["n_spans"] == 4
+    assert r["n_violations"] == 1
+    assert r["max_skew_s"] == 50.0

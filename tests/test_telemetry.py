@@ -950,3 +950,21 @@ def test_interarrival_stats_poisson_vs_metronome(spark):
     assert got["tick"]["mean_gap_s"] == 60.0
     assert got["tick"]["cv"] == 0.0          # metronomic
     assert got["burst"]["cv"] > 1.0          # bursty
+
+
+def test_template_drift_shares(spark):
+    from sparkcollector.operators.telemetry import template_drift
+
+    rows = (
+        [("error code 1", "a")] * 3 + [("error code 2", "a")] * 1
+        + [("error code 9", "b")] * 1 + [("login ok", "b")] * 3
+    )
+    df = spark.createDataFrame(rows, "text string, period string")
+    got = {r["template"]: r for r in
+           template_drift(df, "period").collect()}
+    err = got["error code <*>"]
+    assert (err["n_a"], err["n_b"]) == (4, 1)
+    assert err["share_a"] == 1.0 and err["share_b"] == 0.25
+    assert err["share_delta"] == 0.75
+    ok = got["login ok"]
+    assert ok["n_a"] == 0 and ok["share_b"] == 0.75  # absent = 0
