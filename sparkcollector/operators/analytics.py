@@ -618,3 +618,57 @@ def user_churn_weekly(
             prev_active - F.col("n_retained"), F.lit(0)
         ).cast("long").alias("n_churned"),
     )
+
+
+def pareto_concentration(
+    df: DataFrame,
+    key_col: str,
+    qs: tuple[float, ...] = (0.01, 0.1, 0.5),
+) -> DataFrame:
+    """Heavy-user concentration (the Pareto / Lorenz question: what
+    share of events do the top q of keys generate?): for each q,
+    the event share of the most-active ``ceil(q * n_keys)`` keys.
+
+    Scale-honest global ranking: per-key counts collapse to an
+    ACTIVITY HISTOGRAM (how many keys have exactly c events — at most
+    |distinct counts| rows), and the descending cumulative walk runs
+    over that bounded table; no window ever ranks the key universe.
+    Thresholds are exact integer math (ceil of q * total keys).
+    """
+    from pyspark.sql.window import Window
+
+    per_key = df.groupBy(key_col).agg(F.count("*").alias("_c"))
+    hist = per_key.groupBy("_c").agg(F.count("*").alias("_k"))
+    w = (
+        Window.orderBy(F.col("_c").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = hist.agg(
+        F.sum("_k").alias("_tk"),
+        F.sum(F.col("_c") * F.col("_k")).alias("_te"),
+    )
+    cum = hist.select(
+        "_c",
+        "_k",
+        F.sum("_k").over(w).alias("_ck"),
+        F.sum(F.col("_c") * F.col("_k")).over(w).alias("_ce"),
+    ).crossJoin(F.broadcast(tot))
+    q = F.explode(F.array(*[F.lit(x) for x in qs])).alias("q")
+    thresh = F.ceil(F.col("q") * F.col("_tk"))
+    # the bucket where the top-q key count lands; keys inside one
+    # bucket are interchangeable (same activity), so the share
+    # interpolates within the bucket exactly
+    hit = cum.select("*", q).filter(
+        (F.col("_ck") >= thresh) & (F.col("_ck") - F.col("_k") < thresh)
+    )
+    inside = thresh - (F.col("_ck") - F.col("_k"))
+    events_top = (
+        F.col("_ce") - F.col("_c") * F.col("_k") + F.col("_c") * inside
+    )
+    return hit.select(
+        "q",
+        thresh.cast("long").alias("n_top_keys"),
+        F.round(
+            events_top.cast("double") / F.col("_te"), 6
+        ).alias("event_share"),
+    )

@@ -2005,3 +2005,87 @@ def template_drift(
         F.round(share_b, 6).alias("share_b"),
         F.round(F.abs(share_a - share_b), 6).alias("share_delta"),
     )
+
+
+def ht_estimate(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    p: float = 0.1,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Horvitz-Thompson count estimation from the probabilistic
+    sampler's output (closing the loop on ``probabilistic_sample``:
+    downstream of a p-sampled stream, true per-group volumes are
+    recovered as n_sampled / p): per group, the sampled count, the HT
+    estimate, the exact count, and the relative error.
+
+    Uses the SAME portable md5 bucket as the sampler, so the
+    estimate is reproducible; exact and sampled counts come from ONE
+    conditional-aggregate pass.
+    """
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % buckets
+    )
+    sampled = (bucket < int(p * buckets)).cast("long")
+    g = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n_exact"),
+        F.sum(sampled).alias("n_sampled"),
+    )
+    est = F.col("n_sampled").cast("double") / F.lit(p)
+    return g.select(
+        *group_cols,
+        "n_exact",
+        "n_sampled",
+        F.round(est, 3).alias("n_estimated"),
+        F.round(
+            F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_error"),
+    )
+
+
+def cardinality_cap(
+    df: DataFrame,
+    metric_col: str,
+    series_col: str,
+    ts_col: str = "ts",
+    cap: int = 3,
+) -> DataFrame:
+    """Per-metric series-cardinality cap (the MTS limit the signalfx
+    backend enforces and the agent's dimension-explosion guard
+    anticipates): only the first ``cap`` DISTINCT series per metric —
+    by first-seen time, ties by series key — keep reporting; later
+    series drop, and the drop is COUNTED per metric, never silent.
+
+    First-seen per series is one keyed aggregate; ranking runs over
+    the distinct-series table (bounded by true cardinality, not
+    datapoint volume); datapoints then semi-join the kept set — at
+    scale AQE broadcasts kept/overflow series lists.
+    """
+    from pyspark.sql.window import Window
+
+    first_seen = df.groupBy(metric_col, series_col).agg(
+        F.min(ts_col).alias("_fs"), F.count("*").alias("_n")
+    )
+    w = Window.partitionBy(metric_col).orderBy("_fs", series_col)
+    ranked = first_seen.withColumn("_rk", F.row_number().over(w))
+    return ranked.groupBy(metric_col).agg(
+        F.count("*").alias("n_series"),
+        F.sum((F.col("_rk") <= cap).cast("long")).alias("n_kept"),
+        F.sum(
+            F.when(F.col("_rk") <= cap, F.col("_n")).otherwise(0)
+        ).alias("points_kept"),
+        F.sum(
+            F.when(F.col("_rk") > cap, F.col("_n")).otherwise(0)
+        ).alias("points_dropped"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("_rk") <= cap, F.col(series_col))
+            )
+        ).alias("kept_series"),
+    )

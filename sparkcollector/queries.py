@@ -7740,6 +7740,119 @@ def q_span_clock_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_clock_skew(skewed, "user_id", "ts", "event_id")
 
 
+# ---------------------------------------------------------------------
+# 198. Pareto / Lorenz concentration (what share of events do the top
+#      q of users generate?): activity histogram + descending cumsum
+#      over the bounded distinct-count table — no ranking of the key
+#      universe; exact integer thresholds, in-bucket interpolation.
+# ---------------------------------------------------------------------
+@register(
+    "pareto_concentration",
+    """
+    with pk as (select user_id, count(*) as c from events group by 1),
+    h as (select c, count(*) as k from pk group by 1),
+    t as (select sum(k) as tk, sum(c * k) as te from h),
+    cum as (select c, k,
+                   sum(k) over (order by c desc
+                                rows unbounded preceding) as ck,
+                   sum(c * k) over (order by c desc
+                                    rows unbounded preceding) as ce
+            from h),
+    x as (select cum.*, t.tk, t.te, q,
+                 cast(ceil(q * t.tk) as bigint) as th
+          from cum, t,
+               (values (cast(0.01 as double)), (cast(0.1 as double)),
+                       (cast(0.5 as double))) qq(q))
+    select q, th as n_top_keys,
+           round(cast(ce - c * k + c * (th - (ck - k)) as double)
+                 / te, 6) as event_share
+    from x where ck >= th and ck - k < th
+    """,
+)
+def q_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import pareto_concentration
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    return pareto_concentration(ev, "user_id", qs=(0.01, 0.1, 0.5))
+
+
+# ---------------------------------------------------------------------
+# 199. Horvitz-Thompson recovery from the probabilistic sampler
+#      (n_sampled / p vs exact): same portable md5 bucket as
+#      probabilistic_sample, one conditional-aggregate pass.
+# ---------------------------------------------------------------------
+@register(
+    "ht_estimate_counts",
+    """
+    with s as (
+      select event_type,
+             case when cast(('0x' || substr(md5(
+                    cast(event_id as varchar)), 1, 8)) as bigint)
+                  % 10000 < 1000 then 1 else 0 end as inb
+      from events)
+    select event_type, cast(count(*) as bigint) as n_exact,
+           cast(sum(inb) as bigint) as n_sampled,
+           round(cast(sum(inb) as double) / cast(0.1 as double), 3)
+             as n_estimated,
+           round(abs(cast(sum(inb) as double) / cast(0.1 as double)
+                     - count(*)) / count(*), 6) as rel_error
+    from s group by 1
+    """,
+)
+def q_ht_estimate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import ht_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    return ht_estimate(ev, ["event_type"], "event_id", p=0.1)
+
+
+# ---------------------------------------------------------------------
+# 200. Per-metric series-cardinality cap (the signalfx MTS limit):
+#      first `cap` distinct series by first-seen time keep reporting,
+#      overflow points are counted per metric, never silent.
+# ---------------------------------------------------------------------
+@register(
+    "cardinality_cap_series",
+    """
+    with fs as (select event_type,
+                       'h' || cast(user_id % 10 as varchar) as s,
+                       min(ts) as f, count(*) as n
+                from events group by 1, 2),
+    r as (select *, row_number() over (
+            partition by event_type order by f, s) as rk from fs)
+    select event_type, cast(count(*) as bigint) as n_series,
+           cast(sum(case when rk <= 3 then 1 else 0 end) as bigint)
+             as n_kept,
+           cast(sum(case when rk <= 3 then n else 0 end) as bigint)
+             as points_kept,
+           cast(sum(case when rk > 3 then n else 0 end) as bigint)
+             as points_dropped,
+           string_agg(case when rk <= 3 then s end, '|' order by s)
+             as kept_series
+    from r group by event_type
+    """,
+)
+def q_cardinality_cap_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import cardinality_cap
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string")).alias(
+            "series"
+        ),
+        "ts",
+    )
+    out = cardinality_cap(ev, "event_type", "series", cap=3)
+    return out.select(
+        "event_type",
+        "n_series",
+        "n_kept",
+        "points_kept",
+        "points_dropped",
+        F.array_join("kept_series", "|").alias("kept_series"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -331,3 +331,19 @@ def test_user_churn_weekly_accounting(spark):
     assert w0[1:] == (2, 2, 0, 0)      # u1,u2 new
     assert w1[1:] == (2, 1, 1, 1)      # u3 new, u1 retained, u2 churned
     assert w2[1:] == (1, 0, 1, 1)      # u1 retained, u3 churned
+
+
+def test_pareto_concentration_interpolation(spark):
+    from sparkcollector.operators.analytics import pareto_concentration
+
+    # 10 users: one with 91 events, nine with 1 -> top 10% (1 user)
+    # holds 91% of events
+    rows = [(0,)] * 91 + [(u,) for u in range(1, 10)]
+    df = spark.createDataFrame(rows, "user_id long")
+    got = {r["q"]: r for r in
+           pareto_concentration(df, "user_id", qs=(0.1, 0.5)).collect()}
+    assert got[0.1]["n_top_keys"] == 1
+    assert got[0.1]["event_share"] == 0.91
+    # top 50% = 5 users = hot one + 4 singles = 95 events
+    assert got[0.5]["n_top_keys"] == 5
+    assert got[0.5]["event_share"] == 0.95

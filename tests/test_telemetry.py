@@ -968,3 +968,37 @@ def test_template_drift_shares(spark):
     assert err["share_delta"] == 0.75
     ok = got["login ok"]
     assert ok["n_a"] == 0 and ok["share_b"] == 0.75  # absent = 0
+
+
+def test_cardinality_cap_first_seen_wins(spark):
+    import datetime
+
+    from sparkcollector.operators.telemetry import cardinality_cap
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        ("m", "s1", ts(0)), ("m", "s1", ts(10)),
+        ("m", "s2", ts(1)),
+        ("m", "s3", ts(2)), ("m", "s3", ts(5)), ("m", "s3", ts(6)),
+    ]
+    df = spark.createDataFrame(rows, "metric string, series string, ts timestamp")
+    r = cardinality_cap(df, "metric", "series", cap=2).collect()[0]
+    assert r["n_series"] == 3 and r["n_kept"] == 2
+    assert r["kept_series"] == ["s1", "s2"]   # first-seen order
+    assert r["points_kept"] == 3 and r["points_dropped"] == 3
+
+
+def test_ht_estimate_consistency(spark):
+    from sparkcollector.operators.telemetry import ht_estimate
+
+    df = spark.createDataFrame(
+        [("g", i) for i in range(5000)], "grp string, k long"
+    )
+    r = ht_estimate(df, ["grp"], "k", p=0.1).collect()[0]
+    assert r["n_exact"] == 5000
+    assert r["n_estimated"] == r["n_sampled"] / 0.1
+    assert r["rel_error"] < 0.1  # md5 buckets are near-uniform
