@@ -1093,6 +1093,118 @@ def main() -> None:
         spark=spark,
     )
 
+    # batches 22-28: shared-exchange window ops (lag/cumsum/rank
+    # sharing the keyed aggregate's shuffle)
+    for name, max_ex in (
+        ("uptime_percent", 1),
+        ("top_movers", 3),
+        ("code_fence_extract", 1),
+        ("alert_hysteresis_edges", 1),
+        ("staleness_segments", 1),
+        ("cusum_changepoint", 5),
+        ("weighted_quantiles", 2),
+        ("interarrival_stats", 1),
+        ("user_churn_weekly", 4),
+        ("span_clock_skew_audit", 3),
+        ("trend_slope_minutes", 3),
+        ("holt_winters_level", 2),
+        ("latency_heatmap", 2),
+        ("template_drift_periods", 3),
+        ("cardinality_cap_series", 2),
+        ("ht_estimate_counts", 1),
+        ("pareto_concentration", 7),
+    ):
+        all_ok &= audit(
+            name,
+            (lambda n: lambda: queries()[n](spark, SF_DIR))(name),
+            [
+                (f"shuffle exchanges bounded (<= {max_ex}, excluding "
+                 "broadcast/reused); windows/aggregates run on "
+                 "collapsed tables",
+                 (lambda m: lambda p: len(
+                     re.findall(r"(?<!Broadcast)(?<!d)Exchange \(\d+\)",
+                                p)) <= m)(max_ex)),
+                ("no Python / UDF in plan", lambda p: "Python" not in p),
+            ],
+            out,
+            spark=spark,
+        )
+    all_ok &= audit(
+        "winsorize_clamp",
+        lambda: queries()["winsorize_clamp"](spark, SF_DIR),
+        [
+            ("percentile bounds join back as a broadcast",
+             lambda p: "BroadcastHashJoin" in p),
+            ("no SortMergeJoin (bounds table is |groups| rows)",
+             lambda p: "SortMergeJoin" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "mad_outlier_flags",
+        lambda: queries()["mad_outlier_flags"](spark, SF_DIR),
+        [
+            ("median/MAD join back as broadcasts",
+             lambda p: "BroadcastHashJoin" in p),
+            ("no SortMergeJoin", lambda p: "SortMergeJoin" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "snapshot_diff_docs",
+        lambda: queries()["snapshot_diff_docs"](spark, SF_DIR),
+        [
+            ("exactly one full-outer join, keyed on the diff key",
+             lambda p: p.count("FullOuter") >= 1),
+            ("no cartesian product", lambda p: "Cartesian" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "tool_cooccurrence_lift",
+        lambda: queries()["tool_cooccurrence_lift"](spark, SF_DIR),
+        [
+            ("pair join runs on DISTINCT presence (dedup before the "
+             "self-join)", lambda p: "partial" in p.lower()),
+            ("item totals and group count join back as broadcasts",
+             lambda p: "BroadcastHashJoin" in p
+             or "BroadcastNestedLoopJoin" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "negative_pairs_docs",
+        lambda: queries()["negative_pairs_docs"](spark, SF_DIR),
+        [
+            ("rank + wraparound join share the shard-key exchanges "
+             "(no global sort)",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) <= 4),
+            ("no cartesian product", lambda p: "Cartesian" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "paragraph_dedup_docs",
+        lambda: queries()["paragraph_dedup_docs"](spark, SF_DIR),
+        [
+            ("zero exchanges: in-row array HOFs only",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) == 0),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"
