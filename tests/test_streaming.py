@@ -287,7 +287,24 @@ def test_stream_tail_sample_tombstone_drops_late_rows(spark, tmp_path):
     spark.createDataFrame([("y", 0, "n")], schema).coalesce(1).write.parquet(
         str(in_dir / "b4.parquet")
     )
-    time.sleep(8)
+    # Drain-based wait instead of a fixed sleep: under host load the
+    # 1s micro-batches lag arbitrarily.  Wait until the query reports
+    # two empty batches after b3/b4 (input fully consumed AND the
+    # late row's own 1.5s decision timeout has had a chance to fire —
+    # if the tombstone were broken, the duplicate would be emitted by
+    # then, so waiting longer only strengthens the assertion).
+    deadline = time.time() + 90
+    empty_batches, last_batch = 0, -1
+    while time.time() < deadline and empty_batches < 2:
+        time.sleep(2)
+        lp = q.lastProgress
+        if not lp or lp["batchId"] == last_batch:
+            continue
+        last_batch = lp["batchId"]
+        if lp["numInputRows"] == 0:
+            empty_batches += 1
+        else:
+            empty_batches = 0
     rows = spark.sql("select * from tomb_test where conv_id = 'keep'").collect()
     q.stop()
     got = sorted(r["turn_idx"] for r in rows)
