@@ -377,3 +377,35 @@ def resource_detection(
             merged = detected
         df = df.withColumn(key, merged)
     return df
+
+
+def priority_merge(
+    df: DataFrame,
+    key_col: str,
+    priority_col: str,
+    source_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Source-of-truth merge across tiered sources (gold > silver >
+    crawl — the reconciliation pass when several pipelines emit the
+    same keys): per key, keep the value from the LOWEST priority
+    number, ties broken by source name then value (fully
+    deterministic).
+
+    One struct-min aggregate — map-side partials collapse each
+    source's contribution before the single key shuffle; no join, no
+    window.
+    """
+    best = F.min(
+        F.struct(
+            F.col(priority_col).alias("p"),
+            F.col(source_col).alias("s"),
+            F.col(value_col).alias("v"),
+        )
+    )
+    return df.groupBy(key_col).agg(
+        best["p"].alias("priority"),
+        best["s"].alias("source"),
+        best["v"].alias("value"),
+        F.count("*").alias("n_candidates"),
+    )

@@ -301,3 +301,43 @@ def bloom_probe(bits, df, key_col: str, m_bits: int = 4096, k: int = 4):
         .groupBy(key_col)
         .agg((F.count("_hit") == k).alias("in_filter"))
     )
+
+
+def bloom_join_prune(
+    facts,
+    dim,
+    key_col: str,
+    group_col: str,
+    m_bits: int = 4096,
+    k: int = 4,
+):
+    """Runtime-filter join pruning audit (the Bloom analog of Spark's
+    row-level runtime filters / DPP: prefilter the 10^12-row fact
+    stream against a Bloom of the small side's keys so the exact join
+    only sees "maybe" rows): per group — total rows, rows passing the
+    Bloom, rows actually joining, and the false-pass overhead the
+    filter's sizing bought.
+
+    The positions table is <= m_bits rows (broadcasts by
+    construction); the per-distinct-key label table joins back on the
+    key — the audit's one keyed shuffle.  No false negatives:
+    n_joined rows always survive the prefilter.
+    """
+    bits = bloom_build(dim, key_col, m_bits=m_bits, k=k)
+    flags = bloom_probe(
+        bits, facts.select(key_col).distinct(), key_col,
+        m_bits=m_bits, k=k,
+    )
+    member = (
+        dim.select(F.col(key_col)).distinct().withColumn("_m", F.lit(1))
+    )
+    lab = flags.join(member, key_col, "left")
+    j = facts.join(lab, key_col)
+    return j.groupBy(group_col).agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("in_filter").cast("long")).alias("n_bloom_pass"),
+        F.sum((F.col("_m") == 1).cast("long")).alias("n_joined"),
+        F.sum(
+            (F.col("in_filter") & F.col("_m").isNull()).cast("long")
+        ).alias("n_false_pass"),
+    )

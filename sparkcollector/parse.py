@@ -133,3 +133,33 @@ def parse_turns_builtin(df: DataFrame, text_col: str = "text") -> DataFrame:
             "log_ts", F.to_timestamp(ext(LOG_TS_RE, 1), LOG_TS_FMT)
         )
     )
+
+
+def dlq_replay(
+    df: DataFrame,
+    line_col: str,
+    strict_re: str,
+    relaxed_re: str,
+    group: int = 1,
+) -> DataFrame:
+    """Dead-letter replay with a relaxed parser (the second-pass
+    recovery every parse DLQ eventually gets: rows the strict grammar
+    rejected re-parse under a permissive one; only what BOTH reject
+    stays dead): per row, ``stage`` in {ok, recovered, dead} and the
+    extracted field from whichever grammar matched.
+
+    Two regexp extracts in one Project — the replay costs no extra
+    pass over the healthy rows and no shuffle at all.
+    """
+    line = F.col(line_col)
+    s = F.regexp_extract(line, strict_re, group)
+    r = F.regexp_extract(line, relaxed_re, group)
+    stage = (
+        F.when(s != "", F.lit("ok"))
+        .when(r != "", F.lit("recovered"))
+        .otherwise(F.lit("dead"))
+    )
+    extracted = F.when(s != "", s).when(r != "", r)
+    return df.select(
+        "*", stage.alias("stage"), extracted.alias("extracted")
+    )

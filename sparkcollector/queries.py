@@ -7853,6 +7853,145 @@ def q_cardinality_cap_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 201. Bloom runtime-filter join-pruning audit (the DPP/runtime-filter
+#      shape): per event_type, rows total / passing the Bloom /
+#      actually joining / false-pass overhead.  No false negatives.
+# ---------------------------------------------------------------------
+@register(
+    "bloom_join_prune_audit",
+    """
+    with keys as (select distinct cast(user_id as varchar) as item
+                  from events where event_type = 'purchase'),
+    bits as (select distinct
+               cast(('0x' || substr(md5(cast(d as varchar) || '|' || item),
+                                    1, 8)) as bigint) % 4096 as pos
+             from keys cross join (select unnest([0, 1, 2, 3]) as d)),
+    uni as (select distinct cast(user_id as varchar) as item
+            from events),
+    probe as (select item,
+                cast(('0x' || substr(md5(cast(d as varchar) || '|' || item),
+                                     1, 8)) as bigint) % 4096 as pos
+              from uni cross join (select unnest([0, 1, 2, 3]) as d)),
+    hit as (select p.item, count(b.pos) as nhit
+            from probe p left join bits b on p.pos = b.pos group by 1),
+    lab as (select h.item, h.nhit = 4 as in_filter,
+                   k.item is not null as member
+            from hit h left join keys k on h.item = k.item),
+    e as (select event_type, cast(user_id as varchar) as item
+          from events)
+    select event_type, cast(count(*) as bigint) as n_total,
+           cast(sum(case when in_filter then 1 else 0 end) as bigint)
+             as n_bloom_pass,
+           cast(sum(case when member then 1 else 0 end) as bigint)
+             as n_joined,
+           cast(sum(case when in_filter and not member then 1
+                         else 0 end) as bigint) as n_false_pass
+    from e join lab using (item) group by 1
+    """,
+)
+def q_bloom_join_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .filters import bloom_join_prune
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("item")
+    )
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("item")
+        .distinct()
+    )
+    return bloom_join_prune(ev, dim, "item", "event_type")
+
+
+# ---------------------------------------------------------------------
+# 202. Priority source-of-truth merge (gold > silver > crawl): per
+#      key the lowest-priority-number value wins; one struct-min
+#      aggregate, no join.
+# ---------------------------------------------------------------------
+@register(
+    "priority_source_merge",
+    """
+    select doc_id,
+           cast(case when doc_id % 5 = 0 then 1
+                     when doc_id % 2 = 0 then 2
+                     else 3 end as int) as priority,
+           case when doc_id % 5 = 0 then 'gold'
+                when doc_id % 2 = 0 then 'silver'
+                else 'crawl' end as source,
+           case when doc_id % 5 = 0 then 'g:' || cast(doc_id as varchar)
+                when doc_id % 2 = 0 then 's:' || cast(doc_id as varchar)
+                else 'c:' || cast(doc_id as varchar) end as value,
+           cast(1 + case when doc_id % 2 = 0 then 1 else 0 end
+                  + case when doc_id % 5 = 0 then 1 else 0 end
+                as bigint) as n_candidates
+    from documents
+    """,
+)
+def q_priority_source_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .enrich import priority_merge
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+
+    def src(name: str, pri: int, cond, tag: str) -> DataFrame:
+        return docs.filter(cond).select(
+            "doc_id",
+            F.lit(pri).alias("priority"),
+            F.lit(name).alias("source"),
+            F.concat(F.lit(tag), did.cast("string")).alias("value"),
+        )
+
+    unioned = (
+        src("gold", 1, did % 5 == 0, "g:")
+        .unionByName(src("silver", 2, did % 2 == 0, "s:"))
+        .unionByName(src("crawl", 3, F.lit(True), "c:"))
+    )
+    return priority_merge(
+        unioned, "doc_id", "priority", "source", "value"
+    )
+
+
+# ---------------------------------------------------------------------
+# 203. DLQ replay with a relaxed parser (second-pass recovery): rows
+#      the strict grammar rejected re-parse permissively; only what
+#      both reject stays dead.  Counts per (stage, severity).
+# ---------------------------------------------------------------------
+@register(
+    "dlq_replay_recover",
+    """
+    with base as (
+      select case cast(event_id % 3 as int)
+               when 0 then 'ok' when 1 then 'recovered' else 'dead'
+             end as stage,
+             case cast(event_id % 3 as int)
+               when 0 then 'ERROR' when 1 then 'WARN' end as extracted
+      from events)
+    select stage, extracted, cast(count(*) as bigint) as n
+    from base group by 1, 2
+    """,
+)
+def q_dlq_replay_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .parse import dlq_replay
+
+    ev = _t(spark, sf_dir, "events")
+    line = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.lit("2024-01-01T00:00:00Z ERROR boom"),
+        )
+        .when(F.col("event_id") % 3 == 1, F.lit("WARN no timestamp here"))
+        .otherwise(F.lit("### garbage"))
+    )
+    out = dlq_replay(
+        ev.select(line.alias("line")),
+        "line",
+        strict_re=r"^\d{4}-\S+ (ERROR|WARN|INFO)\b",
+        relaxed_re=r"\b(ERROR|WARN|INFO)\b",
+    )
+    return out.groupBy("stage", "extracted").agg(F.count("*").alias("n"))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -236,3 +236,21 @@ def test_resource_detection_override_semantics(spark):
         for r in resource_detection(df, detectors, override=True).collect()
     }
     assert win == {"e1": "env-host", "e2": "env-host"}
+
+
+def test_priority_merge_lowest_priority_wins(spark):
+    from sparkcollector.enrich import priority_merge
+
+    rows = [
+        (1, 3, "crawl", "c1"), (1, 1, "gold", "g1"), (1, 2, "silver", "s1"),
+        (2, 3, "crawl", "c2"),
+        (3, 2, "silver", "s3"), (3, 2, "backup", "b3"),  # tie -> name
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, priority int, source string, value string"
+    )
+    got = {r["k"]: (r["source"], r["value"], r["n_candidates"])
+           for r in priority_merge(df, "k", "priority", "source", "value").collect()}
+    assert got[1] == ("gold", "g1", 3)
+    assert got[2] == ("crawl", "c2", 1)
+    assert got[3] == ("backup", "b3", 2)  # tie broken by source name

@@ -255,3 +255,23 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
     # m=4096, k=4 — allow generous slack
     fp = sum(1 for i in range(2000) if got[f"o{i}"]) / 2000
     assert fp < 0.05
+
+
+def test_bloom_join_prune_no_false_negatives(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.filters import bloom_join_prune
+
+    facts = spark.createDataFrame(
+        [("g", str(i)) for i in range(200)], "grp string, item string"
+    )
+    dim = spark.createDataFrame(
+        [(str(i),) for i in range(0, 200, 10)], "item string"
+    )
+    r = bloom_join_prune(facts, dim, "item", "grp", m_bits=512, k=4)
+    row = r.collect()[0]
+    assert row["n_total"] == 200
+    assert row["n_joined"] == 20
+    # no false negatives: everything that joins passed the bloom
+    assert row["n_bloom_pass"] >= row["n_joined"]
+    assert row["n_bloom_pass"] - row["n_joined"] == row["n_false_pass"]

@@ -86,3 +86,24 @@ def test_log_ts_parsed(spark):
     ).withColumn("ts", F.current_timestamp())
     r = parse_turns(df).collect()[0]
     assert r["log_ts"] == pd.Timestamp("2025-01-02 13:44:01")
+
+
+def test_dlq_replay_stages(spark):
+    from sparkcollector.parse import dlq_replay
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01T00:00:00Z ERROR boom",),
+            ("ERROR floating severity",),
+            ("nothing to see",),
+        ],
+        "line string",
+    )
+    got = {r["line"]: (r["stage"], r["extracted"]) for r in dlq_replay(
+        df, "line",
+        strict_re=r"^\d{4}-\S+ (ERROR|WARN|INFO)\b",
+        relaxed_re=r"\b(ERROR|WARN|INFO)\b",
+    ).collect()}
+    assert got["2024-01-01T00:00:00Z ERROR boom"] == ("ok", "ERROR")
+    assert got["ERROR floating severity"] == ("recovered", "ERROR")
+    assert got["nothing to see"] == ("dead", None)
