@@ -158,3 +158,55 @@ def time_rollup_pyramid(
         "vmin",
         "vmax",
     )
+
+
+def merge_partial_aggs(
+    parts: list[DataFrame],
+    group_cols: list[str],
+) -> DataFrame:
+    """Merge pre-aggregated partials into the exact global aggregate
+    (the algebraic-aggregate law incremental pipelines live on: each
+    snapshot/epoch aggregates alone, merges combine — the same
+    contract ``job.py``'s resume path uses for its count tables).
+
+    Every partial carries ``(n, total, vmin, vmax)``; the merge is
+    one grouped pass over the UNION of partials — counts/sums add,
+    min/max fold, and avg derives from the merged sums (never
+    averaged averages).  Decimal totals, so the merge is bit-equal to
+    a from-scratch aggregate on any engine.
+    """
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    merged = u.groupBy(*group_cols).agg(
+        F.sum("n").alias("n"),
+        F.sum("total").alias("total"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+    return merged.select(
+        *group_cols,
+        "n",
+        F.round(F.col("total").cast("double"), 4).alias("total"),
+        "vmin",
+        "vmax",
+        F.round(
+            F.col("total").cast("double") / F.col("n").cast("double"), 6
+        ).alias("avg"),
+    )
+
+
+def partial_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """One partial for :func:`merge_partial_aggs`: per-group
+    ``(n, decimal total, vmin, vmax)`` over this slice."""
+    v = F.col(value_col)
+    return df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(v.cast("decimal(28,6)")).alias("total"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+    )

@@ -166,3 +166,48 @@ def tokenizer_fertility(df: DataFrame, text_col: str = "text") -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+def quality_ensemble(
+    df: DataFrame,
+    text_col: str = "text",
+    min_votes: int = 3,
+) -> DataFrame:
+    """Ensemble quality vote (Gopher-style rule composition: no single
+    heuristic is trusted alone — a doc stays if it passes at least
+    ``min_votes`` of the independent signals):
+
+      1. length band: 20..2000 whitespace tokens
+      2. stopword presence: >= 5% of tokens are English stopwords
+      3. low duplication: distinct/total token ratio >= 0.5
+      4. sane word length: mean token length in [2, 12] chars
+
+    All four signals are in-row array HOFs — zero shuffle; the vote
+    is a sum of casts.  Output keeps each signal so a curator can
+    audit WHY a doc dropped.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_PROFILES["en"]))
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    mean_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ) / n
+    s1 = (n >= 20) & (n <= 2000)
+    s2 = stop.cast("double") / n >= 0.05
+    s3 = distinct_ratio >= 0.5
+    s4 = (mean_len >= 2.0) & (mean_len <= 12.0)
+    votes = (
+        s1.cast("int") + s2.cast("int") + s3.cast("int") + s4.cast("int")
+    )
+    return df.select(
+        "*",
+        s1.alias("len_ok"),
+        s2.alias("stopword_ok"),
+        s3.alias("dup_ok"),
+        s4.alias("wordlen_ok"),
+        votes.alias("votes"),
+        (votes >= min_votes).alias("keep"),
+    )

@@ -7992,6 +7992,116 @@ def q_dlq_replay_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("stage", "extracted").agg(F.count("*").alias("n"))
 
 
+# ---------------------------------------------------------------------
+# 204. Join-skew pre-flight report: per-key n_left * n_right output
+#      estimates on collapsed count tables, top-5 offenders with
+#      share — the evidence behind salting vs AQE-skew vs broadcast.
+# ---------------------------------------------------------------------
+@register(
+    "join_skew_report",
+    """
+    with lc as (select user_id, count(*) as n_left
+                from events group by 1),
+    rc as (select user_id, count(*) as n_right
+           from events where event_type = 'purchase' group by 1),
+    j as (select lc.user_id, n_left, n_right,
+                 n_left * n_right as est_rows
+          from lc join rc using (user_id)),
+    t as (select sum(est_rows) as tot from j)
+    select user_id, cast(n_left as bigint) as n_left,
+           cast(n_right as bigint) as n_right,
+           cast(est_rows as bigint) as est_rows,
+           round(cast(est_rows as double) / tot, 6) as share
+    from j, t order by est_rows desc, user_id limit 5
+    """,
+)
+def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .skew import join_skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("user_id")
+    right = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return join_skew_report(left, right, "user_id", k=5)
+
+
+# ---------------------------------------------------------------------
+# 205. Partial-aggregate merge (the algebraic law incremental
+#      pipelines live on): two slices aggregate alone, the merge is
+#      bit-equal to the from-scratch aggregate — avg from merged
+#      sums, never averaged averages.
+# ---------------------------------------------------------------------
+@register(
+    "partial_agg_merge",
+    """
+    select event_type, cast(count(*) as bigint) as n,
+           round(cast(sum(cast(value as decimal(28,6))) as double), 4)
+             as total,
+           min(value) as vmin, max(value) as vmax,
+           round(cast(sum(cast(value as decimal(28,6))) as double)
+                 / count(*), 6) as avg
+    from events group by 1
+    """,
+)
+def q_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .aggregate import merge_partial_aggs, partial_agg
+
+    ev = _t(spark, sf_dir, "events")
+    a = partial_agg(
+        ev.filter(F.col("event_id") % 2 == 0), ["event_type"], "value"
+    )
+    b = partial_agg(
+        ev.filter(F.col("event_id") % 2 != 0), ["event_type"], "value"
+    )
+    return merge_partial_aggs([a, b], ["event_type"])
+
+
+# ---------------------------------------------------------------------
+# 206. Quality ensemble vote (Gopher-style rule composition: keep if
+#      >= 3 of 4 independent signals pass); each signal kept in the
+#      output so drops are auditable.
+# ---------------------------------------------------------------------
+@register(
+    "doc_quality_ensemble",
+    """
+    with t as (select doc_id, string_split(lower(text), ' ') as toks
+               from documents),
+    s as (select doc_id,
+                 len(toks) as n,
+                 len(list_filter(toks, x -> x in
+                   ('the','and','of','to','a','in','is','it','you',
+                    'that'))) as stop,
+                 len(list_distinct(toks)) as nd,
+                 list_reduce(list_transform(toks,
+                   x -> cast(length(x) as bigint)),
+                   (a, b) -> a + b) as chars
+          from s0),
+    v as (select doc_id,
+                 n >= 20 and n <= 2000 as len_ok,
+                 cast(stop as double) / n >= 0.05 as stopword_ok,
+                 cast(nd as double) / n >= 0.5 as dup_ok,
+                 cast(chars as double) / n >= 2.0
+                   and cast(chars as double) / n <= 12.0 as wordlen_ok
+          from s)
+    select doc_id, len_ok, stopword_ok, dup_ok, wordlen_ok,
+           cast(case when len_ok then 1 else 0 end
+                + case when stopword_ok then 1 else 0 end
+                + case when dup_ok then 1 else 0 end
+                + case when wordlen_ok then 1 else 0 end as int)
+             as votes,
+           (case when len_ok then 1 else 0 end
+            + case when stopword_ok then 1 else 0 end
+            + case when dup_ok then 1 else 0 end
+            + case when wordlen_ok then 1 else 0 end) >= 3 as keep
+    from v
+    """.replace("from s0", "from t"),
+)
+def q_doc_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import quality_ensemble
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_ensemble(docs, min_votes=3).drop("text")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -235,3 +235,42 @@ def range_partition_bounds(
         )
         .select("boundary", "bound")
     )
+
+
+def join_skew_report(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Join-skew pre-flight report (run BEFORE a big join: which keys
+    would explode?): per join key, both sides' row counts and the
+    output-size estimate ``n_left * n_right``; the top-k offenders
+    with their share of the total estimated output.
+
+    Both sides collapse to per-key counts first (map-side partials),
+    the key-keyed equi-join runs on those count tables, and the top-k
+    is a TakeOrdered (heap per partition + driver merge), never a
+    full sort.  This is the evidence that decides salting vs AQE
+    skew-join vs broadcast.
+    """
+    lc = left.groupBy(key_col).agg(F.count("*").alias("n_left"))
+    rc = right.groupBy(key_col).agg(F.count("*").alias("n_right"))
+    j = lc.join(rc, key_col)
+    est = (F.col("n_left") * F.col("n_right")).alias("est_rows")
+    scored = j.select(key_col, "n_left", "n_right", est)
+    total = scored.agg(F.sum("est_rows").alias("_tot"))
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            "n_left",
+            "n_right",
+            "est_rows",
+            F.round(
+                F.col("est_rows").cast("double") / F.col("_tot"), 6
+            ).alias("share"),
+        )
+        .orderBy(F.col("est_rows").desc(), key_col)
+        .limit(k)
+    )

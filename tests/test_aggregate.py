@@ -146,3 +146,19 @@ def test_time_rollup_pyramid_levels_consistent(spark):
     assert day["vmin"] == 1.0 and day["vmax"] == 4.0
     h10 = by[("hour", dt.datetime(2024, 1, 1, 10))]
     assert h10["n"] == 2 and h10["total"] == 3.0
+
+
+def test_partial_agg_merge_equals_direct(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.aggregate import merge_partial_aggs, partial_agg
+
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate([1, 5, 2, 8, 3, 9])],
+        "grp string, i long, value double",
+    )
+    a = partial_agg(df.filter(F.col("i") < 3), ["grp"], "value")
+    b = partial_agg(df.filter(F.col("i") >= 3), ["grp"], "value")
+    m = merge_partial_aggs([a, b], ["grp"]).collect()[0]
+    assert (m["n"], m["total"], m["vmin"], m["vmax"]) == (6, 28.0, 1.0, 9.0)
+    assert abs(m["avg"] - 28.0 / 6) < 1e-6

@@ -356,3 +356,18 @@ def test_range_partition_bounds_quartiles(spark):
         for r in range_partition_bounds(df, "n", k=4).collect()
     }
     assert got == {1: 25, 2: 50, 3: 75}
+
+
+def test_join_skew_report_identifies_hot_key(spark):
+    from sparkcollector.skew import join_skew_report
+
+    left = spark.createDataFrame(
+        [(7,)] * 50 + [(1,)] * 2 + [(2,)] * 3, "k long"
+    )
+    right = spark.createDataFrame([(7,), (7,), (1,), (9,)], "k long")
+    rows = join_skew_report(left, right, "k", k=2).collect()
+    assert rows[0]["k"] == 7
+    assert rows[0]["est_rows"] == 100  # 50 * 2
+    assert rows[1]["k"] == 1 and rows[1]["est_rows"] == 2
+    # key 9 never appears (no left rows), key 2 (no right rows)
+    assert all(r["k"] in (7, 1) for r in rows)

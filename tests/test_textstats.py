@@ -121,3 +121,22 @@ def test_tokenizer_fertility_exact_ratios(spark):
     assert en["fertility"] == 1.0
     und = got["und"]
     assert und["total_words"] == 3 and und["total_tokens"] == 5
+
+
+def test_quality_ensemble_votes(spark):
+    from sparkcollector.operators.textstats import quality_ensemble
+
+    good = (
+        "the quick brown fox and the lazy dog ran to the old barn "
+        "while birds sang softly over green fields near a quiet river"
+    )
+    short = "too short"
+    loops = "spam " * 60  # length ok but duplication fails + no stopwords
+    df = spark.createDataFrame(
+        [(1, good.strip()), (2, short), (3, loops.strip())],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in quality_ensemble(df).collect()}
+    assert got[1]["keep"] and got[1]["votes"] == 4
+    assert not got[2]["keep"] and not got[2]["len_ok"]
+    assert not got[3]["keep"] and not got[3]["dup_ok"]
