@@ -672,3 +672,53 @@ def pareto_concentration(
             events_top.cast("double") / F.col("_te"), 6
         ).alias("event_share"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    period_col: str,
+    bounds: tuple[float, ...],
+    smooth: float = 1.0,
+) -> DataFrame:
+    """Population Stability Index between two periods (the ML-ops
+    drift metric: PSI < 0.1 stable, > 0.25 action) over FIXED
+    explicit bounds (quantile-derived bins would make the metric
+    depend on the drift it measures): per bin,
+    ``term = (pa - pb) * ln(pa / pb)`` with Laplace-smoothed shares
+    so empty bins stay finite; the PSI is the sum of terms.
+
+    One conditional-aggregate pass for bin counts; shares and terms
+    are single double operations, rounded against libm ln ulp
+    differences.
+    """
+    idx = F.lit(len(bounds))
+    for i in reversed(range(len(bounds))):
+        idx = F.when(F.col(value_col) <= bounds[i], F.lit(i)).otherwise(idx)
+    p = F.col(period_col)
+    per = df.select(idx.alias("bin"), p.alias("_p"))
+    counts = per.groupBy("bin").agg(
+        F.sum((F.col("_p") == "a").cast("long")).alias("n_a"),
+        F.sum((F.col("_p") == "b").cast("long")).alias("n_b"),
+    )
+    totals = per.agg(
+        F.sum((F.col("_p") == "a").cast("long")).alias("_ta"),
+        F.sum((F.col("_p") == "b").cast("long")).alias("_tb"),
+    )
+    n_bins = float(len(bounds) + 1)
+    j = counts.crossJoin(F.broadcast(totals))
+    pa = (F.col("n_a") + F.lit(smooth)) / (
+        F.col("_ta") + F.lit(smooth * n_bins)
+    )
+    pb = (F.col("n_b") + F.lit(smooth)) / (
+        F.col("_tb") + F.lit(smooth * n_bins)
+    )
+    term = (pa - pb) * F.log(pa / pb)
+    return j.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round(pa, 6).alias("share_a"),
+        F.round(pb, 6).alias("share_b"),
+        F.round(term, 6).alias("psi_term"),
+    )

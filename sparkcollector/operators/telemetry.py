@@ -2089,3 +2089,81 @@ def cardinality_cap(
             )
         ).alias("kept_series"),
     )
+
+
+def ingest_lag_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    event_ts_col: str = "ts",
+    proc_ts_col: str = "proc_ts",
+) -> DataFrame:
+    """Ingest-freshness audit (event-time vs processing-time lag —
+    the dashboard that catches a backlogged forwarder before its
+    data goes stale): per group, exact interpolated p50/p95/p99 and
+    max of the lag seconds.
+
+    One grouped pass (``percentile`` is a single aggregate taking an
+    array of quantiles); lag arithmetic is exact epoch subtraction.
+    """
+    lag = (
+        F.col(proc_ts_col).cast("timestamp_ltz").cast("double")
+        - F.col(event_ts_col).cast("timestamp_ltz").cast("double")
+    )
+    pcts = F.percentile(lag, F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    g = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        pcts.alias("_q"),
+        F.max(lag).alias("_mx"),
+    )
+    return g.select(
+        *group_cols,
+        "n",
+        F.round(F.element_at("_q", 1), 6).alias("p50_lag_s"),
+        F.round(F.element_at("_q", 2), 6).alias("p95_lag_s"),
+        F.round(F.element_at("_q", 3), 6).alias("p99_lag_s"),
+        F.round(F.col("_mx"), 6).alias("max_lag_s"),
+    )
+
+
+def late_data_audit(
+    df: DataFrame,
+    event_ts_col: str = "ts",
+    proc_ts_col: str = "proc_ts",
+    window_sec: int = 60,
+    watermarks: tuple[int, ...] = (0, 60, 300),
+) -> DataFrame:
+    """Watermark-choice audit (run BEFORE picking a streaming
+    watermark: at delay W, how many rows would arrive after their
+    window closed and be dropped?): a row is late for watermark W iff
+    ``proc_ts > window_end + W``.
+
+    One conditional-aggregate pass over the whole table — every
+    candidate watermark is a column, adding candidates never adds
+    scans; integer epoch math throughout.
+    """
+    ev = F.col(event_ts_col).cast("timestamp_ltz").cast("long")
+    pr = F.col(proc_ts_col).cast("timestamp_ltz").cast("long")
+    win_end = (F.floor(ev / window_sec) + 1) * window_sec
+    total = F.count("*")
+    aggs = [total.alias("n_total")]
+    for w in watermarks:
+        aggs.append(
+            F.sum((pr > win_end + w).cast("long")).alias(f"late_w{w}")
+        )
+    g = df.agg(*aggs)
+    stacked = []
+    for w in watermarks:
+        stacked += [F.lit(w), F.col(f"late_w{w}")]
+    return g.select(
+        "n_total",
+        F.stack(F.lit(len(watermarks)), *stacked).alias(
+            "watermark_s", "n_late"
+        ),
+    ).select(
+        "watermark_s",
+        "n_late",
+        "n_total",
+        F.round(
+            F.col("n_late").cast("double") / F.col("n_total"), 6
+        ).alias("late_share"),
+    )

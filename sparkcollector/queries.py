@@ -8102,6 +8102,132 @@ def q_doc_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_ensemble(docs, min_votes=3).drop("text")
 
 
+# ---------------------------------------------------------------------
+# 207. Ingest-freshness lag percentiles (event-time vs processing-
+#      time; the backlogged-forwarder dashboard): exact interpolated
+#      p50/p95/p99 + max per source, one grouped pass.  Processing
+#      delay synthesized deterministically (uid%120 s + 600 s
+#      stragglers on event_id%7).
+# ---------------------------------------------------------------------
+@register(
+    "ingest_lag_percentiles",
+    """
+    with l as (select event_type,
+                      cast(user_id % 120
+                           + case when event_id % 7 = 0
+                                  then 600 else 0 end as double) as lag
+               from events)
+    select event_type, cast(count(*) as bigint) as n,
+           round(quantile_cont(lag, 0.5), 6) as p50_lag_s,
+           round(quantile_cont(lag, 0.95), 6) as p95_lag_s,
+           round(quantile_cont(lag, 0.99), 6) as p99_lag_s,
+           round(max(lag), 6) as max_lag_s
+    from l group by 1
+    """,
+)
+def q_ingest_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import ingest_lag_percentiles
+
+    ev = _t(spark, sf_dir, "events")
+    lag = (
+        F.col("user_id") % 120
+        + F.when(F.col("event_id") % 7 == 0, F.lit(600)).otherwise(0)
+    ).cast("double")
+    withproc = ev.select(
+        "event_type", "ts", (_epoch_s("ts") + lag).alias("proc_ts")
+    )
+    return ingest_lag_percentiles(withproc, ["event_type"])
+
+
+# ---------------------------------------------------------------------
+# 208. Watermark-choice audit (how many rows would be late at delay
+#      W?): every candidate watermark is a conditional sum in ONE
+#      pass; same synthesized processing delay as 207.
+# ---------------------------------------------------------------------
+@register(
+    "late_data_audit",
+    """
+    with x as (select (cast(floor(epoch(ts) / 60) as bigint) + 1) * 60
+                        as wend,
+                      cast(floor(epoch(ts)) as bigint) + user_id % 120
+                        + case when event_id % 7 = 0
+                               then 600 else 0 end as pr
+               from events)
+    select w as watermark_s,
+           cast(sum(case when pr > wend + w then 1 else 0 end)
+                as bigint) as n_late,
+           cast(count(*) as bigint) as n_total,
+           round(cast(sum(case when pr > wend + w then 1 else 0 end)
+                      as double) / count(*), 6) as late_share
+    from x, (values (0), (60), (300)) as ws(w)
+    group by w
+    """,
+)
+def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import late_data_audit
+
+    ev = _t(spark, sf_dir, "events")
+    lag = (
+        F.col("user_id") % 120
+        + F.when(F.col("event_id") % 7 == 0, F.lit(600)).otherwise(0)
+    ).cast("double")
+    withproc = ev.select(
+        "ts", (_epoch_s("ts") + lag).alias("proc_ts")
+    )
+    return late_data_audit(
+        withproc, window_sec=60, watermarks=(0, 60, 300)
+    )
+
+
+# ---------------------------------------------------------------------
+# 209. PSI distribution drift between periods over FIXED bounds
+#      (quantile bins would depend on the drift being measured):
+#      Laplace-smoothed shares, per-bin (pa-pb)*ln(pa/pb) terms.
+# ---------------------------------------------------------------------
+@register(
+    "psi_value_drift",
+    """
+    with per as (
+      select case when value <= 10 then 0 when value <= 50 then 1
+                  when value <= 100 then 2 when value <= 500 then 3
+                  else 4 end as bin,
+             case when cast(floor(epoch(ts) / 86400) as bigint) % 2 = 0
+                  then 'a' else 'b' end as p
+      from events),
+    c as (select bin,
+                 sum(case when p = 'a' then 1 else 0 end) as n_a,
+                 sum(case when p = 'b' then 1 else 0 end) as n_b
+          from per group by 1),
+    t as (select sum(case when p = 'a' then 1 else 0 end) as ta,
+                 sum(case when p = 'b' then 1 else 0 end) as tb
+          from per),
+    s as (select bin, n_a, n_b,
+                 (n_a + cast(1 as double))
+                   / (ta + cast(5 as double)) as pa,
+                 (n_b + cast(1 as double))
+                   / (tb + cast(5 as double)) as pb
+          from c, t)
+    select bin, cast(n_a as bigint) as n_a, cast(n_b as bigint) as n_b,
+           round(pa, 6) as share_a, round(pb, 6) as share_b,
+           round((pa - pb) * ln(pa / pb), 6) as psi_term
+    from s
+    """,
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    period = F.when(
+        F.floor(_epoch_s("ts") / 86400).cast("long") % 2 == 0, F.lit("a")
+    ).otherwise(F.lit("b"))
+    return psi_drift(
+        ev.select("value", period.alias("period")),
+        "value",
+        "period",
+        bounds=(10.0, 50.0, 100.0, 500.0),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -347,3 +347,22 @@ def test_pareto_concentration_interpolation(spark):
     # top 50% = 5 users = hot one + 4 singles = 95 events
     assert got[0.5]["n_top_keys"] == 5
     assert got[0.5]["event_share"] == 0.95
+
+
+def test_psi_drift_zero_when_identical(spark):
+    from sparkcollector.operators.analytics import psi_drift
+
+    rows = [(float(v), p) for p in ("a", "b") for v in (5, 20, 20, 80, 200)]
+    df = spark.createDataFrame(rows, "value double, period string")
+    out = psi_drift(df, "value", "period", bounds=(10.0, 50.0, 100.0))
+    terms = [r["psi_term"] for r in out.collect()]
+    assert all(t == 0.0 for t in terms)  # identical distributions
+    # now shift period b upward: PSI sum must be positive
+    rows2 = [(float(v), "a") for v in (5, 5, 20, 20)] + [
+        (float(v), "b") for v in (200, 200, 300, 80)
+    ]
+    df2 = spark.createDataFrame(rows2, "value double, period string")
+    total = sum(r["psi_term"] for r in
+                psi_drift(df2, "value", "period",
+                          bounds=(10.0, 50.0, 100.0)).collect())
+    assert total > 0.25  # actionable drift

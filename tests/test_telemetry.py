@@ -1002,3 +1002,47 @@ def test_ht_estimate_consistency(spark):
     assert r["n_exact"] == 5000
     assert r["n_estimated"] == r["n_sampled"] / 0.1
     assert r["rel_error"] < 0.1  # md5 buckets are near-uniform
+
+
+def test_ingest_lag_percentiles_exact(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.telemetry import ingest_lag_percentiles
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # lags 0..99 seconds -> p50 = 49.5 (interpolated), max = 99
+    rows = [("s", t0, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, lag double")
+    withproc = df.select(
+        "k", "ts",
+        (F.col("ts").cast("timestamp_ltz").cast("double")
+         + F.col("lag")).alias("proc_ts"),
+    )
+    r = ingest_lag_percentiles(withproc, ["k"]).collect()[0]
+    assert r["p50_lag_s"] == 49.5
+    assert r["max_lag_s"] == 99.0
+
+
+def test_late_data_audit_monotone_in_watermark(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.telemetry import late_data_audit
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 30)  # window ends at :60
+    rows = [(t0, 10.0), (t0, 40.0), (t0, 100.0), (t0, 400.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, lag double")
+    withproc = df.select(
+        "ts",
+        (F.col("ts").cast("timestamp_ltz").cast("double")
+         + F.col("lag")).alias("proc_ts"),
+    )
+    got = {r["watermark_s"]: r["n_late"] for r in late_data_audit(
+        withproc, window_sec=60, watermarks=(0, 60, 300)).collect()}
+    # proc times are +10/+40/+100/+400 from :30 -> arrive :40,:70,:130,:430
+    assert got[0] == 3      # :70, :130, :430 after window end :60
+    assert got[60] == 2     # :130, :430 after :120
+    assert got[300] == 1    # :430 after :360
