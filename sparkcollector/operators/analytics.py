@@ -722,3 +722,128 @@ def psi_drift(
         F.round(pb, 6).alias("share_b"),
         F.round(term, 6).alias("psi_term"),
     )
+
+
+def ab_conversion_z(
+    df: DataFrame,
+    variant_col: str,
+    convert_col: str,
+    variant_a: str = "a",
+    variant_b: str = "b",
+) -> DataFrame:
+    """Two-proportion z-test over per-user conversion flags (the A/B
+    readout: is variant b's conversion rate a real uplift?):
+    ``z = (pb - pa) / sqrt(p(1-p)(1/na + 1/nb))`` with the pooled
+    rate p; |z| > 1.96 marks 95% significance.
+
+    Input is one row per experimental unit (deduplicate upstream —
+    double-counting users invalidates the test); ONE conditional-
+    aggregate pass, all arithmetic single double operations.
+    """
+    isa = F.col(variant_col) == variant_a
+    isb = F.col(variant_col) == variant_b
+    conv = F.col(convert_col).cast("long")
+    g = df.agg(
+        F.sum(isa.cast("long")).alias("n_a"),
+        F.sum(F.when(isa, conv).otherwise(0)).alias("conv_a"),
+        F.sum(isb.cast("long")).alias("n_b"),
+        F.sum(F.when(isb, conv).otherwise(0)).alias("conv_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.col("conv_a").cast("double") / na
+    pb = F.col("conv_b").cast("double") / nb
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (na + nb)
+    se = F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    # degenerate experiments (0% or 100% pooled conversion) have
+    # se = 0: no information, z undefined -> NULL, not significant
+    z = F.when(se > 0, (pb - pa) / se)
+    return g.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias(
+            "significant_95"
+        ),
+    )
+
+
+def funnel_latency(
+    df: DataFrame,
+    first_type: str,
+    second_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert percentiles (how long from signup to first
+    purchase, for users who converted): per user, the earliest
+    ``second_type`` STRICTLY AFTER the earliest ``first_type``;
+    exact interpolated p50/p90 + max over converting users.
+
+    Two keyed aggregates + one user-keyed join + one global
+    percentile pass — the same iterative-funnel plan as
+    ``funnel_stages``, ending in a 1-row summary.
+    """
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    first = (
+        df.filter(F.col(type_col) == first_type)
+        .groupBy(user_col)
+        .agg(F.min(epoch).alias("_t1"))
+    )
+    second = df.filter(F.col(type_col) == second_type).select(
+        user_col, epoch.alias("_t2")
+    )
+    lat = (
+        second.join(first, user_col)
+        .filter(F.col("_t2") > F.col("_t1"))
+        .groupBy(user_col)
+        .agg((F.min("_t2") - F.max("_t1")).alias("_lat"))
+    )
+    pcts = F.percentile(
+        F.col("_lat"), F.array(F.lit(0.5), F.lit(0.9))
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        pcts.alias("_q"),
+        F.max("_lat").alias("_mx"),
+    ).select(
+        "n_converted",
+        F.round(F.element_at("_q", 1), 3).alias("p50_s"),
+        F.round(F.element_at("_q", 2), 3).alias("p90_s"),
+        F.round(F.col("_mx"), 3).alias("max_s"),
+    )
+
+
+def dow_hour_heatmap(
+    df: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-of-week x hour activity heatmap (the capacity-planning /
+    anomaly-baseline grid): counts per (dow, hour) cell plus each
+    cell's share of the total.
+
+    Day-of-week from pure epoch arithmetic — ``(days + 4) % 7`` with
+    0=Sunday (1970-01-01 was a Thursday) — because engine dayofweek()
+    conventions disagree (Spark 1=Sunday, DuckDB 0=Sunday) and epoch
+    math is TZ-free.  Output is at most 168 rows at any scale.
+    """
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    dow = ((F.floor(epoch / 86400) + 4) % 7).cast("int")
+    hour = F.floor((epoch % 86400) / 3600).cast("int")
+    cells = df.groupBy(dow.alias("dow"), hour.alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    total = cells.agg(F.sum("n").alias("_t"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "dow",
+        "hour",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("_t"), 6).alias(
+            "share"
+        ),
+    )

@@ -8228,6 +8228,124 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 210. A/B two-proportion z-test (per-user conversion, pooled-rate
+#      standard error, 95% flag) — one conditional-aggregate pass
+#      over the deduplicated user table.
+# ---------------------------------------------------------------------
+@register(
+    "ab_conversion_ztest",
+    """
+    with u as (select user_id,
+                      case when user_id % 2 = 0 then 'a' else 'b' end
+                        as v,
+                      max(case when event_type = 'purchase'
+                                    and value > 300
+                               then 1 else 0 end) as conv
+               from events group by 1),
+    g as (select
+            sum(case when v = 'a' then 1 else 0 end) as n_a,
+            sum(case when v = 'a' then conv else 0 end) as conv_a,
+            sum(case when v = 'b' then 1 else 0 end) as n_b,
+            sum(case when v = 'b' then conv else 0 end) as conv_b
+          from u),
+    d as (select n_a, conv_a, n_b, conv_b,
+                 cast(conv_a as double) / cast(n_a as double) as pa,
+                 cast(conv_b as double) / cast(n_b as double) as pb,
+                 cast(conv_a + conv_b as double)
+                   / (cast(n_a as double) + cast(n_b as double)) as pool
+          from g)
+    select cast(n_a as bigint) as n_a, cast(conv_a as bigint) as conv_a,
+           cast(n_b as bigint) as n_b, cast(conv_b as bigint) as conv_b,
+           round(pa, 6) as rate_a, round(pb, 6) as rate_b,
+           round(case when pool > 0 and pool < 1
+                 then (pb - pa) / sqrt(pool * (1 - pool)
+                      * (cast(1 as double) / cast(n_a as double)
+                         + cast(1 as double) / cast(n_b as double)))
+                 end, 6) as z,
+           coalesce(abs((pb - pa) / sqrt(pool * (1 - pool)
+                    * (cast(1 as double) / cast(n_a as double)
+                       + cast(1 as double) / cast(n_b as double))))
+                    > cast(1.96 as double), false) as significant_95
+    from d
+    """,
+)
+def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import ab_conversion_z
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 300)
+            ).cast("long")
+        ).alias("converted")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("variant"),
+        "converted",
+    )
+    return ab_conversion_z(users, "variant", "converted")
+
+
+# ---------------------------------------------------------------------
+# 211. Funnel time-to-convert percentiles (signup -> first purchase
+#      strictly after): keyed aggregates + join, 1-row percentile
+#      summary over converting users.
+# ---------------------------------------------------------------------
+@register(
+    "funnel_latency",
+    """
+    with f as (select user_id, min(epoch(ts)) as t1
+               from events where event_type = 'signup' group by 1),
+    s as (select user_id, epoch(ts) as t2
+          from events where event_type = 'purchase'),
+    l as (select s.user_id, min(t2) - max(t1) as lat
+          from s join f using (user_id)
+          where t2 > t1 group by s.user_id)
+    select cast(count(*) as bigint) as n_converted,
+           round(quantile_cont(lat, 0.5), 3) as p50_s,
+           round(quantile_cont(lat, 0.9), 3) as p90_s,
+           round(max(lat), 3) as max_s
+    from l
+    """,
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import funnel_latency
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_latency(ev, "signup", "purchase")
+
+
+# ---------------------------------------------------------------------
+# 212. Day-of-week x hour heatmap (capacity-planning grid): epoch
+#      arithmetic dow (engine dayofweek() conventions disagree),
+#      <= 168 output rows at any scale.
+# ---------------------------------------------------------------------
+@register(
+    "dow_hour_heatmap",
+    """
+    with c as (select cast((floor(epoch(ts) / 86400) + 4) % 7 as int)
+                        as dow,
+                      cast(floor((cast(floor(epoch(ts)) as bigint)
+                                  % 86400) / 3600) as int) as hour
+               from events),
+    g as (select dow, hour, count(*) as n from c group by 1, 2),
+    t as (select sum(n) as tt from g)
+    select dow, hour, cast(n as bigint) as n,
+           round(cast(n as double) / tt, 6) as share
+    from g, t
+    """,
+)
+def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import dow_hour_heatmap
+
+    ev = _t(spark, sf_dir, "events")
+    return dow_hour_heatmap(ev)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

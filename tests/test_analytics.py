@@ -366,3 +366,58 @@ def test_psi_drift_zero_when_identical(spark):
                 psi_drift(df2, "value", "period",
                           bounds=(10.0, 50.0, 100.0)).collect())
     assert total > 0.25  # actionable drift
+
+
+def test_ab_conversion_z_directions_and_degenerate(spark):
+    from sparkcollector.operators.analytics import ab_conversion_z
+
+    # b converts 80%, a 20%, 50 users each -> strongly significant
+    rows = [("a", 1)] * 10 + [("a", 0)] * 40 + [("b", 1)] * 40 + [("b", 0)] * 10
+    df = spark.createDataFrame(rows, "variant string, converted int")
+    r = ab_conversion_z(df, "variant", "converted").collect()[0]
+    assert r["rate_a"] == 0.2 and r["rate_b"] == 0.8
+    assert r["z"] > 1.96 and r["significant_95"]
+    # degenerate: everyone converts -> z NULL, not significant
+    allc = spark.createDataFrame(
+        [("a", 1)] * 5 + [("b", 1)] * 5, "variant string, converted int"
+    )
+    r2 = ab_conversion_z(allc, "variant", "converted").collect()[0]
+    assert r2["z"] is None and r2["significant_95"] is False
+
+
+def test_funnel_latency_strictly_after(spark):
+    import datetime
+
+    from sparkcollector.operators.analytics import funnel_latency
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        (1, "signup", ts(0)), (1, "purchase", ts(100)),
+        (2, "signup", ts(0)), (2, "purchase", ts(300)),
+        (3, "purchase", ts(0)), (3, "signup", ts(10)),  # never after
+        (4, "signup", ts(0)),                            # no purchase
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    r = funnel_latency(df, "signup", "purchase").collect()[0]
+    assert r["n_converted"] == 2
+    assert r["p50_s"] == 200.0 and r["max_s"] == 300.0
+
+
+def test_dow_hour_heatmap_epoch_dow(spark):
+    import datetime
+
+    from sparkcollector.operators.analytics import dow_hour_heatmap
+
+    # 2024-01-01 was a Monday (dow=1 with 0=Sunday), 15:00 UTC
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 15, 0),),
+         (datetime.datetime(2024, 1, 7, 3, 0),)],  # Sunday
+        "ts timestamp",
+    )
+    got = {(r["dow"], r["hour"]): r["n"] for r in dow_hour_heatmap(df).collect()}
+    assert got[(1, 15)] == 1
+    assert got[(0, 3)] == 1
