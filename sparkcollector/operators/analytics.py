@@ -847,3 +847,93 @@ def dow_hour_heatmap(
             "share"
         ),
     )
+
+
+def gini_activity(
+    df: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Gini coefficient of per-key activity (the single-number
+    inequality companion of ``pareto_concentration``): 0 = everyone
+    equally active, 1 = one key does everything.
+
+    Computed EXACTLY from the activity histogram with integer rank
+    sums — for a run of ``k`` keys each with count ``c`` after ``a``
+    lower-ranked keys, ``sum(i * x_i) = c * (k*a + k*(k+1)/2)`` — so
+    the only float is the final division.  The cumulative walk runs
+    over distinct activity values (bounded), never the key universe.
+    """
+    from pyspark.sql.window import Window
+
+    per_key = df.groupBy(key_col).agg(F.count("*").alias("_c"))
+    hist = per_key.groupBy("_c").agg(F.count("*").alias("_k"))
+    w = (
+        Window.orderBy("_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    a = F.coalesce(F.sum("_k").over(w), F.lit(0))
+    ranked = hist.select(
+        "_c",
+        "_k",
+        (
+            F.col("_c")
+            * (F.col("_k") * a + F.col("_k") * (F.col("_k") + 1) / 2)
+        ).cast("long").alias("_ris"),
+    )
+    g = ranked.agg(
+        F.sum("_ris").alias("_s"),
+        F.sum(F.col("_c") * F.col("_k")).alias("_tot"),
+        F.sum("_k").alias("_n"),
+    )
+    n = F.col("_n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("_s").cast("double")
+        / (n * F.col("_tot").cast("double"))
+        - (n + 1) / n
+    )
+    return g.select(
+        F.col("_n").alias("n_keys"),
+        F.col("_tot").alias("n_events"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+def user_type_entropy(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+) -> DataFrame:
+    """Per-key behavioral entropy (Shannon entropy of the event-type
+    mix — the diversity score separating single-purpose bots from
+    organic users): ``-sum p ln p`` in nats.
+
+    The per-type terms fold IN SORTED TYPE ORDER inside a row
+    (sorted collect of the tiny per-key type histogram), so the
+    float sum is order-deterministic on any engine — a grouped SUM
+    of ln terms would be fold-order lottery.
+    """
+    counts = df.groupBy(key_col, type_col).agg(
+        F.count("*").alias("_n")
+    )
+    per_key = counts.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(type_col).alias("t"), F.col("_n").alias("n"))
+            )
+        ).alias("_ts"),
+        F.sum("_n").alias("n_events"),
+    )
+    tot = F.col("n_events").cast("double")
+    ent = -F.aggregate(
+        "_ts",
+        F.lit(0.0),
+        lambda acc, s: acc
+        + (s["n"].cast("double") / tot)
+        * F.log(s["n"].cast("double") / tot),
+    )
+    return per_key.select(
+        key_col,
+        "n_events",
+        F.size("_ts").alias("n_types"),
+        F.round(ent, 6).alias("entropy_nats"),
+    )

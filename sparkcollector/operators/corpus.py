@@ -1467,3 +1467,33 @@ def paragraph_dedup(
         F.size(kept_paras).cast("long").alias("n_kept"),
         F.array_join(kept_paras, sep).alias("out_text"),
     )
+
+
+def kwic_extract(
+    df: DataFrame,
+    term: str,
+    context: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-in-context extraction (the concordance snippets an
+    annotation or eval pipeline samples around a term): for docs
+    containing ``term`` as a whitespace token, the first occurrence's
+    position and its ±``context``-word window.
+
+    Pure in-row array ops (position + bounded slice) — zero shuffle;
+    docs without the term emit nothing.
+    """
+    words = F.split(F.col(text_col), " ")
+    pos = F.array_position(words, term)  # 1-based, 0 if absent
+    start = F.greatest(pos - context, F.lit(1))
+    length = pos + context - start + 1
+    snippet = F.array_join(F.slice(words, start, length), " ")
+    return (
+        df.select(
+            id_col,
+            pos.cast("long").alias("pos"),
+            F.when(pos > 0, snippet).alias("context"),
+        )
+        .filter(F.col("pos") > 0)
+    )

@@ -8346,6 +8346,102 @@ def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dow_hour_heatmap(ev)
 
 
+# ---------------------------------------------------------------------
+# 213. Gini coefficient of user activity (single-number inequality;
+#      Pareto's companion): exact integer rank sums from the activity
+#      histogram, one final division.
+# ---------------------------------------------------------------------
+@register(
+    "gini_user_activity",
+    """
+    with pk as (select user_id, count(*) as c from events group by 1),
+    h as (select c, count(*) as k from pk group by 1),
+    r as (select c, k,
+                 coalesce(sum(k) over (order by c
+                   rows between unbounded preceding and 1 preceding),
+                   0) as a
+          from h),
+    x as (select cast(c * (k * a + k * (k + 1) / 2) as bigint) as ris,
+                 c, k
+          from r),
+    g as (select sum(ris) as s, sum(c * k) as tot, sum(k) as n from x)
+    select cast(n as bigint) as n_keys, cast(tot as bigint) as n_events,
+           round(cast(2 as double) * cast(s as double)
+                 / (cast(n as double) * cast(tot as double))
+                 - (cast(n as double) + 1) / cast(n as double), 6)
+             as gini
+    from g
+    """,
+)
+def q_gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import gini_activity
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    return gini_activity(ev, "user_id")
+
+
+# ---------------------------------------------------------------------
+# 214. Per-user behavioral entropy (Shannon nats over the event-type
+#      mix): ln terms fold in sorted type order IN-ROW, so the float
+#      sum is order-deterministic on both engines.
+# ---------------------------------------------------------------------
+@register(
+    "user_type_entropy",
+    """
+    with c as (select user_id, event_type as t, count(*) as n
+               from events group by 1, 2),
+    p as (select user_id,
+                 list(struct_pack(t := t, n := n) order by t) as ts,
+                 sum(n) as n_events
+          from c group by 1)
+    select user_id, cast(n_events as bigint) as n_events,
+           cast(len(ts) as int) as n_types,
+           round(-list_reduce(list_transform(ts,
+                   s -> (cast(s.n as double)
+                         / cast(n_events as double))
+                        * ln(cast(s.n as double)
+                             / cast(n_events as double))),
+                 (a, b) -> a + b), 6) as entropy_nats
+    from p
+    """,
+)
+def q_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import user_type_entropy
+
+    ev = _t(spark, sf_dir, "events")
+    return user_type_entropy(ev, "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------
+# 215. Keyword-in-context extraction (concordance snippets around a
+#      term): first occurrence ±2 words over transcript turns; the
+#      oracle states the expected snippet directly from the error-turn
+#      construction (role=tool rows carry 'level=ERROR' at token 3).
+# ---------------------------------------------------------------------
+@register(
+    "kwic_error_context",
+    f"""
+    with t as ({_T_SQL})
+    select conv_id || '#' || cast(turn_idx as varchar) as doc_id,
+           cast(3 as bigint) as pos,
+           array_to_string((string_split(text, ' '))[1:5], ' ')
+             as context
+    from t where role = 'tool'
+    """,
+)
+def q_kwic_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import kwic_extract
+
+    t = transcripts_from_events(spark, sf_dir)
+    docs = t.select(
+        F.concat(
+            F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string")
+        ).alias("doc_id"),
+        "text",
+    )
+    return kwic_extract(docs, term="level=ERROR", context=2)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -421,3 +421,34 @@ def test_dow_hour_heatmap_epoch_dow(spark):
     got = {(r["dow"], r["hour"]): r["n"] for r in dow_hour_heatmap(df).collect()}
     assert got[(1, 15)] == 1
     assert got[(0, 3)] == 1
+
+
+def test_gini_extremes(spark):
+    from sparkcollector.operators.analytics import gini_activity
+
+    equal = spark.createDataFrame(
+        [(u,) for u in range(10) for _ in range(5)], "k long"
+    )
+    g_eq = gini_activity(equal, "k").collect()[0]
+    assert g_eq["gini"] == 0.0
+    # one key with 99 events, 99 keys with 1: near-maximal inequality
+    skew = spark.createDataFrame(
+        [(0,)] * 99 + [(u,) for u in range(1, 100)], "k long"
+    )
+    g_sk = gini_activity(skew, "k").collect()[0]
+    assert g_sk["n_keys"] == 100 and g_sk["gini"] > 0.45
+
+
+def test_user_type_entropy_uniform_and_pure(spark):
+    import math
+
+    from sparkcollector.operators.analytics import user_type_entropy
+
+    rows = (
+        [(1, t) for t in ("a", "b", "c", "d")]  # uniform over 4 -> ln 4
+        + [(2, "a")] * 5                          # pure -> 0
+    )
+    df = spark.createDataFrame(rows, "k long, t string")
+    got = {r["k"]: r for r in user_type_entropy(df, "k", "t").collect()}
+    assert abs(got[1]["entropy_nats"] - math.log(4)) < 1e-6
+    assert got[2]["entropy_nats"] == 0.0 and got[2]["n_types"] == 1

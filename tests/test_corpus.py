@@ -648,3 +648,21 @@ def test_paragraph_dedup_keeps_first_in_order(spark):
     r = paragraph_dedup(df).collect()[0]
     assert r["n_paras"] == 5 and r["n_kept"] == 3
     assert r["out_text"] == "alpha\n\nbeta\n\ngamma"
+
+
+def test_kwic_extract_window_edges(spark):
+    from sparkcollector.operators.corpus import kwic_extract
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta TERM gamma delta epsilon"),
+            (2, "TERM at the very start here"),
+            (3, "no match in this one"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["pos"], r["context"])
+           for r in kwic_extract(df, "TERM", context=2).collect()}
+    assert got[1] == (3, "alpha beta TERM gamma delta")
+    assert got[2] == (1, "TERM at the")  # window clipped at doc start
+    assert 3 not in got
