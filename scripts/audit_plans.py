@@ -1205,6 +1205,50 @@ def main() -> None:
         spark=spark,
     )
 
+    # batches 29-33: bounded-exchange analytics/governance ops
+    for name, max_ex in (
+        ("priority_source_merge", 1),
+        ("dlq_replay_recover", 1),
+        ("join_skew_report", 5),
+        ("partial_agg_merge", 3),
+        ("doc_quality_ensemble", 0),
+        ("ingest_lag_percentiles", 1),
+        ("late_data_audit", 1),
+        ("psi_value_drift", 2),
+        ("ab_conversion_ztest", 2),
+        ("funnel_latency", 4),
+        ("dow_hour_heatmap", 3),
+        ("gini_user_activity", 4),
+        ("user_type_entropy", 2),
+        ("kwic_error_context", 1),
+    ):
+        all_ok &= audit(
+            name,
+            (lambda n: lambda: queries()[n](spark, SF_DIR))(name),
+            [
+                (f"shuffle exchanges bounded (<= {max_ex}, excluding "
+                 "broadcast/reused)",
+                 (lambda m: lambda p: len(
+                     re.findall(r"(?<!Broadcast)(?<!d)Exchange \(\d+\)",
+                                p)) <= m)(max_ex)),
+                ("no Python / UDF in plan", lambda p: "Python" not in p),
+            ],
+            out,
+            spark=spark,
+        )
+    all_ok &= audit(
+        "bloom_join_prune_audit",
+        lambda: queries()["bloom_join_prune_audit"](spark, SF_DIR),
+        [
+            ("positions table joins as a broadcast (<= m_bits rows by "
+             "construction)", lambda p: "Broadcast" in p),
+            ("no cartesian product", lambda p: "CartesianProduct" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"
