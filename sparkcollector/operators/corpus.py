@@ -1497,3 +1497,96 @@ def kwic_extract(
         )
         .filter(F.col("pos") > 0)
     )
+
+
+def tool_loop_detect(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tool_col: str = "tool",
+    min_run: int = 3,
+    ignore: tuple[str, ...] = ("none",),
+) -> DataFrame:
+    """Agent-loop detection (the transcript-quality signal for stuck
+    agents: the same tool invoked ``min_run``+ times consecutively):
+    per conversation, the longest consecutive same-tool run, which
+    tool, and the loop flag.
+
+    Gaps-and-islands with one conversation-keyed lag window (run id =
+    running count of tool CHANGES), one (conv, run) aggregate, one
+    deterministic per-conversation argmax — all sharing the
+    conversation key; turns using ignored tools (bare text turns)
+    break runs but never form one.
+    """
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    changed = (
+        (F.lag(F.col(tool_col)).over(w).isNull())
+        | (F.lag(F.col(tool_col)).over(w) != F.col(tool_col))
+    ).cast("long")
+    wc = (
+        Window.partitionBy(conv_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = df.select(
+        conv_col,
+        F.col(tool_col).alias("_tool"),
+        F.sum(changed).over(wc).alias("_run"),
+    ).filter(~F.col("_tool").isin(*ignore))
+    per_run = runs.groupBy(conv_col, "_run", "_tool").agg(
+        F.count("*").alias("_len")
+    )
+    best = F.max(
+        F.struct(
+            F.col("_len").alias("l"),
+            (-F.col("_run")).alias("nr"),  # earliest run wins ties
+            F.col("_tool").alias("t"),
+        )
+    )
+    agg = per_run.groupBy(conv_col).agg(best.alias("_b"))
+    return agg.select(
+        conv_col,
+        F.col("_b")["l"].alias("max_run"),
+        F.col("_b")["t"].alias("loop_tool"),
+        (F.col("_b")["l"] >= min_run).alias("looping"),
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    top_k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf power-law fit over the top-k vocabulary (corpus health:
+    natural language sits near slope -1; generated/boilerplate text
+    drifts flat or steep): least-squares slope of ln(freq) on
+    ln(rank).
+
+    Reuses the ``vocabulary`` roll-up (per-doc term counts collapse
+    the corpus before any global step); ranking happens on the top-k
+    table (bounded rows), the fit is the same closed form as
+    ``trend_slope`` with ln-transformed coordinates.
+    """
+    from pyspark.sql.window import Window
+
+    vocab = vocabulary(df, top_k=top_k, id_col=id_col, text_col=text_col)
+    w = Window.orderBy(F.desc("n_occurrences"), "word")
+    pts = vocab.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("n_occurrences").cast("double")).alias("y"),
+    )
+    g = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    return g.select(
+        F.col("n").alias("n_terms"),
+        F.round(num / den, 6).alias("zipf_slope"),
+    )

@@ -694,3 +694,45 @@ def kmeans_lloyd_step(
             F.round(F.sqrt(F.sum("_d2")), round_digits).alias("shift"),
         )
     )
+
+
+def embedding_hygiene(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    norm_lo: float = 1e-6,
+    norm_hi: float = 1e6,
+) -> DataFrame:
+    """Embedding-table hygiene audit (the guard before any ANN build:
+    NaN components, zero-norm vectors and wild magnitudes silently
+    poison cosine math): corpus-level counts of each defect plus the
+    norm range.
+
+    All per-vector work is in-row array HOFs (exists / ordered fold
+    for the squared norm — element order is the array's own, so the
+    float sum is deterministic); ONE 1-row aggregate.
+    """
+    v = F.col(vec_col)
+    has_nan = F.exists(v, lambda x: F.isnan(x))
+    sq = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+    )
+    norm = F.sqrt(sq)
+    zero = ~has_nan & (norm == 0.0)
+    oob = ~has_nan & (norm > 0) & (
+        (norm < norm_lo) | (norm > norm_hi)
+    )
+    per = df.select(
+        has_nan.alias("_nan"),
+        zero.alias("_zero"),
+        oob.alias("_oob"),
+        F.when(~has_nan, norm).alias("_norm"),
+    )
+    return per.agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.col("_nan").cast("long")).alias("n_nan"),
+        F.sum(F.col("_zero").cast("long")).alias("n_zero_norm"),
+        F.sum(F.col("_oob").cast("long")).alias("n_norm_out_of_band"),
+        F.round(F.min("_norm"), 6).alias("min_norm"),
+        F.round(F.max("_norm"), 6).alias("max_norm"),
+    )

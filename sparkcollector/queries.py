@@ -8442,6 +8442,147 @@ def q_kwic_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kwic_extract(docs, term="level=ERROR", context=2)
 
 
+# ---------------------------------------------------------------------
+# 216. Agent tool-loop detection (same tool >= 3 consecutive turns):
+#      gaps-and-islands runs per conversation, deterministic argmax
+#      (longest run, earliest wins ties); text-only turns break runs.
+# ---------------------------------------------------------------------
+@register(
+    "tool_loop_detect",
+    f"""
+    with t as ({_T_SQL}),
+    l as (select conv_id, turn_idx, tool,
+            case when lag(tool) over (
+                   partition by conv_id order by turn_idx) is null
+                   or lag(tool) over (
+                     partition by conv_id order by turn_idx) <> tool
+                 then 1 else 0 end as ch
+          from t),
+    r as (select conv_id, tool,
+            sum(ch) over (partition by conv_id order by turn_idx
+                          rows unbounded preceding) as run
+          from l),
+    f as (select * from r where tool <> 'none'),
+    pr as (select conv_id, run, tool, count(*) as len
+           from f group by 1, 2, 3),
+    b as (select conv_id, len, tool, run,
+            row_number() over (partition by conv_id
+                               order by len desc, run asc) as rn
+          from pr)
+    select conv_id, cast(len as bigint) as max_run,
+           tool as loop_tool, len >= 3 as looping
+    from b where rn = 1
+    """,
+)
+def q_tool_loop_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import tool_loop_detect
+
+    t = transcripts_from_events(spark, sf_dir)
+    return tool_loop_detect(t)
+
+
+# ---------------------------------------------------------------------
+# 217. Embedding hygiene audit (NaN / zero-norm / wild-magnitude
+#      vectors poison cosine math): defects injected deterministically
+#      (vec_id%31 -> NaN head, %37 -> zero vector), in-row ordered
+#      norm folds, one 1-row aggregate.
+# ---------------------------------------------------------------------
+@register(
+    "embedding_hygiene",
+    """
+    with m as (
+      select vec_id,
+             case when vec_id % 31 = 0 then
+               ['nan'::double] || list_transform(embedding[2:],
+                                    x -> cast(x as double))
+             when vec_id % 37 = 0 then
+               list_transform(embedding, x -> cast(0 as double))
+             else list_transform(embedding, x -> cast(x as double))
+             end as v
+      from embeddings),
+    p as (select
+            len(list_filter(v, x -> isnan(x))) > 0 as has_nan,
+            sqrt(list_reduce(list_transform(v, x -> x * x),
+                             (a, b) -> a + b)) as norm
+          from m),
+    q as (select has_nan,
+               (not has_nan) and norm = 0 as zero,
+               (not has_nan) and norm > 0
+                 and (norm < cast(0.000001 as double)
+                      or norm > cast(1000000 as double)) as oob,
+               case when not has_nan then norm end as nn
+          from p)
+    select cast(count(*) as bigint) as n_vectors,
+           cast(sum(case when has_nan then 1 else 0 end) as bigint)
+             as n_nan,
+           cast(sum(case when zero then 1 else 0 end) as bigint)
+             as n_zero_norm,
+           cast(sum(case when oob then 1 else 0 end) as bigint)
+             as n_norm_out_of_band,
+           round(min(nn), 6) as min_norm,
+           round(max(nn), 6) as max_norm
+    from q
+    """,
+)
+def q_embedding_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import embedding_hygiene
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    as_double = F.transform(v, lambda x: x.cast("double"))
+    nan_head = F.concat(
+        F.array(F.lit(float("nan"))),
+        F.transform(
+            F.slice(v, 2, F.size(v) - 1), lambda x: x.cast("double")
+        ),
+    )
+    zero_vec = F.transform(v, lambda x: F.lit(0.0))
+    vec = (
+        F.when(F.col("vec_id") % 31 == 0, nan_head)
+        .when(F.col("vec_id") % 37 == 0, zero_vec)
+        .otherwise(as_double)
+    )
+    return embedding_hygiene(
+        emb.select("vec_id", vec.alias("embedding"))
+    )
+
+
+# ---------------------------------------------------------------------
+# 218. Zipf slope over the top-100 vocabulary (corpus-health
+#      power-law fit; natural text ~ -1): ln-ln least squares on the
+#      bounded top-k table.
+# ---------------------------------------------------------------------
+@register(
+    "zipf_slope",
+    """
+    with w as (select doc_id, unnest(string_split(text, ' ')) as word
+               from documents),
+    pd as (select doc_id, word, count(*) as c from w group by 1, 2),
+    v as (select word, sum(c) as n_occurrences from pd group by 1),
+    t as (select word, n_occurrences,
+                 row_number() over (
+                   order by n_occurrences desc, word) as r
+          from v order by n_occurrences desc, word limit 100),
+    p as (select ln(cast(r as double)) as x,
+                 ln(cast(n_occurrences as double)) as y
+          from t),
+    g as (select count(*) as n, sum(x) as sx, sum(y) as sy,
+                 sum(x * y) as sxy, sum(x * x) as sxx
+          from p)
+    select cast(n as bigint) as n_terms,
+           round((cast(n as double) * sxy - sx * sy)
+                 / (cast(n as double) * sxx - sx * sx), 6)
+             as zipf_slope
+    from g
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import zipf_slope
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_slope(docs, top_k=100)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

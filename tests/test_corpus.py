@@ -666,3 +666,41 @@ def test_kwic_extract_window_edges(spark):
     assert got[1] == (3, "alpha beta TERM gamma delta")
     assert got[2] == (1, "TERM at the")  # window clipped at doc start
     assert 3 not in got
+
+
+def test_tool_loop_detect_runs(spark):
+    from sparkcollector.operators.corpus import tool_loop_detect
+
+    rows = [
+        # c1: bash x3 consecutive -> looping
+        ("c1", 0, "bash"), ("c1", 1, "bash"), ("c1", 2, "bash"),
+        ("c1", 3, "search"),
+        # c2: bash runs broken by a none turn -> max run 2
+        ("c2", 0, "bash"), ("c2", 1, "bash"), ("c2", 2, "none"),
+        ("c2", 3, "bash"), ("c2", 4, "bash"),
+        # c3: only text turns -> absent
+        ("c3", 0, "none"), ("c3", 1, "none"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, tool string")
+    got = {r["conv_id"]: r for r in tool_loop_detect(df).collect()}
+    assert got["c1"]["looping"] and got["c1"]["max_run"] == 3
+    assert got["c1"]["loop_tool"] == "bash"
+    assert not got["c2"]["looping"] and got["c2"]["max_run"] == 2
+    assert "c3" not in got
+
+
+def test_zipf_slope_is_negative_on_powerlaw(spark):
+    from sparkcollector.operators.corpus import zipf_slope
+
+    # construct a corpus with freq ~ 1/rank: slope should be near -1
+    words = []
+    for rank, w in enumerate(
+        ["w%d" % i for i in range(20)], start=1
+    ):
+        words += [w] * max(1, 1000 // rank)
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    r = zipf_slope(df, top_k=20).collect()[0]
+    assert r["n_terms"] == 20
+    assert -1.2 < r["zipf_slope"] < -0.8

@@ -191,3 +191,20 @@ def test_kmeans_lloyd_step_empty_cluster_no_row(spark):
     df = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
     out = kmeans_lloyd_step(df, [[1.0, 0.0], [0.0, 1.0]]).collect()
     assert len(out) == 1 and out[0]["cluster"] == 0
+
+
+def test_embedding_hygiene_counts(spark):
+    from sparkcollector.operators.similarity import embedding_hygiene
+
+    rows = [
+        (1, [1.0, 2.0, 2.0]),           # norm 3
+        (2, [float("nan"), 1.0, 1.0]),  # nan
+        (3, [0.0, 0.0, 0.0]),           # zero norm
+        (4, [1e9, 0.0, 0.0]),           # out of band
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = embedding_hygiene(df).collect()[0]
+    assert r["n_vectors"] == 4
+    assert r["n_nan"] == 1 and r["n_zero_norm"] == 1
+    assert r["n_norm_out_of_band"] == 1
+    assert r["min_norm"] == 0.0 and r["max_norm"] == 1e9
