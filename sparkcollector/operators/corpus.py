@@ -1590,3 +1590,49 @@ def zipf_slope(
         F.col("n").alias("n_terms"),
         F.round(num / den, 6).alias("zipf_slope"),
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled sampling mixture (the mT5/PaLM alpha rule:
+    sample domain d with probability ``share_d^alpha`` renormalized —
+    alpha < 1 upweights small domains without drowning large ones):
+    per domain — raw share, temperature weight, and the effective
+    epochs ``w_d * N / n_d`` the domain would be repeated under the
+    weights.
+
+    One grouped count + a 1-row total + pure arithmetic; the weight
+    normalization sums |domains| doubles in-row via a sorted fold, so
+    it is order-deterministic.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n"))
+    total = counts.agg(
+        F.sum("n").alias("_t"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col(group_col).alias("g"), F.col("n").alias("n"))
+            )
+        ).alias("_all"),
+    )
+    j = counts.crossJoin(F.broadcast(total))
+    share = F.col("n").cast("double") / F.col("_t")
+    # denominator folds in sorted group order — deterministic
+    denom = F.aggregate(
+        "_all",
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.pow(s["n"].cast("double") / F.col("_t"), F.lit(alpha)),
+    )
+    w = F.pow(share, F.lit(alpha)) / denom
+    return j.select(
+        group_col,
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round(w, 6).alias("weight"),
+        F.round(w * F.col("_t").cast("double") / F.col("n"), 6).alias(
+            "effective_epochs"
+        ),
+    )

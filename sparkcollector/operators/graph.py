@@ -323,3 +323,64 @@ def span_clock_skew(
             F.greatest(F.max(skew), F.lit(0.0)), 3
         ).alias("max_skew_s"),
     )
+
+
+def span_self_time(
+    df: DataFrame,
+    group_col: str = "user_id",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-span self-time over the heap forest (the flame-graph
+    number: a span's own cost = its duration minus its direct
+    children's — inclusive times always blame the root): same parent
+    rule as ``tree_linearize`` (seq//2 on the ``order_col``-ordered
+    sequence).
+
+    One keyed window for seq, one (group, parent) aggregate of child
+    costs, one keyed left join back — self-time clamps at 0 (clock
+    skew can make children sum past the parent; negative self-time is
+    noise, not physics).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    seq = df.select(
+        F.col(group_col).alias("_g"),
+        F.row_number().over(w).alias("_seq"),
+        F.col(value_col).cast("decimal(28,6)").alias("_v"),
+    )
+    child_sums = (
+        seq.filter(F.col("_seq") > 1)
+        .groupBy(
+            F.col("_g").alias("_cg"),
+            F.floor(F.col("_seq") / 2).cast("long").alias("_pseq"),
+        )
+        .agg(F.sum("_v").alias("_cs"))
+    )
+    joined = seq.join(
+        child_sums,
+        (seq["_g"] == child_sums["_cg"])
+        & (seq["_seq"] == child_sums["_pseq"]),
+        "left",
+    ).select(
+        seq["_g"].alias(group_col),
+        F.col("_seq").alias("seq"),
+        F.col("_v").alias("inclusive"),
+        F.coalesce(F.col("_cs"), F.lit(0).cast("decimal(28,6)")).alias(
+            "_children"
+        ),
+    )
+    self_t = F.greatest(
+        (F.col("inclusive") - F.col("_children")).cast("double"),
+        F.lit(0.0),
+    )
+    return joined.select(
+        group_col,
+        "seq",
+        F.round(F.col("inclusive").cast("double"), 4).alias("inclusive"),
+        F.round(F.col("_children").cast("double"), 4).alias(
+            "children_sum"
+        ),
+        F.round(self_t, 4).alias("self_time"),
+    )

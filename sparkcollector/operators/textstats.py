@@ -211,3 +211,37 @@ def quality_ensemble(
         votes.alias("votes"),
         (votes >= min_votes).alias("keep"),
     )
+
+
+def code_prose_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Code-vs-prose line mix per document (the modality split a
+    pretraining mixture needs per doc, without a classifier): a line
+    "looks like code" if it matches cheap syntactic cues — leading
+    indentation, braces/semicolon endings, assignment with ``=``,
+    ``def``/``import``-style keywords.
+
+    Pure in-row line HOFs (split + filter), zero shuffle; the cues
+    are a heuristic tier — a real classifier slots in upstream, this
+    is the cheap always-on audit.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    is_code = (
+        lambda l: l.rlike(
+            r"^(\s{2,}|\t)"
+            r"|[{};]\s*$"
+            r"|^\s*(def |import |return |class |for |if |while )"
+            r"|^\s*\w+\s*=\s*\S"
+        )
+    )
+    n_lines = F.size(lines)
+    n_code = F.size(F.filter(lines, is_code))
+    return df.select(
+        id_col,
+        n_lines.cast("long").alias("n_lines"),
+        n_code.cast("long").alias("n_code_lines"),
+        F.round(n_code.cast("double") / n_lines, 6).alias("code_ratio"),
+    )

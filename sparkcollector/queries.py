@@ -8583,6 +8583,113 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_slope(docs, top_k=100)
 
 
+# ---------------------------------------------------------------------
+# 219. Span self-time over the heap forest (flame-graph numbers:
+#      inclusive minus direct children, clamped at 0): decimal sums,
+#      one (group,parent) aggregate + keyed join back.
+# ---------------------------------------------------------------------
+@register(
+    "span_self_time",
+    """
+    with s as (select user_id as g,
+                      row_number() over (
+                        partition by user_id order by event_id) as seq,
+                      cast(value as decimal(28,6)) as v
+               from events),
+    cs as (select g, cast(floor(seq / 2.0) as bigint) as pseq,
+                  sum(v) as csum
+           from s where seq > 1 group by 1, 2),
+    j as (select s.g, s.seq, s.v, coalesce(cs.csum, 0) as ch
+          from s left join cs on cs.g = s.g and cs.pseq = s.seq)
+    select g as user_id, cast(seq as int) as seq,
+           round(cast(v as double), 4) as inclusive,
+           round(cast(ch as double), 4) as children_sum,
+           round(greatest(cast(v - ch as double),
+                          cast(0 as double)), 4) as self_time
+    from j
+    """,
+)
+def q_span_self_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import span_self_time
+
+    ev = _t(spark, sf_dir, "events")
+    return span_self_time(ev, "user_id", "value", "event_id")
+
+
+# ---------------------------------------------------------------------
+# 220. Code-vs-prose line mix (modality split without a classifier:
+#      indent / brace / keyword / assignment cues): known line
+#      construction so the oracle states expected ratios directly.
+# ---------------------------------------------------------------------
+@register(
+    "code_prose_ratio",
+    """
+    select event_id as doc_id,
+           cast(case when user_id % 4 = 0 then 2 else 5 end as bigint)
+             as n_lines,
+           cast(case when user_id % 4 = 0 then 0 else 3 end as bigint)
+             as n_code_lines,
+           case when user_id % 4 = 0 then cast(0 as double)
+                else cast(0.6 as double) end as code_ratio
+    from events
+    """,
+)
+def q_code_prose_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import code_prose_ratio
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    mixed = F.concat(
+        F.lit("Here is prose explaining things\n"
+              "    indented = code_line(1)\n"
+              "def foo():\n"
+              "more prose words here\n"
+              "x = "),
+        (uid % 10).cast("string"),
+    )
+    prose = F.lit("just prose here\nanother line of text")
+    text = F.when(uid % 4 == 0, prose).otherwise(mixed)
+    docs = ev.select(F.col("event_id").alias("doc_id"), text.alias("text"))
+    return code_prose_ratio(docs)
+
+
+# ---------------------------------------------------------------------
+# 221. Temperature-scaled sampling mixture (mT5/PaLM alpha rule:
+#      share^alpha renormalized; alpha<1 upweights small domains):
+#      weight denominator folds in sorted domain order — deterministic.
+# ---------------------------------------------------------------------
+@register(
+    "temperature_mixture",
+    """
+    with c as (select source, count(*) as n from documents group by 1),
+    t as (select sum(n) as tt,
+                 list(struct_pack(g := source, n := n)
+                      order by source) as alls
+          from c),
+    j as (select c.source, c.n, t.tt, t.alls from c, t),
+    d as (select source, n, tt,
+                 pow(cast(n as double) / cast(tt as double),
+                     cast(0.7 as double)) as wraw,
+                 list_reduce(list_transform(alls,
+                   s -> pow(cast(s.n as double) / cast(tt as double),
+                            cast(0.7 as double))),
+                   (a, b) -> a + b) as denom
+          from j)
+    select source, cast(n as bigint) as n,
+           round(cast(n as double) / cast(tt as double), 6) as share,
+           round(wraw / denom, 6) as weight,
+           round(wraw / denom * cast(tt as double)
+                 / cast(n as double), 6) as effective_epochs
+    from d
+    """,
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents").select("source")
+    return temperature_mixture(docs, "source", alpha=0.7)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

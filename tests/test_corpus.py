@@ -704,3 +704,17 @@ def test_zipf_slope_is_negative_on_powerlaw(spark):
     r = zipf_slope(df, top_k=20).collect()[0]
     assert r["n_terms"] == 20
     assert -1.2 < r["zipf_slope"] < -0.8
+
+
+def test_temperature_mixture_upweights_small_domains(spark):
+    from sparkcollector.operators.corpus import temperature_mixture
+
+    rows = [("big",)] * 90 + [("small",)] * 10
+    df = spark.createDataFrame(rows, "source string")
+    got = {r["source"]: r for r in
+           temperature_mixture(df, "source", alpha=0.7).collect()}
+    assert abs(got["big"]["weight"] + got["small"]["weight"] - 1.0) < 1e-5
+    # alpha < 1: small domain's weight exceeds its raw share
+    assert got["small"]["weight"] > got["small"]["share"]
+    assert got["big"]["weight"] < got["big"]["share"]
+    assert got["small"]["effective_epochs"] > got["big"]["effective_epochs"]

@@ -170,3 +170,24 @@ def test_span_clock_skew_detects_backdated_child(spark):
     assert r["n_spans"] == 4
     assert r["n_violations"] == 1
     assert r["max_skew_s"] == 50.0
+
+
+def test_span_self_time_flamegraph_math(spark):
+    from sparkcollector.operators.graph import span_self_time
+
+    # heap: 1 has children 2,3; 2 has child 4
+    # durations: 1=100, 2=40, 3=30, 4=10
+    rows = [(9, 1, 100.0), (9, 2, 40.0), (9, 3, 30.0), (9, 4, 10.0)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    got = {r["seq"]: r for r in
+           span_self_time(df, "user_id", "value", "event_id").collect()}
+    assert got[1]["self_time"] == 30.0   # 100 - (40+30)
+    assert got[2]["self_time"] == 30.0   # 40 - 10
+    assert got[3]["self_time"] == 30.0   # leaf
+    assert got[4]["self_time"] == 10.0
+    # children summing past the parent clamps at 0
+    rows2 = [(9, 1, 10.0), (9, 2, 40.0), (9, 3, 30.0)]
+    df2 = spark.createDataFrame(rows2, "user_id long, event_id long, value double")
+    r1 = {r["seq"]: r for r in
+          span_self_time(df2, "user_id", "value", "event_id").collect()}[1]
+    assert r1["self_time"] == 0.0

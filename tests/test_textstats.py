@@ -140,3 +140,16 @@ def test_quality_ensemble_votes(spark):
     assert got[1]["keep"] and got[1]["votes"] == 4
     assert not got[2]["keep"] and not got[2]["len_ok"]
     assert not got[3]["keep"] and not got[3]["dup_ok"]
+
+
+def test_code_prose_ratio_cues(spark):
+    from sparkcollector.operators.textstats import code_prose_ratio
+
+    code_doc = "def main():\n    x = compute()\nreturn x;\nplain words"
+    prose_doc = "this is simply prose\nwith two lines"
+    df = spark.createDataFrame(
+        [(1, code_doc), (2, prose_doc)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in code_prose_ratio(df).collect()}
+    assert got[1]["n_code_lines"] == 3 and got[1]["n_lines"] == 4
+    assert got[2]["n_code_lines"] == 0 and got[2]["code_ratio"] == 0.0
