@@ -708,3 +708,31 @@ def levenshtein_block_join(
         .filter(F.col("dist") <= max_dist)
         .select(F.col("_blk").alias(block_col), "id_a", "id_b", "dist")
     )
+
+
+def dedup_rate_by_source(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source duplication dashboard (which ingest feeds are
+    wasting tokens?): per source — docs, distinct contents (md5),
+    duplicate rows and the dup rate.
+
+    Distinct-content counting goes through a (source, hash) partial
+    pass, NOT count_distinct over raw text (the hash is 16 bytes, the
+    text is kilobytes — the shuffle shrinks ~100x and map-side
+    combine still applies).
+    """
+    h = F.md5(F.col(text_col))
+    per_hash = df.select(F.col(group_col), h.alias("_h")).groupBy(
+        group_col, "_h"
+    ).agg(F.count("*").alias("_n"))
+    return per_hash.groupBy(group_col).agg(
+        F.sum("_n").alias("n_docs"),
+        F.count("*").alias("n_distinct"),
+        (F.sum("_n") - F.count("*")).alias("n_duplicates"),
+        F.round(
+            (F.sum("_n") - F.count("*")).cast("double") / F.sum("_n"), 6
+        ).alias("dup_rate"),
+    )

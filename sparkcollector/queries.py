@@ -8690,6 +8690,125 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture(docs, "source", alpha=0.7)
 
 
+# ---------------------------------------------------------------------
+# 222. Two-sample KS statistic between periods (PSI's nonparametric
+#      sibling): exact CDFs over the per-value histogram; reports D
+#      and WHERE the gap peaks.
+# ---------------------------------------------------------------------
+@register(
+    "ks_value_drift",
+    """
+    with d as (select floor(value) as v,
+                      case when cast(floor(epoch(ts) / 86400)
+                                     as bigint) % 2 = 0
+                           then 'a' else 'b' end as p
+               from events),
+    h as (select v,
+                 sum(case when p = 'a' then 1 else 0 end) as ca,
+                 sum(case when p = 'b' then 1 else 0 end) as cb
+          from d group by 1),
+    t as (select sum(ca) as ta, sum(cb) as tb from h),
+    c as (select v,
+                 sum(ca) over (order by v rows unbounded preceding)
+                   as cuma,
+                 sum(cb) over (order by v rows unbounded preceding)
+                   as cumb
+          from h),
+    g as (select v, abs(cast(cuma as double) / cast(ta as double)
+                        - cast(cumb as double) / cast(tb as double))
+                   as gap
+          from c, t),
+    m as (select max(gap) as mx from g)
+    select min(v) as at_value, round(max(mx), 6) as ks_d
+    from g, m where gap = mx
+    """,
+)
+def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import ks_statistic
+
+    ev = _t(spark, sf_dir, "events")
+    period = F.when(
+        F.floor(_epoch_s("ts") / 86400).cast("long") % 2 == 0, F.lit("a")
+    ).otherwise(F.lit("b"))
+    return ks_statistic(
+        ev.select(
+            F.floor(F.col("value")).alias("v"), period.alias("period")
+        ),
+        "v",
+        "period",
+    )
+
+
+# ---------------------------------------------------------------------
+# 223. Per-source duplication dashboard: distinct contents via a
+#      (source, md5) partial pass — the 16-byte hash shuffles, never
+#      the text.
+# ---------------------------------------------------------------------
+@register(
+    "dedup_rate_by_source",
+    """
+    with ph as (select source, md5(text) as h, count(*) as n
+                from documents group by 1, 2)
+    select source, cast(sum(n) as bigint) as n_docs,
+           cast(count(*) as bigint) as n_distinct,
+           cast(sum(n) - count(*) as bigint) as n_duplicates,
+           round(cast(sum(n) - count(*) as double) / sum(n), 6)
+             as dup_rate
+    from ph group by 1
+    """,
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_rate_by_source
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_rate_by_source(docs)
+
+
+# ---------------------------------------------------------------------
+# 224. State run-length intervals (the detector's stored timeline:
+#      "high from t1 to t2"): gaps-and-islands collapse of
+#      consecutive equal states, all on the series key exchange.
+# ---------------------------------------------------------------------
+@register(
+    "state_intervals",
+    """
+    with s as (select event_type, event_id, ts,
+                      case when value > 100 then 'high' else 'low' end
+                        as st
+               from events),
+    l as (select *, case when lag(st) over (
+                           partition by event_type
+                           order by event_id) is null
+                         or lag(st) over (
+                           partition by event_type
+                           order by event_id) <> st
+                    then 1 else 0 end as ch
+          from s),
+    r as (select event_type, st as state, epoch(ts) as e,
+                 sum(ch) over (partition by event_type order by event_id
+                               rows unbounded preceding) as run_id
+          from l)
+    select event_type, cast(run_id as bigint) as run_id, state,
+           cast(count(*) as bigint) as n_points,
+           round(min(e), 3) as start_s, round(max(e), 3) as end_s,
+           round(max(e) - min(e), 3) as duration_s
+    from r group by 1, 2, 3
+    """,
+)
+def q_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import state_intervals
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.when(F.col("value") > 100, F.lit("high"))
+        .otherwise(F.lit("low"))
+        .alias("state"),
+    )
+    return state_intervals(ev, ["event_type"], "event_id", "state")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

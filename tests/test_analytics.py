@@ -452,3 +452,43 @@ def test_user_type_entropy_uniform_and_pure(spark):
     got = {r["k"]: r for r in user_type_entropy(df, "k", "t").collect()}
     assert abs(got[1]["entropy_nats"] - math.log(4)) < 1e-6
     assert got[2]["entropy_nats"] == 0.0 and got[2]["n_types"] == 1
+
+
+def test_ks_statistic_shift_detection(spark):
+    from sparkcollector.operators.analytics import ks_statistic
+
+    # identical -> D = 0
+    same = [(float(v), p) for p in ("a", "b") for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(same, "v double, period string")
+    r = ks_statistic(df, "v", "period").collect()[0]
+    assert r["ks_d"] == 0.0
+    # disjoint supports -> D = 1 at the boundary value
+    rows = [(float(v), "a") for v in (1, 2)] + [
+        (float(v), "b") for v in (10, 11)
+    ]
+    df2 = spark.createDataFrame(rows, "v double, period string")
+    r2 = ks_statistic(df2, "v", "period").collect()[0]
+    assert r2["ks_d"] == 1.0 and r2["at_value"] == 2.0
+
+
+def test_state_intervals_runs(spark):
+    import datetime
+
+    from sparkcollector.operators.analytics import state_intervals
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        ("k", 1, ts(0), "low"), ("k", 2, ts(10), "low"),
+        ("k", 3, ts(20), "high"), ("k", 4, ts(35), "high"),
+        ("k", 5, ts(50), "low"),
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, ts timestamp, state string")
+    got = {r["run_id"]: r for r in
+           state_intervals(df, ["k"], "i", "state").collect()}
+    assert got[1]["state"] == "low" and got[1]["duration_s"] == 10.0
+    assert got[2]["state"] == "high" and got[2]["n_points"] == 2
+    assert got[3]["state"] == "low" and got[3]["n_points"] == 1

@@ -371,3 +371,17 @@ def test_join_skew_report_identifies_hot_key(spark):
     assert rows[1]["k"] == 1 and rows[1]["est_rows"] == 2
     # key 9 never appears (no left rows), key 2 (no right rows)
     assert all(r["k"] in (7, 1) for r in rows)
+
+
+def test_dedup_rate_by_source(spark):
+    from sparkcollector.operators.dedup import dedup_rate_by_source
+
+    rows = [
+        ("crawl", "same text"), ("crawl", "same text"), ("crawl", "other"),
+        ("books", "unique one"), ("books", "unique two"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r["source"]: r for r in dedup_rate_by_source(df).collect()}
+    assert got["crawl"]["n_docs"] == 3 and got["crawl"]["n_distinct"] == 2
+    assert got["crawl"]["n_duplicates"] == 1
+    assert got["books"]["dup_rate"] == 0.0
