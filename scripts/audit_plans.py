@@ -1249,6 +1249,33 @@ def main() -> None:
         spark=spark,
     )
 
+    # batches 34-36
+    for name, max_ex in (
+        ("tool_loop_detect", 2),
+        ("embedding_hygiene", 1),
+        ("zipf_slope", 4),
+        ("span_self_time", 3),
+        ("code_prose_ratio", 0),
+        ("temperature_mixture", 3),
+        ("ks_value_drift", 5),
+        ("dedup_rate_by_source", 2),
+        ("state_intervals", 1),
+    ):
+        all_ok &= audit(
+            name,
+            (lambda n: lambda: queries()[n](spark, SF_DIR))(name),
+            [
+                (f"shuffle exchanges bounded (<= {max_ex}, excluding "
+                 "broadcast/reused)",
+                 (lambda m: lambda p: len(
+                     re.findall(r"(?<!Broadcast)(?<!d)Exchange \(\d+\)",
+                                p)) <= m)(max_ex)),
+                ("no Python / UDF in plan", lambda p: "Python" not in p),
+            ],
+            out,
+            spark=spark,
+        )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"
