@@ -1030,3 +1030,52 @@ def state_intervals(
         F.round(F.max("_e"), 3).alias("end_s"),
         F.round(F.max("_e") - F.min("_e"), 3).alias("duration_s"),
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    kind_col: str,
+    channel_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Last-touch conversion attribution (which channel gets credit
+    for each conversion: the most recent touch strictly before it;
+    none -> organic): the as-of carry-forward pattern — one union is
+    already the input (rows flagged touch/conversion via
+    ``kind_col`` in {'touch','conversion'}), one
+    ``last_value(ignorenulls)`` window per user, one grouped rollup.
+
+    At equal timestamps a touch sorts BEFORE the conversion it
+    should credit (kind rank breaks the tie), conversions never
+    credit each other, and the output is per-channel conversion
+    counts with shares.
+    """
+    from pyspark.sql.window import Window
+
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    kind_rank = F.when(F.col(kind_col) == "touch", 0).otherwise(1)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(epoch, kind_rank, F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = F.last(
+        F.when(F.col(kind_col) == "touch", F.col(channel_col)),
+        ignorenulls=True,
+    ).over(w)
+    conv = df.withColumn("_ch", carried).filter(
+        F.col(kind_col) == "conversion"
+    )
+    counts = conv.groupBy(
+        F.coalesce(F.col("_ch"), F.lit("organic")).alias("channel")
+    ).agg(F.count("*").alias("n_conversions"))
+    total = counts.agg(F.sum("n_conversions").alias("_t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "channel",
+        "n_conversions",
+        F.round(
+            F.col("n_conversions").cast("double") / F.col("_t"), 6
+        ).alias("share"),
+    )

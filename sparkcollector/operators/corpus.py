@@ -1636,3 +1636,70 @@ def temperature_mixture(
             "effective_epochs"
         ),
     )
+
+
+def curation_waterfall(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 2000,
+    banned: tuple[str, ...] = ("lorem",),
+) -> DataFrame:
+    """Curation-pipeline waterfall audit (the per-stage survivor
+    counts every data report leads with): raw -> length band ->
+    exact dedup (md5 canonical keep) -> banned-token drop, each stage
+    applied to the previous stage's survivors, with retention vs the
+    previous stage and vs raw.
+
+    Stage survivors are computed as ONE pass of per-doc flags + a
+    dedup rank window; the waterfall is then four conditional counts
+    in a single aggregate — no per-stage rescans.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    len_ok = (n >= min_tokens) & (n <= max_tokens)
+    has_banned = None
+    low = F.lower(F.col(text_col))
+    for b in banned:
+        c = low.contains(b)
+        has_banned = c if has_banned is None else (has_banned | c)
+    flagged = df.select(
+        F.col(id_col),
+        len_ok.alias("_len"),
+        (~has_banned).alias("_clean"),
+        F.md5(F.col(text_col)).alias("_h"),
+    )
+    # dedup rank among length-survivors only (stage order matters):
+    # partitioning by (_h, _len) keeps dropped rows out of the
+    # survivors' rank sequence
+    w2 = Window.partitionBy("_h", "_len").orderBy(id_col)
+    ranked = flagged.withColumn("_rk", F.row_number().over(w2))
+    s1 = F.col("_len")
+    s2 = s1 & (F.col("_rk") == 1)
+    s3 = s2 & F.col("_clean")
+    g = ranked.agg(
+        F.count("*").alias("n_raw"),
+        F.sum(s1.cast("long")).alias("n_len"),
+        F.sum(s2.cast("long")).alias("n_dedup"),
+        F.sum(s3.cast("long")).alias("n_clean"),
+    )
+    stages = F.stack(
+        F.lit(4),
+        F.lit("0_raw"), F.col("n_raw"), F.col("n_raw"),
+        F.lit("1_length"), F.col("n_len"), F.col("n_raw"),
+        F.lit("2_dedup"), F.col("n_dedup"), F.col("n_len"),
+        F.lit("3_banned"), F.col("n_clean"), F.col("n_dedup"),
+    ).alias("stage", "n_docs", "n_prev")
+    return g.select(stages, F.col("n_raw").alias("_raw")).select(
+        "stage",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("n_prev"), 6
+        ).alias("retention_vs_prev"),
+        F.round(
+            F.col("n_docs").cast("double") / F.col("_raw"), 6
+        ).alias("retention_vs_raw"),
+    )

@@ -2167,3 +2167,57 @@ def late_data_audit(
             F.col("n_late").cast("double") / F.col("n_total"), 6
         ).alias("late_share"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    series_cols: list[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled gauge (the
+    rollup a plain AVG silently gets wrong: a value that held for an
+    hour must weigh more than a blip — signalfx gauge rollups over
+    uneven samples are time-weighted for exactly this reason):
+    ``TWA = sum(v_i * (t_{i+1} - t_i)) / (t_last - t_first)``, each
+    sample weighted by how long it was current (last sample carries
+    no weight).
+
+    One keyed lead window + one grouped aggregate sharing the series
+    exchange; value x duration products accumulate in decimal so the
+    sum is fold-order exact.  The plain mean rides along to expose
+    the bias.
+    """
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    order = [F.col(c) for c in (order_cols or [ts_col])]
+    w = Window.partitionBy(*series_cols).orderBy(*order)
+    nxt = F.lead(epoch).over(w)
+    dt = (nxt - epoch).cast("decimal(18,6)")
+    v = F.col(value_col).cast("decimal(19,6)")
+    pts = df.select(
+        *series_cols,
+        epoch.alias("_e"),
+        v.alias("_vd"),
+        (v * dt).alias("_vdt"),
+    )
+    g = pts.groupBy(*series_cols).agg(
+        F.count("*").alias("n"),
+        F.sum("_vdt").alias("_ws"),
+        (F.max("_e") - F.min("_e")).alias("_span"),
+        # decimal sum / count, not avg(double): fold-order exact
+        (F.sum("_vd").cast("double") / F.count("*")).alias("_plain"),
+    )
+    return g.select(
+        *series_cols,
+        "n",
+        F.round(F.col("_span"), 3).alias("span_s"),
+        F.round(
+            F.when(
+                F.col("_span") > 0,
+                F.col("_ws").cast("double") / F.col("_span"),
+            ),
+            6,
+        ).alias("twa"),
+        F.round(F.col("_plain"), 6).alias("plain_avg"),
+    )

@@ -8809,6 +8809,158 @@ def q_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state_intervals(ev, ["event_type"], "event_id", "state")
 
 
+# ---------------------------------------------------------------------
+# 225. Time-weighted average of an irregular gauge (what plain AVG
+#      gets wrong: held values must weigh by duration): decimal
+#      value x duration sums, plain mean alongside for the bias.
+# ---------------------------------------------------------------------
+@register(
+    "time_weighted_avg",
+    """
+    with p as (select event_type, epoch(ts) as e, value, event_id
+               from events),
+    l as (select event_type, e, value,
+                 cast(lead(e) over (partition by event_type
+                                    order by e, event_id) - e
+                      as decimal(18,6)) as dt
+          from p),
+    a as (select event_type, count(*) as n,
+                 sum(cast(value as decimal(19,6)) * dt) as ws,
+                 max(e) - min(e) as span,
+                 cast(sum(cast(value as decimal(19,6))) as double)
+                   / count(*) as plain
+          from l group by 1)
+    select event_type, cast(n as bigint) as n,
+           round(span, 3) as span_s,
+           round(case when span > 0
+                      then cast(ws as double) / span end, 6) as twa,
+           round(plain, 6) as plain_avg
+    from a
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    return time_weighted_avg(
+        ev, ["event_type"], "value", "ts", order_cols=["ts", "event_id"]
+    )
+
+
+# ---------------------------------------------------------------------
+# 226. Last-touch conversion attribution (most recent click channel
+#      strictly-or-simultaneously before each purchase; none ->
+#      organic): carry-forward window with a kind-rank tie-break.
+# ---------------------------------------------------------------------
+@register(
+    "last_touch_attribution",
+    """
+    with r as (select user_id, ts, event_id,
+                 case when event_type = 'click' then 'touch'
+                      else 'conversion' end as kind,
+                 case when event_type = 'click'
+                      then 'ch' || cast(event_id % 3 as varchar)
+                 end as channel
+               from events
+               where event_type in ('click', 'purchase')),
+    c as (select *,
+                 last_value(case when kind = 'touch' then channel end
+                            ignore nulls) over (
+                   partition by user_id
+                   order by epoch(ts),
+                            case when kind = 'touch' then 0 else 1 end,
+                            event_id
+                   rows unbounded preceding) as ch
+          from r),
+    x as (select coalesce(ch, 'organic') as channel
+          from c where kind = 'conversion'),
+    g as (select channel, count(*) as n from x group by 1),
+    t as (select sum(n) as tt from g)
+    select channel, cast(n as bigint) as n_conversions,
+           round(cast(n as double) / tt, 6) as share
+    from g, t
+    """,
+)
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import last_touch_attribution
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    rows = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.lit("touch"))
+        .otherwise(F.lit("conversion"))
+        .alias("kind"),
+        F.when(
+            F.col("event_type") == "click",
+            F.concat(F.lit("ch"), (F.col("event_id") % 3).cast("string")),
+        ).alias("channel"),
+    )
+    return last_touch_attribution(
+        rows, "user_id", "ts", "kind", "channel", "event_id"
+    )
+
+
+# ---------------------------------------------------------------------
+# 227. Curation-pipeline waterfall (per-stage survivor counts: raw ->
+#      length band -> exact dedup -> banned-token drop), single-pass
+#      flags + one dedup rank window; 'lorem' injected on doc_id%13.
+# ---------------------------------------------------------------------
+@register(
+    "curation_waterfall",
+    """
+    with f as (select doc_id,
+                 case when doc_id % 13 = 0 then text || ' lorem'
+                      else text end as t2
+               from documents),
+    g as (select doc_id,
+                 len(string_split(t2, ' ')) between 20 and 2000
+                   as len_ok,
+                 not contains(lower(t2), 'lorem') as clean,
+                 md5(t2) as h
+          from f),
+    r as (select *, row_number() over (
+            partition by h, len_ok order by doc_id) as rk from g),
+    a as (select count(*) as n_raw,
+                 sum(case when len_ok then 1 else 0 end) as n_len,
+                 sum(case when len_ok and rk = 1 then 1 else 0 end)
+                   as n_dedup,
+                 sum(case when len_ok and rk = 1 and clean
+                          then 1 else 0 end) as n_clean
+          from r)
+    select '0_raw' as stage, cast(n_raw as bigint) as n_docs,
+           cast(1 as double) as retention_vs_prev,
+           cast(1 as double) as retention_vs_raw from a
+    union all
+    select '1_length', cast(n_len as bigint),
+           round(cast(n_len as double) / n_raw, 6),
+           round(cast(n_len as double) / n_raw, 6) from a
+    union all
+    select '2_dedup', cast(n_dedup as bigint),
+           round(cast(n_dedup as double) / n_len, 6),
+           round(cast(n_dedup as double) / n_raw, 6) from a
+    union all
+    select '3_banned', cast(n_clean as bigint),
+           round(cast(n_clean as double) / n_dedup, 6),
+           round(cast(n_clean as double) / n_raw, 6) from a
+    """,
+)
+def q_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import curation_waterfall
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" lorem")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return curation_waterfall(docs, banned=("lorem",))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -492,3 +492,31 @@ def test_state_intervals_runs(spark):
     assert got[1]["state"] == "low" and got[1]["duration_s"] == 10.0
     assert got[2]["state"] == "high" and got[2]["n_points"] == 2
     assert got[3]["state"] == "low" and got[3]["n_points"] == 1
+
+
+def test_last_touch_attribution_rules(spark):
+    import datetime
+
+    from sparkcollector.operators.analytics import last_touch_attribution
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        # u1: click ch1, later click ch2, then converts -> ch2
+        (1, ts(0), 1, "touch", "ch1"), (1, ts(10), 2, "touch", "ch2"),
+        (1, ts(20), 3, "conversion", None),
+        # u2: converts with no prior touch -> organic
+        (2, ts(5), 4, "conversion", None),
+        # u3: touch at the SAME ts as conversion -> credited
+        (3, ts(7), 5, "touch", "ch0"), (3, ts(7), 6, "conversion", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, i long, kind string, channel string"
+    )
+    got = {r["channel"]: r["n_conversions"] for r in
+           last_touch_attribution(df, "user_id", "ts", "kind",
+                                  "channel", "i").collect()}
+    assert got == {"ch2": 1, "organic": 1, "ch0": 1}

@@ -718,3 +718,23 @@ def test_temperature_mixture_upweights_small_domains(spark):
     assert got["small"]["weight"] > got["small"]["share"]
     assert got["big"]["weight"] < got["big"]["share"]
     assert got["small"]["effective_epochs"] > got["big"]["effective_epochs"]
+
+
+def test_curation_waterfall_stage_order(spark):
+    from sparkcollector.operators.corpus import curation_waterfall
+
+    long_text = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (1, long_text),              # survives everything
+        (2, long_text),              # dup of 1 -> dropped at dedup
+        (3, "too short"),            # dropped at length
+        (4, long_text + " lorem x"), # dropped at banned
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["stage"]: r for r in
+           curation_waterfall(df, banned=("lorem",)).collect()}
+    assert got["0_raw"]["n_docs"] == 4
+    assert got["1_length"]["n_docs"] == 3
+    assert got["2_dedup"]["n_docs"] == 2
+    assert got["3_banned"]["n_docs"] == 1
+    assert got["3_banned"]["retention_vs_raw"] == 0.25

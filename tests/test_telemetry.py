@@ -1046,3 +1046,24 @@ def test_late_data_audit_monotone_in_watermark(spark):
     assert got[0] == 3      # :70, :130, :430 after window end :60
     assert got[60] == 2     # :130, :430 after :120
     assert got[300] == 1    # :430 after :360
+
+
+def test_time_weighted_avg_vs_plain(spark):
+    import datetime
+
+    from sparkcollector.operators.telemetry import time_weighted_avg
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    # 10 held for 90s, 100 held for 10s, final sample carries no
+    # weight: TWA = (10*90 + 100*10) / 100 = 19; plain avg = 40
+    rows = [("g", 1, ts(0), 10.0), ("g", 2, ts(90), 100.0),
+            ("g", 3, ts(100), 10.0)]
+    df = spark.createDataFrame(rows, "k string, i long, ts timestamp, value double")
+    r = time_weighted_avg(df, ["k"], order_cols=["ts", "i"]).collect()[0]
+    assert r["twa"] == 19.0
+    assert r["plain_avg"] == 40.0
+    assert r["span_s"] == 100.0
