@@ -1079,3 +1079,64 @@ def last_touch_attribution(
             F.col("n_conversions").cast("double") / F.col("_t"), 6
         ).alias("share"),
     )
+
+
+def backoff_detect(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+    ratio_lo: float = 1.5,
+    ratio_hi: float = 2.5,
+    min_run: int = 2,
+) -> DataFrame:
+    """Exponential-backoff detection (a client in a retry loop leaves
+    a fingerprint: consecutive inter-arrival gaps that roughly DOUBLE
+    — catching it separates 'service is down and clients are backing
+    off' from organic traffic): per key, the longest run of
+    consecutive gap ratios inside [ratio_lo, ratio_hi] and a flag at
+    ``min_run`` (a run of r ratios spans r+2 events).
+
+    Three chained keyed windows (gap, previous gap, run islands) +
+    one grouped max — all on the same key exchange; ratios are
+    single divisions of epoch doubles.
+    """
+    from pyspark.sql.window import Window
+
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    order = [F.col(c) for c in (order_cols or [ts_col])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    gap = epoch - F.lag(epoch).over(w)
+    pts = df.select(*key_cols, *order, gap.alias("_g"))
+    prev_g = F.lag("_g").over(w)
+    ratio = F.col("_g") / prev_g
+    doubling = (
+        prev_g.isNotNull()
+        & (prev_g > 0)
+        & (ratio >= ratio_lo)
+        & (ratio <= ratio_hi)
+    )
+    marked = pts.select(
+        *key_cols, *order, doubling.cast("long").alias("_d")
+    )
+    wc = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rid = F.sum(1 - F.col("_d")).over(wc)
+    runs = (
+        marked.withColumn("_rid", rid)
+        .filter(F.col("_d") == 1)
+        .groupBy(*key_cols, "_rid")
+        .agg(F.count("*").alias("_len"))
+    )
+    agg = runs.groupBy(*key_cols).agg(F.max("_len").alias("max_run"))
+    base = df.select(*key_cols).distinct()
+    return base.join(agg, key_cols, "left").select(
+        *key_cols,
+        F.coalesce("max_run", F.lit(0)).alias("max_run"),
+        (F.coalesce("max_run", F.lit(0)) >= min_run).alias(
+            "backoff_detected"
+        ),
+    )

@@ -2221,3 +2221,25 @@ def time_weighted_avg(
         ).alias("twa"),
         F.round(F.col("_plain"), 6).alias("plain_avg"),
     )
+
+
+def hll_merge(
+    registers: DataFrame,
+    b: int = 8,
+) -> DataFrame:
+    """Merge HLL register tables into ONE global sketch (the property
+    that makes HLL the 10^12-scale distinct structure: registers
+    max-combine across groups / days / shards with no rescan):
+    drops the group keys, keeps per-register max rho.
+
+    Output feeds :func:`hll_estimate` under a constant scope key —
+    merging per-group sketches MUST equal sketching the union
+    directly (max is associative/commutative), which the registry
+    entry cross-checks against an oracle that builds the global
+    sketch from scratch.
+    """
+    return (
+        registers.groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+        .withColumn("scope", F.lit("all"))
+    )

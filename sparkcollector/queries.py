@@ -8961,6 +8961,148 @@ def q_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_waterfall(docs, banned=("lorem",))
 
 
+# ---------------------------------------------------------------------
+# 228. HLL merge cross-check (the mergeability law: max-combining
+#      per-type sketches MUST equal sketching the union directly) —
+#      Spark merges per-type registers; the oracle builds the global
+#      sketch from scratch.
+# ---------------------------------------------------------------------
+def _hll_union_oracle() -> str:
+    m = 256
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    return f"""
+    with h as (select md5(cast(user_id as varchar)) as hx from events),
+    r0 as (select cast(('0x' || substr(hx, 1, 2)) as bigint) as reg,
+                  cast(('0x' || substr(hx, 3, 13)) as bigint) as w
+           from h),
+    r as (select reg,
+                 max(case when w = 0 then 53
+                          else 53 - length(bin(w)) end) as rho
+          from r0 group by 1),
+    a as (select cast(256 - count(*) as int) as zero_registers,
+                 sum(pow(2.0, -rho)) as sp
+          from r),
+    e as (select zero_registers,
+                 {alpha_m2!r} / (sp + cast(zero_registers as double))
+                   as raw
+          from a),
+    x as (select count(distinct user_id) as exact_distinct
+          from events)
+    select 'all' as scope, x.exact_distinct, e.zero_registers,
+           round(case when raw <= 640.0 and zero_registers > 0
+                      then 256.0
+                           * ln(256.0 / cast(zero_registers as double))
+                      else raw end, 4) as est_distinct
+    from e, x
+    """
+
+
+@register("hll_union_global", _hll_union_oracle())
+def q_hll_union_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import hll_estimate, hll_merge, hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    per_type = hll_registers(ev, "user_id", ["event_type"])
+    merged = hll_merge(per_type)
+    est = hll_estimate(merged, ["scope"])
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "scope", "exact_distinct", "zero_registers", "est_distinct"
+    )
+
+
+# ---------------------------------------------------------------------
+# 229. Cross-domain LM scoring (unigram LM trained on ONE reference
+#      source scores every domain — the CCNet setup proper, with OOV
+#      floor): per-doc mean logprob under the min(source) LM.
+# ---------------------------------------------------------------------
+@register(
+    "cross_domain_lm",
+    """
+    with tr as (select doc_id, text from documents
+                where source = (select min(source) from documents)),
+    src as (select unnest(string_split(text, ' ')) as word from tr),
+    cnt as (select word, count(*) as c from src group by 1),
+    tot as (select count(*) as n from src),
+    lp as (select word,
+                  ln(cast(c as double) / cast(n as double)) as logprob
+           from cnt, tot),
+    tk as (select doc_id, unnest(string_split(text, ' ')) as word
+           from documents),
+    sc as (select tk.doc_id,
+                  coalesce(lp.logprob, cast(-20 as double)) as logprob
+           from tk left join lp using (word)),
+    per as (select doc_id, count(*) as n_tokens,
+                   round(avg(logprob), 6) as mean_logprob
+            from sc group by 1)
+    select d.source, per.doc_id, cast(n_tokens as bigint) as n_tokens,
+           mean_logprob
+    from per join documents d using (doc_id)
+    """,
+)
+def q_cross_domain_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    ms = docs.agg(F.min("source").alias("_ms"))
+    train = (
+        docs.crossJoin(F.broadcast(ms))
+        .filter(F.col("source") == F.col("_ms"))
+        .select("doc_id", "text")
+    )
+    scored = lm_score(docs, lm=train)
+    return scored.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source", "doc_id", "n_tokens", "mean_logprob"
+    )
+
+
+# ---------------------------------------------------------------------
+# 230. Exponential-backoff detection (consecutive inter-arrival gaps
+#      that roughly double — the retry-storm fingerprint): chained
+#      keyed windows, run islands over the doubling flag.
+# ---------------------------------------------------------------------
+@register(
+    "backoff_detect_users",
+    """
+    with p as (select user_id, epoch(ts) as e, event_id from events),
+    g as (select user_id, event_id, e,
+                 e - lag(e) over (partition by user_id
+                                  order by e, event_id) as gp
+          from p),
+    d as (select user_id, event_id, e, gp,
+                 lag(gp) over (partition by user_id
+                               order by e, event_id) as pg
+          from g),
+    m as (select user_id, event_id, e,
+                 case when pg is not null and pg > 0
+                           and gp / pg >= 1.5 and gp / pg <= 2.5
+                      then 1 else 0 end as dd
+          from d),
+    r as (select user_id, dd,
+                 sum(1 - dd) over (partition by user_id
+                                   order by e, event_id
+                                   rows unbounded preceding) as rid
+          from m),
+    runs as (select user_id, rid, count(*) as len
+             from r where dd = 1 group by 1, 2),
+    mx as (select user_id, max(len) as max_run from runs group by 1),
+    u as (select distinct user_id from events)
+    select u.user_id,
+           cast(coalesce(mx.max_run, 0) as bigint) as max_run,
+           coalesce(mx.max_run, 0) >= 2 as backoff_detected
+    from u left join mx using (user_id)
+    """,
+)
+def q_backoff_detect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import backoff_detect
+
+    ev = _t(spark, sf_dir, "events")
+    return backoff_detect(
+        ev, ["user_id"], "ts", order_cols=["ts", "event_id"],
+        ratio_lo=1.5, ratio_hi=2.5, min_run=2,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -520,3 +520,25 @@ def test_last_touch_attribution_rules(spark):
            last_touch_attribution(df, "user_id", "ts", "kind",
                                   "channel", "i").collect()}
     assert got == {"ch2": 1, "organic": 1, "ch0": 1}
+
+
+def test_backoff_detect_doubling_chain(spark):
+    import datetime
+
+    from sparkcollector.operators.analytics import backoff_detect
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def rows_for(u, offsets):
+        return [(u, i, t0 + datetime.timedelta(seconds=o))
+                for i, o in enumerate(offsets)]
+
+    # u1: gaps 10, 20, 40, 80 -> 3 doubling ratios
+    data = rows_for(1, [0, 10, 30, 70, 150])
+    # u2: steady gaps -> ratios = 1, no backoff
+    data += rows_for(2, [0, 60, 120, 180])
+    df = spark.createDataFrame(data, "user_id long, i long, ts timestamp")
+    got = {r["user_id"]: r for r in backoff_detect(
+        df, ["user_id"], "ts", order_cols=["ts", "i"]).collect()}
+    assert got[1]["max_run"] == 3 and got[1]["backoff_detected"]
+    assert got[2]["max_run"] == 0 and not got[2]["backoff_detected"]

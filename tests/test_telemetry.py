@@ -1067,3 +1067,28 @@ def test_time_weighted_avg_vs_plain(spark):
     assert r["twa"] == 19.0
     assert r["plain_avg"] == 40.0
     assert r["span_s"] == 100.0
+
+
+def test_hll_merge_equals_direct_build(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.telemetry import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 3), i % 500) for i in range(3000)],
+        "grp string, item long",
+    )
+    merged = hll_merge(hll_registers(df, "item", ["grp"]))
+    via_merge = hll_estimate(merged, ["scope"]).collect()[0]
+    direct = hll_estimate(
+        hll_registers(df.withColumn("scope", F.lit("all")), "item",
+                      ["scope"]),
+        ["scope"],
+    ).collect()[0]
+    # mergeability law: identical registers -> identical estimate
+    assert via_merge["est_distinct"] == direct["est_distinct"]
+    assert via_merge["zero_registers"] == direct["zero_registers"]
