@@ -1276,6 +1276,30 @@ def main() -> None:
             spark=spark,
         )
 
+    # batches 37-38
+    for name, max_ex in (
+        ("time_weighted_avg", 1),
+        ("last_touch_attribution", 5),
+        ("curation_waterfall", 2),
+        ("hll_union_global", 5),
+        ("cross_domain_lm", 6),
+        ("backoff_detect_users", 3),
+    ):
+        all_ok &= audit(
+            name,
+            (lambda n: lambda: queries()[n](spark, SF_DIR))(name),
+            [
+                (f"shuffle exchanges bounded (<= {max_ex}, excluding "
+                 "broadcast/reused)",
+                 (lambda m: lambda p: len(
+                     re.findall(r"(?<!Broadcast)(?<!d)Exchange \(\d+\)",
+                                p)) <= m)(max_ex)),
+                ("no Python / UDF in plan", lambda p: "Python" not in p),
+            ],
+            out,
+            spark=spark,
+        )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"
