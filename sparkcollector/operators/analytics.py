@@ -1140,3 +1140,88 @@ def backoff_detect(
             "backoff_detected"
         ),
     )
+
+
+def behavior_trigrams(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    order_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k behavioral trigrams (the motif-mining extension of the
+    transition matrix: which three-step paths dominate?): per user
+    sequence, every consecutive (t1, t2, t3) window counts once;
+    output the k most frequent with shares, ties to the
+    lexicographically-first motif.
+
+    One user-keyed window producing both leads, one trigram
+    aggregate, one TakeOrdered — never a global sort.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(order_col)
+    tri = df.select(
+        F.col(type_col).alias("t1"),
+        F.lead(type_col, 1).over(w).alias("t2"),
+        F.lead(type_col, 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    counts = tri.groupBy("t1", "t2", "t3").agg(
+        F.count("*").alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("_t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "t1", "t2", "t3", "n",
+            F.round(F.col("n").cast("double") / F.col("_t"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(k)
+    )
+
+
+def lifetime_survival(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    day_thresholds: tuple[int, ...] = (1, 7, 14, 28),
+) -> DataFrame:
+    """Lifetime survival curve (what fraction of users stay active at
+    least d days? — the retention summary a growth report leads
+    with): lifetime = last activity - first activity in days;
+    S(d) = share of users with lifetime >= d.
+
+    No censoring correction (users near the corpus horizon are
+    undercounted — documented, the Kaplan-Meier tier is the upgrade);
+    per-user lifetimes from one keyed aggregate, every threshold a
+    conditional sum in ONE pass over the user table.
+    """
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    lifetimes = df.groupBy(user_col).agg(
+        ((F.max(epoch) - F.min(epoch)) / 86400.0).alias("_days")
+    )
+    aggs = [F.count("*").alias("n_users")]
+    for d in day_thresholds:
+        aggs.append(
+            F.sum((F.col("_days") >= d).cast("long")).alias(f"ge_{d}")
+        )
+    g = lifetimes.agg(*aggs)
+    stacked = []
+    for d in day_thresholds:
+        stacked += [F.lit(d), F.col(f"ge_{d}")]
+    return g.select(
+        "n_users",
+        F.stack(F.lit(len(day_thresholds)), *stacked).alias(
+            "day", "n_surviving"
+        ),
+    ).select(
+        "day",
+        "n_surviving",
+        "n_users",
+        F.round(
+            F.col("n_surviving").cast("double") / F.col("n_users"), 6
+        ).alias("survival"),
+    )

@@ -662,3 +662,57 @@ def wavefront_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
         F.when(ok, g(4)).alias("source"),
         F.when(ok, tags).alias("tags"),
     )
+
+
+def json_schema_infer(
+    df: DataFrame,
+    json_col: str = "props",
+) -> DataFrame:
+    """Schema inference over semi-structured JSON (the discovery pass
+    before declaring a from_json schema: which keys exist, how often,
+    and what type do their values look like): per key — presence
+    count, share of parseable rows, and per-type value counts
+    (int / float / bool / string / null).
+
+    Type inference is lexical over the map-parsed values (regex
+    tiers, the same order JSON readers infer); one map explode + one
+    keyed aggregate.  Malformed JSON counts once against parseability
+    and contributes no keys.
+    """
+    parsed = F.from_json(F.col(json_col), "map<string,string>")
+    base = df.select(parsed.alias("_m"))
+    total = base.agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("_m").isNotNull().cast("long")).alias("_ok"),
+    )
+    kv = base.filter(F.col("_m").isNotNull()).select(
+        F.explode("_m").alias("key", "val")
+    )
+    v = F.col("val")
+    vtype = (
+        F.when(v.isNull(), F.lit("null"))
+        .when(v.rlike(r"^-?\d+$"), F.lit("int"))
+        .when(v.rlike(r"^-?\d+\.\d+([eE]-?\d+)?$"), F.lit("float"))
+        .when(v.isin("true", "false"), F.lit("bool"))
+        .otherwise(F.lit("string"))
+    )
+    per_key = kv.groupBy("key").agg(
+        F.count("*").alias("n_present"),
+        F.sum((vtype == "int").cast("long")).alias("n_int"),
+        F.sum((vtype == "float").cast("long")).alias("n_float"),
+        F.sum((vtype == "bool").cast("long")).alias("n_bool"),
+        F.sum((vtype == "string").cast("long")).alias("n_string"),
+        F.sum((vtype == "null").cast("long")).alias("n_null"),
+    )
+    return per_key.crossJoin(F.broadcast(total)).select(
+        "key",
+        "n_present",
+        F.round(
+            F.col("n_present").cast("double") / F.col("_ok"), 6
+        ).alias("presence_share"),
+        "n_int",
+        "n_float",
+        "n_bool",
+        "n_string",
+        "n_null",
+    )

@@ -9103,6 +9103,124 @@ def q_backoff_detect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 231. JSON schema inference (key presence + lexical type histogram —
+#      the discovery pass before declaring a from_json schema):
+#      payload synthesized with known keys so the oracle states the
+#      expected schema report directly.
+# ---------------------------------------------------------------------
+@register(
+    "json_schema_infer",
+    """
+    with base as (
+      select event_id % 25 = 0 as bad, user_id % 3 = 0 as hasd
+      from events),
+    g as (select count(*) as n,
+                 sum(case when bad then 0 else 1 end) as ok,
+                 sum(case when not bad and hasd then 1 else 0 end)
+                   as okd
+          from base)
+    select 'a' as key, cast(ok as bigint) as n_present,
+           round(cast(ok as double) / ok, 6) as presence_share,
+           cast(ok as bigint) as n_int, cast(0 as bigint) as n_float,
+           cast(0 as bigint) as n_bool, cast(0 as bigint) as n_string,
+           cast(0 as bigint) as n_null
+    from g
+    union all
+    select 'b', cast(ok as bigint), round(cast(ok as double) / ok, 6),
+           0, 0, 0, cast(ok as bigint), 0 from g
+    union all
+    select 'c', cast(ok as bigint), round(cast(ok as double) / ok, 6),
+           cast(ok as bigint), 0, 0, 0, 0 from g
+    union all
+    select 'd', cast(okd as bigint),
+           round(cast(okd as double) / ok, 6),
+           0, 0, cast(okd as bigint), 0, 0 from g
+    """,
+)
+def q_json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import json_schema_infer
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    payload = F.concat(
+        F.lit('{"a":'), (uid % 50).cast("string"),
+        F.lit(',"b":"'), F.col("event_type"),
+        F.lit('","c":'), F.floor(F.col("value")).cast("long").cast("string"),
+        F.when(uid % 3 == 0, F.lit(',"d":true')).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    j = F.when(F.col("event_id") % 25 == 0, F.lit("x")).otherwise(payload)
+    return json_schema_infer(ev.select(j.alias("props")), "props")
+
+
+# ---------------------------------------------------------------------
+# 232. Top-k behavioral trigrams (motif mining; the transition
+#      matrix's three-step extension): double-lead window, TakeOrdered.
+# ---------------------------------------------------------------------
+@register(
+    "behavior_trigrams",
+    """
+    with t as (select event_type as t1,
+                 lead(event_type, 1) over (
+                   partition by user_id order by event_id) as t2,
+                 lead(event_type, 2) over (
+                   partition by user_id order by event_id) as t3
+               from events),
+    c as (select t1, t2, t3, count(*) as n
+          from t where t3 is not null group by 1, 2, 3),
+    tt as (select sum(n) as tot from c)
+    select t1, t2, t3, cast(n as bigint) as n,
+           round(cast(n as double) / tot, 6) as share
+    from c, tt order by n desc, t1, t2, t3 limit 10
+    """,
+)
+def q_behavior_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import behavior_trigrams
+
+    ev = _t(spark, sf_dir, "events")
+    return behavior_trigrams(ev, "user_id", "event_type", "event_id", k=10)
+
+
+# ---------------------------------------------------------------------
+# 233. Lifetime survival curve (share of users active >= d days;
+#      censoring documented as the upgrade tier): per-user lifetimes,
+#      all thresholds in ONE conditional pass.
+# ---------------------------------------------------------------------
+@register(
+    "lifetime_survival",
+    """
+    with l as (select user_id,
+                 (max(epoch(ts)) - min(epoch(ts)))
+                   / cast(86400 as double) as days
+               from events group by 1),
+    g as (select count(*) as n_users,
+                 sum(case when days >= 1 then 1 else 0 end) as g1,
+                 sum(case when days >= 7 then 1 else 0 end) as g7,
+                 sum(case when days >= 14 then 1 else 0 end) as g14,
+                 sum(case when days >= 28 then 1 else 0 end) as g28
+          from l)
+    select 1 as day, cast(g1 as bigint) as n_surviving,
+           cast(n_users as bigint) as n_users,
+           round(cast(g1 as double) / n_users, 6) as survival from g
+    union all
+    select 7, cast(g7 as bigint), cast(n_users as bigint),
+           round(cast(g7 as double) / n_users, 6) from g
+    union all
+    select 14, cast(g14 as bigint), cast(n_users as bigint),
+           round(cast(g14 as double) / n_users, 6) from g
+    union all
+    select 28, cast(g28 as bigint), cast(n_users as bigint),
+           round(cast(g28 as double) / n_users, 6) from g
+    """,
+)
+def q_lifetime_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import lifetime_survival
+
+    ev = _t(spark, sf_dir, "events")
+    return lifetime_survival(ev, "user_id", "ts")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

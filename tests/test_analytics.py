@@ -542,3 +542,33 @@ def test_backoff_detect_doubling_chain(spark):
         df, ["user_id"], "ts", order_cols=["ts", "i"]).collect()}
     assert got[1]["max_run"] == 3 and got[1]["backoff_detected"]
     assert got[2]["max_run"] == 0 and not got[2]["backoff_detected"]
+
+
+def test_behavior_trigrams_counts(spark):
+    from sparkcollector.operators.analytics import behavior_trigrams
+
+    rows = [(1, i, t) for i, t in enumerate("abab")] + [
+        (2, i, t) for i, t in enumerate("aba")
+    ]
+    df = spark.createDataFrame(rows, "u long, i long, t string")
+    got = {(r["t1"], r["t2"], r["t3"]): r["n"] for r in
+           behavior_trigrams(df, "u", "t", "i", k=5).collect()}
+    # u1: aba, bab; u2: aba -> aba x2, bab x1
+    assert got[("a", "b", "a")] == 2
+    assert got[("b", "a", "b")] == 1
+
+
+def test_lifetime_survival_thresholds(spark):
+    import datetime
+
+    from sparkcollector.operators.analytics import lifetime_survival
+
+    t0 = datetime.datetime(2024, 1, 1)
+    day = datetime.timedelta(days=1)
+    rows = []
+    for u, days in [(1, 0), (2, 3), (3, 10), (4, 30)]:
+        rows += [(u, t0), (u, t0 + days * day)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["day"]: r["n_surviving"] for r in
+           lifetime_survival(df, "user_id", "ts").collect()}
+    assert got == {1: 3, 7: 2, 14: 1, 28: 1}

@@ -347,3 +347,22 @@ def test_wavefront_parse_tags_and_optional_ts(spark):
     mem = rows["mem.free"]
     assert mem["ts_s"] is None and mem["tags"] == {}
     assert None in rows
+
+
+def test_json_schema_infer_types(spark):
+    from sparkcollector.operators.promparse import json_schema_infer
+
+    df = spark.createDataFrame(
+        [
+            ('{"n":1,"f":2.5,"b":true,"s":"x","z":null}',),
+            ('{"n":7,"s":"y"}',),
+            ("not json",),
+        ],
+        "props string",
+    )
+    got = {r["key"]: r for r in json_schema_infer(df).collect()}
+    assert got["n"]["n_int"] == 2 and got["n"]["presence_share"] == 1.0
+    assert got["f"]["n_float"] == 1 and got["f"]["presence_share"] == 0.5
+    assert got["b"]["n_bool"] == 1
+    assert got["s"]["n_string"] == 2
+    assert got["z"]["n_null"] == 1
