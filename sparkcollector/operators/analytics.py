@@ -1225,3 +1225,45 @@ def lifetime_survival(
             F.col("n_surviving").cast("double") / F.col("n_users"), 6
         ).alias("survival"),
     )
+
+
+def rfm_features(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    recent_days: int = 7,
+) -> DataFrame:
+    """RFM feature table (recency / frequency / monetary — the
+    classic churn-and-value features, computed at the corpus
+    horizon): per user — days since last activity, total events,
+    events in the trailing window, and decimal-summed value.
+
+    The horizon is the corpus max timestamp (one 1-row aggregate,
+    broadcast); everything else is a single grouped pass with
+    conditional sums — no window, no join on the fact table.
+    """
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    horizon = df.agg(F.max(epoch).alias("_h"))
+    j = df.select(
+        F.col(user_col),
+        epoch.alias("_e"),
+        F.col(value_col).cast("decimal(19,6)").alias("_v"),
+    ).crossJoin(F.broadcast(horizon))
+    recent = F.col("_e") >= F.col("_h") - recent_days * 86400
+    g = j.groupBy(user_col).agg(
+        F.max("_h").alias("_hh"),
+        F.max("_e").alias("_last"),
+        F.count("*").alias("frequency"),
+        F.sum(recent.cast("long")).alias(f"freq_{recent_days}d"),
+        F.sum("_v").alias("_m"),
+    )
+    return g.select(
+        user_col,
+        F.round(
+            (F.col("_hh") - F.col("_last")) / 86400.0, 6
+        ).alias("recency_days"),
+        "frequency",
+        f"freq_{recent_days}d",
+        F.round(F.col("_m").cast("double"), 4).alias("monetary"),
+    )

@@ -2243,3 +2243,30 @@ def hll_merge(
         .agg(F.max("rho").alias("rho"))
         .withColumn("scope", F.lit("all"))
     )
+
+
+def hourly_latency_bands(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    qs: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Latency bands over time (the p50/p95 ribbons every latency
+    dashboard draws): exact interpolated percentiles per hour bucket,
+    plus count — ONE grouped pass, the percentile aggregate takes all
+    quantiles at once.
+    """
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    hour = (F.floor(epoch / 3600) * 3600).cast("long")
+    v = F.col(value_col).cast("double")
+    pcts = F.percentile(v, F.array(*[F.lit(q) for q in qs]))
+    g = df.groupBy(hour.alias("hour_start")).agg(
+        F.count("*").alias("n"), pcts.alias("_q")
+    )
+    cols = [
+        F.round(F.element_at("_q", i + 1), 6).alias(
+            f"p{int(q * 100)}"
+        )
+        for i, q in enumerate(qs)
+    ]
+    return g.select("hour_start", "n", *cols)

@@ -9221,6 +9221,100 @@ def q_lifetime_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lifetime_survival(ev, "user_id", "ts")
 
 
+# ---------------------------------------------------------------------
+# 234. Partition-balance pre-flight (simulated md5 % n placement —
+#      the repartition() homework): per-partition rows/weight and the
+#      corpus skew factor; weight = text length (bytes proxy).
+# ---------------------------------------------------------------------
+@register(
+    "partition_balance_report",
+    """
+    with p as (select
+                 cast(('0x' || substr(md5(cast(doc_id as varchar)),
+                                      1, 8)) as bigint) % 32
+                   as partition,
+                 cast(length(text) as bigint) as w
+               from documents),
+    g as (select partition, count(*) as n_rows, sum(w) as weight
+          from p group by 1),
+    t as (select sum(weight) as tw, max(weight) as mx,
+                 count(*) as np from g)
+    select partition, cast(n_rows as bigint) as n_rows,
+           cast(weight as bigint) as weight,
+           round(cast(weight as double)
+                 / (cast(tw as double) / np), 6) as vs_mean,
+           round(cast(mx as double)
+                 / (cast(tw as double) / np), 6) as skew_factor
+    from g, t
+    """,
+)
+def q_partition_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .skew import partition_balance_report
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("w")
+    )
+    return partition_balance_report(
+        docs, "doc_id", n_partitions=32, weight_col=F.col("w")
+    )
+
+
+# ---------------------------------------------------------------------
+# 235. RFM features at the corpus horizon (recency / frequency /
+#      monetary — churn-and-value classics): one grouped pass +
+#      broadcast horizon, decimal monetary sums.
+# ---------------------------------------------------------------------
+@register(
+    "rfm_features",
+    """
+    with h as (select max(epoch(ts)) as hh from events),
+    g as (select user_id,
+                 max(epoch(ts)) as last_e,
+                 count(*) as frequency,
+                 sum(case when epoch(ts) >= hh - 7 * 86400
+                          then 1 else 0 end) as freq_7d,
+                 sum(cast(value as decimal(19,6))) as m
+          from events, h group by user_id, hh)
+    select user_id,
+           round((hh_last - last_e) / cast(86400 as double), 6)
+             as recency_days,
+           cast(frequency as bigint) as frequency,
+           cast(freq_7d as bigint) as freq_7d,
+           round(cast(m as double), 4) as monetary
+    from (select g.*, h.hh as hh_last from g, h)
+    """,
+)
+def q_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import rfm_features
+
+    ev = _t(spark, sf_dir, "events")
+    return rfm_features(ev, "user_id", "ts", "value", recent_days=7)
+
+
+# ---------------------------------------------------------------------
+# 236. Hourly latency bands (p50/p95 ribbons): exact interpolated
+#      percentiles per hour, one grouped pass.
+# ---------------------------------------------------------------------
+@register(
+    "hourly_latency_bands",
+    """
+    with b as (select cast(floor(epoch(ts) / 3600) * 3600 as bigint)
+                        as hour_start,
+                      value
+               from events)
+    select hour_start, cast(count(*) as bigint) as n,
+           round(quantile_cont(value, 0.5), 6) as p50,
+           round(quantile_cont(value, 0.95), 6) as p95
+    from b group by 1
+    """,
+)
+def q_hourly_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import hourly_latency_bands
+
+    ev = _t(spark, sf_dir, "events")
+    return hourly_latency_bands(ev, "value", "ts", qs=(0.5, 0.95))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

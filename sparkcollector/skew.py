@@ -274,3 +274,54 @@ def join_skew_report(
         .orderBy(F.col("est_rows").desc(), key_col)
         .limit(k)
     )
+
+
+def partition_balance_report(
+    df: DataFrame,
+    key_col: str,
+    n_partitions: int = 32,
+    weight_col: Column | None = None,
+) -> DataFrame:
+    """Partition-balance pre-flight (how even would hash-partitioning
+    on this key be? — the question behind every repartition() choice):
+    simulate ``md5(key) % n`` placement and report per-partition rows
+    and weight plus the corpus-level skew factor (max/mean — 1.0 is
+    perfect).
+
+    The md5 bucket is the engine-portable stand-in for Spark's
+    murmur — the BALANCE conclusion transfers because both hashes
+    spread uniformly; one keyed aggregate over the fact table,
+    everything after runs on n_partitions rows.
+    """
+    part = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % n_partitions
+    )
+    wcol = weight_col if weight_col is not None else F.lit(1).cast("long")
+    per = df.select(part.alias("partition"), wcol.alias("_w")).groupBy(
+        "partition"
+    ).agg(F.count("*").alias("n_rows"), F.sum("_w").alias("weight"))
+    tot = per.agg(
+        F.sum("weight").alias("_tw"),
+        F.max("weight").alias("_mx"),
+        F.count("*").alias("_np"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "partition",
+        "n_rows",
+        "weight",
+        F.round(
+            F.col("weight").cast("double")
+            / (F.col("_tw").cast("double") / F.col("_np")),
+            6,
+        ).alias("vs_mean"),
+        F.round(
+            F.col("_mx").cast("double")
+            / (F.col("_tw").cast("double") / F.col("_np")),
+            6,
+        ).alias("skew_factor"),
+    )

@@ -572,3 +572,37 @@ def test_lifetime_survival_thresholds(spark):
     got = {r["day"]: r["n_surviving"] for r in
            lifetime_survival(df, "user_id", "ts").collect()}
     assert got == {1: 3, 7: 2, 14: 1, 28: 1}
+
+
+def test_rfm_features_math(spark):
+    import datetime
+
+    from sparkcollector.operators.analytics import rfm_features
+
+    t0 = datetime.datetime(2024, 1, 1)
+    day = datetime.timedelta(days=1)
+    rows = [
+        (1, t0, 10.0), (1, t0 + 20 * day, 5.0),      # active at horizon-10
+        (2, t0 + 30 * day, 2.0),                      # horizon user
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r["user_id"]: r for r in
+           rfm_features(df, "user_id", "ts", "value").collect()}
+    assert got[2]["recency_days"] == 0.0 and got[2]["freq_7d"] == 1
+    assert got[1]["recency_days"] == 10.0
+    assert got[1]["frequency"] == 2 and got[1]["freq_7d"] == 0
+    assert got[1]["monetary"] == 15.0
+
+
+def test_hourly_latency_bands(spark):
+    import datetime
+
+    from sparkcollector.operators.telemetry import hourly_latency_bands
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 15)
+    rows = [(t0, float(v)) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    r = hourly_latency_bands(df).collect()[0]
+    assert r["n"] == 100
+    assert r["p50"] == 50.5
+    assert abs(r["p95"] - 95.05) < 1e-9

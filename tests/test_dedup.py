@@ -385,3 +385,16 @@ def test_dedup_rate_by_source(spark):
     assert got["crawl"]["n_docs"] == 3 and got["crawl"]["n_distinct"] == 2
     assert got["crawl"]["n_duplicates"] == 1
     assert got["books"]["dup_rate"] == 0.0
+
+
+def test_partition_balance_report_uniform_keys(spark):
+    from sparkcollector.skew import partition_balance_report
+
+    df = spark.createDataFrame([(i,) for i in range(6400)], "k long")
+    rows = partition_balance_report(df, "k", n_partitions=8).collect()
+    assert len(rows) == 8
+    assert sum(r["n_rows"] for r in rows) == 6400
+    # md5 spreads uniformly: every partition within 2x of the mean
+    sk = rows[0]["skew_factor"]
+    assert sk < 2.0
+    assert all(abs(r["vs_mean"]) < 2.0 for r in rows)
