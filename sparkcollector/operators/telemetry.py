@@ -2270,3 +2270,119 @@ def hourly_latency_bands(
         for i, q in enumerate(qs)
     ]
     return g.select("hour_start", "n", *cols)
+
+
+def forward_fill(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Forward-fill imputation (gap repair for gauge series: a NULL
+    sample reads as "still the last value", the standard dashboard
+    semantics): per series, the last non-NULL value at or before each
+    point, plus flags for filled rows and leading NULLs nothing can
+    fill.
+
+    ONE ``last_value(ignorenulls)`` window per series — no self-join,
+    no fold; rows before the first observation stay NULL (honest:
+    inventing a value there is extrapolation, not fill).
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = F.last(F.col(value_col), ignorenulls=True).over(w)
+    return df.select(
+        *key_cols,
+        order_col,
+        F.col(value_col).alias("raw"),
+        carried.alias("filled"),
+        (F.col(value_col).isNull() & carried.isNotNull()).alias(
+            "was_filled"
+        ),
+        carried.isNull().alias("leading_gap"),
+    )
+
+
+def payload_size_histogram(
+    df: DataFrame,
+    size_col: "F.Column | str",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Payload-size histogram in power-of-two buckets (the wire/
+    storage-sizing view: batch limits and row-group budgets are set
+    off this): bucket = next power of two >= size (integer
+    bit-length, no float log2 — same policy as
+    ``length_bucket_batches``), with counts and byte totals per
+    bucket.
+    """
+    s = F.col(size_col) if isinstance(size_col, str) else size_col
+    keys = group_cols or []
+    base = df.select(*keys, s.cast("long").alias("_sz"))
+    bucket = F.when(F.col("_sz") <= 1, F.lit(1)).otherwise(
+        F.expr("shiftleft(1, length(bin(_sz - 1)))")
+    )
+    base = base.withColumn("bucket", bucket.cast("long"))
+    return base.groupBy(*keys, "bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("_sz").alias("total_bytes"),
+    )
+
+
+def fk_orphan_audit(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    fact_name: str = "facts",
+    dim_name: str = "dim",
+) -> DataFrame:
+    """Referential-integrity audit (FK orphan rates BOTH ways: fact
+    rows whose key is missing from the dimension, and dimension
+    entries no fact ever references — the former breaks joins, the
+    latter is dead weight): one full-outer join of the two collapsed
+    key tables.
+
+    Both sides aggregate to (key, count) first, so the join touches
+    distinct keys only; output is two rows — one per direction —
+    with counts and rates.
+    """
+    fk = facts.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count("*").alias("_nf")
+    )
+    dk = dim.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count("*").alias("_nd")
+    )
+    j = fk.join(dk, "_k", "full_outer")
+    g = j.agg(
+        F.sum("_nf").alias("_fact_rows"),
+        F.sum(F.when(F.col("_nd").isNull(), F.col("_nf"))).alias(
+            "_orphan_fact_rows"
+        ),
+        F.count(F.when(F.col("_nd").isNotNull(), 1)).alias("_dim_keys_all"),
+        F.sum(
+            (F.col("_nd").isNotNull() & F.col("_nf").isNull()).cast("long")
+        ).alias("_unused_dim_keys"),
+    )
+    side1 = g.select(
+        F.lit(f"{fact_name}_missing_{dim_name}").alias("direction"),
+        F.coalesce("_orphan_fact_rows", F.lit(0)).alias("n_orphans"),
+        F.col("_fact_rows").alias("n_total"),
+        F.round(
+            F.coalesce("_orphan_fact_rows", F.lit(0)).cast("double")
+            / F.col("_fact_rows"),
+            6,
+        ).alias("orphan_rate"),
+    )
+    side2 = g.select(
+        F.lit(f"{dim_name}_unreferenced").alias("direction"),
+        F.col("_unused_dim_keys").alias("n_orphans"),
+        F.col("_dim_keys_all").alias("n_total"),
+        F.round(
+            F.col("_unused_dim_keys").cast("double")
+            / F.col("_dim_keys_all"),
+            6,
+        ).alias("orphan_rate"),
+    )
+    return side1.unionByName(side2)

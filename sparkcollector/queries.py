@@ -9315,6 +9315,129 @@ def q_hourly_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_latency_bands(ev, "value", "ts", qs=(0.5, 0.95))
 
 
+# ---------------------------------------------------------------------
+# 237. Forward-fill imputation (gauge gap repair; leading NULLs stay
+#      honest): one last_value(ignorenulls) window; NULLs injected on
+#      event_id%6.
+# ---------------------------------------------------------------------
+@register(
+    "forward_fill_gauge",
+    """
+    with s as (select event_type, event_id,
+                 case when event_id % 6 = 0 then NULL
+                      else value end as raw
+               from events),
+    f as (select event_type, event_id, raw,
+            last_value(raw ignore nulls) over (
+              partition by event_type order by event_id
+              rows unbounded preceding) as filled
+          from s)
+    select event_type, event_id, raw, filled,
+           raw is null and filled is not null as was_filled,
+           filled is null as leading_gap
+    from f
+    """,
+)
+def q_forward_fill_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import forward_fill
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.when(F.col("event_id") % 6 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("value"),
+    )
+    return forward_fill(ev, ["event_type"], "event_id", "value")
+
+
+# ---------------------------------------------------------------------
+# 238. Payload-size histogram in power-of-two buckets (wire/storage
+#      sizing view; integer bit-length buckets): per source.
+# ---------------------------------------------------------------------
+@register(
+    "payload_size_histogram",
+    """
+    with s as (select source, cast(length(text) as bigint) as sz
+               from documents),
+    b as (select source,
+                 case when sz <= 1 then cast(1 as bigint)
+                      else cast(1 as bigint) << length(bin(sz - 1))
+                 end as bucket,
+                 sz
+          from s)
+    select source, bucket, cast(count(*) as bigint) as n,
+           cast(sum(sz) as bigint) as total_bytes
+    from b group by 1, 2
+    """,
+)
+def q_payload_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import payload_size_histogram
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.length("text").alias("_sz0")
+    )
+    return payload_size_histogram(docs, "_sz0", ["source"])
+
+
+# ---------------------------------------------------------------------
+# 239. FK orphan audit (referential integrity both ways: fact rows
+#      with no dimension entry, dimension entries no fact uses):
+#      collapsed key tables, one full-outer join, two audit rows.
+#      Dim synthesized: drops user%3==0 (orphans) and adds shifted
+#      keys (unreferenced).
+# ---------------------------------------------------------------------
+@register(
+    "fk_orphan_audit",
+    """
+    with dim as (
+      select distinct user_id from events where user_id % 3 <> 0
+      union
+      select distinct user_id + 1000000 from events
+      where user_id % 5 = 0),
+    f as (select count(*) as fact_rows,
+                 sum(case when user_id % 3 = 0 then 1 else 0 end)
+                   as orphans
+          from events),
+    d as (select count(*) as dim_keys,
+                 sum(case when user_id >= 1000000 then 1 else 0 end)
+                   as unused
+          from dim)
+    select 'facts_missing_dim' as direction,
+           cast(orphans as bigint) as n_orphans,
+           cast(fact_rows as bigint) as n_total,
+           round(cast(orphans as double) / fact_rows, 6)
+             as orphan_rate
+    from f
+    union all
+    select 'dim_unreferenced', cast(unused as bigint),
+           cast(dim_keys as bigint),
+           round(cast(unused as double) / dim_keys, 6)
+    from d
+    """,
+)
+def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import fk_orphan_audit
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    dim = (
+        ev.filter(uid % 3 != 0)
+        .select("user_id")
+        .distinct()
+        .unionByName(
+            ev.filter(uid % 5 == 0)
+            .select((uid + 1000000).alias("user_id"))
+            .distinct()
+        )
+        .distinct()
+    )
+    return fk_orphan_audit(
+        ev.select("user_id"), dim, "user_id",
+        fact_name="facts", dim_name="dim",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -1092,3 +1092,50 @@ def test_hll_merge_equals_direct_build(spark):
     # mergeability law: identical registers -> identical estimate
     assert via_merge["est_distinct"] == direct["est_distinct"]
     assert via_merge["zero_registers"] == direct["zero_registers"]
+
+
+def test_forward_fill_carries_and_leading_gap(spark):
+    from sparkcollector.operators.telemetry import forward_fill
+
+    rows = [
+        ("k", 1, None), ("k", 2, 5.0), ("k", 3, None),
+        ("k", 4, None), ("k", 5, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, i long, value double")
+    got = {r["i"]: r for r in
+           forward_fill(df, ["key"], "i", "value").collect()}
+    assert got[1]["leading_gap"] and got[1]["filled"] is None
+    assert got[3]["filled"] == 5.0 and got[3]["was_filled"]
+    assert got[4]["filled"] == 5.0
+    assert got[5]["filled"] == 7.0 and not got[5]["was_filled"]
+
+
+def test_payload_size_histogram_pow2(spark):
+    from sparkcollector.operators.telemetry import payload_size_histogram
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", 17), ("a", 1024)],
+        "grp string, sz long",
+    )
+    got = {r["bucket"]: (r["n"], r["total_bytes"]) for r in
+           payload_size_histogram(df, "sz", ["grp"]).collect()}
+    assert got[1] == (1, 1)
+    assert got[2] == (1, 2)
+    assert got[4] == (1, 3)
+    assert got[32] == (1, 17)
+    assert got[1024] == (1, 1024)
+
+
+def test_fk_orphan_audit_both_directions(spark):
+    from sparkcollector.operators.telemetry import fk_orphan_audit
+
+    facts = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,)], "k long"
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    got = {r["direction"]: r for r in
+           fk_orphan_audit(facts, dim, "k").collect()}
+    f = got["facts_missing_dim"]
+    assert f["n_orphans"] == 1 and f["n_total"] == 4  # the key-9 row
+    d = got["dim_unreferenced"]
+    assert d["n_orphans"] == 1 and d["n_total"] == 3  # key 3 unused
