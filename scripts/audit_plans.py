@@ -1300,6 +1300,33 @@ def main() -> None:
             spark=spark,
         )
 
+    # batches 39-41
+    for name, max_ex in (
+        ("json_schema_infer", 2),
+        ("behavior_trigrams", 5),
+        ("lifetime_survival", 2),
+        ("partition_balance_report", 3),
+        ("rfm_features", 2),
+        ("hourly_latency_bands", 1),
+        ("forward_fill_gauge", 1),
+        ("payload_size_histogram", 1),
+        ("fk_orphan_audit", 12),
+    ):
+        all_ok &= audit(
+            name,
+            (lambda n: lambda: queries()[n](spark, SF_DIR))(name),
+            [
+                (f"shuffle exchanges bounded (<= {max_ex}, excluding "
+                 "broadcast/reused)",
+                 (lambda m: lambda p: len(
+                     re.findall(r"(?<!Broadcast)(?<!d)Exchange \(\d+\)",
+                                p)) <= m)(max_ex)),
+                ("no Python / UDF in plan", lambda p: "Python" not in p),
+            ],
+            out,
+            spark=spark,
+        )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"
