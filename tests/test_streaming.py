@@ -271,13 +271,16 @@ def test_stream_tail_sample_tombstone_drops_late_rows(spark, tmp_path):
     spark.createDataFrame([("x", 0, "n")], schema).coalesce(1).write.parquet(
         str(in_dir / "b2.parquet")
     )
-    deadline = time.time() + 45
+    deadline = time.time() + 120
+    fired = False
     while time.time() < deadline:
         if spark.sql(
             "select * from tomb_test where conv_id = 'keep'"
         ).count():
+            fired = True
             break
         time.sleep(2)
+    assert fired, "decision never fired (host overloaded?)"
     # LATE row for the already-decided conversation — would previously
     # rebuild state and re-emit a partial duplicate at its timeout
     spark.createDataFrame(
