@@ -1703,3 +1703,79 @@ def curation_waterfall(
             F.col("n_docs").cast("double") / F.col("_raw"), 6
         ).alias("retention_vs_raw"),
     )
+
+
+def turn_latency_by_role(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Turn latency by role transition (how long does each speaker
+    take to respond? — the conversation-dynamics stat separating
+    instant tool returns from slow human replies): per (previous
+    role -> role) pair, count and decimal-exact mean gap seconds.
+
+    One conversation-keyed lag window + one pair-keyed aggregate;
+    first turns (no predecessor) are excluded.
+    """
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    prev_role = F.lag(F.col(role_col)).over(w)
+    gap = (epoch - F.lag(epoch).over(w)).cast("decimal(18,6)")
+    pairs = df.select(
+        prev_role.alias("from_role"),
+        F.col(role_col).alias("to_role"),
+        gap.alias("_g"),
+    ).filter(F.col("from_role").isNotNull())
+    return pairs.groupBy("from_role", "to_role").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum("_g").cast("double") / F.count("*"), 6
+        ).alias("mean_gap_s"),
+    )
+
+
+def canonical_dedup_gain(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask: str = "<*>",
+) -> DataFrame:
+    """Dedup gain from canonicalization (how many more duplicates
+    does template-masking surface? — the before/after evidence for
+    adding a normalization stage): distinct counts under the RAW hash
+    vs the CANONICAL hash (numbers / hex ids / quoted values masked,
+    whitespace collapsed, casefolded), in one pass.
+
+    Two tiny (hash) aggregates off one projection; the gain is
+    ``distinct_raw - distinct_canonical`` — rows that only
+    canonicalization collapses.
+    """
+    t = F.regexp_replace(F.col(text_col), r"[0-9a-f]{8,}", mask)
+    t = F.regexp_replace(t, r"\d+", mask)
+    t = F.regexp_replace(t, r"'[^']*'", mask)
+    t = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
+    hashes = df.select(
+        F.md5(F.col(text_col)).alias("_hr"),
+        F.md5(t).alias("_hc"),
+    )
+    raw = hashes.select(F.col("_hr").alias("_h")).groupBy("_h").count()
+    canon = hashes.select(F.col("_hc").alias("_h")).groupBy("_h").count()
+    g = raw.agg(F.count("*").alias("distinct_raw")).crossJoin(
+        canon.agg(F.count("*").alias("distinct_canonical"))
+    ).crossJoin(hashes.agg(F.count("*").alias("n_docs")))
+    return g.select(
+        "n_docs",
+        "distinct_raw",
+        "distinct_canonical",
+        (F.col("distinct_raw") - F.col("distinct_canonical")).alias(
+            "extra_dups_found"
+        ),
+        F.round(
+            (F.col("distinct_raw") - F.col("distinct_canonical"))
+            .cast("double") / F.col("distinct_raw"),
+            6,
+        ).alias("gain_rate"),
+    )

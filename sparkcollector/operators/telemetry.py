@@ -2386,3 +2386,37 @@ def fk_orphan_audit(
         ).alias("orphan_rate"),
     )
     return side1.unionByName(side2)
+
+
+def ingestion_completeness(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ingestion-calendar completeness (did every expected day land? —
+    the data-ops SLA behind "is yesterday's partition there"): per
+    source, distinct active days vs the day span between its first
+    and last activity, plus the missing-day count.
+
+    Distinct days come from a (source, day) dedup — bounded by
+    sources x days, never event volume; everything after is
+    arithmetic on that tiny table.
+    """
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    day = F.floor(epoch / 86400).cast("long")
+    days = df.select(F.col(group_col), day.alias("_d")).distinct()
+    g = days.groupBy(group_col).agg(
+        F.count("*").alias("active_days"),
+        F.min("_d").alias("_lo"),
+        F.max("_d").alias("_hi"),
+    )
+    span = F.col("_hi") - F.col("_lo") + 1
+    return g.select(
+        group_col,
+        "active_days",
+        span.alias("span_days"),
+        (span - F.col("active_days")).alias("missing_days"),
+        F.round(
+            F.col("active_days").cast("double") / span, 6
+        ).alias("completeness"),
+    )

@@ -9438,6 +9438,105 @@ def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 240. Turn latency by role transition (conversation dynamics: who
+#      takes how long to respond): conv-keyed lag, decimal gap means.
+# ---------------------------------------------------------------------
+@register(
+    "turn_latency_by_role",
+    f"""
+    with t as ({_T_SQL}),
+    l as (select conv_id, turn_idx, role,
+            lag(role) over (partition by conv_id order by turn_idx)
+              as from_role,
+            cast(epoch(ts) - epoch(lag(ts) over (
+              partition by conv_id order by turn_idx))
+              as decimal(18,6)) as g
+          from t)
+    select from_role, role as to_role, cast(count(*) as bigint) as n,
+           round(cast(sum(g) as double) / count(*), 6) as mean_gap_s
+    from l where from_role is not null group by 1, 2
+    """,
+)
+def q_turn_latency_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import turn_latency_by_role
+
+    t = transcripts_from_events(spark, sf_dir)
+    return turn_latency_by_role(t)
+
+
+# ---------------------------------------------------------------------
+# 241. Dedup gain from canonicalization (template-masked hashes vs
+#      raw hashes — the before/after case for a normalization stage):
+#      variant suffixes injected so masking provably collapses pairs.
+# ---------------------------------------------------------------------
+@register(
+    "canonical_dedup_gain",
+    """
+    with u as (select doc_id, text || ' run 7' as t from documents
+               union all
+               select doc_id + 1000000, text || ' run 42'
+               from documents),
+    h as (select md5(t) as hr,
+                 md5(lower(regexp_replace(trim(
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                     '[0-9a-f]{8,}', '<*>', 'g'),
+                     '[0-9]+', '<*>', 'g'),
+                     '''[^'']*''', '<*>', 'g')),
+                   '\\s+', ' ', 'g'))) as hc
+          from u)
+    select cast(count(*) as bigint) as n_docs,
+           cast(count(distinct hr) as bigint) as distinct_raw,
+           cast(count(distinct hc) as bigint) as distinct_canonical,
+           cast(count(distinct hr) - count(distinct hc) as bigint)
+             as extra_dups_found,
+           round(cast(count(distinct hr) - count(distinct hc)
+                      as double) / count(distinct hr), 6) as gain_rate
+    from h
+    """,
+)
+def q_canonical_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import canonical_dedup_gain
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" run 7")).alias("text")
+    )
+    b = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" run 42")).alias("text"),
+    )
+    return canonical_dedup_gain(a.unionByName(b))
+
+
+# ---------------------------------------------------------------------
+# 242. Ingestion-calendar completeness (active days vs span — the
+#      "is yesterday's partition there" SLA): per event_type.
+# ---------------------------------------------------------------------
+@register(
+    "ingestion_completeness",
+    """
+    with d as (select distinct event_type,
+                      cast(floor(epoch(ts) / 86400) as bigint) as day
+               from events),
+    g as (select event_type, count(*) as active_days,
+                 min(day) as lo, max(day) as hi
+          from d group by 1)
+    select event_type, cast(active_days as bigint) as active_days,
+           cast(hi - lo + 1 as bigint) as span_days,
+           cast(hi - lo + 1 - active_days as bigint) as missing_days,
+           round(cast(active_days as double) / (hi - lo + 1), 6)
+             as completeness
+    from g
+    """,
+)
+def q_ingestion_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import ingestion_completeness
+
+    ev = _t(spark, sf_dir, "events")
+    return ingestion_completeness(ev, "event_type")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

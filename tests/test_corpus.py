@@ -738,3 +738,41 @@ def test_curation_waterfall_stage_order(spark):
     assert got["2_dedup"]["n_docs"] == 2
     assert got["3_banned"]["n_docs"] == 1
     assert got["3_banned"]["retention_vs_raw"] == 0.25
+
+
+def test_turn_latency_by_role(spark):
+    import datetime
+
+    from sparkcollector.operators.corpus import turn_latency_by_role
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        ("c", 0, "user", ts(0)), ("c", 1, "assistant", ts(4)),
+        ("c", 2, "user", ts(64)), ("c", 3, "assistant", ts(70)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    got = {(r["from_role"], r["to_role"]): (r["n"], r["mean_gap_s"])
+           for r in turn_latency_by_role(df).collect()}
+    assert got[("user", "assistant")] == (2, 5.0)   # (4 + 6) / 2
+    assert got[("assistant", "user")] == (1, 60.0)
+
+
+def test_canonical_dedup_gain(spark):
+    from sparkcollector.operators.corpus import canonical_dedup_gain
+
+    rows = [
+        (1, "request 123 ok"), (2, "request 456 ok"),  # canonical dup
+        (3, "totally different"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = canonical_dedup_gain(df).collect()[0]
+    assert r["n_docs"] == 3
+    assert r["distinct_raw"] == 3
+    assert r["distinct_canonical"] == 2
+    assert r["extra_dups_found"] == 1

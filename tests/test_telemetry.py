@@ -1139,3 +1139,19 @@ def test_fk_orphan_audit_both_directions(spark):
     assert f["n_orphans"] == 1 and f["n_total"] == 4  # the key-9 row
     d = got["dim_unreferenced"]
     assert d["n_orphans"] == 1 and d["n_total"] == 3  # key 3 unused
+
+
+def test_ingestion_completeness_gaps(spark):
+    import datetime
+
+    from sparkcollector.operators.telemetry import ingestion_completeness
+
+    t0 = datetime.datetime(2024, 1, 1, 12)
+    day = datetime.timedelta(days=1)
+    # source s: days 0,1,3 of a 4-day span -> 1 missing
+    rows = [("s", t0), ("s", t0 + day), ("s", t0 + 3 * day),
+            ("s", t0 + 3 * day)]
+    df = spark.createDataFrame(rows, "src string, ts timestamp")
+    r = ingestion_completeness(df, "src").collect()[0]
+    assert r["active_days"] == 3 and r["span_days"] == 4
+    assert r["missing_days"] == 1 and r["completeness"] == 0.75
