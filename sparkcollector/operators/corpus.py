@@ -1779,3 +1779,35 @@ def canonical_dedup_gain(
             6,
         ).alias("gain_rate"),
     )
+
+
+def stutter_collapse(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent-duplicate turn collapse (generation stutter cleanup:
+    the same role repeating the same text back-to-back is a retry
+    artifact, not conversation): keep the first of each stutter run,
+    report per conversation how many turns collapsed.
+
+    One conversation-keyed lag window; a turn drops iff BOTH role and
+    text equal the previous turn's.
+    """
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    same = (
+        (F.lag(F.col(role_col)).over(w) == F.col(role_col))
+        & (F.lag(F.col(text_col)).over(w) == F.col(text_col))
+    )
+    marked = df.withColumn(
+        "_drop", F.coalesce(same, F.lit(False))
+    )
+    return marked.groupBy(conv_col).agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.col("_drop").cast("long")).alias("n_stutters"),
+        (F.count("*") - F.sum(F.col("_drop").cast("long"))).alias(
+            "n_kept"
+        ),
+    )

@@ -736,3 +736,39 @@ def dedup_rate_by_source(
             (F.sum("_n") - F.count("*")).cast("double") / F.sum("_n"), 6
         ).alias("dup_rate"),
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact dedup keeping the BEST duplicate (RefinedWeb keeps the
+    longest / highest-quality copy, not the smallest id — canonical
+    choice is a quality decision, not an arbitrary one): per content
+    hash, the row with max score (ties to min id), plus how many
+    copies it beat.
+
+    One struct-max aggregate per hash — map-side partials collapse
+    each partition's duplicates before the 16-byte-key shuffle; no
+    window, no join.
+    """
+    h = F.md5(F.col(text_col))
+    best = F.max(
+        F.struct(
+            F.col(score_col).cast("double").alias("s"),
+            (-F.col(id_col)).alias("negid"),
+            F.col(id_col).alias("id"),
+        )
+    )
+    g = df.select(
+        h.alias("_h"), F.col(id_col), F.col(score_col)
+    ).groupBy("_h").agg(
+        best.alias("_b"), F.count("*").alias("n_copies")
+    )
+    return g.select(
+        F.col("_b")["id"].alias(id_col),
+        F.round(F.col("_b")["s"], 6).alias("kept_score"),
+        "n_copies",
+    )

@@ -245,3 +245,44 @@ def code_prose_ratio(
         n_code.cast("long").alias("n_code_lines"),
         F.round(n_code.cast("double") / n_lines, 6).alias("code_ratio"),
     )
+
+
+def conv_language_purity(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation language purity (multilingual-QA flag: a
+    conversation whose turns disagree on language is either
+    code-switching or corrupted): per conversation — distinct
+    detected languages, the dominant language and its turn share,
+    and the mixed flag.
+
+    Language ID per turn is in-row HOFs; per-(conv, lang) counts
+    collapse before the deterministic dominant-argmax (max count,
+    ties to the alphabetically-first language).
+    """
+    lang = language_id(F.col(text_col))
+    counts = df.select(
+        F.col(conv_col), lang.alias("_lang")
+    ).groupBy(conv_col, "_lang").agg(F.count("*").alias("_n"))
+    # dominant = max count, ties to alphabetically-first language:
+    # min over (-n, lang) structs is that argmax, deterministically
+    per_conv = counts.groupBy(conv_col).agg(
+        F.count("*").alias("n_langs"),
+        F.sum("_n").alias("_turns"),
+        F.min(
+            F.struct(
+                (-F.col("_n")).alias("negn"), F.col("_lang").alias("l")
+            )
+        ).alias("_b"),
+    )
+    return per_conv.select(
+        conv_col,
+        "n_langs",
+        F.col("_b")["l"].alias("dominant_lang"),
+        F.round(
+            (-F.col("_b")["negn"]).cast("double") / F.col("_turns"), 6
+        ).alias("dominant_share"),
+        (F.col("n_langs") > 1).alias("mixed"),
+    )

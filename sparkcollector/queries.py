@@ -9537,6 +9537,118 @@ def q_ingestion_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingestion_completeness(ev, "event_type")
 
 
+# ---------------------------------------------------------------------
+# 243. Quality-aware dedup canonical (keep the BEST duplicate, not
+#      the smallest id — the RefinedWeb keep-longest policy): struct
+#      argmax per content hash; score = n_chars + id%7 so the choice
+#      is exercised.
+# ---------------------------------------------------------------------
+@register(
+    "dedup_keep_best",
+    """
+    with s as (select doc_id, md5(text) as h,
+                      cast(n_chars + doc_id % 7 as double) as sc
+               from documents),
+    r as (select *, row_number() over (
+            partition by h order by sc desc, doc_id) as rk,
+            count(*) over (partition by h) as nc
+          from s)
+    select doc_id, round(sc, 6) as kept_score,
+           cast(nc as bigint) as n_copies
+    from r where rk = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_keep_best
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (F.col("n_chars") + F.col("doc_id") % 7).alias("score"),
+    )
+    return dedup_keep_best(docs, "score")
+
+
+# ---------------------------------------------------------------------
+# 244. Language purity per source (code-switching / corruption flag):
+#      per-doc language ID, per-source dominant language + share,
+#      deterministic argmax (max count, alphabetical ties).
+# ---------------------------------------------------------------------
+@register(
+    "conv_language_purity",
+    """
+    with t as (select source, string_split(lower(text), ' ') as toks
+               from documents),
+    s as (select source,
+                 {scores}
+          from t),
+    b as (select source, greatest(s_en, s_de, s_fr, s_es) as best, *
+          from s),
+    l as (select source,
+                 case when s_en > 0 and s_en = best then 'en'
+                      when s_de > 0 and s_de = best then 'de'
+                      when s_fr > 0 and s_fr = best then 'fr'
+                      when s_es > 0 and s_es = best then 'es'
+                      else 'und' end as lang
+          from b),
+    c as (select source, lang, count(*) as n from l group by 1, 2),
+    r as (select *, row_number() over (
+            partition by source order by n desc, lang) as rk from c),
+    p as (select source, count(*) as n_langs, sum(n) as turns
+          from c group by 1)
+    select p.source, cast(n_langs as bigint) as n_langs,
+           r.lang as dominant_lang,
+           round(cast(r.n as double) / p.turns, 6) as dominant_share,
+           n_langs > 1 as mixed
+    from p join r on r.source = p.source and r.rk = 1
+    """.format(
+        scores=",\n                 ".join(
+            _lang_score_sql(lang, words)
+            for lang, words in [
+                ("en", ("the", "and", "of", "to", "a", "in", "is", "it", "you", "that")),
+                ("de", ("der", "die", "und", "das", "ist", "nicht", "ein", "ich", "mit", "zu")),
+                ("fr", ("le", "la", "et", "les", "des", "est", "un", "une", "que", "pour")),
+                ("es", ("el", "la", "y", "de", "que", "en", "un", "una", "es", "los")),
+            ]
+        )
+    ),
+)
+def q_conv_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import conv_language_purity
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return conv_language_purity(docs, "source", "text")
+
+
+# ---------------------------------------------------------------------
+# 245. Stutter collapse (adjacent same-role same-text turns are retry
+#      artifacts): conv-keyed lag; transcripts stutter naturally on
+#      repeated click/view turns.
+# ---------------------------------------------------------------------
+@register(
+    "stutter_collapse",
+    f"""
+    with t as ({_T_SQL}),
+    l as (select conv_id,
+            case when lag(role) over (
+                   partition by conv_id order by turn_idx) = role
+                  and lag(text) over (
+                   partition by conv_id order by turn_idx) = text
+                 then 1 else 0 end as drp
+          from t)
+    select conv_id, cast(count(*) as bigint) as n_turns,
+           cast(sum(drp) as bigint) as n_stutters,
+           cast(count(*) - sum(drp) as bigint) as n_kept
+    from l group by 1
+    """,
+)
+def q_stutter_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import stutter_collapse
+
+    t = transcripts_from_events(spark, sf_dir)
+    return stutter_collapse(t)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -776,3 +776,19 @@ def test_canonical_dedup_gain(spark):
     assert r["distinct_raw"] == 3
     assert r["distinct_canonical"] == 2
     assert r["extra_dups_found"] == 1
+
+
+def test_stutter_collapse_counts(spark):
+    from sparkcollector.operators.corpus import stutter_collapse
+
+    rows = [
+        ("c", 0, "user", "hi"), ("c", 1, "user", "hi"),      # stutter
+        ("c", 2, "user", "different"),                        # same role only
+        ("c", 3, "assistant", "different"),                   # same text only
+        ("c", 4, "assistant", "different"),                   # stutter
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    r = stutter_collapse(df).collect()[0]
+    assert r["n_turns"] == 5 and r["n_stutters"] == 2 and r["n_kept"] == 3

@@ -398,3 +398,17 @@ def test_partition_balance_report_uniform_keys(spark):
     sk = rows[0]["skew_factor"]
     assert sk < 2.0
     assert all(abs(r["vs_mean"]) < 2.0 for r in rows)
+
+
+def test_dedup_keep_best_policy(spark):
+    from sparkcollector.operators.dedup import dedup_keep_best
+
+    rows = [
+        (1, "same text", 5.0), (2, "same text", 9.0),  # keep id 2
+        (3, "same text", 9.0),                          # tie -> min id 2
+        (4, "unique", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    got = {r["doc_id"]: r for r in dedup_keep_best(df, "score").collect()}
+    assert set(got) == {2, 4}
+    assert got[2]["n_copies"] == 3 and got[2]["kept_score"] == 9.0

@@ -153,3 +153,21 @@ def test_code_prose_ratio_cues(spark):
     got = {r["doc_id"]: r for r in code_prose_ratio(df).collect()}
     assert got[1]["n_code_lines"] == 3 and got[1]["n_lines"] == 4
     assert got[2]["n_code_lines"] == 0 and got[2]["code_ratio"] == 0.0
+
+
+def test_conv_language_purity_mixed(spark):
+    from sparkcollector.operators.textstats import conv_language_purity
+
+    rows = [
+        ("c1", "the cat and the dog is here"),
+        ("c1", "der hund ist nicht mit der katze"),
+        ("c1", "the dog and the cat in it"),
+        ("c2", "el perro y el gato en una casa"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, text string")
+    got = {r["conv_id"]: r for r in conv_language_purity(df).collect()}
+    c1 = got["c1"]
+    assert c1["mixed"] and c1["n_langs"] == 2
+    assert c1["dominant_lang"] == "en"
+    assert abs(c1["dominant_share"] - 2 / 3) < 1e-6
+    assert not got["c2"]["mixed"] and got["c2"]["dominant_lang"] == "es"
