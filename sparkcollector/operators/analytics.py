@@ -1267,3 +1267,111 @@ def rfm_features(
         f"freq_{recent_days}d",
         F.round(F.col("_m").cast("double"), 4).alias("monetary"),
     )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    week_sec: int = 604800,
+) -> DataFrame:
+    """Cohort LTV curve (cumulative value per signup cohort by week
+    offset — the revenue companion of the retention curve): users
+    cohort by first-seen week; each (cohort, offset) cell sums its
+    decimal value and accumulates along the offset axis.
+
+    Per-user first-week aggregate + one user-keyed join + one
+    (cohort, offset) aggregate; the cumulative window runs over the
+    tiny cohort x offset grid.  Weeks are epoch buckets (TZ-free).
+    """
+    from pyspark.sql.window import Window
+
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    week = F.floor(epoch / week_sec).cast("long")
+    first = df.groupBy(user_col).agg(F.min(week).alias("_cohort"))
+    j = df.select(
+        F.col(user_col),
+        week.alias("_w"),
+        F.col(value_col).cast("decimal(19,6)").alias("_v"),
+    ).join(first, user_col)
+    cells = j.groupBy(
+        F.col("_cohort").alias("cohort_week"),
+        (F.col("_w") - F.col("_cohort")).alias("week_offset"),
+    ).agg(F.sum("_v").alias("_wk"))
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cells.select(
+        "cohort_week",
+        "week_offset",
+        F.round(F.col("_wk").cast("double"), 4).alias("week_value"),
+        F.round(F.sum("_wk").over(wcum).cast("double"), 4).alias(
+            "cumulative_value"
+        ),
+    )
+
+
+def error_propagation(
+    df: DataFrame,
+    group_col: str = "user_id",
+    order_col: str = "event_id",
+    flag_col: str = "is_error",
+) -> DataFrame:
+    """Error-propagation rate over the heap forest (does a failing
+    child take its parent down? — the blast-radius number an incident
+    review wants): among parent-child edges, the share of
+    error-children whose parent also errors, vs the parent base rate
+    (lift > 1 = errors propagate).
+
+    Same seq//2 parent rule as the other tree operators; one keyed
+    window + one self-join on (group, parent seq) + a 1-row
+    conditional aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    seq = df.select(
+        F.col(group_col).alias("_g"),
+        F.row_number().over(w).alias("_seq"),
+        F.col(flag_col).cast("int").alias("_e"),
+    )
+    child = seq.filter(F.col("_seq") > 1).select(
+        "_g",
+        F.floor(F.col("_seq") / 2).cast("long").alias("_pseq"),
+        F.col("_e").alias("_ce"),
+    )
+    parent = seq.select(
+        F.col("_g").alias("_pg"),
+        F.col("_seq").alias("_ps"),
+        F.col("_e").alias("_pe"),
+    )
+    edges = child.join(
+        parent,
+        (child["_g"] == parent["_pg"]) & (child["_pseq"] == parent["_ps"]),
+    )
+    g = edges.agg(
+        F.count("*").alias("n_edges"),
+        F.sum("_ce").alias("_nce"),
+        F.sum("_pe").alias("_npe"),
+        F.sum(F.col("_ce") * F.col("_pe")).alias("_both"),
+    )
+    p_parent = F.col("_npe").cast("double") / F.col("n_edges")
+    p_parent_given_child = F.col("_both").cast("double") / F.col("_nce")
+    return g.select(
+        "n_edges",
+        F.col("_nce").alias("n_error_children"),
+        F.round(p_parent, 6).alias("parent_error_rate"),
+        F.round(
+            F.when(F.col("_nce") > 0, p_parent_given_child), 6
+        ).alias("parent_error_given_child_error"),
+        F.round(
+            F.when(
+                (F.col("_nce") > 0) & (F.col("_npe") > 0),
+                p_parent_given_child / p_parent,
+            ),
+            6,
+        ).alias("propagation_lift"),
+    )

@@ -1811,3 +1811,34 @@ def stutter_collapse(
             "n_kept"
         ),
     )
+
+
+def tool_call_stats(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tool-call stats parsed from transcript text (the CALL markers
+    the regex pipeline extracts: ``CALL <tool>(args=...) ->
+    status=<s> dur=<n>ms``): per (tool, status) — call count and
+    decimal-exact mean duration.
+
+    One regexp projection + one grouped pass; rows without a CALL
+    marker emit nothing.  This closes the loop on the transcript
+    construction: the stats recover exactly what the synthesizer
+    embedded.
+    """
+    pat = r"CALL (\w+)\(args=([^)]*)\) -> status=(\w+) dur=(\d+)ms"
+    tool = F.regexp_extract(F.col(text_col), pat, 1)
+    status = F.regexp_extract(F.col(text_col), pat, 3)
+    dur = F.regexp_extract(F.col(text_col), pat, 4).try_cast(
+        "decimal(18,6)"
+    )
+    calls = df.select(
+        tool.alias("tool"), status.alias("status"), dur.alias("_d")
+    ).filter(F.col("tool") != "")
+    return calls.groupBy("tool", "status").agg(
+        F.count("*").alias("n_calls"),
+        F.round(
+            F.sum("_d").cast("double") / F.count("*"), 6
+        ).alias("mean_dur_ms"),
+    )

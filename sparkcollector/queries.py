@@ -9649,6 +9649,109 @@ def q_stutter_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stutter_collapse(t)
 
 
+# ---------------------------------------------------------------------
+# 246. Cohort LTV curve (cumulative decimal value per signup cohort
+#      by week offset — the revenue companion of retention).
+# ---------------------------------------------------------------------
+@register(
+    "cohort_ltv",
+    """
+    with f as (select user_id,
+                 min(cast(floor(epoch(ts) / 604800) as bigint))
+                   as cohort
+               from events group by 1),
+    j as (select e.user_id,
+                 cast(floor(epoch(e.ts) / 604800) as bigint) as w,
+                 cast(e.value as decimal(19,6)) as v, f.cohort
+          from events e join f using (user_id)),
+    c as (select cohort as cohort_week, w - cohort as week_offset,
+                 sum(v) as wk
+          from j group by 1, 2)
+    select cohort_week, week_offset,
+           round(cast(wk as double), 4) as week_value,
+           round(cast(sum(wk) over (
+             partition by cohort_week order by week_offset
+             rows unbounded preceding) as double), 4)
+             as cumulative_value
+    from c
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import cohort_ltv
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_ltv(ev, "user_id", "ts", "value")
+
+
+# ---------------------------------------------------------------------
+# 247. Tool-call stats recovered from transcript text (CALL markers
+#      parse back to exactly what the synthesizer embedded — the
+#      ground-truth oracle reads the source columns directly).
+# ---------------------------------------------------------------------
+@register(
+    "tool_call_stats",
+    """
+    select 'bash' as tool, 'ok' as status,
+           cast(count(*) as bigint) as n_calls,
+           round(cast(sum(cast(cast(json_extract_string(props, '$.k')
+                                    as bigint) as decimal(18,6)))
+                      as double) / count(*), 6) as mean_dur_ms
+    from events
+    where event_type = 'purchase'
+      and json_extract_string(props, '$.k') is not null
+      and regexp_matches(json_extract_string(props, '$.k'), '^[0-9]+$')
+    """,
+)
+def q_tool_call_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import tool_call_stats
+
+    t = transcripts_from_events(spark, sf_dir)
+    return tool_call_stats(t)
+
+
+# ---------------------------------------------------------------------
+# 248. Error-propagation rate over the heap forest (blast radius:
+#      P(parent error | child error) vs the base rate, as lift).
+# ---------------------------------------------------------------------
+@register(
+    "error_propagation",
+    """
+    with s as (select user_id as g,
+                 row_number() over (
+                   partition by user_id order by event_id) as seq,
+                 case when event_type = 'error' then 1 else 0 end as e
+               from events),
+    c as (select g, cast(floor(seq / 2.0) as bigint) as pseq, e as ce
+          from s where seq > 1),
+    j as (select c.ce, s.e as pe
+          from c join s on s.g = c.g and s.seq = c.pseq),
+    a as (select count(*) as n_edges, sum(ce) as nce, sum(pe) as npe,
+                 sum(ce * pe) as nb from j)
+    select cast(n_edges as bigint) as n_edges,
+           cast(nce as bigint) as n_error_children,
+           round(cast(npe as double) / n_edges, 6)
+             as parent_error_rate,
+           round(case when nce > 0
+                      then cast(nb as double) / nce end, 6)
+             as parent_error_given_child_error,
+           round(case when nce > 0 and npe > 0
+                      then (cast(nb as double) / nce)
+                           / (cast(npe as double) / n_edges) end, 6)
+             as propagation_lift
+    from a
+    """,
+)
+def q_error_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import error_propagation
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        (F.col("event_type") == "error").alias("is_error"),
+    )
+    return error_propagation(ev, "user_id", "event_id", "is_error")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

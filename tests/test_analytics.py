@@ -606,3 +606,42 @@ def test_hourly_latency_bands(spark):
     assert r["n"] == 100
     assert r["p50"] == 50.5
     assert abs(r["p95"] - 95.05) < 1e-9
+
+
+def test_cohort_ltv_accumulates(spark):
+    import datetime
+
+    from sparkcollector.operators.analytics import cohort_ltv
+
+    t0 = datetime.datetime(2024, 1, 4)
+    week = datetime.timedelta(days=7)
+    rows = [
+        (1, t0, 10.0), (1, t0 + week, 5.0), (1, t0 + 2 * week, 2.0),
+        (2, t0 + week, 100.0),  # later cohort
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {(r["cohort_week"], r["week_offset"]): r for r in
+           cohort_ltv(df, "user_id", "ts", "value").collect()}
+    cohorts = sorted({c for c, _ in got})
+    c0, c1 = cohorts
+    assert got[(c0, 0)]["cumulative_value"] == 10.0
+    assert got[(c0, 1)]["cumulative_value"] == 15.0
+    assert got[(c0, 2)]["cumulative_value"] == 17.0
+    assert got[(c1, 0)]["week_value"] == 100.0
+
+
+def test_error_propagation_lift(spark):
+    from sparkcollector.operators.analytics import error_propagation
+
+    # heap per group: seq1 parent of 2,3; seq2 parent of 4
+    # g1: parent(1) error, child(2) error -> propagation
+    rows = [
+        (1, 1, True), (1, 2, True), (1, 3, False), (1, 4, False),
+        (2, 1, False), (2, 2, False), (2, 3, False),
+    ]
+    df = spark.createDataFrame(rows, "g long, i long, is_error boolean")
+    r = error_propagation(df, "g", "i", "is_error").collect()[0]
+    assert r["n_edges"] == 5
+    assert r["n_error_children"] == 1
+    assert r["parent_error_given_child_error"] == 1.0
+    assert r["propagation_lift"] > 1.0

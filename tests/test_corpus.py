@@ -792,3 +792,19 @@ def test_stutter_collapse_counts(spark):
     )
     r = stutter_collapse(df).collect()[0]
     assert r["n_turns"] == 5 and r["n_stutters"] == 2 and r["n_kept"] == 3
+
+
+def test_tool_call_stats_recovery(spark):
+    from sparkcollector.operators.corpus import tool_call_stats
+
+    rows = [
+        ("x CALL bash(args=a5) -> status=ok dur=5ms",),
+        ("y CALL bash(args=a15) -> status=ok dur=15ms",),
+        ("z CALL search(args=q) -> status=err dur=120ms",),
+        ("no call here",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = {(r["tool"], r["status"]): r for r in tool_call_stats(df).collect()}
+    assert got[("bash", "ok")]["n_calls"] == 2
+    assert got[("bash", "ok")]["mean_dur_ms"] == 10.0
+    assert got[("search", "err")]["mean_dur_ms"] == 120.0
