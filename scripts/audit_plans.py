@@ -1327,6 +1327,33 @@ def main() -> None:
             spark=spark,
         )
 
+    # batches 42-44
+    for name, max_ex in (
+        ("turn_latency_by_role", 3),
+        ("canonical_dedup_gain", 6),
+        ("ingestion_completeness", 2),
+        ("dedup_keep_best", 1),
+        ("conv_language_purity", 3),
+        ("stutter_collapse", 2),
+        ("cohort_ltv", 4),
+        ("tool_call_stats", 2),
+        ("error_propagation", 3),
+    ):
+        all_ok &= audit(
+            name,
+            (lambda n: lambda: queries()[n](spark, SF_DIR))(name),
+            [
+                (f"shuffle exchanges bounded (<= {max_ex}, excluding "
+                 "broadcast/reused)",
+                 (lambda m: lambda p: len(
+                     re.findall(r"(?<!Broadcast)(?<!d)Exchange \(\d+\)",
+                                p)) <= m)(max_ex)),
+                ("no Python / UDF in plan", lambda p: "Python" not in p),
+            ],
+            out,
+            spark=spark,
+        )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"
