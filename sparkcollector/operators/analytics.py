@@ -1375,3 +1375,96 @@ def error_propagation(
             6,
         ).alias("propagation_lift"),
     )
+
+
+def churn_paths(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    order_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Terminal paths (the last three events before a user goes
+    quiet — where do journeys END?): each user's final trigram,
+    counted and ranked.
+
+    One user-keyed window ranks from the END (row_number over
+    descending order), the trigram assembles from ranks 1..3 via
+    conditional max in ONE grouped pass, then a TakeOrdered top-k.
+    Users with fewer than 3 events are excluded (no full trigram).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(order_col).desc())
+    ranked = df.select(
+        F.col(user_col),
+        F.col(type_col).alias("_t"),
+        F.row_number().over(w).alias("_r"),
+    ).filter(F.col("_r") <= 3)
+    tri = ranked.groupBy(user_col).agg(
+        F.max(F.when(F.col("_r") == 3, F.col("_t"))).alias("t1"),
+        F.max(F.when(F.col("_r") == 2, F.col("_t"))).alias("t2"),
+        F.max(F.when(F.col("_r") == 1, F.col("_t"))).alias("t3"),
+        F.count("*").alias("_n"),
+    ).filter(F.col("_n") == 3)
+    counts = tri.groupBy("t1", "t2", "t3").agg(
+        F.count("*").alias("n_users")
+    )
+    return counts.orderBy(
+        F.desc("n_users"), "t1", "t2", "t3"
+    ).limit(k)
+
+
+def capacity_forecast(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Capacity-headroom forecast (when does the trend cross the
+    ceiling? — the planning question a trend slope exists to answer):
+    per series, the last bucket's count, the least-squares slope, and
+    the buckets-to-threshold extrapolation (NULL when flat or
+    declining — no crossing to forecast).
+
+    Composes the exact-integer trend fit with a deterministic
+    last-bucket argmax; pure arithmetic after two keyed aggregates.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(key_col, bucket_col).agg(
+        F.count("*").alias("y")
+    )
+    wk = Window.partitionBy(key_col)
+    t = (F.col(bucket_col) - F.min(bucket_col).over(wk)).alias("t")
+    pts = counts.select(key_col, t, "y")
+    g = pts.groupBy(key_col).agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.max(F.struct(F.col("t"), F.col("y")))["y"].alias("last_y"),
+    )
+    num = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast(
+        "double"
+    )
+    slope = F.when(den != 0, num / den)
+    headroom = F.lit(threshold) - F.col("last_y").cast("double")
+    return g.select(
+        key_col,
+        F.col("last_y").alias("current"),
+        F.round(slope, 9).alias("slope_per_bucket"),
+        F.round(
+            F.when(
+                slope > 0,
+                F.when(headroom > 0, headroom / slope).otherwise(
+                    F.lit(0.0)
+                ),
+            ),
+            3,
+        ).alias("buckets_to_threshold"),
+    )

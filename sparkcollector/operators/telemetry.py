@@ -2420,3 +2420,81 @@ def ingestion_completeness(
             F.col("active_days").cast("double") / span, 6
         ).alias("completeness"),
     )
+
+
+def concurrency_curve(
+    df: DataFrame,
+    group_cols: list[str],
+    start_col: str,
+    dur_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Concurrency from interval sweep (how many requests were in
+    flight? — Little's-law L measured directly, not inferred):
+    each [start, start+dur) interval explodes to a +1 and a -1
+    boundary event; the ordered cumulative sum IS the concurrency
+    curve, and per group we report its max and its time-weighted
+    mean (area under the curve / span).
+
+    The classic sweep-line as a dataflow: one explode (2 rows per
+    interval), one keyed window cumsum with a deterministic boundary
+    order (time, then -1 before +1 at ties — an interval ending
+    exactly when another starts does not overlap it), one grouped
+    pass.  Area accumulates in decimal.
+    """
+    start = F.col(start_col).cast("double")
+    end = start + F.col(dur_col).cast("double")
+    bounds = df.select(
+        *group_cols,
+        F.col(order_col).alias("_oid"),
+        F.explode(
+            F.array(
+                F.struct(
+                    start.alias("t"), F.lit(1).alias("d")
+                ),
+                F.struct(end.alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("_b"),
+    ).select(
+        *group_cols,
+        "_oid",
+        F.col("_b")["t"].alias("_t"),
+        F.col("_b")["d"].alias("_d"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("_t"), F.col("_d"), F.col("_oid"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wl = Window.partitionBy(*group_cols).orderBy(
+        F.col("_t"), F.col("_d"), F.col("_oid")
+    )
+    cur = F.sum("_d").over(w)
+    nxt_t = F.lead("_t").over(wl)
+    seg = bounds.select(
+        *group_cols,
+        cur.alias("_c"),
+        (
+            (F.coalesce(nxt_t, F.col("_t")) - F.col("_t"))
+            .cast("decimal(18,6)")
+        ).alias("_dt"),
+    )
+    g = seg.groupBy(*group_cols).agg(
+        F.max("_c").alias("max_concurrency"),
+        F.sum(
+            F.col("_c").cast("decimal(19,6)") * F.col("_dt")
+        ).alias("_area"),
+        F.sum("_dt").alias("_span"),
+    )
+    return g.select(
+        *group_cols,
+        "max_concurrency",
+        F.round(
+            F.when(
+                F.col("_span") > 0,
+                F.col("_area").cast("double")
+                / F.col("_span").cast("double"),
+            ),
+            6,
+        ).alias("mean_concurrency"),
+    )

@@ -9752,6 +9752,146 @@ def q_error_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return error_propagation(ev, "user_id", "event_id", "is_error")
 
 
+# ---------------------------------------------------------------------
+# 249. Concurrency from interval sweep (in-flight requests; Little's
+#      L measured): +1/-1 boundary explode, ordered cumsum = the
+#      curve, decimal area for the time-weighted mean.  Durations
+#      synthesized (user_id % 120 + 1 seconds).
+# ---------------------------------------------------------------------
+@register(
+    "concurrency_curve",
+    """
+    with b as (
+      select event_type, event_id as oid, epoch(ts) as t, 1 as d
+      from events
+      union all
+      select event_type, event_id,
+             epoch(ts) + (user_id % 120 + 1), -1
+      from events),
+    s as (select event_type,
+                 sum(d) over (partition by event_type
+                              order by t, d, oid
+                              rows unbounded preceding) as c,
+                 coalesce(lead(t) over (partition by event_type
+                                        order by t, d, oid), t) - t
+                   as dtt
+          from b),
+    a as (select event_type, max(c) as mx,
+                 sum(cast(c as decimal(19,6))
+                     * cast(dtt as decimal(18,6))) as area,
+                 sum(cast(dtt as decimal(18,6))) as span
+          from s group by 1)
+    select event_type, cast(mx as bigint) as max_concurrency,
+           round(case when span > 0
+                      then cast(area as double)
+                           / cast(span as double) end, 6)
+             as mean_concurrency
+    from a
+    """,
+)
+def q_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import concurrency_curve
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        _epoch_s("ts").alias("start_s"),
+        (F.col("user_id") % 120 + 1).cast("double").alias("dur_s"),
+    )
+    out = concurrency_curve(
+        ev, ["event_type"], "start_s", "dur_s", "event_id"
+    )
+    return out.select(
+        "event_type",
+        F.col("max_concurrency").cast("long").alias("max_concurrency"),
+        "mean_concurrency",
+    )
+
+
+# ---------------------------------------------------------------------
+# 250. Terminal paths (last trigram before a user goes quiet):
+#      rank-from-the-end window, conditional-max trigram assembly,
+#      TakeOrdered top-10.
+# ---------------------------------------------------------------------
+@register(
+    "churn_paths",
+    """
+    with r as (select user_id, event_type as t,
+                 row_number() over (
+                   partition by user_id order by event_id desc) as r
+               from events),
+    tri as (select user_id,
+              max(case when r = 3 then t end) as t1,
+              max(case when r = 2 then t end) as t2,
+              max(case when r = 1 then t end) as t3,
+              count(*) as n
+            from r where r <= 3 group by 1),
+    c as (select t1, t2, t3, count(*) as n_users
+          from tri where n = 3 group by 1, 2, 3)
+    select t1, t2, t3, cast(n_users as bigint) as n_users
+    from c order by n_users desc, t1, t2, t3 limit 10
+    """,
+)
+def q_churn_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import churn_paths
+
+    ev = _t(spark, sf_dir, "events")
+    return churn_paths(ev, "user_id", "event_type", "event_id", k=10)
+
+
+# ---------------------------------------------------------------------
+# 251. Capacity-headroom forecast (buckets until the trend crosses
+#      the ceiling; NULL when flat/declining): exact trend fit +
+#      deterministic last-bucket argmax.
+# ---------------------------------------------------------------------
+@register(
+    "capacity_forecast",
+    """
+    with c as (select event_type,
+                 cast(floor(epoch(ts) / 60) as bigint) as bkt,
+                 count(*) as y
+               from events group by 1, 2),
+    p as (select event_type,
+                 bkt - min(bkt) over (partition by event_type) as t,
+                 y
+          from c),
+    g as (select event_type, count(*) as n, sum(t) as st,
+                 sum(y) as sy, sum(t * y) as sty, sum(t * t) as stt,
+                 arg_max(y, t) as last_y
+          from p group by 1),
+    d as (select *, case when cast(n * stt - st * st as double) <> 0
+                         then cast(n * sty - st * sy as double)
+                              / cast(n * stt - st * st as double)
+                    end as slope
+          from g)
+    select event_type, cast(last_y as bigint) as current,
+           round(slope, 9) as slope_per_bucket,
+           round(case when slope > 0 then
+                   case when cast(5 as double)
+                             - cast(last_y as double) > 0
+                        then (cast(5 as double)
+                              - cast(last_y as double)) / slope
+                        else cast(0 as double) end
+                 end, 3) as buckets_to_threshold
+    from d
+    """,
+)
+def q_capacity_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import capacity_forecast
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(_epoch_s("ts") / 60).cast("long").alias("bkt"),
+    )
+    out = capacity_forecast(ev, "event_type", "bkt", threshold=5.0)
+    return out.select(
+        "event_type",
+        F.col("current").cast("long").alias("current"),
+        "slope_per_bucket",
+        "buckets_to_threshold",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -645,3 +645,32 @@ def test_error_propagation_lift(spark):
     assert r["n_error_children"] == 1
     assert r["parent_error_given_child_error"] == 1.0
     assert r["propagation_lift"] > 1.0
+
+
+def test_churn_paths_last_trigram(spark):
+    from sparkcollector.operators.analytics import churn_paths
+
+    rows = [(1, i, t) for i, t in enumerate("xabc")] + [
+        (2, i, t) for i, t in enumerate("abc")
+    ] + [(3, 0, "a"), (3, 1, "b")]  # too short, excluded
+    df = spark.createDataFrame(rows, "u long, i long, t string")
+    got = {(r["t1"], r["t2"], r["t3"]): r["n_users"] for r in
+           churn_paths(df, "u", "t", "i", k=5).collect()}
+    assert got == {("a", "b", "c"): 2}
+
+
+def test_capacity_forecast_crossing(spark):
+    from sparkcollector.operators.analytics import capacity_forecast
+
+    # rising series: counts 1,2,3,4 per bucket -> slope 1,
+    # current 4, threshold 10 -> 6 buckets to go
+    rows = []
+    for b in range(4):
+        rows += [("up", b)] * (b + 1)
+    rows += [("flat", 0), ("flat", 1), ("flat", 2)]
+    df = spark.createDataFrame(rows, "k string, bkt long")
+    got = {r["k"]: r for r in
+           capacity_forecast(df, "k", "bkt", threshold=10.0).collect()}
+    assert got["up"]["current"] == 4
+    assert got["up"]["buckets_to_threshold"] == 6.0
+    assert got["flat"]["buckets_to_threshold"] is None

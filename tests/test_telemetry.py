@@ -1155,3 +1155,24 @@ def test_ingestion_completeness_gaps(spark):
     r = ingestion_completeness(df, "src").collect()[0]
     assert r["active_days"] == 3 and r["span_days"] == 4
     assert r["missing_days"] == 1 and r["completeness"] == 0.75
+
+
+def test_concurrency_curve_sweep(spark):
+    from sparkcollector.operators.telemetry import concurrency_curve
+
+    # intervals: [0,10), [5,15), [20,30) -> max overlap 2
+    rows = [("g", 1, 0.0, 10.0), ("g", 2, 5.0, 10.0), ("g", 3, 20.0, 10.0)]
+    df = spark.createDataFrame(
+        rows, "k string, i long, start_s double, dur_s double"
+    )
+    r = concurrency_curve(df, ["k"], "start_s", "dur_s", "i").collect()[0]
+    assert r["max_concurrency"] == 2
+    # area = 5*1 + 5*2 + 5*1 + 5*0 + 10*1 = 30 over span 30 -> 1.0
+    assert abs(r["mean_concurrency"] - 1.0) < 1e-9
+    # an interval ending exactly when another starts does NOT overlap
+    rows2 = [("g", 1, 0.0, 10.0), ("g", 2, 10.0, 10.0)]
+    df2 = spark.createDataFrame(
+        rows2, "k string, i long, start_s double, dur_s double"
+    )
+    r2 = concurrency_curve(df2, ["k"], "start_s", "dur_s", "i").collect()[0]
+    assert r2["max_concurrency"] == 1
