@@ -1468,3 +1468,44 @@ def capacity_forecast(
             3,
         ).alias("buckets_to_threshold"),
     )
+
+
+def conversion_propensity(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    order_col: str,
+    target: str,
+    lookahead: int = 3,
+) -> DataFrame:
+    """Short-horizon conversion propensity (given the user just did
+    X, how often does ``target`` follow within the next k events? —
+    the next-action model a recommender baselines against): per event
+    type, the share of occurrences followed by the target within
+    ``lookahead`` steps of the same user's sequence.
+
+    ``lookahead`` lead columns from ONE keyed window (k is a config
+    constant), an any-match OR, one grouped pass.  Target events
+    themselves are scored too (a purchase followed by another
+    purchase counts — repeat behavior is signal).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(order_col)
+    hits = None
+    for i in range(1, lookahead + 1):
+        h = F.lead(F.col(type_col), i).over(w) == target
+        hits = h if hits is None else (hits | h)
+    scored = df.select(
+        F.col(type_col).alias("from_type"),
+        F.coalesce(hits, F.lit(False)).alias("_hit"),
+    )
+    return scored.groupBy("from_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("_hit").cast("long")).alias("n_converted"),
+        F.round(
+            F.sum(F.col("_hit").cast("long")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("propensity"),
+    )

@@ -772,3 +772,36 @@ def dedup_keep_best(
         F.round(F.col("_b")["s"], 6).alias("kept_score"),
         "n_copies",
     )
+
+
+def dup_cluster_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate-cluster size distribution (the dedup report's lead
+    chart: how much of the corpus sits in clusters of size 1, 2,
+    3...?): per exact-content cluster size — number of clusters,
+    docs covered, and the corpus share.
+
+    Two tiny aggregates after the hash collapse: (hash -> size),
+    (size -> clusters); the fact table shuffles its 16-byte hashes
+    once, everything downstream is distinct-size cardinality.
+    """
+    h = F.md5(F.col(text_col))
+    sizes = df.select(h.alias("_h")).groupBy("_h").agg(
+        F.count("*").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters")
+    )
+    total = df.select(F.count("*").alias("_t"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        F.round(
+            (F.col("cluster_size") * F.col("n_clusters")).cast("double")
+            / F.col("_t"),
+            6,
+        ).alias("corpus_share"),
+    )

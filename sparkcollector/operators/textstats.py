@@ -286,3 +286,33 @@ def conv_language_purity(
         ).alias("dominant_share"),
         (F.col("n_langs") > 1).alias("mixed"),
     )
+
+
+def nonascii_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_share: float = 0.3,
+) -> DataFrame:
+    """Non-ASCII share audit (the mojibake / encoding-corruption
+    detector: legitimate multilingual text has SOME non-ASCII, a
+    double-decoded mess is drenched in it): per doc — character
+    count, non-ASCII count and share, plus the over-threshold flag.
+
+    The count comes from length(text) - length(ascii-only filter)
+    via regexp_replace — pure codegen string ops, zero shuffle.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    ascii_only = F.regexp_replace(t, r"[^\x00-\x7F]", "")
+    n_non = n_chars - F.length(ascii_only)
+    share = F.when(
+        n_chars > 0, n_non.cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        id_col,
+        n_chars.cast("long").alias("n_chars"),
+        n_non.cast("long").alias("n_nonascii"),
+        F.round(share, 6).alias("nonascii_share"),
+        (share > max_share).alias("suspect"),
+    )

@@ -9892,6 +9892,112 @@ def q_capacity_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# 252. Conversion propensity within 3 steps (next-action baseline):
+#      lead columns from one keyed window, 3VL-safe any-match.
+# ---------------------------------------------------------------------
+@register(
+    "conversion_propensity",
+    """
+    with l as (select user_id, event_type,
+                 lead(event_type, 1) over (
+                   partition by user_id order by event_id) as l1,
+                 lead(event_type, 2) over (
+                   partition by user_id order by event_id) as l2,
+                 lead(event_type, 3) over (
+                   partition by user_id order by event_id) as l3
+               from events),
+    s as (select event_type as from_type,
+                 coalesce(l1 = 'purchase' or l2 = 'purchase'
+                          or l3 = 'purchase', false) as hit
+          from l)
+    select from_type, cast(count(*) as bigint) as n,
+           cast(sum(case when hit then 1 else 0 end) as bigint)
+             as n_converted,
+           round(cast(sum(case when hit then 1 else 0 end) as double)
+                 / count(*), 6) as propensity
+    from s group by 1
+    """,
+)
+def q_conversion_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import conversion_propensity
+
+    ev = _t(spark, sf_dir, "events")
+    return conversion_propensity(
+        ev, "user_id", "event_type", "event_id", "purchase", lookahead=3
+    )
+
+
+# ---------------------------------------------------------------------
+# 253. Non-ASCII share audit (mojibake detector): unicode injected on
+#      doc_id%4; oracle replays the same regexp filter.
+# ---------------------------------------------------------------------
+@register(
+    "nonascii_audit",
+    """
+    with m as (select doc_id,
+                 case when doc_id % 4 = 0 then text || ' café üñ'
+                      else text end as t
+               from documents)
+    select doc_id, cast(length(t) as bigint) as n_chars,
+           cast(length(t)
+                - length(regexp_replace(t, '[^\\x00-\\x7F]', '', 'g'))
+                as bigint) as n_nonascii,
+           round(case when length(t) > 0
+                 then cast(length(t)
+                      - length(regexp_replace(t, '[^\\x00-\\x7F]',
+                                              '', 'g')) as double)
+                      / length(t)
+                 else cast(0 as double) end, 6) as nonascii_share,
+           case when length(t) > 0
+                then cast(length(t)
+                     - length(regexp_replace(t, '[^\\x00-\\x7F]',
+                                             '', 'g')) as double)
+                     / length(t)
+                else cast(0 as double) end
+             > cast(0.3 as double) as suspect
+    from m
+    """,
+)
+def q_nonascii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import nonascii_audit
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" café üñ")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return nonascii_audit(docs, max_share=0.3)
+
+
+# ---------------------------------------------------------------------
+# 254. Duplicate-cluster size distribution (the dedup report's lead
+#      chart): hash collapse, size histogram, corpus shares.
+# ---------------------------------------------------------------------
+@register(
+    "dup_cluster_histogram",
+    """
+    with s as (select md5(text) as h, count(*) as cs
+               from documents group by 1),
+    hst as (select cs as cluster_size, count(*) as n_clusters
+            from s group by 1),
+    t as (select count(*) as tt from documents)
+    select cluster_size, cast(n_clusters as bigint) as n_clusters,
+           cast(cluster_size * n_clusters as bigint) as n_docs,
+           round(cast(cluster_size * n_clusters as double) / tt, 6)
+             as corpus_share
+    from hst, t
+    """,
+)
+def q_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dup_cluster_histogram
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_cluster_histogram(docs)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -674,3 +674,18 @@ def test_capacity_forecast_crossing(spark):
     assert got["up"]["current"] == 4
     assert got["up"]["buckets_to_threshold"] == 6.0
     assert got["flat"]["buckets_to_threshold"] is None
+
+
+def test_conversion_propensity_window(spark):
+    from sparkcollector.operators.analytics import conversion_propensity
+
+    # user 1: a b c purchase -> a converts (3 steps), b (2), c (1)
+    # user 2: a x x x purchase -> a does NOT convert (4 steps away)
+    rows = [(1, i, t) for i, t in enumerate(["a", "b", "c", "purchase"])]
+    rows += [(2, i, t) for i, t in enumerate(["a", "x", "x", "x", "purchase"])]
+    df = spark.createDataFrame(rows, "u long, i long, t string")
+    got = {r["from_type"]: r for r in conversion_propensity(
+        df, "u", "t", "i", "purchase", lookahead=3).collect()}
+    assert got["a"]["n"] == 2 and got["a"]["n_converted"] == 1
+    assert got["b"]["propensity"] == 1.0
+    assert got["x"]["n_converted"] == 3  # all within 3 of the purchase

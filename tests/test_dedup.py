@@ -412,3 +412,15 @@ def test_dedup_keep_best_policy(spark):
     got = {r["doc_id"]: r for r in dedup_keep_best(df, "score").collect()}
     assert set(got) == {2, 4}
     assert got[2]["n_copies"] == 3 and got[2]["kept_score"] == 9.0
+
+
+def test_dup_cluster_histogram_shares(spark):
+    from sparkcollector.operators.dedup import dup_cluster_histogram
+
+    rows = [("a",), ("a",), ("a",), ("b",), ("b",), ("c",)]
+    df = spark.createDataFrame(rows, "text string")
+    got = {r["cluster_size"]: r for r in dup_cluster_histogram(df).collect()}
+    assert got[3]["n_clusters"] == 1 and got[3]["n_docs"] == 3
+    assert got[2]["n_clusters"] == 1
+    assert got[1]["n_clusters"] == 1
+    assert abs(sum(r["corpus_share"] for r in got.values()) - 1.0) < 1e-9

@@ -171,3 +171,16 @@ def test_conv_language_purity_mixed(spark):
     assert c1["dominant_lang"] == "en"
     assert abs(c1["dominant_share"] - 2 / 3) < 1e-6
     assert not got["c2"]["mixed"] and got["c2"]["dominant_lang"] == "es"
+
+
+def test_nonascii_audit_flags(spark):
+    from sparkcollector.operators.textstats import nonascii_audit
+
+    df = spark.createDataFrame(
+        [(1, "plain ascii"), (2, "ééééé"), (3, "mix é end")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in nonascii_audit(df, max_share=0.3).collect()}
+    assert got[1]["n_nonascii"] == 0 and not got[1]["suspect"]
+    assert got[2]["nonascii_share"] == 1.0 and got[2]["suspect"]
+    assert got[3]["n_nonascii"] == 1 and not got[3]["suspect"]
