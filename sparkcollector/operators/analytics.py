@@ -1509,3 +1509,46 @@ def conversion_propensity(
             6,
         ).alias("propensity"),
     )
+
+
+def escalation_chains(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    sev_col: str,
+    lookback: int = 3,
+) -> DataFrame:
+    """Severity escalation chains (did the ERROR announce itself? —
+    errors preceded by a WARN within the last k events are
+    escalations a pre-warning detector could have caught; cold errors
+    are not): per key — error count, escalated count, and the
+    escalation share.
+
+    ``lookback`` lag columns from one keyed window (3VL-safe
+    any-match), one grouped pass.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    warned = None
+    for i in range(1, lookback + 1):
+        h = F.lag(F.col(sev_col), i).over(w) == "WARN"
+        warned = h if warned is None else (warned | h)
+    is_err = F.col(sev_col) == "ERROR"
+    scored = df.select(
+        *key_cols,
+        is_err.alias("_e"),
+        (is_err & F.coalesce(warned, F.lit(False))).alias("_esc"),
+    )
+    return scored.groupBy(*key_cols).agg(
+        F.sum(F.col("_e").cast("long")).alias("n_errors"),
+        F.sum(F.col("_esc").cast("long")).alias("n_escalated"),
+        F.round(
+            F.when(
+                F.sum(F.col("_e").cast("long")) > 0,
+                F.sum(F.col("_esc").cast("long")).cast("double")
+                / F.sum(F.col("_e").cast("long")),
+            ),
+            6,
+        ).alias("escalation_share"),
+    )

@@ -2498,3 +2498,37 @@ def concurrency_curve(
             6,
         ).alias("mean_concurrency"),
     )
+
+
+def p95_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    week_sec: int = 604800,
+) -> DataFrame:
+    """Weekly p95 trend (is latency regressing? — the percentile
+    ribbon's week-over-week derivative): per (group, week), the exact
+    p95 plus its delta vs the group's previous week.
+
+    Percentiles aggregate per (group, week); the lag window runs over
+    that tiny table and shares the group key.  First weeks report a
+    NULL delta (no baseline, not zero).
+    """
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    week = F.floor(epoch / week_sec).cast("long")
+    per = df.groupBy(*group_cols, week.alias("week")).agg(
+        F.count("*").alias("n"),
+        F.percentile(F.col(value_col).cast("double"), F.lit(0.95)).alias(
+            "_p"
+        ),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("week")
+    prev = F.lag("_p").over(w)
+    return per.select(
+        *group_cols,
+        "week",
+        "n",
+        F.round(F.col("_p"), 6).alias("p95"),
+        F.round(F.col("_p") - prev, 6).alias("p95_delta"),
+    )

@@ -9998,6 +9998,140 @@ def q_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_cluster_histogram(docs)
 
 
+# ---------------------------------------------------------------------
+# 255. Join-strategy advisor (broadcast vs shuffle vs salt from sizes
+#      and skew — the plan-time decision table): facts vs a distinct
+#      user dim; dim fits the broadcast threshold by construction.
+# ---------------------------------------------------------------------
+@register(
+    "join_strategy_advisor",
+    """
+    with lp as (select user_id, count(*) as n,
+                       sum(length(coalesce(props, '')) + 64) as b
+                from events group by 1),
+    ls as (select sum(n) as left_rows, sum(b) as left_bytes,
+                  max(n) as left_max, count(*) as left_keys from lp),
+    ru as (select distinct user_id from events),
+    rp as (select user_id, 1 as n, 32 as b from ru),
+    rs as (select sum(n) as right_rows, sum(b) as right_bytes,
+                  max(n) as right_max, count(*) as right_keys from rp),
+    j as (select * from ls, rs),
+    k as (select *,
+                 case when left_bytes >= right_bytes
+                      then cast(left_max as double)
+                           / (cast(left_rows as double) / left_keys)
+                      else cast(right_max as double)
+                           / (cast(right_rows as double) / right_keys)
+                 end as skew
+          from j)
+    select cast(left_rows as bigint) as left_rows,
+           cast(left_bytes as bigint) as left_bytes,
+           cast(right_rows as bigint) as right_rows,
+           cast(right_bytes as bigint) as right_bytes,
+           round(skew, 6) as big_side_skew,
+           case when right_bytes <= 67108864 then 'broadcast_right'
+                when left_bytes <= 67108864 then 'broadcast_left'
+                when skew > 8.0 then 'shuffle_salted'
+                else 'shuffle_hash' end as strategy
+    from k
+    """,
+)
+def q_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .skew import join_strategy_advisor
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select(
+        "user_id",
+        (F.length(F.coalesce(F.col("props"), F.lit(""))) + 64).alias(
+            "_lb"
+        ),
+    )
+    right = ev.select("user_id").distinct().withColumn(
+        "_rb", F.lit(32)
+    )
+    return join_strategy_advisor(
+        left, right, "user_id", F.col("_lb"), F.col("_rb")
+    )
+
+
+# ---------------------------------------------------------------------
+# 256. Weekly p95 trend (is latency regressing?): per-week exact
+#      percentiles, lag over the tiny weekly table, NULL first-week
+#      delta.
+# ---------------------------------------------------------------------
+@register(
+    "p95_trend",
+    """
+    with p as (select event_type,
+                 cast(floor(epoch(ts) / 604800) as bigint) as week,
+                 count(*) as n, quantile_cont(value, 0.95) as p
+               from events group by 1, 2)
+    select event_type, week, cast(n as bigint) as n,
+           round(p, 6) as p95,
+           round(p - lag(p) over (
+             partition by event_type order by week), 6) as p95_delta
+    from p
+    """,
+)
+def q_p95_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import p95_trend
+
+    ev = _t(spark, sf_dir, "events")
+    return p95_trend(ev, ["event_type"], "value", "ts")
+
+
+# ---------------------------------------------------------------------
+# 257. Severity escalation chains (errors announced by a WARN within
+#      the previous 3 events vs cold errors): lag any-match.
+# ---------------------------------------------------------------------
+@register(
+    "escalation_chains",
+    """
+    with s as (select user_id, event_id,
+                 case event_type when 'error' then 'ERROR'
+                      when 'purchase' then 'WARN'
+                      else 'INFO' end as sev
+               from events),
+    l as (select user_id, sev,
+                 lag(sev, 1) over (
+                   partition by user_id order by event_id) as p1,
+                 lag(sev, 2) over (
+                   partition by user_id order by event_id) as p2,
+                 lag(sev, 3) over (
+                   partition by user_id order by event_id) as p3
+          from s),
+    e as (select user_id, sev = 'ERROR' as err,
+                 (sev = 'ERROR') and coalesce(
+                   p1 = 'WARN' or p2 = 'WARN' or p3 = 'WARN', false)
+                   as esc
+          from l)
+    select user_id,
+           cast(sum(case when err then 1 else 0 end) as bigint)
+             as n_errors,
+           cast(sum(case when esc then 1 else 0 end) as bigint)
+             as n_escalated,
+           round(case when sum(case when err then 1 else 0 end) > 0
+                 then cast(sum(case when esc then 1 else 0 end)
+                           as double)
+                      / sum(case when err then 1 else 0 end) end, 6)
+             as escalation_share
+    from e group by 1
+    """,
+)
+def q_escalation_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import escalation_chains
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("ERROR"))
+        .when(F.col("event_type") == "purchase", F.lit("WARN"))
+        .otherwise(F.lit("INFO"))
+        .alias("sev"),
+    )
+    return escalation_chains(ev, ["user_id"], "event_id", "sev", lookback=3)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

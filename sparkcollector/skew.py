@@ -325,3 +325,84 @@ def partition_balance_report(
             6,
         ).alias("skew_factor"),
     )
+
+
+def join_strategy_advisor(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_bytes: Column,
+    right_bytes: Column,
+    broadcast_threshold: int = 64 * 1024 * 1024,
+    skew_ratio: float = 8.0,
+) -> DataFrame:
+    """Join-strategy advisor (the decision table behind broadcast vs
+    shuffle vs salt: sizes and skew, not vibes): one row with both
+    sides' row/byte estimates, the hot-key skew ratio on the big
+    side, and the recommended strategy —
+
+      * ``broadcast_right`` / ``broadcast_left`` when a side fits
+        the broadcast threshold,
+      * ``shuffle_salted`` when neither fits and the larger side's
+        hottest key exceeds ``skew_ratio`` x the mean key weight,
+      * ``shuffle_hash`` otherwise.
+
+    All inputs come from per-key aggregates (facts collapse before
+    any global step); the rules are the same ones AQE applies at
+    runtime — this is the PLAN-TIME version you can read in review.
+    """
+    def side_stats(df: DataFrame, bytes_col: Column):
+        per = df.groupBy(key_col).agg(
+            F.count("*").alias("_n"), F.sum(bytes_col).alias("_b")
+        )
+        return per.agg(
+            F.sum("_n").alias("rows"),
+            F.sum("_b").alias("bytes"),
+            F.max("_n").alias("max_key_rows"),
+            F.count("*").alias("n_keys"),
+        )
+    ls = side_stats(left, left_bytes).select(
+        F.col("rows").alias("left_rows"),
+        F.col("bytes").alias("left_bytes"),
+        F.col("max_key_rows").alias("left_max_key"),
+        F.col("n_keys").alias("left_keys"),
+    )
+    rs = side_stats(right, right_bytes).select(
+        F.col("rows").alias("right_rows"),
+        F.col("bytes").alias("right_bytes"),
+        F.col("max_key_rows").alias("right_max_key"),
+        F.col("n_keys").alias("right_keys"),
+    )
+    j = ls.crossJoin(rs)
+    big_is_left = F.col("left_bytes") >= F.col("right_bytes")
+    big_max = F.when(big_is_left, F.col("left_max_key")).otherwise(
+        F.col("right_max_key")
+    )
+    big_rows = F.when(big_is_left, F.col("left_rows")).otherwise(
+        F.col("right_rows")
+    )
+    big_keys = F.when(big_is_left, F.col("left_keys")).otherwise(
+        F.col("right_keys")
+    )
+    mean_key = big_rows.cast("double") / big_keys
+    skew = big_max.cast("double") / mean_key
+    strategy = (
+        F.when(
+            F.col("right_bytes") <= broadcast_threshold,
+            F.lit("broadcast_right"),
+        )
+        .when(
+            F.col("left_bytes") <= broadcast_threshold,
+            F.lit("broadcast_left"),
+        )
+        .when(skew > skew_ratio, F.lit("shuffle_salted"))
+        .otherwise(F.lit("shuffle_hash"))
+    )
+    return j.select(
+        "left_rows",
+        "left_bytes",
+        "right_rows",
+        "right_bytes",
+        F.round(skew, 6).alias("big_side_skew"),
+        strategy.alias("strategy"),
+    )

@@ -689,3 +689,16 @@ def test_conversion_propensity_window(spark):
     assert got["a"]["n"] == 2 and got["a"]["n_converted"] == 1
     assert got["b"]["propensity"] == 1.0
     assert got["x"]["n_converted"] == 3  # all within 3 of the purchase
+
+
+def test_escalation_chains_lookback(spark):
+    from sparkcollector.operators.analytics import escalation_chains
+
+    seq = ["INFO", "WARN", "INFO", "ERROR",   # escalated (WARN 2 back)
+           "INFO", "INFO", "INFO", "ERROR"]   # cold error
+    rows = [(1, i, s) for i, s in enumerate(seq)]
+    df = spark.createDataFrame(rows, "u long, i long, sev string")
+    r = escalation_chains(df, ["u"], "i", "sev", lookback=3).collect()[0]
+    assert r["n_errors"] == 2
+    assert r["n_escalated"] == 1
+    assert r["escalation_share"] == 0.5

@@ -424,3 +424,30 @@ def test_dup_cluster_histogram_shares(spark):
     assert got[2]["n_clusters"] == 1
     assert got[1]["n_clusters"] == 1
     assert abs(sum(r["corpus_share"] for r in got.values()) - 1.0) < 1e-9
+
+
+def test_join_strategy_advisor_rules(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.skew import join_strategy_advisor
+
+    left = spark.createDataFrame(
+        [(i % 10, 1000) for i in range(100)], "k long, b long"
+    )
+    small = spark.createDataFrame([(i, 10) for i in range(10)], "k long, b long")
+    r = join_strategy_advisor(
+        left, small, "k", F.col("b"), F.col("b")
+    ).collect()[0]
+    assert r["strategy"] == "broadcast_right"
+    # neither side fits + hot key -> salted
+    hot = spark.createDataFrame(
+        [(7, 1000)] * 90 + [(i, 1000) for i in range(10)], "k long, b long"
+    )
+    big = spark.createDataFrame(
+        [(i % 10, 1000) for i in range(50)], "k long, b long"
+    )
+    r2 = join_strategy_advisor(
+        hot, big, "k", F.col("b"), F.col("b"), broadcast_threshold=100
+    ).collect()[0]
+    assert r2["strategy"] == "shuffle_salted"
+    assert r2["big_side_skew"] > 8.0

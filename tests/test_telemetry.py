@@ -1176,3 +1176,22 @@ def test_concurrency_curve_sweep(spark):
     )
     r2 = concurrency_curve(df2, ["k"], "start_s", "dur_s", "i").collect()[0]
     assert r2["max_concurrency"] == 1
+
+
+def test_p95_trend_delta(spark):
+    import datetime
+
+    from sparkcollector.operators.telemetry import p95_trend
+
+    t0 = datetime.datetime(2024, 1, 4)
+    week = datetime.timedelta(days=7)
+    rows = [("s", t0, float(v)) for v in range(1, 101)]
+    rows += [("s", t0 + week, float(v * 2)) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    got = sorted(
+        (r["week"], r["p95"], r["p95_delta"])
+        for r in p95_trend(df, ["k"], "value", "ts").collect()
+    )
+    assert got[0][2] is None                   # first week: no baseline
+    assert abs(got[1][1] - 2 * got[0][1]) < 1e-6
+    assert abs(got[1][2] - got[0][1]) < 1e-6   # delta = +p95_week0
