@@ -1354,6 +1354,33 @@ def main() -> None:
             spark=spark,
         )
 
+    # batches 45-47
+    for name, max_ex in (
+        ("concurrency_curve", 2),
+        ("churn_paths", 3),
+        ("capacity_forecast", 3),
+        ("conversion_propensity", 2),
+        ("nonascii_audit", 0),
+        ("dup_cluster_histogram", 3),
+        ("join_strategy_advisor", 5),
+        ("p95_trend", 2),
+        ("escalation_chains", 2),
+    ):
+        all_ok &= audit(
+            name,
+            (lambda n: lambda: queries()[n](spark, SF_DIR))(name),
+            [
+                (f"shuffle exchanges bounded (<= {max_ex}, excluding "
+                 "broadcast/reused)",
+                 (lambda m: lambda p: len(
+                     re.findall(r"(?<!Broadcast)(?<!d)Exchange \(\d+\)",
+                                p)) <= m)(max_ex)),
+                ("no Python / UDF in plan", lambda p: "Python" not in p),
+            ],
+            out,
+            spark=spark,
+        )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"
