@@ -1552,3 +1552,34 @@ def escalation_chains(
             6,
         ).alias("escalation_share"),
     )
+
+
+def engagement_conversion(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    target: str = "purchase",
+) -> DataFrame:
+    """Conversion rate by engagement band (does more activity convert
+    better? — the product question behind every activation metric):
+    users band by total event count (power-of-two bands, integer bit
+    length), each band reports users, converters and the rate.
+
+    One per-user aggregate (count + converted flag in the same pass),
+    then a band rollup over the tiny user table.
+    """
+    per_user = df.groupBy(user_col).agg(
+        F.count("*").alias("_n"),
+        F.max((F.col(type_col) == target).cast("long")).alias("_c"),
+    )
+    band = F.when(F.col("_n") <= 1, F.lit(1)).otherwise(
+        F.expr("shiftleft(1, length(bin(_n - 1)))")
+    ).cast("long")
+    banded = per_user.withColumn("band", band)
+    return banded.groupBy("band").agg(
+        F.count("*").alias("n_users"),
+        F.sum("_c").alias("n_converted"),
+        F.round(
+            F.sum("_c").cast("double") / F.count("*"), 6
+        ).alias("conversion_rate"),
+    )

@@ -384,3 +384,34 @@ def span_self_time(
         ),
         F.round(self_t, 4).alias("self_time"),
     )
+
+
+def degree_distribution(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree distribution of a directed graph (the first chart of
+    any graph analysis — is this a hub-and-spoke or a mesh?): per
+    (direction, degree) — how many nodes have that in/out degree,
+    and their share of nodes appearing in that direction.
+
+    Per-node degrees collapse the edge list first; the histogram
+    then runs over distinct degree values.  Out- and in-direction
+    rows stack in one frame.
+    """
+    def hist(col: str, direction: str) -> DataFrame:
+        deg = edges.groupBy(F.col(col).alias("node")).agg(
+            F.count("*").alias("degree")
+        )
+        h = deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+        t = deg.agg(F.count("*").alias("_t"))
+        return h.crossJoin(F.broadcast(t)).select(
+            F.lit(direction).alias("direction"),
+            "degree",
+            "n_nodes",
+            F.round(
+                F.col("n_nodes").cast("double") / F.col("_t"), 6
+            ).alias("node_share"),
+        )
+    return hist(src_col, "out").unionByName(hist(dst_col, "in"))

@@ -736,3 +736,53 @@ def embedding_hygiene(
         F.round(F.min("_norm"), 6).alias("min_norm"),
         F.round(F.max("_norm"), 6).alias("max_norm"),
     )
+
+
+def rrf_fusion(
+    ranking_a: DataFrame,
+    ranking_b: DataFrame,
+    id_col: str = "doc_id",
+    score_a: str = "score",
+    score_b: str = "score",
+    k: int = 60,
+    top: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings (the standard
+    lexical+semantic combiner — BM25 and cosine scores are
+    incomparable, their RANKS are not): fused = 1/(k + rank_a) +
+    1/(k + rank_b), docs missing from a ranking contribute nothing
+    from it; top-``top`` by fused score, ties to the smaller id.
+
+    Ranks come from one window per ranking (each bounded by its own
+    candidate list, typically already top-N); the fusion is a
+    full-outer id join + arithmetic, the final cut a TakeOrdered.
+    """
+    from pyspark.sql.window import Window
+
+    def ranked(df: DataFrame, score_col: str, out: str) -> DataFrame:
+        w = Window.orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+        return df.select(
+            F.col(id_col), F.row_number().over(w).alias(out)
+        )
+    a = ranked(ranking_a, score_a, "_ra")
+    b = ranked(ranking_b, score_b, "_rb")
+    j = a.join(b, id_col, "full_outer")
+    contrib_a = F.when(
+        F.col("_ra").isNotNull(), 1.0 / (F.lit(k) + F.col("_ra"))
+    ).otherwise(F.lit(0.0))
+    contrib_b = F.when(
+        F.col("_rb").isNotNull(), 1.0 / (F.lit(k) + F.col("_rb"))
+    ).otherwise(F.lit(0.0))
+    fused = contrib_a + contrib_b
+    return (
+        j.select(
+            id_col,
+            F.col("_ra").alias("rank_a"),
+            F.col("_rb").alias("rank_b"),
+            F.round(fused, 9).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.col(id_col).asc())
+        .limit(top)
+    )

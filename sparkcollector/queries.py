@@ -10132,6 +10132,120 @@ def q_escalation_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return escalation_chains(ev, ["user_id"], "event_id", "sev", lookback=3)
 
 
+# ---------------------------------------------------------------------
+# 258. Reciprocal-rank fusion (lexical + semantic combiner over
+#      incomparable scores): two ranked candidate lists with
+#      different coverage, full-outer fusion, top-10.
+# ---------------------------------------------------------------------
+@register(
+    "rrf_fusion",
+    """
+    with a0 as (select doc_id, cast(n_chars % 997 as double) as s
+                from documents where doc_id % 2 = 0),
+    a as (select doc_id,
+                 row_number() over (order by s desc, doc_id) as ra
+          from a0),
+    b0 as (select doc_id,
+                  cast(len(string_split(text, ' ')) as double) as s
+           from documents where doc_id % 3 = 0),
+    b as (select doc_id,
+                 row_number() over (order by s desc, doc_id) as rb
+          from b0),
+    j as (select coalesce(a.doc_id, b.doc_id) as doc_id, ra, rb
+          from a full outer join b on a.doc_id = b.doc_id),
+    f as (select doc_id, ra as rank_a, rb as rank_b,
+                 round(case when ra is not null
+                            then cast(1 as double) / (60 + ra)
+                            else cast(0 as double) end
+                       + case when rb is not null
+                              then cast(1 as double) / (60 + rb)
+                              else cast(0 as double) end, 9)
+                   as rrf_score
+          from j)
+    select doc_id, rank_a, rank_b, rrf_score
+    from f order by rrf_score desc, doc_id limit 10
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import rrf_fusion
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", (F.col("n_chars") % 997).cast("double").alias("score")
+    )
+    b = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("score"),
+    )
+    return rrf_fusion(a, b, "doc_id", "score", "score", k=60, top=10)
+
+
+# ---------------------------------------------------------------------
+# 259. Degree distribution of the user-derived graph (hub-and-spoke
+#      vs mesh): per-node degrees collapse the edge list first.
+# ---------------------------------------------------------------------
+@register(
+    "degree_distribution",
+    """
+    with e as (select distinct (user_id % 64) as src,
+                      ((user_id * 7 + 3) % 64) as dst
+               from events),
+    o as (select src as node, count(*) as degree from e group by 1),
+    oh as (select degree, count(*) as n_nodes from o group by 1),
+    ot as (select count(*) as t from o),
+    i as (select dst as node, count(*) as degree from e group by 1),
+    ih as (select degree, count(*) as n_nodes from i group by 1),
+    it as (select count(*) as t from i)
+    select 'out' as direction, degree,
+           cast(n_nodes as bigint) as n_nodes,
+           round(cast(n_nodes as double) / t, 6) as node_share
+    from oh, ot
+    union all
+    select 'in', degree, cast(n_nodes as bigint),
+           round(cast(n_nodes as double) / t, 6)
+    from ih, it
+    """,
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import degree_distribution
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    edges = ev.select(
+        (uid % 64).alias("src"), ((uid * 7 + 3) % 64).alias("dst")
+    ).distinct()
+    return degree_distribution(edges)
+
+
+# ---------------------------------------------------------------------
+# 260. Conversion by engagement band (power-of-two activity bands):
+#      one per-user pass, band rollup on the user table.
+# ---------------------------------------------------------------------
+@register(
+    "engagement_conversion",
+    """
+    with u as (select user_id, count(*) as n,
+                 max(case when event_type = 'purchase'
+                          then 1 else 0 end) as c
+               from events group by 1),
+    b as (select case when n <= 1 then cast(1 as bigint)
+                      else cast(1 as bigint) << length(bin(n - 1))
+                 end as band, c
+          from u)
+    select band, cast(count(*) as bigint) as n_users,
+           cast(sum(c) as bigint) as n_converted,
+           round(cast(sum(c) as double) / count(*), 6)
+             as conversion_rate
+    from b group by 1
+    """,
+)
+def q_engagement_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import engagement_conversion
+
+    ev = _t(spark, sf_dir, "events")
+    return engagement_conversion(ev, "user_id", "event_type", "purchase")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

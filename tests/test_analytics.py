@@ -702,3 +702,19 @@ def test_escalation_chains_lookback(spark):
     assert r["n_errors"] == 2
     assert r["n_escalated"] == 1
     assert r["escalation_share"] == 0.5
+
+
+def test_engagement_conversion_bands(spark):
+    from sparkcollector.operators.analytics import engagement_conversion
+
+    rows = []
+    # user 1: 1 event, no purchase; user 2: 3 events incl purchase;
+    # user 3: 4 events, no purchase
+    rows += [(1, "view")]
+    rows += [(2, "view"), (2, "click"), (2, "purchase")]
+    rows += [(3, "view")] * 4
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {r["band"]: r for r in
+           engagement_conversion(df, "user_id", "event_type").collect()}
+    assert got[1]["n_users"] == 1 and got[1]["conversion_rate"] == 0.0
+    assert got[4]["n_users"] == 2 and got[4]["n_converted"] == 1

@@ -191,3 +191,17 @@ def test_span_self_time_flamegraph_math(spark):
     r1 = {r["seq"]: r for r in
           span_self_time(df2, "user_id", "value", "event_id").collect()}[1]
     assert r1["self_time"] == 0.0
+
+
+def test_degree_distribution_directions(spark):
+    from sparkcollector.operators.graph import degree_distribution
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    got = {(r["direction"], r["degree"]): r["n_nodes"]
+           for r in degree_distribution(edges).collect()}
+    assert got[("out", 2)] == 1   # node 1
+    assert got[("out", 1)] == 1   # node 2
+    assert got[("in", 2)] == 1    # node 3
+    assert got[("in", 1)] == 1    # node 2

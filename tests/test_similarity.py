@@ -208,3 +208,21 @@ def test_embedding_hygiene_counts(spark):
     assert r["n_nan"] == 1 and r["n_zero_norm"] == 1
     assert r["n_norm_out_of_band"] == 1
     assert r["min_norm"] == 0.0 and r["max_norm"] == 1e9
+
+
+def test_rrf_fusion_combines_rankings(spark):
+    from sparkcollector.operators.similarity import rrf_fusion
+
+    # doc 1 ranks #1 in both lists -> fused winner; doc 9 only in A
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (9, 3.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(1, 100.0), (3, 50.0)], "doc_id long, score double"
+    )
+    rows = rrf_fusion(a, b, top=5).collect()
+    assert rows[0]["doc_id"] == 1
+    assert rows[0]["rank_a"] == 1 and rows[0]["rank_b"] == 1
+    only_a = next(r for r in rows if r["doc_id"] == 9)
+    assert only_a["rank_b"] is None
+    assert abs(rows[0]["rrf_score"] - 2 / 61) < 1e-9
