@@ -1583,3 +1583,89 @@ def engagement_conversion(
             F.sum("_c").cast("double") / F.count("*"), 6
         ).alias("conversion_rate"),
     )
+
+
+def mase_baseline(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    season: int = 24,
+) -> DataFrame:
+    """Seasonal-naive forecast error (MASE denominator discipline:
+    before shipping any forecaster, beat the "same hour yesterday"
+    baseline): per series, the MAE of the seasonal-naive forecast
+    (lag ``season``) and of the one-step naive (lag 1), and their
+    ratio — seasonal/naive < 1 means the seasonality is real signal.
+
+    Counts bucket first; both lags come from ONE keyed window pass;
+    absolute errors accumulate in decimal.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(key_col, bucket_col).agg(
+        F.count("*").cast("double").alias("y")
+    )
+    w = Window.partitionBy(key_col).orderBy(bucket_col)
+    e_seasonal = F.abs(
+        F.col("y") - F.lag("y", season).over(w)
+    ).cast("decimal(18,6)")
+    e_naive = F.abs(F.col("y") - F.lag("y", 1).over(w)).cast(
+        "decimal(18,6)"
+    )
+    errs = counts.select(
+        key_col, e_seasonal.alias("_es"), e_naive.alias("_en")
+    )
+    g = errs.groupBy(key_col).agg(
+        F.count(F.col("_es")).alias("n_seasonal"),
+        F.sum("_es").alias("_ses"),
+        F.count(F.col("_en")).alias("n_naive"),
+        F.sum("_en").alias("_sen"),
+    )
+    mae_s = F.col("_ses").cast("double") / F.col("n_seasonal")
+    mae_n = F.col("_sen").cast("double") / F.col("n_naive")
+    return g.select(
+        key_col,
+        F.round(mae_s, 6).alias("mae_seasonal"),
+        F.round(mae_n, 6).alias("mae_naive"),
+        F.round(
+            F.when(mae_n > 0, mae_s / mae_n), 6
+        ).alias("mase_ratio"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mutual information between two categoricals (are event type
+    and time-of-day band independent? — the dependence screen run
+    before trusting either as a feature): per contingency cell,
+    ``p_xy * ln(p_xy / (p_x * p_y))`` in nats; the MI is the sum of
+    terms (zero cells contribute nothing, correctly).
+
+    One contingency aggregate (bounded |X| x |Y|), marginals via two
+    more tiny rollups joined back broadcast; single divisions and one
+    ln per cell.
+    """
+    cells = df.groupBy(x_col, y_col).agg(F.count("*").alias("_nxy"))
+    mx = cells.groupBy(x_col).agg(F.sum("_nxy").alias("_nx"))
+    my = cells.groupBy(y_col).agg(F.sum("_nxy").alias("_ny"))
+    tot = cells.agg(F.sum("_nxy").alias("_t"))
+    j = (
+        cells.join(F.broadcast(mx), x_col)
+        .join(F.broadcast(my), y_col)
+        .crossJoin(F.broadcast(tot))
+    )
+    t = F.col("_t").cast("double")
+    pxy = F.col("_nxy").cast("double") / t
+    px = F.col("_nx").cast("double") / t
+    py = F.col("_ny").cast("double") / t
+    term = pxy * F.log(pxy / (px * py))
+    return j.select(
+        x_col,
+        y_col,
+        F.col("_nxy").alias("n"),
+        F.round(pxy, 6).alias("p_xy"),
+        F.round(term, 6).alias("mi_term"),
+    )

@@ -1842,3 +1842,35 @@ def tool_call_stats(
             F.sum("_d").cast("double") / F.count("*"), 6
         ).alias("mean_dur_ms"),
     )
+
+
+def first_response_sla(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    responder: str = "assistant",
+    sla_sec: float = 300.0,
+) -> DataFrame:
+    """Time-to-first-response SLA (how long until the assistant first
+    speaks? — the support-desk metric on conversations): per
+    conversation — conversation start, first responder turn, the gap,
+    and the SLA verdict; conversations the responder never joins are
+    breaches by definition (NULL gap, met=false).
+
+    One grouped pass: conditional min for the responder side rides
+    the same aggregate as the conversation min.
+    """
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    g = df.groupBy(conv_col).agg(
+        F.min(epoch).alias("_t0"),
+        F.min(
+            F.when(F.col(role_col) == responder, epoch)
+        ).alias("_tr"),
+    )
+    gap = F.col("_tr") - F.col("_t0")
+    return g.select(
+        conv_col,
+        F.round(gap, 3).alias("first_response_s"),
+        F.coalesce(gap <= sla_sec, F.lit(False)).alias("sla_met"),
+    )

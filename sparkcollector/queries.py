@@ -10246,6 +10246,117 @@ def q_engagement_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engagement_conversion(ev, "user_id", "event_type", "purchase")
 
 
+# ---------------------------------------------------------------------
+# 261. Seasonal-naive MASE baseline (beat "same hour yesterday"
+#      before shipping a forecaster): hourly counts, season=24,
+#      decimal absolute-error sums.
+# ---------------------------------------------------------------------
+@register(
+    "mase_baseline",
+    """
+    with c as (select event_type,
+                 cast(floor(epoch(ts) / 3600) as bigint) as bkt,
+                 cast(count(*) as double) as y
+               from events group by 1, 2),
+    l as (select event_type,
+                 cast(abs(y - lag(y, 24) over (
+                   partition by event_type order by bkt))
+                   as decimal(18,6)) as es,
+                 cast(abs(y - lag(y, 1) over (
+                   partition by event_type order by bkt))
+                   as decimal(18,6)) as en
+          from c),
+    g as (select event_type,
+                 count(es) as n_seasonal, sum(es) as ses,
+                 count(en) as n_naive, sum(en) as sen
+          from l group by 1),
+    d as (select event_type,
+                 cast(ses as double) / n_seasonal as mae_s,
+                 cast(sen as double) / n_naive as mae_n
+          from g)
+    select event_type, round(mae_s, 6) as mae_seasonal,
+           round(mae_n, 6) as mae_naive,
+           round(case when mae_n > 0 then mae_s / mae_n end, 6)
+             as mase_ratio
+    from d
+    """,
+)
+def q_mase_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import mase_baseline
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(_epoch_s("ts") / 3600).cast("long").alias("bkt"),
+    )
+    return mase_baseline(ev, "event_type", "bkt", season=24)
+
+
+# ---------------------------------------------------------------------
+# 262. Mutual information (event type x 6-hour band dependence
+#      screen): per contingency cell p*ln(p/(px*py)) in nats.
+# ---------------------------------------------------------------------
+@register(
+    "mutual_information",
+    """
+    with d as (select event_type as x,
+                 cast(floor((cast(floor(epoch(ts)) as bigint)
+                             % 86400) / 21600) as int) as y
+               from events),
+    cells as (select x, y, count(*) as nxy from d group by 1, 2),
+    mx as (select x, sum(nxy) as nx from cells group by 1),
+    my as (select y, sum(nxy) as ny from cells group by 1),
+    t as (select sum(nxy) as tt from cells),
+    j as (select cells.x, cells.y, nxy, nx, ny, tt
+          from cells join mx using (x) join my using (y), t)
+    select x as event_type, y as hour_band,
+           cast(nxy as bigint) as n,
+           round(cast(nxy as double) / tt, 6) as p_xy,
+           round((cast(nxy as double) / tt)
+                 * ln((cast(nxy as double) / tt)
+                      / ((cast(nx as double) / tt)
+                         * (cast(ny as double) / tt))), 6)
+             as mi_term
+    from j
+    """,
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import mutual_information
+
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.floor(_epoch_s("ts")).cast("long")
+    band = F.floor((epoch % 86400) / 21600).cast("int")
+    d = ev.select(
+        F.col("event_type"), band.alias("hour_band")
+    )
+    return mutual_information(d, "event_type", "hour_band")
+
+
+# ---------------------------------------------------------------------
+# 263. First-response SLA per conversation (time until the assistant
+#      first speaks; never-joined = breach): one conditional-min
+#      grouped pass over transcripts.
+# ---------------------------------------------------------------------
+@register(
+    "first_response_sla",
+    f"""
+    with t as ({_T_SQL}),
+    g as (select conv_id, min(epoch(ts)) as t0,
+                 min(case when role = 'assistant'
+                          then epoch(ts) end) as tr
+          from t group by 1)
+    select conv_id,
+           round(tr - t0, 3) as first_response_s,
+           coalesce(tr - t0 <= 300.0, false) as sla_met
+    from g
+    """,
+)
+def q_first_response_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import first_response_sla
+
+    t = transcripts_from_events(spark, sf_dir)
+    return first_response_sla(t, sla_sec=300.0)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

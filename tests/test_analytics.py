@@ -718,3 +718,38 @@ def test_engagement_conversion_bands(spark):
            engagement_conversion(df, "user_id", "event_type").collect()}
     assert got[1]["n_users"] == 1 and got[1]["conversion_rate"] == 0.0
     assert got[4]["n_users"] == 2 and got[4]["n_converted"] == 1
+
+
+def test_mase_seasonal_beats_naive_on_periodic_series(spark):
+    from sparkcollector.operators.analytics import mase_baseline
+
+    # strict period-4 series repeated: seasonal-naive error is 0
+    rows = []
+    pattern = [1, 5, 2, 8]
+    for cyc in range(6):
+        for i, c in enumerate(pattern):
+            b = cyc * 4 + i
+            rows += [("s", b)] * c
+    df = spark.createDataFrame(rows, "k string, bkt long")
+    r = mase_baseline(df, "k", "bkt", season=4).collect()[0]
+    assert r["mae_seasonal"] == 0.0
+    assert r["mae_naive"] > 0
+    assert r["mase_ratio"] == 0.0
+
+
+def test_mutual_information_independent_vs_dependent(spark):
+    from sparkcollector.operators.analytics import mutual_information
+
+    # perfectly dependent: x == y -> MI = ln(2) for 2 uniform values
+    dep = [("a", "a")] * 10 + [("b", "b")] * 10
+    mi_dep = sum(r["mi_term"] for r in mutual_information(
+        spark.createDataFrame(dep, "x string, y string"), "x", "y"
+    ).collect())
+    import math
+    assert abs(mi_dep - math.log(2)) < 1e-6
+    # independent: uniform cross product -> MI = 0
+    ind = [(x, y) for x in "ab" for y in "cd" for _ in range(5)]
+    mi_ind = sum(r["mi_term"] for r in mutual_information(
+        spark.createDataFrame(ind, "x string, y string"), "x", "y"
+    ).collect())
+    assert abs(mi_ind) < 1e-9

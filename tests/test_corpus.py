@@ -808,3 +808,29 @@ def test_tool_call_stats_recovery(spark):
     assert got[("bash", "ok")]["n_calls"] == 2
     assert got[("bash", "ok")]["mean_dur_ms"] == 10.0
     assert got[("search", "err")]["mean_dur_ms"] == 120.0
+
+
+def test_first_response_sla(spark):
+    import datetime
+
+    from sparkcollector.operators.corpus import first_response_sla
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        ("fast", 0, "user", ts(0)), ("fast", 1, "assistant", ts(30)),
+        ("slow", 0, "user", ts(0)), ("slow", 1, "assistant", ts(900)),
+        ("never", 0, "user", ts(0)), ("never", 1, "tool", ts(5)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    got = {r["conv_id"]: r for r in
+           first_response_sla(df, sla_sec=300.0).collect()}
+    assert got["fast"]["sla_met"] and got["fast"]["first_response_s"] == 30.0
+    assert not got["slow"]["sla_met"]
+    assert got["never"]["first_response_s"] is None
+    assert got["never"]["sla_met"] is False
