@@ -1669,3 +1669,136 @@ def mutual_information(
         F.round(pxy, 6).alias("p_xy"),
         F.round(term, 6).alias("mi_term"),
     )
+
+
+def activation_velocity(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    order_col: str,
+    nth: int = 5,
+) -> DataFrame:
+    """Activation velocity (how fast do users reach their Nth event?
+    — the PLG metric behind "time-to-aha"): per-user time from the
+    first to the Nth event, summarized as exact p25/p50/p75 over
+    users who got there, plus the share who never did.
+
+    One keyed rank window (rows <= nth survive the filter), one
+    per-user conditional aggregate, one global percentile pass.
+    """
+    from pyspark.sql.window import Window
+
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(order_col)
+    )
+    ranked = df.select(
+        F.col(user_col),
+        epoch.alias("_e"),
+        F.row_number().over(w).alias("_r"),
+    ).filter(F.col("_r") <= nth)
+    per = ranked.groupBy(user_col).agg(
+        F.min("_e").alias("_t1"),
+        F.max(F.when(F.col("_r") == nth, F.col("_e"))).alias("_tn"),
+    )
+    reached = per.filter(F.col("_tn").isNotNull()).select(
+        (F.col("_tn") - F.col("_t1")).alias("_d")
+    )
+    pcts = F.percentile(
+        F.col("_d"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    stats = reached.agg(
+        F.count("*").alias("n_reached"), pcts.alias("_q")
+    )
+    totals = per.agg(F.count("*").alias("n_users"))
+    return stats.crossJoin(F.broadcast(totals)).select(
+        "n_users",
+        "n_reached",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_reached").cast("double") / F.col("n_users"),
+            6,
+        ).alias("never_share"),
+        F.round(F.element_at("_q", 1), 3).alias("p25_s"),
+        F.round(F.element_at("_q", 2), 3).alias("p50_s"),
+        F.round(F.element_at("_q", 3), 3).alias("p75_s"),
+    )
+
+
+def weekend_shift(
+    df: DataFrame,
+    type_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekend/weekday mix shift (does the traffic change character
+    on weekends, or just shrink?): per type — weekday and weekend
+    counts, each period's mix share, and the share delta (the
+    per-type L1 terms).  Day-of-week from epoch arithmetic
+    (0=Sunday; engine dayofweek() conventions disagree).
+    """
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    dow = (F.floor(epoch / 86400) + 4) % 7
+    is_we = (dow == 0) | (dow == 6)
+    cells = df.groupBy(type_col).agg(
+        F.sum((~is_we).cast("long")).alias("n_weekday"),
+        F.sum(is_we.cast("long")).alias("n_weekend"),
+    )
+    tot = cells.agg(
+        F.sum("n_weekday").alias("_tw"),
+        F.sum("n_weekend").alias("_te"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    sw = F.col("n_weekday").cast("double") / F.col("_tw")
+    se = F.col("n_weekend").cast("double") / F.col("_te")
+    return j.select(
+        type_col,
+        "n_weekday",
+        "n_weekend",
+        F.round(sw, 6).alias("weekday_share"),
+        F.round(se, 6).alias("weekend_share"),
+        F.round(F.abs(sw - se), 6).alias("share_delta"),
+    )
+
+
+def journey_paths(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    order_col: str,
+    k: int = 10,
+    max_len: int = 8,
+) -> DataFrame:
+    """Top full journeys (the distinct event-type paths users
+    actually walk, rendered as 'a>b>c'): per user, the ordered type
+    sequence truncated to ``max_len`` steps (long journeys keep
+    their head — the decision-shaping part), then the k most common
+    paths with user counts.
+
+    In-row ordered assembly (sorted collect of (order, type) structs,
+    bounded by max_len after slice), one path aggregate, TakeOrdered.
+    """
+    per_user = df.groupBy(user_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    F.col(type_col).alias("t"),
+                )
+            )
+        ).alias("_seq")
+    )
+    path = F.array_join(
+        F.transform(
+            F.slice("_seq", 1, max_len), lambda s: s["t"]
+        ),
+        ">",
+    )
+    paths = per_user.select(
+        path.alias("journey"),
+        (F.size("_seq") > max_len).alias("_truncated"),
+    )
+    counts = paths.groupBy("journey").agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("_truncated").cast("long")).alias("n_truncated"),
+    )
+    return counts.orderBy(F.desc("n_users"), "journey").limit(k)

@@ -10357,6 +10357,109 @@ def q_first_response_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_response_sla(t, sla_sec=300.0)
 
 
+# ---------------------------------------------------------------------
+# 264. Activation velocity (time from 1st to 5th event; the
+#      time-to-aha metric): rank window + conditional min/max +
+#      exact percentile summary; never-activated share included.
+# ---------------------------------------------------------------------
+@register(
+    "activation_velocity",
+    """
+    with r as (select user_id, epoch(ts) as e,
+                 row_number() over (
+                   partition by user_id order by event_id) as r
+               from events),
+    p as (select user_id, min(e) as t1,
+                 max(case when r = 5 then e end) as tn
+          from r where r <= 5 group by 1),
+    re as (select tn - t1 as d from p where tn is not null),
+    s as (select count(*) as n_reached,
+                 quantile_cont(d, 0.25) as q1,
+                 quantile_cont(d, 0.5) as q2,
+                 quantile_cont(d, 0.75) as q3
+          from re),
+    t as (select count(*) as n_users from p)
+    select cast(n_users as bigint) as n_users,
+           cast(n_reached as bigint) as n_reached,
+           round(cast(1 as double)
+                 - cast(n_reached as double) / n_users, 6)
+             as never_share,
+           round(q1, 3) as p25_s, round(q2, 3) as p50_s,
+           round(q3, 3) as p75_s
+    from s, t
+    """,
+)
+def q_activation_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import activation_velocity
+
+    ev = _t(spark, sf_dir, "events")
+    return activation_velocity(ev, "user_id", "ts", "event_id", nth=5)
+
+
+# ---------------------------------------------------------------------
+# 265. Weekend/weekday mix shift (does traffic change character or
+#      just shrink?): epoch-arithmetic dow, per-type share deltas.
+# ---------------------------------------------------------------------
+@register(
+    "weekend_shift",
+    """
+    with c as (select event_type,
+                 sum(case when ((cast(floor(epoch(ts) / 86400)
+                                  as bigint) + 4) % 7) in (0, 6)
+                          then 0 else 1 end) as n_weekday,
+                 sum(case when ((cast(floor(epoch(ts) / 86400)
+                                  as bigint) + 4) % 7) in (0, 6)
+                          then 1 else 0 end) as n_weekend
+               from events group by 1),
+    t as (select sum(n_weekday) as tw, sum(n_weekend) as te from c)
+    select event_type, cast(n_weekday as bigint) as n_weekday,
+           cast(n_weekend as bigint) as n_weekend,
+           round(cast(n_weekday as double) / tw, 6) as weekday_share,
+           round(cast(n_weekend as double) / te, 6) as weekend_share,
+           round(abs(cast(n_weekday as double) / tw
+                     - cast(n_weekend as double) / te), 6)
+             as share_delta
+    from c, t
+    """,
+)
+def q_weekend_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import weekend_shift
+
+    ev = _t(spark, sf_dir, "events")
+    return weekend_shift(ev, "event_type", "ts")
+
+
+# ---------------------------------------------------------------------
+# 266. Top journey paths (ordered event-type sequences rendered
+#      'a>b>c', truncated to 8 steps): in-row ordered assembly,
+#      TakeOrdered top-10.
+# ---------------------------------------------------------------------
+@register(
+    "journey_paths",
+    """
+    with p as (select user_id,
+                 array_to_string(
+                   (list(event_type order by event_id))[1:8], '>')
+                   as journey,
+                 count(*) > 8 as trunc
+               from events group by 1),
+    c as (select journey, count(*) as n_users,
+                 sum(case when trunc then 1 else 0 end) as n_truncated
+          from p group by 1)
+    select journey, cast(n_users as bigint) as n_users,
+           cast(n_truncated as bigint) as n_truncated
+    from c order by n_users desc, journey limit 10
+    """,
+)
+def q_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import journey_paths
+
+    ev = _t(spark, sf_dir, "events")
+    return journey_paths(
+        ev, "user_id", "event_type", "event_id", k=10, max_len=8
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -753,3 +753,57 @@ def test_mutual_information_independent_vs_dependent(spark):
         spark.createDataFrame(ind, "x string, y string"), "x", "y"
     ).collect())
     assert abs(mi_ind) < 1e-9
+
+
+def test_activation_velocity_percentiles(spark):
+    import datetime
+
+    from sparkcollector.operators.analytics import activation_velocity
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def rows_for(u, gaps):
+        t, out = 0, []
+        for i, g in enumerate([0] + gaps):
+            t += g
+            out.append((u, i, t0 + datetime.timedelta(seconds=t)))
+        return out
+
+    data = rows_for(1, [10, 10, 10, 10])       # reaches 5th at 40s
+    data += rows_for(2, [100, 100, 100, 100])  # reaches 5th at 400s
+    data += rows_for(3, [5])                    # only 2 events
+    df = spark.createDataFrame(data, "user_id long, i long, ts timestamp")
+    r = activation_velocity(df, "user_id", "ts", "i", nth=5).collect()[0]
+    assert r["n_users"] == 3 and r["n_reached"] == 2
+    assert abs(r["never_share"] - 1 / 3) < 1e-6
+    assert r["p50_s"] == 220.0  # midpoint of 40 and 400
+
+
+def test_weekend_shift_shares(spark):
+    import datetime
+
+    from sparkcollector.operators.analytics import weekend_shift
+
+    mon = datetime.datetime(2024, 1, 1, 12)   # Monday
+    sat = datetime.datetime(2024, 1, 6, 12)   # Saturday
+    rows = [("work", mon)] * 8 + [("work", sat)] * 2 + [
+        ("play", mon)] * 2 + [("play", sat)] * 8
+    df = spark.createDataFrame(rows, "t string, ts timestamp")
+    got = {r["t"]: r for r in weekend_shift(df, "t", "ts").collect()}
+    assert got["work"]["weekday_share"] == 0.8
+    assert got["work"]["weekend_share"] == 0.2
+    assert got["play"]["share_delta"] == 0.6
+
+
+def test_journey_paths_truncation(spark):
+    from sparkcollector.operators.analytics import journey_paths
+
+    rows = [(1, i, t) for i, t in enumerate("abc")]
+    rows += [(2, i, t) for i, t in enumerate("abc")]
+    rows += [(3, i, "x") for i in range(10)]  # truncated at 8
+    df = spark.createDataFrame(rows, "u long, i long, t string")
+    got = {r["journey"]: r for r in
+           journey_paths(df, "u", "t", "i", max_len=8).collect()}
+    assert got["a>b>c"]["n_users"] == 2
+    long = got[">".join(["x"] * 8)]
+    assert long["n_users"] == 1 and long["n_truncated"] == 1
