@@ -1381,6 +1381,33 @@ def main() -> None:
             spark=spark,
         )
 
+    # batches 48-50
+    for name, max_ex in (
+        ("rrf_fusion", 3),
+        ("degree_distribution", 10),
+        ("engagement_conversion", 2),
+        ("mase_baseline", 2),
+        ("mutual_information", 8),
+        ("first_response_sla", 2),
+        ("activation_velocity", 5),
+        ("weekend_shift", 3),
+        ("journey_paths", 2),
+    ):
+        all_ok &= audit(
+            name,
+            (lambda n: lambda: queries()[n](spark, SF_DIR))(name),
+            [
+                (f"shuffle exchanges bounded (<= {max_ex}, excluding "
+                 "broadcast/reused)",
+                 (lambda m: lambda p: len(
+                     re.findall(r"(?<!Broadcast)(?<!d)Exchange \(\d+\)",
+                                p)) <= m)(max_ex)),
+                ("no Python / UDF in plan", lambda p: "Python" not in p),
+            ],
+            out,
+            spark=spark,
+        )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"
