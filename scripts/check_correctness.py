@@ -16,8 +16,9 @@ import duckdb
 
 sys.path.insert(0, ".")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+_POS = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = _POS[0] if _POS else "/root/testdata/sf0.01"
+ONLY = _POS[1].split(",") if len(_POS) > 1 else None
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -26,6 +27,7 @@ TABLES = (
 
 def canon(v) -> str:
     import datetime
+    import decimal
     import math
 
     if v is None:
@@ -36,9 +38,37 @@ def canon(v) -> str:
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(round(v, 9))
+    if isinstance(v, decimal.Decimal):
+        # deliberately NOT folded into int/float: the driver's hash sees
+        # Arrow decimal128 (DuckDB HUGEINT) as a distinct rendering, so a
+        # HUGEINT-emitting oracle must mismatch here too.
+        return f"decimal:{v}"
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     return str(v)
+
+
+def arrow_rows(tbl):
+    """Arrow-export canonical rows: list of tuples in column order."""
+    cols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    return list(zip(*cols)) if cols else []
+
+
+def type_sweep(con, oracles) -> list:
+    """DESCRIBE every oracle; return entries whose output has a type the
+    driver's row-hash renders differently than Spark (HUGEINT/int128)."""
+    bad = []
+    for name, sql in oracles.items():
+        try:
+            desc = con.sql(f"DESCRIBE ({sql})").fetchall()
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, f"DESCRIBE error: {str(e)[:120]}"))
+            continue
+        huge = [(c, t) for c, t, *_ in desc
+                if "HUGEINT" in t.upper() or "INT128" in t.upper()]
+        if huge:
+            bad.append((name, f"unstable types: {huge}"))
+    return bad
 
 
 def value_hash(rows, cols) -> str:
@@ -65,6 +95,15 @@ def main() -> None:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+
+    if "--type-sweep" in sys.argv:
+        bad = type_sweep(con, oracles)
+        for n, msg in bad:
+            print(f"  {n}: {msg}")
+        print(f"{len(bad)} entries with driver-unstable oracle types "
+              f"of {len(oracles)}")
+        sys.exit(1 if bad else 0)
+
     failures = []
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
@@ -81,7 +120,9 @@ def main() -> None:
             continue
         res = con.sql(oracles[name])
         ocols = res.columns
-        orows = res.fetchall()
+        # Arrow export (not fetchall) so DuckDB HUGEINT surfaces as
+        # decimal128 — the same rendering gap the driver's hash sees.
+        orows = arrow_rows(res.fetch_arrow_table())
         problems = []
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} vs {len(orows)}")

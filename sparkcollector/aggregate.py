@@ -144,11 +144,23 @@ def time_rollup_pyramid(
         F.sum("_v").alias("total"),
         F.min("_v").alias("vmin"),
         F.max("_v").alias("vmax"),
+        # grouping() indicators (0 = column is in this grouping set)
+        # must be computed inside the aggregate, then consumed below
+        *[F.grouping(t).alias(f"_g{t}") for t in tcols],
     )
+    # resolution comes from the grouping() indicators, NOT the NULL-ness
+    # of the trunc columns — a NULL input ts makes every trunc NULL, and
+    # coalescing them would conflate value-NULL with rollup-NULL (the
+    # NULL-ts minute row would silently claim a coarser resolution).
     res = F.coalesce(
-        *[F.when(F.col(t).isNotNull(), F.lit(lv)) for lv, t in zip(levels, tcols)]
+        *[
+            F.when(F.col(f"_g{t}") == 0, F.lit(lv))
+            for lv, t in zip(levels, tcols)
+        ]
     )
-    bucket = F.coalesce(*[F.col(t) for t in tcols])
+    bucket = F.coalesce(
+        *[F.when(F.col(f"_g{t}") == 0, F.col(t)) for t in tcols]
+    )
     return agg.select(
         *key_cols,
         res.alias("resolution"),

@@ -750,15 +750,17 @@ def dedup_keep_best(
     hash, the row with max score (ties to min id), plus how many
     copies it beat.
 
-    One struct-max aggregate per hash — map-side partials collapse
+    One struct-min aggregate per hash — map-side partials collapse
     each partition's duplicates before the 16-byte-key shuffle; no
-    window, no join.
+    window, no join.  The tie-break key is struct(-score, id): min
+    over it is max-score-then-min-id, and the id field is compared
+    with its native ordering, so string/uuid doc ids work as well as
+    numeric ones (only the score must be numeric).
     """
     h = F.md5(F.col(text_col))
-    best = F.max(
+    best = F.min(
         F.struct(
-            F.col(score_col).cast("double").alias("s"),
-            (-F.col(id_col)).alias("negid"),
+            (-F.col(score_col).cast("double")).alias("negs"),
             F.col(id_col).alias("id"),
         )
     )
@@ -769,7 +771,7 @@ def dedup_keep_best(
     )
     return g.select(
         F.col("_b")["id"].alias(id_col),
-        F.round(F.col("_b")["s"], 6).alias("kept_score"),
+        F.round(-F.col("_b")["negs"], 6).alias("kept_score"),
         "n_copies",
     )
 

@@ -414,6 +414,21 @@ def test_dedup_keep_best_policy(spark):
     assert got[2]["n_copies"] == 3 and got[2]["kept_score"] == 9.0
 
 
+def test_dedup_keep_best_string_ids(spark):
+    # content ids are commonly strings (urls, uuids); the min-id
+    # tie-break must use the id's native ordering, not numeric negation
+    from sparkcollector.operators.dedup import dedup_keep_best
+
+    rows = [
+        ("url-b", "same text", 9.0), ("url-a", "same text", 9.0),
+        ("url-c", "same text", 2.0), ("url-z", "unique", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, score double")
+    got = {r["doc_id"]: r for r in dedup_keep_best(df, "score").collect()}
+    assert set(got) == {"url-a", "url-z"}
+    assert got["url-a"]["n_copies"] == 3 and got["url-a"]["kept_score"] == 9.0
+
+
 def test_dup_cluster_histogram_shares(spark):
     from sparkcollector.operators.dedup import dup_cluster_histogram
 
