@@ -1408,6 +1408,34 @@ def main() -> None:
             spark=spark,
         )
 
+    # round-3: winsorize / mad_outliers must not FORCE a broadcast on
+    # per-group stats — group_cols can be unbounded-cardinality at
+    # 10^12 rows, so the logical plan must carry no broadcast hint
+    # (ResolvedHint).  At sf0.01 Catalyst's statistics still pick BHJ
+    # (the stats side is tiny) — that's fine and desired: the choice
+    # is size-based, so at real scale the same plan degrades to a
+    # shuffle join instead of OOMing the driver.
+    def _no_hint(n):
+        df = queries()[n](spark, SF_DIR)
+        return "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+
+    for name in ("winsorize_clamp", "mad_outlier_flags"):
+        hint_free = _no_hint(name)
+        all_ok &= audit(
+            name,
+            (lambda n: lambda: queries()[n](spark, SF_DIR))(name),
+            [
+                ("no broadcast hint in logical plan (size-based only; "
+                 "AQE/stats decide)",
+                 (lambda ok: lambda p: ok)(hint_free)),
+                ("partial aggregation before the stats shuffle",
+                 lambda p: "Partial" in p or "partial_" in p),
+                ("no Python / UDF in plan", lambda p: "Python" not in p),
+            ],
+            out,
+            spark=spark,
+        )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

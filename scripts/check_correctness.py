@@ -65,7 +65,8 @@ def type_sweep(con, oracles) -> list:
             bad.append((name, f"DESCRIBE error: {str(e)[:120]}"))
             continue
         huge = [(c, t) for c, t, *_ in desc
-                if "HUGEINT" in t.upper() or "INT128" in t.upper()]
+                if "HUGEINT" in t.upper() or "INT128" in t.upper()
+                or "DECIMAL" in t.upper()]
         if huge:
             bad.append((name, f"unstable types: {huge}"))
     return bad

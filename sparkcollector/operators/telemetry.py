@@ -1823,16 +1823,17 @@ def winsorize(
 
     Exact interpolated percentiles (engine-reproducible, same policy
     as ``summary_quantiles``) from ONE grouped aggregate, joined back
-    broadcast (groups are bounded); the clamp itself is a pure
-    Project.  Output keeps the original value beside the clamped one
-    plus which side clipped, so the pass is auditable.
+    hint-free — group_cols can be unbounded-cardinality, so AQE picks
+    broadcast only when the bounds side actually fits; the clamp
+    itself is a pure Project.  Output keeps the original value beside
+    the clamped one plus which side clipped, so the pass is auditable.
     """
     v = F.col(value_col).cast("double")
     bounds = df.groupBy(*group_cols).agg(
         F.percentile(v, F.lit(lo)).alias("_lo"),
         F.percentile(v, F.lit(hi)).alias("_hi"),
     )
-    j = df.join(F.broadcast(bounds), group_cols)
+    j = df.join(bounds, group_cols)
     clamped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
     side = (
         F.when(v < F.col("_lo"), F.lit("lo"))
@@ -1859,21 +1860,24 @@ def mad_outliers(
     flag points with ``|x - median| > k * 1.4826 * MAD``.
 
     Two grouped percentile passes (median, then median of absolute
-    deviations) — each a map-side-combining aggregate — and one
-    broadcast join back; groups are bounded, facts never shuffle.
+    deviations) — each a map-side-combining aggregate — and hint-free
+    joins back: group_cols can be unbounded-cardinality, so no static
+    BroadcastExchange is forced; AQE broadcasts the per-group stats
+    only when they fit, and otherwise the join shuffles on the same
+    group key the aggregates already hashed on.
     """
     v = F.col(value_col).cast("double")
     med = df.groupBy(*group_cols).agg(
         F.percentile(v, F.lit(0.5)).alias("_med")
     )
-    dev = df.join(F.broadcast(med), group_cols).withColumn(
+    dev = df.join(med, group_cols).withColumn(
         "_ad", F.abs(v - F.col("_med"))
     )
     mad = dev.groupBy(*group_cols).agg(
         F.percentile(F.col("_ad"), F.lit(0.5)).alias("_mad"),
         F.max("_med").alias("_med"),
     )
-    scored = df.join(F.broadcast(mad), group_cols)
+    scored = df.join(mad, group_cols)
     thresh = F.lit(k * 1.4826) * F.col("_mad")
     return scored.select(
         *df.columns,

@@ -4618,7 +4618,7 @@ def _hq_oracle() -> str:
       select event_type, {cums}, count(*) as total
       from events group by event_type),
     r as (select *, 0.95 * cast(total as double) as rank from w)
-    select event_type, 0.95 as q, round({case}, 4) as quantile
+    select event_type, cast(0.95 as double) as q, round({case}, 4) as quantile
     from r
     """
 
@@ -4685,19 +4685,22 @@ def q_scd2_intervals_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     select event_type, 'minute' as resolution,
            strftime(time_bucket(INTERVAL '1 minute', ts),
                     '%Y-%m-%d %H:%M:%S') as bucket_ts,
-           count(*) as n, sum(v) as total, min(v) as vmin, max(v) as vmax
+           count(*) as n, cast(sum(v) as double) as total,
+           cast(min(v) as double) as vmin, cast(max(v) as double) as vmax
     from b group by 1, 3
     union all
     select event_type, 'hour',
            strftime(time_bucket(INTERVAL '1 hour', ts),
                     '%Y-%m-%d %H:%M:%S'),
-           count(*), sum(v), min(v), max(v)
+           count(*), cast(sum(v) as double),
+           cast(min(v) as double), cast(max(v) as double)
     from b group by 1, 3
     union all
     select event_type, 'day',
            strftime(time_bucket(INTERVAL '1 day', ts),
                     '%Y-%m-%d %H:%M:%S'),
-           count(*), sum(v), min(v), max(v)
+           count(*), cast(sum(v) as double),
+           cast(min(v) as double), cast(max(v) as double)
     from b group by 1, 3
     """,
 )
@@ -4708,14 +4711,17 @@ def q_time_rollup_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v", F.round("value", 6).cast("decimal(18,6)")
     )
     out = time_rollup_pyramid(ev, "ts", "v", ["event_type"])
+    # aggregate exactly in decimal, then render as double: the cast of
+    # the same exact decimal value is bit-identical in both engines and
+    # keeps the driver's row-hash off the decimal128 rendering path.
     return out.select(
         "event_type",
         "resolution",
         F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
         "n",
-        "total",
-        "vmin",
-        "vmax",
+        F.col("total").cast("double").alias("total"),
+        F.col("vmin").cast("double").alias("vmin"),
+        F.col("vmax").cast("double").alias("vmax"),
     )
 
 
@@ -4789,8 +4795,8 @@ def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     select n.n_name as nation,
            strftime(date_trunc('month', o.o_orderdate), '%Y-%m') as month,
            count(*) as n_items,
-           sum(cast(round(l.l_extendedprice * (1.0 - l.l_discount), 4)
-                    as decimal(18,4))) as revenue
+           cast(sum(cast(round(l.l_extendedprice * (1.0 - l.l_discount), 4)
+                         as decimal(18,4))) as double) as revenue
     from lineitem l
     join orders o on l.l_orderkey = o.o_orderkey
     join customer c on o.o_custkey = c.c_custkey
@@ -4821,7 +4827,11 @@ def q_revenue_by_nation_month(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "month"
             ),
         )
-        .agg(F.count("*").alias("n_items"), F.sum(rev).alias("revenue"))
+        .agg(
+            F.count("*").alias("n_items"),
+            # exact decimal sum, rendered as double (driver-canon-proof)
+            F.sum(rev).cast("double").alias("revenue"),
+        )
     )
 
 
@@ -5681,7 +5691,7 @@ def q_exemplar_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
                  cast(cum as double) as cumd,
                  cast(cum - bucket_count as double) as prev
           from c)
-    select event_type, 0.95 as q,
+    select event_type, cast(0.95 as double) as q,
            round(pow(2.0, cast(bucket_idx as double) * 0.25)
                  + (pow(2.0, cast(bucket_idx + 1 as double) * 0.25)
                     - pow(2.0, cast(bucket_idx as double) * 0.25))
