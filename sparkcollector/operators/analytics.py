@@ -1599,11 +1599,30 @@ def mase_baseline(
 
     Counts bucket first; both lags come from ONE keyed window pass;
     absolute errors accumulate in decimal.
+
+    ``bucket_col`` must be an integer bucket index with step 1 (e.g.
+    ``floor(epoch/3600)``).  The per-key grid is gap-filled with
+    ``y = 0`` before the window pass — a missing bucket in a *count*
+    series means zero events, and without the fill a row-based
+    ``lag(season)`` would silently compare against the wrong hour
+    whenever any bucket is absent.  Grid size is |keys| x bucket span
+    (bounded by the time range, not the row count), so the fill is
+    cheap at any scale.
     """
     from pyspark.sql.window import Window
 
-    counts = df.groupBy(key_col, bucket_col).agg(
+    raw = df.groupBy(key_col, bucket_col).agg(
         F.count("*").cast("double").alias("y")
+    )
+    span = raw.groupBy(key_col).agg(
+        F.min(bucket_col).alias("_mn"), F.max(bucket_col).alias("_mx")
+    )
+    grid = span.select(
+        key_col,
+        F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias(bucket_col),
+    )
+    counts = grid.join(raw, [key_col, bucket_col], "left").select(
+        key_col, bucket_col, F.coalesce("y", F.lit(0.0)).alias("y")
     )
     w = Window.partitionBy(key_col).orderBy(bucket_col)
     e_seasonal = F.abs(

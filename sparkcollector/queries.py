@@ -10264,10 +10264,15 @@ def q_engagement_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mase_baseline",
     """
-    with c as (select event_type,
+    with raw as (select event_type,
                  cast(floor(epoch(ts) / 3600) as bigint) as bkt,
                  cast(count(*) as double) as y
                from events group by 1, 2),
+    grid as (select event_type, unnest(generate_series(mn, mx)) as bkt
+             from (select event_type, min(bkt) as mn, max(bkt) as mx
+                   from raw group by 1)),
+    c as (select grid.event_type, grid.bkt, coalesce(raw.y, 0.0) as y
+          from grid left join raw using (event_type, bkt)),
     l as (select event_type,
                  cast(abs(y - lag(y, 24) over (
                    partition by event_type order by bkt))

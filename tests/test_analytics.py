@@ -737,6 +737,27 @@ def test_mase_seasonal_beats_naive_on_periodic_series(spark):
     assert r["mase_ratio"] == 0.0
 
 
+def test_mase_gap_fill_keeps_seasonal_lag_time_aligned(spark):
+    from sparkcollector.operators.analytics import mase_baseline
+
+    # period-4 series where one bucket has ZERO events (absent row).
+    # Gap-filling must treat it as y=0, so the seasonal comparison
+    # stays "same phase one cycle ago" — a row-based lag without the
+    # fill would shift every later bucket by one and inflate the MAE.
+    # Pattern per cycle: counts [1, 5, 0, 8] (bucket 2 missing).
+    rows = []
+    pattern = [1, 5, 0, 8]
+    for cyc in range(6):
+        for i, c in enumerate(pattern):
+            rows += [("s", cyc * 4 + i)] * c
+    df = spark.createDataFrame(rows, "k string, bkt long")
+    r = mase_baseline(df, "k", "bkt", season=4).collect()[0]
+    # every cycle is identical, so the seasonal-naive error is exactly 0
+    assert r["mae_seasonal"] == 0.0
+    assert r["mae_naive"] > 0
+    assert r["mase_ratio"] == 0.0
+
+
 def test_mutual_information_independent_vs_dependent(spark):
     from sparkcollector.operators.analytics import mutual_information
 
