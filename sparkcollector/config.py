@@ -31,6 +31,8 @@ Config shape (all keys optional; defaults = the north-rule pipeline)::
 from __future__ import annotations
 
 import json
+import os
+import re
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -58,6 +60,94 @@ DEFAULT_CONFIG: dict[str, Any] = {
 }
 
 
+_EXPR = re.compile(r"\$\{(?P<scheme>[a-z]+):(?P<sel>[^}]*)\}")
+_MAX_RESOLVE_DEPTH = 10
+
+
+def _resolve_expr(scheme: str, sel: str, env: dict[str, str]) -> str:
+    """Resolve one ``${scheme:selector}`` expression (the config-source
+    layer, internal/configsource/source.go:196-260: the public sources
+    are env and file/include; vault/etcd/zookeeper need live backends
+    and raise here so a config depending on them fails loudly)."""
+    if scheme == "env":
+        name, _, default = sel.partition(":-")
+        if name in env:
+            return env[name]
+        if default or ":-" in sel:
+            return default
+        raise ValueError(f"config: ${{env:{name}}} is not set and has no default")
+    if scheme in ("file", "include"):
+        with open(sel) as f:
+            return f.read().rstrip("\n")
+    raise ValueError(
+        f"config: unsupported config source {scheme!r} "
+        "(supported here: env, file/include)"
+    )
+
+
+def _resolve_str(s: str, env: dict[str, str]):
+    """Substitute every ``${scheme:selector}`` in a string.  A string
+    that IS a single expression resolves to a typed value (numbers and
+    booleans parse, like the reference's YAML re-parse of injected
+    values); embedded expressions splice as text."""
+    m = _EXPR.fullmatch(s)
+    if m:
+        v = _resolve_expr(m["scheme"], m["sel"], env)
+        try:
+            return json.loads(v)
+        except (json.JSONDecodeError, ValueError):
+            return v
+    return _EXPR.sub(lambda m: str(_resolve_expr(m["scheme"], m["sel"], env)), s)
+
+
+def resolve_config(
+    config: dict | None,
+    env: dict[str, str] | None = None,
+    properties: dict[str, Any] | None = None,
+) -> dict:
+    """Config-source value resolution + property overrides (the
+    converter chain of cmd/otelcol/main.go:103-117, steps the round-2
+    compile layer skipped).
+
+    1. Every string in the tree gets ``${env:NAME}`` /
+       ``${env:NAME:-default}`` / ``${file:path}`` expressions
+       resolved (``env`` defaults to ``os.environ``); resolution
+       re-runs until a fixpoint so injected values may themselves
+       contain expressions, with a depth cap against cycles.
+    2. ``properties`` dot-paths overwrite resolved values
+       (``{"pipeline.route.default": "metrics"}``), creating
+       intermediate maps — overwrite_properties.go:41-72 semantics.
+    """
+    env = dict(os.environ) if env is None else env
+
+    def walk(node, depth=0):
+        if isinstance(node, dict):
+            return {k: walk(v, depth) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v, depth) for v in node]
+        if isinstance(node, str) and _EXPR.search(node):
+            if depth >= _MAX_RESOLVE_DEPTH:
+                raise ValueError(
+                    f"config: expression nesting exceeds {_MAX_RESOLVE_DEPTH} "
+                    f"(cycle?) at {node!r}"
+                )
+            return walk(_resolve_str(node, env), depth + 1)
+        return node
+
+    out = walk(dict(config or {}))
+    for path, value in (properties or {}).items():
+        parts = path.split(".")
+        cur = out
+        for p in parts[:-1]:
+            nxt = cur.get(p)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                cur[p] = nxt
+            cur = nxt
+        cur[parts[-1]] = value
+    return out
+
+
 def _merged(config: dict | None) -> dict:
     """Shallow-merge user config over defaults (the property-override
     rewrite, internal/configconverter/overwrite_properties.go:41-72)."""
@@ -80,13 +170,20 @@ def _exclude_predicate(specs: list[dict]) -> Column | None:
     return dropped
 
 
-def compile_pipeline(config: dict | None = None):
+def compile_pipeline(
+    config: dict | None = None,
+    env: dict[str, str] | None = None,
+    properties: dict[str, Any] | None = None,
+):
     """Compile a config dict into ``fn(turns: DataFrame) -> DataFrame``.
 
-    The returned plan: exclude-filter → parse → enrich → route →
+    ``${env:...}``/``${file:...}`` expressions and dot-path
+    ``properties`` overrides resolve first (``resolve_config``), then
+    user config shallow-merges over defaults.  The returned plan:
+    exclude-filter → parse → enrich → route →
     sortWithinPartitions(order) — each stage present iff configured.
     """
-    cfg = _merged(config)
+    cfg = _merged(resolve_config(config, env=env, properties=properties))
 
     def run(turns: DataFrame) -> DataFrame:
         df = turns
@@ -129,7 +226,17 @@ def compile_pipeline(config: dict | None = None):
     return run
 
 
-def dry_run(config: dict | None = None) -> str:
+def dry_run(
+    config: dict | None = None,
+    env: dict[str, str] | None = None,
+    properties: dict[str, Any] | None = None,
+) -> str:
     """Return the fully-resolved effective config as JSON — the
-    ``--dry-run`` analog; callers print it and exit."""
-    return json.dumps(compile_pipeline(config).effective_config, indent=2)
+    ``--dry-run`` analog (internal/configconverter/dry_run.go; output
+    shape asserted like tests/general/splunk_platform_logs_test.go:
+    56-105 does against the rendered effective YAML); callers print
+    it and exit."""
+    return json.dumps(
+        compile_pipeline(config, env=env, properties=properties).effective_config,
+        indent=2,
+    )

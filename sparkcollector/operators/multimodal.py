@@ -1,11 +1,19 @@
 """Multimodal columns: images/audio/video as opaque binary + metadata.
 
-The Spark-side plumbing is real and tested — schemas, Arrow-batched
-``mapInPandas`` signatures, partition sizing — while the actual media
-decoding is stubbed (no image/audio libraries ship in this container):
-``decode_fn=None`` uses a deterministic fake decoder so tests exercise
-the full data path; passing a real decoder (PIL/librosa/ffmpeg) is the
-only change needed on a production cluster.
+Round-3 upgrade: the decode kernels are REAL where a decoder exists in
+the environment, and the dependency ladder is explicit per modality:
+
+* images — PIL when importable (any format it knows); otherwise a
+  pure-numpy PPM(P6)/PGM(P5) parser, a real on-disk format that needs
+  no third-party library.  ``synth_media`` emits genuine PPM bytes, so
+  the real decode path runs (and is tested) even in containers with no
+  imaging stack.
+* audio — stdlib ``wave`` + numpy for WAV/PCM (real decode, no
+  dependency); ``soundfile`` when importable for other codecs.
+* video — honestly STUBBED: frame seeking needs ffmpeg-class demuxing
+  that has no stdlib/numpy equivalent.  The batch shape (1 video row →
+  K frame rows, vectorized fan-out) is real and tested; only the
+  per-frame pixel payload is fake.
 
 Design rules for binary columns at 100 TB:
 
@@ -16,17 +24,37 @@ Design rules for binary columns at 100 TB:
   callers size ``spark.sql.execution.arrow.maxRecordsPerBatch`` down
   when media is large (the 10k default assumes ~1 KB rows);
 * feature extraction emits small fixed-size vectors; the heavy bytes
-  are dropped as early as possible in the plan.
+  are dropped as early as possible in the plan;
+* kernels are batch-vectorized: a decoder call per ROW is inherent
+  (bytes are row-opaque), but everything around it — fan-out, metadata,
+  histograms — is numpy over the Arrow batch, never ``iterrows``.
 """
 
 from __future__ import annotations
 
+import io
 from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+try:  # optional: any-format image decode/resample
+    from PIL import Image as _PILImage
+
+    _HAS_PIL = True
+except ImportError:  # pragma: no cover - absent in this container
+    _PILImage = None
+    _HAS_PIL = False
+
+try:  # optional: non-WAV audio codecs
+    import soundfile as _soundfile
+
+    _HAS_SOUNDFILE = True
+except ImportError:  # pragma: no cover - absent in this container
+    _soundfile = None
+    _HAS_SOUNDFILE = False
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -52,16 +80,164 @@ FEATURE_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
+# --------------------------------------------------------------------
+# image codec: PIL when present, pure-numpy PPM/PGM otherwise
+# --------------------------------------------------------------------
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array as binary PPM (P6)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = a.shape[0], a.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def _decode_pnm(content: bytes) -> np.ndarray:
+    """Pure-numpy decoder for binary PPM (P6, RGB) / PGM (P5, gray).
+    Returns (H, W, 3) uint8; grayscale is broadcast to 3 channels."""
+    magic = content[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary PPM/PGM (magic {magic!r})")
+    # header = magic, width, height, maxval — whitespace separated,
+    # '#' comments allowed between tokens
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PNM maxval {maxval}")
+    ch = 3 if magic == b"P6" else 1
+    pix = np.frombuffer(content, dtype=np.uint8, count=w * h * ch, offset=pos)
+    arr = pix.reshape(h, w, ch)
+    return np.repeat(arr, 3, axis=2) if ch == 1 else arr
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """bytes -> (H, W, 3) uint8.  PIL for any format it knows when
+    importable; the no-dependency PPM/PGM path otherwise."""
+    if _HAS_PIL:
+        img = _PILImage.open(io.BytesIO(content)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+    return _decode_pnm(content)
+
+
+def resize_array(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample via numpy index arrays — a real resize
+    kernel (no library needed), vectorized over the whole image."""
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(height) * (h / height)).astype(np.intp)
+    cols = (np.arange(width) * (w / width)).astype(np.intp)
+    return arr[rows][:, cols]
+
+
+# --------------------------------------------------------------------
+# audio codec: stdlib wave for WAV/PCM, soundfile when importable
+# --------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode mono float32 [-1, 1] samples as 16-bit PCM WAV."""
+    import wave
+
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_audio(content: bytes) -> np.ndarray:
+    """bytes -> mono float32 samples in [-1, 1].  Stdlib ``wave`` for
+    WAV (real decode, no dependency); soundfile for other codecs when
+    importable."""
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(content), "rb") as f:
+            n, width, ch = f.getnframes(), f.getsampwidth(), f.getnchannels()
+            raw = f.readframes(n)
+        if width == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif width == 1:  # unsigned 8-bit PCM
+            x = (
+                np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0
+            ) / 128.0
+        else:
+            raise ValueError(f"unsupported PCM width {width}")
+        return x.reshape(-1, ch).mean(axis=1) if ch > 1 else x
+    except wave.Error:
+        if _HAS_SOUNDFILE:  # pragma: no cover - absent in this container
+            data, _ = _soundfile.read(io.BytesIO(content), dtype="float32")
+            return data.mean(axis=1) if data.ndim > 1 else data
+        raise ValueError(
+            "not a WAV stream and no soundfile library available"
+        ) from None
+
+
+# --------------------------------------------------------------------
+# feature kernels (deterministic, fixed-dim)
+# --------------------------------------------------------------------
+
+def image_features(arr: np.ndarray) -> np.ndarray:
+    """Luminance histogram folded to FEATURE_DIM bins, L1-normalized."""
+    lum = (
+        0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+    ).astype(np.int64)
+    hist = np.bincount(
+        ((lum * FEATURE_DIM) // 256).ravel(), minlength=FEATURE_DIM
+    ).astype(np.float32)[:FEATURE_DIM]
+    return hist / max(hist.sum(), 1.0)
+
+
+def audio_features(samples: np.ndarray) -> np.ndarray:
+    """Per-segment RMS energy over FEATURE_DIM equal slices, L1-normed."""
+    if len(samples) == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    seg = np.array_split(samples.astype(np.float64), FEATURE_DIM)
+    rms = np.array(
+        [np.sqrt(np.mean(s * s)) if len(s) else 0.0 for s in seg],
+        dtype=np.float32,
+    )
+    return rms / max(rms.sum(), 1.0)
+
+
 def _fake_decode(content: bytes, kind: str) -> np.ndarray:
-    """Deterministic stand-in for a real decoder: a 16-dim feature from
-    byte statistics.  Stable across runs/engines; replace with a real
-    model/DSP call in production."""
+    """Deterministic stand-in for rows no real kernel can decode
+    (video, or corrupt bytes): a 16-dim feature from byte statistics.
+    Stable across runs/engines."""
     if content is None or len(content) == 0:
         return np.zeros(FEATURE_DIM, dtype=np.float32)
     arr = np.frombuffer(content, dtype=np.uint8)
-    # byte histogram folded to FEATURE_DIM buckets, L1-normalized
     hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(np.float32)
     return hist / max(hist.sum(), 1.0)
+
+
+def _default_decode(content: bytes, kind: str) -> np.ndarray:
+    """Modality dispatch: real image/audio kernels, labeled byte-stats
+    fallback for video (no ffmpeg-class decoder exists here) and for
+    undecodable bytes."""
+    if content is None or len(content) == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    try:
+        if kind == "image":
+            return image_features(decode_image(bytes(content)))
+        if kind == "audio":
+            return audio_features(decode_audio(bytes(content)))
+    except (ValueError, OSError):
+        pass  # corrupt/unknown container: fall through to byte stats
+    return _fake_decode(content, kind)
 
 
 def extract_features(
@@ -71,9 +247,12 @@ def extract_features(
     """binary media -> (media_id, kind, n_bytes, feature[16]).
 
     ``mapInPandas`` streams Arrow batches through the decoder; the
-    output drops the bytes so everything downstream is small.
+    output drops the bytes so everything downstream is small.  The
+    default decoder is REAL for images (PIL or pure-numpy PPM/PGM)
+    and audio (stdlib WAV, soundfile when importable) and falls back
+    to deterministic byte statistics for video/undecodable rows.
     """
-    decode = decode_fn or _fake_decode
+    decode = decode_fn or _default_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -95,28 +274,54 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def resize_stub(
-    media: DataFrame, width: int, height: int
-) -> DataFrame:
-    """Image-resize plumbing: passes bytes through a mapInPandas stage
-    that would call the real resampler; here it restamps the metadata
-    and truncates bytes deterministically (STUB — the real kernel needs
-    an imaging library absent from this container)."""
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize over the binary column: decode (PIL or PPM
+    path) → resample → re-encode as PPM, restamping width/height/mime.
+    Non-image rows and undecodable bytes pass through unchanged — at
+    scale you want the bad row quarantined by a downstream audit, not
+    the batch failed."""
+
+    def one(content, kind):
+        if kind != "image" or content is None:
+            return content, None
+        try:
+            arr = decode_image(bytes(content))
+        except (ValueError, OSError):
+            return content, None
+        if _HAS_PIL:  # pragma: no cover - absent in this container
+            img = _PILImage.fromarray(arr).resize(
+                (width, height), _PILImage.BILINEAR
+            )
+            return encode_ppm(np.asarray(img, dtype=np.uint8)), "image/x-portable-pixmap"
+        return (
+            encode_ppm(resize_array(arr, width, height)),
+            "image/x-portable-pixmap",
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
-            out["width"] = np.int32(width)
-            out["height"] = np.int32(height)
-            # STUB: real impl decodes + resamples; the fake keeps a
-            # deterministic prefix so sizes change as a resize would.
-            budget = max(width * height // 8, 1)
-            out["content"] = out["content"].map(
-                lambda b: b[:budget] if b is not None else None
+            pairs = [
+                one(c, k) for c, k in zip(pdf["content"], pdf["kind"])
+            ]
+            resized = np.array([p[1] is not None for p in pairs])
+            out["content"] = [p[0] for p in pairs]
+            out["mime"] = np.where(
+                resized, "image/x-portable-pixmap", pdf["mime"]
+            )
+            out["width"] = np.where(resized, width, pdf["width"]).astype("int32")
+            out["height"] = np.where(resized, height, pdf["height"]).astype(
+                "int32"
             )
             yield out
 
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Back-compat alias: the resize kernel is now real for images
+    (``resize_images``); the old truncate-bytes stub is gone."""
+    return resize_images(media, width, height)
 
 
 def frame_sample_stub(
@@ -124,8 +329,9 @@ def frame_sample_stub(
 ) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame
     offset (explode on duration), bytes stubbed to a slice per frame.
-    Real decode would seek per offset; the batch shape (1 video row ->
-    K frame rows) is the part that matters for the plan."""
+    STUB — real per-offset decode needs ffmpeg-class demuxing absent
+    from this container; the batch shape (1 video row -> K frame rows)
+    is the part that matters for the plan and IS real."""
 
     frame_schema = T.StructType(
         [
@@ -172,23 +378,39 @@ def frame_sample_stub(
 
 
 def synth_media(spark, n: int = 64, seed: int = 3) -> DataFrame:
-    """Deterministic fake media table (bytes from a seeded RNG)."""
+    """Deterministic fake media table with REAL container bytes:
+    images are genuine binary PPMs, audio rows are genuine 16-bit WAVs
+    (so the real decode kernels exercise end-to-end with no imaging /
+    audio library in the environment); video rows stay opaque bytes."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
+    mimes = {
+        "image": "image/x-portable-pixmap",
+        "audio": "audio/wav",
+        "video": "video/mp4",
+    }
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        size = int(rng.integers(64, 4096))
-        content = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
-        rows.append(
-            (
-                i,
-                kind,
-                bytearray(content),
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                int(rng.integers(16, 256)) if kind == "image" else None,
-                int(rng.integers(16, 256)) if kind == "image" else None,
-                int(rng.integers(1000, 20000)) if kind != "image" else None,
+        w = h = dur = None
+        if kind == "image":
+            w = int(rng.integers(16, 64))
+            h = int(rng.integers(16, 64))
+            arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            content = encode_ppm(arr)
+        elif kind == "audio":
+            dur = int(rng.integers(1000, 4000))
+            t = np.arange(int(8000 * dur / 1000)) / 8000.0
+            freq = float(rng.integers(100, 800))
+            samples = 0.5 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.standard_normal(
+                len(t)
             )
+            content = encode_wav(samples.astype(np.float32))
+        else:
+            dur = int(rng.integers(1000, 20000))
+            size = int(rng.integers(64, 4096))
+            content = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
+        rows.append(
+            (i, kind, bytearray(content), mimes[kind], w, h, dur)
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

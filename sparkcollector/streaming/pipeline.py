@@ -278,6 +278,7 @@ def stream_tail_sample(
     turns: DataFrame,
     needle: str = "level=ERROR",
     decision_wait_ms: int = 300_000,
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Streaming tail sampling (the tailsampling processor's actual
     shape): buffer each conversation's turns in keyed state for
@@ -296,9 +297,36 @@ def stream_tail_sample(
     after the decision are dropped rather than re-emitted as a
     partial duplicate conversation; the tombstone's own timeout then
     evicts it.
+
+    Timeout clock: with ``ts_col=None`` the decision wait runs on
+    PROCESSING time (the reference's wall-clock ``decision_wait``).
+    Passing an event-time column switches to EVENT-time timeouts
+    keyed on the stream's watermark — deterministic under replay
+    (the same input always yields the same decisions, independent of
+    host speed), which is both the replayable-at-scale configuration
+    and what the tests drive.  On Spark 4.1, pending
+    processing-time-timeout state also makes ``availableNow`` /
+    ``processAllAvailable`` spin forever ("no new data but cleaning
+    up state"), so only the event-time mode can be driven to a
+    barrier.  Both modes share the same update logic; only the
+    timeout registration differs.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    event_time = ts_col is not None
+
+    def arm(state, wait_ms, base_ms=None):
+        """Register the next timeout on whichever clock is in use.
+        Event-time mode counts the wait from ``base_ms`` (the
+        conversation's latest turn timestamp) when given, else from
+        the current watermark; the result must sit strictly beyond
+        the watermark or Spark rejects it."""
+        if event_time:
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(wm, base_ms or 0) + wait_ms)
+        else:
+            state.setTimeoutDuration(wait_ms)
 
     def update(key, pdf_iter, state):
         conv_id = key[0]
@@ -310,7 +338,7 @@ def stream_tail_sample(
             # decision point: emit the complete kept conversation,
             # then tombstone
             state.update(([], [], False, True))
-            state.setTimeoutDuration(decision_wait_ms * 10)
+            arm(state, decision_wait_ms * 10)
             if matched:
                 yield pd.DataFrame(
                     {
@@ -329,24 +357,35 @@ def stream_tail_sample(
             for _ in pdf_iter:
                 pass
             state.update(([], [], False, True))
-            state.setTimeoutDuration(decision_wait_ms * 10)
+            arm(state, decision_wait_ms * 10)
             yield from ()
             return
         idxs, texts = list(idxs), list(texts)
+        max_ts_ms = 0
         for pdf in pdf_iter:
             idxs += [int(x) for x in pdf["turn_idx"]]
             texts += list(pdf["text"])
             matched = matched or bool(
                 pdf["text"].str.contains(needle, regex=False).any()
             )
+            if event_time and len(pdf):
+                max_ts_ms = max(
+                    max_ts_ms,
+                    int(pdf[ts_col].max().value // 1_000_000),
+                )
         state.update((idxs, texts, matched, False))
-        state.setTimeoutDuration(decision_wait_ms)
+        arm(state, decision_wait_ms, max_ts_ms)
         yield from ()
 
-    return turns.groupBy("conv_id").applyInPandasWithState(
+    src = turns.withWatermark(ts_col, "0 seconds") if event_time else turns
+    return src.groupBy("conv_id").applyInPandasWithState(
         update,
         outputStructType=TAIL_OUTPUT_SCHEMA,
         stateStructType=TAIL_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if event_time
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

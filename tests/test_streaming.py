@@ -199,116 +199,109 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == [(1, 10), (2, 11), (3, 13)]
 
 
+class _TailHarness:
+    """Deterministic driver for the tail-sample stream.
+
+    Uses the operator's EVENT-time mode (``ts_col``): decisions fire
+    off the watermark, which advances only when we feed rows — so the
+    test is a pure function of the data it feeds, with NO sleeps and
+    no wall-clock deadlines (the round-2 flake was polling loops that
+    required processing-time micro-batches to land within a
+    deadline).  Each ``step`` feeds one batch file and blocks on
+    ``processAllAvailable()``, which with event-time timeouts also
+    runs the follow-up batch that fires newly-expired timers.
+    (Processing-time-timeout state can't be driven to a barrier at
+    all on Spark 4.1: ``availableNow``/``processAllAvailable`` spin
+    'no new data but cleaning up state' forever.)
+    """
+
+    SCHEMA = "conv_id string, turn_idx bigint, text string, ts timestamp"
+    T0 = 1_700_000_000  # any fixed epoch; offsets below are seconds
+
+    def __init__(self, spark, tmp_path, name, decision_wait_ms=1500):
+        from sparkcollector.streaming import stream_tail_sample
+
+        self.spark = spark
+        self.name = name
+        self.in_dir = tmp_path / "in"
+        self.in_dir.mkdir()
+        self._n = 0
+        turns = spark.readStream.schema(self.SCHEMA).parquet(
+            str(self.in_dir / "*")
+        )
+        out = stream_tail_sample(
+            turns, decision_wait_ms=decision_wait_ms, ts_col="ts"
+        )
+        self.q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    def step(self, rows):
+        """Feed one batch (rows = (conv_id, turn_idx, text, offset_s))
+        and block until fully processed; the watermark advances to the
+        batch max ts, firing any event-time timers it passes."""
+        import datetime
+
+        self._n += 1
+        stamped = [
+            (c, i, t, datetime.datetime.fromtimestamp(
+                self.T0 + off, datetime.timezone.utc))
+            for (c, i, t, off) in rows
+        ]
+        self.spark.createDataFrame(stamped, self.SCHEMA).coalesce(
+            1
+        ).write.parquet(str(self.in_dir / f"b{self._n}.parquet"))
+        self.q.processAllAvailable()
+
+    def result(self, conv_id=None):
+        rows = self.spark.sql(f"select * from {self.name}").collect()
+        if conv_id is not None:
+            rows = [r for r in rows if r["conv_id"] == conv_id]
+        return rows
+
+    def stop(self):
+        self.q.stop()
+
+
 def test_stream_tail_sample_emits_only_kept_conversations(spark, tmp_path):
-    import time
-
-    from sparkcollector.streaming import stream_tail_sample
-
-    schema = "conv_id string, turn_idx bigint, text string"
-    batch1 = [
-        ("keep", 0, "hello"),
-        ("keep", 1, "boom level=ERROR here"),
-        ("drop", 0, "all fine"),
-        ("drop", 1, "still fine"),
-    ]
-    in_dir = tmp_path / "in"
-    in_dir.mkdir()
-    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
-        str(in_dir / "b1.parquet")
-    )
-    turns = spark.readStream.schema(schema).parquet(str(in_dir / "*"))
-    out = stream_tail_sample(turns, decision_wait_ms=1500)
-    q = (
-        out.writeStream.format("memory")
-        .queryName("tail_test")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ck"))
-        .trigger(processingTime="1 second")
-        .start()
-    )
-    # let batch 1 buffer, wait past decision_wait, then push a dummy
-    # conversation so the next micro-batch fires the timeouts
-    time.sleep(6)
-    spark.createDataFrame(
-        [("late", 0, "nothing")], schema
-    ).coalesce(1).write.parquet(str(in_dir / "b2.parquet"))
-    deadline = time.time() + 60
-    rows = []
-    while time.time() < deadline:
-        rows = spark.sql("select * from tail_test").collect()
-        if rows:
-            break
-        time.sleep(2)
-    q.stop()
-    got = sorted((r["conv_id"], r["turn_idx"]) for r in rows)
-    # the matching conversation is emitted COMPLETE; the clean one never
-    assert got == [("keep", 0), ("keep", 1)], got
+    h = _TailHarness(spark, tmp_path, "tail_test")
+    try:
+        h.step(
+            [
+                ("keep", 0, "hello", 0),
+                ("keep", 1, "boom level=ERROR here", 0),
+                ("drop", 0, "all fine", 0),
+                ("drop", 1, "still fine", 0),
+            ]
+        )  # buffered; decision timers armed at T0+1.5s
+        assert h.result() == []  # nothing emitted before the decision
+        # advance the watermark past the decision timers (event time)
+        h.step([("dummy", 0, "nothing", 60)])
+        got = sorted((r["conv_id"], r["turn_idx"]) for r in h.result())
+        # the matching conversation is emitted COMPLETE; the clean one never
+        assert got == [("keep", 0), ("keep", 1)], got
+    finally:
+        h.stop()
 
 
 def test_stream_tail_sample_tombstone_drops_late_rows(spark, tmp_path):
-    import time
-
-    from sparkcollector.streaming import stream_tail_sample
-
-    schema = "conv_id string, turn_idx bigint, text string"
-    in_dir = tmp_path / "in"
-    in_dir.mkdir()
-    spark.createDataFrame(
-        [("keep", 0, "boom level=ERROR")], schema
-    ).coalesce(1).write.parquet(str(in_dir / "b1.parquet"))
-    turns = spark.readStream.schema(schema).parquet(str(in_dir / "*"))
-    out = stream_tail_sample(turns, decision_wait_ms=1500)
-    q = (
-        out.writeStream.format("memory")
-        .queryName("tomb_test")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ck"))
-        .trigger(processingTime="1 second")
-        .start()
-    )
-    time.sleep(5)
-    # fire the decision
-    spark.createDataFrame([("x", 0, "n")], schema).coalesce(1).write.parquet(
-        str(in_dir / "b2.parquet")
-    )
-    deadline = time.time() + 120
-    fired = False
-    while time.time() < deadline:
-        if spark.sql(
-            "select * from tomb_test where conv_id = 'keep'"
-        ).count():
-            fired = True
-            break
-        time.sleep(2)
-    assert fired, "decision never fired (host overloaded?)"
-    # LATE row for the already-decided conversation — would previously
-    # rebuild state and re-emit a partial duplicate at its timeout
-    spark.createDataFrame(
-        [("keep", 9, "late level=ERROR")], schema
-    ).coalesce(1).write.parquet(str(in_dir / "b3.parquet"))
-    time.sleep(6)
-    spark.createDataFrame([("y", 0, "n")], schema).coalesce(1).write.parquet(
-        str(in_dir / "b4.parquet")
-    )
-    # Drain-based wait instead of a fixed sleep: under host load the
-    # 1s micro-batches lag arbitrarily.  Wait until the query reports
-    # two empty batches after b3/b4 (input fully consumed AND the
-    # late row's own 1.5s decision timeout has had a chance to fire —
-    # if the tombstone were broken, the duplicate would be emitted by
-    # then, so waiting longer only strengthens the assertion).
-    deadline = time.time() + 90
-    empty_batches, last_batch = 0, -1
-    while time.time() < deadline and empty_batches < 2:
-        time.sleep(2)
-        lp = q.lastProgress
-        if not lp or lp["batchId"] == last_batch:
-            continue
-        last_batch = lp["batchId"]
-        if lp["numInputRows"] == 0:
-            empty_batches += 1
-        else:
-            empty_batches = 0
-    rows = spark.sql("select * from tomb_test where conv_id = 'keep'").collect()
-    q.stop()
-    got = sorted(r["turn_idx"] for r in rows)
-    assert got == [0], got  # the late turn 9 was dropped by the tombstone
+    h = _TailHarness(spark, tmp_path, "tomb_test")
+    try:
+        h.step([("keep", 0, "boom level=ERROR", 0)])  # buffered
+        h.step([("x", 0, "n", 60)])  # watermark passes T0+1.5s: decision
+        assert sorted(r["turn_idx"] for r in h.result("keep")) == [0]
+        # LATE row for the already-decided conversation — would previously
+        # rebuild state and re-emit a partial duplicate at its timeout
+        h.step([("keep", 9, "late level=ERROR", 61)])  # tombstone absorbs
+        # advance far past where the duplicate's own decision timer
+        # (and the tombstone's eviction) would fire
+        h.step([("y", 0, "n", 600)])
+        got = sorted(r["turn_idx"] for r in h.result("keep"))
+        assert got == [0], got  # late turn 9 was dropped by the tombstone
+    finally:
+        h.stop()
