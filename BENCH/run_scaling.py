@@ -84,6 +84,17 @@ def ensure_bucketed(flat: str, buckets: int = 32) -> str:
     return loc
 
 
+def read_cpu_times() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from the aggregate /proc/stat cpu
+    line — the hypervisor steal counter that round 2's sub-0.8
+    confirmation reps were attributed to."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return sum(vals), steal
+
+
 def run_once(
     zip_path: str,
     data: str,
@@ -121,14 +132,18 @@ def run_once(
     else:
         cmd += ["--input", data]
     cmd += ["--out", out_dir, "--warmup"]
+    t0, s0 = read_cpu_times()
     p = subprocess.run(
         cmd, capture_output=True, text=True, env=env, cwd=REPO, timeout=1800
     )
+    t1, s1 = read_cpu_times()
     if p.returncode != 0:
         print(p.stderr[-4000:], file=sys.stderr)
         raise RuntimeError(f"spark-submit failed (cpus={cpus})")
     line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    m = json.loads(line)
+    m["steal_frac"] = round((s1 - s0) / max(t1 - t0, 1), 4)
+    return m
 
 
 def main() -> None:
@@ -159,6 +174,14 @@ def main() -> None:
     ap.add_argument("--tag", default="", help="suffix for the output JSON name")
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument(
+        "--steal-threshold",
+        type=float,
+        default=0.10,
+        help="flag reps whose /proc/stat steal fraction exceeds this; "
+        "flagged reps are excluded from best-of unless ALL reps of a "
+        "config are flagged",
+    )
+    ap.add_argument(
         "--no-md", action="store_true", help="skip rewriting BENCH/BASELINE.md"
     )
     args = ap.parse_args()
@@ -169,9 +192,12 @@ def main() -> None:
         data = ensure_bucketed(data, buckets=args.buckets)
 
     # Interleave configs across reps so slow drifts of the shared host
-    # hit every config equally; keep the best rep per config.
+    # hit every config equally.  Per config: every rep is recorded with
+    # its /proc/stat steal fraction; reps above --steal-threshold are
+    # FLAGGED (hypervisor noise, the round-2 wobble) and excluded from
+    # the best-of unless every rep of that config is flagged.
     configs = [args.small, args.large, *args.extra]
-    results: dict[int, dict] = {}
+    reps_log: dict[int, list[dict]] = {c: [] for c in configs}
     for rep in range(args.reps):
         for cpus in configs:
             out = os.path.join(DATA_DIR, f"out_c{cpus}_r{rep}_{int(time.time())}")
@@ -179,10 +205,16 @@ def main() -> None:
                 zip_path, data, out, cpus,
                 layout=args.layout, pin=args.pin, buckets=args.buckets,
             )
+            m["rep"] = rep
+            m["steal_flagged"] = m["steal_frac"] > args.steal_threshold
             print(f"local[{cpus}] rep{rep}: {m}", file=sys.stderr)
-            if cpus not in results or m["turns_per_sec"] > results[cpus]["turns_per_sec"]:
-                results[cpus] = m
+            reps_log[cpus].append(m)
             shutil.rmtree(out, ignore_errors=True)
+
+    results: dict[int, dict] = {}
+    for cpus, reps in reps_log.items():
+        clean = [r for r in reps if not r["steal_flagged"]] or reps
+        results[cpus] = max(clean, key=lambda r: r["turns_per_sec"])
 
     tp_n = results[args.small]["turns_per_sec"]
     tp_4n = results[args.large]["turns_per_sec"]
@@ -200,7 +232,20 @@ def main() -> None:
         "saturation": {
             str(c): results[c]["turns_per_sec"] for c in sorted(results)
         },
+        "steal_threshold": args.steal_threshold,
         "detail": {str(k): v for k, v in results.items()},
+        "reps": {
+            str(c): [
+                {
+                    "rep": r["rep"],
+                    "turns_per_sec": r["turns_per_sec"],
+                    "steal_frac": r["steal_frac"],
+                    "steal_flagged": r["steal_flagged"],
+                }
+                for r in reps
+            ]
+            for c, reps in reps_log.items()
+        },
     }
     name = f"scaling{('_' + args.tag) if args.tag else ''}.json"
     out_path = os.path.join(REPO, "BENCH", name)
@@ -229,9 +274,14 @@ Input: {args.turns:,} synthetic transcript turns (deterministic,
 seed=9, Zipf-skewed conv sizes).  Throughput measured inside the job
 (JVM startup excluded); best of {args.reps} reps.
 
-| config | turns/sec | total sec |
-| --- | --- | --- |
-{chr(10).join(f"| local[{c}]{' (N)' if c == args.small else ' (4N)' if c == args.large else ''} | {results[c]['turns_per_sec']:,.0f} | {results[c]['total_sec']} |" for c in sorted(results))}
+| config | turns/sec | total sec | steal frac (best rep) |
+| --- | --- | --- | --- |
+{chr(10).join(f"| local[{c}]{' (N)' if c == args.small else ' (4N)' if c == args.large else ''} | {results[c]['turns_per_sec']:,.0f} | {results[c]['total_sec']} | {results[c]['steal_frac']:.3f}{' FLAGGED' if results[c]['steal_flagged'] else ''} |" for c in sorted(results))}
+
+Per-rep steal guard: reps whose /proc/stat steal fraction exceeds
+{args.steal_threshold:.2f} are flagged as hypervisor noise and excluded
+from best-of (unless every rep of a config is flagged).  Full per-rep
+steal columns are in the JSON next to this file.
 
 **Scaling efficiency (tp_4N / tp_N) / 4 = {eff:.3f}** — criterion
 (>= 0.8): {"MET" if eff >= 0.8 else "NOT MET"}.

@@ -67,3 +67,190 @@ def test_iceberg_roundtrip_unmodified_job_path(spark, tmp_path):
     snap = cat.append(spark.range(7).withColumnRenamed("id", "v"))
     assert snap.metrics["rows"] == 7
     assert cat.read_since(spark, pre).count() == 7
+
+
+# --- Iceberg contract tests (no runtime jar needed) -------------------
+#
+# The sandbox provably cannot load the Iceberg runtime (no network to
+# Maven, no jar on disk), so the integration test above stays skipped
+# here.  These tests instead pin OUR side of the boundary: a recording
+# fake stands in for the Spark session and asserts the exact SQL and
+# DataFrameWriterV2 calls IcebergCatalog issues — commit-record
+# assembly, incremental-scan options, epoch bookkeeping.  What remains
+# untested is Iceberg's own behavior, which the jar exercises on a
+# real cluster via --run-iceberg.
+
+
+class _Recorder:
+    def __init__(self):
+        self.calls = []
+
+
+class _FakeWriterV2:
+    def __init__(self, rec):
+        self.rec = rec
+
+    def partitionedBy(self, *cols):
+        self.rec.calls.append(("partitionedBy", len(cols)))
+        return self
+
+    def create(self):
+        self.rec.calls.append(("create",))
+
+    def append(self):
+        self.rec.calls.append(("append",))
+
+
+class _FakeRow(dict):
+    def __getitem__(self, k):
+        return dict.__getitem__(self, k)
+
+    def asDict(self):
+        return dict(self)
+
+
+class _FakeQuery:
+    def __init__(self, rows):
+        self._rows = rows
+
+    def collect(self):
+        return self._rows
+
+
+class _FakeCatalogAPI:
+    def __init__(self, exists):
+        self._exists = exists
+
+    def tableExists(self, ident):
+        return self._exists
+
+
+class _FakeSession:
+    """Answers the metadata queries IcebergCatalog makes."""
+
+    def __init__(self, rec, exists=True, snapshot_id=991, added=5):
+        self.rec = rec
+        self.catalog = _FakeCatalogAPI(exists)
+        self._snapshot_id = snapshot_id
+        self._added = added
+
+    def sql(self, q):
+        self.rec.calls.append(("sql", q))
+        if ".snapshots" in q:
+            return _FakeQuery(
+                [_FakeRow(snapshot_id=self._snapshot_id,
+                          summary={"added-records": str(self._added)})]
+            )
+        if ".files" in q:
+            return _FakeQuery(
+                [_FakeRow(path="f1.parquet", rows=self._added, partition=None)]
+            )
+        if q.startswith("SHOW TBLPROPERTIES"):
+            return _FakeQuery(
+                [_FakeRow(key="sparkcollector.last_epoch", value="7")]
+            )
+        return _FakeQuery([])
+
+
+class _FakeDF:
+    def __init__(self, session):
+        self.sparkSession = session
+        self._rec = session.rec
+
+    def writeTo(self, ident):
+        self._rec.calls.append(("writeTo", ident))
+        return _FakeWriterV2(self._rec)
+
+
+def _patched(monkeypatch, exists):
+    import sparkcollector.catalog as cat_mod
+
+    rec = _Recorder()
+    sess = _FakeSession(rec, exists=exists)
+    monkeypatch.setattr(cat_mod, "iceberg_available", lambda s: True)
+    return rec, sess
+
+
+def test_iceberg_append_existing_table_appends(monkeypatch):
+    rec, sess = _patched(monkeypatch, exists=True)
+    snap = IcebergCatalog("local.db.t").append(
+        _FakeDF(sess), metrics={"epoch": 3}
+    )
+    names = [c[0] for c in rec.calls]
+    assert names[:2] == ["writeTo", "append"]  # existing table: append()
+    # epoch bookkeeping rides in a table property
+    assert any(
+        "TBLPROPERTIES" in c[1] and "'3'" in c[1]
+        for c in rec.calls if c[0] == "sql"
+    )
+    # commit record assembled from the metadata tables
+    assert snap.snapshot_id == 991
+    assert snap.metrics["rows"] == 5 and snap.metrics["epoch"] == 3
+    assert snap.files == [{"path": "f1.parquet", "rows": 5}]
+
+
+def test_iceberg_append_new_table_creates_partitioned(monkeypatch):
+    rec, sess = _patched(monkeypatch, exists=False)
+    IcebergCatalog("local.db.t").append(
+        _FakeDF(sess), partition_by=["sink"]
+    )
+    assert ("partitionedBy", 1) in rec.calls
+    assert ("create",) in rec.calls and ("append",) not in rec.calls
+
+
+def test_iceberg_read_since_uses_incremental_append_scan(monkeypatch):
+    rec = _Recorder()
+
+    class _Reader:
+        def __init__(self):
+            self.opts = {}
+
+        def format(self, f):
+            rec.calls.append(("format", f))
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            rec.calls.append(("option", k, v))
+            return self
+
+        def load(self, ident):
+            rec.calls.append(("load", ident))
+            return "DF"
+
+    class _Sess:
+        read = _Reader()
+
+        @staticmethod
+        def table(ident):
+            rec.calls.append(("table", ident))
+            return "FULL"
+
+    c = IcebergCatalog("local.db.t")
+    assert c.read_since(_Sess, None) == "FULL"  # fresh consumer: full read
+    assert c.read_since(_Sess, 123) == "DF"
+    assert ("format", "iceberg") in rec.calls
+    assert ("option", "start-snapshot-id", 123) in rec.calls
+    assert ("load", "local.db.t") in rec.calls
+
+
+def test_iceberg_incremental_read_no_change_short_circuits(monkeypatch):
+    c = IcebergCatalog("local.db.t")
+    monkeypatch.setattr(
+        IcebergCatalog, "current_snapshot_id", lambda self: 991
+    )
+    df, wm = c.incremental_read(None, 991)
+    assert df is None and wm == 991  # watermark unchanged, no scan
+
+
+def test_iceberg_has_epoch_checks_table_property(monkeypatch):
+    import sparkcollector.catalog as cat_mod
+
+    rec = _Recorder()
+    sess = _FakeSession(rec, exists=True)
+    monkeypatch.setattr(
+        cat_mod.SparkSession, "getActiveSession", staticmethod(lambda: sess)
+    )
+    c = IcebergCatalog("local.db.t")
+    assert c.has_epoch(7) is True
+    assert c.has_epoch(8) is False
