@@ -1821,3 +1821,179 @@ def journey_paths(
         F.sum(F.col("_truncated").cast("long")).alias("n_truncated"),
     )
     return counts.orderBy(F.desc("n_users"), "journey").limit(k)
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Benford first-digit audit (fabricated-data / instrumentation-bug
+    screen: organically-sized quantities follow ``P(d) = log10(1+1/d)``;
+    a synthetic or truncated feed does not): observed share per leading
+    digit vs the Benford expectation, with the absolute deviation.
+
+    Reference analog: the anomaly screens signalfx detectors run over
+    datapoint streams (signalfx-agent observer/metric sanity checks).
+
+    One filter + one 9-row groupBy (optionally per group) — no shuffle
+    wider than |groups| x 9 rows at any input scale.  The leading digit
+    is the first nonzero digit of the value's decimal rendering — NOT
+    ``floor(v / 10^floor(log10(v)))``, which flips at exact powers of
+    ten when an engine's log10 is 1 ulp off; the leading significant
+    digit is invariant across rendering styles (scientific or plain),
+    so both engines agree by construction.  Zero, negative, and NaN
+    values are excluded (Benford is defined on positives).  Shares come
+    from exact BIGINT counts; the only floating math is one log10 for
+    the expectation and one division, rounded to 6.
+    """
+    keys = [group_col] if group_col else []
+    v = F.col(value_col).cast("double")
+    pos = df.filter((v > 0) & ~F.isnan(v))
+    digit = F.regexp_extract(v.cast("string"), "[1-9]", 0).cast("int")
+    cells = pos.select(*keys, digit.alias("digit")).groupBy(
+        *keys, "digit"
+    ).agg(F.count("*").alias("n"))
+    tot = (
+        cells.groupBy(*keys).agg(F.sum("n").alias("_t"))
+        if keys
+        else cells.agg(F.sum("n").alias("_t"))
+    )
+    j = (
+        cells.join(F.broadcast(tot), keys)
+        if keys
+        else cells.crossJoin(F.broadcast(tot))
+    )
+    share = F.col("n").cast("double") / F.col("_t").cast("double")
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return j.select(
+        *keys,
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(share, 6).alias("share"),
+        F.round(expected, 6).alias("benford_share"),
+        F.round(F.abs(share - expected), 6).alias("abs_dev"),
+    )
+
+
+def burstiness_fano(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+) -> DataFrame:
+    """Burstiness per series (is traffic Poisson-ish or bursty? — the
+    statistic behind rate-limit and capacity decisions): Fano factor
+    ``var/mean`` of per-bucket counts over the series' GAP-FILLED
+    bucket grid (a missing bucket is a zero-count observation; skipping
+    zeros biases the variance down exactly when traffic is burstiest),
+    plus the bounded burstiness index ``(sigma - mu) / (sigma + mu)``
+    (-1 regular, 0 Poisson, ->1 bursty).
+
+    ``bucket_col`` must be an integer bucket index with step 1.  Grid
+    size is bounded by the time span, not the row count (same argument
+    as ``mase_baseline``).  Variance comes from exact BIGINT moment
+    sums (``S1 = sum x``, ``S2 = sum x^2`` — counts are integers), so
+    the double arithmetic is three operations and hash-stable.
+    """
+    raw = df.groupBy(key_col, bucket_col).agg(
+        F.count("*").alias("y")
+    )
+    g = raw.groupBy(key_col).agg(
+        F.min(bucket_col).alias("_mn"),
+        F.max(bucket_col).alias("_mx"),
+        F.sum("y").alias("_s1"),
+        F.sum(F.col("y") * F.col("y")).alias("_s2"),
+    )
+    # zero-count buckets add nothing to S1/S2 — only n needs the grid.
+    n = (F.col("_mx") - F.col("_mn") + F.lit(1)).cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    mu = s1 / n
+    var = (s2 - s1 * s1 / n) / n
+    sigma = F.sqrt(var)
+    return g.select(
+        key_col,
+        (F.col("_mx") - F.col("_mn") + F.lit(1)).cast("long").alias(
+            "n_buckets"
+        ),
+        F.round(mu, 6).alias("mean_per_bucket"),
+        F.round(var / mu, 6).alias("fano"),
+        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+    )
+
+
+def acf_lags(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    lags: tuple[int, ...] = (1, 2, 3, 24),
+) -> DataFrame:
+    """Sample autocorrelation of per-bucket counts at chosen lags (the
+    seasonality detector: hourly series with r_24 >> r_1 has a real
+    daily cycle — run this before trusting ``mase_baseline``'s season
+    choice): ``r_k = sum((x_t - mu)(x_{t+k} - mu)) / sum((x_t - mu)^2)``
+    over each series' gap-filled grid.
+
+    Expanded to exact integer sums so the two engines agree bit-for-bit
+    after rounding: numerator ``= Sxy_k - mu*(Sh_k + St_k) + (n-k)*mu^2``
+    where ``Sxy_k = sum x_t*x_{t+k}`` and ``Sh_k``/``St_k`` are the
+    head/tail partial sums — all BIGINT; ``mu``, the denominator
+    ``S2 - n*mu^2``, and the final division are the only double math.
+
+    One keyed window pass produces every lag column (grid is dense
+    after the fill, so row-lag == time-lag); per-key grid size is
+    bounded by the bucket span.
+    """
+    from pyspark.sql.window import Window
+
+    raw = df.groupBy(key_col, bucket_col).agg(
+        F.count("*").alias("y")
+    )
+    span = raw.groupBy(key_col).agg(
+        F.min(bucket_col).alias("_mn"), F.max(bucket_col).alias("_mx")
+    )
+    grid = span.select(
+        key_col,
+        F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias(
+            bucket_col
+        ),
+    )
+    counts = grid.join(raw, [key_col, bucket_col], "left").select(
+        key_col,
+        bucket_col,
+        F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+    )
+    w = Window.partitionBy(key_col).orderBy(bucket_col)
+    cols = [F.col(key_col), F.col("y")]
+    for k in lags:
+        cols.append(F.lag("y", k).over(w).alias(f"_l{k}"))
+    lagged = counts.select(*cols)
+    aggs = [
+        F.count("*").alias("_n"),
+        F.sum("y").alias("_s1"),
+        F.sum(F.col("y") * F.col("y")).alias("_s2"),
+    ]
+    for k in lags:
+        lk = F.col(f"_l{k}")
+        aggs += [
+            F.sum(F.col("y") * lk).alias(f"_sxy{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("y"))).alias(f"_st{k}"),
+            F.sum(lk).alias(f"_sh{k}"),
+            F.count(lk).alias(f"_np{k}"),
+        ]
+    g = lagged.groupBy(key_col).agg(*aggs)
+    n = F.col("_n").cast("double")
+    mu = F.col("_s1").cast("double") / n
+    denom = F.col("_s2").cast("double") - n * mu * mu
+    out = [F.col(key_col), F.col("_n").cast("long").alias("n_buckets")]
+    for k in lags:
+        num = (
+            F.col(f"_sxy{k}").cast("double")
+            - mu
+            * (F.col(f"_sh{k}") + F.col(f"_st{k}")).cast("double")
+            + F.col(f"_np{k}").cast("double") * mu * mu
+        )
+        out.append(
+            F.round(F.when(denom > 0, num / denom), 6).alias(f"acf_{k}")
+        )
+    return g.select(*out)

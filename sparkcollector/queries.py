@@ -10476,6 +10476,163 @@ def q_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 267. Benford first-digit audit (fabricated-data screen): per event
+#      type, observed leading-digit shares vs log10(1+1/d), exact
+#      counts, rendering-invariant digit extraction.
+# ---------------------------------------------------------------------
+@register(
+    "benford_audit",
+    """
+    with pos as (select event_type,
+                   cast(regexp_extract(cast(value as varchar), '[1-9]')
+                        as int) as digit
+                 from events
+                 where value > 0 and not isnan(value)),
+    cells as (select event_type, digit, count(*) as n
+              from pos group by 1, 2),
+    tot as (select event_type, sum(n) as t from cells group by 1)
+    select cells.event_type, digit, cast(n as bigint) as n,
+           round(cast(n as double) / cast(t as double), 6) as share,
+           round(log10(1.0 + 1.0 / digit), 6) as benford_share,
+           round(abs(cast(n as double) / cast(t as double)
+                     - log10(1.0 + 1.0 / digit)), 6) as abs_dev
+    from cells join tot using (event_type)
+    """,
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import benford_audit
+
+    ev = _t(spark, sf_dir, "events")
+    return benford_audit(ev, "value", group_col="event_type")
+
+
+# ---------------------------------------------------------------------
+# 268. Burstiness per event type (Fano factor + bounded burstiness
+#      index over the gap-filled minute grid): exact BIGINT moment
+#      sums, three double ops.
+# ---------------------------------------------------------------------
+@register(
+    "burstiness_fano",
+    """
+    with raw as (select event_type,
+                   cast(floor(epoch(ts) / 60) as bigint) as b,
+                   count(*) as y
+                 from events group by 1, 2),
+    g as (select event_type, min(b) as mn, max(b) as mx,
+                 cast(sum(y) as bigint) as s1,
+                 cast(sum(y * y) as bigint) as s2
+          from raw group by 1)
+    select event_type,
+           cast(mx - mn + 1 as bigint) as n_buckets,
+           round(cast(s1 as double) / cast(mx - mn + 1 as double), 6)
+             as mean_per_bucket,
+           round(((cast(s2 as double)
+                   - cast(s1 as double) * cast(s1 as double)
+                     / cast(mx - mn + 1 as double))
+                  / cast(mx - mn + 1 as double))
+                 / (cast(s1 as double) / cast(mx - mn + 1 as double)),
+                 6) as fano,
+           round((sqrt((cast(s2 as double)
+                        - cast(s1 as double) * cast(s1 as double)
+                          / cast(mx - mn + 1 as double))
+                       / cast(mx - mn + 1 as double))
+                  - cast(s1 as double) / cast(mx - mn + 1 as double))
+                 / (sqrt((cast(s2 as double)
+                          - cast(s1 as double) * cast(s1 as double)
+                            / cast(mx - mn + 1 as double))
+                         / cast(mx - mn + 1 as double))
+                    + cast(s1 as double)
+                      / cast(mx - mn + 1 as double)), 6)
+             as burstiness
+    from g
+    """,
+)
+def q_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import burstiness_fano
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(_epoch_s("ts") / 60).cast("long").alias("bkt"),
+    )
+    return burstiness_fano(ev, "event_type", "bkt")
+
+
+# ---------------------------------------------------------------------
+# 269. Autocorrelation at lags 1/2/3/24 of hourly counts per event
+#      type (the seasonality detector feeding mase_baseline's season
+#      choice): gap-filled grid, exact integer sums, one keyed window.
+# ---------------------------------------------------------------------
+@register(
+    "acf_lags",
+    """
+    with raw as (select event_type as k,
+                   cast(floor(epoch(ts) / 3600) as bigint) as b,
+                   count(*) as y
+                 from events group by 1, 2),
+    span as (select k, min(b) as mn, max(b) as mx from raw group by 1),
+    grid as (select k, unnest(generate_series(mn, mx)) as b from span),
+    counts as (select grid.k, grid.b,
+                 cast(coalesce(raw.y, 0) as bigint) as y
+               from grid left join raw
+                 on raw.k = grid.k and raw.b = grid.b),
+    lagged as (select k, y,
+                 lag(y, 1) over w as l1, lag(y, 2) over w as l2,
+                 lag(y, 3) over w as l3, lag(y, 24) over w as l24
+               from counts
+               window w as (partition by k order by b)),
+    g as (select k, count(*) as n,
+                 cast(sum(y) as bigint) as s1,
+                 cast(sum(y * y) as bigint) as s2,
+                 cast(sum(y * l1) as bigint) as sxy1,
+                 cast(sum(case when l1 is not null then y end)
+                      as bigint) as st1,
+                 cast(sum(l1) as bigint) as sh1, count(l1) as np1,
+                 cast(sum(y * l2) as bigint) as sxy2,
+                 cast(sum(case when l2 is not null then y end)
+                      as bigint) as st2,
+                 cast(sum(l2) as bigint) as sh2, count(l2) as np2,
+                 cast(sum(y * l3) as bigint) as sxy3,
+                 cast(sum(case when l3 is not null then y end)
+                      as bigint) as st3,
+                 cast(sum(l3) as bigint) as sh3, count(l3) as np3,
+                 cast(sum(y * l24) as bigint) as sxy24,
+                 cast(sum(case when l24 is not null then y end)
+                      as bigint) as st24,
+                 cast(sum(l24) as bigint) as sh24, count(l24) as np24
+          from lagged group by 1),
+    m as (select *, cast(s1 as double) / cast(n as double) as mu
+          from g),
+    d as (select *,
+            cast(s2 as double)
+              - (cast(n as double) * mu) * mu as denom
+          from m)
+    select k as event_type, cast(n as bigint) as n_buckets,
+      round(case when denom > 0 then
+        ((cast(sxy1 as double) - mu * cast(sh1 + st1 as double))
+         + (cast(np1 as double) * mu) * mu) / denom end, 6) as acf_1,
+      round(case when denom > 0 then
+        ((cast(sxy2 as double) - mu * cast(sh2 + st2 as double))
+         + (cast(np2 as double) * mu) * mu) / denom end, 6) as acf_2,
+      round(case when denom > 0 then
+        ((cast(sxy3 as double) - mu * cast(sh3 + st3 as double))
+         + (cast(np3 as double) * mu) * mu) / denom end, 6) as acf_3,
+      round(case when denom > 0 then
+        ((cast(sxy24 as double) - mu * cast(sh24 + st24 as double))
+         + (cast(np24 as double) * mu) * mu) / denom end, 6) as acf_24
+    from d
+    """,
+)
+def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import acf_lags
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(_epoch_s("ts") / 3600).cast("long").alias("bkt"),
+    )
+    return acf_lags(ev, "event_type", "bkt", lags=(1, 2, 3, 24))
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

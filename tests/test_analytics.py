@@ -828,3 +828,50 @@ def test_journey_paths_truncation(spark):
     assert got["a>b>c"]["n_users"] == 2
     long = got[">".join(["x"] * 8)]
     assert long["n_users"] == 1 and long["n_truncated"] == 1
+
+
+def test_benford_audit_digits_and_shares(spark):
+    from sparkcollector.operators.analytics import benford_audit
+
+    rows = [
+        ("g", 1.5), ("g", 10.0), ("g", 0.019),   # digit 1 x3
+        ("g", 25.0), ("g", 0.2),                  # digit 2 x2
+        ("g", 900.0),                             # digit 9 x1
+        ("g", -5.0), ("g", 0.0),                  # dropped
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {r["digit"]: r for r in benford_audit(df, "v", "grp").collect()}
+    assert set(got) == {1, 2, 9}
+    assert got[1]["n"] == 3 and abs(got[1]["share"] - 0.5) < 1e-9
+    assert got[2]["n"] == 2
+    import math
+    assert abs(got[1]["benford_share"] - round(math.log10(2), 6)) < 1e-9
+
+
+def test_burstiness_fano_gap_filled(spark):
+    from sparkcollector.operators.analytics import burstiness_fano
+
+    # key 'a': 1 event in bucket 0, 3 in bucket 2 -> grid [1, 0, 3]
+    rows = [("a", 0)] + [("a", 2)] * 3
+    df = spark.createDataFrame(rows, "k string, bkt long")
+    r = burstiness_fano(df, "k", "bkt").collect()[0]
+    assert r["n_buckets"] == 3
+    # S1=4, S2=10, n=3: mu=4/3, var=(10-16/3)/3=14/9, fano=7/6
+    assert abs(r["mean_per_bucket"] - 4 / 3) < 1e-5
+    assert abs(r["fano"] - 7 / 6) < 1e-5
+    import math
+    sigma, mu = math.sqrt(14 / 9), 4 / 3
+    assert abs(r["burstiness"] - (sigma - mu) / (sigma + mu)) < 1e-5
+
+
+def test_acf_lags_alternating_series(spark):
+    from sparkcollector.operators.analytics import acf_lags
+
+    # counts [2,0,2,0,2] on buckets 0..4 (gap-filled zeros at 1,3)
+    rows = [("a", 0)] * 2 + [("a", 2)] * 2 + [("a", 4)] * 2
+    df = spark.createDataFrame(rows, "k string, bkt long")
+    r = acf_lags(df, "k", "bkt", lags=(1, 2)).collect()[0]
+    assert r["n_buckets"] == 5
+    # hand-computed: mu=1.2, denom=4.8; r1=-0.8, r2=2.72/4.8
+    assert abs(r["acf_1"] - (-0.8)) < 1e-6
+    assert abs(r["acf_2"] - 2.72 / 4.8) < 1e-6
