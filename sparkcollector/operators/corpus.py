@@ -1874,3 +1874,102 @@ def first_response_sla(
         F.round(gap, 3).alias("first_response_s"),
         F.coalesce(gap <= sla_sec, F.lit(False)).alias("sla_met"),
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over adjacent
+    word pairs (the phrase detector run before vocabulary decisions —
+    'new york' scoring high PMI is the case for merging it into one
+    token): ``pmi = ln(p_xy / (p_x * p_y))`` with ``p_xy`` over bigram
+    positions and ``p_x`` over unigram positions, bigrams below
+    ``min_count`` dropped (PMI is noise at low counts).
+
+    Tokens split on single spaces (the corpus-wide convention shared
+    with ``vocabulary``/``lm_score``).  Bigrams assemble IN-ROW
+    (zip of the word array with its tail — no posexplode self-join);
+    the only shuffles are the two bounded count aggregates.  Ordering
+    ties break on the ROUNDED pmi then lexically, so a last-ulp ln()
+    divergence between engines cannot reorder the top-k.
+    """
+    w = F.split(F.col(text_col), " ")
+    pairs = F.arrays_zip(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+    )
+    bi = df.select(F.explode(pairs).alias("p")).select(
+        F.col("p").getField("0").alias("x"),
+        F.col("p").getField("1").alias("y"),
+    )
+    uni = df.select(F.explode(w).alias("x"))
+    cb = bi.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    cu = uni.groupBy("x").agg(F.count("*").alias("c_x"))
+    # corpus totals as 1-row aggregates (no driver-side .count() pass)
+    nb = cb.agg(F.sum("c_xy").alias("_nb"))
+    nu = cu.agg(F.sum("c_x").alias("_nu"))
+    # the surviving bigram set is small after min_count; the unigram
+    # joins stay keyed (vocabulary can exceed broadcast size at scale)
+    j = (
+        cb.filter(F.col("c_xy") >= min_count)
+        .join(cu.withColumnRenamed("x", "_kx"), F.col("x") == F.col("_kx"))
+        .join(
+            cu.withColumnRenamed("x", "_ky").withColumnRenamed(
+                "c_x", "c_y"
+            ),
+            F.col("y") == F.col("_ky"),
+        )
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+    )
+    p_xy = F.col("c_xy").cast("double") / F.col("_nb").cast("double")
+    p_x = F.col("c_x").cast("double") / F.col("_nu").cast("double")
+    p_y = F.col("c_y").cast("double") / F.col("_nu").cast("double")
+    out = j.select(
+        "x",
+        "y",
+        F.col("c_xy").cast("long").alias("n_pair"),
+        F.round(F.log(p_xy / (p_x * p_y)), 6).alias("pmi"),
+    )
+    return out.orderBy(F.desc("pmi"), "x", "y").limit(top_k)
+
+
+def lognormal_fit(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Log-normal fit of document lengths per group (corpus-shape
+    audit: organic text lengths are approximately log-normal; a
+    truncated or templated source shows up as sigma collapsing or the
+    fitted median drifting from the empirical one): MLE ``mu =
+    mean(ln len)``, ``sigma = sqrt(mean(ln^2) - mu^2)``, and the
+    fitted median ``exp(mu)``.
+
+    One grouped aggregate; double averages rounded to 4 (the
+    cross-engine float-sum parity discipline shared with
+    ``lm_score``).  Empty texts are excluded (ln 0 undefined).
+    """
+    ln = F.log(F.length(F.col(text_col)).cast("double"))
+    g = (
+        df.filter(F.length(text_col) > 0)
+        .select(F.col(group_col), ln.alias("_l"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg("_l").alias("_m1"),
+            F.avg(F.col("_l") * F.col("_l")).alias("_m2"),
+        )
+    )
+    mu = F.col("_m1")
+    sigma = F.sqrt(F.col("_m2") - mu * mu)
+    return g.select(
+        group_col,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(mu, 4).alias("mu_ln"),
+        F.round(sigma, 4).alias("sigma_ln"),
+        F.round(F.exp(mu), 4).alias("fitted_median_len"),
+    )

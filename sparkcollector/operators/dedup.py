@@ -807,3 +807,60 @@ def dup_cluster_histogram(
             6,
         ).alias("corpus_share"),
     )
+
+
+def fulltext_edit_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_prefix: int = 32,
+    max_dist: int = 16,
+    max_block: int = 64,
+    observation=None,
+) -> DataFrame:
+    """Near-duplicate pairs by FULL-TEXT edit distance under prefix
+    blocking — the complement of :func:`levenshtein_block_join` (which
+    scores a fixed prefix and so reports suffix variants as distance
+    0): here the prefix only BLOCKS, and the reported distance is the
+    true Levenshtein over the whole text, so "same doc, different
+    tail" pairs rank by how much actually changed.
+
+    Scale story: the self-join is an equi-join on the 32-char prefix;
+    blocks larger than ``max_block`` are dropped entirely (a hot
+    boilerplate prefix would otherwise go quadratic) with the drop
+    observable via ``observation`` — the same capped-posting
+    discipline as ``jaccard_pairs``.  Per-pair cost is O(len_a *
+    len_b) inside the JVM builtin; pair volume is
+    sum(min(block, max_block)^2).
+    """
+    keyed = df.select(
+        F.substring(F.col(text_col), 1, block_prefix).alias("_blk"),
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+    )
+    sizes = keyed.groupBy("_blk").agg(F.count("*").alias("_bn"))
+    if observation is not None:
+        sizes = sizes.observe(
+            observation,
+            F.sum((F.col("_bn") > max_block).cast("long")).alias(
+                "blocks_dropped"
+            ),
+            F.count(F.lit(1)).alias("blocks_total"),
+        )
+    ok = sizes.filter(
+        (F.col("_bn") > 1) & (F.col("_bn") <= max_block)
+    ).select("_blk")
+    cand = keyed.join(ok, "_blk")
+    left = cand.select(
+        "_blk", F.col("_id").alias("id_a"), F.col("_txt").alias("_ta")
+    )
+    right = cand.select(
+        "_blk", F.col("_id").alias("id_b"), F.col("_txt").alias("_tb")
+    )
+    return (
+        left.join(right, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("_ta", "_tb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

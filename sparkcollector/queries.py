@@ -10633,6 +10633,101 @@ def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 270. Bigram PMI collocations (the phrase detector run before
+#      vocabulary decisions): in-row bigram zip, two bounded count
+#      aggregates, rounded-PMI tie-break so last-ulp ln() divergence
+#      cannot reorder the top-k.
+# ---------------------------------------------------------------------
+@register(
+    "bigram_pmi",
+    """
+    with d as (select string_split(text, ' ') as w from documents),
+    bi as (select w[i] as x, w[i + 1] as y
+           from d cross join unnest(range(1, len(w))) as t(i)),
+    uni as (select unnest(w) as x from d),
+    cb as (select x, y, count(*) as c_xy from bi group by 1, 2),
+    cu as (select x, count(*) as c_x from uni group by 1),
+    nb as (select cast(sum(c_xy) as bigint) as nb from cb),
+    nu as (select cast(sum(c_x) as bigint) as nu from cu)
+    select cb.x, cb.y, cast(c_xy as bigint) as n_pair,
+           round(ln((cast(c_xy as double) / cast(nb as double))
+                    / ((cast(kx.c_x as double) / cast(nu as double))
+                       * (cast(ky.c_x as double) / cast(nu as double)))),
+                 6) as pmi
+    from cb
+    join cu kx on cb.x = kx.x
+    join cu ky on cb.y = ky.x
+    cross join nb cross join nu
+    where c_xy >= 5
+    order by pmi desc, cb.x, cb.y
+    limit 50
+    """,
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import bigram_pmi
+
+    return bigram_pmi(
+        _t(spark, sf_dir, "documents"), min_count=5, top_k=50
+    )
+
+
+# ---------------------------------------------------------------------
+# 271. Log-normal fit of document lengths per source (corpus-shape
+#      audit: sigma collapse / median drift flags templated or
+#      truncated feeds): MLE from one grouped pass, round-4 parity.
+# ---------------------------------------------------------------------
+@register(
+    "lognormal_fit",
+    """
+    with g as (select source, count(*) as n_docs,
+                 avg(ln(cast(len(text) as double))) as m1,
+                 avg(ln(cast(len(text) as double))
+                     * ln(cast(len(text) as double))) as m2
+               from documents where len(text) > 0 group by 1)
+    select source, cast(n_docs as bigint) as n_docs,
+           round(m1, 4) as mu_ln,
+           round(sqrt(m2 - m1 * m1), 4) as sigma_ln,
+           round(exp(m1), 4) as fitted_median_len
+    from g
+    """,
+)
+def q_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import lognormal_fit
+
+    return lognormal_fit(_t(spark, sf_dir, "documents"), "source")
+
+
+# ---------------------------------------------------------------------
+# 272. Full-text edit-distance near-dups under prefix blocking (true
+#      distance of suffix variants, complementing the prefix-distance
+#      join at entry 120): capped blocks, JVM levenshtein.
+# ---------------------------------------------------------------------
+@register(
+    "fulltext_edit_dups",
+    """
+    with k as (select substr(text, 1, 32) as blk, doc_id, text
+               from documents),
+    ok as (select blk from k group by blk
+           having count(*) > 1 and count(*) <= 64)
+    select a.doc_id as id_a, b.doc_id as id_b,
+           levenshtein(a.text, b.text) as dist
+    from k a join ok using (blk) join k b on a.blk = b.blk
+    where a.doc_id < b.doc_id
+      and levenshtein(a.text, b.text) <= 16
+    """,
+)
+def q_fulltext_edit_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import fulltext_edit_dups
+
+    return fulltext_edit_dups(
+        _t(spark, sf_dir, "documents"),
+        block_prefix=32,
+        max_dist=16,
+        max_block=64,
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

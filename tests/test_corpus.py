@@ -834,3 +834,36 @@ def test_first_response_sla(spark):
     assert not got["slow"]["sla_met"]
     assert got["never"]["first_response_s"] is None
     assert got["never"]["sla_met"] is False
+
+
+def test_bigram_pmi_closed_form(spark):
+    from sparkcollector.operators.corpus import bigram_pmi
+
+    docs = [("a b a b",), ("a b",)]
+    df = spark.createDataFrame(docs, "text string")
+    rows = bigram_pmi(df, min_count=2, top_k=10).collect()
+    # c(a,b)=3 of NB=4 bigrams; c(a)=c(b)=3 of NU=6 -> pmi=ln(3)
+    import math
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["x"], r["y"], r["n_pair"]) == ("a", "b", 3)
+    assert abs(r["pmi"] - round(math.log(3), 6)) < 1e-9
+
+
+def test_lognormal_fit_two_lengths(spark):
+    import math
+
+    from sparkcollector.operators.corpus import lognormal_fit
+
+    df = spark.createDataFrame(
+        [("s", "x" * 10), ("s", "x" * 1000), ("s", "")],
+        "source string, text string",
+    )
+    r = lognormal_fit(df, "source").collect()[0]
+    l1, l2 = math.log(10), math.log(1000)
+    mu = (l1 + l2) / 2
+    sigma = math.sqrt((l1 * l1 + l2 * l2) / 2 - mu * mu)
+    assert r["n_docs"] == 2  # empty text excluded
+    assert abs(r["mu_ln"] - round(mu, 4)) < 1e-9
+    assert abs(r["sigma_ln"] - round(sigma, 4)) < 1e-9
+    assert abs(r["fitted_median_len"] - round(math.exp(mu), 4)) < 1e-9

@@ -466,3 +466,25 @@ def test_join_strategy_advisor_rules(spark):
     ).collect()[0]
     assert r2["strategy"] == "shuffle_salted"
     assert r2["big_side_skew"] > 8.0
+
+
+def test_fulltext_edit_dups_blocks_and_caps(spark):
+    from sparkcollector.operators.dedup import fulltext_edit_dups
+
+    pfx = "p" * 32
+    rows = [
+        (1, pfx + " tail one"),
+        (2, pfx + " tail two"),      # dist 3 from doc 1
+        (3, "q" * 32 + " other"),    # different block
+        # hot block of 3 > max_block=2 -> dropped entirely
+        (4, "h" * 32 + " a"),
+        (5, "h" * 32 + " b"),
+        (6, "h" * 32 + " c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = fulltext_edit_dups(
+        df, block_prefix=32, max_dist=16, max_block=2
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"], r["dist"]) == (1, 2, 3)
