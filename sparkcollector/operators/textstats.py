@@ -316,3 +316,45 @@ def nonascii_audit(
         F.round(share, 6).alias("nonascii_share"),
         (share > max_share).alias("suspect"),
     )
+
+
+def charclass_profile(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-class mix per group: shares of letters, digits,
+    spaces, and everything else (punctuation/symbols/non-ASCII) in
+    the byte stream.  The cheapest structural fingerprint of a feed —
+    a log-like source shows a digit/punct spike, templated prose a
+    flat profile; drift here catches format changes before any parser
+    breaks.
+
+    Counting is length-difference arithmetic over ``regexp_replace``
+    (JVM regex, whole-stage codegen) — no explode, no UDF; ONE keyed
+    aggregate with map-side partials.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    letters = n - F.length(F.regexp_replace(t, "[A-Za-z]", ""))
+    digits = n - F.length(F.regexp_replace(t, "[0-9]", ""))
+    spaces = n - F.length(F.regexp_replace(t, "[ ]", ""))
+    g = df.groupBy(F.col(group_col).alias(group_col)).agg(
+        F.sum(n).cast("long").alias("n_chars"),
+        F.sum(letters).cast("long").alias("n_letters"),
+        F.sum(digits).cast("long").alias("n_digits"),
+        F.sum(spaces).cast("long").alias("n_spaces"),
+    )
+    nch = F.col("n_chars").cast("double")
+    return g.select(
+        group_col,
+        "n_chars",
+        F.round(F.col("n_letters") / nch, 6).alias("letter_share"),
+        F.round(F.col("n_digits") / nch, 6).alias("digit_share"),
+        F.round(F.col("n_spaces") / nch, 6).alias("space_share"),
+        F.round(
+            (nch - F.col("n_letters") - F.col("n_digits")
+             - F.col("n_spaces")) / nch,
+            6,
+        ).alias("other_share"),
+    )

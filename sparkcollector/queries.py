@@ -10728,6 +10728,235 @@ def q_fulltext_edit_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 273. Distinctive terms per source by weighted log-odds with an
+#      informative Dirichlet prior (Monroe et al. "Fightin' Words"):
+#      the per-domain vocabulary screen that raw frequency and TF-IDF
+#      both get wrong.  Rounded-z tie-break for cross-engine top-k.
+# ---------------------------------------------------------------------
+@register(
+    "log_odds_terms",
+    """
+    with w as (select source as cls,
+                 unnest(string_split(text, ' ')) as word
+               from documents),
+    cw as (select cls, word, count(*) as y_iw from w group by 1, 2),
+    wt as (select word, sum(y_iw) as y_w from cw group by 1),
+    ct as (select cls, sum(y_iw) as n_i from cw group by 1),
+    tot as (select sum(y_w) as n from wt),
+    j as (select cw.cls, cw.word,
+            cast(cw.y_iw as double) as y_iw,
+            cast(wt.y_w as double) as y_w,
+            cast(ct.n_i as double) as n_i,
+            cast(tot.n as double) as n
+          from cw join wt using (word) join ct using (cls)
+          cross join tot
+          where cw.y_iw >= 3),
+    s as (select cls as source, word,
+            cast(y_iw as bigint) as n_in_class,
+            round((ln((y_iw + 10.0 * y_w / n)
+                      / (n_i + 10.0 - y_iw - 10.0 * y_w / n))
+                   - ln((y_w - y_iw + 10.0 * y_w / n)
+                        / (n - n_i + 10.0 - (y_w - y_iw)
+                           - 10.0 * y_w / n)))
+                  / sqrt(1.0 / (y_iw + 10.0 * y_w / n)
+                         + 1.0 / (y_w - y_iw + 10.0 * y_w / n)),
+                  6) as z_logodds
+          from j)
+    select source, word, n_in_class, z_logodds,
+           cast(row_number() over (partition by source
+                order by z_logodds desc, word) as int) as rk
+    from s qualify rk <= 10
+    """,
+)
+def q_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import log_odds_terms
+
+    return log_odds_terms(
+        _t(spark, sf_dir, "documents"),
+        class_col="source",
+        alpha0=10.0,
+        min_count=3,
+        top_k=10,
+    )
+
+
+# ---------------------------------------------------------------------
+# 274. Lexical richness per source: type-token ratio + hapax share
+#      (templated feeds collapse TTR; OCR noise spikes hapax) — two
+#      keyed aggregates, no windows/joins.
+# ---------------------------------------------------------------------
+@register(
+    "hapax_richness",
+    """
+    with w as (select source as grp,
+                 unnest(string_split(text, ' ')) as word
+               from documents),
+    cw as (select grp, word, count(*) as c from w group by 1, 2),
+    g as (select grp, cast(sum(c) as bigint) as n_tokens,
+            cast(count(*) as bigint) as n_types,
+            cast(sum(case when c = 1 then 1 else 0 end) as bigint)
+              as n_hapax
+          from cw group by 1)
+    select grp as source, n_tokens, n_types, n_hapax,
+      round(cast(n_types as double) / cast(n_tokens as double), 6)
+        as ttr,
+      round(cast(n_hapax as double) / cast(n_types as double), 6)
+        as hapax_share
+    from g
+    """,
+)
+def q_hapax_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import hapax_richness
+
+    return hapax_richness(_t(spark, sf_dir, "documents"), "source")
+
+
+# ---------------------------------------------------------------------
+# 275. Vocabulary coverage curve: token-mass share covered by the
+#      top-k words (the tokenizer/vocab sizing chart).  Spark path is
+#      TakeOrdered-bounded (no full vocab sort); oracle ranks the
+#      whole vocabulary — different plan, same three rows.
+# ---------------------------------------------------------------------
+@register(
+    "vocab_coverage_curve",
+    """
+    with w as (select unnest(string_split(text, ' ')) as word
+               from documents),
+    c as (select word, count(*) as c from w group by 1),
+    n as (select cast(sum(c) as double) as n from c),
+    r as (select c, row_number() over (order by c desc, word) as rk
+          from c)
+    select cast(k as int) as k,
+      cast(sum(case when rk <= k then c else 0 end) as bigint)
+        as covered_tokens,
+      round(cast(sum(case when rk <= k then c else 0 end) as double)
+            / (select n from n), 6) as coverage
+    from r cross join (values (100), (1000), (10000)) t(k)
+    group by k
+    """,
+)
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import vocab_coverage_curve
+
+    return vocab_coverage_curve(
+        _t(spark, sf_dir, "documents"), ks=(100, 1000, 10000)
+    )
+
+
+
+# ---------------------------------------------------------------------
+# 276. Response echo rate (assistant parroting the prompt): word-set
+#      Jaccard between a responder turn and the immediately preceding
+#      prompter turn, per tool — the degenerate-SFT-pair smell test.
+#      In-row array_intersect/union; the oracle recomputes the set
+#      overlap with list HOFs after an independent lag.
+# ---------------------------------------------------------------------
+@register(
+    "response_echo_rate",
+    f"""
+    with t as ({_T_SQL}),
+    lagged as (select tool, role, string_split(text, ' ') as w,
+                 lag(role) over (partition by conv_id
+                                 order by turn_idx) as prev_role,
+                 lag(string_split(text, ' ')) over (
+                   partition by conv_id order by turn_idx) as pw
+               from t),
+    pairs as (select tool,
+                len(list_distinct(list_intersect(w, pw))) as common,
+                len(list_distinct(w || pw)) as uni
+              from lagged
+              where role = 'assistant' and prev_role = 'user'),
+    j as (select tool,
+            case when uni > 0
+                 then cast(common as double) / cast(uni as double)
+                 else 0.0 end as jac
+          from pairs)
+    select tool, cast(count(*) as bigint) as n_pairs,
+           round(avg(jac), 6) as mean_echo,
+           round(max(jac), 6) as max_echo
+    from j group by tool
+    """,
+)
+def q_response_echo_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import response_echo_rate
+
+    return response_echo_rate(transcripts_from_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------
+# 277. Character-class mix per source (letters/digits/spaces/other):
+#      the cheapest structural fingerprint of a feed — format drift
+#      shows here before any parser breaks.  Pure length-difference
+#      arithmetic, one keyed aggregate.
+# ---------------------------------------------------------------------
+@register(
+    "charclass_profile",
+    """
+    with g as (select source,
+        cast(sum(len(text)) as bigint) as n_chars,
+        cast(sum(len(text)
+          - len(regexp_replace(text, '[A-Za-z]', '', 'g'))) as bigint)
+          as n_letters,
+        cast(sum(len(text)
+          - len(regexp_replace(text, '[0-9]', '', 'g'))) as bigint)
+          as n_digits,
+        cast(sum(len(text)
+          - len(regexp_replace(text, '[ ]', '', 'g'))) as bigint)
+          as n_spaces
+      from documents group by 1)
+    select source, n_chars,
+      round(cast(n_letters as double) / cast(n_chars as double), 6)
+        as letter_share,
+      round(cast(n_digits as double) / cast(n_chars as double), 6)
+        as digit_share,
+      round(cast(n_spaces as double) / cast(n_chars as double), 6)
+        as space_share,
+      round(cast(n_chars - n_letters - n_digits - n_spaces as double)
+            / cast(n_chars as double), 6) as other_share
+    from g
+    """,
+)
+def q_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import charclass_profile
+
+    return charclass_profile(_t(spark, sf_dir, "documents"), "source")
+
+
+# ---------------------------------------------------------------------
+# 278. k-anonymity risk audit over a quasi-identifier tuple
+#      (event_type, minute): rows in QI classes smaller than k are
+#      re-identifiable by the QI alone — the privacy release gate
+#      scrub_pii (direct identifiers) does not cover.
+# ---------------------------------------------------------------------
+@register(
+    "k_anonymity_audit",
+    """
+    with g as (select event_type, date_trunc('minute', ts) as m,
+                 count(*) as c
+               from events group by 1, 2),
+    tot as (select cast(sum(c) as double) as n_rows from g)
+    select cast(k as int) as k,
+      cast(sum(case when c < k then 1 else 0 end) as bigint)
+        as groups_at_risk,
+      cast(sum(case when c < k then c else 0 end) as bigint)
+        as rows_at_risk,
+      round(cast(sum(case when c < k then c else 0 end) as double)
+            / (select n_rows from tot), 6) as row_share_at_risk
+    from g cross join (values (2), (5), (10)) t(k)
+    group by k
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import k_anonymity_audit
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("minute", "ts").alias("m")
+    )
+    return k_anonymity_audit(ev, ["event_type", "m"], ks=(2, 5, 10))
+
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

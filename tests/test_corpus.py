@@ -867,3 +867,110 @@ def test_lognormal_fit_two_lengths(spark):
     assert abs(r["mu_ln"] - round(mu, 4)) < 1e-9
     assert abs(r["sigma_ln"] - round(sigma, 4)) < 1e-9
     assert abs(r["fitted_median_len"] - round(math.exp(mu), 4)) < 1e-9
+
+
+def test_log_odds_terms_sign_and_rank(spark):
+    from sparkcollector.operators.corpus import log_odds_terms
+
+    # class A over-uses "x"; class B over-uses "y"; "c" is common.
+    docs = [
+        ("A", "x x x c c"),
+        ("A", "x x x c c"),
+        ("B", "y y y c c"),
+        ("B", "y y y c c"),
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    rows = log_odds_terms(
+        df, class_col="source", alpha0=10.0, min_count=3, top_k=2
+    ).collect()
+    by_cls = {}
+    for r in rows:
+        by_cls.setdefault(r["source"], []).append(r)
+    a = sorted(by_cls["A"], key=lambda r: r["rk"])
+    b = sorted(by_cls["B"], key=lambda r: r["rk"])
+    # the over-used word ranks first with positive z in its own class
+    assert a[0]["word"] == "x" and a[0]["z_logodds"] > 0
+    assert b[0]["word"] == "y" and b[0]["z_logodds"] > 0
+    assert a[0]["n_in_class"] == 6 and b[0]["n_in_class"] == 6
+    # the shared word scores near zero (|z| far below the marker word)
+    shared_a = [r for r in a if r["word"] == "c"]
+    if shared_a:
+        assert abs(shared_a[0]["z_logodds"]) < a[0]["z_logodds"]
+
+
+def test_hapax_richness_closed_form(spark):
+    from sparkcollector.operators.corpus import hapax_richness
+
+    # tokens: a a b c -> types {a:2, b:1, c:1}: 4 tokens, 3 types,
+    # 2 hapax
+    df = spark.createDataFrame(
+        [("s", "a a b c")], "source string, text string"
+    )
+    r = hapax_richness(df, "source").collect()[0]
+    assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (4, 3, 2)
+    assert abs(r["ttr"] - 0.75) < 1e-9
+    assert abs(r["hapax_share"] - round(2 / 3, 6)) < 1e-9
+
+
+def test_vocab_coverage_curve_bounds(spark):
+    from sparkcollector.operators.corpus import vocab_coverage_curve
+
+    # a:4, b:2, c:1, d:1  (8 tokens).  top-1 covers 4/8, top-2 6/8,
+    # top-3 covers 7/8 (tie c<d by word).
+    df = spark.createDataFrame(
+        [("a a a a b b",), ("c d",)], "text string"
+    )
+    rows = {
+        r["k"]: r
+        for r in vocab_coverage_curve(df, ks=(1, 2, 3)).collect()
+    }
+    assert rows[1]["covered_tokens"] == 4
+    assert abs(rows[1]["coverage"] - 0.5) < 1e-9
+    assert rows[2]["covered_tokens"] == 6
+    assert rows[3]["covered_tokens"] == 7
+    assert abs(rows[3]["coverage"] - 0.875) < 1e-9
+
+
+def test_response_echo_rate_closed_form(spark):
+    from sparkcollector.operators.corpus import response_echo_rate
+
+    rows = [
+        # conv c1: user then assistant echoing half the words
+        ("c1", 0, "user", "a b c d", "none"),
+        ("c1", 1, "assistant", "a b x y", "bash"),
+        # conv c2: assistant NOT preceded by user -> no pair
+        ("c2", 0, "system", "s s", "none"),
+        ("c2", 1, "assistant", "s t", "bash"),
+        # conv c3: perfect echo
+        ("c3", 0, "user", "p q", "none"),
+        ("c3", 1, "assistant", "q p", "web"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, "
+        "text string, tool string"
+    )
+    got = {r["tool"]: r for r in response_echo_rate(df).collect()}
+    # c1 pair: |{a,b}| / |{a,b,c,d,x,y}| = 2/6
+    assert got["bash"]["n_pairs"] == 1
+    assert abs(got["bash"]["mean_echo"] - round(2 / 6, 6)) < 1e-9
+    # c3 pair: identical word sets -> 1.0
+    assert got["web"]["mean_echo"] == 1.0
+    assert "none" not in got  # system->assistant pair excluded
+
+
+def test_k_anonymity_audit_thresholds(spark):
+    from sparkcollector.operators.corpus import k_anonymity_audit
+
+    # QI classes: (a: 1 row), (b: 3 rows), (c: 6 rows) -> 10 rows
+    rows = (
+        [("a", 1)] * 1 + [("b", 1)] * 3 + [("c", 1)] * 6
+    )
+    df = spark.createDataFrame(rows, "qi string, v int")
+    got = {
+        r["k"]: r
+        for r in k_anonymity_audit(df, ["qi"], ks=(2, 5, 10)).collect()
+    }
+    assert (got[2]["groups_at_risk"], got[2]["rows_at_risk"]) == (1, 1)
+    assert (got[5]["groups_at_risk"], got[5]["rows_at_risk"]) == (2, 4)
+    assert (got[10]["groups_at_risk"], got[10]["rows_at_risk"]) == (3, 10)
+    assert abs(got[5]["row_share_at_risk"] - 0.4) < 1e-9

@@ -184,3 +184,18 @@ def test_nonascii_audit_flags(spark):
     assert got[1]["n_nonascii"] == 0 and not got[1]["suspect"]
     assert got[2]["nonascii_share"] == 1.0 and got[2]["suspect"]
     assert got[3]["n_nonascii"] == 1 and not got[3]["suspect"]
+
+
+def test_charclass_profile_shares(spark):
+    from sparkcollector.operators.textstats import charclass_profile
+
+    # "ab 12!" -> 6 chars: 2 letters, 2 digits, 1 space, 1 other
+    df = spark.createDataFrame(
+        [("s", "ab 12!")], "source string, text string"
+    )
+    r = charclass_profile(df, "source").collect()[0]
+    assert r["n_chars"] == 6
+    assert abs(r["letter_share"] - round(2 / 6, 6)) < 1e-9
+    assert abs(r["digit_share"] - round(2 / 6, 6)) < 1e-9
+    assert abs(r["space_share"] - round(1 / 6, 6)) < 1e-9
+    assert abs(r["other_share"] - round(1 / 6, 6)) < 1e-9
