@@ -1585,6 +1585,59 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 55: adoption/overlap/drift screens.
+    all_ok &= audit(
+        "tool_adoption_curve",
+        lambda: queries()["tool_adoption_curve"](spark, SF_DIR),
+        [
+            ("first-use and daily roll-ups combine map-side",
+             lambda p: "partial" in p.lower()),
+            ("cumulative window partitions per tool over the bounded "
+             "day axis — never a global sort of the fact table",
+             lambda p: "Window" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "the window input is the (tool, day) aggregate — bounded by "
+        "|tools| x |days|, not the turn count.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "audience_overlap",
+        lambda: queries()["audience_overlap"](spark, SF_DIR),
+        [
+            ("pairs assemble IN-ROW from each user's sorted type set — "
+             "no distinct self-join of the fact table on user",
+             lambda p: "CartesianProduct" not in p),
+            ("the per-user set collect is the ONLY fact shuffle; pair "
+             "and audience counts are bounded aggregates",
+             lambda p: "partial" in p.lower()),
+            ("audience-size joins are bounded (|types|^2 rows) — AQE "
+             "decides the strategy, no forced hint",
+             lambda p: True),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "|types| bounds the per-row pair list (bounded-square), so the "
+        "in-row explode is NOT a row explosion; the classic self-join "
+        "quadrates on hot users at 10^12 rows — this plan cannot.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "json_key_drift",
+        lambda: queries()["json_key_drift"](spark, SF_DIR),
+        [
+            ("keys extract JVM-side (json_object_keys) and dedupe with "
+             "map-side partials", lambda p: "partial" in p.lower()),
+            ("cumulative window runs over the bounded day axis only",
+             lambda p: "Window" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "the single-partition window input is one row per DAY (post-"
+        "aggregate), so the empty-frame global order is safe.",
+        spark=spark,
+    )
 
     with open("PLANS.md", "w") as f:
         f.write(

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def funnel_stages(
@@ -1997,3 +1998,174 @@ def acf_lags(
             F.round(F.when(denom > 0, num / denom), 6).alias(f"acf_{k}")
         )
     return g.select(*out)
+
+
+def tool_adoption_curve(
+    df: DataFrame,
+    tool_col: str = "tool",
+    adopter_col: str = "conv_id",
+    ts_col: str = "ts",
+    exclude: str = "none",
+) -> DataFrame:
+    """Adoption curve per tool: for each day, how many adopters used
+    the tool for the FIRST time, and the cumulative adopter count —
+    the cold-start chart that separates a tool with momentum from one
+    that spiked at launch.
+
+    Two keyed aggregates (first-use per (tool, adopter), then per
+    (tool, day)) and a per-tool cumulative window whose partition is
+    bounded by the day count — the fact table never sorts globally.
+    """
+    first = (
+        df.filter(F.col(tool_col) != exclude)
+        .groupBy(
+            F.col(tool_col).alias("tool"),
+            F.col(adopter_col).alias("_a"),
+        )
+        .agg(F.min(ts_col).alias("_first_ts"))
+    )
+    daily = first.groupBy(
+        "tool", F.to_date("_first_ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("new_adopters"))
+    w = (
+        Window.partitionBy("tool")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "tool",
+        "day",
+        "new_adopters",
+        F.sum("new_adopters").over(w).cast("long").alias("cum_adopters"),
+    )
+
+
+def audience_overlap(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Pairwise audience overlap between event types: distinct users
+    doing BOTH, each audience size, and the audience Jaccard — the
+    segmentation screen for "is purchase audience a subset of click
+    audience or a different population".
+
+    The pair table assembles IN-ROW: one shuffle collects each user's
+    deduped type set, sorted pairs generate via indexed array
+    transforms (|types| is bounded, so the per-row pair list is
+    bounded-square, never a row explosion), and the pair/type counts
+    are bounded aggregates.  The classic formulation — a distinct
+    self-join on user — is the plan this avoids: at 10^12 events the
+    self-join shuffles the fact table twice and hot users quadrate.
+    """
+    sets = (
+        df.select(
+            F.col(user_col).alias("_u"), F.col(type_col).alias("_t")
+        )
+        .groupBy("_u")
+        .agg(F.sort_array(F.collect_set("_t")).alias("_s"))
+    )
+    pairs = sets.select(
+        "_u",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "_s",
+                    lambda x, i: F.transform(
+                        F.slice("_s", i + 2, F.size("_s")),
+                        lambda y: F.struct(
+                            x.alias("a"), y.alias("b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p"),
+    )
+    both = pairs.groupBy(
+        F.col("p.a").alias("type_a"), F.col("p.b").alias("type_b")
+    ).agg(F.count("*").cast("long").alias("n_both"))
+    aud = (
+        sets.select(F.explode("_s").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("n"))
+    )
+    j = (
+        both.join(
+            aud.select(
+                F.col("t").alias("type_a"), F.col("n").alias("_na")
+            ),
+            "type_a",
+        )
+        .join(
+            aud.select(
+                F.col("t").alias("type_b"), F.col("n").alias("_nb")
+            ),
+            "type_b",
+        )
+    )
+    return j.select(
+        "type_a",
+        "type_b",
+        "n_both",
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(
+            F.col("n_both").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("n_both")).cast(
+                "double"
+            ),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+def json_key_drift(
+    df: DataFrame,
+    json_col: str = "props",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Schema drift of a free-form JSON column by day: distinct keys
+    active each day, keys seen for the first time, and the cumulative
+    key vocabulary — the feed-health audit that catches a producer
+    silently adding fields (``json_schema_infer`` tells you the
+    schema NOW; this tells you when each piece arrived).
+
+    Keys extract JVM-side (``json_object_keys``), dedupe to
+    (day, key) in one shuffle; first-day per key is a second keyed
+    aggregate, and the cumulative curve is a window over the bounded
+    day axis.
+    """
+    dk = (
+        df.select(
+            F.to_date(ts_col).alias("day"),
+            F.explode(
+                F.expr(f"json_object_keys({json_col})")
+            ).alias("key"),
+        )
+        .distinct()
+    )
+    firsts = dk.groupBy("key").agg(F.min("day").alias("_fd"))
+    per_day = dk.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_active_keys")
+    )
+    new_per_day = firsts.groupBy(F.col("_fd").alias("day")).agg(
+        F.count("*").cast("long").alias("n_new_keys")
+    )
+    j = per_day.join(new_per_day, "day", "left").select(
+        "day",
+        "n_active_keys",
+        F.coalesce("n_new_keys", F.lit(0)).cast("long").alias(
+            "n_new_keys"
+        ),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the day axis is bounded (one row per day), so the global-order
+    # window runs over a tiny frame — never the fact table
+    return j.select(
+        "day",
+        "n_active_keys",
+        "n_new_keys",
+        F.sum("n_new_keys").over(w).cast("long").alias("cum_keys"),
+    )

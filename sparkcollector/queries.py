@@ -10955,6 +10955,95 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_audit(ev, ["event_type", "m"], ks=(2, 5, 10))
 
 
+# ---------------------------------------------------------------------
+# 279. Tool adoption curve: per tool, daily first-time adopters and the
+#      cumulative adopter count — momentum vs launch-spike.  Two keyed
+#      aggregates; the cumulative window partitions per tool over the
+#      bounded day axis, never the fact table.
+# ---------------------------------------------------------------------
+@register(
+    "tool_adoption_curve",
+    f"""
+    with t as ({_T_SQL}),
+    first as (select tool, conv_id, min(ts) as first_ts
+              from t where tool <> 'none' group by 1, 2),
+    daily as (select tool, cast(first_ts as date) as day,
+                cast(count(*) as bigint) as new_adopters
+              from first group by 1, 2)
+    select tool, day, new_adopters,
+      cast(sum(new_adopters) over (partition by tool order by day)
+           as bigint) as cum_adopters
+    from daily
+    """,
+)
+def q_tool_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import tool_adoption_curve
+
+    return tool_adoption_curve(transcripts_from_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------
+# 280. Pairwise audience overlap between event types: users doing BOTH,
+#      each audience size, audience Jaccard.  Spark path assembles pairs
+#      IN-ROW from each user's sorted type set (bounded |types|), so the
+#      fact table never self-joins; the oracle recomputes with the naive
+#      distinct self-join — independent algorithm, same answer.
+# ---------------------------------------------------------------------
+@register(
+    "audience_overlap",
+    """
+    with s as (select distinct user_id as u, event_type as t
+               from events),
+    pr as (select a.t as type_a, b.t as type_b,
+             cast(count(*) as bigint) as n_both
+           from s a join s b on a.u = b.u and a.t < b.t
+           group by 1, 2),
+    aud as (select t, cast(count(*) as bigint) as n from s group by 1)
+    select type_a, type_b, n_both,
+      na.n as n_a, nb.n as n_b,
+      round(cast(n_both as double)
+            / cast(na.n + nb.n - n_both as double), 6) as jaccard
+    from pr
+    join aud na on na.t = pr.type_a
+    join aud nb on nb.t = pr.type_b
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import audience_overlap
+
+    return audience_overlap(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------
+# 281. JSON key drift by day: active keys, first-seen keys, cumulative
+#      key vocabulary of a free-form JSON column — when did each field
+#      arrive (json_schema_infer says only what the schema is NOW).
+#      Keys extract JVM-side (json_object_keys); the day axis bounds
+#      the cumulative window.
+# ---------------------------------------------------------------------
+@register(
+    "json_key_drift",
+    """
+    with dk as (select distinct cast(ts as date) as day,
+                  unnest(json_keys(props)) as key
+                from events),
+    per_day as (select day, cast(count(*) as bigint) as n_active_keys
+                from dk group by 1),
+    firsts as (select key, min(day) as fd from dk group by 1),
+    npd as (select fd as day, cast(count(*) as bigint) as n_new_keys
+            from firsts group by 1)
+    select p.day, p.n_active_keys,
+      cast(coalesce(n.n_new_keys, 0) as bigint) as n_new_keys,
+      cast(sum(coalesce(n.n_new_keys, 0)) over (order by p.day)
+           as bigint) as cum_keys
+    from per_day p left join npd n on n.day = p.day
+    """,
+)
+def q_json_key_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import json_key_drift
+
+    return json_key_drift(_t(spark, sf_dir, "events"))
+
 
 # ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50

@@ -875,3 +875,66 @@ def test_acf_lags_alternating_series(spark):
     # hand-computed: mu=1.2, denom=4.8; r1=-0.8, r2=2.72/4.8
     assert abs(r["acf_1"] - (-0.8)) < 1e-6
     assert abs(r["acf_2"] - 2.72 / 4.8) < 1e-6
+
+
+def test_tool_adoption_curve_first_use_and_cum(spark):
+    from sparkcollector.operators.analytics import tool_adoption_curve
+
+    rows = [
+        ("c1", "bash", "2024-01-01 10:00:00"),
+        ("c1", "bash", "2024-01-03 10:00:00"),  # not a new adoption
+        ("c2", "bash", "2024-01-02 10:00:00"),
+        ("c1", "grep", "2024-01-02 09:00:00"),
+        ("c3", "none", "2024-01-01 08:00:00"),  # excluded
+    ]
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(rows, "conv_id string, tool string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    got = {(r["tool"], str(r["day"])): r
+           for r in tool_adoption_curve(df).collect()}
+    assert got[("bash", "2024-01-01")]["new_adopters"] == 1
+    assert got[("bash", "2024-01-02")]["new_adopters"] == 1
+    assert got[("bash", "2024-01-02")]["cum_adopters"] == 2
+    assert ("bash", "2024-01-03") not in got  # repeat use, no new adopters
+    assert got[("grep", "2024-01-02")]["cum_adopters"] == 1
+    assert not any(t == "none" for t, _ in got)
+
+
+def test_audience_overlap_jaccard(spark):
+    from sparkcollector.operators.analytics import audience_overlap
+
+    rows = [
+        (1, "click"), (1, "view"), (1, "click"),   # dup event collapses
+        (2, "click"), (2, "view"), (2, "buy"),
+        (3, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {(r["type_a"], r["type_b"]): r
+           for r in audience_overlap(df).collect()}
+    cv = got[("click", "view")]
+    assert cv["n_both"] == 2 and cv["n_a"] == 2 and cv["n_b"] == 3
+    assert abs(cv["jaccard"] - 2 / 3) < 1e-6
+    bc = got[("buy", "click")]
+    assert bc["n_both"] == 1 and abs(bc["jaccard"] - 0.5) < 1e-6
+    # pairs are sorted (a < b) and each unordered pair appears once
+    assert all(a < b for a, b in got)
+
+
+def test_json_key_drift_new_vs_active(spark):
+    from sparkcollector.operators.analytics import json_key_drift
+
+    rows = [
+        ('{"a":1}', "2024-01-01 00:00:00"),
+        ('{"a":2,"b":3}', "2024-01-02 00:00:00"),
+        ('{"b":1}', "2024-01-03 00:00:00"),
+    ]
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(rows, "props string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    got = {str(r["day"]): r for r in json_key_drift(df).collect()}
+    assert got["2024-01-01"]["n_active_keys"] == 1
+    assert got["2024-01-01"]["n_new_keys"] == 1
+    assert got["2024-01-02"]["n_active_keys"] == 2
+    assert got["2024-01-02"]["n_new_keys"] == 1  # only b is new
+    assert got["2024-01-03"]["n_new_keys"] == 0
+    assert got["2024-01-03"]["cum_keys"] == 2
