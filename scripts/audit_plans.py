@@ -1639,6 +1639,56 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 56: experimentation suite.
+    all_ok &= audit(
+        "srm_check",
+        lambda: queries()["srm_check"](spark, SF_DIR),
+        [
+            ("the distinct (unit, variant) pass combines map-side",
+             lambda p: "partial" in p.lower()),
+            ("the chi-square window runs over the bounded variant "
+             "table only (post-aggregate)", lambda p: "Window" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "the empty-partition window input is <= |variants| rows "
+        "(bounded by design), never the fact table.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "cuped_adjustment",
+        lambda: queries()["cuped_adjustment"](spark, SF_DIR),
+        [
+            ("pooled stats are a 1-row aggregate broadcast onto the "
+             "bounded variant aggregate",
+             lambda p: "BroadcastNestedLoopJoin" in p
+             or "BroadcastHashJoin" in p),
+            ("per-unit aggregates combine map-side",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "theta and the adjusted means are closed-form in one-pass "
+        "sums; no per-unit adjusted column materializes.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "spearman_corr",
+        lambda: queries()["spearman_corr"](spark, SF_DIR),
+        [
+            ("both rank windows partition BY KEY — no global sort",
+             lambda p: "Window" in p),
+            ("rank windows and the final aggregate share the key "
+             "exchanges",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) <= 4),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "average ranks make ties exact on both engines; the Pearson "
+        "over ranks is one keyed aggregate.",
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

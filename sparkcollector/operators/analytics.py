@@ -2169,3 +2169,171 @@ def json_key_drift(
         "n_new_keys",
         F.sum("n_new_keys").over(w).cast("long").alias("cum_keys"),
     )
+
+
+# chi-square 95% critical values by degrees of freedom (public table);
+# pinned so the SRM flag needs no CDF evaluation on either engine.
+_CHI2_CRIT_95 = {
+    1: 3.841459, 2: 5.991465, 3: 7.814728, 4: 9.487729, 5: 11.070498,
+    6: 12.591587, 7: 14.067140, 8: 15.507313, 9: 16.918978,
+    10: 18.307038,
+}
+
+
+def srm_check(
+    df: DataFrame,
+    unit_col: str = "user_id",
+    variant_col: str = "variant",
+    expected: dict[str, float] | None = None,
+) -> DataFrame:
+    """Sample-ratio-mismatch check for an A/B assignment: distinct
+    units per variant vs the design split, per-variant chi-square
+    contribution, the total statistic, and a 95% flag — the gate every
+    experiment readout must pass BEFORE the effect z-test means
+    anything (a biased assignment invalidates ``ab_conversion_z``).
+
+    One distinct (unit, variant) shuffle, then bounded aggregates
+    (|variants| rows); the chi-square total is a window over that
+    bounded set.  Expected shares default to uniform over the observed
+    variants.  The 95% critical value is a pinned public table
+    (dof 1..10), not a CDF call.
+    """
+    from pyspark.sql.window import Window
+
+    u = df.select(unit_col, variant_col).distinct()
+    counts = u.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.count("*").cast("long").alias("n_units")
+    )
+    w = Window.partitionBy()
+    k = F.count("*").over(w)
+    total = F.sum("n_units").over(w)
+    if expected is None:
+        exp_share = F.lit(1.0) / k.cast("double")
+    else:
+        exp_share = F.coalesce(
+            *[
+                F.when(F.col("variant") == v, F.lit(float(s)))
+                for v, s in expected.items()
+            ]
+        )
+    exp_n = exp_share * total.cast("double")
+    contrib = (F.col("n_units").cast("double") - exp_n) ** 2 / exp_n
+    crit = F.coalesce(
+        *[
+            F.when(k == d + 1, F.lit(c))
+            for d, c in _CHI2_CRIT_95.items()
+        ]
+    )
+    out = counts.select(
+        "variant",
+        "n_units",
+        F.round(exp_share, 6).alias("expected_share"),
+        F.round(
+            F.col("n_units").cast("double") / total.cast("double"), 6
+        ).alias("observed_share"),
+        F.round(contrib, 6).alias("chi2_contrib"),
+        F.round(F.sum(contrib).over(w), 6).alias("chi2_total"),
+        (F.sum(contrib).over(w) > crit).alias("srm_flag"),
+    )
+    # the empty-partition window input is the bounded variant table
+    # (<= 10 rows), never the fact table — safe by construction
+    return out
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    variant_col: str = "variant",
+    metric_col: str = "metric",
+    covariate_col: str = "covariate",
+) -> DataFrame:
+    """CUPED variance reduction for an A/B metric: theta fitted on the
+    pooled data (cov(x,y)/var(x) over the pre-period covariate x),
+    adjusted metric y' = y - theta*(x - mean(x)), reported per variant
+    with the achieved variance-reduction share — the standard trick
+    that shrinks experiment confidence intervals without more traffic
+    (Deng et al., WSDM'13).
+
+    One pass computes the pooled sums (n, Sx, Sy, Sxx, Sxy) as a 1-row
+    aggregate that broadcasts back onto the bounded per-variant
+    aggregate — theta and the adjusted means are CLOSED-FORM in those
+    sums, so no second scan and no per-unit adjusted column ever
+    materializes.  Per-variant adjusted mean:
+    mean(y) - theta*(mean_v(x) - mean(x)).
+    """
+    x = F.col(covariate_col).cast("double")
+    y = F.col(metric_col).cast("double")
+    pooled = df.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(x * y).alias("_sxy"),
+        F.var_pop(y).alias("_vy"),
+        F.covar_pop(x, y).alias("_cxy"),
+        F.var_pop(x).alias("_vx"),
+    ).select(
+        "*",
+        (F.col("_cxy") / F.col("_vx")).alias("_theta"),
+        (F.col("_sx") / F.col("_n")).alias("_mx"),
+    )
+    per_v = df.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.avg(y).alias("_my_v"),
+        F.avg(x).alias("_mx_v"),
+    )
+    j = per_v.join(F.broadcast(pooled))  # 1-row pooled stats
+    var_red = F.lit(1.0) - (
+        (F.col("_vy") - F.col("_theta") * F.col("_cxy")) / F.col("_vy")
+    )
+    return j.select(
+        "variant",
+        "n_units",
+        F.round("_my_v", 6).alias("mean_metric"),
+        F.round(
+            F.col("_my_v")
+            - F.col("_theta") * (F.col("_mx_v") - F.col("_mx")),
+            6,
+        ).alias("mean_adjusted"),
+        F.round("_theta", 6).alias("theta"),
+        F.round(var_red, 6).alias("var_reduction"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation between two columns, per key — the
+    monotone-trend detector Pearson misses when the relationship is
+    nonlinear or the values are heavy-tailed (latency, revenue).
+
+    Average ranks handle ties exactly: avg_rank = rank() +
+    (tie_count - 1)/2, from two per-key ordered windows; the
+    correlation is then a single Pearson aggregate over the ranks.
+    Both windows partition BY KEY, so at 10^12 rows this is keyed
+    shuffles, never a global sort.
+    """
+    from pyspark.sql.window import Window
+
+    def avg_rank(col: str, out: str):
+        wr = Window.partitionBy(key_col).orderBy(F.col(col))
+        wt = Window.partitionBy(key_col, col)
+        return (
+            F.rank().over(wr).cast("double")
+            + (F.count("*").over(wt).cast("double") - 1.0) / 2.0
+        ).alias(out)
+
+    ranked = df.select(
+        F.col(key_col).alias("key"),
+        avg_rank(x_col, "_rx"),
+        avg_rank(y_col, "_ry"),
+    )
+    return (
+        ranked.groupBy("key")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.corr("_rx", "_ry"), 5).alias("spearman_rho"),
+        )
+    )

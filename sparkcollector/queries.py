@@ -11046,6 +11046,139 @@ def q_json_key_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 282. Sample-ratio-mismatch check (experiment assignment health):
+#      distinct units per variant vs the design split, chi-square
+#      statistic + 95% flag — the gate a readout must pass before the
+#      effect z-test means anything.  One distinct shuffle; everything
+#      after is bounded by |variants|.
+# ---------------------------------------------------------------------
+@register(
+    "srm_check",
+    """
+    with u as (select distinct user_id,
+                 case when user_id % 2 = 0 then 'a' else 'b' end as v
+               from events),
+    c as (select v as variant, cast(count(*) as bigint) as n_units
+          from u group by 1),
+    t as (select sum(n_units) as tot,
+                 cast(count(*) as bigint) as k from c),
+    d as (select variant, n_units,
+            cast(tot as double) / cast(k as double) as exp_n,
+            tot, k
+          from c cross join t),
+    e as (select variant, n_units, tot, k,
+            round(1.0 / k, 6) as expected_share,
+            round(cast(n_units as double) / cast(tot as double), 6)
+              as observed_share,
+            (cast(n_units as double) - exp_n)
+              * (cast(n_units as double) - exp_n) / exp_n as contrib
+          from d)
+    select variant, n_units, expected_share, observed_share,
+      round(contrib, 6) as chi2_contrib,
+      round(sum(contrib) over (), 6) as chi2_total,
+      sum(contrib) over () > (case k - 1
+        when 1 then 3.841459 when 2 then 5.991465 when 3 then 7.814728
+        when 4 then 9.487729 when 5 then 11.070498 end) as srm_flag
+    from e
+    """,
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import srm_check
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("variant"),
+    )
+    return srm_check(ev, "user_id", "variant")
+
+
+# ---------------------------------------------------------------------
+# 283. CUPED variance reduction (Deng et al., WSDM'13): theta fitted
+#      pooled on a pre-period covariate, per-variant adjusted means and
+#      the achieved variance-reduction share.  Closed-form in one-pass
+#      sums; the 1-row pooled stats broadcast onto the bounded variant
+#      aggregate — no per-unit adjusted column ever materializes.
+# ---------------------------------------------------------------------
+@register(
+    "cuped_adjustment",
+    """
+    with u as (select user_id,
+                 case when user_id % 2 = 0 then 'a' else 'b' end as v,
+                 sum(case when ts < timestamp '2024-01-16'
+                          then value else 0 end) as x,
+                 sum(case when ts >= timestamp '2024-01-16'
+                          then value else 0 end) as y
+               from events group by 1, 2),
+    p as (select covar_pop(x, y) / var_pop(x) as theta,
+                 avg(x) as mx, var_pop(y) as vy,
+                 covar_pop(x, y) as cxy
+          from u),
+    g as (select v as variant,
+            cast(count(*) as bigint) as n_units,
+            avg(y) as my_v, avg(x) as mx_v
+          from u group by 1)
+    select variant, n_units,
+      round(my_v, 6) as mean_metric,
+      round(my_v - theta * (mx_v - mx), 6) as mean_adjusted,
+      round(theta, 6) as theta,
+      round(1.0 - (vy - theta * cxy) / vy, 6) as var_reduction
+    from g cross join p
+    """,
+)
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import cuped_adjustment
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("variant"),
+    ).agg(
+        F.sum(
+            F.when(F.col("ts") < split, F.col("value")).otherwise(0.0)
+        ).alias("covariate"),
+        F.sum(
+            F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0)
+        ).alias("metric"),
+    )
+    return cuped_adjustment(per_user, "variant", "metric", "covariate")
+
+
+# ---------------------------------------------------------------------
+# 284. Spearman rank correlation per event type between value and
+#      event time — the monotone drift detector Pearson misses on
+#      heavy-tailed values.  Average ranks handle ties exactly; both
+#      rank windows partition BY KEY (keyed shuffles, no global sort).
+# ---------------------------------------------------------------------
+@register(
+    "spearman_corr",
+    """
+    with r as (select event_type as key,
+        rank() over (partition by event_type order by value)
+          + (count(*) over (partition by event_type, value) - 1) / 2.0
+          as rx,
+        rank() over (partition by event_type order by ts)
+          + (count(*) over (partition by event_type, ts) - 1) / 2.0
+          as ry
+      from events)
+    select key, cast(count(*) as bigint) as n,
+           round(corr(rx, ry), 5) as spearman_rho
+    from r group by 1
+    """,
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import spearman_corr
+
+    return spearman_corr(
+        _t(spark, sf_dir, "events"), "event_type", "value", "ts"
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -938,3 +938,46 @@ def test_json_key_drift_new_vs_active(spark):
     assert got["2024-01-02"]["n_new_keys"] == 1  # only b is new
     assert got["2024-01-03"]["n_new_keys"] == 0
     assert got["2024-01-03"]["cum_keys"] == 2
+
+
+def test_srm_check_flag_and_balanced(spark):
+    from sparkcollector.operators.analytics import srm_check
+
+    rows = [(i, "a") for i in range(60)] + [(i + 100, "b") for i in range(40)]
+    df = spark.createDataFrame(rows, "user_id long, variant string")
+    got = {r["variant"]: r for r in srm_check(df).collect()}
+    # chi2 = (10^2/50)*2 = 4.0 > 3.841459 -> mismatch flagged
+    assert got["a"]["n_units"] == 60 and got["b"]["n_units"] == 40
+    assert abs(got["a"]["chi2_total"] - 4.0) < 1e-9
+    assert got["a"]["srm_flag"] is True
+    bal = [(i, "a") for i in range(50)] + [(i + 100, "b") for i in range(50)]
+    got2 = srm_check(
+        spark.createDataFrame(bal, "user_id long, variant string")
+    ).collect()[0]
+    assert got2["chi2_total"] == 0.0 and got2["srm_flag"] is False
+
+
+def test_cuped_adjustment_closed_form(spark):
+    from sparkcollector.operators.analytics import cuped_adjustment
+
+    rows = [("a", 2.0, 1.0), ("a", 4.0, 2.0), ("b", 6.0, 3.0), ("b", 9.0, 4.0)]
+    df = spark.createDataFrame(rows, "variant string, metric double, covariate double")
+    got = {r["variant"]: r for r in cuped_adjustment(df).collect()}
+    # hand: theta = cov/var = 2.875/1.25 = 2.3; mx = 2.5
+    assert abs(got["a"]["theta"] - 2.3) < 1e-9
+    assert abs(got["a"]["mean_adjusted"] - 5.3) < 1e-9   # 3 - 2.3*(1.5-2.5)
+    assert abs(got["b"]["mean_adjusted"] - 5.2) < 1e-9   # 7.5 - 2.3*(3.5-2.5)
+    assert abs(got["a"]["var_reduction"] - 2.3 * 2.875 / 6.6875) < 1e-6
+
+
+def test_spearman_corr_monotone_and_ties(spark):
+    from sparkcollector.operators.analytics import spearman_corr
+
+    rows = [("m", 1.0, 1.0), ("m", 2.0, 4.0), ("m", 3.0, 9.0),      # rho 1
+            ("d", 1.0, 9.0), ("d", 2.0, 4.0), ("d", 3.0, 1.0),      # rho -1
+            ("t", 1.0, 5.0), ("t", 1.0, 5.0), ("t", 2.0, 7.0)]      # ties
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r["key"]: r for r in spearman_corr(df, "k", "x", "y").collect()}
+    assert abs(got["m"]["spearman_rho"] - 1.0) < 1e-9
+    assert abs(got["d"]["spearman_rho"] + 1.0) < 1e-9
+    assert abs(got["t"]["spearman_rho"] - 1.0) < 1e-9   # tied avg ranks align
