@@ -1689,6 +1689,55 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 57: containment dedup + drift/predictability.
+    all_ok &= audit(
+        "containment_pairs",
+        lambda: queries()["containment_pairs"](spark, SF_DIR),
+        [
+            ("zero-join group-pairs plan: no SortMergeJoin, no "
+             "BroadcastHashJoin (sizes ride the posting elements)",
+             lambda p: "SortMergeJoin" not in p
+             and "CartesianProduct" not in p),
+            ("three fact shuffles: the deliberate pre-explode "
+             "rebalance, posting groupBy, pair groupBy",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) <= 3),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "shingles are 8-byte hashes before the explode; max_df caps "
+        "hot posting lists exactly as in jaccard_pairs.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "js_divergence_drift",
+        lambda: queries()["js_divergence_drift"](spark, SF_DIR),
+        [
+            ("the fact table shuffles ONCE (day x category count with "
+             "map-side partials)", lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "grid/join/JSD roll-up all run on the bounded post-aggregate "
+        "(|days| x |categories|) table.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "conditional_entropy",
+        lambda: queries()["conditional_entropy"](spark, SF_DIR),
+        [
+            ("lead window partitions by user (keyed shuffle, no "
+             "global sort)", lambda p: "Window" in p),
+            ("bigram counts combine map-side",
+             lambda p: "partial" in p.lower()),
+            ("entropy roll-ups join as broadcast 1-row aggregates",
+             lambda p: "BroadcastNestedLoopJoin" in p
+             or "BroadcastHashJoin" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

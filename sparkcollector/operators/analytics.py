@@ -2337,3 +2337,107 @@ def spearman_corr(
             F.round(F.corr("_rx", "_ry"), 5).alias("spearman_rho"),
         )
     )
+
+
+def js_divergence_drift(
+    df: DataFrame,
+    cat_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-over-day Jensen-Shannon divergence of a categorical mix —
+    the bounded, symmetric drift score ([0,1] in bits) that PSI and KL
+    both fail on when a category appears or disappears (their log
+    terms blow up; JSD's mixture denominator never does).
+
+    One keyed count shuffle on the fact table; the dense
+    (day x category) grid, the consecutive-day join, and the JSD
+    roll-up all run on the bounded post-aggregate table.
+    """
+    c = df.groupBy(
+        F.to_date(ts_col).alias("day"), F.col(cat_col).alias("cat")
+    ).agg(F.count("*").cast("double").alias("n"))
+    days = c.select("day").distinct()
+    cats = c.select("cat").distinct()
+    # dense grid so absent categories contribute p=0 exactly (the
+    # 0*log(0)=0 convention), identically on both engines
+    grid = days.crossJoin(cats).join(c, ["day", "cat"], "left").select(
+        "day", "cat", F.coalesce("n", F.lit(0.0)).alias("n")
+    )
+    tot = grid.groupBy("day").agg(F.sum("n").alias("tot"))
+    p = grid.join(tot, "day").select(
+        "day", "cat", (F.col("n") / F.col("tot")).alias("p")
+    )
+    q = p.select(
+        F.date_add("day", 1).alias("day"),
+        "cat",
+        F.col("p").alias("q"),
+    )
+    ln2 = 0.6931471805599453
+    both = p.join(q, ["day", "cat"])  # inner: only days with a prior day
+    m = (F.col("p") + F.col("q")) / 2.0
+    term = (
+        F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m) / ln2)
+        .otherwise(0.0)
+        + F.when(F.col("q") > 0, F.col("q") * F.log(F.col("q") / m) / ln2)
+        .otherwise(0.0)
+    )
+    return (
+        both.groupBy("day")
+        .agg(F.round(F.sum(term) / 2.0, 6).alias("jsd_vs_prev_day"))
+    )
+
+
+def conditional_entropy(
+    df: DataFrame,
+    user_col: str = "user_id",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Sequence predictability: H(next) and H(next | prev) in bits over
+    per-user event transitions, plus the predictability gain
+    1 - H(next|prev)/H(next) — how much knowing the previous event
+    narrows the next one (0 = memoryless feed, 1 = deterministic
+    flows).  The single-number screen behind the full
+    ``event_transition_matrix``.
+
+    One lead window keyed by user, one bigram count shuffle; the
+    entropy sums run over the bounded |types|^2 table.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(order_col)
+    pairs = df.select(
+        F.col(type_col).alias("prev"),
+        F.lead(type_col).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    big = pairs.groupBy("prev", "nxt").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    ln2 = 0.6931471805599453
+    agg = big.agg(
+        F.sum("n").alias("_t"),
+        (-F.sum(F.col("n") * F.log("n")) / ln2).alias("_sxy"),
+    )
+    # H(Y|X) = H(X,Y) - H(X); H from grouped sums, all over the
+    # bounded bigram table
+    hx = big.groupBy("prev").agg(F.sum("n").alias("nx")).agg(
+        F.sum("nx").alias("_tx"),
+        (-F.sum(F.col("nx") * F.log("nx")) / ln2).alias("_sx"),
+    )
+    hy = big.groupBy("nxt").agg(F.sum("n").alias("ny")).agg(
+        (-F.sum(F.col("ny") * F.log("ny")) / ln2).alias("_sy"),
+    )
+    j = agg.join(F.broadcast(hx)).join(F.broadcast(hy))
+    t = F.col("_t")
+    lg_t = F.log(t) / ln2
+    h_xy = F.col("_sxy") / t + lg_t
+    h_x = F.col("_sx") / t + lg_t
+    h_y = F.col("_sy") / t + lg_t
+    return j.select(
+        t.cast("long").alias("n_transitions"),
+        F.round(h_y, 6).alias("h_next"),
+        F.round(h_xy - h_x, 6).alias("h_next_given_prev"),
+        F.round(
+            F.lit(1.0) - (h_xy - h_x) / h_y, 6
+        ).alias("predictability_gain"),
+    )

@@ -864,3 +864,64 @@ def fulltext_edit_dups(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 1000,
+) -> DataFrame:
+    """Directional n-gram containment C(A,B) = |A∩B| / |A| for pairs
+    whose larger direction clears ``threshold`` — the near-dup measure
+    Jaccard structurally misses: a short doc fully quoted inside a long
+    one has tiny Jaccard (union is dominated by the long doc) but
+    containment 1.0.  This is the screen for boilerplate wraps, quote
+    inclusion, and subset-scrapes in a crawl corpus.
+
+    Same zero-join group-pairs plan as ``jaccard_pairs`` (set sizes
+    ride the posting elements, shingles are 8-byte hashes before the
+    explode, ``max_df`` caps hot posting lists), so the scale story is
+    identical: two shuffles, bounded reducers.
+    """
+    s = shingle_hashes(df, n=n, text_col=text_col, id_col=id_col)
+    e = s.select(
+        F.struct(
+            F.col("doc_id").alias("id"), F.size("sh").alias("n")
+        ).alias("d"),
+        F.explode_outer("sh").alias("h"),
+    )
+    posting = (
+        e.groupBy("h")
+        .agg(F.sort_array(F.collect_list("d")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_df is not None:
+        posting = posting.filter(F.size("ids") <= max_df)
+    pair = (
+        posting.select(
+            F.explode(_ordered_pairs(F.col("ids"))).alias("p")
+        )
+        .groupBy(
+            F.col("p.doc_a.id").alias("doc_a"),
+            F.col("p.doc_a.n").alias("na"),
+            F.col("p.doc_b.id").alias("doc_b"),
+            F.col("p.doc_b.n").alias("nb"),
+        )
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    c = F.col("common").cast("double")
+    cont_a = c / F.col("na").cast("double")
+    cont_b = c / F.col("nb").cast("double")
+    return pair.filter(
+        F.greatest(cont_a, cont_b) >= F.lit(threshold)
+    ).select(
+        "doc_a",
+        "doc_b",
+        "common",
+        F.round(cont_a, 4).alias("cont_a"),
+        F.round(cont_b, 4).alias("cont_b"),
+        F.round(F.greatest(cont_a, cont_b), 4).alias("max_containment"),
+    )

@@ -11179,6 +11179,119 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 285. Directional n-gram containment near-dups: C(A,B) = |A∩B|/|A| —
+#      the measure Jaccard structurally misses (a short doc quoted
+#      inside a long one has tiny Jaccard but containment 1.0).  Same
+#      zero-join group-pairs plan as jaccard_pairs; the oracle is the
+#      naive posting self-join, an independent algorithm.
+# ---------------------------------------------------------------------
+@register(
+    "containment_pairs",
+    """
+    with d as (select doc_id, string_split(text, ' ') as w
+               from documents),
+    s as (select doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                for i in range(1, len(w) - 1)]) as sh
+          from d where len(w) >= 3),
+    e as (select doc_id, unnest(sh) as shingle from s),
+    pair as (select a.doc_id as doc_a, b.doc_id as doc_b,
+               cast(count(*) as bigint) as common
+             from e a join e b
+               on a.shingle = b.shingle and a.doc_id < b.doc_id
+             group by 1, 2),
+    sz as (select doc_id, len(sh) as n from s),
+    c as (select doc_a, doc_b, common,
+            cast(common as double) / cast(sa.n as double) as ca,
+            cast(common as double) / cast(sb.n as double) as cb
+          from pair
+          join sz sa on doc_a = sa.doc_id
+          join sz sb on doc_b = sb.doc_id)
+    select doc_a, doc_b, common,
+      round(ca, 4) as cont_a, round(cb, 4) as cont_b,
+      round(greatest(ca, cb), 4) as max_containment
+    from c where greatest(ca, cb) >= 0.6
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.6, n=3
+    )
+
+
+# ---------------------------------------------------------------------
+# 286. Day-over-day Jensen-Shannon divergence of the event-type mix —
+#      the bounded symmetric drift score PSI/KL blow up on when a
+#      category (dis)appears.  One fact shuffle; the dense grid and
+#      JSD roll-up run on the bounded (day x category) table.
+# ---------------------------------------------------------------------
+@register(
+    "js_divergence_drift",
+    """
+    with c as (select cast(ts as date) as day, event_type as cat,
+                 cast(count(*) as double) as n
+               from events group by 1, 2),
+    grid as (select d.day, k.cat, coalesce(c.n, 0.0) as n
+             from (select distinct day from c) d
+             cross join (select distinct cat from c) k
+             left join c on c.day = d.day and c.cat = k.cat),
+    t as (select day, sum(n) as tot from grid group by 1),
+    p as (select grid.day, cat, n / tot as p from grid
+          join t using (day)),
+    q as (select day + 1 as day, cat, p as q from p),
+    b as (select p.day, p.p, q.q, (p.p + q.q) / 2 as m
+          from p join q on p.day = q.day and p.cat = q.cat)
+    select day,
+      round(sum(case when p > 0 then p * ln(p / m) / ln(2) else 0 end
+              + case when q > 0 then q * ln(q / m) / ln(2) else 0 end)
+            / 2, 6) as jsd_vs_prev_day
+    from b group by 1
+    """,
+)
+def q_js_divergence_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import js_divergence_drift
+
+    return js_divergence_drift(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------
+# 287. Sequence predictability: H(next), H(next|prev) in bits and the
+#      predictability gain over per-user event transitions — the
+#      single-number screen behind event_transition_matrix.  One lead
+#      window + one bigram shuffle; entropies from grouped sums over
+#      the bounded |types|^2 table.
+# ---------------------------------------------------------------------
+@register(
+    "conditional_entropy",
+    """
+    with pr as (select event_type as prev,
+                  lead(event_type) over (partition by user_id
+                                         order by event_id) as nxt
+                from events),
+    big as (select prev, nxt, cast(count(*) as double) as n
+            from pr where nxt is not null group by 1, 2),
+    s as (select sum(n) as t, -sum(n * ln(n)) / ln(2) as sxy from big),
+    sx as (select -sum(nx * ln(nx)) / ln(2) as sx
+           from (select prev, sum(n) as nx from big group by 1)),
+    sy as (select -sum(ny * ln(ny)) / ln(2) as sy
+           from (select nxt, sum(n) as ny from big group by 1))
+    select cast(t as bigint) as n_transitions,
+      round(sy / t + ln(t) / ln(2), 6) as h_next,
+      round((sxy - sx) / t, 6) as h_next_given_prev,
+      round(1.0 - ((sxy - sx) / t) / (sy / t + ln(t) / ln(2)), 6)
+        as predictability_gain
+    from s cross join sx cross join sy
+    """,
+)
+def q_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import conditional_entropy
+
+    return conditional_entropy(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

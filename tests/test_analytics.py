@@ -981,3 +981,36 @@ def test_spearman_corr_monotone_and_ties(spark):
     assert abs(got["m"]["spearman_rho"] - 1.0) < 1e-9
     assert abs(got["d"]["spearman_rho"] + 1.0) < 1e-9
     assert abs(got["t"]["spearman_rho"] - 1.0) < 1e-9   # tied avg ranks align
+
+
+def test_js_divergence_drift_hand_computed(spark):
+    from pyspark.sql import functions as F
+    from sparkcollector.operators.analytics import js_divergence_drift
+
+    rows = (
+        [("a", "2024-01-01 00:00:00")] * 2
+        + [("b", "2024-01-01 00:00:00")] * 2
+        + [("a", "2024-01-02 00:00:00")] * 4
+    )
+    df = spark.createDataFrame(rows, "event_type string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    got = js_divergence_drift(df).collect()
+    assert len(got) == 1  # only day 2 has a prior day
+    # P=(.5,.5) vs Q=(1,0): JSD = (KL(P||M)+KL(Q||M))/2 = 0.311278 bits
+    assert abs(got[0]["jsd_vs_prev_day"] - 0.311278) < 1e-6
+
+
+def test_conditional_entropy_hand_computed(spark):
+    from sparkcollector.operators.analytics import conditional_entropy
+
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+            (2, 1, "a"), (2, 2, "c")]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string"
+    )
+    r = conditional_entropy(df).collect()[0]
+    # transitions: (a,b)x2 (b,a)x1 (a,c)x1 -> H(X,Y)=1.5, H(X)=0.811278
+    assert r["n_transitions"] == 4
+    assert abs(r["h_next"] - 1.5) < 1e-6
+    assert abs(r["h_next_given_prev"] - 0.688722) < 1e-6
+    assert abs(r["predictability_gain"] - (1 - 0.688722 / 1.5)) < 1e-5

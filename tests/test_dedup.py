@@ -488,3 +488,21 @@ def test_fulltext_edit_dups_blocks_and_caps(spark):
     assert len(got) == 1
     r = got[0]
     assert (r["id_a"], r["id_b"], r["dist"]) == (1, 2, 3)
+
+
+def test_containment_pairs_quote_inclusion(spark):
+    from sparkcollector.operators.dedup import containment_pairs
+
+    rows = [
+        (1, "a b c d"),              # 2 shingles, both inside doc 2
+        (2, "a b c d e f"),          # 4 shingles
+        (3, "x y z w v u"),          # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = containment_pairs(df, threshold=0.6).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"], r["common"]) == (1, 2, 2)
+    # short doc fully contained: cont_a = 1.0 while jaccard is only 0.5
+    assert r["cont_a"] == 1.0 and r["cont_b"] == 0.5
+    assert r["max_containment"] == 1.0
