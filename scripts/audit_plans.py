@@ -1738,6 +1738,56 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 58: shape/randomness/robust-trend screens.
+    all_ok &= audit(
+        "moments_profile",
+        lambda: queries()["moments_profile"](spark, SF_DIR),
+        [
+            ("ONE keyed aggregate pass (raw power sums combine "
+             "map-side)", lambda p: "partial" in p.lower()),
+            ("single fact shuffle",
+             lambda p: len(re.findall(r"Exchange \(\d+\)", p)) <= 1),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "runs_test",
+        lambda: queries()["runs_test"](spark, SF_DIR),
+        [
+            ("per-key mean joins back KEYED (no broadcast of an "
+             "unbounded group table forced)",
+             lambda p: "ResolvedHint" not in p),
+            ("sign-change lag window partitions by key",
+             lambda p: "Window" in p),
+            ("final run counts combine map-side",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "AQE may still broadcast the per-key means when they fit — "
+        "that is the policy, not a forced hint.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "theil_sen_slope",
+        lambda: queries()["theil_sen_slope"](spark, SF_DIR),
+        [
+            ("fact table reduces to (key, bucket) in one keyed "
+             "aggregate; pairwise slopes assemble IN-ROW (no fact "
+             "self-join)", lambda p: "SortMergeJoin" not in p
+             and "CartesianProduct" not in p),
+            ("both aggregates combine map-side",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "the bucket axis is bounded (days), so the per-key pair list "
+        "is bounded-square; the median is an in-row array pick.",
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

@@ -2441,3 +2441,172 @@ def conditional_entropy(
             F.lit(1.0) - (h_xy - h_x) / h_y, 6
         ).alias("predictability_gain"),
     )
+
+
+def moments_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Distribution-shape profile per group: mean, stddev, skewness
+    and excess kurtosis — the four-number screen that flags
+    heavy-tailed or lopsided metrics before any threshold is set on
+    them.
+
+    Moments come from RAW POWER SUMS (S1..S4) in one keyed aggregate
+    pass, not from the engine's skewness()/kurtosis() built-ins —
+    Spark computes population moments while DuckDB's are
+    bias-corrected sample moments, so the raw-sum route is the only
+    rendering both engines agree on bit-for-bit at round(5).
+    """
+    x = F.col(value_col).cast("double")
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(x).cast("double").alias("_n"),
+        F.sum(x).alias("_s1"),
+        F.sum(x * x).alias("_s2"),
+        F.sum(x * x * x).alias("_s3"),
+        F.sum(x * x * x * x).alias("_s4"),
+    )
+    n = F.col("_n")
+    mu = F.col("_s1") / n
+    m2 = F.col("_s2") / n - mu**2
+    m3 = F.col("_s3") / n - 3 * mu * F.col("_s2") / n + 2 * mu**3
+    m4 = (
+        F.col("_s4") / n
+        - 4 * mu * F.col("_s3") / n
+        + 6 * mu**2 * F.col("_s2") / n
+        - 3 * mu**4
+    )
+    return g.select(
+        "grp",
+        n.cast("long").alias("n"),
+        F.round(mu, 5).alias("mean"),
+        F.round(F.sqrt(m2), 5).alias("stddev"),
+        F.round(m3 / m2 ** 1.5, 5).alias("skewness"),
+        F.round(m4 / m2**2 - 3.0, 5).alias("excess_kurtosis"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Wald-Wolfowitz runs test about the mean, per key: is the
+    above/below-mean sign sequence random, trending (too few runs) or
+    oscillating (too many)?  The order-sensitivity screen every
+    i.i.d.-assuming monitor silently needs.
+
+    Per-key mean joins back keyed (no broadcast of an unbounded group
+    table); the sign-change count is one lag window partitioned by
+    key.  z = (R - E[R]) / sd[R] with the classic closed form.
+    """
+    from pyspark.sql.window import Window
+
+    x = F.col(value_col).cast("double")
+    means = df.groupBy(F.col(key_col).alias("_k")).agg(
+        (F.sum(x) / F.count(x)).alias("_mu")
+    )
+    signed = df.join(
+        means, df[key_col] == means["_k"]
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).alias("_o"),
+        (x > F.col("_mu")).cast("int").alias("_s"),
+    )
+    w = Window.partitionBy("key").orderBy("_o")
+    ch = signed.select(
+        "key",
+        "_s",
+        F.when(
+            F.lag("_s").over(w).isNotNull()
+            & (F.lag("_s").over(w) != F.col("_s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("_chg"),
+    )
+    g = ch.groupBy("key").agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_s").cast("double").alias("_n1"),
+        (F.lit(1) + F.sum("_chg")).cast("double").alias("_r"),
+    )
+    n, n1, r = F.col("_n"), F.col("_n1"), F.col("_r")
+    n2 = n - n1
+    e_r = 1.0 + 2.0 * n1 * n2 / n
+    var_r = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n**2 * (n - 1.0))
+    )
+    return g.select(
+        "key",
+        n.cast("long").alias("n"),
+        F.col("_n1").cast("long").alias("n_above"),
+        r.cast("long").alias("n_runs"),
+        F.round(e_r, 5).alias("expected_runs"),
+        F.round(
+            F.when(var_r > 0, (r - e_r) / F.sqrt(var_r)), 5
+        ).alias("z"),
+    )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Theil-Sen robust trend per key: the MEDIAN of all pairwise
+    slopes over the per-bucket series — immune to the outlier buckets
+    that wreck an OLS slope (deploy spikes, backfill days).
+
+    The fact table reduces to one row per (key, bucket) in a single
+    keyed aggregate; the pairwise slopes then assemble IN-ROW from the
+    collected series (the bucket axis is bounded — e.g. 30 days — so
+    the per-key pair list is bounded-square, never a self-join of the
+    fact table), and the median picks from the sorted in-row array.
+    """
+    series = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.col(bucket_col).cast("double").alias("_b"),
+        )
+        .agg(F.sum(F.col(value_col).cast("double")).alias("_v"))
+        .groupBy("key")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("_b", "_v"))
+            ).alias("_s")
+        )
+    )
+    pts = F.col("_s")
+    slopes = F.sort_array(
+        F.flatten(
+            F.transform(
+                pts,
+                lambda a, i: F.transform(
+                    F.slice(pts, i + 2, F.size(pts)),
+                    lambda b: (b["_v"] - a["_v"]) / (b["_b"] - a["_b"]),
+                ),
+            )
+        )
+    )
+    m = F.size(F.col("_sl"))
+    mid_hi = ((m + 1) / 2).cast("int")   # ceil(m/2) for odd m
+    lo = (m / 2).cast("int")
+    med = F.when(
+        m % 2 == 1, F.element_at("_sl", mid_hi)
+    ).otherwise(
+        (F.element_at("_sl", lo) + F.element_at("_sl", lo + 1)) / 2.0
+    )
+    return (
+        series.select("key", F.size(pts).alias("n_buckets"),
+                      slopes.alias("_sl"))
+        .filter(m >= 1)
+        .select(
+            "key",
+            "n_buckets",
+            m.cast("long").alias("n_pairs"),
+            F.round(med, 6).alias("sen_slope"),
+        )
+    )

@@ -11292,6 +11292,123 @@ def q_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 288. Distribution-shape profile per event type: mean/stddev/skewness/
+#      excess kurtosis from RAW POWER SUMS — the only rendering Spark
+#      and DuckDB agree on (their skewness/kurtosis built-ins use
+#      population vs bias-corrected sample formulas).
+# ---------------------------------------------------------------------
+@register(
+    "moments_profile",
+    """
+    with g as (select event_type as grp,
+                 cast(count(value) as double) as n,
+                 sum(value) as s1, sum(value * value) as s2,
+                 sum(value * value * value) as s3,
+                 sum(value * value * value * value) as s4
+               from events group by 1),
+    d as (select grp, n, s1 / n as mu, s2, s3, s4 from g),
+    m as (select grp, n, mu,
+            s2 / n - mu * mu as m2,
+            s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu as m3,
+            s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n
+              - 3 * mu * mu * mu * mu as m4
+          from d)
+    select grp, cast(n as bigint) as n,
+      round(mu, 5) as mean, round(sqrt(m2), 5) as stddev,
+      round(m3 / pow(m2, 1.5), 5) as skewness,
+      round(m4 / (m2 * m2) - 3.0, 5) as excess_kurtosis
+    from m
+    """,
+)
+def q_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import moments_profile
+
+    return moments_profile(_t(spark, sf_dir, "events"), "event_type")
+
+
+# ---------------------------------------------------------------------
+# 289. Wald-Wolfowitz runs test about the mean, per event type over
+#      event order: too few runs = trending, too many = oscillating —
+#      the i.i.d. sanity screen.  Keyed mean join-back + one lag
+#      window; closed-form E[R]/sd[R].
+# ---------------------------------------------------------------------
+@register(
+    "runs_test",
+    """
+    with mu as (select event_type as k,
+                  sum(value) / count(value) as m
+                from events group by 1),
+    sg as (select e.event_type as key, e.event_id as o,
+             case when e.value > m then 1 else 0 end as s
+           from events e join mu on mu.k = e.event_type),
+    c as (select key, s,
+            case when lag(s) over (partition by key order by o)
+                   is not null
+                 and lag(s) over (partition by key order by o) <> s
+                 then 1 else 0 end as chg
+          from sg),
+    g as (select key, cast(count(*) as double) as n,
+            cast(sum(s) as double) as n1,
+            cast(1 + sum(chg) as double) as r
+          from c group by 1)
+    select key, cast(n as bigint) as n,
+      cast(n1 as bigint) as n_above, cast(r as bigint) as n_runs,
+      round(1.0 + 2.0 * n1 * (n - n1) / n, 5) as expected_runs,
+      round(case when 2.0 * n1 * (n - n1)
+                      * (2.0 * n1 * (n - n1) - n)
+                      / (n * n * (n - 1.0)) > 0
+            then (r - (1.0 + 2.0 * n1 * (n - n1) / n))
+                 / sqrt(2.0 * n1 * (n - n1)
+                        * (2.0 * n1 * (n - n1) - n)
+                        / (n * n * (n - 1.0))) end, 5) as z
+    from g
+    """,
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import runs_test
+
+    return runs_test(
+        _t(spark, sf_dir, "events"), "event_type", "event_id", "value"
+    )
+
+
+# ---------------------------------------------------------------------
+# 290. Theil-Sen robust trend per event type over daily value sums:
+#      median of all pairwise slopes — immune to the outlier buckets
+#      that wreck OLS.  Pairs assemble IN-ROW from the bounded daily
+#      series (never a fact self-join); the oracle is the naive
+#      self-join + median, an independent algorithm.
+# ---------------------------------------------------------------------
+@register(
+    "theil_sen_slope",
+    """
+    with s as (select event_type as key,
+                 cast(datediff('day', date '2024-01-01',
+                               cast(ts as date)) as double) as b,
+                 sum(value) as v
+               from events group by 1, 2),
+    p as (select a.key, (b2.v - a.v) / (b2.b - a.b) as slope
+          from s a join s b2 on a.key = b2.key and b2.b > a.b),
+    n as (select key, cast(count(*) as bigint) as n_buckets
+          from s group by 1)
+    select p.key, n_buckets, cast(count(*) as bigint) as n_pairs,
+      round(median(slope), 6) as sen_slope
+    from p join n using (key) group by 1, 2
+    """,
+)
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import theil_sen_slope
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .alias("day_idx"),
+        "value",
+    )
+    return theil_sen_slope(ev, "event_type", "day_idx", "value")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -1014,3 +1014,48 @@ def test_conditional_entropy_hand_computed(spark):
     assert abs(r["h_next"] - 1.5) < 1e-6
     assert abs(r["h_next_given_prev"] - 0.688722) < 1e-6
     assert abs(r["predictability_gain"] - (1 - 0.688722 / 1.5)) < 1e-5
+
+
+def test_moments_profile_hand_computed(spark):
+    from sparkcollector.operators.analytics import moments_profile
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in [1, 2, 3, 4]], "grp string, value double"
+    )
+    r = moments_profile(df, "grp").collect()[0]
+    assert r["n"] == 4 and abs(r["mean"] - 2.5) < 1e-9
+    assert abs(r["stddev"] - 1.25 ** 0.5) < 1e-5
+    assert abs(r["skewness"]) < 1e-9            # symmetric
+    assert abs(r["excess_kurtosis"] - (-1.36)) < 1e-5
+
+
+def test_runs_test_alternating_and_trending(spark):
+    from sparkcollector.operators.analytics import runs_test
+
+    alt = [("a", i, v) for i, v in enumerate([1.0, 9.0] * 3)]
+    trend = [("t", i, float(i)) for i in range(6)]  # 0..5, mean 2.5
+    df = spark.createDataFrame(alt + trend, "k string, o long, value double")
+    got = {r["key"]: r for r in runs_test(df, "k", "o").collect()}
+    # alternating: 6 runs vs E[R]=4, var=1.2 -> z = 2/sqrt(1.2)
+    a = got["a"]
+    assert (a["n"], a["n_above"], a["n_runs"]) == (6, 3, 6)
+    assert abs(a["expected_runs"] - 4.0) < 1e-9
+    assert abs(a["z"] - 2 / 1.2 ** 0.5) < 1e-5
+    # monotone trend: exactly 2 runs (000111) -> strongly negative z
+    t = got["t"]
+    assert t["n_runs"] == 2 and t["z"] < -1.8
+
+
+def test_theil_sen_slope_outlier_bucket(spark):
+    from sparkcollector.operators.analytics import theil_sen_slope
+
+    pts = [("k", 0, 0.0), ("k", 1, 1.0), ("k", 2, 2.0), ("k", 3, 100.0)]
+    df = spark.createDataFrame(pts, "key string, b long, value double")
+    r = theil_sen_slope(df, "key", "b").collect()[0]
+    # slopes sorted: [1, 1, 1, 33.333, 49.5, 98] -> median 17.166667
+    assert (r["n_buckets"], r["n_pairs"]) == (4, 6)
+    assert abs(r["sen_slope"] - 17.166667) < 1e-6
+    # odd-pair-count path: drop the outlier bucket -> slope exactly 1
+    df2 = spark.createDataFrame(pts[:3], "key string, b long, value double")
+    r2 = theil_sen_slope(df2, "key", "b").collect()[0]
+    assert r2["n_pairs"] == 3 and r2["sen_slope"] == 1.0
