@@ -1788,6 +1788,96 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 59: incremental corpus hygiene.
+    all_ok &= audit(
+        "ngram_novelty",
+        lambda: queries()["ngram_novelty"](spark, SF_DIR),
+        [
+            ("no pair joins, nothing quadratic: first-occurrence is "
+             "ONE posting-min aggregate",
+             lambda p: "CartesianProduct" not in p),
+            ("posting min and novel counts combine map-side",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "per-doc totals join back keyed on doc_id; AQE picks the "
+        "strategy.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "incremental_dedup",
+        lambda: queries()["incremental_dedup"](spark, SF_DIR),
+        [
+            ("candidates are strictly cross-side: bucket aggregate "
+             "splits old/new IN the aggregate (no corpus self-pairs)",
+             lambda p: "CartesianProduct" not in p),
+            ("no forced broadcast on the verify joins (AQE decides "
+             "from localCheckpointed candidate stats)",
+             lambda p: "ResolvedHint" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "hot band buckets capped per side (max_bucket); keep-best is "
+        "min over (-jaccard, old_id) — type-agnostic.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "word_entropy_by_source",
+        lambda: queries()["word_entropy_by_source"](spark, SF_DIR),
+        [
+            ("token and doc roll-ups combine map-side",
+             lambda p: "partial" in p.lower()),
+            ("per-doc entropy is closed-form in grouped sums (no "
+             "collect, no window)", lambda p: "Window" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
+    # round-3 batch 60: extreme-value, leaderboard churn, l-diversity.
+    all_ok &= audit(
+        "gumbel_return_level",
+        lambda: queries()["gumbel_return_level"](spark, SF_DIR),
+        [
+            ("two keyed aggregates, both with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "the moment fit runs over the bounded (key, hour) maxima "
+        "table, closed-form in raw sums.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "rank_churn_topk",
+        lambda: queries()["rank_churn_topk"](spark, SF_DIR),
+        [
+            ("top-k rank window partitions BY PERIOD (no global sort "
+             "of the count table)", lambda p: "Window" in p),
+            ("per-period counts combine map-side",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "churn math (full-outer shift join, roll-up) runs on the "
+        "bounded k x |periods| table.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "l_diversity_audit",
+        lambda: queries()["l_diversity_audit"](spark, SF_DIR),
+        [
+            ("two keyed aggregates with map-side partials; the "
+             "threshold roll-up is bounded",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

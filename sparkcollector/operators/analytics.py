@@ -2610,3 +2610,130 @@ def theil_sen_slope(
             F.round(med, 6).alias("sen_slope"),
         )
     )
+
+
+def gumbel_return_level(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str = "value",
+    p: float = 0.999,
+) -> DataFrame:
+    """Extreme-value capacity estimate per key: fit a Gumbel to the
+    per-bucket MAXIMA by method of moments and report the p-return
+    level — "the worst bucket you should expect once per 1/(1-p)
+    buckets", the tail number a plain p99 over raw rows understates
+    because maxima, not rows, are what capacity breaks on.
+
+    beta = std*sqrt(6)/pi, mu = mean - gamma*beta (gamma =
+    Euler-Mascheroni), level = mu - beta*ln(-ln(p)).  Two keyed
+    aggregates (bucket max, then moment sums over the bounded bucket
+    axis); moments from raw sums so both engines agree bit-for-bit.
+    """
+    mx = df.groupBy(
+        F.col(key_col).alias("key"),
+        F.col(bucket_col).alias("_b"),
+    ).agg(F.max(F.col(value_col).cast("double")).alias("_m"))
+    g = mx.groupBy("key").agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_m").alias("_s1"),
+        F.sum(F.col("_m") * F.col("_m")).alias("_s2"),
+    )
+    n = F.col("_n")
+    mean = F.col("_s1") / n
+    var = F.col("_s2") / n - mean**2
+    pi = 3.141592653589793
+    gamma = 0.5772156649015329
+    beta = F.sqrt(var) * (6.0 ** 0.5) / pi
+    mu = mean - gamma * beta
+    import math
+
+    level = mu - beta * math.log(-math.log(p))
+    return g.select(
+        "key",
+        n.cast("long").alias("n_buckets"),
+        F.round(mean, 5).alias("mean_max"),
+        F.round(mu, 5).alias("gumbel_mu"),
+        F.round(beta, 5).alias("gumbel_beta"),
+        F.round(level, 5).alias("return_level"),
+    )
+
+
+def rank_churn_topk(
+    df: DataFrame,
+    key_col: str,
+    period_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k rank churn between consecutive periods: overlap share of
+    the top-k key sets, entries new to the top-k, and the mean
+    absolute rank shift of the stayers — the leaderboard-stability
+    screen ("did this week's top tools actually change or just
+    reshuffle?").
+
+    Per-period counts are one fact shuffle; the top-k per period is a
+    window rank INSIDE each period partition (never a global sort),
+    and everything after runs on the bounded k x |periods| table.
+    """
+    from pyspark.sql.window import Window
+
+    c = df.groupBy(
+        F.col(period_col).alias("period"),
+        F.col(key_col).alias("key"),
+    ).agg(F.count("*").alias("_n"))
+    w = Window.partitionBy("period").orderBy(
+        F.col("_n").desc(), F.col("key")
+    )
+    top = c.select(
+        "period", "key", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= k)
+    prev = top.select(
+        (F.col("period") + 1).alias("period"),
+        F.col("key").alias("key"),
+        F.col("rank").alias("prev_rank"),
+    )
+    j = top.join(prev, ["period", "key"], "full_outer").filter(
+        # keep only periods present in the current top table
+        F.col("rank").isNotNull() | F.col("prev_rank").isNotNull()
+    )
+    per = j.groupBy("period").agg(
+        F.sum(
+            (F.col("rank").isNotNull() & F.col("prev_rank").isNotNull())
+            .cast("long")
+        ).alias("n_stay"),
+        F.sum(
+            (F.col("rank").isNotNull() & F.col("prev_rank").isNull())
+            .cast("long")
+        ).alias("n_new"),
+        F.sum(F.col("rank").isNotNull().cast("long")).alias("_k_now"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("rank").isNotNull()
+                    & F.col("prev_rank").isNotNull(),
+                    F.abs(F.col("rank") - F.col("prev_rank")),
+                )
+            ),
+            4,
+        ).alias("mean_rank_shift"),
+    )
+    # drop the first period (no prior top-k) and phantom period rows
+    # created by prev-shift beyond the last real period
+    periods = c.select("period").distinct()
+    real = per.join(periods, "period")
+    first = c.agg(F.min("period").alias("_p0"))
+    return (
+        real.join(F.broadcast(first))
+        .filter(F.col("period") > F.col("_p0"))
+        .select(
+            "period",
+            "n_stay",
+            "n_new",
+            F.round(
+                F.col("n_stay").cast("double")
+                / F.col("_k_now").cast("double"),
+                4,
+            ).alias("overlap_share"),
+            "mean_rank_shift",
+        )
+    )

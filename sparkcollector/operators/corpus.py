@@ -2243,3 +2243,64 @@ def k_anonymity_audit(
     return agg.select(F.explode(F.array(*rows)).alias("r")).select(
         "r.k", "r.groups_at_risk", "r.rows_at_risk", "r.row_share_at_risk"
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    qi_cols: list,
+    sensitive_col: str,
+    ls: tuple = (2, 3),
+) -> DataFrame:
+    """l-diversity risk audit: for each threshold l, how many QI
+    equivalence classes carry FEWER than l distinct values of the
+    sensitive attribute, and what share of rows sits in them — the
+    audit k-anonymity misses (a 1000-row class where everyone shares
+    the same sensitive value discloses it to anyone who can name the
+    class; Machanavajjhala et al., ICDE'06).
+
+    One (QI, sensitive) dedup-count pass with map-side partials, one
+    QI roll-up carrying both the class row count and its distinct
+    sensitive count, then a single bounded conditional roll-up — the
+    fact table never shuffles twice.
+    """
+    per = df.groupBy(*qi_cols, sensitive_col).agg(
+        F.count("*").alias("_c")
+    )
+    g = per.groupBy(*qi_cols).agg(
+        F.sum("_c").alias("_rows_g"),
+        F.count("*").alias("_l"),
+    )
+    agg = g.agg(
+        F.sum("_rows_g").cast("long").alias("_rows"),
+        F.count("*").cast("long").alias("_groups"),
+        *[
+            F.sum(F.when(F.col("_l") < l, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_gr{l}")
+            for l in ls
+        ],
+        *[
+            F.sum(
+                F.when(F.col("_l") < l, F.col("_rows_g")).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"_rw{l}")
+            for l in ls
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(l).cast("int").alias("l"),
+            F.col(f"_gr{l}").alias("groups_below"),
+            F.col(f"_rw{l}").alias("rows_at_risk"),
+            F.round(
+                F.col(f"_rw{l}").cast("double")
+                / F.col("_rows").cast("double"),
+                6,
+            ).alias("row_share_at_risk"),
+        )
+        for l in ls
+    ]
+    return agg.select(
+        F.explode(F.array(*rows)).alias("_s")
+    ).select("_s.*")

@@ -358,3 +358,49 @@ def charclass_profile(
             6,
         ).alias("other_share"),
     )
+
+
+def word_entropy_by_source(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    low_bits: float = 4.0,
+) -> DataFrame:
+    """Per-source word-entropy profile: mean per-doc unigram entropy
+    (bits) and the share of docs below ``low_bits`` — the
+    compressibility screen that separates templated/boilerplate feeds
+    (few distinct words, low H) from natural prose, cheaper than any
+    LM score.
+
+    Per-doc entropy is closed-form in grouped sums:
+    H = log2(n) - sum(c*log2 c)/n over the (doc, word) counts — two
+    keyed shuffles (token counts with map-side combine, then the doc
+    roll-up), then one bounded per-source aggregate.
+    """
+    w = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    c = w.groupBy("doc_id", "source", "w").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    ln2 = 0.6931471805599453
+    d = c.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("_n"),
+        F.sum(F.col("c") * F.log("c")).alias("_s"),
+    )
+    h = d.select(
+        "source",
+        (
+            F.log("_n") / ln2 - F.col("_s") / (F.col("_n") * ln2)
+        ).alias("_h"),
+    )
+    return h.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("_h"), 5).alias("mean_entropy_bits"),
+        F.round(
+            F.avg((F.col("_h") < low_bits).cast("double")), 5
+        ).alias("low_entropy_share"),
+    )

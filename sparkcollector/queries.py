@@ -11409,6 +11409,258 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 291. Per-doc n-gram novelty in ingestion order: share of a doc's
+#      shingles first seen IN this doc — the streaming duplication view
+#      ("is this source mined out").  One posting-min aggregate + a
+#      bounded count; no pair joins, nothing quadratic.
+# ---------------------------------------------------------------------
+@register(
+    "ngram_novelty",
+    """
+    with d as (select doc_id, string_split(text, ' ') as w
+               from documents),
+    s as (select doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                for i in range(1, len(w) - 1)]) as sh
+          from d where len(w) >= 3),
+    e as (select doc_id, unnest(sh) as shingle from s),
+    f as (select shingle, min(doc_id) as first_doc from e group by 1),
+    nv as (select first_doc as doc_id,
+             cast(count(*) as bigint) as n_novel
+           from f group by 1),
+    t as (select doc_id, cast(len(sh) as bigint) as n_shingles from s)
+    select t.doc_id, n_shingles,
+      coalesce(n_novel, 0) as n_novel,
+      round(coalesce(n_novel, 0) / cast(n_shingles as double), 4)
+        as novelty_rate
+    from t left join nv using (doc_id)
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
+# ---------------------------------------------------------------------
+# 292. Incremental (new-batch-vs-corpus) dedup: best corpus near-dup
+#      for each doc above the id cutoff — the daily-ingest gate.  Band
+#      buckets split (old, new) in the aggregate so candidates are
+#      strictly cross-side (the corpus never re-pairs against itself);
+#      exact-Jaccard verify; type-agnostic keep-best.  Oracle = exact
+#      cross-side Jaccard + window, an independent algorithm.
+# ---------------------------------------------------------------------
+@register(
+    "incremental_dedup",
+    """
+    with cutoff as (select (max(doc_id) * 7) // 10 as cut
+                    from documents),
+    d as (select doc_id, string_split(text, ' ') as w from documents),
+    s as (select doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                for i in range(1, len(w) - 1)]) as sh
+          from d where len(w) >= 3),
+    e as (select doc_id, unnest(sh) as shingle from s),
+    pair as (select b.doc_id as doc_new, a.doc_id as doc_old,
+               cast(count(*) as bigint) as common
+             from e a join e b on a.shingle = b.shingle
+             cross join cutoff
+             where a.doc_id <= cut and b.doc_id > cut
+             group by 1, 2),
+    sz as (select doc_id, len(sh) as n from s),
+    j as (select doc_new, doc_old,
+            cast(common as double) / (sa.n + sb.n - common) as jac
+          from pair
+          join sz sa on doc_old = sa.doc_id
+          join sz sb on doc_new = sb.doc_id),
+    r as (select doc_new, doc_old, jac,
+            row_number() over (partition by doc_new
+                               order by jac desc, doc_old asc) as rn
+          from j where jac >= 0.5)
+    select doc_new, doc_old as dup_of, round(jac, 4) as jaccard
+    from r where rn = 1
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    # bounded 1-row scalar (corpus max id), integer arithmetic so both
+    # engines derive the identical cutoff
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    return incremental_dedup(docs, (mx * 7) // 10, threshold=0.5)
+
+
+# ---------------------------------------------------------------------
+# 293. Word-entropy profile per source: mean per-doc unigram entropy
+#      and the low-entropy doc share — the compressibility screen that
+#      catches templated feeds cheaper than any LM score.  Closed-form
+#      in grouped sums; two keyed shuffles + one bounded roll-up.
+# ---------------------------------------------------------------------
+@register(
+    "word_entropy_by_source",
+    """
+    with w as (select doc_id, source,
+                 unnest(string_split(text, ' ')) as w
+               from documents),
+    c as (select doc_id, source, w, cast(count(*) as double) as c
+          from w group by 1, 2, 3),
+    d as (select doc_id, source, sum(c) as n, sum(c * ln(c)) as s
+          from c group by 1, 2),
+    h as (select source, ln(n) / ln(2) - s / (n * ln(2)) as h from d)
+    select source, cast(count(*) as bigint) as n_docs,
+      round(avg(h), 5) as mean_entropy_bits,
+      round(avg(case when h < 4.0 then 1.0 else 0.0 end), 5)
+        as low_entropy_share
+    from h group by 1
+    """,
+)
+def q_word_entropy_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.textstats import word_entropy_by_source
+
+    return word_entropy_by_source(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------
+# 294. Gumbel return level per event type over hourly maxima: the
+#      extreme-value capacity number ("worst hour you should expect
+#      once per 1000 hours") a row-level p99 understates.  Method-of-
+#      moments fit, closed-form in raw sums over the bounded bucket
+#      axis.
+# ---------------------------------------------------------------------
+@register(
+    "gumbel_return_level",
+    """
+    with mx as (select event_type as key, date_trunc('hour', ts) as b,
+                  max(value) as m
+                from events group by 1, 2),
+    g as (select key, cast(count(*) as double) as n,
+            sum(m) as s1, sum(m * m) as s2
+          from mx group by 1),
+    d as (select key, n, s1 / n as mean,
+            s2 / n - (s1 / n) * (s1 / n) as var from g),
+    p as (select key, n, mean,
+            sqrt(var) * sqrt(6) / pi() as beta from d)
+    select key, cast(n as bigint) as n_buckets,
+      round(mean, 5) as mean_max,
+      round(mean - 0.5772156649015329 * beta, 5) as gumbel_mu,
+      round(beta, 5) as gumbel_beta,
+      round(mean - 0.5772156649015329 * beta
+            - beta * ln(-ln(0.999)), 5) as return_level
+    from p
+    """,
+)
+def q_gumbel_return_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import gumbel_return_level
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour"), "value"
+    )
+    return gumbel_return_level(ev, "event_type", "hour", "value")
+
+
+# ---------------------------------------------------------------------
+# 295. Top-k rank churn day-over-day (top-10 users by event count):
+#      overlap share, new entrants, mean rank shift of stayers — the
+#      leaderboard-stability screen.  Top-k is a window INSIDE each
+#      period partition; churn math runs on the bounded k x |periods|
+#      table.
+# ---------------------------------------------------------------------
+@register(
+    "rank_churn_topk",
+    """
+    with c as (select cast(datediff('day', date '2024-01-01',
+                                    cast(ts as date)) as bigint)
+                 as period,
+                 user_id as key, count(*) as n
+               from events group by 1, 2),
+    top as (select period, key,
+              row_number() over (partition by period
+                                 order by n desc, key) as rank
+            from c qualify rank <= 10),
+    prev as (select period + 1 as period, key, rank as prev_rank
+             from top),
+    j as (select coalesce(top.period, prev.period) as period,
+            top.rank as rank, prev.prev_rank as prev_rank
+          from top full outer join prev
+            on top.period = prev.period and top.key = prev.key),
+    per as (select period,
+              cast(sum(case when rank is not null
+                             and prev_rank is not null
+                        then 1 else 0 end) as bigint) as n_stay,
+              cast(sum(case when rank is not null
+                             and prev_rank is null
+                        then 1 else 0 end) as bigint) as n_new,
+              sum(case when rank is not null then 1 else 0 end)
+                as k_now,
+              round(avg(case when rank is not null
+                              and prev_rank is not null
+                         then abs(rank - prev_rank) end), 4)
+                as mean_rank_shift
+            from j group by 1)
+    select period, n_stay, n_new,
+      round(cast(n_stay as double) / cast(k_now as double), 4)
+        as overlap_share,
+      mean_rank_shift
+    from per
+    where period in (select distinct period from c)
+      and period > (select min(period) from c)
+    """,
+)
+def q_rank_churn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import rank_churn_topk
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("period"),
+        "user_id",
+    )
+    return rank_churn_topk(ev, "user_id", "period", k=10)
+
+
+# ---------------------------------------------------------------------
+# 296. l-diversity risk audit (Machanavajjhala et al., ICDE'06) over
+#      QI (event_type, minute) with user_id as the sensitive
+#      attribute: classes k-anonymity passes can still disclose when
+#      everyone in them shares the sensitive value.  Two keyed
+#      aggregates + one bounded roll-up.
+# ---------------------------------------------------------------------
+@register(
+    "l_diversity_audit",
+    """
+    with per as (select event_type, date_trunc('minute', ts) as m,
+                   user_id, count(*) as c
+                 from events group by 1, 2, 3),
+    g as (select event_type, m, sum(c) as rows_g, count(*) as l
+          from per group by 1, 2),
+    tot as (select cast(sum(rows_g) as double) as n_rows from g)
+    select cast(t.l as int) as l,
+      cast(sum(case when g.l < t.l then 1 else 0 end) as bigint)
+        as groups_below,
+      cast(sum(case when g.l < t.l then rows_g else 0 end) as bigint)
+        as rows_at_risk,
+      round(cast(sum(case when g.l < t.l then rows_g else 0 end)
+                 as double) / (select n_rows from tot), 6)
+        as row_share_at_risk
+    from g cross join (values (2), (3)) t(l)
+    group by t.l
+    """,
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import l_diversity_audit
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("minute", "ts").alias("m"),
+        "user_id",
+    )
+    return l_diversity_audit(ev, ["event_type", "m"], "user_id", ls=(2, 3))
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

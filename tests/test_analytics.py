@@ -1059,3 +1059,37 @@ def test_theil_sen_slope_outlier_bucket(spark):
     df2 = spark.createDataFrame(pts[:3], "key string, b long, value double")
     r2 = theil_sen_slope(df2, "key", "b").collect()[0]
     assert r2["n_pairs"] == 3 and r2["sen_slope"] == 1.0
+
+
+def test_gumbel_return_level_closed_form(spark):
+    import math
+    from sparkcollector.operators.analytics import gumbel_return_level
+
+    rows = [("k", 1, 0.5), ("k", 1, 1.0), ("k", 2, 2.0),
+            ("k", 3, 3.0), ("k", 3, 2.5)]
+    df = spark.createDataFrame(rows, "key string, b long, value double")
+    r = gumbel_return_level(df, "key", "b").collect()[0]
+    # maxima [1,2,3]: mean 2, var 2/3
+    beta = (2 / 3) ** 0.5 * 6 ** 0.5 / math.pi
+    mu = 2 - 0.5772156649015329 * beta
+    level = mu - beta * math.log(-math.log(0.999))
+    assert r["n_buckets"] == 3 and abs(r["mean_max"] - 2.0) < 1e-9
+    assert abs(r["gumbel_beta"] - beta) < 1e-5
+    assert abs(r["gumbel_mu"] - mu) < 1e-5
+    assert abs(r["return_level"] - level) < 1e-4
+
+
+def test_rank_churn_topk_stay_new_shift(spark):
+    from sparkcollector.operators.analytics import rank_churn_topk
+
+    rows = (
+        [(1, "a")] * 3 + [(1, "b")] * 2 + [(1, "c")]
+        + [(2, "b")] * 5 + [(2, "c")] * 4 + [(2, "a")]
+    )
+    df = spark.createDataFrame(rows, "period long, key string")
+    got = rank_churn_topk(df, "key", "period", k=2).collect()
+    assert len(got) == 1 and got[0]["period"] == 2
+    r = got[0]
+    # p1 top2 = [a,b]; p2 top2 = [b,c]: b stays (2->1), c new
+    assert (r["n_stay"], r["n_new"]) == (1, 1)
+    assert r["overlap_share"] == 0.5 and r["mean_rank_shift"] == 1.0

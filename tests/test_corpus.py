@@ -974,3 +974,22 @@ def test_k_anonymity_audit_thresholds(spark):
     assert (got[5]["groups_at_risk"], got[5]["rows_at_risk"]) == (2, 4)
     assert (got[10]["groups_at_risk"], got[10]["rows_at_risk"]) == (3, 10)
     assert abs(got[5]["row_share_at_risk"] - 0.4) < 1e-9
+
+
+def test_l_diversity_audit_thresholds(spark):
+    from sparkcollector.operators.corpus import l_diversity_audit
+
+    rows = (
+        [("X", 1)] * 3                      # l=1, 3 rows
+        + [("Y", 1)] * 2 + [("Y", 2)] * 2   # l=2, 4 rows
+        + [("Z", 1), ("Z", 2), ("Z", 3)]    # l=3, 3 rows
+    )
+    df = spark.createDataFrame(rows, "qi string, sensitive long")
+    got = {
+        r["l"]: r
+        for r in l_diversity_audit(df, ["qi"], "sensitive", ls=(2, 3)).collect()
+    }
+    assert got[2]["groups_below"] == 1 and got[2]["rows_at_risk"] == 3
+    assert abs(got[2]["row_share_at_risk"] - 0.3) < 1e-9
+    assert got[3]["groups_below"] == 2 and got[3]["rows_at_risk"] == 7
+    assert abs(got[3]["row_share_at_risk"] - 0.7) < 1e-9

@@ -506,3 +506,48 @@ def test_containment_pairs_quote_inclusion(spark):
     # short doc fully contained: cont_a = 1.0 while jaccard is only 0.5
     assert r["cont_a"] == 1.0 and r["cont_b"] == 0.5
     assert r["max_containment"] == 1.0
+
+
+def test_ngram_novelty_first_occurrence(spark):
+    from sparkcollector.operators.dedup import ngram_novelty
+
+    rows = [
+        (1, "a b c d"),        # shingles {abc, bcd}: both first here
+        (2, "a b c d e"),      # {abc, bcd, cde}: only cde novel
+        (3, "a b c d"),        # all seen -> 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_novelty(df).collect()}
+    assert got[1]["n_novel"] == 2 and got[1]["novelty_rate"] == 1.0
+    assert got[2]["n_novel"] == 1 and abs(got[2]["novelty_rate"] - 1 / 3) < 1e-3
+    assert got[3]["n_novel"] == 0 and got[3]["novelty_rate"] == 0.0
+
+
+def test_incremental_dedup_cross_side_only(spark):
+    from sparkcollector.operators.dedup import incremental_dedup
+
+    corpus_text = "the quick brown fox jumps over the lazy dog again"
+    rows = [
+        (1, corpus_text),                     # corpus
+        (2, corpus_text + " extra tail"),     # corpus near-dup of 1
+        (10, corpus_text),                    # new: exact dup of corpus
+        (11, "completely different words that match nothing at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_new"]: r for r in incremental_dedup(df, 5, threshold=0.5).collect()}
+    # 10 matches corpus; best (jaccard 1.0) is doc 1, tie-break not needed
+    assert 10 in got and got[10]["dup_of"] == 1 and got[10]["jaccard"] == 1.0
+    # 11 is novel -> absent; corpus pair (1,2) must NOT appear
+    assert 11 not in got and set(got) == {10}
+
+
+def test_incremental_dedup_keep_best_tie_break(spark):
+    from sparkcollector.operators.dedup import incremental_dedup
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, t), (2, t), (20, t)]  # two identical corpus docs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = incremental_dedup(df, 10, threshold=0.5).collect()
+    assert len(got) == 1
+    # equal jaccard 1.0 to docs 1 and 2 -> min id wins
+    assert got[0]["dup_of"] == 1 and got[0]["jaccard"] == 1.0

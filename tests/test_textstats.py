@@ -199,3 +199,20 @@ def test_charclass_profile_shares(spark):
     assert abs(r["digit_share"] - round(2 / 6, 6)) < 1e-9
     assert abs(r["space_share"] - round(1 / 6, 6)) < 1e-9
     assert abs(r["other_share"] - round(1 / 6, 6)) < 1e-9
+
+
+def test_word_entropy_by_source_closed_form(spark):
+    from sparkcollector.operators.textstats import word_entropy_by_source
+
+    rows = [
+        (1, "s", "a a b b"),      # H = 1 bit
+        (2, "s", "a a a a"),      # H = 0 bits
+        (3, "t", "a b c d"),      # H = 2 bits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in word_entropy_by_source(df, low_bits=1.5).collect()}
+    assert got["s"]["n_docs"] == 2
+    assert abs(got["s"]["mean_entropy_bits"] - 0.5) < 1e-6
+    assert got["s"]["low_entropy_share"] == 1.0       # both below 1.5
+    assert abs(got["t"]["mean_entropy_bits"] - 2.0) < 1e-6
+    assert got["t"]["low_entropy_share"] == 0.0
