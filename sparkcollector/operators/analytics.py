@@ -2737,3 +2737,120 @@ def rank_churn_topk(
             "mean_rank_shift",
         )
     )
+
+
+def ece_calibration(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins + expected-calibration-error terms for
+    a probabilistic classifier's scores: equal-width bins over
+    ``prob_col`` in [0, 1], per bin the count, mean predicted
+    probability, empirical positive rate, and the bin's |gap| weighted
+    by its mass (the ECE summand).  Sum of ``ece_term`` over the
+    output IS the ECE.
+
+    One grouped aggregate over at most ``n_bins`` keys — map-side
+    partials do all the work; the shuffle moves ``n_bins`` rows per
+    task regardless of input size.  Probabilities exactly 1.0 fold
+    into the top bin (the standard closed-right convention).
+    """
+    b = F.least(
+        F.floor(F.col(prob_col) * n_bins).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    agg = (
+        df.select(
+            b.alias("bin"),
+            F.col(prob_col).cast("double").alias("_p"),
+            F.col(label_col).cast("double").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("_p").alias("_ap"),
+            F.avg("_y").alias("_ay"),
+        )
+    )
+    total = agg.select(F.sum("n").alias("_N"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n",
+            F.round("_ap", 6).alias("mean_prob"),
+            F.round("_ay", 6).alias("frac_pos"),
+            F.round(
+                F.abs(F.col("_ap") - F.col("_ay"))
+                * F.col("n")
+                / F.col("_N"),
+                6,
+            ).alias("ece_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    key_col: str,
+    value_col: str = "value",
+    k: int = 100,
+    id_col: str = "event_id",
+    n_salt: int = 32,
+) -> DataFrame:
+    """Hill estimator of the tail index per key: over the k largest
+    positive values x_(1) >= ... >= x_(k),
+
+        alpha_hat = (k-1) / sum_{i<k} ln(x_(i) / x_(k))
+
+    — alpha < 2 means variance-infinite heavy tails (the distributions
+    that break mean-based capacity planning and make per-key salting
+    mandatory).  Ties broken by ``id_col`` so the top-k set is total-
+    ordered and engine-portable.
+
+    Scale design: a per-key ORDER BY window would sort every row of a
+    hot key on one task.  Instead rows are salted into ``n_salt``
+    lanes, each lane keeps its own top-k (rank window over a 1/32
+    slice), and the exact global top-k per key is re-ranked over the
+    surviving <= n_salt*k rows — the classic two-phase exact top-k.
+    """
+    pos = df.filter(F.col(value_col) > 0).select(
+        F.col(key_col),
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(id_col).alias("_id"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)).alias("_s"),
+    )
+    w1 = Window.partitionBy(key_col, "_s").orderBy(
+        F.col("_v").desc(), F.col("_id")
+    )
+    cand = pos.withColumn("_r", F.row_number().over(w1)).filter(
+        F.col("_r") <= k
+    )
+    w2 = Window.partitionBy(key_col).orderBy(
+        F.col("_v").desc(), F.col("_id")
+    )
+    top = cand.withColumn("_r", F.row_number().over(w2)).filter(
+        F.col("_r") <= k
+    )
+    xk = top.filter(F.col("_r") == k).select(
+        key_col, F.col("_v").alias("_xk")
+    )
+    return (
+        top.join(xk, key_col)
+        .filter(F.col("_r") < k)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("_m"),
+            F.sum(F.log(F.col("_v") / F.col("_xk"))).alias("_lsum"),
+            F.min("_xk").alias("_x"),
+        )
+        .select(
+            key_col,
+            (F.col("_m") + 1).cast("long").alias("k_used"),
+            F.round("_x", 6).alias("x_k"),
+            F.round(F.col("_m") / F.col("_lsum"), 6).alias("alpha_hat"),
+        )
+    )

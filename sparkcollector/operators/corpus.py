@@ -2304,3 +2304,82 @@ def l_diversity_audit(
     return agg.select(
         F.explode(F.array(*rows)).alias("_s")
     ).select("_s.*")
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "s61",
+    prefix_buckets: int = 256,
+) -> DataFrame:
+    """Per-source token-budget prefix sampling: walk each source's
+    documents in portable-md5 order and keep a doc iff the tokens
+    accumulated BEFORE it are still under ``budget`` — the standard
+    "take ~N tokens per domain" pretraining-mix primitive (the doc
+    that crosses the budget is kept, so every source reaches it).
+
+    Scale design (the reason this is not one global window): a naive
+    ``sum() over (partition by source order by md5)`` puts an entire
+    source — possibly 10^11 rows — on ONE task.  Instead the md5 order
+    is split by its first byte into ``prefix_buckets`` ranges:
+
+    * per (source, bucket) token totals — one map-side-combined
+      aggregate, ``n_sources x 256`` rows;
+    * running total across buckets per source — a window over that
+      bounded table only;
+    * the per-doc cumulative is then bucket-presum + a window WITHIN
+      (source, bucket), shrinking the sequential span 256x (and the
+      bucket fan-out is a constant, so it can scale with the corpus).
+
+    Row set is identical to the single-window formulation (md5 order
+    is refined by id to a total order), deterministic on any engine
+    and any cluster size.
+    """
+    h = F.md5(
+        F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))
+    )
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        h.alias("_h"),
+        F.conv(F.substring(h, 1, 2), 16, 10)
+        .cast("int")
+        .alias("_b"),
+        toks.cast("long").alias("n_tokens"),
+    )
+    per_bucket = base.groupBy(group_col, "_b").agg(
+        F.sum("n_tokens").alias("_bt")
+    )
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    presum = per_bucket.select(
+        group_col,
+        "_b",
+        F.coalesce(F.sum("_bt").over(wb), F.lit(0)).alias("_pre"),
+    )
+    win = (
+        Window.partitionBy(group_col, "_b")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        base.join(presum, [group_col, "_b"])
+        .withColumn(
+            "tokens_before",
+            F.col("_pre") + F.coalesce(F.sum("n_tokens").over(win), F.lit(0)),
+        )
+        .filter(F.col("tokens_before") < F.lit(budget))
+    )
+    return out.select(
+        group_col,
+        id_col,
+        "n_tokens",
+        (F.col("tokens_before") + F.col("n_tokens")).alias("cum_tokens"),
+    )

@@ -11661,6 +11661,119 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 297. expected-calibration-error bins (reliability diagram) over a
+#      portable-hash score column: one n_bins-key aggregate, map-side
+#      partials do all the work.  Both engines compute the identical
+#      IEEE doubles, so bin edges agree bit-for-bit.
+# ---------------------------------------------------------------------
+@register(
+    "ece_calibration",
+    """
+    with s as (
+      select cast(('0x' || substr(md5(cast(event_id as varchar)), 1, 8))
+                  as bigint) % 10000 / 10000.0 as p,
+             cast(user_id % 2 as double) as y
+      from events),
+    a as (
+      select cast(least(floor(p * 10), 9) as int) as bin,
+             count(*) as n, avg(p) as ap, avg(y) as ay
+      from s group by 1)
+    select bin, n,
+      round(ap, 6) as mean_prob,
+      round(ay, 6) as frac_pos,
+      round(abs(ap - ay) * n / (select cast(sum(n) as double) from a), 6)
+        as ece_term
+    from a
+    """,
+)
+def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import ece_calibration
+
+    ev = _t(spark, sf_dir, "events").select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 10000
+            / F.lit(10000.0)
+        ).alias("prob"),
+        (F.col("user_id") % 2).cast("double").alias("label"),
+    )
+    return ece_calibration(ev, "prob", "label", n_bins=10)
+
+
+# ---------------------------------------------------------------------
+# 298. Hill tail-index estimator per key over the exact top-k values —
+#      salted two-phase top-k (no whole-key sort on one task), then a
+#      bounded re-rank; alpha < 2 flags the heavy tails that make
+#      mean-based capacity planning wrong.
+# ---------------------------------------------------------------------
+@register(
+    "hill_tail_index",
+    """
+    with pos as (select event_type, cast(value as double) as v, event_id
+                 from events where value > 0),
+    r as (select event_type, v,
+            row_number() over (partition by event_type
+                               order by v desc, event_id) as rk
+          from pos),
+    xk as (select event_type, v as x from r where rk = 100)
+    select r.event_type,
+      cast(count(*) + 1 as bigint) as k_used,
+      round(min(xk.x), 6) as x_k,
+      round(count(*) / sum(ln(r.v / xk.x)), 6) as alpha_hat
+    from r join xk using (event_type)
+    where r.rk < 100
+    group by r.event_type
+    """,
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import hill_tail_index
+
+    ev = _t(spark, sf_dir, "events")
+    return hill_tail_index(ev, "event_type", "value", k=100, id_col="event_id")
+
+
+# ---------------------------------------------------------------------
+# 299. per-source token-budget prefix sample (the "take ~N tokens per
+#      domain" pretraining-mix primitive) in portable-md5 order —
+#      bucket-presum decomposition so no source ever sorts on one task;
+#      row set identical to the single-window formulation.
+# ---------------------------------------------------------------------
+@register(
+    "token_budget_sample",
+    """
+    with b as (
+      select source, doc_id,
+             md5('s61' || '|' || cast(doc_id as varchar)) as h,
+             cast(len(regexp_split_to_array(trim(text), '\\s+'))
+                  as bigint) as n_tokens
+      from documents),
+    c as (
+      select source, doc_id, n_tokens,
+             coalesce(sum(n_tokens) over (
+               partition by source order by h, doc_id
+               rows between unbounded preceding and 1 preceding), 0)
+               as tokens_before
+      from b)
+    select source, doc_id, n_tokens,
+      cast(tokens_before + n_tokens as bigint) as cum_tokens
+    from c where tokens_before < 20000
+    """,
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_sample(
+        docs, budget=20000, group_col="source", id_col="doc_id",
+        text_col="text", seed="s61",
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative
