@@ -2854,3 +2854,101 @@ def hill_tail_index(
             F.round(F.col("_m") / F.col("_lsum"), 6).alias("alpha_hat"),
         )
     )
+
+
+def mann_whitney_shift(
+    df: DataFrame,
+    key_col: str,
+    segment_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) location-shift test per key
+    between two segments (``segment_col`` = 0/1): average-rank U
+    statistic for segment 0 and its normal-approximation z-score — the
+    distribution-free A/B screen to reach for when the two-proportion
+    z-test's binarization throws away the value column.  No tie
+    correction in sigma (documented; ties only make |z| conservative).
+
+    Scale design: ranks are NOT a per-key row sort.  Tied values share
+    one average rank, so the rank table is built on the DISTINCT
+    (key, value) pairs — one map-side-combined aggregate shrinks the
+    data to the value histogram, and the cumulative window runs over
+    that bounded table only.  R1 then folds back in one keyed
+    aggregate: R1 = sum_v ca(v) * (below(v) + (c(v)+1)/2).
+    """
+    s = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col),
+        F.col(value_col).alias("_v"),
+        F.col(segment_col).cast("int").alias("_g"),
+    )
+    d = s.groupBy(key_col, "_v").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum(F.when(F.col("_g") == 0, 1).otherwise(0)).alias("_ca"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = d.withColumn("_cb", F.coalesce(F.sum("_c").over(w), F.lit(0)))
+    agg = r.groupBy(key_col).agg(
+        F.sum("_ca").alias("_n1"),
+        (F.sum("_c") - F.sum("_ca")).alias("_n2"),
+        F.sum(
+            F.col("_ca") * (F.col("_cb") + (F.col("_c") + 1) / 2.0)
+        ).alias("_r1"),
+    )
+    u = F.col("_r1") - F.col("_n1") * (F.col("_n1") + 1) / 2.0
+    mu = F.col("_n1") * F.col("_n2") / 2.0
+    sigma = F.sqrt(
+        F.col("_n1") * F.col("_n2") * (F.col("_n1") + F.col("_n2") + 1) / 12.0
+    )
+    return agg.select(
+        key_col,
+        F.col("_n1").cast("long").alias("n_a"),
+        F.col("_n2").cast("long").alias("n_b"),
+        F.round(u, 4).alias("u_stat"),
+        F.round((u - mu) / sigma, 4).alias("z_score"),
+    )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    dim_col: str,
+    entity_col: str,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration of activity per dimension:
+    HHI = sum over entities of (entity's share of the dimension's
+    rows)^2, plus the effective number of entities 1/HHI — the
+    "is this event type really three power users?" screen that Gini
+    complements (Gini measures inequality, HHI measures how few).
+
+    Two keyed aggregates, both map-side combinable; nothing is
+    broadcast and no window touches raw rows, so the plan is two
+    shuffles of at most |dim x entity| and |dim| rows.
+    """
+    per = df.groupBy(dim_col, entity_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        per.groupBy(dim_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_entities"),
+            F.sum("_c").alias("_tot"),
+            F.sum(F.col("_c").cast("double") * F.col("_c")).alias("_ss"),
+        )
+        .select(
+            dim_col,
+            "n_entities",
+            F.col("_tot").cast("long").alias("n_rows"),
+            F.round(
+                F.col("_ss")
+                / (F.col("_tot").cast("double") * F.col("_tot")),
+                6,
+            ).alias("hhi"),
+            F.round(
+                F.col("_tot").cast("double") * F.col("_tot") / F.col("_ss"),
+                4,
+            ).alias("effective_n"),
+        )
+    )

@@ -2383,3 +2383,57 @@ def token_budget_sample(
         "n_tokens",
         (F.col("tokens_before") + F.col("n_tokens")).alias("cum_tokens"),
     )
+
+
+def flesch_reading_ease(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source Flesch reading-ease profile:
+
+        206.835 - 1.015 * (words/sentences) - 84.6 * (syllables/words)
+
+    with the standard cheap proxies — words = whitespace tokens,
+    sentences = runs of ``[.!?]`` (floored at 1), syllables = vowel
+    groups ``[aeiouy]+`` of the lowercased text.  Output per source:
+    doc count, mean score, mean words-per-sentence, mean
+    syllables-per-word — the readability band the quality-scoring
+    ensemble can cut on.
+
+    Everything is codegen'd regex arithmetic (regexp_extract_all +
+    size) folded by ONE map-side-combined aggregate; no UDF, no
+    shuffle beyond |sources| rows.
+    """
+    lower = F.lower(F.col(text_col))
+    words = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    )
+    sylls = F.size(F.regexp_extract_all(lower, F.lit(r"[aeiouy]+"), F.lit(0)))
+    per = df.select(
+        F.col(group_col),
+        words.cast("double").alias("_w"),
+        sents.cast("double").alias("_s"),
+        sylls.cast("double").alias("_y"),
+    ).filter(F.col("_w") > 0)
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("_w") / F.col("_s"))
+        - F.lit(84.6) * (F.col("_y") / F.col("_w"))
+    )
+    return (
+        per.select(group_col, "_w", "_s", "_y", score.alias("_f"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("_f"), 4).alias("mean_flesch"),
+            F.round(F.avg(F.col("_w") / F.col("_s")), 4).alias(
+                "mean_words_per_sentence"
+            ),
+            F.round(F.avg(F.col("_y") / F.col("_w")), 4).alias(
+                "mean_syllables_per_word"
+            ),
+        )
+    )

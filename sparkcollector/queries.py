@@ -11774,6 +11774,117 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 300. Mann-Whitney U location-shift test per event type between the
+#      user_id-parity segments — distribution-free A/B screen.  Ranks
+#      are average-rank over DISTINCT values (no per-key row sort):
+#      the rank table is the value histogram, the cumulative window
+#      runs over that bounded table only.
+# ---------------------------------------------------------------------
+@register(
+    "mann_whitney_shift",
+    """
+    with s as (select event_type, value as v,
+                 cast(user_id % 2 as int) as g
+               from events where value is not null),
+    d as (select event_type, v, count(*) as c,
+            sum(case when g = 0 then 1 else 0 end) as ca
+          from s group by 1, 2),
+    r as (select event_type, c, ca,
+            coalesce(sum(c) over (partition by event_type order by v
+                     rows between unbounded preceding and 1 preceding),
+                     0) as cb
+          from d),
+    a as (select event_type,
+            cast(sum(ca) as bigint) as n1,
+            cast(sum(c) - sum(ca) as bigint) as n2,
+            sum(ca * (cb + (c + 1) / 2.0)) as r1
+          from r group by event_type)
+    select event_type, n1 as n_a, n2 as n_b,
+      round(r1 - n1 * (n1 + 1) / 2.0, 4) as u_stat,
+      round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+            / sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0), 4) as z_score
+    from a
+    """,
+)
+def q_mann_whitney_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import mann_whitney_shift
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.col("user_id") % 2).alias("seg"),
+    )
+    return mann_whitney_shift(ev, "event_type", "seg", "value")
+
+
+# ---------------------------------------------------------------------
+# 301. Herfindahl-Hirschman concentration of event volume per event
+#      type over users: HHI + effective user count — "is this event
+#      type really three power users?"  Two map-side-combinable keyed
+#      aggregates; totals squared in double (no long overflow at
+#      10^12 rows).
+# ---------------------------------------------------------------------
+@register(
+    "hhi_concentration",
+    """
+    with per as (select event_type, user_id, count(*) as c
+                 from events group by 1, 2)
+    select event_type,
+      cast(count(*) as bigint) as n_entities,
+      cast(sum(c) as bigint) as n_rows,
+      round(sum(cast(c as double) * c)
+            / (cast(sum(c) as double) * cast(sum(c) as double)), 6)
+        as hhi,
+      round(cast(sum(c) as double) * cast(sum(c) as double)
+            / sum(cast(c as double) * c), 4) as effective_n
+    from per group by event_type
+    """,
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import hhi_concentration
+
+    return hhi_concentration(
+        _t(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+# ---------------------------------------------------------------------
+# 302. Flesch reading-ease profile per source (vowel-group syllable
+#      proxy) — the readability band for the quality-scoring ensemble.
+#      Pure codegen'd regex arithmetic + ONE map-side-combined
+#      aggregate; no UDF.
+# ---------------------------------------------------------------------
+@register(
+    "flesch_reading_ease",
+    """
+    with p as (
+      select source,
+        cast(len(regexp_split_to_array(trim(text), '\\s+')) as double)
+          as w,
+        cast(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+             as double) as s,
+        cast(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             as double) as y
+      from documents),
+    f as (select source, w, s, y,
+            206.835 - 1.015 * (w / s) - 84.6 * (y / w) as fl
+          from p where w > 0)
+    select source, cast(count(*) as bigint) as n_docs,
+      round(avg(fl), 4) as mean_flesch,
+      round(avg(w / s), 4) as mean_words_per_sentence,
+      round(avg(y / w), 4) as mean_syllables_per_word
+    from f group by source
+    """,
+)
+def q_flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import flesch_reading_ease
+
+    return flesch_reading_ease(
+        _t(spark, sf_dir, "documents"), "text", "source"
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative
