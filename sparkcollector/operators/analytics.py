@@ -2952,3 +2952,172 @@ def hhi_concentration(
             ).alias("effective_n"),
         )
     )
+
+
+def welch_t_test(
+    df: DataFrame,
+    key_col: str,
+    segment_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Welch's unequal-variance t-test per key between two segments
+    (``segment_col`` = 0/1): mean difference, t statistic, and the
+    Welch-Satterthwaite degrees of freedom — the parametric partner of
+    the rank-sum screen (Mann-Whitney) for A/B readouts on a value
+    column.
+
+    Means/variances come from RAW POWER SUMS (n, sum(x), sum(x^2)) in
+    ONE map-side-combined keyed aggregate — the only formulation whose
+    floating-point rendering Spark and DuckDB agree on — so the whole
+    test is a single shuffle of |keys| rows.  Sample variance
+    var = (s2 - s1^2/n) / (n-1).
+    """
+    s = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col),
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(segment_col).cast("int").alias("_g"),
+    )
+    g0 = F.when(F.col("_g") == 0, F.col("_v"))
+    g1 = F.when(F.col("_g") == 1, F.col("_v"))
+    agg = s.groupBy(key_col).agg(
+        F.count(g0).alias("_n0"),
+        F.sum(g0).alias("_s0"),
+        F.sum(g0 * g0).alias("_q0"),
+        F.count(g1).alias("_n1"),
+        F.sum(g1).alias("_s1"),
+        F.sum(g1 * g1).alias("_q1"),
+    )
+    m0 = F.col("_s0") / F.col("_n0")
+    m1 = F.col("_s1") / F.col("_n1")
+    v0 = (F.col("_q0") - F.col("_s0") * F.col("_s0") / F.col("_n0")) / (
+        F.col("_n0") - 1
+    )
+    v1 = (F.col("_q1") - F.col("_s1") * F.col("_s1") / F.col("_n1")) / (
+        F.col("_n1") - 1
+    )
+    se0 = v0 / F.col("_n0")
+    se1 = v1 / F.col("_n1")
+    t = (m0 - m1) / F.sqrt(se0 + se1)
+    dof = (se0 + se1) * (se0 + se1) / (
+        se0 * se0 / (F.col("_n0") - 1) + se1 * se1 / (F.col("_n1") - 1)
+    )
+    return agg.filter((F.col("_n0") > 1) & (F.col("_n1") > 1)).select(
+        key_col,
+        F.col("_n0").cast("long").alias("n_a"),
+        F.col("_n1").cast("long").alias("n_b"),
+        F.round(m0 - m1, 4).alias("mean_diff"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(dof, 2).alias("df_welch"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Global chi-square independence test + Cramér's V for two
+    categorical columns ("is the language mix independent of the
+    source?"): one row with N, table shape, chi2, dof, and
+    V = sqrt(chi2 / (N * (min(r,c) - 1))).
+
+    Plan: ONE keyed aggregate to the |r x c| contingency table, then
+    marginals via two windows over that bounded table (expected counts
+    never touch raw rows), then a global fold.  chi2 folds through the
+    identity  chi2 = N * (sum(o^2 / (rm * cm)) - 1)  so only one sum
+    crosses the final exchange; total shuffled volume is the
+    contingency table, never the data.
+    """
+    ct = (
+        df.filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+        .groupBy(row_col, col_col)
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    e = ct.select(
+        F.col("_o").cast("double").alias("_o"),
+        F.sum("_o").over(Window.partitionBy(row_col)).cast("double").alias("_rm"),
+        F.sum("_o").over(Window.partitionBy(col_col)).cast("double").alias("_cm"),
+        F.col(row_col).alias("_r"),
+        F.col(col_col).alias("_c"),
+    )
+    agg = e.agg(
+        F.sum("_o").alias("_n"),
+        F.countDistinct("_r").alias("_nr"),
+        F.countDistinct("_c").alias("_nc"),
+        F.sum(F.col("_o") * F.col("_o") / (F.col("_rm") * F.col("_cm"))).alias("_t"),
+    )
+    chi2 = F.col("_n") * (F.col("_t") - 1)
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_nr").cast("long").alias("n_rows_cat"),
+        F.col("_nc").cast("long").alias("n_cols_cat"),
+        F.round(chi2, 4).alias("chi2"),
+        ((F.col("_nr") - 1) * (F.col("_nc") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt((F.col("_t") - 1) / (F.least("_nr", "_nc") - 1)), 6
+        ).alias("cramers_v"),
+    )
+
+
+def wasserstein_drift(
+    df: DataFrame,
+    key_col: str,
+    segment_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """1-D Wasserstein-1 (earth mover's) distance per key between two
+    segments' value distributions:  W1 = integral |F_a(v) - F_b(v)| dv,
+    computed exactly on the empirical CDFs — the drift number that,
+    unlike KS (sup only) and PSI/JS (bin-dependent, blows up on empty
+    bins), is in VALUE UNITS and weights how far mass moved.
+
+    Scale design mirrors the rank-sum test: the CDFs live on the
+    DISTINCT (key, value) histogram — one map-side-combined aggregate
+    collapses raw rows to the value support, and the cumulative /
+    total / next-knot windows all run over that bounded table.  The
+    integral is then one keyed fold:  sum over support knots of
+    |F_a - F_b| * (next_v - v).
+    """
+    s = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col),
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(segment_col).cast("int").alias("_g"),
+    )
+    d = s.groupBy(key_col, "_v").agg(
+        F.sum(F.when(F.col("_g") == 0, 1).otherwise(0)).alias("_c0"),
+        F.sum(F.when(F.col("_g") == 1, 1).otherwise(0)).alias("_c1"),
+    )
+    wcum = (
+        Window.partitionBy(key_col)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(key_col)
+    wnext = Window.partitionBy(key_col).orderBy("_v")
+    r = d.select(
+        F.col(key_col),
+        F.col("_v"),
+        (F.sum("_c0").over(wcum) / F.sum("_c0").over(wall)).alias("_fa"),
+        (F.sum("_c1").over(wcum) / F.sum("_c1").over(wall)).alias("_fb"),
+        F.lead("_v").over(wnext).alias("_nv"),
+        F.sum("_c0").over(wall).alias("_n0"),
+        F.sum("_c1").over(wall).alias("_n1"),
+    )
+    return (
+        r.groupBy(key_col)
+        .agg(
+            F.max("_n0").cast("long").alias("n_a"),
+            F.max("_n1").cast("long").alias("n_b"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("_nv").isNotNull(),
+                        F.abs(F.col("_fa") - F.col("_fb"))
+                        * (F.col("_nv") - F.col("_v")),
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("w1_distance"),
+        )
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )

@@ -11885,6 +11885,139 @@ def q_flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 303. Welch's unequal-variance t-test per event type between the
+#      user_id-parity segments — the parametric partner of the
+#      Mann-Whitney screen.  Raw power sums in ONE map-side-combined
+#      aggregate (the only float rendering both engines agree on);
+#      single shuffle of |keys| rows.
+# ---------------------------------------------------------------------
+@register(
+    "welch_t_test",
+    """
+    with s as (select event_type, cast(value as double) as v,
+                 cast(user_id % 2 as int) as g
+               from events where value is not null),
+    a as (select event_type,
+            count(case when g = 0 then 1 end) as n0,
+            sum(case when g = 0 then v end) as s0,
+            sum(case when g = 0 then v * v end) as q0,
+            count(case when g = 1 then 1 end) as n1,
+            sum(case when g = 1 then v end) as s1,
+            sum(case when g = 1 then v * v end) as q1
+          from s group by 1)
+    select event_type,
+      cast(n0 as bigint) as n_a, cast(n1 as bigint) as n_b,
+      round(s0 / n0 - s1 / n1, 4) as mean_diff,
+      round((s0 / n0 - s1 / n1)
+            / sqrt(((q0 - s0 * s0 / n0) / (n0 - 1)) / n0
+                   + ((q1 - s1 * s1 / n1) / (n1 - 1)) / n1), 4)
+        as t_stat,
+      round(pow(((q0 - s0 * s0 / n0) / (n0 - 1)) / n0
+                + ((q1 - s1 * s1 / n1) / (n1 - 1)) / n1, 2)
+            / (pow(((q0 - s0 * s0 / n0) / (n0 - 1)) / n0, 2) / (n0 - 1)
+               + pow(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1, 2) / (n1 - 1)),
+            2) as df_welch
+    from a where n0 > 1 and n1 > 1
+    """,
+)
+def q_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import welch_t_test
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("user_id") % 2).alias("seg")
+    )
+    return welch_t_test(ev, "event_type", "seg", "value")
+
+
+# ---------------------------------------------------------------------
+# 304. Chi-square independence + Cramér's V between source and lang on
+#      documents ("is the language mix independent of the source?").
+#      chi2 folds through N * (sum(o^2/(rm*cm)) - 1) so only one sum
+#      crosses the final exchange; shuffled volume is the contingency
+#      table, never the data.
+# ---------------------------------------------------------------------
+@register(
+    "cramers_v_assoc",
+    """
+    with ct as (select source as r, lang as c,
+                  cast(count(*) as double) as o
+                from documents
+                where source is not null and lang is not null
+                group by 1, 2),
+    e as (select o,
+            sum(o) over (partition by r) as rm,
+            sum(o) over (partition by c) as cm,
+            r, c
+          from ct),
+    a as (select sum(o) as n, count(distinct r) as nr,
+            count(distinct c) as nc,
+            sum(o * o / (rm * cm)) as t
+          from e)
+    select cast(n as bigint) as n,
+      cast(nr as bigint) as n_rows_cat,
+      cast(nc as bigint) as n_cols_cat,
+      round(n * (t - 1), 4) as chi2,
+      cast((nr - 1) * (nc - 1) as bigint) as dof,
+      round(sqrt((t - 1) / (least(nr, nc) - 1)), 6) as cramers_v
+    from a
+    """,
+)
+def q_cramers_v_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import cramers_v
+
+    return cramers_v(_t(spark, sf_dir, "documents"), "source", "lang")
+
+
+# ---------------------------------------------------------------------
+# 305. Exact 1-D Wasserstein-1 (earth mover's) distance per event type
+#      between the user_id-parity segments' value distributions — the
+#      drift number in VALUE UNITS that KS (sup only) and PSI/JS
+#      (bin-dependent) are not.  CDFs live on the distinct-value
+#      histogram; windows touch only that bounded table.
+# ---------------------------------------------------------------------
+@register(
+    "wasserstein_drift",
+    """
+    with s as (select event_type, cast(value as double) as v,
+                 cast(user_id % 2 as int) as g
+               from events where value is not null),
+    d as (select event_type, v,
+            sum(case when g = 0 then 1 else 0 end) as c0,
+            sum(case when g = 1 then 1 else 0 end) as c1
+          from s group by 1, 2),
+    r as (select event_type, v,
+            sum(c0) over (partition by event_type order by v
+                          rows between unbounded preceding and current row)
+              * 1.0
+              / sum(c0) over (partition by event_type) as fa,
+            sum(c1) over (partition by event_type order by v
+                          rows between unbounded preceding and current row)
+              * 1.0
+              / sum(c1) over (partition by event_type) as fb,
+            lead(v) over (partition by event_type order by v) as nv,
+            sum(c0) over (partition by event_type) as n0,
+            sum(c1) over (partition by event_type) as n1
+          from d)
+    select event_type,
+      cast(max(n0) as bigint) as n_a,
+      cast(max(n1) as bigint) as n_b,
+      round(sum(case when nv is not null
+                     then abs(fa - fb) * (nv - v) else 0 end), 6)
+        as w1_distance
+    from r group by event_type
+    having max(n0) > 0 and max(n1) > 0
+    """,
+)
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import wasserstein_drift
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("user_id") % 2).alias("seg")
+    )
+    return wasserstein_drift(ev, "event_type", "seg", "value")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative
