@@ -3121,3 +3121,64 @@ def wasserstein_drift(
         )
         .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
     )
+
+
+def kendall_tau_daily(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Kendall tau-b rank correlation per key between time and the
+    per-bucket value series — the trend-EXISTENCE test that pairs with
+    Theil-Sen's trend-SLOPE estimate (same robustness, same bounded
+    series), and the complement of Spearman on the raw rows: this one
+    asks "do the daily totals drift", not "do the points".
+
+    Same scale shape as theil_sen_slope: ONE keyed aggregate collapses
+    the fact table to a per-(key, bucket) series, the bounded-square
+    pair signs assemble IN-ROW from the sorted series, and tau-b's tie
+    correction comes from the same sign list (buckets are distinct so
+    the time axis has no ties; value ties feed the sqrt term).
+    """
+    series = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.col(bucket_col).cast("double").alias("_b"),
+        )
+        .agg(F.sum(F.col(value_col).cast("double")).alias("_v"))
+        .groupBy("key")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_b", "_v"))).alias("_s")
+        )
+    )
+    pts = F.col("_s")
+    sgn = F.flatten(
+        F.transform(
+            pts,
+            lambda a, i: F.transform(
+                F.slice(pts, i + 2, F.size(pts)),
+                lambda b: F.signum(b["_v"] - a["_v"]).cast("int"),
+            ),
+        )
+    )
+    conc = F.size(F.filter(F.col("_g"), lambda x: x > 0))
+    disc = F.size(F.filter(F.col("_g"), lambda x: x < 0))
+    ties = F.size(F.filter(F.col("_g"), lambda x: x == 0))
+    nb = F.col("n_buckets")
+    n0 = (nb * (nb - 1) / 2).cast("double")
+    return (
+        series.select(
+            "key", F.size(pts).alias("n_buckets"), sgn.alias("_g")
+        )
+        .filter(nb >= 2)
+        .select(
+            F.col("key"),
+            nb.cast("long").alias("n_buckets"),
+            conc.cast("long").alias("concordant"),
+            disc.cast("long").alias("discordant"),
+            F.round(
+                (conc - disc) / F.sqrt(n0 * (n0 - ties)), 4
+            ).alias("tau_b"),
+        )
+    )

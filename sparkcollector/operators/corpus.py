@@ -2437,3 +2437,60 @@ def flesch_reading_ease(
             ),
         )
     )
+
+
+def trigram_cross_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source corpus cross-entropy under a char-trigram unigram LM
+    trained on the WHOLE corpus: each doc scores
+    mean over its trigram occurrences of -log2 P(tri), with
+    P(tri) = corpus_count(tri) / corpus_total — the cheap perplexity
+    proxy that ranks sources by "how surprising is this text to the
+    rest of the corpus" (templated feeds score low bits, noise and
+    off-distribution text score high) without shipping a model.
+
+    Plan: trigrams explode via a generator expression (sequence +
+    substring, no UDF), collapse immediately to per-doc trigram COUNTS
+    (the only exploded shuffle, map-side combinable), the LM table is
+    one further keyed aggregate over the bounded trigram vocabulary,
+    and the corpus total is a 1-row broadcast.  The doc-score join is
+    keyed on trigram — both sides pre-aggregated, never raw positions.
+    """
+    t = F.lower(F.col(text_col))
+    g = F.expr(
+        f"transform(sequence(1, length(lower({text_col})) - 2), "
+        f"i -> substring(lower({text_col}), i, 3))"
+    )
+    e = (
+        df.filter(F.length(t) >= 3)
+        .select(F.col(id_col), F.col(group_col), F.explode(g).alias("_t"))
+    )
+    dc = e.groupBy(id_col, group_col, "_t").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    lm = dc.groupBy("_t").agg(F.sum("_c").alias("_cc"))
+    total = lm.agg(F.sum("_cc").cast("double").alias("_n"))
+    doc = (
+        dc.join(lm, "_t")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col, group_col)
+        .agg(
+            (
+                F.sum(F.col("_c") * F.log2(F.col("_n") / F.col("_cc")))
+                / F.sum("_c")
+            ).alias("_bits")
+        )
+    )
+    return (
+        doc.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("_bits"), 4).alias("mean_bits_per_trigram"),
+            F.round(F.min("_bits"), 4).alias("min_bits"),
+            F.round(F.max("_bits"), 4).alias("max_bits"),
+        )
+    )

@@ -415,3 +415,72 @@ def degree_distribution(
             ).alias("node_share"),
         )
     return hist(src_col, "out").unionByName(hist(dst_col, "in"))
+
+
+def triangle_census(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Global triangle census of an undirected simple graph given as
+    low<high edge pairs (the near-dup pair graphs that
+    ``jaccard_pairs`` / ``minhash_lsh_pairs`` emit): node/edge counts,
+    triangle count, wedge (open-path) count, and the global clustering
+    coefficient 3T / wedges — the density check that separates TRUE
+    dup clusters (mutual near-dups, coefficient near 1) from LSH
+    false-positive chains (coefficient near 0).
+
+    Triangles are counted by the ordered node-iterator join: edges are
+    oriented low->high, paths a<b<c come from one self-join on the
+    middle node, and each path is closed by one more join against the
+    edge set — every triangle is produced exactly once, no
+    symmetrization blowup.  Wedges need only the degree table
+    (sum of deg*(deg-1)/2), one keyed aggregate.  At 10^12-edge scale
+    the textbook refinement is to orient edges by DEGREE instead of id
+    (bounds the join fan-out by sqrt(|E|), Suri & Vassilvitskii's
+    MapReduce triangle counting); id orientation is kept here because
+    dup-pair graphs have bounded component sizes by construction.
+    """
+    e = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).distinct()
+    paths = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.b") == F.col("y.a"))
+        .select(
+            F.col("x.a").alias("a"),
+            F.col("x.b").alias("m"),
+            F.col("y.b").alias("c"),
+        )
+    )
+    tri = paths.alias("p").join(
+        e.alias("z"),
+        (F.col("p.a") == F.col("z.a")) & (F.col("p.c") == F.col("z.b")),
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    counts = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("_d") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("_d") * (F.col("_d") - 1) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    t = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return counts.crossJoin(t).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        "n_edges",
+        "n_wedges",
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                3.0 * F.col("n_triangles") / F.col("n_wedges"),
+            ).otherwise(0.0),
+            6,
+        ).alias("global_clustering"),
+    )

@@ -12018,6 +12018,145 @@ def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 306. Kendall tau-b per event type between time and the daily value
+#      sums — trend-EXISTENCE test beside Theil-Sen's slope.  Spark
+#      assembles pair signs IN-ROW from the bounded daily series; the
+#      oracle self-joins the tiny daily table (different algorithm,
+#      same rows).  Day sums round to 2dp before comparison so float
+#      fold order cannot flip a tie across engines.
+# ---------------------------------------------------------------------
+@register(
+    "kendall_tau_daily",
+    """
+    with d as (select event_type, date_trunc('day', ts) as b,
+                 round(sum(value), 2) as v
+               from events where value is not null group by 1, 2),
+    p as (select a.event_type as event_type,
+            sum(case when b.v > a.v then 1 else 0 end) as c,
+            sum(case when b.v < a.v then 1 else 0 end) as dd,
+            sum(case when b.v = a.v then 1 else 0 end) as ty
+          from d a join d b
+            on a.event_type = b.event_type and b.b > a.b
+          group by 1),
+    n as (select event_type, count(*) as nd from d group by 1)
+    select n.event_type as key,
+      cast(nd as bigint) as n_buckets,
+      cast(c as bigint) as concordant,
+      cast(dd as bigint) as discordant,
+      round((c - dd) / sqrt((nd * (nd - 1) / 2.0)
+                            * (nd * (nd - 1) / 2.0 - ty)), 4) as tau_b
+    from n join p using (event_type) where nd >= 2
+    """,
+)
+def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import kendall_tau_daily
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("dv"))
+    )
+    return kendall_tau_daily(ev, "event_type", "day", "dv")
+
+
+# ---------------------------------------------------------------------
+# 307. Triangle census + global clustering coefficient of the exact
+#      near-dup pair graph — density check separating true dup
+#      clusters (mutual near-dups, coefficient ~1) from LSH
+#      false-positive chains (~0).  Ordered node-iterator join counts
+#      each triangle once; wedges come from the degree table only.
+# ---------------------------------------------------------------------
+@register(
+    "dup_triangle_census",
+    """
+    with d as (select doc_id, string_split(text, ' ') as w
+               from documents),
+    s as (select doc_id,
+                 list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                for i in range(1, len(w) - 1)]) as sh
+          from d where len(w) >= 3),
+    e0 as (select doc_id, unnest(sh) as shingle from s),
+    pair as (select a.doc_id as doc_a, b.doc_id as doc_b,
+               count(*) as common
+             from e0 a join e0 b
+               on a.shingle = b.shingle and a.doc_id < b.doc_id
+             group by 1, 2),
+    sz as (select doc_id, len(sh) as n from s),
+    ed as (select doc_a as a, doc_b as b
+           from pair
+           join sz sa on doc_a = sa.doc_id
+           join sz sb on doc_b = sb.doc_id
+           where cast(common as double) / (sa.n + sb.n - common) >= 0.5),
+    deg as (select v, count(*) as dg
+            from (select a as v from ed union all select b as v from ed)
+            group by 1),
+    c as (select cast(count(*) as bigint) as n_nodes,
+            cast(sum(dg) / 2 as bigint) as n_edges,
+            cast(sum(dg * (dg - 1) / 2) as bigint) as n_wedges
+          from deg),
+    t as (select cast(count(*) as bigint) as n_triangles
+          from ed x
+          join ed y on x.b = y.a
+          join ed z on z.a = x.a and z.b = y.b)
+    select n_nodes, n_edges, n_wedges, n_triangles,
+      round(case when n_wedges > 0
+                 then 3.0 * n_triangles / n_wedges else 0 end, 6)
+        as global_clustering
+    from c cross join t
+    """,
+)
+def q_dup_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import jaccard_pairs
+    from .operators.graph import triangle_census
+
+    pairs = jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, n=3
+    )
+    return triangle_census(pairs, "doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------
+# 308. Per-source corpus cross-entropy under a corpus-trained
+#      char-trigram LM — the perplexity proxy that ranks sources by
+#      "how surprising is this text to the rest of the corpus".
+#      Trigrams explode via sequence+substring (no UDF), collapse
+#      immediately to per-doc counts; the LM join is on pre-aggregated
+#      tables only; corpus total is a 1-row broadcast.
+# ---------------------------------------------------------------------
+@register(
+    "trigram_cross_entropy",
+    """
+    with d as (select doc_id, source, lower(text) as t
+               from documents where length(text) >= 3),
+    tri as (select doc_id, source,
+              [substr(t, i, 3) for i in range(1, len(t) - 1)] as g
+            from d),
+    e as (select doc_id, source, unnest(g) as tri from tri),
+    dc as (select doc_id, source, tri, count(*) as c
+           from e group by 1, 2, 3),
+    lm as (select tri, sum(c) as cc from dc group by 1),
+    tot as (select cast(sum(cc) as double) as n from lm),
+    doc as (select doc_id, source,
+              sum(c * log2(n / cc)) / sum(c) as bits
+            from dc join lm using (tri) cross join tot
+            group by 1, 2)
+    select source, cast(count(*) as bigint) as n_docs,
+      round(avg(bits), 4) as mean_bits_per_trigram,
+      round(min(bits), 4) as min_bits,
+      round(max(bits), 4) as max_bits
+    from doc group by source
+    """,
+)
+def q_trigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import trigram_cross_entropy
+
+    return trigram_cross_entropy(
+        _t(spark, sf_dir, "documents"), "text", "source", "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative
