@@ -3182,3 +3182,36 @@ def kendall_tau_daily(
             ).alias("tau_b"),
         )
     )
+
+
+def adjacency_violation_audit(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-sequence adjacency hygiene: for each key, how many adjacent
+    positions repeat the same label — the transcript-sanity check
+    ("did two assistant turns land back-to-back?") that catches
+    broken turn assembly before training data ships.  Output per key:
+    length, repeat count, repeat rate, strict-alternation flag.
+
+    ONE window (lag over the per-key order) and ONE keyed aggregate —
+    the window sort is per-key and keys are bounded-length sequences
+    (conversations), the same locality contract as the batch
+    processor's sortWithinPartitions.
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    same = (
+        (F.col(label_col) == F.lag(label_col).over(w)).cast("int")
+    )
+    per = df.select(F.col(key_col), F.coalesce(same, F.lit(0)).alias("_s"))
+    n = F.count(F.lit(1))
+    return per.groupBy(key_col).agg(
+        n.cast("long").alias("n_items"),
+        F.sum("_s").cast("long").alias("adjacent_repeats"),
+        F.round(
+            F.when(n > 1, F.sum("_s") / (n - 1)).otherwise(0.0), 4
+        ).alias("repeat_rate"),
+        (F.sum("_s") == 0).alias("strictly_alternating"),
+    )

@@ -2494,3 +2494,39 @@ def trigram_cross_entropy(
             F.round(F.max("_bits"), 4).alias("max_bits"),
         )
     )
+
+
+def blocklist_scan(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source blocklist audit: token-level hit counts against a
+    bounded term list (the toxicity / bad-word / policy prefilter
+    shape).  Output per source: docs scanned, docs flagged, total
+    hits, flagged share.
+
+    The term list compiles INTO THE PLAN as an array literal scanned
+    by a codegen'd higher-order filter — for a bounded blocklist this
+    beats the broadcast-join formulation (no join, no dim table, whole
+    stage codegen); when the pattern table is itself large or changes
+    per run, switch to the exploded-token broadcast join that
+    ``decontaminate`` uses.  Token split mirrors the quality-score
+    family (lowercased whitespace split), so hit semantics line up
+    with stopword/token stats.
+    """
+    lits = F.array(*[F.lit(t) for t in terms])
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(lits, t)))
+    per = df.select(F.col(group_col), hits.alias("_h"))
+    return per.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("_h") > 0).cast("int")).cast("long").alias(
+            "flagged_docs"
+        ),
+        F.sum("_h").cast("long").alias("total_hits"),
+        F.round(F.avg((F.col("_h") > 0).cast("double")), 4).alias(
+            "flagged_rate"
+        ),
+    )

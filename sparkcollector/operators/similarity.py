@@ -786,3 +786,63 @@ def rrf_fusion(
         .orderBy(F.desc("rrf_score"), F.col(id_col).asc())
         .limit(top)
     )
+
+
+def centroid_separation(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label cluster quality of an embedding column: cohesion
+    (mean cosine of members to their own centroid), the nearest OTHER
+    centroid's cosine, and the margin between them — the cheap
+    silhouette stand-in that answers "are these labels actually
+    separated in embedding space" before anyone trains on them.
+
+    Plan: centroids reduce through the long (label, dim) form (narrow
+    posexplode, map-side-combinable avg — same shape as
+    ``embedding_centroids``), reassemble per label with one bounded
+    sort_array(collect_list), and the member-to-centroid cosine is a
+    keyed join on label (AQE broadcasts the bounded centroid side when
+    it fits; no forced hint).  The inter-centroid max is a self-join
+    of the |labels|-row table — never touches members.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    m = df.select(F.col(label_col).alias("_l"), v.alias("_v"))
+    e = m.select("_l", F.posexplode("_v").alias("_p", "_x"))
+    cent = (
+        e.groupBy("_l", "_p")
+        .agg(F.avg("_x").alias("_mu"))
+        .groupBy("_l")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_p", "_mu"))),
+                lambda s: s["_mu"],
+            ).alias("_cv")
+        )
+    )
+    coh = (
+        m.join(cent, "_l")
+        .groupBy("_l")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.avg(cosine_sim(F.col("_v"), F.col("_cv"))).alias("_coh"),
+        )
+    )
+    inter = (
+        cent.alias("a")
+        .join(cent.alias("b"), F.col("a._l") != F.col("b._l"))
+        .select(
+            F.col("a._l").alias("_l"),
+            cosine_sim(F.col("a._cv"), F.col("b._cv")).alias("_cc"),
+        )
+        .groupBy("_l")
+        .agg(F.max("_cc").alias("_mo"))
+    )
+    return coh.join(inter, "_l").select(
+        F.col("_l").alias(label_col),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.round("_coh", 4).alias("cohesion"),
+        F.round("_mo", 4).alias("max_other_centroid_cos"),
+        F.round(F.col("_coh") - F.col("_mo"), 4).alias("separation_margin"),
+    )

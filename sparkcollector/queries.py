@@ -12157,6 +12157,110 @@ def q_trigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 309. Embedding cluster quality per label: cohesion to own centroid,
+#      nearest other centroid, separation margin — the cheap
+#      silhouette stand-in.  Centroids reduce through the long
+#      (label, dim) form; inter-centroid max never touches members.
+# ---------------------------------------------------------------------
+@register(
+    "centroid_separation",
+    """
+    with m as (select vec_id, label, cast(embedding as double[]) as v
+               from embeddings),
+    e as (select label, u.p as p, cast(u.x as double) as x
+          from (select label,
+                  unnest(list_transform(v,
+                           (x, i) -> struct_pack(x := x, p := i))) as u
+                from m)),
+    cent as (select label, list(mu order by p) as cv
+             from (select label, p, avg(x) as mu from e group by 1, 2)
+             group by label),
+    coh as (select m.label, count(*) as n_members,
+              avg(list_cosine_similarity(m.v, c.cv)) as cohesion
+            from m join cent c using (label) group by m.label),
+    inter as (select a.label,
+                max(list_cosine_similarity(a.cv, b.cv)) as mo
+              from cent a join cent b on a.label <> b.label
+              group by a.label)
+    select label, cast(n_members as bigint) as n_members,
+      round(cohesion, 4) as cohesion,
+      round(mo, 4) as max_other_centroid_cos,
+      round(cohesion - mo, 4) as separation_margin
+    from coh join inter using (label)
+    """,
+)
+def q_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import centroid_separation
+
+    return centroid_separation(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------
+# 310. Blocklist audit per source — the policy/bad-word prefilter
+#      shape: bounded term list compiled into the plan as an array
+#      literal (no join, whole-stage codegen); the broadcast-join
+#      twin for large pattern tables is `decontaminate`.
+# ---------------------------------------------------------------------
+@register(
+    "blocklist_audit",
+    """
+    with t as (select source,
+                 len(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x in ('slow', 'scan', 'hash', 'error'))) as h
+               from documents)
+    select source, cast(count(*) as bigint) as n_docs,
+      cast(sum(case when h > 0 then 1 else 0 end) as bigint)
+        as flagged_docs,
+      cast(sum(h) as bigint) as total_hits,
+      round(avg(case when h > 0 then 1.0 else 0.0 end), 4)
+        as flagged_rate
+    from t group by source
+    """,
+)
+def q_blocklist_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import blocklist_scan
+
+    return blocklist_scan(
+        _t(spark, sf_dir, "documents"),
+        ["slow", "scan", "hash", "error"],
+        "text",
+        "source",
+    )
+
+
+# ---------------------------------------------------------------------
+# 311. Turn-adjacency hygiene per conversation: adjacent same-role
+#      repeats, repeat rate, strict-alternation flag — the transcript
+#      sanity check before training data ships.  One per-key window +
+#      one keyed aggregate (batch-processor locality contract).
+# ---------------------------------------------------------------------
+@register(
+    "role_adjacency_audit",
+    f"""
+    with t as ({_T_SQL}),
+    s as (select conv_id,
+            case when role = lag(role) over (partition by conv_id
+                                             order by turn_idx)
+                 then 1 else 0 end as r
+          from t)
+    select conv_id, cast(count(*) as bigint) as n_items,
+      cast(sum(r) as bigint) as adjacent_repeats,
+      round(case when count(*) > 1
+                 then sum(r) * 1.0 / (count(*) - 1) else 0.0 end, 4)
+        as repeat_rate,
+      sum(r) = 0 as strictly_alternating
+    from s group by conv_id
+    """,
+)
+def q_role_adjacency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import adjacency_violation_audit
+
+    t = transcripts_from_events(spark, sf_dir)
+    return adjacency_violation_audit(t, "conv_id", "turn_idx", "role")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative
