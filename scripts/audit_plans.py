@@ -1878,6 +1878,207 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batches 61-65: calibration/tails/budget, rank tests,
+    # parametric tests, trend/graph/LM, cluster-quality/policy/hygiene.
+    all_ok &= audit(
+        "ece_calibration",
+        lambda: queries()["ece_calibration"](spark, SF_DIR),
+        [
+            ("one n_bins-key aggregate with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("the grand total joins back as a broadcast (1-row side)",
+             lambda p: "BroadcastExchange" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "hill_tail_index",
+        lambda: queries()["hill_tail_index"](spark, SF_DIR),
+        [
+            ("two-phase top-k: salted lane windows before the per-key "
+             "re-rank (no whole-key sort on one task)",
+             lambda p: p.count("Window") >= 2),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "each window sorts at most k*n_salt survivors per key in "
+        "phase 2; phase 1 lanes are 1/32 slices.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "token_budget_sample",
+        lambda: queries()["token_budget_sample"](spark, SF_DIR),
+        [
+            ("bucket presums aggregate map-side",
+             lambda p: "partial" in p.lower()),
+            ("cumulative windows exist but partition by (source, "
+             "bucket) — never one task per source",
+             lambda p: "Window" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "mann_whitney_shift",
+        lambda: queries()["mann_whitney_shift"](spark, SF_DIR),
+        [
+            ("rank table built on DISTINCT (key, value) histogram "
+             "via map-side partials", lambda p: "partial" in p.lower()),
+            ("cumulative window runs over the bounded histogram only",
+             lambda p: "Window" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "hhi_concentration",
+        lambda: queries()["hhi_concentration"](spark, SF_DIR),
+        [
+            ("two keyed aggregates, both map-side combinable",
+             lambda p: "partial" in p.lower()),
+            ("no window over raw rows", lambda p: "Window" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "flesch_reading_ease",
+        lambda: queries()["flesch_reading_ease"](spark, SF_DIR),
+        [
+            ("one map-side-combined aggregate",
+             lambda p: "partial" in p.lower()),
+            ("regex arithmetic stays JVM-side (no Generate explode)",
+             lambda p: "Generate" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "welch_t_test",
+        lambda: queries()["welch_t_test"](spark, SF_DIR),
+        [
+            ("raw power sums in ONE map-side-combined aggregate",
+             lambda p: "partial" in p.lower()),
+            ("no window, no join — single shuffle of |keys| rows",
+             lambda p: "Window" not in p and "Join" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "cramers_v_assoc",
+        lambda: queries()["cramers_v_assoc"](spark, SF_DIR),
+        [
+            ("contingency table aggregates map-side",
+             lambda p: "partial" in p.lower()),
+            ("marginal windows run over the bounded r x c table",
+             lambda p: "Window" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "wasserstein_drift",
+        lambda: queries()["wasserstein_drift"](spark, SF_DIR),
+        [
+            ("CDFs live on the DISTINCT value histogram (map-side "
+             "partials collapse raw rows first)",
+             lambda p: "partial" in p.lower()),
+            ("cumulative / total / next-knot windows over the bounded "
+             "support only", lambda p: "Window" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "kendall_tau_daily",
+        lambda: queries()["kendall_tau_daily"](spark, SF_DIR),
+        [
+            ("daily series reduces through map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("pair signs assemble in-row (no fact self-join)",
+             lambda p: "Join" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "dup_triangle_census",
+        lambda: queries()["dup_triangle_census"](spark, SF_DIR),
+        [
+            ("ordered node-iterator joins on the edge set only "
+             "(wedge closure, never symmetrized)",
+             lambda p: "Join" in p),
+            ("degree/wedge counts aggregate map-side",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "trigram_cross_entropy",
+        lambda: queries()["trigram_cross_entropy"](spark, SF_DIR),
+        [
+            ("exploded trigrams collapse immediately to per-doc counts "
+             "(map-side partials on the only wide shuffle)",
+             lambda p: "partial" in p.lower()),
+            ("corpus total joins back as a 1-row broadcast",
+             lambda p: "BroadcastExchange" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "centroid_separation",
+        lambda: queries()["centroid_separation"](spark, SF_DIR),
+        [
+            ("centroids reduce through map-side partials on the long "
+             "(label, dim) form", lambda p: "partial" in p.lower()),
+            ("inter-centroid max is a join of the bounded centroid "
+             "table (AQE picks the strategy, no forced hint)",
+             lambda p: "Join" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "blocklist_audit",
+        lambda: queries()["blocklist_audit"](spark, SF_DIR),
+        [
+            ("term list compiles into the plan (no join, no dim scan)",
+             lambda p: "Join" not in p),
+            ("one map-side-combined aggregate",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "role_adjacency_audit",
+        lambda: queries()["role_adjacency_audit"](spark, SF_DIR),
+        [
+            ("one per-key lag window + one keyed aggregate",
+             lambda p: "Window" in p and "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

@@ -1093,3 +1093,132 @@ def test_rank_churn_topk_stay_new_shift(spark):
     # p1 top2 = [a,b]; p2 top2 = [b,c]: b stays (2->1), c new
     assert (r["n_stay"], r["n_new"]) == (1, 1)
     assert r["overlap_share"] == 0.5 and r["mean_rank_shift"] == 1.0
+
+
+def test_ece_calibration_hand_computed(spark):
+    from sparkcollector.operators.analytics import ece_calibration
+
+    rows = [(0.1, 0), (0.3, 1), (0.9, 1), (1.0, 1)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = {r["bin"]: r for r in ece_calibration(df, "p", "y", n_bins=2).collect()}
+    # bin 0: probs {0.1,0.3} labels {0,1}; bin 1: {0.9,1.0} (1.0 folds in)
+    assert got[0]["n"] == 2 and abs(got[0]["mean_prob"] - 0.2) < 1e-9
+    assert abs(got[0]["frac_pos"] - 0.5) < 1e-9
+    assert abs(got[0]["ece_term"] - 0.15) < 1e-9
+    assert got[1]["n"] == 2 and abs(got[1]["mean_prob"] - 0.95) < 1e-9
+    assert abs(got[1]["ece_term"] - 0.025) < 1e-9
+    assert abs(sum(r["ece_term"] for r in got.values()) - 0.175) < 1e-9
+
+
+def test_hill_tail_index_closed_form(spark):
+    import math
+    from sparkcollector.operators.analytics import hill_tail_index
+
+    # values e^3 > e^2 > e^1 > e^0: sum ln(x_i/x_k) = 6 -> alpha = 3/6
+    rows = [("k", i, math.e ** (3 - i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "key string, event_id long, value double")
+    r = hill_tail_index(df, "key", k=4).collect()[0]
+    assert r["k_used"] == 4 and abs(r["x_k"] - 1.0) < 1e-6
+    assert abs(r["alpha_hat"] - 0.5) < 1e-6
+
+
+def test_mann_whitney_shift_ranks_and_ties(spark):
+    from sparkcollector.operators.analytics import mann_whitney_shift
+
+    sep = [("s", 0, 1.0), ("s", 0, 2.0), ("s", 1, 3.0), ("s", 1, 4.0)]
+    tie = [("t", 0, 1.0), ("t", 0, 1.0), ("t", 1, 1.0), ("t", 1, 2.0)]
+    df = spark.createDataFrame(sep + tie, "key string, seg int, value double")
+    got = {r["key"]: r for r in mann_whitney_shift(df, "key", "seg").collect()}
+    # separated: R1 = 3, U = 0, z = -2/sqrt(5/3)
+    s = got["s"]
+    assert (s["n_a"], s["n_b"]) == (2, 2) and s["u_stat"] == 0.0
+    assert abs(s["z_score"] - (-2 / (5 / 3) ** 0.5)) < 1e-4
+    # tied block: average rank 2 for the three 1.0s -> R1 = 4, U = 1
+    t = got["t"]
+    assert t["u_stat"] == 1.0
+    assert abs(t["z_score"] - (-1 / (5 / 3) ** 0.5)) < 1e-4
+
+
+def test_hhi_concentration_closed_form(spark):
+    from sparkcollector.operators.analytics import hhi_concentration
+
+    rows = [("e", "a")] * 4 + [("e", "b")]
+    df = spark.createDataFrame(rows, "dim string, user string")
+    r = hhi_concentration(df, "dim", "user").collect()[0]
+    assert (r["n_entities"], r["n_rows"]) == (2, 5)
+    assert abs(r["hhi"] - 0.68) < 1e-9          # (4/5)^2 + (1/5)^2
+    assert abs(r["effective_n"] - 25 / 17) < 1e-4
+
+
+def test_welch_t_test_closed_form(spark):
+    from sparkcollector.operators.analytics import welch_t_test
+
+    rows = [("k", 0, v) for v in (1.0, 2.0, 3.0)] + [
+        ("k", 1, v) for v in (2.0, 4.0, 6.0, 8.0)
+    ]
+    df = spark.createDataFrame(rows, "key string, seg int, value double")
+    r = welch_t_test(df, "key", "seg").collect()[0]
+    # means 2 vs 5, var 1 vs 20/3: t = -3/sqrt(1/3 + 5/3) = -2.1213
+    assert (r["n_a"], r["n_b"]) == (3, 4) and r["mean_diff"] == -3.0
+    assert abs(r["t_stat"] - (-3 / 2 ** 0.5)) < 1e-4
+    dof = 4.0 / ((1 / 3) ** 2 / 2 + (5 / 3) ** 2 / 3)
+    assert abs(r["df_welch"] - dof) < 1e-2
+
+
+def test_cramers_v_two_by_two(spark):
+    from sparkcollector.operators.analytics import cramers_v
+
+    rows = (
+        [("r1", "c1")] * 10 + [("r1", "c2")] * 20
+        + [("r2", "c1")] * 20 + [("r2", "c2")] * 10
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = cramers_v(df, "r", "c").collect()[0]
+    # all marginals 30, expected 15: chi2 = 4 * 25/15 = 20/3
+    assert out["n"] == 60 and out["dof"] == 1
+    assert abs(out["chi2"] - 20 / 3) < 1e-3
+    assert abs(out["cramers_v"] - 1 / 3) < 1e-5
+
+
+def test_wasserstein_drift_unit_shift(spark):
+    from sparkcollector.operators.analytics import wasserstein_drift
+
+    rows = [("k", 0, 0.0), ("k", 0, 1.0), ("k", 1, 1.0), ("k", 1, 2.0)]
+    df = spark.createDataFrame(rows, "key string, seg int, value double")
+    r = wasserstein_drift(df, "key", "seg").collect()[0]
+    # segment B is segment A shifted by exactly 1 value unit
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert abs(r["w1_distance"] - 1.0) < 1e-9
+
+
+def test_kendall_tau_daily_monotone_and_ties(spark):
+    from sparkcollector.operators.analytics import kendall_tau_daily
+
+    mono = [("m", i, float(i)) for i in range(1, 5)]
+    tied = [("t", 1, 1.0), ("t", 2, 1.0), ("t", 3, 2.0)]
+    df = spark.createDataFrame(mono + tied, "key string, b long, value double")
+    got = {r["key"]: r for r in kendall_tau_daily(df, "key", "b").collect()}
+    m = got["m"]
+    assert (m["n_buckets"], m["concordant"], m["discordant"]) == (4, 6, 0)
+    assert m["tau_b"] == 1.0
+    # one tied pair: tau_b = 2 / sqrt(3 * 2)
+    t = got["t"]
+    assert (t["concordant"], t["discordant"]) == (2, 0)
+    assert abs(t["tau_b"] - 2 / 6 ** 0.5) < 1e-4
+
+
+def test_adjacency_violation_audit_alternation(spark):
+    from sparkcollector.operators.analytics import adjacency_violation_audit
+
+    rows = [
+        ("A", 0, "u"), ("A", 1, "a"), ("A", 2, "u"), ("A", 3, "a"),
+        ("B", 0, "u"), ("B", 1, "u"), ("B", 2, "a"),
+    ]
+    df = spark.createDataFrame(rows, "conv string, idx long, role string")
+    got = {r["conv"]: r for r in
+           adjacency_violation_audit(df, "conv", "idx", "role").collect()}
+    assert got["A"]["adjacent_repeats"] == 0
+    assert got["A"]["strictly_alternating"] is True
+    assert got["B"]["adjacent_repeats"] == 1
+    assert got["B"]["repeat_rate"] == 0.5
+    assert got["B"]["strictly_alternating"] is False

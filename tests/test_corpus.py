@@ -993,3 +993,57 @@ def test_l_diversity_audit_thresholds(spark):
     assert abs(got[2]["row_share_at_risk"] - 0.3) < 1e-9
     assert got[3]["groups_below"] == 2 and got[3]["rows_at_risk"] == 7
     assert abs(got[3]["row_share_at_risk"] - 0.7) < 1e-9
+
+
+def test_token_budget_sample_boundary_and_order(spark):
+    import hashlib
+    from sparkcollector.operators.corpus import token_budget_sample
+
+    rows = [("s", i, "a b") for i in range(1, 6)]  # 2 tokens each
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = token_budget_sample(
+        df, budget=5, group_col="source", id_col="doc_id", seed="s61"
+    ).collect()
+    # reference walk in (md5('s61|'+id), id) order: keep while before < 5
+    order = sorted(range(1, 6),
+                   key=lambda i: (hashlib.md5(f"s61|{i}".encode()).hexdigest(), i))
+    expect = set(order[:3])  # before = 0, 2, 4 all < 5; 4th has before 6
+    assert {r["doc_id"] for r in got} == expect
+    # the crossing doc is kept: max cum_tokens reaches past the budget
+    assert max(r["cum_tokens"] for r in got) == 6
+
+
+def test_flesch_reading_ease_pinned_sentence(spark):
+    from sparkcollector.operators.corpus import flesch_reading_ease
+
+    df = spark.createDataFrame(
+        [("s", "The cat sat.")], "source string, text string"
+    )
+    r = flesch_reading_ease(df).collect()[0]
+    # 3 words, 1 sentence, 3 vowel groups: 206.835 - 3.045 - 84.6
+    assert r["n_docs"] == 1
+    assert abs(r["mean_flesch"] - 119.19) < 1e-4
+    assert r["mean_words_per_sentence"] == 3.0
+    assert r["mean_syllables_per_word"] == 1.0
+
+
+def test_trigram_cross_entropy_closed_form(spark):
+    from sparkcollector.operators.corpus import trigram_cross_entropy
+
+    rows = [("s", 1, "aaaa"), ("t", 2, "abcd")]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = {r["source"]: r for r in trigram_cross_entropy(df).collect()}
+    # LM: aaa x2, abc x1, bcd x1 (total 4): doc1 bits = 1, doc2 bits = 2
+    assert abs(got["s"]["mean_bits_per_trigram"] - 1.0) < 1e-9
+    assert abs(got["t"]["mean_bits_per_trigram"] - 2.0) < 1e-9
+    assert got["s"]["min_bits"] == got["s"]["max_bits"] == 1.0
+
+
+def test_blocklist_scan_hit_counts(spark):
+    from sparkcollector.operators.corpus import blocklist_scan
+
+    rows = [("s", "bad dog bad"), ("s", "good day")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    r = blocklist_scan(df, ["bad"]).collect()[0]
+    assert (r["n_docs"], r["flagged_docs"], r["total_hits"]) == (2, 1, 2)
+    assert r["flagged_rate"] == 0.5

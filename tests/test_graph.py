@@ -205,3 +205,15 @@ def test_degree_distribution_directions(spark):
     assert got[("out", 1)] == 1   # node 2
     assert got[("in", 2)] == 1    # node 3
     assert got[("in", 1)] == 1    # node 2
+
+
+def test_triangle_census_known_graph(spark):
+    from sparkcollector.operators.graph import triangle_census
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    r = triangle_census(df).collect()[0]
+    # degrees 2,2,3,1: wedges = 1+1+3+0 = 5; one triangle
+    assert (r["n_nodes"], r["n_edges"]) == (4, 4)
+    assert (r["n_wedges"], r["n_triangles"]) == (5, 1)
+    assert abs(r["global_clustering"] - 0.6) < 1e-9

@@ -226,3 +226,18 @@ def test_rrf_fusion_combines_rankings(spark):
     only_a = next(r for r in rows if r["doc_id"] == 9)
     assert only_a["rank_b"] is None
     assert abs(rows[0]["rrf_score"] - 2 / 61) < 1e-9
+
+
+def test_centroid_separation_orthogonal_clusters(spark):
+    from sparkcollector.operators.similarity import centroid_separation
+
+    rows = [
+        ("A", [1.0, 0.0]), ("A", [1.0, 0.0]), ("B", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    got = {r["label"]: r for r in centroid_separation(df).collect()}
+    assert got["A"]["n_members"] == 2
+    assert got["A"]["cohesion"] == 1.0
+    assert got["A"]["max_other_centroid_cos"] == 0.0
+    assert got["A"]["separation_margin"] == 1.0
+    assert got["B"]["separation_margin"] == 1.0
