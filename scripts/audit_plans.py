@@ -2079,6 +2079,51 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 66: seasonality strength, lead-lag, split leakage.
+    all_ok &= audit(
+        "seasonality_strength",
+        lambda: queries()["seasonality_strength"](spark, SF_DIR),
+        [
+            ("(key, hour) power sums aggregate map-side",
+             lambda p: "partial" in p.lower()),
+            ("no window over raw rows", lambda p: "Window" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "lead_lag_xcorr",
+        lambda: queries()["lead_lag_xcorr"](spark, SF_DIR),
+        [
+            ("facts collapse to the daily grid map-side",
+             lambda p: "partial" in p.lower()),
+            ("global day span joins back as a 1-row broadcast",
+             lambda p: "BroadcastExchange" in p),
+            ("correlations fold in-row over the bounded series "
+             "(no fact self-join windows)", lambda p: "Window" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "the pair self-join touches only the |keys|-row series table; "
+        "lags explode that bounded table 7x.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "embedding_split_leakage",
+        lambda: queries()["embedding_split_leakage"](spark, SF_DIR),
+        [
+            ("cross-split candidates come from the IVF cluster join "
+             "(a shuffle join, no fact broadcast forced)",
+             lambda p: "Join" in p),
+            ("per-eval max-sim reduces map-side before the 1-row fold",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

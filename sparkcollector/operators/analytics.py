@@ -3215,3 +3215,183 @@ def adjacency_violation_audit(
         ).alias("repeat_rate"),
         (F.sum("_s") == 0).alias("strictly_alternating"),
     )
+
+
+def seasonality_strength(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """One-way ANOVA variance decomposition of a value column across
+    hour-of-day slots, per key: eta-squared (share of value variance
+    explained by time-of-day) and the F statistic — the single number
+    that says whether a series NEEDS a seasonal baseline
+    (``seasonal_baseline_anomaly``) or a flat one suffices.
+
+    Hour comes from pure epoch arithmetic (TZ-free, engine-portable —
+    same convention as ``dow_hour_heatmap``).  Plan: ONE map-side-
+    combined aggregate to the (key, hour) power sums (n, s, q), then a
+    keyed fold over that bounded (<= 24 rows/key) table.  SS_between =
+    sum(s_h^2/n_h) - s^2/n; SS_total = q - s^2/n; nothing but raw
+    power sums crosses the exchange, the only formulation whose float
+    rendering both engines agree on.
+    """
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    hour = F.floor((epoch % 86400) / 3600).cast("int")
+    s = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col),
+        hour.alias("_h"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    per = s.groupBy(key_col, "_h").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_v").alias("_s"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_q"),
+    )
+    agg = per.groupBy(key_col).agg(
+        F.sum("_n").alias("_nn"),
+        F.sum("_s").alias("_ss"),
+        F.sum("_q").alias("_qq"),
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(F.col("_s") * F.col("_s") / F.col("_n")).alias("_sb"),
+    )
+    cf = F.col("_ss") * F.col("_ss") / F.col("_nn")
+    ss_b = F.col("_sb") - cf
+    ss_t = F.col("_qq") - cf
+    # qq - sb, not ss_t - ss_b: algebraically equal, but this float
+    # form is the one the independent oracle also computes, so the
+    # ss_w > 0 guard can never flip on fold-order noise.
+    ss_w = F.col("_qq") - F.col("_sb")
+    fstat = (ss_b / (F.col("_k") - 1)) / (ss_w / (F.col("_nn") - F.col("_k")))
+    return agg.filter(
+        (F.col("_k") >= 2) & (F.col("_nn") > F.col("_k"))
+    ).select(
+        key_col,
+        F.col("_nn").cast("long").alias("n"),
+        F.col("_k").cast("long").alias("n_hours"),
+        F.round(
+            F.when(ss_t > 0, ss_b / ss_t).otherwise(0.0), 6
+        ).alias("eta_sq"),
+        F.round(
+            F.when(ss_w > 0, fstat), 4
+        ).alias("f_stat"),
+    )
+
+
+def lead_lag_xcorr(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lead-lag cross-correlation between every pair of keys' daily
+    value series: Pearson correlation of series A against series B
+    shifted by each lag in [-max_lag, +max_lag] (positive lag = A
+    leads B) — the "does login volume predict purchase volume two days
+    later" detector that a lag-0 correlation matrix
+    (``metric_correlations``) structurally misses.
+
+    Scale design: the fact table collapses to per-(key, epoch-day)
+    sums in ONE map-side-combined aggregate; every series gap-fills to
+    the GLOBAL day span (a 1-row broadcast) so lags align across keys
+    — the dense-grid discipline ``mase_baseline`` taught.  Pairs come
+    from a self-join of the |keys|-row series table (AQE picks the
+    strategy), lags explode that bounded table 2*max_lag+1 ways, and
+    each correlation folds IN-ROW over the zipped slices — the fact
+    table is never self-joined and nothing downstream of the first
+    aggregate exceeds |keys|^2 * lags rows.
+    """
+    day = F.floor(
+        F.col(ts_col).cast("timestamp_ltz").cast("long") / 86400
+    ).cast("long")
+    per = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("_k"), day.alias("_d"))
+        .agg(F.sum(F.col(value_col).cast("double")).alias("_v"))
+    )
+    span = per.agg(F.min("_d").alias("_d0"), F.max("_d").alias("_d1"))
+    series = (
+        per.groupBy("_k")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("_d"), F.collect_list("_v")
+            ).alias("_m")
+        )
+        .crossJoin(F.broadcast(span))
+        .select(
+            "_k",
+            F.transform(
+                F.sequence(F.col("_d0"), F.col("_d1")),
+                lambda d: F.coalesce(
+                    F.element_at(F.col("_m"), d), F.lit(0.0)
+                ),
+            ).alias("_xs"),
+        )
+    )
+    pairs = (
+        series.select(
+            F.col("_k").alias("key_a"), F.col("_xs").alias("_xa")
+        )
+        .join(
+            series.select(
+                F.col("_k").alias("key_b"), F.col("_xs").alias("_xb")
+            ),
+            F.col("key_a") < F.col("key_b"),
+        )
+        .select(
+            "key_a",
+            "key_b",
+            "_xa",
+            "_xb",
+            F.explode(
+                F.array(
+                    *[F.lit(l) for l in range(-max_lag, max_lag + 1)]
+                )
+            ).alias("lag"),
+        )
+    )
+    n = F.size("_xa")
+    ln = F.col("lag")
+    m = n - F.abs(ln)
+    ax = F.when(ln >= 0, F.slice("_xa", 1, m)).otherwise(
+        F.slice("_xa", 1 - ln, m)
+    )
+    by = F.when(ln >= 0, F.slice("_xb", ln + 1, m)).otherwise(
+        F.slice("_xb", 1, m)
+    )
+    zipped = F.zip_with(
+        ax, by, lambda x, y: F.struct(x.alias("x"), y.alias("y"))
+    )
+    zero = F.struct(
+        F.lit(0.0).alias("sx"),
+        F.lit(0.0).alias("sy"),
+        F.lit(0.0).alias("sxx"),
+        F.lit(0.0).alias("syy"),
+        F.lit(0.0).alias("sxy"),
+    )
+    acc = F.aggregate(
+        zipped,
+        zero,
+        lambda a, p: F.struct(
+            (a["sx"] + p["x"]).alias("sx"),
+            (a["sy"] + p["y"]).alias("sy"),
+            (a["sxx"] + p["x"] * p["x"]).alias("sxx"),
+            (a["syy"] + p["y"] * p["y"]).alias("syy"),
+            (a["sxy"] + p["x"] * p["y"]).alias("sxy"),
+        ),
+    )
+    md = m.cast("double")
+    vx = md * acc["sxx"] - acc["sx"] * acc["sx"]
+    vy = md * acc["syy"] - acc["sy"] * acc["sy"]
+    cov = md * acc["sxy"] - acc["sx"] * acc["sy"]
+    return pairs.filter(m >= 2).select(
+        "key_a",
+        "key_b",
+        ln.cast("int").alias("lag"),
+        m.cast("long").alias("n_overlap"),
+        F.round(
+            F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 4
+        ).alias("xcorr"),
+    )

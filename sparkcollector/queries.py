@@ -12261,6 +12261,131 @@ def q_role_adjacency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 312. Hour-of-day seasonality strength per event type (one-way ANOVA
+#      eta-squared + F): "does this series NEED a seasonal baseline?"
+#      Raw power sums per (key, hour) in one map-side pass; epoch-
+#      arithmetic hour (TZ-free, engine-portable).
+# ---------------------------------------------------------------------
+@register(
+    "seasonality_strength",
+    """
+    with s as (select event_type,
+                 cast(floor((cast(floor(epoch(ts)) as bigint) % 86400)
+                            / 3600) as int) as h,
+                 value as v
+               from events where value is not null),
+    per as (select event_type, h, count(*) as n, sum(v) as s,
+              sum(v * v) as q
+            from s group by 1, 2),
+    a as (select event_type, sum(n) as nn, sum(s) as ss, sum(q) as qq,
+            count(*) as k, sum(s * s / n) as sb
+          from per group by 1)
+    select event_type, cast(nn as bigint) as n,
+      cast(k as bigint) as n_hours,
+      round(case when qq - ss * ss / nn > 0
+            then (sb - ss * ss / nn) / (qq - ss * ss / nn)
+            else 0 end, 6) as eta_sq,
+      round(case when qq - sb > 0
+            then ((sb - ss * ss / nn) / (k - 1))
+                 / ((qq - sb) / (nn - k)) end, 4) as f_stat
+    from a where k >= 2 and nn > k
+    """,
+)
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import seasonality_strength
+
+    return seasonality_strength(_t(spark, sf_dir, "events"), "event_type")
+
+
+# ---------------------------------------------------------------------
+# 313. Lead-lag cross-correlation between event-type daily series at
+#      lags -3..+3 (positive lag = A leads B) — the "logins predict
+#      purchases two days later" detector.  Facts collapse to the
+#      dense daily grid once; pairs x lags live on the bounded series
+#      table; correlations fold in-row.
+# ---------------------------------------------------------------------
+@register(
+    "lead_lag_xcorr",
+    """
+    with per as (select event_type as k,
+                   cast(floor(epoch(ts) / 86400) as bigint) as d,
+                   sum(value) as v
+                 from events where value is not null group by 1, 2),
+    span as (select min(d) as d0, max(d) as d1 from per),
+    days as (select unnest(generate_series(d0, d1)) as d from span),
+    ks as (select distinct k from per),
+    f as (select ks.k, days.d, coalesce(per.v, 0.0) as v
+          from ks cross join days
+          left join per on per.k = ks.k and per.d = days.d),
+    lags as (select unnest([-3, -2, -1, 0, 1, 2, 3]) as lag),
+    l as (select a.k as key_a, b.k as key_b, lags.lag as lag,
+            a.v as x, b.v as y
+          from f a cross join lags
+          join f b on b.k > a.k and b.d = a.d + lags.lag),
+    g as (select key_a, key_b, lag, count(*) as m, sum(x) as sx,
+            sum(y) as sy, sum(x * x) as sxx, sum(y * y) as syy,
+            sum(x * y) as sxy
+          from l group by 1, 2, 3)
+    select key_a, key_b, cast(lag as int) as lag,
+      cast(m as bigint) as n_overlap,
+      round(case when m * sxx - sx * sx > 0 and m * syy - sy * sy > 0
+            then (m * sxy - sx * sy)
+                 / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+            end, 4) as xcorr
+    from g where m >= 2
+    """,
+)
+def q_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import lead_lag_xcorr
+
+    return lead_lag_xcorr(_t(spark, sf_dir, "events"), "event_type")
+
+
+# ---------------------------------------------------------------------
+# 314. Embedding train/eval split-leakage audit (vec_id-parity split,
+#      cosine >= 0.45 — the corpus' near-dup band, see entry 36):
+#      IVF-bucketed cross-split join, recall 1.0 vs the exact oracle
+#      at these settings (same k/nprobe as embedding_cosine_dups).
+# ---------------------------------------------------------------------
+@register(
+    "embedding_split_leakage",
+    """
+    with t as (select vec_id, embedding from embeddings
+               where vec_id % 2 = 0),
+    e as (select vec_id, embedding from embeddings
+          where vec_id % 2 = 1),
+    l as (select e.vec_id,
+            max(round(list_cosine_similarity(
+                  cast(e.embedding as double[]),
+                  cast(t.embedding as double[])), 4)) as ms
+          from e cross join t group by e.vec_id)
+    select cast(count(*) as bigint) as n_eval,
+      cast(sum(case when ms >= 0.45 then 1 else 0 end) as bigint)
+        as n_leaked,
+      round(avg(case when ms >= 0.45 then 1.0 else 0.0 end), 6)
+        as leak_rate,
+      max(case when ms >= 0.45 then ms end) as max_leak_sim
+    from l
+    """,
+)
+def q_embedding_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        embedding_split_leakage,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "split", (F.col("vec_id") % 2).cast("int")
+    )
+    cents = train_ivf_centroids(
+        _t(spark, sf_dir, "embeddings"), k=8, sample=2048, iters=5
+    )
+    return embedding_split_leakage(
+        emb, threshold=0.45, centroids=cents, nprobe=4
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -1222,3 +1222,39 @@ def test_adjacency_violation_audit_alternation(spark):
     assert got["B"]["adjacent_repeats"] == 1
     assert got["B"]["repeat_rate"] == 0.5
     assert got["B"]["strictly_alternating"] is False
+
+
+def test_seasonality_strength_anova_closed_form(spark):
+    from datetime import datetime
+    from sparkcollector.operators.analytics import seasonality_strength
+
+    rows = [
+        ("k", datetime(2024, 1, 1, 0, 5), 1.0),
+        ("k", datetime(2024, 1, 1, 0, 10), 2.0),
+        ("k", datetime(2024, 1, 1, 1, 5), 3.0),
+        ("k", datetime(2024, 1, 1, 1, 10), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    r = seasonality_strength(df, "key").collect()[0]
+    # SS_t = 30 - 25 = 5; SS_b = 29 - 25 = 4; SS_w = 1
+    assert (r["n"], r["n_hours"]) == (4, 2)
+    assert abs(r["eta_sq"] - 0.8) < 1e-9
+    assert abs(r["f_stat"] - 8.0) < 1e-9
+
+
+def test_lead_lag_xcorr_shifted_series(spark):
+    from datetime import datetime
+    from sparkcollector.operators.analytics import lead_lag_xcorr
+
+    def d(day, key, v):
+        return (key, datetime(2024, 1, 1 + day, 12, 0), v)
+
+    rows = [d(0, "a", 1.0), d(1, "a", 2.0), d(2, "a", 4.0),
+            d(1, "b", 1.0), d(2, "b", 2.0), d(3, "b", 4.0)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    got = {r["lag"]: r for r in lead_lag_xcorr(df, "key", max_lag=3).collect()}
+    # 4-day grid: lags ±3 have overlap 1 < 2 and are dropped
+    assert len(got) == 5 and all(r["key_a"] == "a" for r in got.values())
+    # b IS a delayed by one day: perfect correlation at lag +1
+    assert got[1]["n_overlap"] == 3 and got[1]["xcorr"] == 1.0
+    assert got[0]["xcorr"] < 1.0

@@ -241,3 +241,22 @@ def test_centroid_separation_orthogonal_clusters(spark):
     assert got["A"]["max_other_centroid_cos"] == 0.0
     assert got["A"]["separation_margin"] == 1.0
     assert got["B"]["separation_margin"] == 1.0
+
+
+def test_embedding_split_leakage_exact_and_ivf(spark):
+    from sparkcollector.operators.similarity import embedding_split_leakage
+
+    rows = [
+        (0, [1.0, 0.0], 0), (2, [0.0, 1.0], 0),       # train
+        (1, [1.0, 0.0], 1), (3, [1.0, 1.0], 1),       # eval: 1 leaks
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, split int"
+    )
+    for cents in (None, [[1.0, 0.0], [0.0, 1.0]]):
+        r = embedding_split_leakage(
+            df, threshold=0.9, centroids=cents, nprobe=2
+        ).collect()[0]
+        assert (r["n_eval"], r["n_leaked"]) == (2, 1)
+        assert r["leak_rate"] == 0.5
+        assert r["max_leak_sim"] == 1.0
