@@ -2124,6 +2124,50 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 67: effect size, Brier decomposition, Heaps fit.
+    all_ok &= audit(
+        "cliffs_delta",
+        lambda: queries()["cliffs_delta"](spark, SF_DIR),
+        [
+            ("pair counts fold from the DISTINCT value histogram "
+             "(map-side partials collapse raw rows)",
+             lambda p: "partial" in p.lower()),
+            ("cumulative window runs over the bounded histogram only",
+             lambda p: "Window" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "brier_decomposition",
+        lambda: queries()["brier_decomposition"](spark, SF_DIR),
+        [
+            ("one n_bins-key aggregate with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("no window, no join — bin table then a 1-row fold",
+             lambda p: "Window" not in p and "Join" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "heaps_law_fit",
+        lambda: queries()["heaps_law_fit"](spark, SF_DIR),
+        [
+            ("first occurrences reduce via min-struct map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("cumulative windows partition by (source, md5-bucket) — "
+             "never one task per source", lambda p: "Window" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "the OLS fit is one keyed aggregate of raw power sums over "
+        "the cumulative points.",
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

@@ -3395,3 +3395,139 @@ def lead_lag_xcorr(
             F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 4
         ).alias("xcorr"),
     )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    key_col: str,
+    segment_col: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Cliff's delta ordinal effect size per key between two segments:
+    d = (#{a > b} - #{a < b}) / (n_a * n_b) — the practical-
+    significance partner of the Mann-Whitney screen (a huge sample
+    makes ANY shift "significant"; delta says whether it is big), with
+    the standard magnitude bands (|d| < .147 negligible, < .33 small,
+    < .474 medium, else large; Romano et al. 2006).
+
+    Same scale shape as ``mann_whitney_shift``: comparisons are NEVER
+    pairwise — the DISTINCT (key, value) histogram carries per-value
+    segment counts, a cumulative window over that bounded table gives
+    "B-values strictly below v", and the pair counts fold in one keyed
+    aggregate: wins = sum_v ca(v) * below_b(v), losses symmetric.
+    The band comes from the ROUNDED delta so it is engine-stable.
+    """
+    s = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col),
+        F.col(value_col).alias("_v"),
+        F.col(segment_col).cast("int").alias("_g"),
+    )
+    d = s.groupBy(key_col, "_v").agg(
+        F.sum(F.when(F.col("_g") == 0, 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(F.col("_g") == 1, 1).otherwise(0)).alias("_cb"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy(key_col)
+    r = d.select(
+        F.col(key_col),
+        "_ca",
+        "_cb",
+        F.coalesce(F.sum("_cb").over(w), F.lit(0)).alias("_below"),
+        F.sum("_cb").over(wall).alias("_nb"),
+    )
+    agg = r.groupBy(key_col).agg(
+        F.sum("_ca").alias("_na"),
+        F.max("_nb").alias("_nbt"),
+        F.sum(F.col("_ca") * F.col("_below")).alias("_wins"),
+        F.sum(
+            F.col("_ca")
+            * (F.col("_nb") - F.col("_below") - F.col("_cb"))
+        ).alias("_losses"),
+    )
+    delta = F.round(
+        (F.col("_wins") - F.col("_losses"))
+        / (F.col("_na").cast("double") * F.col("_nbt")),
+        4,
+    )
+    mag = (
+        F.when(F.abs(delta) < 0.147, "negligible")
+        .when(F.abs(delta) < 0.33, "small")
+        .when(F.abs(delta) < 0.474, "medium")
+        .otherwise("large")
+    )
+    return agg.filter((F.col("_na") > 0) & (F.col("_nbt") > 0)).select(
+        key_col,
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nbt").cast("long").alias("n_b"),
+        delta.alias("cliffs_delta"),
+        mag.alias("magnitude"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score over equal-width
+    forecast bins: BRIER = mean((p - y)^2), RELIABILITY = sum_b n_b *
+    (pbar_b - ybar_b)^2 / N (calibration error, lower better),
+    RESOLUTION = sum_b n_b * (ybar_b - ybar)^2 / N (discrimination,
+    higher better), UNCERTAINTY = ybar * (1 - ybar) — the
+    proper-scoring-rule companion to ``ece_calibration`` (ECE ranks
+    |gap|; this one says whether a calibrated-but-flat forecaster or a
+    sharp-but-biased one is losing more score).  One summary row.
+
+    Plan: ONE grouped aggregate to n_bins rows (carrying n, sum p,
+    sum y, sum (p-y)^2 — all map-side partials), then a 1-row fold
+    over that bounded table.  The exact identity BRIER = REL - RES +
+    UNC holds only for within-bin-constant forecasts, so all four
+    terms are computed from sums, none derived.
+    """
+    b = F.least(
+        F.floor(F.col(prob_col) * n_bins).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    per = (
+        df.select(
+            b.alias("_b"),
+            F.col(prob_col).cast("double").alias("_p"),
+            F.col(label_col).cast("double").alias("_y"),
+        )
+        .groupBy("_b")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_p").alias("_sp"),
+            F.sum("_y").alias("_sy"),
+            F.sum(
+                (F.col("_p") - F.col("_y")) * (F.col("_p") - F.col("_y"))
+            ).alias("_sq"),
+        )
+    )
+    tot = per.agg(
+        F.sum("_n").alias("_N"),
+        F.sum("_sy").alias("_ty"),
+        F.sum("_sq").alias("_tq"),
+        F.sum(
+            F.col("_n")
+            * F.pow(F.col("_sp") / F.col("_n") - F.col("_sy") / F.col("_n"), 2)
+        ).alias("_rel"),
+        # sum_b n_b * ybar_b^2: RES = this/N - ybar^2 (shift identity)
+        F.sum(
+            F.col("_n") * F.pow(F.col("_sy") / F.col("_n"), 2)
+        ).alias("_sy2"),
+    )
+    ybar = F.col("_ty") / F.col("_N")
+    res = F.col("_sy2") / F.col("_N") - ybar * ybar
+    return tot.select(
+        F.col("_N").cast("long").alias("n"),
+        F.round(F.col("_tq") / F.col("_N"), 6).alias("brier_score"),
+        F.round(F.col("_rel") / F.col("_N"), 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(ybar * (1 - ybar), 6).alias("uncertainty"),
+    )

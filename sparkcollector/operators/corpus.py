@@ -2530,3 +2530,109 @@ def blocklist_scan(
             "flagged_rate"
         ),
     )
+
+
+def heaps_law_fit(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "s67",
+    prefix_buckets: int = 256,
+) -> DataFrame:
+    """Heaps' law fit per source — V = k * N^beta over the cumulative
+    (tokens scanned, distinct vocabulary) curve in portable-md5
+    ingestion order: the "is this source mined out" saturation number
+    (beta near 1 = vocabulary still growing linearly; beta well under
+    1 = diminishing novelty; complements ``ngram_novelty``'s per-doc
+    share with a corpus-level exponent).
+
+    Plan: one explode builds the per-(source, word) FIRST-occurrence
+    doc (min over the md5-order struct — map-side combinable); firsts
+    roll up to a per-doc new-word count; both cumulative measures
+    (tokens N_d, vocabulary V_d) then use the bucket-presum
+    decomposition ``token_budget_sample`` introduced — per-(source,
+    md5-prefix-bucket) totals, a window over that bounded table, and
+    the sequential span shrinks ``prefix_buckets``-fold instead of one
+    task per source.  The log-log OLS fit folds through raw power sums
+    in one final keyed aggregate.
+    """
+    h = F.md5(
+        F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))
+    )
+    base = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(group_col),
+        F.col(id_col),
+        h.alias("_h"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("_b"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("long")
+        .alias("_nt"),
+        F.array_distinct(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("_ws"),
+    )
+    words = base.select(
+        group_col, id_col, "_h", F.explode("_ws").alias("_w")
+    )
+    firsts = (
+        words.groupBy(group_col, "_w")
+        .agg(F.min(F.struct("_h", id_col)).alias("_f"))
+        .select(group_col, F.col("_f")[id_col].alias(id_col))
+        .groupBy(group_col, id_col)
+        .agg(F.count(F.lit(1)).alias("_v"))
+    )
+    docs = base.drop("_ws").join(
+        firsts, [group_col, id_col], "left"
+    ).withColumn("_v", F.coalesce(F.col("_v"), F.lit(0)))
+    per_bucket = docs.groupBy(group_col, "_b").agg(
+        F.sum("_nt").alias("_btn"), F.sum("_v").alias("_btv")
+    )
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    presum = per_bucket.select(
+        group_col,
+        "_b",
+        F.coalesce(F.sum("_btn").over(wb), F.lit(0)).alias("_pn"),
+        F.coalesce(F.sum("_btv").over(wb), F.lit(0)).alias("_pv"),
+    )
+    win = (
+        Window.partitionBy(group_col, "_b")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        docs.join(presum, [group_col, "_b"])
+        .select(
+            group_col,
+            (F.col("_pn") + F.sum("_nt").over(win)).alias("_N"),
+            (F.col("_pv") + F.sum("_v").over(win)).alias("_V"),
+        )
+    )
+    x = F.log(F.col("_N").cast("double"))
+    y = F.log(F.col("_V").cast("double"))
+    agg = cum.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(x * y).alias("_sxy"),
+        F.max("_N").alias("_Nf"),
+        F.max("_V").alias("_Vf"),
+    )
+    beta = (
+        F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    ) / (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+    return agg.filter(F.col("_n") >= 2).select(
+        group_col,
+        F.col("_n").cast("long").alias("n_docs"),
+        F.col("_Nf").cast("long").alias("n_tokens_total"),
+        F.col("_Vf").cast("long").alias("vocab_total"),
+        F.round(beta, 4).alias("heaps_beta"),
+        F.round(
+            F.exp((F.col("_sy") - beta * F.col("_sx")) / F.col("_n")), 4
+        ).alias("heaps_k"),
+    )

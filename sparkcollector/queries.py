@@ -12386,6 +12386,152 @@ def q_embedding_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 315. Cliff's delta ordinal effect size per event type between the
+#      user_id-parity segments — practical-significance gate beside
+#      the Mann-Whitney screen.  Pair counts fold from the DISTINCT
+#      value histogram; the magnitude band uses the ROUNDED delta.
+# ---------------------------------------------------------------------
+@register(
+    "cliffs_delta",
+    """
+    with s as (select event_type, value as v,
+                 cast(user_id % 2 as int) as g
+               from events where value is not null),
+    d as (select event_type, v,
+            sum(case when g = 0 then 1 else 0 end) as ca,
+            sum(case when g = 1 then 1 else 0 end) as cb
+          from s group by 1, 2),
+    r as (select event_type, ca, cb,
+            coalesce(sum(cb) over (partition by event_type order by v
+              rows between unbounded preceding and 1 preceding), 0)
+              as below,
+            sum(cb) over (partition by event_type) as nb
+          from d),
+    a as (select event_type, sum(ca) as na, max(nb) as nbt,
+            sum(ca * below) as wins,
+            sum(ca * (nb - below - cb)) as losses
+          from r group by 1),
+    f as (select event_type, na, nbt,
+            round((wins - losses) / (cast(na as double) * nbt), 4) as dd
+          from a where na > 0 and nbt > 0)
+    select event_type, cast(na as bigint) as n_a,
+      cast(nbt as bigint) as n_b, dd as cliffs_delta,
+      case when abs(dd) < 0.147 then 'negligible'
+           when abs(dd) < 0.33 then 'small'
+           when abs(dd) < 0.474 then 'medium'
+           else 'large' end as magnitude
+    from f
+    """,
+)
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import cliffs_delta
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("user_id") % 2).alias("seg")
+    )
+    return cliffs_delta(ev, "event_type", "seg", "value")
+
+
+# ---------------------------------------------------------------------
+# 316. Murphy decomposition of the Brier score over the same portable-
+#      hash forecast as ece_calibration: BRIER / REL / RES / UNC from
+#      raw bin sums — one n_bins aggregate + a 1-row fold.
+# ---------------------------------------------------------------------
+@register(
+    "brier_decomposition",
+    """
+    with s as (
+      select cast(('0x' || substr(md5(cast(event_id as varchar)), 1, 8))
+                  as bigint) % 10000 / 10000.0 as p,
+             cast(user_id % 2 as double) as y
+      from events),
+    per as (select cast(least(floor(p * 10), 9) as int) as b,
+              count(*) as n, sum(p) as sp, sum(y) as sy,
+              sum((p - y) * (p - y)) as sq
+            from s group by 1),
+    t as (select sum(n) as nn, sum(sy) as ty, sum(sq) as tq,
+            sum(n * pow(sp / n - sy / n, 2)) as rel,
+            sum(n * pow(sy / n, 2)) as sy2
+          from per)
+    select cast(nn as bigint) as n,
+      round(tq / nn, 6) as brier_score,
+      round(rel / nn, 6) as reliability,
+      round(sy2 / nn - (ty / nn) * (ty / nn), 6) as resolution,
+      round((ty / nn) * (1 - ty / nn), 6) as uncertainty
+    from t
+    """,
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import brier_decomposition
+
+    ev = _t(spark, sf_dir, "events").select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 10000
+            / F.lit(10000.0)
+        ).alias("prob"),
+        (F.col("user_id") % 2).cast("double").alias("label"),
+    )
+    return brier_decomposition(ev, "prob", "label", n_bins=10)
+
+
+# ---------------------------------------------------------------------
+# 317. Heaps' law vocabulary-growth fit per source (V = k * N^beta in
+#      portable-md5 ingestion order) — corpus-saturation exponent.
+#      First occurrences via one min-struct aggregate; cumulatives via
+#      the bucket-presum decomposition; OLS from raw power sums.
+# ---------------------------------------------------------------------
+@register(
+    "heaps_law_fit",
+    """
+    with d as (select source, doc_id,
+                 md5('s67|' || cast(doc_id as varchar)) as h,
+                 len(regexp_split_to_array(trim(text), '\\s+')) as nt,
+                 regexp_split_to_array(trim(lower(text)), '\\s+') as ws
+               from documents where trim(text) <> ''),
+    w as (select source, doc_id, h, unnest(list_distinct(ws)) as word
+          from d),
+    fo as (select distinct source, word,
+             first_value(doc_id) over (partition by source, word
+               order by h, doc_id) as fdoc
+           from w),
+    vd as (select source, fdoc as doc_id, count(*) as v
+           from fo group by 1, 2),
+    base as (select d.source, d.doc_id, d.h, d.nt,
+               coalesce(vd.v, 0) as v
+             from d left join vd
+               on vd.source = d.source and vd.doc_id = d.doc_id),
+    c as (select source,
+            sum(nt) over (partition by source order by h, doc_id
+              rows between unbounded preceding and current row) as cn,
+            sum(v) over (partition by source order by h, doc_id
+              rows between unbounded preceding and current row) as cv
+          from base),
+    o as (select source, count(*) as n,
+            sum(ln(cn)) as sx, sum(ln(cv)) as sy,
+            sum(ln(cn) * ln(cn)) as sxx, sum(ln(cn) * ln(cv)) as sxy,
+            max(cn) as nf, max(cv) as vf
+          from c group by 1)
+    select source, cast(n as bigint) as n_docs,
+      cast(nf as bigint) as n_tokens_total,
+      cast(vf as bigint) as vocab_total,
+      round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) as heaps_beta,
+      round(exp((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                / n), 4) as heaps_k
+    from o where n >= 2
+    """,
+)
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import heaps_law_fit
+
+    return heaps_law_fit(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -1258,3 +1258,41 @@ def test_lead_lag_xcorr_shifted_series(spark):
     # b IS a delayed by one day: perfect correlation at lag +1
     assert got[1]["n_overlap"] == 3 and got[1]["xcorr"] == 1.0
     assert got[0]["xcorr"] < 1.0
+
+
+def test_cliffs_delta_bands(spark):
+    from sparkcollector.operators.analytics import cliffs_delta
+
+    rows = (
+        [("k", 0, 1.0), ("k", 0, 2.0), ("k", 1, 3.0), ("k", 1, 4.0)]
+        + [("t", 0, 1.0), ("t", 0, 3.0), ("t", 1, 2.0), ("t", 1, 3.0)]
+    )
+    df = spark.createDataFrame(rows, "key string, seg int, value double")
+    got = {r["key"]: r for r in cliffs_delta(df, "key", "seg").collect()}
+    # complete separation: every A below every B
+    assert got["k"]["cliffs_delta"] == -1.0
+    assert got["k"]["magnitude"] == "large"
+    # 1 win, 2 losses, 1 tie of 4 pairs: delta -0.25 -> small
+    assert got["t"]["cliffs_delta"] == -0.25
+    assert got["t"]["magnitude"] == "small"
+
+
+def test_brier_decomposition_murphy_identity(spark):
+    from sparkcollector.operators.analytics import brier_decomposition
+
+    perfect = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 1.0), (0.0, 0.0), (0.0, 0.0)],
+        "p double, y double",
+    )
+    r = brier_decomposition(perfect, "p", "y").collect()[0]
+    assert (r["brier_score"], r["reliability"]) == (0.0, 0.0)
+    assert (r["resolution"], r["uncertainty"]) == (0.25, 0.25)
+    flat = spark.createDataFrame(
+        [(0.75, 1.0), (0.75, 0.0)], "p double, y double"
+    )
+    r = brier_decomposition(flat, "p", "y").collect()[0]
+    # within-bin-constant forecast: BRIER = REL - RES + UNC exactly
+    assert r["brier_score"] == 0.3125 and r["reliability"] == 0.0625
+    assert r["resolution"] == 0.0 and r["uncertainty"] == 0.25
+    assert abs(r["reliability"] - r["resolution"] + r["uncertainty"]
+               - r["brier_score"]) < 1e-9

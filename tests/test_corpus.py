@@ -1047,3 +1047,30 @@ def test_blocklist_scan_hit_counts(spark):
     r = blocklist_scan(df, ["bad"]).collect()[0]
     assert (r["n_docs"], r["flagged_docs"], r["total_hits"]) == (2, 1, 2)
     assert r["flagged_rate"] == 0.5
+
+
+def test_heaps_law_fit_vs_reference_walk(spark):
+    import hashlib
+    import math
+    from sparkcollector.operators.corpus import heaps_law_fit
+
+    docs = {1: "a b", 2: "a c", 3: "a b c d"}
+    rows = [("s", i, t) for i, t in docs.items()]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    r = heaps_law_fit(df).collect()[0]
+    # reference: walk in (md5('s67|'+id), id) order, accumulate N and V
+    order = sorted(docs, key=lambda i: hashlib.md5(f"s67|{i}".encode()).hexdigest())
+    seen, pts, N = set(), [], 0
+    for i in order:
+        toks = docs[i].split()
+        N += len(toks)
+        seen |= set(toks)
+        pts.append((math.log(N), math.log(len(seen))))
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts); sxy = sum(x * y for x, y in pts)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    k = math.exp((sy - beta * sx) / n)
+    assert (r["n_docs"], r["n_tokens_total"], r["vocab_total"]) == (3, 8, 4)
+    assert abs(r["heaps_beta"] - round(beta, 4)) < 1e-9
+    assert abs(r["heaps_k"] - round(k, 4)) < 1e-9
