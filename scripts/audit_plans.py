@@ -2168,6 +2168,56 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 68: DDSketch, Kaplan-Meier, traceparent.
+    all_ok &= audit(
+        "ddsketch_quantiles",
+        lambda: queries()["ddsketch_quantiles"](spark, SF_DIR),
+        [
+            ("bucket counts reduce with map-side partials before the "
+             "keyed shuffle", lambda p: "partial" in p.lower()),
+            ("rank walk windows over the bounded bucket table only",
+             lambda p: "Window" in p),
+            ("no join anywhere — sketch + walk share the key exchange",
+             lambda p: "Join" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "sketch size is O(log(max/min)/alpha) buckets per key — the "
+        "mergeable fixed-memory replacement for exact percentile at "
+        "10^12 rows.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "km_survival",
+        lambda: queries()["km_survival"](spark, SF_DIR),
+        [
+            ("the fact table collapses in ONE user-keyed aggregate "
+             "with map-side partials", lambda p: "partial" in p.lower()),
+            ("global corpus max joins back as a 1-row broadcast",
+             lambda p: "BroadcastExchange" in p),
+            ("risk-set windows and prefix products run on the bounded "
+             "distinct-lifetime table only", lambda p: "Window" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "the single-partition window is over the <= corpus-span-days "
+        "axis, never the fact table.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "traceparent_parse",
+        lambda: queries()["traceparent_parse"](spark, SF_DIR),
+        [
+            ("pure narrow projection: zero exchanges",
+             lambda p: "Exchange" not in p),
+            ("regex + conv arithmetic stay in whole-stage codegen",
+             lambda p: "WholeStageCodegen" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

@@ -3531,3 +3531,99 @@ def brier_decomposition(
         F.round(res, 6).alias("resolution"),
         F.round(ybar * (1 - ybar), 6).alias("uncertainty"),
     )
+
+
+def km_survival(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str = "ts",
+    horizon_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier survival curve with right-censoring — the estimator
+    ``lifetime_survival`` documents as its own upgrade: a user whose
+    last activity falls within ``horizon_days`` of the corpus end is
+    CENSORED (still alive at observation end), not churned, so the
+    naive "share active >= d days" curve is biased low exactly where
+    retention decisions look.
+
+    Per user: lifetime = floor((last-first)/day); death if the last
+    event is more than ``horizon_days`` before the global corpus max
+    (the user verifiably went quiet), censored otherwise.  Standard KM:
+    at each distinct lifetime ``d`` with ``deaths_d`` deaths out of
+    ``n_risk_d = #users with lifetime >= d``, the curve multiplies by
+    ``(1 - deaths_d / n_risk_d)``; censored users leave the risk set
+    without a factor.
+
+    Scale shape: one user-keyed aggregate collapses the fact table;
+    everything after runs on the bounded distinct-lifetime-day table
+    (<= corpus-span days), which collapses to ONE row for the prefix
+    products — the sequential product folds in-row (``F.aggregate``
+    over a ``1.0``-seeded slice) exactly like ``ewma_smooth``, so an
+    oracle replays the identical IEEE multiply order via
+    ``list_reduce(list_prepend(1.0, ...))``.
+    """
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    per_user = df.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(epoch).alias("_f"), F.max(epoch).alias("_l")
+    )
+    gmax = df.agg(F.max(epoch).alias("_gm"))
+    u = per_user.crossJoin(F.broadcast(gmax)).select(
+        F.floor((F.col("_l") - F.col("_f")) / 86400.0)
+        .cast("long")
+        .alias("_day"),
+        (
+            F.col("_l") < F.col("_gm") - F.lit(horizon_days * 86400.0)
+        ).cast("long").alias("_death"),
+    )
+    per_day = u.groupBy("_day").agg(
+        F.sum("_death").alias("_deaths"),
+        (F.count("*") - F.sum("_death")).alias("_censored"),
+    )
+    wall = Window.partitionBy(F.lit(1))
+    wprev = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = per_day.select(
+        "_day",
+        "_deaths",
+        "_censored",
+        (
+            F.sum(F.col("_deaths") + F.col("_censored")).over(wall)
+            - F.coalesce(
+                F.sum(F.col("_deaths") + F.col("_censored")).over(wprev),
+                F.lit(0),
+            )
+        ).alias("_n_risk"),
+    ).withColumn(
+        "_factor",
+        F.lit(1.0)
+        - F.col("_deaths").cast("double") / F.col("_n_risk"),
+    )
+    arr = risk.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("_day", "_deaths", "_censored", "_n_risk", "_factor")
+            )
+        ).alias("_a")
+    )
+    factors = F.transform("_a", lambda s: s["_factor"])
+    ex = arr.select(
+        F.col("_a"),
+        factors.alias("_fs"),
+        F.explode(F.sequence(F.lit(1), F.size("_a"))).alias("_i"),
+    )
+    row = F.element_at("_a", F.col("_i"))
+    surv = F.aggregate(
+        F.slice(F.col("_fs"), F.lit(1), F.col("_i")),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    return ex.select(
+        row["_day"].alias("duration_day"),
+        row["_n_risk"].cast("long").alias("n_risk"),
+        row["_deaths"].cast("long").alias("deaths"),
+        row["_censored"].cast("long").alias("censored"),
+        F.round(surv, 6).alias("survival"),
+    )

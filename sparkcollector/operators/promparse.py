@@ -716,3 +716,47 @@ def json_schema_infer(
         "n_string",
         "n_null",
     )
+
+
+_TRACEPARENT_RE = r"^([0-9a-f]{2})-([0-9a-f]{32})-([0-9a-f]{16})-([0-9a-f]{2})$"
+
+
+def traceparent_parse(df: DataFrame, header_col: str = "header") -> DataFrame:
+    """W3C ``traceparent`` header parse (Trace Context level 1 — the
+    propagation format the collector's trace receivers consume;
+    span/trace id shapes as in
+    `pkg/receiver/smartagentreceiver/converter/traces.go:34-72`):
+    ``version-traceid-parentid-flags`` with fixed-width lowercase hex
+    fields.  Per spec: version ``ff`` is forbidden, an all-zero
+    trace-id or parent-id is invalid, and the sampled decision is BIT 0
+    of the flags byte (not equality with ``01``).
+
+    Malformed headers surface a typed ``error`` (``malformed`` /
+    ``bad_version`` / ``zero_trace_id`` / ``zero_parent_id``) with NULL
+    fields — dead-letter accountable, never dropped.  Pure codegen'd
+    regex + conv arithmetic: zero exchanges, no UDF.
+    """
+    h = F.col(header_col)
+    matched = h.rlike(_TRACEPARENT_RE)
+    grp = lambda i: F.regexp_extract(h, _TRACEPARENT_RE, i)  # noqa: E731
+    version, trace_id, parent_id, flags = (grp(i) for i in (1, 2, 3, 4))
+    error = (
+        F.when(~matched, F.lit("malformed"))
+        .when(version == "ff", F.lit("bad_version"))
+        .when(trace_id == "0" * 32, F.lit("zero_trace_id"))
+        .when(parent_id == "0" * 16, F.lit("zero_parent_id"))
+    )
+    valid = error.isNull()
+    keep = lambda c: F.when(valid, c)  # noqa: E731
+    sampled = keep(
+        (F.conv(flags, 16, 10).cast("int") % 2 == 1).cast("boolean")
+    )
+    others = [c for c in df.columns if c != header_col]
+    return df.select(
+        *others,
+        keep(version).alias("version"),
+        keep(trace_id).alias("trace_id"),
+        keep(parent_id).alias("parent_id"),
+        sampled.alias("sampled"),
+        error.alias("error"),
+    )

@@ -2536,3 +2536,87 @@ def p95_trend(
         F.round(F.col("_p"), 6).alias("p95"),
         F.round(F.col("_p") - prev, 6).alias("p95_delta"),
     )
+
+
+def ddsketch_quantiles(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str = "value",
+    alpha: float = 0.01,
+) -> DataFrame:
+    """DDSketch relative-error quantiles (Masson et al., VLDB'19) —
+    the bounded, mergeable quantile structure that replaces exact
+    ``percentile`` at 10^12 rows: every positive value lands in
+    log-gamma bucket ``i = ceil(ln(v)/ln(gamma))`` with
+    ``gamma = (1+alpha)/(1-alpha)``, the per-(key, bucket) count table
+    is the sketch (size O(log(max/min)/alpha), merge = count add), and
+    the q-quantile estimate ``2*gamma^i/(gamma+1)`` is guaranteed
+    within relative error ``alpha`` of the true quantile.
+
+    Reference analog: the collector ships latency percentiles through
+    fixed-bound histograms (spanmetrics; `docs/components.md`
+    connectors table) — DDSketch is the accuracy-guaranteed upgrade
+    with the same mergeable-buckets execution shape as
+    ``duration_histogram``/``hll_registers``.
+
+    Engine-portability: the bucket index rounds ``ln(v)/ln(gamma)`` to
+    9 decimals BEFORE ``ceil`` so a 1-ulp libm divergence between the
+    JVM and any oracle engine cannot flip a bucket; estimates round to
+    6 decimals after an identical ``pow``.  Non-positive values cannot
+    enter a log bucket — they are counted per key (``n_nonpos``), the
+    DDSketch "zero bucket" rule.  One keyed shuffle builds the bucket
+    table; ranks walk a per-key window over that bounded table only.
+    """
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    ln_gamma = F.log(F.lit(gamma))
+    v = F.col(value_col).cast("double")
+    b = df.select(
+        *key_cols,
+        F.when(
+            v > 0, F.ceil(F.round(F.log(v) / ln_gamma, 9))
+        ).alias("_i"),
+    )
+    buckets = b.groupBy(*key_cols, "_i").agg(F.count("*").alias("_c"))
+    wall = Window.partitionBy(*key_cols)
+    wcum = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_i").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nonnull_c = F.when(F.col("_i").isNotNull(), F.col("_c"))
+    r = buckets.select(
+        *key_cols,
+        "_i",
+        "_c",
+        F.sum(nonnull_c).over(wall).alias("_n"),
+        F.coalesce(
+            F.sum(F.when(F.col("_i").isNull(), F.col("_c"))).over(wall),
+            F.lit(0),
+        ).alias("_nonpos"),
+        F.sum(F.coalesce(nonnull_c, F.lit(0))).over(wcum).alias("_cum"),
+    ).filter(F.col("_i").isNotNull())
+
+    def _pick(q: float) -> Column:
+        rank = F.floor(F.lit(q) * (F.col("_n") - 1)) + 1
+        return F.min(F.when(F.col("_cum") >= rank, F.col("_i")))
+
+    est = lambda i: F.round(  # noqa: E731
+        F.lit(2.0) * F.pow(F.lit(gamma), i) / F.lit(gamma + 1.0), 6
+    )
+    agg = r.groupBy(*key_cols).agg(
+        F.max("_n").cast("long").alias("n"),
+        F.max("_nonpos").cast("long").alias("n_nonpos"),
+        F.count("*").cast("long").alias("n_buckets"),
+        _pick(0.5).alias("_i50"),
+        _pick(0.95).alias("_i95"),
+        _pick(0.99).alias("_i99"),
+    )
+    return agg.select(
+        *key_cols,
+        "n",
+        "n_nonpos",
+        "n_buckets",
+        est(F.col("_i50")).alias("p50_est"),
+        est(F.col("_i95")).alias("p95_est"),
+        est(F.col("_i99")).alias("p99_est"),
+    )

@@ -12532,6 +12532,217 @@ def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 318. DDSketch relative-error quantiles per event type (Masson et al.
+#      VLDB'19) — the bounded mergeable sketch replacing exact
+#      percentiles at 10^12 rows.  gamma = 1.02020202020202
+#      (alpha = 0.01); bucket = ceil(round(ln(v)/ln(gamma), 9));
+#      estimate = 2*gamma^i/(gamma+1).  The round-9 guard keeps the
+#      ceil engine-stable; estimates round to 6.
+# ---------------------------------------------------------------------
+@register(
+    "ddsketch_quantiles",
+    """
+    with s as (select event_type as key, cast(value as double) as v
+               from events),
+    b as (select key,
+            case when v > 0 then cast(ceil(round(
+              ln(v) / ln(cast(1.02020202020202 as double)), 9))
+              as bigint) end as i,
+            count(*) as c
+          from s group by 1, 2),
+    r as (select key, i, c,
+            sum(case when i is not null then c end)
+              over (partition by key) as n,
+            coalesce(sum(case when i is null then c end)
+              over (partition by key), 0) as nonpos,
+            sum(case when i is not null then c else 0 end)
+              over (partition by key order by i
+                    rows between unbounded preceding and current row)
+              as cum
+          from b),
+    f as (select key, max(n) as n, max(nonpos) as nonpos,
+            count(case when i is not null then 1 end) as nb,
+            min(case when i is not null
+                      and cum >= floor(0.5 * (n - 1)) + 1
+                     then i end) as i50,
+            min(case when i is not null
+                      and cum >= floor(0.95 * (n - 1)) + 1
+                     then i end) as i95,
+            min(case when i is not null
+                      and cum >= floor(0.99 * (n - 1)) + 1
+                     then i end) as i99
+          from r group by 1)
+    select key as event_type, cast(n as bigint) as n,
+      cast(nonpos as bigint) as n_nonpos,
+      cast(nb as bigint) as n_buckets,
+      round(2.0 * pow(cast(1.02020202020202 as double), i50)
+            / cast(2.02020202020202 as double), 6) as p50_est,
+      round(2.0 * pow(cast(1.02020202020202 as double), i95)
+            / cast(2.02020202020202 as double), 6) as p95_est,
+      round(2.0 * pow(cast(1.02020202020202 as double), i99)
+            / cast(2.02020202020202 as double), 6) as p99_est
+    from f
+    """,
+)
+def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import ddsketch_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return ddsketch_quantiles(ev, ["event_type"], "value", alpha=0.01)
+
+
+# ---------------------------------------------------------------------
+# 319. Kaplan-Meier survival with right-censoring — the estimator
+#      lifetime_survival documented as its own upgrade: users last
+#      seen within 7 days of the corpus end are censored (leave the
+#      risk set without a death), so the curve is unbiased where the
+#      naive active->=d share is biased low.  Prefix products fold
+#      in-row (1.0-seeded slice) so DuckDB list_reduce replays the
+#      identical IEEE multiply order.
+# ---------------------------------------------------------------------
+@register(
+    "km_survival",
+    """
+    with u as (select user_id, min(epoch(ts)) as f, max(epoch(ts)) as l
+               from events group by 1),
+    g as (select max(epoch(ts)) as gm from events),
+    d as (select cast(floor((l - f) / 86400.0) as bigint) as day,
+            case when l < gm - 7 * 86400.0 then 1 else 0 end as death
+          from u, g),
+    per as (select day, sum(death) as deaths,
+              count(*) - sum(death) as censored
+            from d group by 1),
+    r as (select day, deaths, censored,
+            sum(deaths + censored) over ()
+              - coalesce(sum(deaths + censored) over (order by day
+                  rows between unbounded preceding and 1 preceding), 0)
+              as n_risk
+          from per),
+    f as (select day, deaths, censored, n_risk,
+            1.0 - cast(deaths as double) / n_risk as factor
+          from r),
+    arr as (select list(day order by day) as ds,
+              list(deaths order by day) as de,
+              list(censored order by day) as ce,
+              list(n_risk order by day) as nr,
+              list(factor order by day) as fa
+            from f),
+    ex as (select unnest(range(1, len(ds) + 1)) as i,
+             ds, de, ce, nr, fa from arr)
+    select ds[i] as duration_day, cast(nr[i] as bigint) as n_risk,
+      cast(de[i] as bigint) as deaths, cast(ce[i] as bigint) as censored,
+      round(list_reduce(list_prepend(cast(1.0 as double), fa[1:i]),
+                        (acc, x) -> acc * x), 6) as survival
+    from ex
+    """,
+)
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import km_survival
+
+    ev = _t(spark, sf_dir, "events")
+    return km_survival(ev, "user_id", "ts", horizon_days=7)
+
+
+# ---------------------------------------------------------------------
+# 320. W3C traceparent header parse (Trace Context level 1; the
+#      propagation format the collector's trace receivers consume) —
+#      fixed-width hex grammar, spec invalids typed (ff version,
+#      all-zero trace/parent id), sampled = BIT 0 of the flags byte.
+#      Headers synthesized deterministically from md5(event_id).
+# ---------------------------------------------------------------------
+@register(
+    "traceparent_parse",
+    """
+    with h as (select event_id,
+        case cast(event_id % 16 as int)
+          when 0 then 'not a traceparent header'
+          when 1 then 'ff-' || md5('tp|' || cast(event_id as varchar))
+                   || '-' || substr(md5('sp|' || cast(event_id as varchar)), 1, 16)
+                   || '-01'
+          when 2 then '00-' || repeat('0', 32)
+                   || '-' || substr(md5('sp|' || cast(event_id as varchar)), 1, 16)
+                   || '-01'
+          when 3 then '00-' || md5('tp|' || cast(event_id as varchar))
+                   || '-' || repeat('0', 16) || '-00'
+          else '00-' || md5('tp|' || cast(event_id as varchar))
+                   || '-' || substr(md5('sp|' || cast(event_id as varchar)), 1, 16)
+                   || '-' || case when event_id % 2 = 0 then '01' else '00' end
+        end as header
+      from events),
+    p as (select event_id, header,
+        regexp_matches(header,
+          '^([0-9a-f]{2})-([0-9a-f]{32})-([0-9a-f]{16})-([0-9a-f]{2})$')
+          as ok,
+        regexp_extract(header,
+          '^([0-9a-f]{2})-([0-9a-f]{32})-([0-9a-f]{16})-([0-9a-f]{2})$', 1)
+          as ver,
+        regexp_extract(header,
+          '^([0-9a-f]{2})-([0-9a-f]{32})-([0-9a-f]{16})-([0-9a-f]{2})$', 2)
+          as tid,
+        regexp_extract(header,
+          '^([0-9a-f]{2})-([0-9a-f]{32})-([0-9a-f]{16})-([0-9a-f]{2})$', 3)
+          as pid,
+        regexp_extract(header,
+          '^([0-9a-f]{2})-([0-9a-f]{32})-([0-9a-f]{16})-([0-9a-f]{2})$', 4)
+          as flg
+      from h),
+    e as (select event_id, ver, tid, pid, flg,
+        case when not ok then 'malformed'
+             when ver = 'ff' then 'bad_version'
+             when tid = repeat('0', 32) then 'zero_trace_id'
+             when pid = repeat('0', 16) then 'zero_parent_id'
+        end as error
+      from p)
+    select event_id,
+      case when error is null then ver end as version,
+      case when error is null then tid end as trace_id,
+      case when error is null then pid end as parent_id,
+      case when error is null
+           then cast(('0x' || flg) as bigint) % 2 = 1 end as sampled,
+      error
+    from e
+    """,
+)
+def q_traceparent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import traceparent_parse
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    tid = F.md5(F.concat(F.lit("tp|"), eid.cast("string")))
+    pid = F.substring(
+        F.md5(F.concat(F.lit("sp|"), eid.cast("string"))), 1, 16
+    )
+    flags = F.when(eid % 2 == 0, F.lit("01")).otherwise(F.lit("00"))
+    header = (
+        F.when(eid % 16 == 0, F.lit("not a traceparent header"))
+        .when(
+            eid % 16 == 1,
+            F.concat(F.lit("ff-"), tid, F.lit("-"), pid, F.lit("-01")),
+        )
+        .when(
+            eid % 16 == 2,
+            F.concat(
+                F.lit("00-"), F.lit("0" * 32), F.lit("-"), pid, F.lit("-01")
+            ),
+        )
+        .when(
+            eid % 16 == 3,
+            F.concat(
+                F.lit("00-"), tid, F.lit("-"), F.lit("0" * 16), F.lit("-00")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("00-"), tid, F.lit("-"), pid, F.lit("-"), flags
+            )
+        )
+    )
+    return traceparent_parse(
+        ev.select("event_id", header.alias("header")), "header"
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -1296,3 +1296,36 @@ def test_brier_decomposition_murphy_identity(spark):
     assert r["resolution"] == 0.0 and r["uncertainty"] == 0.25
     assert abs(r["reliability"] - r["resolution"] + r["uncertainty"]
                - r["brier_score"]) < 1e-9
+
+
+def test_km_survival_hand_computed(spark):
+    import datetime
+
+    from sparkcollector.operators.analytics import km_survival
+
+    t0 = datetime.datetime(2024, 1, 1)
+    day = datetime.timedelta(days=1)
+
+    def span(uid, first_d, last_d):
+        return [(uid, t0 + first_d * day), (uid, t0 + last_d * day)]
+
+    rows = []
+    rows += span(1, 0, 1)    # lifetime 1, dies (last << max-7d)
+    rows += span(2, 0, 1)    # lifetime 1, dies
+    rows += span(3, 0, 3)    # lifetime 3, dies
+    rows += span(4, 0, 30)   # lifetime 30, censored (at corpus end)
+    rows += span(5, 0, 28)   # lifetime 28, censored (within 7d of end)
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["duration_day"]: r for r in
+           km_survival(df, "user_id", "ts", horizon_days=7).collect()}
+    # day 1: 5 at risk, 2 deaths -> S = 1 - 2/5 = 0.6
+    assert got[1]["n_risk"] == 5 and got[1]["deaths"] == 2
+    assert abs(got[1]["survival"] - 0.6) < 1e-9
+    # day 3: 3 at risk, 1 death -> S = 0.6 * (1 - 1/3) = 0.4
+    assert got[3]["n_risk"] == 3 and got[3]["deaths"] == 1
+    assert abs(got[3]["survival"] - 0.4) < 1e-9
+    # day 28: censored only -> factor 1, S stays 0.4
+    assert got[28]["deaths"] == 0 and got[28]["censored"] == 1
+    assert abs(got[28]["survival"] - 0.4) < 1e-9
+    # censoring matters: naive curve would call users 4/5 deaths
+    assert got[30]["censored"] == 1

@@ -366,3 +366,31 @@ def test_json_schema_infer_types(spark):
     assert got["b"]["n_bool"] == 1
     assert got["s"]["n_string"] == 2
     assert got["z"]["n_null"] == 1
+
+
+def test_traceparent_parse_spec_cases(spark):
+    from sparkcollector.operators.promparse import traceparent_parse
+
+    tid = "4bf92f3577b34da6a3ce929d0e0e4736"
+    pid = "00f067aa0ba902b7"
+    rows = [
+        (1, f"00-{tid}-{pid}-01"),          # valid, sampled
+        (2, f"00-{tid}-{pid}-00"),          # valid, not sampled
+        (3, f"00-{tid}-{pid}-03"),          # bit 0 of 0x03 -> sampled
+        (4, f"ff-{tid}-{pid}-01"),          # forbidden version
+        (5, f"00-{'0' * 32}-{pid}-01"),     # zero trace id
+        (6, f"00-{tid}-{'0' * 16}-01"),     # zero parent id
+        (7, f"00-{tid.upper()}-{pid}-01"),  # uppercase hex = malformed
+        (8, "garbage"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, header string")
+    got = {r["event_id"]: r for r in traceparent_parse(df).collect()}
+    assert got[1]["sampled"] is True and got[1]["error"] is None
+    assert got[1]["trace_id"] == tid and got[1]["parent_id"] == pid
+    assert got[2]["sampled"] is False
+    assert got[3]["sampled"] is True            # bit test, not == '01'
+    assert got[4]["error"] == "bad_version" and got[4]["trace_id"] is None
+    assert got[5]["error"] == "zero_trace_id"
+    assert got[6]["error"] == "zero_parent_id"
+    assert got[7]["error"] == "malformed"
+    assert got[8]["error"] == "malformed" and got[8]["sampled"] is None

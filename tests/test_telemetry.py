@@ -1195,3 +1195,33 @@ def test_p95_trend_delta(spark):
     assert got[0][2] is None                   # first week: no baseline
     assert abs(got[1][1] - 2 * got[0][1]) < 1e-6
     assert abs(got[1][2] - got[0][1]) < 1e-6   # delta = +p95_week0
+
+
+def test_ddsketch_quantiles_accuracy_and_buckets(spark):
+    from sparkcollector.operators.telemetry import ddsketch_quantiles
+
+    # 1..1000 exact: true p50=500 (rank floor(.5*999)+1), p99=991.
+    rows = [("k", float(v)) for v in range(1, 1001)]
+    rows += [("k", 0.0), ("k", -3.0)]          # zero-bucket values
+    df = spark.createDataFrame(rows, "key string, value double")
+    got = ddsketch_quantiles(df, ["key"], "value", alpha=0.01).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n"] == 1000 and r["n_nonpos"] == 2
+    # sketch is bounded: far fewer buckets than values
+    assert r["n_buckets"] < 400
+    # relative-error guarantee: |est - true| <= alpha * true
+    for est, true in ((r["p50_est"], 500.0), (r["p95_est"], 950.0),
+                      (r["p99_est"], 990.0)):
+        assert abs(est - true) <= 0.011 * true, (est, true)
+
+
+def test_ddsketch_pinned_bucket():
+    import math
+
+    # bucket rule replay: gamma for alpha=0.01; v=100 -> ceil(ln/ln)
+    gamma = (1.0 + 0.01) / (1.0 - 0.01)
+    i = math.ceil(round(math.log(100.0) / math.log(gamma), 9))
+    assert i == 231
+    est = 2.0 * gamma**i / (gamma + 1.0)
+    assert abs(est - 100.0) <= 1.0             # within alpha*v
