@@ -2218,6 +2218,49 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 69: BSD syslog, Yule's K, Page-Hinkley.
+    all_ok &= audit(
+        "syslog3164_parse",
+        lambda: queries()["syslog3164_parse"](spark, SF_DIR),
+        [
+            ("pure narrow projection: zero exchanges",
+             lambda p: "Exchange" not in p),
+            ("regex fields stay in whole-stage codegen",
+             lambda p: "WholeStageCodegen" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "yules_k",
+        lambda: queries()["yules_k"](spark, SF_DIR),
+        [
+            ("word counts and the group roll-up both reduce with "
+             "map-side partials", lambda p: "partial" in p.lower()),
+            ("no window, no join — two keyed aggregates only",
+             lambda p: "Window" not in p and "Join" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "page_hinkley_drift",
+        lambda: queries()["page_hinkley_drift"](spark, SF_DIR),
+        [
+            ("minute buckets reduce with map-side partials before "
+             "the keyed shuffle", lambda p: "partial" in p.lower()),
+            ("sequential recurrence folds in-row — no window, no join",
+             lambda p: "Window" not in p and "Join" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "state is a 6-slot double array folded over the bounded "
+        "minute-bucket series, never the fact table.",
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

@@ -3627,3 +3627,65 @@ def km_survival(
         row["_censored"].cast("long").alias("censored"),
         F.round(surv, 6).alias("survival"),
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    delta: float = 0.0,
+    lam: float = 25.0,
+) -> DataFrame:
+    """Page-Hinkley upward change detection per key (Page 1954; the
+    sequential mean-shift test behind streaming drift detectors):
+    over the ``order_col``-sorted series, with the RUNNING mean
+    ``mean_t`` of the first t points,
+    ``m_t = m_{t-1} + (x_t - mean_t - delta)`` accumulates deviations,
+    ``PH_t = m_t - min_{i<=t} m_i`` measures how far the series has
+    climbed off its historical floor, and the alarm fires at the first
+    t with ``PH_t > lam``.  Unlike the windowed z-score
+    (``rate_anomaly_scores``) it needs no window size and detects slow
+    drifts, not just bursts.
+
+    The recurrence is sequential per key, so it folds in-row over the
+    per-key sorted value array (the ``ewma_smooth`` shape) with a
+    6-slot double-array state ``[t, sum, m, min_m, ph_max, alarm_t]``
+    — one grouped pass, state O(points-per-key), intended for the
+    bounded minute-bucket series.  An oracle replays the identical
+    IEEE fold via ``list_reduce`` over the same state array.
+    """
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    F.col(value_col).cast("double").alias("x"),
+                )
+            )
+        ).alias("_pts")
+    )
+    xs = F.transform("_pts", lambda p: p["x"])
+    zero = F.array(*[F.lit(0.0)] * 6)
+
+    def step(acc, x):
+        t = F.element_at(acc, 1) + 1.0
+        s = F.element_at(acc, 2) + x
+        m = F.element_at(acc, 3) + (x - s / t - F.lit(delta))
+        min_m = F.least(F.element_at(acc, 4), m)
+        ph = m - min_m
+        ph_max = F.greatest(F.element_at(acc, 5), ph)
+        alarm = F.when(
+            F.element_at(acc, 6) > 0, F.element_at(acc, 6)
+        ).otherwise(F.when(ph > F.lit(lam), t).otherwise(F.lit(0.0)))
+        return F.array(t, s, m, min_m, ph_max, alarm)
+
+    st = F.aggregate(xs, zero, step)
+    alarm_t = F.element_at(st, 6)
+    return per_key.select(
+        "key",
+        F.size("_pts").cast("long").alias("n_points"),
+        F.round(F.element_at(st, 5), 6).alias("ph_max"),
+        (alarm_t > 0).alias("alarmed"),
+        F.when(alarm_t > 0, alarm_t.cast("long")).alias("alarm_idx"),
+    )

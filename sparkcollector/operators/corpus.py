@@ -2636,3 +2636,47 @@ def heaps_law_fit(
             F.exp((F.col("_sy") - beta * F.col("_sx")) / F.col("_n")), 4
         ).alias("heaps_k"),
     )
+
+
+def yules_k(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Yule's K characteristic + Simpson's repeat-rate per group — the
+    frequency-spectrum lexical-diversity pair that, unlike the raw
+    type-token ratio (``hapax_richness``), is length-invariant:
+    ``K = 10^4 * (sum_w c_w^2 - N) / N^2`` and Simpson's
+    ``D = sum_w c_w (c_w - 1) / (N (N - 1))`` — the probability two
+    sampled tokens are the same word.  High K flags templated or
+    looping text (the repetition smell ``repetition_stats`` measures
+    positionally, measured distributionally here).
+
+    Same scale shape as ``hapax_richness``: two keyed shuffles —
+    (group, word) counts, then the group roll-up of the integer power
+    sums — both with map-side partials; the division happens once per
+    group.
+    """
+    w = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    cw = w.groupBy("grp", "word").agg(F.count("*").alias("c"))
+    g = cw.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("_s2"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("_rep"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return g.filter(F.col("n_tokens") >= 2).select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.lit(1.0e4) * (F.col("_s2") - F.col("n_tokens")) / (n * n), 6
+        ).alias("yules_k"),
+        F.round(
+            F.col("_rep").cast("double") / (n * (n - 1.0)), 6
+        ).alias("simpson_d"),
+    )

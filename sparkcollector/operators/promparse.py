@@ -760,3 +760,54 @@ def traceparent_parse(df: DataFrame, header_col: str = "header") -> DataFrame:
         sampled.alias("sampled"),
         error.alias("error"),
     )
+
+
+SYSLOG3164_RE = (
+    r"^<(\d{1,3})>([A-Z][a-z]{2}) ([ \d]\d) (\d{2}:\d{2}:\d{2}) "
+    r"(\S+) ([A-Za-z0-9_./\-]+)(?:\[(\d+)\])?: (.*)$"
+)
+
+_MONTHS = (
+    "Jan Feb Mar Apr May Jun Jul Aug Sep Oct Nov Dec"
+).split()
+
+
+def syslog3164_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse RFC 3164 (BSD) syslog lines — the syslogreceiver's other
+    ``protocol:`` mode (components.go:275; the reference's own var-log
+    scrape ships this grammar, `splunk_logs_config_linux.yaml:839-843`
+    parses `%b %e %H:%M:%S`): ``<PRI>Mmm dd HH:MM:SS host tag[pid]:
+    msg`` with a space-padded day-of-month and NO year (the stanza
+    timestamp parser owns year inference downstream).
+
+    PRI decomposes into facility (pri / 8) and severity (pri % 8)
+    with the same RFC keyword table as the 5424 parser; ``tag[pid]``
+    splits into app + optional pid.  Malformed lines surface with
+    ``pri`` NULL — dead-letter accountable, never dropped.  One
+    codegen'd regexp per field, zero exchanges.
+    """
+    line = F.col(line_col)
+    g = lambda i: F.regexp_extract(line, SYSLOG3164_RE, i)  # noqa: E731
+    pri = g(1).try_cast("int")
+    ok = (g(1) != "") & (pri <= 191)
+    sev = pri % 8
+    sev_name = F.element_at(
+        F.array(*[F.lit(s) for s in SEVERITY_NAMES]), sev + 1
+    )
+    month_num = F.array_position(
+        F.array(*[F.lit(m) for m in _MONTHS]), g(2)
+    ).cast("int")
+    return df.select(
+        "*",
+        F.when(ok, pri).alias("pri"),
+        F.when(ok, (pri / 8).cast("int")).alias("facility"),
+        F.when(ok, sev).alias("severity"),
+        F.when(ok, sev_name).alias("severity_text"),
+        F.when(ok & (month_num > 0), month_num).alias("month"),
+        F.when(ok, F.trim(g(3)).try_cast("int")).alias("day"),
+        F.when(ok, g(4)).alias("time_text"),
+        F.when(ok, g(5)).alias("host"),
+        F.when(ok, g(6)).alias("app"),
+        F.when(ok & (g(7) != ""), g(7).try_cast("int")).alias("pid"),
+        F.when(ok, g(8)).alias("msg"),
+    )

@@ -12743,6 +12743,205 @@ def q_traceparent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 321. RFC 3164 (BSD) syslog parse — the syslogreceiver's other
+#      protocol mode (components.go:275; the reference's var-log
+#      scrape parses '%b %e %H:%M:%S', splunk_logs_config_linux.yaml:
+#      839-843): <PRI>Mmm dd HH:MM:SS host tag[pid]: msg with
+#      space-padded day and no year.  PRI > 191 is invalid per RFC.
+#      Oracle derives every expected field from the SOURCE columns the
+#      line was synthesized from — fully independent of the regex.
+# ---------------------------------------------------------------------
+@register(
+    "syslog3164_parse",
+    """
+    with base as (
+      select event_id, user_id, event_type,
+             event_id % 20 = 0 as bad,
+             event_id % 20 = 10 as over,
+             cast(user_id % 24 as int) as fac,
+             cast(event_id % 8 as int) as sev,
+             cast(user_id % 12 as int) as mi,
+             cast(event_id % 28 as int) + 1 as dd,
+             lpad(cast(event_id % 24 as varchar), 2, '0') || ':'
+               || lpad(cast(user_id % 60 as varchar), 2, '0')
+               || ':33' as tt
+      from events),
+    e as (select *, (bad or over) as nil from base)
+    select event_id,
+      case when nil then NULL else fac * 8 + sev end as pri,
+      case when nil then NULL else fac end as facility,
+      case when nil then NULL else sev end as severity,
+      case when nil then NULL else
+        case sev when 0 then 'emerg' when 1 then 'alert'
+                 when 2 then 'crit' when 3 then 'err'
+                 when 4 then 'warning' when 5 then 'notice'
+                 when 6 then 'info' else 'debug' end
+      end as severity_text,
+      case when nil then NULL else mi + 1 end as month,
+      case when nil then NULL else dd end as day,
+      case when nil then NULL else tt end as time_text,
+      case when nil then NULL
+           else 'h' || cast(user_id % 10 as varchar) end as host,
+      case when nil then NULL
+           else 'app-' || cast(user_id % 5 as varchar) end as app,
+      case when nil or event_id % 3 <> 0 then NULL
+           else cast(user_id % 9000 + 100 as int) end as pid,
+      case when nil then NULL
+           else event_type || ' occurred' end as msg
+    from e
+    """,
+)
+def q_syslog3164_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import _MONTHS, syslog3164_parse
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    pri = F.when(
+        eid % 20 == 10, F.lit(192) + (uid % 8)
+    ).otherwise((uid % 24) * 8 + eid % 8)
+    mon = F.element_at(
+        F.array(*[F.lit(m) for m in _MONTHS]), (uid % 12).cast("int") + 1
+    )
+    dd = (eid % 28) + 1
+    day_txt = F.when(dd < 10, F.concat(F.lit(" "), dd.cast("string"))
+                     ).otherwise(dd.cast("string"))
+    tt = F.concat(
+        F.lpad((eid % 24).cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad((uid % 60).cast("string"), 2, "0"),
+        F.lit(":33"),
+    )
+    tag = F.concat(
+        F.lit("app-"),
+        (uid % 5).cast("string"),
+        F.when(
+            eid % 3 == 0,
+            F.concat(
+                F.lit("["), (uid % 9000 + 100).cast("string"), F.lit("]")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    line = F.when(eid % 20 == 0, F.lit("not a syslog line")).otherwise(
+        F.concat(
+            F.lit("<"), pri.cast("string"), F.lit(">"),
+            mon, F.lit(" "), day_txt, F.lit(" "), tt, F.lit(" "),
+            F.lit("h"), (uid % 10).cast("string"), F.lit(" "),
+            tag, F.lit(": "),
+            F.col("event_type"), F.lit(" occurred"),
+        )
+    )
+    parsed = syslog3164_parse(
+        ev.select("event_id", line.alias("line")), "line"
+    )
+    return parsed.select(
+        "event_id", "pri", "facility", "severity", "severity_text",
+        "month", "day", "time_text", "host", "app", "pid", "msg",
+    )
+
+
+# ---------------------------------------------------------------------
+# 322. Yule's K + Simpson's repeat-rate per source — the length-
+#      invariant lexical-diversity pair over the word frequency
+#      spectrum (TTR collapses with document length; K does not).
+#      Integer power sums roll up with map-side partials; the oracle
+#      casts its sums to BIGINT (the HUGEINT canon rule).
+# ---------------------------------------------------------------------
+@register(
+    "yules_k",
+    """
+    with w as (select source as grp,
+                 unnest(string_split(text, ' ')) as word
+               from documents),
+    cw as (select grp, word, count(*) as c from w group by 1, 2),
+    g as (select grp, sum(c) as n, count(*) as types,
+            sum(c * c) as s2, sum(c * (c - 1)) as rep
+          from cw group by 1)
+    select grp as source, cast(n as bigint) as n_tokens,
+      cast(types as bigint) as n_types,
+      round(1e4 * (s2 - n) / (cast(n as double) * n), 6) as yules_k,
+      round(cast(rep as double) / (cast(n as double) * (n - 1)), 6)
+        as simpson_d
+    from g where n >= 2
+    """,
+)
+def q_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import yules_k
+
+    return yules_k(_t(spark, sf_dir, "documents"), "source", "text")
+
+
+# ---------------------------------------------------------------------
+# 323. Page-Hinkley upward change detection per event type over the
+#      minute-count series (Page 1954; the sequential mean-shift test
+#      behind streaming drift detectors — windowless, catches slow
+#      drifts the windowed z-score misses).  Sequential recurrence
+#      folds in-row with a 6-slot state array; DuckDB list_reduce
+#      replays the identical IEEE fold.
+# ---------------------------------------------------------------------
+@register(
+    "page_hinkley_drift",
+    """
+    with b as (select event_type as key,
+                 cast(floor(epoch(ts) / 60) as bigint) as bkt,
+                 cast(count(*) as double) as x
+               from events group by 1, 2),
+    g as (select key, list(x order by bkt) as xs from b group by key),
+    f as (select key, len(xs) as n,
+            list_reduce(
+              list_prepend(
+                struct_pack(v := cast(0 as double),
+                            s := [cast(0 as double), 0.0, 0.0,
+                                  0.0, 0.0, 0.0]),
+                list_transform(xs, x -> struct_pack(
+                  v := x, s := [cast(0 as double), 0.0, 0.0,
+                                0.0, 0.0, 0.0]))),
+              (acc, e) -> struct_pack(
+                v := e.v,
+                s := [acc.s[1] + 1.0,
+                      acc.s[2] + e.v,
+                      acc.s[3] + (e.v - (acc.s[2] + e.v)
+                                  / (acc.s[1] + 1.0) - 0.5),
+                      least(acc.s[4],
+                            acc.s[3] + (e.v - (acc.s[2] + e.v)
+                                        / (acc.s[1] + 1.0) - 0.5)),
+                      greatest(acc.s[5],
+                        (acc.s[3] + (e.v - (acc.s[2] + e.v)
+                                     / (acc.s[1] + 1.0) - 0.5))
+                        - least(acc.s[4],
+                            acc.s[3] + (e.v - (acc.s[2] + e.v)
+                                        / (acc.s[1] + 1.0) - 0.5))),
+                      case when acc.s[6] > 0 then acc.s[6]
+                           when (acc.s[3] + (e.v - (acc.s[2] + e.v)
+                                             / (acc.s[1] + 1.0) - 0.5))
+                                - least(acc.s[4],
+                                    acc.s[3] + (e.v - (acc.s[2] + e.v)
+                                                / (acc.s[1] + 1.0)
+                                                - 0.5)) > 10.0
+                           then acc.s[1] + 1.0 else 0.0 end])
+            ) as st
+          from g)
+    select key as event_type, cast(n as bigint) as n_points,
+      round(st.s[5], 6) as ph_max,
+      st.s[6] > 0 as alarmed,
+      case when st.s[6] > 0 then cast(st.s[6] as bigint) end as alarm_idx
+    from f
+    """,
+)
+def q_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import page_hinkley
+
+    ev = _t(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        F.col("event_type"),
+        F.floor(_epoch_s("ts") / 60).cast("long").alias("bkt"),
+    ).agg(F.count("*").cast("double").alias("x"))
+    out = page_hinkley(
+        buckets, "event_type", "bkt", "x", delta=0.5, lam=10.0
+    )
+    return out.withColumnRenamed("key", "event_type")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -1329,3 +1329,30 @@ def test_km_survival_hand_computed(spark):
     assert abs(got[28]["survival"] - 0.4) < 1e-9
     # censoring matters: naive curve would call users 4/5 deaths
     assert got[30]["censored"] == 1
+
+
+def test_page_hinkley_detects_level_shift(spark):
+    from sparkcollector.operators.analytics import page_hinkley
+
+    # flat at 10 for 20 points, then jumps to 30: PH must alarm after
+    # the shift, never before.
+    rows = [("k", i, 10.0) for i in range(20)]
+    rows += [("k", 20 + i, 30.0) for i in range(10)]
+    # control series: flat forever, never alarms
+    rows += [("q", i, 10.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "key string, o long, x double")
+    got = {r["key"]: r for r in
+           page_hinkley(df, "key", "o", "x", delta=0.5, lam=25.0).collect()}
+    assert got["k"]["alarmed"] is True
+    assert got["k"]["alarm_idx"] > 20        # fires only after the shift
+    assert got["q"]["alarmed"] is False and got["q"]["alarm_idx"] is None
+    assert got["q"]["ph_max"] < 1.0
+    # hand-check the fold on a 3-point series: x=[0,0,30], delta=0
+    # t1: mean 0, m=0;  t2: m=0;  t3: mean=10, m=20, min=0 -> PH=20
+    df2 = spark.createDataFrame(
+        [("z", 1, 0.0), ("z", 2, 0.0), ("z", 3, 30.0)],
+        "key string, o long, x double",
+    )
+    r2 = page_hinkley(df2, "key", "o", "x", delta=0.0, lam=15.0).collect()[0]
+    assert abs(r2["ph_max"] - 20.0) < 1e-9
+    assert r2["alarmed"] is True and r2["alarm_idx"] == 3

@@ -1074,3 +1074,19 @@ def test_heaps_law_fit_vs_reference_walk(spark):
     assert (r["n_docs"], r["n_tokens_total"], r["vocab_total"]) == (3, 8, 4)
     assert abs(r["heaps_beta"] - round(beta, 4)) < 1e-9
     assert abs(r["heaps_k"] - round(k, 4)) < 1e-9
+
+
+def test_yules_k_closed_form(spark):
+    from sparkcollector.operators.corpus import yules_k
+
+    # "a a a b" -> counts {a:3, b:1}; N=4, S2=10
+    # K = 1e4*(10-4)/16 = 3750 ; D = (6+0)/(4*3) = 0.5
+    df = spark.createDataFrame(
+        [("s", "a a a b"), ("t", "x y")], "source string, text string"
+    )
+    got = {r["source"]: r for r in yules_k(df).collect()}
+    assert got["s"]["n_tokens"] == 4 and got["s"]["n_types"] == 2
+    assert abs(got["s"]["yules_k"] - 3750.0) < 1e-9
+    assert abs(got["s"]["simpson_d"] - 0.5) < 1e-9
+    # all-distinct text: K = 0, D = 0 (no repeats)
+    assert got["t"]["yules_k"] == 0.0 and got["t"]["simpson_d"] == 0.0

@@ -394,3 +394,28 @@ def test_traceparent_parse_spec_cases(spark):
     assert got[6]["error"] == "zero_parent_id"
     assert got[7]["error"] == "malformed"
     assert got[8]["error"] == "malformed" and got[8]["sampled"] is None
+
+
+def test_syslog3164_parse_grammar(spark):
+    from sparkcollector.operators.promparse import syslog3164_parse
+
+    rows = [
+        (1, "<13>Feb  5 17:32:18 web-1 su[1024]: 'su root' failed"),
+        (2, "<165>Oct 11 22:14:15 mymachine app-2: event started"),
+        (3, "<199>Jan  1 00:00:00 h x: pri out of range"),
+        (4, "totally not syslog"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, line string")
+    got = {r["event_id"]: r for r in syslog3164_parse(df).collect()}
+    r1 = got[1]
+    assert r1["pri"] == 13 and r1["facility"] == 1 and r1["severity"] == 5
+    assert r1["severity_text"] == "notice"
+    assert r1["month"] == 2 and r1["day"] == 5          # space-padded day
+    assert r1["time_text"] == "17:32:18"
+    assert r1["host"] == "web-1" and r1["app"] == "su" and r1["pid"] == 1024
+    assert r1["msg"] == "'su root' failed"
+    r2 = got[2]
+    assert r2["facility"] == 20 and r2["severity"] == 5
+    assert r2["pid"] is None and r2["app"] == "app-2"
+    assert got[3]["pri"] is None                        # PRI > 191 invalid
+    assert got[4]["pri"] is None and got[4]["msg"] is None
