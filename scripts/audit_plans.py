@@ -2261,6 +2261,48 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 70: CEF, Chao1, QQ shift.
+    all_ok &= audit(
+        "cef_parse",
+        lambda: queries()["cef_parse"](spark, SF_DIR),
+        [
+            ("pure narrow projection: zero exchanges",
+             lambda p: "Exchange" not in p),
+            ("header + extension regexes stay in whole-stage codegen",
+             lambda p: "WholeStageCodegen" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "chao1_vocab",
+        lambda: queries()["chao1_vocab"](spark, SF_DIR),
+        [
+            ("spectrum sums reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("no window, no join — two keyed aggregates only",
+             lambda p: "Window" not in p and "Join" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "qq_shift_profile",
+        lambda: queries()["qq_shift_profile"](spark, SF_DIR),
+        [
+            ("both segments' decile vectors compute in ONE keyed "
+             "aggregate (no join, no second fact pass)",
+             lambda p: "Join" not in p),
+            ("decile explode runs on the bounded (key x 9) table",
+             lambda p: "Generate" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

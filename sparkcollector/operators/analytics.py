@@ -3689,3 +3689,61 @@ def page_hinkley(
         (alarm_t > 0).alias("alarmed"),
         F.when(alarm_t > 0, alarm_t.cast("long")).alias("alarm_idx"),
     )
+
+
+def qq_shift(
+    df: DataFrame,
+    key_col: str,
+    segment_col: str,
+    value_col: str = "value",
+    deciles: tuple[float, ...] = (
+        0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9,
+    ),
+) -> DataFrame:
+    """QQ decile-shift profile per key between two segments — WHERE in
+    the distribution the drift lives: ``wasserstein_drift`` reports
+    the total transport and ``ks_value_drift`` the max CDF gap; this
+    reports the per-decile quantile difference, separating "the tail
+    regressed" from "the whole curve moved" (the first question a
+    latency investigation asks).
+
+    Both segments' exact interpolated decile vectors compute in ONE
+    keyed aggregate (conditional ``percentile`` per segment — the
+    engine-parity primitive ``hourly_latency_bands`` pinned), then the
+    bounded (key x decile) table explodes in-row.  No join, no window,
+    no second pass over facts.
+    """
+    qs = F.array(*[F.lit(q) for q in deciles])
+    seg = F.col(segment_col).cast("int")
+    v = F.col(value_col).cast("double")
+    agg = df.filter(v.isNotNull()).groupBy(
+        F.col(key_col).alias("key")
+    ).agg(
+        F.sum(F.when(seg == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(seg == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.percentile(F.when(seg == 0, v), qs).alias("_qa"),
+        F.percentile(F.when(seg == 1, v), qs).alias("_qb"),
+    )
+    ex = agg.filter(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    ).select(
+        "key",
+        "n_a",
+        "n_b",
+        "_qa",
+        "_qb",
+        F.explode(F.sequence(F.lit(1), F.lit(len(deciles)))).alias("_i"),
+    )
+    qa = F.element_at("_qa", F.col("_i"))
+    qb = F.element_at("_qb", F.col("_i"))
+    return ex.select(
+        "key",
+        "n_a",
+        "n_b",
+        F.round(
+            F.element_at(qs, F.col("_i")) * 100
+        ).cast("int").alias("pct"),
+        F.round(qa, 6).alias("q_a"),
+        F.round(qb, 6).alias("q_b"),
+        F.round(qb - qa, 6).alias("shift"),
+    )

@@ -2680,3 +2680,55 @@ def yules_k(
             F.col("_rep").cast("double") / (n * (n - 1.0)), 6
         ).alias("simpson_d"),
     )
+
+
+def chao1_vocab(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chao1 unseen-vocabulary estimate + Good-Turing coverage per
+    group — "how much vocabulary does this source still hide": with
+    ``V`` observed types, ``V1`` hapax and ``V2`` dis legomena, the
+    bias-corrected Chao1 richness floor is
+    ``V + V1*(V1-1) / (2*(V2+1))`` (defined even when V2 = 0), and the
+    Good-Turing sample coverage ``C = 1 - V1/N`` is the probability
+    the next token is an already-seen type.  ``heaps_law_fit``
+    estimates the growth EXPONENT; this estimates the ASYMPTOTE — the
+    pair decides whether a source is mined out.
+
+    Same scale shape as ``hapax_richness``/``yules_k``: two keyed
+    shuffles over (group, word) counts then the group roll-up of
+    integer spectrum sums; no windows, no joins.
+    """
+    w = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    cw = w.groupBy("grp", "word").agg(F.count("*").alias("c"))
+    g = cw.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("v1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("v2"),
+    )
+    v1 = F.col("v1").cast("double")
+    return g.filter(F.col("n_tokens") >= 1).select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "n_types",
+        "v1",
+        "v2",
+        F.round(
+            F.col("n_types")
+            + v1 * (v1 - 1.0) / (2.0 * (F.col("v2") + 1.0)),
+            4,
+        ).alias("chao1_est"),
+        F.round(
+            F.lit(1.0) - v1 / F.col("n_tokens").cast("double"), 6
+        ).alias("gt_coverage"),
+    )

@@ -811,3 +811,50 @@ def syslog3164_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
         F.when(ok & (g(7) != ""), g(7).try_cast("int")).alias("pid"),
         F.when(ok, g(8)).alias("msg"),
     )
+
+
+CEF_RE = (
+    r"^CEF:(\d+)\|([^|]*)\|([^|]*)\|([^|]*)\|([^|]*)\|([^|]*)"
+    r"\|([^|]*)\|(.*)$"
+)
+
+
+def cef_parse(
+    df: DataFrame,
+    line_col: str = "line",
+    ext_keys: tuple[str, ...] = ("src", "dst", "spt", "act"),
+) -> DataFrame:
+    """ArcSight CEF (Common Event Format) parse — one of the classic
+    Splunk-ingest log grammars beside syslog (the HEC/sourcetype
+    routing family, `splunk_logs_config_linux.yaml` stanza parsers):
+    ``CEF:Version|Vendor|Product|DeviceVersion|SignatureID|Name|
+    Severity|Extension`` with a space-separated ``key=value``
+    extension bag.
+
+    The 7 header fields split on unescaped pipes; each requested
+    extension key extracts with its own anchored regexp (values run to
+    the next ``key=`` token, so spaces inside values survive).
+    Malformed lines surface with ``cef_version`` NULL.  Pure codegen'd
+    regex, zero exchanges.
+    """
+    line = F.col(line_col)
+    g = lambda i: F.regexp_extract(line, CEF_RE, i)  # noqa: E731
+    ok = line.rlike(CEF_RE)
+
+    def ext(key: str):
+        pat = rf"(?:^|\s){key}=(.*?)(?=\s+\w+=|$)"
+        v = F.regexp_extract(g(8), pat, 1)
+        return F.when(ok & (v != ""), v)
+
+    keep = lambda c: F.when(ok, c)  # noqa: E731
+    return df.select(
+        "*",
+        keep(g(1).try_cast("int")).alias("cef_version"),
+        keep(g(2)).alias("vendor"),
+        keep(g(3)).alias("product"),
+        keep(g(4)).alias("device_version"),
+        keep(g(5)).alias("signature_id"),
+        keep(g(6)).alias("name"),
+        keep(g(7).try_cast("int")).alias("severity"),
+        *[ext(k).alias(f"ext_{k}") for k in ext_keys],
+    )

@@ -12942,6 +12942,150 @@ def q_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 324. ArcSight CEF parse — the classic Splunk-ingest grammar beside
+#      syslog (sourcetype-routing family): 7 pipe-split header fields
+#      + space-separated key=value extension bag (values keep spaces
+#      up to the next key= token).  Oracle derives expected fields
+#      from the SOURCE columns, independent of the regex.
+# ---------------------------------------------------------------------
+@register(
+    "cef_parse",
+    """
+    with base as (
+      select event_id, user_id, event_type,
+             event_id % 20 = 0 as bad
+      from events)
+    select event_id,
+      case when bad then NULL else 0 end as cef_version,
+      case when bad then NULL else 'SecCo' end as vendor,
+      case when bad then NULL
+           else 'FW' || cast(user_id % 3 as varchar) end as product,
+      case when bad then NULL
+           else '1.' || cast(user_id % 5 as varchar) end as device_version,
+      case when bad then NULL
+           else 'sig-' || cast(event_id % 50 as varchar) end as signature_id,
+      case when bad then NULL
+           else event_type || ' detected' end as name,
+      case when bad then NULL
+           else cast(event_id % 10 as int) end as severity,
+      case when bad then NULL
+           else '10.0.0.' || cast(user_id % 255 as varchar) end as ext_src,
+      case when bad then NULL
+           else '10.1.0.' || cast(event_id % 255 as varchar) end as ext_dst,
+      case when bad then NULL
+           else cast(1024 + user_id % 1000 as varchar) end as ext_spt,
+      case when bad then NULL
+           when event_id % 2 = 0 then 'allowed in'
+           else 'denied' end as ext_act
+    from base
+    """,
+)
+def q_cef_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import cef_parse
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    act = F.when(eid % 2 == 0, F.lit("allowed in")).otherwise(
+        F.lit("denied")
+    )
+    ext = F.concat(
+        F.lit("src=10.0.0."), (uid % 255).cast("string"),
+        F.lit(" dst=10.1.0."), (eid % 255).cast("string"),
+        F.lit(" spt="), (uid % 1000 + 1024).cast("string"),
+        F.lit(" act="), act,
+    )
+    line = F.when(eid % 20 == 0, F.lit("not a cef line")).otherwise(
+        F.concat(
+            F.lit("CEF:0|SecCo|FW"), (uid % 3).cast("string"),
+            F.lit("|1."), (uid % 5).cast("string"),
+            F.lit("|sig-"), (eid % 50).cast("string"),
+            F.lit("|"), F.col("event_type"), F.lit(" detected"),
+            F.lit("|"), (eid % 10).cast("string"),
+            F.lit("|"), ext,
+        )
+    )
+    parsed = cef_parse(ev.select("event_id", line.alias("line")), "line")
+    return parsed.select(
+        "event_id", "cef_version", "vendor", "product",
+        "device_version", "signature_id", "name", "severity",
+        "ext_src", "ext_dst", "ext_spt", "ext_act",
+    )
+
+
+# ---------------------------------------------------------------------
+# 325. Chao1 unseen-vocabulary estimate + Good-Turing coverage per
+#      source — the vocabulary ASYMPTOTE beside heaps_law_fit's
+#      growth exponent: bias-corrected V + V1(V1-1)/(2(V2+1)) and
+#      C = 1 - V1/N from the frequency spectrum.
+# ---------------------------------------------------------------------
+@register(
+    "chao1_vocab",
+    """
+    with w as (select source as grp,
+                 unnest(string_split(text, ' ')) as word
+               from documents),
+    cw as (select grp, word, count(*) as c from w group by 1, 2),
+    g as (select grp, sum(c) as n, count(*) as types,
+            sum(case when c = 1 then 1 else 0 end) as v1,
+            sum(case when c = 2 then 1 else 0 end) as v2
+          from cw group by 1)
+    select grp as source, cast(n as bigint) as n_tokens,
+      cast(types as bigint) as n_types,
+      cast(v1 as bigint) as v1, cast(v2 as bigint) as v2,
+      round(types + cast(v1 as double) * (v1 - 1)
+            / (2.0 * (v2 + 1)), 4) as chao1_est,
+      round(1.0 - cast(v1 as double) / n, 6) as gt_coverage
+    from g where n >= 1
+    """,
+)
+def q_chao1_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import chao1_vocab
+
+    return chao1_vocab(_t(spark, sf_dir, "documents"), "source", "text")
+
+
+# ---------------------------------------------------------------------
+# 326. QQ decile-shift drift profile per event type between the
+#      user_id-parity segments — WHERE the distribution moved
+#      (wasserstein_drift reports the total, ks_value_drift the max;
+#      this localizes it per decile).  Both segments' exact decile
+#      vectors compute in ONE conditional-percentile aggregate.
+# ---------------------------------------------------------------------
+@register(
+    "qq_shift_profile",
+    """
+    with s as (select event_type as key, cast(user_id % 2 as int) as g,
+                 cast(value as double) as v
+               from events where value is not null),
+    a as (select key,
+            sum(case when g = 0 then 1 else 0 end) as na,
+            sum(case when g = 1 then 1 else 0 end) as nb,
+            quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                              0.6, 0.7, 0.8, 0.9])
+              filter (where g = 0) as qa,
+            quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                              0.6, 0.7, 0.8, 0.9])
+              filter (where g = 1) as qb
+          from s group by 1),
+    ex as (select key, na, nb, qa, qb, unnest(range(1, 10)) as i
+           from a where na > 0 and nb > 0)
+    select key, cast(na as bigint) as n_a, cast(nb as bigint) as n_b,
+      cast(i * 10 as int) as pct,
+      round(qa[i], 6) as q_a, round(qb[i], 6) as q_b,
+      round(qb[i] - qa[i], 6) as shift
+    from ex
+    """,
+)
+def q_qq_shift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import qq_shift
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("user_id") % 2).alias("seg")
+    )
+    return qq_shift(ev, "event_type", "seg", "value")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

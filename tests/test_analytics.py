@@ -1356,3 +1356,24 @@ def test_page_hinkley_detects_level_shift(spark):
     r2 = page_hinkley(df2, "key", "o", "x", delta=0.0, lam=15.0).collect()[0]
     assert abs(r2["ph_max"] - 20.0) < 1e-9
     assert r2["alarmed"] is True and r2["alarm_idx"] == 3
+
+
+def test_qq_shift_localizes_tail_move(spark):
+    from sparkcollector.operators.analytics import qq_shift
+
+    # seg 0: 1..100 ; seg 1: same body but the top decile doubled —
+    # shift must be ~0 at p10..p80 and large at p90.
+    rows = [("k", 0, float(v)) for v in range(1, 101)]
+    rows += [("k", 1, float(v)) for v in range(1, 91)]
+    rows += [("k", 1, float(v * 2)) for v in range(91, 101)]
+    df = spark.createDataFrame(rows, "key string, seg int, value double")
+    got = {r["pct"]: r for r in qq_shift(df, "key", "seg").collect()}
+    assert len(got) == 9
+    assert got[10]["n_a"] == 100 and got[10]["n_b"] == 100
+    assert abs(got[50]["shift"]) < 1e-6
+    assert abs(got[80]["shift"]) < 1e-6
+    # p90 rank = 99*0.9 = 89.1 -> interpolates 90 + 0.1*(182-90) = 99.2
+    # vs seg0's 90.1: shift = 9.1 exactly (hand-computed boundary)
+    assert abs(got[90]["shift"] - 9.1) < 1e-6
+    # q_a at p50 of 1..100 = 50.5 (exact interpolation)
+    assert abs(got[50]["q_a"] - 50.5) < 1e-9

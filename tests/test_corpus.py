@@ -1090,3 +1090,24 @@ def test_yules_k_closed_form(spark):
     assert abs(got["s"]["simpson_d"] - 0.5) < 1e-9
     # all-distinct text: K = 0, D = 0 (no repeats)
     assert got["t"]["yules_k"] == 0.0 and got["t"]["simpson_d"] == 0.0
+
+
+def test_chao1_vocab_closed_form(spark):
+    from sparkcollector.operators.corpus import chao1_vocab
+
+    # counts: a:3 b:2 c:1 d:1 -> V=4, V1=2, V2=1, N=7
+    # chao1 = 4 + 2*1/(2*2) = 4.5 ; coverage = 1 - 2/7
+    df = spark.createDataFrame(
+        [("s", "a a a b b c d")], "source string, text string"
+    )
+    r = chao1_vocab(df).collect()[0]
+    assert r["n_tokens"] == 7 and r["n_types"] == 4
+    assert r["v1"] == 2 and r["v2"] == 1
+    assert abs(r["chao1_est"] - 4.5) < 1e-9
+    assert abs(r["gt_coverage"] - (1 - 2 / 7)) < 1e-6
+    # no hapax: chao1 collapses to V, coverage 1
+    df2 = spark.createDataFrame(
+        [("t", "x x y y")], "source string, text string"
+    )
+    r2 = chao1_vocab(df2).collect()[0]
+    assert r2["chao1_est"] == 2.0 and r2["gt_coverage"] == 1.0

@@ -419,3 +419,26 @@ def test_syslog3164_parse_grammar(spark):
     assert r2["pid"] is None and r2["app"] == "app-2"
     assert got[3]["pri"] is None                        # PRI > 191 invalid
     assert got[4]["pri"] is None and got[4]["msg"] is None
+
+
+def test_cef_parse_header_and_extension(spark):
+    from sparkcollector.operators.promparse import cef_parse
+
+    rows = [
+        (1, "CEF:0|SecCo|FW1|1.2|sig-9|port scan detected|7|"
+            "src=10.0.0.5 dst=10.1.0.9 spt=2048 act=allowed in"),
+        (2, "CEF:1|V|P|v|s|n|3|act=deny"),
+        (3, "garbage"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, line string")
+    got = {r["event_id"]: r for r in cef_parse(df).collect()}
+    r1 = got[1]
+    assert r1["cef_version"] == 0 and r1["vendor"] == "SecCo"
+    assert r1["signature_id"] == "sig-9" and r1["severity"] == 7
+    assert r1["name"] == "port scan detected"
+    assert r1["ext_src"] == "10.0.0.5" and r1["ext_spt"] == "2048"
+    assert r1["ext_act"] == "allowed in"      # space kept in last value
+    r2 = got[2]
+    assert r2["cef_version"] == 1 and r2["ext_act"] == "deny"
+    assert r2["ext_src"] is None              # absent key -> NULL
+    assert got[3]["cef_version"] is None and got[3]["ext_act"] is None
