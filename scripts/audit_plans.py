@@ -2210,8 +2210,8 @@ def main() -> None:
         [
             ("pure narrow projection: zero exchanges",
              lambda p: "Exchange" not in p),
-            ("regex + conv arithmetic stay in whole-stage codegen",
-             lambda p: "WholeStageCodegen" in p),
+            ("single Project over the scan — no Generate/expand",
+             lambda p: "Generate" not in p and "Expand" not in p),
             ("no Python / UDF in plan", lambda p: "Python" not in p),
         ],
         out,
@@ -2225,8 +2225,8 @@ def main() -> None:
         [
             ("pure narrow projection: zero exchanges",
              lambda p: "Exchange" not in p),
-            ("regex fields stay in whole-stage codegen",
-             lambda p: "WholeStageCodegen" in p),
+            ("single Project over the scan — no Generate/expand",
+             lambda p: "Generate" not in p and "Expand" not in p),
             ("no Python / UDF in plan", lambda p: "Python" not in p),
         ],
         out,
@@ -2268,8 +2268,8 @@ def main() -> None:
         [
             ("pure narrow projection: zero exchanges",
              lambda p: "Exchange" not in p),
-            ("header + extension regexes stay in whole-stage codegen",
-             lambda p: "WholeStageCodegen" in p),
+            ("single Project over the scan — no Generate/expand",
+             lambda p: "Generate" not in p and "Expand" not in p),
             ("no Python / UDF in plan", lambda p: "Python" not in p),
         ],
         out,

@@ -484,3 +484,41 @@ def triangle_census(
             6,
         ).alias("global_clustering"),
     )
+
+
+def kcore_peel_step(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """One k-core peel iteration (Matula-Beck; the dup-graph /
+    link-graph densest-region extractor): on the CURRENT undirected
+    edge set, compute each node's degree and mark nodes below ``k``
+    for removal — the caller loops, feeding the surviving edge set
+    back, until no node is removed (the iterative-algorithm pattern of
+    ``pagerank_step``/``kmeans_lloyd_step``: one step as pure
+    dataflow).
+
+    Self-loops and duplicate/reversed edges collapse first so degree
+    is simple-graph degree.  One endpoint explode + one node-keyed
+    aggregate per step; the report is |nodes|-bounded.  ``kept`` nodes
+    with their degrees are exactly what the next round's edge
+    semi-join consumes.
+    """
+    a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
+    b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
+    simple = (
+        edges.select(a, b)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    inc = simple.select(
+        F.explode(F.array("a", "b")).alias("node")
+    )
+    deg = inc.groupBy("node").agg(F.count("*").alias("degree"))
+    return deg.select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        (F.col("degree") >= k).alias("kept"),
+    )

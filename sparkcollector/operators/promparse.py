@@ -858,3 +858,40 @@ def cef_parse(
         keep(g(7).try_cast("int")).alias("severity"),
         *[ext(k).alias(f"ext_{k}") for k in ext_keys],
     )
+
+
+def ltsv_parse(
+    df: DataFrame,
+    line_col: str = "line",
+    keys: tuple[str, ...] = ("host", "status", "size"),
+) -> DataFrame:
+    """LTSV (Labeled Tab-Separated Values) parse — the nginx/Apache
+    access-log labeling convention in the same stanza-parser family as
+    the reference's apache/syslog regex parsers
+    (`splunk_logs_config_linux.yaml:185-186`): ``key:value`` fields
+    separated by hard tabs, values free to contain colons.
+
+    Each requested key extracts with an anchored regexp; absent keys
+    yield NULL (LTSV's schema is open — absence is data).
+    ``n_fields`` counts the well-formed ``key:value`` fields so a
+    mis-delimited feed is observable.  Pure codegen'd regex + array
+    HOFs, zero exchanges.
+    """
+    line = F.col(line_col)
+
+    def ext(key: str):
+        v = F.regexp_extract(line, rf"(?:^|\t){key}:([^\t]*)", 1)
+        has = line.rlike(rf"(?:^|\t){key}:")
+        return F.when(has, v)
+
+    n_fields = F.size(
+        F.filter(
+            F.split(line, "\t"),
+            lambda x: x.rlike("^[A-Za-z0-9_.\\-]+:"),
+        )
+    )
+    return df.select(
+        "*",
+        n_fields.cast("int").alias("n_fields"),
+        *[ext(k).alias(f"f_{k}") for k in keys],
+    )

@@ -2620,3 +2620,54 @@ def ddsketch_quantiles(
         est(F.col("_i95")).alias("p95_est"),
         est(F.col("_i99")).alias("p99_est"),
     )
+
+
+def p_chart(
+    df: DataFrame,
+    defect_col: str,
+    ts_col: str = "ts",
+    bucket_sec: int = 3600,
+) -> DataFrame:
+    """Shewhart p-chart over per-bucket defect proportions (the SPC
+    control chart behind "is this error rate still in statistical
+    control" — a different question than the trailing z-score of
+    ``rate_anomaly_scores``: the centerline is the WHOLE series, and
+    the limits widen for thin buckets): per time bucket of size
+    ``bucket_sec``, the defect share ``p_i = d_i / n_i`` is compared
+    against ``pbar +- 3*sqrt(pbar*(1-pbar)/n_i)`` where ``pbar`` is
+    the pooled defect share.
+
+    One grouped pass builds the bounded bucket table; the pooled
+    centerline reduces to ONE row and joins back as a broadcast.
+    Limits clamp to [0, 1] (proportions).  ``out_of_control`` uses
+    the rounded p against rounded limits so the flag is engine-stable.
+    """
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    b = df.select(
+        (F.floor(epoch / bucket_sec) * bucket_sec)
+        .cast("long")
+        .alias("bucket_start"),
+        F.col(defect_col).cast("int").alias("_d"),
+    )
+    per = b.groupBy("bucket_start").agg(
+        F.count("*").alias("n"), F.sum("_d").alias("d")
+    )
+    pooled = per.agg(
+        (F.sum("d").cast("double") / F.sum("n")).alias("_pbar")
+    )
+    j = per.crossJoin(F.broadcast(pooled))
+    pbar = F.col("_pbar")
+    sig = F.sqrt(pbar * (1.0 - pbar) / F.col("n"))
+    p = F.round(F.col("d").cast("double") / F.col("n"), 6)
+    ucl = F.round(F.least(pbar + 3.0 * sig, F.lit(1.0)), 6)
+    lcl = F.round(F.greatest(pbar - 3.0 * sig, F.lit(0.0)), 6)
+    return j.select(
+        "bucket_start",
+        F.col("n").cast("long").alias("n"),
+        F.col("d").cast("long").alias("defects"),
+        p.alias("p"),
+        F.round(pbar, 6).alias("pbar"),
+        ucl.alias("ucl"),
+        lcl.alias("lcl"),
+        ((p > ucl) | (p < lcl)).alias("out_of_control"),
+    )

@@ -13086,6 +13086,156 @@ def q_qq_shift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 327. LTSV access-log parse (nginx/Apache labeling convention; the
+#      same stanza-parser family as the apache regex_parser,
+#      splunk_logs_config_linux.yaml:185-186): tab-separated
+#      key:value fields, open schema, colons legal inside values.
+#      Oracle derives expected fields from SOURCE columns.
+# ---------------------------------------------------------------------
+@register(
+    "ltsv_parse",
+    """
+    with base as (
+      select event_id, user_id, event_type,
+             event_id % 20 = 0 as bad,
+             event_id % 7 = 0 as nosize
+      from events)
+    select event_id,
+      case when bad then 0
+           when nosize then 3 else 4 end as n_fields,
+      case when bad then NULL
+           else 'h' || cast(user_id % 10 as varchar) end as f_host,
+      case when bad then NULL
+           else cast(200 + (event_id % 3) * 100 as varchar) end as f_status,
+      case when bad or nosize then NULL
+           else cast(event_id % 5000 as varchar) end as f_size,
+      case when bad then NULL
+           else 'http://r/' || event_type || ':443' end as f_ref
+    from base
+    """,
+)
+def q_ltsv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import ltsv_parse
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    size_field = F.when(
+        eid % 7 == 0, F.lit("")
+    ).otherwise(
+        F.concat(F.lit("\tsize:"), (eid % 5000).cast("string"))
+    )
+    line = F.when(
+        eid % 20 == 0, F.lit("plain text no tabs")
+    ).otherwise(
+        F.concat(
+            F.lit("host:h"), (uid % 10).cast("string"),
+            F.lit("\tstatus:"), (F.lit(200) + (eid % 3) * 100).cast("string"),
+            size_field,
+            F.lit("\tref:http://r/"), F.col("event_type"), F.lit(":443"),
+        )
+    )
+    parsed = ltsv_parse(
+        ev.select("event_id", line.alias("line")),
+        "line",
+        keys=("host", "status", "size", "ref"),
+    )
+    return parsed.select(
+        "event_id", "n_fields", "f_host", "f_status", "f_size", "f_ref"
+    )
+
+
+# ---------------------------------------------------------------------
+# 328. k-core peel step (Matula-Beck) over a deterministic interaction
+#      graph — one iteration of the densest-region extractor as pure
+#      dataflow (the pagerank_step/kmeans_lloyd_step pattern: the
+#      caller loops on the surviving edge set).  Self-loops and
+#      duplicate/reversed edges collapse to simple-graph degree.
+# ---------------------------------------------------------------------
+@register(
+    "kcore_peel",
+    """
+    with e0 as (select least(user_id % 400, (user_id + event_id * 13) % 400)
+                  as a,
+                greatest(user_id % 400, (user_id + event_id * 13) % 400)
+                  as b
+                from events),
+    e as (select distinct a, b from e0 where a <> b),
+    inc as (select a as node from e union all select b as node from e),
+    d as (select node, count(*) as degree from inc group by 1)
+    select cast(node as bigint) as node, cast(degree as bigint) as degree,
+           degree >= 8 as kept
+    from d
+    """,
+)
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import kcore_peel_step
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 400).alias("src"),
+        ((F.col("user_id") + F.col("event_id") * 13) % 400).alias("dst"),
+    )
+    return kcore_peel_step(edges, k=8)
+
+
+# ---------------------------------------------------------------------
+# 329. Shewhart p-chart over hourly error proportions — statistical
+#      process control with a pooled centerline and per-bucket
+#      3-sigma limits that widen for thin buckets (a different
+#      question than the trailing z-score: "is the rate in control
+#      vs the WHOLE series").  Flags compare rounded values so the
+#      verdict is engine-stable.
+# ---------------------------------------------------------------------
+@register(
+    "p_chart_error_rate",
+    """
+    with b as (select cast(floor(epoch(ts) / 3600) * 3600 as bigint)
+                 as bucket_start,
+               case when event_type = 'error' then 1 else 0 end as d
+               from events),
+    per as (select bucket_start, count(*) as n, sum(d) as d
+            from b group by 1),
+    t as (select sum(d) as td, sum(n) as tn from per)
+    select bucket_start, cast(n as bigint) as n,
+      cast(d as bigint) as defects,
+      round(cast(d as double) / n, 6) as p,
+      round(cast(td as double) / tn, 6) as pbar,
+      round(least(cast(td as double) / tn
+        + 3.0 * sqrt(cast(td as double) / tn
+                     * (1.0 - cast(td as double) / tn) / n), 1.0), 6)
+        as ucl,
+      round(greatest(cast(td as double) / tn
+        - 3.0 * sqrt(cast(td as double) / tn
+                     * (1.0 - cast(td as double) / tn) / n), 0.0), 6)
+        as lcl,
+      (round(cast(d as double) / n, 6)
+         > round(least(cast(td as double) / tn
+             + 3.0 * sqrt(cast(td as double) / tn
+                          * (1.0 - cast(td as double) / tn) / n),
+             1.0), 6))
+      or (round(cast(d as double) / n, 6)
+         < round(greatest(cast(td as double) / tn
+             - 3.0 * sqrt(cast(td as double) / tn
+                          * (1.0 - cast(td as double) / tn) / n),
+             0.0), 6)) as out_of_control
+    from per, t
+    """,
+)
+def q_p_chart_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import p_chart
+
+    ev = _t(spark, sf_dir, "events")
+    return p_chart(
+        ev.select(
+            "ts", (F.col("event_type") == "error").alias("is_err")
+        ),
+        "is_err",
+        "ts",
+        bucket_sec=3600,
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -217,3 +217,25 @@ def test_triangle_census_known_graph(spark):
     assert (r["n_nodes"], r["n_edges"]) == (4, 4)
     assert (r["n_wedges"], r["n_triangles"]) == (5, 1)
     assert abs(r["global_clustering"] - 0.6) < 1e-9
+
+
+def test_kcore_peel_step_known_graph(spark):
+    from sparkcollector.operators.graph import kcore_peel_step
+
+    # triangle 1-2-3 plus pendant 4 hanging off 1; self-loop and a
+    # reversed duplicate must collapse before degrees.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3), (1, 4), (4, 4)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r for r in kcore_peel_step(edges, k=2).collect()}
+    assert got[1]["degree"] == 3 and got[1]["kept"] is True
+    assert got[2]["degree"] == 2 and got[3]["degree"] == 2
+    assert got[4]["degree"] == 1 and got[4]["kept"] is False
+    # after removing node 4, the triangle survives a second peel
+    surv = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    again = {r["node"]: r["kept"] for r in
+             kcore_peel_step(surv, k=2).collect()}
+    assert again == {1: True, 2: True, 3: True}

@@ -442,3 +442,23 @@ def test_cef_parse_header_and_extension(spark):
     assert r2["cef_version"] == 1 and r2["ext_act"] == "deny"
     assert r2["ext_src"] is None              # absent key -> NULL
     assert got[3]["cef_version"] is None and got[3]["ext_act"] is None
+
+
+def test_ltsv_parse_open_schema(spark):
+    from sparkcollector.operators.promparse import ltsv_parse
+
+    rows = [
+        (1, "host:web1\tstatus:200\tsize:512\tref:http://a/b:443"),
+        (2, "host:web2\tstatus:404"),          # size/ref absent
+        (3, "no tabs or labels here"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, line string")
+    got = {r["event_id"]: r for r in
+           ltsv_parse(df, keys=("host", "status", "size", "ref")).collect()}
+    r1 = got[1]
+    assert r1["n_fields"] == 4 and r1["f_host"] == "web1"
+    assert r1["f_size"] == "512"
+    assert r1["f_ref"] == "http://a/b:443"     # colon inside value kept
+    r2 = got[2]
+    assert r2["n_fields"] == 2 and r2["f_size"] is None
+    assert got[3]["n_fields"] == 0 and got[3]["f_host"] is None

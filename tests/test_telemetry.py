@@ -1225,3 +1225,34 @@ def test_ddsketch_pinned_bucket():
     assert i == 231
     est = 2.0 * gamma**i / (gamma + 1.0)
     assert abs(est - 100.0) <= 1.0             # within alpha*v
+
+
+def test_p_chart_flags_out_of_control_bucket(spark):
+    import datetime
+
+    from sparkcollector.operators.telemetry import p_chart
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = []
+    # 5 buckets at 10% defects (100 obs each), one bucket at 60%
+    for h in range(5):
+        for i in range(100):
+            rows.append((t0 + datetime.timedelta(hours=h, seconds=i),
+                         i < 10))
+    for i in range(100):
+        rows.append((t0 + datetime.timedelta(hours=5, seconds=i), i < 60))
+    df = spark.createDataFrame(rows, "ts timestamp, is_err boolean")
+    got = sorted(p_chart(df, "is_err").collect(),
+                 key=lambda r: r["bucket_start"])
+    assert len(got) == 6
+    # pooled centerline = (5*10 + 60)/600
+    assert abs(got[0]["pbar"] - 110 / 600) < 1e-6
+    assert [r["out_of_control"] for r in got] == [False] * 5 + [True]
+    assert got[5]["p"] == 0.6
+    # limits widen for thin buckets: a 4-obs bucket has wider bands
+    rows2 = rows + [(t0 + datetime.timedelta(hours=6, seconds=i), i < 1)
+                    for i in range(4)]
+    df2 = spark.createDataFrame(rows2, "ts timestamp, is_err boolean")
+    got2 = sorted(p_chart(df2, "is_err").collect(),
+                  key=lambda r: r["bucket_start"])
+    assert got2[6]["ucl"] > got2[0]["ucl"]
