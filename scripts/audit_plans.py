@@ -2303,6 +2303,50 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 72: DDSketch merge law, EB shrinkage, expected AP.
+    all_ok &= audit(
+        "ddsketch_merge",
+        lambda: queries()["ddsketch_merge"](spark, SF_DIR),
+        [
+            ("shard and direct sketch counts both reduce with "
+             "map-side partials", lambda p: "partial" in p.lower()),
+            ("merged-vs-direct compare joins the two bounded sketch "
+             "reads, never the facts", lambda p: "Join" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "eb_shrunk_rates",
+        lambda: queries()["eb_shrunk_rates"](spark, SF_DIR),
+        [
+            ("per-key counts reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("the prior fits from ONE row and joins back as a "
+             "broadcast", lambda p: "BroadcastExchange" in p),
+            ("no window over facts", lambda p: "Window" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "average_precision",
+        lambda: queries()["average_precision"](spark, SF_DIR),
+        [
+            ("ONE keyed shuffle builds the (key, score) histogram "
+             "(map-side partials)", lambda p: "partial" in p.lower()),
+            ("cumulative windows run over the bounded histogram, "
+             "the facts are never sorted", lambda p: "Window" in p),
+            ("the k-sum folds in-row — no join, no explode",
+             lambda p: "Join" not in p and "Generate" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

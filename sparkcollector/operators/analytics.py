@@ -3747,3 +3747,137 @@ def qq_shift(
         F.round(qb, 6).alias("q_b"),
         F.round(qb - qa, 6).alias("shift"),
     )
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    key_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrunk rates per key — the
+    "which key REALLY has the highest rate" ranking that raw shares
+    get wrong for thin keys: the per-key rate distribution fits a
+    Beta(alpha, beta) prior by method of moments
+    (``alpha = mu*(mu(1-mu)/var - 1)``, ``beta = alpha*(1/mu - 1)``),
+    and each key's posterior mean is
+    ``(successes + alpha) / (n + alpha + beta)`` — small-n keys shrink
+    hard toward the pooled mean, large-n keys barely move.
+
+    One keyed aggregate builds the (key, n, successes) table; the
+    prior fits from ONE row of power sums over that bounded table and
+    joins back as a broadcast.  Degenerate fits (zero variance, or
+    var >= mu(1-mu) so the moments leave the Beta family) surface
+    NULL alpha/beta and the shrunk rate falls back to the raw rate.
+    """
+    per = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(success_col).cast("int")).alias("s"),
+    )
+    r = F.col("s").cast("double") / F.col("n")
+    rates = per.select("key", "n", "s", r.alias("_r"))
+    stats = rates.agg(
+        F.count("*").alias("_k"),
+        F.sum("_r").alias("_sr"),
+        F.sum(F.col("_r") * F.col("_r")).alias("_srr"),
+    ).select(
+        (F.col("_sr") / F.col("_k")).alias("_mu"),
+        (
+            F.col("_srr") / F.col("_k")
+            - (F.col("_sr") / F.col("_k")) * (F.col("_sr") / F.col("_k"))
+        ).alias("_var"),
+    )
+    j = rates.crossJoin(F.broadcast(stats))
+    mu, var = F.col("_mu"), F.col("_var")
+    fit_ok = (var > 0) & (var < mu * (1.0 - mu))
+    alpha = F.when(fit_ok, mu * (mu * (1.0 - mu) / var - 1.0))
+    beta = F.when(fit_ok, alpha * (1.0 / mu - 1.0))
+    shrunk = F.when(
+        fit_ok,
+        (F.col("s") + alpha) / (F.col("n") + alpha + beta),
+    ).otherwise(F.col("_r"))
+    return j.select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("successes"),
+        F.round("_r", 6).alias("raw_rate"),
+        F.round(mu, 6).alias("pooled_mean"),
+        F.round(alpha, 6).alias("prior_alpha"),
+        F.round(beta, 6).alias("prior_beta"),
+        F.round(shrunk, 6).alias("shrunk_rate"),
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Tie-aware expected Average Precision per key (McSherry &
+    Najork, ECIR 2008) — threshold-free ranking quality beside the
+    calibration pair (``ece_calibration``/``brier_decomposition``):
+    AP under a UNIFORM RANDOM order within tied-score blocks, which is
+    the only engine-stable definition (a unique-id tie-break would
+    rank by an arbitrary column; random-within-ties is the published
+    convention).
+
+    For block b (scores descending) with n_b items, p_b positives,
+    R_b positives before it and S_b items before it, linearity of
+    expectation gives the exact contribution
+    ``sum_{k=1..n_b} (p_b/n_b) * (R_b + 1 + (k-1)(p_b-1)/(n_b-1))
+    / (S_b + k)`` and ``AP = sum_b contrib_b / n_pos``.
+
+    Scale shape: ONE keyed shuffle builds the (key, score) histogram;
+    cumulative windows run over that bounded table; the k-sum folds
+    in-row over the tie-block length.  The fact table is never
+    globally sorted and never windowed.
+    """
+    s = df.select(
+        F.col(key_col).alias("key"),
+        F.col(score_col).cast("double").alias("_sc"),
+        F.col(label_col).cast("int").alias("_y"),
+    )
+    blk = s.groupBy("key", "_sc").agg(
+        F.count("*").alias("_n"), F.sum("_y").alias("_p")
+    )
+    wprev = (
+        Window.partitionBy("key")
+        .orderBy(F.col("_sc").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = blk.select(
+        "key",
+        "_n",
+        "_p",
+        F.coalesce(F.sum("_n").over(wprev), F.lit(0)).alias("_sb"),
+        F.coalesce(F.sum("_p").over(wprev), F.lit(0)).alias("_rb"),
+    )
+    nb = F.col("_n").cast("double")
+    pb = F.col("_p").cast("double")
+    within = F.when(
+        F.col("_n") > 1,
+        (pb - 1.0) / (nb - 1.0),
+    ).otherwise(F.lit(0.0))
+    contrib = F.aggregate(
+        F.sequence(F.lit(1), F.col("_n")),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + (pb / nb)
+        * (F.col("_rb") + 1.0 + (k.cast("double") - 1.0) * within)
+        / (F.col("_sb") + k.cast("double")),
+    )
+    agg = b.groupBy("key").agg(
+        F.sum(F.col("_n")).cast("long").alias("n"),
+        F.sum(F.col("_p")).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("_p") > 0, contrib).otherwise(0.0)).alias(
+            "_ap_sum"
+        ),
+    )
+    return agg.filter(F.col("n_pos") > 0).select(
+        "key",
+        "n",
+        "n_pos",
+        F.round(F.col("_ap_sum") / F.col("n_pos"), 6).alias(
+            "avg_precision"
+        ),
+    )

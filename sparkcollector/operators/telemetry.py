@@ -2671,3 +2671,123 @@ def p_chart(
         lcl.alias("lcl"),
         ((p > ucl) | (p < lcl)).alias("out_of_control"),
     )
+
+
+def ddsketch_buckets(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str = "value",
+    alpha: float = 0.01,
+) -> DataFrame:
+    """The DDSketch itself: per-key log-gamma bucket counts (NULL
+    bucket = the non-positive "zero bucket").  This IS the mergeable
+    state — merging shards is adding counts per (key, bucket), which
+    ``ddsketch_merge_quantiles`` exercises as a law.
+    """
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    v = F.col(value_col).cast("double")
+    b = df.select(
+        *key_cols,
+        F.when(
+            v > 0, F.ceil(F.round(F.log(v) / F.log(F.lit(gamma)), 9))
+        ).alias("bucket"),
+    )
+    return b.groupBy(*key_cols, "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def ddsketch_from_buckets(
+    buckets: DataFrame,
+    key_cols: list[str],
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Quantile estimates from a (possibly merged) DDSketch bucket
+    table — the read side of ``ddsketch_buckets``; same rank walk and
+    ``2*gamma^i/(gamma+1)`` estimate as ``ddsketch_quantiles``.
+    """
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    wall = Window.partitionBy(*key_cols)
+    wcum = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("bucket").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nn = F.when(F.col("bucket").isNotNull(), F.col("cnt"))
+    r = buckets.select(
+        *key_cols,
+        "bucket",
+        F.sum(nn).over(wall).alias("_n"),
+        F.sum(F.coalesce(nn, F.lit(0))).over(wcum).alias("_cum"),
+    ).filter(F.col("bucket").isNotNull())
+
+    def _pick(q: float) -> Column:
+        rank = F.floor(F.lit(q) * (F.col("_n") - 1)) + 1
+        return F.min(F.when(F.col("_cum") >= rank, F.col("bucket")))
+
+    est = lambda i: F.round(  # noqa: E731
+        F.lit(2.0) * F.pow(F.lit(gamma), i) / F.lit(gamma + 1.0), 6
+    )
+    agg = r.groupBy(*key_cols).agg(
+        F.max("_n").cast("long").alias("n"),
+        _pick(0.5).alias("_i50"),
+        _pick(0.95).alias("_i95"),
+        _pick(0.99).alias("_i99"),
+    )
+    return agg.select(
+        *key_cols,
+        "n",
+        est(F.col("_i50")).alias("p50_est"),
+        est(F.col("_i95")).alias("p95_est"),
+        est(F.col("_i99")).alias("p99_est"),
+    )
+
+
+def ddsketch_merge_quantiles(
+    df: DataFrame,
+    key_cols: list[str],
+    shard_col: str,
+    value_col: str = "value",
+    alpha: float = 0.01,
+) -> DataFrame:
+    """DDSketch merge law, exercised end-to-end (the ``hll_merge``
+    pattern): build an INDEPENDENT sketch per (key, shard), merge the
+    shards by adding bucket counts, and read quantiles off the merged
+    sketch side-by-side with the sketch built directly on the unsharded
+    data.  Counts are integers, so merge == direct EXACTLY — the
+    property that makes the sketch safe for map-side partials and
+    cross-cluster rollups at 10^12 rows; ``merge_matches`` audits it.
+    """
+    sharded = ddsketch_buckets(
+        df, [*key_cols, shard_col], value_col, alpha
+    )
+    merged_buckets = sharded.groupBy(*key_cols, "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    merged = ddsketch_from_buckets(merged_buckets, key_cols, alpha)
+    direct = ddsketch_from_buckets(
+        ddsketch_buckets(df, key_cols, value_col, alpha),
+        key_cols,
+        alpha,
+    ).select(
+        *key_cols,
+        F.col("p50_est").alias("p50_direct"),
+        F.col("p95_est").alias("p95_direct"),
+        F.col("p99_est").alias("p99_direct"),
+    )
+    j = merged.join(direct, on=list(key_cols))
+    return j.select(
+        *key_cols,
+        "n",
+        F.col("p50_est").alias("p50_merged"),
+        F.col("p95_est").alias("p95_merged"),
+        F.col("p99_est").alias("p99_merged"),
+        "p50_direct",
+        "p95_direct",
+        "p99_direct",
+        (
+            (F.col("p50_est") == F.col("p50_direct"))
+            & (F.col("p95_est") == F.col("p95_direct"))
+            & (F.col("p99_est") == F.col("p99_direct"))
+        ).alias("merge_matches"),
+    )

@@ -13236,6 +13236,201 @@ def q_p_chart_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 330. DDSketch merge law exercised end-to-end (the hll_merge
+#      pattern): per-(event_type, user_id%4) shard sketches merged by
+#      adding bucket counts == the sketch built directly — integer
+#      counts make the law exact, which is what licenses map-side
+#      partials and cross-cluster rollups.  Spark genuinely builds
+#      both paths; the oracle rebuilds from scratch.
+# ---------------------------------------------------------------------
+@register(
+    "ddsketch_merge",
+    """
+    with s as (select event_type as key, cast(value as double) as v
+               from events),
+    b as (select key,
+            case when v > 0 then cast(ceil(round(
+              ln(v) / ln(cast(1.02020202020202 as double)), 9))
+              as bigint) end as i,
+            count(*) as c
+          from s group by 1, 2),
+    r as (select key, i, c,
+            sum(case when i is not null then c end)
+              over (partition by key) as n,
+            sum(case when i is not null then c else 0 end)
+              over (partition by key order by i
+                    rows between unbounded preceding and current row)
+              as cum
+          from b),
+    f as (select key, max(n) as n,
+            min(case when i is not null
+                      and cum >= floor(0.5 * (n - 1)) + 1
+                     then i end) as i50,
+            min(case when i is not null
+                      and cum >= floor(0.95 * (n - 1)) + 1
+                     then i end) as i95,
+            min(case when i is not null
+                      and cum >= floor(0.99 * (n - 1)) + 1
+                     then i end) as i99
+          from r group by 1),
+    e as (select key, n,
+            round(2.0 * pow(cast(1.02020202020202 as double), i50)
+                  / cast(2.02020202020202 as double), 6) as p50,
+            round(2.0 * pow(cast(1.02020202020202 as double), i95)
+                  / cast(2.02020202020202 as double), 6) as p95,
+            round(2.0 * pow(cast(1.02020202020202 as double), i99)
+                  / cast(2.02020202020202 as double), 6) as p99
+          from f)
+    select key as event_type, cast(n as bigint) as n,
+      p50 as p50_merged, p95 as p95_merged, p99 as p99_merged,
+      p50 as p50_direct, p95 as p95_direct, p99 as p99_direct,
+      true as merge_matches
+    from e
+    """,
+)
+def q_ddsketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import ddsketch_merge_quantiles
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("user_id") % 4).alias("shard")
+    )
+    return ddsketch_merge_quantiles(
+        ev, ["event_type"], "shard", "value", alpha=0.01
+    )
+
+
+# ---------------------------------------------------------------------
+# 331. Empirical-Bayes beta-binomial shrunk error rates per user —
+#      method-of-moments Beta prior over the per-user rate
+#      distribution; thin users shrink hard toward the pooled mean
+#      (the ranking raw shares get wrong).  Prior fits from ONE row
+#      of power sums; degenerate fits fall back to the raw rate.
+# ---------------------------------------------------------------------
+@register(
+    "eb_shrunk_rates",
+    """
+    with per as (select user_id as key, count(*) as n,
+                   sum(case when event_type = 'error' then 1 else 0 end)
+                     as s
+                 from events group by 1),
+    r as (select key, n, s, cast(s as double) / n as rr from per),
+    st as (select count(*) as k, sum(rr) as sr, sum(rr * rr) as srr
+           from r),
+    m as (select sr / k as mu,
+            srr / k - (sr / k) * (sr / k) as var from st),
+    f as (select key, n, s, rr, mu, var,
+            (var > 0 and var < mu * (1.0 - mu)) as ok
+          from r, m),
+    g as (select *, case when ok
+            then mu * (mu * (1.0 - mu) / var - 1.0) end as a from f),
+    h as (select *, case when ok
+            then a * (1.0 / mu - 1.0) end as b from g)
+    select key, cast(n as bigint) as n, cast(s as bigint) as successes,
+      round(rr, 6) as raw_rate,
+      round(mu, 6) as pooled_mean,
+      round(a, 6) as prior_alpha,
+      round(b, 6) as prior_beta,
+      round(case when ok then (s + a) / (n + a + b) else rr end, 6)
+        as shrunk_rate
+    from h
+    """,
+)
+def q_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import eb_shrunk_rates
+
+    ev = _t(spark, sf_dir, "events")
+    return eb_shrunk_rates(
+        ev.select(
+            F.col("user_id"),
+            (F.col("event_type") == "error").alias("is_err"),
+        ),
+        "user_id",
+        "is_err",
+    )
+
+
+# ---------------------------------------------------------------------
+# 332. Tie-aware expected Average Precision per event type (McSherry
+#      & Najork, ECIR 2008): AP under a uniform random order within
+#      tied-score blocks — the only engine-stable definition.  Label
+#      synthesized correlated with the portable-hash score so the
+#      ranking is genuinely better than chance.  Histogram + bounded
+#      windows + in-row k-fold; the fact table is never sorted.
+# ---------------------------------------------------------------------
+@register(
+    "average_precision",
+    """
+    with s as (
+      select event_type as key,
+        cast(('0x' || substr(md5(cast(event_id as varchar)), 1, 8))
+             as bigint) % 10000 / 10000.0 as sc,
+        case when cast(('0x' || substr(md5('l|' ||
+                 cast(event_id as varchar)), 1, 8)) as bigint) % 1000
+             < 200 + floor(600 * (cast(('0x' ||
+                 substr(md5(cast(event_id as varchar)), 1, 8))
+                 as bigint) % 10000 / 10000.0))
+             then 1 else 0 end as y
+      from events),
+    blk as (select key, sc, count(*) as n, sum(y) as p
+            from s group by 1, 2),
+    b as (select key, n, p,
+            coalesce(sum(n) over (partition by key order by sc desc
+              rows between unbounded preceding and 1 preceding), 0)
+              as sb,
+            coalesce(sum(p) over (partition by key order by sc desc
+              rows between unbounded preceding and 1 preceding), 0)
+              as rb
+          from blk),
+    c as (select key, n, p, sb, rb,
+            list_reduce(
+              list_prepend(cast(0 as double),
+                list_transform(range(1, n + 1), k ->
+                  (cast(p as double) / n)
+                  * (rb + 1.0 + (cast(k as double) - 1.0)
+                     * (case when n > 1
+                        then (cast(p as double) - 1.0)
+                             / (cast(n as double) - 1.0)
+                        else 0.0 end))
+                  / (sb + cast(k as double)))),
+              (acc, x) -> acc + x) as contrib
+          from b),
+    a as (select key, sum(n) as nn, sum(p) as np,
+            sum(case when p > 0 then contrib else 0.0 end) as aps
+          from c group by 1)
+    select key, cast(nn as bigint) as n, cast(np as bigint) as n_pos,
+      round(aps / np, 6) as avg_precision
+    from a where np > 0
+    """,
+)
+def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import average_precision
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    sc = (
+        F.conv(
+            F.substring(F.md5(eid.cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 10000
+        / F.lit(10000.0)
+    )
+    h2 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("l|"), eid.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    y = (h2 % 1000 < F.lit(200) + F.floor(F.lit(600.0) * sc)).cast("int")
+    return average_precision(
+        ev.select(
+            "event_type", sc.alias("score"), y.alias("label")
+        ),
+        "event_type",
+        "score",
+        "label",
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -1377,3 +1377,52 @@ def test_qq_shift_localizes_tail_move(spark):
     assert abs(got[90]["shift"] - 9.1) < 1e-6
     # q_a at p50 of 1..100 = 50.5 (exact interpolation)
     assert abs(got[50]["q_a"] - 50.5) < 1e-9
+
+
+def test_eb_shrunk_rates_shrinks_thin_keys(spark):
+    from sparkcollector.operators.analytics import eb_shrunk_rates
+
+    rows = []
+    # 20 keys with 100 obs each at rates spread around 0.3
+    for k in range(20):
+        rate = 0.2 + 0.01 * k
+        rows += [(f"big{k}", i < int(100 * rate)) for i in range(100)]
+    # one thin key: 1/1 = raw rate 1.0 — must shrink hard toward pooled
+    rows += [("thin", True)]
+    df = spark.createDataFrame(rows, "key string, ok boolean")
+    got = {r["key"]: r for r in eb_shrunk_rates(df, "key", "ok").collect()}
+    t = got["thin"]
+    assert t["raw_rate"] == 1.0
+    assert t["prior_alpha"] is not None and t["prior_alpha"] > 0
+    assert t["shrunk_rate"] < 0.8            # pulled toward ~0.3 pool
+    big = got["big19"]                       # 29/100
+    assert abs(big["shrunk_rate"] - big["raw_rate"]) < abs(
+        t["shrunk_rate"] - t["raw_rate"]
+    )                                        # big keys barely move
+    # degenerate: all keys identical rate -> zero variance -> fallback
+    df2 = spark.createDataFrame(
+        [("a", True), ("a", False), ("b", True), ("b", False)],
+        "key string, ok boolean",
+    )
+    got2 = eb_shrunk_rates(df2, "key", "ok").collect()[0]
+    assert got2["prior_alpha"] is None and got2["shrunk_rate"] == 0.5
+
+
+def test_average_precision_known_rankings(spark):
+    from sparkcollector.operators.analytics import average_precision
+
+    # perfect ranking, no ties: positives at scores 4,3 -> AP = 1
+    rows = [("p", 4.0, 1), ("p", 3.0, 1), ("p", 2.0, 0), ("p", 1.0, 0)]
+    # worst ranking: positives at the bottom -> AP = (1/3 + 2/4)/2
+    rows += [("w", 4.0, 0), ("w", 3.0, 0), ("w", 2.0, 1), ("w", 1.0, 1)]
+    # all tied, 2 of 4 positive: enumerating the 6 arrangements of
+    # RRNN gives mean AP = (1 + 5/6 + 3/4 + 7/12 + 1/2 + 5/12)/6
+    # = 49/72 — the hypergeometric expectation, NOT p/n.
+    rows += [("t", 1.0, 1), ("t", 1.0, 1), ("t", 1.0, 0), ("t", 1.0, 0)]
+    df = spark.createDataFrame(rows, "key string, score double, label int")
+    got = {r["key"]: r for r in
+           average_precision(df, "key", "score", "label").collect()}
+    assert got["p"]["avg_precision"] == 1.0
+    assert abs(got["w"]["avg_precision"] - (1 / 3 + 2 / 4) / 2) < 1e-6
+    assert abs(got["t"]["avg_precision"] - 49 / 72) < 1e-6
+    assert got["t"]["n_pos"] == 2

@@ -1256,3 +1256,17 @@ def test_p_chart_flags_out_of_control_bucket(spark):
     got2 = sorted(p_chart(df2, "is_err").collect(),
                   key=lambda r: r["bucket_start"])
     assert got2[6]["ucl"] > got2[0]["ucl"]
+
+
+def test_ddsketch_merge_equals_direct(spark):
+    from sparkcollector.operators.telemetry import ddsketch_merge_quantiles
+
+    rows = [("k", i % 3, float(v)) for i, v in enumerate(range(1, 501))]
+    df = spark.createDataFrame(rows, "key string, shard int, value double")
+    r = ddsketch_merge_quantiles(df, ["key"], "shard", "value").collect()[0]
+    assert r["merge_matches"] is True
+    assert r["p50_merged"] == r["p50_direct"]
+    assert r["p99_merged"] == r["p99_direct"]
+    assert r["n"] == 500
+    # merged estimate still honors the alpha guarantee
+    assert abs(r["p50_merged"] - 250.0) <= 0.011 * 250.0 + 1
