@@ -2347,6 +2347,51 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 73: trimmed means, nDCG@k, Misra-Gries.
+    all_ok &= audit(
+        "trimmed_means",
+        lambda: queries()["trimmed_means"](spark, SF_DIR),
+        [
+            ("percentile bounds reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("bounds join back without a forced broadcast (AQE "
+             "decides)", lambda p: "Join" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "ndcg_at_10",
+        lambda: queries()["ndcg_at_10"](spark, SF_DIR),
+        [
+            ("ONE keyed shuffle builds the (key, score) histogram",
+             lambda p: "partial" in p.lower()),
+            ("cumulative windows run over the bounded histogram only",
+             lambda p: "Window" in p),
+            ("discount folds in-row — no join, no explode",
+             lambda p: "Join" not in p and "Generate" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "misra_gries_hitters",
+        lambda: queries()["misra_gries_hitters"](spark, SF_DIR),
+        [
+            ("per-shard counters reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("top-m retention windows partition by shard (state is "
+             "O(m) per shard)", lambda p: "Window" in p),
+            ("the 1-row total bound joins back as a broadcast",
+             lambda p: "BroadcastExchange" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

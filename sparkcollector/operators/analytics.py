@@ -3881,3 +3881,93 @@ def average_precision(
             "avg_precision"
         ),
     )
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    label_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Tie-aware expected nDCG@k per key — the position-discounted
+    companion of ``average_precision`` (same McSherry-Najork
+    random-within-ties convention): for a tied-score block with n_b
+    items and p_b positives covering global ranks sb+1..sb+n_b, the
+    expected gain at each covered rank is exactly ``p_b/n_b``
+    (uniformity), so
+    ``E[DCG@k] = sum_blocks (p_b/n_b) * sum_{r in block, r<=k}
+    1/log2(r+1)`` — exact by linearity, no sampling.  The ideal DCG
+    folds from ``min(n_pos, k)`` leading ranks; both use
+    ``ln(r+1)/ln(2)`` explicitly so the discount is engine-portable.
+
+    Same scale shape as ``average_precision``: one keyed histogram
+    shuffle, bounded-window cumulatives, in-row rank folds capped at
+    ``k`` — the fact table is never sorted.
+    """
+    ln2 = F.lit(2.0)
+    s = df.select(
+        F.col(key_col).alias("key"),
+        F.col(score_col).cast("double").alias("_sc"),
+        F.col(label_col).cast("int").alias("_y"),
+    )
+    blk = s.groupBy("key", "_sc").agg(
+        F.count("*").alias("_n"), F.sum("_y").alias("_p")
+    )
+    wprev = (
+        Window.partitionBy("key")
+        .orderBy(F.col("_sc").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = blk.select(
+        "key",
+        "_n",
+        "_p",
+        F.coalesce(F.sum("_n").over(wprev), F.lit(0)).alias("_sb"),
+    )
+    span = F.least(
+        F.col("_n").cast("int"),
+        F.greatest(F.lit(k) - F.col("_sb").cast("int"), F.lit(0)),
+    )
+    # Spark's sequence(1, 0) DESCENDS — guard empty spans explicitly.
+    seq = F.when(span > 0, F.sequence(F.lit(1), span)).otherwise(
+        F.array().cast("array<int>")
+    )
+    disc_sum = F.aggregate(
+        seq,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.lit(1.0)
+        / (
+            F.log((F.col("_sb") + i.cast("double")) + 1.0)
+            / F.log(ln2)
+        ),
+    )
+    contrib = F.when(
+        (span > 0) & (F.col("_p") > 0),
+        (F.col("_p").cast("double") / F.col("_n")) * disc_sum,
+    ).otherwise(F.lit(0.0))
+    agg = b.groupBy("key").agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_p").cast("long").alias("n_pos"),
+        F.sum(contrib).alias("_dcg"),
+    )
+    ideal_span = F.least(F.col("n_pos"), F.lit(k).cast("long")).cast(
+        "int"
+    )
+    iseq = F.when(
+        ideal_span > 0, F.sequence(F.lit(1), ideal_span)
+    ).otherwise(F.array().cast("array<int>"))
+    idcg = F.aggregate(
+        iseq,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.lit(1.0) / (F.log(i.cast("double") + 1.0) / F.log(ln2)),
+    )
+    return agg.filter(F.col("n_pos") > 0).select(
+        "key",
+        "n",
+        "n_pos",
+        F.round("_dcg", 6).alias(f"dcg_at_{k}"),
+        F.round(F.col("_dcg") / idcg, 6).alias(f"ndcg_at_{k}"),
+    )

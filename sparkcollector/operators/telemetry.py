@@ -2791,3 +2791,122 @@ def ddsketch_merge_quantiles(
             & (F.col("p99_est") == F.col("p99_direct"))
         ).alias("merge_matches"),
     )
+
+
+def trimmed_means(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str = "value",
+    trim: float = 0.1,
+) -> DataFrame:
+    """Trimmed and winsorized means per key — the robust-location pair
+    beside ``winsorize`` (which clamps ROWS; this aggregates): the
+    ``trim``-trimmed mean drops values strictly outside the exact
+    [p_trim, p_(1-trim)] interpolated bounds (boundary values KEPT —
+    the pinned convention), the winsorized mean clamps them to the
+    bounds, and both sit beside the plain mean so the outlier pull is
+    visible.
+
+    Two keyed aggregates: exact percentile bounds, then the
+    conditional sums — the bounds table is |keys|-bounded and AQE
+    decides the join back (never a forced broadcast, the round-2
+    policy).
+    """
+    v = F.col(value_col).cast("double")
+    vals = df.filter(v.isNotNull()).select(
+        *key_cols, v.alias("_v")
+    )
+    bounds = vals.groupBy(*key_cols).agg(
+        F.percentile("_v", F.lit(float(trim))).alias("_lo"),
+        F.percentile("_v", F.lit(1.0 - trim)).alias("_hi"),
+    )
+    j = vals.join(bounds, on=list(key_cols))
+    inside = (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi"))
+    clamped = F.least(F.greatest(F.col("_v"), F.col("_lo")), F.col("_hi"))
+    agg = j.groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("_v").alias("_mean"),
+        F.sum(F.when(inside, F.col("_v"))).alias("_ts"),
+        F.sum(inside.cast("long")).alias("_tn"),
+        F.avg(clamped).alias("_wmean"),
+        F.max("_lo").alias("_lo"),
+        F.max("_hi").alias("_hi"),
+    )
+    return agg.select(
+        *key_cols,
+        "n",
+        F.round("_mean", 6).alias("mean"),
+        F.round(F.col("_ts") / F.col("_tn"), 6).alias("trimmed_mean"),
+        F.round("_wmean", 6).alias("winsorized_mean"),
+        F.round("_lo", 6).alias("lo_bound"),
+        F.round("_hi", 6).alias("hi_bound"),
+    )
+
+
+def misra_gries_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    shard_col: str,
+    m: int = 40,
+) -> DataFrame:
+    """Distributed heavy hitters with deterministic error bounds — the
+    counter-based third of the mergeable-summary family beside
+    ``count_min_sketch`` (hash) and ``hll_registers`` (distinct):
+    each shard keeps only its top-``m`` counters (Misra-Gries /
+    SpaceSaving state: O(m) memory per shard no matter the key
+    universe), plus ONE bound — the largest count it dropped.  A
+    key's true global count is then sandwiched:
+    ``lower = sum of retained counts <= true <= lower + sum of bounds
+    of the shards where the key was NOT retained``.
+
+    The audit joins the exact per-key counts back and checks
+    ``within_bounds`` — on the driver's data the sandwich must hold
+    for every retained key (it is a theorem, not a heuristic).  Ranks
+    use (count desc, key asc) so retention is engine-deterministic.
+    All integer arithmetic — bit-exact on any engine.
+    """
+    per = df.groupBy(
+        F.col(shard_col).alias("_sh"), F.col(key_col).alias("key")
+    ).agg(F.count("*").alias("_c"))
+    w = Window.partitionBy("_sh").orderBy(
+        F.col("_c").desc(), F.col("key").asc()
+    )
+    ranked = per.select(
+        "_sh", "key", "_c", F.row_number().over(w).alias("_rk")
+    )
+    retained = ranked.filter(F.col("_rk") <= m)
+    bounds = ranked.filter(F.col("_rk") > m).groupBy("_sh").agg(
+        F.max("_c").alias("_b")
+    )
+    total_bound = bounds.agg(
+        F.coalesce(F.sum("_b"), F.lit(0)).alias("_bt")
+    )
+    rb = retained.join(bounds, on="_sh", how="left").select(
+        "key",
+        "_c",
+        F.coalesce(F.col("_b"), F.lit(0)).alias("_pb"),
+    )
+    per_key = rb.groupBy("key").agg(
+        F.sum("_c").alias("_lower"),
+        F.sum("_pb").alias("_pbs"),
+        F.count("*").alias("_nsh"),
+    )
+    exact = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("_exact")
+    )
+    j = (
+        per_key.crossJoin(F.broadcast(total_bound))
+        .join(exact, on="key")
+    )
+    upper = F.col("_lower") + (F.col("_bt") - F.col("_pbs"))
+    return j.select(
+        "key",
+        F.col("_nsh").cast("long").alias("n_shards_retained"),
+        F.col("_lower").cast("long").alias("count_lower"),
+        upper.cast("long").alias("count_upper"),
+        F.col("_exact").cast("long").alias("count_exact"),
+        (
+            (F.col("_lower") <= F.col("_exact"))
+            & (F.col("_exact") <= upper)
+        ).alias("within_bounds"),
+    )

@@ -13431,6 +13431,178 @@ def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 333. Trimmed + winsorized means per event type — robust location
+#      beside winsorize_clamp (rows) and mad_outlier_flags (flags):
+#      exact interpolated p10/p90 bounds, boundary values KEPT in the
+#      trim (pinned convention), clamp for the winsorized mean.
+# ---------------------------------------------------------------------
+@register(
+    "trimmed_means",
+    """
+    with v as (select event_type as key, cast(value as double) as v
+               from events where value is not null),
+    b as (select key, quantile_cont(v, 0.1) as lo,
+            quantile_cont(v, 0.9) as hi
+          from v group by 1),
+    j as (select v.key, v.v, b.lo, b.hi from v join b on v.key = b.key),
+    a as (select key, count(*) as n, avg(v) as mean,
+            sum(case when v >= lo and v <= hi then v end) as ts,
+            sum(case when v >= lo and v <= hi then 1 else 0 end) as tn,
+            avg(least(greatest(v, lo), hi)) as wmean,
+            max(lo) as lo, max(hi) as hi
+          from j group by 1)
+    select key as event_type, cast(n as bigint) as n,
+      round(mean, 6) as mean,
+      round(ts / tn, 6) as trimmed_mean,
+      round(wmean, 6) as winsorized_mean,
+      round(lo, 6) as lo_bound, round(hi, 6) as hi_bound
+    from a
+    """,
+)
+def q_trimmed_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import trimmed_means
+
+    ev = _t(spark, sf_dir, "events")
+    return trimmed_means(
+        ev.select("event_type", "value"), ["event_type"], "value", 0.1
+    )
+
+
+# ---------------------------------------------------------------------
+# 334. Tie-aware expected nDCG@10 per event type — the position-
+#      discounted companion of average_precision (same random-within-
+#      ties convention; expected gain at a covered rank is exactly
+#      p/n).  Discounts use ln(r+1)/ln(2) explicitly on both engines.
+# ---------------------------------------------------------------------
+@register(
+    "ndcg_at_10",
+    """
+    with s as (
+      select event_type as key,
+        cast(('0x' || substr(md5(cast(event_id as varchar)), 1, 8))
+             as bigint) % 10000 / 10000.0 as sc,
+        case when cast(('0x' || substr(md5('l|' ||
+                 cast(event_id as varchar)), 1, 8)) as bigint) % 1000
+             < 200 + floor(600 * (cast(('0x' ||
+                 substr(md5(cast(event_id as varchar)), 1, 8))
+                 as bigint) % 10000 / 10000.0))
+             then 1 else 0 end as y
+      from events),
+    blk as (select key, sc, count(*) as n, sum(y) as p
+            from s group by 1, 2),
+    b as (select key, n, p,
+            coalesce(sum(n) over (partition by key order by sc desc
+              rows between unbounded preceding and 1 preceding), 0)
+              as sb
+          from blk),
+    c as (select key, n, p, sb,
+            cast(least(n, greatest(10 - sb, 0)) as bigint) as span
+          from b),
+    d as (select key, n, p,
+            case when span > 0 and p > 0 then
+              (cast(p as double) / n) *
+              list_reduce(
+                list_prepend(cast(0 as double),
+                  list_transform(range(1, span + 1), k ->
+                    1.0 / (ln((sb + cast(k as double)) + 1.0)
+                           / ln(cast(2.0 as double))))),
+                (acc, x) -> acc + x)
+            else 0.0 end as contrib
+          from c),
+    a as (select key, sum(n) as nn, sum(p) as np,
+            sum(contrib) as dcg
+          from d group by 1),
+    f as (select key, nn, np, dcg,
+            list_reduce(
+              list_prepend(cast(0 as double),
+                list_transform(range(1, cast(least(np, 10) as bigint)
+                                        + 1), i ->
+                  1.0 / (ln(cast(i as double) + 1.0)
+                         / ln(cast(2.0 as double))))),
+              (acc, x) -> acc + x) as idcg
+          from a where np > 0)
+    select key, cast(nn as bigint) as n, cast(np as bigint) as n_pos,
+      round(dcg, 6) as dcg_at_10,
+      round(dcg / idcg, 6) as ndcg_at_10
+    from f
+    """,
+)
+def q_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import ndcg_at_k
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    sc = (
+        F.conv(
+            F.substring(F.md5(eid.cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 10000
+        / F.lit(10000.0)
+    )
+    h2 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("l|"), eid.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    y = (h2 % 1000 < F.lit(200) + F.floor(F.lit(600.0) * sc)).cast("int")
+    return ndcg_at_k(
+        ev.select("event_type", sc.alias("score"), y.alias("label")),
+        "event_type",
+        "score",
+        "label",
+        k=10,
+    )
+
+
+# ---------------------------------------------------------------------
+# 335. Distributed Misra-Gries heavy hitters with deterministic
+#      bounds — the counter-based mergeable summary beside CM-sketch
+#      and HLL: each event_id%8 shard keeps its top-40 user counters
+#      plus ONE dropped-max bound; the merged sandwich
+#      lower <= exact <= upper is a THEOREM, audited per key against
+#      the exact counts.  All integer arithmetic — bit-exact.
+# ---------------------------------------------------------------------
+@register(
+    "misra_gries_hitters",
+    """
+    with per as (select cast(event_id % 8 as int) as sh, user_id as key,
+                   count(*) as c
+                 from events group by 1, 2),
+    r as (select sh, key, c,
+            row_number() over (partition by sh
+              order by c desc, key asc) as rk
+          from per),
+    ret as (select sh, key, c from r where rk <= 40),
+    bd as (select sh, max(c) as b from r where rk > 40 group by 1),
+    t as (select coalesce(sum(b), 0) as bt from bd),
+    rb as (select ret.key as key, ret.c as c, coalesce(bd.b, 0) as pb
+           from ret left join bd on ret.sh = bd.sh),
+    pk as (select key, sum(c) as lw, sum(pb) as pbs, count(*) as nsh
+           from rb group by 1),
+    ex as (select user_id as key, count(*) as exact
+           from events group by 1)
+    select pk.key as key,
+      cast(nsh as bigint) as n_shards_retained,
+      cast(lw as bigint) as count_lower,
+      cast(lw + (bt - pbs) as bigint) as count_upper,
+      cast(exact as bigint) as count_exact,
+      (lw <= exact and exact <= lw + (bt - pbs)) as within_bounds
+    from pk cross join t join ex on pk.key = ex.key
+    """,
+)
+def q_misra_gries_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import misra_gries_heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return misra_gries_heavy_hitters(
+        ev.select("user_id", (F.col("event_id") % 8).alias("shard")),
+        "user_id",
+        "shard",
+        m=40,
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -1426,3 +1426,31 @@ def test_average_precision_known_rankings(spark):
     assert abs(got["w"]["avg_precision"] - (1 / 3 + 2 / 4) / 2) < 1e-6
     assert abs(got["t"]["avg_precision"] - 49 / 72) < 1e-6
     assert got["t"]["n_pos"] == 2
+
+
+def test_ndcg_at_k_known_rankings(spark):
+    from sparkcollector.operators.analytics import ndcg_at_k
+    import math
+
+    d = lambda r: 1.0 / math.log2(r + 1)  # noqa: E731
+    # perfect ranking: positives at ranks 1,2 -> nDCG = 1
+    rows = [("p", 4.0, 1), ("p", 3.0, 1), ("p", 2.0, 0), ("p", 1.0, 0)]
+    # worst: positives at ranks 3,4
+    rows += [("w", 4.0, 0), ("w", 3.0, 0), ("w", 2.0, 1), ("w", 1.0, 1)]
+    # all tied: expected gain p/n = 0.5 at every rank
+    rows += [("t", 1.0, 1), ("t", 1.0, 1), ("t", 1.0, 0), ("t", 1.0, 0)]
+    df = spark.createDataFrame(rows, "key string, score double, label int")
+    got = {r["key"]: r for r in
+           ndcg_at_k(df, "key", "score", "label", k=10).collect()}
+    idcg = d(1) + d(2)
+    assert got["p"]["ndcg_at_10"] == 1.0
+    assert abs(got["w"]["dcg_at_10"] - (d(3) + d(4))) < 1e-6
+    assert abs(got["t"]["dcg_at_10"]
+               - 0.5 * (d(1) + d(2) + d(3) + d(4))) < 1e-6
+    assert abs(got["t"]["ndcg_at_10"]
+               - 0.5 * (d(1) + d(2) + d(3) + d(4)) / idcg) < 1e-6
+    # k truncation: positives beyond rank k contribute nothing
+    rows2 = [("z", float(10 - i), 1 if i >= 2 else 0) for i in range(4)]
+    df2 = spark.createDataFrame(rows2, "key string, score double, label int")
+    r2 = ndcg_at_k(df2, "key", "score", "label", k=2).collect()[0]
+    assert r2["dcg_at_2"] == 0.0 and r2["ndcg_at_2"] == 0.0

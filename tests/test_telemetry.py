@@ -1270,3 +1270,46 @@ def test_ddsketch_merge_equals_direct(spark):
     assert r["n"] == 500
     # merged estimate still honors the alpha guarantee
     assert abs(r["p50_merged"] - 250.0) <= 0.011 * 250.0 + 1
+
+
+def test_trimmed_means_conventions(spark):
+    from sparkcollector.operators.telemetry import trimmed_means
+
+    # 1..10 plus one wild outlier 1000: mean is pulled, trimmed is not
+    rows = [("k", float(v)) for v in range(1, 11)] + [("k", 1000.0)]
+    df = spark.createDataFrame(rows, "key string, value double")
+    r = trimmed_means(df, ["key"], "value", trim=0.1).collect()[0]
+    assert r["n"] == 11
+    assert r["mean"] > 90.0                   # outlier dominates
+    assert r["trimmed_mean"] < 8.0            # outlier trimmed away
+    assert r["winsorized_mean"] < r["mean"]   # clamped, not dropped
+    # boundary values are KEPT: exact p10/p90 of 1..10 with no outlier
+    df2 = spark.createDataFrame(
+        [("q", float(v)) for v in range(1, 11)], "key string, value double"
+    )
+    r2 = trimmed_means(df2, ["key"], "value", trim=0.1).collect()[0]
+    # p10 = 1.9, p90 = 9.1 -> kept 2..9 -> mean 5.5
+    assert abs(r2["trimmed_mean"] - 5.5) < 1e-9
+    assert abs(r2["lo_bound"] - 1.9) < 1e-9
+
+
+def test_misra_gries_bounds_hold(spark):
+    from sparkcollector.operators.telemetry import (
+        misra_gries_heavy_hitters,
+    )
+
+    rows = []
+    # heavy keys 0/1 everywhere; long tail of singletons per shard
+    for sh in range(4):
+        rows += [(0, sh)] * 50 + [(1, sh)] * 30
+        rows += [(100 + sh * 100 + i, sh) for i in range(20)]
+    df = spark.createDataFrame(rows, "k long, shard int")
+    got = {r["key"]: r for r in
+           misra_gries_heavy_hitters(df, "k", "shard", m=2).collect()}
+    # every retained key's sandwich must hold (it is a theorem)
+    assert all(r["within_bounds"] for r in got.values())
+    assert got[0]["count_lower"] == 200 and got[0]["count_exact"] == 200
+    # tail keys dropped: state is m=2 counters/shard, not the universe
+    assert len(got) <= 8
+    # upper bound accounts for shards where the key was not retained
+    assert got[0]["count_upper"] >= got[0]["count_exact"]
