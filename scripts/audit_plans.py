@@ -2392,6 +2392,51 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 74: HW-seasonal, token bucket, vocab overlap.
+    all_ok &= audit(
+        "holt_winters_seasonal",
+        lambda: queries()["holt_winters_seasonal"](spark, SF_DIR),
+        [
+            ("hourly buckets reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("triple-smoothing recurrence folds in-row — no window, "
+             "no join", lambda p: "Window" not in p and "Join" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "state is a (2+season)-slot double array over the bounded "
+        "hourly series.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "token_bucket_audit",
+        lambda: queries()["token_bucket_audit"](spark, SF_DIR),
+        [
+            ("per-key arrival lists build in ONE grouped pass",
+             lambda p: "partial" in p.lower() or "Aggregate" in p),
+            ("refill recurrence folds in-row — no window, no join",
+             lambda p: "Window" not in p and "Join" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "source_vocab_overlap",
+        lambda: queries()["source_vocab_overlap"](spark, SF_DIR),
+        [
+            ("word counts reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("top-k retention windows partition by source",
+             lambda p: "Window" in p),
+            ("the pair join touches only the bounded per-source set "
+             "table", lambda p: "Join" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

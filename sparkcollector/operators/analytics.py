@@ -3971,3 +3971,70 @@ def ndcg_at_k(
         F.round("_dcg", 6).alias(f"dcg_at_{k}"),
         F.round(F.col("_dcg") / idcg, 6).alias(f"ndcg_at_{k}"),
     )
+
+
+def holt_winters_seasonal(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    season: int = 24,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Additive Holt-Winters TRIPLE exponential smoothing per key —
+    the seasonal upgrade of ``holt_smooth`` (a signalfx detector's
+    forecast block for daily-cyclic series): level, trend and a
+    rotating ``season``-slot additive seasonal component,
+    ``l' = a(x - s) + (1-a)(l + t)``, ``t' = b(l' - l) + (1-b)t``,
+    ``s' = g(x - l') + (1-g)s``, seasons initialized to zero (pinned
+    convention; the first cycle learns them).
+
+    The sequential recurrence folds in-row over the per-key sorted
+    bucket series with a ``(2 + season)``-slot double-array state —
+    the season queue rides IN the state and rotates each step
+    (``[l', t', s_2..s_m, s_new']``), so an oracle replays the
+    identical IEEE fold via ``list_reduce`` with a list-valued
+    accumulator (the holt_smooth DuckDB-quirk workaround, generalized).
+    One grouped pass; state O(season) per key.
+    """
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    F.col(value_col).cast("double").alias("x"),
+                )
+            )
+        ).alias("_pts")
+    )
+    xs = F.transform("_pts", lambda p: p["x"])
+    zero = F.array(*[F.lit(0.0)] * (2 + season))
+    a, b, g = float(alpha), float(beta), float(gamma)
+
+    def step(acc, x):
+        l0 = F.element_at(acc, 1)
+        t0 = F.element_at(acc, 2)
+        s0 = F.element_at(acc, 3)
+        lnew = F.lit(a) * (x - s0) + F.lit(1.0 - a) * (l0 + t0)
+        tnew = F.lit(b) * (lnew - l0) + F.lit(1.0 - b) * t0
+        snew = F.lit(g) * (x - lnew) + F.lit(1.0 - g) * s0
+        return F.concat(
+            F.array(lnew, tnew),
+            F.slice(acc, 4, season - 1),
+            F.array(snew),
+        )
+
+    st = F.aggregate(xs, zero, step)
+    level = F.element_at(st, 1)
+    trend = F.element_at(st, 2)
+    s_next = F.element_at(st, 3)
+    return per_key.select(
+        "key",
+        F.size("_pts").cast("long").alias("n_points"),
+        F.round(level, 6).alias("level"),
+        F.round(trend, 6).alias("trend"),
+        F.round(s_next, 6).alias("season_next"),
+        F.round(level + trend + s_next, 6).alias("forecast_next"),
+    )

@@ -2732,3 +2732,52 @@ def chao1_vocab(
             F.lit(1.0) - v1 / F.col("n_tokens").cast("double"), 6
         ).alias("gt_coverage"),
     )
+
+
+def source_vocab_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus-level vocabulary overlap between source pairs — the
+    distribution-level dedup screen ABOVE documents ("are these two
+    feeds the same crawl?"): each source's top-``top_k`` words by
+    frequency (ties broken (count desc, word asc) — deterministic),
+    then pairwise intersection / Jaccard over the BOUNDED per-source
+    set table.
+
+    Scale shape: one (source, word) count shuffle; top-k retention
+    windows partition by source; the pair join touches only the
+    |sources|-row set table (in-row ``array_intersect`` — sizes only,
+    order-free).  The fact table is never self-joined.
+    """
+    w = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    cw = w.groupBy("grp", "word").agg(F.count("*").alias("c"))
+    rk = Window.partitionBy("grp").orderBy(
+        F.col("c").desc(), F.col("word").asc()
+    )
+    top = cw.select(
+        "grp", "word", F.row_number().over(rk).alias("_r")
+    ).filter(F.col("_r") <= top_k)
+    sets = top.groupBy("grp").agg(
+        F.sort_array(F.collect_list("word")).alias("_ws")
+    )
+    a = sets.select(
+        F.col("grp").alias("source_a"), F.col("_ws").alias("_wa")
+    )
+    b = sets.select(
+        F.col("grp").alias("source_b"), F.col("_ws").alias("_wb")
+    )
+    pairs = a.join(b, F.col("source_a") < F.col("source_b"))
+    inter = F.size(F.array_intersect("_wa", "_wb"))
+    union = F.size("_wa") + F.size("_wb") - inter
+    return pairs.select(
+        "source_a",
+        "source_b",
+        inter.cast("long").alias("n_common"),
+        F.round(inter.cast("double") / union, 6).alias("jaccard_topk"),
+    )

@@ -2910,3 +2910,66 @@ def misra_gries_heavy_hitters(
             & (F.col("_exact") <= upper)
         ).alias("within_bounds"),
     )
+
+
+def token_bucket_audit(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("ts",),
+    capacity: float = 2.0,
+    rate_per_sec: float = 1.0 / 600.0,
+) -> DataFrame:
+    """Token-bucket rate-limiter simulation per key — the continuous-
+    refill algorithm real throttles implement (the reference's
+    ThrottledLogger / exporter rate limits), beside the tumbling-
+    window ``rate_limit`` and the sequential ``throttle_exact``: a
+    bucket starts FULL (pinned convention), refills at
+    ``rate_per_sec`` up to ``capacity``, each event spends one token
+    or is dropped.
+
+    The recurrence is sequential per key, so it folds in-row over the
+    (ts, tiebreak)-sorted event times with a 3-slot state
+    ``[tokens, last_ts, dropped]`` — one grouped pass; an oracle
+    replays the identical IEEE fold.  Reports per key what a deployed
+    limiter WOULD have dropped — the sizing audit run before enabling
+    one.
+    """
+    epoch = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    *[F.col(c).alias(f"o{i}") for i, c in
+                      enumerate(order_cols)],
+                    epoch.alias("e"),
+                )
+            )
+        ).alias("_pts")
+    )
+    es = F.transform("_pts", lambda p: p["e"])
+    zero = F.array(F.lit(float(capacity)), F.lit(0.0), F.lit(0.0))
+
+    def step(acc, x):
+        refill = F.least(
+            F.lit(float(capacity)),
+            F.element_at(acc, 1)
+            + (x - F.element_at(acc, 2)) * F.lit(float(rate_per_sec)),
+        )
+        allowed = refill >= 1.0
+        tok = F.when(allowed, refill - 1.0).otherwise(refill)
+        dropped = F.when(
+            allowed, F.element_at(acc, 3)
+        ).otherwise(F.element_at(acc, 3) + 1.0)
+        return F.array(tok, x, dropped)
+
+    st = F.aggregate(es, zero, step)
+    n = F.size("_pts").cast("long")
+    drops = F.element_at(st, 3)
+    return per_key.select(
+        "key",
+        n.alias("n_events"),
+        drops.cast("long").alias("n_dropped"),
+        F.round(drops / n.cast("double"), 6).alias("drop_rate"),
+        F.round(F.element_at(st, 1), 6).alias("final_tokens"),
+    )

@@ -13603,6 +13603,161 @@ def q_misra_gries_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 336. Additive Holt-Winters TRIPLE smoothing per event type over the
+#      hourly series (season = 24; the seasonal upgrade of
+#      holt_winters_level): the 26-slot state rides one list-valued
+#      accumulator; DuckDB list_reduce replays the identical IEEE
+#      fold (the holt quirk workaround, generalized).
+# ---------------------------------------------------------------------
+@register(
+    "holt_winters_seasonal",
+    """
+    with b as (select event_type as key,
+                 cast(floor(epoch(ts) / 3600) as bigint) as bkt,
+                 cast(count(*) as double) as x
+               from events group by 1, 2),
+    g as (select key, list(x order by bkt) as xs from b group by key),
+    f as (select key, len(xs) as n,
+            list_reduce(
+              list_prepend(
+                struct_pack(v := cast(0 as double),
+                  s := list_transform(range(1, 27),
+                                      i -> cast(0 as double))),
+                list_transform(xs, x -> struct_pack(v := x,
+                  s := list_transform(range(1, 27),
+                                      i -> cast(0 as double))))),
+              (acc, e) -> struct_pack(
+                v := e.v,
+                s := list_concat(list_concat(
+                  [0.3 * (e.v - acc.s[3]) + 0.7 * (acc.s[1] + acc.s[2]),
+                   0.1 * ((0.3 * (e.v - acc.s[3])
+                           + 0.7 * (acc.s[1] + acc.s[2])) - acc.s[1])
+                     + 0.9 * acc.s[2]],
+                  acc.s[4:26]),
+                  [0.2 * (e.v - (0.3 * (e.v - acc.s[3])
+                                 + 0.7 * (acc.s[1] + acc.s[2])))
+                     + 0.8 * acc.s[3]]))
+            ) as st
+          from g)
+    select key, cast(n as bigint) as n_points,
+      round(st.s[1], 6) as level,
+      round(st.s[2], 6) as trend,
+      round(st.s[3], 6) as season_next,
+      round(st.s[1] + st.s[2] + st.s[3], 6) as forecast_next
+    from f
+    """,
+)
+def q_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import holt_winters_seasonal
+
+    ev = _t(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        F.col("event_type"),
+        F.floor(_epoch_s("ts") / 3600).cast("long").alias("bkt"),
+    ).agg(F.count("*").cast("double").alias("x"))
+    return holt_winters_seasonal(
+        buckets, "event_type", "bkt", "x",
+        season=24, alpha=0.3, beta=0.1, gamma=0.2,
+    )
+
+
+# ---------------------------------------------------------------------
+# 337. Token-bucket rate-limiter audit per user (continuous refill,
+#      capacity 2, 1 token / 600 s; bucket starts full — pinned):
+#      what a deployed throttle WOULD have dropped.  Sequential fold
+#      in-row over (ts, event_id)-sorted arrivals; list_reduce
+#      replays the identical IEEE fold.
+# ---------------------------------------------------------------------
+@register(
+    "token_bucket_audit",
+    """
+    with p as (select user_id as key, epoch(ts) as e, event_id
+               from events),
+    g as (select key, list(e order by e, event_id) as es
+          from p group by 1),
+    f as (select key, len(es) as n,
+            list_reduce(
+              list_prepend(
+                struct_pack(v := cast(0 as double),
+                            s := [cast(2.0 as double), 0.0, 0.0]),
+                list_transform(es, x -> struct_pack(v := x,
+                            s := [cast(0 as double), 0.0, 0.0]))),
+              (acc, e) -> struct_pack(
+                v := e.v,
+                s := [
+                  case when least(cast(2.0 as double),
+                         acc.s[1] + (e.v - acc.s[2])
+                           * (cast(1 as double) / 600)) >= 1.0
+                       then least(cast(2.0 as double),
+                         acc.s[1] + (e.v - acc.s[2])
+                           * (cast(1 as double) / 600)) - 1.0
+                       else least(cast(2.0 as double),
+                         acc.s[1] + (e.v - acc.s[2])
+                           * (cast(1 as double) / 600)) end,
+                  e.v,
+                  case when least(cast(2.0 as double),
+                         acc.s[1] + (e.v - acc.s[2])
+                           * (cast(1 as double) / 600)) >= 1.0
+                       then acc.s[3] else acc.s[3] + 1.0 end])
+            ) as st
+          from g)
+    select key, cast(n as bigint) as n_events,
+      cast(st.s[3] as bigint) as n_dropped,
+      round(st.s[3] / cast(n as double), 6) as drop_rate,
+      round(st.s[1], 6) as final_tokens
+    from f
+    """,
+)
+def q_token_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import token_bucket_audit
+
+    ev = _t(spark, sf_dir, "events")
+    return token_bucket_audit(
+        ev.select("user_id", "ts", "event_id"),
+        "user_id",
+        "ts",
+        order_cols=("ts", "event_id"),
+        capacity=2.0,
+        rate_per_sec=1.0 / 600.0,
+    )
+
+
+# ---------------------------------------------------------------------
+# 338. Cross-source top-k vocabulary overlap — the distribution-level
+#      dedup screen above documents ("are these two feeds the same
+#      crawl?"): deterministic top-100 words per source, pairwise
+#      intersection/Jaccard over the bounded per-source set table.
+# ---------------------------------------------------------------------
+@register(
+    "source_vocab_overlap",
+    """
+    with w as (select source as grp,
+                 unnest(string_split(text, ' ')) as word
+               from documents),
+    cw as (select grp, word, count(*) as c from w group by 1, 2),
+    r as (select grp, word,
+            row_number() over (partition by grp
+              order by c desc, word asc) as rk
+          from cw),
+    t as (select grp, list(word) as ws from r where rk <= 100
+          group by 1)
+    select a.grp as source_a, b.grp as source_b,
+      cast(len(list_intersect(a.ws, b.ws)) as bigint) as n_common,
+      round(cast(len(list_intersect(a.ws, b.ws)) as double)
+            / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))),
+            6) as jaccard_topk
+    from t a join t b on a.grp < b.grp
+    """,
+)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import source_vocab_overlap
+
+    return source_vocab_overlap(
+        _t(spark, sf_dir, "documents"), "source", "text", top_k=100
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -1454,3 +1454,31 @@ def test_ndcg_at_k_known_rankings(spark):
     df2 = spark.createDataFrame(rows2, "key string, score double, label int")
     r2 = ndcg_at_k(df2, "key", "score", "label", k=2).collect()[0]
     assert r2["dcg_at_2"] == 0.0 and r2["ndcg_at_2"] == 0.0
+
+
+def test_holt_winters_seasonal_learns_cycle(spark):
+    from sparkcollector.operators.analytics import holt_winters_seasonal
+
+    # season length 4, three full cycles of [10, 20, 10, 20] plus a
+    # rising trend of +1 per step.
+    vals = [10.0 + (i % 2) * 10 + i for i in range(12)]
+    rows = [("k", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, o long, x double")
+    r = holt_winters_seasonal(
+        df, "key", "o", "x", season=2, alpha=0.5, beta=0.2, gamma=0.5
+    ).collect()[0]
+    assert r["n_points"] == 12
+    # the trend must be learned positive, the level near the series end
+    assert r["trend"] > 0
+    assert 10.0 < r["level"] < 35.0
+    # hand-fold the same recurrence in python and compare bit-for-bit
+    a, b, g = 0.5, 0.2, 0.5
+    st = [0.0] * 4  # [l, t, s1, s2]
+    for x in vals:
+        l0, t0, s0 = st[0], st[1], st[2]
+        ln = a * (x - s0) + (1 - a) * (l0 + t0)
+        tn = b * (ln - l0) + (1 - b) * t0
+        sn = g * (x - ln) + (1 - g) * s0
+        st = [ln, tn, st[3], sn]
+    assert abs(r["level"] - round(st[0], 6)) < 1e-9
+    assert abs(r["forecast_next"] - round(st[0] + st[1] + st[2], 6)) < 1e-9

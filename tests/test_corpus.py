@@ -1111,3 +1111,24 @@ def test_chao1_vocab_closed_form(spark):
     )
     r2 = chao1_vocab(df2).collect()[0]
     assert r2["chao1_est"] == 2.0 and r2["gt_coverage"] == 1.0
+
+
+def test_source_vocab_overlap_pairs(spark):
+    from sparkcollector.operators.corpus import source_vocab_overlap
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x y z common words here"),
+            ("b", "x y z common words there"),
+            ("c", "totally different tokens only"),
+        ],
+        "source string, text string",
+    )
+    got = {(r["source_a"], r["source_b"]): r for r in
+           source_vocab_overlap(df, top_k=10).collect()}
+    ab = got[("a", "b")]
+    # a/b share 5 of 7 distinct words -> jaccard 5/7
+    assert ab["n_common"] == 5
+    assert abs(ab["jaccard_topk"] - 5 / 7) < 1e-6
+    ac = got[("a", "c")]
+    assert ac["n_common"] == 0 and ac["jaccard_topk"] == 0.0

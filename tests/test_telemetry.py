@@ -1313,3 +1313,30 @@ def test_misra_gries_bounds_hold(spark):
     assert len(got) <= 8
     # upper bound accounts for shards where the key was not retained
     assert got[0]["count_upper"] >= got[0]["count_exact"]
+
+
+def test_token_bucket_audit_drops(spark):
+    import datetime
+
+    from sparkcollector.operators.telemetry import token_bucket_audit
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(uid, i, sec):
+        return (uid, i, t0 + datetime.timedelta(seconds=sec))
+
+    rows = [
+        # burst of 4 at t=0..3s, capacity 2: events 3 and 4 dropped
+        ev(1, 1, 0), ev(1, 2, 1), ev(1, 3, 2), ev(1, 4, 3),
+        # after 600s one token refilled: allowed again
+        ev(1, 5, 650),
+        # slow sender never drops
+        ev(2, 6, 0), ev(2, 7, 700), ev(2, 8, 1400),
+    ]
+    df = spark.createDataFrame(rows, "user long, event_id long, ts timestamp")
+    got = {r["key"]: r for r in token_bucket_audit(
+        df, "user", "ts", order_cols=("ts", "event_id"),
+        capacity=2.0, rate_per_sec=1.0 / 600.0).collect()}
+    assert got[1]["n_events"] == 5 and got[1]["n_dropped"] == 2
+    assert got[2]["n_dropped"] == 0
+    assert got[1]["drop_rate"] == 0.4
