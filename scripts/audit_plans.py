@@ -2437,6 +2437,51 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 75: SPRT, effective sample size, OOV rate.
+    all_ok &= audit(
+        "sprt_conversion",
+        lambda: queries()["sprt_conversion"](spark, SF_DIR),
+        [
+            ("daily summaries reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("the sequential walk folds in-row over bounded buckets "
+             "— no window, no join",
+             lambda p: "Window" not in p and "Join" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "effective_sample_size",
+        lambda: queries()["effective_sample_size"](spark, SF_DIR),
+        [
+            ("daily buckets reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("moments fold in-row (sorted, engine-stable) — no "
+             "window, no join",
+             lambda p: "Window" not in p and "Join" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "oov_rate",
+        lambda: queries()["oov_rate"](spark, SF_DIR),
+        [
+            ("word counts reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("top-k vocab via TakeOrdered, never a global sort",
+             lambda p: "TakeOrdered" in p and "Sort [" not in p),
+            ("vocab joins back without a forced broadcast",
+             lambda p: "Join" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

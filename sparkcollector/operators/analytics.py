@@ -4038,3 +4038,141 @@ def holt_winters_seasonal(
         F.round(s_next, 6).alias("season_next"),
         F.round(level + trend + s_next, 6).alias("forecast_next"),
     )
+
+
+def sprt_test(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    n_col: str,
+    success_col: str,
+    p0: float = 0.25,
+    p1: float = 0.35,
+    log_a: float = 2.9444389791664403,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test per key (Wald 1945 —
+    the always-valid sequential A/B stopping rule behind "can we call
+    this experiment yet"): over the ``order_col``-sorted per-bucket
+    (n, successes) summaries, the binomial log-likelihood ratio
+    ``llr += s*ln(p1/p0) + (n-s)*ln((1-p1)/(1-p0))`` walks until it
+    crosses ``+log_a`` (accept H1: rate is p1) or ``-log_a`` (accept
+    H0) — alpha = beta = 0.05 gives ``log_a = ln(19)``.
+
+    Runs on the BOUNDED bucket summaries (daily conversion counts),
+    never raw rows — the sequential fold is in-row with a 4-slot
+    state ``[llr, decision, decided_bucket_idx, idx]``; an oracle
+    replays the identical IEEE fold.  Once decided, the walk freezes
+    (sequential semantics: you stop looking).
+    """
+    lr1 = float(__import__("math").log(p1 / p0))
+    lr0 = float(__import__("math").log((1.0 - p1) / (1.0 - p0)))
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    F.col(n_col).cast("double").alias("n"),
+                    F.col(success_col).cast("double").alias("s"),
+                )
+            )
+        ).alias("_pts")
+    )
+    zero = F.array(*[F.lit(0.0)] * 4)
+
+    def step(acc, e):
+        idx = F.element_at(acc, 4) + 1.0
+        decided = F.element_at(acc, 2) != 0.0
+        llr = F.when(decided, F.element_at(acc, 1)).otherwise(
+            F.element_at(acc, 1)
+            + e["s"] * F.lit(lr1)
+            + (e["n"] - e["s"]) * F.lit(lr0)
+        )
+        dec = F.when(decided, F.element_at(acc, 2)).otherwise(
+            F.when(llr > F.lit(log_a), F.lit(1.0))
+            .when(llr < F.lit(-log_a), F.lit(-1.0))
+            .otherwise(F.lit(0.0))
+        )
+        dat = F.when(decided, F.element_at(acc, 3)).otherwise(
+            F.when(dec != 0.0, idx).otherwise(F.lit(0.0))
+        )
+        return F.array(llr, dec, dat, idx)
+
+    st = F.aggregate(F.col("_pts"), zero, step)
+    dec = F.element_at(st, 2)
+    return per_key.select(
+        "key",
+        F.size("_pts").cast("long").alias("n_buckets"),
+        F.round(F.element_at(st, 1), 6).alias("final_llr"),
+        F.when(dec == 1.0, F.lit("accept_h1"))
+        .when(dec == -1.0, F.lit("accept_h0"))
+        .otherwise(F.lit("undecided"))
+        .alias("decision"),
+        F.when(dec != 0.0, F.element_at(st, 3).cast("long")).alias(
+            "decided_at_bucket"
+        ),
+    )
+
+
+def effective_sample_size(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Autocorrelation-corrected effective sample size per key — the
+    honesty adjustment the t-test family (``welch_t_test``) silently
+    needs on TIME series: with lag-1 autocorrelation ``r1``,
+    ``n_eff = n * (1 - r1) / (1 + r1)`` (AR(1) approximation), and the
+    corrected standard error inflates accordingly — positive
+    autocorrelation can cut the usable sample by 10x and turn a
+    "significant" daily-mean shift into noise.
+
+    Everything computes from IN-ROW sorted folds over the bounded
+    per-key bucket series (the ``user_type_entropy`` discipline —
+    grouped float sums are fold-order lottery; sorted in-row folds are
+    not): mean, variance and the lag-1 cross sum fold left-to-right in
+    the same order on any engine.  ``n_eff`` clamps to [1, n].
+    """
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    F.col(value_col).cast("double").alias("x"),
+                )
+            )
+        ).alias("_pts")
+    )
+    xs = F.transform("_pts", lambda p: p["x"])
+    n = F.size(xs).cast("double")
+    sx = F.aggregate(xs, F.lit(0.0), lambda a, x: a + x)
+    mean = sx / n
+    sdev = F.aggregate(
+        xs, F.lit(0.0), lambda a, x: a + (x - mean) * (x - mean)
+    )
+    cross = F.aggregate(
+        F.zip_with(
+            F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+            F.slice(xs, 1, F.greatest(F.size(xs) - 1, F.lit(0))),
+            lambda a, b: (a - mean) * (b - mean),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    r1 = F.when(sdev > 0, cross / sdev)
+    neff = F.when(
+        r1.isNotNull(),
+        F.least(
+            n, F.greatest(F.lit(1.0), n * (1.0 - r1) / (1.0 + r1))
+        ),
+    ).otherwise(n)
+    return per_key.filter(F.size("_pts") >= 3).select(
+        "key",
+        F.size("_pts").cast("long").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(r1, 6).alias("lag1_autocorr"),
+        F.round(neff, 6).alias("n_eff"),
+        F.round(
+            F.sqrt(sdev / (n - 1.0)) / F.sqrt(neff), 6
+        ).alias("corrected_se"),
+    )

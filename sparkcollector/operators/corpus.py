@@ -2781,3 +2781,52 @@ def source_vocab_overlap(
         inter.cast("long").alias("n_common"),
         F.round(inter.cast("double") / union, 6).alias("jaccard_topk"),
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus-global
+    top-``vocab_size`` vocabulary — the tokenizer-coverage proxy a
+    vocab decision needs per FEED (``vocab_coverage_curve`` answers
+    it for the corpus as a whole; a source whose OOV rate is 3x the
+    others will tokenize into fertility blowup, see
+    ``tokenizer_fertility``): share of token OCCURRENCES outside the
+    vocabulary.
+
+    One (source, word) count shuffle; the global vocabulary rolls up
+    from those counts (map-side partials), retains top-k with a
+    deterministic (count desc, word asc) rank, and joins back against
+    the bounded per-source word table — AQE decides the broadcast.
+    """
+    w = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    cw = w.groupBy("grp", "word").agg(F.count("*").alias("c"))
+    gw = cw.groupBy("word").agg(F.sum("c").alias("gc"))
+    # orderBy + limit compiles to TakeOrderedAndProject — the top-k
+    # never materializes a global sort (the vocab_topk discipline).
+    vocab = (
+        gw.orderBy(F.col("gc").desc(), F.col("word").asc())
+        .limit(vocab_size)
+        .select("word", F.lit(True).alias("_in_vocab"))
+    )
+    j = cw.join(vocab, on="word", how="left")
+    agg = j.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_in_vocab").isNull(), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "n_oov",
+        F.round(
+            F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+        ).alias("oov_rate"),
+    )

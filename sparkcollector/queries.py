@@ -13758,6 +13758,177 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 339. Wald SPRT per event type over daily high-value conversion
+#      summaries (p0 = 0.25 vs p1 = 0.35, alpha = beta = 0.05 ->
+#      bound ln(19)) — the always-valid sequential stopping rule.
+#      The walk freezes at the first crossing (sequential semantics);
+#      log-ratio literals pinned to the same doubles on both engines.
+# ---------------------------------------------------------------------
+@register(
+    "sprt_conversion",
+    """
+    with b as (select event_type as key,
+                 cast(floor(epoch(ts) / 86400) as bigint) as day,
+                 count(*) as n,
+                 sum(case when value > 100 then 1 else 0 end) as s
+               from events group by 1, 2),
+    g as (select key, list(struct_pack(
+              n := cast(n as double), s := cast(s as double),
+              st := [cast(0 as double), 0.0, 0.0, 0.0])
+              order by day) as pts
+          from b group by 1),
+    f as (select key, len(pts) as nb,
+            list_reduce(
+              list_prepend(struct_pack(
+                n := cast(0 as double), s := cast(0 as double),
+                st := [cast(0 as double), 0.0, 0.0, 0.0]), pts),
+              (acc, e) -> struct_pack(
+                n := e.n, s := e.s,
+                st := [
+                  case when acc.st[2] <> 0.0 then acc.st[1]
+                       else acc.st[1] + e.s * 0.3364722366212129
+                            + (e.n - e.s) * (-0.1431008436406733) end,
+                  case when acc.st[2] <> 0.0 then acc.st[2]
+                       when (acc.st[1] + e.s * 0.3364722366212129
+                             + (e.n - e.s) * (-0.1431008436406733))
+                            > 2.9444389791664403 then 1.0
+                       when (acc.st[1] + e.s * 0.3364722366212129
+                             + (e.n - e.s) * (-0.1431008436406733))
+                            < -2.9444389791664403 then -1.0
+                       else 0.0 end,
+                  case when acc.st[2] <> 0.0 then acc.st[3]
+                       when (case when (acc.st[1]
+                                + e.s * 0.3364722366212129
+                                + (e.n - e.s) * (-0.1431008436406733))
+                               > 2.9444389791664403 then 1.0
+                             when (acc.st[1]
+                                + e.s * 0.3364722366212129
+                                + (e.n - e.s) * (-0.1431008436406733))
+                               < -2.9444389791664403 then -1.0
+                             else 0.0 end) <> 0.0
+                       then acc.st[4] + 1.0 else 0.0 end,
+                  acc.st[4] + 1.0])
+            ) as st
+          from g)
+    select key, cast(nb as bigint) as n_buckets,
+      round(st.st[1], 6) as final_llr,
+      case when st.st[2] = 1.0 then 'accept_h1'
+           when st.st[2] = -1.0 then 'accept_h0'
+           else 'undecided' end as decision,
+      case when st.st[2] <> 0.0 then cast(st.st[3] as bigint) end
+        as decided_at_bucket
+    from f
+    """,
+)
+def q_sprt_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import sprt_test
+
+    ev = _t(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.col("event_type"),
+        F.floor(_epoch_s("ts") / 86400).cast("long").alias("day"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias("s"),
+    )
+    return sprt_test(
+        b, "event_type", "day", "n", "s", p0=0.25, p1=0.35
+    )
+
+
+# ---------------------------------------------------------------------
+# 340. Autocorrelation-corrected effective sample size per event type
+#      over the daily count series — n_eff = n(1-r1)/(1+r1) (AR(1)),
+#      the honesty adjustment time-series t-tests need.  All moments
+#      fold IN-ROW over the sorted bucket series (grouped float sums
+#      are fold-order lottery; sorted in-row folds are not).
+# ---------------------------------------------------------------------
+@register(
+    "effective_sample_size",
+    """
+    with b as (select event_type as key,
+                 cast(floor(epoch(ts) / 86400) as bigint) as day,
+                 cast(count(*) as double) as x
+               from events group by 1, 2),
+    g as (select key, list(x order by day) as xs from b group by 1),
+    m as (select key, xs, len(xs) as n,
+            list_reduce(list_prepend(cast(0 as double), xs),
+                        (a, x) -> a + x) as sx
+          from g where len(xs) >= 3),
+    d as (select key, xs, n, sx,
+            list_reduce(list_prepend(cast(0 as double),
+              list_transform(xs, x ->
+                (x - sx / n) * (x - sx / n))),
+              (a, x) -> a + x) as sdev,
+            list_reduce(list_prepend(cast(0 as double),
+              list_transform(range(2, len(xs) + 1), i ->
+                (xs[i] - sx / n) * (xs[i - 1] - sx / n))),
+              (a, x) -> a + x) as xsum
+          from m),
+    f as (select key, n, sx / n as mean, sdev,
+            case when sdev > 0 then xsum / sdev end as r1
+          from d),
+    e as (select key, n, mean, sdev, r1,
+            case when r1 is not null
+                 then least(cast(n as double),
+                        greatest(1.0, n * (1.0 - r1) / (1.0 + r1)))
+                 else cast(n as double) end as neff
+          from f)
+    select key, cast(n as bigint) as n,
+      round(mean, 6) as mean,
+      round(r1, 6) as lag1_autocorr,
+      round(neff, 6) as n_eff,
+      round(sqrt(sdev / (n - 1.0)) / sqrt(neff), 6) as corrected_se
+    from e
+    """,
+)
+def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import effective_sample_size
+
+    ev = _t(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.col("event_type"),
+        F.floor(_epoch_s("ts") / 86400).cast("long").alias("day"),
+    ).agg(F.count("*").cast("double").alias("x"))
+    return effective_sample_size(b, "event_type", "day", "x")
+
+
+# ---------------------------------------------------------------------
+# 341. OOV rate per source against the corpus-global top-1000
+#      vocabulary — the per-FEED tokenizer-coverage proxy
+#      (vocab_coverage_curve answers it corpus-wide).  Top-k retains
+#      via TakeOrdered (never a global sort); AQE decides the
+#      vocab join broadcast.
+# ---------------------------------------------------------------------
+@register(
+    "oov_rate",
+    """
+    with w as (select source as grp,
+                 unnest(string_split(text, ' ')) as word
+               from documents),
+    cw as (select grp, word, count(*) as c from w group by 1, 2),
+    gw as (select word, sum(c) as gc from cw group by 1),
+    v as (select word from gw order by gc desc, word asc limit 1000),
+    j as (select cw.grp, cw.c, v.word is not null as iv
+          from cw left join v on cw.word = v.word),
+    a as (select grp, sum(c) as nt,
+            sum(case when iv then 0 else c end) as oov
+          from j group by 1)
+    select grp as source, cast(nt as bigint) as n_tokens,
+      cast(oov as bigint) as n_oov,
+      round(cast(oov as double) / nt, 6) as oov_rate
+    from a
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import oov_rate
+
+    return oov_rate(
+        _t(spark, sf_dir, "documents"), "source", "text", vocab_size=1000
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

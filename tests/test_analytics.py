@@ -1482,3 +1482,45 @@ def test_holt_winters_seasonal_learns_cycle(spark):
         st = [ln, tn, st[3], sn]
     assert abs(r["level"] - round(st[0], 6)) < 1e-9
     assert abs(r["forecast_next"] - round(st[0] + st[1] + st[2], 6)) < 1e-9
+
+
+def test_sprt_decisions(spark):
+    from sparkcollector.operators.analytics import sprt_test
+
+    # high converter: 40/100 per bucket >> p1 -> accept H1 fast
+    rows = [("hi", d, 100, 40) for d in range(10)]
+    # low converter: 10/100 per bucket << p0 -> accept H0
+    rows += [("lo", d, 100, 10) for d in range(10)]
+    # boundary: exactly between p0 and p1 drifts slowly -> undecided
+    # with only two thin buckets
+    rows += [("mid", 0, 10, 3), ("mid", 1, 10, 3)]
+    df = spark.createDataFrame(rows, "key string, day long, n long, s long")
+    got = {r["key"]: r for r in
+           sprt_test(df, "key", "day", "n", "s", 0.25, 0.35).collect()}
+    assert got["hi"]["decision"] == "accept_h1"
+    assert got["lo"]["decision"] == "accept_h0"
+    assert got["hi"]["decided_at_bucket"] == 1   # one rich bucket decides
+    assert got["mid"]["decision"] == "undecided"
+    assert got["mid"]["decided_at_bucket"] is None
+    # frozen after decision: llr stops accumulating
+    import math
+    lr1, lr0 = math.log(0.35 / 0.25), math.log(0.65 / 0.75)
+    first = 40 * lr1 + 60 * lr0
+    assert abs(got["hi"]["final_llr"] - round(first, 6)) < 1e-9
+
+
+def test_effective_sample_size_autocorr(spark):
+    from sparkcollector.operators.analytics import effective_sample_size
+
+    # strongly autocorrelated series (slow ramp): n_eff << n
+    rows = [("ar", i, float(i)) for i in range(20)]
+    # alternating series: negative r1 -> n_eff ~ capped at n
+    rows += [("alt", i, float(i % 2)) for i in range(20)]
+    df = spark.createDataFrame(rows, "key string, o long, x double")
+    got = {r["key"]: r for r in
+           effective_sample_size(df, "key", "o", "x").collect()}
+    assert got["ar"]["lag1_autocorr"] > 0.8
+    assert got["ar"]["n_eff"] < 5.0
+    assert got["alt"]["lag1_autocorr"] < 0
+    assert got["alt"]["n_eff"] == 20.0           # clamped at n
+    assert got["ar"]["corrected_se"] > 0

@@ -1132,3 +1132,24 @@ def test_source_vocab_overlap_pairs(spark):
     assert abs(ab["jaccard_topk"] - 5 / 7) < 1e-6
     ac = got[("a", "c")]
     assert ac["n_common"] == 0 and ac["jaccard_topk"] == 0.0
+
+
+def test_oov_rate_against_global_vocab(spark):
+    from sparkcollector.operators.corpus import oov_rate
+
+    df = spark.createDataFrame(
+        [
+            ("a", "the the the cat sat"),
+            ("b", "the dog ran far away"),
+        ],
+        "source string, text string",
+    )
+    # vocab_size=2 -> global top-2 = {the(4), away/cat/dog/far/ran/sat
+    # tie at 1 -> 'away' wins (count desc, word asc)}
+    got = {r["source"]: r for r in oov_rate(df, vocab_size=2).collect()}
+    a, b = got["a"], got["b"]
+    assert a["n_tokens"] == 5 and b["n_tokens"] == 5
+    # a: 'the'x3 in vocab; cat, sat OOV -> 2/5
+    assert a["n_oov"] == 2 and abs(a["oov_rate"] - 0.4) < 1e-9
+    # b: 'the' + 'away' in vocab; dog, ran, far OOV -> 3/5
+    assert b["n_oov"] == 3 and abs(b["oov_rate"] - 0.6) < 1e-9
