@@ -4176,3 +4176,304 @@ def effective_sample_size(
             F.sqrt(sdev / (n - 1.0)) / F.sqrt(neff), 6
         ).alias("corrected_se"),
     )
+
+
+def transaction_assemble(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    maxpause: float = 21600.0,
+    maxspan: float = 86400.0,
+) -> DataFrame:
+    """Splunk `transaction` command semantics (maxpause + maxspan):
+    group a key's time-ordered events into transactions, starting a new
+    transaction when the gap from the previous event exceeds
+    ``maxpause`` OR the span from the transaction's FIRST event would
+    exceed ``maxspan``.  The span rule is what windows can't express —
+    the boundary depends on the running transaction start, so the
+    segmentation is inherently sequential per key (a recursive CTE in
+    SQL engines).  Here it is an in-row fold over the key's sorted
+    event list (bounded by per-entity event counts, the same
+    precondition as session assembly), producing the txn id per event;
+    a keyed aggregate then emits one row per transaction.
+
+    Reference analog: Splunk's transaction command over HEC events —
+    the collector ships events whose downstream grouping uses exactly
+    these maxpause/maxspan semantics; session_window covers only the
+    maxpause half.
+    """
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).cast("timestamp_ltz").cast("double").alias("t"),
+                    F.col(id_col).alias("i"),
+                )
+            )
+        ).alias("_ev")
+    )
+    zero = F.struct(
+        F.array().cast("array<bigint>").alias("ids"),
+        F.lit(0.0).alias("prev"),
+        F.lit(0.0).alias("start"),
+        F.lit(0).cast("bigint").alias("k"),
+    )
+
+    def step(acc, e):
+        fresh = (
+            (acc["k"] == 0)
+            | ((e["t"] - acc["prev"]) > F.lit(float(maxpause)))
+            | ((e["t"] - acc["start"]) > F.lit(float(maxspan)))
+        )
+        k2 = F.when(fresh, acc["k"] + 1).otherwise(acc["k"])
+        return F.struct(
+            F.concat(acc["ids"], F.array(k2)).alias("ids"),
+            e["t"].alias("prev"),
+            F.when(fresh, e["t"]).otherwise(acc["start"]).alias("start"),
+            k2.alias("k"),
+        )
+
+    assigned = per_key.select(
+        "key",
+        F.explode(
+            F.arrays_zip(
+                F.transform("_ev", lambda e: e["t"]).alias("t"),
+                F.aggregate(F.col("_ev"), zero, step)["ids"].alias("txn"),
+            )
+        ).alias("z"),
+    ).select("key", F.col("z.t").alias("t"), F.col("z.txn").alias("txn"))
+    return assigned.groupBy("key", "txn").agg(
+        F.count("*").cast("long").alias("eventcount"),
+        F.round(F.min("t"), 6).alias("start_s"),
+        F.round(F.max("t"), 6).alias("end_s"),
+        F.round(F.max("t") - F.min("t"), 6).alias("duration_s"),
+    )
+
+
+def periodogram_peak(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    min_period: int = 2,
+    max_period: int = 25,
+) -> DataFrame:
+    """Dominant-period detection per key: the discrete-Fourier power
+    ``P(T) = (Σ x̄_t cos(2πt/T))² + (Σ x̄_t sin(2πt/T))²`` of the
+    mean-centered bucket series at each candidate period T, and the
+    argmax (ties → smallest T, deterministic because candidates fold
+    in ascending order with a strict > test).  This is the
+    seasonality-DETECTION complement to `acf_lags` (which tests given
+    lags) — the collector's dashboards ask "what cycle does this
+    metric have" before choosing a rollup window.
+
+    The series folds IN-ROW over the sorted bucket list (one row per
+    key, bounded by the bucket count, never raw events); missing
+    buckets contribute no term (documented sparse-periodogram
+    semantics — the mean is over PRESENT buckets).
+    """
+    tau = 6.283185307179586
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).cast("long").alias("o"),
+                    F.col(value_col).cast("double").alias("x"),
+                )
+            )
+        ).alias("_pts")
+    )
+    per_key = per_key.filter(F.size("_pts") >= 8)
+    n = F.size("_pts").cast("double")
+    o0 = F.element_at("_pts", 1)["o"]
+    mean = F.aggregate(
+        F.col("_pts"), F.lit(0.0), lambda a, e: a + e["x"]
+    ) / n
+
+    def power(p):
+        cs = F.aggregate(
+            F.col("_pts"),
+            F.array(F.lit(0.0), F.lit(0.0)),
+            lambda a, e: F.array(
+                F.element_at(a, 1)
+                + (e["x"] - mean)
+                * F.cos(F.lit(tau) * (e["o"] - o0).cast("double") / p.cast("double")),
+                F.element_at(a, 2)
+                + (e["x"] - mean)
+                * F.sin(F.lit(tau) * (e["o"] - o0).cast("double") / p.cast("double")),
+            ),
+        )
+        c = F.element_at(cs, 1)
+        s = F.element_at(cs, 2)
+        return (c * c + s * s) / n
+
+    powers = F.transform(
+        F.sequence(F.lit(min_period), F.lit(max_period)),
+        lambda p: F.array(p.cast("double"), power(p)),
+    )
+    best = F.aggregate(
+        powers,
+        F.array(F.lit(0.0), F.lit(-1.0)),
+        lambda a, e: F.when(
+            F.element_at(e, 2) > F.element_at(a, 2), e
+        ).otherwise(a),
+    )
+    return per_key.select(
+        "key",
+        F.size("_pts").cast("long").alias("n_buckets"),
+        F.element_at(best, 1).cast("long").alias("best_period"),
+        F.round(F.element_at(best, 2), 4).alias("best_power"),
+    )
+
+
+def nelson_rules(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    sigma_k: float = 3.0,
+    run_side: int = 9,
+    run_trend: int = 5,
+) -> DataFrame:
+    """Nelson rules 1-3 on a per-key control chart (the SPC
+    out-of-control tests beyond the Shewhart limits `p_chart_error_rate`
+    draws): rule 1 = a point beyond ``sigma_k``σ of the centerline;
+    rule 2 = ``run_side`` consecutive points on the same side of the
+    centerline; rule 3 = ``run_trend`` consecutive strictly
+    monotone STEPS (six increasing points = five increasing steps).
+    Emits per-key violation-point counts for each rule.
+
+    Centerline and sample σ fold IN-ROW over the sorted bucket series
+    (identical IEEE fold order on both engines — grouped float sums
+    are fold-order lottery, in-row folds are not), then one sequential
+    rule fold tracks the signed run lengths.  Bounded by the bucket
+    count per key.
+    """
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    F.col(value_col).cast("double").alias("x"),
+                )
+            )
+        ).alias("_pts")
+    )
+    per_key = per_key.filter(F.size("_pts") >= 3)
+    xs = F.transform("_pts", lambda e: e["x"])
+    n = F.size(xs).cast("double")
+    sx = F.aggregate(xs, F.lit(0.0), lambda a, x: a + x)
+    cl = sx / n
+    sdev = F.aggregate(xs, F.lit(0.0), lambda a, x: a + (x - cl) * (x - cl))
+    sd = F.sqrt(sdev / (n - 1.0))
+
+    # rule fold state: [side_run, trend_run, prev, r1, r2, r3, idx]
+    zero = F.array(*[F.lit(0.0)] * 7)
+
+    def step(acc, x):
+        idx = F.element_at(acc, 7) + 1.0
+        r1 = F.element_at(acc, 4) + F.when(
+            F.abs(x - cl) > F.lit(float(sigma_k)) * sd, F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        side_prev = F.element_at(acc, 1)
+        side_run = (
+            F.when(x > cl, F.when(side_prev > 0, side_prev + 1.0).otherwise(F.lit(1.0)))
+            .when(x < cl, F.when(side_prev < 0, side_prev - 1.0).otherwise(F.lit(-1.0)))
+            .otherwise(F.lit(0.0))
+        )
+        r2 = F.element_at(acc, 5) + F.when(
+            F.abs(side_run) >= F.lit(float(run_side)), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        prev = F.element_at(acc, 3)
+        trend_prev = F.element_at(acc, 2)
+        trend_run = F.when(idx == 1.0, F.lit(0.0)).otherwise(
+            F.when(x > prev, F.when(trend_prev > 0, trend_prev + 1.0).otherwise(F.lit(1.0)))
+            .when(x < prev, F.when(trend_prev < 0, trend_prev - 1.0).otherwise(F.lit(-1.0)))
+            .otherwise(F.lit(0.0))
+        )
+        r3 = F.element_at(acc, 6) + F.when(
+            F.abs(trend_run) >= F.lit(float(run_trend)), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        return F.array(side_run, trend_run, x, r1, r2, r3, idx)
+
+    st = F.aggregate(xs, zero, step)
+    return per_key.select(
+        "key",
+        F.size("_pts").cast("long").alias("n"),
+        F.round(cl, 6).alias("centerline"),
+        F.round(sd, 6).alias("sigma"),
+        F.element_at(st, 4).cast("long").alias("rule1_points"),
+        F.element_at(st, 5).cast("long").alias("rule2_points"),
+        F.element_at(st, 6).cast("long").alias("rule3_points"),
+    )
+
+
+def chi_square_gof(
+    df: DataFrame,
+    key_col: str,
+    cat_col: str,
+    alpha_z: float = 1.6448536269514722,
+) -> DataFrame:
+    """Chi-square goodness-of-fit drift test per key: each key's
+    observed category counts against expected counts from the GLOBAL
+    category mix (the classic "did today's traffic mix drift from the
+    corpus baseline" test beside the distance-flavored drift entries
+    `psi_value_drift` / `js_divergence_drift` — this one carries a
+    calibrated significance decision).  ``chi2 = Σ (O-E)²/E`` over the
+    global category list (a key missing a category contributes the
+    full E), df = k-1, and the 95% critical value comes from the
+    Wilson-Hilferty cube approximation ``df·(1 - 2/(9df) + z·√(2/(9df)))³``
+    (deterministic closed form — no stats-library dependency on either
+    engine).
+
+    Two keyed aggregates + one small cross join (the global mix is one
+    row per category, bounded by category cardinality; AQE decides the
+    broadcast).  The per-key chi2 folds IN-ROW over the category list
+    sorted by category (identical IEEE fold order on both engines).
+    """
+    obs = df.groupBy(
+        F.col(key_col).alias("key"), F.col(cat_col).alias("cat")
+    ).agg(F.count("*").alias("o"))
+    glob = obs.groupBy("cat").agg(F.sum("o").alias("gc"))
+    tot = glob.agg(F.sum("gc").alias("gt"))
+    mix = glob.crossJoin(tot).select(
+        "cat", (F.col("gc").cast("double") / F.col("gt")).alias("gp")
+    )
+    keys = obs.groupBy("key").agg(F.sum("o").alias("n"))
+    full = keys.crossJoin(mix).join(
+        obs, ["key", "cat"], "left"
+    ).select(
+        "key",
+        "n",
+        "cat",
+        F.coalesce(F.col("o"), F.lit(0)).cast("double").alias("o"),
+        (F.col("gp") * F.col("n").cast("double")).alias("e"),
+    )
+    per_key = full.groupBy("key", "n").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("cat").alias("c"), F.col("o").alias("o"),
+                         F.col("e").alias("e"))
+            )
+        ).alias("_cells")
+    )
+    chi2 = F.aggregate(
+        F.col("_cells"),
+        F.lit(0.0),
+        lambda a, e: a + (e["o"] - e["e"]) * (e["o"] - e["e"]) / e["e"],
+    )
+    dof = (F.size("_cells") - 1).cast("double")
+    wh = dof * F.pow(
+        1.0 - 2.0 / (9.0 * dof)
+        + F.lit(float(alpha_z)) * F.sqrt(2.0 / (9.0 * dof)),
+        F.lit(3.0),
+    )
+    return per_key.select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.size("_cells").cast("long").alias("k_cats"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(wh, 6).alias("crit95"),
+        (chi2 > wh).alias("drifted"),
+    )

@@ -895,3 +895,80 @@ def ltsv_parse(
         n_fields.cast("int").alias("n_fields"),
         *[ext(k).alias(f"f_{k}") for k in keys],
     )
+
+
+def logfmt_parse(
+    df: DataFrame,
+    line_col: str = "line",
+    keys: tuple[str, ...] = ("level", "msg", "status"),
+) -> DataFrame:
+    """logfmt parse (the Go-ecosystem / Heroku structured-log line
+    convention, the third grammar in the stanza parser family beside
+    LTSV and CLF): space-separated ``key=value`` pairs where values
+    are double-quoted when they contain spaces, and a bare ``key``
+    (no ``=``) is a boolean flag.
+
+    Each requested key extracts with an anchored regexp trying the
+    quoted form first; absent keys yield NULL (open schema).
+    ``n_pairs`` counts well-formed ``key=`` pairs so a mis-delimited
+    feed is observable.  Documented limitation (matches the data this
+    feed carries): quoted values may contain spaces but not ``=`` or
+    escaped quotes.  Pure codegen'd regex, zero exchanges.
+    """
+    line = F.col(line_col)
+
+    def ext(key: str):
+        quoted = F.regexp_extract(line, rf'(?:^| ){key}="([^"]*)"', 1)
+        bare = F.regexp_extract(line, rf'(?:^| ){key}=([^" ][^ ]*|(?=[ ]|$))', 1)
+        has_q = line.rlike(rf'(?:^| ){key}="')
+        has = line.rlike(rf"(?:^| ){key}=")
+        return F.when(has_q, quoted).when(has, bare)
+
+    n_pairs = F.regexp_count(line, F.lit(r"(?:^| )[A-Za-z0-9_.\-]+="))
+    return df.select(
+        "*",
+        n_pairs.cast("int").alias("n_pairs"),
+        *[ext(k).alias(f"f_{k}") for k in keys],
+    )
+
+
+_CLF_RE = (
+    r'^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) (\S+)" '
+    r'(\d{3}) (\d+|-)(?: "([^"]*)" "([^"]*)")?$'
+)
+
+
+def apache_clf_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Apache common/combined log format parse — THE canonical access
+    log the reference's apache regex_parser stanza targets
+    (`splunk_logs_config_linux.yaml:185-189`): ``host ident authuser
+    [time] "method path proto" status bytes`` plus the combined-format
+    ``"referer" "user-agent"`` tail (absent → common format, NULLs).
+
+    One anchored regex, one group per field; ``-`` bytes (no body)
+    parse as NULL, the request time re-emits as a second-truncated
+    ``yyyy-MM-dd HH:mm:ss`` string (strptime ``dd/MMM/yyyy:HH:mm:ss Z``
+    under the session's pinned UTC), and ``well_formed`` marks rows
+    the grammar rejected outright.  Pure codegen'd regex + timestamp
+    parse, zero exchanges.
+    """
+    line = F.col(line_col)
+    g = lambda i: F.regexp_extract(line, _CLF_RE, i)  # noqa: E731
+    ok = line.rlike(_CLF_RE)
+    rt = F.date_format(
+        F.to_timestamp(g(4), "dd/MMM/yyyy:HH:mm:ss Z"),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+    return df.select(
+        "*",
+        ok.alias("well_formed"),
+        F.when(ok, g(1)).alias("host"),
+        F.when(ok, rt).alias("rtime"),
+        F.when(ok, g(5)).alias("method"),
+        F.when(ok, g(6)).alias("path"),
+        F.when(ok, g(7)).alias("proto"),
+        F.when(ok, g(8).cast("int")).alias("status"),
+        F.when(ok & (g(9) != "-"), g(9).cast("long")).alias("bytes_sent"),
+        F.when(ok & (g(10) != ""), g(10)).alias("referer"),
+        F.when(ok & (g(11) != ""), g(11)).alias("user_agent"),
+    )

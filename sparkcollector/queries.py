@@ -13929,6 +13929,384 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 342. Splunk `transaction` command semantics (maxpause + maxspan) —
+#      the event-grouping the collector's HEC events feed downstream
+#      (session_window covers only the maxpause half; the span cap
+#      depends on the running transaction START, so the segmentation
+#      is sequential per key).  Spark: in-row fold over each user's
+#      sorted event times; oracle: an INDEPENDENT recursive-CTE walk
+#      (one recursion step per event rank).
+# ---------------------------------------------------------------------
+@register(
+    "transaction_maxspan",
+    """
+    with recursive e as (
+      select user_id, epoch(ts) as t,
+        row_number() over (partition by user_id
+                           order by epoch(ts), event_id) as rn
+      from events),
+    r as (
+      select user_id, rn, t, 1::BIGINT as txn, t as strt
+      from e where rn = 1
+      union all
+      select e.user_id, e.rn, e.t,
+        case when e.t - r.t > 21600.0 or e.t - r.strt > 86400.0
+             then r.txn + 1 else r.txn end,
+        case when e.t - r.t > 21600.0 or e.t - r.strt > 86400.0
+             then e.t else r.strt end
+      from r join e on e.user_id = r.user_id and e.rn = r.rn + 1),
+    x as (select user_id, t, txn from r)
+    select user_id, txn,
+      cast(count(*) as bigint) as eventcount,
+      round(min(t), 6) as start_s,
+      round(max(t), 6) as end_s,
+      round(max(t) - min(t), 6) as duration_s
+    from x group by 1, 2
+    """,
+)
+def q_transaction_maxspan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import transaction_assemble
+
+    ev = _t(spark, sf_dir, "events")
+    return transaction_assemble(
+        ev, "user_id", "ts", "event_id", maxpause=21600.0, maxspan=86400.0
+    ).withColumnRenamed("key", "user_id")
+
+
+# ---------------------------------------------------------------------
+# 343. Dominant-period detection per event type: discrete-Fourier
+#      power of the mean-centered hourly count series at candidate
+#      periods 2..25h, argmax (ties -> smallest period).  The
+#      seasonality-DETECTION complement to acf_lags — "what cycle does
+#      this metric have" before choosing a rollup window.  Series
+#      folds in-row; both engines fold the identical sorted list.
+# ---------------------------------------------------------------------
+@register(
+    "periodogram_peak",
+    """
+    with b as (select event_type as key,
+                 cast(floor(epoch(ts) / 3600) as bigint) as o,
+                 cast(count(*) as double) as x
+               from events group by 1, 2),
+    g as (select key, list(struct_pack(o := o, x := x) order by o) as pts
+          from b group by 1),
+    m as (select key, pts, len(pts) as n, pts[1].o as o0,
+            list_reduce(list_prepend(cast(0 as double),
+              list_transform(pts, e -> e.x)), (a, x) -> a + x) as sx
+          from g where len(pts) >= 8),
+    p as (select key, n,
+            list_transform(range(2, 26), per ->
+              [cast(per as double),
+               (pow(list_reduce(list_prepend(cast(0 as double),
+                  list_transform(pts, e -> (e.x - sx / n)
+                    * cos(6.283185307179586
+                          * cast(e.o - o0 as double)
+                          / cast(per as double)))),
+                  (a, x) -> a + x), 2)
+                + pow(list_reduce(list_prepend(cast(0 as double),
+                  list_transform(pts, e -> (e.x - sx / n)
+                    * sin(6.283185307179586
+                          * cast(e.o - o0 as double)
+                          / cast(per as double)))),
+                  (a, x) -> a + x), 2)) / n]) as pws
+          from m),
+    f as (select key, n,
+            list_reverse(list_sort(
+              list_transform(pws, e -> [e[2], -e[1]])))[1] as best
+          from p)
+    select key as event_type, cast(n as bigint) as n_buckets,
+      cast(-best[2] as bigint) as best_period,
+      round(best[1], 4) as best_power
+    from f
+    """,
+)
+def q_periodogram_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import periodogram_peak
+
+    ev = _t(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.col("event_type"),
+        F.floor(_epoch_s("ts") / 3600).cast("long").alias("o"),
+    ).agg(F.count("*").cast("double").alias("x"))
+    return periodogram_peak(
+        b, "event_type", "o", "x", min_period=2, max_period=25
+    ).withColumnRenamed("key", "event_type")
+
+
+# ---------------------------------------------------------------------
+# 344. Nelson rules 1-3 per event type on the hourly-count control
+#      chart — the SPC out-of-control tests beyond the Shewhart
+#      limits p_chart_error_rate draws: beyond-3sigma points,
+#      9-same-side runs, 5-monotone-step trends.  Centerline, sigma
+#      and the sequential rule state all fold in-row over the sorted
+#      series (identical IEEE fold order on both engines).
+# ---------------------------------------------------------------------
+@register(
+    "nelson_rules_audit",
+    """
+    with b as (select event_type as key,
+                 cast(floor(epoch(ts) / 3600) as bigint) as o,
+                 cast(count(*) as double) as x
+               from events group by 1, 2),
+    g as (select key, list(x order by o) as xs from b group by 1),
+    m as (select key, xs, len(xs) as n,
+            list_reduce(list_prepend(cast(0 as double), xs),
+              (a, x) -> a + x) as sx
+          from g where len(xs) >= 3),
+    d as (select key, xs, n, sx / n as cl,
+            list_reduce(list_prepend(cast(0 as double),
+              list_transform(xs, x -> (x - sx / n) * (x - sx / n))),
+              (a, x) -> a + x) as sdev
+          from m),
+    s as (select key, xs, n, cl, sqrt(sdev / (n - 1.0)) as sd from d),
+    f as (select key, n, cl, sd,
+            list_reduce(
+              list_prepend([cast(0 as double), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+                list_transform(xs, x -> [x, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])),
+              (a, e) -> [
+                case when e[1] > cl then
+                       (case when a[1] > 0 then a[1] + 1.0 else 1.0 end)
+                     when e[1] < cl then
+                       (case when a[1] < 0 then a[1] - 1.0 else -1.0 end)
+                     else 0.0 end,
+                case when a[7] = 0.0 then 0.0
+                     else (case when e[1] > a[3] then
+                             (case when a[2] > 0 then a[2] + 1.0 else 1.0 end)
+                           when e[1] < a[3] then
+                             (case when a[2] < 0 then a[2] - 1.0 else -1.0 end)
+                           else 0.0 end) end,
+                e[1],
+                a[4] + case when abs(e[1] - cl) > 3.0 * sd
+                            then 1.0 else 0.0 end,
+                a[5] + case when abs(case when e[1] > cl then
+                         (case when a[1] > 0 then a[1] + 1.0 else 1.0 end)
+                       when e[1] < cl then
+                         (case when a[1] < 0 then a[1] - 1.0 else -1.0 end)
+                       else 0.0 end) >= 9.0 then 1.0 else 0.0 end,
+                a[6] + case when abs(case when a[7] = 0.0 then 0.0
+                     else (case when e[1] > a[3] then
+                             (case when a[2] > 0 then a[2] + 1.0 else 1.0 end)
+                           when e[1] < a[3] then
+                             (case when a[2] < 0 then a[2] - 1.0 else -1.0 end)
+                           else 0.0 end) end) >= 5.0 then 1.0 else 0.0 end,
+                a[7] + 1.0]) as st
+          from s)
+    select key as event_type, cast(n as bigint) as n,
+      round(cl, 6) as centerline, round(sd, 6) as sigma,
+      cast(st[4] as bigint) as rule1_points,
+      cast(st[5] as bigint) as rule2_points,
+      cast(st[6] as bigint) as rule3_points
+    from f
+    """,
+)
+def q_nelson_rules_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import nelson_rules
+
+    ev = _t(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.col("event_type"),
+        F.floor(_epoch_s("ts") / 3600).cast("long").alias("o"),
+    ).agg(F.count("*").cast("double").alias("x"))
+    return nelson_rules(
+        b, "event_type", "o", "x", sigma_k=3.0, run_side=9, run_trend=5
+    ).withColumnRenamed("key", "event_type")
+
+# ---------------------------------------------------------------------
+# 345. logfmt parse (the Go-ecosystem / Heroku structured-log line
+#      grammar; third stanza-parser grammar beside LTSV and CLF):
+#      space-separated key=value with double-quoted values carrying
+#      spaces.  Oracle derives expected fields from SOURCE columns.
+# ---------------------------------------------------------------------
+@register(
+    "logfmt_parse",
+    """
+    with base as (
+      select event_id, user_id, event_type,
+             event_id % 20 = 0 as bad,
+             event_id % 7 = 0 as nodur
+      from events)
+    select event_id,
+      case when bad then 0
+           when nodur then 3 else 4 end as n_pairs,
+      case when bad then NULL
+           when event_type = 'error' then 'error' else 'info' end as f_level,
+      case when bad then NULL
+           else event_type || ' by u' || cast(user_id % 10 as varchar)
+           end as f_msg,
+      case when bad then NULL
+           else cast(200 + (event_id % 3) * 100 as varchar) end as f_status,
+      case when bad or nodur then NULL
+           else cast(event_id % 500 as varchar) end as f_dur
+    from base
+    """,
+)
+def q_logfmt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import logfmt_parse
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    dur_field = F.when(eid % 7 == 0, F.lit("")).otherwise(
+        F.concat(F.lit(" dur="), (eid % 500).cast("string"))
+    )
+    line = F.when(eid % 20 == 0, F.lit("plain garbage line")).otherwise(
+        F.concat(
+            F.lit("level="),
+            F.when(F.col("event_type") == "error", F.lit("error")).otherwise(
+                F.lit("info")
+            ),
+            F.lit(' msg="'), F.col("event_type"),
+            F.lit(" by u"), (uid % 10).cast("string"), F.lit('"'),
+            F.lit(" status="), (F.lit(200) + (eid % 3) * 100).cast("string"),
+            dur_field,
+        )
+    )
+    parsed = logfmt_parse(
+        ev.select("event_id", line.alias("line")),
+        "line",
+        keys=("level", "msg", "status", "dur"),
+    )
+    return parsed.select(
+        "event_id", "n_pairs", "f_level", "f_msg", "f_status", "f_dur"
+    )
+
+
+# ---------------------------------------------------------------------
+# 346. Apache common/combined log format parse — THE access-log
+#      grammar the reference's apache regex_parser stanza targets
+#      (splunk_logs_config_linux.yaml:185-189): one anchored regex,
+#      '-' bytes -> NULL, request time re-emitted second-truncated,
+#      common-format rows (no referer/UA tail) yield NULLs.  Oracle
+#      derives every expected field from SOURCE columns.
+# ---------------------------------------------------------------------
+@register(
+    "apache_clf_parse",
+    """
+    with base as (
+      select event_id, user_id, event_type, ts,
+             event_id % 20 = 0 as bad,
+             event_id % 5 = 0 as common,
+             event_id % 7 = 0 as nobytes
+      from events)
+    select event_id,
+      not bad as well_formed,
+      case when bad then NULL
+           else '10.0.0.' || cast(user_id % 50 as varchar) end as host,
+      case when bad then NULL
+           else strftime(ts, '%Y-%m-%d %H:%M:%S') end as rtime,
+      case when bad then NULL
+           when event_type = 'signup' then 'POST'
+           when event_type = 'purchase' then 'PUT'
+           else 'GET' end as method,
+      case when bad then NULL
+           else '/' || event_type || '/' || cast(event_id % 100 as varchar)
+           end as path,
+      case when bad then NULL else 'HTTP/1.1' end as proto,
+      case when bad then NULL
+           else 200 + cast(event_id % 3 as int) * 100 end as status,
+      case when bad or nobytes then NULL
+           else event_id % 5000 end as bytes_sent,
+      case when bad or common then NULL
+           else 'http://r/' || event_type end as referer,
+      case when bad or common then NULL
+           else 'agent/' || cast(user_id % 5 as varchar) end as user_agent
+    from base
+    """,
+)
+def q_apache_clf_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import apache_clf_parse
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    method = (
+        F.when(F.col("event_type") == "signup", F.lit("POST"))
+        .when(F.col("event_type") == "purchase", F.lit("PUT"))
+        .otherwise(F.lit("GET"))
+    )
+    bytes_f = F.when(eid % 7 == 0, F.lit("-")).otherwise(
+        (eid % 5000).cast("string")
+    )
+    tail = F.when(eid % 5 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit(' "http://r/'), F.col("event_type"), F.lit('" "agent/'),
+            (uid % 5).cast("string"), F.lit('"'),
+        )
+    )
+    line = F.when(eid % 20 == 0, F.lit("not a log line")).otherwise(
+        F.concat(
+            F.lit("10.0.0."), (uid % 50).cast("string"),
+            F.lit(" - - ["),
+            F.date_format(F.col("ts"), "dd/MMM/yyyy:HH:mm:ss"),
+            F.lit(" +0000] \""), method,
+            F.lit(" /"), F.col("event_type"), F.lit("/"),
+            (eid % 100).cast("string"),
+            F.lit(' HTTP/1.1" '),
+            (F.lit(200) + (eid % 3) * 100).cast("string"),
+            F.lit(" "), bytes_f, tail,
+        )
+    )
+    parsed = apache_clf_parse(
+        ev.select("event_id", line.alias("line")), "line"
+    )
+    return parsed.select(
+        "event_id", "well_formed", "host", "rtime", "method", "path",
+        "proto", "status", "bytes_sent", "referer", "user_agent",
+    )
+
+
+# ---------------------------------------------------------------------
+# 347. Chi-square goodness-of-fit drift per day vs the global event
+#      mix — the calibrated-significance drift test beside the
+#      distance-flavored psi_value_drift / js_divergence_drift; 95%
+#      critical value via the Wilson-Hilferty cube (closed form, no
+#      stats library on either engine).  Per-day chi2 folds IN-ROW
+#      over the category list sorted by category.
+# ---------------------------------------------------------------------
+@register(
+    "chi_square_gof",
+    """
+    with obs as (select cast(floor(epoch(ts) / 86400) as bigint) as key,
+                   event_type as cat, count(*) as o
+                 from events group by 1, 2),
+    gm as (select cat, sum(o) as gc from obs group by 1),
+    tot as (select sum(gc) as gt from gm),
+    mix as (select cat, cast(gc as double) / gt as gp from gm, tot),
+    keyrows as (select key, sum(o) as n from obs group by 1),
+    cells as (select k.key, k.n, m.cat,
+                cast(coalesce(o.o, 0) as double) as o,
+                m.gp * cast(k.n as double) as e
+              from keyrows k cross join mix m
+              left join obs o on o.key = k.key and o.cat = m.cat),
+    g as (select key, n,
+            list(struct_pack(c := cat, o := o, e := e) order by cat)
+              as cs
+          from cells group by 1, 2),
+    f as (select key, n, len(cs) as k,
+            list_reduce(list_prepend(cast(0 as double),
+              list_transform(cs, e -> (e.o - e.e) * (e.o - e.e) / e.e)),
+              (a, x) -> a + x) as chi2
+          from g)
+    select key as day, cast(n as bigint) as n, cast(k as bigint) as k_cats,
+      round(chi2, 6) as chi2,
+      round((k - 1) * pow(1.0 - 2.0 / (9.0 * (k - 1))
+        + 1.6448536269514722 * sqrt(2.0 / (9.0 * (k - 1))), 3), 6)
+        as crit95,
+      chi2 > (k - 1) * pow(1.0 - 2.0 / (9.0 * (k - 1))
+        + 1.6448536269514722 * sqrt(2.0 / (9.0 * (k - 1))), 3) as drifted
+    from f
+    """,
+)
+def q_chi_square_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import chi_square_gof
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(_epoch_s("ts") / 86400).cast("long").alias("day"),
+        "event_type",
+    )
+    return chi_square_gof(ev, "day", "event_type").withColumnRenamed(
+        "key", "day"
+    )
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

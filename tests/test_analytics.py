@@ -1524,3 +1524,105 @@ def test_effective_sample_size_autocorr(spark):
     assert got["alt"]["lag1_autocorr"] < 0
     assert got["alt"]["n_eff"] == 20.0           # clamped at n
     assert got["ar"]["corrected_se"] > 0
+
+
+def test_transaction_assemble_maxpause_maxspan(spark):
+    from sparkcollector.operators.analytics import transaction_assemble
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # gaps 10,10,10 then the span cap (25s) splits; a 100s pause splits
+    secs = [0, 10, 20, 30, 130, 140]
+    rows = [("u", base + dt.timedelta(seconds=s), i) for i, s in enumerate(secs)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, id long")
+    out = transaction_assemble(
+        df, "key", "ts", "id", maxpause=50.0, maxspan=25.0
+    ).orderBy("txn").collect()
+    assert [(r["txn"], r["eventcount"], r["duration_s"]) for r in out] == [
+        (1, 3, 20.0),   # 0,10,20 — event at 30 would exceed span 25
+        (2, 1, 0.0),    # 30 alone (next gap 100 > maxpause 50)
+        (3, 2, 10.0),   # 130,140
+    ]
+
+
+def test_transaction_assemble_pause_only(spark):
+    from sparkcollector.operators.analytics import transaction_assemble
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("u", base + dt.timedelta(seconds=s), i)
+            for i, s in enumerate([0, 10, 200, 210])]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, id long")
+    out = transaction_assemble(
+        df, "key", "ts", "id", maxpause=60.0, maxspan=1e9
+    ).orderBy("txn").collect()
+    assert [(r["txn"], r["eventcount"]) for r in out] == [(1, 2), (2, 2)]
+
+
+def test_periodogram_peak_detects_sine_period(spark):
+    import math
+
+    from sparkcollector.operators.analytics import periodogram_peak
+
+    rows = [("k", t, 10.0 + 5.0 * math.sin(2 * math.pi * t / 12.0))
+            for t in range(96)]
+    df = spark.createDataFrame(rows, "key string, o long, x double")
+    r = periodogram_peak(df, "key", "o", "x").collect()[0]
+    assert r["best_period"] == 12
+    # clean sinusoid: power = n * A^2 / 4 = 96 * 25 / 4
+    assert abs(r["best_power"] - 600.0) < 1e-6
+
+
+def test_periodogram_peak_min_points_filter(spark):
+    from sparkcollector.operators.analytics import periodogram_peak
+
+    rows = [("short", t, float(t)) for t in range(5)]
+    df = spark.createDataFrame(rows, "key string, o long, x double")
+    assert periodogram_peak(df, "key", "o", "x").count() == 0
+
+
+def test_nelson_rules_closed_form(spark):
+    from sparkcollector.operators.analytics import nelson_rules
+
+    # a: one 3-sigma spike; the 14 trailing below-center points give
+    # run lengths 1..14 -> six points with |run| >= 9
+    rows = [("a", i, 10.0 + (50.0 if i == 5 else 0.0)) for i in range(20)]
+    # b: 10 above then 10 below -> two points per run at lengths 9,10
+    rows += [("b", i, 12.0 if i < 10 else 8.0) for i in range(20)]
+    # c: strictly increasing 12 points -> trend steps 1..11, >=5 at 5..11
+    rows += [("c", i, float(i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "key string, o long, x double")
+    got = {r["key"]: r for r in nelson_rules(df, "key", "o", "x").collect()}
+    assert got["a"]["rule1_points"] == 1
+    assert got["a"]["rule2_points"] == 6
+    assert got["b"]["rule1_points"] == 0
+    assert got["b"]["rule2_points"] == 4
+    assert got["c"]["rule3_points"] == 7
+    assert got["c"]["rule1_points"] == 0
+
+
+def test_chi_square_gof_closed_form(spark):
+    from sparkcollector.operators.analytics import chi_square_gof
+
+    # global mix: a=140/200, b=60/200; both keys n=100 -> E=(70,30)
+    rows = [("d1", "a")] * 50 + [("d1", "b")] * 50
+    rows += [("d2", "a")] * 90 + [("d2", "b")] * 10
+    df = spark.createDataFrame(rows, "key string, cat string")
+    got = {r["key"]: r for r in chi_square_gof(df, "key", "cat").collect()}
+    # chi2 = 20^2/70 + 20^2/30 for both keys (symmetric deviations)
+    assert abs(got["d1"]["chi2"] - (400 / 70 + 400 / 30)) < 1e-5
+    assert got["d1"]["k_cats"] == 2
+    assert got["d1"]["drifted"] and got["d2"]["drifted"]
+    # Wilson-Hilferty df=1 ~ 3.75 (true 3.84)
+    assert 3.5 < got["d1"]["crit95"] < 4.0
+
+
+def test_chi_square_gof_missing_category_counts_full_e(spark):
+    from sparkcollector.operators.analytics import chi_square_gof
+
+    rows = [("d1", "a")] * 80 + [("d1", "b")] * 20 + [("d2", "a")] * 100
+    df = spark.createDataFrame(rows, "key string, cat string")
+    got = {r["key"]: r for r in chi_square_gof(df, "key", "cat").collect()}
+    assert got["d2"]["k_cats"] == 2              # global list, not per-key
+    # d2: O=(100,0), E=(90,10) -> 100/90 + 100/10
+    assert abs(got["d2"]["chi2"] - (100 / 90 + 10.0)) < 1e-5

@@ -462,3 +462,47 @@ def test_ltsv_parse_open_schema(spark):
     r2 = got[2]
     assert r2["n_fields"] == 2 and r2["f_size"] is None
     assert got[3]["n_fields"] == 0 and got[3]["f_host"] is None
+
+
+def test_logfmt_parse_quoted_bare_missing(spark):
+    from sparkcollector.operators.promparse import logfmt_parse
+
+    rows = [
+        (1, 'level=info msg="hello world" status=200 flag'),
+        (2, 'level=error status=500 dur=1.25'),
+        (3, 'garbage line'),
+        (4, 'msg=""'),
+    ]
+    df = spark.createDataFrame(rows, "id long, line string")
+    got = {r["id"]: r for r in logfmt_parse(
+        df, "line", keys=("level", "msg", "status", "dur")).collect()}
+    assert got[1]["f_msg"] == "hello world"      # quoted value keeps space
+    assert got[1]["f_status"] == "200"
+    assert got[1]["n_pairs"] == 3                # bare flag is not a pair
+    assert got[2]["f_dur"] == "1.25"
+    assert got[2]["f_msg"] is None               # absent key -> NULL
+    assert got[3]["n_pairs"] == 0
+    assert got[4]["f_msg"] == ""                 # empty quoted value
+
+
+def test_apache_clf_parse_combined_common_malformed(spark):
+    from sparkcollector.operators.promparse import apache_clf_parse
+
+    rows = [
+        (1, '10.0.0.7 - alice [12/Jan/2024:03:04:05 +0000] '
+            '"GET /a/7 HTTP/1.1" 200 512 "http://r/x" "curl/8"'),
+        (2, '10.0.0.8 - - [12/Jan/2024:03:04:06 +0000] '
+            '"POST /b HTTP/1.0" 404 -'),
+        (3, 'not a log line'),
+    ]
+    df = spark.createDataFrame(rows, "id long, line string")
+    got = {r["id"]: r for r in apache_clf_parse(df, "line").collect()}
+    assert got[1]["host"] == "10.0.0.7"
+    assert got[1]["rtime"] == "2024-01-12 03:04:05"
+    assert got[1]["status"] == 200 and got[1]["bytes_sent"] == 512
+    assert got[1]["referer"] == "http://r/x"
+    assert got[2]["bytes_sent"] is None          # '-' -> NULL
+    assert got[2]["user_agent"] is None          # common format -> NULL tail
+    assert got[2]["method"] == "POST"
+    assert not got[3]["well_formed"]
+    assert got[3]["host"] is None
