@@ -2482,6 +2482,96 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 76: transaction semantics, periodogram, Nelson rules.
+    all_ok &= audit(
+        "transaction_maxspan",
+        lambda: queries()["transaction_maxspan"](spark, SF_DIR),
+        [
+            ("per-user event lists gather with one keyed aggregate",
+             lambda p: "partial" in p.lower()),
+            ("the sequential span/pause fold is in-row — no window, "
+             "no self-join",
+             lambda p: "Window" not in p and "Join" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "periodogram_peak",
+        lambda: queries()["periodogram_peak"](spark, SF_DIR),
+        [
+            ("hourly buckets reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("DFT power + argmax fold in-row over bounded candidate "
+             "periods — no window, no join, no explode",
+             lambda p: "Window" not in p and "Join" not in p
+             and "Generate" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "nelson_rules_audit",
+        lambda: queries()["nelson_rules_audit"](spark, SF_DIR),
+        [
+            ("hourly buckets reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("centerline/sigma/run state fold in-row — no window, "
+             "no join",
+             lambda p: "Window" not in p and "Join" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
+    # round-3 batch 77: logfmt, Apache CLF, chi-square GOF.
+    all_ok &= audit(
+        "logfmt_parse",
+        lambda: queries()["logfmt_parse"](spark, SF_DIR),
+        [
+            ("pure map job: zero exchanges",
+             lambda p: "Exchange" not in p),
+            ("parquet scan prunes to the used columns",
+             lambda p: "ReadSchema" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "apache_clf_parse",
+        lambda: queries()["apache_clf_parse"](spark, SF_DIR),
+        [
+            ("pure map job: zero exchanges",
+             lambda p: "Exchange" not in p),
+            ("parquet scan prunes to the used columns",
+             lambda p: "ReadSchema" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "chi_square_gof",
+        lambda: queries()["chi_square_gof"](spark, SF_DIR),
+        [
+            ("day/category counts reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("global mix joins back small (bounded category list; "
+             "no forced BroadcastExchange in the unexecuted plan)",
+             lambda p: "Join" in p),
+            ("per-day chi2 folds in-row over the sorted cell list — "
+             "no window",
+             lambda p: "Window" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"
