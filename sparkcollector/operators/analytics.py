@@ -4477,3 +4477,84 @@ def chi_square_gof(
         F.round(wh, 6).alias("crit95"),
         (chi2 > wh).alias("drifted"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    value_col: str,
+    alpha_z: float = 1.6448536269514722,
+) -> DataFrame:
+    """Kruskal-Wallis H test per key — the k-group generalisation of
+    `mann_whitney_shift` (rank-based "did ANY group's distribution
+    shift", no normality assumption): within each key, rank all values
+    with midranks for ties, ``H = 12/(N(N+1)) · Σ R_g²/n_g − 3(N+1)``,
+    tie-corrected by ``C = 1 − Σ(t³−t)/(N³−N)``, and a 95% decision
+    against the Wilson-Hilferty chi-square critical value at k−1 df.
+
+    Hash-stable by construction: midranks are means of consecutive
+    integer row_numbers (exact half-integers), per-group rank sums add
+    half-integers (exact in doubles far past any real group size), and
+    the only float reduction — Σ R_g²/n_g — folds IN-ROW over the
+    group-sorted summary list.  Two window passes + two keyed
+    aggregates; never a global sort.
+    """
+    w_rn = Window.partitionBy("key").orderBy("v", "grp")
+    w_tie = Window.partitionBy("key", "v")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    ranked = base.withColumn("_rn", F.row_number().over(w_rn)).withColumn(
+        "_ar", F.avg("_rn").over(w_tie)
+    )
+    per_grp = ranked.groupBy("key", "grp").agg(
+        F.count("*").alias("ng"), F.sum("_ar").alias("rg")
+    )
+    ties = (
+        base.groupBy("key", "v")
+        .agg(F.count("*").alias("t"))
+        .groupBy("key")
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+                "tsum"
+            )
+        )
+    )
+    per_key = per_grp.groupBy("key").agg(
+        F.sum("ng").alias("n"),
+        F.count("*").alias("k"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("grp").alias("g"),
+                    F.col("ng").cast("double").alias("ng"),
+                    F.col("rg").alias("rg"),
+                )
+            )
+        ).alias("_gs"),
+    ).join(ties, "key")
+    n = F.col("n").cast("double")
+    s = F.aggregate(
+        F.col("_gs"), F.lit(0.0), lambda a, e: a + e["rg"] * e["rg"] / e["ng"]
+    )
+    h = 12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0)
+    c = 1.0 - F.col("tsum").cast("double") / (n * n * n - n)
+    hc = F.when(c > 0.0, h / c)
+    dof = (F.col("k") - 1).cast("double")
+    wh = dof * F.pow(
+        1.0 - 2.0 / (9.0 * dof)
+        + F.lit(float(alpha_z)) * F.sqrt(2.0 / (9.0 * dof)),
+        F.lit(3.0),
+    )
+    return per_key.filter(F.col("k") >= 2).select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.round(h, 6).alias("h"),
+        F.round(hc, 6).alias("h_corrected"),
+        F.round(wh, 6).alias("crit95"),
+        (F.coalesce(hc, h) > wh).alias("significant"),
+    )

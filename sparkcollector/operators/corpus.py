@@ -2830,3 +2830,75 @@ def oov_rate(
             F.col("n_oov").cast("double") / F.col("n_tokens"), 6
         ).alias("oov_rate"),
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    qi_cols: list,
+    sensitive_col: str,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """t-closeness risk audit (Li, Li & Venkatasubramanian, ICDE'07) —
+    the audit `l_diversity_audit` misses: a QI class can be l-diverse
+    yet still leak when its SENSITIVE-VALUE DISTRIBUTION skews far
+    from the corpus-wide one (e.g. 90% of one diagnosis in a class vs
+    10% globally).  For a categorical sensitive attribute the earth-
+    mover distance reduces to total-variation distance
+    ``½ Σ |p_class − p_global|``; classes with distance > t fail.
+
+    One (QI, sensitive) count pass, the bounded global mix joined back
+    (AQE decides the broadcast), and the per-class distance folds
+    IN-ROW over the category-sorted cell list — absent categories
+    contribute their full global mass, so the fold runs over the FULL
+    category list per class (bounded by sensitive-attribute
+    cardinality).  Emits one row per QI class.
+    """
+    qi = [F.col(c) for c in qi_cols]
+    per = df.groupBy(*qi, F.col(sensitive_col).alias("_s")).agg(
+        F.count("*").alias("_c")
+    )
+    gm = per.groupBy("_s").agg(F.sum("_c").alias("_gc"))
+    tot = gm.agg(F.sum("_gc").alias("_gt"))
+    mix = gm.crossJoin(tot).select(
+        "_s", (F.col("_gc").cast("double") / F.col("_gt")).alias("_gp")
+    )
+    cls = per.groupBy(*qi_cols).agg(F.sum("_c").alias("_n"))
+    cells = (
+        cls.crossJoin(mix)
+        .join(per, [*qi_cols, "_s"], "left")
+        .select(
+            *qi_cols,
+            "_n",
+            "_s",
+            (
+                F.coalesce(F.col("_c"), F.lit(0)).cast("double")
+                / F.col("_n").cast("double")
+            ).alias("_p"),
+            "_gp",
+        )
+    )
+    per_cls = cells.groupBy(*qi_cols, "_n").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("_s").alias("s"),
+                    F.col("_p").alias("p"),
+                    F.col("_gp").alias("q"),
+                )
+            )
+        ).alias("_cells")
+    )
+    tv = (
+        F.aggregate(
+            F.col("_cells"),
+            F.lit(0.0),
+            lambda a, e: a + F.abs(e["p"] - e["q"]),
+        )
+        / 2.0
+    )
+    return per_cls.select(
+        *qi_cols,
+        F.col("_n").cast("long").alias("class_rows"),
+        F.round(tv, 6).alias("tv_distance"),
+        (tv > F.lit(float(threshold))).alias("fails_t"),
+    )

@@ -522,3 +522,63 @@ def kcore_peel_step(
         F.col("degree").cast("long").alias("degree"),
         (F.col("degree") >= k).alias("kept"),
     )
+
+
+def local_clustering_coeff(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Per-node local clustering coefficient ``2·T_v / (d_v(d_v−1))``
+    over an undirected simple graph given as low<high edge pairs — the
+    node-level refinement of `triangle_census`'s global coefficient
+    (census says "are dup clusters dense overall"; this names the
+    nodes sitting in dense pockets vs chain artifacts).
+
+    Triangles come from the same ordered node-iterator join as the
+    census (each a<b<c closed exactly once); each closed triangle then
+    credits all THREE corners via one bounded explode, and one keyed
+    count per corner gives T_v.  Degrees are one keyed aggregate over
+    both endpoints.  Same 10^12-edge note as the census: orient by
+    degree (Suri & Vassilvitskii) when component sizes are unbounded;
+    id orientation is kept for the bounded dup-pair graphs this runs
+    on.
+    """
+    e = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).distinct()
+    paths = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.b") == F.col("y.a"))
+        .select(
+            F.col("x.a").alias("a"),
+            F.col("x.b").alias("m"),
+            F.col("y.b").alias("c"),
+        )
+    )
+    tri = paths.alias("p").join(
+        e.alias("z"),
+        (F.col("p.a") == F.col("z.a")) & (F.col("p.c") == F.col("z.b")),
+    ).select("p.a", "p.m", "p.c")
+    tri_v = tri.select(
+        F.explode(F.array("a", "m", "c")).alias("v")
+    ).groupBy("v").agg(F.count("*").alias("_t"))
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    d = F.col("_d").cast("double")
+    t = F.coalesce(F.col("_t"), F.lit(0)).cast("double")
+    return (
+        deg.join(tri_v, "v", "left")
+        .select(
+            "v",
+            F.col("_d").cast("long").alias("degree"),
+            F.coalesce(F.col("_t"), F.lit(0)).cast("long").alias("triangles"),
+            F.when(F.col("_d") >= 2, F.round(2.0 * t / (d * (d - 1.0)), 6))
+            .otherwise(F.lit(0.0))
+            .alias("coeff"),
+        )
+    )

@@ -14307,6 +14307,165 @@ def q_chi_square_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # ---------------------------------------------------------------------
+# 348. Kruskal-Wallis H per day over event-type groups — the k-group
+#      generalisation of mann_whitney_shift (rank-based, no normality
+#      assumption), midranks for ties, tie-corrected, 95% decision via
+#      the Wilson-Hilferty chi-square critical value.  Midranks are
+#      means of consecutive integers (exact half-integers) so every
+#      reduction except the in-row Σ R²/n fold is integer-exact.
+# ---------------------------------------------------------------------
+@register(
+    "kruskal_wallis",
+    """
+    with base as (select cast(floor(epoch(ts) / 86400) as bigint) as key,
+                    event_type as grp, value as v
+                  from events),
+    r as (select key, grp, v,
+            row_number() over (partition by key order by v, grp) as rn
+          from base),
+    a as (select key, grp, v,
+            avg(rn) over (partition by key, v) as ar from r),
+    pg as (select key, grp, count(*) as ng, sum(ar) as rg
+           from a group by 1, 2),
+    tie as (select key, sum(t * t * t - t) as tsum
+            from (select key, v, count(*) as t from base group by 1, 2)
+            group by 1),
+    pk as (select key, sum(ng) as n, count(*) as k,
+             list(struct_pack(g := grp, ng := cast(ng as double),
+                              rg := rg) order by grp) as gs
+           from pg group by 1),
+    f as (select pk.key, cast(pk.n as double) as nd, pk.n as n, pk.k,
+            cast(tie.tsum as double) as tsum,
+            list_reduce(list_prepend(cast(0 as double),
+              list_transform(gs, e -> e.rg * e.rg / e.ng)),
+              (a, x) -> a + x) as s
+          from pk join tie on pk.key = tie.key
+          where pk.k >= 2),
+    h as (select key, n, k, nd,
+            12.0 / (nd * (nd + 1.0)) * s - 3.0 * (nd + 1.0) as h,
+            1.0 - tsum / (nd * nd * nd - nd) as c,
+            cast(k - 1 as double) as dof
+          from f),
+    z as (select key, n, k, h,
+            case when c > 0.0 then h / c end as hc,
+            dof * pow(1.0 - 2.0 / (9.0 * dof)
+              + 1.6448536269514722 * sqrt(2.0 / (9.0 * dof)), 3) as wh
+          from h)
+    select key as day, cast(n as bigint) as n, cast(k as bigint) as k_groups,
+      round(h, 6) as h, round(hc, 6) as h_corrected,
+      round(wh, 6) as crit95,
+      coalesce(hc, h) > wh as significant
+    from z
+    """,
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import kruskal_wallis
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(_epoch_s("ts") / 86400).cast("long").alias("day"),
+        "event_type",
+        "value",
+    )
+    return kruskal_wallis(ev, "day", "event_type", "value").withColumnRenamed(
+        "key", "day"
+    )
+
+
+# ---------------------------------------------------------------------
+# 349. t-closeness audit per user cohort (Li/Li/Venkatasubramanian
+#      ICDE'07) — the privacy audit l_diversity misses: categorical
+#      EMD reduces to total-variation distance between the class's
+#      sensitive mix and the global mix; absent categories contribute
+#      their full global mass (the fold runs over the FULL bounded
+#      category list per class).
+# ---------------------------------------------------------------------
+@register(
+    "t_closeness_audit",
+    """
+    with per as (select user_id % 25 as cohort, event_type as s,
+                   count(*) as c
+                 from events group by 1, 2),
+    gm as (select s, sum(c) as gc from per group by 1),
+    tot as (select sum(gc) as gt from gm),
+    mix as (select s, cast(gc as double) / gt as gp from gm, tot),
+    cls as (select cohort, sum(c) as n from per group by 1),
+    cells as (select cls.cohort, cls.n, m.s,
+                cast(coalesce(p.c, 0) as double)
+                  / cast(cls.n as double) as p,
+                m.gp
+              from cls cross join mix m
+              left join per p on p.cohort = cls.cohort and p.s = m.s),
+    g as (select cohort, n,
+            list(struct_pack(s := s, p := p, q := gp) order by s) as cs
+          from cells group by 1, 2),
+    f as (select cohort, n,
+            list_reduce(list_prepend(cast(0 as double),
+              list_transform(cs, e -> abs(e.p - e.q))),
+              (a, x) -> a + x) / 2.0 as tv
+          from g)
+    select cast(cohort as bigint) as cohort,
+      cast(n as bigint) as class_rows,
+      round(tv, 6) as tv_distance,
+      tv > 0.2 as fails_t
+    from f
+    """,
+)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import t_closeness_audit
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 25).alias("cohort"), "event_type"
+    )
+    return t_closeness_audit(ev, ["cohort"], "event_type", threshold=0.2)
+
+
+# ---------------------------------------------------------------------
+# 350. Per-node local clustering coefficient over the deterministic
+#      interaction graph (same edge derivation as kcore_peel) — the
+#      node-level refinement of dup_triangle_census's global
+#      coefficient: ordered a<b<c triangle join credits all three
+#      corners, one keyed count per corner, degrees from one keyed
+#      aggregate.
+# ---------------------------------------------------------------------
+@register(
+    "local_clustering_coeff",
+    """
+    with e0 as (select least(user_id % 400, (user_id + event_id * 13) % 400)
+                  as a,
+                greatest(user_id % 400, (user_id + event_id * 13) % 400)
+                  as b
+                from events),
+    e as (select distinct a, b from e0 where a <> b),
+    tri as (select x.a as a, x.b as m, y.b as c
+            from e x join e y on x.b = y.a
+            join e z on z.a = x.a and z.b = y.b),
+    tv as (select v, count(*) as t from (
+             select a as v from tri
+             union all select m from tri
+             union all select c from tri) group by 1),
+    deg as (select v, count(*) as d from (
+              select a as v from e union all select b from e) group by 1)
+    select cast(deg.v as bigint) as v, cast(d as bigint) as degree,
+      cast(coalesce(t, 0) as bigint) as triangles,
+      case when d >= 2
+           then round(2.0 * cast(coalesce(t, 0) as double)
+                      / (cast(d as double) * (cast(d as double) - 1.0)), 6)
+           else 0.0 end as coeff
+    from deg left join tv on deg.v = tv.v
+    """,
+)
+def q_local_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import local_clustering_coeff
+
+    ev = _t(spark, sf_dir, "events")
+    a = F.col("user_id") % 400
+    b = (F.col("user_id") + F.col("event_id") * 13) % 400
+    edges = ev.select(
+        F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    return local_clustering_coeff(edges, "a", "b")
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

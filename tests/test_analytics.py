@@ -1626,3 +1626,21 @@ def test_chi_square_gof_missing_category_counts_full_e(spark):
     assert got["d2"]["k_cats"] == 2              # global list, not per-key
     # d2: O=(100,0), E=(90,10) -> 100/90 + 100/10
     assert abs(got["d2"]["chi2"] - (100 / 90 + 10.0)) < 1e-5
+
+
+def test_kruskal_wallis_shift_and_ties(spark):
+    from sparkcollector.operators.analytics import kruskal_wallis
+
+    # clean separation: H = 12/(20*21)*(55^2/10 + 155^2/10) - 63
+    rows = [("k", "a", float(i)) for i in range(1, 11)]
+    rows += [("k", "b", float(i)) for i in range(11, 21)]
+    # all-tied key: every value equal -> midranks equal -> H = 0, C = 0
+    rows += [("t", "a", 5.0)] * 4 + [("t", "b", 5.0)] * 4
+    df = spark.createDataFrame(rows, "key string, grp string, v double")
+    got = {r["key"]: r for r in
+           kruskal_wallis(df, "key", "grp", "v").collect()}
+    assert abs(got["k"]["h"] - 14.285714) < 1e-5
+    assert got["k"]["significant"]
+    assert abs(got["t"]["h"]) < 1e-9
+    assert got["t"]["h_corrected"] is None      # full-tie: C = 0
+    assert not got["t"]["significant"]

@@ -1153,3 +1153,17 @@ def test_oov_rate_against_global_vocab(spark):
     assert a["n_oov"] == 2 and abs(a["oov_rate"] - 0.4) < 1e-9
     # b: 'the' + 'away' in vocab; dog, ran, far OOV -> 3/5
     assert b["n_oov"] == 3 and abs(b["oov_rate"] - 0.6) < 1e-9
+
+
+def test_t_closeness_audit_tv_distance(spark):
+    from sparkcollector.operators.corpus import t_closeness_audit
+
+    # global mix 50/50; g1 is all-x -> TV = 0.5; g3 mirrors global -> 0
+    rows = [("g1", "x")] * 10 + [("g2", "y")] * 10
+    rows += [("g3", "x")] * 5 + [("g3", "y")] * 5
+    df = spark.createDataFrame(rows, "qi string, s string")
+    got = {r["qi"]: r for r in
+           t_closeness_audit(df, ["qi"], "s", threshold=0.3).collect()}
+    assert got["g1"]["tv_distance"] == 0.5 and got["g1"]["fails_t"]
+    assert got["g3"]["tv_distance"] == 0.0 and not got["g3"]["fails_t"]
+    assert got["g2"]["class_rows"] == 10

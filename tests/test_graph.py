@@ -239,3 +239,25 @@ def test_kcore_peel_step_known_graph(spark):
     again = {r["node"]: r["kept"] for r in
              kcore_peel_step(surv, k=2).collect()}
     assert again == {1: True, 2: True, 3: True}
+
+
+def test_local_clustering_coeff_k4_minus_edge(spark):
+    from sparkcollector.operators.graph import local_clustering_coeff
+
+    # K4 minus edge (3,4): triangles 123 and 124
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["v"]: r for r in local_clustering_coeff(df).collect()}
+    assert got[1]["triangles"] == 2 and abs(got[1]["coeff"] - 2 / 3) < 1e-5
+    assert got[3]["triangles"] == 1 and got[3]["coeff"] == 1.0
+    assert got[3]["degree"] == 2
+
+
+def test_local_clustering_coeff_star_is_zero(spark):
+    from sparkcollector.operators.graph import local_clustering_coeff
+
+    edges = [(1, 2), (1, 3), (1, 4)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["v"]: r for r in local_clustering_coeff(df).collect()}
+    assert got[1]["triangles"] == 0 and got[1]["coeff"] == 0.0
+    assert got[2]["degree"] == 1 and got[2]["coeff"] == 0.0
