@@ -2902,3 +2902,57 @@ def t_closeness_audit(
         F.round(tv, 6).alias("tv_distance"),
         (tv > F.lit(float(threshold))).alias("fails_t"),
     )
+
+
+_DIRICHLET_MU = 2000.0
+
+
+def dirichlet_lm_scores(
+    df: DataFrame,
+    terms: list[str],
+    mu: float = _DIRICHLET_MU,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001) — the language-model scorer beside `bm25_scores`:
+    ``score(q,d) = Σ_t ln((tf_t + μ·p_t) / (|d| + μ))`` where ``p_t``
+    is the collection unigram probability.  Dirichlet smoothing is
+    what makes the zero-tf case well-defined (a term absent from the
+    doc still contributes its collection mass), so every doc gets a
+    finite score.
+
+    Same plan shape as BM25: per-term tf via array HOFs over the
+    split text (no explode), collection stats (Σ tf_t and total token
+    count — integer-exact sums) in ONE 1-row aggregate crossJoined
+    back (AQE broadcasts it), and the score sums terms in LITERAL
+    LIST ORDER so double addition is deterministic and
+    engine-portable.
+    """
+    if not terms:
+        raise ValueError("dirichlet_lm_scores requires a non-empty term list")
+    words = F.split(F.col(text_col), " ")
+    proj = [F.col(id_col), F.size(words).alias("_dl")]
+    for i, t in enumerate(terms):
+        proj.append(
+            F.size(F.filter(words, lambda w: w == F.lit(t))).alias(f"_tf{i}")
+        )
+    per_doc = df.select(*proj)
+    aggs = [F.sum("_dl").alias("_toks")] + [
+        F.sum(f"_tf{i}").alias(f"_ctf{i}") for i in range(len(terms))
+    ]
+    stats = per_doc.agg(*aggs)
+    scored = per_doc.crossJoin(stats)
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        p_t = F.col(f"_ctf{i}").cast("double") / F.col("_toks").cast("double")
+        term = F.log(
+            (tf + F.lit(float(mu)) * p_t)
+            / (F.col("_dl").cast("double") + F.lit(float(mu)))
+        )
+        score = term if score is None else score + term
+    return scored.select(
+        id_col, F.round(score, round_digits).alias("lm_score")
+    )

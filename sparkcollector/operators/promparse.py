@@ -972,3 +972,49 @@ def apache_clf_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
         F.when(ok & (g(10) != ""), g(10)).alias("referer"),
         F.when(ok & (g(11) != ""), g(11)).alias("user_agent"),
     )
+
+
+_GELF_SEVERITY = (
+    "emerg", "alert", "crit", "err", "warning", "notice", "info", "debug"
+)
+
+
+def gelf_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """GELF JSON envelope parse (Graylog Extended Log Format 1.1 — the
+    JSON ingest grammar beside the HEC envelope `hec_envelope`
+    handles): ``version/host/short_message/timestamp/level`` plus
+    underscore-prefixed additional fields, syslog level number mapped
+    to its severity keyword (the same 0-7 table the severity parser
+    uses).  ``well_formed`` = parsed AND carries the two spec-required
+    fields (version, short_message); malformed lines yield NULLs.
+
+    Schema-full ``from_json`` (never schema inference on the hot
+    path) + a literal CASE severity map — pure codegen, zero
+    exchanges.
+    """
+    schema = (
+        "version string, host string, short_message string, "
+        "`timestamp` double, level int, _tool string"
+    )
+    j = F.from_json(F.col(line_col), schema)
+    ok = (
+        j.isNotNull()
+        & j["version"].isNotNull()
+        & j["short_message"].isNotNull()
+    )
+    sev = F.coalesce(
+        *[
+            F.when(j["level"] == i, F.lit(s))
+            for i, s in enumerate(_GELF_SEVERITY)
+        ]
+    )
+    return df.select(
+        "*",
+        ok.alias("well_formed"),
+        F.when(ok, j["host"]).alias("host"),
+        F.when(ok, j["short_message"]).alias("short_message"),
+        F.when(ok, F.round(j["timestamp"], 3)).alias("ts_s"),
+        F.when(ok, j["level"]).alias("level"),
+        F.when(ok, sev).alias("severity_text"),
+        F.when(ok, j["_tool"]).alias("tool"),
+    )

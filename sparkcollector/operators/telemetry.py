@@ -2973,3 +2973,54 @@ def token_bucket_audit(
         F.round(drops / n.cast("double"), 6).alias("drop_rate"),
         F.round(F.element_at(st, 1), 6).alias("final_tokens"),
     )
+
+
+def interval_last_value(
+    df: DataFrame,
+    series_cols: list,
+    ts_col: str,
+    value_col: str,
+    tie_col: str,
+    interval_s: int = 21600,
+) -> DataFrame:
+    """`interval` processor semantics (OTel contrib intervalprocessor;
+    the gauge/counter companion of the reference's batch-window
+    downsamplers): within each series and aligned interval, keep only
+    the LAST datapoint (max event time, ``tie_col`` breaking exact-ts
+    ties deterministically) plus the interval's point count so the
+    compaction is observable.  This is the lossless-for-gauges
+    downsampling the collector applies before slow exporters —
+    distinct from `m4_downsample` (which keeps 4 points for plots)
+    and `stale_series` (which drops whole series).
+
+    One window rank per (series, interval) — a single hash shuffle on
+    the series+interval key, no self-join; at 10^12 points the
+    partition count follows the series cardinality, and the rank
+    never sorts more than one interval's points per series.
+    """
+    ivl = (
+        F.floor(F.col(ts_col).cast("timestamp_ltz").cast("double") / interval_s)
+        .cast("long")
+        .alias("interval_id")
+    )
+    base = df.select(*series_cols, ivl, F.col(ts_col).alias("_t"),
+                     F.col(value_col).alias("_v"), F.col(tie_col).alias("_k"))
+    w = Window.partitionBy(*series_cols, "interval_id").orderBy(
+        F.col("_t").desc(), F.col("_k").desc()
+    )
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(
+                Window.partitionBy(*series_cols, "interval_id")
+            )
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            *series_cols,
+            "interval_id",
+            F.col("_v").alias("last_value"),
+            F.date_format("_t", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.col("_n").cast("long").alias("n_points"),
+        )
+    )

@@ -14466,6 +14466,155 @@ def q_local_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_clustering_coeff(edges, "a", "b")
 
 # ---------------------------------------------------------------------
+# 351. Dirichlet query-likelihood retrieval (Zhai & Lafferty 2001) —
+#      the language-model scorer beside bm25_retrieval: per-term tf
+#      via array HOFs (no explode), ONE 1-row collection-stats
+#      aggregate crossJoined back, score sums terms in literal list
+#      order (deterministic double addition on both engines).
+# ---------------------------------------------------------------------
+@register(
+    "dirichlet_lm_retrieval",
+    """
+    with pd as (
+      select doc_id,
+             len(string_split(text, ' ')) as dl,
+             len(list_filter(string_split(text, ' '), w -> w = 'scan'))
+               as tf0,
+             len(list_filter(string_split(text, ' '), w -> w = 'merge'))
+               as tf1
+      from documents),
+    st as (select sum(dl) as toks, sum(tf0) as ctf0, sum(tf1) as ctf1
+           from pd)
+    select doc_id, round(
+        ln((tf0 + 2000e0 * (cast(ctf0 as double) / cast(toks as double)))
+           / (dl + 2000e0))
+      + ln((tf1 + 2000e0 * (cast(ctf1 as double) / cast(toks as double)))
+           / (dl + 2000e0)), 4) as lm_score
+    from pd cross join st
+    """,
+)
+def q_dirichlet_lm_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import dirichlet_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return dirichlet_lm_scores(docs, ["scan", "merge"], mu=2000.0)
+
+
+# ---------------------------------------------------------------------
+# 352. `interval` processor last-value downsampling (OTel contrib
+#      intervalprocessor): per series and aligned 6h interval, keep
+#      only the last datapoint (ts desc, event_id tie-break) + point
+#      count — the lossless-for-gauges compaction before slow
+#      exporters, distinct from m4_downsample and stale_series.
+# ---------------------------------------------------------------------
+@register(
+    "interval_last_value",
+    """
+    with b as (select event_type, user_id % 20 as dim, ts, value,
+                 event_id,
+                 cast(floor(epoch(ts) / 21600) as bigint) as interval_id
+               from events),
+    r as (select *,
+            row_number() over (partition by event_type, dim, interval_id
+                               order by ts desc, event_id desc) as rn,
+            count(*) over (partition by event_type, dim, interval_id)
+              as n
+          from b)
+    select event_type, cast(dim as bigint) as dim, interval_id,
+      value as last_value,
+      strftime(ts, '%Y-%m-%d %H:%M:%S') as last_ts,
+      cast(n as bigint) as n_points
+    from r where rn = 1
+    """,
+)
+def q_interval_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import interval_last_value
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 20).alias("dim"),
+        "ts",
+        "value",
+        "event_id",
+    )
+    return interval_last_value(
+        ev, ["event_type", "dim"], "ts", "value", "event_id",
+        interval_s=21600,
+    )
+
+
+# ---------------------------------------------------------------------
+# 353. GELF JSON envelope parse (Graylog Extended Log Format 1.1; the
+#      JSON ingest grammar beside hec_envelope): schema-full
+#      from_json, spec-required version+short_message gate, syslog
+#      0-7 level -> severity keyword, underscore additional fields.
+#      Lines are built with to_json (null fields omitted) so the
+#      absent-field path is exercised; oracle derives expected fields
+#      from SOURCE columns.
+# ---------------------------------------------------------------------
+@register(
+    "gelf_parse",
+    """
+    with base as (
+      select event_id, user_id, event_type, ts,
+             event_id % 20 = 0 as bad,
+             event_id % 13 = 0 as nomsg
+      from events)
+    select event_id,
+      not (bad or nomsg) as well_formed,
+      case when bad or nomsg then NULL
+           else 'h' || cast(user_id % 30 as varchar) end as host,
+      case when bad or nomsg then NULL
+           else event_type || ' u' || cast(user_id % 10 as varchar)
+           end as short_message,
+      case when bad or nomsg then NULL
+           else round(epoch(ts), 3) end as ts_s,
+      case when bad or nomsg then NULL
+           else cast(event_id % 8 as int) end as level,
+      case when bad or nomsg then NULL
+           else ['emerg','alert','crit','err','warning','notice',
+                 'info','debug'][cast(event_id % 8 as int) + 1]
+           end as severity_text,
+      case when bad or nomsg then NULL
+           when event_type = 'purchase' then 'bash'
+           when event_type = 'error' then 'search'
+           else NULL end as tool
+    from base
+    """,
+)
+def q_gelf_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import gelf_parse
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    tool = (
+        F.when(F.col("event_type") == "purchase", F.lit("bash"))
+        .when(F.col("event_type") == "error", F.lit("search"))
+    )
+    payload = F.to_json(
+        F.struct(
+            F.lit("1.1").alias("version"),
+            F.concat(F.lit("h"), (uid % 30).cast("string")).alias("host"),
+            F.when(
+                eid % 13 != 0,
+                F.concat(
+                    F.col("event_type"), F.lit(" u"),
+                    (uid % 10).cast("string"),
+                ),
+            ).alias("short_message"),
+            F.round(_epoch_s("ts"), 3).alias("timestamp"),
+            (eid % 8).cast("int").alias("level"),
+            tool.alias("_tool"),
+        )
+    )
+    line = F.when(eid % 20 == 0, F.lit("not a gelf line")).otherwise(payload)
+    parsed = gelf_parse(ev.select("event_id", line.alias("line")), "line")
+    return parsed.select(
+        "event_id", "well_formed", "host", "short_message", "ts_s",
+        "level", "severity_text", "tool",
+    )
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -1167,3 +1167,20 @@ def test_t_closeness_audit_tv_distance(spark):
     assert got["g1"]["tv_distance"] == 0.5 and got["g1"]["fails_t"]
     assert got["g3"]["tv_distance"] == 0.0 and not got["g3"]["fails_t"]
     assert got["g2"]["class_rows"] == 10
+
+
+def test_dirichlet_lm_scores_hand_computed(spark):
+    import math
+
+    from sparkcollector.operators.corpus import dirichlet_lm_scores
+
+    docs = [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["lm_score"] for r in
+           dirichlet_lm_scores(df, ["apple", "cherry"], mu=10.0).collect()}
+    # toks=6, ctf(apple)=2 -> p=1/3; ctf(cherry)=1 -> p=1/6
+    exp1 = math.log((2 + 10 / 3) / 13) + math.log((10 / 6) / 13)
+    assert abs(got[1] - round(exp1, 4)) < 1e-9
+    # zero-tf doc still gets a finite score (the point of smoothing)
+    exp3 = math.log((10 / 3) / 11) + math.log((10 / 6) / 11)
+    assert abs(got[3] - round(exp3, 4)) < 1e-9

@@ -506,3 +506,23 @@ def test_apache_clf_parse_combined_common_malformed(spark):
     assert got[2]["method"] == "POST"
     assert not got[3]["well_formed"]
     assert got[3]["host"] is None
+
+
+def test_gelf_parse_levels_and_gates(spark):
+    from sparkcollector.operators.promparse import gelf_parse
+
+    rows = [
+        (1, '{"version":"1.1","host":"h1","short_message":"boom",'
+            '"timestamp":1704067200.123,"level":3,"_tool":"bash"}'),
+        (2, '{"version":"1.1","host":"h2","short_message":"ok",'
+            '"timestamp":1.5,"level":6}'),
+        (3, 'not json'),
+        (4, '{"host":"h3"}'),          # missing required fields
+    ]
+    df = spark.createDataFrame(rows, "id long, line string")
+    got = {r["id"]: r for r in gelf_parse(df, "line").collect()}
+    assert got[1]["severity_text"] == "err" and got[1]["tool"] == "bash"
+    assert got[1]["ts_s"] == 1704067200.123
+    assert got[2]["severity_text"] == "info" and got[2]["tool"] is None
+    assert not got[3]["well_formed"]
+    assert not got[4]["well_formed"] and got[4]["host"] is None

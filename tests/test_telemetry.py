@@ -1340,3 +1340,27 @@ def test_token_bucket_audit_drops(spark):
     assert got[1]["n_events"] == 5 and got[1]["n_dropped"] == 2
     assert got[2]["n_dropped"] == 0
     assert got[1]["drop_rate"] == 0.4
+
+
+def test_interval_last_value_keeps_latest_and_counts(spark):
+    import datetime as dt
+
+    from sparkcollector.operators.telemetry import interval_last_value
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("m1", base + dt.timedelta(hours=h), float(h), h)
+            for h in range(10)]
+    # exact-ts tie: higher event_id wins
+    rows += [("m2", base, 1.0, 1), ("m2", base, 2.0, 2)]
+    df = spark.createDataFrame(
+        rows, "metric string, ts timestamp, value double, event_id long"
+    )
+    out = {(r["metric"], r["interval_id"]): r for r in interval_last_value(
+        df, ["metric"], "ts", "value", "event_id", interval_s=21600
+    ).collect()}
+    first = [k for k in out if k[0] == "m1"][0][1]
+    assert out[("m1", first)]["last_value"] == 5.0      # hour 5 ends 6h ivl
+    assert out[("m1", first)]["n_points"] == 6
+    assert out[("m1", first + 1)]["last_value"] == 9.0
+    m2 = [v for k, v in out.items() if k[0] == "m2"][0]
+    assert m2["last_value"] == 2.0 and m2["n_points"] == 2
