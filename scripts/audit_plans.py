@@ -2572,6 +2572,146 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 78: Kruskal-Wallis, t-closeness, clustering coeff.
+    all_ok &= audit(
+        "kruskal_wallis",
+        lambda: queries()["kruskal_wallis"](spark, SF_DIR),
+        [
+            ("global rank is a window over value order (one sort), "
+             "not a self-join",
+             lambda p: "Window" in p and "SortMergeJoin" not in p),
+            ("group rank sums reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        notes="Ranking shuffles once on the (empty) global key then "
+        "per-group sums are hash-aggregated; tie correction folds "
+        "in-row. At 10^12 rows the global sort is the documented cost "
+        "of exact ranks (sampled variant would approximate).",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "t_closeness_audit",
+        lambda: queries()["t_closeness_audit"](spark, SF_DIR),
+        [
+            ("EMD folds over the sorted category list in-row — no "
+             "per-category window cascade",
+             lambda p: "Window" not in p),
+            ("group and global distributions reduce with map-side "
+             "partials",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "local_clustering_coeff",
+        lambda: queries()["local_clustering_coeff"](spark, SF_DIR),
+        [
+            ("triangle join is oriented (a<b) so each triangle counts "
+             "once — joins present",
+             lambda p: "Join" in p),
+            ("degree/triangle counts reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        notes="Edge-iterator triangle counting: two hash joins on edge "
+        "endpoints. At web scale the standard degree-ordered "
+        "orientation keeps the join fan-out bounded by max "
+        "out-degree, which the a<b orientation already enforces here.",
+        spark=spark,
+    )
+
+    # round-3 batch 79: Dirichlet LM, interval last-value, GELF.
+    all_ok &= audit(
+        "dirichlet_lm_retrieval",
+        lambda: queries()["dirichlet_lm_retrieval"](spark, SF_DIR),
+        [
+            ("per-doc tf via array HOFs — no explode",
+             lambda p: "Generate" not in p),
+            ("collection stats are ONE tiny aggregate joined back "
+             "(broadcast NLJ / cross of a 1-row side)",
+             lambda p: "Join" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "interval_last_value",
+        lambda: queries()["interval_last_value"](spark, SF_DIR),
+        [
+            ("single shuffle on (series, interval), last-value via "
+             "window over it",
+             lambda p: "Window" in p),
+            ("parquet scan prunes to the used columns",
+             lambda p: "ReadSchema" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "gelf_parse",
+        lambda: queries()["gelf_parse"](spark, SF_DIR),
+        [
+            ("pure map job: zero exchanges",
+             lambda p: "Exchange" not in p),
+            ("schema-full from_json — single JsonToStructs, no "
+             "schema inference scan",
+             lambda p: "from_json" in p or "ReadSchema" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
+    # round-3 batch 80: syslog SD params, typed CSV, diversified top-k.
+    all_ok &= audit(
+        "syslog_sd_params",
+        lambda: queries()["syslog_sd_params"](spark, SF_DIR),
+        [
+            ("pure map job: zero exchanges",
+             lambda p: "Exchange" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "csv_parse_typed",
+        lambda: queries()["csv_parse_typed"](spark, SF_DIR),
+        [
+            ("pure map job: zero exchanges",
+             lambda p: "Exchange" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "diversified_topk",
+        lambda: queries()["diversified_topk"](spark, SF_DIR),
+        [
+            ("two window ranks, no self-join",
+             lambda p: "Window" in p and "Join" not in p),
+            ("per-source cap filters BEFORE the global rank (rank "
+             "windows appear, filter between them)",
+             lambda p: len(re.findall(r"\bWindow\b", p)) >= 2),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        notes="Partitioned by query key both times — the second window "
+        "reuses the first's hash partitioning on the prefix only if "
+        "Catalyst sees (q,src) ⊇ (q); here the planner re-shuffles to "
+        "(q), which is correct: partition count follows query "
+        "cardinality, never global.",
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

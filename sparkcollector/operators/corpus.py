@@ -2956,3 +2956,45 @@ def dirichlet_lm_scores(
     return scored.select(
         id_col, F.round(score, round_digits).alias("lm_score")
     )
+
+
+def diversified_topk(
+    df: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    source_col: str,
+    k: int = 10,
+    per_source_cap: int = 3,
+) -> DataFrame:
+    """Diversity-capped top-k re-ranking — the search-diversity
+    counterpart of `rrf_fusion`: per query, keep the k best candidates
+    subject to AT MOST ``per_source_cap`` per source (the standard
+    "don't let one domain monopolise the result page / training
+    batch" constraint, the cheap deterministic stand-in for MMR).
+
+    Two window ranks — within (query, source) then within query over
+    the survivors — both ordered (score desc, id asc) so ties are
+    deterministic.  Each rank is one hash shuffle on its key; no
+    self-join, no global sort; at 10^12 candidates the partition
+    count follows query cardinality.
+    """
+    base = df.select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("id"),
+        F.col(score_col).cast("double").alias("score"),
+        F.col(source_col).alias("src"),
+    )
+    w_src = Window.partitionBy("q", "src").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    w_q = Window.partitionBy("q").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        base.withColumn("_sr", F.row_number().over(w_src))
+        .filter(F.col("_sr") <= per_source_cap)
+        .withColumn("rank", F.row_number().over(w_q))
+        .filter(F.col("rank") <= k)
+        .select("q", "rank", "id", "src", "score")
+    )

@@ -1018,3 +1018,67 @@ def gelf_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
         F.when(ok, sev).alias("severity_text"),
         F.when(ok, j["_tool"]).alias("tool"),
     )
+
+
+def syslog_sd_params(
+    df: DataFrame,
+    sd_col: str = "sd",
+    sd_id: str = "meta",
+    keys: tuple[str, ...] = ("seq", "src"),
+) -> DataFrame:
+    """RFC 5424 STRUCTURED-DATA param extraction — completes
+    `syslog_parse`, which captures the SD field raw: pick the SD
+    element with the requested SD-ID (``[id k="v" k2="v2"]``), extract
+    the requested PARAM values, and count the elements so multi-element
+    records are observable.  Params may repeat across elements; this
+    reads them from the MATCHED element only (RFC 5424 §6.3.2 scopes
+    param names per element).
+
+    Escaped characters inside param values (``\\"``, ``\\]``) are out
+    of scope for this feed (documented; the RFC allows them, the
+    constructed sources never emit them).  Pure codegen'd regex, zero
+    exchanges.
+    """
+    sd = F.col(sd_col)
+    elem = F.regexp_extract(sd, rf"\[{sd_id}( [^\]]*)?\]", 0)
+    has = elem != ""
+    n_elems = F.regexp_count(sd, F.lit(r"\[[^ \]]+"))
+
+    def ext(key: str):
+        v = F.regexp_extract(elem, rf'{key}="([^"]*)"', 1)
+        has_k = elem.rlike(rf'{key}="')
+        return F.when(has & has_k, v)
+
+    return df.select(
+        "*",
+        F.when(sd.isNotNull(), n_elems.cast("int")).alias("n_sd_elements"),
+        has.alias("has_element"),
+        *[ext(k).alias(f"sd_{k}") for k in keys],
+    )
+
+
+def csv_parse_typed(
+    df: DataFrame,
+    line_col: str = "line",
+    schema: str = "host string, status int, bytes long, msg string",
+    required: str = "status",
+) -> DataFrame:
+    """Typed CSV line parse — the Splunk ``INDEXED_EXTRACTIONS=CSV``
+    sourcetype analog (delimited scripted-input output is the
+    reference's other delimited feed, `scripted_inputs_split`):
+    schema-full ``from_csv`` so quoting (values containing commas)
+    and type coercion happen in ONE codegen'd expression, never a
+    split-and-cast chain that breaks on quoted delimiters.
+
+    ``well_formed`` gates on the required field surviving the typed
+    parse (PERMISSIVE mode nulls what it cannot coerce).  Pure
+    codegen, zero exchanges.
+    """
+    c = F.from_csv(F.col(line_col), schema)
+    ok = c[required].isNotNull()
+    names = [s.strip().split(" ")[0].strip("`") for s in schema.split(",")]
+    return df.select(
+        "*",
+        ok.alias("well_formed"),
+        *[F.when(ok, c[n]).alias(f"c_{n}") for n in names],
+    )

@@ -14615,6 +14615,149 @@ def q_gelf_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # ---------------------------------------------------------------------
+# 354. RFC 5424 STRUCTURED-DATA param extraction — completes
+#      syslog_parse_fields (which keeps SD raw): element selection by
+#      SD-ID, per-element param scoping (§6.3.2), element count, and
+#      the no-element / no-param / NILVALUE paths all exercised.
+#      Oracle derives expectations from the SAME modular construction.
+# ---------------------------------------------------------------------
+@register(
+    "syslog_sd_params",
+    """
+    with b as (select event_id as eid, user_id as uid from events)
+    select eid as event_id,
+      cast(case when eid % 7 = 0 then NULL
+                when eid % 3 = 0 and eid % 5 <> 0 then 2
+                else 1 end as int) as n_sd_elements,
+      case when eid % 7 = 0 then NULL
+           when eid % 5 = 0 then false
+           else true end as has_element,
+      case when eid % 7 = 0 or eid % 5 = 0 then NULL
+           else cast(eid % 100 as varchar) end as sd_seq,
+      case when eid % 7 = 0 or eid % 5 = 0
+                or (eid % 3 <> 0 and eid % 11 = 0) then NULL
+           else 's' || cast(uid % 9 as varchar) end as sd_src
+    from b
+    """,
+)
+def q_syslog_sd_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import syslog_sd_params
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    meta_full = F.concat(
+        F.lit('[meta seq="'), (eid % 100).cast("string"),
+        F.lit('" src="s'), (uid % 9).cast("string"), F.lit('"]'),
+    )
+    meta_seq_only = F.concat(
+        F.lit('[meta seq="'), (eid % 100).cast("string"), F.lit('"]')
+    )
+    sd = (
+        F.when(eid % 7 == 0, F.lit(None).cast("string"))
+        .when(eid % 5 == 0, F.lit('[other k="v"]'))
+        .when(eid % 3 == 0, F.concat(meta_full, F.lit('[other k="v"]')))
+        .when(eid % 11 == 0, meta_seq_only)
+        .otherwise(meta_full)
+    )
+    out = syslog_sd_params(
+        ev.select("event_id", sd.alias("sd")), "sd", "meta", ("seq", "src")
+    )
+    return out.select(
+        "event_id", "n_sd_elements", "has_element", "sd_seq", "sd_src"
+    )
+
+
+# ---------------------------------------------------------------------
+# 355. Typed CSV line parse (INDEXED_EXTRACTIONS=CSV analog) —
+#      schema-full from_csv: quoted values containing the delimiter,
+#      int/long coercion, and PERMISSIVE null-on-uncoercible gating
+#      well_formed.  Oracle reconstructs fields from source columns.
+# ---------------------------------------------------------------------
+@register(
+    "csv_parse_typed",
+    """
+    select event_id,
+      event_id % 9 <> 0 as well_formed,
+      case when event_id % 9 = 0 then NULL
+           else 'h' || cast(user_id % 30 as varchar) end as c_host,
+      case when event_id % 9 = 0 then NULL
+           else cast(200 + (event_id % 3) * 100 as int) end as c_status,
+      case when event_id % 9 = 0 then NULL
+           else cast(event_id * 10 as bigint) end as c_bytes,
+      case when event_id % 9 = 0 then NULL
+           when event_id % 4 = 0
+             then 'ok, fine ' || cast(event_id % 5 as varchar)
+           else 'plain-' || cast(event_id % 7 as varchar) end as c_msg
+    from events
+    """,
+)
+def q_csv_parse_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import csv_parse_typed
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    status = F.when(eid % 9 == 0, F.lit("xx")).otherwise(
+        (200 + (eid % 3) * 100).cast("string")
+    )
+    msg = F.when(
+        eid % 4 == 0,
+        F.concat(F.lit('"ok, fine '), (eid % 5).cast("string"), F.lit('"')),
+    ).otherwise(F.concat(F.lit("plain-"), (eid % 7).cast("string")))
+    line = F.concat_ws(
+        ",",
+        F.concat(F.lit("h"), (uid % 30).cast("string")),
+        status,
+        (eid * 10).cast("string"),
+        msg,
+    )
+    out = csv_parse_typed(
+        ev.select("event_id", line.alias("line")),
+        "line",
+        "host string, status int, bytes long, msg string",
+        "status",
+    )
+    return out.select(
+        "event_id", "well_formed", "c_host", "c_status", "c_bytes", "c_msg"
+    )
+
+
+# ---------------------------------------------------------------------
+# 356. Diversity-capped top-k re-ranking (per-source cap then global
+#      top-k) — the deterministic MMR stand-in beside rrf_fusion.
+#      Both engines rank (score desc, id asc) so ties are stable.
+# ---------------------------------------------------------------------
+@register(
+    "diversified_topk",
+    """
+    with c as (select 'q' || cast(doc_id % 5 as varchar) as q,
+                 doc_id as id,
+                 cast((doc_id * 37) % 997 as double) / 10 as score,
+                 source as src
+               from documents),
+    r as (select *, row_number() over (partition by q, src
+                      order by score desc, id asc) as sr from c),
+    f as (select q, id, src, score,
+            row_number() over (partition by q
+              order by score desc, id asc) as rank
+          from r where sr <= 3)
+    select q, cast(rank as int) as rank, id, src, score
+    from f where rank <= 10
+    """,
+)
+def q_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import diversified_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = docs.select(
+        F.concat(F.lit("q"), (F.col("doc_id") % 5).cast("string")).alias("q"),
+        F.col("doc_id").alias("id"),
+        ((F.col("doc_id") * 37 % 997).cast("double") / 10).alias("score"),
+        F.col("source").alias("src"),
+    )
+    return diversified_topk(cand, "q", "id", "score", "src", 10, 3)
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -1184,3 +1184,30 @@ def test_dirichlet_lm_scores_hand_computed(spark):
     # zero-tf doc still gets a finite score (the point of smoothing)
     exp3 = math.log((10 / 3) / 11) + math.log((10 / 6) / 11)
     assert abs(got[3] - round(exp3, 4)) < 1e-9
+
+
+def test_diversified_topk_caps_and_order(spark):
+    from sparkcollector.operators.corpus import diversified_topk
+
+    # one query; source A has the 4 best scores but cap=2 keeps only
+    # its top 2, letting B's lower-scored docs into the final k=4.
+    rows = [
+        ("q1", 1, 100.0, "A"), ("q1", 2, 99.0, "A"),
+        ("q1", 3, 98.0, "A"), ("q1", 4, 97.0, "A"),
+        ("q1", 5, 50.0, "B"), ("q1", 6, 40.0, "B"),
+        ("q1", 7, 30.0, "C"),
+    ]
+    df = spark.createDataFrame(rows, "q string, id long, s double, src string")
+    out = diversified_topk(df, "q", "id", "s", "src", k=4, per_source_cap=2)
+    got = [(r["rank"], r["id"], r["src"]) for r in
+           out.orderBy("rank").collect()]
+    assert got == [(1, 1, "A"), (2, 2, "A"), (3, 5, "B"), (4, 6, "B")]
+
+
+def test_diversified_topk_tie_break_deterministic(spark):
+    from sparkcollector.operators.corpus import diversified_topk
+
+    rows = [("q", i, 1.0, "S") for i in (5, 3, 9, 1)]
+    df = spark.createDataFrame(rows, "q string, id long, s double, src string")
+    out = diversified_topk(df, "q", "id", "s", "src", k=2, per_source_cap=9)
+    assert [r["id"] for r in out.orderBy("rank").collect()] == [1, 3]

@@ -526,3 +526,43 @@ def test_gelf_parse_levels_and_gates(spark):
     assert got[2]["severity_text"] == "info" and got[2]["tool"] is None
     assert not got[3]["well_formed"]
     assert not got[4]["well_formed"] and got[4]["host"] is None
+
+
+def test_syslog_sd_params_element_scoping(spark):
+    from sparkcollector.operators.promparse import syslog_sd_params
+
+    rows = [
+        (1, '[meta seq="7" src="s1"]'),
+        (2, '[meta seq="8"][other src="WRONG"]'),   # src scoped per element
+        (3, '[other k="v"]'),                       # no meta element
+        (4, None),                                  # NILVALUE
+        (5, '[meta seq="9" src="s2"][audit a="b"][x y="z"]'),
+    ]
+    df = spark.createDataFrame(rows, "id long, sd string")
+    got = {r["id"]: r for r in
+           syslog_sd_params(df, "sd", "meta", ("seq", "src")).collect()}
+    assert got[1]["sd_seq"] == "7" and got[1]["sd_src"] == "s1"
+    assert got[1]["n_sd_elements"] == 1 and got[1]["has_element"]
+    # RFC 5424 6.3.2: param names scope to their element — the 'src'
+    # in [other ...] must NOT leak into the meta extraction.
+    assert got[2]["sd_seq"] == "8" and got[2]["sd_src"] is None
+    assert got[2]["n_sd_elements"] == 2
+    assert got[3]["has_element"] is False and got[3]["sd_seq"] is None
+    assert got[4]["n_sd_elements"] is None and got[4]["has_element"] is None
+    assert got[5]["n_sd_elements"] == 3 and got[5]["sd_src"] == "s2"
+
+
+def test_csv_parse_typed_quoting_and_coercion(spark):
+    from sparkcollector.operators.promparse import csv_parse_typed
+
+    rows = [
+        (1, 'web1,200,1024,"hello, world"'),   # quoted delimiter
+        (2, "web2,404,0,plain"),
+        (3, "web3,notanint,5,x"),              # uncoercible required field
+    ]
+    df = spark.createDataFrame(rows, "id long, line string")
+    got = {r["id"]: r for r in csv_parse_typed(df, "line").collect()}
+    assert got[1]["c_msg"] == "hello, world" and got[1]["c_bytes"] == 1024
+    assert got[1]["c_status"] == 200 and got[1]["well_formed"]
+    assert got[2]["c_host"] == "web2"
+    assert not got[3]["well_formed"] and got[3]["c_host"] is None
