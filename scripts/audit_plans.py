@@ -2712,6 +2712,50 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 81: KS test, Mann-Kendall, stack-trace grouping.
+    all_ok &= audit(
+        "ks_two_sample",
+        lambda: queries()["ks_two_sample"](spark, SF_DIR),
+        [
+            ("ECDF steps via windows over the key — no self-join",
+             lambda p: "Window" in p and "SortMergeJoin" not in p),
+            ("distinct-value pre-aggregation reduces with map-side "
+             "partials before the window",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "mann_kendall_trend",
+        lambda: queries()["mann_kendall_trend"](spark, SF_DIR),
+        [
+            ("pair scan folds in-row over the collected array — "
+             "no O(n^2) self-join",
+             lambda p: "SortMergeJoin" not in p),
+            ("daily series and tie counts reduce with map-side "
+             "partials",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        notes="Series per key is the bounded bucket grid; the nested "
+        "HOF aggregate is O(days^2) per row, never O(rows^2) per key.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "stack_trace_fingerprint",
+        lambda: queries()["stack_trace_fingerprint"](spark, SF_DIR),
+        [
+            ("pure map job: zero exchanges",
+             lambda p: "Exchange" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

@@ -4558,3 +4558,160 @@ def kruskal_wallis(
         F.round(wh, 6).alias("crit95"),
         (F.coalesce(hc, h) > wh).alias("significant"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    key_col: str,
+    flag_col: str,
+    value_col: str,
+    crit_c: float = 1.3581015157406195,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D per key — the
+    distribution-equality test beside `mann_whitney_shift` (location)
+    and `wasserstein_drift` (magnitude): ``D = max_v |F_a(v) − F_b(v)|``
+    with both ECDFs evaluated AFTER each distinct value (tie-correct by
+    construction), and the large-sample 5% decision
+    ``D > c(α)·√((n_a+n_b)/(n_a·n_b))`` with c(0.05)=√(−ln(0.025)/2)
+    pinned.
+
+    Hash-stable: every ECDF step is a ratio of exact integer counts;
+    the max over steps is order-independent.  One shuffle on the key;
+    the per-key window sort is the unavoidable cost of an exact ECDF
+    (at 10^12 rows, the binned-histogram KS is the documented
+    approximation path).
+
+    Reference analog: drift checks the collector's receivers leave to
+    the backend; same role as `qq_shift` but with a decision rule.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(flag_col).cast("boolean").alias("is_a"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    pv = base.groupBy("key", "v").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("da"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("db"),
+    )
+    w_cum = (
+        Window.partitionBy("key")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("key")
+    stepped = pv.select(
+        "key",
+        F.sum("da").over(w_cum).alias("ca"),
+        F.sum("db").over(w_cum).alias("cb"),
+        F.sum("da").over(w_all).alias("na"),
+        F.sum("db").over(w_all).alias("nb"),
+    )
+    gap = F.abs(
+        F.col("ca") / F.col("na") - F.col("cb") / F.col("nb")
+    )
+    out = stepped.groupBy("key").agg(
+        F.first("na").alias("n_a"),
+        F.first("nb").alias("n_b"),
+        F.max(gap).alias("d"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    crit = F.lit(float(crit_c)) * F.sqrt((na + nb) / (na * nb))
+    return out.filter((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        "key",
+        "n_a",
+        "n_b",
+        F.round("d", 6).alias("d"),
+        F.round(crit, 6).alias("crit95"),
+        (F.col("d") > crit).alias("significant"),
+    )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    z_crit: float = 1.959963984540054,
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per key over an ordered
+    bucket series — the nonparametric "is this metric drifting up"
+    beside `theil_sen` (which estimates the slope this test decides
+    on): ``S = Σ_{i<j} sign(v_j − v_i)``, tie-corrected variance
+    ``Var = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18``, continuity-corrected
+    ``z = (S∓1)/√Var``.
+
+    The series per key is a bounded bucket grid (days × key), so the
+    O(n²) pair scan folds IN-ROW over the collected bucket-sorted
+    array via nested higher-order aggregates — no self-join, one
+    shuffle on the key.  Values compare as longs (sign is exact); the
+    only doubles are the final z ratio.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(bucket_col).alias("b"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    ties = (
+        base.groupBy("key", "v")
+        .agg(F.count("*").alias("t"))
+        .groupBy("key")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tsum")
+        )
+    )
+    per_key = base.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("b"), F.col("v")))
+            ),
+            lambda e: e["v"],
+        ).alias("vs"),
+    )
+    vs = F.col("vs")
+    s = F.aggregate(
+        F.sequence(F.lit(2), F.col("n").cast("int")),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.aggregate(
+            F.slice(vs, 1, j - 1),
+            F.lit(0).cast("long"),
+            lambda a, vi: a
+            + F.signum(
+                (F.element_at(vs, j) - vi).cast("double")
+            ).cast("long"),
+        ),
+    )
+    scored = per_key.filter(F.col("n") >= 2).join(ties, "key").select(
+        "key",
+        "n",
+        s.alias("s"),
+        (
+            (
+                F.col("n").cast("double")
+                * (F.col("n") - 1)
+                * (2 * F.col("n") + 5)
+                - F.col("tsum")
+            )
+            / 18.0
+        ).alias("var_s"),
+    )
+    sgn = F.col("s").cast("double")
+    z = F.when(F.col("var_s") <= 0.0, F.lit(0.0)).otherwise(
+        F.when(F.col("s") > 0, (sgn - 1.0) / F.sqrt("var_s"))
+        .when(F.col("s") < 0, (sgn + 1.0) / F.sqrt("var_s"))
+        .otherwise(F.lit(0.0))
+    )
+    return scored.select(
+        "key",
+        "n",
+        "s",
+        F.round("var_s", 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.when(z > z_crit, F.lit("increasing"))
+        .when(z < -z_crit, F.lit("decreasing"))
+        .otherwise(F.lit("no trend"))
+        .alias("trend"),
+    )

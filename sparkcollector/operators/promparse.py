@@ -1082,3 +1082,52 @@ def csv_parse_typed(
         ok.alias("well_formed"),
         *[F.when(ok, c[n]).alias(f"c_{n}") for n in names],
     )
+
+
+def stack_trace_fingerprint(
+    df: DataFrame,
+    trace_col: str = "trace",
+) -> DataFrame:
+    """Java stack-trace parse + crash-group fingerprint — the
+    error-aggregation grammar every log pipeline needs (the reference
+    forwards these blobs opaquely; grouping them is the analytics
+    layer's job, same role as Sentry/ErrorProne grouping): extract the
+    exception class and message from the header line, the top ``at``
+    frame (method + file:line), frame and ``Caused by:`` counts, and a
+    stable 16-hex fingerprint of (class, top method) — deliberately
+    EXCLUDING the message and line number, so the same crash site
+    groups across messages and minor releases.
+
+    Header class must look like a Java FQCN ending in
+    Exception/Error/Throwable.  Pure codegen'd regex + sha2, zero
+    exchanges; multiline blobs are ordinary strings ([^\\n] classes,
+    no dotall).
+    """
+    t = F.col(trace_col)
+    cls = F.regexp_extract(
+        t, r"^([A-Za-z_$][\w.$]*(?:Exception|Error|Throwable))(?::|\n|$)", 1
+    )
+    msg = F.regexp_extract(
+        t,
+        r"^[A-Za-z_$][\w.$]*(?:Exception|Error|Throwable): ([^\n]*)",
+        1,
+    )
+    top_m = F.regexp_extract(t, r"\n\s+at ([^(\n]+)\(", 1)
+    top_loc = F.regexp_extract(t, r"\n\s+at [^(\n]+\(([^)\n]+)\)", 1)
+    ok = (cls != "") & (top_m != "")
+    n_frames = F.regexp_count(t, F.lit(r"\n\s+at "))
+    n_causes = F.regexp_count(t, F.lit(r"\nCaused by: "))
+    fp = F.substring(
+        F.sha2(F.concat(cls, F.lit("|"), top_m), 256), 1, 16
+    )
+    return df.select(
+        "*",
+        ok.alias("well_formed"),
+        F.when(ok, cls).alias("exc_class"),
+        F.when(ok & (msg != ""), msg).alias("exc_msg"),
+        F.when(ok, top_m).alias("top_method"),
+        F.when(ok, top_loc).alias("top_loc"),
+        F.when(ok, n_frames.cast("int")).alias("n_frames"),
+        F.when(ok, n_causes.cast("int")).alias("n_causes"),
+        F.when(ok, fp).alias("fingerprint"),
+    )

@@ -14758,6 +14758,188 @@ def q_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 357. Two-sample Kolmogorov-Smirnov per event_type (even- vs odd-user
+#      value distributions) — exact tie-correct ECDF max-gap with the
+#      pinned 5% large-sample decision.  Oracle replays the windowed
+#      cumulative-count construction in SQL.
+# ---------------------------------------------------------------------
+@register(
+    "ks_two_sample",
+    """
+    with pv as (select event_type as key, value as v,
+                  cast(sum(case when user_id % 2 = 0 then 1 else 0 end)
+                       as bigint) as da,
+                  cast(sum(case when user_id % 2 <> 0 then 1 else 0 end)
+                       as bigint) as db
+                from events group by 1, 2),
+    c as (select key,
+            sum(da) over (partition by key order by v
+              rows between unbounded preceding and current row) as ca,
+            sum(db) over (partition by key order by v
+              rows between unbounded preceding and current row) as cb,
+            sum(da) over (partition by key) as na,
+            sum(db) over (partition by key) as nb
+          from pv),
+    o as (select key, cast(max(na) as bigint) as n_a,
+            cast(max(nb) as bigint) as n_b,
+            max(abs(cast(ca as double) / na - cast(cb as double) / nb))
+              as d
+          from c group by key)
+    select key, n_a, n_b, round(d, 6) as d,
+      round(1.3581015157406195
+            * sqrt((cast(n_a as double) + cast(n_b as double))
+                   / (cast(n_a as double) * cast(n_b as double))), 6)
+        as crit95,
+      d > 1.3581015157406195
+            * sqrt((cast(n_a as double) + cast(n_b as double))
+                   / (cast(n_a as double) * cast(n_b as double)))
+        as significant
+    from o where n_a > 0 and n_b > 0
+    """,
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_two_sample(
+        ev.select(
+            "event_type", (F.col("user_id") % 2 == 0).alias("is_a"), "value"
+        ),
+        "event_type",
+        "is_a",
+        "value",
+    )
+
+
+# ---------------------------------------------------------------------
+# 358. Mann-Kendall monotonic trend per event_type over the daily
+#      count series — S folded in-row over the bucket-sorted array
+#      (no self-join); the ORACLE uses the pairwise self-join, a
+#      genuinely different algorithm.
+# ---------------------------------------------------------------------
+@register(
+    "mann_kendall_trend",
+    """
+    with daily as (select event_type as key, cast(ts as date) as d,
+                     count(*) as c
+                   from events group by 1, 2),
+    s as (select a.key, cast(sum(sign(b.c - a.c)) as bigint) as s
+          from daily a join daily b on a.key = b.key and a.d < b.d
+          group by 1),
+    ties as (select key, cast(sum(t * (t - 1) * (2 * t + 5)) as bigint)
+               as tsum
+             from (select key, c, count(*) as t from daily group by 1, 2)
+             group by 1),
+    n as (select key, cast(count(*) as bigint) as n from daily group by 1),
+    j as (select n.key, n.n, coalesce(s.s, 0) as s,
+            (cast(n.n as double) * (n.n - 1) * (2 * n.n + 5) - tsum)
+              / 18.0 as var_s
+          from n join ties on n.key = ties.key
+          left join s on n.key = s.key
+          where n.n >= 2),
+    z as (select *, case
+            when var_s <= 0.0 then 0.0
+            when s > 0 then (cast(s as double) - 1.0) / sqrt(var_s)
+            when s < 0 then (cast(s as double) + 1.0) / sqrt(var_s)
+            else 0.0 end as zv
+          from j)
+    select key, n, s, round(var_s, 6) as var_s, round(zv, 6) as z,
+      case when zv > 1.959963984540054 then 'increasing'
+           when zv < -1.959963984540054 then 'decreasing'
+           else 'no trend' end as trend
+    from z
+    """,
+)
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import mann_kendall_trend
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("c"))
+    return mann_kendall_trend(daily, "event_type", "d", "c")
+
+
+# ---------------------------------------------------------------------
+# 359. Java stack-trace parse + crash-group fingerprint — header
+#      class/message, top frame, frame / Caused-by counts, and the
+#      (class, top method) sha2 group key.  Oracle reconstructs every
+#      field (including the sha256 prefix) from source columns.
+# ---------------------------------------------------------------------
+@register(
+    "stack_trace_fingerprint",
+    """
+    with b as (select event_id as eid, user_id as uid,
+                 event_id % 17 = 0 as bad,
+                 case when event_type = 'purchase'
+                        then 'java.lang.IllegalStateException'
+                      when event_type = 'error'
+                        then 'com.acme.QueryTimeoutException'
+                      else 'java.io.IOException' end as cls
+               from events)
+    select eid as event_id,
+      not bad as well_formed,
+      case when bad then NULL else cls end as exc_class,
+      case when bad then NULL
+           else 'op failed u' || cast(uid % 10 as varchar) end as exc_msg,
+      case when bad then NULL else 'com.acme.Engine.run' end as top_method,
+      case when bad then NULL
+           else 'Engine.java:' || cast(eid % 90 + 10 as varchar)
+           end as top_loc,
+      cast(case when bad then NULL
+                when eid % 13 = 0 then 3 else 2 end as int) as n_frames,
+      cast(case when bad then NULL
+                when eid % 13 = 0 then 1 else 0 end as int) as n_causes,
+      case when bad then NULL
+           else substring(sha256(cls || '|com.acme.Engine.run'), 1, 16)
+           end as fingerprint
+    from b
+    """,
+)
+def q_stack_trace_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import stack_trace_fingerprint
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    cls = (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.lit("java.lang.IllegalStateException"),
+        )
+        .when(
+            F.col("event_type") == "error",
+            F.lit("com.acme.QueryTimeoutException"),
+        )
+        .otherwise(F.lit("java.io.IOException"))
+    )
+    caused = F.when(
+        eid % 13 == 0,
+        F.lit(
+            "\nCaused by: java.net.SocketTimeoutException: t/o"
+            "\n\tat com.acme.Net.poll(Net.java:7)"
+        ),
+    ).otherwise(F.lit(""))
+    trace = F.when(eid % 17 == 0, F.lit("plain log line, no trace")).otherwise(
+        F.concat(
+            cls,
+            F.lit(": op failed u"),
+            (uid % 10).cast("string"),
+            F.lit("\n\tat com.acme.Engine.run(Engine.java:"),
+            (eid % 90 + 10).cast("string"),
+            F.lit(")\n\tat java.base/java.lang.Thread.run(Thread.java:829)"),
+            caused,
+        )
+    )
+    out = stack_trace_fingerprint(
+        ev.select("event_id", trace.alias("trace")), "trace"
+    )
+    return out.select(
+        "event_id", "well_formed", "exc_class", "exc_msg", "top_method",
+        "top_loc", "n_frames", "n_causes", "fingerprint",
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

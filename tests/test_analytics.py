@@ -1644,3 +1644,45 @@ def test_kruskal_wallis_shift_and_ties(spark):
     assert abs(got["t"]["h"]) < 1e-9
     assert got["t"]["h_corrected"] is None      # full-tie: C = 0
     assert not got["t"]["significant"]
+
+
+def test_ks_two_sample_hand_computed(spark):
+    from sparkcollector.operators.analytics import ks_two_sample
+
+    rows = [("k", True, 1.0), ("k", True, 2.0), ("k", True, 3.0),
+            ("k", False, 2.0), ("k", False, 3.0), ("k", False, 4.0),
+            # tie-heavy key: a=[1,1], b=[1,2] -> D at v=1 is 1-0.5=0.5
+            ("t", True, 1.0), ("t", True, 1.0),
+            ("t", False, 1.0), ("t", False, 2.0)]
+    df = spark.createDataFrame(rows, "key string, is_a boolean, v double")
+    got = {r["key"]: r for r in
+           ks_two_sample(df, "key", "is_a", "v").collect()}
+    assert abs(got["k"]["d"] - round(1 / 3, 6)) < 1e-12
+    assert got["k"]["n_a"] == 3 and got["k"]["n_b"] == 3
+    assert got["t"]["d"] == 0.5
+    # crit95 for n=3,3: 1.3581... * sqrt(6/9)
+    import math
+    assert abs(got["k"]["crit95"]
+               - round(1.3581015157406195 * math.sqrt(6 / 9), 6)) < 1e-12
+    assert not got["k"]["significant"]
+
+
+def test_mann_kendall_trend_hand_computed(spark):
+    import math
+
+    from sparkcollector.operators.analytics import mann_kendall_trend
+
+    rows = [("up", i, i * 10) for i in range(10)]          # S=45
+    rows += [("flat", i, 7) for i in range(4)]             # all tied: S=0
+    rows += [("tie", 0, 1), ("tie", 1, 1), ("tie", 2, 2)]  # S=2
+    df = spark.createDataFrame(rows, "key string, b int, v long")
+    got = {r["key"]: r for r in
+           mann_kendall_trend(df, "key", "b", "v").collect()}
+    assert got["up"]["s"] == 45
+    assert abs(got["up"]["z"] - round(44 / math.sqrt(125.0), 6)) < 1e-12
+    assert got["up"]["trend"] == "increasing"
+    # fully tied series: Var = (n(n-1)(2n+5) - t(t-1)(2t+5))/18 = 0 -> z=0
+    assert got["flat"]["s"] == 0 and got["flat"]["z"] == 0.0
+    assert got["flat"]["trend"] == "no trend"
+    assert got["tie"]["s"] == 2
+    assert abs(got["tie"]["var_s"] - round(48 / 18, 6)) < 1e-12

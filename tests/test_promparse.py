@@ -566,3 +566,34 @@ def test_csv_parse_typed_quoting_and_coercion(spark):
     assert got[1]["c_status"] == 200 and got[1]["well_formed"]
     assert got[2]["c_host"] == "web2"
     assert not got[3]["well_formed"] and got[3]["c_host"] is None
+
+
+def test_stack_trace_fingerprint_parse_and_grouping(spark):
+    from sparkcollector.operators.promparse import stack_trace_fingerprint
+
+    t1 = ("java.lang.IllegalStateException: boom 42\n"
+          "\tat com.acme.Engine.run(Engine.java:12)\n"
+          "\tat java.base/java.lang.Thread.run(Thread.java:829)")
+    t2 = ("java.lang.IllegalStateException: boom 99\n"
+          "\tat com.acme.Engine.run(Engine.java:77)\n"
+          "\tat java.base/java.lang.Thread.run(Thread.java:829)\n"
+          "Caused by: java.net.SocketTimeoutException: t/o\n"
+          "\tat com.acme.Net.poll(Net.java:7)")
+    t3 = "just an info line"
+    t4 = ("com.x.OtherError\n"
+          "\tat a.B.c(B.java:1)")          # headerless message
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t3), (4, t4)], "id long, trace string"
+    )
+    got = {r["id"]: r for r in stack_trace_fingerprint(df).collect()}
+    assert got[1]["exc_class"] == "java.lang.IllegalStateException"
+    assert got[1]["exc_msg"] == "boom 42"
+    assert got[1]["top_method"] == "com.acme.Engine.run"
+    assert got[1]["top_loc"] == "Engine.java:12"
+    assert got[1]["n_frames"] == 2 and got[1]["n_causes"] == 0
+    # same crash site, different message/line -> SAME fingerprint
+    assert got[1]["fingerprint"] == got[2]["fingerprint"]
+    assert got[2]["n_frames"] == 3 and got[2]["n_causes"] == 1
+    assert not got[3]["well_formed"] and got[3]["fingerprint"] is None
+    assert got[4]["well_formed"] and got[4]["exc_msg"] is None
+    assert got[4]["fingerprint"] != got[1]["fingerprint"]
