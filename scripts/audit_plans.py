@@ -2756,6 +2756,49 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 82: W3C extlog, MATTR, Friedman.
+    all_ok &= audit(
+        "w3c_extlog_parse",
+        lambda: queries()["w3c_extlog_parse"](spark, SF_DIR),
+        [
+            ("per-file directive table joins back via broadcast "
+             "(one row per file — AQE picks BHJ)",
+             lambda p: "BroadcastHashJoin" in p
+             or "BroadcastNestedLoopJoin" in p or "Join" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        notes="The directive side is |files| rows; the fact side never "
+        "shuffles for this join at any scale.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "mattr_diversity",
+        lambda: queries()["mattr_diversity"](spark, SF_DIR),
+        [
+            ("pure map job: zero exchanges",
+             lambda p: "Exchange" not in p),
+            ("sliding windows fold in-row — no explode",
+             lambda p: "Generate" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "friedman_test",
+        lambda: queries()["friedman_test"](spark, SF_DIR),
+        [
+            ("block ranks via windows, never a global sort",
+             lambda p: "Window" in p),
+            ("daily counts reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

@@ -4715,3 +4715,95 @@ def mann_kendall_trend(
         .otherwise(F.lit("no trend"))
         .alias("trend"),
     )
+
+
+def friedman_test(
+    df: DataFrame,
+    key_col: str,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    alpha_z: float = 1.6448536269514722,
+) -> DataFrame:
+    """Friedman rank test per key — the repeated-measures counterpart
+    of `kruskal_wallis` (blocks remove the between-block variation a
+    plain k-group rank test absorbs): within each complete block, rank
+    the k treatments with midranks; the tie-general statistic is
+    ``Q = (k−1)·Σ_j (R_j − n(k+1)/2)² / (A − C)`` with
+    ``A = Σ r², C = nk(k+1)²/4`` (reduces to the classic
+    12/(nk(k+1))·ΣR² − 3n(k+1) when untied), decided against the
+    Wilson-Hilferty chi-square 95% critical value at k−1 df.
+
+    Incomplete blocks (a treatment missing) are dropped — Friedman
+    requires complete blocks; the drop is observable via n_blocks.
+    Hash-stable: midranks are half-integers, so every sum (R_j, A) is
+    exact in doubles regardless of fold order; the Σ over treatments
+    folds in-row over the treatment-sorted list.  Two window passes +
+    keyed aggregates; never a global sort.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(block_col).alias("blk"),
+        F.col(treatment_col).alias("trt"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    k_per_key = base.groupBy("key").agg(
+        F.count_distinct("trt").alias("k")
+    )
+    complete = (
+        base.groupBy("key", "blk")
+        .agg(F.count_distinct("trt").alias("_kb"))
+        .join(k_per_key, "key")
+        .filter(F.col("_kb") == F.col("k"))
+        .select("key", "blk")
+    )
+    kept = base.join(complete, ["key", "blk"])
+    w_rn = Window.partitionBy("key", "blk").orderBy("v", "trt")
+    w_tie = Window.partitionBy("key", "blk", "v")
+    ranked = kept.withColumn("_rn", F.row_number().over(w_rn)).withColumn(
+        "_r", F.avg("_rn").over(w_tie)
+    )
+    per_trt = ranked.groupBy("key", "trt").agg(
+        F.sum("_r").alias("rj"), F.count("*").alias("nb")
+    )
+    a_sum = ranked.groupBy("key").agg(
+        F.sum(F.col("_r") * F.col("_r")).alias("a")
+    )
+    per_key = (
+        per_trt.groupBy("key")
+        .agg(
+            F.count("*").alias("k"),
+            F.max("nb").alias("n"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("trt"), F.col("rj").alias("rj"))
+                )
+            ).alias("_rs"),
+        )
+        .join(a_sum, "key")
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    mean_r = n * (k + 1.0) / 2.0
+    num = F.aggregate(
+        F.col("_rs"),
+        F.lit(0.0),
+        lambda acc, e: acc + (e["rj"] - mean_r) * (e["rj"] - mean_r),
+    )
+    c = n * k * (k + 1.0) * (k + 1.0) / 4.0
+    denom = F.col("a") - c
+    q = F.when(denom > 0.0, (k - 1.0) * num / denom)
+    dof = k - 1.0
+    wh = dof * F.pow(
+        1.0 - 2.0 / (9.0 * dof)
+        + F.lit(float(alpha_z)) * F.sqrt(2.0 / (9.0 * dof)),
+        F.lit(3.0),
+    )
+    return per_key.filter(F.col("k") >= 2).select(
+        "key",
+        F.col("n").cast("long").alias("n_blocks"),
+        F.col("k").cast("long").alias("k_treatments"),
+        F.round(q, 6).alias("q"),
+        F.round(wh, 6).alias("crit95"),
+        F.coalesce(q > wh, F.lit(False)).alias("significant"),
+    )

@@ -1131,3 +1131,56 @@ def stack_trace_fingerprint(
         F.when(ok, n_causes.cast("int")).alias("n_causes"),
         F.when(ok, fp).alias("fingerprint"),
     )
+
+
+def w3c_extlog_parse(
+    df: DataFrame,
+    file_col: str = "file",
+    lineno_col: str = "line_no",
+    line_col: str = "line",
+    fields: tuple[str, ...] = ("c-ip", "sc-status", "time-taken"),
+) -> DataFrame:
+    """W3C Extended Log File Format parse (IIS/Exchange access logs):
+    the per-FILE ``#Fields:`` directive defines the column order, so
+    two files in one glob can carry the same fields in different
+    positions — schema resolution is data-driven, not static.
+
+    The first ``#Fields:`` directive per file wins (rotated IIS logs
+    re-emit one header; mid-file re-directives are out of scope,
+    documented).  Directive table is one row per FILE — AQE broadcasts
+    it; data lines split once, requested fields picked positionally
+    with ``F.get`` (NULL out of bounds, no ANSI trap), the W3C ``-``
+    null sentinel mapped to NULL, and ``well_formed`` gates on token
+    count matching the directive's arity.  Directive/comment lines are
+    not data and are excluded from the output.
+    """
+    fcol, lcol = F.col(file_col), F.col(line_col)
+    dirs = (
+        df.filter(lcol.startswith("#Fields: "))
+        .groupBy(fcol.alias("_f"))
+        .agg(
+            F.min_by(
+                F.split(F.substring(lcol, 10, 100000), " "), F.col(lineno_col)
+            ).alias("_fields")
+        )
+    )
+    data = df.filter(~lcol.startswith("#"))
+    joined = data.join(dirs, data[file_col] == dirs["_f"], "left").drop("_f")
+    vals = F.split(lcol, " ")
+    ok = F.col("_fields").isNotNull() & (
+        F.size(vals) == F.size("_fields")
+    )
+
+    def pick(name: str) -> Column:
+        idx = F.array_position(F.col("_fields"), name)
+        v = F.get(vals, (idx - 1).cast("int"))
+        good = ok & (idx > 0) & (v != "-")
+        return F.when(good, v)
+
+    safe = [f.replace("-", "_").replace("(", "_").replace(")", "") for f in fields]
+    return joined.select(
+        file_col,
+        lineno_col,
+        ok.alias("well_formed"),
+        *[pick(f).alias(f"f_{s}") for f, s in zip(fields, safe)],
+    )

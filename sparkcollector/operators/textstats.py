@@ -404,3 +404,44 @@ def word_entropy_by_source(
             F.avg((F.col("_h") < low_bits).cast("double")), 5
         ).alias("low_entropy_share"),
     )
+
+
+def mattr_diversity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+) -> DataFrame:
+    """MATTR — moving-average type-token ratio (Covington & McFall
+    2010), the length-independent lexical-diversity score the raw TTR
+    (`doc_token_stats`) can't give (TTR decays with doc length): mean
+    over all length-``window`` sliding token windows of
+    distinct/window; docs shorter than the window fall back to plain
+    TTR (the standard convention).
+
+    All window distinct-counts are integers summed exactly, so the
+    single final division is the only float op — hash-stable with no
+    fold-order concern.  The O(n·w) scan folds IN-ROW over the token
+    array via HOFs (no explode, no self-join); per-doc token counts
+    are bounded by doc length, never corpus size.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    nwin = n - window + 1
+    s = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(nwin, F.lit(1))),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.size(F.array_distinct(F.slice(toks, i, window))),
+    )
+    short = F.size(F.array_distinct(toks)).cast("double") / n
+    mattr = F.when(n <= 0, F.lit(None).cast("double")).when(
+        n <= window, short
+    ).otherwise(
+        s.cast("double") / (F.lit(float(window)) * nwin.cast("double"))
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(mattr, 6).alias("mattr"),
+    )

@@ -14940,6 +14940,181 @@ def q_stack_trace_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 360. W3C Extended Log File Format (IIS) parse — the #Fields:
+#      directive defines per-FILE column order, so the same field is
+#      extracted from DIFFERENT positions in the two synthesized
+#      files; '-' null sentinel and arity-mismatch gating exercised.
+# ---------------------------------------------------------------------
+@register(
+    "w3c_extlog_parse",
+    """
+    select case when event_id % 2 = 0 then 'a.log' else 'b.log' end
+        as file,
+      event_id as line_no,
+      event_id % 19 <> 0 as well_formed,
+      case when event_id % 19 = 0 then NULL
+           else '10.0.0.' || cast(user_id % 50 as varchar) end as f_c_ip,
+      case when event_id % 19 = 0 or event_id % 23 = 0 then NULL
+           else cast(200 + (event_id % 3) * 100 as varchar)
+           end as f_sc_status,
+      case when event_id % 19 = 0 or event_id % 2 <> 0 then NULL
+           else cast(event_id % 500 as varchar) end as f_time_taken
+    from events
+    """,
+)
+def q_w3c_extlog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import w3c_extlog_parse
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    ip = F.concat(F.lit("10.0.0."), (uid % 50).cast("string"))
+    status = F.when(eid % 23 == 0, F.lit("-")).otherwise(
+        (200 + (eid % 3) * 100).cast("string")
+    )
+    line_a = F.concat_ws(
+        " ",
+        F.date_format("ts", "yyyy-MM-dd"),
+        F.date_format("ts", "HH:mm:ss"),
+        ip,
+        status,
+        (eid % 500).cast("string"),
+    )
+    # malformed file-a lines drop the trailing token; malformed
+    # file-b lines append a stray one — both trip the arity gate.
+    line_a_bad = F.concat_ws(
+        " ",
+        F.date_format("ts", "yyyy-MM-dd"),
+        F.date_format("ts", "HH:mm:ss"),
+        ip,
+        status,
+    )
+    method = F.when(eid % 5 == 0, F.lit("POST")).otherwise(F.lit("GET"))
+    line_b = F.concat_ws(" ", ip, method, status)
+    line_b_bad = F.concat_ws(" ", ip, method, status, F.lit("junk"))
+    data = ev.select(
+        F.when(eid % 2 == 0, F.lit("a.log"))
+        .otherwise(F.lit("b.log"))
+        .alias("file"),
+        eid.alias("line_no"),
+        F.when(
+            eid % 2 == 0,
+            F.when(eid % 19 == 0, line_a_bad).otherwise(line_a),
+        )
+        .otherwise(
+            F.when(eid % 19 == 0, line_b_bad).otherwise(line_b)
+        )
+        .alias("line"),
+    )
+    dirs = spark.createDataFrame(
+        [
+            ("a.log", -1, "#Fields: date time c-ip sc-status time-taken"),
+            ("b.log", -1, "#Fields: c-ip cs-method sc-status"),
+        ],
+        "file string, line_no long, line string",
+    )
+    return w3c_extlog_parse(
+        data.unionByName(dirs),
+        "file",
+        "line_no",
+        "line",
+        ("c-ip", "sc-status", "time-taken"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 361. MATTR lexical diversity (Covington & McFall 2010) — the
+#      length-independent TTR; sliding-window distinct counts fold
+#      in-row (exact integer sums, single final division).
+# ---------------------------------------------------------------------
+@register(
+    "mattr_diversity",
+    """
+    with t as (select doc_id, string_split(text, ' ') as toks
+               from documents),
+    b as (select doc_id, len(toks) as n,
+            len(list_distinct(toks)) as dn,
+            list_sum([len(list_distinct(list_slice(toks, i, i + 14)))
+                      for i in range(1, len(toks) - 13)]) as sw
+          from t)
+    select doc_id, cast(n as int) as n_tokens,
+      round(case when n <= 0 then NULL
+                 when n <= 15 then cast(dn as double) / n
+                 else cast(sw as double) / (15.0 * (n - 14)) end, 6)
+        as mattr
+    from b
+    """,
+)
+def q_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import mattr_diversity
+
+    docs = _t(spark, sf_dir, "documents")
+    return mattr_diversity(docs, "doc_id", "text", window=15)
+
+
+# ---------------------------------------------------------------------
+# 362. Friedman rank test per user cohort (blocks = days, treatments =
+#      event types, values = daily counts) — repeated-measures
+#      counterpart of kruskal_wallis; tie-general Q with WH decision.
+# ---------------------------------------------------------------------
+@register(
+    "friedman_test",
+    """
+    with daily as (select user_id % 3 as key, cast(ts as date) as blk,
+                     event_type as trt, count(*) as c
+                   from events group by 1, 2, 3),
+    kk as (select key, count(distinct trt) as k from daily group by 1),
+    cb as (select d.key, d.blk from daily d join kk on d.key = kk.key
+           group by d.key, d.blk, kk.k
+           having count(distinct d.trt) = kk.k),
+    kept as (select daily.* from daily join cb using (key, blk)),
+    rk as (select *, row_number() over (partition by key, blk
+             order by c, trt) as rn from kept),
+    mr as (select *, avg(rn) over (partition by key, blk, c) as r
+           from rk),
+    pt as (select key, trt, sum(r) as rj, count(*) as nb
+           from mr group by 1, 2),
+    aa as (select key, sum(r * r) as a from mr group by 1),
+    pk as (select key, count(*) as k, max(nb) as n from pt group by 1),
+    nm as (select pt.key,
+             sum((pt.rj - pk.n * (pk.k + 1) / 2.0)
+                 * (pt.rj - pk.n * (pk.k + 1) / 2.0)) as num
+           from pt join pk using (key) group by 1),
+    fin as (select pk.key, pk.n, pk.k, nm.num, aa.a,
+              aa.a - pk.n * pk.k * (pk.k + 1.0) * (pk.k + 1.0) / 4.0
+                as denom,
+              (pk.k - 1.0)
+                * (1.0 - 2.0 / (9.0 * (pk.k - 1.0))
+                   + 1.6448536269514722
+                     * sqrt(2.0 / (9.0 * (pk.k - 1.0)))) ^ 3 as crit
+            from pk join nm using (key) join aa using (key)
+            where pk.k >= 2)
+    select cast(key as bigint) as key, cast(n as bigint) as n_blocks,
+      cast(k as bigint) as k_treatments,
+      round(case when denom > 0 then (k - 1.0) * num / denom end, 6)
+        as q,
+      round(crit, 6) as crit95,
+      coalesce(case when denom > 0
+                    then (k - 1.0) * num / denom > crit end, false)
+        as significant
+    from fin
+    """,
+)
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import friedman_test
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (F.col("user_id") % 3).alias("cohort"),
+        F.to_date("ts").alias("d"),
+        "event_type",
+    ).agg(F.count("*").alias("c"))
+    return friedman_test(daily, "cohort", "d", "event_type", "c").select(
+        F.col("key"), "n_blocks", "k_treatments", "q", "crit95",
+        "significant",
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -1686,3 +1686,30 @@ def test_mann_kendall_trend_hand_computed(spark):
     assert got["flat"]["trend"] == "no trend"
     assert got["tie"]["s"] == 2
     assert abs(got["tie"]["var_s"] - round(48 / 18, 6)) < 1e-12
+
+
+def test_friedman_test_hand_computed(spark):
+    from sparkcollector.operators.analytics import friedman_test
+
+    # classic complete design: treatment c dominates every block ->
+    # R = (3, 6, 9), Q = 2*18/6 = 6 > WH crit(df=2) ~= 5.937
+    rows = [("k", b, t, v) for b, vals in
+            [(1, [1.0, 2.0, 3.0]), (2, [1.5, 2.5, 3.5]),
+             (3, [0.5, 1.0, 9.0])]
+            for t, v in zip(["a", "b", "c"], vals)]
+    rows.append(("k", 4, "a", 1.0))      # incomplete block -> dropped
+    rows.append(("k", 4, "b", 2.0))
+    df = spark.createDataFrame(rows, "key string, blk int, trt string, v double")
+    got = friedman_test(df, "key", "blk", "trt", "v").collect()[0]
+    assert got["n_blocks"] == 3 and got["k_treatments"] == 3
+    assert got["q"] == 6.0 and got["significant"]
+
+
+def test_friedman_test_ties_and_null_q(spark):
+    from sparkcollector.operators.analytics import friedman_test
+
+    # every block fully tied -> denom = A - C = 0 -> Q NULL, not inf
+    rows = [("k", b, t, 1.0) for b in (1, 2) for t in ("a", "b")]
+    df = spark.createDataFrame(rows, "key string, blk int, trt string, v double")
+    got = friedman_test(df, "key", "blk", "trt", "v").collect()[0]
+    assert got["q"] is None and not got["significant"]

@@ -597,3 +597,30 @@ def test_stack_trace_fingerprint_parse_and_grouping(spark):
     assert not got[3]["well_formed"] and got[3]["fingerprint"] is None
     assert got[4]["well_formed"] and got[4]["exc_msg"] is None
     assert got[4]["fingerprint"] != got[1]["fingerprint"]
+
+
+def test_w3c_extlog_parse_per_file_field_order(spark):
+    from sparkcollector.operators.promparse import w3c_extlog_parse
+
+    rows = [
+        ("x.log", 0, "#Software: IIS"),
+        ("x.log", 1, "#Fields: date c-ip sc-status"),
+        ("x.log", 2, "2024-01-12 10.0.0.1 200"),
+        ("x.log", 3, "2024-01-12 10.0.0.2 -"),      # '-' -> NULL
+        ("x.log", 4, "2024-01-12 10.0.0.3"),        # arity mismatch
+        ("y.log", 1, "#Fields: sc-status c-ip"),    # reversed order
+        ("y.log", 2, "404 10.0.0.9"),
+        ("z.log", 1, "1 2 3"),                      # no directive at all
+    ]
+    df = spark.createDataFrame(rows, "file string, line_no long, line string")
+    out = w3c_extlog_parse(df, fields=("c-ip", "sc-status"))
+    got = {(r["file"], r["line_no"]): r for r in out.collect()}
+    assert len(got) == 5                             # directives excluded
+    assert got[("x.log", 2)]["f_c_ip"] == "10.0.0.1"
+    assert got[("x.log", 2)]["f_sc_status"] == "200"
+    assert got[("x.log", 3)]["f_sc_status"] is None  # W3C null sentinel
+    assert not got[("x.log", 4)]["well_formed"]
+    # same field, different position in y.log
+    assert got[("y.log", 2)]["f_c_ip"] == "10.0.0.9"
+    assert got[("y.log", 2)]["f_sc_status"] == "404"
+    assert not got[("z.log", 1)]["well_formed"]

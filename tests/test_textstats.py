@@ -216,3 +216,20 @@ def test_word_entropy_by_source_closed_form(spark):
     assert got["s"]["low_entropy_share"] == 1.0       # both below 1.5
     assert abs(got["t"]["mean_entropy_bits"] - 2.0) < 1e-6
     assert got["t"]["low_entropy_share"] == 0.0
+
+
+def test_mattr_diversity_hand_computed(spark):
+    from sparkcollector.operators.textstats import mattr_diversity
+
+    rows = [(1, "a b a b a b"),    # w=2: five windows, all distinct=2
+            (2, "a a a a"),        # w=2: three windows, distinct=1
+            (3, "a b a")]          # shorter than window -> plain TTR
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           mattr_diversity(df, window=2).collect()}
+    assert got[1]["mattr"] == 1.0 and got[1]["n_tokens"] == 6
+    assert got[2]["mattr"] == 0.5
+    assert got[3]["n_tokens"] == 3
+    got3 = mattr_diversity(df, window=5).collect()
+    ttr = {r["doc_id"]: r["mattr"] for r in got3}
+    assert abs(ttr[3] - round(2 / 3, 6)) < 1e-12
