@@ -15005,12 +15005,19 @@ def q_w3c_extlog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("line"),
     )
-    dirs = spark.createDataFrame(
-        [
-            ("a.log", -1, "#Fields: date time c-ip sc-status time-taken"),
-            ("b.log", -1, "#Fields: c-ip cs-method sc-status"),
-        ],
-        "file string, line_no long, line string",
+    # spark.range (JVM-native) rather than createDataFrame: keeps the
+    # directive side out of Python so the whole plan stays codegen'd.
+    dirs = spark.range(2).select(
+        F.when(F.col("id") == 0, F.lit("a.log"))
+        .otherwise(F.lit("b.log"))
+        .alias("file"),
+        F.lit(-1).cast("long").alias("line_no"),
+        F.when(
+            F.col("id") == 0,
+            F.lit("#Fields: date time c-ip sc-status time-taken"),
+        )
+        .otherwise(F.lit("#Fields: c-ip cs-method sc-status"))
+        .alias("line"),
     )
     return w3c_extlog_parse(
         data.unionByName(dirs),
