@@ -2799,6 +2799,50 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 83: Hurst R/S, permutation entropy, Brown-Forsythe.
+    all_ok &= audit(
+        "hurst_rs",
+        lambda: queries()["hurst_rs"](spark, SF_DIR),
+        [
+            ("block scans fold in-row over collected arrays — "
+             "no per-element self-join",
+             lambda p: "SortMergeJoin" not in p),
+            ("hourly pre-aggregation reduces with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        notes="The x4 block-size explode happens AFTER the hourly "
+        "rollup (bounded buckets x keys), never on raw events.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "permutation_entropy",
+        lambda: queries()["permutation_entropy"](spark, SF_DIR),
+        [
+            ("one lead-window pass over the bucket order",
+             lambda p: "Window" in p),
+            ("pattern counts reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "brown_forsythe",
+        lambda: queries()["brown_forsythe"](spark, SF_DIR),
+        [
+            ("median via mid-rank window — no join back to the facts",
+             lambda p: "Window" in p and "SortMergeJoin" not in p),
+            ("z power sums reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

@@ -4807,3 +4807,251 @@ def friedman_test(
         F.round(wh, 6).alias("crit95"),
         F.coalesce(q > wh, F.lit(False)).alias("significant"),
     )
+
+
+def hurst_rs(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    block_sizes: tuple[int, ...] = (8, 16, 32, 64),
+) -> DataFrame:
+    """Hurst exponent via rescaled-range (R/S) analysis per key — the
+    long-range-dependence number for ops series (H≈0.5 random walk,
+    H→1 persistent/trending, H→0.5- mean-reverting): split the
+    bucket-ordered series into complete blocks of each size m, per
+    block compute the range R of cumulative mean-deviations and the
+    (population) std S, average R/S per m, and fit
+    ``log2(R/S) = H·log2(m) + c`` by least squares over the pinned m
+    grid (slope weights are exact literals, so the fit is a fixed
+    dot product, not an iterative solver).
+
+    Bit-exact by design: with integer-valued series, R's numerator
+    ``max_j(m·cum_j − j·S1) − min_j(...)`` and S's radicand
+    ``m·S2 − S1²`` are INTEGER arithmetic (the only floats are one
+    division and one sqrt per block, then a decimal-quantized block
+    mean) — no fold-order sensitivity anywhere.  Zero-variance blocks
+    are skipped (R=S=0).  One row_number window per key, one keyed
+    aggregate per (key, m, block); the ×|block_sizes| explode is
+    map-side.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(bucket_col).alias("b"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    w_i = Window.partitionBy("key").orderBy("b")
+    idx = base.withColumn("i", F.row_number().over(w_i))
+    tot = idx.groupBy("key").agg(F.count("*").alias("n"))
+    lv = idx.withColumn(
+        "m", F.explode(F.array(*[F.lit(m) for m in block_sizes]))
+    ).withColumn("blk", F.floor((F.col("i") - 1) / F.col("m")))
+    blocks = lv.groupBy("key", "m", "blk").agg(
+        F.count("*").alias("cnt"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("i"), F.col("v")))
+        ).alias("vs"),
+    ).filter(F.col("cnt") == F.col("m"))
+    zl = F.lit(0).cast("long")
+    with_sums = blocks.select(
+        "key",
+        "m",
+        "vs",
+        F.aggregate(
+            "vs", zl, lambda a, e: a + e["v"]
+        ).alias("s1"),
+        F.aggregate(
+            "vs", zl, lambda a, e: a + e["v"] * e["v"]
+        ).alias("s2"),
+    )
+    big = F.lit(1 << 62).cast("long")
+    scan = F.aggregate(
+        F.col("vs"),
+        F.struct(
+            zl.alias("j"), zl.alias("cum"),
+            (-big).alias("mx"), big.alias("mn"),
+        ),
+        lambda a, e: F.struct(
+            (a["j"] + 1).alias("j"),
+            (a["cum"] + e["v"]).alias("cum"),
+            F.greatest(
+                a["mx"],
+                F.col("m") * (a["cum"] + e["v"])
+                - (a["j"] + 1) * F.col("s1"),
+            ).alias("mx"),
+            F.least(
+                a["mn"],
+                F.col("m") * (a["cum"] + e["v"])
+                - (a["j"] + 1) * F.col("s1"),
+            ).alias("mn"),
+        ),
+    )
+    per_block = with_sums.select(
+        "key",
+        "m",
+        scan.alias("sc"),
+        (F.col("m") * F.col("s2") - F.col("s1") * F.col("s1")).alias("ii"),
+    ).select(
+        "key",
+        "m",
+        (F.col("sc")["mx"] - F.col("sc")["mn"]).alias("rnum"),
+        "ii",
+    ).filter(F.col("ii") > 0)
+    rs = (F.col("rnum").cast("double") / F.sqrt(F.col("ii").cast("double")))
+    lvl = per_block.groupBy("key", "m").agg(
+        (
+            F.sum(F.round(rs, 8).cast("decimal(20,8)")).cast("double")
+            / F.count("*")
+        ).alias("avg_rs")
+    )
+    piv = lvl.groupBy("key").agg(
+        *[
+            F.max(
+                F.when(F.col("m") == m, F.col("avg_rs"))
+            ).alias(f"rs{m}")
+        for m in block_sizes
+        ]
+    )
+    xs = [float(__import__("math").log2(m)) for m in block_sizes]
+    xbar = sum(xs) / len(xs)
+    sxx = sum((x - xbar) ** 2 for x in xs)
+    h = None
+    for m, x in zip(block_sizes, xs):
+        term = F.lit((x - xbar) / sxx) * F.log2(F.col(f"rs{m}"))
+        h = term if h is None else h + term
+    cond = None
+    for m in block_sizes:
+        c = F.col(f"rs{m}").isNotNull()
+        cond = c if cond is None else cond & c
+    return piv.filter(cond).join(tot, "key").select(
+        "key",
+        "n",
+        *[F.round(f"rs{m}", 6).alias(f"rs{m}") for m in block_sizes],
+        F.round(h, 6).alias("hurst"),
+    )
+
+
+def permutation_entropy(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Order-3 permutation entropy (Bandt & Pompe 2002) per key — the
+    complexity score that separates regular / periodic series (low)
+    from noise (≈1) WITHOUT any model fit; the standard complement to
+    `acf_seasonality` for "is this metric even forecastable".
+
+    Each length-3 embedding window maps to one of 3! ordinal patterns;
+    ties break by time index (earlier = smaller, the B&P convention),
+    so integer series exercise a deterministic path.  PE = −Σ p·log2 p
+    normalized by log2(6) into [0,1].  The ≤6 entropy terms are
+    decimal-quantized before the sum, so the reduction is exact on any
+    engine.  One lead-window pass + one keyed count; never a sort
+    beyond the per-key bucket order.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(bucket_col).alias("b"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    w = Window.partitionBy("key").orderBy("b")
+    t = base.select(
+        "key",
+        F.col("v").alias("v1"),
+        F.lead("v", 1).over(w).alias("v2"),
+        F.lead("v", 2).over(w).alias("v3"),
+    ).filter(F.col("v3").isNotNull())
+
+    def gt(a, ia, b, ib):
+        return (
+            (F.col(a) > F.col(b))
+            | ((F.col(a) == F.col(b)) & F.lit(ia > ib))
+        ).cast("int")
+
+    r1 = gt("v1", 1, "v2", 2) + gt("v1", 1, "v3", 3)
+    r2 = gt("v2", 2, "v1", 1) + gt("v2", 2, "v3", 3)
+    r3 = gt("v3", 3, "v1", 1) + gt("v3", 3, "v2", 2)
+    pat = (r1 * 100 + r2 * 10 + r3).alias("pattern")
+    counts = t.select("key", pat).groupBy("key", "pattern").agg(
+        F.count("*").alias("c")
+    )
+    w_k = Window.partitionBy("key")
+    p = F.col("c").cast("double") / F.sum("c").over(w_k).cast("double")
+    terms = counts.select(
+        "key",
+        F.col("c"),
+        F.round(-p * F.log2(p), 10).cast("decimal(22,10)").alias("term"),
+    )
+    log2_6 = 2.584962500721156
+    return terms.groupBy("key").agg(
+        F.sum("c").alias("n_windows"),
+        F.round(
+            F.sum("term").cast("double") / F.lit(log2_6), 6
+        ).alias("pe"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity statistic per key — "did
+    the SPREAD change across groups" where `welch_t_test`/ANOVA ask
+    about the mean: one-way ANOVA F on ``z = |x − median_group|``
+    (median, not mean — the robust variant that keeps its size under
+    heavy tails).  Emits the statistic and both dfs; the caller brings
+    the F table (no closed-form quantile worth pinning here —
+    documented, same stance as the reference's alert thresholds being
+    config).
+
+    The group median is the exact mid-rank average (1 or 2 values —
+    no interpolated percentile, so both engines agree bit-for-bit),
+    computed with a window avg over the mid-rank rows — no join back.
+    Z power sums then follow the `seasonality_strength` formulation
+    (raw n/Σz/Σz² cross the exchange; SSB = Σs²/n − S²/N).
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    w_rn = Window.partitionBy("key", "grp").orderBy("v")
+    w_g = Window.partitionBy("key", "grp")
+    cnt = F.count("*").over(w_g)
+    rn = F.row_number().over(w_rn)
+    lo = F.floor((cnt + 1) / 2)
+    hi = F.ceil((cnt + 1) / 2)
+    mid_v = F.when((rn == lo) | (rn == hi), F.col("v"))
+    med = F.avg(mid_v).over(w_g)
+    z = F.abs(F.col("v") - med)
+    per_g = base.select("key", "grp", z.alias("z")).groupBy(
+        "key", "grp"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("z").alias("s"),
+        F.sum(F.col("z") * F.col("z")).alias("q"),
+    )
+    agg = per_g.groupBy("key").agg(
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.count("*").alias("k"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sb"),
+    )
+    cf = F.col("ss") * F.col("ss") / F.col("nn")
+    ss_b = F.col("sb") - cf
+    ss_w = F.col("qq") - F.col("sb")
+    fstat = (ss_b / (F.col("k") - 1)) / (ss_w / (F.col("nn") - F.col("k")))
+    return agg.filter(
+        (F.col("k") >= 2) & (F.col("nn") > F.col("k"))
+    ).select(
+        "key",
+        F.col("nn").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_groups"),
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("nn") - F.col("k")).cast("long").alias("df2"),
+        F.round(F.when(ss_w > 0, fstat), 4).alias("bf_f"),
+    )

@@ -15122,6 +15122,174 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 363. Hurst exponent via R/S per event_type over the hourly count
+#      series — block range/std in pure INTEGER arithmetic (one sqrt +
+#      one division per block), pinned log2(m) OLS weights.  The
+#      oracle computes blocks with SQL windows instead of array scans.
+# ---------------------------------------------------------------------
+@register(
+    "hurst_rs",
+    """
+    with hr as (select event_type as key, date_trunc('hour', ts) as b,
+                  cast(count(*) as bigint) as v
+                from events group by 1, 2),
+    idx as (select key, v,
+              row_number() over (partition by key order by b) as i
+            from hr),
+    tot as (select key, cast(count(*) as bigint) as n from idx group by 1),
+    lv as (select key, v, i, m,
+             cast(floor((i - 1.0) / m) as bigint) as blk
+           from idx cross join (select unnest([8, 16, 32, 64]) as m)),
+    ba as (select key, m, blk, cast(count(*) as bigint) as cnt,
+             cast(sum(v) as bigint) as s1,
+             cast(sum(v * v) as bigint) as s2
+           from lv group by 1, 2, 3),
+    cm as (select key, m, blk,
+             cast(sum(v) over (partition by key, m, blk order by i
+               rows between unbounded preceding and current row)
+               as bigint) as cum,
+             cast(row_number() over (partition by key, m, blk
+               order by i) as bigint) as j
+           from lv),
+    nm as (select cm.key, cm.m, cm.blk,
+             max(cm.m * cm.cum - cm.j * ba.s1) as mx,
+             min(cm.m * cm.cum - cm.j * ba.s1) as mn
+           from cm join ba using (key, m, blk)
+           where ba.cnt = cm.m
+           group by 1, 2, 3),
+    rsb as (select nm.key, nm.m,
+              cast(nm.mx - nm.mn as double)
+                / sqrt(cast(ba.m * ba.s2 - ba.s1 * ba.s1 as double)) as rs
+            from nm join ba using (key, m, blk)
+            where ba.m * ba.s2 - ba.s1 * ba.s1 > 0),
+    lvl as (select key, m,
+              cast(sum(cast(round(rs, 8) as decimal(20,8))) as double)
+                / count(*) as avg_rs
+            from rsb group by 1, 2),
+    piv as (select key,
+              max(case when m = 8 then avg_rs end) as rs8,
+              max(case when m = 16 then avg_rs end) as rs16,
+              max(case when m = 32 then avg_rs end) as rs32,
+              max(case when m = 64 then avg_rs end) as rs64
+            from lvl group by 1)
+    select piv.key as key, tot.n,
+      round(rs8, 6) as rs8, round(rs16, 6) as rs16,
+      round(rs32, 6) as rs32, round(rs64, 6) as rs64,
+      round((-0.3 * log2(rs8) - 0.1 * log2(rs16)
+             + 0.1 * log2(rs32) + 0.3 * log2(rs64)), 6) as hurst
+    from piv join tot on piv.key = tot.key
+    where rs8 is not null and rs16 is not null
+      and rs32 is not null and rs64 is not null
+    """,
+)
+def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import hurst_rs
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("b")
+    ).agg(F.count("*").alias("v"))
+    return hurst_rs(hourly, "event_type", "b", "v")
+
+
+# ---------------------------------------------------------------------
+# 364. Order-3 permutation entropy per event_type over the hourly
+#      count series — ordinal patterns with the B&P index tie-break,
+#      decimal-quantized entropy terms.
+# ---------------------------------------------------------------------
+@register(
+    "permutation_entropy",
+    """
+    with hr as (select event_type as key, date_trunc('hour', ts) as b,
+                  cast(count(*) as double) as v
+                from events group by 1, 2),
+    t as (select key, v as v1,
+            lead(v, 1) over (partition by key order by b) as v2,
+            lead(v, 2) over (partition by key order by b) as v3
+          from hr),
+    pat as (select key,
+              ((case when v1 > v2 then 1 else 0 end
+                + case when v1 > v3 then 1 else 0 end) * 100
+               + (case when v2 > v1 or v2 = v1 then 1 else 0 end
+                  + case when v2 > v3 then 1 else 0 end) * 10
+               + (case when v3 > v1 or v3 = v1 then 1 else 0 end
+                  + case when v3 > v2 or v3 = v2 then 1 else 0 end))
+                as pattern
+            from t where v3 is not null),
+    c as (select key, pattern, cast(count(*) as bigint) as c
+          from pat group by 1, 2),
+    tm as (select key, c,
+             cast(round(-(cast(c as double) / sum(c) over (partition by key))
+               * log2(cast(c as double) / sum(c) over (partition by key)),
+               10) as decimal(22,10)) as term
+           from c)
+    select key, cast(sum(c) as bigint) as n_windows,
+      round(cast(sum(term) as double) / 2.584962500721156, 6) as pe
+    from tm group by key
+    """,
+)
+def q_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import permutation_entropy
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("b")
+    ).agg(F.count("*").alias("v"))
+    return permutation_entropy(hourly, "event_type", "b", "v")
+
+
+# ---------------------------------------------------------------------
+# 365. Brown-Forsythe spread-homogeneity F per event_type across
+#      day-of-week groups — exact mid-rank medians (no interpolated
+#      percentile), z power sums in the seasonality_strength
+#      formulation.
+# ---------------------------------------------------------------------
+@register(
+    "brown_forsythe",
+    """
+    with b as (select event_type as key,
+                 cast(floor(epoch(ts) / 86400 + 4) as bigint) % 7 as grp,
+                 value as v
+               from events where value is not null),
+    r as (select *, row_number() over (partition by key, grp
+             order by v) as rn,
+            count(*) over (partition by key, grp) as cnt
+          from b),
+    m as (select *, avg(case when rn = floor((cnt + 1) / 2)
+                           or rn = ceil((cnt + 1) / 2)
+                         then v end)
+                    over (partition by key, grp) as med
+          from r),
+    z as (select key, grp, abs(v - med) as z from m),
+    pg as (select key, grp, cast(count(*) as bigint) as n,
+             sum(z) as s, sum(z * z) as q
+           from z group by 1, 2),
+    ag as (select key, cast(sum(n) as bigint) as nn, sum(s) as ss,
+             sum(q) as qq, cast(count(*) as bigint) as k,
+             sum(s * s / n) as sb
+           from pg group by 1)
+    select key, nn as n, k as k_groups,
+      cast(k - 1 as bigint) as df1, cast(nn - k as bigint) as df2,
+      round(case when qq - sb > 0 then
+        ((sb - ss * ss / nn) / (k - 1)) / ((qq - sb) / (nn - k))
+        end, 4) as bf_f
+    from ag where k >= 2 and nn > k
+    """,
+)
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import brown_forsythe
+
+    ev = _t(spark, sf_dir, "events")
+    dow = (F.floor(_epoch_s("ts") / 86400 + 4) % 7).cast("long")
+    return brown_forsythe(
+        ev.select("event_type", dow.alias("dow"), "value"),
+        "event_type",
+        "dow",
+        "value",
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -1713,3 +1713,67 @@ def test_friedman_test_ties_and_null_q(spark):
     df = spark.createDataFrame(rows, "key string, blk int, trt string, v double")
     got = friedman_test(df, "key", "blk", "trt", "v").collect()[0]
     assert got["q"] is None and not got["significant"]
+
+
+def test_hurst_rs_hand_computed_blocks(spark):
+    import math
+
+    from sparkcollector.operators.analytics import hurst_rs
+
+    rows = [("k", i, i + 1) for i in range(4)]          # 1,2,3,4
+    rows += [("flat", i, 5) for i in range(4)]          # zero variance
+    df = spark.createDataFrame(rows, "key string, b int, v long")
+    got = {r["key"]: r for r in
+           hurst_rs(df, "key", "b", "v", block_sizes=(2, 4)).collect()}
+    # m=2 blocks [1,2],[3,4]: R_num=1, I=1 -> rs=1 each; m=4: R_num=8,
+    # I=20 -> rs=8/sqrt(20); H = log2(rs4) - log2(rs2)
+    rs4 = 8 / math.sqrt(20)
+    assert got["k"]["rs2"] == 1.0
+    assert abs(got["k"]["rs4"] - round(rs4, 6)) < 1e-12
+    assert abs(got["k"]["hurst"] - round(math.log2(rs4), 6)) < 1e-6
+    assert "flat" not in got                            # I=0 blocks skipped
+
+
+def test_permutation_entropy_regular_vs_alternating(spark):
+    import math
+
+    from sparkcollector.operators.analytics import permutation_entropy
+
+    rows = [("mono", i, float(i)) for i in range(10)]
+    rows += [("alt", i, float(i % 2)) for i in range(10)]
+    df = spark.createDataFrame(rows, "key string, b int, v double")
+    got = {r["key"]: r for r in
+           permutation_entropy(df, "key", "b", "v").collect()}
+    assert got["mono"]["pe"] == 0.0                     # single pattern
+    assert got["mono"]["n_windows"] == 8
+    # alternating: exactly two patterns, 50/50 -> PE = 1/log2(6)
+    assert abs(got["alt"]["pe"] - round(1 / math.log2(6), 6)) < 1e-12
+
+
+def test_brown_forsythe_hand_computed(spark):
+    from sparkcollector.operators.analytics import brown_forsythe
+
+    rows = [("k", "g1", v) for v in (1.0, 2.0, 3.0)]
+    rows += [("k", "g2", v) for v in (10.0, 20.0, 30.0)]
+    df = spark.createDataFrame(rows, "key string, grp string, v double")
+    got = brown_forsythe(df, "key", "grp", "v").collect()[0]
+    # z1=(1,0,1), z2=(10,0,10): F = 54/((202/3)/4) = 648/202
+    assert got["bf_f"] == round(648 / 202, 4)
+    assert got["df1"] == 1 and got["df2"] == 4
+
+
+def test_brown_forsythe_even_count_median(spark):
+    from sparkcollector.operators.analytics import brown_forsythe
+
+    # degenerate: z constant within every group -> ss_w = 0 -> F NULL
+    rows = [("k", "a", 1.0), ("k", "a", 3.0),
+            ("k", "b", 9.0), ("k", "b", 11.0)]
+    df = spark.createDataFrame(rows, "key string, grp string, v double")
+    got = brown_forsythe(df, "key", "grp", "v").collect()[0]
+    assert got["bf_f"] is None
+    # even-count median (3+10)/2=6.5; identical z profiles -> F = 0
+    rows2 = [("k", g, base + v) for g, base in (("a", 0.0), ("b", 100.0))
+             for v in (0.0, 3.0, 10.0, 20.0)]
+    df2 = spark.createDataFrame(rows2, "key string, grp string, v double")
+    got2 = brown_forsythe(df2, "key", "grp", "v").collect()[0]
+    assert got2["bf_f"] == 0.0 and got2["df2"] == 6
