@@ -2843,6 +2843,43 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 84: UUIDv7 skew, Markov rate, Zipkin spans.
+    all_ok &= audit(
+        "uuid7_parse",
+        lambda: queries()["uuid7_parse"](spark, SF_DIR),
+        [
+            ("pure map job: zero exchanges",
+             lambda p: "Exchange" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "markov_entropy_rate",
+        lambda: queries()["markov_entropy_rate"](spark, SF_DIR),
+        [
+            ("one lead-window pass per sequence",
+             lambda p: "Window" in p),
+            ("transition counts reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "zipkin_span_parse",
+        lambda: queries()["zipkin_span_parse"](spark, SF_DIR),
+        [
+            ("pure map job: zero exchanges",
+             lambda p: "Exchange" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

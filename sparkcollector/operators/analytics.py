@@ -5055,3 +5055,63 @@ def brown_forsythe(
         (F.col("nn") - F.col("k")).cast("long").alias("df2"),
         F.round(F.when(ss_w > 0, fstat), 4).alias("bf_f"),
     )
+
+
+def markov_entropy_rate(
+    df: DataFrame,
+    key_col: str,
+    seq_col: str,
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov entropy rate of a state sequence, per key —
+    the behavioral-complexity number for event streams ("how
+    predictable is the next event given the current one"):
+    transitions from consecutive states per sequence (ordered by the
+    caller's total order), per-state conditional entropies
+    ``H_i = −Σ_j p_ij log2 p_ij``, and the rate
+    ``Σ_i π_i H_i`` under the empirical state distribution π.
+
+    Both reductions run over the bounded state alphabet with
+    decimal-quantized terms, so the float folds are exact on any
+    engine.  One lead-window pass per sequence + two keyed counts;
+    state-pair cardinality (|S|²·keys) bounds everything downstream.
+    """
+    w = Window.partitionBy("key", "seq").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(seq_col).alias("seq"),
+        F.col(state_col).alias("s"),
+        *[F.col(c) for c in order_cols],
+    )
+    trans = base.select(
+        "key",
+        F.col("s").alias("frm"),
+        F.lead("s", 1).over(w).alias("to"),
+    ).filter(F.col("to").isNotNull())
+    pair = trans.groupBy("key", "frm", "to").agg(F.count("*").alias("c"))
+    w_f = Window.partitionBy("key", "frm")
+    p = F.col("c").cast("double") / F.sum("c").over(w_f).cast("double")
+    hterms = pair.select(
+        "key",
+        "frm",
+        F.col("c"),
+        F.round(-p * F.log2(p), 10).cast("decimal(22,10)").alias("t"),
+    )
+    per_state = hterms.groupBy("key", "frm").agg(
+        F.sum("c").alias("ni"), F.sum("t").cast("double").alias("hi")
+    )
+    w_k = Window.partitionBy("key")
+    pi = F.col("ni").cast("double") / F.sum("ni").over(w_k).cast("double")
+    rate_terms = per_state.select(
+        "key",
+        F.col("ni"),
+        F.round(pi * F.col("hi"), 10).cast("decimal(22,10)").alias("rt"),
+    )
+    return rate_terms.groupBy("key").agg(
+        F.sum("ni").alias("n_transitions"),
+        F.count("*").alias("n_states"),
+        F.round(F.sum("rt").cast("double"), 6).alias("entropy_rate"),
+    )

@@ -1184,3 +1184,87 @@ def w3c_extlog_parse(
         ok.alias("well_formed"),
         *[pick(f).alias(f"f_{s}") for f, s in zip(fields, safe)],
     )
+
+
+def uuid7_parse(
+    df: DataFrame,
+    id_col: str = "id",
+    ts_col: str = "ts",
+    skew_ms: int = 60000,
+) -> DataFrame:
+    """UUIDv7 parse + clock-skew audit — ids embed their creation
+    time (RFC 9562 §5.7: 48-bit unix ms in the first 12 hex digits),
+    so comparing id-time to record-time exposes producer clock skew
+    and misrouted replays, the id-level twin of the `timestamp`
+    processor's offset correction.  Strict v7 gate: 8-4-4-4-12 hex
+    shape, version nibble 7, RFC variant (8/9/a/b).
+
+    ``F.conv(hex, 16, 10)`` decodes the 48-bit ms JVM-side (fits a
+    long with 16 bits to spare); record time compares at the same ms
+    truncation.  Pure codegen, zero exchanges.
+    """
+    s = F.lower(F.col(id_col))
+    well = s.rlike(
+        "^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-"
+        "[0-9a-f]{12}$"
+    )
+    hex12 = F.concat(F.substring(s, 1, 8), F.substring(s, 10, 4))
+    uuid_ms = F.conv(hex12, 16, 10).cast("long")
+    rec_ms = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp_ltz")) / 1000).cast("long")
+    skew = uuid_ms - rec_ms
+    return df.select(
+        "*",
+        well.alias("well_formed"),
+        F.when(well, uuid_ms).alias("uuid_ms"),
+        F.when(well, skew).alias("skew_ms_obs"),
+        F.when(well, F.abs(skew) > skew_ms).alias("skew_flag"),
+    )
+
+
+def zipkin_span_parse(
+    df: DataFrame,
+    json_col: str = "line",
+) -> DataFrame:
+    """Zipkin v2 JSON span parse — the third trace-ingest grammar
+    beside OTLP-shaped spans and W3C traceparent: schema-full
+    ``from_json`` (no inference on the hot path), B3 id validation
+    (64- or 128-bit trace id, 64-bit span id, lowercase hex), 64-bit
+    trace ids left-padded to 128-bit canonical form, micros→ms
+    normalization, and the `error` tag surfaced as a boolean.
+
+    Spans legitimately lack parentId (roots) and duration (async
+    one-shots); those stay NULL without failing the gate.  Pure
+    codegen'd from_json + regex, zero exchanges.
+    """
+    schema = (
+        "traceId string, id string, parentId string, name string, "
+        "kind string, timestamp long, duration long, "
+        "localEndpoint struct<serviceName:string>, "
+        "tags map<string,string>"
+    )
+    j = F.from_json(F.col(json_col), schema)
+    tid = F.lower(j["traceId"])
+    sid = F.lower(j["id"])
+    ok = (
+        j.isNotNull()
+        & tid.rlike("^[0-9a-f]{16}([0-9a-f]{16})?$")
+        & sid.rlike("^[0-9a-f]{16}$")
+        & j["timestamp"].isNotNull()
+    )
+    trace_norm = F.lpad(tid, 32, "0")
+    return df.select(
+        "*",
+        ok.alias("well_formed"),
+        F.when(ok, trace_norm).alias("trace_id"),
+        F.when(ok, sid).alias("span_id"),
+        F.when(ok, F.lower(j["parentId"])).alias("parent_id"),
+        F.when(ok, j["localEndpoint"]["serviceName"]).alias("service"),
+        F.when(ok, j["name"]).alias("op_name"),
+        F.when(ok, j["kind"]).alias("kind"),
+        F.when(ok, F.floor(j["timestamp"] / 1000).cast("long")).alias(
+            "start_ms"
+        ),
+        F.when(ok, F.round(j["duration"] / 1000.0, 3)).alias("duration_ms"),
+        F.when(ok, F.coalesce(j["tags"]["error"] == "true", F.lit(False)))
+        .alias("error"),
+    )

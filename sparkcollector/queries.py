@@ -15290,6 +15290,198 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 366. UUIDv7 parse + clock-skew audit (RFC 9562 §5.7) — 48-bit id
+#      time vs record time; strict version/variant gate.  Oracle
+#      derives skew from the SAME deterministic offsets.
+# ---------------------------------------------------------------------
+@register(
+    "uuid7_parse",
+    """
+    with b as (select event_id as eid, ts,
+                 case when event_id % 7 = 0 then 90000
+                      when event_id % 3 = 0 then -500
+                      else 0 end as off,
+                 event_id % 19 = 0 or event_id % 23 = 0 as bad
+               from events)
+    select eid as event_id, not bad as well_formed,
+      case when bad then NULL else epoch_ms(ts) + off end as uuid_ms,
+      cast(case when bad then NULL else off end as bigint)
+        as skew_ms_obs,
+      case when bad then NULL else abs(off) > 60000 end as skew_flag
+    from b
+    """,
+)
+def q_uuid7_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import uuid7_parse
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    off = (
+        F.when(eid % 7 == 0, F.lit(90000))
+        .when(eid % 3 == 0, F.lit(-500))
+        .otherwise(F.lit(0))
+    )
+    ms = (F.floor(F.unix_micros(F.col("ts").cast("timestamp_ltz")) / 1000) + off).cast("long")
+    h = F.lpad(F.lower(F.hex(ms)), 12, "0")
+    ver = F.when(eid % 23 == 0, F.lit("4")).otherwise(F.lit("7"))
+    uuid = F.concat(
+        F.substring(h, 1, 8), F.lit("-"),
+        F.substring(h, 9, 4), F.lit("-"),
+        ver, F.lpad(F.lower(F.hex(eid % 4096)), 3, "0"), F.lit("-8"),
+        F.lpad(F.lower(F.hex(uid % 4096)), 3, "0"), F.lit("-"),
+        F.lpad(F.lower(F.hex(eid)), 12, "0"),
+    )
+    line = F.when(eid % 19 == 0, F.lit("not-a-uuid")).otherwise(uuid)
+    out = uuid7_parse(
+        ev.select("event_id", line.alias("id"), "ts"), "id", "ts", 60000
+    )
+    return out.select(
+        "event_id", "well_formed", "uuid_ms", "skew_ms_obs", "skew_flag"
+    )
+
+
+# ---------------------------------------------------------------------
+# 367. First-order Markov entropy rate of per-user event-type
+#      sequences, per user cohort — behavioral predictability;
+#      decimal-quantized entropy terms over the bounded alphabet.
+# ---------------------------------------------------------------------
+@register(
+    "markov_entropy_rate",
+    """
+    with b as (select user_id % 4 as key, user_id as seq,
+                 event_type as s, ts, event_id
+               from events),
+    tr as (select key, s as frm,
+             lead(s) over (partition by key, seq
+               order by ts, event_id) as nxt
+           from b),
+    pair as (select key, frm, nxt, cast(count(*) as bigint) as c
+             from tr where nxt is not null group by 1, 2, 3),
+    ht as (select key, frm, c,
+             cast(round(-(cast(c as double)
+                 / sum(c) over (partition by key, frm))
+               * log2(cast(c as double)
+                 / sum(c) over (partition by key, frm)), 10)
+               as decimal(22,10)) as t
+           from pair),
+    ps as (select key, frm, cast(sum(c) as bigint) as ni,
+             cast(sum(t) as double) as hi
+           from ht group by 1, 2),
+    rt as (select key, ni,
+             cast(round((cast(ni as double)
+                 / sum(ni) over (partition by key)) * hi, 10)
+               as decimal(22,10)) as rt
+           from ps)
+    select cast(key as bigint) as key,
+      cast(sum(ni) as bigint) as n_transitions,
+      cast(count(*) as bigint) as n_states,
+      round(cast(sum(rt) as double), 6) as entropy_rate
+    from rt group by key
+    """,
+)
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import markov_entropy_rate
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_entropy_rate(
+        ev.select(
+            (F.col("user_id") % 4).alias("cohort"),
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+        ),
+        "cohort",
+        "user_id",
+        ["ts", "event_id"],
+        "event_type",
+    )
+
+
+# ---------------------------------------------------------------------
+# 368. Zipkin v2 JSON span parse — B3 id validation, 64→128-bit trace
+#      id padding, micros→ms, error tag; roots (no parentId) and
+#      durationless spans stay valid.  Oracle reconstructs every
+#      field (md5-derived ids included) from source columns.
+# ---------------------------------------------------------------------
+@register(
+    "zipkin_span_parse",
+    """
+    with b as (select event_id as eid, user_id as uid, event_type, ts,
+                 event_id % 19 = 0 as bad,
+                 md5(cast(event_id as varchar)) as m
+               from events)
+    select eid as event_id, not bad as well_formed,
+      case when bad then NULL
+           when eid % 2 = 0 then repeat('0', 16) || substring(m, 1, 16)
+           else substring(m, 1, 32) end as trace_id,
+      case when bad then NULL
+           else substring(md5(cast(eid as varchar) || 's'), 1, 16)
+           end as span_id,
+      case when bad or eid % 3 = 0 then NULL
+           else substring(md5(cast(eid as varchar) || 'p'), 1, 16)
+           end as parent_id,
+      case when bad then NULL
+           else 'svc' || cast(uid % 8 as varchar) end as service,
+      case when bad then NULL else event_type end as op_name,
+      case when bad then NULL
+           when event_type = 'purchase' then 'CLIENT'
+           when event_type = 'error' then 'SERVER'
+           else NULL end as kind,
+      case when bad then NULL else epoch_ms(ts) end as start_ms,
+      case when bad or eid % 23 = 0 then NULL
+           else round((eid % 100000) / 1000.0, 3) end as duration_ms,
+      case when bad then NULL else event_type = 'error' end as error
+    from b
+    """,
+)
+def q_zipkin_span_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import zipkin_span_parse
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    m = F.md5(eid.cast("string"))
+    trace = F.when(eid % 2 == 0, F.substring(m, 1, 16)).otherwise(
+        F.substring(m, 1, 32)
+    )
+    kind = F.when(F.col("event_type") == "purchase", F.lit("CLIENT")).when(
+        F.col("event_type") == "error", F.lit("SERVER")
+    )
+    payload = F.to_json(
+        F.struct(
+            trace.alias("traceId"),
+            F.substring(F.md5(F.concat(eid.cast("string"), F.lit("s"))), 1, 16)
+            .alias("id"),
+            F.when(
+                eid % 3 != 0,
+                F.substring(
+                    F.md5(F.concat(eid.cast("string"), F.lit("p"))), 1, 16
+                ),
+            ).alias("parentId"),
+            F.col("event_type").alias("name"),
+            kind.alias("kind"),
+            F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("timestamp"),
+            F.when(eid % 23 != 0, eid % 100000).alias("duration"),
+            F.struct(
+                F.concat(F.lit("svc"), (uid % 8).cast("string")).alias(
+                    "serviceName"
+                )
+            ).alias("localEndpoint"),
+            F.when(
+                F.col("event_type") == "error",
+                F.create_map(F.lit("error"), F.lit("true")),
+            ).alias("tags"),
+        )
+    )
+    line = F.when(eid % 19 == 0, F.lit("oops")).otherwise(payload)
+    out = zipkin_span_parse(ev.select("event_id", line.alias("line")), "line")
+    return out.select(
+        "event_id", "well_formed", "trace_id", "span_id", "parent_id",
+        "service", "op_name", "kind", "start_ms", "duration_ms", "error",
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

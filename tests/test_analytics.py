@@ -1777,3 +1777,25 @@ def test_brown_forsythe_even_count_median(spark):
     df2 = spark.createDataFrame(rows2, "key string, grp string, v double")
     got2 = brown_forsythe(df2, "key", "grp", "v").collect()[0]
     assert got2["bf_f"] == 0.0 and got2["df2"] == 6
+
+
+def test_markov_entropy_rate_hand_computed(spark):
+    from sparkcollector.operators.analytics import markov_entropy_rate
+
+    # deterministic cycle a->b->a->b: every state fully predictable
+    det = [("k", 1, t, s) for t, s in enumerate(["a", "b"] * 5)]
+    # coin state: a -> {a,b} 50/50, b -> a always
+    rnd = [("r", 1, t, s) for t, s in
+           enumerate(["a", "a", "b", "a", "b", "a", "a", "b", "a"])]
+    df = spark.createDataFrame(det + rnd, "key string, seq int, o int, s string")
+    got = {r["key"]: r for r in
+           markov_entropy_rate(df, "key", "seq", ["o"], "s").collect()}
+    assert got["k"]["entropy_rate"] == 0.0
+    assert got["k"]["n_transitions"] == 9 and got["k"]["n_states"] == 2
+    # r: from a (5 transitions: a->a x2, a->b x3)... compute directly
+    import math
+    pa, pb = 2 / 5, 3 / 5
+    ha = round(-pa * math.log2(pa), 10) + round(-pb * math.log2(pb), 10)
+    # from b: b->a always -> H=0; pi_a = 5/8
+    exp = round(round((5 / 8) * ha, 10) + 0.0, 6)
+    assert abs(got["r"]["entropy_rate"] - exp) < 1e-9

@@ -624,3 +624,51 @@ def test_w3c_extlog_parse_per_file_field_order(spark):
     assert got[("y.log", 2)]["f_c_ip"] == "10.0.0.9"
     assert got[("y.log", 2)]["f_sc_status"] == "404"
     assert not got[("z.log", 1)]["well_formed"]
+
+
+def test_uuid7_parse_skew_and_gates(spark):
+    from sparkcollector.operators.promparse import uuid7_parse
+
+    # 2024-01-12T03:04:05Z = 1705028645000 ms = 0x18cfba07088
+    rows = [
+        (1, "018cfba0-7088-7abc-8def-0123456789ab", "2024-01-12 03:04:05"),
+        (2, "018cfba0-7088-4abc-8def-0123456789ab", "2024-01-12 03:04:05"),
+        (3, "018CFBA0-7088-7ABC-9DEF-0123456789AB", "2024-01-12 03:04:05"),
+        (4, "garbage", "2024-01-12 03:04:05"),
+        # id minted 100s later than the record -> skew flag
+        (5, "018cfba1-f728-7abc-8def-0123456789ab", "2024-01-12 03:04:05"),
+    ]
+    df = spark.createDataFrame(rows, "id2 long, id string, tss string")
+    df = df.withColumn("ts", df["tss"].cast("timestamp"))
+    got = {r["id2"]: r for r in
+           uuid7_parse(df, "id", "ts", skew_ms=60000).collect()}
+    assert got[1]["uuid_ms"] == 1705028645000
+    assert got[1]["skew_ms_obs"] == 0 and got[1]["skew_flag"] is False
+    assert not got[2]["well_formed"]          # version nibble 4
+    assert got[3]["well_formed"]              # case-insensitive
+    assert not got[4]["well_formed"]
+    assert got[5]["skew_ms_obs"] == 100000 and got[5]["skew_flag"]
+
+
+def test_zipkin_span_parse_ids_and_units(spark):
+    from sparkcollector.operators.promparse import zipkin_span_parse
+
+    rows = [
+        (1, '{"traceId":"00f067aa0ba902b7","id":"00f067aa0ba902b7",'
+            '"name":"get","kind":"SERVER","timestamp":1704067200123456,'
+            '"duration":1500,"localEndpoint":{"serviceName":"api"},'
+            '"tags":{"error":"true"}}'),
+        (2, '{"traceId":"4bf92f3577b34da6a3ce929d0e0e4736",'
+            '"id":"00f067aa0ba902b7","timestamp":7}'),   # root, no dur
+        (3, '{"traceId":"XYZ","id":"00f067aa0ba902b7","timestamp":7}'),
+        (4, 'nope'),
+    ]
+    df = spark.createDataFrame(rows, "id2 long, line string")
+    got = {r["id2"]: r for r in zipkin_span_parse(df).collect()}
+    assert got[1]["trace_id"] == "0" * 16 + "00f067aa0ba902b7"  # padded
+    assert got[1]["start_ms"] == 1704067200123
+    assert got[1]["duration_ms"] == 1.5 and got[1]["error"]
+    assert got[2]["trace_id"] == "4bf92f3577b34da6a3ce929d0e0e4736"
+    assert got[2]["parent_id"] is None and got[2]["duration_ms"] is None
+    assert got[2]["error"] is False
+    assert not got[3]["well_formed"] and not got[4]["well_formed"]
