@@ -2880,6 +2880,45 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 85: RAKE, Go durations, cookies.
+    all_ok &= audit(
+        "rake_keyphrases",
+        lambda: queries()["rake_keyphrases"](spark, SF_DIR),
+        [
+            ("word stats reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("phrase top-k via per-group window rank, no global sort",
+             lambda p: "Window" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        notes="Shuffles key on (group, token)-grade columns only; the "
+        "phrase explode is map-side after the stopword cut.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "go_duration_parse",
+        lambda: queries()["go_duration_parse"](spark, SF_DIR),
+        [
+            ("pure map job: zero exchanges",
+             lambda p: "Exchange" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "cookie_parse",
+        lambda: queries()["cookie_parse"](spark, SF_DIR),
+        [
+            ("pure map job: zero exchanges",
+             lambda p: "Exchange" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

@@ -2998,3 +2998,95 @@ def diversified_topk(
         .filter(F.col("rank") <= k)
         .select("q", "rank", "id", "src", "score")
     )
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = ("the", "a", "and", "of", "to", "in", "is"),
+    k: int = 10,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) per group —
+    unsupervised keyphrases for corpus triage: candidate phrases are
+    maximal stopword-free token runs; word score = degree/frequency
+    where degree sums the lengths of phrases containing the word;
+    phrase score sums its word scores; top-k phrases per group by
+    (score desc, phrase asc).
+
+    Stopword boundaries come from TWO passes of one global
+    regexp_replace (adjacent stopwords share a delimiting space, which
+    a single pass would half-consume) — both engines replay the same
+    two passes, so the phrase set is identical by construction.
+    Word-score sums are decimal-quantized so the per-phrase fold is
+    exact on any engine.  Three keyed shuffles (word stats, score
+    join, top-k rank), all on (group, token)-grade keys.
+    """
+    stop_re = "( (?:" + "|".join(stopwords) + ") )"
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    cut = F.regexp_replace(
+        F.regexp_replace(padded, stop_re, " | "), stop_re, " | "
+    )
+    phrases = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(cut, r"\|")).alias("ph_raw"),
+    ).select(
+        "grp", F.trim(F.col("ph_raw")).alias("phrase")
+    ).filter(F.col("phrase") != "")
+    words = phrases.select(
+        "grp",
+        "phrase",
+        F.split(F.col("phrase"), " ").alias("ws"),
+    ).select(
+        "grp",
+        "phrase",
+        F.size("ws").alias("plen"),
+        F.explode("ws").alias("w"),
+    )
+    wstats = words.groupBy("grp", "w").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("deg")
+    )
+    wscore = wstats.select(
+        "grp",
+        "w",
+        F.round(
+            F.col("deg").cast("double") / F.col("freq").cast("double"), 8
+        )
+        .cast("decimal(20,8)")
+        .alias("wsc"),
+    )
+    # one phrase string occurs many times; every occurrence carries the
+    # identical decimal word-score sum, so dividing the exact summed
+    # total by the occurrence count recovers the per-phrase score with
+    # one deterministic double division.
+    per_occ = (
+        words.select("grp", "phrase", "plen", "w")
+        .join(wscore, ["grp", "w"])
+        .groupBy("grp", "phrase", "plen")
+        .agg(
+            F.count("*").alias("occ_words"),
+            F.sum("wsc").alias("sum_all"),
+        )
+    )
+    occurrences = phrases.groupBy("grp", "phrase").agg(
+        F.count("*").alias("n_occ")
+    )
+    scored = per_occ.join(occurrences, ["grp", "phrase"]).select(
+        "grp",
+        "phrase",
+        "n_occ",
+        (F.col("sum_all").cast("double") / F.col("n_occ").cast("double"))
+        .alias("score_d"),
+    )
+    w_rank = Window.partitionBy("grp").orderBy(
+        F.col("score_d").desc(), F.col("phrase").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w_rank)).filter(
+        F.col("rank") <= k
+    ).select(
+        F.col("grp").alias(group_col),
+        "rank",
+        "phrase",
+        "n_occ",
+        F.round("score_d", 6).alias("score"),
+    )

@@ -1268,3 +1268,99 @@ def zipkin_span_parse(
         F.when(ok, F.coalesce(j["tags"]["error"] == "true", F.lit(False)))
         .alias("error"),
     )
+
+
+def go_duration_parse(
+    df: DataFrame,
+    dur_col: str = "dur",
+) -> DataFrame:
+    """Go `time.ParseDuration` grammar — the duration literal every
+    collector config field uses (`timeout: 1h30m`, `interval: 500ms`):
+    optional sign, one or more (decimal)(unit) segments with units
+    ns/us/µs/ms/s/m/h, plus the bare ``"0"`` special case.  Output is
+    total NANOSECONDS as a long (Go's own representation), so the
+    arithmetic is exact decimal — no float anywhere.
+
+    Segments fold in-row over the regexp_extract_all list (decimal
+    accumulator); fractional segments are exact up to 6 fraction
+    digits (beyond that is out of scope for config literals —
+    documented).  Pure codegen, zero exchanges.
+    """
+    s = F.col(dur_col)
+    seg_pat = r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)"
+    well = s.rlike(r"^[+-]?(\d+(\.\d+)?(ns|us|µs|ms|s|m|h))+$") | (
+        s.rlike(r"^[+-]?0$")
+    )
+    segs = F.regexp_extract_all(s, F.lit(seg_pat), 0)
+    num = lambda seg: F.regexp_extract(seg, r"^(\d+(?:\.\d+)?)", 1).cast(
+        "decimal(16,6)"
+    )
+    unit = lambda seg: F.regexp_extract(seg, r"([a-zµ]+)$", 1)
+    factor = lambda seg: (
+        F.when(unit(seg) == "ns", F.lit(1))
+        .when(unit(seg).isin("us", "µs"), F.lit(1000))
+        .when(unit(seg) == "ms", F.lit(1000000))
+        .when(unit(seg) == "s", F.lit(1000000000))
+        .when(unit(seg) == "m", F.lit(60000000000))
+        .otherwise(F.lit(3600000000000))
+        .cast("decimal(14,0)")
+    )
+    total = F.aggregate(
+        segs,
+        F.lit(0).cast("decimal(32,6)"),
+        lambda acc, seg: (
+            acc + (num(seg) * factor(seg)).cast("decimal(32,6)")
+        ).cast("decimal(32,6)"),
+    )
+    signed = F.when(s.startswith("-"), -total).otherwise(total)
+    return df.select(
+        "*",
+        well.alias("well_formed"),
+        F.when(well, signed.cast("long")).alias("ns"),
+        F.when(well, F.size(segs)).alias("n_segments"),
+    )
+
+
+def cookie_parse(
+    df: DataFrame,
+    header_col: str = "header",
+) -> DataFrame:
+    """``Set-Cookie`` header parse (RFC 6265): leading name=value
+    pair, then attribute-value / flag attributes — Path, Domain,
+    Max-Age, Secure, HttpOnly, SameSite — matched case-insensitively
+    (the RFC requires it; real servers emit every casing).  Cookie
+    VALUES keep their case and may contain '=' (split on the first
+    '=' only).
+
+    Pure codegen'd regex, zero exchanges; the gate is a non-empty
+    token-valid name before the first '='.
+    """
+    h = F.col(header_col)
+    first = F.trim(F.regexp_extract(h, r"^([^;]*)", 1))
+    name = F.regexp_extract(first, r"^([^=\s]+)=", 1)
+    value = F.regexp_extract(first, r"^[^=\s]+=(.*)$", 1)
+    ok = name != ""
+
+    def attr(key: str) -> Column:
+        return F.regexp_extract(h, rf"(?i);\s*{key}=([^;]*)", 1)
+
+    def flag(key: str) -> Column:
+        return h.rlike(rf"(?i);\s*{key}\s*(;|$)")
+
+    max_age = attr("Max-Age")
+    return df.select(
+        "*",
+        ok.alias("well_formed"),
+        F.when(ok, name).alias("cookie_name"),
+        F.when(ok, value).alias("cookie_value"),
+        F.when(ok & (attr("Path") != ""), attr("Path")).alias("path"),
+        F.when(ok & (attr("Domain") != ""), attr("Domain")).alias("domain"),
+        F.when(ok & max_age.rlike("^-?[0-9]+$"), max_age.cast("long")).alias(
+            "max_age"
+        ),
+        F.when(ok, flag("Secure")).alias("secure"),
+        F.when(ok, flag("HttpOnly")).alias("http_only"),
+        F.when(
+            ok & (attr("SameSite") != ""), F.lower(attr("SameSite"))
+        ).alias("same_site"),
+    )

@@ -15482,6 +15482,180 @@ def q_zipkin_span_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 369. RAKE keyphrase extraction per source over documents — the
+#      oracle replays the full pipeline (double stopword cut, word
+#      degree/freq, decimal-quantized phrase scores) in SQL.
+# ---------------------------------------------------------------------
+@register(
+    "rake_keyphrases",
+    """
+    with cutx as (select source as grp,
+        regexp_replace(regexp_replace(' ' || text || ' ',
+          '( (?:the|a|and|of|to|in|is) )', ' | ', 'g'),
+          '( (?:the|a|and|of|to|in|is) )', ' | ', 'g') as cut
+      from documents),
+    ph as (select grp, trim(p) as phrase
+           from cutx, unnest(string_split(cut, '|')) as t(p)
+           where trim(p) <> ''),
+    wd as (select grp, phrase,
+             len(string_split(phrase, ' ')) as plen, u.w
+           from ph, unnest(string_split(phrase, ' ')) as u(w)),
+    ws as (select grp, w,
+             cast(round(cast(sum(plen) as double) / count(*), 8)
+               as decimal(20,8)) as wsc
+           from wd group by 1, 2),
+    po as (select wd.grp, wd.phrase, sum(ws.wsc) as sum_all
+           from wd join ws on wd.grp = ws.grp and wd.w = ws.w
+           group by 1, 2),
+    oc as (select grp, phrase, cast(count(*) as bigint) as n_occ
+           from ph group by 1, 2),
+    sc as (select po.grp, po.phrase, oc.n_occ,
+             cast(po.sum_all as double) / oc.n_occ as score_d
+           from po join oc using (grp, phrase)),
+    rk as (select *, row_number() over (partition by grp
+             order by score_d desc, phrase asc) as rank from sc)
+    select grp as source, cast(rank as int) as rank, phrase, n_occ,
+      round(score_d, 6) as score
+    from rk where rank <= 5
+    """,
+)
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import rake_keyphrases
+
+    docs = _t(spark, sf_dir, "documents")
+    return rake_keyphrases(docs, "source", "text", k=5)
+
+
+# ---------------------------------------------------------------------
+# 370. Go time.ParseDuration grammar — multi-segment config duration
+#      literals to exact nanoseconds (decimal fold, no float); the
+#      bare "0", signs, and malformed inputs exercised.
+# ---------------------------------------------------------------------
+@register(
+    "go_duration_parse",
+    """
+    with b as (select event_id as eid,
+                 event_id % 19 = 0 as bad,
+                 event_id % 19 <> 0 and event_id % 17 = 0 as zero,
+                 case when event_id % 11 = 0 then -1 else 1 end as sgn
+               from events)
+    select eid as event_id, not bad as well_formed,
+      cast(case when bad then NULL when zero then 0
+           else sgn * (case
+             when eid % 4 = 0 then (eid % 3) * 3600000000000
+                                   + (eid % 60) * 60000000000
+             when eid % 4 = 1 then (eid % 9) * 1000000000
+                                   + (eid % 10) * 100000000
+             when eid % 4 = 2 then (eid % 500) * 1000000
+             else (eid % 60) * 60000000000 + (eid % 60) * 1000000000
+           end) end as bigint) as ns,
+      cast(case when bad then NULL when zero then 0
+                when eid % 4 in (0, 3) then 2 else 1 end as int)
+        as n_segments
+    from b
+    """,
+)
+def q_go_duration_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import go_duration_parse
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    seg = (
+        F.when(
+            eid % 4 == 0,
+            F.concat(
+                (eid % 3).cast("string"), F.lit("h"),
+                (eid % 60).cast("string"), F.lit("m"),
+            ),
+        )
+        .when(
+            eid % 4 == 1,
+            F.concat(
+                (eid % 9).cast("string"), F.lit("."),
+                (eid % 10).cast("string"), F.lit("s"),
+            ),
+        )
+        .when(eid % 4 == 2, F.concat((eid % 500).cast("string"), F.lit("ms")))
+        .otherwise(
+            F.concat(
+                (eid % 60).cast("string"), F.lit("m"),
+                (eid % 60).cast("string"), F.lit("s"),
+            )
+        )
+    )
+    signed = F.concat(
+        F.when(eid % 11 == 0, F.lit("-")).otherwise(F.lit("")), seg
+    )
+    dur = (
+        F.when(eid % 19 == 0, F.lit("5 hours"))
+        .when(eid % 17 == 0, F.lit("0"))
+        .otherwise(signed)
+    )
+    out = go_duration_parse(ev.select("event_id", dur.alias("dur")), "dur")
+    return out.select("event_id", "well_formed", "ns", "n_segments")
+
+
+# ---------------------------------------------------------------------
+# 371. Set-Cookie header parse (RFC 6265) — case-insensitive
+#      attributes, value-preserving first-'=' split, flag attributes;
+#      oracle reconstructs fields from the same modular construction.
+# ---------------------------------------------------------------------
+@register(
+    "cookie_parse",
+    """
+    with b as (select event_id as eid,
+                 event_id % 19 = 0 as bad,
+                 substring(md5(cast(event_id as varchar)), 1, 8)
+                   || case when event_id % 23 = 0 then '=x' else '' end
+                   as val
+               from events)
+    select eid as event_id, not bad as well_formed,
+      case when bad then NULL else 'sid' end as cookie_name,
+      case when bad then NULL else val end as cookie_value,
+      case when bad or eid % 2 <> 0 then NULL else '/app' end as path,
+      case when bad or eid % 3 <> 0 then NULL
+           else 'example.com' end as domain,
+      cast(case when bad or eid % 5 <> 0 then NULL
+                else eid % 86400 end as bigint) as max_age,
+      case when bad then NULL else eid % 7 = 0 end as secure,
+      case when bad then NULL else eid % 11 = 0 end as http_only,
+      case when bad or eid % 13 <> 0 then NULL else 'lax' end
+        as same_site
+    from b
+    """,
+)
+def q_cookie_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import cookie_parse
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    val = F.concat(
+        F.substring(F.md5(eid.cast("string")), 1, 8),
+        F.when(eid % 23 == 0, F.lit("=x")).otherwise(F.lit("")),
+    )
+    hdr = F.concat(
+        F.lit("sid="), val,
+        F.when(eid % 2 == 0, F.lit("; Path=/app")).otherwise(F.lit("")),
+        F.when(eid % 3 == 0, F.lit("; domain=example.com")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            eid % 5 == 0,
+            F.concat(F.lit("; Max-Age="), (eid % 86400).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(eid % 7 == 0, F.lit("; secure")).otherwise(F.lit("")),
+        F.when(eid % 11 == 0, F.lit("; HttpOnly")).otherwise(F.lit("")),
+        F.when(eid % 13 == 0, F.lit("; SameSite=Lax")).otherwise(F.lit("")),
+    )
+    line = F.when(eid % 19 == 0, F.lit("no equals sign here")).otherwise(hdr)
+    out = cookie_parse(ev.select("event_id", line.alias("header")), "header")
+    return out.select(
+        "event_id", "well_formed", "cookie_name", "cookie_value", "path",
+        "domain", "max_age", "secure", "http_only", "same_site",
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

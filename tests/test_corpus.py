@@ -1211,3 +1211,32 @@ def test_diversified_topk_tie_break_deterministic(spark):
     df = spark.createDataFrame(rows, "q string, id long, s double, src string")
     out = diversified_topk(df, "q", "id", "s", "src", k=2, per_source_cap=9)
     assert [r["id"] for r in out.orderBy("rank").collect()] == [1, 3]
+
+
+def test_rake_keyphrases_hand_computed(spark):
+    from sparkcollector.operators.corpus import rake_keyphrases
+
+    # phrases: "fast scan" x2, "merge" x1 -> deg(fast)=2+2=4? no:
+    # occurrences of "fast scan" twice -> fast: freq 2, deg 2+2=4,
+    # score 2; scan: freq 2, deg 4, score 2; merge: freq 1, deg 1,
+    # score 1. phrase scores: "fast scan" = 4, "merge" = 1.
+    rows = [(1, "fast scan the merge a fast scan")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["phrase"]: r for r in
+           rake_keyphrases(df, "doc_id", "text", k=10).collect()}
+    assert got["fast scan"]["score"] == 4.0
+    assert got["fast scan"]["n_occ"] == 2
+    assert got["merge"]["score"] == 1.0
+    assert got["fast scan"]["rank"] == 1 and got["merge"]["rank"] == 2
+
+
+def test_rake_adjacent_stopwords_split(spark):
+    from sparkcollector.operators.corpus import rake_keyphrases
+
+    # "of the" adjacent stopwords: the second replace pass must cut
+    # both, leaving "x" and "y" as separate phrases.
+    rows = [(1, "x of the y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    phrases = {r["phrase"] for r in
+               rake_keyphrases(df, "doc_id", "text", k=10).collect()}
+    assert phrases == {"x", "y"}

@@ -672,3 +672,49 @@ def test_zipkin_span_parse_ids_and_units(spark):
     assert got[2]["parent_id"] is None and got[2]["duration_ms"] is None
     assert got[2]["error"] is False
     assert not got[3]["well_formed"] and not got[4]["well_formed"]
+
+
+def test_go_duration_parse_grammar(spark):
+    from sparkcollector.operators.promparse import go_duration_parse
+
+    rows = [
+        (1, "1h30m"),
+        (2, "2.5s"),
+        (3, "-45ms"),
+        (4, "300us"),
+        (5, "0"),
+        (6, "1.5h2m"),           # fraction in a leading segment
+        (7, "5 hours"),          # malformed
+        (8, "10"),               # number without unit (and not "0")
+    ]
+    df = spark.createDataFrame(rows, "id long, dur string")
+    got = {r["id"]: r for r in go_duration_parse(df).collect()}
+    assert got[1]["ns"] == 5_400_000_000_000 and got[1]["n_segments"] == 2
+    assert got[2]["ns"] == 2_500_000_000
+    assert got[3]["ns"] == -45_000_000
+    assert got[4]["ns"] == 300_000
+    assert got[5]["ns"] == 0 and got[5]["n_segments"] == 0
+    assert got[6]["ns"] == 5_400_000_000_000 + 120_000_000_000
+    assert not got[7]["well_formed"] and got[7]["ns"] is None
+    assert not got[8]["well_formed"]
+
+
+def test_cookie_parse_attrs_and_case(spark):
+    from sparkcollector.operators.promparse import cookie_parse
+
+    rows = [
+        (1, "sid=abc123; Path=/; Domain=x.io; Max-Age=3600; Secure; "
+            "HttpOnly; SameSite=Strict"),
+        (2, "token=a=b=c; path=/app; SECURE"),     # '=' in value, casing
+        (3, "plain=v"),
+        (4, "not a cookie"),
+    ]
+    df = spark.createDataFrame(rows, "id long, header string")
+    got = {r["id"]: r for r in cookie_parse(df).collect()}
+    assert got[1]["cookie_name"] == "sid" and got[1]["max_age"] == 3600
+    assert got[1]["secure"] and got[1]["http_only"]
+    assert got[1]["same_site"] == "strict"
+    assert got[2]["cookie_value"] == "a=b=c"       # first '=' splits
+    assert got[2]["path"] == "/app" and got[2]["secure"]
+    assert got[3]["secure"] is False and got[3]["path"] is None
+    assert not got[4]["well_formed"]
