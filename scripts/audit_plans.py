@@ -2919,6 +2919,47 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 86: Jarque-Bera, Pettitt, Dunn.
+    all_ok &= audit(
+        "jarque_bera",
+        lambda: queries()["jarque_bera"](spark, SF_DIR),
+        [
+            ("single map-side-combined power-sum aggregate",
+             lambda p: "partial" in p.lower()),
+            ("no window, no join — one exchange on the key",
+             lambda p: "Window" not in p and "Join" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "pettitt_test",
+        lambda: queries()["pettitt_test"](spark, SF_DIR),
+        [
+            ("rank identity: windows, never the O(n^2) pair join",
+             lambda p: "Window" in p and "SortMergeJoin" not in p),
+            ("daily counts reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "dunn_posthoc",
+        lambda: queries()["dunn_posthoc"](spark, SF_DIR),
+        [
+            ("pair join runs on the per-GROUP summary, never rows^2",
+             lambda p: "Join" in p),
+            ("rank sums reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

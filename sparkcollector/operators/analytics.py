@@ -5115,3 +5115,204 @@ def markov_entropy_rate(
         F.count("*").alias("n_states"),
         F.round(F.sum("rt").cast("double"), 6).alias("entropy_rate"),
     )
+
+
+def jarque_bera(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    crit95: float = 5.991464547107979,
+) -> DataFrame:
+    """Jarque-Bera normality test per key — the decision rule on top
+    of `moments_profile`'s shape numbers (is this latency/value column
+    Gaussian enough for the z-score alerts downstream?):
+    ``JB = n/6·(S² + K²/4)`` from skewness S and excess kurtosis K,
+    against the pinned chi-square(2) 95% critical value.
+
+    Central moments come from RAW POWER SUMS (Σx..Σx⁴) in the one
+    expression order both engines render identically (the
+    moments_profile discipline); one map-side-combined aggregate is
+    the whole plan.
+    """
+    v = F.col(value_col).cast("double")
+    agg = df.filter(v.isNotNull()).groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = (
+        F.col("s3") / n
+        - 3.0 * mean * (F.col("s2") / n)
+        + 2.0 * mean * mean * mean
+    )
+    m4 = (
+        F.col("s4") / n
+        - 4.0 * mean * (F.col("s3") / n)
+        + 6.0 * mean * mean * (F.col("s2") / n)
+        - 3.0 * mean * mean * mean * mean
+    )
+    s = m3 / F.pow(m2, 1.5)
+    k = m4 / (m2 * m2) - 3.0
+    jb = n / 6.0 * (s * s + k * k / 4.0)
+    return agg.filter((F.col("n") >= 8) & (m2 > 0)).select(
+        key_col,
+        F.col("n").cast("long").alias("n"),
+        F.round(s, 6).alias("skew"),
+        F.round(k, 6).alias("ex_kurt"),
+        F.round(jb, 4).alias("jb"),
+        (jb > F.lit(float(crit95))).alias("significant"),
+    )
+
+
+def pettitt_test(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Pettitt change-point test per key (rank-based, distribution-
+    free): ``U_t = Σ_{i≤t, j>t} sign(x_j − x_i)``; the change point is
+    the t maximizing |U_t| with approximate significance
+    ``p ≈ 2·exp(−6K²/(n³+n²))`` — the standard single-breakpoint
+    companion to `page_hinkley`'s streaming drift alarm.
+
+    Never the O(n²) pair scan: with midranks r_i over the whole
+    series, ``U_t = 2·Σ_{i≤t} r_i − t(n+1)`` exactly (ties included),
+    so the statistic is one rank window + one ordered cumsum —
+    integer-valued throughout.  First argmax bucket wins (pinned
+    tie-break).  The ORACLE computes U_t from the definition via a
+    pair self-join — a genuinely different algorithm.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(bucket_col).alias("b"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    w_rn = Window.partitionBy("key").orderBy("v", "b")
+    w_tie = Window.partitionBy("key", "v")
+    w_ord = (
+        Window.partitionBy("key")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("key")
+    ranked = base.withColumn("_rn", F.row_number().over(w_rn)).withColumn(
+        "_r", F.avg("_rn").over(w_tie)
+    )
+    stepped = ranked.select(
+        "key",
+        "b",
+        F.sum("_r").over(w_ord).alias("cum"),
+        F.count("*").over(w_all).alias("n"),
+        F.row_number().over(Window.partitionBy("key").orderBy("b")).alias(
+            "t"
+        ),
+    )
+    u = 2.0 * F.col("cum") - F.col("t").cast("double") * (F.col("n") + 1)
+    per_t = stepped.filter(F.col("t") < F.col("n")).select(
+        "key", "b", "n", F.abs(u).alias("au")
+    )
+    w_pick = Window.partitionBy("key").orderBy(
+        F.col("au").desc(), F.col("b").asc()
+    )
+    best = per_t.withColumn("_p", F.row_number().over(w_pick)).filter(
+        F.col("_p") == 1
+    )
+    n = F.col("n").cast("double")
+    p = F.least(
+        F.lit(1.0),
+        2.0 * F.exp(-6.0 * F.col("au") * F.col("au") / (n * n * n + n * n)),
+    )
+    return best.select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.col("au").cast("long").alias("k_stat"),
+        F.col("b").alias("change_bucket"),
+        F.round(p, 6).alias("p_approx"),
+        (p < 0.05).alias("significant"),
+    )
+
+
+def dunn_posthoc(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    value_col: str,
+    z_crit: float = 2.807033768343811,
+) -> DataFrame:
+    """Dunn's post-hoc pairwise rank comparison per key — WHICH groups
+    differ once `kruskal_wallis` says some do:
+    ``z_ij = (R̄_i − R̄_j)/√(σ²·(1/n_i + 1/n_j))`` with the tie-corrected
+    ``σ² = N(N+1)/12 − Σ(t³−t)/(12(N−1))``; the default critical value
+    is the Bonferroni z for 10 comparisons at α=0.05 (5 groups —
+    pass your own for other k; no runtime normal quantile, same
+    pinned-constant stance as the other tests).
+
+    Midranks make every rank sum exact; the pair join runs on the
+    per-GROUP summary table (|groups|² per key, never rows²).
+    Emits g1 < g2 pairs only.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    w_rn = Window.partitionBy("key").orderBy("v", "grp")
+    w_tie = Window.partitionBy("key", "v")
+    ranked = base.withColumn("_rn", F.row_number().over(w_rn)).withColumn(
+        "_r", F.avg("_rn").over(w_tie)
+    )
+    per_g = ranked.groupBy("key", "grp").agg(
+        F.count("*").alias("ng"), F.sum("_r").alias("rg")
+    )
+    ties = (
+        base.groupBy("key", "v")
+        .agg(F.count("*").alias("t"))
+        .groupBy("key")
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tsum")
+        )
+    )
+    tot = per_g.groupBy("key").agg(F.sum("ng").alias("nn")).join(ties, "key")
+    a = per_g.select(
+        "key",
+        F.col("grp").alias("g1"),
+        F.col("ng").alias("n1"),
+        F.col("rg").alias("r1"),
+    )
+    b = per_g.select(
+        "key",
+        F.col("grp").alias("g2"),
+        F.col("ng").alias("n2"),
+        F.col("rg").alias("r2"),
+    )
+    pairs = a.join(b, "key").filter(F.col("g1") < F.col("g2")).join(
+        tot, "key"
+    )
+    nn = F.col("nn").cast("double")
+    sigma2 = nn * (nn + 1.0) / 12.0 - F.col("tsum").cast("double") / (
+        12.0 * (nn - 1.0)
+    )
+    mr1 = F.col("r1") / F.col("n1").cast("double")
+    mr2 = F.col("r2") / F.col("n2").cast("double")
+    z = (mr1 - mr2) / F.sqrt(
+        sigma2 * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+    )
+    return pairs.filter(F.col("nn") > 1).select(
+        "key",
+        "g1",
+        "g2",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(mr1, 6).alias("mean_rank_1"),
+        F.round(mr2, 6).alias("mean_rank_2"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > F.lit(float(z_crit))).alias("significant"),
+    )

@@ -15656,6 +15656,145 @@ def q_cookie_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 372. Jarque-Bera normality test per event_type — power-sum moments
+#      in the moments_profile expression order, pinned chi2(2) crit.
+# ---------------------------------------------------------------------
+@register(
+    "jarque_bera",
+    """
+    with a as (select event_type as key, cast(count(*) as bigint) as n,
+                 sum(value) as s1, sum(value * value) as s2,
+                 sum(value * value * value) as s3,
+                 sum(value * value * value * value) as s4
+               from events where value is not null group by 1),
+    m as (select key, n, s1 / n as mean,
+            s2 / n - (s1 / n) * (s1 / n) as m2,
+            s3 / n - 3.0 * (s1 / n) * (s2 / n)
+              + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) as m3,
+            s4 / n - 4.0 * (s1 / n) * (s3 / n)
+              + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) as m4
+          from a),
+    sk as (select key, n, m3 / pow(m2, 1.5) as s,
+             m4 / (m2 * m2) - 3.0 as k, m2
+           from m)
+    select key as event_type, n, round(s, 6) as skew,
+      round(k, 6) as ex_kurt,
+      round(n / 6.0 * (s * s + k * k / 4.0), 4) as jb,
+      n / 6.0 * (s * s + k * k / 4.0) > 5.991464547107979
+        as significant
+    from sk where n >= 8 and m2 > 0
+    """,
+)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import jarque_bera
+
+    ev = _t(spark, sf_dir, "events")
+    return jarque_bera(ev, "event_type", "value")
+
+
+# ---------------------------------------------------------------------
+# 373. Pettitt change-point test per event_type over daily counts —
+#      Spark computes U_t from the rank identity (one cumsum); the
+#      oracle from the O(n³) straddling-pair definition.
+# ---------------------------------------------------------------------
+@register(
+    "pettitt_test",
+    """
+    with d as (select event_type as key,
+                 cast(cast(ts as date) as varchar) as b,
+                 cast(count(*) as double) as v
+               from events group by 1, 2),
+    pr as (select x.key, x.b as bi, y.b as bj, sign(y.v - x.v) as s
+           from d x join d y on x.key = y.key and x.b < y.b),
+    cuts as (select key, b as tb,
+               row_number() over (partition by key order by b) as t,
+               count(*) over (partition by key) as n
+             from d),
+    ut as (select c.key, c.tb, c.n, abs(sum(pr.s)) as au
+           from cuts c join pr
+             on pr.key = c.key and pr.bi <= c.tb and pr.bj > c.tb
+           where c.t < c.n
+           group by c.key, c.tb, c.n),
+    rk as (select key, tb, n, au,
+             row_number() over (partition by key
+               order by au desc, tb asc) as p
+           from ut)
+    select key, cast(n as bigint) as n, cast(au as bigint) as k_stat,
+      tb as change_bucket,
+      round(least(1.0, 2.0 * exp(-6.0 * au * au
+        / (cast(n as double) * n * n + cast(n as double) * n))), 6)
+        as p_approx,
+      least(1.0, 2.0 * exp(-6.0 * au * au
+        / (cast(n as double) * n * n + cast(n as double) * n))) < 0.05
+        as significant
+    from rk where p = 1
+    """,
+)
+def q_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import pettitt_test
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("d")
+    ).agg(F.count("*").alias("c"))
+    return pettitt_test(daily, "event_type", "d", "c")
+
+
+# ---------------------------------------------------------------------
+# 374. Dunn post-hoc pairwise rank z per day across event-type groups
+#      (which groups differ once kruskal_wallis fires); Bonferroni-10
+#      pinned critical value.
+# ---------------------------------------------------------------------
+@register(
+    "dunn_posthoc",
+    """
+    with base as (select cast(cast(ts as date) as varchar) as key,
+                    event_type as grp, value as v
+                  from events where value is not null),
+    r as (select *, row_number() over (partition by key
+            order by v, grp) as rn from base),
+    mr as (select *, avg(rn) over (partition by key, v) as r from r),
+    pg as (select key, grp, cast(count(*) as bigint) as ng,
+             sum(r) as rg from mr group by 1, 2),
+    ti as (select key, cast(sum(t * t * t - t) as bigint) as tsum
+           from (select key, v, count(*) as t from base group by 1, 2)
+           group by 1),
+    tt as (select key, cast(sum(ng) as bigint) as nn from pg group by 1),
+    pr as (select a.key, a.grp as g1, b.grp as g2, a.ng as n1,
+             b.ng as n2, a.rg as r1, b.rg as r2
+           from pg a join pg b on a.key = b.key and a.grp < b.grp),
+    j as (select pr.*, tt.nn, ti.tsum,
+            (pr.r1 / pr.n1 - pr.r2 / pr.n2)
+              / sqrt((cast(tt.nn as double) * (tt.nn + 1.0) / 12.0
+                      - cast(ti.tsum as double)
+                        / (12.0 * (tt.nn - 1.0)))
+                     * (1.0 / pr.n1 + 1.0 / pr.n2)) as z
+          from pr join tt using (key) join ti using (key)
+          where tt.nn > 1)
+    select key, g1, g2, n1, n2,
+      round(r1 / n1, 6) as mean_rank_1, round(r2 / n2, 6) as mean_rank_2,
+      round(z, 6) as z, abs(z) > 2.807033768343811 as significant
+    from j
+    """,
+)
+def q_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import dunn_posthoc
+
+    ev = _t(spark, sf_dir, "events")
+    return dunn_posthoc(
+        ev.select(
+            F.to_date("ts").cast("string").alias("day"),
+            "event_type",
+            "value",
+        ),
+        "day",
+        "event_type",
+        "value",
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

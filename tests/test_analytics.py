@@ -1799,3 +1799,51 @@ def test_markov_entropy_rate_hand_computed(spark):
     # from b: b->a always -> H=0; pi_a = 5/8
     exp = round(round((5 / 8) * ha, 10) + 0.0, 6)
     assert abs(got["r"]["entropy_rate"] - exp) < 1e-9
+
+
+def test_jarque_bera_symmetric_sample(spark):
+    from sparkcollector.operators.analytics import jarque_bera
+
+    rows = [("k", float(i)) for i in range(1, 9)]     # 1..8, symmetric
+    df = spark.createDataFrame(rows, "key string, v double")
+    got = jarque_bera(df, "key", "v").collect()[0]
+    assert got["skew"] == 0.0                          # exact symmetry
+    # uniform-ish: platykurtic, JB small -> not significant
+    m2, m4 = 5.25, 48.5625
+    k = m4 / (m2 * m2) - 3.0
+    assert got["ex_kurt"] == round(k, 6)
+    assert got["jb"] == round(8 / 6 * (k * k / 4), 4)
+    assert not got["significant"]
+    # constant series (m2=0) excluded entirely
+    dfc = spark.createDataFrame([("c", 1.0)] * 10, "key string, v double")
+    assert jarque_bera(dfc, "key", "v").count() == 0
+
+
+def test_pettitt_test_level_shift(spark):
+    import math
+
+    from sparkcollector.operators.analytics import pettitt_test
+
+    rows = [("k", f"b{i}", v) for i, v in
+            enumerate([1.0, 1.0, 1.0, 10.0, 10.0, 10.0])]
+    df = spark.createDataFrame(rows, "key string, b string, v double")
+    got = pettitt_test(df, "key", "b", "v").collect()[0]
+    assert got["k_stat"] == 9 and got["change_bucket"] == "b2"
+    p = min(1.0, 2 * math.exp(-6 * 81 / (216 + 36)))
+    assert got["p_approx"] == round(p, 6)
+    assert not got["significant"]                      # n=6 too small
+
+
+def test_dunn_posthoc_hand_computed(spark):
+    import math
+
+    from sparkcollector.operators.analytics import dunn_posthoc
+
+    rows = [("k", "g1", v) for v in (1.0, 2.0, 3.0)]
+    rows += [("k", "g2", v) for v in (10.0, 20.0, 30.0)]
+    df = spark.createDataFrame(rows, "key string, grp string, v double")
+    got = dunn_posthoc(df, "key", "grp", "v").collect()[0]
+    assert got["mean_rank_1"] == 2.0 and got["mean_rank_2"] == 5.0
+    z = -3 / math.sqrt(3.5 * (2 / 3))
+    assert abs(got["z"] - round(z, 6)) < 1e-12
+    assert not got["significant"]                      # |z| < 2.807
