@@ -2960,6 +2960,46 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 87: GC pauses, median polish, OLS trend.
+    all_ok &= audit(
+        "gc_pause_parse",
+        lambda: queries()["gc_pause_parse"](spark, SF_DIR),
+        [
+            ("pure map job: zero exchanges",
+             lambda p: "Exchange" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "median_polish",
+        lambda: queries()["median_polish"](spark, SF_DIR),
+        [
+            ("grid pre-aggregation reduces with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("median sweeps are windows over the bounded grid — "
+             "no join",
+             lambda p: "Window" in p and "Join" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "ols_trend",
+        lambda: queries()["ols_trend"](spark, SF_DIR),
+        [
+            ("single power-sum aggregate: no window, no join",
+             lambda p: "Window" not in p and "Join" not in p),
+            ("daily series reduces with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

@@ -5316,3 +5316,126 @@ def dunn_posthoc(
         F.round(z, 6).alias("z"),
         (F.abs(z) > F.lit(float(z_crit))).alias("significant"),
     )
+
+
+def _win_median(partition_cols: list[str], value: Column) -> Column:
+    """Exact mid-rank median of `value` over a window partition —
+    avg of the 1-2 middle-ranked values, never an interpolated
+    percentile (both engines agree bit-for-bit on ≤2-value avgs)."""
+    w_rn = Window.partitionBy(*partition_cols).orderBy(value)
+    w_all = Window.partitionBy(*partition_cols)
+    cnt = F.count("*").over(w_all)
+    rn = F.row_number().over(w_rn)
+    lo = F.floor((cnt + 1) / 2)
+    hi = F.ceil((cnt + 1) / 2)
+    return F.avg(F.when((rn == lo) | (rn == hi), value)).over(w_all)
+
+
+def median_polish(
+    df: DataFrame,
+    key_col: str,
+    row_col: str,
+    col_col: str,
+    value_col: str,
+    mad_k: float = 3.0,
+) -> DataFrame:
+    """Single-sweep Tukey median polish of a two-way grid per key
+    (classically dow × hour-of-day) — the robust additive
+    decomposition ``v ≈ row_effect + col_effect + residual`` that
+    localizes WHICH (day, hour) cell is anomalous after removing both
+    margins, where a plain z-score flags every cell of a busy day.
+    Residuals are flagged against the scaled-MAD fence
+    ``|r − median(r)| > k·1.4826·MAD`` (pinned consistency constant).
+
+    One sweep (row medians, then column medians of the residuals) is
+    the documented scope — the full iterate-to-convergence polish is
+    a driver loop the grid sizes here never need.  Every median is an
+    exact mid-rank average; subtraction chains are deterministic
+    doubles.  Three window passes over (key, row) / (key, col) /
+    (key); grid cardinality bounds everything.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(row_col).alias("r"),
+        F.col(col_col).alias("c"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    step1 = base.withColumn(
+        "row_eff", _win_median(["key", "r"], F.col("v"))
+    ).withColumn("v1", F.col("v") - F.col("row_eff"))
+    step2 = step1.withColumn(
+        "col_eff", _win_median(["key", "c"], F.col("v1"))
+    ).withColumn("resid", F.col("v1") - F.col("col_eff"))
+    step3 = step2.withColumn(
+        "med_r", _win_median(["key"], F.col("resid"))
+    ).withColumn(
+        "mad",
+        _win_median(["key"], F.abs(F.col("resid") - F.col("med_r"))),
+    )
+    fence = F.lit(float(mad_k)) * 1.4826 * F.col("mad")
+    return step3.select(
+        "key",
+        "r",
+        "c",
+        F.round("v", 6).alias("v"),
+        F.round("row_eff", 6).alias("row_eff"),
+        F.round("col_eff", 6).alias("col_eff"),
+        F.round("resid", 6).alias("resid"),
+        F.when(
+            F.col("mad") > 0,
+            F.abs(F.col("resid") - F.col("med_r")) > fence,
+        ).otherwise(F.col("resid") != F.col("med_r")).alias("outlier"),
+    )
+
+
+def ols_trend(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """OLS linear trend per key from INTEGER power sums — slope,
+    intercept, R² for "is this metric drifting and how fast" (the
+    parametric companion of `theil_sen`; that one survives outliers,
+    this one gives R² and extrapolates): with integer x (epoch days)
+    and y (counts), n/Σx/Σy/Σxy/Σx²/Σy² are all EXACT longs, so both
+    engines compute identical numerators before the only float
+    divisions.  Squares that could overflow int64 (the R² numerator)
+    are taken AFTER the exact long difference is cast to double.
+
+    One map-side-combined aggregate; nothing else.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    agg = base.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    slope = num / denx
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    r2 = F.when(deny > 0, num * num / (denx * deny)).otherwise(F.lit(None))
+    return agg.filter((F.col("n") >= 2) & (denx > 0)).select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

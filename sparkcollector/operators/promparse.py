@@ -1364,3 +1364,48 @@ def cookie_parse(
             ok & (attr("SameSite") != ""), F.lower(attr("SameSite"))
         ).alias("same_site"),
     )
+
+
+def gc_pause_parse(
+    df: DataFrame,
+    line_col: str = "line",
+) -> DataFrame:
+    """JVM unified-logging G1 pause-line parse (`-Xlog:gc`):
+    ``GC(123) Pause Young (Normal) (G1 Evacuation Pause)
+    512M->128M(1024M) 12.345ms`` — the memory-health feed every
+    JVM-service log pipeline ends up grepping: gc id, pause kind,
+    cause (LAST parenthesized group when present), heap before/after/
+    committed MB, pause ms, and the derived reclaimed_mb.
+
+    Remark/Cleanup pauses legitimately carry no cause.  Pure codegen'd
+    regex, zero exchanges.
+    """
+    t = F.col(line_col)
+    # cause groups may nest one empty paren pair — "(System.gc())"
+    # is the canonical Full-GC cause string.
+    head = (
+        r"^GC\((\d+)\) Pause (Young|Full|Remark|Cleanup)"
+        r"((?: \((?:[^()]|\(\))*\))*) (\d+)M->(\d+)M\((\d+)M\)"
+        r" (\d+\.?\d*)ms$"
+    )
+    ok = t.rlike(head)
+    gc_id = F.regexp_extract(t, head, 1).cast("long")
+    kind = F.regexp_extract(t, head, 2)
+    parens = F.regexp_extract(t, head, 3)
+    cause = F.regexp_extract(parens, r"\(((?:[^()]|\(\))*)\)$", 1)
+    before = F.regexp_extract(t, head, 4).cast("long")
+    after = F.regexp_extract(t, head, 5).cast("long")
+    total = F.regexp_extract(t, head, 6).cast("long")
+    pause = F.regexp_extract(t, head, 7).cast("double")
+    return df.select(
+        "*",
+        ok.alias("well_formed"),
+        F.when(ok, gc_id).alias("gc_id"),
+        F.when(ok, kind).alias("kind"),
+        F.when(ok & (cause != ""), cause).alias("cause"),
+        F.when(ok, before).alias("heap_before_mb"),
+        F.when(ok, after).alias("heap_after_mb"),
+        F.when(ok, total).alias("heap_total_mb"),
+        F.when(ok, pause).alias("pause_ms"),
+        F.when(ok, before - after).alias("reclaimed_mb"),
+    )

@@ -15795,6 +15795,190 @@ def q_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 375. JVM G1 GC pause-line parse — gc id, pause kind, last-paren
+#      cause, heap before/after/committed, pause ms, reclaimed MB;
+#      causeless Remark pauses and malformed lines exercised.
+# ---------------------------------------------------------------------
+@register(
+    "gc_pause_parse",
+    """
+    with b as (select event_id as eid,
+                 event_id % 19 = 0 as bad,
+                 event_id % 100 as aft,
+                 event_id % 100 + event_id % 800 + 1 as bef,
+                 cast(cast(event_id % 500 as varchar) || '.'
+                      || cast(event_id % 10 as varchar) as double) as pms
+               from events)
+    select eid as event_id, not bad as well_formed,
+      cast(case when bad then NULL else eid % 100000 end as bigint)
+        as gc_id,
+      case when bad then NULL
+           when eid % 7 = 0 then 'Full'
+           when eid % 3 = 0 then 'Remark'
+           else 'Young' end as kind,
+      case when bad or (eid % 7 <> 0 and eid % 3 = 0) then NULL
+           when eid % 7 = 0 then 'System.gc()'
+           else 'G1 Evacuation Pause' end as cause,
+      cast(case when bad then NULL else bef end as bigint)
+        as heap_before_mb,
+      cast(case when bad then NULL else aft end as bigint)
+        as heap_after_mb,
+      cast(case when bad then NULL else 1024 end as bigint)
+        as heap_total_mb,
+      case when bad then NULL else pms end as pause_ms,
+      cast(case when bad then NULL else bef - aft end as bigint)
+        as reclaimed_mb
+    from b
+    """,
+)
+def q_gc_pause_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import gc_pause_parse
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    aft = (eid % 100).cast("string")
+    bef = (eid % 100 + eid % 800 + 1).cast("string")
+    pms = F.concat(
+        (eid % 500).cast("string"), F.lit("."), (eid % 10).cast("string")
+    )
+    tail = F.concat(
+        F.lit(" "), bef, F.lit("M->"), aft, F.lit("M(1024M) "),
+        pms, F.lit("ms"),
+    )
+    head = F.concat(F.lit("GC("), (eid % 100000).cast("string"), F.lit(")"))
+    line = (
+        F.when(eid % 19 == 0, F.lit("random log line"))
+        .when(
+            eid % 7 == 0,
+            F.concat(head, F.lit(" Pause Full (System.gc())"), tail),
+        )
+        .when(eid % 3 == 0, F.concat(head, F.lit(" Pause Remark"), tail))
+        .otherwise(
+            F.concat(
+                head,
+                F.lit(" Pause Young (Normal) (G1 Evacuation Pause)"),
+                tail,
+            )
+        )
+    )
+    out = gc_pause_parse(ev.select("event_id", line.alias("line")), "line")
+    return out.select(
+        "event_id", "well_formed", "gc_id", "kind", "cause",
+        "heap_before_mb", "heap_after_mb", "heap_total_mb", "pause_ms",
+        "reclaimed_mb",
+    )
+
+
+# ---------------------------------------------------------------------
+# 376. Single-sweep Tukey median polish of the dow × hour count grid
+#      per event_type, scaled-MAD outlier fence — robust two-way
+#      anomaly localization.
+# ---------------------------------------------------------------------
+@register(
+    "median_polish",
+    """
+    with cells as (select event_type as key,
+        cast(floor(epoch(ts) / 86400 + 4) as bigint) % 7 as r,
+        cast(floor((epoch(ts) % 86400) / 3600) as bigint) as c,
+        cast(count(*) as double) as v
+      from events group by 1, 2, 3),
+    s1 as (select *, avg(case when rn = floor((cnt + 1) / 2)
+                            or rn = ceil((cnt + 1) / 2) then v end)
+               over (partition by key, r) as row_eff
+           from (select *, row_number() over (partition by key, r
+                    order by v) as rn,
+                   count(*) over (partition by key, r) as cnt
+                 from cells)),
+    s2 as (select *, v - row_eff as v1 from s1),
+    s3 as (select *, avg(case when rn2 = floor((cnt2 + 1) / 2)
+                            or rn2 = ceil((cnt2 + 1) / 2) then v1 end)
+               over (partition by key, c) as col_eff
+           from (select *, row_number() over (partition by key, c
+                    order by v1) as rn2,
+                   count(*) over (partition by key, c) as cnt2
+                 from s2)),
+    s4 as (select *, v1 - col_eff as resid from s3),
+    s5 as (select *, avg(case when rn3 = floor((cnt3 + 1) / 2)
+                            or rn3 = ceil((cnt3 + 1) / 2) then resid end)
+               over (partition by key) as med_r
+           from (select *, row_number() over (partition by key
+                    order by resid) as rn3,
+                   count(*) over (partition by key) as cnt3
+                 from s4)),
+    s6 as (select *, abs(resid - med_r) as ar from s5),
+    s7 as (select *, avg(case when rn4 = floor((cnt4 + 1) / 2)
+                            or rn4 = ceil((cnt4 + 1) / 2) then ar end)
+               over (partition by key) as mad
+           from (select *, row_number() over (partition by key
+                    order by ar) as rn4,
+                   count(*) over (partition by key) as cnt4
+                 from s6))
+    select key, r, c, round(v, 6) as v, round(row_eff, 6) as row_eff,
+      round(col_eff, 6) as col_eff, round(resid, 6) as resid,
+      case when mad > 0
+           then abs(resid - med_r) > (3.0 * 1.4826) * mad
+           else resid <> med_r end as outlier
+    from s7
+    """,
+)
+def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import median_polish
+
+    ev = _t(spark, sf_dir, "events")
+    epoch = _epoch_s("ts")
+    cells = ev.groupBy(
+        "event_type",
+        (F.floor(epoch / 86400 + 4).cast("long") % 7).alias("dow"),
+        F.floor((epoch.cast("long") % 86400) / 3600).cast("long").alias(
+            "hod"
+        ),
+    ).agg(F.count("*").alias("v"))
+    return median_polish(cells, "event_type", "dow", "hod", "v")
+
+
+# ---------------------------------------------------------------------
+# 377. OLS linear trend per event_type over the daily count series —
+#      integer power sums (exact longs) into the only float divisions.
+# ---------------------------------------------------------------------
+@register(
+    "ols_trend",
+    """
+    with d as (select event_type as key,
+                 cast(floor(epoch(ts) / 86400) as bigint) as x,
+                 cast(count(*) as bigint) as y
+               from events group by 1, 2),
+    a as (select key, cast(count(*) as bigint) as n,
+            cast(sum(x) as bigint) as sx, cast(sum(y) as bigint) as sy,
+            cast(sum(x * y) as bigint) as sxy,
+            cast(sum(x * x) as bigint) as sxx,
+            cast(sum(y * y) as bigint) as syy
+          from d group by 1),
+    f as (select key, n,
+            cast(n * sxy - sx * sy as double) as num,
+            cast(n * sxx - sx * sx as double) as denx,
+            cast(n * syy - sy * sy as double) as deny,
+            cast(sx as double) as sxd, cast(sy as double) as syd
+          from a where n >= 2 and n * sxx - sx * sx > 0)
+    select key, n, round(num / denx, 6) as slope,
+      round((syd - (num / denx) * sxd) / cast(n as double), 6)
+        as intercept,
+      round(case when deny > 0 then num * num / (denx * deny) end, 6)
+        as r2
+    from f
+    """,
+)
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import ols_trend
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(_epoch_s("ts") / 86400).cast("long").alias("x"),
+    ).agg(F.count("*").alias("y"))
+    return ols_trend(daily, "event_type", "x", "y")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

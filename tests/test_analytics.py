@@ -1847,3 +1847,40 @@ def test_dunn_posthoc_hand_computed(spark):
     z = -3 / math.sqrt(3.5 * (2 / 3))
     assert abs(got["z"] - round(z, 6)) < 1e-12
     assert not got["significant"]                      # |z| < 2.807
+
+
+def test_median_polish_hand_grid(spark):
+    from sparkcollector.operators.analytics import median_polish
+
+    # 3x3 additive grid + one spiked cell: polish should localize it
+    rows = []
+    row_eff = {"r0": 0.0, "r1": 10.0, "r2": 20.0}
+    col_eff = {"c0": 0.0, "c1": 1.0, "c2": 2.0}
+    for r, re_ in row_eff.items():
+        for c, ce in col_eff.items():
+            v = re_ + ce + (100.0 if (r, c) == ("r1", "c2") else 0.0)
+            rows.append(("k", r, c, v))
+    df = spark.createDataFrame(rows, "key string, r string, c string, v double")
+    got = {(x["r"], x["c"]): x for x in
+           median_polish(df, "key", "r", "c", "v").collect()}
+    assert got[("r1", "c2")]["outlier"]
+    clean = [x for k, x in got.items() if k != ("r1", "c2")]
+    assert all(not x["outlier"] for x in clean)
+    assert got[("r0", "c0")]["resid"] == 0.0
+    # additive part recovered up to the common constant
+    assert got[("r2", "c1")]["resid"] == 0.0
+
+
+def test_ols_trend_exact_line_and_r2(spark):
+    from sparkcollector.operators.analytics import ols_trend
+
+    rows = [("k", x, 3 * x + 7) for x in range(10)]          # perfect fit
+    rows += [("z", x, [5, 9, 4, 12][x]) for x in range(4)]   # noisy
+    df = spark.createDataFrame(rows, "key string, x long, y long")
+    got = {r["key"]: r for r in ols_trend(df, "key", "x", "y").collect()}
+    assert got["k"]["slope"] == 3.0 and got["k"]["intercept"] == 7.0
+    assert got["k"]["r2"] == 1.0
+    # hand power sums for z: n=4 sx=6 sy=30 sxy=53 sxx=14 syy=266
+    num, denx, deny = 4 * 53 - 6 * 30, 4 * 14 - 36, 4 * 266 - 900
+    assert got["z"]["slope"] == round(num / denx, 6)
+    assert got["z"]["r2"] == round(num * num / (denx * deny), 6)

@@ -718,3 +718,25 @@ def test_cookie_parse_attrs_and_case(spark):
     assert got[2]["path"] == "/app" and got[2]["secure"]
     assert got[3]["secure"] is False and got[3]["path"] is None
     assert not got[4]["well_formed"]
+
+
+def test_gc_pause_parse_kinds_and_cause(spark):
+    from sparkcollector.operators.promparse import gc_pause_parse
+
+    rows = [
+        (1, "GC(7) Pause Young (Normal) (G1 Evacuation Pause) "
+            "512M->128M(1024M) 12.345ms"),
+        (2, "GC(8) Pause Full (System.gc()) 900M->200M(1024M) 250.0ms"),
+        (3, "GC(9) Pause Remark 512M->512M(1024M) 1.5ms"),
+        (4, "application log line"),
+    ]
+    df = spark.createDataFrame(rows, "id long, line string")
+    got = {r["id"]: r for r in gc_pause_parse(df).collect()}
+    assert got[1]["kind"] == "Young"
+    assert got[1]["cause"] == "G1 Evacuation Pause"   # LAST paren group
+    assert got[1]["reclaimed_mb"] == 384
+    assert got[1]["pause_ms"] == 12.345
+    assert got[2]["cause"] == "System.gc()"           # nested parens
+    assert got[2]["gc_id"] == 8
+    assert got[3]["cause"] is None and got[3]["kind"] == "Remark"
+    assert not got[4]["well_formed"]
