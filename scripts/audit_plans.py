@@ -3000,6 +3000,48 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 88: anisotropy, markdown, circuit breaker.
+    all_ok &= audit(
+        "embedding_anisotropy",
+        lambda: queries()["embedding_anisotropy"](spark, SF_DIR),
+        [
+            ("no pair join anywhere — the ||sum||^2 identity",
+             lambda p: "Join" not in p),
+            ("component sums reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        notes="Shuffle key is (label, dim) — |labels|x64 rows cross "
+        "the exchange regardless of corpus size.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "markdown_structure",
+        lambda: queries()["markdown_structure"](spark, SF_DIR),
+        [
+            ("pure map job: zero exchanges",
+             lambda p: "Exchange" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "circuit_breaker_replay",
+        lambda: queries()["circuit_breaker_replay"](spark, SF_DIR),
+        [
+            ("state machine folds in-row over the collected outcome "
+             "array — no iterative joins",
+             lambda p: "Join" not in p),
+            ("outcome collection reduces per service key",
+             lambda p: "partial" in p.lower() or "Aggregate" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

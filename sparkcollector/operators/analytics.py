@@ -5439,3 +5439,88 @@ def ols_trend(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def circuit_breaker_replay(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    fail_col: str,
+    fail_threshold: int = 3,
+    cooldown: int = 5,
+) -> DataFrame:
+    """Circuit-breaker state-machine replay per service — what a
+    deployed breaker WOULD have done over the observed call outcomes
+    (the offline twin of a client-side resilience policy, same stance
+    as `token_bucket_audit` for throttles): closed → open after
+    ``fail_threshold`` consecutive failures; open rejects the next
+    ``cooldown`` calls, then half-open; half-open closes on a success
+    and re-trips on a failure.
+
+    The per-key outcome sequence folds IN-ROW over the order-sorted
+    array with a struct accumulator (state, consec-fail, cooldown,
+    trips, rejected) — one shuffle on the key, bounded by calls per
+    service.  The ORACLE replays the same machine with a recursive
+    CTE — a genuinely different mechanism.
+    """
+    f_thr, cd0 = F.lit(fail_threshold), F.lit(cooldown)
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.struct(
+            *[F.col(c) for c in order_cols],
+            F.col(fail_col).cast("boolean").alias("f"),
+        ).alias("e"),
+    )
+    per_key = base.groupBy("key").agg(
+        F.sort_array(F.collect_list("e")).alias("es")
+    )
+    init = F.struct(
+        F.lit(0).alias("st"),
+        F.lit(0).alias("cf"),
+        F.lit(0).alias("cd"),
+        F.lit(0).alias("trips"),
+        F.lit(0).alias("rej"),
+    )
+
+    def step(a, e):
+        fl = e["f"]
+        closed, is_open = a["st"] == 0, a["st"] == 1
+        trip_from_closed = closed & fl & (a["cf"] + 1 >= f_thr)
+        trip_from_half = (a["st"] == 2) & fl
+        st = (
+            F.when(trip_from_closed | trip_from_half, F.lit(1))
+            .when(closed, F.lit(0))
+            .when(is_open & (a["cd"] - 1 <= 0), F.lit(2))
+            .when(is_open, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        cf = F.when(
+            closed & fl & ~trip_from_closed, a["cf"] + 1
+        ).otherwise(F.lit(0))
+        cd = (
+            F.when(trip_from_closed | trip_from_half, cd0)
+            .when(is_open, F.greatest(a["cd"] - 1, F.lit(0)))
+            .otherwise(F.lit(0))
+        )
+        trips = a["trips"] + F.when(
+            trip_from_closed | trip_from_half, F.lit(1)
+        ).otherwise(F.lit(0))
+        rej = a["rej"] + F.when(is_open, F.lit(1)).otherwise(F.lit(0))
+        return F.struct(
+            st.alias("st"), cf.alias("cf"), cd.alias("cd"),
+            trips.alias("trips"), rej.alias("rej"),
+        )
+
+    fin = F.aggregate(F.col("es"), init, step)
+    state_name = (
+        F.when(fin["st"] == 0, F.lit("closed"))
+        .when(fin["st"] == 1, F.lit("open"))
+        .otherwise(F.lit("half_open"))
+    )
+    return per_key.select(
+        "key",
+        F.size("es").alias("n_events"),
+        fin["trips"].alias("trips"),
+        fin["rej"].alias("n_rejected"),
+        state_name.alias("final_state"),
+    )

@@ -906,3 +906,52 @@ def embedding_split_leakage(
             F.when(F.col("_ms") >= threshold, F.col("_ms"))
         ).alias("max_leak_sim"),
     )
+
+
+def embedding_anisotropy(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space anisotropy audit per group (Ethayarajh 2019's
+    collapse check, the geometry companion of `embedding_hygiene`):
+    mean pairwise cosine of the NORMALIZED vectors without any pair
+    join — the exact identity ``E[cos] = (‖Σv̂‖² − n)/(n(n−1))`` turns
+    the O(n²) pair sum into per-dimension component sums.  High mean
+    cosine = the space has collapsed into a cone and cosine retrieval
+    is degraded.
+
+    Plan: one map-side posexplode to (group, dim) partial sums — a
+    single shuffle keyed by (group, dim), bounded by |groups|×dims —
+    then a tiny per-group fold.  Also emits the mean original norm
+    (pre-normalization) as the scale-drift signal.
+    """
+    v2 = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(v2, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        norm.alias("nrm"),
+        F.posexplode(F.transform(v2, lambda x: x / norm)).alias(
+            "dim", "comp"
+        ),
+    )
+    per_dim = base.groupBy("grp", "dim").agg(
+        F.sum("comp").alias("s"),
+        F.count("*").alias("nn"),
+        F.sum("nrm").alias("nrmsum"),
+    )
+    per_grp = per_dim.groupBy("grp").agg(
+        F.sum(F.col("s") * F.col("s")).alias("ssq"),
+        F.max("nn").alias("n"),
+        (F.sum("nrmsum") / F.sum("nn")).alias("mean_norm"),
+    )
+    n = F.col("n").cast("double")
+    cos = (F.col("ssq") - n) / (n * (n - 1.0))
+    return per_grp.filter(F.col("n") >= 2).select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.round("mean_norm", 6).alias("mean_norm"),
+        F.round(cos, 6).alias("mean_pairwise_cos"),
+    )

@@ -15979,6 +15979,169 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 378. Embedding anisotropy per label — exact mean pairwise cosine
+#      via ||Σv̂||² identity, no pair join; component sums keyed by
+#      (label, dim).
+# ---------------------------------------------------------------------
+@register(
+    "embedding_anisotropy",
+    """
+    with n0 as (select label, vec_id, embedding,
+                  sqrt(list_sum([cast(x as double) * cast(x as double)
+                                 for x in embedding])) as nrm
+                from embeddings),
+    comp as (select n0.label, n0.nrm, u.i,
+               cast(n0.embedding[u.i] as double) / n0.nrm as c
+             from n0 cross join unnest(range(1, 65)) as u(i)),
+    pd as (select label, i, sum(c) as s, cast(count(*) as bigint) as nn,
+             sum(nrm) as nrmsum from comp group by 1, 2),
+    pg as (select label, sum(s * s) as ssq,
+             cast(max(nn) as bigint) as n,
+             sum(nrmsum) / sum(nn) as mean_norm
+           from pd group by 1)
+    select label, n, round(mean_norm, 6) as mean_norm,
+      round((ssq - cast(n as double))
+            / (cast(n as double) * (n - 1.0)), 6) as mean_pairwise_cos
+    from pg where n >= 2
+    """,
+)
+def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import embedding_anisotropy
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_anisotropy(emb, "label", "embedding")
+
+
+# ---------------------------------------------------------------------
+# 379. Markdown structure profile — heading levels, fenced code
+#      blocks + code-char fraction, links, bullets.  The oracle
+#      rebuilds the SAME synthetic markdown and derives every count
+#      from the construction flags (no second regex engine).
+# ---------------------------------------------------------------------
+@register(
+    "markdown_structure",
+    """
+    with md as (select doc_id,
+        '# ' || source || chr(10)
+        || case when doc_id % 2 = 0 then '## intro' || chr(10)
+                else '' end
+        || '- point ' || cast(doc_id % 5 as varchar) || chr(10)
+        || case when doc_id % 3 = 0
+                then '```' || chr(10) || substring(text, 1, 40)
+                     || chr(10) || '```' || chr(10)
+                else '' end
+        || 'see [link](http://x/' || cast(doc_id % 7 as varchar) || ')'
+        || chr(10)
+        || case when doc_id % 11 = 0 then '### deep' || chr(10)
+                else '' end
+        || text as m,
+        least(40, length(text)) + 2 as code_len,
+        doc_id % 3 = 0 as has_code
+      from documents)
+    select doc_id,
+      cast(1 as int) as n_h1,
+      cast(case when doc_id % 2 = 0 then 1 else 0 end as int) as n_h2,
+      cast(case when doc_id % 11 = 0 then 1 else 0 end as int) as n_h3,
+      cast(case when has_code then 1 else 0 end as int)
+        as n_code_blocks,
+      cast(1 as int) as n_links,
+      cast(1 as int) as n_bullets,
+      round(case when has_code
+                 then cast(code_len as double) / length(m)
+                 else 0.0 end, 6) as code_char_frac
+    from md
+    """,
+)
+def q_markdown_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import markdown_structure
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    nl = F.lit("\n")
+    md = F.concat(
+        F.lit("# "), F.col("source"), nl,
+        F.when(did % 2 == 0, F.lit("## intro\n")).otherwise(F.lit("")),
+        F.lit("- point "), (did % 5).cast("string"), nl,
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("```\n"), F.substring("text", 1, 40), F.lit("\n```\n")
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("see [link](http://x/"), (did % 7).cast("string"),
+        F.lit(")"), nl,
+        F.when(did % 11 == 0, F.lit("### deep\n")).otherwise(F.lit("")),
+        F.col("text"),
+    )
+    return markdown_structure(
+        docs.select("doc_id", md.alias("md")), "doc_id", "md"
+    )
+
+
+# ---------------------------------------------------------------------
+# 380. Circuit-breaker replay per synthetic service (consecutive-
+#      failure trip, cooldown rejects, half-open probe) — Spark folds
+#      the state machine in-row; the oracle steps it with a recursive
+#      CTE.
+# ---------------------------------------------------------------------
+@register(
+    "circuit_breaker_replay",
+    """
+    with recursive seq as (
+      select user_id % 50 as key, event_type = 'error' as f,
+        row_number() over (partition by user_id % 50
+          order by ts, event_id) as i
+      from events),
+    nn as (select key, max(i) as n from seq group by 1),
+    r as (
+      select key, 0 as i, 0 as st, 0 as cf, 0 as cd,
+        0 as trips, 0 as rej
+      from nn
+      union all
+      select r.key, r.i + 1,
+        case when (r.st = 0 and s.f and r.cf + 1 >= 3)
+                  or (r.st = 2 and s.f) then 1
+             when r.st = 0 then 0
+             when r.st = 1 and r.cd - 1 <= 0 then 2
+             when r.st = 1 then 1
+             else 0 end,
+        case when r.st = 0 and s.f and r.cf + 1 < 3
+             then r.cf + 1 else 0 end,
+        case when (r.st = 0 and s.f and r.cf + 1 >= 3)
+                  or (r.st = 2 and s.f) then 5
+             when r.st = 1 then greatest(r.cd - 1, 0)
+             else 0 end,
+        r.trips + case when (r.st = 0 and s.f and r.cf + 1 >= 3)
+                            or (r.st = 2 and s.f) then 1 else 0 end,
+        r.rej + case when r.st = 1 then 1 else 0 end
+      from r join seq s on s.key = r.key and s.i = r.i + 1)
+    select cast(r.key as bigint) as key, cast(nn.n as int) as n_events,
+      cast(r.trips as int) as trips, cast(r.rej as int) as n_rejected,
+      case when r.st = 0 then 'closed' when r.st = 1 then 'open'
+           else 'half_open' end as final_state
+    from r join nn on r.key = nn.key and r.i = nn.n
+    """,
+)
+def q_circuit_breaker_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import circuit_breaker_replay
+
+    ev = _t(spark, sf_dir, "events")
+    return circuit_breaker_replay(
+        ev.select(
+            (F.col("user_id") % 50).alias("svc"),
+            "ts",
+            "event_id",
+            (F.col("event_type") == "error").alias("fail"),
+        ),
+        "svc",
+        ["ts", "event_id"],
+        "fail",
+        fail_threshold=3,
+        cooldown=5,
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -1884,3 +1884,23 @@ def test_ols_trend_exact_line_and_r2(spark):
     num, denx, deny = 4 * 53 - 6 * 30, 4 * 14 - 36, 4 * 266 - 900
     assert got["z"]["slope"] == round(num / denx, 6)
     assert got["z"]["r2"] == round(num * num / (denx * deny), 6)
+
+
+def test_circuit_breaker_replay_scripted(spark):
+    from sparkcollector.operators.analytics import circuit_breaker_replay
+
+    seq = [True, True, False, False, True, False]
+    rows = [("svc", i, f) for i, f in enumerate(seq)]
+    df = spark.createDataFrame(rows, "svc string, o int, fail boolean")
+    got = circuit_breaker_replay(
+        df, "svc", ["o"], "fail", fail_threshold=2, cooldown=2
+    ).collect()[0]
+    # f,f -> trip(1); s,s rejected (cd 2->0, half); f -> trip(2);
+    # s rejected (cd 2->1, still open)
+    assert got["trips"] == 2 and got["n_rejected"] == 3
+    assert got["final_state"] == "open" and got["n_events"] == 6
+    # all-success service never trips
+    ok = [("ok", i, False) for i in range(5)]
+    df2 = spark.createDataFrame(ok, "svc string, o int, fail boolean")
+    got2 = circuit_breaker_replay(df2, "svc", ["o"], "fail").collect()[0]
+    assert got2["trips"] == 0 and got2["final_state"] == "closed"

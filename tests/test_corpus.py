@@ -1240,3 +1240,18 @@ def test_rake_adjacent_stopwords_split(spark):
     phrases = {r["phrase"] for r in
                rake_keyphrases(df, "doc_id", "text", k=10).collect()}
     assert phrases == {"x", "y"}
+
+
+def test_markdown_structure_hand_doc(spark):
+    from sparkcollector.operators.corpus import markdown_structure
+
+    md = ("# title\n## sec\n### sub\n- a\n- b\n"
+          "```\ncode1\n```\ntext [x](http://a) and [y](http://b)\n"
+          "```\nc2\n```\n```unclosed")
+    df = spark.createDataFrame([(1, md)], "doc_id long, text string")
+    got = markdown_structure(df).collect()[0]
+    assert (got["n_h1"], got["n_h2"], got["n_h3"]) == (1, 1, 1)
+    assert got["n_code_blocks"] == 2                 # unclosed not counted
+    assert got["n_links"] == 2 and got["n_bullets"] == 2
+    # spans: "\ncode1\n" (7) + "\nc2\n" (4) = 11 chars of code
+    assert got["code_char_frac"] == round(11 / len(md), 6)

@@ -260,3 +260,20 @@ def test_embedding_split_leakage_exact_and_ivf(spark):
         assert (r["n_eval"], r["n_leaked"]) == (2, 1)
         assert r["leak_rate"] == 0.5
         assert r["max_leak_sim"] == 1.0
+
+
+def test_embedding_anisotropy_closed_forms(spark):
+    from sparkcollector.operators.similarity import embedding_anisotropy
+
+    rows = [
+        ("same", 1, [3.0, 0.0]), ("same", 2, [6.0, 0.0]),   # parallel
+        ("orth", 1, [1.0, 0.0]), ("orth", 2, [0.0, 5.0]),   # orthogonal
+        ("anti", 1, [2.0, 0.0]), ("anti", 2, [-7.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, "label string, vec_id long, embedding array<double>")
+    got = {r["label"]: r for r in
+           embedding_anisotropy(df, "label", "embedding").collect()}
+    assert got["same"]["mean_pairwise_cos"] == 1.0
+    assert got["same"]["mean_norm"] == 4.5                  # (3+6)/2
+    assert got["orth"]["mean_pairwise_cos"] == 0.0
+    assert got["anti"]["mean_pairwise_cos"] == -1.0
