@@ -3042,6 +3042,47 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 89: Wilson CI, BH-FDR, jstack.
+    all_ok &= audit(
+        "wilson_interval",
+        lambda: queries()["wilson_interval"](spark, SF_DIR),
+        [
+            ("single power-sum aggregate: no window, no join",
+             lambda p: "Window" not in p and "Join" not in p),
+            ("counts reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "bh_fdr",
+        lambda: queries()["bh_fdr"](spark, SF_DIR),
+        [
+            ("global sort runs on the TEST table (distinct of a "
+             "bounded key), never the fact table",
+             lambda p: "Window" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        notes="The unpartitioned rank window is inherent to a global "
+        "test battery; its input is the deduplicated test set "
+        "(thousands of rows), bounded regardless of fact volume.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "jstack_parse",
+        lambda: queries()["jstack_parse"](spark, SF_DIR),
+        [
+            ("pure map job: zero exchanges",
+             lambda p: "Exchange" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

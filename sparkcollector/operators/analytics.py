@@ -5524,3 +5524,89 @@ def circuit_breaker_replay(
         fin["rej"].alias("n_rejected"),
         state_name.alias("final_state"),
     )
+
+
+def wilson_interval(
+    df: DataFrame,
+    key_col: str,
+    success_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Wilson score interval per key for a boolean rate — the error-
+    rate CI that behaves at small n and rates near 0/1 where the
+    normal (Wald) interval collapses; the number an SLO dashboard
+    should shade around every error-rate point:
+    ``center = (p̂ + z²/2n)/(1 + z²/n)``,
+    ``half = z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n)``, pinned z.
+
+    Integer n/k reach the only float expressions exactly; one
+    map-side-combined aggregate is the whole plan.
+    """
+    s = F.col(success_col).cast("boolean")
+    agg = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(s, 1).otherwise(0)).alias("k"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    z2 = float(z) * float(z)
+    denom = 1.0 + F.lit(z2) / n
+    center = (p + F.lit(z2) / (2.0 * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (1.0 - p) / n + F.lit(z2) / (4.0 * n * n))
+        / denom
+    )
+    return agg.filter(F.col("n") > 0).select(
+        key_col,
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(p, 6).alias("rate"),
+        F.round(F.greatest(center - half, F.lit(0.0)), 6).alias("lo"),
+        F.round(F.least(center + half, F.lit(1.0)), 6).alias("hi"),
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    id_col: str,
+    p_col: str,
+    q: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR correction over a battery of
+    p-values — the missing meta-layer above this module's many tests
+    (run ks/mann-whitney/pettitt per key and you've run hundreds of
+    tests; BH is what keeps the discovery list honest):
+    rank p ascending, ``p_adj(i) = min_{j≥i} m·p(j)/j`` capped at 1
+    (reverse running min), reject where ``p_adj ≤ q``.
+
+    Rank ties break by id — fully deterministic.  One global sort of
+    the TEST table (thousands of rows, never the fact table) + one
+    reverse cummin window.
+    """
+    m_w = Window.partitionBy()
+    w_rank = Window.orderBy(F.col("p").asc(), F.col("tid").asc())
+    base = df.select(
+        F.col(id_col).alias("tid"),
+        F.col(p_col).cast("double").alias("p"),
+    )
+    ranked = base.withColumn("m", F.count("*").over(m_w)).withColumn(
+        "rank", F.row_number().over(w_rank)
+    )
+    raw = (
+        F.col("m").cast("double")
+        * F.col("p")
+        / F.col("rank").cast("double")
+    )
+    w_rev = (
+        Window.orderBy(F.col("rank").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    padj = F.least(F.lit(1.0), F.min(raw).over(w_rev))
+    return ranked.select(
+        F.col("tid").alias(id_col),
+        F.round("p", 8).alias("p"),
+        F.col("rank"),
+        F.round(padj, 8).alias("p_adj"),
+        (padj <= F.lit(float(q))).alias("reject"),
+    )

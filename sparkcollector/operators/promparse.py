@@ -1409,3 +1409,46 @@ def gc_pause_parse(
         F.when(ok, pause).alias("pause_ms"),
         F.when(ok, before - after).alias("reclaimed_mb"),
     )
+
+
+def jstack_parse(
+    df: DataFrame,
+    blob_col: str = "blob",
+) -> DataFrame:
+    """jstack/thread-dump record parse (one blob per thread): header
+    line (`"name" #id [daemon] prio=.. tid=.. nid=.. <descr>`), the
+    `java.lang.Thread.State:` line with its parenthesized detail, the
+    top `at` frame, and — for BLOCKED threads — the monitor address
+    from `- waiting to lock <0x...>`; the stall-triage feed
+    (who's BLOCKED on what) every JVM incident review starts with.
+
+    RUNNABLE threads legitimately lack a state detail and a lock.
+    Pure codegen'd regex over multiline strings, zero exchanges.
+    """
+    t = F.col(blob_col)
+    name = F.regexp_extract(t, r'^"([^"]*)" #(\d+)', 1)
+    tid = F.regexp_extract(t, r'^"([^"]*)" #(\d+)', 2)
+    ok = (name != "") & (tid != "")
+    daemon = t.rlike(r'^"[^"]*" #\d+ daemon ')
+    state = F.regexp_extract(
+        t,
+        r"java\.lang\.Thread\.State: "
+        r"(NEW|RUNNABLE|BLOCKED|WAITING|TIMED_WAITING|TERMINATED)",
+        1,
+    )
+    detail = F.regexp_extract(
+        t, r"java\.lang\.Thread\.State: \w+ \(([^)]*)\)", 1
+    )
+    top = F.regexp_extract(t, r"\n\s+at ([^(\n]+)\(", 1)
+    lock = F.regexp_extract(t, r"- waiting to lock <(0x[0-9a-f]+)>", 1)
+    return df.select(
+        "*",
+        ok.alias("well_formed"),
+        F.when(ok, name).alias("thread_name"),
+        F.when(ok, tid.cast("long")).alias("thread_id"),
+        F.when(ok, daemon).alias("daemon"),
+        F.when(ok & (state != ""), state).alias("state"),
+        F.when(ok & (detail != ""), detail).alias("state_detail"),
+        F.when(ok & (top != ""), top).alias("top_method"),
+        F.when(ok & (lock != ""), lock).alias("lock_addr"),
+    )

@@ -16142,6 +16142,161 @@ def q_circuit_breaker_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 381. Wilson score interval per user cohort for the error rate —
+#      pinned z, exact integer counts into the only float expressions.
+# ---------------------------------------------------------------------
+@register(
+    "wilson_interval",
+    """
+    with a as (select user_id % 20 as key,
+                 cast(count(*) as bigint) as n,
+                 cast(sum(case when event_type = 'error' then 1
+                               else 0 end) as bigint) as k
+               from events group by 1),
+    f as (select key, n, k, cast(k as double) / n as p,
+            1.0 + 3.8414588206941254 / n as denom
+          from a where n > 0),
+    g as (select key, n, k, p,
+            (p + 3.8414588206941254 / (2.0 * n)) / denom as center,
+            1.959963984540054
+              * sqrt(p * (1.0 - p) / n
+                     + 3.8414588206941254 / (4.0 * n * n)) / denom
+              as half
+          from f)
+    select cast(key as bigint) as key, n, k, round(p, 6) as rate,
+      round(greatest(center - half, 0.0), 6) as lo,
+      round(least(center + half, 1.0), 6) as hi
+    from g
+    """,
+)
+def q_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import wilson_interval
+
+    ev = _t(spark, sf_dir, "events")
+    return wilson_interval(
+        ev.select(
+            (F.col("user_id") % 20).alias("key"),
+            (F.col("event_type") == "error").alias("is_err"),
+        ),
+        "key",
+        "is_err",
+    )
+
+
+# ---------------------------------------------------------------------
+# 382. Benjamini-Hochberg FDR over a deterministic p-value battery —
+#      step-up adjusted p via reverse running min; reject = p_adj ≤ q.
+# ---------------------------------------------------------------------
+@register(
+    "bh_fdr",
+    """
+    with t as (select distinct event_id % 499 as tid from events),
+    p as (select tid,
+            cast((tid * 7919) % 10000 as double) / 10000 as p from t),
+    r as (select *, count(*) over () as m,
+            row_number() over (order by p asc, tid asc) as rank
+          from p),
+    adj as (select *, least(1.0,
+              min(cast(m as double) * p / rank)
+                over (order by rank desc
+                      rows between unbounded preceding and current row))
+              as padj
+            from r)
+    select tid, round(p, 8) as p, cast(rank as int) as rank,
+      round(padj, 8) as p_adj, padj <= 0.05 as reject
+    from adj
+    """,
+)
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import bh_fdr
+
+    ev = _t(spark, sf_dir, "events")
+    tests = (
+        ev.select((F.col("event_id") % 499).alias("tid"))
+        .distinct()
+        .select(
+            "tid",
+            ((F.col("tid") * 7919 % 10000).cast("double") / 10000).alias(
+                "p"
+            ),
+        )
+    )
+    return bh_fdr(tests, "tid", "p", q=0.05)
+
+
+# ---------------------------------------------------------------------
+# 383. jstack thread-dump parse — name/#id/daemon header, Thread.State
+#      + detail, top frame, BLOCKED monitor address.
+# ---------------------------------------------------------------------
+@register(
+    "jstack_parse",
+    """
+    with b as (select event_id as eid, user_id as uid,
+                 event_id % 19 = 0 as bad, event_id % 5 as st
+               from events)
+    select eid as event_id, not bad as well_formed,
+      case when bad then NULL
+           else 'worker-' || cast(uid % 16 as varchar) end
+        as thread_name,
+      cast(case when bad then NULL else eid % 10000 end as bigint)
+        as thread_id,
+      case when bad then NULL else eid % 2 = 0 end as daemon,
+      case when bad then NULL
+           when st = 1 then 'WAITING'
+           when st = 2 then 'TIMED_WAITING'
+           when st = 3 then 'BLOCKED'
+           else 'RUNNABLE' end as state,
+      case when bad then NULL
+           when st = 1 then 'parking'
+           when st = 2 then 'sleeping'
+           when st = 3 then 'on object monitor'
+           else NULL end as state_detail,
+      case when bad then NULL else 'com.acme.Worker.poll' end
+        as top_method,
+      case when bad or st <> 3 then NULL
+           else '0x' || lpad(lower(hex(uid % 4096)), 8, '0') end
+        as lock_addr
+    from b
+    """,
+)
+def q_jstack_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import jstack_parse
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    st = eid % 5
+    state = (
+        F.when(st == 1, F.lit("WAITING (parking)"))
+        .when(st == 2, F.lit("TIMED_WAITING (sleeping)"))
+        .when(st == 3, F.lit("BLOCKED (on object monitor)"))
+        .otherwise(F.lit("RUNNABLE"))
+    )
+    lock = F.when(
+        st == 3,
+        F.concat(
+            F.lit("\n\t- waiting to lock <0x"),
+            F.lpad(F.lower(F.hex(uid % 4096)), 8, "0"),
+            F.lit("> (a java.lang.Object)"),
+        ),
+    ).otherwise(F.lit(""))
+    blob = F.concat(
+        F.lit('"worker-'), (uid % 16).cast("string"), F.lit('" #'),
+        (eid % 10000).cast("string"),
+        F.when(eid % 2 == 0, F.lit(" daemon")).otherwise(F.lit("")),
+        F.lit(" prio=5 os_prio=0 tid=0x1 nid=0x2 runnable\n"),
+        F.lit("   java.lang.Thread.State: "), state,
+        F.lit("\n\tat com.acme.Worker.poll(Worker.java:42)"),
+        lock,
+    )
+    line = F.when(eid % 19 == 0, F.lit("not a thread dump")).otherwise(blob)
+    out = jstack_parse(ev.select("event_id", line.alias("blob")), "blob")
+    return out.select(
+        "event_id", "well_formed", "thread_name", "thread_id", "daemon",
+        "state", "state_detail", "top_method", "lock_addr",
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

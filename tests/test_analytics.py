@@ -1904,3 +1904,39 @@ def test_circuit_breaker_replay_scripted(spark):
     df2 = spark.createDataFrame(ok, "svc string, o int, fail boolean")
     got2 = circuit_breaker_replay(df2, "svc", ["o"], "fail").collect()[0]
     assert got2["trips"] == 0 and got2["final_state"] == "closed"
+
+
+def test_wilson_interval_hand_computed(spark):
+    import math
+
+    from sparkcollector.operators.analytics import wilson_interval
+
+    rows = [("k", i < 3) for i in range(10)]     # 3/10
+    rows += [("z", False)] * 5                   # 0/5 -> lo == 0
+    df = spark.createDataFrame(rows, "key string, s boolean")
+    got = {r["key"]: r for r in wilson_interval(df, "key", "s").collect()}
+    z = 1.959963984540054
+    z2 = z * z
+    p, n = 0.3, 10.0
+    denom = 1 + z2 / n
+    center = (p + z2 / (2 * n)) / denom
+    half = z * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / denom
+    assert got["k"]["lo"] == round(center - half, 6)
+    assert got["k"]["hi"] == round(center + half, 6)
+    assert got["z"]["lo"] == 0.0 and got["z"]["rate"] == 0.0
+    assert got["z"]["hi"] > 0.0                  # Wilson never collapses
+
+
+def test_bh_fdr_step_up(spark):
+    from sparkcollector.operators.analytics import bh_fdr
+
+    # classic example: m=4, p=(.01,.02,.03,.20), q=.1
+    # padj = (.04, .04, .04, .20) -> first three rejected
+    rows = [(1, 0.01), (2, 0.02), (3, 0.03), (4, 0.20)]
+    df = spark.createDataFrame(rows, "tid long, p double")
+    got = {r["tid"]: r for r in bh_fdr(df, "tid", "p", q=0.1).collect()}
+    assert got[1]["p_adj"] == 0.04 and got[1]["reject"]
+    assert got[2]["p_adj"] == 0.04 and got[2]["reject"]
+    assert got[3]["p_adj"] == 0.04 and got[3]["reject"]
+    assert got[4]["p_adj"] == 0.2 and not got[4]["reject"]
+    assert [got[i]["rank"] for i in (1, 2, 3, 4)] == [1, 2, 3, 4]

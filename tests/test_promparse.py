@@ -740,3 +740,26 @@ def test_gc_pause_parse_kinds_and_cause(spark):
     assert got[2]["gc_id"] == 8
     assert got[3]["cause"] is None and got[3]["kind"] == "Remark"
     assert not got[4]["well_formed"]
+
+
+def test_jstack_parse_states_and_lock(spark):
+    from sparkcollector.operators.promparse import jstack_parse
+
+    b1 = ('"http-1" #42 daemon prio=5 os_prio=0 tid=0x7f nid=0x1 waiting\n'
+          "   java.lang.Thread.State: BLOCKED (on object monitor)\n"
+          "\tat com.x.Svc.get(Svc.java:9)\n"
+          "\t- waiting to lock <0x0000abcd> (a java.lang.Object)")
+    b2 = ('"main" #1 prio=5 os_prio=0 tid=0x1 nid=0x2 runnable\n'
+          "   java.lang.Thread.State: RUNNABLE\n"
+          "\tat com.x.Main.run(Main.java:3)")
+    rows = [(1, b1), (2, b2), (3, "gc log noise")]
+    df = spark.createDataFrame(rows, "id long, blob string")
+    got = {r["id"]: r for r in jstack_parse(df).collect()}
+    assert got[1]["thread_name"] == "http-1" and got[1]["thread_id"] == 42
+    assert got[1]["daemon"] and got[1]["state"] == "BLOCKED"
+    assert got[1]["state_detail"] == "on object monitor"
+    assert got[1]["lock_addr"] == "0x0000abcd"
+    assert got[2]["daemon"] is False and got[2]["state"] == "RUNNABLE"
+    assert got[2]["state_detail"] is None and got[2]["lock_addr"] is None
+    assert got[2]["top_method"] == "com.x.Main.run"
+    assert not got[3]["well_formed"]
