@@ -3083,6 +3083,43 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 90: LTOB, Savitzky-Golay, Kneedle.
+    all_ok &= audit(
+        "ltob_downsample",
+        lambda: queries()["ltob_downsample"](spark, SF_DIR),
+        [
+            ("windows per key — no self-join, no global sort",
+             lambda p: "Window" in p and "Join" not in p),
+            ("hourly pre-aggregation reduces with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "savgol_smooth",
+        lambda: queries()["savgol_smooth"](spark, SF_DIR),
+        [
+            ("one lag/lead window pass",
+             lambda p: "Window" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "kneedle_detect",
+        lambda: queries()["kneedle_detect"](spark, SF_DIR),
+        [
+            ("normalization + argmax via per-key windows, no join",
+             lambda p: "Window" in p and "Join" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

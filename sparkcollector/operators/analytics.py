@@ -5610,3 +5610,179 @@ def bh_fdr(
         F.round(padj, 8).alias("p_adj"),
         (padj <= F.lit(float(q))).alias("reject"),
     )
+
+
+def ltob_downsample(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    n_out: int = 20,
+) -> DataFrame:
+    """Largest-Triangle-One-Bucket downsampling (Steinarsson 2013 —
+    the parallel sibling of LTTB; Visvalingam effective areas with
+    fixed neighbors, so NO sequential dependency between buckets):
+    keep the first and last points; split the interior into
+    ``n_out − 2`` buckets; in each bucket keep the point whose triangle
+    with its immediate neighbors has the largest area — the dashboard
+    downsampler that preserves spikes where avg/last-value smearing
+    (`interval_last_value`, `m4_downsample`) flattens them.
+
+    Effective areas come from one lag/lead window pass; the per-bucket
+    argmax is a window rank (area desc, x asc — pinned tie-break).
+    Series shorter than n_out pass through unchanged.  One shuffle on
+    the key; never a global sort.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    w = Window.partitionBy("key").orderBy("x")
+    w_all = Window.partitionBy("key")
+    t = base.select(
+        "key",
+        "x",
+        "y",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(w_all).alias("n"),
+        F.lag("x", 1).over(w).alias("px"),
+        F.lag("y", 1).over(w).alias("py"),
+        F.lead("x", 1).over(w).alias("nx"),
+        F.lead("y", 1).over(w).alias("ny"),
+    )
+    area = F.abs(
+        (F.col("px") - F.col("nx")) * (F.col("y") - F.col("py"))
+        - (F.col("px") - F.col("x")) * (F.col("ny") - F.col("py"))
+    )
+    edge = (F.col("i") == 1) | (F.col("i") == F.col("n"))
+    small = F.col("n") <= F.lit(n_out)
+    bucket = F.floor(
+        (F.col("i") - 2).cast("double")
+        * F.lit(float(n_out - 2))
+        / (F.col("n") - 2).cast("double")
+    )
+    cand = t.select(
+        "key", "x", "y", "i", "n",
+        edge.alias("edge"),
+        small.alias("small"),
+        F.when(edge | small, F.lit(None)).otherwise(bucket).alias("b"),
+        F.when(edge | small, F.lit(None)).otherwise(area).alias("area"),
+    )
+    w_b = Window.partitionBy("key", "b").orderBy(
+        F.col("area").desc(), F.col("x").asc()
+    )
+    picked = cand.withColumn(
+        "rk", F.when(F.col("b").isNotNull(), F.row_number().over(w_b))
+    ).filter(
+        F.col("edge") | F.col("small") | (F.col("rk") == 1)
+    )
+    return picked.select(
+        "key",
+        "x",
+        "y",
+        F.col("i").alias("orig_idx"),
+        F.col("n").cast("long").alias("n_in"),
+    )
+
+
+def savgol_smooth(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Savitzky-Golay smoothing, window 5 / quadratic (pinned
+    coefficients (−3, 12, 17, 12, −3)/35) per key — the polynomial
+    smoother that preserves peak heights and widths where a moving
+    average flattens them (the reason SG is the default in every
+    signal-processing stack).  Edge points (first/last two) have no
+    full window and emit NULL rather than a biased partial fit.
+
+    One lag/lead window pass; the convolution is a fixed literal dot
+    product evaluated in one deterministic order on both engines.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(bucket_col).alias("b"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    w = Window.partitionBy("key").orderBy("b")
+    t = base.select(
+        "key",
+        "b",
+        "v",
+        F.lag("v", 2).over(w).alias("m2"),
+        F.lag("v", 1).over(w).alias("m1"),
+        F.lead("v", 1).over(w).alias("p1"),
+        F.lead("v", 2).over(w).alias("p2"),
+    )
+    sm = (
+        -3.0 * F.col("m2")
+        + 12.0 * F.col("m1")
+        + 17.0 * F.col("v")
+        + 12.0 * F.col("p1")
+        - 3.0 * F.col("p2")
+    ) / 35.0
+    return t.select(
+        "key",
+        "b",
+        F.round("v", 6).alias("v"),
+        F.round(sm, 6).alias("v_smooth"),
+        F.round(F.col("v") - sm, 6).alias("resid"),
+    )
+
+
+def kneedle_detect(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    shape: str = "concave",
+) -> DataFrame:
+    """Kneedle knee/elbow detection (Satopää et al. 2011, the
+    no-smoothing core) per key: min-max normalize the curve to the
+    unit square; the difference curve is ``y−x`` for concave-
+    increasing curves (knee) and ``x−y`` for convex-increasing ones
+    (elbow, e.g. a Lorenz curve); the knee is the FIRST point
+    maximizing the difference — the "choose k" rule for the module's
+    k-means/IVF tiers and the capacity-curve break finder.
+
+    One min/max window + one argmax rank per key; normalization
+    ratios are the only floats and both engines compute them from the
+    same exact extrema.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    w_all = Window.partitionBy("key")
+    t = base.select(
+        "key",
+        "x",
+        "y",
+        F.min("x").over(w_all).alias("x0"),
+        F.max("x").over(w_all).alias("x1"),
+        F.min("y").over(w_all).alias("y0"),
+        F.max("y").over(w_all).alias("y1"),
+        F.count("*").over(w_all).alias("n"),
+    ).filter((F.col("x1") > F.col("x0")) & (F.col("y1") > F.col("y0")))
+    xn = (F.col("x") - F.col("x0")) / (F.col("x1") - F.col("x0"))
+    yn = (F.col("y") - F.col("y0")) / (F.col("y1") - F.col("y0"))
+    d = (yn - xn) if shape == "concave" else (xn - yn)
+    scored = t.select(
+        "key", "x", "y", "n", d.alias("d")
+    )
+    w_pick = Window.partitionBy("key").orderBy(
+        F.col("d").desc(), F.col("x").asc()
+    )
+    return scored.withColumn("_r", F.row_number().over(w_pick)).filter(
+        F.col("_r") == 1
+    ).select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.round("x", 6).alias("knee_x"),
+        F.round("y", 6).alias("knee_y"),
+        F.round("d", 6).alias("max_diff"),
+    )

@@ -16297,6 +16297,149 @@ def q_jstack_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 384. LTOB downsampling of the hourly count series per event_type —
+#      spike-preserving dashboard reduction: first/last + per-bucket
+#      max-effective-area points.
+# ---------------------------------------------------------------------
+@register(
+    "ltob_downsample",
+    """
+    with hr as (select event_type as key,
+                  cast(floor(epoch(ts) / 3600) as double) as x,
+                  cast(count(*) as double) as y
+                from events group by 1, 2),
+    t as (select key, x, y,
+            row_number() over (partition by key order by x) as i,
+            count(*) over (partition by key) as n,
+            lag(x) over (partition by key order by x) as px,
+            lag(y) over (partition by key order by x) as py,
+            lead(x) over (partition by key order by x) as nx,
+            lead(y) over (partition by key order by x) as ny
+          from hr),
+    c as (select key, x, y, i, n,
+            (i = 1 or i = n) as edge, n <= 20 as small,
+            case when (i = 1 or i = n) or n <= 20 then NULL
+                 else floor((i - 2.0) * 18.0 / (n - 2.0)) end as b,
+            case when (i = 1 or i = n) or n <= 20 then NULL
+                 else abs((px - nx) * (y - py)
+                          - (px - x) * (ny - py)) end as area
+          from t),
+    p as (select *, row_number() over (partition by key, b
+            order by area desc, x asc) as rk from c)
+    select key, x, y, cast(i as int) as orig_idx,
+      cast(n as bigint) as n_in
+    from p where edge or small or (b is not null and rk = 1)
+    """,
+)
+def q_ltob_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import ltob_downsample
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(_epoch_s("ts") / 3600).cast("double").alias("x"),
+    ).agg(F.count("*").cast("double").alias("y"))
+    return ltob_downsample(hourly, "event_type", "x", "y", n_out=20)
+
+
+# ---------------------------------------------------------------------
+# 385. Savitzky-Golay smoothing (window 5, quadratic, pinned
+#      coefficients) of the hourly count series per event_type.
+# ---------------------------------------------------------------------
+@register(
+    "savgol_smooth",
+    """
+    with hr as (select event_type as key,
+                  cast(floor(epoch(ts) / 3600) as bigint) as b,
+                  cast(count(*) as double) as v
+                from events group by 1, 2),
+    t as (select key, b, v,
+            lag(v, 2) over (partition by key order by b) as m2,
+            lag(v, 1) over (partition by key order by b) as m1,
+            lead(v, 1) over (partition by key order by b) as p1,
+            lead(v, 2) over (partition by key order by b) as p2
+          from hr)
+    select key, b, round(v, 6) as v,
+      round((-3.0 * m2 + 12.0 * m1 + 17.0 * v + 12.0 * p1
+             - 3.0 * p2) / 35.0, 6) as v_smooth,
+      round(v - (-3.0 * m2 + 12.0 * m1 + 17.0 * v + 12.0 * p1
+                 - 3.0 * p2) / 35.0, 6) as resid
+    from t
+    """,
+)
+def q_savgol_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import savgol_smooth
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(_epoch_s("ts") / 3600).cast("long").alias("b"),
+    ).agg(F.count("*").alias("v"))
+    return savgol_smooth(hourly, "event_type", "b", "v")
+
+
+# ---------------------------------------------------------------------
+# 386. Kneedle elbow detection on the per-event-type Lorenz curve of
+#      user activity — where does the heavy-hitter tail start.
+# ---------------------------------------------------------------------
+@register(
+    "kneedle_detect",
+    """
+    with pu as (select event_type as key, user_id,
+                  cast(count(*) as bigint) as c
+                from events group by 1, 2),
+    t as (select key,
+            cast(row_number() over (partition by key
+                order by c asc, user_id asc) as double)
+              / count(*) over (partition by key) as x,
+            cast(sum(c) over (partition by key
+                order by c asc, user_id asc
+                rows between unbounded preceding and current row)
+              as double)
+              / sum(c) over (partition by key) as y
+          from pu),
+    m as (select key, x, y,
+            min(x) over (partition by key) as x0,
+            max(x) over (partition by key) as x1,
+            min(y) over (partition by key) as y0,
+            max(y) over (partition by key) as y1,
+            count(*) over (partition by key) as n
+          from t),
+    d as (select key, x, y, n,
+            (x - x0) / (x1 - x0) - (y - y0) / (y1 - y0) as d
+          from m where x1 > x0 and y1 > y0),
+    p as (select *, row_number() over (partition by key
+            order by d desc, x asc) as rk from d)
+    select key, cast(n as bigint) as n, round(x, 6) as knee_x,
+      round(y, 6) as knee_y, round(d, 6) as max_diff
+    from p where rk = 1
+    """,
+)
+def q_kneedle_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import kneedle_detect
+
+    ev = _t(spark, sf_dir, "events")
+    pu = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
+    w_ord = Window.partitionBy("event_type").orderBy(
+        F.col("c").asc(), F.col("user_id").asc()
+    )
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("event_type")
+    lorenz = pu.select(
+        "event_type",
+        (
+            F.row_number().over(w_ord).cast("double")
+            / F.count("*").over(w_all)
+        ).alias("x"),
+        (
+            F.sum("c").over(w_cum).cast("double")
+            / F.sum("c").over(w_all)
+        ).alias("y"),
+    )
+    return kneedle_detect(lorenz, "event_type", "x", "y", shape="convex")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -1940,3 +1940,47 @@ def test_bh_fdr_step_up(spark):
     assert got[3]["p_adj"] == 0.04 and got[3]["reject"]
     assert got[4]["p_adj"] == 0.2 and not got[4]["reject"]
     assert [got[i]["rank"] for i in (1, 2, 3, 4)] == [1, 2, 3, 4]
+
+
+def test_ltob_downsample_keeps_spike_and_edges(spark):
+    from sparkcollector.operators.analytics import ltob_downsample
+
+    ys = [10.0] * 30
+    ys[17] = 500.0                                   # the spike
+    rows = [("k", float(i), y) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "key string, x double, y double")
+    got = ltob_downsample(df, "key", "x", "y", n_out=6).collect()
+    xs = sorted(r["x"] for r in got)
+    assert xs[0] == 0.0 and xs[-1] == 29.0           # edges kept
+    assert 17.0 in xs                                # spike survives
+    assert len(got) == 6                             # 2 edges + 4 buckets
+    # series shorter than n_out passes through unchanged
+    small = spark.createDataFrame(rows[:5], "key string, x double, y double")
+    assert ltob_downsample(small, "key", "x", "y", n_out=6).count() == 5
+
+
+def test_savgol_smooth_reproduces_quadratics(spark):
+    from sparkcollector.operators.analytics import savgol_smooth
+
+    rows = [("k", i, float(2 * i * i - 3 * i + 5)) for i in range(9)]
+    df = spark.createDataFrame(rows, "key string, b int, v double")
+    got = {r["b"]: r for r in savgol_smooth(df, "key", "b", "v").collect()}
+    # SG(5, quadratic) is exact on quadratics away from the edges
+    for b in range(2, 7):
+        assert got[b]["v_smooth"] == got[b]["v"]
+        assert got[b]["resid"] == 0.0
+    assert got[0]["v_smooth"] is None and got[8]["v_smooth"] is None
+
+
+def test_kneedle_detect_sqrt_curve(spark):
+    import math
+
+    from sparkcollector.operators.analytics import kneedle_detect
+
+    pts = [(i / 20, math.sqrt(i / 20)) for i in range(21)]
+    df = spark.createDataFrame([("k", x, y) for x, y in pts],
+                               "key string, x double, y double")
+    got = kneedle_detect(df, "key", "x", "y", shape="concave").collect()[0]
+    exp_x = max(pts, key=lambda p: p[1] - p[0])[0]   # analytic ~0.25
+    assert got["knee_x"] == exp_x == 0.25
+    assert got["max_diff"] == round(0.5 - 0.25, 6)
