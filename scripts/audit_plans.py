@@ -3120,6 +3120,45 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 91: Jain, Erlang, MTTR.
+    all_ok &= audit(
+        "jain_fairness",
+        lambda: queries()["jain_fairness"](spark, SF_DIR),
+        [
+            ("two keyed aggregates, no window, no join",
+             lambda p: "Window" not in p and "Join" not in p),
+            ("usage sums reduce with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "erlang_queue",
+        lambda: queries()["erlang_queue"](spark, SF_DIR),
+        [
+            ("one aggregate per key; recurrence folds in-row",
+             lambda p: "Window" not in p and "Join" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "incident_mttr",
+        lambda: queries()["incident_mttr"](spark, SF_DIR),
+        [
+            ("error filter pushes into the scan",
+             lambda p: "PushedFilters" in p or "Filter" in p),
+            ("islands via one lag/cumsum window",
+             lambda p: "Window" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

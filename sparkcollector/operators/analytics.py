@@ -5786,3 +5786,150 @@ def kneedle_detect(
         F.round("y", 6).alias("knee_y"),
         F.round("d", 6).alias("max_diff"),
     )
+
+
+def jain_fairness(
+    df: DataFrame,
+    key_col: str,
+    member_col: str,
+    usage_col: str,
+) -> DataFrame:
+    """Jain's fairness index per key over member usage shares —
+    ``J = (Σx)²/(n·Σx²)`` ∈ (0,1], 1 = perfectly fair, 1/n = one
+    member hogs everything: the single number a multi-tenant pipeline
+    publishes about its own scheduling (reference analog: the
+    loadbalancing exporter's hash-route is SUPPOSED to keep this
+    near 1).  Also emits the largest single share.
+
+    Integer usages keep both power sums exact; one member-level
+    aggregate then one key-level fold.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(member_col).alias("m"),
+        F.col(usage_col).cast("long").alias("x"),
+    )
+    per_m = base.groupBy("key", "m").agg(F.sum("x").alias("xu"))
+    agg = per_m.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.sum("xu").alias("s"),
+        F.sum(F.col("xu") * F.col("xu")).alias("q"),
+        F.max("xu").alias("mx"),
+    )
+    s, q = F.col("s").cast("double"), F.col("q").cast("double")
+    n = F.col("n").cast("double")
+    return agg.filter((F.col("n") > 0) & (F.col("q") > 0)).select(
+        "key",
+        F.col("n").cast("long").alias("n_members"),
+        F.round(s * s / (n * q), 6).alias("jain"),
+        F.round(F.col("mx").cast("double") / s, 6).alias("max_share"),
+    )
+
+
+def erlang_queue(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    mu_per_s: float,
+    servers: int,
+) -> DataFrame:
+    """Erlang blocking/waiting model per key from the MEASURED arrival
+    rate — the capacity-planning closer for `concurrency_curve`'s
+    Little's-law L: offered load ``A = λ/μ``, Erlang B via the stable
+    recurrence ``B_k = A·B_{k−1}/(k + A·B_{k−1})`` (never the
+    overflowing A^c/c! form), Erlang C ``= B/(1 − ρ(1−B))`` (P(wait),
+    ∞-queue M/M/c), utilization ρ = A/c.
+
+    λ comes from exact integer count / exact epoch span; the
+    recurrence folds over the pinned server count in index order —
+    deterministic on both engines (the ORACLE steps it with a
+    recursive CTE).  One aggregate per key.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    agg = df.groupBy(key_col).agg(
+        F.count("*").alias("n"),
+        F.min(us).alias("t0"),
+        F.max(us).alias("t1"),
+    ).filter(F.col("t1") > F.col("t0"))
+    span_s = (F.col("t1") - F.col("t0")).cast("double") / 1e6
+    lam = F.col("n").cast("double") / span_s
+    a = lam / F.lit(float(mu_per_s))
+    rho = a / F.lit(float(servers))
+    b = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(servers))),
+        F.lit(1.0),
+        lambda acc, k: a * acc / (k.cast("double") + a * acc),
+    )
+    c_wait = F.when(
+        rho < 1.0, b / (1.0 - rho * (1.0 - b))
+    ).otherwise(F.lit(1.0))
+    return agg.select(
+        key_col,
+        F.col("n").cast("long").alias("n_arrivals"),
+        F.round(lam, 6).alias("lambda_per_s"),
+        F.round(a, 6).alias("offered_load"),
+        F.round(rho, 6).alias("utilization"),
+        F.round(b, 6).alias("erlang_b"),
+        F.round(c_wait, 6).alias("erlang_c"),
+    )
+
+
+def incident_mttr(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_s: int = 3600,
+) -> DataFrame:
+    """Incident MTTR/MTBF per key from an error-event stream — the
+    DORA-flavored rollup on top of raw errors: incidents are maximal
+    error runs separated by more than ``gap_s`` of quiet (classic
+    gaps-and-islands), MTTR = mean incident duration, MTBF = mean gap
+    between incident STARTS (telescoping: (last_start − first_start)
+    / (n−1), exact in integer micros).
+
+    Pass pre-filtered error events.  One lag window + two keyed
+    aggregates; every time quantity stays integer micros until the
+    final divisions.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    w = Window.partitionBy("key").orderBy("t")
+    base = df.select(F.col(key_col).alias("key"), us.alias("t"))
+    marked = base.withColumn(
+        "new_inc",
+        F.when(
+            F.lag("t", 1).over(w).isNull()
+            | (F.col("t") - F.lag("t", 1).over(w) > int(gap_s) * 1000000),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "inc_id",
+        F.sum("new_inc").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_inc = marked.groupBy("key", "inc_id").agg(
+        F.min("t").alias("start"),
+        F.max("t").alias("end"),
+        F.count("*").alias("ne"),
+    )
+    agg = per_inc.groupBy("key").agg(
+        F.count("*").alias("n_inc"),
+        F.sum(F.col("end") - F.col("start")).alias("dur_us"),
+        F.min("start").alias("fs"),
+        F.max("start").alias("ls"),
+        F.sum("ne").alias("n_events"),
+    )
+    mttr = F.col("dur_us").cast("double") / 1e6 / F.col("n_inc")
+    mtbf = F.when(
+        F.col("n_inc") >= 2,
+        (F.col("ls") - F.col("fs")).cast("double")
+        / 1e6
+        / (F.col("n_inc") - 1),
+    )
+    return agg.select(
+        "key",
+        F.col("n_inc").cast("long").alias("n_incidents"),
+        F.col("n_events").cast("long").alias("n_error_events"),
+        F.round(mttr, 3).alias("mttr_s"),
+        F.round(mtbf, 3).alias("mtbf_s"),
+    )

@@ -16440,6 +16440,120 @@ def q_kneedle_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 387. Jain's fairness index per event_type over user usage shares.
+# ---------------------------------------------------------------------
+@register(
+    "jain_fairness",
+    """
+    with pm as (select event_type as key, user_id as m,
+                  cast(count(*) as bigint) as xu
+                from events group by 1, 2),
+    a as (select key, cast(count(*) as bigint) as n,
+            cast(sum(xu) as bigint) as s,
+            cast(sum(xu * xu) as bigint) as q,
+            cast(max(xu) as bigint) as mx
+          from pm group by 1)
+    select key, n as n_members,
+      round(cast(s as double) * cast(s as double)
+            / (cast(n as double) * cast(q as double)), 6) as jain,
+      round(cast(mx as double) / cast(s as double), 6) as max_share
+    from a where n > 0 and q > 0
+    """,
+)
+def q_jain_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import jain_fairness
+
+    ev = _t(spark, sf_dir, "events")
+    return jain_fairness(
+        ev.select("event_type", "user_id", F.lit(1).alias("one")),
+        "event_type",
+        "user_id",
+        "one",
+    )
+
+
+# ---------------------------------------------------------------------
+# 388. Erlang B/C capacity model per event_type from the measured
+#      arrival rate (stable recurrence, pinned mu/servers); oracle
+#      steps the recurrence with a recursive CTE.
+# ---------------------------------------------------------------------
+@register(
+    "erlang_queue",
+    """
+    with recursive a0 as (select event_type as key,
+        cast(count(*) as bigint) as n,
+        min(epoch_us(ts)) as t0, max(epoch_us(ts)) as t1
+      from events group by 1),
+    f as (select key, n,
+            cast(n as double) / (cast(t1 - t0 as double) / 1e6) as lam
+          from a0 where t1 > t0),
+    g as (select key, n, lam, lam / 0.005 as a, lam / 0.005 / 3.0 as rho
+          from f),
+    r as (select key, 1 as k, a * 1.0 / (1.0 + a * 1.0) as bv from g
+          union all
+          select r.key, r.k + 1,
+            g.a * r.bv / (cast(r.k + 1 as double) + g.a * r.bv)
+          from r join g on r.key = g.key where r.k < 3)
+    select g.key as event_type, g.n as n_arrivals,
+      round(g.lam, 6) as lambda_per_s, round(g.a, 6) as offered_load,
+      round(g.rho, 6) as utilization, round(r.bv, 6) as erlang_b,
+      round(case when g.rho < 1.0
+                 then r.bv / (1.0 - g.rho * (1.0 - r.bv))
+                 else 1.0 end, 6) as erlang_c
+    from g join r on g.key = r.key and r.k = 3
+    """,
+)
+def q_erlang_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import erlang_queue
+
+    ev = _t(spark, sf_dir, "events")
+    return erlang_queue(ev, "event_type", "ts", mu_per_s=0.005, servers=3)
+
+
+# ---------------------------------------------------------------------
+# 389. Incident MTTR/MTBF per synthetic service from the error stream
+#      (gaps-and-islands incidents, exact integer-micros durations).
+# ---------------------------------------------------------------------
+@register(
+    "incident_mttr",
+    """
+    with e as (select user_id % 10 as key, epoch_us(ts) as t
+               from events where event_type = 'error'),
+    m as (select key, t,
+            case when lag(t) over (partition by key order by t) is null
+                   or t - lag(t) over (partition by key order by t)
+                      > 3600000000 then 1 else 0 end as ni
+          from e),
+    i as (select *, sum(ni) over (partition by key order by t
+            rows between unbounded preceding and current row) as inc_id
+          from m),
+    pi as (select key, inc_id, min(t) as s, max(t) as e2,
+             cast(count(*) as bigint) as ne
+           from i group by 1, 2),
+    a as (select key, cast(count(*) as bigint) as n_inc,
+            cast(sum(e2 - s) as bigint) as dur, min(s) as fs,
+            max(s) as ls, cast(sum(ne) as bigint) as nev
+          from pi group by 1)
+    select cast(key as bigint) as key, n_inc as n_incidents,
+      nev as n_error_events,
+      round(cast(dur as double) / 1e6 / n_inc, 3) as mttr_s,
+      round(case when n_inc >= 2
+                 then cast(ls - fs as double) / 1e6 / (n_inc - 1)
+                 end, 3) as mtbf_s
+    from a
+    """,
+)
+def q_incident_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import incident_mttr
+
+    ev = _t(spark, sf_dir, "events")
+    errs = ev.filter(F.col("event_type") == "error").select(
+        (F.col("user_id") % 10).alias("svc"), "ts"
+    )
+    return incident_mttr(errs, "svc", "ts", gap_s=3600)
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

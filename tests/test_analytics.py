@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 
 def _ts(d, h=0):
     return dt.datetime(2024, 1, d, h)
@@ -1984,3 +1986,49 @@ def test_kneedle_detect_sqrt_curve(spark):
     exp_x = max(pts, key=lambda p: p[1] - p[0])[0]   # analytic ~0.25
     assert got["knee_x"] == exp_x == 0.25
     assert got["max_diff"] == round(0.5 - 0.25, 6)
+
+
+def test_jain_fairness_closed_forms(spark):
+    from sparkcollector.operators.analytics import jain_fairness
+
+    rows = [("fair", f"u{i}", 1, 10) for i in range(4)]
+    rows += [("hog", "u0", 1, 100), ("hog", "u1", 1, 0),
+             ("hog", "u2", 1, 0), ("hog", "u3", 1, 0)]
+    df = spark.createDataFrame(rows, "key string, m string, one int, x long")
+    got = {r["key"]: r for r in jain_fairness(df, "key", "m", "x").collect()}
+    assert got["fair"]["jain"] == 1.0 and got["fair"]["max_share"] == 0.25
+    assert got["hog"]["jain"] == 0.25                  # 1/n lower bound
+    assert got["hog"]["max_share"] == 1.0
+
+
+def test_erlang_queue_textbook_values(spark):
+    from sparkcollector.operators.analytics import erlang_queue
+
+    # 10 arrivals over exactly 10s -> lambda=1/s; mu=1, c=2 -> A=1
+    # Erlang B(1,2) = 0.2; rho=0.5; C = .2/(1-.5*.8) = 1/3
+    rows = [("k", f"2024-01-01 00:00:{i:02d}") for i in range(11)]
+    df = spark.createDataFrame(rows, "key string, tss string").select(
+        "key", F.col("tss").cast("timestamp").alias("ts")
+    )
+    # 11 points span exactly 10s -> n=11, lambda=1.1; use explicit span
+    got = erlang_queue(df, "key", "ts", mu_per_s=1.1, servers=2).collect()[0]
+    assert got["offered_load"] == 1.0 and got["utilization"] == 0.5
+    assert got["erlang_b"] == 0.2
+    assert got["erlang_c"] == round(1 / 3, 6)
+
+
+def test_incident_mttr_islands(spark):
+    from sparkcollector.operators.analytics import incident_mttr
+
+    # two incidents: [0s..120s] and [7200s..7260s] -> MTTR 90s,
+    # MTBF = 7200s between starts
+    times = [0, 60, 120, 7200, 7260]
+    rows = [("s", t) for t in times]
+    df = spark.createDataFrame(rows, "svc string, off long").select(
+        "svc",
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("off"))).alias("ts"),
+    )
+    got = incident_mttr(df, "svc", "ts", gap_s=3600).collect()[0]
+    assert got["n_incidents"] == 2 and got["n_error_events"] == 5
+    assert got["mttr_s"] == 90.0 and got["mtbf_s"] == 7200.0
