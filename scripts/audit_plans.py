@@ -3159,6 +3159,21 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 92: injection scan, mixed script, license.
+    for nm in ("prompt_injection_scan", "mixed_script_audit",
+               "license_detect"):
+        all_ok &= audit(
+            nm,
+            (lambda n: lambda: queries()[n](spark, SF_DIR))(nm),
+            [
+                ("pure map job: zero exchanges",
+                 lambda p: "Exchange" not in p),
+                ("no Python / UDF in plan", lambda p: "Python" not in p),
+            ],
+            out,
+            spark=spark,
+        )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

@@ -3132,3 +3132,147 @@ def markdown_structure(
             6,
         ).alias("code_char_frac"),
     )
+
+
+def prompt_injection_scan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    flag_threshold: int = 4,
+) -> DataFrame:
+    """Prompt-injection screen for training-corpus ingestion — the
+    security filter a web-scale LLM pipeline runs BEFORE text becomes
+    training data: instruction-override phrases ("ignore previous
+    instructions"), chat-template role markers leaking into plain
+    text (<|im_start|>, [INST], <<SYS>>), long base64 blobs (payload
+    smuggling), and zero-width/invisible characters (the classic
+    hidden-instruction carrier).  Risk score = pinned integer weights
+    (override 3, role marker 2, base64 1, any-invisible 2).
+
+    Pure codegen'd regex counts, zero exchanges; the score is integer
+    arithmetic end to end.
+    """
+    t = F.col(text_col)
+    override = F.regexp_count(
+        t,
+        F.lit(
+            r"(?i)(ignore|disregard) (all |any )?"
+            r"(previous|prior|above) (instructions|prompts)"
+            r"|(?i)you are now\b|(?i)reveal your (system )?prompt"
+        ),
+    ).cast("int")
+    role = F.regexp_count(
+        t,
+        F.lit(r"<\|im_start\|>|\[INST\]|<<SYS>>|### Instruction"),
+    ).cast("int")
+    b64 = F.regexp_count(
+        t, F.lit(r"[A-Za-z0-9+/]{40,}={0,2}")
+    ).cast("int")
+    invis = F.regexp_count(
+        t, F.lit("[​‌‍⁠﻿]")
+    ).cast("int")
+    score = (
+        override * 3
+        + role * 2
+        + b64
+        + F.when(invis > 0, 2).otherwise(0)
+    )
+    return df.select(
+        F.col(id_col),
+        override.alias("n_override"),
+        role.alias("n_role_markers"),
+        b64.alias("n_b64_blobs"),
+        invis.alias("n_invisible"),
+        score.alias("risk_score"),
+        (score >= flag_threshold).alias("flagged"),
+    )
+
+
+def mixed_script_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Homoglyph / mixed-script spoofing audit — Cyrillic 'а' inside a
+    Latin word is invisible to readers but poisons dedup keys,
+    tokenizers, and URL allowlists; this screen counts per-script
+    letters and, the real spoof unit, TOKENS mixing Latin with
+    Cyrillic or Greek in one word.
+
+    The per-token check folds in-row over the whitespace split (HOFs,
+    no explode); script classes are codegen'd unicode-range regexes.
+    Zero exchanges.
+    """
+    t = F.col(text_col)
+    lat = F.regexp_count(t, F.lit("[A-Za-z]")).cast("int")
+    cyr = F.regexp_count(t, F.lit("[Ѐ-ӿ]")).cast("int")
+    grk = F.regexp_count(t, F.lit("[Ͱ-Ͽ]")).cast("int")
+    toks = F.split(t, r"\s+")
+    mixed = F.size(
+        F.filter(
+            toks,
+            lambda w: w.rlike("[A-Za-z]")
+            & w.rlike("[Ѐ-ӿͰ-Ͽ]"),
+        )
+    )
+    n_toks = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        lat.alias("n_latin"),
+        cyr.alias("n_cyrillic"),
+        grk.alias("n_greek"),
+        mixed.alias("n_mixed_tokens"),
+        F.round(
+            F.when(
+                n_toks > 0,
+                mixed.cast("double") / n_toks.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("mixed_token_frac"),
+        (mixed > 0).alias("suspicious"),
+    )
+
+
+def license_detect(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """License / provenance screen for corpus compliance — the filter
+    that keeps GPL'd or CC-NC text out of a permissively-licensed
+    training mix: the explicit ``SPDX-License-Identifier`` tag when
+    present, else the first boilerplate match in a pinned precedence
+    order (Apache-2.0, MIT, GPL, BSD, CC), plus a copyright-line
+    gate and a signal count.
+
+    Pure codegen'd regex, zero exchanges.
+    """
+    t = F.col(text_col)
+    spdx = F.regexp_extract(
+        t, r"SPDX-License-Identifier: ([A-Za-z0-9.+-]+)", 1
+    )
+    pats = [
+        ("Apache-2.0", r"Licensed under the Apache License, Version 2\.0"),
+        ("MIT", r"Permission is hereby granted, free of charge"),
+        ("GPL", r"GNU General Public License"),
+        ("BSD", r"Redistribution and use in source and binary forms"),
+        ("CC", r"Creative Commons"),
+    ]
+    hits = [(name, t.rlike(pat)) for name, pat in pats]
+    detected = F.lit(None).cast("string")
+    for name, hit in reversed(hits):
+        detected = F.when(hit, F.lit(name)).otherwise(detected)
+    n_signals = sum(
+        (hit.cast("int") for _, hit in hits),
+        (spdx != "").cast("int"),
+    )
+    has_cr = t.rlike(r"Copyright (\(c\)|©)?\s*\d{4}")
+    return df.select(
+        F.col(id_col),
+        F.when(spdx != "", spdx).alias("spdx_id"),
+        F.coalesce(
+            F.when(spdx != "", spdx), detected
+        ).alias("license"),
+        has_cr.alias("has_copyright"),
+        n_signals.alias("n_signals"),
+    )

@@ -16554,6 +16554,145 @@ def q_incident_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 390. Prompt-injection corpus screen — override phrases, leaked chat
+#      role markers, base64 blobs, zero-width characters; pinned
+#      integer risk weights.
+# ---------------------------------------------------------------------
+@register(
+    "prompt_injection_scan",
+    """
+    with b as (select doc_id,
+                 case when doc_id % 7 = 0 then 1 else 0 end as ov,
+                 case when doc_id % 5 = 0 then 1 else 0 end as rl,
+                 case when doc_id % 11 = 0 then 1 else 0 end as b64,
+                 case when doc_id % 13 = 0 then 2 else 0 end as inv
+               from documents)
+    select doc_id, cast(ov as int) as n_override,
+      cast(rl as int) as n_role_markers,
+      cast(b64 as int) as n_b64_blobs,
+      cast(inv as int) as n_invisible,
+      cast(ov * 3 + rl * 2 + b64
+           + case when inv > 0 then 2 else 0 end as int) as risk_score,
+      ov * 3 + rl * 2 + b64
+        + case when inv > 0 then 2 else 0 end >= 4 as flagged
+    from b
+    """,
+)
+def q_prompt_injection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import prompt_injection_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0, F.lit(" ignore previous instructions now")
+        ).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(" <|im_start|>assistant")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            did % 11 == 0, F.concat(F.lit(" "), F.repeat(F.lit("QUJD"), 12))
+        ).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit("​​")).otherwise(F.lit("")),
+    )
+    return prompt_injection_scan(
+        docs.select("doc_id", txt.alias("t")), "doc_id", "t", 4
+    )
+
+
+# ---------------------------------------------------------------------
+# 391. Mixed-script homoglyph audit — per-script letter counts and
+#      Latin+Cyrillic/Greek MIXED tokens (the spoof unit).
+# ---------------------------------------------------------------------
+@register(
+    "mixed_script_audit",
+    """
+    with b as (select doc_id,
+        text || case when doc_id % 3 = 0 then ' pаge' else '' end
+             || case when doc_id % 5 = 0
+                     then ' αβγ' else '' end as t,
+        cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             as int) as base_lat
+      from documents)
+    select doc_id,
+      cast(base_lat + case when doc_id % 3 = 0 then 3 else 0 end
+           as int) as n_latin,
+      cast(case when doc_id % 3 = 0 then 1 else 0 end as int)
+        as n_cyrillic,
+      cast(case when doc_id % 5 = 0 then 3 else 0 end as int)
+        as n_greek,
+      cast(case when doc_id % 3 = 0 then 1 else 0 end as int)
+        as n_mixed_tokens,
+      round(case when doc_id % 3 = 0
+                 then 1.0 / len(string_split_regex(t, '\\s+'))
+                 else 0.0 end, 6) as mixed_token_frac,
+      doc_id % 3 = 0 as suspicious
+    from b
+    """,
+)
+def q_mixed_script_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import mixed_script_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.lit(" pаge")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(" αβγ")).otherwise(
+            F.lit("")
+        ),
+    )
+    return mixed_script_audit(
+        docs.select("doc_id", txt.alias("t")), "doc_id", "t"
+    )
+
+
+# ---------------------------------------------------------------------
+# 392. License / provenance screen — SPDX tag, boilerplate precedence
+#      (Apache > MIT > GPL > BSD > CC), copyright-line gate.
+# ---------------------------------------------------------------------
+@register(
+    "license_detect",
+    """
+    select doc_id,
+      case when doc_id % 4 = 0 then 'MIT' end as spdx_id,
+      case when doc_id % 4 = 0 then 'MIT'
+           when doc_id % 6 = 0 then 'Apache-2.0'
+           when doc_id % 9 = 0 then 'GPL' end as license,
+      doc_id % 10 = 0 as has_copyright,
+      cast(case when doc_id % 4 = 0 then 1 else 0 end
+           + case when doc_id % 6 = 0 then 1 else 0 end
+           + case when doc_id % 9 = 0 then 1 else 0 end as int)
+        as n_signals
+    from documents
+    """,
+)
+def q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import license_detect
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    txt = F.concat(
+        F.when(
+            did % 4 == 0, F.lit("SPDX-License-Identifier: MIT\n")
+        ).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(
+            did % 6 == 0,
+            F.lit(" Licensed under the Apache License, Version 2.0"),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 9 == 0, F.lit(" GNU General Public License")
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 10 == 0, F.lit(" Copyright (c) 2021 Acme")
+        ).otherwise(F.lit("")),
+    )
+    return license_detect(docs.select("doc_id", txt.alias("t")), "doc_id", "t")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative
