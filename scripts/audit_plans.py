@@ -3174,6 +3174,44 @@ def main() -> None:
             spark=spark,
         )
 
+    # round-3 batch 93: grok, wildcard lookup, cron audit.
+    all_ok &= audit(
+        "grok_parse",
+        lambda: queries()["grok_parse"](spark, SF_DIR),
+        [
+            ("pure map job: zero exchanges",
+             lambda p: "Exchange" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "wildcard_lookup",
+        lambda: queries()["wildcard_lookup"](spark, SF_DIR),
+        [
+            ("pattern join is broadcast nested-loop (config-sized "
+             "side) — the only shape a theta match can have",
+             lambda p: "BroadcastNestedLoopJoin" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "cron_schedule_audit",
+        lambda: queries()["cron_schedule_audit"](spark, SF_DIR),
+        [
+            ("x1440 explode runs on the EXPRESSION table, after the "
+             "distinct",
+             lambda p: "Generate" in p or "Expand" in p
+             or "explode" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

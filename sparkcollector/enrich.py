@@ -409,3 +409,66 @@ def priority_merge(
         best["v"].alias("value"),
         F.count("*").alias("n_candidates"),
     )
+
+
+def wildcard_lookup(
+    facts: DataFrame,
+    lookup: DataFrame,
+    fact_key: str,
+    pattern_col: str,
+    specificity_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Splunk-style WILDCARD(...) lookup enrichment: the lookup table
+    keys on glob patterns (``api-*``, ``*-db``, exacts), a fact row
+    takes the MOST SPECIFIC matching row — fewest wildcards first,
+    then longest pattern, then lexicographic (a deterministic total
+    order, unlike Splunk's file order).
+
+    The lookup side is a
+    bounded config table: the theta-join (rlike) is a broadcast
+    nested-loop by construction — the ONLY join shape a pattern match
+    can have — and stays cheap because the broadcast side is config-
+    sized.  Non-matching facts survive with NULL enrichment (left).
+
+    Reference analog: signalfx-agent service-discovery rules match
+    globs against discovered endpoints the same way.
+    """
+    pats = lookup.select(
+        F.col(pattern_col).alias("_pat"),
+        *[F.col(c) for c in specificity_cols],
+        *[
+            F.col(c)
+            for c in lookup.columns
+            if c != pattern_col and c not in specificity_cols
+        ],
+    )
+    n_wild = (
+        F.length("_pat")
+        - F.length(F.regexp_replace(F.col("_pat"), r"[*?]", ""))
+    )
+    # the pattern column is DATA (not config literals), so the glob ->
+    # regex translation is expressed in Catalyst for the *, ? dialect:
+    # escape regex metachars, then map \* -> .*, \? -> .
+    esc = F.regexp_replace(
+        F.col("_pat"), r"([.\^$+{}\[\]()|\\])", r"\\$1"
+    )
+    rx = F.concat(
+        F.lit("^"),
+        F.regexp_replace(
+            F.regexp_replace(esc, r"\*", ".*"), r"\?", "."
+        ),
+        F.lit("$"),
+    )
+    pats = pats.withColumn("_rx", rx).withColumn("_nw", n_wild)
+    joined = facts.join(
+        pats, F.regexp_like(F.col(fact_key), F.col("_rx")), "left"
+    )
+    w = Window.partitionBy(*facts.columns).orderBy(
+        F.col("_nw").asc(),
+        F.length("_pat").desc(),
+        F.col("_pat").asc(),
+    )
+    best = joined.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") == 1
+    )
+    return best.drop("_r", "_rx", "_nw")

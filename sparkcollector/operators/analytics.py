@@ -5933,3 +5933,87 @@ def incident_mttr(
         F.round(mttr, 3).alias("mttr_s"),
         F.round(mtbf, 3).alias("mtbf_s"),
     )
+
+
+def cron_schedule_audit(
+    df: DataFrame,
+    id_col: str,
+    cron_col: str,
+    dom: int = 12,
+    month: int = 1,
+    dow: int = 5,
+) -> DataFrame:
+    """Cron-expression audit against a pinned reference day — the
+    scheduled-scrape collision review (every monitor firing at :00
+    stampedes the API; this shows who fires when): parse the 5-field
+    expression (``*``, ``*/n``, ``a``, ``a-b``, commas), expand over
+    the day's 1440 minutes, emit fires/day and the first firing
+    minute.
+
+    Field matching is a per-minute in-row fold over the comma-split
+    segments (exists() on the bounded segment list); the ×1440 explode
+    happens on the EXPRESSION table (config-sized), never on facts.
+    dom/month/dow fields evaluate against the pinned reference date.
+    """
+    five = F.split(F.trim(F.col(cron_col)), r"\s+")
+    well = F.size(five) == 5
+
+    def field_match(field: Column, value: Column) -> Column:
+        segs = F.split(field, ",")
+        return F.exists(
+            segs,
+            lambda s: (
+                (s == "*")
+                | (
+                    s.rlike(r"^\*/\d+$")
+                    & (
+                        value
+                        % F.regexp_extract(s, r"^\*/(\d+)$", 1).cast(
+                            "int"
+                        )
+                        == 0
+                    )
+                )
+                | (
+                    s.rlike(r"^\d+-\d+$")
+                    & value.between(
+                        F.regexp_extract(s, r"^(\d+)-", 1).cast("int"),
+                        F.regexp_extract(s, r"-(\d+)$", 1).cast("int"),
+                    )
+                )
+                | (s.rlike(r"^\d+$") & (value == s.cast("int")))
+            ),
+        )
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(cron_col).alias("cron"),
+        five.alias("f"),
+        well.alias("well_formed"),
+    )
+    day_ok = (
+        field_match(F.element_at("f", 3), F.lit(dom))
+        & field_match(F.element_at("f", 4), F.lit(month))
+        & field_match(F.element_at("f", 5), F.lit(dow))
+    )
+    minutes = base.filter("well_formed").withColumn(
+        "m", F.explode(F.sequence(F.lit(0), F.lit(1439)))
+    )
+    fired = minutes.filter(
+        day_ok
+        & field_match(F.element_at("f", 1), F.col("m") % 60)
+        & field_match(F.element_at("f", 2), F.floor(F.col("m") / 60))
+    )
+    agg = fired.groupBy("id").agg(
+        F.count("*").alias("n_fires_day"),
+        F.min("m").alias("first_fire_minute"),
+    )
+    return base.select("id", "well_formed").join(agg, "id", "left").select(
+        F.col("id").alias(id_col),
+        "well_formed",
+        F.coalesce(
+            F.when(F.col("well_formed"), F.col("n_fires_day")),
+            F.when(F.col("well_formed"), F.lit(0)),
+        ).cast("long").alias("n_fires_day"),
+        F.col("first_fire_minute").cast("int").alias("first_fire_minute"),
+    )

@@ -1452,3 +1452,72 @@ def jstack_parse(
         F.when(ok & (top != ""), top).alias("top_method"),
         F.when(ok & (lock != ""), lock).alias("lock_addr"),
     )
+
+
+GROK_LIB = {
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "WORD": r"\w+",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "URIPATH": r"/[^\s?#]*",
+    "NOTSPACE": r"\S+",
+    "HOSTNAME": r"[A-Za-z0-9._-]+",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)",
+    "TIMESTAMP_ISO8601": (
+        r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?"
+    ),
+    "GREEDYDATA": r".*",
+}
+
+_GROK_TOKEN = r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}"
+
+
+def grok_compile(pattern: str) -> tuple[str, list[tuple[str, str]]]:
+    """Compile a grok pattern (`%{IP:client} %{WORD:m} %{NUMBER:b:int}`)
+    into (anchored Java regex, [(field, type)]) — the Logstash pattern
+    language as a config front-end for `regex_parser` (library
+    sub-patterns are all non-capturing, so group i maps 1:1 to the
+    i-th named token).  Unknown %{SYNTAX} raises; literal text between
+    tokens passes through as regex (grok semantics — callers escape)."""
+    import re as _re
+
+    fields: list[tuple[str, str]] = []
+
+    def repl(m: "_re.Match[str]") -> str:
+        syntax, name, typ = m.group(1), m.group(2), m.group(3)
+        if syntax not in GROK_LIB:
+            raise ValueError(f"unknown grok pattern %{{{syntax}}}")
+        body = GROK_LIB[syntax]
+        if name:
+            fields.append((name, typ or "string"))
+            return f"({body})"
+        return f"(?:{body})"
+
+    rx = _re.sub(_GROK_TOKEN, repl, pattern)
+    return "^" + rx + "$", fields
+
+
+def grok_parse(
+    df: DataFrame,
+    line_col: str,
+    pattern: str,
+) -> DataFrame:
+    """Apply a compiled grok pattern: one anchored-regex gate + one
+    regexp_extract per named field, with `:int`/`:float` coercion —
+    the pattern-language twin of `regex_parser` (config string in,
+    Catalyst columns out; same compile-to-Column stance as the OTTL
+    layer).  Pure codegen, zero exchanges.
+    """
+    rx, fields = grok_compile(pattern)
+    t = F.col(line_col)
+    ok = t.rlike(rx)
+    cols = []
+    for i, (name, typ) in enumerate(fields, start=1):
+        v = F.regexp_extract(t, rx, i)
+        c = F.when(ok, v)
+        if typ == "int":
+            c = F.when(ok, v.cast("long"))
+        elif typ == "float":
+            c = F.when(ok, v.cast("double"))
+        cols.append(c.alias(f"g_{name}"))
+    return df.select("*", ok.alias("well_formed"), *cols)

@@ -16693,6 +16693,164 @@ def q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 393. Grok pattern-language parse — %{SYNTAX:name:type} compiled to
+#      one anchored regex + typed extractions (the Logstash grammar
+#      as a regex_parser front-end).
+# ---------------------------------------------------------------------
+@register(
+    "grok_parse",
+    """
+    with b as (select event_id as eid, user_id as uid, event_type,
+                 event_id % 19 = 0 as bad,
+                 cast(cast(event_id % 1000 as varchar) || '.'
+                      || cast(event_id % 10 as varchar) as double)
+                   as lat
+               from events)
+    select eid as event_id, not bad as well_formed,
+      case when bad then NULL
+           else '10.0.' || cast(uid % 256 as varchar) || '.'
+                || cast(uid % 50 as varchar) end as g_client,
+      case when bad then NULL
+           when eid % 2 = 0 then 'GET' else 'POST' end as g_method,
+      case when bad then NULL
+           else '/api/v' || cast(eid % 3 as varchar) end as g_path,
+      case when bad then NULL else lat end as g_latency,
+      case when bad then NULL
+           when event_type = 'error' then 'ERROR'
+           else 'INFO' end as g_level,
+      case when bad then NULL
+           else 'handled u' || cast(uid % 10 as varchar) end as g_msg
+    from b
+    """,
+)
+def q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import grok_parse
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    line = F.concat_ws(
+        " ",
+        F.concat(
+            F.lit("10.0."), (uid % 256).cast("string"), F.lit("."),
+            (uid % 50).cast("string"),
+        ),
+        F.when(eid % 2 == 0, F.lit("GET")).otherwise(F.lit("POST")),
+        F.concat(F.lit("/api/v"), (eid % 3).cast("string")),
+        F.concat(
+            (eid % 1000).cast("string"), F.lit("."), (eid % 10).cast("string")
+        ),
+        F.when(F.col("event_type") == "error", F.lit("ERROR")).otherwise(
+            F.lit("INFO")
+        ),
+        F.concat(F.lit("handled u"), (uid % 10).cast("string")),
+    )
+    line = F.when(eid % 19 == 0, F.lit("garbage line here")).otherwise(line)
+    out = grok_parse(
+        ev.select("event_id", line.alias("line")),
+        "line",
+        "%{IP:client} %{WORD:method} %{URIPATH:path} "
+        "%{NUMBER:latency:float} %{LOGLEVEL:level} %{GREEDYDATA:msg}",
+    )
+    return out.select(
+        "event_id", "well_formed", "g_client", "g_method", "g_path",
+        "g_latency", "g_level", "g_msg",
+    )
+
+
+# ---------------------------------------------------------------------
+# 394. Splunk WILDCARD() lookup enrichment — most-specific glob wins
+#      (fewest wildcards, then longest, then lexicographic).
+# ---------------------------------------------------------------------
+@register(
+    "wildcard_lookup",
+    """
+    with svc as (select distinct 'svc' || cast(user_id % 30 as varchar)
+                   as svc, user_id % 30 as k
+                 from events)
+    select svc,
+      case when k = 7 then 'svc7'
+           when k = 1 or k between 10 and 19 then 'svc1*'
+           else 'svc*' end as pattern,
+      case when k = 7 then 'tier-x'
+           when k = 1 or k between 10 and 19 then 'tier-a'
+           else 'tier-b' end as tier
+    from svc
+    """,
+)
+def q_wildcard_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .enrich import wildcard_lookup
+
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.select(
+        F.concat(F.lit("svc"), (F.col("user_id") % 30).cast("string")).alias(
+            "svc"
+        )
+    ).distinct()
+    lk = spark.range(4).select(
+        F.element_at(
+            F.array(
+                F.lit("svc1*"), F.lit("svc*"), F.lit("svc7"), F.lit("*9")
+            ),
+            (F.col("id") + 1).cast("int"),
+        ).alias("pattern"),
+        F.element_at(
+            F.array(
+                F.lit("tier-a"), F.lit("tier-b"), F.lit("tier-x"),
+                F.lit("tier-z"),
+            ),
+            (F.col("id") + 1).cast("int"),
+        ).alias("tier"),
+    )
+    out = wildcard_lookup(facts, lk, "svc", "pattern")
+    return out.select("svc", F.col("_pat").alias("pattern"), "tier")
+
+
+# ---------------------------------------------------------------------
+# 395. Cron-expression audit over a pinned reference day — fires/day
+#      and first firing minute per expression; the scheduled-scrape
+#      collision review.
+# ---------------------------------------------------------------------
+@register(
+    "cron_schedule_audit",
+    """
+    with e as (select distinct event_id % 12 as id from events)
+    select id,
+      id <> 7 as well_formed,
+      cast(case when id = 0 then 288 when id = 1 then 24
+                when id = 2 then 1 when id = 3 then 9
+                when id = 4 then 24 when id = 5 then 0
+                when id = 6 then 1 when id = 7 then NULL
+                when id = 8 then 1440 when id = 9 then 0
+                when id = 10 then 9 else 1 end as bigint)
+        as n_fires_day,
+      cast(case when id = 0 then 0 when id = 1 then 0
+                when id = 2 then 150 when id = 3 then 540
+                when id = 4 then 15 when id = 6 then 720
+                when id = 8 then 0 when id = 10 then 180
+                when id = 11 then 245 else NULL end as int)
+        as first_fire_minute
+    from e
+    """,
+)
+def q_cron_schedule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import cron_schedule_audit
+
+    ev = _t(spark, sf_dir, "events")
+    crons = [
+        "*/5 * * * *", "0 * * * *", "30 2 * * *", "0 9-17 * * 1-5",
+        "15,45 */2 * * *", "0 0 1 * *", "0 12 12 1 *", "not a cron",
+        "* * * * *", "0 0 * * 0", "*/7 3 * * *", "5 4 * * 5",
+    ]
+    exprs = ev.select((F.col("event_id") % 12).alias("id")).distinct().select(
+        "id",
+        F.element_at(
+            F.array(*[F.lit(c) for c in crons]), (F.col("id") + 1).cast("int")
+        ).alias("cron"),
+    )
+    return cron_schedule_audit(exprs, "id", "cron", dom=12, month=1, dow=5)
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

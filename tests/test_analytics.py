@@ -2032,3 +2032,24 @@ def test_incident_mttr_islands(spark):
     got = incident_mttr(df, "svc", "ts", gap_s=3600).collect()[0]
     assert got["n_incidents"] == 2 and got["n_error_events"] == 5
     assert got["mttr_s"] == 90.0 and got["mtbf_s"] == 7200.0
+
+
+def test_cron_schedule_audit_grammar(spark):
+    from sparkcollector.operators.analytics import cron_schedule_audit
+
+    rows = [
+        (1, "*/15 * * * *"),      # 96 fires
+        (2, "0 9-17 * * 1-5"),    # ref day is Friday (dow=5): 9 fires
+        (3, "0 9 * * 0,6"),       # weekend only -> 0 on Friday
+        (4, "59 23 12 1 *"),      # exact ref date -> last minute
+        (5, "bogus"),
+    ]
+    df = spark.createDataFrame(rows, "id long, cron string")
+    got = {r["id"]: r for r in
+           cron_schedule_audit(df, "id", "cron", 12, 1, 5).collect()}
+    assert got[1]["n_fires_day"] == 96 and got[1]["first_fire_minute"] == 0
+    assert got[2]["n_fires_day"] == 9 and got[2]["first_fire_minute"] == 540
+    assert got[3]["n_fires_day"] == 0
+    assert got[4]["n_fires_day"] == 1
+    assert got[4]["first_fire_minute"] == 23 * 60 + 59
+    assert not got[5]["well_formed"] and got[5]["n_fires_day"] is None

@@ -254,3 +254,24 @@ def test_priority_merge_lowest_priority_wins(spark):
     assert got[1] == ("gold", "g1", 3)
     assert got[2] == ("crawl", "c2", 1)
     assert got[3] == ("backup", "b3", 2)  # tie broken by source name
+
+
+def test_wildcard_lookup_specificity(spark):
+    from sparkcollector.enrich import wildcard_lookup
+
+    facts = spark.createDataFrame(
+        [("api-1",), ("api-12",), ("web-9",), ("db-main",), ("other",)],
+        "svc string",
+    )
+    lk = spark.createDataFrame(
+        [("api-1", "exact"), ("api-*", "api-any"), ("*-9", "nine"),
+         ("*", "fallback")],
+        "pattern string, tier string",
+    )
+    got = {r["svc"]: r for r in
+           wildcard_lookup(facts, lk, "svc", "pattern").collect()}
+    assert got["api-1"]["tier"] == "exact"          # 0 wildcards wins
+    assert got["api-12"]["tier"] == "api-any"
+    assert got["web-9"]["tier"] == "nine"           # len('*-9') > len('*')
+    assert got["db-main"]["tier"] == "fallback"
+    assert got["other"]["tier"] == "fallback"

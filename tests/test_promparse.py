@@ -763,3 +763,28 @@ def test_jstack_parse_states_and_lock(spark):
     assert got[2]["state_detail"] is None and got[2]["lock_addr"] is None
     assert got[2]["top_method"] == "com.x.Main.run"
     assert not got[3]["well_formed"]
+
+
+def test_grok_parse_types_and_gate(spark):
+    from sparkcollector.operators.promparse import grok_compile, grok_parse
+
+    df = spark.createDataFrame(
+        [(1, "10.0.0.1 GET /api/x 12.5 INFO all good"),
+         (2, "not an access line")],
+        "id long, line string",
+    )
+    out = grok_parse(
+        df, "line",
+        "%{IP:client} %{WORD:method} %{URIPATH:path} "
+        "%{NUMBER:lat:float} %{LOGLEVEL:lvl} %{GREEDYDATA:rest}",
+    )
+    got = {r["id"]: r for r in out.collect()}
+    assert got[1]["g_client"] == "10.0.0.1" and got[1]["g_lat"] == 12.5
+    assert got[1]["g_rest"] == "all good"
+    assert not got[2]["well_formed"] and got[2]["g_client"] is None
+    # unnamed tokens are non-capturing; unknown syntax raises
+    rx, fields = grok_compile("%{IP} %{INT:code:int}")
+    assert fields == [("code", "int")]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        grok_compile("%{NOPE:x}")
