@@ -3212,6 +3212,43 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 94: xmlkv, IQR fences, transaction boundaries.
+    all_ok &= audit(
+        "xmlkv_parse",
+        lambda: queries()["xmlkv_parse"](spark, SF_DIR),
+        [
+            ("pure map job: zero exchanges",
+             lambda p: "Exchange" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "iqr_outliers",
+        lambda: queries()["iqr_outliers"](spark, SF_DIR),
+        [
+            ("hinges via rank windows, no percentile UDAF, no join",
+             lambda p: "Window" in p and "Join" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "transaction_boundaries",
+        lambda: queries()["transaction_boundaries"](spark, SF_DIR),
+        [
+            ("boundary assignment is windows only — no self-join",
+             lambda p: "Window" in p and "Join" not in p),
+            ("final rollup reduces with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

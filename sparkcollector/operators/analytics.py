@@ -6017,3 +6017,121 @@ def cron_schedule_audit(
         ).cast("long").alias("n_fires_day"),
         F.col("first_fire_minute").cast("int").alias("first_fire_minute"),
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier summary per key using TUKEY HINGES (medians
+    of the lower/upper halves, median included when n is odd) — the
+    boxplot's own quartiles, and crucially EXACT mid-rank averages on
+    both engines, never an interpolated percentile: fences at
+    ``hinge ∓ k·IQR``, emitting the hinges, fences, and how many rows
+    fall outside.
+
+    Two window passes (rank, then the hinge picks) + one keyed
+    aggregate; all position arithmetic is integer.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    w_rn = Window.partitionBy("key").orderBy("v")
+    w_all = Window.partitionBy("key")
+    t = base.withColumn("rn", F.row_number().over(w_rn)).withColumn(
+        "n", F.count("*").over(w_all)
+    )
+    m = F.ceil(F.col("n") / 2)                      # lower-half size
+    lo_lo = F.floor((m + 1) / 2)
+    lo_hi = F.ceil((m + 1) / 2)
+    off = F.col("n") - m                            # upper half start-1
+    hi_lo = off + lo_lo
+    hi_hi = off + lo_hi
+    q1 = F.avg(
+        F.when((F.col("rn") == lo_lo) | (F.col("rn") == lo_hi), F.col("v"))
+    ).over(w_all)
+    q3 = F.avg(
+        F.when((F.col("rn") == hi_lo) | (F.col("rn") == hi_hi), F.col("v"))
+    ).over(w_all)
+    iqr = q3 - q1
+    lo_f = q1 - F.lit(float(k)) * iqr
+    hi_f = q3 + F.lit(float(k)) * iqr
+    flagged = t.select(
+        "key",
+        "n",
+        q1.alias("q1"),
+        q3.alias("q3"),
+        lo_f.alias("lo"),
+        hi_f.alias("hi"),
+        ((F.col("v") < lo_f) | (F.col("v") > hi_f)).cast("int").alias(
+            "is_out"
+        ),
+    )
+    return flagged.groupBy("key").agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(F.first("q1"), 6).alias("q1"),
+        F.round(F.first("q3"), 6).alias("q3"),
+        F.round(F.first("q3") - F.first("q1"), 6).alias("iqr"),
+        F.round(F.first("lo"), 6).alias("lo_fence"),
+        F.round(F.first("hi"), 6).alias("hi_fence"),
+        F.sum("is_out").cast("long").alias("n_outliers"),
+    )
+
+
+def transaction_boundaries(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Splunk ``transaction startswith=... endswith=...`` semantics —
+    the explicit-boundary sessionization the maxpause/maxspan variant
+    can't express: a transaction opens at a start-marker event and
+    closes at the first end marker after it; later events under the
+    same open id are trailing orphans (counted, not members), and
+    events before any start belong to nothing.
+
+    One cumulative-sum window assigns transaction ids (running count
+    of starts); the first end position per id comes from one
+    min-aggregate window — no self-join.  Emits per transaction:
+    member count, trailing-orphan count, completeness, and the
+    member-window timestamps.
+    """
+    w = Window.partitionBy("key").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = df.select(
+        F.col(key_col).alias("key"),
+        *[F.col(c) for c in order_cols],
+        F.col(start_col).cast("boolean").alias("s"),
+        F.col(end_col).cast("boolean").alias("e"),
+    )
+    sid = base.withColumn(
+        "sid", F.sum(F.col("s").cast("int")).over(w_cum)
+    ).filter(F.col("sid") > 0)
+    w_t = Window.partitionBy("key", "sid").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    w_ta = Window.partitionBy("key", "sid")
+    pos = sid.withColumn("pos", F.row_number().over(w_t)).withColumn(
+        "end_pos",
+        F.min(F.when(F.col("e"), F.col("pos"))).over(w_ta),
+    )
+    member = F.col("pos") <= F.coalesce(
+        F.col("end_pos"), F.lit(1 << 30)
+    )
+    o1 = order_cols[0]
+    return pos.groupBy("key", "sid").agg(
+        F.sum(member.cast("int")).cast("long").alias("n_events"),
+        F.sum((~member).cast("int")).cast("long").alias(
+            "n_trailing_orphans"
+        ),
+        F.max(F.col("e").cast("int")).cast("boolean").alias("complete"),
+        F.min(F.when(member, F.col(o1))).alias("start_at"),
+        F.max(F.when(member, F.col(o1))).alias("end_at"),
+    )

@@ -1521,3 +1521,41 @@ def grok_parse(
             c = F.when(ok, v.cast("double"))
         cols.append(c.alias(f"g_{name}"))
     return df.select("*", ok.alias("well_formed"), *cols)
+
+
+def xmlkv_parse(
+    df: DataFrame,
+    xml_col: str = "xml",
+    root: str = "event",
+    attrs: tuple[str, ...] = ("id", "type"),
+    elements: tuple[str, ...] = ("host",),
+) -> DataFrame:
+    """XML event parse (Splunk ``xmlkv`` / structured-syslog payload
+    analog) via Spark's native XPath expressions: root attributes,
+    child-element text, and the child count — the one ingest grammar
+    family (after JSON/CSV/logfmt/CEF/LTSV) still missing from the
+    parse layer.
+
+    XPath on malformed XML THROWS in the JVM, so every extraction is
+    gated behind a cheap shape regex (CASE short-circuits per row —
+    verified, the malformed path never reaches the XPath engine).
+    Pure codegen, zero exchanges.
+    """
+    x = F.col(xml_col)
+    ok = x.rlike(rf"^<{root}( |>).*</{root}>$") | x.rlike(
+        rf"^<{root}( [^>]*)?/>$"
+    )
+    cols = []
+    for a in attrs:
+        cols.append(
+            F.when(ok, F.xpath_string(x, F.lit(f"/{root}/@{a}"))).alias(
+                f"a_{a}"
+            )
+        )
+    for e in elements:
+        v = F.xpath_string(x, F.lit(f"/{root}/{e}"))
+        cols.append(F.when(ok & (v != ""), v).alias(f"e_{e}"))
+    n_children = F.when(
+        ok, F.xpath_long(x, F.lit(f"count(/{root}/*)"))
+    ).alias("n_children")
+    return df.select("*", ok.alias("well_formed"), *cols, n_children)

@@ -16851,6 +16851,149 @@ def q_cron_schedule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 396. XML event parse via native XPath (xmlkv analog) — attributes,
+#      element text, child count; malformed rows never reach the
+#      XPath engine (CASE gate).
+# ---------------------------------------------------------------------
+@register(
+    "xmlkv_parse",
+    """
+    with b as (select event_id as eid, user_id as uid, event_type,
+                 event_id % 19 = 0 as bad, event_id % 5 = 0 as selfc
+               from events)
+    select eid as event_id, not bad as well_formed,
+      case when bad then NULL else cast(eid as varchar) end as a_id,
+      case when bad then NULL else event_type end as a_type,
+      case when bad or selfc then NULL
+           else 'h' || cast(uid % 30 as varchar) end as e_host,
+      cast(case when bad then NULL when selfc then 0 else 2 end
+           as bigint) as n_children
+    from b
+    """,
+)
+def q_xmlkv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import xmlkv_parse
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    full = F.concat(
+        F.lit('<event id="'), eid.cast("string"), F.lit('" type="'),
+        F.col("event_type"), F.lit('"><host>h'),
+        (uid % 30).cast("string"),
+        F.lit("</host><dur>"), (eid % 500).cast("string"),
+        F.lit("</dur></event>"),
+    )
+    selfc = F.concat(
+        F.lit('<event id="'), eid.cast("string"), F.lit('" type="'),
+        F.col("event_type"), F.lit('"/>'),
+    )
+    xml = (
+        F.when(eid % 19 == 0, F.lit("not xml <<<"))
+        .when(eid % 5 == 0, selfc)
+        .otherwise(full)
+    )
+    out = xmlkv_parse(
+        ev.select("event_id", xml.alias("xml")),
+        "xml",
+        "event",
+        ("id", "type"),
+        ("host",),
+    )
+    return out.select(
+        "event_id", "well_formed", "a_id", "a_type", "e_host", "n_children"
+    )
+
+
+# ---------------------------------------------------------------------
+# 397. Tukey-fence outlier summary per event_type (TUKEY HINGES —
+#      exact mid-rank medians of the halves, never interpolation).
+# ---------------------------------------------------------------------
+@register(
+    "iqr_outliers",
+    """
+    with b as (select event_type as key, value as v from events
+               where value is not null),
+    t as (select *, row_number() over (partition by key order by v)
+            as rn, count(*) over (partition by key) as n from b),
+    h as (select *, cast(ceil(n / 2) as bigint) as m from t),
+    h2 as (select *, cast(floor((m + 1) / 2) as bigint) as lo_lo,
+             cast(ceil((m + 1) / 2) as bigint) as lo_hi, n - m as off
+           from h),
+    q as (select *,
+            avg(case when rn = lo_lo or rn = lo_hi then v end)
+              over (partition by key) as q1,
+            avg(case when rn = off + lo_lo or rn = off + lo_hi then v
+                end) over (partition by key) as q3
+          from h2),
+    f as (select key, n, q1, q3,
+            q1 - 1.5 * (q3 - q1) as lo, q3 + 1.5 * (q3 - q1) as hi,
+            case when v < q1 - 1.5 * (q3 - q1)
+                   or v > q3 + 1.5 * (q3 - q1) then 1 else 0 end as iso
+          from q)
+    select key, cast(max(n) as bigint) as n, round(max(q1), 6) as q1,
+      round(max(q3), 6) as q3, round(max(q3) - max(q1), 6) as iqr,
+      round(max(lo), 6) as lo_fence, round(max(hi), 6) as hi_fence,
+      cast(sum(iso) as bigint) as n_outliers
+    from f group by key
+    """,
+)
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import iqr_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return iqr_outliers(ev, "event_type", "value", k=1.5)
+
+
+# ---------------------------------------------------------------------
+# 398. Transaction startswith/endswith boundaries per user (signup
+#      opens, first purchase closes, trailing events are orphans).
+# ---------------------------------------------------------------------
+@register(
+    "transaction_boundaries",
+    """
+    with b as (select user_id as key, epoch_us(ts) as us, event_id,
+                 event_type = 'signup' as s,
+                 event_type = 'purchase' as e
+               from events),
+    t as (select *, sum(case when s then 1 else 0 end)
+            over (partition by key order by us, event_id
+                  rows between unbounded preceding and current row)
+            as sid from b),
+    t2 as (select * from t where sid > 0),
+    p as (select *, row_number() over (partition by key, sid
+            order by us, event_id) as pos from t2),
+    p2 as (select *, min(case when e then pos end)
+             over (partition by key, sid) as end_pos from p),
+    a as (select key, sid, us, e,
+            case when pos <= coalesce(end_pos, 1073741824) then 1
+                 else 0 end as mem
+          from p2)
+    select cast(key as bigint) as key, cast(sid as bigint) as sid,
+      cast(sum(mem) as bigint) as n_events,
+      cast(sum(1 - mem) as bigint) as n_trailing_orphans,
+      max(e) as complete,
+      cast(min(case when mem = 1 then us end) as bigint) as start_at,
+      cast(max(case when mem = 1 then us end) as bigint) as end_at
+    from a group by 1, 2
+    """,
+)
+def q_transaction_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import transaction_boundaries
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("user_id").alias("key"),
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us"),
+        "event_id",
+        (F.col("event_type") == "signup").alias("is_start"),
+        (F.col("event_type") == "purchase").alias("is_end"),
+    )
+    return transaction_boundaries(
+        base, "key", ["us", "event_id"], "is_start", "is_end"
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

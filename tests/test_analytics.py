@@ -2053,3 +2053,40 @@ def test_cron_schedule_audit_grammar(spark):
     assert got[4]["n_fires_day"] == 1
     assert got[4]["first_fire_minute"] == 23 * 60 + 59
     assert not got[5]["well_formed"] and got[5]["n_fires_day"] is None
+
+
+def test_iqr_outliers_tukey_hinges(spark):
+    from sparkcollector.operators.analytics import iqr_outliers
+
+    # n=9: lower half 1..5 -> hinge v[3]=3; upper half 5..9 -> v[7]=7
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 100.0]
+    df = spark.createDataFrame([("k", v) for v in vals],
+                               "key string, v double")
+    got = iqr_outliers(df, "key", "v").collect()[0]
+    assert got["q1"] == 3.0 and got["q3"] == 7.0 and got["iqr"] == 4.0
+    assert got["lo_fence"] == -3.0 and got["hi_fence"] == 13.0
+    assert got["n_outliers"] == 1                       # the 100.0
+    # even n=4: halves of size 2 -> hinges are pair averages
+    df2 = spark.createDataFrame([("e", v) for v in (1.0, 2.0, 3.0, 4.0)],
+                                "key string, v double")
+    got2 = iqr_outliers(df2, "key", "v").collect()[0]
+    assert got2["q1"] == 1.5 and got2["q3"] == 3.5
+
+
+def test_transaction_boundaries_semantics(spark):
+    from sparkcollector.operators.analytics import transaction_boundaries
+
+    # S=start E=end; sequence: x S a E t S b  -> txn1 complete with
+    # 3 members + 1 trailing orphan, txn2 open with 2 members
+    seq = [("x", False, False), ("S", True, False), ("a", False, False),
+           ("E", False, True), ("t", False, False), ("S2", True, False),
+           ("b", False, False)]
+    rows = [("u", i, s, e) for i, (_n, s, e) in enumerate(seq)]
+    df = spark.createDataFrame(rows, "key string, o int, s boolean, e boolean")
+    got = {r["sid"]: r for r in transaction_boundaries(
+        df, "key", ["o"], "s", "e").collect()}
+    assert got[1]["n_events"] == 3 and got[1]["complete"]
+    assert got[1]["n_trailing_orphans"] == 1
+    assert got[1]["start_at"] == 1 and got[1]["end_at"] == 3
+    assert got[2]["n_events"] == 2 and not got[2]["complete"]
+    assert got[2]["n_trailing_orphans"] == 0

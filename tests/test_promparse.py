@@ -788,3 +788,22 @@ def test_grok_parse_types_and_gate(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         grok_compile("%{NOPE:x}")
+
+
+def test_xmlkv_parse_attrs_elements_gate(spark):
+    from sparkcollector.operators.promparse import xmlkv_parse
+
+    rows = [
+        (1, '<event id="7" type="error"><host>h1</host><dur>9</dur>'
+            "</event>"),
+        (2, '<event id="8" type="view"/>'),
+        (3, "junk <<<"),
+        (4, '<event type="x"><other>y</other></event>'),  # missing attr
+    ]
+    df = spark.createDataFrame(rows, "id long, xml string")
+    got = {r["id"]: r for r in xmlkv_parse(df).collect()}
+    assert got[1]["a_id"] == "7" and got[1]["a_type"] == "error"
+    assert got[1]["e_host"] == "h1" and got[1]["n_children"] == 2
+    assert got[2]["n_children"] == 0 and got[2]["e_host"] is None
+    assert not got[3]["well_formed"] and got[3]["a_id"] is None
+    assert got[4]["a_id"] == "" and got[4]["e_host"] is None
