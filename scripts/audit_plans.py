@@ -3249,6 +3249,44 @@ def main() -> None:
         spark=spark,
     )
 
+    # round-3 batch 95: labels, soundex, flap detection.
+    all_ok &= audit(
+        "future_window_labels",
+        lambda: queries()["future_window_labels"](spark, SF_DIR),
+        [
+            ("feature window is a RANGE frame over the integer day "
+             "grid; label is one lead — no self-join",
+             lambda p: "Window" in p and "Join" not in p),
+            ("daily rollup reduces with map-side partials",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "soundex_grouping",
+        lambda: queries()["soundex_grouping"](spark, SF_DIR),
+        [
+            ("distinct then one count window — bounded name table",
+             lambda p: "Window" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "flap_detection",
+        lambda: queries()["flap_detection"](spark, SF_DIR),
+        [
+            ("lag + rolling row frame + keyed aggregate; no self-join",
+             lambda p: "Window" in p and "Join" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

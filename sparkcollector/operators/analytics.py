@@ -6135,3 +6135,76 @@ def transaction_boundaries(
         F.min(F.when(member, F.col(o1))).alias("start_at"),
         F.max(F.when(member, F.col(o1))).alias("end_at"),
     )
+
+
+def soundex_grouping(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+) -> DataFrame:
+    """Soundex phonetic grouping of a name-ish column (hostnames,
+    operator names, customer surnames) — the classic typo/variant
+    collapser for entity resolution blocking: the native JVM
+    ``soundex`` code per distinct name plus how many sibling variants
+    share the code within the key.
+
+    One distinct + one count window on (key, code); soundex itself is
+    codegen'd JVM string work.
+    """
+    d = df.select(
+        F.col(key_col).alias("key"), F.col(name_col).alias("name")
+    ).distinct()
+    coded = d.withColumn("code", F.soundex("name"))
+    w = Window.partitionBy("key", "code")
+    return coded.select(
+        F.col("key").alias(key_col),
+        "name",
+        "code",
+        F.count("*").over(w).cast("long").alias("n_variants"),
+    )
+
+
+def flap_detection(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    state_col: str,
+    window: int = 6,
+    threshold: int = 4,
+) -> DataFrame:
+    """Alert flap detection (the Nagios/Sensu suppression rule): a
+    series whose up/down state TOGGLES ``threshold``+ times within any
+    ``window`` consecutive observations is flapping, and its alerts
+    should be suppressed rather than paged.  Emits per key: total
+    toggles, the worst windowed toggle count, and the flapping
+    verdict.
+
+    One lag window marks toggles, one rolling row-frame counts them,
+    one keyed aggregate summarizes — never a self-join.
+    """
+    w = Window.partitionBy("key").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    base = df.select(
+        F.col(key_col).alias("key"),
+        *[F.col(c) for c in order_cols],
+        F.col(state_col).cast("boolean").alias("st"),
+    )
+    lagged = base.withColumn(
+        "tog",
+        F.when(
+            F.lag("st", 1).over(w).isNotNull()
+            & (F.col("st") != F.lag("st", 1).over(w)),
+            1,
+        ).otherwise(0),
+    )
+    w_roll = w.rowsBetween(-(int(window) - 1), 0)
+    rolled = lagged.withColumn(
+        "roll", F.sum("tog").over(w_roll)
+    )
+    return rolled.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum("tog").cast("long").alias("n_toggles"),
+        F.max("roll").cast("long").alias("max_window_toggles"),
+        (F.max("roll") >= int(threshold)).alias("flapping"),
+    )

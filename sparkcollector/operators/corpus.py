@@ -3276,3 +3276,49 @@ def license_detect(
         has_cr.alias("has_copyright"),
         n_signals.alias("n_signals"),
     )
+
+
+def future_window_labels(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    horizon_days: int = 7,
+    feature_days: int = 7,
+) -> DataFrame:
+    """Leakage-safe supervised-label builder — the step that turns an
+    event log into training rows: one example per (user, ACTIVE day)
+    with a backward feature (events in the trailing ``feature_days``
+    window, inclusive of the observation day) and a forward label
+    (any activity in the next ``horizon_days``, EXCLUSIVE of the
+    observation day).  The feature/label cut at the day boundary is
+    the whole point: features never see past the cutoff, labels never
+    look behind it.
+
+    Day grid is integer epoch days; the backward window is a RANGE
+    frame over that integer (calendar-correct across gaps, unlike a
+    row frame); the forward label is one lead over the distinct
+    active-day series — no self-join.
+    """
+    epoch_day = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp_ltz")) / 86400000000
+    ).cast("long")
+    daily = df.select(
+        F.col(user_col).alias("u"), epoch_day.alias("d")
+    ).groupBy("u", "d").agg(F.count("*").alias("c"))
+    w_feat = (
+        Window.partitionBy("u")
+        .orderBy("d")
+        .rangeBetween(-(int(feature_days) - 1), 0)
+    )
+    w_next = Window.partitionBy("u").orderBy("d")
+    return daily.select(
+        F.col("u").alias(user_col),
+        F.col("d").alias("epoch_day"),
+        F.col("c").cast("long").alias("events_today"),
+        F.sum("c").over(w_feat).cast("long").alias("feat_past_events"),
+        F.coalesce(
+            (F.lead("d", 1).over(w_next) - F.col("d"))
+            <= int(horizon_days),
+            F.lit(False),
+        ).alias("label_active_next"),
+    )

@@ -16994,6 +16994,126 @@ def q_transaction_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 399. Leakage-safe supervised labels per (user, active day): trailing
+#      7-day feature window (RANGE frame) + forward 7-day label via
+#      one lead — no self-join.
+# ---------------------------------------------------------------------
+@register(
+    "future_window_labels",
+    """
+    with daily as (select user_id as u,
+        cast(floor(epoch_us(ts) / 86400000000) as bigint) as d,
+        cast(count(*) as bigint) as c
+      from events group by 1, 2),
+    f as (select u, d, c,
+            sum(c) over (partition by u order by d
+              range between 6 preceding and current row) as fp,
+            lead(d) over (partition by u order by d) as nd
+          from daily)
+    select u as user_id, d as epoch_day, c as events_today,
+      cast(fp as bigint) as feat_past_events,
+      coalesce(nd - d <= 7, false) as label_active_next
+    from f
+    """,
+)
+def q_future_window_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import future_window_labels
+
+    ev = _t(spark, sf_dir, "events")
+    return future_window_labels(ev, "user_id", "ts", 7, 7)
+
+
+# ---------------------------------------------------------------------
+# 400. Soundex phonetic grouping — JVM soundex vs the oracle's PINNED
+#      textbook codes (R163/M460/S530): a genuine cross-check of the
+#      engine's phonetic coder, plus per-code variant counts.
+# ---------------------------------------------------------------------
+@register(
+    "soundex_grouping",
+    """
+    with d as (select distinct user_id % 5 as key,
+        ['robert','rupert','miller','muller','smith','schmidt']
+          [cast(user_id % 6 as int) + 1] as name
+      from events),
+    c as (select key, name,
+            case when name in ('robert', 'rupert') then 'R163'
+                 when name in ('miller', 'muller') then 'M460'
+                 else 'S530' end as code
+          from d)
+    select cast(key as bigint) as key, name, code,
+      cast(count(*) over (partition by key, code) as bigint)
+        as n_variants
+    from c
+    """,
+)
+def q_soundex_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import soundex_grouping
+
+    ev = _t(spark, sf_dir, "events")
+    names = F.array(
+        *[
+            F.lit(n)
+            for n in (
+                "robert", "rupert", "miller", "muller", "smith", "schmidt"
+            )
+        ]
+    )
+    base = ev.select(
+        (F.col("user_id") % 5).alias("key"),
+        F.element_at(names, (F.col("user_id") % 6 + 1).cast("int")).alias(
+            "name"
+        ),
+    )
+    return soundex_grouping(base, "key", "name")
+
+
+# ---------------------------------------------------------------------
+# 401. Alert flap detection per service over hourly error-state
+#      observations — toggle counts, worst 6-obs window, suppression
+#      verdict at >=4 toggles.
+# ---------------------------------------------------------------------
+@register(
+    "flap_detection",
+    """
+    with hr as (select user_id % 20 as key,
+        cast(floor(epoch(ts) / 3600) as bigint) as h,
+        max(case when event_type = 'error' then 1 else 0 end) = 1
+          as st
+      from events group by 1, 2),
+    l as (select key, h, st,
+            case when lag(st) over (partition by key order by h)
+                      is not null
+                   and st <> lag(st) over (partition by key order by h)
+                 then 1 else 0 end as tog
+          from hr),
+    r as (select key, tog,
+            sum(tog) over (partition by key order by h
+              rows between 5 preceding and current row) as roll
+          from l)
+    select cast(key as bigint) as key,
+      cast(count(*) as bigint) as n_obs,
+      cast(sum(tog) as bigint) as n_toggles,
+      cast(max(roll) as bigint) as max_window_toggles,
+      max(roll) >= 4 as flapping
+    from r group by key
+    """,
+)
+def q_flap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import flap_detection
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.col("user_id") % 20).alias("svc"),
+        F.floor(_epoch_s("ts") / 3600).cast("long").alias("h"),
+    ).agg(
+        (F.max((F.col("event_type") == "error").cast("int")) == 1).alias(
+            "st"
+        )
+    )
+    return flap_detection(hourly, "svc", ["h"], "st", window=6, threshold=4)
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -2090,3 +2090,31 @@ def test_transaction_boundaries_semantics(spark):
     assert got[1]["start_at"] == 1 and got[1]["end_at"] == 3
     assert got[2]["n_events"] == 2 and not got[2]["complete"]
     assert got[2]["n_trailing_orphans"] == 0
+
+
+def test_soundex_grouping_textbook_codes(spark):
+    from sparkcollector.operators.analytics import soundex_grouping
+
+    rows = [("k", n) for n in
+            ("robert", "rupert", "smith", "schmidt", "lonely")]
+    df = spark.createDataFrame(rows, "key string, name string")
+    got = {r["name"]: r for r in soundex_grouping(df, "key", "name").collect()}
+    assert got["robert"]["code"] == "R163" == got["rupert"]["code"]
+    assert got["robert"]["n_variants"] == 2
+    assert got["smith"]["code"] == "S530" == got["schmidt"]["code"]
+    assert got["lonely"]["n_variants"] == 1
+
+
+def test_flap_detection_toggles(spark):
+    from sparkcollector.operators.analytics import flap_detection
+
+    flappy = [i % 2 == 0 for i in range(8)]        # toggles every obs
+    steady = [False] * 4 + [True] * 4              # one toggle
+    rows = [("flap", i, s) for i, s in enumerate(flappy)]
+    rows += [("ok", i, s) for i, s in enumerate(steady)]
+    df = spark.createDataFrame(rows, "key string, o int, st boolean")
+    got = {r["key"]: r for r in flap_detection(
+        df, "key", ["o"], "st", window=6, threshold=4).collect()}
+    assert got["flap"]["n_toggles"] == 7
+    assert got["flap"]["max_window_toggles"] == 6 and got["flap"]["flapping"]
+    assert got["ok"]["n_toggles"] == 1 and not got["ok"]["flapping"]

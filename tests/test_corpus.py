@@ -1313,3 +1313,26 @@ def test_license_detect_precedence(spark):
     assert got[2]["license"] == "Apache-2.0" and got[2]["n_signals"] == 2
     assert got[3]["license"] == "MIT" and got[3]["has_copyright"]
     assert got[4]["license"] is None and got[4]["n_signals"] == 0
+
+
+def test_future_window_labels_leakage_boundary(spark):
+    import datetime as dt
+
+    from sparkcollector.operators.corpus import future_window_labels
+
+    # user active on days 0, 3, 15 (relative): day0 sees day3 (<=7)
+    # -> True; day3's next is day15 (gap 12) -> False; day15 last ->
+    # False. Feature on day3 counts day0+day3 (window [d-6, d]).
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for day, n in ((0, 2), (3, 1), (15, 4)):
+        rows += [("u", base + dt.timedelta(days=day))] * n
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    got = {r["epoch_day"]: r for r in
+           future_window_labels(df, "user", "ts").collect()}
+    d0 = min(got)
+    assert got[d0]["label_active_next"] is True
+    assert got[d0 + 3]["label_active_next"] is False      # gap 12 > 7
+    assert got[d0 + 3]["feat_past_events"] == 3           # day0 + day3
+    assert got[d0 + 15]["feat_past_events"] == 4          # gap resets
+    assert got[d0 + 15]["label_active_next"] is False     # no future
