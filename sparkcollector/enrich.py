@@ -472,3 +472,78 @@ def wildcard_lookup(
         F.col("_r") == 1
     )
     return best.drop("_r", "_rx", "_nw")
+
+
+def cidr_lookup(
+    facts: DataFrame,
+    ip_col: str,
+    cidrs: DataFrame,
+    cidr_col: str = "cidr",
+    value_col: str = "zone",
+    out_col: str = "zone",
+    default: str | None = None,
+) -> DataFrame:
+    """Longest-prefix-match IPv4 enrichment against a CIDR dimension.
+
+    Reference analog: resourcedetection / k8s network-zone style
+    enrichment keyed on address ranges (the collector resolves
+    endpoint observers to network metadata; dpfilter globs match
+    address strings but cannot express prefix containment).
+
+    Scale shape: the naive formulation — range join ``ip BETWEEN lo
+    AND hi`` then a per-row window to pick the longest prefix — is a
+    theta-join plus an extra shuffle.  Instead LPM is compiled into a
+    CASCADE OF BROADCAST EQUI-JOINS, one per distinct prefix length in
+    the dimension (<= 33, collected driver-side from the *dimension*,
+    never the facts): for prefix length L, bucket = floor(ip / 2^(32-L))
+    equi-joins the fact against the /L slice of the dim.  Every join is
+    a map-side broadcast hash join on a computed key — ZERO exchanges
+    on the fact table — and the winner is the first non-null in
+    descending-L ``coalesce`` order, which IS longest-prefix-match.
+
+    ``cidrs`` must be a small dimension (broadcast); rows whose ip
+    matches nothing get ``default``.
+    """
+    parts = F.split(F.col(ip_col), r"\.")
+    ip_int = (
+        parts.getItem(0).cast("long") * 16777216
+        + parts.getItem(1).cast("long") * 65536
+        + parts.getItem(2).cast("long") * 256
+        + parts.getItem(3).cast("long")
+    )
+    cparts = F.split(F.col(cidr_col), "/")
+    octs = F.split(cparts.getItem(0), r"\.")
+    prefix_int = (
+        octs.getItem(0).cast("long") * 16777216
+        + octs.getItem(1).cast("long") * 65536
+        + octs.getItem(2).cast("long") * 256
+        + octs.getItem(3).cast("long")
+    )
+    dim = cidrs.select(
+        prefix_int.alias("_pfx"),
+        cparts.getItem(1).cast("int").alias("_plen"),
+        F.col(value_col).alias("_val"),
+    )
+    plens = sorted(
+        (r["_plen"] for r in dim.select("_plen").distinct().collect()),
+        reverse=True,
+    )
+    out = facts.withColumn("_ip_int", ip_int)
+    hit_cols = []
+    for plen in plens:
+        span = 2 ** (32 - plen)
+        slice_ = dim.filter(F.col("_plen") == plen).select(
+            F.floor(F.col("_pfx") / span).cast("long").alias(f"_b{plen}"),
+            F.col("_val").alias(f"_v{plen}"),
+        )
+        out = out.join(
+            F.broadcast(slice_),
+            F.floor(F.col("_ip_int") / span).cast("long")
+            == F.col(f"_b{plen}"),
+            "left",
+        ).drop(f"_b{plen}")
+        hit_cols.append(F.col(f"_v{plen}"))
+    best = F.coalesce(*hit_cols, F.lit(default)) if hit_cols else F.lit(default)
+    return out.withColumn(out_col, best).drop(
+        "_ip_int", *[f"_v{p}" for p in plens]
+    )

@@ -6208,3 +6208,51 @@ def flap_detection(
         F.max("roll").cast("long").alias("max_window_toggles"),
         (F.max("roll") >= int(threshold)).alias("flapping"),
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col,
+    k: int = 32,
+) -> DataFrame:
+    """K-minimum-values distinct sketch per group.
+
+    Reference analog: the collector's count connector reports exact
+    grouped counts; at 10^12 rows an exact COUNT(DISTINCT) per group is
+    a full shuffle of every distinct pair, while a KMV sketch carries a
+    fixed k values per group and — unlike HyperLogLog (``hll_distinct``)
+    — supports set INTERSECTION estimates, which HLL fundamentally
+    cannot (union-only).  KMV: hash every item with an engine-portable
+    md5-derived 32-bit hash, keep the k smallest distinct hash values;
+    if fewer than k distinct values exist the sketch is exact, else
+    estimate n ~= (k-1) * 2^32 / kth_min (Bar-Yossef et al.,
+    "Counting distinct elements in a data stream").
+
+    Scale shape: one distinct-shuffle on (group, hash) with partial
+    aggregation, then a bounded per-group top-k via window row_number
+    (k rows per group survive).  No collect, no global sort.
+
+    Returns per group: ``k_used`` (sketch fill), ``kth_min`` (largest
+    retained hash), ``est_distinct`` (rounded to 6 dp — exact fill
+    count when under-full, KMV estimator otherwise).
+    """
+    col = F.col(item_col) if isinstance(item_col, str) else item_col
+    hv = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    hashed = df.select(*group_cols, hv.alias("_hv")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_hv")
+    sk = hashed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    kc = F.count(F.lit(1))
+    kth = F.max("_hv")
+    est = F.when(kc < k, kc.cast("double")).otherwise(
+        F.round((F.lit(float(k - 1)) * 4294967296.0) / kth, 6)
+    )
+    return sk.groupBy(*group_cols).agg(
+        kc.cast("long").alias("k_used"),
+        kth.cast("long").alias("kth_min"),
+        est.alias("est_distinct"),
+    )

@@ -17114,6 +17114,164 @@ def q_flap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 402. Connected components over the purchase user<->prop-k bipartite
+#      graph — alternating large-star/small-star (O(log^2 n) rounds,
+#      bounded-memory per round), component = min node id.  Oracle is
+#      an independent algorithm: DuckDB recursive-CTE reachability
+#      closure with min-label fold.
+# ---------------------------------------------------------------------
+@register(
+    "connected_components",
+    r"""
+    with recursive e0 as (
+      select distinct user_id % 60 as a,
+        1000 + cast(regexp_extract(props, '"k": (\d+)', 1) as bigint) % 40
+          as b
+      from events where event_type = 'purchase'),
+    edges as (select a, b from e0 union select b, a from e0),
+    nodes as (select distinct a as n from edges),
+    reach(node, lbl) as (
+      select n, n from nodes
+      union
+      select e.b, r.lbl from reach r join edges e on e.a = r.node),
+    comp as (select node, min(lbl) as component from reach group by node)
+    select cast(node as bigint) as node,
+      cast(component as bigint) as component
+    from comp
+    """,
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import connected_components
+
+    ev = _t(spark, sf_dir, "events")
+    kval = F.regexp_extract("props", r'"k": (\d+)', 1).cast("long")
+    edges = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            (F.col("user_id") % 60).alias("src"),
+            (F.lit(1000) + kval % 40).alias("dst"),
+        )
+        .distinct()
+    )
+    return connected_components(edges, "src", "dst").select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 403. CIDR longest-prefix-match enrichment: IPv4 facts against an
+#      overlapping CIDR dimension (default route, /8, /16, /24), zone
+#      rollup.  Spark compiles LPM into a cascade of broadcast
+#      equi-joins on prefix buckets (zero fact-side exchanges); the
+#      oracle uses the naive BETWEEN range join + plen-desc row_number.
+# ---------------------------------------------------------------------
+@register(
+    "cidr_enrich",
+    """
+    with ip as (select event_id,
+      (case when user_id % 4 in (0, 1) then 10
+            when user_id % 4 = 2 then 192 else 172 end) as o1,
+      (case when event_id % 3 = 0 then 0
+            when event_id % 3 = 1 then 1 else 168 end) as o2,
+      event_id % 4 as o3, user_id % 250 as o4
+      from events),
+    f as (select event_id,
+      cast(o1 as bigint) * 16777216 + o2 * 65536 + o3 * 256 + o4
+        as ipi,
+      o1 || '.' || o2 || '.' || o3 || '.' || o4 as ip from ip),
+    dim as (select * from (values
+      (0, 4294967295, 0, 'internet'),
+      (167772160, 184549375, 8, 'corp'),
+      (167837696, 167903231, 16, 'db'),
+      (167838208, 167838463, 24, 'admin'),
+      (3232235520, 3232301055, 16, 'lab'))
+      as t(lo, hi, plen, zone)),
+    m as (select f.event_id, f.ip, d.zone,
+      row_number() over (partition by f.event_id order by d.plen desc)
+        as rn
+      from f join dim d on f.ipi between d.lo and d.hi)
+    select zone, cast(count(*) as bigint) as n_events,
+      cast(count(distinct ip) as bigint) as n_ips
+    from m where rn = 1 group by zone
+    """,
+)
+def q_cidr_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .enrich import cidr_lookup
+
+    ev = _t(spark, sf_dir, "events")
+    o1 = (
+        F.when((F.col("user_id") % 4).isin(0, 1), 10)
+        .when(F.col("user_id") % 4 == 2, 192)
+        .otherwise(172)
+    )
+    o2 = (
+        F.when(F.col("event_id") % 3 == 0, 0)
+        .when(F.col("event_id") % 3 == 1, 1)
+        .otherwise(168)
+    )
+    facts = ev.select(
+        "event_id",
+        F.concat_ws(
+            ".",
+            o1.cast("string"),
+            o2.cast("string"),
+            (F.col("event_id") % 4).cast("string"),
+            (F.col("user_id") % 250).cast("string"),
+        ).alias("ip"),
+    )
+    cidrs = ev.sparkSession.createDataFrame(
+        [
+            ("0.0.0.0/0", "internet"),
+            ("10.0.0.0/8", "corp"),
+            ("10.1.0.0/16", "db"),
+            ("10.1.2.0/24", "admin"),
+            ("192.168.0.0/16", "lab"),
+        ],
+        "cidr string, zone string",
+    )
+    return cidr_lookup(facts, "ip", cidrs).groupBy("zone").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("ip").cast("long").alias("n_ips"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 404. KMV (k-minimum-values) distinct sketch per event_type over
+#      user_id — portable md5 32-bit hash, k=32, exact when
+#      under-full, (k-1)*2^32/kth_min estimator otherwise.  Unlike
+#      HLL this sketch supports intersection estimates.
+# ---------------------------------------------------------------------
+@register(
+    "kmv_set_sketch",
+    """
+    with h as (select distinct event_type as grp,
+      cast(('0x' || substr(md5(cast(user_id as varchar)), 1, 8))
+        as bigint) as hv
+      from events),
+    r as (select grp, hv,
+      row_number() over (partition by grp order by hv) as rn from h),
+    s as (select grp, hv from r where rn <= 32)
+    select grp, cast(count(*) as bigint) as k_used,
+      cast(max(hv) as bigint) as kth_min,
+      case when count(*) < 32 then cast(count(*) as double)
+        else round(31.0 * 4294967296.0 / max(hv), 6) end as est_distinct
+    from s group by grp
+    """,
+)
+def q_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import kmv_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_sketch(
+        ev.select(F.col("event_type").alias("grp"), "user_id"),
+        ["grp"],
+        "user_id",
+        k=32,
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

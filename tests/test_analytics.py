@@ -2118,3 +2118,27 @@ def test_flap_detection_toggles(spark):
     assert got["flap"]["n_toggles"] == 7
     assert got["flap"]["max_window_toggles"] == 6 and got["flap"]["flapping"]
     assert got["ok"]["n_toggles"] == 1 and not got["ok"]["flapping"]
+
+
+def test_kmv_sketch_exact_when_underfull(spark):
+    from pyspark.sql import functions as F
+    from sparkcollector.operators.analytics import kmv_sketch
+
+    df = spark.createDataFrame(
+        [("a", i % 5) for i in range(100)], "grp string, item long"
+    )
+    row = kmv_sketch(df, ["grp"], "item", k=32).collect()[0]
+    assert row["k_used"] == 5
+    assert row["est_distinct"] == 5.0
+
+
+def test_kmv_sketch_estimate_within_tolerance(spark):
+    from sparkcollector.operators.analytics import kmv_sketch
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(2000)], "grp string, item long"
+    )
+    row = kmv_sketch(df, ["grp"], "item", k=64).collect()[0]
+    assert row["k_used"] == 64
+    # KMV relative error ~ 1/sqrt(k) ~= 12.5%; allow 3 sigma
+    assert abs(row["est_distinct"] - 2000) / 2000 < 0.40

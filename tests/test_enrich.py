@@ -275,3 +275,41 @@ def test_wildcard_lookup_specificity(spark):
     assert got["web-9"]["tier"] == "nine"           # len('*-9') > len('*')
     assert got["db-main"]["tier"] == "fallback"
     assert got["other"]["tier"] == "fallback"
+
+
+def test_cidr_lookup_longest_prefix_wins(spark):
+    from sparkcollector.enrich import cidr_lookup
+
+    facts = spark.createDataFrame(
+        [
+            (1, "10.1.2.7"),    # matches /0 /8 /16 /24 -> admin
+            (2, "10.1.9.9"),    # /0 /8 /16 -> db
+            (3, "10.9.9.9"),    # /0 /8 -> corp
+            (4, "192.168.3.4"), # /0 /16 -> lab
+            (5, "8.8.8.8"),     # /0 only -> internet
+        ],
+        "id long, ip string",
+    )
+    cidrs = spark.createDataFrame(
+        [
+            ("0.0.0.0/0", "internet"),
+            ("10.0.0.0/8", "corp"),
+            ("10.1.0.0/16", "db"),
+            ("10.1.2.0/24", "admin"),
+            ("192.168.0.0/16", "lab"),
+        ],
+        "cidr string, zone string",
+    )
+    got = {r["id"]: r["zone"] for r in cidr_lookup(facts, "ip", cidrs).collect()}
+    assert got == {1: "admin", 2: "db", 3: "corp", 4: "lab", 5: "internet"}
+
+
+def test_cidr_lookup_default_when_unmatched(spark):
+    from sparkcollector.enrich import cidr_lookup
+
+    facts = spark.createDataFrame([(1, "8.8.8.8")], "id long, ip string")
+    cidrs = spark.createDataFrame(
+        [("10.0.0.0/8", "corp")], "cidr string, zone string"
+    )
+    rows = cidr_lookup(facts, "ip", cidrs, default="unknown").collect()
+    assert rows[0]["zone"] == "unknown"

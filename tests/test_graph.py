@@ -261,3 +261,29 @@ def test_local_clustering_coeff_star_is_zero(spark):
     got = {r["v"]: r for r in local_clustering_coeff(df).collect()}
     assert got[1]["triangles"] == 0 and got[1]["coeff"] == 0.0
     assert got[2]["degree"] == 1 and got[2]["coeff"] == 0.0
+
+
+def test_connected_components_long_chain(spark):
+    from sparkcollector.operators.graph import connected_components
+
+    # a 12-node chain (worst case for min-label diameter walks) plus a
+    # disjoint triangle and an isolated edge
+    chain = [(i, i + 1) for i in range(1, 12)]
+    tri = [(100, 101), (101, 102), (100, 102)]
+    iso = [(200, 201)]
+    df = spark.createDataFrame(chain + tri + iso, "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert all(got[i] == 1 for i in range(1, 13))
+    assert all(got[n] == 100 for n in (100, 101, 102))
+    assert got[200] == 200 and got[201] == 200
+    assert len(got) == 17
+
+
+def test_connected_components_star_already_converged(spark):
+    from sparkcollector.operators.graph import connected_components
+
+    df = spark.createDataFrame(
+        [(5, 1), (6, 1), (7, 1)], "src long, dst long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {1: 1, 5: 1, 6: 1, 7: 1}
