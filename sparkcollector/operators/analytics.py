@@ -6256,3 +6256,106 @@ def kmv_sketch(
         kth.cast("long").alias("kth_min"),
         est.alias("est_distinct"),
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA F-statistic across k groups, from power sums.
+
+    Completes the two-sample ``welch_t_test`` to k groups: does the
+    mean of ``value_col`` differ across levels of ``group_col``?
+    F = (SSB / (k-1)) / (SSW / (n-k)) with SSW/SSB folded through per-
+    group (n, sum, sumsq) — ONE shuffle on the group key with partial
+    aggregation, then a single-row reduce.  No per-row second pass
+    (the textbook sum((x - mean_g)^2) would rescan the fact table).
+
+    Returns one row: k, n, df1, df2, f_stat (round 6), ssb/ssw
+    (round 4).
+    """
+    v = F.col(value_col).cast("double")
+    per = (
+        df.filter(v.isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum(v).alias("_s"),
+            F.sum(v * v).alias("_q"),
+        )
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("_n").alias("n"),
+        F.sum("_s").alias("s"),
+        F.sum("_q").alias("q"),
+        F.sum(F.col("_s") * F.col("_s") / F.col("_n")).alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("q") - F.col("sb")
+    df1 = F.col("k") - 1
+    df2 = F.col("n") - F.col("k")
+    return tot.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        df1.cast("long").alias("df1"),
+        df2.cast("long").alias("df2"),
+        F.round(ssb, 4).alias("ssb"),
+        F.round(ssw, 4).alias("ssw"),
+        F.round((ssb / df1) / (ssw / df2), 6).alias("f_stat"),
+    )
+
+
+def business_hours_duration(
+    pairs: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    open_hour: int = 9,
+    close_hour: int = 17,
+) -> DataFrame:
+    """Business-hours overlap (seconds) of [start, end] intervals.
+
+    SLA clocks ("responded within 4 business hours") must exclude
+    nights and weekends.  Each interval is expanded to its covered
+    calendar days with ``sequence()`` + ``explode`` (JVM builtins —
+    O(interval days) rows, no Python), each day clamped to the
+    [open_hour, close_hour) window, Sat/Sun dropped, then re-summed
+    per key.  For telemetry SLA intervals (hours-to-days) the
+    expansion factor is tiny; a closed-form cumulative-calendar
+    function only wins on multi-year intervals.
+
+    ``key_cols`` must uniquely identify input rows (caller-owned —
+    a generated monotonically_increasing_id would not survive task
+    retries deterministically, so it is deliberately NOT used here).
+    Returns (key_cols..., business_seconds:long); intervals with
+    end < start yield 0.
+    """
+
+    def _ep(c):
+        return c.cast("timestamp_ltz").cast("double")
+
+    s = F.col(start_col).cast("timestamp")
+    e = F.col(end_col).cast("timestamp")
+    ex = pairs.select(
+        *key_cols,
+        s.alias("_s"),
+        e.alias("_e"),
+        F.explode_outer(
+            F.when(
+                e >= s,
+                F.sequence(F.date_trunc("day", s), F.date_trunc("day", e)),
+            ).otherwise(F.array())
+        ).alias("_d"),
+    )
+    day_open = F.col("_d") + F.expr(f"interval {open_hour} hours")
+    day_close = F.col("_d") + F.expr(f"interval {close_hour} hours")
+    lo = F.greatest(F.col("_s"), day_open)
+    hi = F.least(F.col("_e"), day_close)
+    secs = F.when(
+        F.dayofweek("_d").isin(1, 7) | F.col("_d").isNull(), F.lit(0.0)
+    ).otherwise(F.greatest(_ep(hi) - _ep(lo), F.lit(0.0)))
+    return ex.groupBy(*key_cols).agg(
+        F.round(F.sum(secs)).cast("long").alias("business_seconds")
+    )

@@ -214,3 +214,48 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .select(*key_cols, "change")
     )
+
+
+def jwt_parse(
+    df: DataFrame,
+    token_col: str,
+    claims: list[str] | None = None,
+) -> DataFrame:
+    """Parse JWT tokens into header/payload claims, entirely JVM-side.
+
+    Reference analog: the collector's HEC/signalfx receivers validate
+    bearer tokens on ingest (access-token passthrough in exporter
+    configs); a batch audit over logged tokens needs the same split +
+    base64url-decode + claim extraction, as columnar expressions (no
+    Python in the hot path — ``unbase64``/``get_json_object`` are
+    Catalyst builtins inside one codegen span).
+
+    Handles RFC 7515 base64url: translates ``-_`` back to ``+/`` and
+    re-pads to a multiple of 4 before ``unbase64`` (JWT segments are
+    emitted unpadded).  Malformed tokens (fewer than 2 dots) yield NULL
+    claims rather than errors — dead-letter semantics, like
+    ``parse.regex_parse(on_error="send")``.
+
+    Returns the input plus ``jwt_alg`` and one ``claim_<name>`` string
+    column per requested claim (default: sub, iat, exp).
+    """
+    claims = claims or ["sub", "iat", "exp"]
+
+    def decoded(i: int) -> Column:
+        s = F.split(F.col(token_col), r"\.").getItem(i)
+        std = F.translate(s, "-_", "+/")
+        padded = F.concat(
+            std,
+            F.substring(
+                F.lit("==="), F.lit(1), (F.lit(4) - F.length(std) % 4) % 4
+            ),
+        )
+        return F.unbase64(padded).cast("string")
+
+    ok = F.size(F.split(F.col(token_col), r"\.")) >= 2
+    hdr = F.when(ok, decoded(0))
+    pay = F.when(ok, decoded(1))
+    out = df.withColumn("jwt_alg", F.get_json_object(hdr, "$.alg"))
+    for c in claims:
+        out = out.withColumn(f"claim_{c}", F.get_json_object(pay, f"$.{c}"))
+    return out

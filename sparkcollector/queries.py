@@ -17272,6 +17272,156 @@ def q_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 405. JWT claims audit: deterministic tokens built from events
+#      (base64url header.payload.sig), parsed back entirely JVM-side
+#      (translate + re-pad + unbase64 + get_json_object), expiry
+#      audited against a fixed reference instant.  Oracle never
+#      decodes — it recomputes the claims directly (independent path).
+# ---------------------------------------------------------------------
+@register(
+    "jwt_claims_audit",
+    """
+    with t as (select 'u' || cast(user_id % 50 as varchar) as sub,
+      cast(floor(epoch(ts)) as bigint) as iat,
+      cast(floor(epoch(ts)) as bigint)
+        + case when user_id % 3 = 0 then 60 else 7200 end as exp
+      from events)
+    select sub, cast(count(*) as bigint) as n_tokens,
+      cast(sum(case when exp < 1704153600 then 1 else 0 end) as bigint)
+        as n_expired,
+      cast(max(exp) as bigint) as max_exp
+    from t group by sub
+    """,
+)
+def q_jwt_claims_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.encode import jwt_parse
+
+    ev = _t(spark, sf_dir, "events")
+    iat = F.floor(_epoch_s("ts")).cast("long")
+    exp = iat + F.when(F.col("user_id") % 3 == 0, 60).otherwise(7200)
+    payload = F.concat(
+        F.lit('{"sub":"u'),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit('","iat":'),
+        iat.cast("string"),
+        F.lit(',"exp":'),
+        exp.cast("string"),
+        F.lit("}"),
+    )
+
+    def b64url(c) -> "F.Column":
+        return F.regexp_replace(
+            F.translate(F.base64(c.cast("binary")), "+/", "-_"), "=+$", ""
+        )
+
+    tokens = ev.select(
+        F.concat(
+            b64url(F.lit('{"alg":"HS256","typ":"JWT"}')),
+            F.lit("."),
+            b64url(payload),
+            F.lit(".sig"),
+        ).alias("token")
+    )
+    parsed = jwt_parse(tokens, "token")
+    return parsed.groupBy(F.col("claim_sub").alias("sub")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(
+            (F.col("claim_exp").cast("long") < 1704153600).cast("int")
+        ).cast("long").alias("n_expired"),
+        F.max(F.col("claim_exp").cast("long")).alias("max_exp"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 406. One-way ANOVA F across event_type groups on value — k-group
+#      generalization of welch_t_test, folded through per-group power
+#      sums (one shuffle + single-row reduce, no second scan).
+# ---------------------------------------------------------------------
+@register(
+    "anova_f_groups",
+    """
+    with a as (select event_type, cast(count(*) as double) as n,
+        sum(cast(value as double)) as s,
+        sum(cast(value as double) * cast(value as double)) as q
+      from events where value is not null group by 1),
+    t as (select cast(count(*) as double) as k, sum(n) as n,
+        sum(s) as s, sum(q) as q, sum(s * s / n) as sb from a)
+    select cast(k as bigint) as k, cast(n as bigint) as n,
+      cast(k - 1 as bigint) as df1, cast(n - k as bigint) as df2,
+      round(sb - s * s / n, 4) as ssb,
+      round(q - sb, 4) as ssw,
+      round(((sb - s * s / n) / (k - 1)) / ((q - sb) / (n - k)), 6)
+        as f_stat
+    from t
+    """,
+)
+def q_anova_f_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import anova_oneway
+
+    ev = _t(spark, sf_dir, "events")
+    return anova_oneway(ev, "event_type", "value")
+
+
+# ---------------------------------------------------------------------
+# 407. Business-hours SLA clock: signup -> first purchase per user,
+#      elapsed seconds counted only Mon-Fri 09:00-17:00 (sequence +
+#      explode day expansion, JVM-only), rolled up to user buckets.
+# ---------------------------------------------------------------------
+@register(
+    "business_hours_sla",
+    """
+    with su as (select user_id, min(ts) as t0 from events
+      where event_type = 'signup' group by 1),
+    pu as (select s.user_id, s.t0, min(e.ts) as t1
+      from su s join events e on e.user_id = s.user_id
+        and e.event_type = 'purchase' and e.ts > s.t0
+      group by 1, 2),
+    ex as (select user_id, t0, t1,
+      unnest(generate_series(date_trunc('day', t0),
+        date_trunc('day', t1), interval 1 day)) as d from pu),
+    per as (select user_id,
+      cast(round(sum(case when dayofweek(d) in (0, 6) then 0
+        else greatest(
+          least(epoch(t1), epoch(d + interval 17 hours))
+          - greatest(epoch(t0), epoch(d + interval 9 hours)), 0) end))
+        as bigint) as bs
+      from ex group by user_id)
+    select cast(user_id % 25 as bigint) as bucket,
+      cast(count(*) as bigint) as n_pairs,
+      cast(sum(bs) as bigint) as total_business_seconds
+    from per group by 1
+    """,
+)
+def q_business_hours_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import business_hours_duration
+
+    ev = _t(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    pu = (
+        su.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("t1")
+            ),
+            "user_id",
+        )
+        .filter(F.col("t1") > F.col("t0"))
+        .groupBy("user_id", "t0")
+        .agg(F.min("t1").alias("t1"))
+    )
+    per = business_hours_duration(pu, ["user_id"], "t0", "t1")
+    return per.groupBy((F.col("user_id") % 25).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("business_seconds").cast("long").alias(
+            "total_business_seconds"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -2142,3 +2142,42 @@ def test_kmv_sketch_estimate_within_tolerance(spark):
     assert row["k_used"] == 64
     # KMV relative error ~ 1/sqrt(k) ~= 12.5%; allow 3 sigma
     assert abs(row["est_distinct"] - 2000) / 2000 < 0.40
+
+
+def test_anova_oneway_matches_scipy_formula(spark):
+    from sparkcollector.operators.analytics import anova_oneway
+
+    rows = (
+        [("a", v) for v in [1.0, 2.0, 3.0]]
+        + [("b", v) for v in [2.0, 3.0, 4.0]]
+        + [("c", v) for v in [5.0, 6.0, 7.0]]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "g", "v").collect()[0]
+    # hand-computed: means 2,3,6; grand 11/3; SSB=3*((2-11/3)^2+(3-11/3)^2+(6-11/3)^2)=26
+    # SSW = 3 groups * 2 = 6; F = (26/2)/(6/6) = 13
+    assert r["k"] == 3 and r["n"] == 9 and r["df1"] == 2 and r["df2"] == 6
+    assert abs(r["ssb"] - 26.0) < 1e-6 and abs(r["ssw"] - 6.0) < 1e-6
+    assert abs(r["f_stat"] - 13.0) < 1e-6
+
+
+def test_business_hours_duration_weekend_and_clamp(spark):
+    from sparkcollector.operators.analytics import business_hours_duration
+
+    rows = [
+        # Fri 2024-01-05 16:00 -> Mon 2024-01-08 10:00:
+        # Fri 16-17 = 3600, Sat+Sun = 0, Mon 9-10 = 3600
+        (1, "2024-01-05 16:00:00", "2024-01-08 10:00:00"),
+        # entirely outside business hours (same evening)
+        (2, "2024-01-03 18:00:00", "2024-01-03 20:00:00"),
+        # end before start -> 0
+        (3, "2024-01-03 12:00:00", "2024-01-03 11:00:00"),
+        # within one business day
+        (4, "2024-01-03 10:15:00", "2024-01-03 11:45:00"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t0 string, t1 string")
+    got = {
+        r["id"]: r["business_seconds"]
+        for r in business_hours_duration(df, ["id"], "t0", "t1").collect()
+    }
+    assert got == {1: 7200, 2: 0, 3: 0, 4: 5400}

@@ -105,3 +105,25 @@ def test_snapshot_diff_changes_only(spark):
     got = {r["k"]: r["change"]
            for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
     assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_jwt_parse_roundtrip_and_malformed(spark):
+    import base64 as b64
+
+    from sparkcollector.operators.encode import jwt_parse
+
+    def tok(payload: str) -> str:
+        enc = lambda s: b64.urlsafe_b64encode(s.encode()).decode().rstrip("=")
+        return enc('{"alg":"HS256","typ":"JWT"}') + "." + enc(payload) + ".x"
+
+    rows = [
+        (1, tok('{"sub":"alice","iat":100,"exp":200}')),
+        (2, tok('{"sub":"b?b","iat":1,"exp":2}')),  # ? -> base64url chars
+        (3, "not-a-jwt"),
+    ]
+    df = spark.createDataFrame(rows, "id long, token string")
+    got = {r["id"]: r for r in jwt_parse(df, "token").collect()}
+    assert got[1]["jwt_alg"] == "HS256"
+    assert got[1]["claim_sub"] == "alice" and got[1]["claim_exp"] == "200"
+    assert got[2]["claim_sub"] == "b?b"
+    assert got[3]["claim_sub"] is None and got[3]["jwt_alg"] is None
