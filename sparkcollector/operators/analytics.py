@@ -6359,3 +6359,80 @@ def business_hours_duration(
     return ex.groupBy(*key_cols).agg(
         F.round(F.sum(secs)).cast("long").alias("business_seconds")
     )
+
+
+def simpson_diversity(
+    df: DataFrame,
+    group_cols: list[str],
+    cat_col: str,
+) -> DataFrame:
+    """Simpson diversity index + Berger-Parker dominance per group.
+
+    Ecology-style concentration measures over categorical telemetry
+    (event-type mix per tenant, tool mix per conversation): Simpson's
+    D = 1 - sum(n_i*(n_i-1)) / (N*(N-1)) is the probability two draws
+    without replacement differ; Berger-Parker = max(n_i)/N is the share
+    of the dominant category.  All-integer numerators (exact, fold-
+    order-free) divided once at the end — two chained groupBys, both
+    partial-aggregated.
+
+    Returns (group_cols..., n, n_cats, simpson, berger_parker).
+    """
+    counts = df.groupBy(*group_cols, cat_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    c = F.col("_c")
+    agg = counts.groupBy(*group_cols).agg(
+        F.sum(c).alias("_n"),
+        F.count(F.lit(1)).alias("n_cats"),
+        F.sum(c * (c - 1)).alias("_pairs"),
+        F.max(c).alias("_mx"),
+    )
+    n = F.col("_n").cast("double")
+    return agg.select(
+        *group_cols,
+        F.col("_n").cast("long").alias("n"),
+        F.col("n_cats").cast("long").alias("n_cats"),
+        F.when(
+            F.col("_n") > 1,
+            F.round(1.0 - F.col("_pairs") / (n * (n - 1.0)), 6),
+        ).otherwise(F.lit(0.0)).alias("simpson"),
+        F.round(F.col("_mx") / n, 6).alias("berger_parker"),
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Durbin-Watson first-order autocorrelation statistic per group.
+
+    DW = sum((r_t - r_{t-1})^2) / sum(r_t^2) over residuals r = value -
+    group mean, in ``order_cols`` order (ties must be broken by the
+    caller's order columns for determinism).  DW ~ 2 means no lag-1
+    autocorrelation, -> 0 positive, -> 4 negative; the collector-side
+    use is detecting smoothed/stuck gauges (positively autocorrelated
+    residuals) before alerting math assumes independence.
+
+    Shape: one groupBy for the mean (joined back — AQE broadcasts the
+    tiny aggregate), one window lag (single shuffle on the group key),
+    one final groupBy.  Means fold as sum/count power sums.
+    """
+    v = F.col(value_col).cast("double")
+    means = df.groupBy(group_col).agg(
+        F.sum(v).alias("_s"), F.count(v).alias("_n")
+    )
+    j = df.join(means, group_col).withColumn(
+        "_r", v - F.col("_s") / F.col("_n")
+    )
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    j = j.withColumn("_dr", F.col("_r") - F.lag("_r").over(w))
+    return j.groupBy(group_col).agg(
+        F.count(v).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("_dr") * F.col("_dr")) / F.sum(F.col("_r") * F.col("_r")),
+            6,
+        ).alias("dw"),
+    )

@@ -445,3 +445,45 @@ def mattr_diversity(
         n.alias("n_tokens"),
         F.round(mattr, 6).alias("mattr"),
     )
+
+
+def secret_entropy_scan(
+    df: DataFrame,
+    text_col: str,
+    pattern: str = "[A-Za-z0-9+/=_-]{20,}",
+    bits_threshold: float = 3.0,
+) -> DataFrame:
+    """High-entropy credential-candidate scan over free text.
+
+    Leaked API keys / tokens are long runs of near-uniform symbols;
+    prose is not.  Extracts every candidate run matching ``pattern``
+    (``regexp_extract_all`` — JVM regex, no Python) and computes the
+    per-token Shannon entropy in bits over its character distribution
+    with array higher-order functions: H = -sum_c p_c*log2(p_c) where
+    p_c folds over ``array_distinct`` of the chars — a pure per-row
+    expression, ZERO shuffles added, O(len * alphabet) per token.
+    Flags tokens with H >= ``bits_threshold`` (hex keys ~3.9 bits,
+    base64 ~5.7, 'xxxx...' padding 0).
+
+    Returns one row per candidate token: (input cols..., token,
+    entropy_bits (round 6), is_secret).
+    """
+    toks = df.withColumn(
+        "token",
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)),
+    )
+    toks = toks.withColumn(
+        "_chars", F.filter(F.split(F.col("token"), ""), lambda x: x != "")
+    )
+    ent = F.expr(
+        "aggregate(array_distinct(_chars), cast(0.0 as double), (acc, c) ->"
+        " acc - (size(filter(_chars, x -> x = c))"
+        "        / cast(size(_chars) as double))"
+        "     * log2(size(filter(_chars, x -> x = c))"
+        "        / cast(size(_chars) as double)))"
+    )
+    return (
+        toks.withColumn("entropy_bits", F.round(ent, 6))
+        .withColumn("is_secret", F.col("entropy_bits") >= bits_threshold)
+        .drop("_chars")
+    )

@@ -17422,6 +17422,126 @@ def q_business_hours_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 408. Secret/credential entropy scan: deterministic high-entropy
+#      (md5-hex) and zero-entropy (repeat 'x') tokens appended to
+#      document text, candidates extracted by regex, per-token Shannon
+#      entropy via array HOFs (zero extra shuffles), rolled up by
+#      source x verdict.  min/max rollups keep floats fold-order-free.
+# ---------------------------------------------------------------------
+@register(
+    "secret_entropy_scan",
+    """
+    with docs as (select doc_id, source,
+      text || ' ' || case when doc_id % 2 = 0
+        then md5(cast(doc_id as varchar))
+          || md5(cast(doc_id + 1 as varchar))
+        else repeat('x', 40) end as text2
+      from documents),
+    toks as (select doc_id, source,
+      unnest(regexp_extract_all(text2, '[A-Za-z0-9+/=_-]{20,}')) as tok
+      from docs),
+    chars as (select doc_id, source, tok,
+      unnest(string_split(tok, '')) as ch from toks),
+    freq as (select doc_id, source, tok, length(tok) as ln, ch,
+      count(*) as c from chars group by all),
+    ent as (select doc_id, source, tok,
+      round(-sum((c * 1.0 / ln) * log2(c * 1.0 / ln)), 6) as h
+      from freq group by doc_id, source, tok),
+    v as (select source, h >= 3.0 as is_secret, h from ent)
+    select source, is_secret,
+      cast(count(*) as bigint) as n_tokens,
+      min(h) as min_entropy, max(h) as max_entropy
+    from v group by source, is_secret
+    """,
+)
+def q_secret_entropy_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import secret_entropy_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.md5(F.col("doc_id").cast("string")),
+                    F.md5((F.col("doc_id") + 1).cast("string")),
+                ),
+            ).otherwise(F.lit("x" * 40)),
+        ).alias("text2"),
+    )
+    scanned = secret_entropy_scan(planted, "text2")
+    return scanned.groupBy("source", "is_secret").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.min("entropy_bits").alias("min_entropy"),
+        F.max("entropy_bits").alias("max_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 409. Simpson diversity + Berger-Parker dominance of the event-type
+#      mix per user bucket — probability-two-draws-differ and dominant
+#      share, exact integer numerators divided once at the end.
+# ---------------------------------------------------------------------
+@register(
+    "simpson_diversity",
+    """
+    with c as (select user_id % 20 as bucket, event_type,
+        count(*) as c from events group by 1, 2),
+    a as (select bucket, sum(c) as n, count(*) as n_cats,
+        sum(c * (c - 1)) as pairs, max(c) as mx from c group by bucket)
+    select cast(bucket as bigint) as bucket, cast(n as bigint) as n,
+      cast(n_cats as bigint) as n_cats,
+      case when n > 1
+        then round(1.0 - pairs / (cast(n as double) * (n - 1.0)), 6)
+        else 0.0 end as simpson,
+      round(mx / cast(n as double), 6) as berger_parker
+    from a
+    """,
+)
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import simpson_diversity
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 20).alias("bucket"), "event_type"
+    )
+    return simpson_diversity(ev, ["bucket"], "event_type")
+
+
+# ---------------------------------------------------------------------
+# 410. Durbin-Watson lag-1 autocorrelation of value residuals per
+#      event_type (ts, event_id order) — stuck/smoothed gauge
+#      detection before alert math that assumes independence.
+# ---------------------------------------------------------------------
+@register(
+    "durbin_watson",
+    """
+    with m as (select event_type, sum(cast(value as double)) as s,
+        count(value) as n from events group by 1),
+    r as (select e.event_type,
+        cast(e.value as double) - m.s / m.n as r, e.ts, e.event_id
+      from events e join m on e.event_type = m.event_type
+      where e.value is not null),
+    d as (select event_type, r,
+        r - lag(r) over (partition by event_type
+          order by ts, event_id) as dr
+      from r)
+    select event_type, cast(count(*) as bigint) as n,
+      round(sum(dr * dr) / sum(r * r), 6) as dw
+    from d group by event_type
+    """,
+)
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import durbin_watson
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return durbin_watson(ev, "event_type", ["ts", "event_id"], "value")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

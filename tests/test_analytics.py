@@ -2181,3 +2181,29 @@ def test_business_hours_duration_weekend_and_clamp(spark):
         for r in business_hours_duration(df, ["id"], "t0", "t1").collect()
     }
     assert got == {1: 7200, 2: 0, 3: 0, 4: 5400}
+
+
+def test_simpson_diversity_known_values(spark):
+    from sparkcollector.operators.analytics import simpson_diversity
+
+    # group g: 2 of 'a', 2 of 'b' -> D = 1 - (2*1+2*1)/(4*3) = 2/3
+    # group h: 3 of 'a' only -> D = 1 - 6/6 = 0, BP = 1
+    rows = [("g", "a"), ("g", "a"), ("g", "b"), ("g", "b"),
+            ("h", "a"), ("h", "a"), ("h", "a")]
+    df = spark.createDataFrame(rows, "grp string, cat string")
+    got = {r["grp"]: r for r in simpson_diversity(df, ["grp"], "cat").collect()}
+    assert abs(got["g"]["simpson"] - 2 / 3) < 1e-5
+    assert got["g"]["berger_parker"] == 0.5 and got["g"]["n_cats"] == 2
+    assert got["h"]["simpson"] == 0.0 and got["h"]["berger_parker"] == 1.0
+
+
+def test_durbin_watson_alternating_vs_trending(spark):
+    from sparkcollector.operators.analytics import durbin_watson
+
+    # alternating residuals -> DW near 4; a smooth ramp -> DW near 0
+    alt = [("alt", i, float(1 if i % 2 == 0 else -1)) for i in range(40)]
+    ramp = [("ramp", i, float(i)) for i in range(40)]
+    df = spark.createDataFrame(alt + ramp, "g string, t long, v double")
+    got = {r["g"]: r["dw"] for r in durbin_watson(df, "g", ["t"], "v").collect()}
+    assert got["alt"] > 3.5
+    assert got["ramp"] < 0.1

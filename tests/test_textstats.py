@@ -233,3 +233,19 @@ def test_mattr_diversity_hand_computed(spark):
     got3 = mattr_diversity(df, window=5).collect()
     ttr = {r["doc_id"]: r["mattr"] for r in got3}
     assert abs(ttr[3] - round(2 / 3, 6)) < 1e-12
+
+
+def test_secret_entropy_scan_flags_random_not_padding(spark):
+    from sparkcollector.operators.textstats import secret_entropy_scan
+
+    rows = [
+        (1, "hello a1b2c3d4e5f60718293a4b5c6d7e8f world"),  # hex-ish, high H
+        (2, "pad xxxxxxxxxxxxxxxxxxxxxxxx pad"),            # zero entropy
+        (3, "no candidates here at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = secret_entropy_scan(df, "text").collect()
+    by_id = {r["id"]: r for r in got}
+    assert by_id[1]["is_secret"] and by_id[1]["entropy_bits"] > 3.0
+    assert not by_id[2]["is_secret"] and by_id[2]["entropy_bits"] == 0.0
+    assert 3 not in by_id and len(got) == 2
