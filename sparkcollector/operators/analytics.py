@@ -6436,3 +6436,50 @@ def durbin_watson(
             6,
         ).alias("dw"),
     )
+
+
+def cohens_d(
+    df: DataFrame,
+    group_col: str,
+    seg_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Cohen's d and Hedges' g effect sizes between two segments.
+
+    ``welch_t_test`` answers "is the difference real"; effect size
+    answers "is it big enough to matter" — the alerting threshold
+    question.  d = (mean_a - mean_b) / pooled_sd with pooled_sd folded
+    from per-segment power sums; Hedges' g applies the small-sample
+    bias correction J = 1 - 3/(4*df - 1).  One shuffle on the group
+    key, conditional aggregation over the two segments (seg 0/1).
+
+    Returns per group: n_a, n_b, mean_diff, pooled_sd, cohens_d,
+    hedges_g (floats rounded to 6).
+    """
+    v = F.col(value_col).cast("double")
+    g = F.col(seg_col)
+    agg = df.filter(v.isNotNull()).groupBy(group_col).agg(
+        F.count(F.when(g == 0, 1)).cast("double").alias("n0"),
+        F.sum(F.when(g == 0, v)).alias("s0"),
+        F.sum(F.when(g == 0, v * v)).alias("q0"),
+        F.count(F.when(g == 1, 1)).cast("double").alias("n1"),
+        F.sum(F.when(g == 1, v)).alias("s1"),
+        F.sum(F.when(g == 1, v * v)).alias("q1"),
+    )
+    n0, s0, q0 = F.col("n0"), F.col("s0"), F.col("q0")
+    n1, s1, q1 = F.col("n1"), F.col("s1"), F.col("q1")
+    ss0 = q0 - s0 * s0 / n0
+    ss1 = q1 - s1 * s1 / n1
+    dfree = n0 + n1 - 2
+    pooled = F.sqrt((ss0 + ss1) / dfree)
+    d = (s0 / n0 - s1 / n1) / pooled
+    j = 1.0 - 3.0 / (4.0 * dfree - 1.0)
+    return agg.filter((n0 > 1) & (n1 > 1)).select(
+        group_col,
+        n0.cast("long").alias("n_a"),
+        n1.cast("long").alias("n_b"),
+        F.round(s0 / n0 - s1 / n1, 6).alias("mean_diff"),
+        F.round(pooled, 6).alias("pooled_sd"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * j, 6).alias("hedges_g"),
+    )

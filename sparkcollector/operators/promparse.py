@@ -1559,3 +1559,38 @@ def xmlkv_parse(
         ok, F.xpath_long(x, F.lit(f"count(/{root}/*)"))
     ).alias("n_children")
     return df.select("*", ok.alias("well_formed"), *cols, n_children)
+
+
+def docker_json_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse docker json-file logging-driver records.
+
+    Reference: the collector tails container logs via filelog with the
+    docker json-file format (`{"log":"...\\n","stream":"stdout","time":
+    "2024-01-01T00:00:00.123456789Z"}`) — docker observer + filelog
+    operator stack in the agent bundle.  One ``from_json`` with an
+    explicit 3-field schema (no schema inference on the hot path),
+    trailing-newline strip, and RFC3339-nano timestamp parse truncated
+    to microseconds (Spark timestamps carry us, docker emits ns — the
+    sub-us digits are dropped, not rounded).
+
+    Returns input + (log, stream, log_ts); malformed JSON yields NULLs
+    (dead-letter rows, same policy as ``journald_parse``).
+    """
+    parsed = F.from_json(
+        F.col(line_col), "log string, stream string, time string"
+    )
+    # truncate nanoseconds -> microseconds before the cast
+    t = F.regexp_replace(
+        parsed["time"], r"(\.\d{6})\d+Z$", r"$1Z"
+    )
+    return (
+        df.withColumn("log", F.regexp_replace(parsed["log"], r"\n$", ""))
+        .withColumn("stream", parsed["stream"])
+        .withColumn(
+            "log_ts",
+            F.to_timestamp(
+                F.regexp_replace(t, "Z$", "+00:00"),
+                "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX",
+            ),
+        )
+    )

@@ -487,3 +487,60 @@ def secret_entropy_scan(
         .withColumn("is_secret", F.col("entropy_bits") >= bits_threshold)
         .drop("_chars")
     )
+
+
+def good_turing(
+    df: DataFrame,
+    text_col: str,
+) -> DataFrame:
+    """Simple Good-Turing frequency-of-frequencies table over tokens.
+
+    Unseen-mass estimation for vocabulary statistics: how much
+    probability should a language model reserve for words never seen
+    in this corpus slice?  Turing's estimator re-weights each observed
+    count r to r* = (r+1) * N_{r+1} / N_r where N_r = number of
+    distinct tokens seen exactly r times; the unseen mass is N_1 / N.
+
+    Shape: tokenize (split + explode, JVM), ONE shuffle to word
+    counts, one to the count-of-counts table (|distinct r| rows —
+    tiny), then a self-join on r+1 that AQE broadcasts.  No collect.
+
+    Returns per r: n_r, r_star (NULL when N_{r+1}=0 — the standard
+    table truncation), p_r = unsmoothed share.  Total token count N is
+    repeated on every row (column ``n_total``) so downstream math
+    needs no second pass.
+    """
+    words = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+            )
+        ).alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("r"))
+    nr = wc.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    tot = nr.agg(
+        F.sum(F.col("r") * F.col("n_r")).alias("_n")
+    )
+    nxt = nr.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("_n_next")
+    )
+    out = (
+        nr.join(nxt, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("n_r").cast("long").alias("n_r"),
+            F.round(
+                (F.col("r") + 1.0)
+                * F.col("_n_next")
+                / F.col("n_r"),
+                6,
+            ).alias("r_star"),
+            F.round(
+                F.col("r") * F.col("n_r") / F.col("_n").cast("double"), 6
+            ).alias("p_r"),
+            F.col("_n").cast("long").alias("n_total"),
+        )
+    )
+    return out

@@ -17542,6 +17542,131 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 411. Docker json-file log parse: RFC3339-nano lines built from
+#      events (1/97 deliberately malformed), parsed back with a fixed
+#      from_json schema + newline strip + ns->us truncation; per-stream
+#      counts with timestamp roundtrip verification.  Oracle computes
+#      the expected classification directly — no decode.
+# ---------------------------------------------------------------------
+@register(
+    "docker_log_parse",
+    """
+    with b as (select event_id, ts, event_type,
+      case when event_id % 97 = 0 then null
+           when event_type = 'error' then 'stderr'
+           else 'stdout' end as stream
+      from events)
+    select stream, cast(count(*) as bigint) as n_lines,
+      cast(sum(case when stream is not null then 1 else 0 end)
+        as bigint) as n_ts_ok
+    from b group by stream
+    """,
+)
+def q_docker_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import docker_json_parse
+
+    ev = _t(spark, sf_dir, "events")
+    tstr = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    line = F.when(F.col("event_id") % 97 == 0, F.lit("not json")).otherwise(
+        F.concat(
+            F.lit('{"log":"'),
+            F.col("event_type"),
+            F.lit(" id="),
+            F.col("event_id").cast("string"),
+            F.lit('\\n","stream":"'),
+            F.when(F.col("event_type") == "error", "stderr").otherwise(
+                "stdout"
+            ),
+            F.lit('","time":"'),
+            tstr,
+            F.lit('000Z"}'),
+        )
+    )
+    parsed = docker_json_parse(ev.select("ts", line.alias("line")), "line")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ok = (
+        F.col("log_ts").isNotNull()
+        & (F.date_format("log_ts", fmt) == F.date_format("ts", fmt))
+    ).cast("int")
+    return parsed.groupBy("stream").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(ok).cast("long").alias("n_ts_ok"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 412. Cohen's d + Hedges' g effect size between user segments per
+#      event_type — "big enough to matter" companion to welch_t_test,
+#      pooled SD from power sums, small-sample J correction.
+# ---------------------------------------------------------------------
+@register(
+    "effect_size_cohens_d",
+    """
+    with s as (select event_type, cast(value as double) as v,
+        cast(user_id % 2 as int) as g
+      from events where value is not null),
+    a as (select event_type,
+        cast(count(case when g = 0 then 1 end) as double) as n0,
+        sum(case when g = 0 then v end) as s0,
+        sum(case when g = 0 then v * v end) as q0,
+        cast(count(case when g = 1 then 1 end) as double) as n1,
+        sum(case when g = 1 then v end) as s1,
+        sum(case when g = 1 then v * v end) as q1
+      from s group by 1)
+    select event_type,
+      cast(n0 as bigint) as n_a, cast(n1 as bigint) as n_b,
+      round(s0 / n0 - s1 / n1, 6) as mean_diff,
+      round(sqrt(((q0 - s0 * s0 / n0) + (q1 - s1 * s1 / n1))
+                 / (n0 + n1 - 2)), 6) as pooled_sd,
+      round((s0 / n0 - s1 / n1)
+            / sqrt(((q0 - s0 * s0 / n0) + (q1 - s1 * s1 / n1))
+                   / (n0 + n1 - 2)), 6) as cohens_d,
+      round(((s0 / n0 - s1 / n1)
+             / sqrt(((q0 - s0 * s0 / n0) + (q1 - s1 * s1 / n1))
+                    / (n0 + n1 - 2)))
+            * (1.0 - 3.0 / (4.0 * (n0 + n1 - 2) - 1.0)), 6) as hedges_g
+    from a where n0 > 1 and n1 > 1
+    """,
+)
+def q_effect_size_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import cohens_d
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("user_id") % 2).alias("seg")
+    )
+    return cohens_d(ev, "event_type", "seg", "value")
+
+
+# ---------------------------------------------------------------------
+# 413. Simple Good-Turing frequency-of-frequencies over document
+#      tokens: r* = (r+1) N_{r+1}/N_r re-weighting + unseen-mass table
+#      — unseen-vocabulary probability reserve for corpus slices.
+# ---------------------------------------------------------------------
+@register(
+    "good_turing_smoothing",
+    r"""
+    with w0 as (select unnest(string_split_regex(lower(text), '\s+'))
+        as w from documents),
+    w2 as (select w from w0 where w <> ''),
+    wc as (select w, count(*) as r from w2 group by w),
+    nr as (select r, count(*) as n_r from wc group by r),
+    tot as (select sum(r * n_r) as n from nr)
+    select cast(nr.r as bigint) as r, cast(nr.n_r as bigint) as n_r,
+      round((nr.r + 1.0) * nx.n_r / nr.n_r, 6) as r_star,
+      round(nr.r * nr.n_r / (select cast(n as double) from tot), 6)
+        as p_r,
+      cast((select n from tot) as bigint) as n_total
+    from nr left join nr nx on nx.r = nr.r + 1
+    """,
+)
+def q_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import good_turing
+
+    docs = _t(spark, sf_dir, "documents")
+    return good_turing(docs, "text")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

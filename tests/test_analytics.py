@@ -2207,3 +2207,19 @@ def test_durbin_watson_alternating_vs_trending(spark):
     got = {r["g"]: r["dw"] for r in durbin_watson(df, "g", ["t"], "v").collect()}
     assert got["alt"] > 3.5
     assert got["ramp"] < 0.1
+
+
+def test_cohens_d_known_effect(spark):
+    from sparkcollector.operators.analytics import cohens_d
+
+    # seg0: mean 10 sd 1; seg1: mean 8 sd 1 -> d = 2.0
+    rows = [("g", 0, 9.0), ("g", 0, 10.0), ("g", 0, 11.0),
+            ("g", 1, 7.0), ("g", 1, 8.0), ("g", 1, 9.0)]
+    df = spark.createDataFrame(rows, "grp string, seg int, v double")
+    r = cohens_d(df, "grp", "seg", "v").collect()[0]
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    assert abs(r["mean_diff"] - 2.0) < 1e-6
+    assert abs(r["pooled_sd"] - 1.0) < 1e-6
+    assert abs(r["cohens_d"] - 2.0) < 1e-6
+    # J = 1 - 3/(4*4-1) = 1 - 3/15 = 0.8
+    assert abs(r["hedges_g"] - 1.6) < 1e-6

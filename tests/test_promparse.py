@@ -807,3 +807,22 @@ def test_xmlkv_parse_attrs_elements_gate(spark):
     assert got[2]["n_children"] == 0 and got[2]["e_host"] is None
     assert not got[3]["well_formed"] and got[3]["a_id"] is None
     assert got[4]["a_id"] == "" and got[4]["e_host"] is None
+
+
+def test_docker_json_parse_fields_and_deadletter(spark):
+    from sparkcollector.operators.promparse import docker_json_parse
+
+    rows = [
+        (1, '{"log":"hello world\\n","stream":"stdout",'
+            '"time":"2024-01-01T00:00:01.123456789Z"}'),
+        (2, '{"log":"oops","stream":"stderr",'
+            '"time":"2024-01-01T00:00:02Z"}'),
+        (3, "not json at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, line string")
+    got = {r["id"]: r for r in docker_json_parse(df, "line").collect()}
+    assert got[1]["log"] == "hello world" and got[1]["stream"] == "stdout"
+    # nanoseconds truncated to microseconds, not rounded
+    assert got[1]["log_ts"].microsecond == 123456
+    assert got[2]["log"] == "oops" and got[2]["log_ts"].second == 2
+    assert got[3]["log"] is None and got[3]["log_ts"] is None

@@ -249,3 +249,18 @@ def test_secret_entropy_scan_flags_random_not_padding(spark):
     assert by_id[1]["is_secret"] and by_id[1]["entropy_bits"] > 3.0
     assert not by_id[2]["is_secret"] and by_id[2]["entropy_bits"] == 0.0
     assert 3 not in by_id and len(got) == 2
+
+
+def test_good_turing_known_table(spark):
+    from sparkcollector.operators.textstats import good_turing
+
+    # corpus: a a a b b c d e -> N_1=3 (c,d,e), N_2=1 (b), N_3=1 (a), N=8
+    df = spark.createDataFrame([("a a a b b c d e",)], "text string")
+    got = {r["r"]: r for r in good_turing(df, "text").collect()}
+    assert got[1]["n_r"] == 3 and got[2]["n_r"] == 1 and got[3]["n_r"] == 1
+    assert got[1]["n_total"] == 8
+    # r*=1: (1+1)*N_2/N_1 = 2/3; r*=2: 3*N_3/N_2 = 3; r=3: no N_4 -> NULL
+    assert abs(got[1]["r_star"] - 2 / 3) < 1e-5
+    assert abs(got[2]["r_star"] - 3.0) < 1e-6
+    assert got[3]["r_star"] is None
+    assert abs(got[1]["p_r"] - 3 / 8) < 1e-6
