@@ -6483,3 +6483,98 @@ def cohens_d(
         F.round(d, 6).alias("cohens_d"),
         F.round(d * j, 6).alias("hedges_g"),
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    unit_cols: list[str],
+    phase_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """McNemar paired-proportions test over before/after outcomes.
+
+    "Did the error rate change for the SAME population after the
+    deploy?" — a two-proportion z-test is wrong when the before and
+    after groups are the same units; McNemar uses only the DISCORDANT
+    pairs: b = units positive before & negative after, c = the
+    reverse, chi2 = (b-c)^2/(b+c) (1 df), with the continuity-
+    corrected variant (|b-c|-1)^2/(b+c) alongside.
+
+    ``phase_col`` must be 0 (before) / 1 (after); ``outcome_col``
+    boolean-ish.  One shuffle to pair units, one single-row reduce —
+    all-integer until the final division.
+
+    Returns one row: n_units, b, c, chi2, chi2_corrected (round 6).
+    """
+    o = F.col(outcome_col).cast("int")
+    pairs = df.groupBy(*unit_cols).agg(
+        F.max(F.when(F.col(phase_col) == 0, o)).alias("_before"),
+        F.max(F.when(F.col(phase_col) == 1, o)).alias("_after"),
+    ).filter(F.col("_before").isNotNull() & F.col("_after").isNotNull())
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(
+            ((F.col("_before") == 1) & (F.col("_after") == 0)).cast("int")
+        ).alias("b"),
+        F.sum(
+            ((F.col("_before") == 0) & (F.col("_after") == 1)).cast("int")
+        ).alias("c"),
+    )
+    b, c = F.col("b").cast("double"), F.col("c").cast("double")
+    return agg.select(
+        F.col("n_units").cast("long").alias("n_units"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.when(
+            b + c > 0, F.round((b - c) * (b - c) / (b + c), 6)
+        ).otherwise(0.0).alias("chi2"),
+        F.when(
+            b + c > 0,
+            F.round(
+                (F.abs(b - c) - 1) * (F.abs(b - c) - 1) / (b + c), 6
+            ),
+        ).otherwise(0.0).alias("chi2_corrected"),
+    )
+
+
+def grubbs_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Grubbs' single-outlier test statistic per group.
+
+    G = max|x - mean| / sd, folded WITHOUT a second scan: the farthest
+    point from the mean is always the min or the max, so G =
+    max(mean - min, max - mean) / sd from one (count, sum, sumsq, min,
+    max) aggregation — one shuffle, no join-back, no window.  The
+    flagged ``outlier_value`` is whichever extreme won.
+
+    Returns per group: n, mean/sd (round 6), g_stat (round 6),
+    outlier_value.  Groups with n < 3 or zero variance are dropped
+    (G undefined).
+    """
+    v = F.col(value_col).cast("double")
+    agg = df.filter(v.isNotNull()).groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(v).alias("_s"),
+        F.sum(v * v).alias("_q"),
+        F.min(v).alias("_mn"),
+        F.max(v).alias("_mx"),
+    )
+    n, s, q = F.col("_n"), F.col("_s"), F.col("_q")
+    mean = s / n
+    sd = F.sqrt((q - s * s / n) / (n - 1))
+    lo_dev = mean - F.col("_mn")
+    hi_dev = F.col("_mx") - mean
+    g = F.greatest(lo_dev, hi_dev) / sd
+    return agg.filter((n >= 3) & (q - s * s / n > 0)).select(
+        group_col,
+        n.cast("long").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(sd, 6).alias("sd"),
+        F.round(g, 6).alias("g_stat"),
+        F.when(hi_dev >= lo_dev, F.col("_mx"))
+        .otherwise(F.col("_mn"))
+        .alias("outlier_value"),
+    )

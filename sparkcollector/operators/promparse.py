@@ -1594,3 +1594,44 @@ def docker_json_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
             ),
         )
     )
+
+
+LEEF_RE = r"^LEEF:([0-9.]+)\|([^|]*)\|([^|]*)\|([^|]*)\|([^|]*)\|(.*)$"
+
+
+def leef_parse(
+    df: DataFrame,
+    line_col: str = "line",
+    attr_keys: tuple[str, ...] = ("src", "dst", "usrName", "sev"),
+) -> DataFrame:
+    """IBM QRadar LEEF (Log Event Extended Format) parse — the CEF
+    sibling in the security-log ingest family (same Splunk sourcetype
+    routing stanzas as ``cef_parse``): ``LEEF:Version|Vendor|Product|
+    ProductVersion|EventID|attributes`` where attributes are
+    tab-separated ``key=value`` pairs (LEEF 1.0 fixes tab; 2.0 allows
+    a custom delimiter — tab covers both defaults here).
+
+    Header pipes split positionally; each requested attribute key
+    extracts with an anchored regexp bounded by the next tab.
+    Malformed lines surface with ``leef_version`` NULL (dead-letter
+    rows, never errors).  Pure codegen'd regex, zero exchanges.
+    """
+    line = F.col(line_col)
+    g = lambda i: F.regexp_extract(line, LEEF_RE, i)  # noqa: E731
+    ok = line.rlike(LEEF_RE)
+
+    def attr(key: str):
+        pat = rf"(?:^|\t){key}=([^\t]*)"
+        v = F.regexp_extract(g(6), pat, 1)
+        return F.when(ok & (v != ""), v)
+
+    keep = lambda c: F.when(ok, c)  # noqa: E731
+    return df.select(
+        "*",
+        keep(g(1)).alias("leef_version"),
+        keep(g(2)).alias("vendor"),
+        keep(g(3)).alias("product"),
+        keep(g(4)).alias("product_version"),
+        keep(g(5)).alias("event_id_leef"),
+        *[attr(k).alias(f"attr_{k}") for k in attr_keys],
+    )

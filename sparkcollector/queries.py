@@ -17667,6 +17667,146 @@ def q_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 414. LEEF 2.0 security-log parse: lines built from events (1/89
+#      malformed), header pipes + tab-separated key=value attributes
+#      extracted JVM-side, rolled up by user x severity attribute.
+#      Oracle computes expected attributes directly — no parse.
+# ---------------------------------------------------------------------
+@register(
+    "leef_parse_fields",
+    """
+    with b as (select
+      case when event_id % 89 = 0 then null
+           else 'u' || cast(user_id % 50 as varchar) end as usr,
+      case when event_id % 89 = 0 then null
+           when event_type = 'error' then '10'
+           when event_type = 'purchase' then '7'
+           else '3' end as sev
+      from events)
+    select usr, sev, cast(count(*) as bigint) as n
+    from b group by usr, sev
+    """,
+)
+def q_leef_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import leef_parse
+
+    ev = _t(spark, sf_dir, "events")
+    sev = (
+        F.when(F.col("event_type") == "error", "10")
+        .when(F.col("event_type") == "purchase", "7")
+        .otherwise("3")
+    )
+    line = F.when(F.col("event_id") % 89 == 0, F.lit("garbage line")).otherwise(
+        F.concat(
+            F.lit("LEEF:2.0|SparkCollector|engine|1.0|"),
+            F.col("event_type"),
+            F.lit("|src=10.0."),
+            (F.col("user_id") % 256).cast("string"),
+            F.lit(".1\tusrName=u"),
+            (F.col("user_id") % 50).cast("string"),
+            F.lit("\tsev="),
+            sev,
+        )
+    )
+    parsed = leef_parse(ev.select(line.alias("line")), "line")
+    return parsed.groupBy(
+        F.col("attr_usrName").alias("usr"), F.col("attr_sev").alias("sev")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------
+# 415. McNemar paired-proportions test: same-user error outcome
+#      before/after a fixed deploy instant — discordant pairs only,
+#      with the continuity-corrected variant.
+# ---------------------------------------------------------------------
+@register(
+    "mcnemar_deploy_gate",
+    """
+    with p as (select user_id,
+        case when epoch(ts) < 1704844800 then 0 else 1 end as ph,
+        case when event_type = 'error' and value > 150 then 1
+             else 0 end as o
+      from events),
+    u as (select user_id,
+        max(case when ph = 0 then o end) as b0,
+        max(case when ph = 1 then o end) as a1
+      from p group by 1),
+    f as (select * from u where b0 is not null and a1 is not null)
+    select cast(count(*) as bigint) as n_units,
+      cast(sum(case when b0 = 1 and a1 = 0 then 1 else 0 end) as bigint)
+        as b,
+      cast(sum(case when b0 = 0 and a1 = 1 then 1 else 0 end) as bigint)
+        as c,
+      coalesce(round(
+        pow(sum(case when b0 = 1 and a1 = 0 then 1 else 0 end)
+            - sum(case when b0 = 0 and a1 = 1 then 1 else 0 end), 2)
+        * 1.0
+        / nullif(sum(case when b0 = 1 and a1 = 0 then 1 else 0 end)
+                 + sum(case when b0 = 0 and a1 = 1 then 1 else 0 end),
+                 0), 6), 0.0) as chi2,
+      coalesce(round(
+        pow(abs(sum(case when b0 = 1 and a1 = 0 then 1 else 0 end)
+                - sum(case when b0 = 0 and a1 = 1 then 1 else 0 end))
+            - 1, 2) * 1.0
+        / nullif(sum(case when b0 = 1 and a1 = 0 then 1 else 0 end)
+                 + sum(case when b0 = 0 and a1 = 1 then 1 else 0 end),
+                 0), 6), 0.0) as chi2_corrected
+    from f
+    """,
+)
+def q_mcnemar_deploy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import mcnemar_test
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(_epoch_s("ts") < 1704844800, 0).otherwise(1).alias("ph"),
+        (
+            (F.col("event_type") == "error") & (F.col("value") > 150)
+        ).alias("o"),
+    )
+    return mcnemar_test(ev, ["user_id"], "ph", "o")
+
+
+# ---------------------------------------------------------------------
+# 416. Grubbs' single-outlier test per event_type with one planted
+#      +5000 spike — G = max(mean-min, max-mean)/sd from ONE
+#      (count,sum,sumsq,min,max) aggregation, no second scan.
+# ---------------------------------------------------------------------
+@register(
+    "grubbs_outlier",
+    """
+    with v as (select event_type,
+        cast(value as double)
+          + case when event_id % 10007 = 0 then 5000 else 0 end as v
+      from events where value is not null),
+    a as (select event_type, cast(count(*) as double) as n,
+        sum(v) as s, sum(v * v) as q, min(v) as mn, max(v) as mx
+      from v group by 1)
+    select event_type, cast(n as bigint) as n,
+      round(s / n, 6) as mean,
+      round(sqrt((q - s * s / n) / (n - 1)), 6) as sd,
+      round(greatest(s / n - mn, mx - s / n)
+            / sqrt((q - s * s / n) / (n - 1)), 6) as g_stat,
+      case when mx - s / n >= s / n - mn then mx else mn end
+        as outlier_value
+    from a where n >= 3 and q - s * s / n > 0
+    """,
+)
+def q_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import grubbs_test
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    spiked = ev.select(
+        "event_type",
+        (
+            F.col("value").cast("double")
+            + F.when(F.col("event_id") % 10007 == 0, 5000).otherwise(0)
+        ).alias("v"),
+    )
+    return grubbs_test(spiked, "event_type", "v")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -2223,3 +2223,32 @@ def test_cohens_d_known_effect(spark):
     assert abs(r["cohens_d"] - 2.0) < 1e-6
     # J = 1 - 3/(4*4-1) = 1 - 3/15 = 0.8
     assert abs(r["hedges_g"] - 1.6) < 1e-6
+
+
+def test_mcnemar_discordant_only(spark):
+    from sparkcollector.operators.analytics import mcnemar_test
+
+    # units: 1 yes->no, 2 yes->no, 3 no->yes, 4 concordant yes,
+    # 5 only-before (dropped)
+    rows = [
+        (1, 0, 1), (1, 1, 0),
+        (2, 0, 1), (2, 1, 0),
+        (3, 0, 0), (3, 1, 1),
+        (4, 0, 1), (4, 1, 1),
+        (5, 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "u long, ph int, o int")
+    r = mcnemar_test(df, ["u"], "ph", "o").collect()[0]
+    assert r["n_units"] == 4 and r["b"] == 2 and r["c"] == 1
+    assert abs(r["chi2"] - 1 / 3) < 1e-5
+    assert r["chi2_corrected"] == 0.0
+
+
+def test_grubbs_flags_planted_outlier(spark):
+    from sparkcollector.operators.analytics import grubbs_test
+
+    rows = [("g", float(v)) for v in [10, 11, 9, 10, 12, 10, 11, 100]]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = grubbs_test(df, "grp", "v").collect()[0]
+    assert r["outlier_value"] == 100.0
+    assert r["g_stat"] > 2.0 and r["n"] == 8

@@ -826,3 +826,21 @@ def test_docker_json_parse_fields_and_deadletter(spark):
     assert got[1]["log_ts"].microsecond == 123456
     assert got[2]["log"] == "oops" and got[2]["log_ts"].second == 2
     assert got[3]["log"] is None and got[3]["log_ts"] is None
+
+
+def test_leef_parse_header_attrs_and_malformed(spark):
+    from sparkcollector.operators.promparse import leef_parse
+
+    rows = [
+        (1, "LEEF:2.0|IBM|QRadar|9.1|FanSpeed|src=1.2.3.4\tdst=5.6.7.8"
+            "\tusrName=alice smith\tsev=9"),
+        (2, "LEEF:1.0|V|P|1|E|sev=3"),
+        (3, "totally not leef"),
+    ]
+    df = spark.createDataFrame(rows, "id long, line string")
+    got = {r["id"]: r for r in leef_parse(df, "line").collect()}
+    assert got[1]["leef_version"] == "2.0" and got[1]["vendor"] == "IBM"
+    assert got[1]["attr_usrName"] == "alice smith"  # spaces survive
+    assert got[1]["attr_src"] == "1.2.3.4" and got[1]["attr_sev"] == "9"
+    assert got[2]["event_id_leef"] == "E" and got[2]["attr_src"] is None
+    assert got[3]["leef_version"] is None
