@@ -6578,3 +6578,179 @@ def grubbs_test(
         .otherwise(F.col("_mn"))
         .alias("outlier_value"),
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Ljung-Box joint autocorrelation test per group.
+
+    Where ``durbin_watson`` checks lag-1 only, Ljung-Box tests lags
+    1..m jointly: Q = n(n+2) * sum_k r_k^2/(n-k), r_k the lag-k sample
+    autocorrelation of the mean-centered series in ``order_cols``
+    order.  Q ~ chi2(m) under whiteness — large Q = the residuals are
+    a time series, not noise, and alert thresholds computed from iid
+    math are wrong.
+
+    Shape: mean via groupBy + join-back (AQE broadcasts the tiny
+    aggregate), ONE window with m lag() columns (single shuffle on the
+    group key), one final groupBy folding sum(c0) and the m cross sums.
+
+    Returns per group: n, r_1..r_m (round 6), q_stat (round 6).
+    """
+    v = F.col(value_col).cast("double")
+    means = df.filter(v.isNotNull()).groupBy(group_col).agg(
+        F.sum(v).alias("_s"), F.count(v).alias("_cnt")
+    )
+    j = (
+        df.filter(v.isNotNull())
+        .join(means, group_col)
+        .withColumn("_r", v - F.col("_s") / F.col("_cnt"))
+    )
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    for k in range(1, max_lag + 1):
+        j = j.withColumn(f"_l{k}", F.lag("_r", k).over(w))
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_r") * F.col("_r")).alias("_c0"),
+    ] + [
+        F.sum(F.col("_r") * F.col(f"_l{k}")).alias(f"_c{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    a = j.groupBy(group_col).agg(*aggs)
+    n = F.col("_n").cast("double")
+    rks = [F.col(f"_c{k}") / F.col("_c0") for k in range(1, max_lag + 1)]
+    q = (
+        n
+        * (n + 2.0)
+        * sum(
+            (rk * rk) / (n - float(k))
+            for k, rk in enumerate(rks, start=1)
+        )
+    )
+    return a.select(
+        group_col,
+        F.col("_n").cast("long").alias("n"),
+        *[
+            F.round(rk, 6).alias(f"r_{k}")
+            for k, rk in enumerate(rks, start=1)
+        ],
+        F.round(q, 6).alias("q_stat"),
+    )
+
+
+def lorenz_deciles(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Lorenz curve at deciles: cumulative value share vs population.
+
+    The curve behind ``gini_user_activity``: after totaling
+    ``value_col`` per unit, units are ranked ascending (ties broken by
+    unit id for determinism), cut into 10 ntile buckets, and each
+    decile reports the cumulative population and value shares — the
+    inequality profile itself ("the top 10% of conversations carry X%
+    of the tokens"), which a single Gini coefficient flattens away.
+
+    Shape: one shuffle to unit totals, one window for ntile over the
+    ranked totals, a 10-row aggregate + running sum — no collect, no
+    global sort of the fact table (only unit totals are ranked).
+
+    Returns per decile 1..10: n_units, cum_pop_share, cum_value_share
+    (round 6).
+    """
+    totals = df.groupBy(unit_col).agg(
+        F.sum(F.col(value_col).cast("double")).alias("_t")
+    )
+    w = Window.orderBy(F.col("_t").asc(), F.col(unit_col).asc())
+    tiled = totals.withColumn("_d", F.ntile(10).over(w))
+    per = tiled.groupBy("_d").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_t").alias("_v")
+    )
+    wc = Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, 0)
+    tot_n = F.sum("_n").over(Window.partitionBy())
+    tot_v = F.sum("_v").over(Window.partitionBy())
+    return (
+        per.withColumn("_cn", F.sum("_n").over(wc))
+        .withColumn("_cv", F.sum("_v").over(wc))
+        .select(
+            F.col("_d").cast("long").alias("decile"),
+            F.col("_n").cast("long").alias("n_units"),
+            F.round(F.col("_cn") / tot_n.cast("double"), 6).alias(
+                "cum_pop_share"
+            ),
+            F.round(F.col("_cv") / tot_v, 6).alias("cum_value_share"),
+        )
+    )
+
+
+def dora_metrics(
+    deploys: DataFrame,
+    incidents: DataFrame,
+    unit_col: str = "user_id",
+    deploy_ts: str = "ts",
+    incident_ts: str = "ts",
+    lead_col: str = "lead_minutes",
+    failure_window_s: int = 3600,
+) -> DataFrame:
+    """DORA delivery metrics: frequency, lead time, change failure rate.
+
+    Companion to ``incident_mttr`` (which owns restore time): given a
+    deploy stream (with a per-deploy lead-time measure) and an
+    incident stream, computes deployment frequency per day over the
+    observed span, exact interpolated lead-time p50/p90, and change
+    failure rate = share of deploys with an incident on the same unit
+    within ``failure_window_s``.
+
+    The failure probe joins on the unit key then filters the time
+    window — an equi-join shuffle, NOT a theta join; the per-unit
+    match set is bounded by the unit's incident count.  left_semi
+    keeps it set-shaped (a deploy with 3 incidents counts once).
+
+    Returns ONE row: n_deploys, deploys_per_day, lead_p50, lead_p90,
+    n_failed, change_failure_rate (floats round 6).
+    """
+
+    def _ep(c) -> Column:
+        return F.col(c).cast("timestamp_ltz").cast("double")
+
+    d = deploys.select(
+        F.col(unit_col).alias("_u"),
+        _ep(deploy_ts).alias("_dts"),
+        F.col(lead_col).cast("double").alias("_lead"),
+    )
+    i = incidents.select(
+        F.col(unit_col).alias("_u"), _ep(incident_ts).alias("_its")
+    )
+    failed = d.join(
+        i,
+        (d["_u"] == i["_u"])
+        & (i["_its"] >= d["_dts"])
+        & (i["_its"] <= d["_dts"] + failure_window_s),
+        "left_semi",
+    )
+    n_failed = failed.agg(F.count(F.lit(1)).alias("nf"))
+    agg = d.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.min("_dts").alias("t0"),
+        F.max("_dts").alias("t1"),
+        F.expr("percentile(_lead, 0.5)").alias("p50"),
+        F.expr("percentile(_lead, 0.9)").alias("p90"),
+    )
+    out = agg.crossJoin(F.broadcast(n_failed))
+    span_days = (F.col("t1") - F.col("t0")) / 86400.0
+    return out.select(
+        F.col("nd").cast("long").alias("n_deploys"),
+        F.round(F.col("nd") / span_days, 6).alias("deploys_per_day"),
+        F.round("p50", 6).alias("lead_p50"),
+        F.round("p90", 6).alias("lead_p90"),
+        F.col("nf").cast("long").alias("n_failed"),
+        F.round(F.col("nf") / F.col("nd").cast("double"), 6).alias(
+            "change_failure_rate"
+        ),
+    )

@@ -17807,6 +17807,116 @@ def q_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 417. Ljung-Box joint whiteness test (lags 1-3) on value residuals
+#      per event_type — multi-lag companion to durbin_watson; one
+#      window with 3 lag columns, Q = n(n+2) sum r_k^2/(n-k).
+# ---------------------------------------------------------------------
+@register(
+    "ljung_box_whiteness",
+    """
+    with m as (select event_type, sum(cast(value as double)) as s,
+        count(value) as cnt from events where value is not null
+      group by 1),
+    r as (select e.event_type,
+        cast(e.value as double) - m.s / m.cnt as r, e.ts, e.event_id
+      from events e join m on e.event_type = m.event_type
+      where e.value is not null),
+    l as (select event_type, r,
+        lag(r, 1) over w as l1, lag(r, 2) over w as l2,
+        lag(r, 3) over w as l3
+      from r window w as (partition by event_type order by ts, event_id)),
+    a as (select event_type, count(*) as n, sum(r * r) as c0,
+        sum(r * l1) as c1, sum(r * l2) as c2, sum(r * l3) as c3
+      from l group by 1)
+    select event_type, cast(n as bigint) as n,
+      round(c1 / c0, 6) as r_1, round(c2 / c0, 6) as r_2,
+      round(c3 / c0, 6) as r_3,
+      round(n * (n + 2.0)
+            * (pow(c1 / c0, 2) / (n - 1) + pow(c2 / c0, 2) / (n - 2)
+               + pow(c3 / c0, 2) / (n - 3)), 6) as q_stat
+    from a
+    """,
+)
+def q_ljung_box_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import ljung_box
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ljung_box(ev, "event_type", ["ts", "event_id"], "value", max_lag=3)
+
+
+# ---------------------------------------------------------------------
+# 418. Lorenz curve at deciles of per-user value totals — the
+#      inequality profile behind gini_user_activity; only unit totals
+#      are ranked (never the fact table).
+# ---------------------------------------------------------------------
+@register(
+    "lorenz_value_deciles",
+    """
+    with t as (select user_id, sum(cast(value as double)) as t
+      from events where value is not null group by 1),
+    d as (select user_id, t,
+        ntile(10) over (order by t asc, user_id asc) as d from t),
+    p as (select d, count(*) as n, sum(t) as v from d group by 1),
+    c as (select d, n, v,
+        sum(n) over (order by d) as cn, sum(v) over (order by d) as cv,
+        sum(n) over () as tn, sum(v) over () as tv from p)
+    select cast(d as bigint) as decile, cast(n as bigint) as n_units,
+      round(cn / cast(tn as double), 6) as cum_pop_share,
+      round(cv / tv, 6) as cum_value_share
+    from c
+    """,
+)
+def q_lorenz_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import lorenz_deciles
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return lorenz_deciles(ev, "user_id", "value")
+
+
+# ---------------------------------------------------------------------
+# 419. DORA delivery metrics: signup events as deploys (value =
+#      lead-time minutes), error within 1h on the same user = change
+#      failure; frequency/day, exact interpolated lead p50/p90, CFR.
+#      Failure probe is an equi-join semi on the unit key (no theta).
+# ---------------------------------------------------------------------
+@register(
+    "dora_release_health",
+    """
+    with d as (select event_id, user_id, epoch(ts) as dts,
+        cast(value as double) as lead
+      from events where event_type = 'signup'),
+    i as (select user_id, epoch(ts) as its from events
+      where event_type = 'error'),
+    f as (select count(*) as nf from (
+      select distinct d.event_id from d join i
+        on i.user_id = d.user_id and i.its >= d.dts
+        and i.its <= d.dts + 3600)),
+    a as (select count(*) as nd, min(dts) as t0, max(dts) as t1,
+        quantile_cont(lead, 0.5) as p50, quantile_cont(lead, 0.9) as p90
+      from d)
+    select cast(nd as bigint) as n_deploys,
+      round(nd / ((t1 - t0) / 86400.0), 6) as deploys_per_day,
+      round(p50, 6) as lead_p50, round(p90, 6) as lead_p90,
+      cast((select nf from f) as bigint) as n_failed,
+      round((select nf from f) / cast(nd as double), 6)
+        as change_failure_rate
+    from a
+    """,
+)
+def q_dora_release_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import dora_metrics
+
+    ev = _t(spark, sf_dir, "events")
+    deploys = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("lead_minutes")
+    )
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts"
+    )
+    return dora_metrics(deploys, incidents)
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -2252,3 +2252,63 @@ def test_grubbs_flags_planted_outlier(spark):
     r = grubbs_test(df, "grp", "v").collect()[0]
     assert r["outlier_value"] == 100.0
     assert r["g_stat"] > 2.0 and r["n"] == 8
+
+
+def test_ljung_box_white_noise_vs_ramp(spark):
+    from sparkcollector.operators.analytics import ljung_box
+
+    # deterministic pseudo-noise (md5-derived) vs a smooth ramp
+    import hashlib
+    noise = [
+        ("n", i, int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) / 65535.0)
+        for i in range(200)
+    ]
+    ramp = [("r", i, float(i)) for i in range(200)]
+    df = spark.createDataFrame(noise + ramp, "g string, t long, v double")
+    got = {r["g"]: r for r in ljung_box(df, "g", ["t"], "v", max_lag=3).collect()}
+    assert got["r"]["q_stat"] > 100.0      # ramp: massive autocorrelation
+    assert got["n"]["q_stat"] < 15.0       # noise: near chi2(3) scale
+    assert abs(got["r"]["r_1"]) > 0.9
+
+
+def test_lorenz_deciles_equal_and_concentrated(spark):
+    from sparkcollector.operators.analytics import lorenz_deciles
+
+    # 10 equal units -> cum_value_share == cum_pop_share at every decile
+    eq = [(i, 5.0) for i in range(10)]
+    df = spark.createDataFrame(eq, "u long, v double")
+    rows = lorenz_deciles(df, "u", "v").collect()
+    for r in rows:
+        assert abs(r["cum_value_share"] - r["cum_pop_share"]) < 1e-6
+    # one unit holds everything -> last decile jumps from ~0 to 1
+    conc = [(i, 0.000001) for i in range(9)] + [(9, 1000.0)]
+    rows = {r["decile"]: r for r in lorenz_deciles(
+        spark.createDataFrame(conc, "u long, v double"), "u", "v").collect()}
+    assert rows[9]["cum_value_share"] < 0.001
+    assert rows[10]["cum_value_share"] == 1.0
+
+
+def test_dora_metrics_known_counts(spark):
+    from sparkcollector.operators.analytics import dora_metrics
+
+    deploys = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10.0),
+            (1, "2024-01-02 00:00:00", 20.0),
+            (2, "2024-01-03 00:00:00", 30.0),
+            (3, "2024-01-05 00:00:00", 40.0),
+        ],
+        "user_id long, ts string, lead_minutes double",
+    ).selectExpr("user_id", "cast(ts as timestamp) ts", "lead_minutes")
+    incidents = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:30:00"),  # fails deploy 1
+            (2, "2024-01-03 02:00:00"),  # outside 1h window
+        ],
+        "user_id long, ts string",
+    ).selectExpr("user_id", "cast(ts as timestamp) ts")
+    r = dora_metrics(deploys, incidents).collect()[0]
+    assert r["n_deploys"] == 4 and r["n_failed"] == 1
+    assert abs(r["change_failure_rate"] - 0.25) < 1e-6
+    assert abs(r["deploys_per_day"] - 1.0) < 1e-6  # 4 deploys / 4 days span
+    assert abs(r["lead_p50"] - 25.0) < 1e-6
