@@ -6754,3 +6754,140 @@ def dora_metrics(
             "change_failure_rate"
         ),
     )
+
+
+def kmv_jaccard(
+    df: DataFrame,
+    set_col: str,
+    item_col: str,
+    set_a: str,
+    set_b: str,
+    k: int = 64,
+) -> DataFrame:
+    """Jaccard similarity estimate between two sets via KMV sketches.
+
+    The intersection capability that justifies ``kmv_sketch`` over
+    HLL: merge the two sets' distinct portable-md5 hash values, take
+    the k smallest of the UNION, and count how many of those appear in
+    BOTH sets — an unbiased estimator J ~= |both among k| / k
+    (Bar-Yossef et al.; Beyer et al. "On synopses for distinct-value
+    estimation").  Exact intersection/union counts are computed
+    alongside (they fall out of the same hash-flag aggregate at small
+    scale and serve as the audit columns).
+
+    Shape: one distinct-shuffle on (hash) with has_a/has_b flags
+    (groupBy max), one bounded top-k window, one single-row reduce.
+
+    Returns ONE row: k_used, j_estimate (round 6), n_a, n_b,
+    n_intersect, j_exact (round 6).
+    """
+    col = F.col(item_col) if isinstance(item_col, str) else item_col
+    hv = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    s = F.col(set_col)
+    flagged = (
+        df.filter(s.isin(set_a, set_b))
+        .select(hv.alias("_hv"), s.alias("_s"))
+        .groupBy("_hv")
+        .agg(
+            F.max((F.col("_s") == set_a).cast("int")).alias("_a"),
+            F.max((F.col("_s") == set_b).cast("int")).alias("_b"),
+        )
+    )
+    w = Window.orderBy("_hv")
+    topk = flagged.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    sk = topk.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum(F.col("_a") * F.col("_b")).alias("_both_k"),
+    )
+    exact = flagged.agg(
+        F.sum("_a").alias("n_a"),
+        F.sum("_b").alias("n_b"),
+        F.sum(F.col("_a") * F.col("_b")).alias("n_intersect"),
+        F.count(F.lit(1)).alias("_n_union"),
+    )
+    out = sk.crossJoin(F.broadcast(exact))
+    return out.select(
+        F.col("k_used").cast("long").alias("k_used"),
+        F.round(
+            F.col("_both_k") / F.col("k_used").cast("double"), 6
+        ).alias("j_estimate"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_intersect").cast("long").alias("n_intersect"),
+        F.round(
+            F.col("n_intersect") / F.col("_n_union").cast("double"), 6
+        ).alias("j_exact"),
+    )
+
+
+def theil_index(
+    df: DataFrame,
+    unit_col: str,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil T inequality index with between/within decomposition.
+
+    What Gini cannot do: Theil's T = (1/n) sum (x/mu) ln(x/mu) is
+    ADDITIVELY DECOMPOSABLE — T_total = T_between + sum_g s_g *
+    T_within_g where s_g = group g's value share — so "how much of the
+    load inequality is across tenants vs inside each tenant" is an
+    exact split, not a heuristic.  Units with zero/negative totals are
+    excluded (ln undefined; the standard convention).
+
+    Shape: unit totals (one shuffle), group aggregates (one shuffle on
+    |groups| rows), two single-row reduces.  All logs fold per-row.
+
+    Returns ONE row: n_units, t_total, t_between, t_within (round 6).
+    """
+    v = F.col(value_col).cast("double")
+    totals = (
+        df.filter(v.isNotNull())
+        .groupBy(unit_col, group_col)
+        .agg(F.sum(v).alias("_x"))
+        .filter(F.col("_x") > 0)
+    )
+    glob = totals.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_x").alias("_sx")
+    )
+    t = totals.crossJoin(F.broadcast(glob))
+    mu = F.col("_sx") / F.col("_n")
+    term = (F.col("_x") / mu) * F.log(F.col("_x") / mu)
+    t_total = t.agg(
+        (F.sum(term) / F.first("_n")).alias("t_total"),
+        F.first("_n").alias("n_units"),
+    )
+    grp = (
+        totals.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_ng"), F.sum("_x").alias("_sg"))
+        .crossJoin(F.broadcast(glob))
+    )
+    mu_g = F.col("_sg") / F.col("_ng")
+    share = F.col("_sg") / F.col("_sx")
+    t_between = grp.agg(
+        F.sum(share * F.log(mu_g / mu)).alias("t_between")
+    )
+    # sum_g s_g * T_w_g telescopes to sum_i (x_i/sx) * ln(x_i*n_g/s_g)
+    within_term = (
+        totals.join(grp.select(group_col, "_ng", "_sg"), group_col)
+        .crossJoin(F.broadcast(glob))
+        .agg(
+            F.sum(
+                (F.col("_x") / F.col("_sx"))
+                * F.log(F.col("_x") * F.col("_ng") / F.col("_sg"))
+            ).alias("t_within")
+        )
+    )
+    out = t_total.crossJoin(F.broadcast(t_between)).crossJoin(
+        F.broadcast(within_term)
+    )
+    return out.select(
+        F.col("n_units").cast("long").alias("n_units"),
+        F.round("t_total", 6).alias("t_total"),
+        F.round("t_between", 6).alias("t_between"),
+        F.round("t_within", 6).alias("t_within"),
+    )

@@ -1635,3 +1635,43 @@ def leef_parse(
         keep(g(5)).alias("event_id_leef"),
         *[attr(k).alias(f"attr_{k}") for k in attr_keys],
     )
+
+
+KLOG_RE = (
+    r"^([IWEF])(\d{4}) (\d{2}:\d{2}:\d{2}\.\d{6})\s+(\d+) "
+    r"([\w.]+\.go):(\d+)\] (.*)$"
+)
+
+
+def klog_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse Kubernetes klog header lines.
+
+    Reference: the collector's k8s receivers (k8s_events, k8s_cluster,
+    kubeletstats in the agent bundle) ingest component logs in klog
+    format: ``I0820 04:05:06.123456   12345 controller.go:123] msg`` —
+    severity letter (Info/Warning/Error/Fatal), MMDD (year-less!),
+    wall time to microseconds, PID, source file:line, free text.
+
+    One anchored regexp, codegen'd, zero exchanges.  The year-less
+    date stays as ``klog_mmdd`` (string) — klog genuinely drops the
+    year, so reconstructing a timestamp needs external context the
+    parser must not invent.  Malformed lines yield NULL severity.
+    """
+    line = F.col(line_col)
+    g = lambda i: F.regexp_extract(line, KLOG_RE, i)  # noqa: E731
+    ok = line.rlike(KLOG_RE)
+    keep = lambda c: F.when(ok, c)  # noqa: E731
+    sev_map = F.create_map(
+        F.lit("I"), F.lit("INFO"), F.lit("W"), F.lit("WARN"),
+        F.lit("E"), F.lit("ERROR"), F.lit("F"), F.lit("FATAL"),
+    )
+    return df.select(
+        "*",
+        keep(sev_map[g(1)]).alias("klog_severity"),
+        keep(g(2)).alias("klog_mmdd"),
+        keep(g(3)).alias("klog_time"),
+        keep(g(4).cast("long")).alias("klog_pid"),
+        keep(g(5)).alias("klog_file"),
+        keep(g(6).cast("int")).alias("klog_line"),
+        keep(g(7)).alias("klog_msg"),
+    )

@@ -17917,6 +17917,135 @@ def q_dora_release_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 420. Kubernetes klog header parse: lines built from events (1/83
+#      malformed), anchored-regex parse of severity/MMDD/time/pid/
+#      file:line, rolled up by severity x source file with distinct
+#      pids.  Oracle computes expected fields directly — no parse.
+# ---------------------------------------------------------------------
+@register(
+    "klog_parse_fields",
+    """
+    with b as (select
+      case when event_id % 83 = 0 then null
+           when event_type = 'error' then 'ERROR'
+           when event_type = 'purchase' then 'WARN'
+           else 'INFO' end as sev,
+      case when event_id % 83 = 0 then null
+           else event_type || '.go' end as f,
+      user_id as pid
+      from events)
+    select sev, f, cast(count(*) as bigint) as n,
+      cast(count(distinct case when sev is not null then pid end)
+        as bigint) as n_pids
+    from b group by sev, f
+    """,
+)
+def q_klog_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import klog_parse
+
+    ev = _t(spark, sf_dir, "events")
+    sev = (
+        F.when(F.col("event_type") == "error", "E")
+        .when(F.col("event_type") == "purchase", "W")
+        .otherwise("I")
+    )
+    line = F.when(F.col("event_id") % 83 == 0, F.lit("malformed")).otherwise(
+        F.concat(
+            sev,
+            F.date_format("ts", "MMdd"),
+            F.lit(" "),
+            F.date_format("ts", "HH:mm:ss.SSSSSS"),
+            F.lit("   "),
+            F.col("user_id").cast("string"),
+            F.lit(" "),
+            F.col("event_type"),
+            F.lit(".go:"),
+            (F.col("event_id") % 500).cast("string"),
+            F.lit("] handled event id="),
+            F.col("event_id").cast("string"),
+        )
+    )
+    parsed = klog_parse(ev.select(line.alias("line")), "line")
+    return parsed.groupBy(
+        F.col("klog_severity").alias("sev"), F.col("klog_file").alias("f")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("klog_pid").cast("long").alias("n_pids"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 421. KMV-sketch Jaccard between 'view' and 'click' user sets —
+#      k-smallest of the hash UNION, intersection flags counted among
+#      them; exact Jaccard alongside as the audit columns.  The
+#      intersection estimate HLL cannot produce.
+# ---------------------------------------------------------------------
+@register(
+    "kmv_jaccard_sets",
+    """
+    with f as (select
+      cast(('0x' || substr(md5(cast(user_id as varchar)), 1, 8))
+        as bigint) as hv,
+      max(case when event_type = 'view' then 1 else 0 end) as a,
+      max(case when event_type = 'click' then 1 else 0 end) as b
+      from events where event_type in ('view', 'click') group by 1),
+    r as (select hv, a, b, row_number() over (order by hv) as rn from f),
+    sk as (select count(*) as k_used, sum(a * b) as both_k
+      from r where rn <= 64),
+    ex as (select sum(a) as na, sum(b) as nb, sum(a * b) as ni,
+      count(*) as nu from f)
+    select cast(k_used as bigint) as k_used,
+      round(both_k / cast(k_used as double), 6) as j_estimate,
+      cast(na as bigint) as n_a, cast(nb as bigint) as n_b,
+      cast(ni as bigint) as n_intersect,
+      round(ni / cast(nu as double), 6) as j_exact
+    from sk, ex
+    """,
+)
+def q_kmv_jaccard_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import kmv_jaccard
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_jaccard(ev, "event_type", "user_id", "view", "click", k=64)
+
+
+# ---------------------------------------------------------------------
+# 422. Theil T inequality with exact between/within decomposition
+#      over per-user value totals grouped into 5 tenant buckets —
+#      the additive split Gini cannot provide.
+# ---------------------------------------------------------------------
+@register(
+    "theil_inequality",
+    """
+    with t as (select user_id, user_id % 5 as g,
+        sum(cast(value as double)) as x
+      from events where value is not null group by 1, 2),
+    tp as (select * from t where x > 0),
+    gl as (select count(*) as n, sum(x) as sx from tp),
+    tt as (select sum((x / (sx / n)) * ln(x / (sx / n))) / max(n)
+        as t_total, max(n) as n_units from tp, gl),
+    gr as (select g, count(*) as ng, sum(x) as sg from tp group by g),
+    tb as (select sum((sg / sx) * ln((sg / ng) / (sx / n)))
+        as t_between from gr, gl),
+    tw as (select sum((x / sx) * ln(x * ng / sg)) as t_within
+      from tp join gr using (g), gl)
+    select cast(n_units as bigint) as n_units,
+      round(t_total, 6) as t_total,
+      round(t_between, 6) as t_between,
+      round(t_within, 6) as t_within
+    from tt, tb, tw
+    """,
+)
+def q_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import theil_index
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", (F.col("user_id") % 5).alias("g"), "value"
+    )
+    return theil_index(ev, "user_id", "g", "value")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -2312,3 +2312,41 @@ def test_dora_metrics_known_counts(spark):
     assert abs(r["change_failure_rate"] - 0.25) < 1e-6
     assert abs(r["deploys_per_day"] - 1.0) < 1e-6  # 4 deploys / 4 days span
     assert abs(r["lead_p50"] - 25.0) < 1e-6
+
+
+def test_kmv_jaccard_exact_small_sets(spark):
+    from sparkcollector.operators.analytics import kmv_jaccard
+
+    # A = {1..6}, B = {4..9}: intersect 3, union 9 -> J = 1/3; under k
+    rows = [("a", i) for i in range(1, 7)] + [("b", i) for i in range(4, 10)]
+    df = spark.createDataFrame(rows, "s string, item long")
+    r = kmv_jaccard(df, "s", "item", "a", "b", k=64).collect()[0]
+    assert r["n_a"] == 6 and r["n_b"] == 6 and r["n_intersect"] == 3
+    assert abs(r["j_exact"] - 1 / 3) < 1e-6
+    # sketch is under-full -> estimate equals exact
+    assert r["k_used"] == 9 and abs(r["j_estimate"] - 1 / 3) < 1e-6
+
+
+def test_theil_decomposition_identity(spark):
+    from sparkcollector.operators.analytics import theil_index
+
+    # two groups with internal inequality AND different means
+    rows = [
+        (1, "g1", 1.0), (2, "g1", 3.0),
+        (3, "g2", 10.0), (4, "g2", 30.0),
+    ]
+    df = spark.createDataFrame(rows, "u long, g string, v double")
+    r = theil_index(df, "u", "g", "v").collect()[0]
+    assert r["n_units"] == 4
+    # decomposition must be exact: T = T_between + T_within
+    assert abs(r["t_total"] - (r["t_between"] + r["t_within"])) < 1e-5
+    assert r["t_between"] > 0 and r["t_within"] > 0
+
+
+def test_theil_zero_for_equal_units(spark):
+    from sparkcollector.operators.analytics import theil_index
+
+    rows = [(i, "g", 5.0) for i in range(8)]
+    df = spark.createDataFrame(rows, "u long, g string, v double")
+    r = theil_index(df, "u", "g", "v").collect()[0]
+    assert r["t_total"] == 0.0 and r["t_between"] == 0.0

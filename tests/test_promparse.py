@@ -844,3 +844,21 @@ def test_leef_parse_header_attrs_and_malformed(spark):
     assert got[1]["attr_src"] == "1.2.3.4" and got[1]["attr_sev"] == "9"
     assert got[2]["event_id_leef"] == "E" and got[2]["attr_src"] is None
     assert got[3]["leef_version"] is None
+
+
+def test_klog_parse_fields_and_malformed(spark):
+    from sparkcollector.operators.promparse import klog_parse
+
+    rows = [
+        (1, "I0820 04:05:06.123456   12345 controller.go:123] synced ok"),
+        (2, "E1231 23:59:59.000001 7 main.go:1] boom"),
+        (3, "not klog"),
+    ]
+    df = spark.createDataFrame(rows, "id long, line string")
+    got = {r["id"]: r for r in klog_parse(df, "line").collect()}
+    assert got[1]["klog_severity"] == "INFO"
+    assert got[1]["klog_mmdd"] == "0820" and got[1]["klog_pid"] == 12345
+    assert got[1]["klog_file"] == "controller.go" and got[1]["klog_line"] == 123
+    assert got[1]["klog_msg"] == "synced ok"
+    assert got[2]["klog_severity"] == "ERROR" and got[2]["klog_pid"] == 7
+    assert got[3]["klog_severity"] is None
