@@ -544,3 +544,63 @@ def good_turing(
         )
     )
     return out
+
+
+def readability_indices(
+    df: DataFrame,
+    text_col: str,
+) -> DataFrame:
+    """SMOG, Coleman-Liau, and ARI readability per document.
+
+    Completes ``flesch_reading_ease`` with the three other classic
+    grade-level formulas — quality-scoring features for corpus
+    filtering.  All counts are per-row array/regex expressions (zero
+    shuffles added): sentences = non-empty [.!?] segments, words =
+    whitespace tokens, letters = [A-Za-z] count, polysyllables =
+    words with >= 3 vowel groups (the standard no-dictionary syllable
+    proxy).
+
+    SMOG        = 1.043 * sqrt(polysyllables * 30 / sentences) + 3.1291
+    ColemanLiau = 0.0588 * L - 0.296 * S - 15.8
+                  (L = letters per 100 words, S = sentences per 100 words)
+    ARI         = 4.71 * chars_per_word + 0.5 * words_per_sentence - 21.43
+
+    Returns input + n_sentences, n_words, n_polysyllables, smog,
+    coleman_liau, ari (indices round 4).  Empty texts yield NULLs.
+    """
+    t = F.col(text_col)
+    sents = F.size(
+        F.filter(
+            F.split(t, r"[.!?]"), lambda x: F.trim(x) != ""
+        )
+    )
+    words = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != "")
+    n_words = F.size(words)
+    letters = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    poly = F.size(
+        F.filter(
+            words,
+            lambda w: F.size(F.regexp_extract_all(w, F.lit("[aeiou]+"), 0))
+            >= 3,
+        )
+    )
+    ok = (n_words > 0) & (sents > 0)
+    nw = n_words.cast("double")
+    ns = sents.cast("double")
+    smog = 1.043 * F.sqrt(poly.cast("double") * 30.0 / ns) + 3.1291
+    cl = (
+        0.0588 * (letters.cast("double") * 100.0 / nw)
+        - 0.296 * (ns * 100.0 / nw)
+        - 15.8
+    )
+    ari = (
+        4.71 * (letters.cast("double") / nw) + 0.5 * (nw / ns) - 21.43
+    )
+    return (
+        df.withColumn("n_sentences", F.when(ok, sents.cast("long")))
+        .withColumn("n_words", F.when(ok, n_words.cast("long")))
+        .withColumn("n_polysyllables", F.when(ok, poly.cast("long")))
+        .withColumn("smog", F.when(ok, F.round(smog, 4)))
+        .withColumn("coleman_liau", F.when(ok, F.round(cl, 4)))
+        .withColumn("ari", F.when(ok, F.round(ari, 4)))
+    )

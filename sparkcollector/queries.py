@@ -18046,6 +18046,155 @@ def q_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 423. Kaplan-Meier conversion survival: per-user days from first
+#      event to first purchase (censored at last observed day),
+#      S(t) = prod(1 - d/n) folded as exp(cumsum(ln)) in sorted order
+#      so Spark and the oracle share fold order exactly.
+# ---------------------------------------------------------------------
+@register(
+    "kaplan_meier_conversion",
+    """
+    with u as (select user_id, min(ts) as t0, max(ts) as tmax,
+        min(case when event_type = 'purchase' then ts end) as tp
+      from events group by 1),
+    d as (select user_id,
+        cast(floor((epoch(coalesce(tp, tmax)) - epoch(t0)) / 86400.0)
+          as bigint) as t,
+        case when tp is not null then 1 else 0 end as e from u),
+    per as (select t, sum(e) as d_i, sum(1 - e) as c_i,
+        count(*) as n_at from d group by t),
+    r as (select t, d_i, c_i, n_at,
+        sum(n_at) over (order by t rows between current row
+          and unbounded following) as n_risk from per),
+    s as (select t, n_risk, d_i, c_i,
+        exp(sum(ln(greatest(1.0 - d_i / cast(n_risk as double),
+                            1e-300)))
+            over (order by t rows between unbounded preceding
+              and current row)) as surv from r)
+    select cast(t as bigint) as t, cast(n_risk as bigint) as n_risk,
+      cast(d_i as bigint) as n_events, cast(c_i as bigint) as n_censored,
+      round(surv, 6) as survival
+    from s
+    """,
+)
+def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("tmax"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+    )
+    d = u.select(
+        F.floor(
+            (_epoch_s(F.coalesce("tp", "tmax")) - _epoch_s("t0")) / 86400.0
+        ).alias("dur"),
+        F.col("tp").isNotNull().cast("int").alias("ev"),
+    )
+    return kaplan_meier(d, "dur", "ev")
+
+
+# ---------------------------------------------------------------------
+# 424. SMOG / Coleman-Liau / ARI readability per sampled document
+#      (sentence breaks inserted every 6 words, engine-appropriate
+#      backreference syntax each side) — corpus quality features
+#      beside flesch_reading_ease.
+# ---------------------------------------------------------------------
+@register(
+    "readability_docs",
+    r"""
+    with t2 as (select doc_id,
+        regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g')
+          as tx
+      from documents where doc_id % 37 = 0),
+    c as (select doc_id, tx,
+      len(list_filter(string_split_regex(tx, '[.!?]'),
+          x -> trim(x) <> '')) as ns,
+      list_filter(string_split_regex(lower(tx), '\s+'),
+          x -> x <> '') as ws,
+      length(regexp_replace(tx, '[^A-Za-z]', '', 'g')) as lt
+      from t2),
+    c2 as (select doc_id, ns, len(ws) as nw, lt,
+      len(list_filter(ws,
+          w -> len(regexp_extract_all(w, '[aeiou]+')) >= 3)) as poly
+      from c)
+    select doc_id,
+      cast(ns as bigint) as n_sentences,
+      cast(nw as bigint) as n_words,
+      cast(poly as bigint) as n_polysyllables,
+      round(1.043 * sqrt(poly * 30.0 / ns) + 3.1291, 4) as smog,
+      round(0.0588 * (lt * 100.0 / nw) - 0.296 * (ns * 100.0 / nw)
+            - 15.8, 4) as coleman_liau,
+      round(4.71 * (lt * 1.0 / nw) + 0.5 * (nw * 1.0 / ns) - 21.43, 4)
+        as ari
+    from c2 where nw > 0 and ns > 0
+    """,
+)
+def q_readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import readability_indices
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 37 == 0)
+    broken = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            "text", r"(\w+ \w+ \w+ \w+ \w+ \w+) ", r"$1. "
+        ).alias("tx"),
+    )
+    return readability_indices(broken, "tx").select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_polysyllables",
+        "smog",
+        "coleman_liau",
+        "ari",
+    )
+
+
+# ---------------------------------------------------------------------
+# 425. Mood's median test across event_type groups — 2xk contingency
+#      on the pooled exact median, chi2 cells + global verdict; the
+#      cheap nonparametric sibling of kruskal_wallis at 10^12 rows.
+# ---------------------------------------------------------------------
+@register(
+    "moods_median_groups",
+    """
+    with b as (select event_type, cast(value as double) as v
+      from events where value is not null),
+    m as (select quantile_cont(v, 0.5) as med from b),
+    f as (select event_type,
+        case when v > (select med from m) then 1 else 0 end as ab
+      from b),
+    p as (select event_type, count(*) as n, sum(ab) as na
+      from f group by 1),
+    t as (select sum(n) as tn, sum(na) as ta from p),
+    c2 as (select event_type, n, na,
+        n * ta / cast(tn as double) as ea,
+        pow(na - n * ta / cast(tn as double), 2)
+          / (n * ta / cast(tn as double))
+        + pow((n - na) - n * (tn - ta) / cast(tn as double), 2)
+          / (n * (tn - ta) / cast(tn as double)) as cell
+      from p, t),
+    g as (select sum(cell) as chi2 from c2)
+    select event_type, cast(n as bigint) as n,
+      cast(na as bigint) as n_above,
+      round(ea, 6) as expected_above,
+      round(cell, 6) as chi2_cell,
+      round((select chi2 from g), 6) as chi2
+    from c2
+    """,
+)
+def q_moods_median_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import moods_median_test
+
+    ev = _t(spark, sf_dir, "events")
+    return moods_median_test(ev, "event_type", "value")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -2350,3 +2350,37 @@ def test_theil_zero_for_equal_units(spark):
     df = spark.createDataFrame(rows, "u long, g string, v double")
     r = theil_index(df, "u", "g", "v").collect()[0]
     assert r["t_total"] == 0.0 and r["t_between"] == 0.0
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    from sparkcollector.operators.analytics import kaplan_meier
+
+    # classic: events at t=1 (1 of 5), t=3 (1 of 3); censored at t=2, t=4, t=5
+    rows = [(1, 1), (2, 0), (3, 1), (4, 0), (5, 0)]
+    df = spark.createDataFrame(rows, "dur long, ev int")
+    got = {r["t"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert got[1]["n_risk"] == 5 and abs(got[1]["survival"] - 0.8) < 1e-6
+    assert got[2]["n_risk"] == 4 and abs(got[2]["survival"] - 0.8) < 1e-6
+    # at t=3: risk set 3, one event -> 0.8 * 2/3
+    assert abs(got[3]["survival"] - 0.8 * 2 / 3) < 1e-5
+    assert got[5]["n_censored"] == 1
+
+
+def test_kaplan_meier_terminal_all_die_hits_zero(spark):
+    from sparkcollector.operators.analytics import kaplan_meier
+
+    df = spark.createDataFrame([(1, 1), (2, 1)], "dur long, ev int")
+    got = {r["t"]: r["survival"] for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert got[2] == 0.0
+
+
+def test_moods_median_balanced_vs_shifted(spark):
+    from sparkcollector.operators.analytics import moods_median_test
+
+    lo = [("lo", float(v)) for v in range(10)]        # 0..9
+    hi = [("hi", float(v)) for v in range(10, 20)]    # 10..19
+    df = spark.createDataFrame(lo + hi, "g string, v double")
+    got = {r["g"]: r for r in moods_median_test(df, "g", "v").collect()}
+    # pooled median 9.5: all of hi above, none of lo
+    assert got["hi"]["n_above"] == 10 and got["lo"]["n_above"] == 0
+    assert abs(got["hi"]["chi2"] - 20.0) < 1e-6

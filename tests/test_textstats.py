@@ -264,3 +264,21 @@ def test_good_turing_known_table(spark):
     assert abs(got[2]["r_star"] - 3.0) < 1e-6
     assert got[3]["r_star"] is None
     assert abs(got[1]["p_r"] - 3 / 8) < 1e-6
+
+
+def test_readability_indices_known_text(spark):
+    from sparkcollector.operators.textstats import readability_indices
+
+    # 2 sentences, 6 words, letters=26, poly: "dictionary" (4 groups),
+    # "beautiful" (eau+i+u? -> groups: eau, i, u = 3)
+    df = spark.createDataFrame(
+        [(1, "the dictionary is big. beautiful code."), (2, "   ")],
+        "id long, text string",
+    )
+    got = {r["id"]: r for r in readability_indices(df, "text").collect()}
+    r = got[1]
+    assert r["n_sentences"] == 2 and r["n_words"] == 6
+    assert r["n_polysyllables"] == 2
+    import math
+    assert abs(r["smog"] - (1.043 * math.sqrt(2 * 30 / 2) + 3.1291)) < 1e-3
+    assert got[2]["smog"] is None and got[2]["n_words"] is None
