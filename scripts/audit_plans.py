@@ -3287,6 +3287,308 @@ def main() -> None:
         spark=spark,
     )
 
+    # ---- round-3 batches 96-103 ----
+    all_ok &= audit(
+        "cidr_enrich",
+        lambda: queries()["cidr_enrich"](spark, SF_DIR),
+        [
+            ("LPM compiled to broadcast equi-join cascade (one BHJ per "
+             "distinct prefix length, 5 here)",
+             lambda p: p.count("BroadcastHashJoin") >= 5),
+            ("no SortMergeJoin / no theta range join",
+             lambda p: "SortMergeJoin" not in p),
+            ("no Python EVAL in plan (the only 'Python' mention is the "
+             "5-row dim's createDataFrame RDD)",
+             lambda p: "EvalPython" not in p and "InPandas" not in p),
+        ],
+        out,
+        "fact side never shuffles for the lookup; the only exchange is "
+        "the final zone rollup.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "kmv_set_sketch",
+        lambda: queries()["kmv_set_sketch"](spark, SF_DIR),
+        [
+            ("distinct folds with partial aggregation before the shuffle",
+             lambda p: "partial" in p.lower()),
+            ("bounded top-k via row_number window", lambda p: "Window" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "jwt_claims_audit",
+        lambda: queries()["jwt_claims_audit"](spark, SF_DIR),
+        [
+            ("base64url decode + JSON claim extraction stay JVM-side",
+             lambda p: "Python" not in p),
+            ("single aggregation exchange (token build is map-only)",
+             lambda p: p.count("Exchange") <= 2),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "anova_f_groups",
+        lambda: queries()["anova_f_groups"](spark, SF_DIR),
+        [
+            ("power sums fold map-side (partial agg)",
+             lambda p: "partial" in p.lower()),
+            ("no second scan of the fact table (single parquet scan)",
+             lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "business_hours_sla",
+        lambda: queries()["business_hours_sla"](spark, SF_DIR),
+        [
+            ("day expansion is a generator (Explode), not a join",
+             lambda p: "Generate" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "secret_entropy_scan",
+        lambda: queries()["secret_entropy_scan"](spark, SF_DIR),
+        [
+            ("entropy is per-row HOF math — only rollup exchanges",
+             lambda p: p.count("Exchange") <= 2),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+            ("candidate explode is a Generate node", lambda p: "Generate" in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "simpson_diversity",
+        lambda: queries()["simpson_diversity"](spark, SF_DIR),
+        [
+            ("two chained groupBys, both with partial aggregation",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "durbin_watson",
+        lambda: queries()["durbin_watson"](spark, SF_DIR),
+        [
+            ("mean join-back is broadcast (tiny aggregate side)",
+             lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+            ("single lag window on the group key", lambda p: "Window" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "docker_log_parse",
+        lambda: queries()["docker_log_parse"](spark, SF_DIR),
+        [
+            ("from_json with explicit schema (no schema inference scan)",
+             lambda p: "from_json" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+            ("single rollup exchange", lambda p: p.count("Exchange") <= 2),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "effect_size_cohens_d",
+        lambda: queries()["effect_size_cohens_d"](spark, SF_DIR),
+        [
+            ("conditional power sums fold map-side",
+             lambda p: "partial" in p.lower()),
+            ("single parquet scan",
+             lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "good_turing_smoothing",
+        lambda: queries()["good_turing_smoothing"](spark, SF_DIR),
+        [
+            ("count-of-counts self-join is broadcast (tiny r table)",
+             lambda p: "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p),
+            ("tokenize is Generate (explode), no Python",
+             lambda p: "Generate" in p and "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "leef_parse_fields",
+        lambda: queries()["leef_parse_fields"](spark, SF_DIR),
+        [
+            ("anchored-regex parse stays in codegen — no Python",
+             lambda p: "Python" not in p),
+            ("single rollup exchange", lambda p: p.count("Exchange") <= 2),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "mcnemar_deploy_gate",
+        lambda: queries()["mcnemar_deploy_gate"](spark, SF_DIR),
+        [
+            ("pairing groupBy folds with partial aggregation",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "grubbs_outlier",
+        lambda: queries()["grubbs_outlier"](spark, SF_DIR),
+        [
+            ("one aggregation, no window, no join (min/max trick)",
+             lambda p: "Window" not in p and "Join" not in p),
+            ("partial aggregation present", lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "ljung_box_whiteness",
+        lambda: queries()["ljung_box_whiteness"](spark, SF_DIR),
+        [
+            ("ONE window carries all 3 lags (not one shuffle per lag)",
+             lambda p: len(re.findall(r"\(\d+\) Window", p)) == 1),
+            ("mean join-back is broadcast",
+             lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "lorenz_value_deciles",
+        lambda: queries()["lorenz_value_deciles"](spark, SF_DIR),
+        [
+            ("only unit totals are ranked (fact scan aggregates first)",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        "global ntile over unit totals is a deliberate single-partition "
+        "window on the |units| aggregate — never on the fact table.",
+        spark=spark,
+    )
+    all_ok &= audit(
+        "dora_release_health",
+        lambda: queries()["dora_release_health"](spark, SF_DIR),
+        [
+            ("failure probe is an equi-semi-join on the unit key",
+             lambda p: "LeftSemi" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "klog_parse_fields",
+        lambda: queries()["klog_parse_fields"](spark, SF_DIR),
+        [
+            ("anchored-regex parse stays in codegen — no Python",
+             lambda p: "Python" not in p),
+            ("distinct-pid rollup folds with partial aggregation",
+             lambda p: "partial" in p.lower()),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "kmv_jaccard_sets",
+        lambda: queries()["kmv_jaccard_sets"](spark, SF_DIR),
+        [
+            ("hash-flag distinct folds with partial aggregation",
+             lambda p: "partial" in p.lower()),
+            ("audit columns join back via broadcast",
+             lambda p: "Broadcast" in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "theil_inequality",
+        lambda: queries()["theil_inequality"](spark, SF_DIR),
+        [
+            ("global scalars join back via broadcast (no SMJ)",
+             lambda p: "SortMergeJoin" not in p),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "kaplan_meier_conversion",
+        lambda: queries()["kaplan_meier_conversion"](spark, SF_DIR),
+        [
+            ("risk-set + survival are windows over the bucketed day "
+             "table, never the fact table",
+             lambda p: "Window" in p),
+            ("per-user reduce folds with partial aggregation",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "readability_docs",
+        lambda: queries()["readability_docs"](spark, SF_DIR),
+        [
+            ("doc_id sampling filter pushes to the parquet scan",
+             lambda p: re.search(r"PushedFilters: \[[^\]]+\]", p) is not None
+             or "Filter" in p),
+            ("all counts are per-row HOF math — zero exchanges",
+             lambda p: p.count("Exchange") == 0),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "moods_median_groups",
+        lambda: queries()["moods_median_groups"](spark, SF_DIR),
+        [
+            ("global median broadcast back to the facts (no SMJ)",
+             lambda p: "SortMergeJoin" not in p),
+            ("contingency pass folds with partial aggregation",
+             lambda p: "partial" in p.lower()),
+            ("no Python / UDF in plan", lambda p: "Python" not in p),
+        ],
+        out,
+        spark=spark,
+    )
+    all_ok &= audit(
+        "business_connected_components",
+        lambda: queries()["connected_components"](spark, SF_DIR),
+        [
+            ("converged star forest: final assembly is unions over "
+             "checkpointed edges (lineage truncated per round)",
+             lambda p: "Union" in p),
+        ],
+        out,
+        "iterative operator: per-round plans are one groupBy-min shuffle "
+        "+ one co-partitioned join-back; localCheckpoint truncates "
+        "lineage so the audited final plan stays flat.",
+        spark=spark,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"
