@@ -7006,3 +7006,222 @@ def moods_median_test(
             F.round("_chi2", 6).alias("chi2"),
         )
     )
+
+
+def welch_anova(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA (k groups).
+
+    ``anova_oneway`` assumes equal variances; telemetry latency groups
+    rarely oblige.  Welch weights each group by w_g = n_g/s_g^2:
+    F* = sum w_g (m_g - m_w)^2 / (k-1) over a correction term, with
+    Welch-Satterthwaite df2.  Same shape as anova_oneway: per-group
+    power sums (one shuffle), single-row reduce — the group stats are
+    computed once and every downstream scalar folds from them.
+
+    Returns one row: k, df1, f_stat, df2 (round 6).
+    """
+    v = F.col(value_col).cast("double")
+    per = (
+        df.filter(v.isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum(v).alias("_s"),
+            F.sum(v * v).alias("_q"),
+        )
+        .filter(F.col("_n") > 1)
+    )
+    n = F.col("_n")
+    m = F.col("_s") / n
+    var = (F.col("_q") - F.col("_s") * F.col("_s") / n) / (n - 1)
+    per = per.select(
+        n.alias("_n"), m.alias("_m"), (n / var).alias("_w")
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("_w").alias("W"),
+        F.sum(F.col("_w") * F.col("_m")).alias("_wm"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    mw = F.col("_wm") / F.col("W")
+    num_t = F.col("_w") * (F.col("_m") - mw) * (F.col("_m") - mw)
+    lam_t = (
+        (1.0 - F.col("_w") / F.col("W"))
+        * (1.0 - F.col("_w") / F.col("W"))
+        / (F.col("_n") - 1)
+    )
+    red = j.agg(
+        F.first("k").alias("k"),
+        F.sum(num_t).alias("_num"),
+        F.sum(lam_t).alias("_lam"),
+    )
+    k = F.col("k")
+    fstat = (F.col("_num") / (k - 1)) / (
+        1.0 + 2.0 * (k - 2.0) / (k * k - 1.0) * F.col("_lam")
+    )
+    df2 = (k * k - 1.0) / (3.0 * F.col("_lam"))
+    return red.select(
+        k.cast("long").alias("k"),
+        (k - 1).cast("long").alias("df1"),
+        F.round(fstat, 6).alias("f_stat"),
+        F.round(df2, 6).alias("df2"),
+    )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build a Count-Min sketch: (row j, bucket, counter) table.
+
+    Frequency estimation with bounded memory and a one-sided error
+    guarantee (never underestimates): depth x width counters, each row
+    j hashing items with an independent portable hash (md5 over
+    "j|item" — any engine reproduces it).  Where ``misra_gries_heavy``
+    tracks only the top keys, CMS answers point queries for ANY key
+    after one pass; sketches merge by cell-wise addition (the partial-
+    agg law the shuffle already exploits).
+
+    Shape: one explode to depth rows per item (Generate, JVM), one
+    groupBy on (j, bucket) — the result is depth*width rows, bounded
+    and broadcastable to probes.
+    """
+    col = F.col(item_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{j}|"), col)), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("_c"))
+        .groupBy(
+            F.col("_c.j").alias("j"), F.col("_c.bucket").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_probe(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query a Count-Min sketch for each key: min over rows.
+
+    The sketch (depth*width rows) broadcasts; each key computes its
+    depth buckets with the same portable hash and takes the minimum
+    matching counter — missing cells count 0.
+    """
+    col = F.col(key_col).cast("string")
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(F.lit(f"{j}|"), col)
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("_c"),
+    ).select(key_col, "_c.j", "_c.bucket")
+    joined = probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias(
+            "cms_estimate"
+        )
+    )
+
+
+def weibull_fit(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Weibull shape/scale via median-rank regression per group.
+
+    Failure-gap distribution fitting for reliability curves: sort the
+    positive durations, assign Bernard's median ranks F_i =
+    (i-0.3)/(n+0.4), and regress y = ln(-ln(1-F_i)) on x = ln(t_i).
+    The OLS slope IS the Weibull shape k; scale = exp(-intercept/k).
+    Shape < 1 means infant mortality (decreasing hazard), > 1 wear-out
+    — the distinction that decides whether retries help.
+
+    Shape: one row_number window per group (single shuffle), then OLS
+    from power sums (one groupBy).  Ties in the duration are broken
+    deterministically by value order only (equal values get adjacent
+    ranks; the regression is invariant to which equal value gets
+    which rank).
+
+    Returns per group: n, shape, scale, r2 (round 6).
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull() & (v > 0)).select(
+        *group_cols, v.alias("_t")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_t")
+    ranked = base.withColumn("_i", F.row_number().over(w))
+    cnt = Window.partitionBy(*group_cols)
+    ranked = ranked.withColumn("_n", F.count(F.lit(1)).over(cnt))
+    fi = (F.col("_i") - 0.3) / (F.col("_n") + 0.4)
+    x = F.log("_t")
+    y = F.log(-F.log(1.0 - fi))
+    pts = ranked.select(*group_cols, x.alias("_x"), y.alias("_y"))
+    agg = pts.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov = sxy - sx * sy / n
+    varx = sxx - sx * sx / n
+    vary = syy - sy * sy / n
+    slope = cov / varx
+    intercept = sy / n - slope * sx / n
+    return agg.filter((n > 2) & (varx > 0) & (vary > 0)).select(
+        *group_cols,
+        n.cast("long").alias("n"),
+        F.round(slope, 6).alias("shape"),
+        F.round(F.exp(-intercept / slope), 6).alias("scale"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )

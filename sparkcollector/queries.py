@@ -18195,6 +18195,140 @@ def q_moods_median_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 426. Welch's heteroscedastic one-way ANOVA across event_type — the
+#      unequal-variance F that latency groups actually need; power
+#      sums + Welch-Satterthwaite df2.
+# ---------------------------------------------------------------------
+@register(
+    "welch_anova_groups",
+    """
+    with s as (select event_type, cast(value as double) as v
+      from events where value is not null),
+    a as (select event_type, cast(count(*) as double) as n,
+        sum(v) as s, sum(v * v) as q from s group by 1),
+    p as (select n, s / n as m,
+        n / ((q - s * s / n) / (n - 1)) as w from a where n > 1),
+    t as (select cast(count(*) as double) as k, sum(w) as sw,
+        sum(w * m) as swm from p),
+    r as (select max(k) as k,
+        sum(w * pow(m - swm / sw, 2)) as num,
+        sum(pow(1 - w / sw, 2) / (n - 1)) as lam
+      from p, t)
+    select cast(k as bigint) as k, cast(k - 1 as bigint) as df1,
+      round((num / (k - 1))
+            / (1 + 2 * (k - 2) / (k * k - 1) * lam), 6) as f_stat,
+      round((k * k - 1) / (3 * lam), 6) as df2
+    from r
+    """,
+)
+def q_welch_anova_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import welch_anova
+
+    ev = _t(spark, sf_dir, "events")
+    return welch_anova(ev, "event_type", "value")
+
+
+# ---------------------------------------------------------------------
+# 427. Count-Min sketch frequency estimates for probe keys vs exact
+#      counts — one-sided (never-under) error visible as `overcount`;
+#      4x256 counters, portable md5 row hashes, sketch broadcast to
+#      the probes.
+# ---------------------------------------------------------------------
+@register(
+    "cms_frequency_probe",
+    """
+    with js as (select unnest([0, 1, 2, 3]) as j),
+    cells as (select j,
+        cast(('0x' || substr(md5(cast(j as varchar) || '|'
+          || cast(user_id as varchar)), 1, 8)) as bigint) % 256
+          as bucket
+      from events, js),
+    counters as (select j, bucket, count(*) as c
+      from cells group by 1, 2),
+    keys as (select distinct user_id from events where user_id < 20),
+    probes as (select user_id, j,
+        cast(('0x' || substr(md5(cast(j as varchar) || '|'
+          || cast(user_id as varchar)), 1, 8)) as bigint) % 256
+          as bucket
+      from keys, js),
+    est as (select user_id, min(coalesce(c, 0)) as e
+      from probes left join counters using (j, bucket) group by 1),
+    ex as (select user_id, count(*) as x from events
+      where user_id < 20 group by 1)
+    select ex.user_id, cast(x as bigint) as exact,
+      cast(e as bigint) as cms_estimate,
+      cast(e - x as bigint) as overcount
+    from ex join est using (user_id)
+    """,
+)
+def q_cms_frequency_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import cms_probe, count_min_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = count_min_sketch(ev, "user_id", depth=4, width=256)
+    keys = ev.filter(F.col("user_id") < 20).select("user_id").distinct()
+    probed = cms_probe(sk, keys, "user_id", depth=4, width=256)
+    exact = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return exact.join(probed, "user_id").select(
+        "user_id",
+        F.col("exact").cast("long").alias("exact"),
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact")).cast("long").alias(
+            "overcount"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
+# 428. Weibull shape/scale of inter-error gaps per user bucket via
+#      median-rank regression (Bernard ranks, ln-ln OLS) — shape < 1
+#      = infant mortality, > 1 = wear-out; decides if retries help.
+# ---------------------------------------------------------------------
+@register(
+    "weibull_error_gaps",
+    """
+    with e as (select user_id % 10 as g, user_id, epoch(ts) as t
+      from events where event_type = 'error'),
+    d as (select g,
+        t - lag(t) over (partition by user_id order by t) as gap
+      from e),
+    p as (select g, gap from d where gap is not null and gap > 0),
+    r as (select g, gap,
+        row_number() over (partition by g order by gap) as i,
+        count(*) over (partition by g) as n from p),
+    xy as (select g, ln(gap) as x,
+        ln(-ln(1 - (i - 0.3) / (n + 0.4))) as y from r),
+    a as (select g, cast(count(*) as double) as n, sum(x) as sx,
+        sum(y) as sy, sum(x * x) as sxx, sum(y * y) as syy,
+        sum(x * y) as sxy from xy group by 1)
+    select cast(g as bigint) as g, cast(n as bigint) as n,
+      round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) as shape,
+      round(exp(-(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                  * sx / n)
+                / ((sxy - sx * sy / n) / (sxx - sx * sx / n))), 6)
+        as scale,
+      round(pow(sxy - sx * sy / n, 2)
+            / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) as r2
+    from a where n > 2
+    """,
+)
+def q_weibull_error_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import weibull_fit
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    w = Window.partitionBy("user_id").orderBy(_epoch_s("ts"))
+    gaps = ev.select(
+        (F.col("user_id") % 10).alias("g"),
+        (_epoch_s("ts") - F.lag(_epoch_s("ts")).over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
+    return weibull_fit(gaps, ["g"], "gap")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

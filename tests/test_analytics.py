@@ -2384,3 +2384,51 @@ def test_moods_median_balanced_vs_shifted(spark):
     # pooled median 9.5: all of hi above, none of lo
     assert got["hi"]["n_above"] == 10 and got["lo"]["n_above"] == 0
     assert abs(got["hi"]["chi2"] - 20.0) < 1e-6
+
+
+def test_welch_anova_equal_groups_small_f(spark):
+    from sparkcollector.operators.analytics import welch_anova
+
+    rows = [("a", v) for v in [1.0, 2.0, 3.0, 4.0]] + [
+        ("b", v) for v in [1.0, 2.0, 3.0, 4.0]
+    ] + [("c", v) for v in [101.0, 102.0, 103.0, 104.0]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_anova(df, "g", "v").collect()[0]
+    assert r["k"] == 3 and r["df1"] == 2
+    assert r["f_stat"] > 1000  # c is far away
+    # identical groups only -> F = 0
+    df2 = spark.createDataFrame(rows[:8], "g string, v double")
+    r2 = welch_anova(df2, "g", "v").collect()[0]
+    assert abs(r2["f_stat"]) < 1e-9
+
+
+def test_cms_never_underestimates(spark):
+    from sparkcollector.operators.analytics import cms_probe, count_min_sketch
+
+    rows = [(i % 50,) for i in range(5000)]
+    df = spark.createDataFrame(rows, "item long")
+    sk = count_min_sketch(df, "item", depth=4, width=64)
+    keys = df.distinct()
+    probed = {
+        r["item"]: r["cms_estimate"]
+        for r in cms_probe(sk, keys, "item", depth=4, width=64).collect()
+    }
+    for k, est in probed.items():
+        assert est >= 100  # exact count per key
+    # total cells bounded
+    assert sk.count() <= 4 * 64
+
+
+def test_weibull_fit_recovers_exponential_shape(spark):
+    import math
+
+    from sparkcollector.operators.analytics import weibull_fit
+
+    # exact Weibull(k=1) quantiles: t_i = -ln(1-F_i) -> slope == 1, r2 == 1
+    n = 100
+    rows = [("g", -math.log(1 - (i - 0.3) / (n + 0.4))) for i in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "g string, t double")
+    r = weibull_fit(df, ["g"], "t").collect()[0]
+    assert abs(r["shape"] - 1.0) < 1e-6
+    assert abs(r["scale"] - 1.0) < 1e-6
+    assert abs(r["r2"] - 1.0) < 1e-6
