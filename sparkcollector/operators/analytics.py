@@ -7225,3 +7225,172 @@ def weibull_fit(
         F.round(F.exp(-intercept / slope), 6).alias("scale"),
         F.round(cov * cov / (varx * vary), 6).alias("r2"),
     )
+
+
+def acf_pacf_profile(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """ACF + PACF (lags 1-3) with white-noise bands per group.
+
+    The correlogram read before fitting anything AR-ish: sample
+    autocorrelations r_1..r_3 of the mean-centered series, partial
+    autocorrelations via the closed-form Durbin-Levinson recursion
+    (phi11 = r1; phi22 = (r2-r1^2)/(1-r1^2); phi33 from level-2
+    coefficients), and the +/-1.96/sqrt(n) whiteness band.  PACF
+    cutting off at lag k while ACF decays = AR(k); the reverse = MA.
+
+    Same shape as ``ljung_box``: one mean join-back (broadcast), ONE
+    window carrying all 3 lags, one reduce; the recursion is scalar
+    arithmetic on the reduced row.
+
+    Returns per group: n, r_1..r_3, pacf_1..pacf_3, band (round 6).
+    """
+    v = F.col(value_col).cast("double")
+    means = df.filter(v.isNotNull()).groupBy(group_col).agg(
+        F.sum(v).alias("_s"), F.count(v).alias("_cnt")
+    )
+    j = (
+        df.filter(v.isNotNull())
+        .join(means, group_col)
+        .withColumn("_r", v - F.col("_s") / F.col("_cnt"))
+    )
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    for k in (1, 2, 3):
+        j = j.withColumn(f"_l{k}", F.lag("_r", k).over(w))
+    a = j.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_r") * F.col("_r")).alias("_c0"),
+        *[
+            F.sum(F.col("_r") * F.col(f"_l{k}")).alias(f"_c{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    r1 = F.col("_c1") / F.col("_c0")
+    r2 = F.col("_c2") / F.col("_c0")
+    r3 = F.col("_c3") / F.col("_c0")
+    phi11 = r1
+    phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    phi21 = phi11 - phi22 * phi11
+    phi33 = (r3 - phi21 * r2 - phi22 * r1) / (
+        1.0 - phi21 * r1 - phi22 * r2
+    )
+    n = F.col("_n").cast("double")
+    return a.select(
+        group_col,
+        F.col("_n").cast("long").alias("n"),
+        F.round(r1, 6).alias("r_1"),
+        F.round(r2, 6).alias("r_2"),
+        F.round(r3, 6).alias("r_3"),
+        F.round(phi11, 6).alias("pacf_1"),
+        F.round(phi22, 6).alias("pacf_2"),
+        F.round(phi33, 6).alias("pacf_3"),
+        F.round(1.959964 / F.sqrt(n), 6).alias("band"),
+    )
+
+
+def granger_lag1(
+    df: DataFrame,
+    order_col: str,
+    y_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Granger lag-1 causality of x on y via partial correlation.
+
+    "Do click spikes PRECEDE error spikes?"  y_t is regressed on
+    y_{t-1} with and without x_{t-1}; rather than solving the 3x3
+    normal equations, the F-test folds through the partial correlation
+    r(y_t, x_{t-1} | y_{t-1}) = (r_yx - r_ya*r_xa) /
+    sqrt((1-r_ya^2)(1-r_xa^2)) — algebraically identical for a single
+    added regressor — so only pairwise power sums are needed:
+    F = (n-3) * r_p^2 / (1 - r_p^2), df (1, n-3).
+
+    The input must be one row per time bucket (the caller aggregates
+    the fact table first); ONE window builds both lags, one reduce
+    computes every pairwise correlation.
+
+    Returns one row: n, r_partial, f_stat (round 6) — plus the raw
+    lagged correlations r_yx_lag and r_auto for diagnostics.
+    """
+    w = Window.orderBy(order_col)
+    base = df.select(
+        F.col(y_col).cast("double").alias("_y"),
+        F.lag(F.col(y_col).cast("double")).over(w).alias("_a"),
+        F.lag(F.col(x_col).cast("double")).over(w).alias("_b"),
+    ).filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    agg = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("_y").alias("sy"),
+        F.sum("_a").alias("sa"),
+        F.sum("_b").alias("sb"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+        F.sum(F.col("_a") * F.col("_a")).alias("saa"),
+        F.sum(F.col("_b") * F.col("_b")).alias("sbb"),
+        F.sum(F.col("_y") * F.col("_a")).alias("sya"),
+        F.sum(F.col("_y") * F.col("_b")).alias("syb"),
+        F.sum(F.col("_a") * F.col("_b")).alias("sab"),
+    )
+    n = F.col("n")
+
+    def corr(sxy, sx, sy, sxx, syy):
+        cov = sxy - sx * sy / n
+        return cov / F.sqrt(
+            (sxx - sx * sx / n) * (syy - sy * sy / n)
+        )
+
+    r_yb = corr(F.col("syb"), F.col("sy"), F.col("sb"), F.col("syy"), F.col("sbb"))
+    r_ya = corr(F.col("sya"), F.col("sy"), F.col("sa"), F.col("syy"), F.col("saa"))
+    r_ab = corr(F.col("sab"), F.col("sa"), F.col("sb"), F.col("saa"), F.col("sbb"))
+    r_p = (r_yb - r_ya * r_ab) / F.sqrt(
+        (1.0 - r_ya * r_ya) * (1.0 - r_ab * r_ab)
+    )
+    fstat = (n - 3.0) * r_p * r_p / (1.0 - r_p * r_p)
+    return agg.select(
+        n.cast("long").alias("n"),
+        F.round(r_ya, 6).alias("r_auto"),
+        F.round(r_yb, 6).alias("r_yx_lag"),
+        F.round(r_p, 6).alias("r_partial"),
+        F.round(fstat, 6).alias("f_stat"),
+    )
+
+
+def mde_two_proportion(
+    df: DataFrame,
+    group_col: str,
+    success_col,
+    alpha_z: float = 1.959964,
+    beta_z: float = 0.841621,
+) -> DataFrame:
+    """Minimum detectable effect for a two-proportion experiment.
+
+    Experiment sizing from live telemetry: with the observed base rate
+    p and the current traffic n split 50/50, the smallest absolute
+    lift detectable at alpha=.05 / power=.80 is MDE = (z_a/2 + z_b) *
+    sqrt(2 p (1-p) / (n/2)).  Run BEFORE launching the A/B test — if
+    MDE_rel > the effect you hope for, the test is underpowered and
+    the collector should keep sampling.
+
+    One conditional-aggregate pass per group.  Returns per group:
+    n, p (round 6), mde_abs, mde_rel (round 6).
+    """
+    s = (
+        success_col
+        if not isinstance(success_col, str)
+        else F.col(success_col)
+    ).cast("int")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(s).cast("double").alias("_k"),
+    )
+    n, k = F.col("_n"), F.col("_k")
+    p = k / n
+    mde = (alpha_z + beta_z) * F.sqrt(2.0 * p * (1.0 - p) / (n / 2.0))
+    return agg.filter((k > 0) & (k < n)).select(
+        group_col,
+        n.cast("long").alias("n"),
+        F.round(p, 6).alias("p"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / p, 6).alias("mde_rel"),
+    )

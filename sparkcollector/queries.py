@@ -18329,6 +18329,130 @@ def q_weibull_error_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 429. ACF + PACF correlogram (lags 1-3, Durbin-Levinson closed form)
+#      with 1.96/sqrt(n) whiteness bands per event_type — the AR-vs-MA
+#      read; one window carries all lags.
+# ---------------------------------------------------------------------
+@register(
+    "acf_pacf_correlogram",
+    """
+    with m as (select event_type, sum(cast(value as double)) as s,
+        count(value) as cnt from events where value is not null
+      group by 1),
+    r as (select e.event_type,
+        cast(e.value as double) - m.s / m.cnt as r, e.ts, e.event_id
+      from events e join m on e.event_type = m.event_type
+      where e.value is not null),
+    l as (select event_type, r,
+        lag(r, 1) over w as l1, lag(r, 2) over w as l2,
+        lag(r, 3) over w as l3
+      from r window w as (partition by event_type order by ts, event_id)),
+    a as (select event_type, count(*) as n, sum(r * r) as c0,
+        sum(r * l1) as c1, sum(r * l2) as c2, sum(r * l3) as c3
+      from l group by 1),
+    k as (select event_type, n,
+        c1 / c0 as r1, c2 / c0 as r2, c3 / c0 as r3 from a),
+    p2 as (select *, (r2 - r1 * r1) / (1 - r1 * r1) as phi22 from k),
+    p3 as (select *, r1 - phi22 * r1 as phi21 from p2)
+    select event_type, cast(n as bigint) as n,
+      round(r1, 6) as r_1, round(r2, 6) as r_2, round(r3, 6) as r_3,
+      round(r1, 6) as pacf_1, round(phi22, 6) as pacf_2,
+      round((r3 - phi21 * r2 - phi22 * r1)
+            / (1 - phi21 * r1 - phi22 * r2), 6) as pacf_3,
+      round(1.959964 / sqrt(n), 6) as band
+    from p3
+    """,
+)
+def q_acf_pacf_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import acf_pacf_profile
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return acf_pacf_profile(ev, "event_type", ["ts", "event_id"], "value")
+
+
+# ---------------------------------------------------------------------
+# 430. Granger lag-1 causality: do click-per-minute spikes precede
+#      error-per-minute spikes?  F-test via partial correlation
+#      r(y_t, x_{t-1} | y_{t-1}) — pairwise power sums only, no 3x3
+#      normal-equation solve.
+# ---------------------------------------------------------------------
+@register(
+    "granger_clicks_errors",
+    """
+    with g as (select cast(floor(epoch(ts) / 60) as bigint) as m,
+        sum(case when event_type = 'click' then 1 else 0 end) as x,
+        sum(case when event_type = 'error' then 1 else 0 end) as y
+      from events group by 1),
+    l as (select cast(y as double) as y,
+        cast(lag(y) over (order by m) as double) as a,
+        cast(lag(x) over (order by m) as double) as b from g),
+    f as (select * from l where a is not null and b is not null),
+    s as (select cast(count(*) as double) as n, sum(y) as sy,
+        sum(a) as sa, sum(b) as sb, sum(y * y) as syy,
+        sum(a * a) as saa, sum(b * b) as sbb, sum(y * a) as sya,
+        sum(y * b) as syb, sum(a * b) as sab from f),
+    c as (select n,
+      (sya - sy * sa / n)
+        / sqrt((syy - sy * sy / n) * (saa - sa * sa / n)) as r_ya,
+      (syb - sy * sb / n)
+        / sqrt((syy - sy * sy / n) * (sbb - sb * sb / n)) as r_yb,
+      (sab - sa * sb / n)
+        / sqrt((saa - sa * sa / n) * (sbb - sb * sb / n)) as r_ab
+      from s),
+    p as (select n, r_ya, r_yb,
+      (r_yb - r_ya * r_ab)
+        / sqrt((1 - r_ya * r_ya) * (1 - r_ab * r_ab)) as r_p
+      from c)
+    select cast(n as bigint) as n, round(r_ya, 6) as r_auto,
+      round(r_yb, 6) as r_yx_lag, round(r_p, 6) as r_partial,
+      round((n - 3) * r_p * r_p / (1 - r_p * r_p), 6) as f_stat
+    from p
+    """,
+)
+def q_granger_clicks_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import granger_lag1
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        F.floor(_epoch_s("ts") / 60).cast("long").alias("m")
+    ).agg(
+        F.sum((F.col("event_type") == "click").cast("int")).alias("x"),
+        F.sum((F.col("event_type") == "error").cast("int")).alias("y"),
+    )
+    return granger_lag1(series, "m", "y", "x")
+
+
+# ---------------------------------------------------------------------
+# 431. Two-proportion MDE (alpha .05, power .80) per event_type with
+#      success = value > 100 — "is the test you want even powered at
+#      current traffic?" sizing from live telemetry.
+# ---------------------------------------------------------------------
+@register(
+    "mde_event_conversion",
+    """
+    with a as (select event_type, cast(count(*) as double) as n,
+        cast(sum(case when value > 100 then 1 else 0 end) as double)
+          as k
+      from events group by 1)
+    select event_type, cast(n as bigint) as n,
+      round(k / n, 6) as p,
+      round((1.959964 + 0.841621)
+            * sqrt(2 * (k / n) * (1 - k / n) / (n / 2.0)), 6)
+        as mde_abs,
+      round((1.959964 + 0.841621)
+            * sqrt(2 * (k / n) * (1 - k / n) / (n / 2.0)) / (k / n), 6)
+        as mde_rel
+    from a where k > 0 and k < n
+    """,
+)
+def q_mde_event_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import mde_two_proportion
+
+    ev = _t(spark, sf_dir, "events")
+    return mde_two_proportion(ev, "event_type", F.col("value") > 100)
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -2432,3 +2432,49 @@ def test_weibull_fit_recovers_exponential_shape(spark):
     assert abs(r["shape"] - 1.0) < 1e-6
     assert abs(r["scale"] - 1.0) < 1e-6
     assert abs(r["r2"] - 1.0) < 1e-6
+
+
+def test_acf_pacf_ar1_signature(spark):
+    from sparkcollector.operators.analytics import acf_pacf_profile
+
+    # AR(1) with phi=0.8 built deterministically from a fixed seed
+    import random
+    rng = random.Random(42)
+    v, rows = 0.0, []
+    for i in range(500):
+        v = 0.8 * v + rng.gauss(0, 1)
+        rows.append(("g", i, v))
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    r = acf_pacf_profile(df, "g", ["t"], "v").collect()[0]
+    # ACF decays geometrically; PACF cuts off after lag 1
+    assert r["r_1"] > 0.6 and r["r_2"] > 0.4
+    assert abs(r["pacf_1"] - r["r_1"]) < 1e-9
+    assert abs(r["pacf_2"]) < r["band"] * 3
+    assert abs(r["pacf_3"]) < r["band"] * 3
+
+
+def test_granger_lagged_copy_is_causal(spark):
+    from sparkcollector.operators.analytics import granger_lag1
+
+    import random
+    rng = random.Random(7)
+    xs = [rng.random() for _ in range(300)]
+    rows = []
+    for t in range(1, 300):
+        # y depends on x lagged by one, not on its own past
+        rows.append((t, xs[t - 1] * 10 + rng.gauss(0, 0.1), xs[t]))
+    df = spark.createDataFrame(rows, "m long, y double, x double")
+    r = granger_lag1(df, "m", "y", "x").collect()[0]
+    assert r["r_partial"] > 0.9 and r["f_stat"] > 100
+
+
+def test_mde_shrinks_with_traffic(spark):
+    from pyspark.sql import functions as F
+    from sparkcollector.operators.analytics import mde_two_proportion
+
+    small = [("s", i % 10 == 0) for i in range(100)]
+    big = [("b", i % 10 == 0) for i in range(10000)]
+    df = spark.createDataFrame(small + big, "g string, ok boolean")
+    got = {r["g"]: r for r in mde_two_proportion(df, "g", "ok").collect()}
+    assert abs(got["s"]["p"] - 0.1) < 1e-9
+    assert got["b"]["mde_abs"] < got["s"]["mde_abs"] / 5
