@@ -547,3 +547,61 @@ def cidr_lookup(
     return out.withColumn(out_col, best).drop(
         "_ip_int", *[f"_v{p}" for p in plens]
     )
+
+
+def haversine_km(lat1, lon1, lat2, lon2) -> "F.Column":
+    """Great-circle distance in km (haversine), pure JVM trig."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2.0
+    dlon = F.radians(lon2 - lon1) / 2.0
+    a = F.sin(dlat) * F.sin(dlat) + F.cos(rl1) * F.cos(rl2) * F.sin(
+        dlon
+    ) * F.sin(dlon)
+    return 2.0 * 6371.0 * F.asin(F.sqrt(a))
+
+
+def nearest_poi(
+    facts: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    pois: DataFrame,
+    name_col: str = "poi",
+    poi_lat: str = "lat",
+    poi_lon: str = "lon",
+) -> DataFrame:
+    """Nearest-point-of-interest geo enrichment, zero fact shuffles.
+
+    GeoIP-style enrichment (the collector attaches region/zone
+    metadata via resourcedetection; this is the coordinates variant):
+    assign every fact row to its closest POI by haversine distance.
+
+    Scale shape: like ``cidr_lookup``, the bounded dimension is
+    collected driver-side (POI catalogs are hundreds of rows, never
+    facts) and compiled INTO the row expression — an array of
+    (distance, name) structs whose ``array_min`` is the argmin
+    (struct comparison orders by distance first, name as the
+    deterministic tie-break).  No join, no shuffle, whole-stage
+    codegen; a per-row O(|POI|) trig loop beats a broadcast-join +
+    re-aggregation for any dimension small enough to broadcast anyway.
+
+    Adds ``poi`` and ``poi_km`` (round 3) to the facts.
+    """
+    rows = pois.select(name_col, poi_lat, poi_lon).collect()
+    lat = F.col(lat_col).cast("double")
+    lon = F.col(lon_col).cast("double")
+    entries = [
+        F.struct(
+            F.round(
+                haversine_km(
+                    lat, lon, F.lit(float(r[poi_lat])), F.lit(float(r[poi_lon]))
+                ),
+                3,
+            ).alias("km"),
+            F.lit(r[name_col]).alias("name"),
+        )
+        for r in rows
+    ]
+    best = F.array_min(F.array(*entries))
+    return facts.withColumn("poi", best["name"]).withColumn(
+        "poi_km", best["km"]
+    )

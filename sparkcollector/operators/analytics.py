@@ -7394,3 +7394,148 @@ def mde_two_proportion(
         F.round(mde, 6).alias("mde_abs"),
         F.round(mde / p, 6).alias("mde_rel"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Log-rank test: are two Kaplan-Meier curves the same?
+
+    The significance companion to ``kaplan_meier``: at each distinct
+    event time, group 1's observed deaths are compared with the
+    hypergeometric expectation E1 = n1_t * d_t / n_t given the pooled
+    risk set; chi2 = (sum(O1-E1))^2 / sum(V) with the standard
+    variance V = d(n1/n)(1-n1/n)(n-d)/(n-1).  Censoring enters only
+    through the risk sets.
+
+    Shape: one groupBy on the bucketed duration (per-group death/
+    censor counts as conditional sums), reverse-cumulative risk sets
+    via ONE window over the small per-time table, single-row reduce.
+
+    ``group_col`` must be 0/1.  Returns one row: n1, n2, o1, e1,
+    chi2 (round 6).
+    """
+    d = F.col(duration_col).cast("long")
+    e = F.col(event_col).cast("int")
+    g = F.col(group_col).cast("int")
+    per_t = df.groupBy(d.alias("t")).agg(
+        F.sum(F.when(g == 1, e).otherwise(0)).alias("d1"),
+        F.sum(F.when(g == 0, e).otherwise(0)).alias("d0"),
+        F.sum(F.when(g == 1, 1).otherwise(0)).alias("a1"),
+        F.sum(F.when(g == 0, 1).otherwise(0)).alias("a0"),
+    )
+    w = Window.orderBy(F.col("t").asc()).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    per_t = per_t.withColumn("n1", F.sum("a1").over(w)).withColumn(
+        "n0", F.sum("a0").over(w)
+    )
+    n = (F.col("n1") + F.col("n0")).cast("double")
+    dd = (F.col("d1") + F.col("d0")).cast("double")
+    e1 = F.col("n1") * dd / n
+    v = F.when(
+        n > 1,
+        dd
+        * (F.col("n1") / n)
+        * (1.0 - F.col("n1") / n)
+        * (n - dd)
+        / (n - 1.0),
+    ).otherwise(0.0)
+    red = per_t.filter(dd > 0).agg(
+        F.sum("d1").cast("double").alias("o1"),
+        F.sum(e1).alias("e1s"),
+        F.sum(v).alias("vs"),
+    )
+    tot = df.groupBy().agg(
+        F.sum(F.when(g == 1, 1).otherwise(0)).alias("n1_tot"),
+        F.sum(F.when(g == 0, 1).otherwise(0)).alias("n0_tot"),
+    )
+    out = red.crossJoin(F.broadcast(tot))
+    return out.select(
+        F.col("n1_tot").cast("long").alias("n1"),
+        F.col("n0_tot").cast("long").alias("n2"),
+        F.col("o1").cast("long").alias("o1"),
+        F.round("e1s", 6).alias("e1"),
+        F.round(
+            (F.col("o1") - F.col("e1s"))
+            * (F.col("o1") - F.col("e1s"))
+            / F.col("vs"),
+            6,
+        ).alias("chi2"),
+    )
+
+
+def classifier_eval(
+    df: DataFrame,
+    score_col,
+    label_col,
+    threshold: float,
+) -> DataFrame:
+    """Threshold confusion matrix + PR/F1 + exact tie-aware AUC.
+
+    Scores any monitor/alert rule treated as a binary classifier.
+    The confusion counts fold in one conditional aggregate; AUC folds
+    WITHOUT per-row ranking: group by distinct score (one shuffle on
+    |distinct scores|), then AUC = sum_s pos_s * (cum_neg_below +
+    neg_s/2) / (P*N) — the tie-aware trapezoid identity, exact, no
+    sampling.
+
+    Returns one row: tp/fp/fn/tn, precision, recall, f1, auc
+    (round 6).
+    """
+    s = (
+        F.col(score_col) if isinstance(score_col, str) else score_col
+    ).cast("double")
+    y = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("int")
+    base = df.select(s.alias("_s"), y.alias("_y")).filter(
+        F.col("_s").isNotNull()
+    )
+    conf = base.agg(
+        F.sum(((F.col("_s") >= threshold) & (F.col("_y") == 1)).cast("int")).alias("tp"),
+        F.sum(((F.col("_s") >= threshold) & (F.col("_y") == 0)).cast("int")).alias("fp"),
+        F.sum(((F.col("_s") < threshold) & (F.col("_y") == 1)).cast("int")).alias("fn"),
+        F.sum(((F.col("_s") < threshold) & (F.col("_y") == 0)).cast("int")).alias("tn"),
+    )
+    per_s = base.groupBy("_s").agg(
+        F.sum("_y").alias("_pos"),
+        F.sum(1 - F.col("_y")).alias("_neg"),
+    )
+    w = Window.orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    per_s = per_s.withColumn(
+        "_cneg_below", F.sum("_neg").over(w) - F.col("_neg")
+    )
+    auc_num = per_s.agg(
+        F.sum(
+            F.col("_pos")
+            * (F.col("_cneg_below") + F.col("_neg") / 2.0)
+        ).alias("_num"),
+        F.sum("_pos").alias("_p"),
+        F.sum("_neg").alias("_n"),
+    )
+    out = conf.crossJoin(F.broadcast(auc_num))
+    tp, fp, fn = (
+        F.col("tp").cast("double"),
+        F.col("fp").cast("double"),
+        F.col("fn").cast("double"),
+    )
+    prec = tp / (tp + fp)
+    rec = tp / (tp + fn)
+    return out.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(2.0 * prec * rec / (prec + rec), 6).alias("f1"),
+        F.round(
+            F.col("_num") / (F.col("_p") * F.col("_n")).cast("double"), 6
+        ).alias("auc"),
+    )

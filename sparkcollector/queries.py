@@ -18453,6 +18453,170 @@ def q_mde_event_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 432. Log-rank test between even/odd user cohorts' conversion
+#      survival curves — hypergeometric O-E over pooled risk sets,
+#      the significance companion to kaplan_meier_conversion.
+# ---------------------------------------------------------------------
+@register(
+    "logrank_cohorts",
+    """
+    with u as (select user_id, user_id % 2 as g, min(ts) as t0,
+        max(ts) as tmax,
+        min(case when event_type = 'purchase' then ts end) as tp
+      from events group by 1, 2),
+    d as (select g,
+        cast(floor((epoch(coalesce(tp, tmax)) - epoch(t0)) / 86400.0)
+          as bigint) as t,
+        case when tp is not null then 1 else 0 end as e from u),
+    per as (select t,
+        sum(case when g = 1 then e else 0 end) as d1,
+        sum(case when g = 0 then e else 0 end) as d0,
+        sum(case when g = 1 then 1 else 0 end) as a1,
+        sum(case when g = 0 then 1 else 0 end) as a0
+      from d group by t),
+    r as (select t, d1, d0,
+        sum(a1) over (order by t rows between current row
+          and unbounded following) as n1,
+        sum(a0) over (order by t rows between current row
+          and unbounded following) as n0
+      from per),
+    s as (select d1, d0, n1, n0,
+        cast(n1 + n0 as double) as n, cast(d1 + d0 as double) as dd
+      from r where d1 + d0 > 0),
+    red as (select sum(d1) as o1, sum(n1 * dd / n) as e1s,
+        sum(case when n > 1 then dd * (n1 / n) * (1 - n1 / n)
+          * (n - dd) / (n - 1) else 0 end) as vs from s),
+    tot as (select sum(case when g = 1 then 1 else 0 end) as n1t,
+        sum(case when g = 0 then 1 else 0 end) as n0t from d)
+    select cast(n1t as bigint) as n1, cast(n0t as bigint) as n2,
+      cast(o1 as bigint) as o1, round(e1s, 6) as e1,
+      round((o1 - e1s) * (o1 - e1s) / vs, 6) as chi2
+    from red, tot
+    """,
+)
+def q_logrank_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import logrank_test
+
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id", (F.col("user_id") % 2).alias("g")).agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("tmax"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+    )
+    d = u.select(
+        "g",
+        F.floor(
+            (_epoch_s(F.coalesce("tp", "tmax")) - _epoch_s("t0")) / 86400.0
+        ).alias("dur"),
+        F.col("tp").isNotNull().cast("int").alias("ev"),
+    )
+    return logrank_test(d, "g", "dur", "ev")
+
+
+# ---------------------------------------------------------------------
+# 433. Classifier eval of "value >= 100 predicts error": confusion
+#      matrix, precision/recall/F1, and EXACT tie-aware AUC folded by
+#      distinct score (no per-row ranking, no sampling).
+# ---------------------------------------------------------------------
+@register(
+    "classifier_threshold_eval",
+    """
+    with b as (select cast(value as double) as s,
+        case when event_type = 'error' then 1 else 0 end as y
+      from events where value is not null),
+    conf as (select
+        sum(case when s >= 100 and y = 1 then 1 else 0 end) as tp,
+        sum(case when s >= 100 and y = 0 then 1 else 0 end) as fp,
+        sum(case when s < 100 and y = 1 then 1 else 0 end) as fn,
+        sum(case when s < 100 and y = 0 then 1 else 0 end) as tn
+      from b),
+    per as (select s, sum(y) as pos, sum(1 - y) as neg
+      from b group by s),
+    c as (select s, pos, neg,
+        sum(neg) over (order by s rows between unbounded preceding
+          and current row) - neg as cneg_below from per),
+    a as (select sum(pos * (cneg_below + neg / 2.0)) as num,
+        sum(pos) as p, sum(neg) as n from c)
+    select cast(tp as bigint) as tp, cast(fp as bigint) as fp,
+      cast(fn as bigint) as fn, cast(tn as bigint) as tn,
+      round(tp * 1.0 / (tp + fp), 6) as precision,
+      round(tp * 1.0 / (tp + fn), 6) as recall,
+      round(2.0 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + fn))
+            / (tp * 1.0 / (tp + fp) + tp * 1.0 / (tp + fn)), 6) as f1,
+      round(num / (p * 1.0 * n), 6) as auc
+    from conf, a
+    """,
+)
+def q_classifier_threshold_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import classifier_eval
+
+    ev = _t(spark, sf_dir, "events")
+    return classifier_eval(
+        ev, "value", F.col("event_type") == "error", threshold=100.0
+    )
+
+
+# ---------------------------------------------------------------------
+# 434. Nearest-POI geo enrichment: deterministic lat/lon per event,
+#      5-city catalog compiled into a per-row argmin expression (like
+#      cidr_enrich: bounded dim -> zero fact shuffles); oracle uses
+#      the independent cross-join + row_number algorithm.
+# ---------------------------------------------------------------------
+@register(
+    "nearest_poi_enrich",
+    """
+    with f as (select event_id,
+        (user_id % 140) - 70 + 0.25 as lat,
+        (event_id % 340) - 170 + 0.5 as lon
+      from events),
+    p as (select * from (values
+        ('nyc', 40.7, -74.0), ('lon', 51.5, -0.1),
+        ('sgp', 1.35, 103.8), ('syd', -33.9, 151.2),
+        ('gru', -23.5, -46.6)) as t(poi, plat, plon)),
+    d as (select f.event_id, p.poi,
+        round(2 * 6371 * asin(sqrt(
+          pow(sin(radians(p.plat - f.lat) / 2), 2)
+          + cos(radians(f.lat)) * cos(radians(p.plat))
+            * pow(sin(radians(p.plon - f.lon) / 2), 2))), 3) as km
+      from f, p),
+    b as (select event_id, poi, km,
+        row_number() over (partition by event_id order by km, poi)
+          as rn from d)
+    select poi, cast(count(*) as bigint) as n,
+      min(km) as min_km, max(km) as max_km
+    from b where rn = 1 group by poi
+    """,
+)
+def q_nearest_poi_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .enrich import nearest_poi
+
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.select(
+        "event_id",
+        ((F.col("user_id") % 140) - 70 + 0.25).alias("lat"),
+        ((F.col("event_id") % 340) - 170 + 0.5).alias("lon"),
+    )
+    pois = ev.sparkSession.createDataFrame(
+        [
+            ("nyc", 40.7, -74.0),
+            ("lon", 51.5, -0.1),
+            ("sgp", 1.35, 103.8),
+            ("syd", -33.9, 151.2),
+            ("gru", -23.5, -46.6),
+        ],
+        "poi string, lat double, lon double",
+    )
+    enriched = nearest_poi(facts, "lat", "lon", pois)
+    return enriched.groupBy("poi").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("poi_km").alias("min_km"),
+        F.max("poi_km").alias("max_km"),
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -2478,3 +2478,43 @@ def test_mde_shrinks_with_traffic(spark):
     got = {r["g"]: r for r in mde_two_proportion(df, "g", "ok").collect()}
     assert abs(got["s"]["p"] - 0.1) < 1e-9
     assert got["b"]["mde_abs"] < got["s"]["mde_abs"] / 5
+
+
+def test_logrank_identical_cohorts_zero_chi2(spark):
+    from sparkcollector.operators.analytics import logrank_test
+
+    rows = []
+    for g in (0, 1):
+        rows += [(g, 1, 1), (g, 2, 1), (g, 3, 0), (g, 4, 1)]
+    df = spark.createDataFrame(rows, "g int, dur long, ev int")
+    r = logrank_test(df, "g", "dur", "ev").collect()[0]
+    assert r["n1"] == 4 and r["n2"] == 4
+    assert abs(r["chi2"]) < 1e-9  # identical curves
+
+
+def test_logrank_separated_cohorts_large_chi2(spark):
+    from sparkcollector.operators.analytics import logrank_test
+
+    early = [(1, d, 1) for d in range(1, 11)]
+    late = [(0, d + 50, 1) for d in range(1, 11)]
+    df = spark.createDataFrame(early + late, "g int, dur long, ev int")
+    r = logrank_test(df, "g", "dur", "ev").collect()[0]
+    assert r["chi2"] > 10.0
+
+
+def test_classifier_eval_perfect_and_random(spark):
+    from sparkcollector.operators.analytics import classifier_eval
+
+    # perfectly separated scores
+    rows = [(float(i), 1 if i >= 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = classifier_eval(df, "s", "y", threshold=50.0).collect()[0]
+    assert r["tp"] == 50 and r["tn"] == 50 and r["fp"] == 0
+    assert r["precision"] == 1.0 and r["recall"] == 1.0 and r["f1"] == 1.0
+    assert r["auc"] == 1.0
+    # all scores tied -> AUC must be exactly 0.5 (tie-aware)
+    ties = [(1.0, i % 2) for i in range(100)]
+    r2 = classifier_eval(
+        spark.createDataFrame(ties, "s double, y int"), "s", "y", 2.0
+    ).collect()[0]
+    assert r2["auc"] == 0.5

@@ -313,3 +313,20 @@ def test_cidr_lookup_default_when_unmatched(spark):
     )
     rows = cidr_lookup(facts, "ip", cidrs, default="unknown").collect()
     assert rows[0]["zone"] == "unknown"
+
+
+def test_nearest_poi_assigns_closest_with_tiebreak(spark):
+    from sparkcollector.enrich import nearest_poi
+
+    facts = spark.createDataFrame(
+        [(1, 40.7, -74.0), (2, 51.5, -0.1), (3, 45.0, -40.0)],
+        "id long, lat double, lon double",
+    )
+    pois = spark.createDataFrame(
+        [("nyc", 40.7, -74.0), ("lon", 51.5, -0.1)],
+        "poi string, lat double, lon double",
+    )
+    got = {r["id"]: r for r in nearest_poi(facts, "lat", "lon", pois).collect()}
+    assert got[1]["poi"] == "nyc" and got[1]["poi_km"] == 0.0
+    assert got[2]["poi"] == "lon" and got[2]["poi_km"] == 0.0
+    assert got[3]["poi"] in ("nyc", "lon") and got[3]["poi_km"] > 1000
