@@ -7525,8 +7525,10 @@ def classifier_eval(
         F.col("fp").cast("double"),
         F.col("fn").cast("double"),
     )
-    prec = tp / (tp + fp)
-    rec = tp / (tp + fn)
+    # NULL (not an ANSI divide-by-zero error) when a denominator is
+    # empty — the SQL convention, and degenerate thresholds are data.
+    prec = F.when(tp + fp > 0, tp / (tp + fp))
+    rec = F.when(tp + fn > 0, tp / (tp + fn))
     return out.select(
         F.col("tp").cast("long").alias("tp"),
         F.col("fp").cast("long").alias("fp"),
@@ -7534,7 +7536,9 @@ def classifier_eval(
         F.col("tn").cast("long").alias("tn"),
         F.round(prec, 6).alias("precision"),
         F.round(rec, 6).alias("recall"),
-        F.round(2.0 * prec * rec / (prec + rec), 6).alias("f1"),
+        F.round(
+            F.when(prec + rec > 0, 2.0 * prec * rec / (prec + rec)), 6
+        ).alias("f1"),
         F.round(
             F.col("_num") / (F.col("_p") * F.col("_n")).cast("double"), 6
         ).alias("auc"),
