@@ -7543,3 +7543,116 @@ def classifier_eval(
             F.col("_num") / (F.col("_p") * F.col("_n")).cast("double"), 6
         ).alias("auc"),
     )
+
+
+def error_budget_burndown(
+    df: DataFrame,
+    day_col,
+    total_col: str,
+    error_col: str,
+    slo: float = 0.99,
+) -> DataFrame:
+    """SLO error-budget burndown over calendar days.
+
+    ``slo_burn_rate`` answers "how fast are we burning RIGHT NOW";
+    burndown answers "how much budget is LEFT and when does it run
+    out": per day, cumulative errors vs cumulative allowance
+    (cum_requests * (1-slo)), remaining fraction, and a linear
+    exhaustion projection (days until remaining hits zero at the
+    average burn observed so far).  The page-at-2am decision needs
+    both views.
+
+    Input must already be a per-day aggregate (total, errors).  One
+    ordered window over |days| rows.
+
+    Returns per day: requests, errors, cum_errors, cum_budget,
+    remaining_frac (round 6), days_to_exhaustion (round 2, NULL once
+    exhausted or when nothing burns).
+    """
+    dcol = F.col(day_col) if isinstance(day_col, str) else day_col
+    base = df.select(
+        dcol.alias("day"),
+        F.col(total_col).cast("long").alias("requests"),
+        F.col(error_col).cast("long").alias("errors"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.orderBy("day")
+    b = (
+        base.withColumn("cum_errors", F.sum("errors").over(w))
+        .withColumn(
+            "cum_budget",
+            (F.sum("requests").over(w) * (1.0 - slo)),
+        )
+        .withColumn("_dayno", F.row_number().over(wn))
+    )
+    remaining = 1.0 - F.col("cum_errors") / F.col("cum_budget")
+    daily_burn = F.col("cum_errors") / F.col("_dayno")
+    daily_budget = F.col("cum_budget") / F.col("_dayno")
+    days_left = F.when(
+        (remaining > 0) & (daily_burn > daily_budget),
+        (F.col("cum_budget") - F.col("cum_errors"))
+        / (daily_burn - daily_budget),
+    )
+    return b.select(
+        "day",
+        "requests",
+        "errors",
+        F.col("cum_errors").cast("long").alias("cum_errors"),
+        F.round("cum_budget", 6).alias("cum_budget"),
+        F.round(remaining, 6).alias("remaining_frac"),
+        F.round(days_left, 2).alias("days_to_exhaustion"),
+    )
+
+
+def morans_i(
+    df: DataFrame,
+    cell_col: str,
+    value_col: str,
+    n_cells: int,
+) -> DataFrame:
+    """Moran's I spatial autocorrelation on a cyclic 1-D cell grid.
+
+    "Do adjacent hours (or adjacent shards) fail together?" — the
+    lattice analog of ``durbin_watson``: I = (n/W) * sum_ij w_ij
+    (x_i-m)(x_j-m) / sum(x_i-m)^2 with ring adjacency (each cell's
+    neighbors are cell±1 mod n, W = 2n).  I ~ -1/(n-1) under
+    randomness, -> +1 clustered, -> -1 checkerboard.
+
+    Shape: the cell aggregate is tiny (n_cells rows); neighbor products
+    fold through a self-join on (i+1) mod n — broadcast, no window.
+
+    Returns one row: n_cells, morans_i (round 6), expected_i (round 6).
+    """
+    cell = (F.col(cell_col) if isinstance(cell_col, str) else cell_col).cast(
+        "long"
+    )
+    x = F.col(value_col).cast("double")
+    cells = df.select(cell.alias("_i"), x.alias("_x"))
+    m = cells.agg(
+        F.avg("_x").alias("_m"), F.count(F.lit(1)).alias("_n")
+    )
+    c = cells.crossJoin(F.broadcast(m)).select(
+        "_i", (F.col("_x") - F.col("_m")).alias("_d"), "_n"
+    )
+    nxt = c.select(
+        ((F.col("_i") + 1) % n_cells).alias("_i"),
+        F.col("_d").alias("_dn"),
+    )
+    pairs = c.join(F.broadcast(nxt), "_i")
+    red = pairs.agg(
+        F.first("_n").alias("n"),
+        F.sum(F.col("_d") * F.col("_dn")).alias("_cross"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_ss"),
+    )
+    n = F.col("n").cast("double")
+    # ring: every cell has 2 neighbors, W = 2n; the (i,i+1) sum counts
+    # each undirected pair once, so cross doubles back out: I =
+    # (n / 2n) * 2*cross / ss = cross*n/(n*ss) simplified below.
+    i_stat = (n / (2.0 * n)) * (2.0 * F.col("_cross")) / F.col("_ss")
+    return red.select(
+        F.col("n").cast("long").alias("n_cells"),
+        F.round(i_stat, 6).alias("morans_i"),
+        F.round(-1.0 / (n - 1.0), 6).alias("expected_i"),
+    )

@@ -1675,3 +1675,45 @@ def klog_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
         keep(g(6).cast("int")).alias("klog_line"),
         keep(g(7)).alias("klog_msg"),
     )
+
+
+HAPROXY_RE = (
+    r"^(\S+):(\d+) \[([^\]]+)\] (\S+) (\S+)/(\S+) "
+    r"(-?\d+)/(-?\d+)/(-?\d+)/(-?\d+)/(-?\d+) (\d{3}) (\d+) "
+    r'"(\S+) (\S+) ([^"]*)"$'
+)
+
+
+def haproxy_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse HAProxy HTTP-mode log lines.
+
+    The L7 edge-proxy access format every Splunk ingest pipeline ends
+    up fielding (same stanza-parser family as ``apache_clf_parse``):
+    ``ip:port [date] frontend backend/server Tq/Tw/Tc/Tr/Tt status
+    bytes "METHOD path HTTP/x"`` — the 5 slash-separated timers are
+    the waterfall (client/queue/connect/response/total), -1 marking a
+    phase that never completed.
+
+    One anchored regexp, codegen'd, zero exchanges; malformed lines
+    yield NULL ``hap_status`` (dead-letter rows).
+    """
+    line = F.col(line_col)
+    g = lambda i: F.regexp_extract(line, HAPROXY_RE, i)  # noqa: E731
+    ok = line.rlike(HAPROXY_RE)
+    keep = lambda c: F.when(ok, c)  # noqa: E731
+    return df.select(
+        "*",
+        keep(g(1)).alias("hap_client_ip"),
+        keep(g(4)).alias("hap_frontend"),
+        keep(g(5)).alias("hap_backend"),
+        keep(g(6)).alias("hap_server"),
+        keep(g(7).cast("long")).alias("hap_tq"),
+        keep(g(8).cast("long")).alias("hap_tw"),
+        keep(g(9).cast("long")).alias("hap_tc"),
+        keep(g(10).cast("long")).alias("hap_tr"),
+        keep(g(11).cast("long")).alias("hap_tt"),
+        keep(g(12).cast("int")).alias("hap_status"),
+        keep(g(13).cast("long")).alias("hap_bytes"),
+        keep(g(14)).alias("hap_method"),
+        keep(g(15)).alias("hap_path"),
+    )

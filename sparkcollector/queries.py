@@ -18617,6 +18617,168 @@ def q_nearest_poi_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 435. HAProxy HTTP log parse: lines built from events (1/71
+#      malformed), waterfall timers Tq/Tw/Tc/Tr/Tt + status + request
+#      line extracted by one anchored regex, rolled up by backend x
+#      status.  Oracle computes expected fields directly.
+# ---------------------------------------------------------------------
+@register(
+    "haproxy_log_parse",
+    """
+    with b as (select
+      case when event_id % 71 = 0 then null else event_type end
+        as backend,
+      case when event_id % 71 = 0 then null
+           when event_type = 'error' then 500
+           when event_type = 'purchase' then 201
+           else 200 end as status,
+      event_id % 10000 as bytes,
+      (event_id % 50) + (user_id % 20) + (event_id % 10)
+        + cast(floor(coalesce(value, 0)) as bigint) as tt
+      from events)
+    select backend, status, cast(count(*) as bigint) as n,
+      cast(sum(case when backend is not null then bytes end) as bigint)
+        as sum_bytes,
+      cast(max(case when backend is not null then tt end) as bigint)
+        as max_tt
+    from b group by backend, status
+    """,
+)
+def q_haproxy_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import haproxy_parse
+
+    ev = _t(spark, sf_dir, "events")
+    status = (
+        F.when(F.col("event_type") == "error", "500")
+        .when(F.col("event_type") == "purchase", "201")
+        .otherwise("200")
+    )
+    tq = F.col("event_id") % 50
+    tw = F.col("user_id") % 20
+    tc = F.col("event_id") % 10
+    tr = F.floor(F.coalesce("value", F.lit(0))).cast("long")
+    tt = tq + tw + tc + tr
+    line = F.when(F.col("event_id") % 71 == 0, F.lit("short line")).otherwise(
+        F.concat(
+            F.lit("10.0."),
+            (F.col("user_id") % 256).cast("string"),
+            F.lit(".1:"),
+            (4 + F.col("event_id") % 60000).cast("string"),
+            F.lit(" ["),
+            F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss.SSS"),
+            F.lit("] ft "),
+            F.col("event_type"),
+            F.lit("/s"),
+            (F.col("user_id") % 3).cast("string"),
+            F.lit(" "),
+            tq.cast("string"), F.lit("/"),
+            tw.cast("string"), F.lit("/"),
+            tc.cast("string"), F.lit("/"),
+            tr.cast("string"), F.lit("/"),
+            tt.cast("string"), F.lit(" "),
+            status,
+            F.lit(" "),
+            (F.col("event_id") % 10000).cast("string"),
+            F.lit(' "GET /p/'),
+            (F.col("user_id") % 30).cast("string"),
+            F.lit(' HTTP/1.1"'),
+        )
+    )
+    parsed = haproxy_parse(ev.select(line.alias("line")), "line")
+    return parsed.groupBy(
+        F.col("hap_backend").alias("backend"),
+        F.col("hap_status").alias("status"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("hap_bytes").cast("long").alias("sum_bytes"),
+        F.max("hap_tt").cast("long").alias("max_tt"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 436. SLO error-budget burndown (99% target) over calendar days —
+#      cumulative errors vs cumulative allowance, remaining fraction,
+#      linear exhaustion projection; the "when do we run out" view
+#      beside slo_burn_rate's "how fast right now".
+# ---------------------------------------------------------------------
+@register(
+    "error_budget_burndown",
+    """
+    with daily as (select cast(floor(epoch(ts) / 86400) as bigint)
+        as day, count(*) as requests,
+        sum(case when event_type = 'error' then 1 else 0 end) as errors
+      from events group by 1),
+    b as (select day, requests, errors,
+        sum(errors) over (order by day rows between unbounded preceding
+          and current row) as cum_errors,
+        cast(sum(requests) over (order by day rows between unbounded
+          preceding and current row) as double) * 0.01 as cum_budget,
+        row_number() over (order by day) as dayno
+      from daily)
+    select day, cast(requests as bigint) as requests,
+      cast(errors as bigint) as errors,
+      cast(cum_errors as bigint) as cum_errors,
+      round(cum_budget, 6) as cum_budget,
+      round(1 - cum_errors / cum_budget, 6) as remaining_frac,
+      round(case when 1 - cum_errors / cum_budget > 0
+                  and cum_errors / dayno > cum_budget / dayno
+             then (cum_budget - cum_errors)
+                  / (cum_errors / dayno - cum_budget / dayno) end, 2)
+        as days_to_exhaustion
+    from b
+    """,
+)
+def q_error_budget_burndown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import error_budget_burndown
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(_epoch_s("ts") / 86400).cast("long").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("requests"),
+        F.sum((F.col("event_type") == "error").cast("int")).alias("errors"),
+    )
+    return error_budget_burndown(daily, "day", "requests", "errors", slo=0.99)
+
+
+# ---------------------------------------------------------------------
+# 437. Moran's I on the 24-cell hour-of-day ring: do adjacent hours
+#      share error-rate excursions?  Lattice analog of durbin_watson;
+#      neighbor products via a broadcast self-join on (i+1) mod 24.
+# ---------------------------------------------------------------------
+@register(
+    "morans_i_hours",
+    """
+    with cells as (select hour(ts) as i,
+        sum(case when event_type = 'error' then 1 else 0 end)
+          * 1.0 / count(*) as x
+      from events group by 1),
+    m as (select avg(x) as mm, count(*) as n from cells),
+    c as (select i, x - (select mm from m) as d from cells),
+    nxt as (select (i + 1) % 24 as i, d as dn from c),
+    p as (select c.d, nxt.dn from c join nxt using (i)),
+    r as (select (select n from m) as n, sum(d * dn) as crossv,
+        (select sum(d * d) from c) as ss from p)
+    select cast(n as bigint) as n_cells,
+      round(crossv / ss, 6) as morans_i,
+      round(-1.0 / (n - 1), 6) as expected_i
+    from r
+    """,
+)
+def q_morans_i_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import morans_i
+
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(F.hour("ts").alias("i")).agg(
+        (
+            F.sum((F.col("event_type") == "error").cast("int"))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("err_rate")
+    )
+    return morans_i(cells, "i", "err_rate", n_cells=24)
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -2518,3 +2518,38 @@ def test_classifier_eval_perfect_and_random(spark):
         spark.createDataFrame(ties, "s double, y int"), "s", "y", 2.0
     ).collect()[0]
     assert r2["auc"] == 0.5
+
+
+def test_error_budget_burndown_exhaustion(spark):
+    from sparkcollector.operators.analytics import error_budget_burndown
+
+    # 1000 req/day at 1% budget = 10 err/day allowed; burning 30/day
+    rows = [(d, 1000, 30) for d in range(1, 4)]
+    df = spark.createDataFrame(rows, "day long, requests long, errors long")
+    got = {r["day"]: r for r in error_budget_burndown(
+        df, "day", "requests", "errors", slo=0.99).collect()}
+    assert got[1]["cum_errors"] == 30 and abs(got[1]["cum_budget"] - 10.0) < 1e-9
+    assert got[1]["remaining_frac"] == -2.0
+    # already exhausted -> projection NULL
+    assert got[1]["days_to_exhaustion"] is None
+    # healthy service: 5 err/day -> remaining positive, never exhausts
+    rows2 = [(d, 1000, 5) for d in range(1, 4)]
+    got2 = error_budget_burndown(
+        spark.createDataFrame(rows2, "day long, requests long, errors long"),
+        "day", "requests", "errors", slo=0.99).collect()
+    assert all(r["remaining_frac"] == 0.5 for r in got2)
+    assert all(r["days_to_exhaustion"] is None for r in got2)
+
+
+def test_morans_i_clustered_vs_checkerboard(spark):
+    from sparkcollector.operators.analytics import morans_i
+
+    clustered = [(i, 1.0 if i < 12 else 0.0) for i in range(24)]
+    df = spark.createDataFrame(clustered, "i long, x double")
+    r = morans_i(df, "i", "x", 24).collect()[0]
+    assert r["morans_i"] > 0.8
+    checker = [(i, float(i % 2)) for i in range(24)]
+    r2 = morans_i(
+        spark.createDataFrame(checker, "i long, x double"), "i", "x", 24
+    ).collect()[0]
+    assert r2["morans_i"] < -0.9

@@ -862,3 +862,22 @@ def test_klog_parse_fields_and_malformed(spark):
     assert got[1]["klog_msg"] == "synced ok"
     assert got[2]["klog_severity"] == "ERROR" and got[2]["klog_pid"] == 7
     assert got[3]["klog_severity"] is None
+
+
+def test_haproxy_parse_timers_and_malformed(spark):
+    from sparkcollector.operators.promparse import haproxy_parse
+
+    rows = [
+        (1, '1.2.3.4:5000 [20/Aug/2026:04:05:06.123] ft api/s1 '
+            '0/1/2/30/33 200 1234 "GET /health HTTP/1.1"'),
+        (2, '9.8.7.6:1 [20/Aug/2026:04:05:07.000] ft api/s2 '
+            '-1/-1/-1/-1/5 503 0 "POST /pay HTTP/1.1"'),
+        (3, "garbage"),
+    ]
+    df = spark.createDataFrame(rows, "id long, line string")
+    got = {r["id"]: r for r in haproxy_parse(df, "line").collect()}
+    assert got[1]["hap_backend"] == "api" and got[1]["hap_server"] == "s1"
+    assert got[1]["hap_tt"] == 33 and got[1]["hap_status"] == 200
+    assert got[1]["hap_method"] == "GET" and got[1]["hap_path"] == "/health"
+    assert got[2]["hap_tq"] == -1 and got[2]["hap_status"] == 503
+    assert got[3]["hap_status"] is None
