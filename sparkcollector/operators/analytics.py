@@ -7656,3 +7656,168 @@ def morans_i(
         F.round(i_stat, 6).alias("morans_i"),
         F.round(-1.0 / (n - 1.0), 6).alias("expected_i"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cohen's kappa: chance-corrected agreement of two raters.
+
+    The LLM-judge calibration question over transcripts: raw percent
+    agreement flatters any pair of judges that both say "pass" 90% of
+    the time; kappa subtracts the agreement expected from their
+    marginal label rates: k = (p_o - p_e)/(1 - p_e), p_e = sum_l
+    pA(l) pB(l).
+
+    Shape: one groupBy on the label pair (|labels|^2 rows), marginals
+    fold from that tiny table — the items are scanned once.
+
+    Returns one row: n, po, pe, kappa (round 6).
+    """
+    pairs = df.groupBy(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    tot = pairs.agg(F.sum("_c").alias("_n"))
+    pa = pairs.groupBy("_a").agg(F.sum("_c").alias("_ca"))
+    pb = pairs.groupBy("_b").agg(F.sum("_c").alias("_cb"))
+    pe_t = (
+        pa.join(pb, pa["_a"] == pb["_b"])
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("_ca").cast("double")
+                * F.col("_cb")
+                / (F.col("_n").cast("double") * F.col("_n"))
+            ).alias("pe")
+        )
+    )
+    po_t = (
+        pairs.filter(F.col("_a") == F.col("_b"))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            (F.sum("_c") / F.first("_n").cast("double")).alias("po"),
+            F.first("_n").alias("n"),
+        )
+    )
+    out = po_t.crossJoin(F.broadcast(pe_t))
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("po", 6).alias("po"),
+        F.round("pe", 6).alias("pe"),
+        F.round(
+            (F.col("po") - F.col("pe")) / (1.0 - F.col("pe")), 6
+        ).alias("kappa"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Fleiss' kappa: chance-corrected agreement of m raters per item.
+
+    Generalizes ``cohens_kappa`` to a rater PANEL (3 LLM judges, 5
+    human annotators): per item i and category j, n_ij votes; item
+    agreement P_i = (sum_j n_ij^2 - m)/(m(m-1)); kappa = (P_bar -
+    P_e)/(1 - P_e) with P_e = sum_j p_j^2 from the pooled category
+    shares.  Every item must receive exactly m ratings (long-format
+    input: one row per rating).
+
+    Shape: groupBy (item, category), then (item) — both partial-agg —
+    plus a tiny category-share reduce.
+
+    Returns one row: n_items, m, p_bar, p_e, kappa (round 6).
+    """
+    nij = df.groupBy(
+        F.col(item_col).alias("_i"), F.col(cat_col).alias("_j")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    per_item = nij.groupBy("_i").agg(
+        F.sum("_c").alias("_m"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_ss"),
+    )
+    pbar = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.first("_m").alias("m"),
+        F.avg(
+            (F.col("_ss") - F.col("_m")).cast("double")
+            / (F.col("_m") * (F.col("_m") - 1))
+        ).alias("p_bar"),
+        F.sum("_m").alias("_total"),
+    )
+    pj = nij.groupBy("_j").agg(F.sum("_c").alias("_cj"))
+    pe = pj.crossJoin(F.broadcast(pbar.select("_total"))).agg(
+        F.sum(
+            (F.col("_cj").cast("double") / F.col("_total"))
+            * (F.col("_cj") / F.col("_total"))
+        ).alias("p_e")
+    )
+    out = pbar.crossJoin(F.broadcast(pe))
+    return out.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("m").cast("long").alias("m"),
+        F.round("p_bar", 6).alias("p_bar"),
+        F.round("p_e", 6).alias("p_e"),
+        F.round(
+            (F.col("p_bar") - F.col("p_e")) / (1.0 - F.col("p_e")), 6
+        ).alias("kappa"),
+    )
+
+
+def bradley_terry_ratings(
+    df: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Bradley-Terry-style ratings from pairwise outcomes (closed form).
+
+    Arena-style model ranking from transcript judgments: given
+    (winner, loser) rows, the smoothed log-odds estimator rates each
+    contestant by the mean of ln((w_ij + s)/(w_ji + s)) over its
+    opponents — the non-iterative first-order BT fit (exact when every
+    pair has balanced schedules; the full MM iteration refines but
+    does not reorder clear splits).  Smoothing s keeps unplayed /
+    swept pairs finite.
+
+    Shape: one groupBy on the ordered pair, a union for the mirrored
+    counts, one groupBy per contestant.  |contestants|^2 intermediate
+    rows — tiny.
+
+    Returns per contestant: n_wins, n_losses, rating (round 6), rank.
+    """
+    w = F.col(winner_col).cast("string")
+    l_ = F.col(loser_col).cast("string")
+    pair_w = df.select(w.alias("_a"), l_.alias("_b")).groupBy(
+        "_a", "_b"
+    ).agg(F.count(F.lit(1)).alias("_wins"))
+    mirror = pair_w.select(
+        F.col("_b").alias("_a"),
+        F.col("_a").alias("_b"),
+        F.col("_wins").alias("_losses"),
+    )
+    grid = pair_w.join(mirror, ["_a", "_b"], "full").select(
+        F.coalesce(F.col("_a")).alias("_a"),
+        F.coalesce(F.col("_b")).alias("_b"),
+        F.coalesce(F.col("_wins"), F.lit(0)).alias("_w"),
+        F.coalesce(F.col("_losses"), F.lit(0)).alias("_l"),
+    )
+    per = grid.groupBy("_a").agg(
+        F.sum("_w").alias("n_wins"),
+        F.sum("_l").alias("n_losses"),
+        F.avg(
+            F.log(
+                (F.col("_w") + smoothing) / (F.col("_l") + smoothing)
+            )
+        ).alias("_rating"),
+    )
+    rk = Window.orderBy(F.col("_rating").desc(), F.col("_a").asc())
+    return per.select(
+        F.col("_a").alias("contestant"),
+        F.col("n_wins").cast("long").alias("n_wins"),
+        F.col("n_losses").cast("long").alias("n_losses"),
+        F.round("_rating", 6).alias("rating"),
+        F.row_number().over(rk).cast("long").alias("rank"),
+    )

@@ -2553,3 +2553,44 @@ def test_morans_i_clustered_vs_checkerboard(spark):
         spark.createDataFrame(checker, "i long, x double"), "i", "x", 24
     ).collect()[0]
     assert r2["morans_i"] < -0.9
+
+
+def test_cohens_kappa_perfect_and_independent(spark):
+    from sparkcollector.operators.analytics import cohens_kappa
+
+    perfect = [(l, l) for l in ["x", "y"] * 50]
+    df = spark.createDataFrame(perfect, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["po"] == 1.0 and r["kappa"] == 1.0
+    # independent raters: po == pe -> kappa ~ 0
+    indep = [("x" if i % 2 == 0 else "y", "x" if i % 4 < 2 else "y")
+             for i in range(100)]
+    r2 = cohens_kappa(
+        spark.createDataFrame(indep, "a string, b string"), "a", "b"
+    ).collect()[0]
+    assert abs(r2["kappa"]) < 1e-6
+
+
+def test_fleiss_kappa_unanimous(spark):
+    from sparkcollector.operators.analytics import fleiss_kappa
+
+    # 3 raters, unanimous per item but split across items -> kappa 1
+    rows = [(i, "bad" if i % 2 == 0 else "good") for i in range(20)] * 3
+    df = spark.createDataFrame(rows, "i long, j string")
+    r = fleiss_kappa(df, "i", "j").collect()[0]
+    assert r["m"] == 3 and r["p_bar"] == 1.0 and r["kappa"] == 1.0
+
+
+def test_bradley_terry_orders_clear_hierarchy(spark):
+    from sparkcollector.operators.analytics import bradley_terry_ratings
+
+    # a beats b 9:1, b beats c 9:1, a beats c 10:0
+    duels = (
+        [("a", "b")] * 9 + [("b", "a")] * 1
+        + [("b", "c")] * 9 + [("c", "b")] * 1
+        + [("a", "c")] * 10
+    )
+    df = spark.createDataFrame(duels, "w string, l string")
+    got = {r["contestant"]: r for r in bradley_terry_ratings(df, "w", "l").collect()}
+    assert got["a"]["rank"] == 1 and got["b"]["rank"] == 2 and got["c"]["rank"] == 3
+    assert got["a"]["n_wins"] == 19 and got["c"]["n_wins"] == 1
