@@ -7821,3 +7821,107 @@ def bradley_terry_ratings(
         F.round("_rating", 6).alias("rating"),
         F.row_number().over(rk).cast("long").alias("rank"),
     )
+
+
+def out_of_order_audit(
+    df: DataFrame,
+    key_col: str,
+    arrival_cols: list[str],
+    event_ts_col: str,
+) -> DataFrame:
+    """Event-time disorder profile per key: the watermark-sizing input.
+
+    Streaming pipelines pick watermark delays by guessing; this
+    measures: within each key's ARRIVAL order, an event is late when
+    its event time is behind the running max already seen — lateness =
+    high-watermark minus event time.  The output (late fraction, worst
+    lateness) is exactly the evidence needed to size
+    ``withWatermark()`` without either dropping data or holding state
+    forever.
+
+    Shape: ONE window per key in arrival order (running max — no self
+    join), then a keyed rollup.  Never a global order: disorder is
+    per-source by construction, matching how watermarks advance.
+
+    Returns per key: n, n_late, late_frac (round 6), max_late_s
+    (round 3).
+    """
+    ts = F.col(event_ts_col).cast("timestamp_ltz").cast("double")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*arrival_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = df.withColumn("_hw", F.max(ts).over(w)).withColumn(
+        "_late_s", F.col("_hw") - ts
+    )
+    return marked.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("_late_s") > 0).cast("int")).cast("long").alias(
+            "n_late"
+        ),
+        F.round(
+            F.sum((F.col("_late_s") > 0).cast("int"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("late_frac"),
+        F.round(F.max("_late_s"), 3).alias("max_late_s"),
+    )
+
+
+def clock_drift_estimate(
+    df: DataFrame,
+    host_col: str,
+    true_ts_col: str,
+    reported_ts_col: str,
+) -> DataFrame:
+    """Per-host clock drift (ppm) and offset via OLS on timestamp error.
+
+    Fleet NTP hygiene: regress (reported - true) on true time per
+    host; the slope is the drift rate (reported as ppm), the intercept
+    at the fleet epoch is the static offset.  ``span_clock_skew``
+    corrects individual trace hops; this finds the hosts whose clocks
+    are WRONG AT A RATE, which no per-span correction fixes.
+
+    One groupBy of power sums per host — no window, no second scan.
+
+    Returns per host: n, drift_ppm (round 3), offset_s (round 6),
+    r2 (round 6).
+    """
+
+    types = dict(df.dtypes)
+
+    def _ep(c):
+        col = F.col(c)
+        if types.get(c, "").startswith("timestamp"):
+            return col.cast("timestamp_ltz").cast("double")
+        return col.cast("double")
+
+    x0 = df.agg(F.min(_ep(true_ts_col)).alias("_t0"))
+    j = df.crossJoin(F.broadcast(x0)).select(
+        F.col(host_col).alias("host"),
+        (_ep(true_ts_col) - F.col("_t0")).alias("_x"),
+        (_ep(reported_ts_col) - _ep(true_ts_col)).alias("_y"),
+    )
+    agg = j.groupBy("host").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = F.col("sxy") - sx * sy / n
+    varx = F.col("sxx") - sx * sx / n
+    vary = F.col("syy") - sy * sy / n
+    slope = cov / varx
+    return agg.filter((n > 2) & (varx > 0)).select(
+        "host",
+        n.cast("long").alias("n"),
+        F.round(slope * 1e6, 3).alias("drift_ppm"),
+        F.round(sy / n - slope * sx / n, 6).alias("offset_s"),
+        F.round(
+            F.when(vary > 0, cov * cov / (varx * vary)).otherwise(1.0), 6
+        ).alias("r2"),
+    )

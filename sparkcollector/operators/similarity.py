@@ -955,3 +955,78 @@ def embedding_anisotropy(
         F.round("mean_norm", 6).alias("mean_norm"),
         F.round(cos, 6).alias("mean_pairwise_cos"),
     )
+
+
+def hash_tf_vectors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 32,
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) term-frequency doc vectors.
+
+    The no-vocabulary embedding: token -> bucket = md5(token) mod dim,
+    vector[bucket] += 1.  No dictionary broadcast, no fit phase, fixed
+    memory per doc — the property that matters when the corpus
+    vocabulary is 10^9 tokens: the projection is stateless, so it maps
+    over any shard without coordination (Weinberger et al., "Feature
+    Hashing for Large Scale Multitask Learning").
+
+    Shape: tokenize + explode (Generate), one groupBy on (id, bucket).
+    Returns sparse long format: (id, bucket, tf) — the natural shape
+    for the downstream cosine join; densify only if an ANN kernel
+    needs arrays.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("_w"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_w")), 1, 8), 16, 10).cast("long")
+        % dim
+    )
+    return toks.groupBy("id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+
+def hash_tf_cosine_to_probe(
+    vectors: DataFrame,
+    probe: DataFrame,
+) -> DataFrame:
+    """Cosine of every hash-TF vector against one probe vector.
+
+    The probe (|dim| rows max) broadcasts; dot products and norms fold
+    in one keyed aggregate — no densification, no UDF.
+
+    Returns per id: norm (round 6), cos (round 6; 0 when either norm
+    is 0).
+    """
+    p = probe.select(
+        F.col("bucket"), F.col("tf").cast("double").alias("_ptf")
+    )
+    pn = p.agg(F.sqrt(F.sum(F.col("_ptf") * F.col("_ptf"))).alias("_pn"))
+    j = vectors.join(F.broadcast(p), "bucket", "left").groupBy("id").agg(
+        F.sqrt(F.sum(F.col("tf").cast("double") * F.col("tf"))).alias(
+            "_n"
+        ),
+        F.sum(
+            F.col("tf").cast("double") * F.coalesce(F.col("_ptf"), F.lit(0.0))
+        ).alias("_dot"),
+    )
+    return j.crossJoin(F.broadcast(pn)).select(
+        "id",
+        F.round("_n", 6).alias("norm"),
+        F.round(
+            F.when(
+                (F.col("_n") > 0) & (F.col("_pn") > 0),
+                F.col("_dot") / (F.col("_n") * F.col("_pn")),
+            ).otherwise(0.0),
+            6,
+        ).alias("cos"),
+    )

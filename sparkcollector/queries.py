@@ -18941,6 +18941,136 @@ def q_bradley_terry_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 441. Out-of-order/lateness audit per shard (jittered event times
+#      against arrival order): running high-watermark window, late
+#      fraction + worst lateness — the watermark-sizing evidence.
+# ---------------------------------------------------------------------
+@register(
+    "out_of_order_audit",
+    """
+    with b as (select user_id % 25 as shard, event_id,
+        epoch(ts) - (event_id % 11) * 30 as et from events),
+    m as (select shard, et,
+        max(et) over (partition by shard order by event_id
+          rows between unbounded preceding and current row) as hw
+      from b)
+    select cast(shard as bigint) as shard,
+      cast(count(*) as bigint) as n,
+      cast(sum(case when hw - et > 0 then 1 else 0 end) as bigint)
+        as n_late,
+      round(sum(case when hw - et > 0 then 1 else 0 end)
+            * 1.0 / count(*), 6) as late_frac,
+      round(max(hw - et), 3) as max_late_s
+    from m group by shard
+    """,
+)
+def q_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import out_of_order_audit
+
+    ev = _t(spark, sf_dir, "events")
+    jittered = ev.select(
+        (F.col("user_id") % 25).alias("shard"),
+        "event_id",
+        F.timestamp_seconds(
+            _epoch_s("ts") - (F.col("event_id") % 11) * 30
+        ).alias("et"),
+    )
+    return out_of_order_audit(jittered, "shard", ["event_id"], "et")
+
+
+# ---------------------------------------------------------------------
+# 442. Per-host clock drift (ppm) + offset via OLS on synthesized
+#      reported-vs-true timestamp error — finds clocks wrong AT A
+#      RATE; exact recovery (r2 = 1) since the synthetic drift is
+#      noise-free.
+# ---------------------------------------------------------------------
+@register(
+    "clock_drift_hosts",
+    """
+    with b as (select user_id % 20 as host, epoch(ts) as t,
+        ((user_id % 20) - 10) * 50e-6 * (epoch(ts) - 1704067200)
+          + (user_id % 3) * 0.5 as y
+      from events),
+    t0 as (select min(t) as t0 from b),
+    x as (select host, t - (select t0 from t0) as x, y from b),
+    a as (select host, cast(count(*) as double) as n, sum(x) as sx,
+        sum(y) as sy, sum(x * x) as sxx, sum(y * y) as syy,
+        sum(x * y) as sxy from x group by 1)
+    select cast(host as bigint) as host, cast(n as bigint) as n,
+      round((sxy - sx * sy / n) / (sxx - sx * sx / n) * 1e6, 3)
+        as drift_ppm,
+      round(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+            * sx / n, 6) as offset_s,
+      round(case when syy - sy * sy / n > 0
+        then pow(sxy - sx * sy / n, 2)
+             / ((sxx - sx * sx / n) * (syy - sy * sy / n))
+        else 1.0 end, 6) as r2
+    from a where n > 2 and sxx - sx * sx / n > 0
+    """,
+)
+def q_clock_drift_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import clock_drift_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    host = (F.col("user_id") % 20).alias("host")
+    t = _epoch_s("ts")
+    reported = (
+        t
+        + ((F.col("user_id") % 20) - 10)
+        * 5e-5
+        * (t - F.lit(1704067200.0))
+        + (F.col("user_id") % 3) * 0.5
+    )
+    base = ev.select(host, t.alias("t"), reported.alias("rep"))
+    return clock_drift_estimate(base, "host", "t", "rep")
+
+
+# ---------------------------------------------------------------------
+# 443. Feature-hashing TF vectors (dim 32, no vocabulary) + cosine of
+#      every sampled doc against a fixed probe — the stateless
+#      projection that needs no fit phase at 10^9-token vocabularies.
+# ---------------------------------------------------------------------
+@register(
+    "hash_tf_probe_cosine",
+    r"""
+    with d as (select doc_id as id, text from documents
+      where doc_id % 31 = 0),
+    t as (select id, unnest(list_filter(
+        string_split_regex(lower(text), '\s+'), x -> x <> '')) as w
+      from d),
+    v as (select id,
+        cast(('0x' || substr(md5(w), 1, 8)) as bigint) % 32 as bucket,
+        count(*) as tf from t group by 1, 2),
+    pt as (select unnest(['spark', 'query', 'data', 'table']) as w),
+    pv as (select cast(('0x' || substr(md5(w), 1, 8)) as bigint) % 32
+        as bucket, cast(count(*) as double) as ptf from pt group by 1),
+    pn as (select sqrt(sum(ptf * ptf)) as pn from pv),
+    a as (select id, sqrt(sum(tf * tf)) as n,
+        sum(tf * coalesce(ptf, 0)) as dot
+      from v left join pv using (bucket) group by id)
+    select id, round(n, 6) as norm,
+      round(case when n > 0 and (select pn from pn) > 0
+        then dot / (n * (select pn from pn)) else 0 end, 6) as cos
+    from a
+    """,
+)
+def q_hash_tf_probe_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import hash_tf_cosine_to_probe, hash_tf_vectors
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 31 == 0)
+    vecs = hash_tf_vectors(docs, "doc_id", "text", dim=32)
+    probe = hash_tf_vectors(
+        docs.sparkSession.createDataFrame(
+            [(0, "spark query data table")], "id long, text string"
+        ),
+        "id",
+        "text",
+        dim=32,
+    )
+    return hash_tf_cosine_to_probe(vecs, probe)
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -2594,3 +2594,31 @@ def test_bradley_terry_orders_clear_hierarchy(spark):
     got = {r["contestant"]: r for r in bradley_terry_ratings(df, "w", "l").collect()}
     assert got["a"]["rank"] == 1 and got["b"]["rank"] == 2 and got["c"]["rank"] == 3
     assert got["a"]["n_wins"] == 19 and got["c"]["n_wins"] == 1
+
+
+def test_out_of_order_audit_counts_inversions(spark):
+    from sparkcollector.operators.analytics import out_of_order_audit
+
+    # arrival 1,2,3,4 with event times 10, 5, 20, 19
+    rows = [("s", 1, "2024-01-01 00:00:10"), ("s", 2, "2024-01-01 00:00:05"),
+            ("s", 3, "2024-01-01 00:00:20"), ("s", 4, "2024-01-01 00:00:19")]
+    df = spark.createDataFrame(rows, "shard string, seq long, et string")
+    r = out_of_order_audit(df, "shard", ["seq"], "et").collect()[0]
+    assert r["n"] == 4 and r["n_late"] == 2
+    assert r["max_late_s"] == 5.0 and abs(r["late_frac"] - 0.5) < 1e-9
+
+
+def test_clock_drift_recovers_planted_rate(spark):
+    from sparkcollector.operators.analytics import clock_drift_estimate
+
+    # host A drifts +100 ppm, host B perfect with +2 s offset
+    rows = []
+    for i in range(10):
+        t = float(i * 3600)
+        rows.append(("A", t, t + 100e-6 * t))
+        rows.append(("B", t, t + 2.0))
+    df = spark.createDataFrame(rows, "host string, t double, rep double")
+    got = {r["host"]: r for r in clock_drift_estimate(df, "host", "t", "rep").collect()}
+    assert abs(got["A"]["drift_ppm"] - 100.0) < 1e-3
+    assert abs(got["B"]["drift_ppm"]) < 1e-6 and got["B"]["offset_s"] == 2.0
+    assert got["A"]["r2"] == 1.0

@@ -277,3 +277,24 @@ def test_embedding_anisotropy_closed_forms(spark):
     assert got["same"]["mean_norm"] == 4.5                  # (3+6)/2
     assert got["orth"]["mean_pairwise_cos"] == 0.0
     assert got["anti"]["mean_pairwise_cos"] == -1.0
+
+
+def test_hash_tf_cosine_self_is_one(spark):
+    from sparkcollector.operators.similarity import (
+        hash_tf_cosine_to_probe,
+        hash_tf_vectors,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "")],
+        "id long, text string",
+    )
+    vecs = hash_tf_vectors(docs, "id", "text", dim=16)
+    probe = hash_tf_vectors(
+        spark.createDataFrame([(0, "alpha beta gamma")], "id long, text string"),
+        "id", "text", dim=16,
+    )
+    got = {r["id"]: r for r in hash_tf_cosine_to_probe(vecs, probe).collect()}
+    assert abs(got[1]["cos"] - 1.0) < 1e-6   # identical text
+    assert got[2]["cos"] < 1.0               # disjoint tokens (modulo collisions)
+    assert 3 not in got                      # empty doc has no vector rows
