@@ -1030,3 +1030,232 @@ def hash_tf_cosine_to_probe(
             6,
         ).alias("cos"),
     )
+
+
+def _cluster_tables(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+):
+    """Shared scaffolding for the cluster-quality indices.
+
+    Returns (points, cent_long, sizes): points = (label, vec as
+    array<double>), cent_long = per-(label, pos) centroid means —
+    tiny (k * dim rows), sizes = per-label counts.  The vectors are
+    upcast to double BEFORE any arithmetic so Spark and any SQL
+    oracle fold identical IEEE doubles.
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    points = df.select(
+        F.col(label_col).alias("label"), vec.alias("vec")
+    ).filter(F.col("vec").isNotNull())
+    ex = points.select(
+        "label", F.posexplode("vec").alias("pos", "val")
+    )
+    cent_long = ex.groupBy("label", "pos").agg(
+        F.avg("val").alias("mu")
+    )
+    sizes = points.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    return points, cent_long, sizes
+
+
+def _dists_to_centroids(points: DataFrame, cent_long: DataFrame) -> DataFrame:
+    """Per point x per centroid squared L2 distance.
+
+    The centroid table is bounded (k clusters, the quality indices
+    are meaningless past a few hundred), so it collects driver-side
+    and compiles into per-row expressions — the nearest_poi /
+    cidr_lookup pattern: ZERO shuffles on the points, one distance
+    column per cluster folded by an array HOF in dim order.
+    Returns points + (clabel, d2) exploded per centroid.
+    """
+    rows = cent_long.collect()
+    cents: dict = {}
+    for r in rows:
+        cents.setdefault(r["label"], {})[r["pos"]] = r["mu"]
+    entries = []
+    for lab in sorted(cents):
+        arr = F.array(
+            *[
+                F.lit(cents[lab][p])
+                for p in sorted(cents[lab])
+            ]
+        )
+        d2 = F.aggregate(
+            F.zip_with("vec", arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+        entries.append(
+            F.struct(F.lit(lab).alias("clabel"), d2.alias("d2"))
+        )
+    return points.select(
+        "label", F.explode(F.array(*entries)).alias("_e")
+    ).select("label", F.col("_e.clabel").alias("clabel"), F.col("_e.d2").alias("d2"))
+
+
+def calinski_harabasz(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Calinski-Harabasz index: between/within variance ratio.
+
+    The "did the clustering find structure" score for IVF/k-means
+    partitions: CH = (B/(k-1)) / (W/(n-k)) with B = sum_c n_c
+    ||mu_c - mu||^2 and W = sum_x ||x - mu_label(x)||^2.  Higher =
+    tighter, better-separated clusters; compare across k to pick the
+    IVF list count.
+
+    W folds as a zero-shuffle per-row expression (own-centroid
+    distance); B folds over the tiny centroid table.
+
+    Returns one row: n, k, b, w (round 4), ch (round 6).
+    """
+    points, cent_long, sizes = _cluster_tables(df, label_col, vec_col)
+    dists = _dists_to_centroids(points, cent_long)
+    w_t = dists.filter(F.col("label") == F.col("clabel")).agg(
+        F.sum("d2").alias("w"), F.count(F.lit(1)).alias("n")
+    )
+    gmu = cent_long.join(sizes, "label").groupBy("pos").agg(
+        (
+            F.sum(F.col("mu") * F.col("n_c")) / F.sum("n_c")
+        ).alias("gmu")
+    )
+    b_t = (
+        cent_long.join(gmu, "pos")
+        .groupBy("label")
+        .agg(
+            F.sum(
+                (F.col("mu") - F.col("gmu"))
+                * (F.col("mu") - F.col("gmu"))
+            ).alias("_sq")
+        )
+        .join(sizes, "label")
+        .agg(
+            F.sum(F.col("_sq") * F.col("n_c")).alias("b"),
+            F.count(F.lit(1)).alias("k"),
+        )
+    )
+    out = w_t.crossJoin(F.broadcast(b_t))
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round("b", 4).alias("b"),
+        F.round("w", 4).alias("w"),
+        F.round(
+            (F.col("b") / (k - 1)) / (F.col("w") / (n - k)), 6
+        ).alias("ch"),
+    )
+
+
+def davies_bouldin(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Davies-Bouldin index (RMS-scatter variant).
+
+    Lower = better: DB = mean_i max_{j!=i} (s_i + s_j) / d_ij with
+    s_i = sqrt(W_i / n_i) (RMS distance to own centroid — the variant
+    is stated because textbooks differ) and d_ij = centroid L2
+    distance.  All pairwise work happens on the k-row centroid table.
+
+    Returns one row: k, db_index (round 6).
+    """
+    points, cent_long, sizes = _cluster_tables(df, label_col, vec_col)
+    dists = _dists_to_centroids(points, cent_long)
+    scat = (
+        dists.filter(F.col("label") == F.col("clabel"))
+        .groupBy("label")
+        .agg(F.sqrt(F.avg("d2")).alias("s"))
+    )
+    a = cent_long.select(
+        F.col("label").alias("la"), "pos", F.col("mu").alias("ma")
+    )
+    b = cent_long.select(
+        F.col("label").alias("lb"), "pos", F.col("mu").alias("mb")
+    )
+    dij = (
+        a.join(b, "pos")
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("ma") - F.col("mb"))
+                    * (F.col("ma") - F.col("mb"))
+                )
+            ).alias("d")
+        )
+    )
+    r = (
+        dij.join(scat.select(F.col("label").alias("la"), F.col("s").alias("sa")), "la")
+        .join(scat.select(F.col("label").alias("lb"), F.col("s").alias("sb")), "lb")
+        .groupBy("la")
+        .agg(F.max((F.col("sa") + F.col("sb")) / F.col("d")).alias("_r"))
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.round(F.avg("_r"), 6).alias("db_index"),
+    )
+
+
+def silhouette_centroid(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster.
+
+    The exact silhouette is O(n^2) pairwise — unusable at 10^9
+    vectors; the standard scalable surrogate scores each point by
+    centroid distances instead: a = d(x, own centroid), b = min over
+    other centroids, s = (b - a)/max(a, b).  Per-cluster mean s close
+    to 1 = well separated, near 0 = boundary, negative = likely
+    mis-assigned.
+
+    Zero shuffles on the points (compiled centroid expressions), one
+    keyed rollup.  Returns per label: n, mean_silhouette (round 6).
+    """
+    points, cent_long, _ = _cluster_tables(df, label_col, vec_col)
+    # wide form: one distance expression per centroid on each point
+    # row (no point id needed, no explode) — own = the label's column,
+    # b = min over the others.
+    rows = cent_long.collect()
+    cents: dict = {}
+    for r in rows:
+        cents.setdefault(r["label"], {})[r["pos"]] = r["mu"]
+
+    def d_to(lab) -> "F.Column":
+        arr = F.array(*[F.lit(cents[lab][p]) for p in sorted(cents[lab])])
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with("vec", arr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+        )
+
+    labs = sorted(cents)
+    own = F.coalesce(
+        *[F.when(F.col("label") == lab, d_to(lab)) for lab in labs]
+    )
+    other = F.array_min(
+        F.array(
+            *[
+                F.when(F.col("label") != lab, d_to(lab))
+                for lab in labs
+            ]
+        )
+    )
+    s = (other - own) / F.greatest(own, other)
+    scored = points.withColumn("_s", s)
+    return scored.groupBy(F.col("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("_s"), 6).alias("mean_silhouette"),
+    )

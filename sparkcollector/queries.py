@@ -19071,6 +19071,125 @@ def q_hash_tf_probe_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 444. Calinski-Harabasz index of the labeled embedding clusters —
+#      between/within variance ratio; W folds as zero-shuffle
+#      compiled-centroid expressions (the IVF list-count picker).
+# ---------------------------------------------------------------------
+@register(
+    "calinski_harabasz",
+    """
+    with ex as (select label, u.p as i, cast(u.x as double) as val
+      from (select label, unnest(list_transform(embedding,
+            (x, i) -> struct_pack(x := x, p := i))) as u
+        from embeddings where embedding is not null)),
+    cent as (select label, i, avg(val) as mu from ex group by 1, 2),
+    sizes as (select label, count(*) as n_c from embeddings
+      where embedding is not null group by 1),
+    wt as (select sum(pow(ex.val - cent.mu, 2)) as w
+      from ex join cent on ex.label = cent.label and ex.i = cent.i),
+    nt as (select count(*) as n from embeddings
+      where embedding is not null),
+    gmu as (select i, sum(mu * n_c) / sum(n_c) as gmu
+      from cent join sizes using (label) group by i),
+    bt as (select sum(n_c * sq) as b, count(*) as k from (
+      select cent.label, n_c,
+        sum(pow(mu - gmu, 2)) as sq
+      from cent join gmu using (i) join sizes on cent.label = sizes.label
+      group by cent.label, n_c))
+    select cast((select n from nt) as bigint) as n,
+      cast(k as bigint) as k,
+      round(b, 4) as b, round((select w from wt), 4) as w,
+      round((b / (k - 1))
+            / ((select w from wt)
+               / ((select n from nt) - k)), 6) as ch
+    from bt
+    """,
+)
+def q_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import calinski_harabasz
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return calinski_harabasz(emb, "label", "embedding")
+
+
+# ---------------------------------------------------------------------
+# 445. Davies-Bouldin index (RMS-scatter variant) of the labeled
+#      embedding clusters — lower is better; all pairwise work on the
+#      10-row centroid table.
+# ---------------------------------------------------------------------
+@register(
+    "davies_bouldin",
+    """
+    with ex as (select label, u.p as i, cast(u.x as double) as val
+      from (select label, unnest(list_transform(embedding,
+            (x, i) -> struct_pack(x := x, p := i))) as u
+        from embeddings where embedding is not null)),
+    cent as (select label, i, avg(val) as mu from ex group by 1, 2),
+    scat as (select ex.label, sqrt(avg(pow(ex.val - cent.mu, 2)) * 64)
+        as s
+      from ex join cent on ex.label = cent.label and ex.i = cent.i
+      group by ex.label),
+    dij as (select a.label as la, b.label as lb,
+        sqrt(sum(pow(a.mu - b.mu, 2))) as d
+      from cent a join cent b on a.i = b.i and a.label <> b.label
+      group by 1, 2),
+    r as (select la, max((sa.s + sb.s) / d) as r
+      from dij join scat sa on dij.la = sa.label
+        join scat sb on dij.lb = sb.label
+      group by la)
+    select cast(count(*) as bigint) as k,
+      round(avg(r), 6) as db_index
+    from r
+    """,
+)
+def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import davies_bouldin
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return davies_bouldin(emb, "label", "embedding")
+
+
+# ---------------------------------------------------------------------
+# 446. Centroid-based (scalable) silhouette per embedding cluster —
+#      the O(n^2)-free surrogate: s = (b-a)/max(a,b) against own vs
+#      nearest-other centroid, mean per label.
+# ---------------------------------------------------------------------
+@register(
+    "silhouette_clusters",
+    """
+    with ex as (select vec_id, label, u.p as i, cast(u.x as double)
+        as val
+      from (select vec_id, label, unnest(list_transform(embedding,
+            (x, i) -> struct_pack(x := x, p := i))) as u
+        from embeddings where embedding is not null)),
+    cent as (select label as clabel, i, avg(val) as mu
+      from ex group by 1, 2),
+    d as (select ex.vec_id, ex.label, cent.clabel,
+        sqrt(sum(pow(ex.val - cent.mu, 2))) as dist
+      from ex join cent on ex.i = cent.i
+      group by 1, 2, 3),
+    ab as (select vec_id, label,
+        min(case when label = clabel then dist end) as a,
+        min(case when label <> clabel then dist end) as b
+      from d group by 1, 2)
+    select cast(label as bigint) as label,
+      cast(count(*) as bigint) as n,
+      round(avg((b - a) / greatest(a, b)), 6) as mean_silhouette
+    from ab group by label
+    """,
+)
+def q_silhouette_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import silhouette_centroid
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return silhouette_centroid(emb, "label", "embedding").select(
+        F.col("label").cast("long").alias("label"),
+        "n",
+        "mean_silhouette",
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -298,3 +298,36 @@ def test_hash_tf_cosine_self_is_one(spark):
     assert abs(got[1]["cos"] - 1.0) < 1e-6   # identical text
     assert got[2]["cos"] < 1.0               # disjoint tokens (modulo collisions)
     assert 3 not in got                      # empty doc has no vector rows
+
+
+def _two_blob_df(spark):
+    # two tight, well-separated 3-d blobs
+    rows = []
+    for i in range(20):
+        rows.append((i, 0, [0.0 + 0.01 * (i % 3), 0.0, 0.0]))
+        rows.append((100 + i, 1, [10.0, 10.0 + 0.01 * (i % 3), 10.0]))
+    return spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+
+
+def test_calinski_harabasz_separated_blobs(spark):
+    from sparkcollector.operators.similarity import calinski_harabasz
+
+    r = calinski_harabasz(_two_blob_df(spark), "label", "embedding").collect()[0]
+    assert r["n"] == 40 and r["k"] == 2
+    assert r["ch"] > 10000  # separation >> scatter
+
+
+def test_davies_bouldin_low_for_separated(spark):
+    from sparkcollector.operators.similarity import davies_bouldin
+
+    r = davies_bouldin(_two_blob_df(spark), "label", "embedding").collect()[0]
+    assert r["k"] == 2 and r["db_index"] < 0.01
+
+
+def test_silhouette_near_one_for_separated(spark):
+    from sparkcollector.operators.similarity import silhouette_centroid
+
+    got = silhouette_centroid(_two_blob_df(spark), "label", "embedding").collect()
+    assert len(got) == 2
+    for r in got:
+        assert r["mean_silhouette"] > 0.99
