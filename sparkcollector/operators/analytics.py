@@ -7925,3 +7925,39 @@ def clock_drift_estimate(
             F.when(vary > 0, cov * cov / (varx * vary)).otherwise(1.0), 6
         ).alias("r2"),
     )
+
+
+def offset_gap_audit(
+    df: DataFrame,
+    shard_col: str,
+    offset_col: str,
+) -> DataFrame:
+    """Sequence-number gap audit per shard (lost-message detection).
+
+    Kafka-style ingestion check: within each shard the offsets should
+    be contiguous; every jump > 1 between consecutive PRESENT offsets
+    is a loss window.  One lag window per shard (single shuffle),
+    then a keyed rollup — no island materialization unless asked.
+
+    Returns per shard: n_present, lo/hi offsets, n_gaps,
+    missing_total, max_gap (longs).
+    """
+    o = F.col(offset_col).cast("long")
+    w = Window.partitionBy(shard_col).orderBy(F.col("_o").asc())
+    d = df.select(shard_col, o.alias("_o")).withColumn(
+        "_gap", F.col("_o") - F.lag("_o").over(w) - 1
+    )
+    return d.groupBy(shard_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.min("_o").alias("lo"),
+        F.max("_o").alias("hi"),
+        F.sum((F.col("_gap") > 0).cast("int")).cast("long").alias(
+            "n_gaps"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("_gap") > 0, F.col("_gap"))), F.lit(0)
+        ).cast("long").alias("missing_total"),
+        F.coalesce(F.max(F.when(F.col("_gap") > 0, F.col("_gap"))), F.lit(0))
+        .cast("long")
+        .alias("max_gap"),
+    )

@@ -680,3 +680,56 @@ def connected_components(
         e.select(F.col("child").alias("node")).distinct(), "node", "left_anti"
     ).select("node", F.col("node").alias("component"))
     return comp.unionByName(roots)
+
+
+def missing_parent_audit(
+    spans: DataFrame,
+    trace_col: str = "trace_id",
+    span_col: str = "span_id",
+    parent_col: str = "parent_id",
+) -> DataFrame:
+    """Trace completeness: roots, orphans, resolvable spans per trace.
+
+    Reference analog: groupbytrace / sapm assembly assumes every
+    non-root span's parent arrives in the same trace; dropped or
+    late-sampled parents leave ORPHANS that break waterfall rendering
+    and self-time math (``span_self_time``).  This audits the span
+    forest: root = NULL parent; orphan = parent id absent from the
+    trace's own span set.
+
+    Shape: one left join of spans to the (trace, span) key set —
+    equi-join on the trace+parent key, co-partitioned with the
+    grouping that follows; no windows.
+
+    Returns per trace: n_spans, n_roots, n_orphans, orphan_frac
+    (round 6).
+    """
+    s = spans.select(
+        F.col(trace_col).alias("t"),
+        F.col(span_col).alias("sid"),
+        F.col(parent_col).alias("pid"),
+    )
+    parents = s.select(
+        F.col("t"), F.col("sid").alias("pid"), F.lit(1).alias("_found")
+    ).distinct()
+    j = s.join(parents, ["t", "pid"], "left")
+    return j.groupBy(F.col("t").alias(trace_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("pid").isNull().cast("int")).cast("long").alias(
+            "n_roots"
+        ),
+        F.sum(
+            (F.col("pid").isNotNull() & F.col("_found").isNull()).cast(
+                "int"
+            )
+        ).cast("long").alias("n_orphans"),
+        F.round(
+            F.sum(
+                (
+                    F.col("pid").isNotNull() & F.col("_found").isNull()
+                ).cast("int")
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("orphan_frac"),
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -1258,4 +1259,130 @@ def silhouette_centroid(
     return scored.groupBy(F.col("label")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.avg("_s"), 6).alias("mean_silhouette"),
+    )
+
+
+def ann_recall_at_k(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_ids: list[int],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Recall@k of IVF-nprobe search against exact top-k, per probe.
+
+    The ANN quality gate: before shipping an IVF index, measure what
+    fraction of the TRUE k nearest neighbors the nprobe-limited search
+    returns.  Pinned centroids (a bounded list, compiled into row
+    expressions like ``ivf_assign_pinned``) keep the whole evaluation
+    deterministic — no trained state.
+
+    Shape: assignment is a zero-shuffle per-row argmin; both the exact
+    and the IVF candidate rankings are per-probe windows over the
+    (tiny) probe cross join; recall folds per probe.  At real scale
+    the probe set stays bounded (it is an EVALUATION set) so the cross
+    join is broadcast.
+
+    Returns per probe id: k, n_exact (sanity), n_overlap, recall
+    (round 6).
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pts = vectors.select(F.col(id_col).alias("vid"), vec.alias("v"))
+
+    def d2_to(c: list[float]) -> "F.Column":
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with("v", arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    assign = F.array_min(
+        F.array(
+            *[
+                F.struct(d2_to(c).alias("d"), F.lit(i).alias("c"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )["c"]
+    pts = pts.withColumn("list_id", assign)
+    probes = pts.filter(F.col("vid").isin(probe_ids)).select(
+        F.col("vid").alias("pid"), F.col("v").alias("pv")
+    )
+    # probe's nprobe nearest centroid lists, as an array column
+    probe_lists = probes.select(
+        "pid",
+        "pv",
+        F.slice(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            F.aggregate(
+                                F.zip_with(
+                                    "pv",
+                                    F.array(
+                                        *[F.lit(float(x)) for x in c]
+                                    ),
+                                    lambda x, y: (x - y) * (x - y),
+                                ),
+                                F.lit(0.0),
+                                lambda acc, z: acc + z,
+                            ).alias("d"),
+                            F.lit(i).alias("c"),
+                        )
+                        for i, c in enumerate(centroids)
+                    ]
+                )
+            ),
+            1,
+            nprobe,
+        ).alias("_lists"),
+    ).select(
+        "pid", "pv", F.transform("_lists", lambda s: s["c"]).alias("lists")
+    )
+    joined = pts.crossJoin(F.broadcast(probe_lists)).filter(
+        F.col("vid") != F.col("pid")
+    )
+    dist = F.aggregate(
+        F.zip_with("v", "pv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    joined = joined.withColumn("_d", dist)
+    w = Window.partitionBy("pid").orderBy(F.col("_d").asc(), F.col("vid").asc())
+    exact = joined.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= k
+    ).select("pid", F.col("vid").alias("evid"))
+    in_list = joined.filter(
+        F.array_contains(F.col("lists"), F.col("list_id"))
+    )
+    wa = Window.partitionBy("pid").orderBy(F.col("_d").asc(), F.col("vid").asc())
+    approx = in_list.withColumn("_r", F.row_number().over(wa)).filter(
+        F.col("_r") <= k
+    ).select("pid", F.col("vid").alias("avid"))
+    hit = exact.join(
+        approx,
+        (exact["pid"] == approx["pid"]) & (exact["evid"] == approx["avid"]),
+        "left_semi",
+    )
+    n_exact = exact.groupBy("pid").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = hit.groupBy("pid").agg(F.count(F.lit(1)).alias("n_overlap"))
+    return (
+        n_exact.join(n_hit, "pid", "left")
+        .select(
+            F.col("pid").cast("long").alias("probe_id"),
+            F.lit(k).cast("long").alias("k"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias(
+                "n_overlap"
+            ),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
     )

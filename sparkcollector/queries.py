@@ -19190,6 +19190,163 @@ def q_silhouette_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 447. ANN recall@10 of IVF-nprobe(2) vs exact search over the
+#      embeddings, 4 pinned formula centroids, probes {0,1,2} — the
+#      deterministic index-quality gate.
+# ---------------------------------------------------------------------
+@register(
+    "ann_recall_at_k",
+    """
+    with ex as (select vec_id as vid, u.p - 1 as i,
+        cast(u.x as double) as val
+      from (select vec_id, unnest(list_transform(embedding,
+            (x, i) -> struct_pack(x := x, p := i))) as u
+        from embeddings where embedding is not null)),
+    cent as (select c.c, i.i,
+        (((c.c * 31 + i.i * 7) % 13) - 6) / 6.0 as mu
+      from (select unnest([0, 1, 2, 3]) as c) c,
+        (select unnest(generate_series(0, 63)) as i) i),
+    dva as (select ex.vid, cent.c, sum(pow(ex.val - cent.mu, 2)) as d2
+      from ex join cent on ex.i = cent.i group by 1, 2),
+    assign as (select vid, c as list_id from (select vid, c,
+        row_number() over (partition by vid order by d2, c) as rn
+      from dva) where rn = 1),
+    plists as (select vid as pid, c from (select vid, c,
+        row_number() over (partition by vid order by d2, c) as rn
+      from dva where vid in (0, 1, 2)) where rn <= 2),
+    pd as (select a.vid as pid, b.vid as vid,
+        sum(pow(a.val - b.val, 2)) as d
+      from ex a join ex b on a.i = b.i and b.vid <> a.vid
+      where a.vid in (0, 1, 2) group by 1, 2),
+    exact as (select pid, vid from (select pid, vid,
+        row_number() over (partition by pid order by d, vid) as rn
+      from pd) where rn <= 10),
+    inlist as (select pd.pid, pd.vid, pd.d
+      from pd join assign using (vid)
+      join plists on plists.pid = pd.pid and plists.c = assign.list_id),
+    approx as (select pid, vid from (select pid, vid,
+        row_number() over (partition by pid order by d, vid) as rn
+      from inlist) where rn <= 10),
+    ne as (select pid, count(*) as n_exact from exact group by 1),
+    nh as (select e.pid, count(*) as n_overlap from exact e
+      join approx a on e.pid = a.pid and e.vid = a.vid group by 1)
+    select cast(ne.pid as bigint) as probe_id,
+      cast(10 as bigint) as k, cast(n_exact as bigint) as n_exact,
+      cast(coalesce(n_overlap, 0) as bigint) as n_overlap,
+      round(coalesce(n_overlap, 0) / cast(n_exact as double), 6)
+        as recall
+    from ne left join nh using (pid)
+    """,
+)
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_recall_at_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        [(((c * 31 + i * 7) % 13) - 6) / 6.0 for i in range(64)]
+        for c in range(4)
+    ]
+    return ann_recall_at_k(
+        emb, "vec_id", "embedding", [0, 1, 2], cents, k=10, nprobe=2
+    )
+
+
+# ---------------------------------------------------------------------
+# 448. Missing-parent span audit: synthesized span forest (1/17
+#      parents dangle), roots/orphans/resolvable per trace, rolled up
+#      by trace bucket — the groupbytrace completeness precondition.
+# ---------------------------------------------------------------------
+@register(
+    "missing_parent_spans",
+    """
+    with s as (select user_id as t, event_id as sid,
+        lag(event_id) over (partition by user_id
+          order by ts, event_id) as prev
+      from events),
+    sp as (select t, sid,
+        case when prev is null then null
+             when sid % 17 = 0 then sid + 999999999
+             else prev end as pid from s),
+    par as (select distinct t, sid as pid, 1 as found from sp),
+    j as (select sp.t, sp.pid, par.found from sp
+      left join par on sp.t = par.t and sp.pid = par.pid),
+    per as (select t, count(*) as n_spans,
+        sum(case when pid is null then 1 else 0 end) as n_roots,
+        sum(case when pid is not null and found is null then 1
+            else 0 end) as n_orphans
+      from j group by t)
+    select cast(t % 20 as bigint) as bucket,
+      cast(sum(n_spans) as bigint) as n_spans,
+      cast(sum(n_roots) as bigint) as n_roots,
+      cast(sum(n_orphans) as bigint) as n_orphans,
+      round(sum(n_orphans) * 1.0 / sum(n_spans), 6) as orphan_frac
+    from per group by 1
+    """,
+)
+def q_missing_parent_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import missing_parent_audit
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = ev.select(
+        F.col("user_id").alias("trace_id"),
+        F.col("event_id").alias("span_id"),
+        F.lag("event_id").over(w).alias("prev"),
+    ).select(
+        "trace_id",
+        "span_id",
+        F.when(F.col("prev").isNull(), F.lit(None))
+        .when(F.col("span_id") % 17 == 0, F.col("span_id") + 999999999)
+        .otherwise(F.col("prev"))
+        .alias("parent_id"),
+    )
+    per = missing_parent_audit(spans)
+    return per.groupBy((F.col("trace_id") % 20).alias("bucket")).agg(
+        F.sum("n_spans").cast("long").alias("n_spans"),
+        F.sum("n_roots").cast("long").alias("n_roots"),
+        F.sum("n_orphans").cast("long").alias("n_orphans"),
+        F.round(
+            F.sum("n_orphans") / F.sum("n_spans").cast("double"), 6
+        ).alias("orphan_frac"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 449. Kafka-style offset gap audit per shard (1/13 offsets dropped):
+#      lag window over present offsets, loss windows counted and
+#      sized — the lost-message ingestion check.
+# ---------------------------------------------------------------------
+@register(
+    "offset_gap_audit",
+    """
+    with p as (select user_id % 25 as shard, event_id as o
+      from events where event_id % 13 <> 0),
+    d as (select shard, o,
+        o - lag(o) over (partition by shard order by o) - 1 as gap
+      from p)
+    select cast(shard as bigint) as shard,
+      cast(count(*) as bigint) as n_present,
+      cast(min(o) as bigint) as lo, cast(max(o) as bigint) as hi,
+      cast(sum(case when gap > 0 then 1 else 0 end) as bigint)
+        as n_gaps,
+      cast(coalesce(sum(case when gap > 0 then gap end), 0) as bigint)
+        as missing_total,
+      cast(coalesce(max(case when gap > 0 then gap end), 0) as bigint)
+        as max_gap
+    from d group by shard
+    """,
+)
+def q_offset_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import offset_gap_audit
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 13 != 0)
+    shards = ev.select(
+        (F.col("user_id") % 25).alias("shard"), "event_id"
+    )
+    return offset_gap_audit(shards, "shard", "event_id")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

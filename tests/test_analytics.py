@@ -2622,3 +2622,13 @@ def test_clock_drift_recovers_planted_rate(spark):
     assert abs(got["A"]["drift_ppm"] - 100.0) < 1e-3
     assert abs(got["B"]["drift_ppm"]) < 1e-6 and got["B"]["offset_s"] == 2.0
     assert got["A"]["r2"] == 1.0
+
+
+def test_offset_gap_audit_finds_holes(spark):
+    from sparkcollector.operators.analytics import offset_gap_audit
+
+    rows = [("s", o) for o in [1, 2, 3, 7, 8, 20]]  # gaps: 4-6 (3), 9-19 (11)
+    df = spark.createDataFrame(rows, "shard string, off long")
+    r = offset_gap_audit(df, "shard", "off").collect()[0]
+    assert r["n_present"] == 6 and r["lo"] == 1 and r["hi"] == 20
+    assert r["n_gaps"] == 2 and r["missing_total"] == 14 and r["max_gap"] == 11

@@ -287,3 +287,19 @@ def test_connected_components_star_already_converged(spark):
     )
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == {1: 1, 5: 1, 6: 1, 7: 1}
+
+
+def test_missing_parent_audit_roots_and_orphans(spark):
+    from sparkcollector.operators.graph import missing_parent_audit
+
+    spans = [
+        ("t1", 1, None),    # root
+        ("t1", 2, 1),       # ok
+        ("t1", 3, 99),      # orphan (99 not in t1)
+        ("t2", 1, None),    # root; same span id in another trace
+        ("t2", 5, 1),       # ok — parent resolves within t2 only
+    ]
+    df = spark.createDataFrame(spans, "trace_id string, span_id long, parent_id long")
+    got = {r["trace_id"]: r for r in missing_parent_audit(df).collect()}
+    assert got["t1"]["n_roots"] == 1 and got["t1"]["n_orphans"] == 1
+    assert got["t2"]["n_orphans"] == 0 and got["t2"]["n_spans"] == 2

@@ -331,3 +331,19 @@ def test_silhouette_near_one_for_separated(spark):
     assert len(got) == 2
     for r in got:
         assert r["mean_silhouette"] > 0.99
+
+
+def test_ann_recall_perfect_when_nprobe_covers_all(spark):
+    from sparkcollector.operators.similarity import ann_recall_at_k
+
+    rows = [(i, [float(i), 0.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[0.0, 0.0], [19.0, 0.0]]
+    # nprobe = 2 of 2 lists -> approx == exact -> recall 1
+    got = ann_recall_at_k(df, "vec_id", "embedding", [0], cents, k=5, nprobe=2).collect()
+    assert got[0]["recall"] == 1.0 and got[0]["n_exact"] == 5
+    # nprobe = 1: probe 0's list is the low cluster; true neighbors
+    # are all low too -> still 1.0; probe 19 from the far end against
+    # k spanning both lists would drop below 1 (covered at sf scale)
+    got1 = ann_recall_at_k(df, "vec_id", "embedding", [0], cents, k=5, nprobe=1).collect()
+    assert got1[0]["recall"] == 1.0
