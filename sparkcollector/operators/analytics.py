@@ -7961,3 +7961,192 @@ def offset_gap_audit(
         .cast("long")
         .alias("max_gap"),
     )
+
+
+def ohlc_candles(
+    df: DataFrame,
+    group_cols: list[str],
+    bucket_col,
+    order_cols: list[str],
+    value_col: str,
+    volume_col=None,
+) -> DataFrame:
+    """OHLC + VWAP candles per group and time bucket.
+
+    The lossy-but-faithful downsampling alongside ``m4_downsample``:
+    open/close are the FIRST/LAST values in event order (windows with
+    explicit order columns — never ``first()`` on an unordered
+    aggregate, which is nondeterministic under shuffle), high/low are
+    min/max, VWAP weights by the volume column (1 when absent).
+
+    One window + one groupBy, both on the same (group, bucket) key —
+    co-partitioned, a single shuffle.
+
+    Returns per (group, bucket): n, open, high, low, close, vwap
+    (round 6).
+    """
+    b = bucket_col if not isinstance(bucket_col, str) else F.col(bucket_col)
+    v = F.col(value_col).cast("double")
+    vol = (
+        F.lit(1.0)
+        if volume_col is None
+        else (
+            F.col(volume_col)
+            if isinstance(volume_col, str)
+            else volume_col
+        ).cast("double")
+    )
+    base = df.select(
+        *group_cols, b.alias("bucket"), v.alias("_v"), vol.alias("_w"),
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
+    )
+    ocols = [F.col(f"_o{i}") for i in range(len(order_cols))]
+    w = Window.partitionBy(*group_cols, "bucket").orderBy(*ocols)
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    marked = base.withColumn(
+        "_open", F.first("_v").over(wfull)
+    ).withColumn("_close", F.last("_v").over(wfull))
+    return marked.groupBy(*group_cols, "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.first("_open").alias("open"),
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        F.first("_close").alias("close"),
+        F.round(
+            F.sum(F.col("_v") * F.col("_w")) / F.sum("_w"), 6
+        ).alias("vwap"),
+    )
+
+
+def maxmin_waterfill(
+    df: DataFrame,
+    tenant_col: str,
+    demand_col: str,
+    capacity: float,
+) -> DataFrame:
+    """Max-min fair (water-filling) allocation of capacity to demands.
+
+    The rate-limiter policy question ``jain_fairness`` only measures:
+    given per-tenant demands and a shared capacity C, the max-min
+    allocation satisfies every demand below the water level theta and
+    caps the rest AT theta, where sum(min(d_i, theta)) = C.  Closed
+    form over SORTED demands: tenant i (ascending, prefix sum P) is
+    satisfiable iff P_{i-1} + d_i*(n-i+1) <= C; theta = (C - P_k) /
+    (n - k) for the largest satisfiable k.
+
+    Shape: the demands table is per-tenant (already aggregated —
+    bounded); one ordered window for rank+prefix, one scalar reduce
+    for theta, one broadcast join back.  No iteration: water-filling
+    telescopes into prefix sums.
+
+    Returns per tenant: demand (round 6), allocation (round 6),
+    satisfied.
+    """
+    d = F.col(demand_col).cast("double")
+    t = df.select(F.col(tenant_col).alias("tenant"), d.alias("_d"))
+    w = Window.orderBy(F.col("_d").asc(), F.col("tenant").asc())
+    ranked = (
+        t.withColumn("_i", F.row_number().over(w))
+        .withColumn(
+            "_p",
+            F.sum("_d").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    tot = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    r = ranked.crossJoin(F.broadcast(tot))
+    feasible = (
+        F.col("_p") - F.col("_d") + F.col("_d") * (F.col("_n") - F.col("_i") + 1)
+        <= capacity
+    )
+    r = r.withColumn("_feas", feasible)
+    krow = r.filter("_feas").agg(
+        F.max("_i").alias("_k"), F.max(F.when(F.col("_feas"), F.col("_p"))).alias("_pk")
+    )
+    level = r.crossJoin(F.broadcast(krow)).withColumn(
+        "_theta",
+        F.when(
+            F.col("_k").isNull(),
+            F.lit(capacity) / F.col("_n"),
+        ).otherwise(
+            F.when(
+                F.col("_n") > F.col("_k"),
+                (F.lit(capacity) - F.col("_pk"))
+                / (F.col("_n") - F.col("_k")),
+            ).otherwise(F.lit(float("inf")))
+        ),
+    )
+    return level.select(
+        "tenant",
+        F.round("_d", 6).alias("demand"),
+        F.round(F.least(F.col("_d"), F.col("_theta")), 6).alias(
+            "allocation"
+        ),
+        (F.col("_d") <= F.col("_theta")).alias("satisfied"),
+    )
+
+
+def sax_words(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    segments: int = 8,
+) -> DataFrame:
+    """SAX symbolization (PAA + breakpoint alphabet) per series.
+
+    Time-series indexing for "which services have the same hourly
+    SHAPE": z-normalize each group's series, average it into
+    ``segments`` equal-count PAA frames (ntile over event order), and
+    map each frame mean to one of 4 symbols at the standard Gaussian
+    quartile breakpoints (-0.6745, 0, 0.6745) — Lin et al.'s SAX.
+    Equal words = candidate shape duplicates, at 8 characters per
+    series instead of the raw points.
+
+    One stats join-back (broadcast), one ntile window, one groupBy,
+    one ordered string_agg over |segments| rows per group.
+
+    Returns per group: n, sax_word.
+    """
+    v = F.col(value_col).cast("double")
+    stats = df.filter(v.isNotNull()).groupBy(group_col).agg(
+        F.sum(v).alias("_s"),
+        F.sum(v * v).alias("_q"),
+        F.count(v).alias("_n"),
+    )
+    sd = F.sqrt(
+        (F.col("_q") - F.col("_s") * F.col("_s") / F.col("_n"))
+        / (F.col("_n") - 1)
+    )
+    j = (
+        df.filter(v.isNotNull())
+        .join(stats, group_col)
+        .withColumn("_z", (v - F.col("_s") / F.col("_n")) / sd)
+    )
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    j = j.withColumn("_seg", F.ntile(segments).over(w))
+    paa = j.groupBy(group_col, "_seg").agg(
+        F.avg("_z").alias("_m"), F.count(F.lit(1)).alias("_c")
+    )
+    sym = (
+        F.when(F.col("_m") < -0.6745, "a")
+        .when(F.col("_m") < 0.0, "b")
+        .when(F.col("_m") < 0.6745, "c")
+        .otherwise("d")
+    )
+    word = paa.withColumn("_sym", sym).groupBy(group_col).agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_seg"), F.col("_sym")))
+                ),
+                lambda s: s["_sym"],
+            ),
+        ).alias("sax_word"),
+    )
+    return word

@@ -19347,6 +19347,134 @@ def q_offset_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 450. OHLC + VWAP hourly candles per event_type (volume = props k+1)
+#      — order-explicit first/last (never unordered first()), one
+#      co-partitioned window + groupBy.
+# ---------------------------------------------------------------------
+@register(
+    "ohlc_candles",
+    r"""
+    with b as (select event_type,
+        cast(floor(epoch(ts) / 3600) as bigint) as bucket,
+        cast(value as double) as v,
+        cast(regexp_extract(props, '"k": (\d+)', 1) as bigint) + 1
+          as w, ts, event_id
+      from events where value is not null),
+    m as (select event_type, bucket, v, w,
+        first_value(v) over (partition by event_type, bucket
+          order by ts, event_id rows between unbounded preceding
+          and unbounded following) as o,
+        last_value(v) over (partition by event_type, bucket
+          order by ts, event_id rows between unbounded preceding
+          and unbounded following) as c
+      from b)
+    select event_type, bucket, cast(count(*) as bigint) as n,
+      min(o) as open, max(v) as high, min(v) as low, min(c) as close,
+      round(sum(v * w) / sum(w), 6) as vwap
+    from m group by 1, 2
+    """,
+)
+def q_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import ohlc_candles
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vol = (
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("long") + 1
+    ).cast("double")
+    return ohlc_candles(
+        ev,
+        ["event_type"],
+        F.floor(_epoch_s("ts") / 3600).cast("long"),
+        ["ts", "event_id"],
+        "value",
+        vol,
+    )
+
+
+# ---------------------------------------------------------------------
+# 451. Max-min fair (water-filling) allocation of 40% of total event
+#      capacity across 12 tenants — closed-form theta via sorted
+#      prefix sums, no iteration; the policy jain_fairness measures.
+# ---------------------------------------------------------------------
+@register(
+    "maxmin_waterfill",
+    """
+    with d as (select user_id % 12 as tenant,
+        cast(count(*) as double) as dem from events group by 1),
+    cap as (select 0.4 * count(*) as c from events),
+    r as (select tenant, dem,
+        row_number() over (order by dem, tenant) as i,
+        sum(dem) over (order by dem, tenant rows between unbounded
+          preceding and current row) as p
+      from d),
+    n as (select count(*) as n from d),
+    f as (select r.*, (select n from n) as nn,
+        p - dem + dem * ((select n from n) - i + 1) <= (select c from cap)
+          as feas from r),
+    k as (select max(case when feas then i end) as k,
+        max(case when feas then p end) as pk from f),
+    lvl as (select f.*, 
+        case when (select k from k) is null
+               then (select c from cap) / nn
+             when nn > (select k from k)
+               then ((select c from cap) - (select pk from k))
+                    / (nn - (select k from k))
+             else 1e308 end as theta
+      from f)
+    select cast(tenant as bigint) as tenant, round(dem, 6) as demand,
+      round(least(dem, theta), 6) as allocation,
+      dem <= theta as satisfied
+    from lvl
+    """,
+)
+def q_maxmin_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import maxmin_waterfill
+
+    ev = _t(spark, sf_dir, "events")
+    demands = ev.groupBy((F.col("user_id") % 12).alias("tenant")).agg(
+        F.count(F.lit(1)).cast("double").alias("dem")
+    )
+    capacity = 0.4 * ev.count()
+    return maxmin_waterfill(demands, "tenant", "dem", capacity)
+
+
+# ---------------------------------------------------------------------
+# 452. SAX shape words (8-segment PAA, 4-symbol Gaussian breakpoints)
+#      per event_type value series — equal words = candidate shape
+#      duplicates at 8 chars per series.
+# ---------------------------------------------------------------------
+@register(
+    "sax_event_shapes",
+    """
+    with s as (select event_type, cast(value as double) as v, ts,
+        event_id from events where value is not null),
+    st as (select event_type, sum(v) as s, sum(v * v) as q,
+        count(*) as n from s group by 1),
+    z as (select s.event_type,
+        (v - st.s / st.n)
+          / sqrt((st.q - st.s * st.s / st.n) / (st.n - 1)) as z,
+        ts, event_id
+      from s join st on s.event_type = st.event_type),
+    seg as (select event_type, z, ntile(8) over (partition by
+        event_type order by ts, event_id) as g from z),
+    paa as (select event_type, g, avg(z) as m, count(*) as c
+      from seg group by 1, 2),
+    sym as (select event_type, g, c,
+        case when m < -0.6745 then 'a' when m < 0 then 'b'
+             when m < 0.6745 then 'c' else 'd' end as y from paa)
+    select event_type, cast(sum(c) as bigint) as n,
+      string_agg(y, '' order by g) as sax_word
+    from sym group by event_type
+    """,
+)
+def q_sax_event_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import sax_words
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return sax_words(ev, "event_type", ["ts", "event_id"], "value", 8)
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

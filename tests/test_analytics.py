@@ -2632,3 +2632,50 @@ def test_offset_gap_audit_finds_holes(spark):
     r = offset_gap_audit(df, "shard", "off").collect()[0]
     assert r["n_present"] == 6 and r["lo"] == 1 and r["hi"] == 20
     assert r["n_gaps"] == 2 and r["missing_total"] == 14 and r["max_gap"] == 11
+
+
+def test_ohlc_candles_order_semantics(spark):
+    from pyspark.sql import functions as F
+    from sparkcollector.operators.analytics import ohlc_candles
+
+    rows = [("g", 1, 1, 10.0, 1.0), ("g", 1, 2, 30.0, 1.0),
+            ("g", 1, 3, 5.0, 3.0), ("g", 2, 4, 7.0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, b long, seq long, v double, w double")
+    got = {r["bucket"]: r for r in ohlc_candles(
+        df, ["g"], F.col("b"), ["seq"], "v", F.col("w")).collect()}
+    c = got[1]
+    assert c["open"] == 10.0 and c["close"] == 5.0
+    assert c["high"] == 30.0 and c["low"] == 5.0
+    assert abs(c["vwap"] - (10 + 30 + 15) / 5.0) < 1e-9
+    assert got[2]["open"] == got[2]["close"] == 7.0
+
+
+def test_maxmin_waterfill_known_allocation(spark):
+    from sparkcollector.operators.analytics import maxmin_waterfill
+
+    # demands 1, 2, 10, capacity 7 -> 1 and 2 satisfied, theta = 4
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 10.0)], "tenant string, dem double"
+    )
+    got = {r["tenant"]: r for r in maxmin_waterfill(df, "tenant", "dem", 7.0).collect()}
+    assert got["a"]["allocation"] == 1.0 and got["a"]["satisfied"]
+    assert got["b"]["allocation"] == 2.0
+    assert got["c"]["allocation"] == 4.0 and not got["c"]["satisfied"]
+    # capacity exceeds total demand -> everyone satisfied
+    got2 = {r["tenant"]: r for r in maxmin_waterfill(df, "tenant", "dem", 100.0).collect()}
+    assert all(got2[t]["satisfied"] for t in got2)
+    # capacity below n * min demand -> equal split
+    got3 = {r["tenant"]: r for r in maxmin_waterfill(df, "tenant", "dem", 1.5).collect()}
+    assert all(abs(got3[t]["allocation"] - 0.5) < 1e-9 for t in got3)
+
+
+def test_sax_words_shapes(spark):
+    from sparkcollector.operators.analytics import sax_words
+
+    # ramp -> monotone word; constant-ish series is degenerate (sd>0 needed)
+    ramp = [("r", i, float(i)) for i in range(64)]
+    vee = [("v", i, float(abs(i - 32))) for i in range(64)]
+    df = spark.createDataFrame(ramp + vee, "g string, t long, v double")
+    got = {r["g"]: r["sax_word"] for r in sax_words(df, "g", ["t"], "v", 8).collect()}
+    assert got["r"] == "aabbccdd"
+    assert got["v"][0] == "d" and got["v"][-1] == "d" and "a" in got["v"]
