@@ -3589,6 +3589,139 @@ def main() -> None:
         spark=spark,
     )
 
+    # ---- round-3 batches 104-112 ----
+    for nm, checks, notes in [
+        ("welch_anova_groups",
+         [("power sums fold map-side", lambda p: "partial" in p.lower()),
+          ("single parquet scan",
+           lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("cms_frequency_probe",
+         [("depth-explode is a Generate node", lambda p: "Generate" in p),
+          ("sketch broadcast to the probes", lambda p: "Broadcast" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)],
+         "sketch table is depth*width rows — always broadcastable."),
+        ("weibull_error_gaps",
+         [("one rank window per group then power-sum OLS",
+           lambda p: "Window" in p and "partial" in p.lower()),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("acf_pacf_correlogram",
+         [("ONE window carries all 3 lags",
+           lambda p: len(re.findall(r"\(\d+\) Window", p)) == 1),
+          ("mean join-back is broadcast",
+           lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("granger_clicks_errors",
+         [("minute series aggregates before any window",
+           lambda p: "partial" in p.lower()),
+          ("both lags in one window",
+           lambda p: len(re.findall(r"\(\d+\) Window", p)) == 1),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)],
+         "the lag window runs on the per-minute aggregate, never the "
+         "fact table."),
+        ("mde_event_conversion",
+         [("one conditional-aggregate pass",
+           lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("logrank_cohorts",
+         [("risk sets fold over the bucketed-day table (Window present)",
+           lambda p: "Window" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("classifier_threshold_eval",
+         [("AUC folds by distinct score (no per-row rank of the facts)",
+           lambda p: "partial" in p.lower()),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("nearest_poi_enrich",
+         [("POI argmin compiled into row expressions — no join on facts",
+           lambda p: "SortMergeJoin" not in p),
+          ("no Python EVAL in plan",
+           lambda p: "EvalPython" not in p and "InPandas" not in p)],
+         "like cidr_enrich: bounded dim collected driver-side."),
+        ("cohens_kappa_judges",
+         [("label-pair table is tiny; marginals join broadcast",
+           lambda p: "Broadcast" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("fleiss_kappa_panel",
+         [("vote union scans fold to (item,cat) with partial agg",
+           lambda p: "partial" in p.lower()),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("bradley_terry_tools",
+         [("duel pairs from one lag window",
+           lambda p: len(re.findall(r"\(\d+\) Window", p)) >= 1),
+          ("pair grid is contestant^2 — tiny",
+           lambda p: "Python" not in p)], ""),
+        ("out_of_order_audit",
+         [("running high-watermark is one per-shard window",
+           lambda p: len(re.findall(r"\(\d+\) Window", p)) == 1),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("clock_drift_hosts",
+         [("per-host OLS folds from power sums (partial agg)",
+           lambda p: "partial" in p.lower()),
+          ("global t0 broadcast back", lambda p: "Broadcast" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("hash_tf_probe_cosine",
+         [("tokenize is Generate; probe joins broadcast",
+           lambda p: "Generate" in p and "Broadcast" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("calinski_harabasz",
+         [("W folds via compiled-centroid row expressions (no point join)",
+           lambda p: "SortMergeJoin" not in p),
+          ("no Python EVAL in plan",
+           lambda p: "EvalPython" not in p and "InPandas" not in p)], ""),
+        ("davies_bouldin",
+         [("pairwise centroid work on the k-row table only",
+           lambda p: "SortMergeJoin" not in p),
+          ("no Python EVAL in plan",
+           lambda p: "EvalPython" not in p and "InPandas" not in p)], ""),
+        ("silhouette_clusters",
+         [("wide-form distances: zero point-side joins",
+           lambda p: "SortMergeJoin" not in p),
+          ("no Python EVAL in plan",
+           lambda p: "EvalPython" not in p and "InPandas" not in p)], ""),
+        ("ann_recall_at_k",
+         [("probe cross join is broadcast (bounded eval set)",
+           lambda p: "Broadcast" in p),
+          ("no Python EVAL in plan",
+           lambda p: "EvalPython" not in p and "InPandas" not in p)], ""),
+        ("missing_parent_spans",
+         [("parent resolve is an equi-join on (trace, parent)",
+           lambda p: "Join" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("offset_gap_audit",
+         [("one lag window per shard", 
+           lambda p: len(re.findall(r"\(\d+\) Window", p)) == 1),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("ohlc_candles",
+         [("first/last are order-explicit windows co-partitioned with "
+           "the rollup", lambda p: "Window" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("maxmin_waterfill",
+         [("waterfill telescopes to prefix sums (no iteration)",
+           lambda p: "Window" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)],
+         "the ordered window runs on the per-tenant table, never facts."),
+        ("sax_event_shapes",
+         [("stats join-back broadcast; one ntile window",
+           lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("haproxy_log_parse",
+         [("anchored-regex parse in codegen — no Python",
+           lambda p: "Python" not in p),
+          ("single rollup exchange", lambda p: p.count("Exchange") <= 2)], ""),
+        ("error_budget_burndown",
+         [("daily rollup partial-aggregated before the cumulative window",
+           lambda p: "partial" in p.lower() and "Window" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("morans_i_hours",
+         [("neighbor products on the 24-row cell table (broadcast)",
+           lambda p: "Broadcast" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+    ]:
+        all_ok &= audit(
+            nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),
+            checks, out, notes, spark=spark,
+        )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

@@ -8150,3 +8150,251 @@ def sax_words(
         ).alias("sax_word"),
     )
     return word
+
+
+def naive_bayes_eval(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    split_col,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Categorical Naive Bayes: train on one split, score the other.
+
+    The "can cheap features predict the error label" baseline, fully
+    in aggregates: per-class priors and per-(feature, value, class)
+    Laplace-smoothed likelihoods are COUNT tables (tiny — bounded by
+    the categorical cardinalities), broadcast-joined back onto the
+    held-out split where the per-row score is a sum of log ratios.
+    No gradient loop, no collect of facts.
+
+    ``split_col`` boolean: true = train row, false = test row.
+    ``label_col`` boolean-ish (binary NB).
+
+    Returns one row: n_train, n_test, tp/fp/fn/tn, accuracy (round 6).
+    """
+    y = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("int")
+    s = split_col if not isinstance(split_col, str) else F.col(split_col)
+    base = df.select(
+        *[F.col(c).cast("string").alias(c) for c in feature_cols],
+        y.alias("_y"),
+        s.alias("_train"),
+    )
+    train = base.filter(F.col("_train"))
+    test = base.filter(~F.col("_train"))
+    pri = train.groupBy("_y").agg(F.count(F.lit(1)).alias("_cy"))
+    n_tr = train.agg(F.count(F.lit(1)).alias("_nt"))
+    scored = test
+    for c in feature_cols:
+        lik = train.groupBy(c, "_y").agg(
+            F.count(F.lit(1)).alias(f"_c_{c}")
+        )
+        vals = train.agg(
+            F.countDistinct(c).cast("double").alias(f"_v_{c}")
+        )
+        lik = (
+            lik.join(pri.withColumnRenamed("_cy", f"_cy_{c}"), "_y")
+            .crossJoin(F.broadcast(vals))
+        )
+        l1 = lik.filter(F.col("_y") == 1).select(
+            c,
+            F.log(
+                (F.col(f"_c_{c}") + alpha)
+                / (F.col(f"_cy_{c}") + alpha * F.col(f"_v_{c}"))
+            ).alias(f"_ll1_{c}"),
+            F.col(f"_v_{c}").alias(f"_vv1_{c}"),
+            F.col(f"_cy_{c}").alias(f"_cc1_{c}"),
+        )
+        l0 = lik.filter(F.col("_y") == 0).select(
+            c,
+            F.log(
+                (F.col(f"_c_{c}") + alpha)
+                / (F.col(f"_cy_{c}") + alpha * F.col(f"_v_{c}"))
+            ).alias(f"_ll0_{c}"),
+            F.col(f"_v_{c}").alias(f"_vv0_{c}"),
+            F.col(f"_cy_{c}").alias(f"_cc0_{c}"),
+        )
+        scored = scored.join(F.broadcast(l1), c, "left").join(
+            F.broadcast(l0), c, "left"
+        )
+        # unseen feature value in train: back off to the smoothed
+        # floor alpha / (class count + alpha * |values|)
+        uv = F.broadcast(
+            pri.crossJoin(vals).select(
+                "_y",
+                F.log(
+                    alpha / (F.col("_cy") + alpha * F.col(f"_v_{c}"))
+                ).alias("_fl"),
+            )
+        )
+        fl1 = uv.filter(F.col("_y") == 1).select(
+            F.col("_fl").alias(f"_fl1_{c}")
+        )
+        fl0 = uv.filter(F.col("_y") == 0).select(
+            F.col("_fl").alias(f"_fl0_{c}")
+        )
+        scored = scored.crossJoin(F.broadcast(fl1)).crossJoin(
+            F.broadcast(fl0)
+        )
+        scored = scored.withColumn(
+            f"_s1_{c}", F.coalesce(F.col(f"_ll1_{c}"), F.col(f"_fl1_{c}"))
+        ).withColumn(
+            f"_s0_{c}", F.coalesce(F.col(f"_ll0_{c}"), F.col(f"_fl0_{c}"))
+        )
+    pri_w = pri.crossJoin(F.broadcast(n_tr))
+    p1 = pri_w.filter(F.col("_y") == 1).select(
+        F.log(F.col("_cy") / F.col("_nt").cast("double")).alias("_lp1"),
+        F.col("_cy").alias("_n1"),
+    )
+    p0 = pri_w.filter(F.col("_y") == 0).select(
+        F.log(F.col("_cy") / F.col("_nt").cast("double")).alias("_lp0"),
+        F.col("_cy").alias("_n0"),
+    )
+    scored = scored.crossJoin(F.broadcast(p1)).crossJoin(F.broadcast(p0))
+    s1 = F.col("_lp1") + sum(F.col(f"_s1_{c}") for c in feature_cols)
+    s0 = F.col("_lp0") + sum(F.col(f"_s0_{c}") for c in feature_cols)
+    pred = (s1 > s0).cast("int")
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(((pred == 1) & (F.col("_y") == 1)).cast("int")).alias("tp"),
+        F.sum(((pred == 1) & (F.col("_y") == 0)).cast("int")).alias("fp"),
+        F.sum(((pred == 0) & (F.col("_y") == 1)).cast("int")).alias("fn"),
+        F.sum(((pred == 0) & (F.col("_y") == 0)).cast("int")).alias("tn"),
+        F.first("_n1").alias("_n1"),
+        F.first("_n0").alias("_n0"),
+    )
+    return agg.select(
+        (F.col("_n1") + F.col("_n0")).cast("long").alias("n_train"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.round(
+            (F.col("tp") + F.col("tn")) / F.col("n_test").cast("double"),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+def decision_stump_gains(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col,
+) -> DataFrame:
+    """Information gain of each candidate attribute on a binary label.
+
+    The 1-level decision tree / feature-importance ranking: IG(f) =
+    H(y) - sum_v p(v) H(y|f=v).  Each feature costs one groupBy on
+    (value, label) — tables bounded by categorical cardinality — and
+    the entropies fold from counts.  Rank 1 = the attribute a stump
+    would split on.
+
+    Returns per feature: n_values, h_label (round 6), h_cond
+    (round 6), info_gain (round 6), rank.
+    """
+    y = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("int")
+    base = df.select(
+        *[F.col(c).cast("string").alias(c) for c in feature_cols],
+        y.alias("_y"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_y").cast("double").alias("_n1"),
+    )
+
+    def h(p):  # binary entropy in bits, 0 at the edges
+        return F.when(
+            (p > 0) & (p < 1),
+            -(p * F.log2(p) + (1 - p) * F.log2(1 - p)),
+        ).otherwise(0.0)
+
+    outs = []
+    for c in feature_cols:
+        per = base.groupBy(c).agg(
+            F.count(F.lit(1)).cast("double").alias("_nv"),
+            F.sum("_y").cast("double").alias("_nv1"),
+        )
+        cond = per.crossJoin(F.broadcast(tot)).agg(
+            F.lit(c).alias("feature"),
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.round(F.first(h(F.col("_n1") / F.col("_n"))), 6).alias(
+                "h_label"
+            ),
+            F.round(
+                F.sum(
+                    (F.col("_nv") / F.col("_n"))
+                    * h(F.col("_nv1") / F.col("_nv"))
+                ),
+                6,
+            ).alias("h_cond"),
+        )
+        outs.append(cond)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    res = res.withColumn(
+        "info_gain", F.round(F.col("h_label") - F.col("h_cond"), 6)
+    )
+    rk = Window.orderBy(F.col("info_gain").desc(), F.col("feature").asc())
+    return res.withColumn(
+        "rank", F.row_number().over(rk).cast("long")
+    )
+
+
+def mahalanobis_2d(
+    df: DataFrame,
+    group_col: str,
+    x_col,
+    y_col,
+    threshold_d2: float = 13.815511,
+) -> DataFrame:
+    """Two-feature Mahalanobis outlier flags per group (closed form).
+
+    Joint outliers that neither marginal z-score catches (high value
+    AND unusual dimension k together): d^2 = (x-mu)' S^-1 (x-mu) with
+    the 2x2 sample covariance inverted in closed form — no matrix
+    library, no iteration.  Default threshold = chi2(2) at 99.9%.
+
+    One power-sum pass for the per-group moments (broadcast back),
+    one scoring pass — two scans total, no window.
+
+    Returns per group: n, n_outliers, max_d2 (round 4).
+    """
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
+    yv = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
+    base = df.select(
+        F.col(group_col).alias("_g"), x.alias("_x"), yv.alias("_yv")
+    ).filter(F.col("_x").isNotNull() & F.col("_yv").isNotNull())
+    m = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_yv").alias("sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_yv") * F.col("_yv")).alias("syy"),
+        F.sum(F.col("_x") * F.col("_yv")).alias("sxy"),
+    )
+    j = base.join(F.broadcast(m), "_g")
+    n = F.col("n")
+    vx = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    vy = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    cv = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    det = vx * vy - cv * cv
+    dx = F.col("_x") - F.col("sx") / n
+    dy = F.col("_yv") - F.col("sy") / n
+    d2 = (vy * dx * dx - 2 * cv * dx * dy + vx * dy * dy) / det
+    return (
+        j.withColumn("_d2", d2)
+        .groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("_d2") > threshold_d2).cast("int"))
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.max("_d2"), 4).alias("max_d2"),
+        )
+    )

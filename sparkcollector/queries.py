@@ -19475,6 +19475,184 @@ def q_sax_event_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 453. Categorical Naive Bayes (hour, user bucket, weekday ->
+#      error?) trained before the split instant, scored after —
+#      Laplace-smoothed count tables broadcast onto the test split;
+#      confusion + accuracy.
+# ---------------------------------------------------------------------
+@register(
+    "naive_bayes_error",
+    """
+    with b as (select cast(hour(ts) as varchar) as f1,
+        cast(user_id % 5 as varchar) as f2,
+        cast(dayofweek(ts) as varchar) as f3,
+        case when event_type = 'error' then 1 else 0 end as y,
+        epoch(ts) < 1704844800 as tr from events),
+    trn as (select * from b where tr),
+    te as (select * from b where not tr),
+    pri as (select y, cast(count(*) as double) as cy from trn group by y),
+    nt as (select cast(count(*) as double) as nt from trn),
+    cy1 as (select cy from pri where y = 1),
+    cy0 as (select cy from pri where y = 0),
+    v1 as (select cast(count(distinct f1) as double) as v from trn),
+    v2 as (select cast(count(distinct f2) as double) as v from trn),
+    v3 as (select cast(count(distinct f3) as double) as v from trn),
+    a1 as (select f1, cast(sum(y) as double) as c1,
+        cast(sum(1 - y) as double) as c0 from trn group by f1),
+    a2 as (select f2, cast(sum(y) as double) as c1,
+        cast(sum(1 - y) as double) as c0 from trn group by f2),
+    a3 as (select f3, cast(sum(y) as double) as c1,
+        cast(sum(1 - y) as double) as c0 from trn group by f3),
+    sc as (select te.y,
+      ln((select cy from cy1) / (select nt from nt))
+       + ln((coalesce(a1.c1, 0) + 1)
+            / ((select cy from cy1) + (select v from v1)))
+       + ln((coalesce(a2.c1, 0) + 1)
+            / ((select cy from cy1) + (select v from v2)))
+       + ln((coalesce(a3.c1, 0) + 1)
+            / ((select cy from cy1) + (select v from v3))) as s1,
+      ln((select cy from cy0) / (select nt from nt))
+       + ln((coalesce(a1.c0, 0) + 1)
+            / ((select cy from cy0) + (select v from v1)))
+       + ln((coalesce(a2.c0, 0) + 1)
+            / ((select cy from cy0) + (select v from v2)))
+       + ln((coalesce(a3.c0, 0) + 1)
+            / ((select cy from cy0) + (select v from v3))) as s0
+      from te left join a1 using (f1) left join a2 using (f2)
+        left join a3 using (f3))
+    select cast((select nt from nt) as bigint) as n_train,
+      cast(count(*) as bigint) as n_test,
+      cast(sum(case when s1 > s0 and y = 1 then 1 else 0 end)
+        as bigint) as tp,
+      cast(sum(case when s1 > s0 and y = 0 then 1 else 0 end)
+        as bigint) as fp,
+      cast(sum(case when s1 <= s0 and y = 1 then 1 else 0 end)
+        as bigint) as fn,
+      cast(sum(case when s1 <= s0 and y = 0 then 1 else 0 end)
+        as bigint) as tn,
+      round(sum(case when (s1 > s0) = (y = 1) then 1 else 0 end)
+            * 1.0 / count(*), 6) as accuracy
+    from sc
+    """,
+)
+def q_naive_bayes_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import naive_bayes_eval
+
+    ev = _t(spark, sf_dir, "events")
+    feats = ev.select(
+        F.hour("ts").alias("f1"),
+        (F.col("user_id") % 5).alias("f2"),
+        F.dayofweek("ts").alias("f3"),
+        (F.col("event_type") == "error").alias("y"),
+        (_epoch_s("ts") < 1704844800).alias("tr"),
+    )
+    return naive_bayes_eval(feats, ["f1", "f2", "f3"], "y", F.col("tr"))
+
+
+# ---------------------------------------------------------------------
+# 454. Decision-stump information gain of 4 candidate attributes on
+#      the error label — the 1-level tree / feature-importance
+#      ranking, one bounded groupBy per attribute.
+# ---------------------------------------------------------------------
+@register(
+    "decision_stump_gains",
+    """
+    with b as (select
+        cast(cast(floor(hour(ts) / 4) as int) as varchar) as hb,
+        cast(dayofweek(ts) as varchar) as dow,
+        cast(user_id % 5 as varchar) as ub,
+        cast(coalesce(value, 0) > 100 as varchar) as vbig,
+        case when event_type = 'error' then 1 else 0 end as y
+      from events),
+    tot as (select cast(count(*) as double) as n,
+        cast(sum(y) as double) as n1 from b),
+    u as (
+      select 'hb' as feature, hb as v, count(*) as nv, sum(y) as nv1
+        from b group by 2
+      union all
+      select 'dow', dow, count(*), sum(y) from b group by 2
+      union all
+      select 'ub', ub, count(*), sum(y) from b group by 2
+      union all
+      select 'vbig', vbig, count(*), sum(y) from b group by 2),
+    hl as (select case when n1 > 0 and n1 < n then
+        -((n1 / n) * log2(n1 / n)
+          + (1 - n1 / n) * log2(1 - n1 / n)) else 0 end as h from tot),
+    per as (select feature, cast(count(*) as bigint) as n_values,
+        round((select h from hl), 6) as h_label,
+        round(sum((nv / (select n from tot)) * (case
+          when nv1 > 0 and nv1 < nv then
+            -((nv1 * 1.0 / nv) * log2(nv1 * 1.0 / nv)
+              + (1 - nv1 * 1.0 / nv) * log2(1 - nv1 * 1.0 / nv))
+          else 0 end)), 6) as h_cond
+      from u group by feature)
+    select feature, n_values, h_label, h_cond,
+      round(h_label - h_cond, 6) as info_gain,
+      cast(row_number() over (order by h_label - h_cond desc,
+        feature asc) as bigint) as rank
+    from per
+    """,
+)
+def q_decision_stump_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import decision_stump_gains
+
+    ev = _t(spark, sf_dir, "events")
+    feats = ev.select(
+        (F.hour("ts") / 4).cast("int").alias("hb"),
+        F.dayofweek("ts").alias("dow"),
+        (F.col("user_id") % 5).alias("ub"),
+        (F.coalesce("value", F.lit(0)) > 100).alias("vbig"),
+        (F.col("event_type") == "error").alias("y"),
+    )
+    return decision_stump_gains(feats, ["hb", "dow", "ub", "vbig"], "y")
+
+
+# ---------------------------------------------------------------------
+# 455. Two-feature Mahalanobis outliers (value x props-k) per
+#      event_type — closed-form 2x2 covariance inverse, chi2(2)
+#      99.9% threshold; joint outliers marginal z-scores miss.
+# ---------------------------------------------------------------------
+@register(
+    "mahalanobis_outliers",
+    r"""
+    with b as (select event_type as g, cast(value as double) as x,
+        cast(regexp_extract(props, '"k": (\d+)', 1) as double) as yv
+      from events where value is not null),
+    m as (select g, cast(count(*) as double) as n, sum(x) as sx,
+        sum(yv) as sy, sum(x * x) as sxx, sum(yv * yv) as syy,
+        sum(x * yv) as sxy from b group by g),
+    s as (select b.g, b.x, b.yv, m.n, m.sx, m.sy,
+        (m.sxx - m.sx * m.sx / m.n) / (m.n - 1) as vx,
+        (m.syy - m.sy * m.sy / m.n) / (m.n - 1) as vy,
+        (m.sxy - m.sx * m.sy / m.n) / (m.n - 1) as cv
+      from b join m on b.g = m.g),
+    d as (select g,
+        ((vy * (x - sx / n) * (x - sx / n))
+         - 2 * cv * (x - sx / n) * (yv - sy / n)
+         + vx * (yv - sy / n) * (yv - sy / n))
+        / (vx * vy - cv * cv) as d2 from s)
+    select g as event_type, cast(count(*) as bigint) as n,
+      cast(sum(case when d2 > 13.815511 then 1 else 0 end) as bigint)
+        as n_outliers,
+      round(max(d2), 4) as max_d2
+    from d group by g
+    """,
+)
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import mahalanobis_2d
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type",
+        "value",
+        F.regexp_extract("props", r'"k": (\d+)', 1)
+        .cast("double")
+        .alias("kv"),
+    )
+    return mahalanobis_2d(base, "event_type", "value", "kv")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -2679,3 +2679,41 @@ def test_sax_words_shapes(spark):
     got = {r["g"]: r["sax_word"] for r in sax_words(df, "g", ["t"], "v", 8).collect()}
     assert got["r"] == "aabbccdd"
     assert got["v"][0] == "d" and got["v"][-1] == "d" and "a" in got["v"]
+
+
+def test_naive_bayes_learns_perfect_feature(spark):
+    from pyspark.sql import functions as F
+    from sparkcollector.operators.analytics import naive_bayes_eval
+
+    # f perfectly determines y; half train half test
+    rows = [(i % 2, 0, i % 2 == 1, i < 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "f int, g int, y boolean, tr boolean")
+    r = naive_bayes_eval(df, ["f", "g"], "y", F.col("tr")).collect()[0]
+    assert r["n_train"] == 100 and r["n_test"] == 100
+    assert r["accuracy"] == 1.0 and r["fp"] == 0 and r["fn"] == 0
+
+
+def test_decision_stump_ranks_informative_feature_first(spark):
+    from sparkcollector.operators.analytics import decision_stump_gains
+
+    # a == y (perfect); b random-ish (i%3); label = i%2
+    rows = [(i % 2, i % 3, i % 2 == 0) for i in range(120)]
+    df = spark.createDataFrame(rows, "a int, b int, y boolean")
+    got = {r["feature"]: r for r in decision_stump_gains(df, ["a", "b"], "y").collect()}
+    assert got["a"]["rank"] == 1 and got["a"]["info_gain"] == got["a"]["h_label"]
+    assert got["b"]["info_gain"] < 1e-6
+
+
+def test_mahalanobis_flags_joint_outlier_only(spark):
+    from sparkcollector.operators.analytics import mahalanobis_2d
+
+    import random
+    rng = random.Random(3)
+    # correlated cloud y ~= x, plus one point that breaks the correlation
+    rows = [("g", v, v + rng.gauss(0, 0.1)) for v in
+            [rng.gauss(0, 1) for _ in range(300)]]
+    rows.append(("g", 2.0, -2.0))  # inside both marginals, outside jointly
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = mahalanobis_2d(df, "g", "x", "y").collect()[0]
+    assert r["n_outliers"] >= 1
+    assert r["max_d2"] > 100
