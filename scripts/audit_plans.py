@@ -3662,7 +3662,8 @@ def main() -> None:
         ("hash_tf_probe_cosine",
          [("tokenize is Generate; probe joins broadcast",
            lambda p: "Generate" in p and "Broadcast" in p),
-          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+          ("no Python EVAL in plan (probe createDataFrame RDD only)",
+           lambda p: "EvalPython" not in p and "InPandas" not in p)], ""),
         ("calinski_harabasz",
          [("W folds via compiled-centroid row expressions (no point join)",
            lambda p: "SortMergeJoin" not in p),

@@ -7041,12 +7041,15 @@ def welch_anova(
     per = per.select(
         n.alias("_n"), m.alias("_m"), (n / var).alias("_w")
     )
-    tot = per.agg(
-        F.count(F.lit(1)).cast("double").alias("k"),
-        F.sum("_w").alias("W"),
-        F.sum(F.col("_w") * F.col("_m")).alias("_wm"),
+    # totals as an unpartitioned window over the tiny per-group table —
+    # NOT agg + crossJoin, which would replay the fact-scan lineage in
+    # a second branch (two parquet scans at 10^12 rows)
+    wall = Window.partitionBy()
+    j = (
+        per.withColumn("k", F.count(F.lit(1)).over(wall).cast("double"))
+        .withColumn("W", F.sum("_w").over(wall))
+        .withColumn("_wm", F.sum(F.col("_w") * F.col("_m")).over(wall))
     )
-    j = per.crossJoin(F.broadcast(tot))
     mw = F.col("_wm") / F.col("W")
     num_t = F.col("_w") * (F.col("_m") - mw) * (F.col("_m") - mw)
     lam_t = (
