@@ -8401,3 +8401,108 @@ def mahalanobis_2d(
             F.round(F.max("_d2"), 4).alias("max_d2"),
         )
     )
+
+
+def poisson_rate_ratio(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    event_pred,
+    split_epoch: float,
+) -> DataFrame:
+    """Two-period Poisson rate-ratio test per group.
+
+    "Did the error RATE change after the deploy" done right: counts
+    alone mislead when the observation windows differ, so each
+    period's count is normalized by its exposure time and the Wald
+    z-statistic on the log rate ratio uses se = sqrt(1/c1 + 1/c2).
+    One conditional-aggregate pass.
+
+    Returns per group: c1, c2, exposure1_s, exposure2_s (round 3),
+    rate_ratio (round 6), z (round 6).  Groups with a zero count in
+    either period are dropped (log undefined).
+    """
+    t = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    e = event_pred.cast("int")
+    agg = df.groupBy(group_col).agg(
+        F.sum(F.when(t < split_epoch, e)).alias("c1"),
+        F.sum(F.when(t >= split_epoch, e)).alias("c2"),
+        (F.lit(split_epoch) - F.min(t)).alias("e1"),
+        (F.max(t) - F.lit(split_epoch)).alias("e2"),
+    )
+    c1, c2 = F.col("c1").cast("double"), F.col("c2").cast("double")
+    r1 = c1 / F.col("e1")
+    r2 = c2 / F.col("e2")
+    ratio = r2 / r1
+    z = F.log(ratio) / F.sqrt(1.0 / c1 + 1.0 / c2)
+    return agg.filter((c1 > 0) & (c2 > 0)).select(
+        group_col,
+        F.col("c1").cast("long").alias("c1"),
+        F.col("c2").cast("long").alias("c2"),
+        F.round("e1", 3).alias("exposure1_s"),
+        F.round("e2", 3).alias("exposure2_s"),
+        F.round(ratio, 6).alias("rate_ratio"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def huber_one_step(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 1.345,
+) -> DataFrame:
+    """One-step Huber M-estimator of location per group.
+
+    The robust mean between ``trimmed_means`` and full IRLS: start at
+    the exact median with MAD scale, apply ONE Huber reweighting
+    (w = min(1, k*s/|x-m0|)) and take the weighted mean.  One step
+    from the median already achieves most of the efficiency gain and
+    keeps the operator non-iterative — a deliberate trade documented
+    against the full IRLS loop.
+
+    Two passes: exact median+MAD (percentile aggregates), then the
+    weighted mean with the scalars broadcast back.
+
+    Returns per group: n, m0 (median), scale_mad, m1 (round 6),
+    frac_downweighted (round 6).
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("_g"), v.alias("_v")
+    )
+    med = base.groupBy("_g").agg(
+        F.expr("percentile(_v, 0.5)").alias("_m0")
+    )
+    j0 = base.join(F.broadcast(med), "_g")
+    mad = j0.groupBy("_g").agg(
+        F.expr("percentile(abs(_v - _m0), 0.5)").alias("_s"),
+        F.first("_m0").alias("_m0"),
+    )
+    j = base.join(F.broadcast(mad), "_g")
+    w = F.when(
+        F.abs(F.col("_v") - F.col("_m0")) <= k * F.col("_s"), F.lit(1.0)
+    ).otherwise(
+        k * F.col("_s") / F.abs(F.col("_v") - F.col("_m0"))
+    )
+    out = j.withColumn("_w", w).groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.first("_m0").alias("_m0v"),
+        F.first("_s").alias("_sv"),
+        F.round(
+            F.sum(F.col("_w") * F.col("_v")) / F.sum("_w"), 6
+        ).alias("m1"),
+        F.round(
+            F.sum((F.col("_w") < 1.0).cast("int"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("frac_downweighted"),
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        "n",
+        F.round("_m0v", 6).alias("m0"),
+        F.round("_sv", 6).alias("scale_mad"),
+        "m1",
+        "frac_downweighted",
+    )

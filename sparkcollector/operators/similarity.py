@@ -1386,3 +1386,79 @@ def ann_recall_at_k(
             ).alias("recall"),
         )
     )
+
+
+def pca_power_iteration(
+    df: DataFrame,
+    vec_col: str,
+    iterations: int = 2,
+    report_dims: int = 4,
+) -> DataFrame:
+    """Top principal component via power iteration, covariance-free.
+
+    The embedding-drift primitive (is one direction eating the
+    variance? — the quantitative side of the anisotropy audit):
+    repeatedly apply the covariance operator WITHOUT materializing the
+    d*d covariance: C v = (sum_x x (x.v) - n mu (mu.v)) / (n-1) — each
+    iteration is ONE pass over the exploded vectors (two keyed
+    aggregates), and the d-vector v round-trips through the driver
+    (bounded state, like the k-means Lloyd step).  Deterministic:
+    fixed start v0 = e_0, fixed iteration count.
+
+    Returns one row: n, lambda_top (round 3), and the first
+    ``report_dims`` eigenvector components (round 4, sign fixed by
+    the deterministic start).
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ex = df.select(vec.alias("v")).filter(F.col("v").isNotNull()).select(
+        F.posexplode("v").alias("i", "x")
+    )
+    stats = ex.groupBy("i").agg(
+        F.sum("x").alias("sx"), F.count(F.lit(1)).alias("cnt")
+    ).orderBy("i").collect()
+    n = stats[0]["cnt"]
+    mu = [r["sx"] / n for r in stats]
+    dim = len(stats)
+    v = [1.0 if i == 0 else 0.0 for i in range(dim)]
+    spark = df.sparkSession
+    lam = 0.0
+    for _ in range(iterations):
+        # x.v folds per row (array HOF, v baked as literals); the
+        # d-dim reduction sum_x x_i (x.v) is one keyed aggregate.
+        dots = df.select(vec.alias("vv")).filter(
+            F.col("vv").isNotNull()
+        ).select(
+            "vv",
+            F.aggregate(
+                F.zip_with(
+                    "vv",
+                    F.array(*[F.lit(float(x)) for x in v]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            ).alias("_dot"),
+        )
+        y_rows = (
+            dots.select(
+                F.posexplode("vv").alias("i", "x"), F.col("_dot")
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("x") * F.col("_dot")).alias("sxd"))
+            .orderBy("i")
+            .collect()
+        )
+        mudotv = sum(m * vi for m, vi in zip(mu, v))
+        y = [
+            (r["sxd"] - n * mu[r["i"]] * mudotv) / (n - 1)
+            for r in y_rows
+        ]
+        lam = sum(a * b for a, b in zip(y, v))
+        norm = sum(a * a for a in y) ** 0.5
+        v = [a / norm for a in y]
+    out = [(n, round(lam, 3))]
+    cols = "n long, lambda_top double"
+    for i in range(report_dims):
+        cols += f", v{i} double"
+        out[0] = out[0] + (round(v[i], 4),)
+    return spark.createDataFrame(out, cols)

@@ -19653,6 +19653,131 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 456. Poisson rate-ratio deploy gate per user bucket: error rates
+#      before/after the split normalized by exposure, Wald z on the
+#      log ratio — the rate test counts alone get wrong.
+# ---------------------------------------------------------------------
+@register(
+    "poisson_rate_ratio",
+    """
+    with a as (select user_id % 10 as g,
+        sum(case when epoch(ts) < 1704844800
+            and event_type = 'error' then 1 else 0 end) as c1,
+        sum(case when epoch(ts) >= 1704844800
+            and event_type = 'error' then 1 else 0 end) as c2,
+        1704844800 - min(epoch(ts)) as e1,
+        max(epoch(ts)) - 1704844800 as e2
+      from events group by 1)
+    select cast(g as bigint) as g, cast(c1 as bigint) as c1,
+      cast(c2 as bigint) as c2,
+      round(e1, 3) as exposure1_s, round(e2, 3) as exposure2_s,
+      round((c2 / e2) / (c1 / e1), 6) as rate_ratio,
+      round(ln((c2 / e2) / (c1 / e1))
+            / sqrt(1.0 / c1 + 1.0 / c2), 6) as z
+    from a where c1 > 0 and c2 > 0
+    """,
+)
+def q_poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import poisson_rate_ratio
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("g"), "ts", "event_type"
+    )
+    return poisson_rate_ratio(
+        ev, "g", "ts", F.col("event_type") == "error", 1704844800.0
+    )
+
+
+# ---------------------------------------------------------------------
+# 457. One-step Huber M-estimator of location per event_type —
+#      median+MAD start, single reweighting pass (w = min(1,
+#      k*s/|x-m0|)); the robust mean between trimming and full IRLS.
+# ---------------------------------------------------------------------
+@register(
+    "huber_location",
+    """
+    with b as (select event_type as g, cast(value as double) as v
+      from events where value is not null),
+    med as (select g, quantile_cont(v, 0.5) as m0 from b group by g),
+    mad as (select b.g, quantile_cont(abs(b.v - med.m0), 0.5) as s,
+        max(med.m0) as m0 from b join med using (g) group by b.g),
+    w as (select b.g, b.v, mad.m0, mad.s,
+        case when abs(b.v - mad.m0) <= 1.345 * mad.s then 1.0
+             else 1.345 * mad.s / abs(b.v - mad.m0) end as w
+      from b join mad using (g))
+    select g as event_type, cast(count(*) as bigint) as n,
+      round(max(m0), 6) as m0, round(max(s), 6) as scale_mad,
+      round(sum(w * v) / sum(w), 6) as m1,
+      round(sum(case when w < 1.0 then 1 else 0 end) * 1.0
+            / count(*), 6) as frac_downweighted
+    from w group by g
+    """,
+)
+def q_huber_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import huber_one_step
+
+    ev = _t(spark, sf_dir, "events")
+    return huber_one_step(ev, "event_type", "value")
+
+
+# ---------------------------------------------------------------------
+# 458. Top principal component of the embeddings via 2-step power
+#      iteration — covariance-operator applications as per-pass
+#      aggregates (the d*d matrix is never materialized), Rayleigh
+#      eigenvalue, deterministic e_0 start.
+# ---------------------------------------------------------------------
+@register(
+    "pca_power_iteration",
+    """
+    with ex as (select vec_id, u.p - 1 as i, cast(u.x as double) as x
+      from (select vec_id, unnest(list_transform(embedding,
+            (x, i) -> struct_pack(x := x, p := i))) as u
+        from embeddings where embedding is not null)),
+    st as (select i, sum(x) as sx, count(*) as cnt from ex group by i),
+    nn as (select max(cnt) as n from st),
+    mu as (select i, sx / (select n from nn) as mu from st),
+    d0 as (select vec_id, sum(case when i = 0 then x else 0.0 end)
+        as dot from ex group by vec_id),
+    y1r as (select ex.i, sum(ex.x * d0.dot) as sxd
+      from ex join d0 using (vec_id) group by ex.i),
+    y1 as (select y1r.i,
+        (sxd - (select n from nn) * mu.mu
+           * (select mu from mu where i = 0))
+        / ((select n from nn) - 1) as y
+      from y1r join mu on y1r.i = mu.i),
+    n1 as (select sqrt(sum(y * y)) as nrm from y1),
+    v1 as (select i, y / (select nrm from n1) as vi from y1),
+    d1 as (select ex.vec_id, sum(ex.x * v1.vi) as dot
+      from ex join v1 using (i) group by ex.vec_id),
+    y2r as (select ex.i, sum(ex.x * d1.dot) as sxd
+      from ex join d1 using (vec_id) group by ex.i),
+    mdv as (select sum(mu.mu * v1.vi) as mdv
+      from mu join v1 using (i)),
+    y2 as (select y2r.i,
+        (sxd - (select n from nn) * mu.mu * (select mdv from mdv))
+        / ((select n from nn) - 1) as y
+      from y2r join mu on y2r.i = mu.i),
+    lam as (select sum(y2.y * v1.vi) as lam
+      from y2 join v1 on y2.i = v1.i),
+    n2 as (select sqrt(sum(y * y)) as nrm from y2),
+    v2 as (select i, y / (select nrm from n2) as vi from y2)
+    select cast((select n from nn) as bigint) as n,
+      round((select lam from lam), 3) as lambda_top,
+      round(max(case when i = 0 then vi end), 4) as v0,
+      round(max(case when i = 1 then vi end), 4) as v1,
+      round(max(case when i = 2 then vi end), 4) as v2,
+      round(max(case when i = 3 then vi end), 4) as v3
+    from v2
+    """,
+)
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import pca_power_iteration
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_power_iteration(emb, "embedding", iterations=2, report_dims=4)
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -2717,3 +2717,30 @@ def test_mahalanobis_flags_joint_outlier_only(spark):
     r = mahalanobis_2d(df, "g", "x", "y").collect()[0]
     assert r["n_outliers"] >= 1
     assert r["max_d2"] > 100
+
+
+def test_poisson_rate_ratio_doubling(spark):
+    from pyspark.sql import functions as F
+    from sparkcollector.operators.analytics import poisson_rate_ratio
+
+    # 10 events in [0, 100), 20 events in [100, 200) -> ratio 2
+    rows = [("g", float(t), 1) for t in range(0, 100, 10)]
+    rows += [("g", float(t), 1) for t in range(100, 200, 5)]
+    df = spark.createDataFrame(rows, "g string, t double, e int")
+    base = df.selectExpr("g", "timestamp_seconds(t) as ts", "e")
+    r = poisson_rate_ratio(base, "g", "ts", F.col("e") == 1, 100.0).collect()[0]
+    assert r["c1"] == 10 and r["c2"] == 20
+    # r1 = 10/100, r2 = 20/95 -> ratio = 2 * 100/95
+    assert abs(r["rate_ratio"] - 20.0 / 95.0 * 10.0) < 1e-6
+    assert r["z"] > 1.0
+
+
+def test_huber_one_step_resists_outlier(spark):
+    from sparkcollector.operators.analytics import huber_one_step
+
+    rows = [("g", float(v)) for v in [10, 11, 9, 10, 12, 10, 11, 1000]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = huber_one_step(df, "g", "v").collect()[0]
+    # plain mean would be ~134; huber stays near the median
+    assert abs(r["m1"] - 10.5) < 2.0
+    assert r["frac_downweighted"] > 0.0 and r["m0"] == 10.5

@@ -347,3 +347,16 @@ def test_ann_recall_perfect_when_nprobe_covers_all(spark):
     # k spanning both lists would drop below 1 (covered at sf scale)
     got1 = ann_recall_at_k(df, "vec_id", "embedding", [0], cents, k=5, nprobe=1).collect()
     assert got1[0]["recall"] == 1.0
+
+
+def test_pca_power_iteration_finds_dominant_axis(spark):
+    from sparkcollector.operators.similarity import pca_power_iteration
+
+    # variance concentrated on dim 1 (not the e0 start): spread +-t
+    rows = [(i, [0.01 * (i % 3), float(i % 21) - 10.0, 0.0, 0.0])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = pca_power_iteration(df, "embedding", iterations=4, report_dims=4).collect()[0]
+    assert abs(abs(r["v1"]) - 1.0) < 0.01      # dominant axis recovered
+    assert abs(r["v2"]) < 0.05 and abs(r["v3"]) < 0.05
+    assert r["lambda_top"] > 30                # ~ variance of uniform(-10..10)
