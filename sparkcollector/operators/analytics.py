@@ -8506,3 +8506,146 @@ def huber_one_step(
         "m1",
         "frac_downweighted",
     )
+
+
+def count_distribution_diagnostics(
+    unit_counts: DataFrame,
+    group_col: str,
+    count_col: str,
+) -> DataFrame:
+    """Poisson-ness diagnostics of per-unit event counts per group.
+
+    Before fitting any count model to "events per user per day",
+    check the three classic failure modes in ONE pass over the unit
+    counts: overdispersion (variance/mean ratio and the implied
+    negative-binomial size r = m^2/(v-m)), zero-inflation (observed
+    zero share vs the Poisson-expected e^-m — the caller must supply
+    a COMPLETE unit grid including zero-count units, or the zero
+    comparison is meaningless), and a dispersion summary.
+
+    Shape: the input is already a per-unit count table (one upstream
+    shuffle); diagnostics fold from its power sums.
+
+    Returns per group: n_units, mean, var, dispersion_ratio,
+    nb_size_r (NULL when not overdispersed), zero_frac,
+    poisson_zero_frac (all round 6).
+    """
+    c = F.col(count_col).cast("double")
+    agg = unit_counts.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(c).alias("_s"),
+        F.sum(c * c).alias("_q"),
+        F.sum((c == 0).cast("int")).cast("double").alias("_z"),
+    )
+    n, s, q = F.col("_n"), F.col("_s"), F.col("_q")
+    m = s / n
+    v = (q - s * s / n) / (n - 1)
+    return agg.select(
+        group_col,
+        n.cast("long").alias("n_units"),
+        F.round(m, 6).alias("mean"),
+        F.round(v, 6).alias("var"),
+        F.round(v / m, 6).alias("dispersion_ratio"),
+        F.round(F.when(v > m, m * m / (v - m)), 6).alias("nb_size_r"),
+        F.round(F.col("_z") / n, 6).alias("zero_frac"),
+        F.round(F.exp(-m), 6).alias("poisson_zero_frac"),
+    )
+
+
+def gamma_moments_fit(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gamma(shape, rate) fit by method of moments per group.
+
+    Latency distributions are right-skewed; the two-moment Gamma fit
+    (shape k = m^2/v, rate = m/v) is the closed-form baseline against
+    which MLE refinements are judged, and its shape parameter is the
+    interpretable one: k < 1 = hyperexponential mixture (two regimes),
+    k >> 1 = near-normal.  Positive values only; one power-sum pass.
+
+    Returns per group: n, mean, var, shape, rate (round 6).
+    """
+    v = F.col(value_col).cast("double")
+    agg = (
+        df.filter(v.isNotNull() & (v > 0))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum(v).alias("_s"),
+            F.sum(v * v).alias("_q"),
+        )
+        .filter(F.col("_n") > 1)
+    )
+    n, s, q = F.col("_n"), F.col("_s"), F.col("_q")
+    m = s / n
+    var = (q - s * s / n) / (n - 1)
+    return agg.filter(var > 0).select(
+        group_col,
+        n.cast("long").alias("n"),
+        F.round(m, 6).alias("mean"),
+        F.round(var, 6).alias("var"),
+        F.round(m * m / var, 6).alias("shape"),
+        F.round(m / var, 6).alias("rate"),
+    )
+
+
+def burstiness_memory(
+    df: DataFrame,
+    unit_col: str,
+    bucket_col,
+    ts_col: str,
+) -> DataFrame:
+    """Goh-Barabási burstiness B and memory M of inter-arrival gaps.
+
+    Two numbers that separate bursty-from-periodic traffic where a
+    Fano factor alone cannot: B = (sigma - mu)/(sigma + mu) over the
+    per-unit inter-arrival gaps (-1 periodic, 0 Poisson, ->1 bursty)
+    and M = corr(gap_t, gap_{t+1}) (positive = long gaps follow long
+    gaps).  Gaps and their lag are windows WITHIN each unit; the
+    statistics pool per bucket.
+
+    Returns per bucket: n_gaps, burstiness_b (round 6), memory_m
+    (round 6).
+    """
+    t = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    b = bucket_col if not isinstance(bucket_col, str) else F.col(bucket_col)
+    w = Window.partitionBy(unit_col).orderBy(t.asc())
+    step1 = df.select(
+        F.col(unit_col).alias("_u"),
+        b.alias("bucket"),
+        t.alias("_t"),
+        (t - F.lag(t).over(w)).alias("_g"),
+    )
+    w2 = Window.partitionBy("_u").orderBy(F.col("_t").asc())
+    gaps = step1.withColumn("_gp", F.lag("_g").over(w2)).filter(
+        F.col("_g").isNotNull()
+    )
+    agg = gaps.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("_g").alias("sg"),
+        F.sum(F.col("_g") * F.col("_g")).alias("sgg"),
+        F.count("_gp").cast("double").alias("np"),
+        F.sum(F.when(F.col("_gp").isNotNull(), F.col("_g"))).alias("sx"),
+        F.sum(F.when(F.col("_gp").isNotNull(), F.col("_g") * F.col("_g"))).alias("sxx"),
+        F.sum("_gp").alias("sy"),
+        F.sum(F.col("_gp") * F.col("_gp")).alias("syy"),
+        F.sum(F.col("_g") * F.col("_gp")).alias("sxy"),
+    )
+    n = F.col("n")
+    mu = F.col("sg") / n
+    sd = F.sqrt((F.col("sgg") - F.col("sg") * F.col("sg") / n) / (n - 1))
+    np_ = F.col("np")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / np_
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / np_
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / np_
+    return agg.filter((n > 2) & (np_ > 2)).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        n.cast("long").alias("n_gaps"),
+        F.round((sd - mu) / (sd + mu), 6).alias("burstiness_b"),
+        # NULL, not a divide-by-zero error, for a constant gap series
+        F.round(
+            F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 6
+        ).alias("memory_m"),
+    )

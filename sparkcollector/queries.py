@@ -19778,6 +19778,139 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 459. Count-distribution diagnostics over the COMPLETE (user, day)
+#      grid per tenant — overdispersion ratio, implied NB size,
+#      zero-inflation vs Poisson-expected zeros.
+# ---------------------------------------------------------------------
+@register(
+    "count_dispersion_diag",
+    """
+    with days as (select distinct cast(floor(epoch(ts) / 86400)
+        as bigint) as day from events),
+    users as (select distinct user_id, user_id % 5 as tenant
+      from events),
+    grid as (select u.tenant, u.user_id, d.day from users u, days d),
+    cnt as (select user_id,
+        cast(floor(epoch(ts) / 86400) as bigint) as day,
+        count(*) as c from events group by 1, 2),
+    uc as (select g.tenant,
+        cast(coalesce(cnt.c, 0) as double) as c
+      from grid g left join cnt
+        on g.user_id = cnt.user_id and g.day = cnt.day),
+    a as (select tenant, cast(count(*) as double) as n, sum(c) as s,
+        sum(c * c) as q,
+        cast(sum(case when c = 0 then 1 else 0 end) as double) as z
+      from uc group by tenant)
+    select cast(tenant as bigint) as tenant,
+      cast(n as bigint) as n_units,
+      round(s / n, 6) as mean,
+      round((q - s * s / n) / (n - 1), 6) as var,
+      round(((q - s * s / n) / (n - 1)) / (s / n), 6)
+        as dispersion_ratio,
+      round(case when (q - s * s / n) / (n - 1) > s / n
+        then (s / n) * (s / n)
+             / ((q - s * s / n) / (n - 1) - s / n) end, 6)
+        as nb_size_r,
+      round(z / n, 6) as zero_frac,
+      round(exp(-(s / n)), 6) as poisson_zero_frac
+    from a
+    """,
+)
+def q_count_dispersion_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import count_distribution_diagnostics
+
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        F.floor(_epoch_s("ts") / 86400).cast("long").alias("day")
+    ).distinct()
+    users = ev.select(
+        "user_id", (F.col("user_id") % 5).alias("tenant")
+    ).distinct()
+    cnt = ev.groupBy(
+        "user_id",
+        F.floor(_epoch_s("ts") / 86400).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    grid = users.crossJoin(days).join(cnt, ["user_id", "day"], "left")
+    uc = grid.select(
+        "tenant", F.coalesce("c", F.lit(0)).cast("double").alias("c")
+    )
+    out = count_distribution_diagnostics(uc, "tenant", "c")
+    return out.withColumn("tenant", F.col("tenant").cast("long"))
+
+
+# ---------------------------------------------------------------------
+# 460. Gamma(shape, rate) method-of-moments fit of value per
+#      event_type — k < 1 flags a two-regime latency mixture.
+# ---------------------------------------------------------------------
+@register(
+    "gamma_moments_fit",
+    """
+    with b as (select event_type, cast(value as double) as v
+      from events where value is not null and value > 0),
+    a as (select event_type, cast(count(*) as double) as n,
+        sum(v) as s, sum(v * v) as q from b group by 1)
+    select event_type, cast(n as bigint) as n,
+      round(s / n, 6) as mean,
+      round((q - s * s / n) / (n - 1), 6) as var,
+      round((s / n) * (s / n) / ((q - s * s / n) / (n - 1)), 6)
+        as shape,
+      round((s / n) / ((q - s * s / n) / (n - 1)), 6) as rate
+    from a where n > 1 and q - s * s / n > 0
+    """,
+)
+def q_gamma_moments_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import gamma_moments_fit
+
+    ev = _t(spark, sf_dir, "events")
+    return gamma_moments_fit(ev, "event_type", "value")
+
+
+# ---------------------------------------------------------------------
+# 461. Goh-Barabási burstiness B and memory M of per-user
+#      inter-arrival gaps, pooled by user bucket — separates bursty
+#      from periodic where the Fano factor cannot.
+# ---------------------------------------------------------------------
+@register(
+    "burstiness_memory",
+    """
+    with s as (select user_id, user_id % 10 as bucket, epoch(ts) as t
+      from events),
+    g1 as (select user_id, bucket, t,
+        t - lag(t) over (partition by user_id order by t) as g
+      from s),
+    g2 as (select bucket, g,
+        lag(g) over (partition by user_id order by t) as gp
+      from g1 where true),
+    f as (select * from g2 where g is not null),
+    a as (select bucket, cast(count(*) as double) as n, sum(g) as sg,
+        sum(g * g) as sgg, cast(count(gp) as double) as np,
+        sum(case when gp is not null then g end) as sx,
+        sum(case when gp is not null then g * g end) as sxx,
+        sum(gp) as sy, sum(gp * gp) as syy, sum(g * gp) as sxy
+      from f group by bucket)
+    select cast(bucket as bigint) as bucket,
+      cast(n as bigint) as n_gaps,
+      round((sqrt((sgg - sg * sg / n) / (n - 1)) - sg / n)
+            / (sqrt((sgg - sg * sg / n) / (n - 1)) + sg / n), 6)
+        as burstiness_b,
+      round(case when sxx - sx * sx / np > 0
+                  and syy - sy * sy / np > 0
+        then (sxy - sx * sy / np)
+             / sqrt((sxx - sx * sx / np) * (syy - sy * sy / np)) end, 6)
+        as memory_m
+    from a where n > 2 and np > 2
+    """,
+)
+def q_burstiness_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import burstiness_memory
+
+    ev = _t(spark, sf_dir, "events")
+    return burstiness_memory(
+        ev, "user_id", (F.col("user_id") % 10), "ts"
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -2744,3 +2744,46 @@ def test_huber_one_step_resists_outlier(spark):
     # plain mean would be ~134; huber stays near the median
     assert abs(r["m1"] - 10.5) < 2.0
     assert r["frac_downweighted"] > 0.0 and r["m0"] == 10.5
+
+
+def test_count_diagnostics_poisson_vs_zero_inflated(spark):
+    from sparkcollector.operators.analytics import (
+        count_distribution_diagnostics,
+    )
+
+    # equidispersed-ish counts vs heavy zero inflation
+    ok = [("p", float(c)) for c in [2, 3, 2, 4, 3, 2, 3, 4, 2, 3]]
+    zi = [("z", 0.0)] * 8 + [("z", 10.0), ("z", 12.0)]
+    df = spark.createDataFrame(ok + zi, "g string, c double")
+    got = {r["g"]: r for r in count_distribution_diagnostics(df, "g", "c").collect()}
+    assert got["p"]["dispersion_ratio"] < 1.0
+    assert got["p"]["nb_size_r"] is None  # not overdispersed
+    assert got["z"]["dispersion_ratio"] > 5.0
+    assert got["z"]["zero_frac"] == 0.8
+    assert got["z"]["zero_frac"] > got["z"]["poisson_zero_frac"] * 3
+
+
+def test_gamma_fit_recovers_exponential(spark):
+    from sparkcollector.operators.analytics import gamma_moments_fit
+
+    import math
+    # exponential quantile spread (k = 1, rate = 2)
+    n = 400
+    rows = [("g", -math.log(1 - (i + 0.5) / n) / 2.0) for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = gamma_moments_fit(df, "g", "v").collect()[0]
+    assert abs(r["shape"] - 1.0) < 0.15
+    assert abs(r["rate"] - 2.0) < 0.3
+
+
+def test_burstiness_periodic_is_negative(spark):
+    from sparkcollector.operators.analytics import burstiness_memory
+
+    from pyspark.sql import functions as F
+    # perfectly periodic arrivals -> sd = 0 -> B = -1
+    rows = [(1, float(t * 10)) for t in range(50)]
+    df = spark.createDataFrame(rows, "u long, t double").selectExpr(
+        "u", "timestamp_seconds(t) as ts"
+    )
+    r = burstiness_memory(df, "u", (F.col("u") % 2), "ts").collect()[0]
+    assert r["burstiness_b"] == -1.0
