@@ -8649,3 +8649,39 @@ def burstiness_memory(
             F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 6
         ).alias("memory_m"),
     )
+
+
+def hedge_effectiveness(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q: float = 0.99,
+) -> DataFrame:
+    """Tail-latency win from request hedging, from the empirical CDF.
+
+    Dean & Barroso ("The Tail at Scale"): issuing a second copy of a
+    request and taking the first response turns the latency CDF F into
+    1-(1-F)^2, so the hedged q-quantile equals the PLAIN quantile at
+    1 - sqrt(1-q) — p99 hedged = p90 plain.  No simulation needed:
+    both quantiles come from the same exact percentile aggregate, and
+    the ratio is the infrastructure-cost conversation in one number
+    (assumes independent replicas — stated, since correlated slowness
+    breaks it).
+
+    Returns per group: n, q_plain, q_hedged (round 6), improvement
+    (plain/hedged, round 6).
+    """
+    v = F.col(value_col).cast("double")
+    hq = 1.0 - (1.0 - q) ** 0.5
+    agg = df.filter(v.isNotNull()).groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(f"percentile({value_col}, {q!r})").alias("_qp"),
+        F.expr(f"percentile({value_col}, {hq!r})").alias("_qh"),
+    )
+    return agg.select(
+        group_col,
+        "n",
+        F.round("_qp", 6).alias("q_plain"),
+        F.round("_qh", 6).alias("q_hedged"),
+        F.round(F.col("_qp") / F.col("_qh"), 6).alias("improvement"),
+    )

@@ -1717,3 +1717,65 @@ def haproxy_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
         keep(g(14)).alias("hap_method"),
         keep(g(15)).alias("hap_path"),
     )
+
+
+def sql_fingerprint(df: DataFrame, query_col: str) -> DataFrame:
+    """Normalize SQL query text to a literal-free template.
+
+    pg_stat_statements-style workload grouping for query logs (the
+    collector's sqlquery receiver emits per-query rows; aggregating
+    them needs literals collapsed or every query is unique): quoted
+    strings -> ?, numeric literals -> ?, IN (...) lists -> IN (?),
+    whitespace squeezed, lowercased keywords preserved as-is.  Four
+    chained ``regexp_replace`` — pure codegen, zero exchanges.
+
+    Adds ``sql_template`` to the input.
+    """
+    q = F.col(query_col)
+    t = F.regexp_replace(q, r"'(?:[^']|'')*'", "?")
+    t = F.regexp_replace(t, r"\b\d+(?:\.\d+)?\b", "?")
+    t = F.regexp_replace(
+        t, r"(?i)\bin\s*\(\s*\?(?:\s*,\s*\?)*\s*\)", "IN (?)"
+    )
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.withColumn("sql_template", t)
+
+
+UA_BOT_RE = r"(?i)(bot|crawler|spider|curl|wget|python-requests)"
+
+
+def user_agent_parse(df: DataFrame, ua_col: str) -> DataFrame:
+    """Classify HTTP User-Agent strings: browser, OS, bot flag.
+
+    The standard access-log enrichment ladder (first match wins, the
+    order IS the semantic — Edge before Chrome because Edge UAs
+    contain "Chrome", Chrome before Safari for the same reason).
+    Pure regexp ladder in codegen; unknown agents classify as
+    "other"/"other" rather than NULL (absence of a match is itself a
+    signal worth grouping on).
+
+    Adds ``ua_browser``, ``ua_os``, ``ua_is_bot``.
+    """
+    ua = F.col(ua_col)
+    browser = (
+        F.when(ua.rlike(r"(?i)edg(e|a|ios)?/"), "edge")
+        .when(ua.rlike(r"(?i)opr/|opera"), "opera")
+        .when(ua.rlike(r"(?i)chrome/"), "chrome")
+        .when(ua.rlike(r"(?i)firefox/"), "firefox")
+        .when(ua.rlike(r"(?i)safari/"), "safari")
+        .when(ua.rlike(UA_BOT_RE), "bot")
+        .otherwise("other")
+    )
+    os_ = (
+        F.when(ua.rlike(r"(?i)windows nt"), "windows")
+        .when(ua.rlike(r"(?i)android"), "android")
+        .when(ua.rlike(r"(?i)iphone|ipad|ios"), "ios")
+        .when(ua.rlike(r"(?i)mac os x|macintosh"), "macos")
+        .when(ua.rlike(r"(?i)linux"), "linux")
+        .otherwise("other")
+    )
+    return (
+        df.withColumn("ua_browser", browser)
+        .withColumn("ua_os", os_)
+        .withColumn("ua_is_bot", ua.rlike(UA_BOT_RE))
+    )

@@ -19911,6 +19911,138 @@ def q_burstiness_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 462. SQL query-log fingerprinting (pg_stat_statements style): three
+#      synthesized query shapes normalize to literal-free templates;
+#      oracle maps the shapes directly — the regexes must earn the
+#      collapse.
+# ---------------------------------------------------------------------
+@register(
+    "sql_query_fingerprint",
+    """
+    with b as (select case
+        when event_id % 3 = 0
+          then 'SELECT name FROM users WHERE id = ?'
+        when event_id % 3 = 1
+          then 'SELECT * FROM orders WHERE status = ? AND total > ?'
+        else 'UPDATE carts SET qty = ? WHERE id IN (?)'
+      end as sql_template from events)
+    select sql_template, cast(count(*) as bigint) as n
+    from b group by sql_template
+    """,
+)
+def q_sql_query_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import sql_fingerprint
+
+    ev = _t(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("event_id") % 3 == 0,
+        F.concat(
+            F.lit("SELECT name FROM users WHERE id = "),
+            F.col("user_id").cast("string"),
+        ),
+    ).when(
+        F.col("event_id") % 3 == 1,
+        F.concat(
+            F.lit("SELECT * FROM orders WHERE status = '"),
+            F.col("event_type"),
+            F.lit("' AND total > "),
+            F.col("event_id").cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("UPDATE carts SET qty = "),
+            (F.col("event_id") % 9).cast("string"),
+            F.lit(" WHERE id IN ("),
+            F.col("event_id").cast("string"),
+            F.lit(", "),
+            (F.col("event_id") + 1).cast("string"),
+            F.lit(", "),
+            (F.col("event_id") + 2).cast("string"),
+            F.lit(")"),
+        )
+    )
+    out = sql_fingerprint(ev.select(raw.alias("q")), "q")
+    return out.groupBy("sql_template").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------
+# 463. User-Agent classification ladder (Edge before Chrome before
+#      Safari — order IS the semantic), six canonical agents by user
+#      bucket; oracle maps buckets to expected triples directly.
+# ---------------------------------------------------------------------
+@register(
+    "user_agent_classify",
+    """
+    with b as (select case user_id % 6
+        when 0 then 'chrome' when 1 then 'safari' when 2 then 'edge'
+        when 3 then 'firefox' when 4 then 'safari' else 'bot' end
+          as ua_browser,
+      case user_id % 6
+        when 0 then 'windows' when 1 then 'macos' when 2 then 'windows'
+        when 3 then 'linux' when 4 then 'ios' else 'other' end
+          as ua_os,
+      user_id % 6 = 5 as ua_is_bot
+      from events)
+    select ua_browser, ua_os, ua_is_bot,
+      cast(count(*) as bigint) as n
+    from b group by 1, 2, 3
+    """,
+)
+def q_user_agent_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import user_agent_parse
+
+    uas = [
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36"
+        " (KHTML, like Gecko) Chrome/120.0 Safari/537.36",
+        "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7)"
+        " AppleWebKit/605.1.15 Version/17.0 Safari/605.1.15",
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36"
+        " (KHTML, like Gecko) Chrome/120.0 Safari/537.36 Edg/120.0",
+        "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101"
+        " Firefox/115.0",
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X)"
+        " AppleWebKit/605.1.15 Version/17.0 Mobile/15E148 Safari/604.1",
+        "curl/8.4.0",
+    ]
+    ev = _t(spark, sf_dir, "events")
+    ua = F.element_at(
+        F.array(*[F.lit(u) for u in uas]),
+        (F.col("user_id") % 6 + 1).cast("int"),
+    )
+    parsed = user_agent_parse(ev.select(ua.alias("ua")), "ua")
+    return parsed.groupBy("ua_browser", "ua_os", "ua_is_bot").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------
+# 464. Hedging effectiveness (Dean & Barroso tail-at-scale): hedged
+#      p99 = plain quantile at 1-sqrt(0.01), straight from the exact
+#      CDF — the duplicate-request cost conversation in one ratio.
+# ---------------------------------------------------------------------
+@register(
+    "hedge_effectiveness",
+    """
+    with b as (select event_type, cast(value as double) as v
+      from events where value is not null)
+    select event_type, cast(count(*) as bigint) as n,
+      round(quantile_cont(v, 0.99), 6) as q_plain,
+      round(quantile_cont(v, 1 - sqrt(0.01)), 6) as q_hedged,
+      round(quantile_cont(v, 0.99)
+            / quantile_cont(v, 1 - sqrt(0.01)), 6) as improvement
+    from b group by event_type
+    """,
+)
+def q_hedge_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import hedge_effectiveness
+
+    ev = _t(spark, sf_dir, "events")
+    return hedge_effectiveness(ev, "event_type", "value", q=0.99)
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -2787,3 +2787,15 @@ def test_burstiness_periodic_is_negative(spark):
     )
     r = burstiness_memory(df, "u", (F.col("u") % 2), "ts").collect()[0]
     assert r["burstiness_b"] == -1.0
+
+
+def test_hedge_effectiveness_uniform(spark):
+    from sparkcollector.operators.analytics import hedge_effectiveness
+
+    rows = [("g", float(v)) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = hedge_effectiveness(df, "g", "v", q=0.99).collect()[0]
+    # uniform 1..100: p99 ~ 99, hedged = p90 ~ 90.1
+    assert abs(r["q_plain"] - 99.01) < 0.1
+    assert abs(r["q_hedged"] - 90.1) < 0.2
+    assert r["improvement"] > 1.05

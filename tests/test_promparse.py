@@ -881,3 +881,33 @@ def test_haproxy_parse_timers_and_malformed(spark):
     assert got[1]["hap_method"] == "GET" and got[1]["hap_path"] == "/health"
     assert got[2]["hap_tq"] == -1 and got[2]["hap_status"] == 503
     assert got[3]["hap_status"] is None
+
+
+def test_sql_fingerprint_collapses_literals(spark):
+    from sparkcollector.operators.promparse import sql_fingerprint
+
+    rows = [
+        (1, "SELECT * FROM t WHERE a = 42 AND b = 'x''y' AND c IN (1, 2, 3)"),
+        (2, "select  id   from t where ts > 1700000000.5"),
+    ]
+    df = spark.createDataFrame(rows, "id long, q string")
+    got = {r["id"]: r["sql_template"] for r in sql_fingerprint(df, "q").collect()}
+    assert got[1] == "SELECT * FROM t WHERE a = ? AND b = ? AND c IN (?)"
+    assert got[2] == "select id from t where ts > ?"
+
+
+def test_user_agent_ladder_order(spark):
+    from sparkcollector.operators.promparse import user_agent_parse
+
+    rows = [
+        (1, "Mozilla/5.0 (Windows NT 10.0) Chrome/120.0 Safari/537.36 Edg/120.0"),
+        (2, "Mozilla/5.0 (Windows NT 10.0) Chrome/120.0 Safari/537.36"),
+        (3, "Googlebot/2.1 (+http://www.google.com/bot.html)"),
+        (4, "weird client 1.0"),
+    ]
+    df = spark.createDataFrame(rows, "id long, ua string")
+    got = {r["id"]: r for r in user_agent_parse(df, "ua").collect()}
+    assert got[1]["ua_browser"] == "edge"      # Edg wins over Chrome
+    assert got[2]["ua_browser"] == "chrome"    # Chrome wins over Safari
+    assert got[3]["ua_is_bot"] and got[3]["ua_browser"] == "bot"
+    assert got[4]["ua_browser"] == "other" and not got[4]["ua_is_bot"]
