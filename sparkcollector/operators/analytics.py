@@ -8685,3 +8685,179 @@ def hedge_effectiveness(
         F.round("_qh", 6).alias("q_hedged"),
         F.round(F.col("_qp") / F.col("_qh"), 6).alias("improvement"),
     )
+
+
+def split_conformal(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    split_pred,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction interval around the group mean.
+
+    Distribution-free coverage guarantee for alert bands: predict with
+    the calibration-split mean, take the ceil((n+1)(1-alpha))-th
+    smallest absolute residual as the half-width q_hat, and the
+    interval mean +/- q_hat covers future points with probability >=
+    1-alpha REGARDLESS of the value distribution (exchangeability
+    only).  The held-out coverage column is the empirical audit.
+
+    ``split_pred`` boolean: true = calibration row, false = test row.
+    Shape: calibration means + residual order statistic (one window on
+    the calibration slice), broadcast to the test slice.
+
+    Returns per group: n_cal, n_test, q_hat (round 6), coverage
+    (round 6).
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("_g"), v.alias("_v"), split_pred.alias("_c")
+    )
+    cal = base.filter(F.col("_c"))
+    test = base.filter(~F.col("_c"))
+    means = cal.groupBy("_g").agg(
+        F.avg("_v").alias("_m"), F.count(F.lit(1)).alias("_nc")
+    )
+    resid = cal.join(F.broadcast(means), "_g").select(
+        "_g", F.abs(F.col("_v") - F.col("_m")).alias("_r"), "_nc"
+    )
+    w = Window.partitionBy("_g").orderBy(F.col("_r").asc())
+    k = F.ceil((F.col("_nc") + 1) * (1.0 - alpha)).cast("long")
+    qhat = (
+        resid.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == F.least(k, F.col("_nc")))
+        .select("_g", F.col("_r").alias("_qhat"))
+    )
+    scored = test.join(F.broadcast(means), "_g").join(
+        F.broadcast(qhat), "_g"
+    )
+    return scored.groupBy(F.col("_g").alias(group_col)).agg(
+        F.first("_nc").cast("long").alias("n_cal"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.round(F.first("_qhat"), 6).alias("q_hat"),
+        F.round(
+            F.sum(
+                (
+                    F.abs(F.col("_v") - F.col("_m")) <= F.col("_qhat")
+                ).cast("int")
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("coverage"),
+    )
+
+
+def burrows_delta(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    top_n: int = 15,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources.
+
+    Authorship/provenance drift for corpus slices: restrict to the
+    corpus-wide top-N words (function words dominate — the stylometric
+    signal), compute per-source RELATIVE frequencies, z-score each
+    word across sources, and Delta(a,b) = mean |z_a - z_b|.  Low Delta
+    = same "voice"; a source whose Delta to every other source jumps
+    is a contamination/provenance flag.
+
+    Shape: tokenize once, one word-count shuffle, top-N by global
+    count (deterministic word tie-break), z over the |sources| x N
+    table, pairwise deltas on that tiny table.
+
+    Returns per source pair (a < b): n_words, delta (round 6).
+    """
+    toks = df.select(
+        F.col(source_col).alias("_s"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("_w"),
+    )
+    glob = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_gc"))
+    wtop = Window.orderBy(F.col("_gc").desc(), F.col("_w").asc())
+    top = glob.withColumn("_rn", F.row_number().over(wtop)).filter(
+        F.col("_rn") <= top_n
+    ).select("_w")
+    per_src_tot = toks.groupBy("_s").agg(
+        F.count(F.lit(1)).alias("_tot")
+    )
+    freq = (
+        toks.join(F.broadcast(top), "_w")
+        .groupBy("_s", "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .join(per_src_tot, "_s")
+        .select(
+            "_s", "_w", (F.col("_c") / F.col("_tot")).alias("_f")
+        )
+    )
+    stats = freq.groupBy("_w").agg(
+        F.avg("_f").alias("_mf"),
+        F.stddev_samp("_f").alias("_sf"),
+    )
+    z = freq.join(F.broadcast(stats), "_w").select(
+        "_s",
+        "_w",
+        ((F.col("_f") - F.col("_mf")) / F.col("_sf")).alias("_z"),
+    )
+    a = z.select(
+        F.col("_s").alias("src_a"), "_w", F.col("_z").alias("_za")
+    )
+    b = z.select(
+        F.col("_s").alias("src_b"), "_w", F.col("_z").alias("_zb")
+    )
+    pairs = a.join(b, "_w").filter(F.col("src_a") < F.col("src_b"))
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.round(F.avg(F.abs(F.col("_za") - F.col("_zb"))), 6).alias(
+            "delta"
+        ),
+    )
+
+
+def lin_ccc(
+    df: DataFrame,
+    group_col: str,
+    x_col,
+    y_col,
+) -> DataFrame:
+    """Lin's concordance correlation between two continuous measures.
+
+    The continuous-agreement analog of ``cohens_kappa``: Pearson r
+    rewards linear association even with bias and scale error; CCC =
+    2*cov / (vx + vy + (mx - my)^2) only reaches 1 when y == x — the
+    right score for "does the reported duration MATCH the true one",
+    not merely correlate.  One power-sum pass (population moments, the
+    standard CCC convention).
+
+    Returns per group: n, pearson_r (round 6), ccc (round 6),
+    bias_shift (round 6).
+    """
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
+    agg = df.filter(x.isNotNull() & y.isNotNull()).groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    mx, my = F.col("sx") / n, F.col("sy") / n
+    vx = F.col("sxx") / n - mx * mx
+    vy = F.col("syy") / n - my * my
+    cov = F.col("sxy") / n - mx * my
+    return agg.filter((n > 1) & (vx > 0) & (vy > 0)).select(
+        group_col,
+        n.cast("long").alias("n"),
+        F.round(cov / F.sqrt(vx * vy), 6).alias("pearson_r"),
+        F.round(
+            2.0 * cov / (vx + vy + (mx - my) * (mx - my)), 6
+        ).alias("ccc"),
+        F.round(my - mx, 6).alias("bias_shift"),
+    )

@@ -20043,6 +20043,120 @@ def q_hedge_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 465. Split-conformal interval per event_type (alpha = 0.1):
+#      calibration-mean predictor, ceil((n+1)*0.9)-th residual order
+#      statistic as half-width, held-out coverage audit.
+# ---------------------------------------------------------------------
+@register(
+    "split_conformal_interval",
+    """
+    with b as (select event_type as g, cast(value as double) as v,
+        epoch(ts) < 1704844800 as c
+      from events where value is not null),
+    cal as (select * from b where c),
+    te as (select * from b where not c),
+    m as (select g, avg(v) as m, count(*) as nc from cal group by g),
+    r as (select cal.g, abs(cal.v - m.m) as r, m.nc
+      from cal join m using (g)),
+    q as (select g, r as qhat from (select g, r, nc,
+        row_number() over (partition by g order by r) as rn from r)
+      where rn = least(cast(ceil((nc + 1) * 0.9) as bigint), nc))
+    select te.g as event_type,
+      cast(max(m.nc) as bigint) as n_cal,
+      cast(count(*) as bigint) as n_test,
+      round(max(q.qhat), 6) as q_hat,
+      round(sum(case when abs(te.v - m.m) <= q.qhat then 1 else 0 end)
+            * 1.0 / count(*), 6) as coverage
+    from te join m using (g) join q using (g)
+    group by te.g
+    """,
+)
+def q_split_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import split_conformal
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value", (_epoch_s("ts") < 1704844800).alias("c")
+    )
+    return split_conformal(ev, "event_type", "value", F.col("c"), alpha=0.1)
+
+
+# ---------------------------------------------------------------------
+# 466. Burrows' Delta stylometric distance between document sources
+#      over the corpus-wide top-15 words — the provenance-drift flag.
+# ---------------------------------------------------------------------
+@register(
+    "burrows_delta_sources",
+    r"""
+    with toks as (select source as s,
+        unnest(list_filter(string_split_regex(lower(text), '\s+'),
+          x -> x <> '')) as w
+      from documents),
+    gl as (select w, count(*) as gc from toks group by w),
+    top as (select w from (select w, row_number() over
+        (order by gc desc, w asc) as rn from gl) where rn <= 15),
+    tot as (select s, count(*) as tot from toks group by s),
+    freq as (select t.s, t.w,
+        count(*) * 1.0 / max(tot.tot) as f
+      from toks t join top using (w) join tot on t.s = tot.s
+      group by t.s, t.w),
+    st as (select w, avg(f) as mf, stddev_samp(f) as sf
+      from freq group by w),
+    z as (select s, freq.w, (f - mf) / sf as z
+      from freq join st on freq.w = st.w),
+    p as (select a.s as src_a, b.s as src_b, a.w,
+        abs(a.z - b.z) as dz
+      from z a join z b on a.w = b.w and a.s < b.s)
+    select src_a, src_b, cast(count(*) as bigint) as n_words,
+      round(avg(dz), 6) as delta
+    from p group by 1, 2
+    """,
+)
+def q_burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import burrows_delta
+
+    docs = _t(spark, sf_dir, "documents")
+    return burrows_delta(docs, "source", "text", top_n=15)
+
+
+# ---------------------------------------------------------------------
+# 467. Lin's concordance (CCC) between true value and a synthesized
+#      2%-gain + 5-offset reported measurement — agreement, not mere
+#      correlation (r stays ~1, CCC drops with the bias).
+# ---------------------------------------------------------------------
+@register(
+    "lin_concordance",
+    """
+    with b as (select event_type, cast(value as double) as x,
+        cast(value as double) * 1.02 + 5 as y
+      from events where value is not null),
+    a as (select event_type, cast(count(*) as double) as n,
+        sum(x) as sx, sum(y) as sy, sum(x * x) as sxx,
+        sum(y * y) as syy, sum(x * y) as sxy from b group by 1)
+    select event_type, cast(n as bigint) as n,
+      round((sxy / n - sx / n * sy / n)
+            / sqrt((sxx / n - sx / n * sx / n)
+                   * (syy / n - sy / n * sy / n)), 6) as pearson_r,
+      round(2 * (sxy / n - sx / n * sy / n)
+            / ((sxx / n - sx / n * sx / n)
+               + (syy / n - sy / n * sy / n)
+               + (sx / n - sy / n) * (sx / n - sy / n)), 6) as ccc,
+      round(sy / n - sx / n, 6) as bias_shift
+    from a where n > 1
+    """,
+)
+def q_lin_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import lin_ccc
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type",
+        F.col("value").cast("double").alias("x"),
+        (F.col("value").cast("double") * 1.02 + 5).alias("y"),
+    )
+    return lin_ccc(base, "event_type", "x", "y")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

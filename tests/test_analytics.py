@@ -2799,3 +2799,42 @@ def test_hedge_effectiveness_uniform(spark):
     assert abs(r["q_plain"] - 99.01) < 0.1
     assert abs(r["q_hedged"] - 90.1) < 0.2
     assert r["improvement"] > 1.05
+
+
+def test_split_conformal_coverage_guarantee(spark):
+    from pyspark.sql import functions as F
+    from sparkcollector.operators.analytics import split_conformal
+
+    import random
+    rng = random.Random(11)
+    rows = [("g", rng.gauss(50, 5), i < 500) for i in range(1000)]
+    df = spark.createDataFrame(rows, "g string, v double, c boolean")
+    r = split_conformal(df, "g", "v", F.col("c"), alpha=0.1).collect()[0]
+    assert r["n_cal"] == 500 and r["n_test"] == 500
+    # finite-sample guarantee: coverage >= 1 - alpha (minus noise)
+    assert r["coverage"] >= 0.85
+
+
+def test_lin_ccc_penalizes_bias_r_does_not(spark):
+    from sparkcollector.operators.analytics import lin_ccc
+
+    rows = [("g", float(v), float(v) + 100.0) for v in range(100)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = lin_ccc(df, "g", "x", "y").collect()[0]
+    assert r["pearson_r"] == 1.0           # perfect correlation
+    assert r["ccc"] < 0.2                  # terrible agreement
+    assert r["bias_shift"] == 100.0
+
+
+def test_burrows_delta_separates_styles(spark):
+    from sparkcollector.operators.analytics import burrows_delta
+
+    a = [("s1", "the the the cat sat on the mat and the dog ran")] * 4
+    b = [("s2", "the cat sat, mat on a dog; a dog and a cat sat")] * 4
+    c = [("s3", "the the the cat sat on the mat and the dog ran")] * 4
+    df = spark.createDataFrame(a + b + c, "source string, text string")
+    got = {(r["src_a"], r["src_b"]): r["delta"]
+           for r in burrows_delta(df, "source", "text", top_n=8).collect()}
+    # identical styles s1/s3 are closer than either is to s2
+    assert got[("s1", "s3")] < got[("s1", "s2")]
+    assert got[("s1", "s3")] < got[("s2", "s3")]
