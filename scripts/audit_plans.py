@@ -3723,6 +3723,88 @@ def main() -> None:
             checks, out, notes, spark=spark,
         )
 
+    # ---- round-3 batches 113-117 ----
+    for nm, checks, notes in [
+        ("naive_bayes_error",
+         [("likelihood tables broadcast onto the test split",
+           lambda p: "Broadcast" in p and "SortMergeJoin" not in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)],
+         "count tables are bounded by categorical cardinalities."),
+        ("decision_stump_gains",
+         [("one bounded groupBy per attribute, partial-aggregated",
+           lambda p: "partial" in p.lower()),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("mahalanobis_outliers",
+         [("moments broadcast back (no SMJ), no window",
+           lambda p: "SortMergeJoin" not in p and "Window" not in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("poisson_rate_ratio",
+         [("one conditional-aggregate pass",
+           lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("huber_location",
+         [("median/MAD scalars broadcast back",
+           lambda p: "Broadcast" in p and "SortMergeJoin" not in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("pca_power_iteration",
+         [("covariance never materialized: per-pass aggregates only",
+           lambda p: "partial" in p.lower()),
+          ("no Python EVAL in plan",
+           lambda p: "EvalPython" not in p and "InPandas" not in p)],
+         "d-vector round-trips through the driver per iteration — "
+         "bounded state, like the k-means Lloyd step."),
+        ("count_dispersion_diag",
+         [("zero grid via cross join of bounded distincts",
+           lambda p: "Join" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("gamma_moments_fit",
+         [("single power-sum pass",
+           lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("burstiness_memory",
+         [("gap + lag in per-unit windows (two chained)",
+           lambda p: "Window" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("sql_query_fingerprint",
+         [("regex normalization in codegen — no Python",
+           lambda p: "Python" not in p),
+          ("single rollup exchange", lambda p: p.count("Exchange") <= 2)], ""),
+        ("user_agent_classify",
+         [("classification ladder in codegen — no Python",
+           lambda p: "Python" not in p),
+          ("single rollup exchange", lambda p: p.count("Exchange") <= 2)], ""),
+        ("hedge_effectiveness",
+         [("both quantiles from one aggregate pass",
+           lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("split_conformal_interval",
+         [("calibration scalars broadcast to the test slice",
+           lambda p: "Broadcast" in p and "SortMergeJoin" not in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("burrows_delta_sources",
+         [("top-N selection windows the tiny global word table",
+           lambda p: "Window" in p),
+          ("tokenize is Generate", lambda p: "Generate" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("lin_concordance",
+         [("single power-sum pass",
+           lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("proto_varint_roundtrip",
+         [("encode+decode folds are pure map: single scan, one agg "
+           "exchange pair",
+           lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+           and p.count("Exchange") <= 2),
+          ("no Python / UDF in plan — wire codec runs in Catalyst",
+           lambda p: "Python" not in p)],
+         "aggregate() HOF state machine; at 10^12 rows a pure map "
+         "stage ahead of the bounded event_type rollup."),
+    ]:
+        all_ok &= audit(
+            nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),
+            checks, out, notes, spark=spark,
+        )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

@@ -8861,3 +8861,56 @@ def lin_ccc(
         ).alias("ccc"),
         F.round(my - mx, 6).alias("bias_shift"),
     )
+
+
+def bruteforce_detect(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    fail_pred,
+    success_pred,
+    window_s: int = 600,
+    threshold: int = 3,
+) -> DataFrame:
+    """SIEM brute-force correlation: N failures then a success.
+
+    The classic Splunk ES correlation search (and the reason the
+    collector forwards auth logs to HEC at all): flag a success event
+    preceded by >= ``threshold`` failures from the same entity within
+    ``window_s`` seconds.  A compromised credential looks exactly like
+    this; a fat-fingered password does not.
+
+    One event-time RANGE window per entity — ``sum(fail) over
+    (partition by entity order by epoch range [-window_s, -1])`` — so
+    the whole rule is a single hash exchange on the entity key and a
+    sort within partitions; no self-join, no explode.  At 10^12 rows
+    the frame is bounded by per-entity rate x window, not table size.
+
+    Returns one row per entity with successes seen, flagged successes,
+    and the worst preceding-failure burst.
+    """
+    from pyspark.sql.window import Window
+
+    sec = F.unix_timestamp(F.col(ts_col))
+    base = df.select(
+        F.col(entity_col).alias("entity"),
+        sec.alias("sec"),
+        fail_pred.cast("long").alias("is_fail"),
+        success_pred.cast("long").alias("is_success"),
+    )
+    w = (
+        Window.partitionBy("entity")
+        .orderBy("sec")
+        .rangeBetween(-window_s, -1)
+    )
+    scored = base.withColumn(
+        "prior_fails", F.coalesce(F.sum("is_fail").over(w), F.lit(0))
+    )
+    succ = scored.filter(F.col("is_success") == 1)
+    return succ.groupBy("entity").agg(
+        F.count(F.lit(1)).alias("n_success"),
+        F.sum(
+            (F.col("prior_fails") >= threshold).cast("long")
+        ).alias("n_flagged"),
+        F.max("prior_fails").alias("max_prior_fails"),
+    )

@@ -259,3 +259,117 @@ def jwt_parse(
     for c in claims:
         out = out.withColumn(f"claim_{c}", F.get_json_object(pay, f"$.{c}"))
     return out
+
+
+def proto_varint_decode(
+    df: DataFrame,
+    bin_col: str,
+    n_fields: int = 3,
+) -> DataFrame:
+    """Decode protobuf varint fields from a binary column — no UDF.
+
+    Wire-format ingestion without a Python worker: a protobuf message
+    of varint-typed fields (wire type 0) is a byte-level state
+    machine, and Catalyst's ``aggregate`` HOF IS a fold — so the
+    decoder runs as a per-row JVM expression: bytes -> (tag, varint)
+    pairs with an accumulator struct carrying {mode, field, val,
+    shift, f1..fk}.  Handles multi-byte varints (7-bit groups,
+    continuation bit) and fields arriving in any order; unknown field
+    numbers are skipped byte-correctly.
+
+    Returns input + ``pb_f1``..``pb_f{n_fields}`` (long, NULL when the
+    field is absent).  Fields must be wire-type 0 (varint) with field
+    numbers <= 15 (single-byte tags) — the shape the collector's
+    internal counters use (signalfx protobuf datapoints,
+    pkg/core/dpsink semantics as behavioral spec).
+    """
+    store = " ".join(
+        f"when acc.field = {i} then"
+        f" named_struct('mode', 0L, 'field', 0L, 'val', 0L, 'shift', 0L,"
+        + ", ".join(
+            (
+                f"'f{j}', acc.val + shiftleft(byte % 128, "
+                f"cast(acc.shift as int))"
+                if j == i
+                else f"'f{j}', acc.f{j}"
+            )
+            for j in range(1, n_fields + 1)
+        )
+        + ")"
+        for i in range(1, n_fields + 1)
+    )
+    all_fs = ", ".join(
+        f"'f{j}', acc.f{j}" for j in range(1, n_fields + 1)
+    )
+    lam = f"""
+    (acc, byte) -> case
+      when acc.mode = 0 then
+        named_struct('mode', 1L, 'field', cast(byte div 8 as bigint),
+          'val', 0L, 'shift', 0L, {all_fs})
+      when byte >= 128 then
+        named_struct('mode', 1L, 'field', acc.field,
+          'val', acc.val + shiftleft(byte % 128,
+            cast(acc.shift as int)),
+          'shift', acc.shift + 7, {all_fs})
+      else case {store}
+        else named_struct('mode', 0L, 'field', 0L, 'val', 0L,
+          'shift', 0L, {all_fs}) end
+      end
+    """
+    init = (
+        "named_struct('mode', 0L, 'field', 0L, 'val', 0L, 'shift', 0L, "
+        + ", ".join(
+            f"'f{i}', cast(null as bigint)"
+            for i in range(1, n_fields + 1)
+        )
+        + ")"
+    )
+    dec = F.expr(
+        f"aggregate(transform(sequence(1, octet_length({bin_col})),"
+        f" i -> cast(conv(hex(substr({bin_col}, i, 1)), 16, 10) as bigint)),"
+        f" {init}, {lam})"
+    )
+    out = df.withColumn("_pb", dec)
+    for i in range(1, n_fields + 1):
+        out = out.withColumn(f"pb_f{i}", F.col("_pb").getField(f"f{i}"))
+    return out.drop("_pb")
+
+
+def proto_varint_encode(
+    df: DataFrame,
+    field_cols: list[str],
+    out_col: str = "pb_bytes",
+) -> DataFrame:
+    """Encode long columns as a protobuf varint message — no UDF.
+
+    The inverse of :func:`proto_varint_decode`: field ``i`` (1-based,
+    from ``field_cols`` order) becomes tag byte ``i*8`` (wire type 0)
+    followed by the little-endian 7-bit groups of the value with
+    continuation bits.  NULL fields are omitted (proto3 absent-field
+    semantics).  Values must be non-negative longs.
+
+    Byte count per varint is computed with exact integer arithmetic
+    (count of non-zero 7-bit groups), never float log — boundary values
+    like 2^56 encode correctly.  Everything runs as Catalyst
+    expressions inside whole-stage codegen: at 10^12 rows this is a
+    pure map stage, zero exchanges, no Python workers.
+    """
+    pieces = []
+    for i, c in enumerate(field_cols, start=1):
+        nb = (
+            f"size(filter(sequence(0, 9),"
+            f" k -> k = 0 or shiftright({c}, 7 * k) > 0))"
+        )
+        body = (
+            f"aggregate(transform(sequence(0, {nb} - 1),"
+            f" k -> if(k < {nb} - 1,"
+            f" 128 + pmod(shiftright({c}, 7 * k), 128),"
+            f" pmod(shiftright({c}, 7 * k), 128))),"
+            f" cast('' as binary),"
+            f" (acc, b) -> concat(acc, unhex(lpad(hex(b), 2, '0'))))"
+        )
+        pieces.append(
+            f"if({c} is null, cast('' as binary),"
+            f" concat(unhex(lpad(hex({i * 8}), 2, '0')), {body}))"
+        )
+    return df.withColumn(out_col, F.expr("concat(" + ", ".join(pieces) + ")"))

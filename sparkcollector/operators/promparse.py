@@ -1779,3 +1779,54 @@ def user_agent_parse(df: DataFrame, ua_col: str) -> DataFrame:
         .withColumn("ua_os", os_)
         .withColumn("ua_is_bot", ua.rlike(UA_BOT_RE))
     )
+
+
+def w3c_extended_parse(
+    df: DataFrame,
+    file_col: str,
+    order_cols: list[str],
+    line_col: str,
+    want_fields: list[str],
+) -> DataFrame:
+    """Parse W3C Extended Log Format (IIS/Exchange) — directive-driven.
+
+    The format the Splunk Add-on for IIS ingests: a ``#Fields: ...``
+    directive line names the columns, data lines are space-separated
+    values positioned BY THE MOST RECENT PRECEDING DIRECTIVE, and the
+    directive can change mid-file (IIS re-emits headers on log
+    rotation and config change).  ``-`` is the format's NULL.
+
+    The schema resolution is a per-file running ``last(ignorenulls)``
+    window over the line order — each file is one partition, so at
+    10^12 lines the shuffle is one hash exchange on file id and the
+    directive lookup never leaves the partition.  Field extraction is
+    ``try_element_at(tokens, array_position(directive, field))`` —
+    pure Catalyst, absent fields yield NULL, no Python.
+
+    Returns data rows (directive rows dropped) with one ``w3c_<name>``
+    column per requested field (dashes in names -> underscores).
+    """
+    from pyspark.sql.window import Window
+
+    line = F.col(line_col)
+    is_dir = line.startswith("#Fields: ")
+    dir_arr = F.when(is_dir, F.split(F.substring(line, 10, 100000), " "))
+    w = (
+        Window.partitionBy(file_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("_dir", F.last(dir_arr, ignorenulls=True).over(w))
+    out = out.withColumn("_toks", F.split(line, " "))
+    for f in want_fields:
+        # nullif: array_position yields 0 when the directive lacks the
+        # field, and index 0 raises even under try_element_at.
+        raw = F.expr(
+            f"try_element_at(_toks,"
+            f" cast(nullif(array_position(_dir, '{f}'), 0) as int))"
+        )
+        out = out.withColumn(
+            "w3c_" + f.replace("-", "_"),
+            F.when(raw != "-", raw),
+        )
+    return out.filter(~is_dir).drop("_dir", "_toks")

@@ -59,3 +59,70 @@ def reassemble_multiline(
             ).alias("record"),
         )
     )
+
+
+def stacktrace_group(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sentry-style Java stack-trace grouping over multiline records.
+
+    The collector ships JVM exception traces as one multiline log
+    record (the reassembly step upstream of this, reference: stanza
+    ``recombine`` semantics / splunk_logs_config_linux.yaml multiline
+    blocks); the classic downstream ask is GROUPING: which distinct
+    failures are these?  Two traces are the same failure when the
+    exception class and the frame *signatures* agree — line numbers
+    must NOT discriminate (a redeploy shifts every line number).
+
+    Extraction is pure Catalyst: ``regexp_extract`` for the header
+    exception class/message, ``regexp_extract_all`` for the ``at ``
+    frames with the ``:NNN)`` suffix normalized to ``)``, the last
+    ``Caused by:`` chain element as root cause.  The fingerprint is
+    ``md5(exception_class | frame;frame;...)`` — identical traces from
+    different line numbers collide, different call paths do not.
+
+    Adds columns: ``exc_class``, ``exc_msg``, ``root_cause``,
+    ``top_frame`` (normalized), ``fingerprint``.  A 10^12-row scan
+    stays a pure map stage; the usual rollup afterwards groups on a
+    bounded fingerprint set.
+    """
+    t = F.col(text_col)
+    exc = F.regexp_extract(t, r"^([\w.$]+(?:Exception|Error))(?::|\n|$)", 1)
+    msg = F.regexp_extract(t, r"^[\w.$]+(?:Exception|Error): ([^\n]*)", 1)
+    frames = F.expr(
+        f"transform(regexp_extract_all({text_col},"
+        r" '\\tat ([^\\n]+)', 1),"
+        " f -> regexp_replace(f, ':\\\\d+\\\\)$', ')'))"
+    )
+    # last Caused-by = the root cause: final element of all matches
+    # (no variable-length lookbehind needed).  try_element_at: ANSI
+    # mode is on and no-match yields an EMPTY array, not NULL.
+    root = F.expr(
+        f"try_element_at(regexp_extract_all({text_col},"
+        r" 'Caused by: ([\\w.$]+(?:Exception|Error))', 1), -1)"
+    )
+    out = df.withColumn("exc_class", F.when(exc != "", exc)).withColumn(
+        "exc_msg", F.when(exc != "", msg)
+    )
+    out = out.withColumn("_frames", frames)
+    out = out.withColumn(
+        "root_cause", F.coalesce(root, F.col("exc_class"))
+    )
+    out = out.withColumn(
+        "top_frame", F.try_element_at(F.col("_frames"), F.lit(1))
+    ).withColumn(
+        "fingerprint",
+        F.when(
+            F.col("exc_class").isNotNull(),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("exc_class"),
+                    F.array_join(F.col("_frames"), ";"),
+                )
+            ),
+        ),
+    )
+    return out.drop("_frames")

@@ -20157,6 +20157,276 @@ def q_lin_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 468. Protobuf varint wire-format roundtrip — signalfx-exporter
+#      datapoints are protobuf on the wire (the reference's
+#      sfxclient/signalfx-format marshalling); here the encode AND
+#      decode both run as Catalyst `aggregate` HOF folds (zero Python),
+#      and the decoded field sums must equal the raw-column sums the
+#      oracle computes directly from the parquet — ground truth never
+#      touches the codec.
+# ---------------------------------------------------------------------
+@register(
+    "proto_varint_roundtrip",
+    """
+    with b as (select event_type, event_id as f1, user_id as f2,
+        case when value is null then null
+             else ((cast(floor(value * 1000) as bigint) % 1048576)
+                   + 1048576) % 1048576 end as f3
+      from events)
+    select event_type, cast(count(*) as bigint) as n,
+      cast(sum(f1) as bigint) as sum_f1,
+      cast(sum(f2) as bigint) as sum_f2,
+      cast(sum(f3) as bigint) as sum_f3,
+      cast(sum(case when f3 is null then 1 else 0 end) as bigint)
+        as absent_f3
+    from b group by event_type
+    """,
+)
+def q_proto_varint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.encode import proto_varint_decode, proto_varint_encode
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").cast("long").alias("f1"),
+        F.col("user_id").cast("long").alias("f2"),
+        F.when(
+            F.col("value").isNotNull(),
+            F.pmod(
+                F.floor(F.col("value") * 1000).cast("long"),
+                F.lit(1048576),
+            ),
+        ).alias("f3"),
+    )
+    enc = proto_varint_encode(ev, ["f1", "f2", "f3"])
+    dec = proto_varint_decode(enc, "pb_bytes", n_fields=3)
+    return dec.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pb_f1").alias("sum_f1"),
+        F.sum("pb_f2").alias("sum_f2"),
+        F.sum("pb_f3").alias("sum_f3"),
+        F.sum(
+            F.when(F.col("pb_f3").isNull(), 1).otherwise(0)
+        ).alias("absent_f3"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 469. Java stack-trace grouping (Sentry-style fingerprinting): traces
+#      constructed from events (same derivation in both engines), run
+#      through the REAL extract+normalize+fingerprint operator; line
+#      numbers vary per row but are normalized away, so the md5
+#      fingerprint groups by exception class + frame signatures only.
+#      Oracle computes the fingerprint directly from the raw columns —
+#      ground truth never touches the extractor.
+# ---------------------------------------------------------------------
+@register(
+    "stacktrace_group",
+    """
+    with b as (select event_id, user_id % 7 as k,
+        case event_type when 'click' then 'com.app.ClickException'
+          when 'view' then 'com.app.RenderError'
+          when 'purchase' then 'com.app.PaymentException'
+          when 'signup' then 'com.app.AuthException'
+          else 'com.app.InternalError' end as exc,
+        event_id % 4 = 0 as caused
+      from events where event_id % 20 <> 0),
+    f as (select *,
+        'com.app.Svc' || cast((k + 1) % 7 as varchar)
+          || '.run(Svc.java)' as f1,
+        'com.app.Svc' || cast((k + 2) % 7 as varchar)
+          || '.run(Svc.java)' as f2,
+        'com.app.Svc' || cast((k + 3) % 7 as varchar)
+          || '.run(Svc.java)' as f3,
+        case when caused then ';com.app.Io.read(Io.java)'
+             else '' end as f4
+      from b)
+    select md5(exc || '|' || f1 || ';' || f2 || ';' || f3 || f4)
+        as fingerprint,
+      cast(count(*) as bigint) as n,
+      min(exc) as exc_class,
+      min(case when caused then 'java.io.IOException' else exc end)
+        as root_cause,
+      min(f1) as top_frame
+    from f group by 1
+    """,
+)
+def q_stacktrace_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.reassembly import stacktrace_group
+
+    ev = _t(spark, sf_dir, "events")
+    eid, k = F.col("event_id"), F.col("user_id") % 7
+    exc = (
+        F.when(F.col("event_type") == "click", F.lit("com.app.ClickException"))
+        .when(F.col("event_type") == "view", F.lit("com.app.RenderError"))
+        .when(F.col("event_type") == "purchase",
+              F.lit("com.app.PaymentException"))
+        .when(F.col("event_type") == "signup", F.lit("com.app.AuthException"))
+        .otherwise(F.lit("com.app.InternalError"))
+    )
+
+    def frame(i: int):
+        return F.concat(
+            F.lit("\tat com.app.Svc"), ((k + i) % 7).cast("string"),
+            F.lit(".run(Svc.java:"),
+            ((eid * (i + 1)) % 500).cast("string"), F.lit(")"),
+        )
+
+    caused = F.when(
+        eid % 4 == 0,
+        F.lit(
+            "\nCaused by: java.io.IOException: disk full"
+            "\n\tat com.app.Io.read(Io.java:42)"
+        ),
+    ).otherwise(F.lit(""))
+    text = F.concat(
+        exc, F.lit(": failure "), (eid % 13).cast("string"), F.lit("\n"),
+        frame(1), F.lit("\n"), frame(2), F.lit("\n"), frame(3), caused,
+    )
+    traces = ev.filter(eid % 20 != 0).select(text.alias("record"))
+    parsed = stacktrace_group(traces, "record")
+    return parsed.filter(F.col("fingerprint").isNotNull()).groupBy(
+        "fingerprint"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("exc_class").alias("exc_class"),
+        F.min("root_cause").alias("root_cause"),
+        F.min("top_frame").alias("top_frame"),
+    )
+
+
+# ---------------------------------------------------------------------
+# 470. Brute-force login correlation (Splunk ES correlation-search
+#      analog): a 'signup' (success) preceded by >= 3 'error'
+#      (failure) events from the same user within 10 minutes flags.
+#      Event-time RANGE window per user — no self-join; oracle uses
+#      DuckDB's RANGE frame over the identical truncated epoch.
+# ---------------------------------------------------------------------
+@register(
+    "bruteforce_detect",
+    """
+    with b as (select user_id as entity,
+        cast(floor(epoch(ts)) as bigint) as sec,
+        case when event_type = 'error' then 1 else 0 end as is_fail,
+        case when event_type = 'signup' then 1 else 0 end as is_success
+      from events),
+    s as (select *,
+        coalesce(sum(is_fail) over (partition by entity order by sec
+          range between 600 preceding and 1 preceding), 0) as prior_fails
+      from b)
+    select entity, cast(count(*) as bigint) as n_success,
+      cast(sum(case when prior_fails >= 3 then 1 else 0 end) as bigint)
+        as n_flagged,
+      cast(max(prior_fails) as bigint) as max_prior_fails
+    from s where is_success = 1 group by entity
+    """,
+)
+def q_bruteforce_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import bruteforce_detect
+
+    ev = _t(spark, sf_dir, "events")
+    return bruteforce_detect(
+        ev, "user_id", "ts",
+        fail_pred=F.col("event_type") == "error",
+        success_pred=F.col("event_type") == "signup",
+        window_s=600, threshold=3,
+    )
+
+
+# ---------------------------------------------------------------------
+# 471. W3C Extended Log Format (IIS) parse — directive-driven schema:
+#      '#Fields:' lines name the columns and CHANGE per 100-event
+#      block (field order A/B differ in order AND field set), so each
+#      data line resolves positions via the most recent preceding
+#      directive (per-file last(ignorenulls) window).  '-' is the
+#      format's NULL.  Oracle derives every field from the raw
+#      columns + block parity — never parses a line.
+# ---------------------------------------------------------------------
+@register(
+    "w3c_extended_parse",
+    """
+    with b as (select event_id, user_id, event_type, ts,
+        (event_id // 100) % 2 = 0 as order_a,
+        event_id % 11 = 0 as dashuri
+      from events)
+    select event_id,
+      case when order_a then strftime(ts, '%Y-%m-%d') end as w3c_date,
+      '10.1.0.' || cast(user_id % 40 as varchar) as w3c_c_ip,
+      case when event_type = 'signup' then 'POST'
+           when event_type = 'purchase' then 'PUT'
+           else 'GET' end as w3c_cs_method,
+      case when dashuri then NULL
+           else '/' || event_type end as w3c_cs_uri_stem,
+      cast(200 + (event_id % 4) * 100 as bigint) as w3c_sc_status,
+      case when not order_a then event_id % 900 end as w3c_time_taken
+    from b
+    """,
+)
+def q_w3c_extended_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import w3c_extended_parse
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    block = (eid / 100).cast("long")
+    order_a = block % 2 == 0
+    method = (
+        F.when(F.col("event_type") == "signup", F.lit("POST"))
+        .when(F.col("event_type") == "purchase", F.lit("PUT"))
+        .otherwise(F.lit("GET"))
+    )
+    uri = F.when(eid % 11 == 0, F.lit("-")).otherwise(
+        F.concat(F.lit("/"), F.col("event_type"))
+    )
+    status = (F.lit(200) + (eid % 4) * 100).cast("string")
+    data_line = F.when(
+        order_a,
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd"), F.lit(" "),
+            F.date_format("ts", "HH:mm:ss"), F.lit(" "),
+            F.lit("10.1.0."), (uid % 40).cast("string"), F.lit(" "),
+            method, F.lit(" "), uri, F.lit(" "), status,
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("10.1.0."), (uid % 40).cast("string"), F.lit(" "),
+            status, F.lit(" "), method, F.lit(" "), uri, F.lit(" "),
+            (eid % 900).cast("string"),
+        )
+    )
+    data = ev.select(
+        F.lit(1).alias("file_id"),
+        eid.alias("ord1"), F.lit(1).alias("ord2"),
+        F.col("event_id"), data_line.alias("line"),
+    )
+    directives = (
+        ev.select(block.alias("blk")).distinct().select(
+            F.lit(1).alias("file_id"),
+            (F.col("blk") * 100).alias("ord1"), F.lit(0).alias("ord2"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.when(
+                F.col("blk") % 2 == 0,
+                F.lit("#Fields: date time c-ip cs-method cs-uri-stem"
+                      " sc-status"),
+            ).otherwise(
+                F.lit("#Fields: c-ip sc-status cs-method cs-uri-stem"
+                      " time-taken")
+            ).alias("line"),
+        )
+    )
+    lines = data.unionByName(directives)
+    parsed = w3c_extended_parse(
+        lines, "file_id", ["ord1", "ord2"], "line",
+        ["date", "c-ip", "cs-method", "cs-uri-stem", "sc-status",
+         "time-taken"],
+    )
+    return parsed.select(
+        "event_id", "w3c_date", "w3c_c_ip", "w3c_cs_method",
+        "w3c_cs_uri_stem",
+        F.col("w3c_sc_status").cast("long").alias("w3c_sc_status"),
+        F.col("w3c_time_taken").cast("long").alias("w3c_time_taken"),
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

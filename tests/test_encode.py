@@ -127,3 +127,69 @@ def test_jwt_parse_roundtrip_and_malformed(spark):
     assert got[1]["claim_sub"] == "alice" and got[1]["claim_exp"] == "200"
     assert got[2]["claim_sub"] == "b?b"
     assert got[3]["claim_sub"] is None and got[3]["jwt_alg"] is None
+
+
+def _py_varint_msg(fields):
+    """Independent golden encoder: [(field_no, value|None), ...] -> bytes."""
+    out = b""
+    for i, v in fields:
+        if v is None:
+            continue
+        out += bytes([i * 8])
+        while v >= 128:
+            out += bytes([(v % 128) | 128])
+            v >>= 7
+        out += bytes([v])
+    return out
+
+
+def test_proto_varint_decode_golden_bytes(spark):
+    from sparkcollector.operators.encode import proto_varint_decode
+
+    rows = [
+        (1, 0, 0, 0),
+        (2, 127, 128, 129),
+        (3, 300, 2**21 - 1, 2**56),
+        (4, 986342345, None, 7),
+        (5, 2**62, 1, 16383),
+    ]
+    df = spark.createDataFrame(
+        [(i, _py_varint_msg([(1, a), (2, b), (3, c)])) for i, a, b, c in rows],
+        "id long, pb binary",
+    )
+    got = {r["id"]: r for r in proto_varint_decode(df, "pb", 3).collect()}
+    for i, a, b, c in rows:
+        g = got[i]
+        assert (g["pb_f1"], g["pb_f2"], g["pb_f3"]) == (a, b, c), i
+
+
+def test_proto_varint_encode_matches_golden_and_roundtrips(spark):
+    from sparkcollector.operators.encode import (
+        proto_varint_decode,
+        proto_varint_encode,
+    )
+
+    rows = [(1, 0, 0, 0), (2, 127, 128, 129), (3, 300, 2**21 - 1, 2**56),
+            (4, 986342345, None, 7), (5, 2**62, 1, 16383)]
+    df = spark.createDataFrame(rows, "id long, a long, b long, c long")
+    enc = proto_varint_encode(df, ["a", "b", "c"])
+    got = {r["id"]: r for r in
+           proto_varint_decode(enc, "pb_bytes", 3).collect()}
+    for i, a, b, c in rows:
+        g = got[i]
+        assert bytes(g["pb_bytes"]) == _py_varint_msg(
+            [(1, a), (2, b), (3, c)]
+        ), i
+        assert (g["pb_f1"], g["pb_f2"], g["pb_f3"]) == (a, b, c), i
+
+
+def test_proto_varint_decode_skips_unknown_fields(spark):
+    from sparkcollector.operators.encode import proto_varint_decode
+
+    # fields 5 and 7 are not requested; decoder must skip their varints
+    # byte-correctly and still land fields 1 and 2.
+    blob = (_py_varint_msg([(5, 999999)]) + _py_varint_msg([(1, 42)])
+            + _py_varint_msg([(7, 3)]) + _py_varint_msg([(2, 77)]))
+    df = spark.createDataFrame([(1, blob)], "id long, pb binary")
+    g = proto_varint_decode(df, "pb", 3).collect()[0]
+    assert (g["pb_f1"], g["pb_f2"], g["pb_f3"]) == (42, 77, None)

@@ -911,3 +911,113 @@ def test_user_agent_ladder_order(spark):
     assert got[2]["ua_browser"] == "chrome"    # Chrome wins over Safari
     assert got[3]["ua_is_bot"] and got[3]["ua_browser"] == "bot"
     assert got[4]["ua_browser"] == "other" and not got[4]["ua_is_bot"]
+
+
+def test_stacktrace_group_normalizes_line_numbers(spark):
+    from sparkcollector.operators.reassembly import stacktrace_group
+
+    t1 = ("com.app.FooException: boom\n"
+          "\tat com.app.A.run(A.java:10)\n"
+          "\tat com.app.B.call(B.java:20)")
+    t2 = ("com.app.FooException: different msg\n"
+          "\tat com.app.A.run(A.java:99)\n"
+          "\tat com.app.B.call(B.java:7)")
+    t3 = ("com.app.FooException: boom\n"
+          "\tat com.app.C.other(C.java:10)\n"
+          "\tat com.app.B.call(B.java:20)")
+    out = stacktrace_group(
+        spark.createDataFrame([(t1,), (t2,), (t3,)], ["record"]), "record"
+    ).collect()
+    fps = [r["fingerprint"] for r in out]
+    # same frames, different line numbers and message -> same group
+    assert fps[0] == fps[1]
+    # different call path -> different group
+    assert fps[2] != fps[0]
+    assert out[0]["top_frame"] == "com.app.A.run(A.java)"
+
+
+def test_stacktrace_group_root_cause_and_malformed(spark):
+    from sparkcollector.operators.reassembly import stacktrace_group
+
+    chained = ("com.app.WrapError: outer\n"
+               "\tat com.app.A.run(A.java:1)\n"
+               "Caused by: java.io.IOException: mid\n"
+               "\tat com.app.B.io(B.java:2)\n"
+               "Caused by: java.net.SocketException: inner\n"
+               "\tat com.app.C.net(C.java:3)")
+    rows = stacktrace_group(
+        spark.createDataFrame(
+            [(chained,), ("not a stack trace at all",)], ["record"]
+        ),
+        "record",
+    ).collect()
+    # root cause = LAST Caused-by in the chain
+    assert rows[0]["root_cause"] == "java.net.SocketException"
+    assert rows[0]["exc_class"] == "com.app.WrapError"
+    # chained frames participate in the fingerprint (Sentry behavior)
+    assert rows[0]["fingerprint"] is not None
+    # malformed record: no exception header -> NULL fingerprint, and
+    # root_cause falls back to exc_class (NULL here)
+    assert rows[1]["fingerprint"] is None
+    assert rows[1]["exc_class"] is None
+
+
+def test_w3c_extended_parse_directive_switch_and_dash(spark):
+    from sparkcollector.operators.promparse import w3c_extended_parse
+
+    lines = [
+        (1, 0, 0, None, "#Fields: c-ip sc-status"),
+        (1, 1, 1, 10, "9.9.9.9 200"),
+        (1, 2, 1, 11, "8.8.8.8 -"),          # dash -> NULL
+        (1, 3, 0, None, "#Fields: sc-status c-ip time-taken"),
+        (1, 4, 1, 12, "500 7.7.7.7 33"),     # REORDERED + new field
+    ]
+    df = spark.createDataFrame(
+        lines, "file_id int, o1 int, o2 int, event_id long, line string"
+    )
+    out = {r["event_id"]: r for r in w3c_extended_parse(
+        df, "file_id", ["o1", "o2"], "line",
+        ["c-ip", "sc-status", "time-taken"],
+    ).collect()}
+    assert len(out) == 3  # directive rows dropped
+    assert out[10]["w3c_c_ip"] == "9.9.9.9"
+    assert out[10]["w3c_sc_status"] == "200"
+    assert out[10]["w3c_time_taken"] is None  # not in directive A
+    assert out[11]["w3c_sc_status"] is None   # '-'
+    assert out[12]["w3c_c_ip"] == "7.7.7.7"   # resolved via directive B
+    assert out[12]["w3c_time_taken"] == "33"
+
+
+def test_bruteforce_detect_window_rule(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import bruteforce_detect
+
+    T0 = 1_700_000_000
+
+    def ts(off):
+        return datetime.datetime.fromtimestamp(
+            T0 + off, datetime.timezone.utc)
+
+    rows = [
+        # u1: 3 fails inside 10 min, then success -> flagged
+        ("u1", "fail", ts(0)), ("u1", "fail", ts(100)),
+        ("u1", "fail", ts(200)), ("u1", "ok", ts(300)),
+        # u2: 3 fails but the first is OUTSIDE the window -> not flagged
+        ("u2", "fail", ts(0)), ("u2", "fail", ts(500)),
+        ("u2", "fail", ts(550)), ("u2", "ok", ts(650)),
+        # u3: success with no fails
+        ("u3", "ok", ts(10)),
+    ]
+    df = spark.createDataFrame(rows, "user string, kind string, ts timestamp")
+    out = {r["entity"]: r for r in bruteforce_detect(
+        df, "user", "ts",
+        fail_pred=F.col("kind") == "fail",
+        success_pred=F.col("kind") == "ok",
+        window_s=600, threshold=3,
+    ).collect()}
+    assert out["u1"]["n_flagged"] == 1 and out["u1"]["max_prior_fails"] == 3
+    assert out["u2"]["n_flagged"] == 0 and out["u2"]["max_prior_fails"] == 2
+    assert out["u3"]["n_flagged"] == 0 and out["u3"]["max_prior_fails"] == 0
