@@ -8914,3 +8914,190 @@ def bruteforce_detect(
         ).alias("n_flagged"),
         F.max("prior_fails").alias("max_prior_fails"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1 * sum 1/i!),
+# written as exact decimal literals so every engine compares the same
+# constants.  Weights cap at 6 (P > 6 is ~8e-5 — negligible for CI
+# width, and the cap keeps the fold bounded).
+_POIS1_CDF = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    value_col: str,
+    reps: int = 32,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Poisson bootstrap CI for the group mean — the bootstrap that
+    actually scales.
+
+    Classical bootstrap resamples n rows WITH replacement per
+    replicate — a shuffle per replicate, hopeless at 10^12 rows.  The
+    Poisson bootstrap (multinomial -> independent Poisson(1) weight
+    approximation, standard at web scale) needs only a deterministic
+    per-(row, replicate) weight: explode each row into ``reps``
+    lightweight (rep, w) pairs map-side, partial-aggregate
+    sum(w*x)/sum(w) per (group, rep), then take empirical quantiles of
+    the rep means.  One exchange on (group, rep), one k x reps-sized
+    reduce — no resampling shuffle, no RNG state (md5 of id:rep, the
+    repo's portable-hash convention, so DuckDB reproduces every
+    weight).
+    """
+    lo_q, hi_q = alpha / 2, 1 - alpha / 2
+    w_case = "case " + " ".join(
+        f"when _u < {t} then {i}" for i, t in enumerate(_POIS1_CDF)
+    ) + " else 6 end"
+    x = F.col(value_col).cast("double")
+    rep = df.select(
+        *group_cols, x.alias("_x"),
+        F.col(id_col).cast("string").alias("_id"),
+    ).withColumn("_rep", F.explode(F.expr(f"sequence(1, {reps})")))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("_id"), F.col("_rep"))), 1, 8
+            ),
+            16, 10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    weighted = rep.withColumn("_u", u).withColumn(
+        "_w", F.expr(w_case).cast("double")
+    )
+    per_rep = weighted.groupBy(*group_cols, "_rep").agg(
+        (F.sum(F.col("_w") * F.col("_x")) / F.sum("_w")).alias("_mean")
+    )
+    return per_rep.groupBy(*group_cols).agg(
+        F.round(F.expr(f"percentile(_mean, {lo_q})"), 6).alias("ci_lo"),
+        F.round(F.expr(f"percentile(_mean, {hi_q})"), 6).alias("ci_hi"),
+        F.count(F.lit(1)).alias("n_reps"),
+    )
+
+
+def page_trend(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Page's L trend test — the ORDERED-alternative Friedman.
+
+    ``friedman_test`` asks "do the k treatments differ at all?"; Page's
+    L asks the sharper monitoring question "do they increase IN THIS
+    ORDER?" (e.g. latency monotone in payload-size band, error rate
+    monotone in retry depth).  Within each complete block, rank the
+    treatment means; L = sum_j c_j * R_j with c_j the hypothesized
+    order index; under H0, E[L] = b·k(k+1)²/4 and
+    Var[L] = b·k²(k+1)(k²−1)/144, giving a closed-form z — no lookup
+    tables, no UDF.
+
+    Treatment order is the ascending sort of the treatment label (the
+    caller encodes the hypothesis into the label, e.g. '1_small' <
+    '2_med' < '3_large').  Means are rounded to 6dp before ranking so
+    every engine ranks identical values; blocks missing a treatment
+    are dropped (observable via n_blocks).  Two keyed exchanges and a
+    block-sized window — never a global sort.
+    """
+    m = (
+        df.groupBy(block_col, treatment_col)
+        .agg(F.round(F.avg(F.col(value_col).cast("double")), 6).alias("m"))
+    )
+    k_total = m.select(F.count_distinct(treatment_col).alias("k"))
+    complete = (
+        m.groupBy(block_col)
+        .agg(F.count(F.lit(1)).alias("_kb"))
+        .crossJoin(k_total)
+        .filter(F.col("_kb") == F.col("k"))
+        .select(block_col)
+    )
+    kept = m.join(complete, block_col)
+    w_rank = Window.partitionBy(block_col).orderBy("m", treatment_col)
+    w_order = Window.partitionBy(block_col).orderBy(treatment_col)
+    ranked = kept.withColumn(
+        "_r", F.row_number().over(w_rank).cast("double")
+    ).withColumn("_c", F.row_number().over(w_order).cast("double"))
+    agg = ranked.agg(
+        F.sum(F.col("_c") * F.col("_r")).alias("L"),
+        (F.count(F.lit(1))
+         / F.max("_c")).cast("double").alias("b"),
+        F.max("_c").alias("kk"),
+    )
+    b, k = F.col("b"), F.col("kk")
+    mu = b * k * (k + 1) * (k + 1) / 4
+    var = b * k * k * (k + 1) * (k * k - 1) / 144
+    z = (F.col("L") - mu) / F.sqrt(var)
+    return agg.select(
+        F.col("L").cast("bigint").alias("l_stat"),
+        F.col("b").cast("bigint").alias("n_blocks"),
+        k.cast("bigint").alias("k_treatments"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.959963984540054).alias("trend"),
+    )
+
+
+def cramer_von_mises(
+    df: DataFrame,
+    split_pred,
+    value_col: str,
+    grid=None,
+) -> DataFrame:
+    """Two-sample Cramér-von Mises drift test on a bounded value grid.
+
+    The integrated-square companion of ``ks_two_sample`` (KS sees only
+    the worst single gap; CvM accumulates EVERY gap, so it catches
+    broad low-amplitude drift KS misses):
+    T = N·M/(N+M)² · Σ_v w_v · (F_a(v) − F_b(v))², summed over the
+    DISTINCT value grid with multiplicity weights w_v = count_a(v) +
+    count_b(v) — the classic sum-over-all-points statistic, regrouped
+    so ties are handled naturally and the only window runs over the
+    bounded grid (floor-bucketed like ks_value_drift), never over raw
+    rows.  Reject at the 5% asymptotic critical value T > 0.461.
+    """
+    v = grid if grid is not None else F.floor(F.col(value_col))
+    h = (
+        df.select(
+            v.alias("v"),
+            F.when(split_pred, 1).otherwise(0).alias("ia"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("ia").alias("ca"),
+            F.sum(1 - F.col("ia")).alias("cb"),
+        )
+    )
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = h.select(
+        "v", "ca", "cb",
+        F.sum("ca").over(w_cum).alias("cuma"),
+        F.sum("cb").over(w_cum).alias("cumb"),
+    )
+    tot = h.agg(
+        F.sum("ca").cast("double").alias("n"),
+        F.sum("cb").cast("double").alias("m"),
+    )
+    agg = c.crossJoin(tot).agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        F.sum(
+            (F.col("ca") + F.col("cb")).cast("double")
+            * F.pow(
+                F.col("cuma") / F.col("n") - F.col("cumb") / F.col("m"), 2
+            )
+        ).alias("s"),
+    )
+    n, m = F.col("n"), F.col("m")
+    t = n * m / ((n + m) * (n + m)) * F.col("s")
+    return agg.select(
+        n.cast("bigint").alias("n_a"),
+        m.cast("bigint").alias("n_b"),
+        F.round(t, 6).alias("cvm_stat"),
+        (t > 0.461).alias("drift"),
+    )

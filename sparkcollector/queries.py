@@ -20427,6 +20427,142 @@ def q_w3c_extended_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 472. Poisson-bootstrap 95% CI for the mean value per event_type —
+#      the bootstrap that scales (no resampling shuffle: deterministic
+#      Poisson(1) weights from the portable md5 hash per (row, rep),
+#      32 replicates exploded map-side).  Oracle reproduces every
+#      weight bit-for-bit in DuckDB.
+# ---------------------------------------------------------------------
+@register(
+    "poisson_bootstrap_ci",
+    """
+    with r as (select event_type, cast(value as double) as x,
+        cast(event_id as varchar) as id
+      from events where value is not null),
+    e as (select event_type, x, id, t.range as rep
+        from r cross join range(1, 33) t),
+    w as (select event_type, rep, x,
+        case
+          when cast(('0x' || substr(md5(id || ':'
+            || cast(rep as varchar)), 1, 8)) as bigint)
+            / 4294967296.0 < 0.36787944117144233 then 0
+          when cast(('0x' || substr(md5(id || ':'
+            || cast(rep as varchar)), 1, 8)) as bigint)
+            / 4294967296.0 < 0.7357588823428847 then 1
+          when cast(('0x' || substr(md5(id || ':'
+            || cast(rep as varchar)), 1, 8)) as bigint)
+            / 4294967296.0 < 0.9196986029286058 then 2
+          when cast(('0x' || substr(md5(id || ':'
+            || cast(rep as varchar)), 1, 8)) as bigint)
+            / 4294967296.0 < 0.9810118431238462 then 3
+          when cast(('0x' || substr(md5(id || ':'
+            || cast(rep as varchar)), 1, 8)) as bigint)
+            / 4294967296.0 < 0.9963401531726563 then 4
+          when cast(('0x' || substr(md5(id || ':'
+            || cast(rep as varchar)), 1, 8)) as bigint)
+            / 4294967296.0 < 0.9994058151824183 then 5
+          else 6 end as w
+      from e),
+    per as (select event_type, rep,
+        sum(w * x) / sum(w) as m from w group by 1, 2)
+    select event_type,
+      round(quantile_cont(m, 0.025), 6) as ci_lo,
+      round(quantile_cont(m, 0.975), 6) as ci_hi,
+      cast(count(*) as bigint) as n_reps
+    from per group by event_type
+    """,
+)
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import poisson_bootstrap_ci
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return poisson_bootstrap_ci(
+        ev, ["event_type"], "event_id", "value", reps=32, alpha=0.05
+    )
+
+
+# ---------------------------------------------------------------------
+# 473. Page's L trend test — ordered-alternative Friedman: are the
+#      per-day event_type means monotone in the (alphabetical)
+#      hypothesis order?  Closed-form z from E[L], Var[L]; complete
+#      blocks only.
+# ---------------------------------------------------------------------
+@register(
+    "page_trend_test",
+    """
+    with m as (select cast(floor(epoch(ts) / 86400) as bigint) as blk,
+        event_type as trt, round(avg(cast(value as double)), 6) as m
+      from events where value is not null group by 1, 2),
+    k as (select count(distinct trt) as kk from m),
+    comp as (select blk from m group by blk
+      having count(*) = (select kk from k)),
+    r as (select m.blk,
+        cast(row_number() over (partition by m.blk
+          order by m.m, m.trt) as double) as r,
+        cast(row_number() over (partition by m.blk
+          order by m.trt) as double) as c
+      from m join comp using (blk)),
+    a as (select sum(c * r) as L,
+        count(*) / max(c) as b, max(c) as kk from r)
+    select cast(L as bigint) as l_stat, cast(b as bigint) as n_blocks,
+      cast(kk as bigint) as k_treatments,
+      round((L - b * kk * (kk + 1) * (kk + 1) / 4)
+            / sqrt(b * kk * kk * (kk + 1) * (kk * kk - 1) / 144), 6)
+        as z,
+      abs((L - b * kk * (kk + 1) * (kk + 1) / 4)
+          / sqrt(b * kk * kk * (kk + 1) * (kk * kk - 1) / 144))
+        > 1.959963984540054 as trend
+    from a
+    """,
+)
+def q_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import page_trend
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = ev.withColumn(
+        "day", F.floor(F.unix_timestamp("ts") / 86400)
+    )
+    return page_trend(ev, "day", "event_type", "value")
+
+
+# ---------------------------------------------------------------------
+# 474. Two-sample Cramér-von Mises drift (even vs odd days, same split
+#      as ks_value_drift): integrated-square CDF distance over the
+#      bounded floor(value) grid — catches broad low-amplitude drift
+#      the KS max-gap misses.
+# ---------------------------------------------------------------------
+@register(
+    "cramer_von_mises_drift",
+    """
+    with d as (select floor(value) as v,
+        case when cast(floor(epoch(ts) / 86400) as bigint) % 2 = 0
+             then 1 else 0 end as ia
+      from events where value is not null),
+    h as (select v, sum(ia) as ca, sum(1 - ia) as cb from d group by 1),
+    t as (select cast(sum(ca) as double) as n,
+        cast(sum(cb) as double) as m from h),
+    c as (select v, ca, cb,
+        sum(ca) over (order by v rows unbounded preceding) as cuma,
+        sum(cb) over (order by v rows unbounded preceding) as cumb
+      from h),
+    a as (select max(n) as n, max(m) as m,
+        sum((ca + cb) * pow(cuma / n - cumb / m, 2)) as s
+      from c, t)
+    select cast(n as bigint) as n_a, cast(m as bigint) as n_b,
+      round(n * m / ((n + m) * (n + m)) * s, 6) as cvm_stat,
+      n * m / ((n + m) * (n + m)) * s > 0.461 as drift
+    from a
+    """,
+)
+def q_cramer_von_mises_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import cramer_von_mises
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    split = (F.floor(F.unix_timestamp("ts") / 86400) % 2) == 0
+    return cramer_von_mises(ev, split, "value")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

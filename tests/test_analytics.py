@@ -2838,3 +2838,74 @@ def test_burrows_delta_separates_styles(spark):
     # identical styles s1/s3 are closer than either is to s2
     assert got[("s1", "s3")] < got[("s1", "s2")]
     assert got[("s1", "s3")] < got[("s2", "s3")]
+
+
+def test_poisson_bootstrap_ci_brackets_mean_deterministically(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import poisson_bootstrap_ci
+
+    df = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(3000)], "id long, x double"
+    ).withColumn("g", F.lit("all"))
+    r1 = poisson_bootstrap_ci(df, ["g"], "id", "x", reps=32).collect()[0]
+    # true mean is 49.5; a 95% CI from 3000 rows must bracket it tightly
+    assert r1["ci_lo"] < 49.5 < r1["ci_hi"]
+    assert r1["ci_hi"] - r1["ci_lo"] < 5
+    assert r1["n_reps"] == 32
+    # hash-seeded: bit-identical on re-run
+    r2 = poisson_bootstrap_ci(df, ["g"], "id", "x", reps=32).collect()[0]
+    assert (r1["ci_lo"], r1["ci_hi"]) == (r2["ci_lo"], r2["ci_hi"])
+
+
+def test_page_trend_detects_monotone_order(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import page_trend
+
+    # treatment means rise in label order in every block -> perfect L
+    rows = []
+    for blk in range(12):
+        for j, trt in enumerate(["t1", "t2", "t3", "t4"]):
+            rows.append((blk, trt, float(j * 10 + blk)))
+    up = spark.createDataFrame(rows, "blk int, trt string, v double")
+    r = page_trend(up, "blk", "trt", "v").collect()[0]
+    # perfect agreement: L = b * sum j^2 = 12 * 30 = 360
+    assert r["l_stat"] == 360 and r["trend"] and r["z"] > 3
+    assert r["n_blocks"] == 12 and r["k_treatments"] == 4
+    # anti-monotone -> significantly NEGATIVE z
+    down = spark.createDataFrame(
+        [(b, t, -v) for b, t, v in rows], "blk int, trt string, v double"
+    )
+    assert page_trend(down, "blk", "trt", "v").collect()[0]["z"] < -3
+    # incomplete block dropped
+    incomplete = spark.createDataFrame(
+        rows + [(99, "t1", 0.0)], "blk int, trt string, v double"
+    )
+    assert page_trend(incomplete, "blk", "trt", "v").collect()[0][
+        "n_blocks"] == 12
+
+
+def test_cramer_von_mises_same_vs_shifted(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import cramer_von_mises
+
+    # split by block (i//100 parity) so BOTH samples sweep the full
+    # 0..99 grid -> identical empirical CDFs -> T = 0 exactly
+    same = spark.createDataFrame(
+        [((i // 100) % 2, float(i % 100)) for i in range(4000)],
+        "s int, v double",
+    )
+    r = cramer_von_mises(same, F.col("s") == 0, "v").collect()[0]
+    assert not r["drift"] and r["cvm_stat"] < 0.05
+    assert r["n_a"] == 2000 and r["n_b"] == 2000
+    # small uniform shift in one sample: KS-gap stays modest but the
+    # integrated-square statistic accumulates it decisively
+    shifted = spark.createDataFrame(
+        [((i // 100) % 2, float(i % 100) + (8.0 if (i // 100) % 2 == 0 else 0.0))
+         for i in range(4000)],
+        "s int, v double",
+    )
+    r2 = cramer_von_mises(shifted, F.col("s") == 0, "v").collect()[0]
+    assert r2["drift"] and r2["cvm_stat"] > 1
