@@ -9101,3 +9101,123 @@ def cramer_von_mises(
         F.round(t, 6).alias("cvm_stat"),
         (t > 0.461).alias("drift"),
     )
+
+
+def gesd_outliers(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    max_k: int = 3,
+    r_threshold: float = 4.0,
+) -> DataFrame:
+    """Generalized ESD (iterated Grubbs) — peel up to ``max_k`` outliers.
+
+    Grubbs' test (see ``grubbs_test``) is blind to the second outlier
+    masking the first; Rosner's generalized ESD removes the most
+    extreme point and RE-TESTS on the remainder, ``max_k`` times.
+    Each round is one keyed aggregate (mean/sd) + one deterministic
+    argmax (row_number over |z| desc, id asc — never max_by, so ties
+    resolve identically in any engine) + an anti-join removal; the
+    driver loop is bounded by ``max_k`` (like the k-means Lloyd step),
+    lineage stays shallow, and no round shuffles more than the group
+    key.  ``flagged`` uses a fixed R > ``r_threshold`` cut (the
+    t-based Rosner lambda needs quantile tables; 4.0 is the common
+    telemetry heuristic — document per fleet).
+    """
+    remaining = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    picks = None
+    for rnd in range(1, max_k + 1):
+        stats = remaining.groupBy("g").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("x").alias("mu"),
+            F.stddev_samp("x").alias("sd"),
+        )
+        z = (
+            remaining.join(stats, "g")
+            .filter((F.col("n") >= 3) & (F.col("sd") > 0))
+            .withColumn("r", F.abs(F.col("x") - F.col("mu")) / F.col("sd"))
+        )
+        w = Window.partitionBy("g").orderBy(F.col("r").desc(), F.col("id"))
+        top = (
+            z.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "g", "id",
+                F.lit(rnd).alias("round"),
+                F.round("r", 6).alias("r_stat"),
+                F.round("x", 6).alias("outlier_value"),
+                (F.col("r") > r_threshold).alias("flagged"),
+            )
+        )
+        top = top.localCheckpoint(eager=True)
+        picks = top if picks is None else picks.unionByName(top)
+        remaining = remaining.join(
+            top.select("g", "id"), ["g", "id"], "left_anti"
+        ).localCheckpoint(eager=True)
+    return picks.select(
+        F.col("g").alias(group_col), F.col("id").alias(id_col),
+        "round", "outlier_value", "r_stat", "flagged",
+    )
+
+
+def hampel_despike(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    half_window: int = 5,
+    n_sigmas: float = 3.0,
+) -> DataFrame:
+    """Hampel filter: rolling median ± k·MAD despiking per series.
+
+    The robust despiker every metric pipeline wants before rate/trend
+    math (a single ingest glitch poisons a mean filter; the Hampel
+    median/MAD filter ignores it): over a ±``half_window``-row frame
+    in event-time order, flag x where |x − med| > n·1.4826·MAD and
+    emit ``cleaned`` = med for flagged rows, x otherwise.
+
+    The rolling frame is materialized with collect_list over the
+    bounded window and the two medians (window median, then MAD =
+    median of |x − med|) are computed IN-ROW with array_sort +
+    exact mid-interpolation — O(w log w) per row with w = 11, fully
+    codegen'd, one exchange on the series key.  Edge rows use their
+    truncated frame (standard Hampel behavior).
+    """
+    w = Window.partitionBy(*series_cols).orderBy(*order_cols).rowsBetween(
+        -half_window, half_window
+    )
+    med_of = (
+        lambda arr: f"(try_element_at({arr}, cast((size({arr}) + 1) / 2 as int))"  # noqa: E731,E501
+        f" + try_element_at({arr}, cast(size({arr}) / 2 + 1 as int))) / 2"
+    )
+    out = df.withColumn(
+        "_frame",
+        F.array_sort(
+            F.collect_list(F.col(value_col).cast("double")).over(w)
+        ),
+    )
+    out = out.withColumn("_med", F.expr(med_of("_frame")))
+    out = out.withColumn(
+        "_dev",
+        F.expr(
+            "array_sort(transform(_frame, e -> abs(e - _med)))"
+        ),
+    ).withColumn("_mad", F.expr(med_of("_dev")))
+    x = F.col(value_col).cast("double")
+    spike = F.abs(x - F.col("_med")) > (
+        F.lit(n_sigmas) * 1.4826 * F.col("_mad")
+    )
+    return (
+        out.withColumn("window_median", F.round("_med", 6))
+        .withColumn("is_spike", F.coalesce(spike, F.lit(False)))
+        .withColumn(
+            "cleaned",
+            F.round(F.when(spike, F.col("_med")).otherwise(x), 6),
+        )
+        .drop("_frame", "_dev", "_med", "_mad")
+    )

@@ -20563,6 +20563,192 @@ def q_cramer_von_mises_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 475. DGA domain scoring — SIEM enrichment on synthesized DNS labels
+#      (benign word domains vs md5-hex generator domains, same
+#      derivation in both engines); in-row char entropy over SORTED
+#      distinct chars so both engines fold identically.
+# ---------------------------------------------------------------------
+@register(
+    "dga_domain_score",
+    """
+    with b as (select event_id,
+        case when event_id % 5 = 0
+          then substr(md5(cast(event_id as varchar)), 1, 12) || '.net'
+          else lower(event_type)
+            || case when user_id % 3 = 0 then 'shop'
+                    when user_id % 3 = 1 then 'mail'
+                    else 'news' end || '.com' end as domain
+      from events),
+    s as (select event_id, domain,
+        lower(regexp_extract(domain, '^([^.]+)', 1)) as d from b),
+    c as (select *, list_transform(range(1, length(d) + 1),
+        i -> substr(d, i, 1)) as chars from s),
+    e as (select event_id, domain, d,
+        round(-list_sum(list_transform(
+          list_sort(list_distinct(chars)),
+          ch -> len(list_filter(chars, x -> x = ch))
+                / cast(length(d) as double)
+                * log2(len(list_filter(chars, x -> x = ch))
+                       / cast(length(d) as double)))), 6)
+          as char_entropy,
+        round(length(regexp_replace(d, '[^0-9]', '', 'g'))
+              / cast(length(d) as double), 6) as digit_ratio,
+        round(length(regexp_replace(d, '[^aeiou]', '', 'g'))
+              / cast(length(d) as double), 6) as vowel_ratio,
+        coalesce(list_max(list_transform(
+          regexp_extract_all(d, '[b-df-hj-np-tv-z]+'),
+          r -> length(r))), 0) as max_consonant_run
+      from c)
+    select event_id, domain, char_entropy, digit_ratio, vowel_ratio,
+      max_consonant_run,
+      round(0.2 * char_entropy + 4 * digit_ratio
+            + 2 * greatest(0, 0.3 - vowel_ratio)
+            + 0.15 * max_consonant_run, 6) as dga_score,
+      round(0.2 * char_entropy + 4 * digit_ratio
+            + 2 * greatest(0, 0.3 - vowel_ratio)
+            + 0.15 * max_consonant_run, 6) > 1.6 as is_dga
+    from e
+    """,
+)
+def q_dga_domain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import dga_score
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    word = F.concat(
+        F.lower(F.col("event_type")),
+        F.when(uid % 3 == 0, F.lit("shop"))
+        .when(uid % 3 == 1, F.lit("mail"))
+        .otherwise(F.lit("news")),
+        F.lit(".com"),
+    )
+    gen = F.concat(
+        F.substring(F.md5(eid.cast("string")), 1, 12), F.lit(".net")
+    )
+    doms = ev.select(
+        "event_id",
+        F.when(eid % 5 == 0, gen).otherwise(word).alias("domain"),
+    )
+    return dga_score(doms, "domain").select(
+        "event_id", "domain", "char_entropy", "digit_ratio",
+        "vowel_ratio", "max_consonant_run", "dga_score", "is_dga",
+    )
+
+
+# ---------------------------------------------------------------------
+# 476. Generalized ESD (Rosner) — iterated Grubbs peeling up to 3
+#      planted spikes per event_type; deterministic argmax
+#      (r desc, id asc) so both engines remove identical rows each
+#      round.  Oracle unrolls the 3 rounds as anti-join CTEs.
+# ---------------------------------------------------------------------
+@register(
+    "gesd_outliers",
+    """
+    with v as (select event_type as g, event_id as id,
+        cast(value as double)
+          + case when event_id % 9973 = 0 then 8000
+                 when event_id % 9941 = 0 then -6000
+                 when event_id % 9887 = 0 then 4000 else 0 end as x
+      from events where value is not null),
+    s1 as (select g, cast(count(*) as double) as n, avg(x) as mu,
+        stddev_samp(x) as sd from v group by 1),
+    z1 as (select v.g, v.id, v.x, abs(v.x - s1.mu) / s1.sd as r
+      from v join s1 using (g) where s1.n >= 3 and s1.sd > 0),
+    p1 as (select g, id, 1 as round, round(x, 6) as outlier_value,
+        round(r, 6) as r_stat, r > 4.0 as flagged
+      from (select *, row_number() over (partition by g
+              order by r desc, id) as rn from z1) where rn = 1),
+    v2 as (select v.* from v anti join p1 using (g, id)),
+    s2 as (select g, cast(count(*) as double) as n, avg(x) as mu,
+        stddev_samp(x) as sd from v2 group by 1),
+    z2 as (select v2.g, v2.id, v2.x, abs(v2.x - s2.mu) / s2.sd as r
+      from v2 join s2 using (g) where s2.n >= 3 and s2.sd > 0),
+    p2 as (select g, id, 2 as round, round(x, 6) as outlier_value,
+        round(r, 6) as r_stat, r > 4.0 as flagged
+      from (select *, row_number() over (partition by g
+              order by r desc, id) as rn from z2) where rn = 1),
+    v3 as (select v2.* from v2 anti join p2 using (g, id)),
+    s3 as (select g, cast(count(*) as double) as n, avg(x) as mu,
+        stddev_samp(x) as sd from v3 group by 1),
+    z3 as (select v3.g, v3.id, v3.x, abs(v3.x - s3.mu) / s3.sd as r
+      from v3 join s3 using (g) where s3.n >= 3 and s3.sd > 0),
+    p3 as (select g, id, 3 as round, round(x, 6) as outlier_value,
+        round(r, 6) as r_stat, r > 4.0 as flagged
+      from (select *, row_number() over (partition by g
+              order by r desc, id) as rn from z3) where rn = 1)
+    select g as event_type, id as event_id, round, outlier_value,
+      r_stat, flagged
+    from (select * from p1 union all select * from p2
+          union all select * from p3)
+    """,
+)
+def q_gesd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import gesd_outliers
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    eid = F.col("event_id")
+    spiked = ev.select(
+        "event_type", "event_id",
+        (
+            F.col("value").cast("double")
+            + F.when(eid % 9973 == 0, 8000)
+            .when(eid % 9941 == 0, -6000)
+            .when(eid % 9887 == 0, 4000)
+            .otherwise(0)
+        ).alias("x"),
+    )
+    return gesd_outliers(
+        spiked, "event_type", "event_id", "x", max_k=3, r_threshold=4.0
+    )
+
+
+# ---------------------------------------------------------------------
+# 477. Hampel despike — rolling median ± 3·1.4826·MAD over a ±5-row
+#      event-time frame per event_type; medians computed in-row from
+#      the sorted frame so med/MAD are bit-identical across engines.
+# ---------------------------------------------------------------------
+@register(
+    "hampel_despike",
+    """
+    with v as (select event_type as g, event_id as id, ts,
+        cast(value as double)
+          + case when event_id % 9973 = 0 then 5000 else 0 end as x
+      from events where value is not null),
+    f as (select g, id, x, list_sort(list(x) over (partition by g
+        order by ts, id rows between 5 preceding and 5 following))
+        as fr from v),
+    m as (select *, (fr[(len(fr) + 1) // 2]
+        + fr[len(fr) // 2 + 1]) / 2 as med from f),
+    d as (select *, list_sort(list_transform(fr,
+        e -> abs(e - med))) as dv from m),
+    mm as (select *, (dv[(len(dv) + 1) // 2]
+        + dv[len(dv) // 2 + 1]) / 2 as mad from d)
+    select id as event_id, round(med, 6) as window_median,
+      abs(x - med) > 3 * 1.4826 * mad as is_spike,
+      round(case when abs(x - med) > 3 * 1.4826 * mad then med
+                 else x end, 6) as cleaned
+    from mm
+    """,
+)
+def q_hampel_despike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import hampel_despike
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    spiked = ev.select(
+        "event_type", "event_id", "ts",
+        (
+            F.col("value").cast("double")
+            + F.when(F.col("event_id") % 9973 == 0, 5000).otherwise(0)
+        ).alias("x"),
+    )
+    out = hampel_despike(
+        spiked, ["event_type"], ["ts", "event_id"], "x",
+        half_window=5, n_sigmas=3.0,
+    )
+    return out.select("event_id", "window_median", "is_spike", "cleaned")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -2909,3 +2909,59 @@ def test_cramer_von_mises_same_vs_shifted(spark):
     )
     r2 = cramer_von_mises(shifted, F.col("s") == 0, "v").collect()[0]
     assert r2["drift"] and r2["cvm_stat"] > 1
+
+
+def test_gesd_peels_masked_outliers(spark):
+    from sparkcollector.operators.analytics import gesd_outliers
+
+    # two near-equal huge spikes MASK each other for single Grubbs;
+    # GESD peels both, then round 3 finds nothing extreme
+    rows = [("g", i, float(i % 7)) for i in range(200)]
+    rows += [("g", 900, 500.0), ("g", 901, 480.0)]
+    df = spark.createDataFrame(rows, "g string, id long, x double")
+    out = {r["round"]: r for r in gesd_outliers(
+        df, "g", "id", "x", max_k=3).collect()}
+    assert out[1]["outlier_value"] == 500.0 and out[1]["flagged"]
+    assert out[2]["outlier_value"] == 480.0 and out[2]["flagged"]
+    assert not out[3]["flagged"]
+    # round-2 statistic computed on the REDUCED sample is larger than
+    # round-1's masked statistic
+    assert out[2]["r_stat"] > out[1]["r_stat"]
+
+
+def test_hampel_despike_flags_and_replaces(spark):
+    from sparkcollector.operators.analytics import hampel_despike
+
+    # smooth ramp with one glitch; ±5 frame
+    vals = [float(i) for i in range(30)]
+    vals[13] = 1000.0
+    df = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(vals)],
+        "g string, t int, x double",
+    )
+    out = {r["t"]: r for r in hampel_despike(
+        df, ["g"], ["t"], "x").collect()}
+    assert out[13]["is_spike"]
+    # replaced by the local median (13 excluded from median by
+    # robustness, not by construction)
+    assert abs(out[13]["cleaned"] - out[13]["window_median"]) < 1e-9
+    assert out[13]["cleaned"] < 20
+    # neighbors untouched
+    assert not out[12]["is_spike"] and out[12]["cleaned"] == 12.0
+    assert not out[20]["is_spike"] and out[20]["cleaned"] == 20.0
+
+
+def test_dga_score_separates_generated_from_words(spark):
+    from sparkcollector.operators.textstats import dga_score
+
+    df = spark.createDataFrame(
+        [("paymentshop.com",), ("clickmail.com",),
+         ("x7f3k9q2m1z8.net",), ("a1b2c3d4e5f6.org",)],
+        ["domain"],
+    )
+    out = {r["domain"]: r for r in dga_score(df, "domain").collect()}
+    assert not out["paymentshop.com"]["is_dga"]
+    assert not out["clickmail.com"]["is_dga"]
+    assert out["x7f3k9q2m1z8.net"]["is_dga"]
+    assert out["a1b2c3d4e5f6.org"]["is_dga"]
+    assert out["x7f3k9q2m1z8.net"]["digit_ratio"] > 0.3
