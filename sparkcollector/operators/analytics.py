@@ -9221,3 +9221,92 @@ def hampel_despike(
         )
         .drop("_frame", "_dev", "_med", "_mad")
     )
+
+
+def position_bias_ipw(
+    df: DataFrame,
+    position_col: str,
+    click_col: str,
+    item_cols: list[str],
+) -> DataFrame:
+    """Position-bias estimate + IPW-debiased item CTR (PBM, rank-1
+    normalized).
+
+    Raw click-through rate confounds relevance with PLACEMENT: top
+    slots get clicked because they are seen.  Under the position-based
+    model, examination probability factors out as
+    b_p = CTR(p) / CTR(1); inverse-propensity weighting each click by
+    1/b_p recovers an unbiased relevance estimate — the debiasing
+    pass a click-log -> LTR-training-data pipeline must run before
+    the labels are usable.
+
+    Two bounded aggregates: positions (|P| rows, crossJoined with the
+    rank-1 scalar) and items; the bias table joins back by position —
+    a tiny dim AQE broadcasts.  No windows, no global sort.
+    """
+    pos, clk = F.col(position_col), F.col(click_col).cast("double")
+    per_pos = df.groupBy(position_col).agg(
+        F.avg(clk).alias("_ctr_p")
+    )
+    top = per_pos.filter(pos == 1).select(
+        F.col("_ctr_p").alias("_ctr_1")
+    )
+    bias = per_pos.crossJoin(top).select(
+        position_col,
+        F.round(F.col("_ctr_p") / F.col("_ctr_1"), 6).alias("bias"),
+    )
+    j = df.join(bias, position_col)
+    return j.groupBy(*item_cols).agg(
+        F.count(F.lit(1)).alias("impressions"),
+        F.round(F.avg(clk), 6).alias("raw_ctr"),
+        F.round(
+            F.sum(clk / F.col("bias")) / F.count(F.lit(1)), 6
+        ).alias("ipw_ctr"),
+    )
+
+
+def lift_gains_table(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Decile lift / gains table — the model-eval readout for a
+    propensity score.
+
+    Rank units by score into ``n_bins`` equal-count bins (ntile over
+    the deterministic (score desc, id) order — ties cut identically in
+    any engine), then per bin: positives, rate, cumulative capture
+    (gains) and cumulative lift vs the base rate.  Only UNIT TOTALS
+    are ranked, never the fact table (the lorenz_value_deciles
+    discipline): the sort is over one row per scored unit, and the
+    final table is n_bins rows.
+    """
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+    binned = df.withColumn("bin", F.ntile(n_bins).over(w))
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(F.col(label_col).cast("long")).alias("positives"),
+    )
+    wc = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per.agg(
+        F.sum("n_units").cast("double").alias("_N"),
+        F.sum("positives").cast("double").alias("_P"),
+    )
+    cum = per.crossJoin(tot).select(
+        "bin", "n_units", "positives",
+        F.round(F.col("positives") / F.col("n_units"), 6).alias("rate"),
+        F.sum("positives").over(wc).alias("_cp"),
+        F.sum("n_units").over(wc).alias("_cn"),
+        "_N", "_P",
+    )
+    return cum.select(
+        "bin", "n_units", "positives", "rate",
+        F.round(F.col("_cp") / F.col("_P"), 6).alias("cum_capture"),
+        F.round(
+            (F.col("_cp") / F.col("_cn")) / (F.col("_P") / F.col("_N")), 6
+        ).alias("cum_lift"),
+    )

@@ -3322,3 +3322,35 @@ def future_window_labels(
             F.lit(False),
         ).alias("label_active_next"),
     )
+
+
+def hash_reservoir_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact-k uniform sample per group — the distributed reservoir.
+
+    A sequential reservoir needs a scan-order state; at 10^12 rows the
+    equivalent is PRIORITY SAMPLING: give every row the seed-free
+    portable priority md5(id) and keep the k smallest per group.  The
+    k-smallest selection is one keyed window (row_number over priority
+    asc, id asc — the id tie-break makes duplicate-id inputs
+    deterministic too), so the only movement is the group-key
+    exchange; nothing is globally sorted and the choice is stable
+    under re-partitioning, resume, and engine swap (DuckDB reproduces
+    the exact sample — unlike rand()-based reservoirs).
+
+    Complements ``stratified_sample`` (rate-based) and
+    ``weighted_sample``: this one guarantees EXACTLY min(k, n) rows
+    per group, the contract eval-set builders need.
+    """
+    pri = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*group_cols).orderBy(pri.asc(), F.col(id_col))
+    return (
+        df.withColumn("_pri", pri)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("_pri")
+    )

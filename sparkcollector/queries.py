@@ -20749,6 +20749,120 @@ def q_hampel_despike(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 478. Hash-priority reservoir: EXACTLY min(k, n) uniform rows per
+#      event_type, seed-free (md5 priority), stable under
+#      repartition/resume/engine swap — the eval-set builder contract.
+# ---------------------------------------------------------------------
+@register(
+    "hash_reservoir_sample",
+    """
+    select event_type, event_id, sample_rank from (
+      select event_type, event_id,
+        row_number() over (partition by event_type
+          order by md5(cast(event_id as varchar)), event_id)
+          as sample_rank
+      from events) where sample_rank <= 25
+    """,
+)
+def q_hash_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import hash_reservoir_sample
+
+    ev = _t(spark, sf_dir, "events")
+    return hash_reservoir_sample(
+        ev, ["event_type"], "event_id", k=25
+    ).select("event_type", "event_id", "sample_rank")
+
+
+# ---------------------------------------------------------------------
+# 479. Position-bias + IPW-debiased CTR (PBM): position = slot the
+#      event rendered in (event_id-derived), click = click/purchase;
+#      b_p = CTR(p)/CTR(1), item relevance = mean(click / b_p) — the
+#      debiasing pass before click logs become LTR labels.
+# ---------------------------------------------------------------------
+@register(
+    "position_bias_ipw",
+    """
+    with i as (select event_id % 10 + 1 as pos,
+        case when event_type in ('click', 'purchase') then 1.0
+             else 0.0 end as clk,
+        user_id % 20 as item
+      from events),
+    p as (select pos, avg(clk) as ctr_p from i group by 1),
+    b as (select pos, round(ctr_p / (select ctr_p from p where pos = 1),
+        6) as bias from p),
+    j as (select i.item, i.clk, b.bias from i join b using (pos))
+    select item, cast(count(*) as bigint) as impressions,
+      round(avg(clk), 6) as raw_ctr,
+      round(sum(clk / bias) / count(*), 6) as ipw_ctr
+    from j group by item
+    """,
+)
+def q_position_bias_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import position_bias_ipw
+
+    ev = _t(spark, sf_dir, "events")
+    imp = ev.select(
+        (F.col("event_id") % 10 + 1).alias("pos"),
+        F.col("event_type").isin("click", "purchase")
+        .cast("double").alias("clk"),
+        (F.col("user_id") % 20).alias("item"),
+    )
+    return position_bias_ipw(imp, "pos", "clk", ["item"])
+
+
+# ---------------------------------------------------------------------
+# 480. Decile lift / gains table for a behavioral propensity score
+#      (clicks + views predict purchase): ntile over per-USER totals
+#      only, deterministic (score desc, id) cut, 10-row output.
+# ---------------------------------------------------------------------
+@register(
+    "lift_gains_table",
+    """
+    with u as (select user_id,
+        sum(case when event_type = 'click' then 1.0 else 0 end)
+          + 0.5 * sum(case when event_type = 'view' then 1.0 else 0 end)
+          as score,
+        max(case when event_type = 'purchase' then 1 else 0 end)
+          as label
+      from events group by 1),
+    b as (select *, ntile(10) over (order by score desc, user_id)
+        as bin from u),
+    per as (select bin, cast(count(*) as bigint) as n_units,
+        cast(sum(label) as bigint) as positives from b group by 1),
+    t as (select cast(sum(n_units) as double) as N,
+        cast(sum(positives) as double) as P from per),
+    c as (select bin, n_units, positives,
+        round(positives / cast(n_units as double), 6) as rate,
+        sum(positives) over (order by bin rows unbounded preceding)
+          as cp,
+        sum(n_units) over (order by bin rows unbounded preceding)
+          as cn
+      from per)
+    select bin, n_units, positives, rate,
+      round(cp / (select P from t), 6) as cum_capture,
+      round((cp / cast(cn as double))
+            / ((select P from t) / (select N from t)), 6) as cum_lift
+    from c
+    """,
+)
+def q_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import lift_gains_table
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "click", 1.0).otherwise(0))
+            + 0.5
+            * F.sum(F.when(F.col("event_type") == "view", 1.0).otherwise(0))
+        ).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("label"),
+    )
+    return lift_gains_table(users, "user_id", "score", "label", n_bins=10)
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -2965,3 +2965,58 @@ def test_dga_score_separates_generated_from_words(spark):
     assert out["x7f3k9q2m1z8.net"]["is_dga"]
     assert out["a1b2c3d4e5f6.org"]["is_dga"]
     assert out["x7f3k9q2m1z8.net"]["digit_ratio"] > 0.3
+
+
+def test_position_bias_ipw_recovers_relevance(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import position_bias_ipw
+
+    # two items with IDENTICAL relevance 0.5, but item B only ever
+    # renders at position 2 where examination is halved: raw CTR says
+    # B is worse; IPW says they're equal.
+    rows = []
+    for i in range(2000):
+        rows.append((1, "A", 1.0 if i % 2 == 0 else 0.0))
+        # position 2: examined half the time -> clicks halve
+        rows.append((2, "B", 1.0 if i % 4 == 0 else 0.0))
+        # item A also at position 2 to identify the bias
+        rows.append((2, "A", 1.0 if i % 4 == 1 else 0.0))
+    df = spark.createDataFrame(rows, "pos int, item string, clk double")
+    out = {r["item"]: r for r in position_bias_ipw(
+        df, "pos", "clk", ["item"]).collect()}
+    assert out["B"]["raw_ctr"] < out["A"]["raw_ctr"]
+    # debiased: B's 0.25 CTR at bias-0.5 position -> 0.5 relevance
+    assert abs(out["B"]["ipw_ctr"] - 0.5) < 0.01
+
+
+def test_lift_gains_table_orders_and_sums(spark):
+    from sparkcollector.operators.analytics import lift_gains_table
+
+    # score perfectly ranks the label: all positives in top bins
+    rows = [(i, float(1000 - i), 1 if i < 100 else 0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    out = sorted(lift_gains_table(df, "id", "score", "label").collect(),
+                 key=lambda r: r["bin"])
+    assert [r["n_units"] for r in out] == [100] * 10
+    assert out[0]["positives"] == 100 and out[0]["cum_capture"] == 1.0
+    assert out[0]["cum_lift"] == 10.0  # top decile captures everything
+    assert out[9]["cum_capture"] == 1.0 and abs(
+        out[9]["cum_lift"] - 1.0) < 1e-9
+
+
+def test_hash_reservoir_exact_k_and_stable(spark):
+    from sparkcollector.operators.corpus import hash_reservoir_sample
+
+    df = spark.createDataFrame(
+        [("g1", i) for i in range(500)] + [("g2", i) for i in range(5)],
+        "g string, id long",
+    )
+    out = hash_reservoir_sample(df, ["g"], "id", k=10).collect()
+    g1 = sorted(r["id"] for r in out if r["g"] == "g1")
+    g2 = sorted(r["id"] for r in out if r["g"] == "g2")
+    assert len(g1) == 10 and len(g2) == 5  # min(k, n)
+    # stable: repartitioned input picks the identical sample
+    out2 = hash_reservoir_sample(
+        df.repartition(7), ["g"], "id", k=10).collect()
+    assert sorted(r["id"] for r in out2 if r["g"] == "g1") == g1
