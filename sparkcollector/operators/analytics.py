@@ -9310,3 +9310,138 @@ def lift_gains_table(
             (F.col("_cp") / F.col("_cn")) / (F.col("_P") / F.col("_N")), 6
         ).alias("cum_lift"),
     )
+
+
+def shapley_attribution(
+    df: DataFrame,
+    unit_col: str,
+    channel_col: str,
+    channels: list[str],
+    converted_col: str,
+) -> DataFrame:
+    """Exact Shapley-value channel attribution over touched-set masks.
+
+    Last-touch (see ``last_touch_attribution``) gives the whole
+    conversion to one channel; Shapley splits it fairly over every
+    coalition: phi_i = sum_S w(|S|)·(v(S∪{i}) − v(S)) with
+    v(S) = P(convert | touched set = S) and the classic weights
+    |S|!·(n−1−|S|)!/n!.  With n = len(channels) bounded (attribution
+    sets always are), the 2^n coalition table is TINY: one exchange
+    aggregates 10^12 rows to one row per unit, a second to one row per
+    mask, and the Shapley sum runs over an n·2^n grid built from
+    ``sequence()`` — unobserved coalitions contribute v = 0
+    (documented; the standard empirical-v convention).
+
+    Efficiency property holds by construction: sum(phi) = v(full) −
+    v(empty) — asserted in tests.
+    """
+    n = len(channels)
+    bit = {c: 1 << i for i, c in enumerate(channels)}
+    mask_expr = None
+    for c in channels:
+        term = F.max(
+            F.when(F.col(channel_col) == c, bit[c]).otherwise(0)
+        )
+        mask_expr = term if mask_expr is None else mask_expr + term
+    units = df.groupBy(unit_col).agg(
+        mask_expr.alias("mask"),
+        F.max(F.col(converted_col).cast("double")).alias("conv"),
+    )
+    observed = units.groupBy("mask").agg(F.avg("conv").alias("v"))
+    spark = df.sparkSession
+    grid = spark.range(2**n).select(F.col("id").cast("int").alias("mask"))
+    vtab = grid.join(observed, "mask", "left").select(
+        "mask", F.coalesce("v", F.lit(0.0)).alias("v")
+    )
+    # popcount via explicit bit sum (portable: no bit_count dependency)
+    pop = sum(
+        (F.col("s") / (1 << i)).cast("int") % 2 for i in range(n)
+    )
+    fact = [1, 1, 2, 6, 24, 120, 720]
+    w_weight = None
+    for s_size in range(n):
+        wv = fact[s_size] * fact[n - 1 - s_size] / fact[n]
+        cond = F.when(F.col("_pop") == s_size, F.lit(wv))
+        w_weight = cond if w_weight is None else w_weight.when(
+            F.col("_pop") == s_size, F.lit(wv)
+        )
+    ch = spark.createDataFrame(
+        [(c, bit[c]) for c in channels], ["channel", "_bit"]
+    )
+    pairs = (
+        ch.crossJoin(vtab.select(F.col("mask").alias("s"),
+                                 F.col("v").alias("v_s")))
+        .filter((F.col("s").bitwiseAND(F.col("_bit"))) == 0)
+        .withColumn("_pop", pop)
+        .join(
+            vtab.select(F.col("mask").alias("s_i"),
+                        F.col("v").alias("v_si")),
+            F.col("s_i") == F.col("s") + F.col("_bit"),
+        )
+        .withColumn("_w", w_weight)
+    )
+    phi = pairs.groupBy("channel").agg(
+        F.sum(F.col("_w") * (F.col("v_si") - F.col("v_s"))).alias("_phi")
+    )
+    tot = phi.agg(F.sum("_phi").alias("_tot"))
+    return phi.crossJoin(tot).select(
+        "channel",
+        F.round("_phi", 6).alias("shapley_value"),
+        F.round(F.col("_phi") / F.col("_tot"), 6).alias("share"),
+    )
+
+
+def qini_uplift(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    treat_col: str,
+    outcome_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Qini curve — the uplift-model readout (gains table with a
+    control arm).
+
+    ``lift_gains_table`` evaluates a response model; an UPLIFT model
+    must beat the control arm inside every score band:
+    Qini(k) = cumConv_T(k) − cumConv_C(k)·cumN_T(k)/cumN_C(k), the
+    incremental conversions the first k bins bought, net of what the
+    (re-scaled) control would have produced anyway.  Bins are ntile
+    over per-UNIT rows only (the lorenz/lift discipline), treated and
+    control ranked TOGETHER by score so a bin is the same audience
+    slice in both arms.
+    """
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+    t = F.col(treat_col).cast("long")
+    y = F.col(outcome_col).cast("long")
+    binned = df.withColumn("bin", F.ntile(n_bins).over(w))
+    per = binned.groupBy("bin").agg(
+        F.sum(t).alias("n_treat"),
+        F.sum(1 - t).alias("n_ctrl"),
+        F.sum(t * y).alias("conv_treat"),
+        F.sum((1 - t) * y).alias("conv_ctrl"),
+    )
+    wc = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "bin", "n_treat", "n_ctrl", "conv_treat", "conv_ctrl",
+        F.sum("n_treat").over(wc).alias("_cnt"),
+        F.sum("n_ctrl").over(wc).alias("_cnc"),
+        F.sum("conv_treat").over(wc).alias("_cct"),
+        F.sum("conv_ctrl").over(wc).alias("_ccc"),
+    )
+    # try_divide: an empty arm in a bin yields NULL (matches the
+    # SQL-oracle NULL-on-zero-division convention), not an ANSI error.
+    uplift = (
+        F.try_divide(F.col("conv_treat"), F.col("n_treat"))
+        - F.try_divide(F.col("conv_ctrl"), F.col("n_ctrl"))
+    )
+    qini = F.col("_cct") - F.try_divide(
+        F.col("_ccc") * F.col("_cnt"), F.col("_cnc")
+    )
+    return cum.select(
+        "bin", "n_treat", "n_ctrl", "conv_treat", "conv_ctrl",
+        F.round(uplift, 6).alias("uplift_rate"),
+        F.round(qini, 6).alias("qini"),
+    )

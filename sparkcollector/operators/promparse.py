@@ -1830,3 +1830,44 @@ def w3c_extended_parse(
             F.when(raw != "-", raw),
         )
     return out.filter(~is_dir).drop("_dir", "_toks")
+
+
+NGINX_ERR_RE = (
+    r"^(\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}) \[(\w+)\] (\d+)#(\d+): "
+    r"\*(\d+) ([^,]*)"
+)
+
+
+def nginx_error_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse nginx error-log lines (the OTHER nginx format).
+
+    Access logs are combined/LTSV (see ``ltsv_parse``); the error log
+    is its own grammar: ``YYYY/MM/DD HH:MM:SS [level] pid#tid: *cid
+    message, client: ip, server: name, request: "METHOD path PROTO"``
+    — fixed header, then OPTIONAL comma-keyed context fields in any
+    suffix order.  Header via one anchored regexp; each context field
+    via its own keyed regexp so absent fields yield NULL instead of
+    shifting positions (the failure mode of split-based parsers).
+    Malformed lines yield NULL level.  Pure codegen, zero exchanges.
+    """
+    line = F.col(line_col)
+    g = lambda i: F.regexp_extract(line, NGINX_ERR_RE, i)  # noqa: E731
+    ok = line.rlike(NGINX_ERR_RE)
+    keep = lambda c: F.when(ok, c)  # noqa: E731
+    opt = lambda pat: F.when(  # noqa: E731
+        ok & (F.regexp_extract(line, pat, 1) != ""),
+        F.regexp_extract(line, pat, 1),
+    )
+    return df.select(
+        "*",
+        keep(g(1)).alias("ngx_time"),
+        keep(F.upper(g(2))).alias("ngx_level"),
+        keep(g(3).cast("long")).alias("ngx_pid"),
+        keep(g(4).cast("long")).alias("ngx_tid"),
+        keep(g(5).cast("long")).alias("ngx_conn"),
+        keep(g(6)).alias("ngx_msg"),
+        opt(r", client: ([^,]+)").alias("ngx_client"),
+        opt(r", server: ([^,]+)").alias("ngx_server"),
+        opt(r', request: "(\w+) ').alias("ngx_method"),
+        opt(r', request: "\w+ ([^ "]+)').alias("ngx_path"),
+    )

@@ -20863,6 +20863,195 @@ def q_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 481. Exact Shapley attribution over the 2^4 touched-channel masks
+#      (click/view/signup/error -> purchase conversion): fair-split
+#      companion to last_touch_attribution; unobserved coalitions
+#      contribute v=0; sum(phi) = v(full) - v(empty) by construction.
+# ---------------------------------------------------------------------
+@register(
+    "shapley_attribution",
+    """
+    with u as (select user_id,
+        max(case when event_type = 'click' then 1 else 0 end)
+        + max(case when event_type = 'view' then 2 else 0 end)
+        + max(case when event_type = 'signup' then 4 else 0 end)
+        + max(case when event_type = 'error' then 8 else 0 end) as mask,
+        max(case when event_type = 'purchase' then 1.0 else 0.0 end)
+          as conv
+      from events group by 1),
+    obs as (select mask, avg(conv) as v from u group by 1),
+    grid as (select t.range as mask from range(0, 16) t),
+    vt as (select grid.mask, coalesce(obs.v, 0.0) as v
+      from grid left join obs using (mask)),
+    ch as (select * from (values ('click', 1), ('view', 2),
+        ('signup', 4), ('error', 8)) as c(channel, bit)),
+    pairs as (select ch.channel,
+        ((s.mask // 1) % 2) + ((s.mask // 2) % 2)
+          + ((s.mask // 4) % 2) + ((s.mask // 8) % 2) as pop,
+        s.v as v_s, si.v as v_si
+      from ch join vt s on (s.mask // ch.bit) % 2 = 0
+        join vt si on si.mask = s.mask + ch.bit),
+    phi as (select channel,
+        sum(case pop when 0 then 6.0 / 24 when 1 then 2.0 / 24
+            when 2 then 2.0 / 24 else 6.0 / 24 end
+            * (v_si - v_s)) as phi
+      from pairs group by 1)
+    select channel, round(phi, 6) as shapley_value,
+      round(phi / (select sum(phi) from phi), 6) as share
+    from phi
+    """,
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import shapley_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    touches = ev.select(
+        "user_id", F.col("event_type").alias("channel"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    return shapley_attribution(
+        touches, "user_id", "channel",
+        ["click", "view", "signup", "error"], "conv",
+    )
+
+
+# ---------------------------------------------------------------------
+# 482. Qini uplift curve: treatment = user parity, score = click
+#      propensity, outcome = purchase; incremental conversions per
+#      cumulative decile net of the re-scaled control arm.
+# ---------------------------------------------------------------------
+@register(
+    "qini_uplift",
+    """
+    with u as (select user_id, user_id % 2 as t,
+        sum(case when event_type = 'click' then 1.0 else 0 end) as score,
+        max(case when event_type = 'purchase' then 1 else 0 end) as y
+      from events group by 1),
+    b as (select *, ntile(10) over (order by score desc, user_id)
+        as bin from u),
+    per as (select bin,
+        cast(sum(t) as bigint) as n_treat,
+        cast(sum(1 - t) as bigint) as n_ctrl,
+        cast(sum(t * y) as bigint) as conv_treat,
+        cast(sum((1 - t) * y) as bigint) as conv_ctrl
+      from b group by 1),
+    c as (select *,
+        sum(n_treat) over (order by bin rows unbounded preceding)
+          as cnt,
+        sum(n_ctrl) over (order by bin rows unbounded preceding)
+          as cnc,
+        sum(conv_treat) over (order by bin rows unbounded preceding)
+          as cct,
+        sum(conv_ctrl) over (order by bin rows unbounded preceding)
+          as ccc
+      from per)
+    select bin, n_treat, n_ctrl, conv_treat, conv_ctrl,
+      round(conv_treat / cast(nullif(n_treat, 0) as double)
+            - conv_ctrl / cast(nullif(n_ctrl, 0) as double), 6)
+        as uplift_rate,
+      round(cct - ccc * cast(cnt as double) / nullif(cnc, 0), 6)
+        as qini
+    from c
+    """,
+)
+def q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import qini_uplift
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1.0).otherwise(0)
+        ).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    ).withColumn("t", (F.col("user_id") % 2).cast("long"))
+    return qini_uplift(users, "user_id", "score", "t", "y", n_bins=10)
+
+
+# ---------------------------------------------------------------------
+# 483. nginx error-log parse — fixed header + optional comma-keyed
+#      context fields (client/server/request) in the suffix; absent
+#      fields NULL, malformed lines NULL level.
+# ---------------------------------------------------------------------
+@register(
+    "nginx_error_parse",
+    """
+    with b as (select event_id, user_id, event_type, ts,
+        event_id % 20 = 0 as bad,
+        event_id % 3 = 0 as has_client,
+        event_id % 4 = 0 as has_req
+      from events)
+    select event_id,
+      case when bad then NULL
+           else strftime(ts, '%Y/%m/%d %H:%M:%S') end as ngx_time,
+      case when bad then NULL
+           when event_type = 'error' then 'ERROR'
+           else 'WARN' end as ngx_level,
+      case when bad then NULL else user_id % 500 end as ngx_pid,
+      case when bad then NULL else user_id % 8 end as ngx_tid,
+      case when bad then NULL else event_id % 10000 end as ngx_conn,
+      case when bad then NULL
+           else 'open() failed (' || cast(event_id % 13 as varchar)
+                || ': err)' end as ngx_msg,
+      case when bad or not has_client then NULL
+           else '10.2.0.' || cast(user_id % 60 as varchar)
+           end as ngx_client,
+      case when bad or not has_client then NULL
+           else 'srv' || cast(user_id % 4 as varchar) end as ngx_server,
+      case when bad or not has_req then NULL else 'GET' end
+        as ngx_method,
+      case when bad or not has_req then NULL
+           else '/' || event_type end as ngx_path
+    from b
+    """,
+)
+def q_nginx_error_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import nginx_error_parse
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    level = F.when(
+        F.col("event_type") == "error", F.lit("error")
+    ).otherwise(F.lit("warn"))
+    client = F.when(
+        eid % 3 == 0,
+        F.concat(
+            F.lit(", client: 10.2.0."), (uid % 60).cast("string"),
+            F.lit(", server: srv"), (uid % 4).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    req = F.when(
+        eid % 4 == 0,
+        F.concat(
+            F.lit(', request: "GET /'), F.col("event_type"),
+            F.lit(' HTTP/1.1"'),
+        ),
+    ).otherwise(F.lit(""))
+    line = F.when(eid % 20 == 0, F.lit("garbage")).otherwise(
+        F.concat(
+            F.date_format("ts", "yyyy/MM/dd HH:mm:ss"),
+            F.lit(" ["), level, F.lit("] "),
+            (uid % 500).cast("string"), F.lit("#"),
+            (uid % 8).cast("string"), F.lit(": *"),
+            (eid % 10000).cast("string"),
+            F.lit(" open() failed ("), (eid % 13).cast("string"),
+            F.lit(": err)"), client, req,
+        )
+    )
+    parsed = nginx_error_parse(
+        ev.select("event_id", line.alias("line")), "line"
+    )
+    return parsed.select(
+        "event_id", "ngx_time", "ngx_level",
+        F.col("ngx_pid").cast("long").alias("ngx_pid"),
+        F.col("ngx_tid").cast("long").alias("ngx_tid"),
+        F.col("ngx_conn").cast("long").alias("ngx_conn"),
+        "ngx_msg", "ngx_client", "ngx_server", "ngx_method", "ngx_path",
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -3020,3 +3020,46 @@ def test_hash_reservoir_exact_k_and_stable(spark):
     out2 = hash_reservoir_sample(
         df.repartition(7), ["g"], "id", k=10).collect()
     assert sorted(r["id"] for r in out2 if r["g"] == "g1") == g1
+
+
+def test_shapley_efficiency_and_fairness(spark):
+    from sparkcollector.operators.analytics import shapley_attribution
+
+    # channel A alone converts 100%, B alone 0%, A+B 100%: all credit
+    # to A; symmetric users (C==D behavior) earn equal shares
+    rows = []
+    for i in range(100):
+        rows.append((f"a{i}", "A", 1))            # A only, converts
+        rows.append((f"b{i}", "B", 0))            # B only, no
+        rows.append((f"ab{i}", "A", 1))
+        rows.append((f"ab{i}", "B", 1))
+    df = spark.createDataFrame(rows, "uid string, ch string, conv int")
+    out = {r["channel"]: r for r in shapley_attribution(
+        df, "uid", "ch", ["A", "B"], "conv").collect()}
+    assert out["A"]["shapley_value"] > 0.4
+    assert abs(out["B"]["shapley_value"]) < 0.3
+    # efficiency: sum(phi) = v(full) - v(empty); here every observed
+    # coalition with A converts, so total credit is positive and
+    # A dominates
+    assert out["A"]["share"] > 0.6
+
+
+def test_qini_positive_for_real_uplift(spark):
+    from sparkcollector.operators.analytics import qini_uplift
+
+    # high-score users convert ONLY when treated -> positive qini that
+    # accumulates over the top bins; control arm never converts
+    rows = []
+    for i in range(1000):
+        score = float(1000 - i)
+        t = i % 2
+        y = 1 if (i < 400 and t == 1) else 0
+        rows.append((i, score, t, y))
+    df = spark.createDataFrame(rows, "id long, score double, t int, y int")
+    out = sorted(qini_uplift(df, "id", "score", "t", "y").collect(),
+                 key=lambda r: r["bin"])
+    assert out[0]["qini"] > 0
+    # qini is monotone while uplift persists, flat after
+    assert out[3]["qini"] >= out[0]["qini"]
+    assert abs(out[9]["qini"] - out[4]["qini"]) < 1e-6
+    assert out[0]["uplift_rate"] > 0.9 and abs(out[9]["uplift_rate"]) < 0.01

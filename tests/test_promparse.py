@@ -1021,3 +1021,25 @@ def test_bruteforce_detect_window_rule(spark):
     assert out["u1"]["n_flagged"] == 1 and out["u1"]["max_prior_fails"] == 3
     assert out["u2"]["n_flagged"] == 0 and out["u2"]["max_prior_fails"] == 2
     assert out["u3"]["n_flagged"] == 0 and out["u3"]["max_prior_fails"] == 0
+
+
+def test_nginx_error_parse_optional_fields(spark):
+    from sparkcollector.operators.promparse import nginx_error_parse
+
+    lines = [
+        ('2024/01/20 12:34:56 [error] 123#4: *99 open() failed (2: err)'
+         ', client: 10.0.0.7, server: s1'
+         ', request: "POST /api/v1 HTTP/1.1"',),
+        ("2024/01/20 12:34:57 [warn] 5#0: *7 low buffers",),
+        ("not an nginx line",),
+    ]
+    out = nginx_error_parse(
+        spark.createDataFrame(lines, ["line"]), "line"
+    ).collect()
+    full, bare, bad = out
+    assert full["ngx_level"] == "ERROR" and full["ngx_conn"] == 99
+    assert full["ngx_client"] == "10.0.0.7" and full["ngx_server"] == "s1"
+    assert full["ngx_method"] == "POST" and full["ngx_path"] == "/api/v1"
+    assert bare["ngx_level"] == "WARN" and bare["ngx_client"] is None
+    assert bare["ngx_msg"] == "low buffers"
+    assert bad["ngx_level"] is None and bad["ngx_pid"] is None
