@@ -605,3 +605,38 @@ def nearest_poi(
     return facts.withColumn("poi", best["name"]).withColumn(
         "poi_km", best["km"]
     )
+
+
+def cdc_compact(
+    df: DataFrame,
+    key_cols: list[str],
+    version_cols: list[str],
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """CDC log compaction: replayed change events -> current state.
+
+    The Debezium/Iceberg-upsert shape every log pipeline eventually
+    feeds: a stream of keyed change events (insert/update/delete,
+    possibly out of order, possibly REPLAYED after a checkpoint resume
+    — see ``checkpoint.py``'s at-least-once contract) compacts to the
+    latest surviving row per key.  Semantics:
+
+    - winner per key = max ``version_cols`` (lexicographic over the
+      list; callers must make versions unique per key — CDC LSNs are);
+      exact replays (same key + version) collapse to one row.
+    - a winning ``delete_op`` row TOMBSTONES the key: it is removed
+      from the output entirely, not emitted as a ghost row.
+
+    One keyed window (row_number over version desc), one filter — a
+    single hash exchange on the key at any scale, and the natural
+    pre-write step before a ``batch``-partitioned sink write.
+    """
+    order = [F.col(c).desc() for c in version_cols] + [F.col(op_col)]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col(op_col) != delete_op)
+        .drop("_rn")
+    )

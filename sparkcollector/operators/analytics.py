@@ -9445,3 +9445,121 @@ def qini_uplift(
         F.round(uplift, 6).alias("uplift_rate"),
         F.round(qini, 6).alias("qini"),
     )
+
+
+MARKOV_ITERS = 60
+
+
+def markov_attribution(
+    df: DataFrame,
+    unit_col: str,
+    order_cols: list[str],
+    channel_col: str,
+    channels: list[str],
+    conv_channel: str,
+    iters: int = MARKOV_ITERS,
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. shape).
+
+    The third member of the attribution family (``last_touch_attribution``
+    heuristic, ``shapley_attribution`` set-based): model journeys as a
+    first-order chain START -> channels -> {conv, END}, truncated at
+    the first conversion; a channel's credit is its REMOVAL EFFECT —
+    how much P(conv from START) drops when every edge INTO the channel
+    is cut.
+
+    Spark does the heavy part: one keyed window pass turns 10^12
+    ordered touches into (from, to) edge counts over a <= (k+1)x(k+2)
+    grid.  The chain solve is bounded driver math (the k-means /
+    PCA-power-iteration precedent): p = T_v·p + b iterated a FIXED
+    ``iters`` times per removal variant with a FIXED left-to-right
+    summation order, so the value is a deterministic function of the
+    counts that any engine reproduces bit-for-bit (the SQL oracle
+    unrolls the same iterations; convergence tolerance never enters
+    the contract).
+    """
+    spark = df.sparkSession
+    u, ch = F.col(unit_col), F.col(channel_col)
+    w = Window.partitionBy(unit_col).orderBy(*order_cols)
+    base = df.select(
+        u.alias("_u"), ch.alias("_c"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    wu = Window.partitionBy("_u")
+    cut = base.withColumn(
+        "_cut",
+        F.min(F.when(F.col("_c") == conv_channel, F.col("_rn"))).over(wu),
+    ).filter(
+        F.col("_cut").isNull() | (F.col("_rn") <= F.col("_cut"))
+    )
+    wk = Window.partitionBy("_u").orderBy("_rn")
+    edges = (
+        cut.withColumn("_to", F.lead("_c").over(wk))
+        .filter(F.col("_c") != conv_channel)
+        .select(
+            F.col("_c").alias("f"),
+            F.coalesce("_to", F.lit("END")).alias("t"),
+        )
+    )
+    starts = cut.filter(F.col("_rn") == 1).select(
+        F.lit("START").alias("f"), F.col("_c").alias("t")
+    )
+    counts = {
+        (r["f"], r["t"]): r["n"]
+        for r in edges.unionByName(starts)
+        .groupBy("f", "t").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    froms = ["START"] + channels
+    totals = {
+        s: sum(counts.get((s, t2), 0) for t2 in
+               channels + [conv_channel, "END"])
+        for s in froms
+    }
+    T = {
+        s: [
+            (counts.get((s, t2), 0) / totals[s]) if totals[s] else 0.0
+            for t2 in channels
+        ]
+        for s in froms
+    }
+    B = {
+        s: (counts.get((s, conv_channel), 0) / totals[s])
+        if totals[s] else 0.0
+        for s in froms
+    }
+
+    def solve(removed: str | None) -> float:
+        # column mask: edges INTO `removed` are cut
+        mask = [0.0 if c == removed else 1.0 for c in channels]
+        p = [0.0] * len(channels)
+        for _ in range(iters):
+            nxt = []
+            for s in channels:
+                acc = 0.0
+                for j in range(len(channels)):
+                    acc = acc + T[s][j] * mask[j] * p[j]
+                nxt.append(acc + B[s])
+            p = nxt
+        acc = 0.0
+        for j in range(len(channels)):
+            acc = acc + T["START"][j] * mask[j] * p[j]
+        return acc + B["START"]
+
+    p_full = solve(None)
+    effects = {c: 1.0 - (solve(c) / p_full if p_full else 0.0)
+               for c in channels}
+    tot = sum(effects[c] for c in channels)
+    rows = [
+        (
+            c,
+            round(effects[c], 6),
+            round(effects[c] / tot, 6) if tot else None,
+            round(p_full, 6),
+        )
+        for c in channels
+    ]
+    return spark.createDataFrame(
+        rows, "channel string, removal_effect double, "
+        "attribution_share double, p_conv_full double"
+    )

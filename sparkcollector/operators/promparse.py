@@ -1871,3 +1871,39 @@ def nginx_error_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
         opt(r', request: "(\w+) ').alias("ngx_method"),
         opt(r', request: "\w+ ([^ "]+)').alias("ngx_path"),
     )
+
+
+POSTFIX_RE = r"^postfix/(\w+)\[(\d+)\]: ([0-9A-F]+): "
+
+
+def postfix_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse Postfix MTA queue-manager/smtp log lines.
+
+    The mail-flow grammar SIEM ingest pipelines chew constantly:
+    ``postfix/<proc>[pid]: QUEUEID: key=value, key=value ...`` with
+    the well-known keys to=<addr>, relay=host[ip]:port, delay=secs,
+    dsn=code, status=word (detail).  Header via one anchored regexp;
+    each key via its own keyed regexp so absent keys are NULL and
+    suffix order never matters (same discipline as
+    ``nginx_error_parse``).  Malformed lines yield NULL process.
+    """
+    line = F.col(line_col)
+    g = lambda i: F.regexp_extract(line, POSTFIX_RE, i)  # noqa: E731
+    ok = line.rlike(POSTFIX_RE)
+    keep = lambda c: F.when(ok, c)  # noqa: E731
+    opt = lambda pat: F.when(  # noqa: E731
+        ok & (F.regexp_extract(line, pat, 1) != ""),
+        F.regexp_extract(line, pat, 1),
+    )
+    return df.select(
+        "*",
+        keep(g(1)).alias("pf_proc"),
+        keep(g(2).cast("long")).alias("pf_pid"),
+        keep(g(3)).alias("pf_queue_id"),
+        opt(r"to=<([^>]*)>").alias("pf_to"),
+        opt(r"relay=(\S+?),").alias("pf_relay"),
+        opt(r"delay=([0-9.]+)").cast("double").alias("pf_delay"),
+        opt(r"dsn=([0-9.]+),").alias("pf_dsn"),
+        opt(r"status=(\w+)").alias("pf_status"),
+        opt(r"status=\w+ \(([^)]*)\)").alias("pf_status_detail"),
+    )

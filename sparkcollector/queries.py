@@ -21051,6 +21051,238 @@ def q_nginx_error_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _markov_attribution_oracle() -> str:
+    """Generate the markov_attribution oracle: the chain solve is a
+    FIXED 60-step iteration with fixed left-to-right summation, so the
+    SQL unrolls the same arithmetic the Spark driver loop runs —
+    bit-identical doubles, no convergence tolerance in the contract."""
+    CH = ["click", "view", "signup", "error"]
+    froms = ["start"] + CH
+    cells = []
+    for f in froms:
+        fv = "START" if f == "start" else f
+        for t in CH:
+            cells.append(
+                f"coalesce(sum(case when f = '{fv}' and t = '{t}' then n"
+                f" end) / cast(sum(case when f = '{fv}' then n end)"
+                f" as double), 0.0) as t_{f}_{t}"
+            )
+        cells.append(
+            f"coalesce(sum(case when f = '{fv}' and t = 'purchase' then n"
+            f" end) / cast(sum(case when f = '{fv}' then n end)"
+            f" as double), 0.0) as b_{f}"
+        )
+    tm_cols = []
+    for f in froms:
+        for t in CH:
+            tm_cols.append(
+                f"t_{f}_{t} * (case when variant = '{t}' then 0.0"
+                f" else 1.0 end) as tm_{f}_{t}"
+            )
+    carry = ", ".join(
+        [f"tm_{f}_{t}" for f in froms for t in CH]
+        + [f"b_{f}" for f in froms]
+    )
+    its = [
+        "it0 as (select variant, " + carry + ", "
+        + ", ".join(f"0.0 as p_{t}" for t in CH) + " from vm)"
+    ]
+    from .operators.analytics import MARKOV_ITERS
+
+    for k in range(1, MARKOV_ITERS + 1):
+        step = ", ".join(
+            " + ".join(f"tm_{s}_{t} * p_{t}" for t in CH)
+            + f" + b_{s} as p_{s}"
+            for s in CH
+        )
+        its.append(
+            f"it{k} as (select variant, {carry}, {step} from it{k - 1})"
+        )
+    last = f"it{MARKOV_ITERS}"
+    p_start = (
+        " + ".join(f"tm_start_{t} * p_{t}" for t in CH) + " + b_start"
+    )
+    piv = ", ".join(
+        f"max(case when variant = '{t}' then p end) as p_{t}" for t in CH
+    ) + ", max(case when variant = 'none' then p end) as pf"
+    eff = ", ".join(f"1.0 - p_{t} / pf as e_{t}" for t in CH)
+    etot = " + ".join(f"e_{t}" for t in CH)
+    sel = " union all ".join(
+        f"select '{t}' as channel, round(e_{t}, 6) as removal_effect,"
+        f" round(e_{t} / ({etot}), 6) as attribution_share,"
+        f" round(pf, 6) as p_conv_full from eff"
+        for t in CH
+    )
+    return f"""
+    with base as (select user_id as u, event_type as c,
+        row_number() over (partition by user_id
+          order by ts, event_id) as rn from events),
+    cutoff as (select *, min(case when c = 'purchase' then rn end)
+        over (partition by u) as cut from base),
+    kept as (select u, c, rn from cutoff
+      where cut is null or rn <= cut),
+    led as (select u, c,
+        lead(c) over (partition by u order by rn) as nxt from kept),
+    edges as (select c as f, coalesce(nxt, 'END') as t from led
+        where c <> 'purchase'
+      union all
+      select 'START' as f, c as t from kept where rn = 1),
+    cnt as (select f, t, count(*) as n from edges group by 1, 2),
+    probs as (select {", ".join(cells)} from cnt),
+    vm as (select variant, {", ".join(tm_cols)},
+        {", ".join("b_" + f for f in froms)}
+      from (values ('none'), ('click'), ('view'), ('signup'),
+            ('error')) as v(variant) cross join probs),
+    {", ".join(its)},
+    fin as (select variant, {p_start} as p from {last}),
+    piv as (select {piv} from fin),
+    eff as (select pf, {eff} from piv)
+    {sel}
+    """
+
+
+# ---------------------------------------------------------------------
+# 484. Markov removal-effect attribution — the chain-based member of
+#      the attribution family (vs last-touch heuristic and Shapley
+#      set-based): P(conv from START) drop when each channel's
+#      incoming edges are cut; fixed 60-step solve, bit-identical
+#      across engines.
+# ---------------------------------------------------------------------
+@register("markov_attribution", _markov_attribution_oracle())
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import markov_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_attribution(
+        ev, "user_id", ["ts", "event_id"], "event_type",
+        ["click", "view", "signup", "error"], "purchase",
+    )
+
+
+# ---------------------------------------------------------------------
+# 485. CDC log compaction: keyed change events (with replays via the
+#      %3 duplicate and tombstones via %17 deletes) -> latest
+#      surviving row per key; Debezium/Iceberg-upsert semantics over
+#      the checkpoint.py at-least-once replay contract.
+# ---------------------------------------------------------------------
+@register(
+    "cdc_compact",
+    """
+    with cdc as (
+      select user_id % 200 as k, event_id as ver,
+        case when event_id % 17 = 0 then 'D' else 'U' end as op,
+        cast(value as double) as payload
+      from events
+      union all
+      select user_id % 200 as k, event_id as ver,
+        case when event_id % 17 = 0 then 'D' else 'U' end as op,
+        cast(value as double) as payload
+      from events where event_id % 3 = 0),
+    r as (select *, row_number() over (partition by k
+        order by ver desc, op) as rn from cdc)
+    select k, ver, op, payload from r where rn = 1 and op <> 'D'
+    """,
+)
+def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .enrich import cdc_compact
+
+    ev = _t(spark, sf_dir, "events")
+    stream = ev.select(
+        (F.col("user_id") % 200).alias("k"),
+        F.col("event_id").alias("ver"),
+        F.when(F.col("event_id") % 17 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.col("value").cast("double").alias("payload"),
+    )
+    replayed = stream.unionByName(
+        stream.filter(F.col("ver") % 3 == 0)
+    )
+    return cdc_compact(replayed, ["k"], ["ver"], "op")
+
+
+# ---------------------------------------------------------------------
+# 486. Postfix MTA log parse — header + keyed optional fields
+#      (to/relay/delay/dsn/status); absent keys NULL, malformed lines
+#      NULL process.
+# ---------------------------------------------------------------------
+@register(
+    "postfix_parse",
+    """
+    with b as (select event_id, user_id, event_type, ts,
+        event_id % 20 = 0 as bad,
+        event_id % 2 = 0 as sent
+      from events)
+    select event_id,
+      case when bad then NULL
+           when event_type = 'error' then 'bounce'
+           else 'smtp' end as pf_proc,
+      case when bad then NULL else user_id % 900 end as pf_pid,
+      case when bad then NULL
+           else upper(substr(md5(cast(event_id as varchar)), 1, 10))
+           end as pf_queue_id,
+      case when bad then NULL
+           else 'u' || cast(user_id as varchar) || '@example.com'
+           end as pf_to,
+      case when bad or not sent then NULL
+           else 'mx' || cast(user_id % 4 as varchar)
+             || '.example.com[10.3.0.'
+             || cast(user_id % 50 as varchar) || ']:25' end as pf_relay,
+      case when bad then NULL
+           else round(cast(event_id % 500 as double) / 100, 2)
+           end as pf_delay,
+      case when bad then NULL
+           when sent then '2.0.0' else '4.4.1' end as pf_dsn,
+      case when bad then NULL
+           when sent then 'sent' else 'deferred' end as pf_status,
+      case when bad then NULL
+           when sent then '250 ok' else 'connection timed out'
+           end as pf_status_detail
+    from b
+    """,
+)
+def q_postfix_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import postfix_parse
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    proc = F.when(F.col("event_type") == "error", F.lit("bounce")).otherwise(
+        F.lit("smtp")
+    )
+    sent = eid % 2 == 0
+    qid = F.upper(F.substring(F.md5(eid.cast("string")), 1, 10))
+    relay = F.when(
+        sent,
+        F.concat(
+            F.lit("relay=mx"), (uid % 4).cast("string"),
+            F.lit(".example.com[10.3.0."), (uid % 50).cast("string"),
+            F.lit("]:25, "),
+        ),
+    ).otherwise(F.lit(""))
+    delay = F.round((eid % 500).cast("double") / 100, 2)
+    status = F.when(
+        sent, F.lit("dsn=2.0.0, status=sent (250 ok)")
+    ).otherwise(
+        F.lit("dsn=4.4.1, status=deferred (connection timed out)")
+    )
+    line = F.when(eid % 20 == 0, F.lit("bad line")).otherwise(
+        F.concat(
+            F.lit("postfix/"), proc, F.lit("["),
+            (uid % 900).cast("string"), F.lit("]: "), qid, F.lit(": to=<u"),
+            uid.cast("string"), F.lit("@example.com>, "), relay,
+            F.lit("delay="), delay.cast("string"), F.lit(", "), status,
+        )
+    )
+    parsed = postfix_parse(
+        ev.select("event_id", line.alias("line")), "line"
+    )
+    return parsed.select(
+        "event_id", "pf_proc",
+        F.col("pf_pid").cast("long").alias("pf_pid"),
+        "pf_queue_id", "pf_to", "pf_relay", "pf_delay", "pf_dsn",
+        "pf_status", "pf_status_detail",
+    )
+
+
 # ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50

@@ -3063,3 +3063,24 @@ def test_qini_positive_for_real_uplift(spark):
     assert out[3]["qini"] >= out[0]["qini"]
     assert abs(out[9]["qini"] - out[4]["qini"]) < 1e-6
     assert out[0]["uplift_rate"] > 0.9 and abs(out[9]["uplift_rate"]) < 0.01
+
+
+def test_markov_attribution_credits_the_gateway_channel(spark):
+    from sparkcollector.operators.analytics import markov_attribution
+
+    # every conversion path goes A -> B -> conv; C appears only on
+    # non-converting paths.  Removing A (or B) kills ALL conversions;
+    # removing C changes nothing.
+    rows = []
+    for i in range(50):
+        rows.append((f"c{i}", 1, "A")); rows.append((f"c{i}", 2, "B"))
+        rows.append((f"c{i}", 3, "purchase"))
+        rows.append((f"n{i}", 1, "C"))
+    df = spark.createDataFrame(rows, "u string, t int, ch string")
+    out = {r["channel"]: r for r in markov_attribution(
+        df, "u", ["t"], "ch", ["A", "B", "C"], "purchase").collect()}
+    assert out["A"]["removal_effect"] == 1.0
+    assert out["B"]["removal_effect"] == 1.0
+    assert out["C"]["removal_effect"] == 0.0
+    assert abs(out["A"]["attribution_share"] - 0.5) < 1e-9
+    assert out["A"]["p_conv_full"] == 0.5  # half the journeys convert

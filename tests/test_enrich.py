@@ -330,3 +330,26 @@ def test_nearest_poi_assigns_closest_with_tiebreak(spark):
     assert got[1]["poi"] == "nyc" and got[1]["poi_km"] == 0.0
     assert got[2]["poi"] == "lon" and got[2]["poi_km"] == 0.0
     assert got[3]["poi"] in ("nyc", "lon") and got[3]["poi_km"] > 1000
+
+
+def test_cdc_compact_tombstones_replays_out_of_order(spark):
+    from sparkcollector.enrich import cdc_compact
+
+    rows = [
+        # k=1: out-of-order arrivals; latest (v=5) is an update
+        (1, 3, "U", 30.0), (1, 5, "U", 50.0), (1, 4, "U", 40.0),
+        # k=2: latest is a delete -> key vanishes entirely
+        (2, 1, "I", 10.0), (2, 2, "D", None),
+        # k=3: replayed duplicate of the winning version
+        (3, 7, "U", 70.0), (3, 7, "U", 70.0), (3, 6, "I", 60.0),
+        # k=4: delete then a LATER re-insert resurrects the key
+        (4, 1, "D", None), (4, 2, "I", 20.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, ver int, op string, p double")
+    out = {r["k"]: r for r in cdc_compact(
+        df, ["k"], ["ver"], "op").collect()}
+    assert out[1]["ver"] == 5 and out[1]["p"] == 50.0
+    assert 2 not in out
+    assert out[3]["ver"] == 7 and out[3]["p"] == 70.0
+    assert out[4]["op"] == "I" and out[4]["p"] == 20.0
+    assert len(out) == 3

@@ -1043,3 +1043,29 @@ def test_nginx_error_parse_optional_fields(spark):
     assert bare["ngx_level"] == "WARN" and bare["ngx_client"] is None
     assert bare["ngx_msg"] == "low buffers"
     assert bad["ngx_level"] is None and bad["ngx_pid"] is None
+
+
+def test_postfix_parse_keys_and_malformed(spark):
+    from sparkcollector.operators.promparse import postfix_parse
+
+    lines = [
+        ("postfix/smtp[991]: 3A1B2C: to=<a@b.c>, "
+         "relay=mx.b.c[1.2.3.4]:25, delay=2.5, dsn=2.0.0, "
+         "status=sent (250 ok)",),
+        ("postfix/qmgr[7]: 44FF00: from=<x@y.z>, size=1024",),
+        ("sshd[1]: accepted password",),
+    ]
+    out = postfix_parse(
+        spark.createDataFrame(lines, ["line"]), "line"
+    ).collect()
+    smtp, qmgr, other = out
+    assert smtp["pf_proc"] == "smtp" and smtp["pf_pid"] == 991
+    assert smtp["pf_to"] == "a@b.c"
+    assert smtp["pf_relay"] == "mx.b.c[1.2.3.4]:25"
+    assert smtp["pf_delay"] == 2.5 and smtp["pf_dsn"] == "2.0.0"
+    assert smtp["pf_status"] == "sent"
+    assert smtp["pf_status_detail"] == "250 ok"
+    # qmgr line: header parses, smtp-specific keys NULL
+    assert qmgr["pf_proc"] == "qmgr" and qmgr["pf_queue_id"] == "44FF00"
+    assert qmgr["pf_to"] is None and qmgr["pf_status"] is None
+    assert other["pf_proc"] is None
