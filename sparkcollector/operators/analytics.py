@@ -9563,3 +9563,196 @@ def markov_attribution(
         rows, "channel string, removal_effect double, "
         "attribution_share double, p_conv_full double"
     )
+
+
+def allan_variance(
+    df: DataFrame,
+    group_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    taus: list[int] = (1, 2, 4, 8),
+) -> DataFrame:
+    """Allan variance over averaging windows — oscillator-style
+    stability analysis for metric streams.
+
+    Classic variance cannot tell WHITE noise from DRIFT: it grows
+    without bound under random walk.  The Allan variance
+    sigma^2(tau) = 1/(2(M-1)) * sum (ybar_{k+1} - ybar_k)^2 over
+    means of consecutive tau-sized blocks separates them by its
+    tau-slope (white: -1, flicker: 0, random walk: +1) — the readout
+    clock-drift and rate-stability audits want (companions:
+    clock_drift OLS, burstiness_fano).
+
+    Per (group, tau): one block-mean aggregate + one lag window over
+    the BOUNDED block table; the raw series is touched once per tau
+    with tau fan-out = len(taus) map-side copies, never a cross join.
+    """
+    base = df.select(
+        *group_cols,
+        F.col(bucket_col).cast("long").alias("_b"),
+        F.col(value_col).cast("double").alias("_y"),
+    )
+    outs = None
+    for tau in taus:
+        blocks = base.groupBy(
+            *group_cols, (F.floor(F.col("_b") / tau)).alias("_blk")
+        ).agg(
+            F.avg("_y").alias("_m"), F.count(F.lit(1)).alias("_cnt")
+        ).filter(F.col("_cnt") == tau)  # complete blocks only
+        w = Window.partitionBy(*group_cols).orderBy("_blk")
+        d = blocks.withColumn("_prev", F.lag("_m").over(w)).filter(
+            F.col("_prev").isNotNull()
+        )
+        a = d.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("_pairs"),
+            F.sum(
+                (F.col("_m") - F.col("_prev"))
+                * (F.col("_m") - F.col("_prev"))
+            ).alias("_ss"),
+        ).select(
+            *group_cols,
+            F.lit(tau).alias("tau"),
+            (F.col("_pairs") + 1).alias("n_blocks"),
+            F.round(F.col("_ss") / (2 * F.col("_pairs")), 6).alias("avar"),
+        )
+        outs = a if outs is None else outs.unionByName(a)
+    return outs
+
+
+def dtw_profile_distance(
+    df: DataFrame,
+    group_col: str,
+    slot_col: str,
+    value_col: str,
+    n_slots: int = 24,
+) -> DataFrame:
+    """Dynamic-time-warping distance between per-group slot profiles —
+    the alignment-tolerant curve metric Spark lacks.
+
+    Euclidean distance between two daily shapes calls a 1-hour phase
+    shift a big difference; DTW warps the time axis and charges only
+    the true shape gap — the right metric for "do these services
+    breathe alike?" clustering.  The full O(S^2) DP runs IN-ROW as a
+    nested fold (Catalyst ``aggregate`` HOF outer over rows of the
+    cost matrix, inner over columns carrying the growing row — the
+    same fold-as-state-machine trick as the varint decoder), with S
+    bounded by the slot count (24), so the pairwise table is
+    |groups|^2/2 tiny rows and the plan has no Python anywhere.
+
+    Profiles are share-normalized and rounded to 9dp BEFORE the DP so
+    both engines fold identical doubles.
+    """
+    shares = (
+        df.groupBy(group_col, F.col(slot_col).cast("int").alias("_s"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w_tot = Window.partitionBy(group_col)
+    prof = (
+        shares.withColumn(
+            "_share",
+            F.round(F.col("_n") / F.sum("_n").over(w_tot), 9),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_s"), F.col("_share")))
+                ),
+                lambda e: e["_share"],
+            ).alias("_prof"),
+            F.count(F.lit(1)).alias("_slots"),
+        )
+        .filter(F.col("_slots") == n_slots)
+    )
+    a = prof.select(
+        F.col(group_col).alias("g_a"), F.col("_prof").alias("_pa")
+    )
+    b = prof.select(
+        F.col(group_col).alias("g_b"), F.col("_prof").alias("_pb")
+    )
+    pairs = a.join(b, F.col("g_a") < F.col("g_b"))
+    inf = "cast(1e18 as double)"
+    init = (
+        f"concat(array(cast(0.0 as double)), transform(sequence(1, {n_slots}),"
+        f" x -> {inf}))"
+    )
+    dp = (
+        f"aggregate(sequence(1, {n_slots}), {init},"
+        f" (prev, i) -> aggregate(sequence(1, {n_slots}),"
+        f" array({inf}),"
+        " (cur, j) -> concat(cur, array("
+        "abs(try_element_at(_pa, i) - try_element_at(_pb, j))"
+        " + least(try_element_at(prev, j), try_element_at(prev, j + 1),"
+        " try_element_at(cur, -1))))))"
+    )
+    return pairs.select(
+        "g_a", "g_b",
+        F.round(
+            F.expr(f"try_element_at({dp}, {n_slots + 1})"), 6
+        ).alias("dtw_dist"),
+    )
+
+
+def kalman_level(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    q: float = 0.05,
+    r: float = 1.0,
+    p0: float = 1.0,
+) -> DataFrame:
+    """1-D Kalman level filter per series — sequential state as a fold.
+
+    The optimal (under Gaussian noise) online smoother: per point,
+    gain k = p/(p+r), level += k·(x − level), p = (1−k)·p + q.  A
+    sequential recurrence has no window-function form, but per SERIES
+    it is exactly a fold: collect the ordered series (bounded — this
+    runs on rollup series like hourly counts, not raw events; the
+    contract documented here is |series| <= ~10^4) and run the
+    recurrence IN-ROW with the ``aggregate`` HOF, emitting the
+    filtered level per point.  One exchange on the series key; the
+    fold is identical expression structure in Spark and DuckDB
+    (list_reduce), so outputs are bit-identical.
+
+    Returns one row per input point: order value, raw x, filtered
+    level (round 6).
+    """
+    base = df.select(
+        *group_cols,
+        F.col(order_col).cast("long").alias("_o"),
+        F.col(value_col).cast("double").alias("_x"),
+    )
+    ser = base.groupBy(*group_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_o", "_x"))),
+            lambda e: e["_x"],
+        ).alias("_xs"),
+        F.array_sort(F.collect_list("_o")).alias("_os"),
+    )
+    # The first element seeds the state (lvl = x0, emitted as-is); the
+    # 'first' flag makes the fold skip re-processing the seed point.
+    fold = (
+        "aggregate(_xs,"
+        f" named_struct('lvl', cast(_xs[0] as double), 'p',"
+        f" cast({p0} as double), 'out', array(cast(_xs[0] as double)),"
+        " 'first', true),"
+        " (acc, x) -> case when acc.first then"
+        " named_struct('lvl', acc.lvl, 'p', acc.p, 'out', acc.out,"
+        " 'first', false) else"
+        f" named_struct("
+        f" 'lvl', acc.lvl + (acc.p / (acc.p + {r})) * (x - acc.lvl),"
+        f" 'p', (1.0 - acc.p / (acc.p + {r})) * acc.p + {q},"
+        f" 'out', concat(acc.out, array(acc.lvl"
+        f" + (acc.p / (acc.p + {r})) * (x - acc.lvl))),"
+        " 'first', false) end)"
+    )
+    folded = ser.withColumn("_levels", F.expr(fold).getField("out"))
+    return folded.select(
+        *group_cols,
+        F.posexplode(F.arrays_zip("_os", "_levels")).alias("_i", "_z"),
+    ).select(
+        *group_cols,
+        F.col("_z._os").alias(order_col),
+        F.round(F.col("_z._levels"), 6).alias("kalman_level"),
+    )

@@ -21284,6 +21284,142 @@ def q_postfix_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 487. Allan variance of the hourly event-rate series per event_type
+#      over averaging windows tau = 1,2,4,8 — separates white noise
+#      from drift by tau-slope (clock/rate stability readout).
+# ---------------------------------------------------------------------
+@register(
+    "allan_variance",
+    """
+    with s as (select event_type,
+        cast(floor(epoch(ts) / 3600) as bigint) as b,
+        cast(count(*) as double) as y
+      from events group by 1, 2),
+    taus as (select * from (values (1), (2), (4), (8)) as t(tau)),
+    blocks as (select event_type, tau, b // tau as blk,
+        avg(y) as m, count(*) as cnt
+      from s cross join taus group by 1, 2, 3),
+    lagged as (select *, lag(m) over (partition by event_type, tau
+        order by blk) as prev
+      from blocks where cnt = tau),
+    pairs as (select event_type, tau,
+        count(*) as npairs, sum((m - prev) * (m - prev)) as ss
+      from lagged where prev is not null group by 1, 2)
+    select event_type, tau, cast(npairs + 1 as bigint) as n_blocks,
+      round(ss / (2 * npairs), 6) as avar
+    from pairs
+    """,
+)
+def q_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import allan_variance
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).alias("b"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return allan_variance(series, ["event_type"], "b", "y")
+
+
+def _dtw_oracle(n: int = 24) -> str:
+    """DTW oracle: the DP fills cells in the same (i, j) order with
+    the same formula as the Spark nested fold — one recursive CTE
+    appending one flattened cell per step, bit-identical doubles."""
+    return f"""
+    with recursive s as (select event_type, hour(ts) as h,
+        cast(count(*) as bigint) as n from events group by 1, 2),
+    shr as (select event_type, h,
+        round(n / cast(sum(n) over (partition by event_type)
+                       as double), 9) as sh from s),
+    prof as (select event_type,
+        list_transform(list_sort(list(struct_pack(h := h, sh := sh))),
+          e -> e.sh) as p,
+        count(*) as slots
+      from shr group by event_type),
+    pp as (select * from prof where slots = {n}),
+    pairs as (select a.event_type as g_a, b.event_type as g_b,
+        a.p as pa, b.p as pb
+      from pp a join pp b on a.event_type < b.event_type),
+    dp as (
+      select g_a, g_b, pa, pb, 0 as k,
+        cast([] as double[]) as d from pairs
+      union all
+      select g_a, g_b, pa, pb, k + 1,
+        list_append(d,
+          abs(pa[(k // {n}) + 1] - pb[(k % {n}) + 1]) + least(
+            case when (k // {n}) = 0 and (k % {n}) = 0
+                 then 0.0
+                 when (k // {n}) = 0 or (k % {n}) = 0
+                 then cast(1e18 as double)
+                 else d[(k // {n} - 1) * {n} + (k % {n})] end,
+            case when (k // {n}) = 0 then cast(1e18 as double)
+                 else d[(k // {n} - 1) * {n} + (k % {n}) + 1] end,
+            case when (k % {n}) = 0 then cast(1e18 as double)
+                 else d[k] end))
+      from dp where k < {n * n})
+    select g_a, g_b, round(d[{n * n}], 6) as dtw_dist
+    from dp where k = {n * n}
+    """
+
+
+# ---------------------------------------------------------------------
+# 488. DTW distance between hourly activity profiles of event types —
+#      the alignment-tolerant curve metric, full O(24^2) DP in-row as
+#      a nested Catalyst fold; oracle replays the identical cell order
+#      via a recursive CTE.
+# ---------------------------------------------------------------------
+@register("dtw_profile_distance", _dtw_oracle(24))
+def q_dtw_profile_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import dtw_profile_distance
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("h")
+    )
+    return dtw_profile_distance(ev, "event_type", "h", "h", n_slots=24)
+
+
+# ---------------------------------------------------------------------
+# 489. 1-D Kalman level filter over the hourly count series per
+#      event_type — sequential state as an in-row fold (Spark) vs a
+#      recursive CTE (oracle), identical arithmetic order.
+# ---------------------------------------------------------------------
+@register(
+    "kalman_level",
+    """
+    with recursive s as (select event_type as g,
+        cast(floor(epoch(ts) / 3600) as bigint) as o,
+        cast(count(*) as double) as x
+      from events group by 1, 2),
+    v as (select *, row_number() over (partition by g order by o)
+        as rn from s),
+    k as (
+      select g, rn, o, x, x as lvl, cast(1.0 as double) as p
+        from v where rn = 1
+      union all
+      select v.g, v.rn, v.o, v.x,
+        k.lvl + (k.p / (k.p + cast(1.0 as double)))
+          * (v.x - k.lvl) as lvl,
+        (cast(1.0 as double) - k.p / (k.p + cast(1.0 as double)))
+          * k.p + cast(0.05 as double) as p
+      from k join v on v.g = k.g and v.rn = k.rn + 1)
+    select g as event_type, o as b, round(lvl, 6) as kalman_level
+    from k
+    """,
+)
+def q_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import kalman_level
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).alias("b"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    return kalman_level(
+        series, ["event_type"], "b", "x", q=0.05, r=1.0, p0=1.0
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -3084,3 +3084,59 @@ def test_markov_attribution_credits_the_gateway_channel(spark):
     assert out["C"]["removal_effect"] == 0.0
     assert abs(out["A"]["attribution_share"] - 0.5) < 1e-9
     assert out["A"]["p_conv_full"] == 0.5  # half the journeys convert
+
+
+def test_allan_variance_separates_white_from_drift(spark):
+    from sparkcollector.operators.analytics import allan_variance
+
+    # white noise: avar halves per tau doubling; random walk: grows
+    rows = []
+    for b in range(256):
+        rows.append(("white", b, float((b * 2654435761) % 97) - 48.0))
+        rows.append(("walk", b, float(b)))  # pure drift
+    df = spark.createDataFrame(rows, "g string, b long, y double")
+    out = {(r["g"], r["tau"]): r["avar"] for r in allan_variance(
+        df, ["g"], "b", "y").collect()}
+    assert out[("white", 8)] < out[("white", 1)] / 3  # ~1/8 in theory
+    assert out[("walk", 8)] > out[("walk", 1)] * 10   # grows with tau
+    # pure linear drift: avar(tau) = tau^2 exactly
+    assert abs(out[("walk", 1)] - 0.5) < 1e-9
+    assert abs(out[("walk", 2)] - 2.0) < 1e-9
+
+
+def test_dtw_tolerates_phase_shift(spark):
+    from sparkcollector.operators.analytics import dtw_profile_distance
+
+    # B is A shifted by one slot; C is a different shape.  Euclid
+    # would punish B; DTW must rank B far closer to A than C.
+    rows = []
+    for s in range(24):
+        peak_a = 5 if s == 10 else 1
+        peak_b = 5 if s == 11 else 1
+        peak_c = 5 if s in (2, 20) else 1
+        rows += [("A", s)] * peak_a + [("B", s)] * peak_b
+        rows += [("C", s)] * peak_c
+    df = spark.createDataFrame(rows, "g string, h int")
+    out = {(r["g_a"], r["g_b"]): r["dtw_dist"] for r in
+           dtw_profile_distance(df, "g", "h", "h").collect()}
+    assert out[("A", "B")] < out[("A", "C")] / 2
+    assert out[("A", "B")] < 0.08
+
+
+def test_kalman_level_converges_and_smooths(spark):
+    from sparkcollector.operators.analytics import kalman_level
+
+    # constant signal with one glitch: filter stays near 10 and the
+    # glitch is damped by the converged (small) gain
+    vals = [10.0] * 30
+    vals[20] = 30.0
+    df = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(vals)],
+        "g string, o int, x double",
+    )
+    out = {r["o"]: r["kalman_level"] for r in kalman_level(
+        df, ["g"], "o", "x").collect()}
+    assert out[0] == 10.0
+    assert abs(out[19] - 10.0) < 1e-6
+    assert 10.0 < out[20] < 16.0       # damped, not swallowed whole
+    assert abs(out[29] - 10.0) < 1.0   # recovers
