@@ -9756,3 +9756,186 @@ def kalman_level(
         F.col("_z._os").alias(order_col),
         F.round(F.col("_z._levels"), 6).alias("kalman_level"),
     )
+
+
+def linear_counting(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    m: int = 4096,
+) -> DataFrame:
+    """Linear (bitmap) counting — the small-cardinality sketch that
+    beats HLL where HLL is weakest.
+
+    HLL (see ``hll_distinct``) has ~2%% error but a biased low range;
+    linear counting hashes keys into an m-slot bitmap and estimates
+    n_hat = -m · ln(V/m) from the EMPTY-slot fraction V/m — near-exact
+    while the bitmap is sparse, and the two sketches compose into the
+    standard hybrid.  The bitmap is just ``count_distinct(bucket)``
+    over the portable md5 bucket (the repo's hash convention, so any
+    engine reproduces the occupancy bit-for-bit); one exchange, m
+    bounded state per group, mergeable by construction (bitmap OR =
+    distinct-union of occupied slots).
+    """
+    from .telemetry import sample_bucket
+
+    occ = df.groupBy(*group_cols).agg(
+        F.count_distinct(
+            sample_bucket(F.col(key_col), m)
+        ).alias("_occupied"),
+        F.count_distinct(F.col(key_col)).alias("exact_distinct"),
+    )
+    v = (F.lit(m) - F.col("_occupied")) / F.lit(float(m))
+    est = F.when(
+        F.col("_occupied") < m, F.round(-m * F.log(v), 2)
+    )  # saturated bitmap -> NULL (caller escalates to HLL)
+    return occ.select(
+        *group_cols,
+        F.col("_occupied").alias("occupied_slots"),
+        est.alias("lc_estimate"),
+        "exact_distinct",
+    )
+
+
+def fellegi_sunter(
+    pairs: DataFrame,
+    label_col: str,
+    agree_cols: list[str],
+) -> DataFrame:
+    """Fellegi-Sunter record-linkage weights from labeled candidate
+    pairs.
+
+    The probabilistic-matching layer over blocking (see
+    ``soundex_block``-style candidates): for every compared field,
+    m = P(agree | match) and u = P(agree | non-match) give the
+    log-likelihood weights w_agree = log2(m/u) and
+    w_disagree = log2((1−m)/(1−u)); a pair's match score is the sum
+    over fields.  High-m/low-u fields (an id-like column) dominate;
+    noisy fields contribute near-zero — learned, not hand-tuned.
+
+    One aggregate over the pairs table per field (conditional means —
+    a single pass emits all fields), output 1 row per field.  Laplace
+    smoothing (+1/+2) keeps weights finite when a field is perfect.
+    """
+    lab = F.col(label_col).cast("double")
+    aggs = []
+    for c in agree_cols:
+        a = F.col(c).cast("double")
+        aggs += [
+            ((F.sum(a * lab) + 1) / (F.sum(lab) + 2)).alias(f"_m_{c}"),
+            ((F.sum(a * (1 - lab)) + 1)
+             / (F.sum(1 - lab) + 2)).alias(f"_u_{c}"),
+        ]
+    wide = pairs.agg(*aggs)
+    rows = None
+    for c in agree_cols:
+        m_, u_ = F.col(f"_m_{c}"), F.col(f"_u_{c}")
+        r = wide.select(
+            F.lit(c).alias("field"),
+            F.round(m_, 6).alias("m_prob"),
+            F.round(u_, 6).alias("u_prob"),
+            F.round(F.log2(m_ / u_), 6).alias("w_agree"),
+            F.round(F.log2((1 - m_) / (1 - u_)), 6).alias("w_disagree"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+def _det4(a) -> str:
+    """4x4 determinant by explicit permutation expansion — the SAME
+    generated text runs in Spark and DuckDB, so the fold order of the
+    24 terms is fixed by construction.  ``a[i][j]`` are SQL column
+    names."""
+    from itertools import permutations
+
+    terms = []
+    for perm in permutations(range(4)):
+        inv = sum(
+            1
+            for x in range(4)
+            for y in range(x + 1, 4)
+            if perm[x] > perm[y]
+        )
+        sign = "-" if inv % 2 else "+"
+        prod = " * ".join(a[i][perm[i]] for i in range(4))
+        terms.append(f"{sign} {prod}")
+    return "(" + " ".join(terms) + ")"
+
+
+def harmonic_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    period: int = 24,
+) -> DataFrame:
+    """Multi-feature OLS in closed form: y ~ 1 + trend + sin + cos.
+
+    ``ols_trend`` fits the slope; capacity planning over daily-cyclic
+    log volume needs trend AND the diurnal harmonic in one model.
+    The normal equations are solved by CRAMER'S RULE with the 4x4
+    determinants expanded as generated expressions (fixed term order
+    — both engines run the identical text, see ``_det4``), so the
+    whole fit is one power-sum aggregate plus in-row arithmetic:
+    no matrix library, no iteration, no Python, one exchange.
+
+    Features are bounded (trend scaled by period, harmonics in
+    [-1,1]) to keep the system well-conditioned.  Outputs the four
+    coefficients and R^2 per group.
+    """
+    two_pi = 6.283185307179586
+    b = F.col(bucket_col).cast("double")
+    wmin = Window.partitionBy(*group_cols)
+    t = (b - F.min(b).over(wmin)) / F.lit(float(period))
+    ang = two_pi * (F.pmod(b, F.lit(period)) / F.lit(float(period)))
+    base = df.select(
+        *group_cols,
+        F.lit(1.0).alias("x0"),
+        t.alias("x1"),
+        F.sin(ang).alias("x2"),
+        F.cos(ang).alias("x3"),
+        F.col(value_col).cast("double").alias("y"),
+    )
+    names = ["x0", "x1", "x2", "x3"]
+    sums = []
+    for i in range(4):
+        for j in range(i, 4):
+            sums.append(
+                F.sum(F.col(names[i]) * F.col(names[j])).alias(
+                    f"s{i}{j}"
+                )
+            )
+        sums.append(
+            F.sum(F.col(names[i]) * F.col("y")).alias(f"sy{i}")
+        )
+    sums += [
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").alias("sy"),
+    ]
+    agg = base.groupBy(*group_cols).agg(*sums)
+
+    def cell(i, j):
+        return f"s{min(i, j)}{max(i, j)}"
+
+    A = [[cell(i, j) for j in range(4)] for i in range(4)]
+    det_a = _det4(A)
+    betas = []
+    for k in range(4):
+        Ak = [
+            [f"sy{i}" if j == k else A[i][j] for j in range(4)]
+            for i in range(4)
+        ]
+        betas.append(f"({_det4(Ak)}) / ({det_a})")
+    sel = [F.col(c) for c in group_cols]
+    for k in range(4):
+        sel.append(F.round(F.expr(betas[k]), 6).alias(f"beta{k}"))
+    # R^2 = 1 - SSE/SST with SSE = syy - sum_k beta_k * sy_k
+    sse = "syy - (" + " + ".join(
+        f"(({_det4([[f'sy{i}' if j == k else A[i][j] for j in range(4)] for i in range(4)])}) / ({det_a})) * sy{k}"  # noqa: E501
+        for k in range(4)
+    ) + ")"
+    sst = "syy - sy * sy / n"
+    sel.append(F.round(F.expr(f"1.0 - ({sse}) / ({sst})"), 6).alias("r2"))
+    sel.append(F.col("n").cast("bigint").alias("n_points"))
+    return agg.select(*sel)

@@ -21420,6 +21420,168 @@ def q_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 490. Linear (bitmap) counting of distinct users per event_type —
+#      the small-cardinality sketch that complements hll_distinct;
+#      portable md5 bucket so the occupancy matches bit-for-bit.
+# ---------------------------------------------------------------------
+@register(
+    "linear_counting",
+    """
+    with o as (select event_type,
+        count(distinct cast(('0x' || substr(md5(cast(user_id
+          as varchar)), 1, 8)) as bigint) % 4096) as occupied_slots,
+        count(distinct user_id) as exact_distinct
+      from events group by 1)
+    select event_type, occupied_slots,
+      case when occupied_slots < 4096
+        then round(-4096 * ln((4096 - occupied_slots) / 4096.0), 2)
+        end as lc_estimate,
+      exact_distinct
+    from o
+    """,
+)
+def q_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import linear_counting
+
+    ev = _t(spark, sf_dir, "events")
+    return linear_counting(ev, ["event_type"], "user_id", m=4096)
+
+
+# ---------------------------------------------------------------------
+# 491. Fellegi-Sunter record-linkage weights: blocked A x B candidate
+#      pairs (even/odd event split, user_id%200 blocks) with an
+#      id-derived exact field, a weak 7-valued field, and a noise
+#      field; m/u learned per field with Laplace smoothing.
+# ---------------------------------------------------------------------
+@register(
+    "fellegi_sunter",
+    """
+    with a as (select user_id, event_id, user_id % 200 as blk
+        from events where event_id % 2 = 0),
+    b as (select user_id, event_id, user_id % 200 as blk
+        from events where event_id % 2 = 1),
+    p as (select
+        case when a.user_id = b.user_id then 1.0 else 0.0 end as lab,
+        case when a.user_id = b.user_id then 1.0 else 0.0 end as name_agree,
+        case when a.user_id % 7 = b.user_id % 7 then 1.0 else 0.0 end
+          as city_agree,
+        case when a.event_id % 3 = b.event_id % 3 then 1.0 else 0.0 end
+          as noise_agree
+      from a join b using (blk)),
+    w as (select
+        (sum(name_agree * lab) + 1) / (sum(lab) + 2) as m_name,
+        (sum(name_agree * (1 - lab)) + 1) / (sum(1 - lab) + 2) as u_name,
+        (sum(city_agree * lab) + 1) / (sum(lab) + 2) as m_city,
+        (sum(city_agree * (1 - lab)) + 1) / (sum(1 - lab) + 2) as u_city,
+        (sum(noise_agree * lab) + 1) / (sum(lab) + 2) as m_noise,
+        (sum(noise_agree * (1 - lab)) + 1) / (sum(1 - lab) + 2) as u_noise
+      from p)
+    select 'name_agree' as field, round(m_name, 6) as m_prob,
+      round(u_name, 6) as u_prob,
+      round(log2(m_name / u_name), 6) as w_agree,
+      round(log2((1 - m_name) / (1 - u_name)), 6) as w_disagree from w
+    union all
+    select 'city_agree', round(m_city, 6), round(u_city, 6),
+      round(log2(m_city / u_city), 6),
+      round(log2((1 - m_city) / (1 - u_city)), 6) from w
+    union all
+    select 'noise_agree', round(m_noise, 6), round(u_noise, 6),
+      round(log2(m_noise / u_noise), 6),
+      round(log2((1 - m_noise) / (1 - u_noise)), 6) from w
+    """,
+)
+def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import fellegi_sunter
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("user_id").alias("ua"), F.col("event_id").alias("ea"),
+        (F.col("user_id") % 200).alias("blk"),
+    )
+    b = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.col("user_id").alias("ub"), F.col("event_id").alias("eb"),
+        (F.col("user_id") % 200).alias("blk"),
+    )
+    pairs = a.join(b, "blk").select(
+        (F.col("ua") == F.col("ub")).cast("double").alias("label"),
+        (F.col("ua") == F.col("ub")).cast("double").alias("name_agree"),
+        (F.col("ua") % 7 == F.col("ub") % 7).cast("double")
+        .alias("city_agree"),
+        (F.col("ea") % 3 == F.col("eb") % 3).cast("double")
+        .alias("noise_agree"),
+    )
+    return fellegi_sunter(
+        pairs, "label", ["name_agree", "city_agree", "noise_agree"]
+    )
+
+
+def _harmonic_ols_oracle() -> str:
+    """Oracle for harmonic_ols: the SAME generated Cramer expansion
+    text (fixed 24-term order per determinant) over the same power
+    sums — see analytics._det4."""
+    from .operators.analytics import _det4
+
+    def cell(i, j):
+        return f"s{min(i, j)}{max(i, j)}"
+
+    A = [[cell(i, j) for j in range(4)] for i in range(4)]
+    det_a = _det4(A)
+    betas = [
+        f"({_det4([[f'sy{i}' if j == k else A[i][j] for j in range(4)] for i in range(4)])}) / ({det_a})"  # noqa: E501
+        for k in range(4)
+    ]
+    sse = "syy - (" + " + ".join(
+        f"({betas[k]}) * sy{k}" for k in range(4)
+    ) + ")"
+    sums = []
+    names = ["x0", "x1", "x2", "x3"]
+    for i in range(4):
+        for j in range(i, 4):
+            sums.append(f"sum({names[i]} * {names[j]}) as s{i}{j}")
+        sums.append(f"sum({names[i]} * y) as sy{i}")
+    sums += ["sum(y * y) as syy", "cast(count(*) as double) as n",
+             "sum(y) as sy"]
+    return f"""
+    with s as (select event_type,
+        cast(floor(epoch(ts) / 3600) as bigint) as b,
+        cast(count(*) as double) as y from events group by 1, 2),
+    f as (select event_type, y,
+        cast(1.0 as double) as x0,
+        (cast(b as double) - min(cast(b as double))
+           over (partition by event_type)) / 24.0 as x1,
+        sin(6.283185307179586 * ((b % 24) / 24.0)) as x2,
+        cos(6.283185307179586 * ((b % 24) / 24.0)) as x3
+      from s),
+    agg as (select event_type, {", ".join(sums)}
+      from f group by event_type)
+    select event_type,
+      round({betas[0]}, 6) as beta0, round({betas[1]}, 6) as beta1,
+      round({betas[2]}, 6) as beta2, round({betas[3]}, 6) as beta3,
+      round(1.0 - ({sse}) / (syy - sy * sy / n), 6) as r2,
+      cast(n as bigint) as n_points
+    from agg
+    """
+
+
+# ---------------------------------------------------------------------
+# 492. Harmonic OLS (y ~ 1 + trend + sin + cos) on hourly log volume
+#      per event_type — closed-form Cramer solve with generated
+#      fixed-order determinant expansion; no matrix library, no
+#      iteration, one power-sum exchange.
+# ---------------------------------------------------------------------
+@register("harmonic_ols_forecast", _harmonic_ols_oracle())
+def q_harmonic_ols_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import harmonic_ols
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).alias("b"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return harmonic_ols(series, ["event_type"], "b", "y", period=24)
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

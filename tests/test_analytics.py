@@ -3140,3 +3140,66 @@ def test_kalman_level_converges_and_smooths(spark):
     assert abs(out[19] - 10.0) < 1e-6
     assert 10.0 < out[20] < 16.0       # damped, not swallowed whole
     assert abs(out[29] - 10.0) < 1.0   # recovers
+
+
+def test_linear_counting_accuracy_in_sparse_regime(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import linear_counting
+
+    df = spark.createDataFrame(
+        [("g", i % 700) for i in range(5000)], "g string, k long"
+    )
+    r = linear_counting(df, ["g"], "k", m=4096).collect()[0]
+    assert r["exact_distinct"] == 700
+    # sparse bitmap: estimate within ~3% of truth
+    assert abs(r["lc_estimate"] - 700) < 25
+    # saturated bitmap -> NULL (escalate to HLL)
+    big = spark.createDataFrame(
+        [("g", i) for i in range(60000)], "g string, k long"
+    )
+    assert linear_counting(big, ["g"], "k", m=64).collect()[0][
+        "lc_estimate"] is None
+
+
+def test_fellegi_sunter_ranks_fields_by_information(spark):
+    from sparkcollector.operators.analytics import fellegi_sunter
+
+    rows = []
+    for i in range(2000):
+        match = i % 4 == 0
+        # id field: perfect; weak field agrees 30% on non-matches;
+        # noise agrees half the time regardless
+        rows.append((
+            1.0 if match else 0.0,
+            1.0 if match else 0.0,
+            1.0 if (match or i % 10 < 3) else 0.0,
+            1.0 if i % 3 == 0 else 0.0,  # %3 independent of %4 label
+        ))
+    df = spark.createDataFrame(rows, "label double, f_id double, "
+                               "f_weak double, f_noise double")
+    out = {r["field"]: r for r in fellegi_sunter(
+        df, "label", ["f_id", "f_weak", "f_noise"]).collect()}
+    assert out["f_id"]["w_agree"] > out["f_weak"]["w_agree"] > 0
+    assert abs(out["f_noise"]["w_agree"]) < 0.3   # uninformative
+    assert out["f_id"]["w_disagree"] < -5         # disagree kills match
+
+
+def test_harmonic_ols_recovers_planted_coefficients(spark):
+    import math
+
+    from sparkcollector.operators.analytics import harmonic_ols
+
+    # y = 10 + 3*t/24 + 2 sin + 0.5 cos, noiseless
+    rows = []
+    for b in range(24 * 14):
+        ang = 2 * math.pi * ((b % 24) / 24.0)
+        y = 10 + 3 * (b / 24.0) + 2 * math.sin(ang) + 0.5 * math.cos(ang)
+        rows.append(("g", b, y))
+    df = spark.createDataFrame(rows, "g string, b long, y double")
+    r = harmonic_ols(df, ["g"], "b", "y", period=24).collect()[0]
+    assert abs(r["beta0"] - 10) < 1e-6
+    assert abs(r["beta1"] - 3) < 1e-6
+    assert abs(r["beta2"] - 2) < 1e-6
+    assert abs(r["beta3"] - 0.5) < 1e-6
+    assert r["r2"] == 1.0
