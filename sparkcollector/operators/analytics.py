@@ -9939,3 +9939,102 @@ def harmonic_ols(
     sel.append(F.round(F.expr(f"1.0 - ({sse}) / ({sst})"), 6).alias("r2"))
     sel.append(F.col("n").cast("bigint").alias("n_points"))
     return agg.select(*sel)
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+) -> DataFrame:
+    """Differentially-private noisy counts (Laplace mechanism) with a
+    seed-free portable noise draw.
+
+    Completes the privacy family (k_anonymity_audit / l_diversity /
+    t_closeness audit the DATA; this releases protected AGGREGATES):
+    count + Laplace(1/epsilon) noise per group.  The uniform draw
+    comes from the repo's portable md5 hash of the group key — a
+    DETERMINISTIC release (same table -> same noise), which is exactly
+    what a re-runnable pipeline wants: re-publishing must not spend
+    fresh privacy budget by re-drawing.
+
+    noise = -b·sign(u−½)·ln(1−2|u−½|), b = 1/epsilon; one aggregate
+    exchange, noise arithmetic in-row.  ``abs_err`` makes the
+    privacy/utility trade observable per group.
+    """
+    b = 1.0 / epsilon
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    agg = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        (
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+            + F.lit(0.5)
+        )
+        / F.lit(4294967296.0)
+    )
+    centered = u - 0.5
+    noise = (
+        -F.lit(b)
+        * F.signum(centered)
+        * F.log(1 - 2 * F.abs(centered))
+    )
+    return agg.select(
+        *group_cols,
+        F.col("n").alias("true_count"),
+        F.round(F.col("n") + noise, 6).alias("noisy_count"),
+        F.round(F.abs(noise), 6).alias("abs_err"),
+    )
+
+
+def quantile_normalize_sources(
+    df: DataFrame,
+    source_col: str,
+    value_col: str,
+    bucket_width: int = 50,
+) -> DataFrame:
+    """Quantile-normalize per-source distributions onto the pooled
+    distribution — batch-effect correction for heterogeneous feeds.
+
+    Two sources reporting the same metric with different gain/offset
+    poison any pooled threshold; quantile normalization maps each
+    source's value at percentile p to the POOLED value at p, after
+    which thresholds mean the same thing everywhere.  Everything runs
+    on BOUNDED bucket-CDF tables (floor-bucketed like ks_value_drift),
+    never row-level sorts: per-source CDF (midpoint convention
+    pr = (cum − n/2)/N), pooled CDF, and a step-function quantile
+    lookup via min-bucket-above join.  Output is one row per
+    (source, bucket): the mapping table a downstream select joins in.
+    """
+    v = F.floor(F.col(value_col) / bucket_width) * bucket_width
+    h = df.groupBy(source_col, v.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_src = Window.partitionBy(source_col).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy(source_col)
+    src = h.select(
+        source_col, "bucket", "cnt",
+        (
+            (F.sum("cnt").over(w_src) - F.col("cnt") / 2.0)
+            / F.sum("cnt").over(w_tot)
+        ).alias("pr"),
+    )
+    pooled = df.groupBy(v.alias("pb")).agg(F.count(F.lit(1)).alias("pc"))
+    w_p = Window.orderBy("pb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_pt = Window.partitionBy()
+    pcdf = pooled.select(
+        "pb",
+        (F.sum("pc").over(w_p) / F.sum("pc").over(w_pt)).alias("pcdf"),
+    )
+    # step-quantile: smallest pooled bucket whose CDF reaches pr
+    mapped = (
+        src.join(pcdf, F.col("pcdf") >= F.col("pr"))
+        .groupBy(source_col, "bucket", "cnt", "pr")
+        .agg(F.min("pb").alias("mapped_value"))
+    )
+    return mapped.select(
+        source_col, "bucket", "cnt",
+        F.round("pr", 6).alias("pr"), "mapped_value",
+    )

@@ -1462,3 +1462,70 @@ def pca_power_iteration(
         cols += f", v{i} double"
         out[0] = out[0] + (round(v[i], 4),)
     return spark.createDataFrame(out, cols)
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    lam: float = 0.7,
+    n_candidates: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking — similarity-aware
+    diversity for retrieval results.
+
+    ``diversified_topk`` caps per-source counts (a metadata proxy);
+    true MMR uses the EMBEDDINGS: greedily pick argmax of
+    lam*rel(d) − (1−lam)*max_{s∈S} sim(d, s) — each pick is penalized
+    by its similarity to what is already selected, so near-duplicate
+    hits can't crowd the context window (the RAG failure mode this
+    exists to stop).
+
+    Spark does the at-scale work: brute/ANN top-``n_candidates`` by
+    cosine (one pass over 10^12 vectors via ``cosine_topk``) and the
+    bounded candidate-pair similarity matrix.  The greedy selection is
+    k steps over an n_candidates-sized table — bounded driver math
+    (markov_attribution precedent) on 4dp-ROUNDED rel/sim values, so
+    any engine's greedy (same tie-break: score desc, id asc)
+    reproduces the exact pick sequence.
+
+    Returns (rank, id, rel) for the k selected items.
+    """
+    spark = df.sparkSession
+    cand = cosine_topk(
+        df, query_vec, k=n_candidates, vec_col=vec_col, id_col=id_col
+    ).select(id_col, "sim")
+    cvecs = cand.join(df.select(id_col, vec_col), id_col)
+    a = cvecs.select(
+        F.col(id_col).alias("ia"), F.col(vec_col).alias("va")
+    )
+    b = cvecs.select(
+        F.col(id_col).alias("ib"), F.col(vec_col).alias("vb")
+    )
+    pair_df = a.join(b, F.col("ia") != F.col("ib")).select(
+        "ia", "ib",
+        F.round(cosine_sim(F.col("va"), F.col("vb")), 4).alias("s"),
+    )
+    rels = {r[id_col]: r["sim"] for r in cand.collect()}
+    sims = {(r["ia"], r["ib"]): r["s"] for r in pair_df.collect()}
+    chosen: list = []
+    while len(chosen) < min(k, len(rels)):
+        best = None
+        for d, rel in rels.items():
+            if d in chosen:
+                continue
+            if chosen:
+                pen = max(sims[(d, s)] for s in chosen)
+                score = lam * rel - (1 - lam) * pen
+            else:
+                score = rel
+            key = (-score, d)
+            if best is None or key < best[0]:
+                best = (key, d)
+        chosen.append(best[1])
+    rows = [(i + 1, d, rels[d]) for i, d in enumerate(chosen)]
+    return spark.createDataFrame(
+        rows, f"rank int, {id_col} long, rel double"
+    )

@@ -21582,6 +21582,130 @@ def q_harmonic_ols_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 493. MMR re-ranking over the pinned query's top-20 cosine
+#      candidates (lam=0.7, k=5) — similarity-aware diversity, the
+#      RAG context-window guard; greedy picks on 4dp-rounded scores so
+#      both engines select the identical sequence.
+# ---------------------------------------------------------------------
+@register(
+    "mmr_rerank",
+    """
+    with recursive q as (select cast(embedding as double[]) as qv
+        from embeddings where vec_id = 0),
+    cand as (select vec_id, rel, embedding from (
+        select vec_id,
+          round(list_cosine_similarity(cast(embedding as double[]),
+            (select qv from q)), 4) as rel,
+          embedding,
+          row_number() over (order by
+            round(list_cosine_similarity(cast(embedding as double[]),
+              (select qv from q)), 4) desc, vec_id) as rn
+        from embeddings where vec_id <> 0) where rn <= 20),
+    sims as (select a.vec_id as ia, b.vec_id as ib,
+        round(list_cosine_similarity(cast(a.embedding as double[]),
+          cast(b.embedding as double[])), 4) as s
+      from cand a join cand b on a.vec_id <> b.vec_id),
+    g as (
+      select 1 as rank,
+        [(select vec_id from cand order by rel desc, vec_id limit 1)]
+          as chosen
+      union all
+      select rank + 1, list_append(chosen, (
+          select c.vec_id from cand c
+          where not list_contains(g.chosen, c.vec_id)
+          order by 0.7 * c.rel - 0.3 * (select max(s.s) from sims s
+              where s.ia = c.vec_id and list_contains(g.chosen, s.ib))
+            desc, c.vec_id
+          limit 1))
+      from g where rank < 5)
+    select rank, chosen[rank] as vec_id,
+      (select rel from cand where cand.vec_id = chosen[rank]) as rel
+    from g
+    """,
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return mmr_rerank(
+        emb.filter(F.col("vec_id") != 0), list(qv),
+        k=5, lam=0.7, n_candidates=20,
+    )
+
+
+# ---------------------------------------------------------------------
+# 494. DP noisy counts (Laplace, eps=1) per (event_type, day) with a
+#      deterministic portable-hash noise draw — re-publishing must not
+#      re-draw; abs_err makes the privacy/utility trade observable.
+# ---------------------------------------------------------------------
+@register(
+    "dp_noisy_counts",
+    """
+    with g as (select event_type, strftime(ts, '%Y-%m-%d') as day,
+        count(*) as n from events group by 1, 2),
+    u as (select *,
+        (cast(('0x' || substr(md5(event_type || '|' || day), 1, 8))
+          as bigint) + 0.5) / 4294967296.0 as uu from g)
+    select event_type, day, cast(n as bigint) as true_count,
+      round(n + (-1.0 * (case when uu - 0.5 > 0 then 1.0
+                              when uu - 0.5 < 0 then -1.0
+                              else 0.0 end)
+                 * ln(1 - 2 * abs(uu - 0.5))), 6) as noisy_count,
+      round(abs(-1.0 * (case when uu - 0.5 > 0 then 1.0
+                             when uu - 0.5 < 0 then -1.0
+                             else 0.0 end)
+                * ln(1 - 2 * abs(uu - 0.5))), 6) as abs_err
+    from u
+    """,
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import dp_noisy_counts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    return dp_noisy_counts(ev, ["event_type", "day"], epsilon=1.0)
+
+
+# ---------------------------------------------------------------------
+# 495. Quantile normalization of per-source doc-length distributions
+#      onto the pooled distribution — batch-effect correction over
+#      bounded bucket-CDF tables (midpoint pr, step quantile lookup).
+# ---------------------------------------------------------------------
+@register(
+    "quantile_normalize_sources",
+    """
+    with h as (select source,
+        (n_chars // 50) * 50 as bucket, count(*) as cnt
+      from documents group by 1, 2),
+    src as (select source, bucket, cnt,
+        (sum(cnt) over (partition by source order by bucket
+           rows unbounded preceding) - cnt / 2.0)
+          / sum(cnt) over (partition by source) as pr
+      from h),
+    pool as (select (n_chars // 50) * 50 as pb, count(*) as pc
+      from documents group by 1),
+    pcdf as (select pb,
+        sum(pc) over (order by pb rows unbounded preceding)
+          / cast(sum(pc) over () as double) as pcdf
+      from pool)
+    select source, bucket, cast(cnt as bigint) as cnt,
+      round(pr, 6) as pr, min(pb) as mapped_value
+    from src join pcdf on pcdf >= pr
+    group by source, bucket, cnt, pr
+    """,
+)
+def q_quantile_normalize_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.analytics import quantile_normalize_sources
+
+    docs = _t(spark, sf_dir, "documents")
+    return quantile_normalize_sources(docs, "source", "n_chars", 50)
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

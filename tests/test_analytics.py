@@ -3203,3 +3203,48 @@ def test_harmonic_ols_recovers_planted_coefficients(spark):
     assert abs(r["beta2"] - 2) < 1e-6
     assert abs(r["beta3"] - 0.5) < 1e-6
     assert r["r2"] == 1.0
+
+
+def test_dp_noisy_counts_deterministic_and_calibrated(spark):
+    from sparkcollector.operators.analytics import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(f"g{i % 50}", j) for i in range(50) for j in range(20)],
+        "g string, x int",
+    )
+    r1 = {r["g"]: r for r in dp_noisy_counts(df, ["g"], 1.0).collect()}
+    r2 = {r["g"]: r for r in dp_noisy_counts(df, ["g"], 1.0).collect()}
+    assert all(r1[g]["noisy_count"] == r2[g]["noisy_count"] for g in r1)
+    assert all(r["true_count"] == 20 for r in r1.values())
+    errs = sorted(r["abs_err"] for r in r1.values())
+    # Laplace(1): median |noise| = ln(2) ~ 0.69; sanity-band the
+    # empirical median over 50 deterministic draws
+    assert 0.2 < errs[len(errs) // 2] < 2.0
+    # higher epsilon -> strictly less noise, same draw
+    tight = {r["g"]: r for r in dp_noisy_counts(df, ["g"], 10.0).collect()}
+    assert all(tight[g]["abs_err"] < r1[g]["abs_err"] + 1e-12 for g in r1)
+
+
+def test_quantile_normalize_aligns_shifted_source(spark):
+    from sparkcollector.operators.analytics import (
+        quantile_normalize_sources,
+    )
+
+    # source B = source A shifted by +1000: after normalization B's
+    # mapped values must land on the POOLED grid, i.e. B's p50 bucket
+    # maps far below its raw bucket.
+    rows = [("A", (i % 40) * 50) for i in range(2000)]
+    rows += [("B", (i % 40) * 50 + 1000) for i in range(2000)]
+    df = spark.createDataFrame(rows, "source string, n_chars int")
+    out = {(r["source"], r["bucket"]): r for r in
+           quantile_normalize_sources(df, "source", "n_chars", 50)
+           .collect()}
+    # B's lowest bucket (raw 1000) maps near the pooled low end
+    assert out[("B", 1000)]["mapped_value"] <= 550
+    # A's lowest bucket stays at the pooled low end
+    assert out[("A", 0)]["mapped_value"] <= 50
+    # monotone mapping within B
+    bs = sorted(
+        (b, r["mapped_value"]) for (s, b), r in out.items() if s == "B"
+    )
+    assert all(m1 <= m2 for (_, m1), (_, m2) in zip(bs, bs[1:]))

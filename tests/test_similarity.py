@@ -360,3 +360,37 @@ def test_pca_power_iteration_finds_dominant_axis(spark):
     assert abs(abs(r["v1"]) - 1.0) < 0.01      # dominant axis recovered
     assert abs(r["v2"]) < 0.05 and abs(r["v3"]) < 0.05
     assert r["lambda_top"] > 30                # ~ variance of uniform(-10..10)
+
+
+def test_mmr_rerank_penalizes_near_duplicates(spark):
+    from sparkcollector.operators.similarity import mmr_rerank
+
+    # doc 1 ~ query; doc 2 = near-copy of doc 1; doc 3 less relevant
+    # but orthogonal.  Plain top-3 = [1, 2, 3]; MMR must pick 3 ahead
+    # of the near-copy 2.
+    q = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.98, 0.12, 0.0, 0.0]),   # near-duplicate of 1
+        (3, [0.7, 0.0, 0.7, 0.0]),     # diverse
+        (4, [0.6, 0.0, 0.0, 0.8]),     # diverse, weaker
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = [r["vec_id"] for r in sorted(
+        mmr_rerank(df, q, k=3, lam=0.5, n_candidates=4).collect(),
+        key=lambda r: r["rank"])]
+    assert out[0] == 1          # highest relevance first
+    assert out[1] == 3          # diversity beats the near-copy
+    assert out[2] == 4          # and again over the near-copy
+
+
+def test_mmr_rerank_lam1_reduces_to_topk(spark):
+    from sparkcollector.operators.similarity import mmr_rerank
+
+    q = [1.0, 0.0]
+    rows = [(i, [1.0 - 0.01 * i, 0.01 * i]) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = [r["vec_id"] for r in sorted(
+        mmr_rerank(df, q, k=4, lam=1.0, n_candidates=7).collect(),
+        key=lambda r: r["rank"])]
+    assert out == [1, 2, 3, 4]  # pure relevance order
