@@ -10038,3 +10038,179 @@ def quantile_normalize_sources(
         source_col, "bucket", "cnt",
         F.round("pr", 6).alias("pr"), "mapped_value",
     )
+
+
+def classical_decomposition(
+    df: DataFrame,
+    group_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    period: int = 24,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (trend + seasonal +
+    remainder) — the interpretable baseline under every anomaly rule.
+
+    ``seasonality_strength`` scores the cycle; this SPLITS the series:
+    trend = centered 2xP moving average (half-weights at both ends —
+    the textbook even-period kernel), seasonal = per-phase mean of the
+    detrended series re-centered to sum to zero, remainder = what the
+    alerts should actually fire on.  Requires a DENSE bucket grid
+    (gap-fill first — see ``fill_time_gaps``); edge buckets with an
+    incomplete trend window yield NULL trend/remainder, never a
+    silently-shortened kernel.
+
+    One keyed window for the kernel, one bounded per-phase aggregate
+    joined back; no global sorts.
+    """
+    half = period // 2
+    w = Window.partitionBy(*group_cols).orderBy(bucket_col)
+    wr = w.rowsBetween(-half, half)
+    y = F.col(value_col).cast("double")
+    base = df.withColumn("_cnt", F.count(F.lit(1)).over(wr)).withColumn(
+        "_trend",
+        F.when(
+            F.col("_cnt") == period + 1,
+            (
+                F.sum(y).over(wr)
+                - 0.5 * F.lag(y, half).over(w)
+                - 0.5 * F.lead(y, half).over(w)
+            )
+            / period,
+        ),
+    )
+    base = base.withColumn("_det", y - F.col("_trend")).withColumn(
+        "_phase", F.pmod(F.col(bucket_col), F.lit(period))
+    )
+    seas = base.groupBy(*group_cols, "_phase").agg(
+        F.avg("_det").alias("_s_raw")
+    )
+    w_g = Window.partitionBy(*group_cols)
+    seas = seas.withColumn(
+        "_seasonal", F.col("_s_raw") - F.avg("_s_raw").over(w_g)
+    ).select(*group_cols, "_phase", "_seasonal")
+    out = base.join(seas, [*group_cols, "_phase"])
+    # remainder from the ROUNDED components: trend/seasonal carry
+    # engine-fold noise at the last ulp, and y − trend − seasonal
+    # lands exactly on dyadic half-boundaries of the 6dp grid — the
+    # rounded inputs are bit-identical everywhere, so the difference
+    # (and its rounding) is too.
+    ry = F.round(y, 6)
+    rt = F.round("_trend", 6)
+    rs = F.round("_seasonal", 6)
+    return out.select(
+        *group_cols,
+        F.col(bucket_col),
+        ry.alias("y"),
+        rt.alias("trend"),
+        rs.alias("seasonal"),
+        F.round(ry - rt - rs, 6).alias("remainder"),
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treated_col: str,
+    post_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences — the parallel-trends causal
+    estimate for a rollout with a control group.
+
+    Pre/post alone confounds the change with time; treatment/control
+    alone confounds it with group composition.  DiD subtracts both:
+    (T_post − T_pre) − (C_post − C_pre), with the classic
+    unequal-variance SE sqrt(Σ var_cell/n_cell) over the four cells
+    and a z-decision at 1.96.  One conditional-aggregate pass —
+    four (count, sum, sumsq) triples in a single exchange.
+    """
+    t = F.col(treated_col).cast("int")
+    p = F.col(post_col).cast("int")
+    y = F.col(value_col).cast("double")
+    aggs = []
+    for ti in (0, 1):
+        for pi in (0, 1):
+            cell = (t == ti) & (p == pi)
+            cy = F.when(cell, y)
+            aggs += [
+                F.count(cy).cast("double").alias(f"n{ti}{pi}"),
+                F.sum(cy).alias(f"s{ti}{pi}"),
+                F.sum(F.when(cell, y * y)).alias(f"q{ti}{pi}"),
+            ]
+    a = df.agg(*aggs)
+    mean = {c: F.col(f"s{c}") / F.col(f"n{c}")
+            for c in ("00", "01", "10", "11")}
+    var = {
+        c: (F.col(f"q{c}") - F.col(f"s{c}") * F.col(f"s{c}")
+            / F.col(f"n{c}"))
+        / (F.col(f"n{c}") - 1)
+        for c in ("00", "01", "10", "11")
+    }
+    did = (mean["11"] - mean["10"]) - (mean["01"] - mean["00"])
+    se = F.sqrt(
+        var["11"] / F.col("n11") + var["10"] / F.col("n10")
+        + var["01"] / F.col("n01") + var["00"] / F.col("n00")
+    )
+    return a.select(
+        F.round(mean["00"], 6).alias("ctrl_pre"),
+        F.round(mean["01"], 6).alias("ctrl_post"),
+        F.round(mean["10"], 6).alias("treat_pre"),
+        F.round(mean["11"], 6).alias("treat_post"),
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(did / se, 6).alias("z"),
+        (F.abs(did / se) > 1.959963984540054).alias("significant"),
+    )
+
+
+def bandit_replay_eval(
+    df: DataFrame,
+    context_col: str,
+    arm_col: str,
+    reward_col: str,
+    train_pred,
+) -> DataFrame:
+    """Offline bandit policy evaluation by replay (Li et al. 2011).
+
+    Train/serve split without an online experiment: learn the greedy
+    policy (argmax mean reward per context, tie -> smallest arm) on
+    the TRAIN slice, then on the EVAL slice keep only events whose
+    logged arm equals the policy's choice — their mean reward is an
+    unbiased estimate of the policy's online reward when logging was
+    uniform-random.  Reports the matched fraction (the effective
+    sample) and the logging baseline per context, so "policy beats
+    random" is read off directly.
+
+    Two keyed aggregates + one broadcast-size policy join; no windows
+    over raw rows.
+    """
+    r = F.col(reward_col).cast("double")
+    train = df.filter(train_pred)
+    ev = df.filter(~train_pred)
+    per_arm = train.groupBy(context_col, arm_col).agg(
+        F.avg(r).alias("_ctr"), F.count(F.lit(1)).alias("_n")
+    )
+    w = Window.partitionBy(context_col).orderBy(
+        F.col("_ctr").desc(), F.col(arm_col)
+    )
+    policy = (
+        per_arm.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            context_col,
+            F.col(arm_col).alias("_policy_arm"),
+            F.round("_ctr", 6).alias("train_ctr"),
+        )
+    )
+    j = ev.join(policy, context_col)
+    return j.groupBy(context_col).agg(
+        F.max("_policy_arm").alias("policy_arm"),
+        F.max("train_ctr").alias("train_ctr"),
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(
+            (F.col(arm_col) == F.col("_policy_arm")).cast("long")
+        ).alias("n_matched"),
+        F.round(
+            F.avg(F.when(F.col(arm_col) == F.col("_policy_arm"), r)), 6
+        ).alias("replay_reward"),
+        F.round(F.avg(r), 6).alias("logging_baseline"),
+    )

@@ -21706,6 +21706,191 @@ def q_quantile_normalize_sources(
 
 
 # ---------------------------------------------------------------------
+# 496. Classical additive decomposition of the gap-filled hourly count
+#      series per event_type: centered 2x24 MA trend (half-weight
+#      ends), zero-sum per-hour seasonal, alertable remainder.
+# ---------------------------------------------------------------------
+@register(
+    "classical_decomposition",
+    """
+    with s as (select event_type,
+        cast(floor(epoch(ts) / 3600) as bigint) as b, count(*) as n
+      from events group by 1, 2),
+    bounds as (select event_type, min(b) as mn, max(b) as mx
+      from s group by 1),
+    grid as (select event_type,
+        unnest(generate_series(mn, mx)) as b from bounds),
+    d as (select g.event_type, g.b,
+        cast(coalesce(s.n, 0) as double) as y
+      from grid g left join s using (event_type, b)),
+    t as (select *, count(*) over wf as cnt, sum(y) over wf as sw,
+        lag(y, 12) over wo as lg, lead(y, 12) over wo as ld
+      from d window wo as (partition by event_type order by b),
+        wf as (partition by event_type order by b
+               rows between 12 preceding and 12 following)),
+    tr as (select event_type, b, y,
+        case when cnt = 25 then (sw - 0.5 * lg - 0.5 * ld) / 24 end
+          as trend,
+        b % 24 as phase from t),
+    se as (select event_type, phase, avg(y - trend) as s_raw
+      from tr group by 1, 2),
+    sc as (select event_type, phase,
+        s_raw - avg(s_raw) over (partition by event_type) as seasonal
+      from se)
+    select tr.event_type, tr.b, round(tr.y, 6) as y,
+      round(tr.trend, 6) as trend, round(sc.seasonal, 6) as seasonal,
+      round(round(tr.y, 6) - round(tr.trend, 6)
+            - round(sc.seasonal, 6), 6) as remainder
+    from tr join sc on tr.event_type = sc.event_type
+      and tr.phase = sc.phase
+    """,
+)
+def q_classical_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import classical_decomposition
+
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type", F.floor(F.unix_timestamp("ts") / 3600).alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    grid = s.groupBy("event_type").agg(
+        F.min("b").alias("mn"), F.max("b").alias("mx")
+    ).select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx")).alias("b"),
+    )
+    dense = grid.join(s, ["event_type", "b"], "left").select(
+        "event_type", "b",
+        F.coalesce("n", F.lit(0)).cast("double").alias("y"),
+    )
+    return classical_decomposition(
+        dense, ["event_type"], "b", "y", period=24
+    )
+
+
+# ---------------------------------------------------------------------
+# 497. Difference-in-differences on a synthetic mid-month rollout
+#      (treated = even users, post = from Jan 16, planted +7.5 lift):
+#      parallel-trends causal readout with cellwise-variance SE.
+# ---------------------------------------------------------------------
+@register(
+    "diff_in_diff",
+    """
+    with b as (select
+        case when user_id % 2 = 0 then 1 else 0 end as t,
+        case when ts >= timestamp '2024-01-16' then 1 else 0 end as p,
+        cast(value as double)
+          + case when user_id % 2 = 0
+                  and ts >= timestamp '2024-01-16' then 7.5
+                 else 0 end as y
+      from events where value is not null),
+    a as (select
+        cast(sum(case when t = 0 and p = 0 then 1 else 0 end)
+          as double) as n00,
+        sum(case when t = 0 and p = 0 then y end) as s00,
+        sum(case when t = 0 and p = 0 then y * y end) as q00,
+        cast(sum(case when t = 0 and p = 1 then 1 else 0 end)
+          as double) as n01,
+        sum(case when t = 0 and p = 1 then y end) as s01,
+        sum(case when t = 0 and p = 1 then y * y end) as q01,
+        cast(sum(case when t = 1 and p = 0 then 1 else 0 end)
+          as double) as n10,
+        sum(case when t = 1 and p = 0 then y end) as s10,
+        sum(case when t = 1 and p = 0 then y * y end) as q10,
+        cast(sum(case when t = 1 and p = 1 then 1 else 0 end)
+          as double) as n11,
+        sum(case when t = 1 and p = 1 then y end) as s11,
+        sum(case when t = 1 and p = 1 then y * y end) as q11
+      from b)
+    select round(s00 / n00, 6) as ctrl_pre,
+      round(s01 / n01, 6) as ctrl_post,
+      round(s10 / n10, 6) as treat_pre,
+      round(s11 / n11, 6) as treat_post,
+      round((s11 / n11 - s10 / n10) - (s01 / n01 - s00 / n00), 6)
+        as did,
+      round(sqrt(((q11 - s11 * s11 / n11) / (n11 - 1)) / n11
+        + ((q10 - s10 * s10 / n10) / (n10 - 1)) / n10
+        + ((q01 - s01 * s01 / n01) / (n01 - 1)) / n01
+        + ((q00 - s00 * s00 / n00) / (n00 - 1)) / n00), 6) as se,
+      round(((s11 / n11 - s10 / n10) - (s01 / n01 - s00 / n00))
+        / sqrt(((q11 - s11 * s11 / n11) / (n11 - 1)) / n11
+          + ((q10 - s10 * s10 / n10) / (n10 - 1)) / n10
+          + ((q01 - s01 * s01 / n01) / (n01 - 1)) / n01
+          + ((q00 - s00 * s00 / n00) / (n00 - 1)) / n00), 6) as z,
+      abs(((s11 / n11 - s10 / n10) - (s01 / n01 - s00 / n00))
+        / sqrt(((q11 - s11 * s11 / n11) / (n11 - 1)) / n11
+          + ((q10 - s10 * s10 / n10) / (n10 - 1)) / n10
+          + ((q01 - s01 * s01 / n01) / (n01 - 1)) / n01
+          + ((q00 - s00 * s00 / n00) / (n00 - 1)) / n00))
+        > 1.959963984540054 as significant
+    from a
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import diff_in_diff
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = (F.col("user_id") % 2 == 0).cast("int")
+    p = (
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp")
+    ).cast("int")
+    base = ev.select(
+        t.alias("t"), p.alias("p"),
+        (
+            F.col("value").cast("double")
+            + F.when((t == 1) & (p == 1), 7.5).otherwise(0)
+        ).alias("y"),
+    )
+    return diff_in_diff(base, "t", "p", "y")
+
+
+# ---------------------------------------------------------------------
+# 498. Offline bandit replay (Li et al.): greedy policy learned on
+#      even days, replayed on odd days — unbiased policy-reward
+#      estimate from matched events only, with the logging baseline.
+# ---------------------------------------------------------------------
+@register(
+    "bandit_replay_eval",
+    """
+    with b as (select hour(ts) % 4 as ctx, event_id % 3 as arm,
+        case when event_type in ('click', 'purchase') then 1.0
+             else 0.0 end as r,
+        cast(floor(epoch(ts) / 86400) as bigint) % 2 = 0 as is_train
+      from events),
+    per as (select ctx, arm, avg(r) as ctr, count(*) as n
+      from b where is_train group by 1, 2),
+    pol as (select ctx, arm as policy_arm, round(ctr, 6) as train_ctr
+      from (select *, row_number() over (partition by ctx
+              order by ctr desc, arm) as rn from per) where rn = 1),
+    ev as (select * from b where not is_train)
+    select ctx, max(policy_arm) as policy_arm,
+      max(train_ctr) as train_ctr,
+      cast(count(*) as bigint) as n_eval,
+      cast(sum(case when arm = policy_arm then 1 else 0 end)
+        as bigint) as n_matched,
+      round(avg(case when arm = policy_arm then r end), 6)
+        as replay_reward,
+      round(avg(r), 6) as logging_baseline
+    from ev join pol using (ctx) group by ctx
+    """,
+)
+def q_bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import bandit_replay_eval
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        (F.hour("ts") % 4).alias("ctx"),
+        (F.col("event_id") % 3).alias("arm"),
+        F.col("event_type").isin("click", "purchase")
+        .cast("double").alias("r"),
+        (F.floor(F.unix_timestamp("ts") / 86400) % 2 == 0)
+        .alias("is_train"),
+    )
+    return bandit_replay_eval(
+        base, "ctx", "arm", "r", F.col("is_train")
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative
