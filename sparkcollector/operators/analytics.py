@@ -10214,3 +10214,109 @@ def bandit_replay_eval(
         ).alias("replay_reward"),
         F.round(F.avg(r), 6).alias("logging_baseline"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Isotonic calibration (PAVA) of a score against outcomes —
+    monotone probability mapping without a parametric form.
+
+    ``ece_calibration`` measures miscalibration; this FIXES it: pool
+    adjacent score bins until the bin rates are monotone.  Instead of
+    the sequential pool-adjacent-violators cascade (a while-loop no
+    fold step can express), the fit uses the equivalent MINIMAX
+    identity  iso(k) = max_{i<=k} min_{j>=i} avg(y[i..j])  over
+    weighted prefix sums — O(B^3) pure array arithmetic IN-ROW with B
+    = observed bins (<= ``n_bins``), exact (ratios of integer sums,
+    min/max order-insensitive), so any engine reproduces it
+    bit-for-bit.  The raw table is touched once (bin aggregate); the
+    minimax runs on one collected row of two (B+1)-arrays.
+    """
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    y = F.col(label_col).cast("double")
+    bins = df.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("double").alias("w"),
+        F.sum(y).alias("s"),
+    )
+    one = bins.agg(
+        F.array_sort(
+            F.collect_list(F.struct("bin", "w", "s"))
+        ).alias("_bs")
+    )
+    # prefix arrays with leading zero: P[t+1] = sum s[1..t]
+    prefix = (
+        "aggregate(_bs, named_struct('p', array(cast(0.0 as double)),"
+        " 'w', array(cast(0.0 as double))),"
+        " (acc, e) -> named_struct("
+        " 'p', concat(acc.p, array(try_element_at(acc.p, -1) + e.s)),"
+        " 'w', concat(acc.w, array(try_element_at(acc.w, -1) + e.w))))"
+    )
+    one = one.withColumn("_pre", F.expr(prefix))
+    nb = "size(_bs)"
+    fits = (
+        f"transform(sequence(1, {nb}), k -> "
+        "array_max(transform(sequence(1, k), i -> "
+        f"array_min(transform(sequence(i, {nb}), j -> "
+        "(try_element_at(_pre.p, j + 1) - try_element_at(_pre.p, i))"
+        " / (try_element_at(_pre.w, j + 1)"
+        " - try_element_at(_pre.w, i)))))))"
+    )
+    one = one.withColumn("_fit", F.expr(fits))
+    out = one.select(
+        F.posexplode(F.arrays_zip("_bs", "_fit")).alias("_i", "_z")
+    )
+    return out.select(
+        F.col("_z._bs.bin").alias("bin"),
+        F.col("_z._bs.w").cast("bigint").alias("n"),
+        F.round(F.col("_z._bs.s") / F.col("_z._bs.w"), 6).alias(
+            "raw_rate"
+        ),
+        F.round(F.col("_z._fit"), 6).alias("iso_rate"),
+    )
+
+
+def mg1_waiting(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    service_col: str,
+) -> DataFrame:
+    """M/G/1 waiting time (Pollaczek-Khinchine) per server class.
+
+    ``erlang_queue`` assumes exponential service; P-K needs only the
+    first two SERVICE MOMENTS: Wq = lambda·E[S^2] / (2(1-rho)) with
+    rho = lambda·E[S] — so bursty (high-variance) service is charged
+    correctly, which is the whole point for log-pipeline flush/export
+    latencies.  One aggregate pass: arrival rate from the observed
+    span, service moments from power sums; unstable classes
+    (rho >= 1) yield NULL waiting, never a negative fantasy.
+    """
+    sec = F.unix_timestamp(F.col(ts_col)).cast("double")
+    s = F.col(service_col).cast("double")
+    a = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.max(sec) - F.min(sec)).alias("span"),
+        F.avg(s).alias("es"),
+        F.avg(s * s).alias("es2"),
+    ).filter(F.col("span") > 0)
+    lam = F.col("n") / F.col("span")
+    rho = lam * F.col("es")
+    wq = F.when(rho < 1, lam * F.col("es2") / (2 * (1 - rho)))
+    return a.select(
+        *group_cols,
+        F.col("n").cast("bigint").alias("n_jobs"),
+        F.round(lam, 6).alias("lambda_rate"),
+        F.round("es", 6).alias("mean_service"),
+        F.round("es2", 6).alias("service_m2"),
+        F.round(rho, 6).alias("rho"),
+        F.round(wq, 6).alias("wq"),
+        F.round(wq + F.col("es"), 6).alias("w_total"),
+        F.round(lam * wq, 6).alias("lq"),
+    )

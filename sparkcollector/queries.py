@@ -21891,6 +21891,206 @@ def q_bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 499. Isotonic calibration (PAVA via the exact minimax identity) of
+#      a synthetic score against signup/purchase outcomes — monotone
+#      probability mapping, bit-exact in-row array arithmetic.
+# ---------------------------------------------------------------------
+@register(
+    "isotonic_calibration",
+    """
+    with src as (select
+        (cast(event_id % 100 as double)
+         + case when event_type in ('purchase', 'signup')
+                then 30 else 0 end) / 130.0 as score,
+        case when event_type in ('purchase', 'signup') then 1.0
+             else 0.0 end as y
+      from events),
+    b0 as (select least(cast(floor(score * 20) as int), 19) as bin, y
+      from src),
+    bins as (select bin, cast(count(*) as double) as w, sum(y) as s
+      from b0 group by 1),
+    binsc as (select bin, w, s,
+        sum(s) over (order by bin rows unbounded preceding) as ps,
+        sum(w) over (order by bin rows unbounded preceding) as pw
+      from bins),
+    one as (select list_sort(list(struct_pack(bin := bin, w := w,
+        s := s, ps := ps, pw := pw))) as bs from binsc),
+    ex as (select unnest(generate_series(1, len(bs))) as k, bs
+      from one)
+    select bs[k].bin as bin, cast(bs[k].w as bigint) as n,
+      round(bs[k].s / bs[k].w, 6) as raw_rate,
+      round(list_max(list_transform(generate_series(1, k), i ->
+        list_min(list_transform(generate_series(i, len(bs)), j ->
+          (bs[j].ps - case when i = 1 then cast(0.0 as double)
+                           else bs[i - 1].ps end)
+          / (bs[j].pw - case when i = 1 then cast(0.0 as double)
+                             else bs[i - 1].pw end))))), 6)
+        as iso_rate
+    from ex
+    """,
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import isotonic_calibration
+
+    ev = _t(spark, sf_dir, "events")
+    lab = F.col("event_type").isin("purchase", "signup")
+    src = ev.select(
+        (
+            ((F.col("event_id") % 100).cast("double")
+             + F.when(lab, 30).otherwise(0))
+            / 130.0
+        ).alias("score"),
+        lab.cast("double").alias("y"),
+    )
+    return isotonic_calibration(src, "score", "y", n_bins=20)
+
+
+# ---------------------------------------------------------------------
+# 500. M/G/1 waiting time (Pollaczek-Khinchine) per event_type from
+#      measured arrival rate + first two service moments — the
+#      burst-correct queueing readout beside erlang_queue.
+# ---------------------------------------------------------------------
+@register(
+    "mg1_waiting",
+    """
+    with b as (select event_type,
+        cast(floor(epoch(ts)) as double) as sec,
+        cast(value as double) / 20 as s
+      from events where value is not null),
+    a as (select event_type, cast(count(*) as double) as n,
+        max(sec) - min(sec) as span, avg(s) as es,
+        avg(s * s) as es2
+      from b group by 1)
+    select event_type, cast(n as bigint) as n_jobs,
+      round(n / span, 6) as lambda_rate,
+      round(es, 6) as mean_service,
+      round(es2, 6) as service_m2,
+      round(n / span * es, 6) as rho,
+      round(case when n / span * es < 1 then
+        (n / span) * es2 / (2 * (1 - n / span * es)) end, 6) as wq,
+      round(case when n / span * es < 1 then
+        (n / span) * es2 / (2 * (1 - n / span * es)) end + es, 6)
+        as w_total,
+      round((n / span) * case when n / span * es < 1 then
+        (n / span) * es2 / (2 * (1 - n / span * es)) end, 6) as lq
+    from a where span > 0
+    """,
+)
+def q_mg1_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import mg1_waiting
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type", "ts",
+        (F.col("value").cast("double") / 20).alias("svc"),
+    )
+    return mg1_waiting(base, ["event_type"], "ts", "svc")
+
+
+def _seasonal_esd_oracle() -> str:
+    """Seasonal-ESD oracle = the classical-decomposition CTE block
+    (planted spikes, dense grid) feeding the 3-round GESD anti-join
+    chain on the rounded remainder — both halves verified standalone
+    in entries 496 and 476."""
+    decomp = """
+    with s as (select event_type,
+        cast(floor(epoch(ts) / 3600) as bigint) as b, count(*) as cnt
+      from events group by 1, 2),
+    bounds as (select event_type, min(b) as mn, max(b) as mx
+      from s group by 1),
+    grid as (select event_type,
+        unnest(generate_series(mn, mx)) as b from bounds),
+    d as (select g.event_type, g.b,
+        cast(coalesce(s.cnt, 0) as double)
+          + case when g.b % 211 = 0
+                 then 300.0 * (1 + g.b % 3) else 0 end as y
+      from grid g left join s using (event_type, b)),
+    t as (select *, count(*) over wf as cw, sum(y) over wf as sw,
+        lag(y, 12) over wo as lgy, lead(y, 12) over wo as ldy
+      from d window wo as (partition by event_type order by b),
+        wf as (partition by event_type order by b
+               rows between 12 preceding and 12 following)),
+    tr as (select event_type, b, y,
+        case when cw = 25 then (sw - 0.5 * lgy - 0.5 * ldy) / 24 end
+          as trend,
+        b % 24 as phase from t),
+    se as (select event_type, phase, avg(y - trend) as s_raw
+      from tr group by 1, 2),
+    sc as (select event_type, phase,
+        s_raw - avg(s_raw) over (partition by event_type) as seasonal
+      from se),
+    v as (select tr.event_type as g, tr.b as id,
+        round(round(tr.y, 6) - round(tr.trend, 6)
+              - round(sc.seasonal, 6), 6) as x
+      from tr join sc on tr.event_type = sc.event_type
+        and tr.phase = sc.phase
+      where tr.trend is not null)"""
+    rounds = []
+    prev = "v"
+    for r in (1, 2, 3):
+        rounds.append(f"""
+    s{r} as (select g, cast(count(*) as double) as n, avg(x) as mu,
+        stddev_samp(x) as sd from {prev} group by 1),
+    z{r} as (select {prev}.g, {prev}.id, {prev}.x,
+        abs({prev}.x - s{r}.mu) / s{r}.sd as r
+      from {prev} join s{r} using (g)
+      where s{r}.n >= 3 and s{r}.sd > 0),
+    p{r} as (select g, id, {r} as round,
+        round(x, 6) as outlier_value, round(r, 6) as r_stat,
+        r > 4.0 as flagged
+      from (select *, row_number() over (partition by g
+              order by r desc, id) as rn from z{r}) where rn = 1),
+    v{r + 1} as (select {prev}.* from {prev}
+      anti join p{r} using (g, id))""")
+        prev = f"v{r + 1}"
+    return (
+        decomp + "," + ",".join(rounds)
+        + """
+    select g as event_type, id as b, round, outlier_value, r_stat,
+      flagged
+    from (select * from p1 union all select * from p2
+          union all select * from p3)
+    """
+    )
+
+
+# ---------------------------------------------------------------------
+# 501. Seasonal-ESD (Twitter AnomalyDetection shape): GESD outlier
+#      peeling on the REMAINDER of the classical decomposition — the
+#      composition that finds anomalies a raw z-score misses because
+#      the diurnal cycle hides them.  Spikes planted on the b%211
+#      grid so every group has decisive flags.
+# ---------------------------------------------------------------------
+@register("seasonal_esd", _seasonal_esd_oracle())
+def q_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import classical_decomposition, gesd_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type", F.floor(F.unix_timestamp("ts") / 3600).alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    grid = s.groupBy("event_type").agg(
+        F.min("b").alias("mn"), F.max("b").alias("mx")
+    ).select("event_type", F.explode(F.sequence("mn", "mx")).alias("b"))
+    dense = grid.join(s, ["event_type", "b"], "left").select(
+        "event_type", "b",
+        (
+            F.coalesce("cnt", F.lit(0)).cast("double")
+            + F.when(
+                F.col("b") % 211 == 0, 300.0 * (1 + F.col("b") % 3)
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    dec = classical_decomposition(dense, ["event_type"], "b", "y", 24)
+    rem = dec.filter(F.col("trend").isNotNull()).select(
+        "event_type", "b", F.col("remainder").alias("x")
+    )
+    return gesd_outliers(
+        rem, "event_type", "b", "x", max_k=3, r_threshold=4.0
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -3323,3 +3323,79 @@ def test_bandit_replay_picks_best_arm(spark):
     # matched fraction ~ 1/3 (uniform logging over 3 arms)
     frac = out[0]["n_matched"] / out[0]["n_eval"]
     assert 0.2 < frac < 0.5
+
+
+def test_isotonic_calibration_monotone_and_pools_violators(spark):
+    from sparkcollector.operators.analytics import isotonic_calibration
+
+    # bin rates 0.1, 0.4, 0.2, 0.8: PAVA pools bins 2+3 -> 0.3
+    rows = []
+    for i in range(1000):
+        b = i % 4
+        rate = [0.1, 0.4, 0.2, 0.8][b]
+        y = 1.0 if (i // 4) % 10 < rate * 10 else 0.0
+        rows.append(((b + 0.5) / 4.0, y))
+    df = spark.createDataFrame(rows, "score double, y double")
+    out = sorted(isotonic_calibration(df, "score", "y", n_bins=4)
+                 .collect(), key=lambda r: r["bin"])
+    iso = [r["iso_rate"] for r in out]
+    assert iso == sorted(iso)                       # monotone
+    assert abs(iso[1] - 0.3) < 1e-9                 # pooled (0.4+0.2)/2
+    assert abs(iso[1] - iso[2]) < 1e-12             # same pooled block
+    assert abs(iso[0] - 0.1) < 1e-9 and abs(iso[3] - 0.8) < 1e-9
+    raw = [r["raw_rate"] for r in out]
+    assert raw[1] > raw[2]                          # violation existed
+
+
+def test_mg1_waiting_matches_mm1_special_case(spark):
+    import datetime
+
+    from sparkcollector.operators.analytics import mg1_waiting
+
+    # deterministic service D: E[S^2] = E[S]^2 -> Wq = rho*S/(2(1-rho))
+    # (half the M/M/1 wait, the textbook M/D/1 result)
+    T0 = 1_700_000_000
+    rows = []
+    for i in range(1000):
+        rows.append(("d", datetime.datetime.fromtimestamp(
+            T0 + i * 10, datetime.timezone.utc), 5.0))
+    df = spark.createDataFrame(rows, "g string, ts timestamp, s double")
+    r = mg1_waiting(df, ["g"], "ts", "s").collect()[0]
+    lam = 1000 / (999 * 10.0)
+    rho = lam * 5.0
+    expected_wq = lam * 25.0 / (2 * (1 - rho))
+    assert abs(r["rho"] - rho) < 1e-6
+    assert abs(r["wq"] - expected_wq) < 1e-6
+    # unstable system -> NULL wait
+    fast = df.withColumn("s", df.s * 3)
+    assert mg1_waiting(fast, ["g"], "ts", "s").collect()[0]["wq"] is None
+
+
+def test_seasonal_esd_finds_spike_hidden_by_cycle(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import (
+        classical_decomposition, gesd_outliers,
+    )
+
+    # strong diurnal cycle amplitude 50; spike +40 at an OFF-PEAK hour
+    # is smaller than the cycle swing (raw z-score can't see it) but
+    # huge in the remainder.
+    rows = []
+    for b in range(24 * 12):
+        y = 100 + 50 * math.sin(2 * math.pi * (b % 24) / 24.0)
+        if b == 24 * 6 + 18:      # trough hour
+            y += 40
+        rows.append(("g", b, y))
+    df = spark.createDataFrame(rows, "g string, b long, y double")
+    dec = classical_decomposition(df, ["g"], "b", "y")
+    rem = dec.filter(F.col("trend").isNotNull()).select(
+        "g", "b", F.col("remainder").alias("x"))
+    out = sorted(gesd_outliers(rem, "g", "b", "x", max_k=2).collect(),
+                 key=lambda r: r["round"])
+    assert out[0]["b"] == 24 * 6 + 18 and out[0]["flagged"]
+    # the spike dominates; anything later (MA-smear echoes on this
+    # noise-free synthetic) is far weaker
+    assert out[0]["r_stat"] > 3 * out[1]["r_stat"]
