@@ -3805,6 +3805,144 @@ def main() -> None:
             checks, out, notes, spark=spark,
         )
 
+    # ---- round-3 batches 118-128 ----
+    for nm, checks, notes in [
+        ("stacktrace_group",
+         [("extract+normalize+fingerprint in codegen, one rollup",
+           lambda p: "Python" not in p and p.count("Exchange") <= 2)],
+         "regexp_extract_all + md5 per row; fingerprint set bounded."),
+        ("bruteforce_detect",
+         [("one entity-keyed RANGE window, no self-join",
+           lambda p: p.count("Window") >= 1
+           and "SortMergeJoin" not in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("w3c_extended_parse",
+         [("directive resolution via last(ignorenulls) window",
+           lambda p: "Window" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)],
+         "single file_id in the entry; real use partitions per file."),
+        ("poisson_bootstrap_ci",
+         [("map-side replicate explode (Generate), no resample "
+           "shuffle beyond (group, rep)",
+           lambda p: "Generate" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("page_trend_test",
+         [("block-sized windows only", lambda p: "Window" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("cramer_von_mises_drift",
+         [("cumsum window over the bounded value grid only",
+           lambda p: "Window" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("dga_domain_score",
+         [("in-row entropy arrays: zero exchanges, pure map",
+           lambda p: p.count("Exchange") == 0),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("gesd_outliers",
+         [("3 bounded rounds: keyed aggregates + anti-joins, lineage "
+           "truncated via localCheckpoint",
+           lambda p: "Scan ExistingRDD" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("hampel_despike",
+         [("one keyed window; medians in-row on the sorted frame",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("hash_reservoir_sample",
+         [("one keyed top-k window, no global sort",
+           lambda p: "Window" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("position_bias_ipw",
+         [("bias dim joined by broadcast (AQE-sized)",
+           lambda p: "Join" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("lift_gains_table",
+         [("ntile over unit totals only (single-partition window on "
+           "the aggregated table)", lambda p: "Window" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("shapley_attribution",
+         [("coalition table tiny: unit mask agg then 2^n grid joins",
+           lambda p: "Join" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("qini_uplift",
+         [("binned cumulative windows on 10-row table",
+           lambda p: "Window" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("nginx_error_parse",
+         [("anchored + keyed regexps, zero exchanges",
+           lambda p: p.count("Exchange") == 0 and "Python" not in p)],
+         ""),
+        ("cdc_compact",
+         [("one keyed window + filter — single exchange",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("postfix_parse",
+         [("keyed regexps, zero exchanges",
+           lambda p: p.count("Exchange") == 0 and "Python" not in p)],
+         ""),
+        ("allan_variance",
+         [("per-tau block aggregates + lag windows, no cross join "
+           "of raw rows", lambda p: "Window" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("dtw_profile_distance",
+         [("pairwise table bounded; DP fold in-row (no Python)",
+           lambda p: "Python" not in p),
+          ("profiles aggregated before the pair join",
+           lambda p: "Join" in p)], ""),
+        ("kalman_level",
+         [("fold per collected bounded series; posexplode back",
+           lambda p: "Generate" in p and "Python" not in p)], ""),
+        ("linear_counting",
+         [("one distinct-bucket aggregate",
+           lambda p: "Python" not in p)], ""),
+        ("fellegi_sunter",
+         [("one conditional-aggregate pass over blocked pairs",
+           lambda p: "Python" not in p)],
+         "pair volume bounded by block sizing; caller owns blocking."),
+        ("harmonic_ols_forecast",
+         [("one power-sum exchange; Cramer in-row",
+           lambda p: "Python" not in p and
+           len(re.findall(r"\(\d+\) Scan parquet", p)) == 1)], ""),
+        ("dp_noisy_counts",
+         [("noise in-row after one aggregate",
+           lambda p: "Python" not in p)], ""),
+        ("quantile_normalize_sources",
+         [("bounded bucket-CDF tables; step lookup via join",
+           lambda p: "Join" in p and "Python" not in p)], ""),
+        ("classical_decomposition",
+         [("kernel window + bounded per-phase agg joined back",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("diff_in_diff",
+         [("single conditional-aggregate pass",
+           lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+           and "Python" not in p)], ""),
+        ("bandit_replay_eval",
+         [("policy dim join onto the eval slice",
+           lambda p: "Join" in p and "Python" not in p)], ""),
+        ("isotonic_calibration",
+         [("bin aggregate then in-row minimax arrays",
+           lambda p: "Python" not in p)], ""),
+        ("mg1_waiting",
+         [("single moment-sum pass",
+           lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+           and "Python" not in p)], ""),
+        ("seasonal_esd",
+         [("decomposition windows + bounded GESD rounds "
+           "(localCheckpoint lineage)",
+           lambda p: "Scan ExistingRDD" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("nw_sequence_align",
+         [("alignment DP in-row; pair join over aggregated sequences",
+           lambda p: "Join" in p and "Python" not in p)], ""),
+        ("lof_outliers",
+         [("kNN edge table checkpointed once (3 reuses)",
+           lambda p: "Scan ExistingRDD" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+        ("stratified_kfold",
+         [("one class-keyed window, stable hash order",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+    ]:
+        all_ok &= audit(
+            nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),
+            checks, out, notes, spark=spark,
+        )
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# Physical plan audit (generated by scripts/audit_plans.py)\n\n"

@@ -10320,3 +10320,148 @@ def mg1_waiting(
         F.round(wq + F.col("es"), 6).alias("w_total"),
         F.round(lam * wq, 6).alias("lq"),
     )
+
+
+def needleman_wunsch(
+    pairs: DataFrame,
+    seq_a_col: str,
+    seq_b_col: str,
+    match: float = 1.0,
+    mismatch: float = -1.0,
+    gap: float = -1.0,
+) -> DataFrame:
+    """Needleman-Wunsch global sequence alignment score — in-row DP.
+
+    The DTW trick (``dtw_profile_distance``) applied to SYMBOL
+    sequences with gaps: align two event/tool-call sequences under
+    match/mismatch/gap scoring — "do these two agents follow the same
+    playbook?" at transcript scale.  The O(n·m) DP runs as the same
+    nested Catalyst fold (outer rows, inner columns carrying the
+    growing row), n·m bounded by the caller's sequence truncation;
+    scores are integer-valued doubles, so the fold is EXACT and any
+    engine reproduces it bit-for-bit.
+
+    Adds ``nw_score`` and length-normalized ``nw_sim`` to the pairs.
+    """
+    a, b = seq_a_col, seq_b_col
+    init = f"transform(sequence(0, size({b})), j -> cast(j * {gap} as double))"
+    dp = (
+        f"aggregate(sequence(1, size({a})), {init},"
+        f" (prev, i) -> aggregate(sequence(1, size({b})),"
+        f" array(cast(i * {gap} as double)),"
+        " (cur, j) -> concat(cur, array(greatest("
+        f" try_element_at(prev, j) + if(try_element_at({a}, i) ="
+        f" try_element_at({b}, j), cast({match} as double),"
+        f" cast({mismatch} as double)),"
+        f" try_element_at(prev, j + 1) + {gap},"
+        f" try_element_at(cur, -1) + {gap})))))"
+    )
+    score = F.expr(f"try_element_at({dp}, size({b}) + 1)")
+    return pairs.withColumn("nw_score", score).withColumn(
+        "nw_sim",
+        F.round(
+            F.col("nw_score")
+            / F.greatest(F.expr(f"size({a})"), F.expr(f"size({b})")),
+            6,
+        ),
+    )
+
+
+def lof_outliers(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 1.5,
+) -> DataFrame:
+    """Local Outlier Factor over an embedding corpus — density-aware
+    anomaly scores.
+
+    A global distance cutoff (see ``embedding_hygiene`` norms) misses
+    points that are normal for a dense cluster but isolated in a
+    sparse one; LOF compares each point's local reachability density
+    to its neighbors': LOF ~ 1 inlier, >> 1 outlier.  Built entirely
+    from the existing k-NN join (4dp-rounded cosine dissimilarity,
+    deterministic id tie-breaks): k-distance per point, reachability
+    = max(kdist(neighbor), d), lrd = k/Σreach, LOF = mean(lrd_o)/lrd_p
+    — three keyed joins over the bounded k-per-point edge table, no
+    pairwise blowup beyond the kNN step (swap in the bucketed kNN at
+    scale).
+    """
+    from .similarity import knn_join_exact
+
+    # dissimilarity floored at one 4dp quantum: coincident points
+    # would give sum(reach) = 0 (the classic LOF duplicate
+    # degeneracy); the floor keeps lrd finite with LOF ~ 1 for them.
+    nn = (
+        knn_join_exact(df, df, k=k + 1, vec_col=vec_col,
+                       left_id=id_col, right_id=id_col)
+        .filter(F.col("neighbor_id") != F.col(id_col))
+        .withColumn(
+            "d",
+            F.greatest(F.round(1 - F.col("sim"), 4), F.lit(0.0001)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("d", "neighbor_id")
+    nn = nn.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= k
+    )
+    # the edge table feeds three downstream joins — materialize once
+    # (it is k rows per point, tiny relative to the kNN compute).
+    nn = nn.localCheckpoint(eager=True)
+    kdist = nn.groupBy(id_col).agg(F.max("d").alias("_kdist"))
+    reach = nn.join(
+        kdist.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("_kdist").alias("_kdist_o"),
+        ),
+        "neighbor_id",
+    ).withColumn("_reach", F.greatest(F.col("_kdist_o"), F.col("d")))
+    lrd = reach.groupBy(id_col).agg(
+        (F.count(F.lit(1)) / F.sum("_reach")).alias("_lrd")
+    )
+    lof = (
+        nn.select(id_col, "neighbor_id")
+        .join(
+            lrd.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col("_lrd").alias("_lrd_o"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy(id_col)
+        .agg(F.avg("_lrd_o").alias("_mean_lrd_o"))
+        .join(lrd, id_col)
+    )
+    return lof.select(
+        id_col,
+        F.round(F.col("_lrd"), 6).alias("lrd"),
+        F.round(F.col("_mean_lrd_o") / F.col("_lrd"), 6).alias("lof"),
+        (F.col("_mean_lrd_o") / F.col("_lrd") > threshold).alias(
+            "is_outlier"
+        ),
+    )
+
+
+def stratified_kfold(
+    df: DataFrame,
+    class_cols: list[str],
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Deterministic stratified k-fold assignment — balanced CV splits
+    without RNG state.
+
+    ``train_val_test_split`` cuts by hash ratio (fold sizes drift with
+    the hash); cross-validation needs EXACT per-class balance: within
+    each class, order rows by the portable md5 priority (id
+    tie-break) and deal them round-robin — every class lands within
+    ±1 row per fold, the strongest balance guarantee possible, and
+    the assignment is stable under repartition/resume/engine swap.
+    One keyed window per class partition.
+    """
+    pri = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*class_cols).orderBy(pri, F.col(id_col))
+    return df.withColumn(
+        "fold", ((F.row_number().over(w) - 1) % k).cast("int")
+    )

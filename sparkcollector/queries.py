@@ -22090,6 +22090,172 @@ def q_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nw_oracle() -> str:
+    """Needleman-Wunsch oracle: flattened DP cells in the same (i, j)
+    order as the Spark nested fold (DTW-oracle pattern), per-pair
+    dimensions; all scores integer-valued doubles — exact."""
+    return """
+    with recursive ranked as (select user_id, count(*) as n,
+        row_number() over (order by count(*) desc, user_id) as rk
+      from events group by 1),
+    top4 as (select user_id from ranked where rk <= 4),
+    seq0 as (select e.user_id, substr(e.event_type, 1, 1) as sym,
+        row_number() over (partition by e.user_id
+          order by e.ts, e.event_id) as rn
+      from events e join top4 using (user_id)),
+    seqs as (select user_id,
+        list_transform(list_sort(list(struct_pack(rn := rn,
+          sym := sym))), x -> x.sym) as seq
+      from seq0 where rn <= 20 group by 1),
+    pairs as (select a.user_id as u_a, b.user_id as u_b,
+        a.seq as sa, b.seq as sb, len(a.seq) as n, len(b.seq) as m
+      from seqs a join seqs b on a.user_id < b.user_id),
+    dp as (
+      select u_a, u_b, sa, sb, n, m, 0 as k,
+        cast([] as double[]) as d from pairs
+      union all
+      select u_a, u_b, sa, sb, n, m, k + 1,
+        list_append(d, greatest(
+          (case when (k // m) = 0 and (k % m) = 0 then 0.0
+                when (k // m) = 0 then cast(-(k % m) as double)
+                when (k % m) = 0 then cast(-(k // m) as double)
+                else d[(k // m - 1) * m + (k % m)] end)
+            + (case when sa[(k // m) + 1] = sb[(k % m) + 1]
+                    then 1.0 else -1.0 end),
+          (case when (k // m) = 0
+                then cast(-((k % m) + 1) as double)
+                else d[(k // m - 1) * m + (k % m) + 1] end) - 1.0,
+          (case when (k % m) = 0 then cast(-((k // m) + 1) as double)
+                else d[k] end) - 1.0))
+      from dp where k < n * m)
+    select u_a, u_b, cast(n as bigint) as len_a,
+      cast(m as bigint) as len_b,
+      cast(d[n * m] as bigint) as nw_score,
+      round(d[n * m] / greatest(n, m), 6) as nw_sim
+    from dp where k = n * m
+    """
+
+
+# ---------------------------------------------------------------------
+# 502. Needleman-Wunsch global alignment between the event-initial
+#      sequences of the 4 most active users (first 20 events each) —
+#      gap-aware "same playbook?" scoring, in-row DP fold.
+# ---------------------------------------------------------------------
+@register("nw_sequence_align", _nw_oracle())
+def q_nw_sequence_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import needleman_wunsch
+
+    ev = _t(spark, sf_dir, "events")
+    top = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("user_id"))
+            ),
+        )
+        .filter(F.col("rk") <= 4)
+        .select("user_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqs = (
+        ev.join(top, "user_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "rn",
+                            F.substring("event_type", 1, 1).alias("sym"),
+                        )
+                    )
+                ),
+                lambda e: e["sym"],
+            ).alias("seq")
+        )
+    )
+    pairs = (
+        seqs.select(
+            F.col("user_id").alias("u_a"), F.col("seq").alias("sa")
+        )
+        .join(
+            seqs.select(
+                F.col("user_id").alias("u_b"), F.col("seq").alias("sb")
+            ),
+            F.col("u_a") < F.col("u_b"),
+        )
+    )
+    out = needleman_wunsch(pairs, "sa", "sb")
+    return out.select(
+        "u_a", "u_b",
+        F.expr("size(sa)").cast("long").alias("len_a"),
+        F.expr("size(sb)").cast("long").alias("len_b"),
+        F.col("nw_score").cast("long").alias("nw_score"),
+        "nw_sim",
+    )
+
+
+# ---------------------------------------------------------------------
+# 503. Local Outlier Factor (k=5) over the embedding corpus — built
+#      on the existing kNN join (4dp cosine dissimilarity,
+#      deterministic tie-breaks); density-aware anomalies a global
+#      norm cutoff misses.
+# ---------------------------------------------------------------------
+@register(
+    "lof_outliers",
+    """
+    with p as (select a.vec_id as id, b.vec_id as nb,
+        greatest(round(1 - round(list_cosine_similarity(
+          cast(a.embedding as double[]),
+          cast(b.embedding as double[])), 4), 4), 0.0001) as d
+      from embeddings a join embeddings b on a.vec_id <> b.vec_id),
+    nn as (select * from (select *, row_number() over (
+        partition by id order by d, nb) as rk from p) where rk <= 5),
+    kd as (select id, max(d) as kdist from nn group by 1),
+    reach as (select nn.id, nn.nb,
+        greatest(kd.kdist, nn.d) as r
+      from nn join kd on kd.id = nn.nb),
+    lrd as (select id, count(*) / sum(r) as lrd from reach group by 1),
+    agg as (select nn.id, avg(lo.lrd) as mlo from nn
+      join lrd lo on lo.id = nn.nb group by 1)
+    select agg.id as vec_id, round(lrd.lrd, 6) as lrd,
+      round(agg.mlo / lrd.lrd, 6) as lof,
+      agg.mlo / lrd.lrd > 1.5 as is_outlier
+    from agg join lrd using (id)
+    """,
+)
+def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import lof_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lof_outliers(emb, k=5, threshold=1.5)
+
+
+# ---------------------------------------------------------------------
+# 504. Deterministic stratified k-fold (k=5): per-class round-robin
+#      over portable-md5 order — exact ±1 balance per (class, fold),
+#      stable under repartition/resume/engine swap.
+# ---------------------------------------------------------------------
+@register(
+    "stratified_kfold",
+    """
+    select event_id, event_type,
+      cast((row_number() over (partition by event_type
+        order by md5(cast(event_id as varchar)), event_id) - 1) % 5
+        as int) as fold
+    from events
+    """,
+)
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import stratified_kfold
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    return stratified_kfold(ev, ["event_type"], "event_id", k=5)
+
+
 # ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50

@@ -3399,3 +3399,61 @@ def test_seasonal_esd_finds_spike_hidden_by_cycle(spark):
     # the spike dominates; anything later (MA-smear echoes on this
     # noise-free synthetic) is far weaker
     assert out[0]["r_stat"] > 3 * out[1]["r_stat"]
+
+
+def test_needleman_wunsch_hand_scores(spark):
+    from sparkcollector.operators.analytics import needleman_wunsch
+
+    pairs = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c"], ["a", "b", "c"]),      # identical: +3
+            (2, ["a", "b", "c"], ["a", "x", "c"]),      # 1 mismatch: +1
+            (3, ["a", "b", "c"], ["a", "c"]),           # 1 gap: 2-1=1
+            (4, ["a", "b"], ["x", "y", "z"]),           # nothing aligns
+        ],
+        "pid int, sa array<string>, sb array<string>",
+    )
+    out = {r["pid"]: r for r in needleman_wunsch(
+        pairs, "sa", "sb").collect()}
+    assert out[1]["nw_score"] == 3.0 and out[1]["nw_sim"] == 1.0
+    assert out[2]["nw_score"] == 1.0
+    assert out[3]["nw_score"] == 1.0
+    # best case for pair 4: mismatches+gap = -2 -1 = -3 (or all gaps -5)
+    assert out[4]["nw_score"] == -3.0
+
+
+def test_lof_flags_isolated_point_not_cluster_members(spark):
+    from sparkcollector.operators.analytics import lof_outliers
+
+    # tight cluster around e1, second cluster around e2, and one
+    # isolated point between/none: LOF >> 1 only for the loner
+    rows = []
+    for i in range(20):
+        rows.append((i, [1.0, 0.001 * i, 0.0]))
+        rows.append((100 + i, [0.0, 1.0, 0.001 * i]))
+    rows.append((999, [0.7, 0.7, 0.3]))  # belongs to neither
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in lof_outliers(df, k=5).collect()}
+    assert out[999]["lof"] > 1.5 and out[999]["is_outlier"]
+    inliers = [out[i]["lof"] for i in range(20)]
+    assert max(inliers) < 1.3
+
+
+def test_stratified_kfold_exact_balance_and_stability(spark):
+    from sparkcollector.operators.analytics import stratified_kfold
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 103 else "b") for i in range(200)],
+        "id long, cls string",
+    )
+    out = stratified_kfold(df, ["cls"], "id", k=5).collect()
+    from collections import Counter
+
+    sizes = Counter((r["cls"], r["fold"]) for r in out)
+    for cls, n in (("a", 103), ("b", 97)):
+        per = [sizes[(cls, f)] for f in range(5)]
+        assert max(per) - min(per) <= 1 and sum(per) == n
+    # stable under repartition
+    out2 = stratified_kfold(df.repartition(7), ["cls"], "id", k=5).collect()
+    assert {(r["id"], r["fold"]) for r in out} == {
+        (r["id"], r["fold"]) for r in out2}
