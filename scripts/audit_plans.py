@@ -3747,12 +3747,15 @@ def main() -> None:
            lambda p: "Broadcast" in p and "SortMergeJoin" not in p),
           ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
         ("pca_power_iteration",
-         [("covariance never materialized: per-pass aggregates only",
-           lambda p: "partial" in p.lower()),
+         [("result is the bounded driver-assembled vector (per-pass "
+           "aggregates run inside the iteration loop)",
+           lambda p: "ExistingRDD" in p),
           ("no Python EVAL in plan",
            lambda p: "EvalPython" not in p and "InPandas" not in p)],
          "d-vector round-trips through the driver per iteration — "
-         "bounded state, like the k-means Lloyd step."),
+         "bounded state, like the k-means Lloyd step; the audited "
+         "plan is the final 1-row result, so the covariance-free "
+         "aggregates are inside the loop, not in this plan."),
         ("count_dispersion_diag",
          [("zero grid via cross join of bounded distincts",
            lambda p: "Join" in p),

@@ -9365,9 +9365,21 @@ def shapley_attribution(
         w_weight = cond if w_weight is None else w_weight.when(
             F.col("_pop") == s_size, F.lit(wv)
         )
-    ch = spark.createDataFrame(
-        [(c, bit[c]) for c in channels], ["channel", "_bit"]
-    )
+    # channel dim as Catalyst literals (not a parallelized Python
+    # list) — keeps the whole plan free of RDD scan nodes.
+    ch = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("channel"),
+                        F.lit(bit[c]).alias("_bit"),
+                    )
+                    for c in channels
+                ]
+            )
+        ).alias("_e")
+    ).select("_e.channel", "_e._bit")
     pairs = (
         ch.crossJoin(vtab.select(F.col("mask").alias("s"),
                                  F.col("v").alias("v_s")))
@@ -10464,4 +10476,47 @@ def stratified_kfold(
     w = Window.partitionBy(*class_cols).orderBy(pri, F.col(id_col))
     return df.withColumn(
         "fold", ((F.row_number().over(w) - 1) % k).cast("int")
+    )
+
+
+def holm_bonferroni(
+    tests: DataFrame,
+    id_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Holm-Bonferroni step-down — the FWER companion to ``bh_fdr``.
+
+    BH controls the false-DISCOVERY rate (some false positives
+    tolerated); Holm controls the family-wise error (ANY false
+    positive), the right guard when a single flagged alert pages a
+    human.  Adjusted p_(k) = running MAX over ascending ranks of
+    min(1, (m−k+1)·p_(k)) — one ordered window over the bounded test
+    table, uniformly more powerful than plain Bonferroni, no
+    independence assumption.
+    """
+    w_rank = Window.orderBy(F.col(p_col).asc(), F.col(id_col).asc())
+    w_run = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = tests.select(
+        id_col, p_col,
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("m"),
+        F.row_number().over(w_rank).alias("rank"),
+    )
+    padj = F.least(
+        F.lit(1.0),
+        F.max(
+            (F.col("m") - F.col("rank") + 1).cast("double")
+            * F.col(p_col)
+        ).over(w_run),
+    )
+    return r.select(
+        id_col,
+        F.round(F.col(p_col), 8).alias("p"),
+        F.col("rank").cast("int").alias("rank"),
+        F.round(padj, 8).alias("p_adj"),
+        (padj <= alpha).alias("reject"),
     )

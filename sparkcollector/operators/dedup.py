@@ -1081,3 +1081,66 @@ def incremental_dedup(
         F.col("_b.id").alias("dup_of"),
         F.round("_b.jac", 4).alias("jaccard"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    max_df: int = 50,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Winnowing fingerprint near-dup pairs (Schleimer et al. / MOSS).
+
+    The guarantee the rolling-hash ``doc_fingerprint`` lacks: from
+    every window of ``w`` consecutive k-gram hashes at least one is
+    SELECTED, so any shared substring of length >= k+w−1 yields a
+    shared fingerprint — local plagiarism/copy detection, not just
+    whole-doc similarity.  Normalization (lowercase, alnum-only), the
+    per-position portable md5 k-gram hashes, and the window-min
+    selection all run IN-ROW (O(len·w) JVM array math, no explode
+    until the selected set).
+
+    Then the usual banded-join discipline: fingerprints hitting more
+    than ``max_df`` docs are dropped as boilerplate BEFORE the
+    self-join (the jaccard_pairs posting-cap rule), and pairs need
+    ``min_shared`` shared prints.  Returns (id_a, id_b,
+    shared_fingerprints).
+    """
+    s = F.lower(
+        F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9]", "")
+    )
+    base = df.select(F.col(id_col).alias("_id"), s.alias("_s")).filter(
+        F.length("_s") >= k + w - 1
+    )
+    # materialize the k-gram hash array ONCE per row — inlining it in
+    # the window transform would recompute every md5 per window
+    # (O(len^2) hashing).
+    hashes = (
+        f"transform(sequence(1, length(_s) - {k} + 1), i ->"
+        f" cast(conv(substr(md5(substr(_s, i, {k})), 1, 8), 16, 10)"
+        f" as bigint))"
+    )
+    hashed = base.withColumn("_hs", F.expr(hashes))
+    fps = (
+        f"array_distinct(transform(sequence(1, size(_hs) - {w} + 1),"
+        f" t -> array_min(slice(_hs, t, {w}))))"
+    )
+    sel = hashed.select(
+        "_id", F.explode(F.expr(fps)).alias("fp")
+    )
+    caps = sel.groupBy("fp").agg(
+        F.count_distinct("_id").alias("_df")
+    ).filter(F.col("_df") <= max_df)
+    kept = sel.join(caps.select("fp"), "fp")
+    a = kept.select(F.col("_id").alias("id_a"), "fp")
+    b = kept.select(F.col("_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )

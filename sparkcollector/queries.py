@@ -22257,6 +22257,142 @@ def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 505. Holm-Bonferroni step-down on the same deterministic p-value
+#      battery as bh_fdr — FWER control (any false positive pages a
+#      human) vs BH's FDR; running-max adjusted p.
+# ---------------------------------------------------------------------
+@register(
+    "holm_bonferroni",
+    """
+    with t as (select distinct event_id % 499 as tid from events),
+    p as (select tid,
+        cast((tid * 7919) % 10000 as double) / 10000 as p from t),
+    r as (select *, count(*) over () as m,
+        row_number() over (order by p asc, tid asc) as rank from p),
+    adj as (select *, least(1.0,
+        max(cast(m - rank + 1 as double) * p)
+          over (order by rank asc
+                rows between unbounded preceding and current row))
+        as padj from r)
+    select tid, round(p, 8) as p, cast(rank as int) as rank,
+      round(padj, 8) as p_adj, padj <= 0.05 as reject
+    from adj
+    """,
+)
+def q_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import holm_bonferroni
+
+    ev = _t(spark, sf_dir, "events")
+    tests = (
+        ev.select((F.col("event_id") % 499).alias("tid"))
+        .distinct()
+        .select(
+            "tid",
+            ((F.col("tid") * 7919 % 10000).cast("double") / 10000)
+            .alias("p"),
+        )
+    )
+    return holm_bonferroni(tests, "tid", "p", alpha=0.05)
+
+
+# ---------------------------------------------------------------------
+# 506. Winnowing fingerprint near-dup pairs (Schleimer/MOSS) over
+#      documents — windowed-min k-gram selection with the shared-
+#      substring guarantee; boilerplate prints capped before the join.
+# ---------------------------------------------------------------------
+@register(
+    "winnowing_pairs",
+    """
+    with b as (select doc_id as id,
+        lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) as s
+      from documents),
+    f0 as (select id, s from b where length(s) >= 11),
+    h as (select id, list_transform(generate_series(1,
+        length(s) - 7), i -> cast(('0x' || substr(md5(substr(s, i, 8)),
+        1, 8)) as bigint)) as hs from f0),
+    fp0 as (select id, list_distinct(list_transform(
+        generate_series(1, len(hs) - 3), t ->
+        list_min(hs[t:t+3]))) as fps from h),
+    sel as (select id, unnest(fps) as fp from fp0),
+    caps as (select fp from sel group by fp
+      having count(distinct id) <= 50),
+    kept as (select sel.* from sel join caps using (fp))
+    select a.id as id_a, b.id as id_b,
+      cast(count(*) as bigint) as shared_fingerprints
+    from kept a join kept b using (fp) where a.id < b.id
+    group by 1, 2 having count(*) >= 3
+    """,
+)
+def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(
+        docs, "doc_id", "text", k=8, w=4, max_df=50, min_shared=3
+    )
+
+
+# ---------------------------------------------------------------------
+# 507. Zone-map pruning audit: insert-order blocks prune day-range
+#      probes, hash-scattered blocks don't — the measurable case for
+#      clustered layout (zorder/compaction story).
+# ---------------------------------------------------------------------
+@register(
+    "zone_map_prune_audit",
+    """
+    with probes as (select t.range as probe,
+        cast(1704067200 + (t.range + 2) * 86400 as double) as lo,
+        cast(1704067200 + (t.range + 3) * 86400 as double) as hi
+      from range(0, 8) t),
+    v as (select event_id, cast(floor(epoch(ts)) as double) as sec
+      from events),
+    ins as (select event_id // 250 as blk, min(sec) as mn,
+        max(sec) as mx from v group by 1),
+    hsh as (select cast(('0x' || substr(md5(cast(event_id
+        as varchar)), 1, 8)) as bigint) % 40 as blk,
+        min(sec) as mn, max(sec) as mx from v group by 1),
+    audit as (
+      select 'insert_order' as layout, p.probe, p.lo, p.hi,
+        count(*) as n_blocks,
+        sum(case when b.mx < p.lo or b.mn >= p.hi then 1 else 0 end)
+          as n_pruned
+      from ins b cross join probes p group by 1, 2, 3, 4
+      union all
+      select 'hash_shuffled', p.probe, p.lo, p.hi, count(*),
+        sum(case when b.mx < p.lo or b.mn >= p.hi then 1 else 0 end)
+      from hsh b cross join probes p group by 1, 2, 3, 4)
+    select layout, probe, lo, hi, cast(n_blocks as bigint) as n_blocks,
+      cast(n_pruned as bigint) as n_pruned,
+      round(n_pruned / cast(n_blocks as double), 6) as prune_frac
+    from audit
+    """,
+)
+def q_zone_map_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.telemetry import sample_bucket
+    from .skew import zone_map_prune
+
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("double").alias("sec"),
+    )
+    probes = [
+        (1704067200 + (d + 2) * 86400.0, 1704067200 + (d + 3) * 86400.0)
+        for d in range(8)
+    ]
+    ins = zone_map_prune(
+        v, (F.col("event_id") / 250).cast("long"), F.col("sec"), probes
+    ).withColumn("layout", F.lit("insert_order"))
+    hsh = zone_map_prune(
+        v, sample_bucket(F.col("event_id"), 40), F.col("sec"), probes
+    ).withColumn("layout", F.lit("hash_shuffled"))
+    return ins.unionByName(hsh).select(
+        "layout", "probe", "lo", "hi", "n_blocks", "n_pruned",
+        "prune_frac",
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

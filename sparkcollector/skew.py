@@ -406,3 +406,40 @@ def join_strategy_advisor(
         F.round(skew, 6).alias("big_side_skew"),
         strategy.alias("strategy"),
     )
+
+
+def zone_map_prune(
+    df: DataFrame,
+    block_col,
+    value_col,
+    probes: list[tuple[float, float]],
+) -> DataFrame:
+    """Zone-map (min/max) pruning audit — how much would the layout
+    let a reader skip?
+
+    Iceberg/parquet readers prune a file when its column min/max
+    misses the predicate range; whether that helps depends entirely
+    on LAYOUT (time-clustered files prune beautifully, hash-scattered
+    ones never do — the measurable argument behind
+    ``zorder_clustering_key`` and ``compaction_binpack``).  This
+    audits it: per simulated block, min/max of the probe column; per
+    probe range [lo, hi): the fraction of blocks a zone-map reader
+    skips.  One block aggregate + a bounded probe cross join.
+    """
+    spark = df.sparkSession
+    blocks = df.groupBy(block_col.alias("blk")).agg(
+        F.min(value_col).alias("mn"), F.max(value_col).alias("mx")
+    )
+    pr = spark.createDataFrame(
+        [(i, float(lo), float(hi)) for i, (lo, hi) in enumerate(probes)],
+        "probe int, lo double, hi double",
+    )
+    j = blocks.crossJoin(pr)
+    pruned = (F.col("mx") < F.col("lo")) | (F.col("mn") >= F.col("hi"))
+    return j.groupBy("probe", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(pruned.cast("long")).alias("n_pruned"),
+        F.round(
+            F.sum(pruned.cast("long")) / F.count(F.lit(1)), 6
+        ).alias("prune_frac"),
+    )

@@ -3457,3 +3457,22 @@ def test_stratified_kfold_exact_balance_and_stability(spark):
     out2 = stratified_kfold(df.repartition(7), ["cls"], "id", k=5).collect()
     assert {(r["id"], r["fold"]) for r in out} == {
         (r["id"], r["fold"]) for r in out2}
+
+
+def test_holm_vs_bh_power_ordering(spark):
+    from sparkcollector.operators.analytics import bh_fdr, holm_bonferroni
+
+    # 3 tiny p-values among 20: Holm (FWER) rejects a subset of BH
+    ps = [0.0001, 0.0005, 0.001] + [0.2 + 0.03 * i for i in range(17)]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "tid int, p double"
+    )
+    holm = {r["tid"]: r for r in holm_bonferroni(
+        df, "tid", "p").collect()}
+    bh = {r["tid"]: r for r in bh_fdr(df, "tid", "p", q=0.05).collect()}
+    assert holm[0]["reject"] and holm[1]["reject"] and holm[2]["reject"]
+    # Holm adjusted p = running max of (m-k+1)p: first = 20*0.0001
+    assert abs(holm[0]["p_adj"] - 0.002) < 1e-12
+    # Holm rejections are a subset of BH's (FWER stricter than FDR)
+    assert all(bh[t]["reject"] for t in holm if holm[t]["reject"])
+    assert not holm[5]["reject"]

@@ -551,3 +551,32 @@ def test_incremental_dedup_keep_best_tie_break(spark):
     assert len(got) == 1
     # equal jaccard 1.0 to docs 1 and 2 -> min id wins
     assert got[0]["dup_of"] == 1 and got[0]["jaccard"] == 1.0
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    from sparkcollector.operators.dedup import winnowing_fingerprints
+
+    # docs 1/2 share a 60-char run (>> k+w-1 = 11) -> must pair;
+    # doc 3 is unrelated -> no pair with 1 or 2
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "intro text one " + shared + " outro alpha"),
+        (2, "совсем different start " + shared + " ending beta"),
+        (3, "nothing in common here at all, entirely distinct words "
+            "zebra quokka xylophone marimba accordion"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["shared_fingerprints"]
+           for r in winnowing_fingerprints(
+               df, "doc_id", "text", min_shared=3).collect()}
+    assert (1, 2) in out and out[(1, 2)] >= 3
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_winnowing_short_docs_skipped(spark):
+    from sparkcollector.operators.dedup import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny")], "doc_id long, text string"
+    )
+    assert winnowing_fingerprints(df, "doc_id", "text").count() == 0
