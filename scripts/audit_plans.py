@@ -3940,6 +3940,19 @@ def main() -> None:
         ("stratified_kfold",
          [("one class-keyed window, stable hash order",
            lambda p: "Window" in p and "Python" not in p)], ""),
+        ("holm_bonferroni",
+         [("ordered windows over the bounded test table",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("winnowing_pairs",
+         [("k-gram hash array materialized once; Generate only for "
+           "the selected prints", lambda p: "Generate" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)],
+         "posting cap (max_df) before the self-join — jaccard rule."),
+        ("zone_map_prune_audit",
+         [("block min/max aggregate + bounded probe cross join",
+           lambda p: "Join" in p),
+          ("no Python RDD scan (probes are literals)",
+           lambda p: "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -430,10 +430,21 @@ def zone_map_prune(
     blocks = df.groupBy(block_col.alias("blk")).agg(
         F.min(value_col).alias("mn"), F.max(value_col).alias("mx")
     )
-    pr = spark.createDataFrame(
-        [(i, float(lo), float(hi)) for i, (lo, hi) in enumerate(probes)],
-        "probe int, lo double, hi double",
-    )
+    # probe dim as Catalyst literals — no Python RDD scan in the plan
+    pr = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("probe"),
+                        F.lit(float(lo)).alias("lo"),
+                        F.lit(float(hi)).alias("hi"),
+                    )
+                    for i, (lo, hi) in enumerate(probes)
+                ]
+            )
+        ).alias("_e")
+    ).select("_e.probe", "_e.lo", "_e.hi")
     j = blocks.crossJoin(pr)
     pruned = (F.col("mx") < F.col("lo")) | (F.col("mn") >= F.col("hi"))
     return j.groupBy("probe", "lo", "hi").agg(
