@@ -3953,6 +3953,21 @@ def main() -> None:
            lambda p: "Join" in p),
           ("no Python RDD scan (probes are literals)",
            lambda p: "Python" not in p)], ""),
+        ("k8s_audit_parse",
+         [("pure path extraction, zero exchanges",
+           lambda p: p.count("Exchange") == 0 and "Python" not in p)],
+         ""),
+        ("viterbi_burst_states",
+         [("integer-weight DP folds per collected bounded series",
+           lambda p: "Generate" in p and "Python" not in p)], ""),
+        ("gmm_em_2comp",
+         [("result is the bounded driver-assembled parameter table "
+           "(per-iteration aggregates run inside the loop)",
+           lambda p: "ExistingRDD" in p),
+          ("no Python EVAL in plan",
+           lambda p: "EvalPython" not in p and "InPandas" not in p)],
+         "fixed 10-iteration EM; each iteration is one full-table "
+         "aggregate pass driven from the driver — k-means precedent."),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -10520,3 +10520,174 @@ def holm_bonferroni(
         F.round(padj, 8).alias("p_adj"),
         (padj <= alpha).alias("reject"),
     )
+
+
+def viterbi_burst_states(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    obs_col: str,
+    stay_w: int = 2,
+    emit_w: int = 3,
+) -> DataFrame:
+    """Two-state Viterbi decoding of burst/quiet regimes — the
+    max-likelihood path a per-point threshold can't give you.
+
+    A point threshold flickers on every borderline hour; the Viterbi
+    path charges state SWITCHES, so one quiet hour inside a burst
+    stays labeled burst (the Kleinberg burst-detection shape).
+    Scores are INTEGER log-prob ratios (stay = +``stay_w``, switch =
+    +0, emission agreeing with the state = +``emit_w``) — exact
+    arithmetic, so the argmax path is deterministic in any engine
+    (ties prefer staying; libm never enters).  The recurrence folds
+    IN-ROW per collected bounded series (the kalman_level contract:
+    rollup series, not raw events), carrying both state paths.
+
+    Input ``obs_col`` is the binarized observation (0 quiet / 1
+    burst-ish).  Output: one row per point with the decoded state.
+    """
+    base = df.select(
+        *group_cols,
+        F.col(order_col).cast("long").alias("_o"),
+        F.col(obs_col).cast("int").alias("_y"),
+    )
+    ser = base.groupBy(*group_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_o", "_y"))),
+            lambda e: e["_y"],
+        ).alias("_ys"),
+        F.array_sort(F.collect_list("_o")).alias("_os"),
+    )
+    s, e = stay_w, emit_w
+    fold = (
+        "aggregate(slice(_ys, 2, size(_ys) - 1),"
+        " named_struct("
+        f" 'd0', cast(if(_ys[0] = 0, {e}, 0) as bigint),"
+        f" 'd1', cast(if(_ys[0] = 1, {e}, 0) as bigint),"
+        " 'p0', array(0), 'p1', array(1)),"
+        " (acc, y) -> named_struct("
+        f" 'd0', greatest(acc.d0 + {s}, acc.d1)"
+        f"   + cast(if(y = 0, {e}, 0) as bigint),"
+        f" 'd1', greatest(acc.d1 + {s}, acc.d0)"
+        f"   + cast(if(y = 1, {e}, 0) as bigint),"
+        f" 'p0', concat(if(acc.d0 + {s} >= acc.d1, acc.p0, acc.p1),"
+        "   array(0)),"
+        f" 'p1', concat(if(acc.d1 + {s} >= acc.d0, acc.p1, acc.p0),"
+        "   array(1))))"
+    )
+    dec = ser.withColumn("_v", F.expr(fold)).withColumn(
+        "_path",
+        F.expr("if(_v.d1 > _v.d0, _v.p1, _v.p0)"),
+    )
+    return dec.select(
+        *group_cols,
+        F.posexplode(F.arrays_zip("_os", "_path")).alias("_i", "_z"),
+    ).select(
+        *group_cols,
+        F.col("_z._os").alias(order_col),
+        F.col("_z._path").alias("state"),
+    )
+
+
+GMM_ITERS = 10
+
+
+def gmm_em_2comp(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    iters: int = GMM_ITERS,
+) -> DataFrame:
+    """Two-component 1-D Gaussian mixture via EM — fixed-iteration,
+    engine-reproducible.
+
+    The model behind "is this latency distribution actually TWO
+    populations?" (cache hit/miss, warm/cold path): per group, EM
+    alternates per-row responsibilities (Spark does this over the
+    full table — the scale-bearing step) and 5-parameter updates
+    (driver math on collected per-group sums — the k-means/markov
+    precedent).  Determinism contract: ``iters`` is FIXED and the
+    parameters are ROUNDED to 9dp after init and every update, so an
+    independent engine re-running the same schedule converges through
+    IDENTICAL parameter states (fold noise is quenched each round);
+    the normalizing 1/sqrt(2pi) cancels in the responsibility ratio
+    and is omitted.  Components are mu-ordered on output.
+    """
+    x = F.col(value_col).cast("double")
+    init = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(x).alias("mu"),
+        F.stddev_samp(x).alias("sd"),
+    ).collect()
+    key = lambda r: tuple(r[c] for c in group_cols)  # noqa: E731
+    params = {
+        key(r): (
+            0.5,
+            round(r["mu"] - r["sd"], 9),
+            round(r["sd"], 9),
+            round(r["mu"] + r["sd"], 9),
+            round(r["sd"], 9),
+        )
+        for r in init
+        if r["sd"] and r["sd"] > 0
+    }
+    gcol = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+
+    def case_of(idx):
+        c = None
+        for k, p in params.items():
+            kstr = "|".join(str(v) for v in k)
+            w = F.when(gcol == kstr, F.lit(p[idx]))
+            c = w if c is None else c.when(gcol == kstr, F.lit(p[idx]))
+        return c
+
+    for _ in range(iters):
+        w1, m1, s1, m2, s2 = (case_of(i) for i in range(5))
+        phi1 = F.exp(-(x - m1) * (x - m1) / (2 * s1 * s1)) / s1
+        phi2 = F.exp(-(x - m2) * (x - m2) / (2 * s2 * s2)) / s2
+        r = w1 * phi1 / (w1 * phi1 + (1 - w1) * phi2)
+        agg = df.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(r).alias("sr"),
+            F.sum(r * x).alias("srx"),
+            F.sum(r * x * x).alias("srxx"),
+            F.sum((1 - r) * x).alias("scx"),
+            F.sum((1 - r) * x * x).alias("scxx"),
+        ).collect()
+        nxt = {}
+        for row in agg:
+            k = key(row)
+            if k not in params:
+                continue
+            n, sr = row["n"], row["sr"]
+            sc = n - sr
+            m1n = row["srx"] / sr
+            s1n = (
+                max(row["srxx"] / sr - (row["srx"] / sr)
+                    * (row["srx"] / sr), 1e-6) ** 0.5
+            )
+            m2n = row["scx"] / sc
+            s2n = (
+                max(row["scxx"] / sc - (row["scx"] / sc)
+                    * (row["scx"] / sc), 1e-6) ** 0.5
+            )
+            nxt[k] = (
+                round(sr / n, 9), round(m1n, 9), round(s1n, 9),
+                round(m2n, 9), round(s2n, 9),
+            )
+        params = nxt
+    spark = df.sparkSession
+    rows = []
+    for k, (w1v, m1v, s1v, m2v, s2v) in sorted(params.items()):
+        if m1v <= m2v:
+            rows.append(k + (round(w1v, 6), round(m1v, 6), round(s1v, 6),
+                             round(m2v, 6), round(s2v, 6)))
+        else:
+            rows.append(k + (round(1 - w1v, 6), round(m2v, 6),
+                             round(s2v, 6), round(m1v, 6),
+                             round(s1v, 6)))
+    schema = ", ".join(f"{c} string" for c in group_cols) + (
+        ", weight1 double, mu1 double, sigma1 double,"
+        " mu2 double, sigma2 double"
+    )
+    return spark.createDataFrame(rows, schema)

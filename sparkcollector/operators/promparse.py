@@ -1907,3 +1907,32 @@ def postfix_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
         opt(r"status=(\w+)").alias("pf_status"),
         opt(r"status=\w+ \(([^)]*)\)").alias("pf_status_detail"),
     )
+
+
+def k8s_audit_parse(df: DataFrame, json_col: str = "line") -> DataFrame:
+    """Parse Kubernetes API-server audit events (JSON lines).
+
+    The k8s-objects/k8s-events receiver family ingests these
+    (reference: k8seventsreceiver / k8sobjectsreceiver in
+    components.go); the audit log is the security-relevant one: who
+    did what to which resource with what result.  Pure
+    ``get_json_object`` path extraction — schema-on-read without a
+    from_json schema literal, absent paths NULL, malformed lines NULL
+    verb.  Zero exchanges, codegen'd.
+    """
+    j = F.col(json_col)
+    ok = F.get_json_object(j, "$.kind") == "Event"
+
+    def g(path):
+        return F.when(ok, F.get_json_object(j, path))
+
+    return df.select(
+        "*",
+        g("$.verb").alias("audit_verb"),
+        g("$.user.username").alias("audit_user"),
+        g("$.objectRef.resource").alias("audit_resource"),
+        g("$.objectRef.namespace").alias("audit_namespace"),
+        g("$.objectRef.name").alias("audit_name"),
+        g("$.responseStatus.code").cast("long").alias("audit_code"),
+        g("$.stage").alias("audit_stage"),
+    )

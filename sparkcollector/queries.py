@@ -22393,6 +22393,216 @@ def q_zone_map_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 508. Kubernetes API-server audit-log parse (JSON lines): verb /
+#      user / objectRef / responseStatus via pure path extraction;
+#      malformed lines NULL verb.
+# ---------------------------------------------------------------------
+@register(
+    "k8s_audit_parse",
+    """
+    with b as (select event_id, user_id, event_type,
+        event_id % 20 = 0 as bad,
+        event_id % 3 = 0 as has_name
+      from events)
+    select event_id,
+      case when bad then NULL
+           when event_type = 'error' then 'delete'
+           when event_type = 'purchase' then 'create'
+           else 'get' end as audit_verb,
+      case when bad then NULL
+           else 'user' || cast(user_id % 40 as varchar) end
+        as audit_user,
+      case when bad then NULL
+           when event_type = 'view' then 'configmaps'
+           else 'pods' end as audit_resource,
+      case when bad then NULL
+           else 'ns' || cast(user_id % 6 as varchar) end
+        as audit_namespace,
+      case when bad or not has_name then NULL
+           else 'obj-' || cast(event_id % 500 as varchar) end
+        as audit_name,
+      case when bad then NULL
+           when event_type = 'error' then 403 else 200 end
+        as audit_code,
+      case when bad then NULL else 'ResponseComplete' end
+        as audit_stage
+    from b
+    """,
+)
+def q_k8s_audit_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.promparse import k8s_audit_parse
+
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    verb = (
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .when(F.col("event_type") == "purchase", F.lit("create"))
+        .otherwise(F.lit("get"))
+    )
+    res = F.when(
+        F.col("event_type") == "view", F.lit("configmaps")
+    ).otherwise(F.lit("pods"))
+    code = F.when(F.col("event_type") == "error", F.lit(403)).otherwise(
+        F.lit(200)
+    )
+    name_part = F.when(
+        eid % 3 == 0,
+        F.concat(
+            F.lit(',"name":"obj-'), (eid % 500).cast("string"),
+            F.lit('"'),
+        ),
+    ).otherwise(F.lit(""))
+    line = F.when(eid % 20 == 0, F.lit('{"broken": tru')).otherwise(
+        F.concat(
+            F.lit('{"kind":"Event","verb":"'), verb,
+            F.lit('","user":{"username":"user'),
+            (uid % 40).cast("string"),
+            F.lit('"},"objectRef":{"resource":"'), res,
+            F.lit('","namespace":"ns'), (uid % 6).cast("string"),
+            F.lit('"'), name_part,
+            F.lit('},"responseStatus":{"code":'), code.cast("string"),
+            F.lit('},"stage":"ResponseComplete"}'),
+        )
+    )
+    parsed = k8s_audit_parse(
+        ev.select("event_id", line.alias("line")), "line"
+    )
+    return parsed.select(
+        "event_id", "audit_verb", "audit_user", "audit_resource",
+        "audit_namespace", "audit_name", "audit_code", "audit_stage",
+    )
+
+
+# ---------------------------------------------------------------------
+# 509. Two-state Viterbi burst/quiet decoding of the hourly count
+#      series per event_type (integer-weight scores, ties prefer
+#      staying) — regime labels a point threshold flickers on.
+# ---------------------------------------------------------------------
+@register(
+    "viterbi_burst_states",
+    """
+    with recursive c as (select event_type as g,
+        cast(floor(epoch(ts) / 3600) as bigint) as o,
+        cast(count(*) as double) as y from events group by 1, 2),
+    m as (select g, round(avg(y), 9) as thr from c group by 1),
+    obs as (select c.g, c.o,
+        case when c.y > m.thr then 1 else 0 end as y,
+        row_number() over (partition by c.g order by c.o) as rn
+      from c join m using (g)),
+    v as (
+      select g, rn,
+        cast(case when y = 0 then 3 else 0 end as bigint) as d0,
+        cast(case when y = 1 then 3 else 0 end as bigint) as d1,
+        [0] as p0, [1] as p1
+      from obs where rn = 1
+      union all
+      select s.g, s.rn,
+        greatest(v.d0 + 2, v.d1)
+          + cast(case when s.y = 0 then 3 else 0 end as bigint),
+        greatest(v.d1 + 2, v.d0)
+          + cast(case when s.y = 1 then 3 else 0 end as bigint),
+        list_append(case when v.d0 + 2 >= v.d1 then v.p0
+                         else v.p1 end, 0),
+        list_append(case when v.d1 + 2 >= v.d0 then v.p1
+                         else v.p0 end, 1)
+      from v join obs s on s.g = v.g and s.rn = v.rn + 1),
+    lastn as (select g, max(rn) as mr from v group by 1),
+    fin as (select v.g,
+        case when v.d1 > v.d0 then v.p1 else v.p0 end as path
+      from v join lastn on lastn.g = v.g and v.rn = lastn.mr)
+    select obs.g as event_type, obs.o as b,
+      cast(fin.path[obs.rn] as int) as state
+    from obs join fin on fin.g = obs.g
+    """,
+)
+def q_viterbi_burst_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import viterbi_burst_states
+
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.floor(F.unix_timestamp("ts") / 3600).alias("b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    w = Window.partitionBy("event_type")
+    obs = c.select(
+        "event_type", "b",
+        (F.col("y") > F.round(F.avg("y").over(w), 9))
+        .cast("int").alias("hot"),
+    )
+    return viterbi_burst_states(
+        obs, ["event_type"], "b", "hot", stay_w=2, emit_w=3
+    )
+
+
+def _gmm_oracle() -> str:
+    """GMM-EM oracle: the same fixed iteration schedule with 9dp
+    parameter rounding after every update — each engine recomputes
+    the sums independently, the rounding quenches fold noise, so the
+    parameter TRAJECTORY is identical (see gmm_em_2comp)."""
+    from .operators.analytics import GMM_ITERS
+
+    its = []
+    for k in range(1, GMM_ITERS + 1):
+        prev = f"p{k - 1}"
+        its.append(f"""
+    r{k} as (select v.g, v.x,
+        p.w1 * (exp(-(v.x - p.m1) * (v.x - p.m1)
+                 / (2 * p.s1 * p.s1)) / p.s1)
+        / (p.w1 * (exp(-(v.x - p.m1) * (v.x - p.m1)
+                    / (2 * p.s1 * p.s1)) / p.s1)
+           + (1 - p.w1) * (exp(-(v.x - p.m2) * (v.x - p.m2)
+                            / (2 * p.s2 * p.s2)) / p.s2)) as r
+      from v join {prev} p using (g)),
+    a{k} as (select g, cast(count(*) as double) as n, sum(r) as sr,
+        sum(r * x) as srx, sum(r * x * x) as srxx,
+        sum((1 - r) * x) as scx, sum((1 - r) * x * x) as scxx
+      from r{k} group by 1),
+    p{k} as (select g, round(sr / n, 9) as w1,
+        round(srx / sr, 9) as m1,
+        round(sqrt(greatest(srxx / sr - (srx / sr) * (srx / sr),
+          0.000001)), 9) as s1,
+        round(scx / (n - sr), 9) as m2,
+        round(sqrt(greatest(scxx / (n - sr)
+          - (scx / (n - sr)) * (scx / (n - sr)), 0.000001)), 9) as s2
+      from a{k})""")
+    last = f"p{GMM_ITERS}"
+    return f"""
+    with v as (select event_type as g, cast(value as double) as x
+      from events where value is not null),
+    i0 as (select g, avg(x) as mu, stddev_samp(x) as sd
+      from v group by 1),
+    p0 as (select g, cast(0.5 as double) as w1,
+        round(mu - sd, 9) as m1, round(sd, 9) as s1,
+        round(mu + sd, 9) as m2, round(sd, 9) as s2
+      from i0 where sd > 0),
+    {",".join(its)}
+    select g as event_type,
+      case when m1 <= m2 then round(w1, 6)
+           else round(1 - w1, 6) end as weight1,
+      round(least(m1, m2), 6) as mu1,
+      case when m1 <= m2 then round(s1, 6) else round(s2, 6) end
+        as sigma1,
+      round(greatest(m1, m2), 6) as mu2,
+      case when m1 <= m2 then round(s2, 6) else round(s1, 6) end
+        as sigma2
+    from {last}
+    """
+
+
+# ---------------------------------------------------------------------
+# 510. Two-component Gaussian mixture by EM per event_type — fixed
+#      10-iteration schedule, 9dp parameter rounding per update so
+#      any engine walks the identical trajectory; is the value
+#      distribution secretly two populations?
+# ---------------------------------------------------------------------
+@register("gmm_em_2comp", _gmm_oracle())
+def q_gmm_em_2comp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import gmm_em_2comp
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return gmm_em_2comp(ev, ["event_type"], "value")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -3476,3 +3476,43 @@ def test_holm_vs_bh_power_ordering(spark):
     # Holm rejections are a subset of BH's (FWER stricter than FDR)
     assert all(bh[t]["reject"] for t in holm if holm[t]["reject"])
     assert not holm[5]["reject"]
+
+
+def test_gmm_em_recovers_planted_bimodal(spark):
+    from sparkcollector.operators.analytics import gmm_em_2comp
+
+    # two clear components: N(10, 1)-ish and N(50, 2)-ish grids
+    rows = []
+    for i in range(1500):
+        if i % 3 == 0:
+            rows.append(("g", 10.0 + ((i * 5) % 21 - 10) / 10.0))
+        else:
+            rows.append(("g", 50.0 + ((i * 11) % 41 - 20) / 10.0))
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = gmm_em_2comp(df, ["g"], "x").collect()[0]
+    assert abs(r["mu1"] - 10.0) < 0.5 and abs(r["mu2"] - 50.0) < 0.5
+    assert abs(r["weight1"] - 1 / 3) < 0.05
+    assert r["sigma1"] < 2 and r["sigma2"] < 3
+    # deterministic: re-run bit-identical
+    r2 = gmm_em_2comp(df, ["g"], "x").collect()[0]
+    assert (r["mu1"], r["sigma1"], r["weight1"]) == (
+        r2["mu1"], r2["sigma1"], r2["weight1"])
+
+
+def test_viterbi_bridges_single_quiet_hour(spark):
+    from sparkcollector.operators.analytics import viterbi_burst_states
+
+    # burst block with ONE embedded quiet observation: threshold
+    # labeling flickers, Viterbi must bridge it (switch cost 2 x 2 >
+    # emission gain 3)
+    obs = [0] * 10 + [1, 1, 1, 0, 1, 1, 1] + [0] * 10
+    df = spark.createDataFrame(
+        [("g", i, o) for i, o in enumerate(obs)],
+        "g string, t int, y int",
+    )
+    out = {r["t"]: r["state"] for r in viterbi_burst_states(
+        df, ["g"], "t", "y").collect()}
+    assert out[13] == 1                      # bridged
+    assert all(out[i] == 1 for i in range(10, 17))
+    assert all(out[i] == 0 for i in range(0, 10))
+    assert all(out[i] == 0 for i in range(17, 27))

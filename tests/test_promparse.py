@@ -1069,3 +1069,31 @@ def test_postfix_parse_keys_and_malformed(spark):
     assert qmgr["pf_proc"] == "qmgr" and qmgr["pf_queue_id"] == "44FF00"
     assert qmgr["pf_to"] is None and qmgr["pf_status"] is None
     assert other["pf_proc"] is None
+
+
+def test_k8s_audit_parse_paths_and_malformed(spark):
+    from sparkcollector.operators.promparse import k8s_audit_parse
+
+    lines = [
+        ('{"kind":"Event","verb":"delete","user":{"username":"eve"},'
+         '"objectRef":{"resource":"secrets","namespace":"prod",'
+         '"name":"db-creds"},"responseStatus":{"code":403},'
+         '"stage":"ResponseComplete"}',),
+        ('{"kind":"Event","verb":"get","user":{"username":"bob"},'
+         '"objectRef":{"resource":"pods","namespace":"dev"},'
+         '"responseStatus":{"code":200},"stage":"ResponseComplete"}',),
+        ('{"kind":"Pod","metadata":{}}',),   # not an audit Event
+        ("not json at all",),
+    ]
+    out = k8s_audit_parse(
+        spark.createDataFrame(lines, ["line"]), "line"
+    ).collect()
+    denied, ok, wrong_kind, bad = out
+    assert denied["audit_verb"] == "delete"
+    assert denied["audit_user"] == "eve"
+    assert denied["audit_resource"] == "secrets"
+    assert denied["audit_name"] == "db-creds"
+    assert denied["audit_code"] == 403
+    assert ok["audit_name"] is None and ok["audit_code"] == 200
+    assert wrong_kind["audit_verb"] is None
+    assert bad["audit_verb"] is None and bad["audit_code"] is None
