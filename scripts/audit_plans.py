@@ -3968,6 +3968,16 @@ def main() -> None:
            lambda p: "EvalPython" not in p and "InPandas" not in p)],
          "fixed 10-iteration EM; each iteration is one full-table "
          "aggregate pass driven from the driver — k-means precedent."),
+        ("ndv_from_sample_gee",
+         [("row-hash sample filter pushed ahead of the value agg",
+           lambda p: "Python" not in p)], ""),
+        ("pot_gpd_fit",
+         [("threshold quantile + one excess-moment pass",
+           lambda p: "Python" not in p and "Join" in p)], ""),
+        ("moe_router_balance",
+         [("single conditional-aggregate pass over router probs",
+           lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) >= 1
+           and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -10691,3 +10691,156 @@ def gmm_em_2comp(
         " mu2 double, sigma2 double"
     )
     return spark.createDataFrame(rows, schema)
+
+
+def ndv_from_sample_gee(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    row_id_col: str,
+    sample_pct: int = 10,
+) -> DataFrame:
+    """Distinct-value (NDV) estimation from a deterministic sample —
+    the query-optimizer stats problem.
+
+    ``linear_counting``/``hll_distinct`` stream EVERY row; a stats
+    collector often may only SAMPLE ROWS.  Scaling the sampled
+    distinct count d by 1/q over-counts hot-key corpora (every hot
+    key is in any sample; only the rare tail scales); the Goodman/GEE
+    singleton correction fixes exactly that:
+    NDV_hat = d + (1/q − 1)·f1, where f1 = values seen exactly ONCE
+    in the sample — a value sampled once is (almost always) a rare
+    value, of which ~(1/q − 1) others were missed per one seen.
+    Row sampling is the portable md5 bucket of ``row_id_col`` (NOT of
+    the key — hashing the key is value-sampling, under which plain
+    d/q is already unbiased and f1 means something else entirely).
+
+    Two bounded aggregates (per-value sample counts -> d, f1);
+    ``exact_ndv`` rides along so the audit reads directly.
+    """
+    from .telemetry import sample_bucket
+
+    q = sample_pct / 100.0
+    sampled = df.filter(
+        sample_bucket(F.col(row_id_col), 100) < sample_pct
+    )
+    per_val = sampled.groupBy(
+        *group_cols, F.col(key_col).alias("_v")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    est = per_val.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("d_sample"),
+        F.sum((F.col("_c") == 1).cast("long")).alias("f1"),
+    )
+    exact = df.groupBy(*group_cols).agg(
+        F.count_distinct(F.col(key_col)).alias("exact_ndv")
+    )
+    gee = F.col("d_sample") + (1.0 / q - 1.0) * F.col("f1")
+    return est.join(exact, list(group_cols)).select(
+        *group_cols, "d_sample", "f1",
+        F.round(gee, 2).alias("ndv_estimate"),
+        "exact_ndv",
+        F.round(gee / F.col("exact_ndv"), 4).alias("ratio"),
+    )
+
+
+def pot_gpd_fit(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    threshold_q: float = 0.9,
+    return_n: int = 1000,
+) -> DataFrame:
+    """Peaks-over-threshold GPD fit (method of moments) — practical
+    EVT beside ``gumbel_return_level``.
+
+    Block maxima (Gumbel) throw away all but one point per block; POT
+    keeps EVERY exceedance over a high threshold u and fits the
+    Generalized Pareto to the excesses — the estimator practitioners
+    actually use for "what p99.99 should we provision for".  Moment
+    fit: xi = 0.5·(1 − m²/v), beta = 0.5·m·(1 + m²/v) from excess
+    mean/variance; return level x_N = u + beta/xi·((N·p_u)^xi − 1)
+    with p_u the exceedance rate.  Threshold = exact per-group
+    quantile (rounded 6dp before the excess pass so both engines cut
+    the identical set); two aggregates, no sorts beyond the bounded
+    percentile.
+    """
+    x = F.col(value_col).cast("double")
+    thr = df.groupBy(*group_cols).agg(
+        F.round(
+            F.expr(f"percentile({value_col}, {threshold_q})"), 6
+        ).alias("u"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    exc = (
+        df.join(thr, list(group_cols))
+        .filter(x > F.col("u"))
+        .select(*group_cols, "u", "n_total", (x - F.col("u")).alias("e"))
+    )
+    a = exc.groupBy(*group_cols, "u", "n_total").agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.avg("e").alias("m"),
+        F.var_samp("e").alias("v"),
+    ).filter(F.col("v") > 0)
+    xi = 0.5 * (1 - F.col("m") * F.col("m") / F.col("v"))
+    beta = (
+        0.5 * F.col("m") * (1 + F.col("m") * F.col("m") / F.col("v"))
+    )
+    pu = F.col("k") / F.col("n_total")
+    rl = F.col("u") + beta / xi * (
+        F.pow(F.lit(float(return_n)) * pu, xi) - 1
+    )
+    return a.select(
+        *group_cols,
+        F.col("u"),
+        F.col("k").cast("bigint").alias("n_exceed"),
+        F.round(xi, 6).alias("xi"),
+        F.round(beta, 6).alias("beta"),
+        F.round(rl, 6).alias("return_level"),
+    )
+
+
+def moe_router_balance(
+    df: DataFrame,
+    prob_cols: list[str],
+    top_col,
+) -> DataFrame:
+    """Mixture-of-experts router balance audit (Switch/GShard aux-loss
+    metrics) — is the router collapsing onto few experts?
+
+    From per-token router probabilities (one column per expert) and
+    the realized top-1 assignment: importance_i = mean prob mass to
+    expert i, load_i = fraction of tokens routed to i, the Switch
+    auxiliary loss  E·Σ load_i·importance_i  (minimized at 1 under
+    perfect balance), and the squared coefficient of variation of
+    load (GShard's balance readout).  One conditional-aggregate pass;
+    output is |experts| rows + the scalar diagnostics repeated — the
+    training-telemetry join key is the expert index.
+    """
+    n_e = len(prob_cols)
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for i, c in enumerate(prob_cols):
+        aggs.append(F.avg(F.col(c).cast("double")).alias(f"imp{i}"))
+        aggs.append(
+            F.avg((top_col == i).cast("double")).alias(f"load{i}")
+        )
+    a = df.agg(*aggs)
+    aux = F.lit(float(n_e)) * sum(
+        F.col(f"load{i}") * F.col(f"imp{i}") for i in range(n_e)
+    )
+    mean_load = sum(F.col(f"load{i}") for i in range(n_e)) / n_e
+    var_load = sum(
+        (F.col(f"load{i}") - mean_load) * (F.col(f"load{i}") - mean_load)
+        for i in range(n_e)
+    ) / n_e
+    cv2 = var_load / (mean_load * mean_load)
+    rows = None
+    for i in range(n_e):
+        r = a.select(
+            F.lit(i).alias("expert"),
+            F.round(F.col(f"imp{i}"), 6).alias("importance"),
+            F.round(F.col(f"load{i}"), 6).alias("load"),
+            F.round(aux, 6).alias("aux_loss"),
+            F.round(cv2, 6).alias("load_cv2"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows

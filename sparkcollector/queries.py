@@ -22603,6 +22603,159 @@ def q_gmm_em_2comp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 511. GEE-style NDV estimation from a 10% hash-sample (singleton
+#      correction) vs exact — the optimizer-stats problem on a mixed
+#      duplicate/unique key; value-sampling on the portable bucket.
+# ---------------------------------------------------------------------
+@register(
+    "ndv_from_sample_gee",
+    """
+    with v as (select event_type, event_id,
+        case when event_id % 2 = 0 then user_id
+             else event_id * 1000 end as k
+      from events),
+    s as (select * from v where
+      cast(('0x' || substr(md5(cast(event_id as varchar)), 1, 8))
+        as bigint) % 100 < 10),
+    pv as (select event_type, k, count(*) as c from s group by 1, 2),
+    est as (select event_type, cast(count(*) as bigint) as d_sample,
+        cast(sum(case when c = 1 then 1 else 0 end) as bigint) as f1
+      from pv group by 1),
+    ex as (select event_type, count(distinct k) as exact_ndv
+      from v group by 1)
+    select event_type, d_sample, f1,
+      round(d_sample + (1.0 / 0.1 - 1.0) * f1, 2) as ndv_estimate,
+      cast(exact_ndv as bigint) as exact_ndv,
+      round((d_sample + (1.0 / 0.1 - 1.0) * f1) / exact_ndv, 4)
+        as ratio
+    from est join ex using (event_type)
+    """,
+)
+def q_ndv_from_sample_gee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import ndv_from_sample_gee
+
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type", "event_id",
+        F.when(
+            F.col("event_id") % 2 == 0, F.col("user_id")
+        ).otherwise(F.col("event_id") * 1000).alias("k"),
+    )
+    return ndv_from_sample_gee(
+        keyed, ["event_type"], "k", "event_id", sample_pct=10
+    )
+
+
+# ---------------------------------------------------------------------
+# 512. Peaks-over-threshold GPD moment fit (u = p90, N = 1000) per
+#      event_type — the practical EVT provisioning number beside the
+#      block-maxima gumbel_return_level.
+# ---------------------------------------------------------------------
+@register(
+    "pot_gpd_fit",
+    """
+    with b as (select event_type, cast(value as double) as x
+        from events where value is not null),
+    t as (select event_type, round(quantile_cont(x, 0.9), 6) as u,
+        count(*) as n_total from b group by 1),
+    e as (select b.event_type, t.u, t.n_total, b.x - t.u as e
+      from b join t using (event_type) where b.x > t.u),
+    a as (select event_type, u, n_total,
+        cast(count(*) as double) as k, avg(e) as m, var_samp(e) as v
+      from e group by 1, 2, 3)
+    select event_type, u, cast(k as bigint) as n_exceed,
+      round(0.5 * (1 - m * m / v), 6) as xi,
+      round(0.5 * m * (1 + m * m / v), 6) as beta,
+      round(u + (0.5 * m * (1 + m * m / v))
+            / (0.5 * (1 - m * m / v))
+            * (pow(1000.0 * (k / n_total),
+                   0.5 * (1 - m * m / v)) - 1), 6) as return_level
+    from a where v > 0
+    """,
+)
+def q_pot_gpd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import pot_gpd_fit
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return pot_gpd_fit(
+        ev, ["event_type"], "value", threshold_q=0.9, return_n=1000
+    )
+
+
+# ---------------------------------------------------------------------
+# 513. MoE router balance audit (Switch aux loss + GShard load CV^2)
+#      over deterministic softmax router probs for 4 experts — is the
+#      router collapsing?
+# ---------------------------------------------------------------------
+@register(
+    "moe_router_balance",
+    """
+    with l as (select event_id,
+        (event_id * 3) % 97 as l0, (event_id * 4) % 97 as l1,
+        (event_id * 5) % 97 as l2, (event_id * 6) % 97 as l3
+      from events),
+    p as (select event_id,
+        exp(l0 / 20.0) / (exp(l0 / 20.0) + exp(l1 / 20.0)
+          + exp(l2 / 20.0) + exp(l3 / 20.0)) as p0,
+        exp(l1 / 20.0) / (exp(l0 / 20.0) + exp(l1 / 20.0)
+          + exp(l2 / 20.0) + exp(l3 / 20.0)) as p1,
+        exp(l2 / 20.0) / (exp(l0 / 20.0) + exp(l1 / 20.0)
+          + exp(l2 / 20.0) + exp(l3 / 20.0)) as p2,
+        exp(l3 / 20.0) / (exp(l0 / 20.0) + exp(l1 / 20.0)
+          + exp(l2 / 20.0) + exp(l3 / 20.0)) as p3,
+        case when l0 >= l1 and l0 >= l2 and l0 >= l3 then 0
+             when l1 >= l2 and l1 >= l3 then 1
+             when l2 >= l3 then 2 else 3 end as top
+      from l),
+    a as (select cast(count(*) as double) as n,
+        avg(p0) as imp0, avg(p1) as imp1, avg(p2) as imp2,
+        avg(p3) as imp3,
+        avg(case when top = 0 then 1.0 else 0.0 end) as load0,
+        avg(case when top = 1 then 1.0 else 0.0 end) as load1,
+        avg(case when top = 2 then 1.0 else 0.0 end) as load2,
+        avg(case when top = 3 then 1.0 else 0.0 end) as load3
+      from p),
+    m as (select *,
+        4.0 * (load0 * imp0 + load1 * imp1 + load2 * imp2
+               + load3 * imp3) as aux,
+        (load0 + load1 + load2 + load3) / 4 as ml from a),
+    c as (select *,
+        ((load0 - ml) * (load0 - ml) + (load1 - ml) * (load1 - ml)
+         + (load2 - ml) * (load2 - ml) + (load3 - ml) * (load3 - ml))
+        / 4 / (ml * ml) as cv2 from m)
+    select t.range as expert,
+      round(case t.range when 0 then imp0 when 1 then imp1
+            when 2 then imp2 else imp3 end, 6) as importance,
+      round(case t.range when 0 then load0 when 1 then load1
+            when 2 then load2 else load3 end, 6) as load,
+      round(aux, 6) as aux_loss,
+      round(cv2, 6) as load_cv2
+    from c cross join range(0, 4) t
+    """,
+)
+def q_moe_router_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import moe_router_balance
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    l = [eid * (i + 3) % 97 for i in range(4)]
+    denom = sum(F.exp(li / 20.0) for li in l)
+    top = (
+        F.when((l[0] >= l[1]) & (l[0] >= l[2]) & (l[0] >= l[3]), 0)
+        .when((l[1] >= l[2]) & (l[1] >= l[3]), 1)
+        .when(l[2] >= l[3], 2)
+        .otherwise(3)
+    )
+    toks = ev.select(
+        *[(F.exp(l[i] / 20.0) / denom).alias(f"p{i}") for i in range(4)],
+        top.alias("top"),
+    )
+    return moe_router_balance(
+        toks, ["p0", "p1", "p2", "p3"], F.col("top")
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -3516,3 +3516,60 @@ def test_viterbi_bridges_single_quiet_hour(spark):
     assert all(out[i] == 1 for i in range(10, 17))
     assert all(out[i] == 0 for i in range(0, 10))
     assert all(out[i] == 0 for i in range(17, 27))
+
+
+def test_ndv_gee_beats_naive_scaling_on_skew(spark):
+    from sparkcollector.operators.analytics import ndv_from_sample_gee
+
+    # 100 hot keys (many dups) + 5000 singletons: naive d/q wildly
+    # off; GEE's singleton correction lands near the truth
+    rows = [("g", i, i % 100) for i in range(20000)]
+    rows += [("g", 20000 + i, 1000 + i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, rid long, k long")
+    r = ndv_from_sample_gee(
+        df, ["g"], "k", "rid", sample_pct=10).collect()[0]
+    assert r["exact_ndv"] == 5100
+    assert 0.6 < r["ratio"] < 1.4          # GEE within +-40%
+    # naive scaling of the sampled distinct count is far worse than
+    # the GEE correction on this skew
+    naive = r["d_sample"] * 10
+    assert abs(r["ndv_estimate"] - 5100) < abs(naive - 5100)
+
+
+def test_pot_gpd_exponential_tail_has_zero_xi(spark):
+    import math
+
+    from sparkcollector.operators.analytics import pot_gpd_fit
+
+    # exponential-ish excesses (memoryless): xi ~ 0, beta ~ mean excess
+    rows = [("g", -10.0 * math.log((i + 0.5) / 4000))
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = pot_gpd_fit(df, ["g"], "x", threshold_q=0.9).collect()[0]
+    assert abs(r["xi"]) < 0.15             # exponential domain
+    assert 7 < r["beta"] < 13              # ~ the exp scale 10
+    assert r["return_level"] > r["u"]      # extrapolates beyond u
+
+
+def test_moe_router_balance_flags_collapse(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import moe_router_balance
+
+    # balanced router: uniform probs, round-robin top
+    bal = spark.createDataFrame(
+        [(0.25, 0.25, 0.25, 0.25, i % 4) for i in range(1000)],
+        "p0 double, p1 double, p2 double, p3 double, top int",
+    )
+    rb = moe_router_balance(
+        bal, ["p0", "p1", "p2", "p3"], F.col("top")).collect()
+    assert abs(rb[0]["aux_loss"] - 1.0) < 1e-9
+    assert rb[0]["load_cv2"] < 1e-12
+    # collapsed router: everything to expert 0
+    col = spark.createDataFrame(
+        [(0.97, 0.01, 0.01, 0.01, 0) for _ in range(1000)],
+        "p0 double, p1 double, p2 double, p3 double, top int",
+    )
+    rc = moe_router_balance(
+        col, ["p0", "p1", "p2", "p3"], F.col("top")).collect()
+    assert rc[0]["aux_loss"] > 3.5 and rc[0]["load_cv2"] > 2.5
