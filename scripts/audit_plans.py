@@ -3978,6 +3978,19 @@ def main() -> None:
          [("single conditional-aggregate pass over router probs",
            lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) >= 1
            and "Python" not in p)], ""),
+        ("iv_2sls",
+         [("single power-sum pass",
+           lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+           and "Python" not in p)], ""),
+        ("regression_discontinuity",
+         [("bandwidth filter + one conditional-aggregate pass",
+           lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+           and "Python" not in p)], ""),
+        ("propensity_matching",
+         [("asof-style directional windows, no cross join of arms",
+           lambda p: "Window" in p and "Python" not in p)],
+         "windows run over the per-unit scored table (lift/qini "
+         "discipline), never raw events."),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

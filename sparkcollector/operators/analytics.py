@@ -10844,3 +10844,183 @@ def moe_router_balance(
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows
+
+
+def iv_2sls(
+    df: DataFrame,
+    group_cols: list[str],
+    z_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Instrumental-variable estimate (single instrument, 2SLS closed
+    form) — causal slope when the regressor is confounded.
+
+    OLS of y on x is biased when an unobserved factor drives both;
+    with an instrument z (moves x, touches y ONLY through x), the
+    Wald/2SLS estimator beta_IV = cov(z,y)/cov(z,x) removes the
+    bias.  One power-sum pass per group; the first-stage F statistic
+    (strength of the instrument — the weak-instrument diagnostic that
+    must accompany any IV number) comes from the same sums:
+    F = r_zx^2·(n−2)/(1−r_zx^2).  OLS beta rides along so the bias
+    being removed is visible.
+    """
+    z = F.col(z_col).cast("double")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    a = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(z).alias("sz"), F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(z * x).alias("szx"), F.sum(z * y).alias("szy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(z * z).alias("szz"), F.sum(x * x).alias("sxx"),
+    )
+    n = F.col("n")
+    cov_zy = F.col("szy") / n - F.col("sz") / n * F.col("sy") / n
+    cov_zx = F.col("szx") / n - F.col("sz") / n * F.col("sx") / n
+    cov_xy = F.col("sxy") / n - F.col("sx") / n * F.col("sy") / n
+    var_z = F.col("szz") / n - F.col("sz") / n * F.col("sz") / n
+    var_x = F.col("sxx") / n - F.col("sx") / n * F.col("sx") / n
+    r2_zx = cov_zx * cov_zx / (var_z * var_x)
+    return a.select(
+        *group_cols,
+        n.cast("bigint").alias("n"),
+        F.round(cov_xy / var_x, 6).alias("beta_ols"),
+        F.round(cov_zy / cov_zx, 6).alias("beta_iv"),
+        F.round(r2_zx * (n - 2) / (1 - r2_zx), 6).alias("first_stage_f"),
+    )
+
+
+def regression_discontinuity(
+    df: DataFrame,
+    running_col: str,
+    y_col: str,
+    cutoff: float,
+    bandwidth: float,
+) -> DataFrame:
+    """Sharp regression discontinuity — the jump at a policy cutoff.
+
+    When treatment switches exactly at a threshold of a running
+    variable (rate limit kicks in at N requests, alerting at the SLO
+    line), the outcome jump AT the cutoff is the causal effect:
+    fit separate lines left and right within ``bandwidth`` (power-sum
+    OLS on centered r = running − cutoff) and report
+    intercept_right − intercept_left, with the two slopes so
+    curvature-driven artifacts are inspectable.  One conditional
+    aggregate pass; NULL effect when either side is starved
+    (< 3 points).
+    """
+    r = F.col(running_col).cast("double") - cutoff
+    y = F.col(y_col).cast("double")
+    inb = df.filter(F.abs(r) <= bandwidth)
+    side = (r >= 0).cast("int")
+    aggs = []
+    for s in (0, 1):
+        cond = side == s
+        cy = F.when(cond, y)
+        cr = F.when(cond, r)
+        aggs += [
+            F.count(cy).cast("double").alias(f"n{s}"),
+            F.sum(cy).alias(f"sy{s}"),
+            F.sum(cr).alias(f"sr{s}"),
+            F.sum(F.when(cond, r * y)).alias(f"sry{s}"),
+            F.sum(F.when(cond, r * r)).alias(f"srr{s}"),
+        ]
+    a = inb.agg(*aggs)
+
+    def fit(s):
+        n = F.col(f"n{s}")
+        beta = (
+            F.col(f"sry{s}") / n
+            - F.col(f"sr{s}") / n * F.col(f"sy{s}") / n
+        ) / (
+            F.col(f"srr{s}") / n
+            - F.col(f"sr{s}") / n * F.col(f"sr{s}") / n
+        )
+        alpha = F.col(f"sy{s}") / n - beta * F.col(f"sr{s}") / n
+        return alpha, beta, n
+
+    al, bl, nl = fit(0)
+    ar, br, nr = fit(1)
+    ok = (nl >= 3) & (nr >= 3)
+    return a.select(
+        nl.cast("bigint").alias("n_left"),
+        nr.cast("bigint").alias("n_right"),
+        F.round(F.when(ok, al), 6).alias("intercept_left"),
+        F.round(F.when(ok, ar), 6).alias("intercept_right"),
+        F.round(F.when(ok, bl), 6).alias("slope_left"),
+        F.round(F.when(ok, br), 6).alias("slope_right"),
+        F.round(F.when(ok, ar - al), 6).alias("rd_effect"),
+    )
+
+
+def propensity_matching(
+    df: DataFrame,
+    id_col: str,
+    treat_col: str,
+    score_col: str,
+    y_col: str,
+    caliper: float,
+) -> DataFrame:
+    """Propensity-score matching ATT — compare each treated unit to
+    its nearest control BY SCORE, not to the whole control pool.
+
+    A raw treated-vs-control mean difference is confounded by
+    whatever drove treatment; matching on the propensity score
+    compares like with like.  Nearest-control-by-score is an AS-OF
+    problem, solved the asof_join way (no cross join): union both
+    arms ordered by (score, id), carry the last/next control's
+    (score, y) via two directional windows, pick the nearer one
+    within ``caliper``; ATT = mean(y_t − y_matched_control) over
+    matched treated units, with the match rate reported (unmatched
+    treated units are the overlap-violation diagnostic).
+    """
+    t = F.col(treat_col).cast("int")
+    base = df.select(
+        F.col(id_col).alias("_id"), t.alias("_t"),
+        F.round(F.col(score_col).cast("double"), 9).alias("_s"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    w_up = Window.orderBy("_s", "_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_dn = Window.orderBy("_s", "_id").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    cs = F.when(F.col("_t") == 0, F.col("_s"))
+    cy = F.when(F.col("_t") == 0, F.col("_y"))
+    m = base.select(
+        "*",
+        F.last(cs, ignorenulls=True).over(w_up).alias("_ps"),
+        F.last(cy, ignorenulls=True).over(w_up).alias("_py"),
+        F.first(cs, ignorenulls=True).over(w_dn).alias("_ns"),
+        F.first(cy, ignorenulls=True).over(w_dn).alias("_ny"),
+    ).filter(F.col("_t") == 1)
+    d_prev = F.abs(F.col("_s") - F.col("_ps"))
+    d_next = F.abs(F.col("_ns") - F.col("_s"))
+    pick_prev = F.col("_ns").isNull() | (
+        F.col("_ps").isNotNull() & (d_prev <= d_next)
+    )
+    mc = m.select(
+        "_id", "_y",
+        F.when(pick_prev, F.col("_py")).otherwise(F.col("_ny"))
+        .alias("_my"),
+        F.when(pick_prev, d_prev).otherwise(d_next).alias("_d"),
+    )
+    matched = mc.filter(
+        F.col("_my").isNotNull() & (F.col("_d") <= caliper)
+    )
+    return mc.agg(
+        F.count(F.lit(1)).alias("n_treated"),
+    ).crossJoin(
+        matched.agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(F.avg(F.col("_y") - F.col("_my")), 6).alias("att"),
+        )
+    ).select(
+        "n_treated", "n_matched",
+        F.round(
+            F.col("n_matched") / F.col("n_treated").cast("double"), 6
+        ).alias("match_rate"),
+        "att",
+    )

@@ -22756,6 +22756,196 @@ def q_moe_router_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 514. Instrumental-variable (2SLS/Wald) slope per event_type on a
+#      planted confounded system: OLS absorbs the confounder, IV
+#      recovers the true x->y effect; first-stage F rides along.
+# ---------------------------------------------------------------------
+@register(
+    "iv_2sls",
+    """
+    with b as (select event_type,
+        cast(user_id % 7 as double) as z,
+        cast(event_id % 50 as double) as u,
+        cast(event_id * 13 % 11 - 5 as double) as e1,
+        cast(event_id * 17 % 9 - 4 as double) as e2
+      from events),
+    v as (select event_type, z,
+        2 * z + u + e1 as x, u, e2 from b),
+    w as (select event_type, z, x, 3 * x + 5 * u + e2 as y from v),
+    a as (select event_type, cast(count(*) as double) as n,
+        sum(z) as sz, sum(x) as sx, sum(y) as sy,
+        sum(z * x) as szx, sum(z * y) as szy, sum(x * y) as sxy,
+        sum(z * z) as szz, sum(x * x) as sxx
+      from w group by 1)
+    select event_type, cast(n as bigint) as n,
+      round((sxy / n - sx / n * sy / n)
+            / (sxx / n - sx / n * sx / n), 6) as beta_ols,
+      round((szy / n - sz / n * sy / n)
+            / (szx / n - sz / n * sx / n), 6) as beta_iv,
+      round(((szx / n - sz / n * sx / n) * (szx / n - sz / n * sx / n)
+             / ((szz / n - sz / n * sz / n)
+                * (sxx / n - sx / n * sx / n)))
+            * (n - 2)
+            / (1 - (szx / n - sz / n * sx / n)
+               * (szx / n - sz / n * sx / n)
+               / ((szz / n - sz / n * sz / n)
+                  * (sxx / n - sx / n * sx / n))), 6)
+        as first_stage_f
+    from a
+    """,
+)
+def q_iv_2sls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import iv_2sls
+
+    ev = _t(spark, sf_dir, "events")
+    z = (F.col("user_id") % 7).cast("double")
+    u = (F.col("event_id") % 50).cast("double")
+    e1 = (F.col("event_id") * 13 % 11 - 5).cast("double")
+    e2 = (F.col("event_id") * 17 % 9 - 4).cast("double")
+    x = 2 * z + u + e1
+    y = 3 * x + 5 * u + e2
+    base = ev.select(
+        "event_type", z.alias("z"), x.alias("x"), y.alias("y")
+    )
+    return iv_2sls(base, ["event_type"], "z", "x", "y")
+
+
+# ---------------------------------------------------------------------
+# 515. Sharp regression discontinuity at value = 100 (bandwidth 50)
+#      with a planted +8 jump: local-linear both sides, effect =
+#      intercept gap at the cutoff.
+# ---------------------------------------------------------------------
+@register(
+    "regression_discontinuity",
+    """
+    with b as (select cast(value as double) - 100 as r,
+        10 + 0.05 * (cast(value as double) - 100)
+          + case when value >= 100 then 8 else 0 end
+          + cast(event_id * 7 % 13 - 6 as double) / 10 as y
+      from events where value is not null
+        and abs(cast(value as double) - 100) <= 50),
+    a as (select
+        cast(sum(case when r < 0 then 1 else 0 end) as double) as n0,
+        sum(case when r < 0 then y end) as sy0,
+        sum(case when r < 0 then r end) as sr0,
+        sum(case when r < 0 then r * y end) as sry0,
+        sum(case when r < 0 then r * r end) as srr0,
+        cast(sum(case when r >= 0 then 1 else 0 end) as double) as n1,
+        sum(case when r >= 0 then y end) as sy1,
+        sum(case when r >= 0 then r end) as sr1,
+        sum(case when r >= 0 then r * y end) as sry1,
+        sum(case when r >= 0 then r * r end) as srr1
+      from b)
+    select cast(n0 as bigint) as n_left, cast(n1 as bigint) as n_right,
+      round(sy0 / n0 - ((sry0 / n0 - sr0 / n0 * sy0 / n0)
+            / (srr0 / n0 - sr0 / n0 * sr0 / n0)) * sr0 / n0, 6)
+        as intercept_left,
+      round(sy1 / n1 - ((sry1 / n1 - sr1 / n1 * sy1 / n1)
+            / (srr1 / n1 - sr1 / n1 * sr1 / n1)) * sr1 / n1, 6)
+        as intercept_right,
+      round((sry0 / n0 - sr0 / n0 * sy0 / n0)
+            / (srr0 / n0 - sr0 / n0 * sr0 / n0), 6) as slope_left,
+      round((sry1 / n1 - sr1 / n1 * sy1 / n1)
+            / (srr1 / n1 - sr1 / n1 * sr1 / n1), 6) as slope_right,
+      round((sy1 / n1 - ((sry1 / n1 - sr1 / n1 * sy1 / n1)
+             / (srr1 / n1 - sr1 / n1 * sr1 / n1)) * sr1 / n1)
+            - (sy0 / n0 - ((sry0 / n0 - sr0 / n0 * sy0 / n0)
+               / (srr0 / n0 - sr0 / n0 * sr0 / n0)) * sr0 / n0), 6)
+        as rd_effect
+    from a
+    """,
+)
+def q_regression_discontinuity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.analytics import regression_discontinuity
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = F.col("value").cast("double")
+    y = (
+        10 + 0.05 * (v - 100)
+        + F.when(F.col("value") >= 100, 8).otherwise(0)
+        + (F.col("event_id") * 7 % 13 - 6).cast("double") / 10
+    )
+    base = ev.select(v.alias("running"), y.alias("y"))
+    return regression_discontinuity(
+        base, "running", "y", cutoff=100.0, bandwidth=50.0
+    )
+
+
+# ---------------------------------------------------------------------
+# 516. Propensity-score matching ATT (nearest control by score within
+#      a 0.05 caliper, asof-style directional windows — no cross
+#      join): treated = odd users, planted +5 effect.
+# ---------------------------------------------------------------------
+@register(
+    "propensity_matching",
+    """
+    with u as (select user_id, cast(user_id % 2 as int) as t,
+        round(sum(case when event_type = 'click' then 1.0 else 0 end)
+          / count(*) + (user_id % 13) / 13.0, 9) as s,
+        avg(cast(value as double))
+          + 5 * cast(user_id % 2 as int) as y
+      from events where value is not null group by user_id),
+    m as (select user_id, t, s, y,
+        last_value(case when t = 0 then s end ignore nulls)
+          over (order by s, user_id
+                rows between unbounded preceding and 1 preceding)
+          as ps,
+        last_value(case when t = 0 then y end ignore nulls)
+          over (order by s, user_id
+                rows between unbounded preceding and 1 preceding)
+          as py,
+        first_value(case when t = 0 then s end ignore nulls)
+          over (order by s, user_id
+                rows between 1 following and unbounded following)
+          as ns,
+        first_value(case when t = 0 then y end ignore nulls)
+          over (order by s, user_id
+                rows between 1 following and unbounded following)
+          as ny
+      from u),
+    tr as (select *, (ns is null or (ps is not null
+        and abs(s - ps) <= abs(ns - s))) as pick_prev
+      from m where t = 1),
+    mc as (select user_id, y,
+        case when pick_prev then py else ny end as my,
+        case when pick_prev then abs(s - ps) else abs(ns - s) end as d
+      from tr),
+    mt as (select count(*) as n_matched,
+        round(avg(y - my), 6) as att from mc
+      where my is not null and d <= 0.05)
+    select (select count(*) from mc) as n_treated,
+      cast(n_matched as bigint) as n_matched,
+      round(n_matched / cast((select count(*) from mc) as double), 6)
+        as match_rate,
+      att
+    from mt
+    """,
+)
+def q_propensity_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import propensity_matching
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = (F.col("user_id") % 2).cast("int")
+    users = ev.groupBy("user_id").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1.0).otherwise(0)
+            ) / F.count(F.lit(1))
+            + (F.col("user_id") % 13) / 13.0,
+            9,
+        ).alias("s"),
+        (
+            F.avg(F.col("value").cast("double"))
+            + 5 * F.max(t)
+        ).alias("y"),
+        F.max(t).alias("t"),
+    )
+    return propensity_matching(users, "user_id", "t", "s", "y", 0.05)
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -3573,3 +3573,63 @@ def test_moe_router_balance_flags_collapse(spark):
     rc = moe_router_balance(
         col, ["p0", "p1", "p2", "p3"], F.col("top")).collect()
     assert rc[0]["aux_loss"] > 3.5 and rc[0]["load_cv2"] > 2.5
+
+
+def test_iv_recovers_true_effect_ols_does_not(spark):
+    from sparkcollector.operators.analytics import iv_2sls
+
+    # y = 3x + 5u with u also driving x: OLS pulled toward the
+    # confounder; IV via z recovers ~3 with a strong first stage
+    rows = []
+    for i in range(5000):
+        z = float(i % 7)
+        u = float((i * 31) % 50)
+        x = 2 * z + u + float((i * 13) % 11 - 5)
+        y = 3 * x + 5 * u + float((i * 17) % 9 - 4)
+        rows.append(("g", z, x, y))
+    df = spark.createDataFrame(rows, "g string, z double, x double, y double")
+    r = iv_2sls(df, ["g"], "z", "x", "y").collect()[0]
+    assert abs(r["beta_iv"] - 3.0) < 0.2
+    assert r["beta_ols"] > 3.5                 # confounding bias visible
+    assert r["first_stage_f"] > 100            # strong instrument
+
+
+def test_rd_measures_planted_jump(spark):
+    from sparkcollector.operators.analytics import regression_discontinuity
+
+    rows = []
+    for i in range(4000):
+        run = float(i % 200)
+        y = 2.0 + 0.1 * (run - 100) + (6.0 if run >= 100 else 0.0) \
+            + float(i % 5 - 2) / 10
+        rows.append((run, y))
+    df = spark.createDataFrame(rows, "running double, y double")
+    r = regression_discontinuity(df, "running", "y", 100.0, 40.0).collect()[0]
+    assert abs(r["rd_effect"] - 6.0) < 0.3
+    assert abs(r["slope_left"] - 0.1) < 0.05
+    assert abs(r["slope_right"] - 0.1) < 0.05
+    # starved side -> NULL effect
+    left_only = df.filter("running < 100")
+    assert regression_discontinuity(
+        left_only, "running", "y", 100.0, 40.0).collect()[0][
+        "rd_effect"] is None
+
+
+def test_propensity_matching_removes_selection_bias(spark):
+    from sparkcollector.operators.analytics import propensity_matching
+
+    # treated units have systematically HIGHER scores and score also
+    # drives the outcome (selection bias); matched comparison must
+    # recover the +2 true effect, raw difference is much larger
+    rows = []
+    for i in range(3000):
+        t = 1 if i % 3 == 0 else 0
+        s = (i % 100) / 100.0 + (0.2 if t else 0.0)
+        y = 10 * s + (2.0 if t else 0.0)
+        rows.append((i, t, s, y))
+    df = spark.createDataFrame(rows, "id long, t int, s double, y double")
+    r = propensity_matching(df, "id", "t", "s", "y", 0.02).collect()[0]
+    raw_diff = 10 * 0.2 + 2.0  # ~4 raw
+    assert abs(r["att"] - 2.0) < 0.3
+    assert r["att"] < raw_diff - 1
+    assert r["match_rate"] > 0.7  # top-score treated lack controls
