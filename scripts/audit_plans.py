@@ -3991,6 +3991,18 @@ def main() -> None:
            lambda p: "Window" in p and "Python" not in p)],
          "windows run over the per-unit scored table (lift/qini "
          "discipline), never raw events."),
+        ("cdc_chunk_dedup",
+         [("boundary detection in-row; only (doc, chunk-hash) "
+           "explodes", lambda p: "Generate" in p),
+          ("no Python / UDF in plan", lambda p: "Python" not in p)],
+         ""),
+        ("randomized_response",
+         [("per-row flip + one aggregate pass",
+           lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+           and "Python" not in p)], ""),
+        ("krippendorff_alpha",
+         [("two bounded aggregates over (unit, category) counts",
+           lambda p: "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -11024,3 +11024,101 @@ def propensity_matching(
         ).alias("match_rate"),
         "att",
     )
+
+
+def randomized_response(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    sensitive_col,
+    p_truth: float = 0.7,
+) -> DataFrame:
+    """Warner randomized response — LOCAL differential privacy with an
+    unbiased group estimator.
+
+    ``dp_noisy_counts`` protects the AGGREGATE (central DP: the
+    collector sees truth); randomized response protects each ROW
+    before it ever leaves the client: report the true bit with
+    probability p, the flip otherwise.  The group rate is then
+    recovered unbiased as pi_hat = (lambda + p − 1)/(2p − 1).  The
+    flip draw is the portable md5 hash of the row id — deterministic
+    (resend-safe, the dp_noisy_counts re-publication argument, and
+    the oracle reproduces every flip).  True rate and absolute error
+    ride along as the utility audit.
+    """
+    y = sensitive_col.cast("int")
+    u = (
+        (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16, 10,
+            ).cast("bigint")
+            + F.lit(0.5)
+        )
+        / F.lit(4294967296.0)
+    )
+    report = F.when(u < p_truth, y).otherwise(1 - y)
+    a = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(y.cast("double")).alias("_true"),
+        F.avg(report.cast("double")).alias("_lam"),
+    )
+    est = (F.col("_lam") + p_truth - 1) / (2 * p_truth - 1)
+    return a.select(
+        *group_cols,
+        F.col("n").cast("bigint").alias("n"),
+        F.round("_true", 6).alias("true_rate"),
+        F.round("_lam", 6).alias("observed_rate"),
+        F.round(est, 6).alias("estimated_rate"),
+        F.round(F.abs(est - F.col("_true")), 6).alias("abs_err"),
+    )
+
+
+def krippendorff_alpha(
+    ratings: DataFrame,
+    unit_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal) — chance-corrected agreement
+    that tolerates missing raters.
+
+    Cohen's kappa needs exactly two fixed raters; Fleiss needs equal
+    counts per unit; annotation queues for labeling pipelines have
+    NEITHER.  Alpha works from the coincidence matrix over whatever
+    ratings each unit actually received (units with one rating drop
+    out): alpha = 1 − Do/De with
+    Do = Σ_u (m_u² − Σ_c n_uc²)/(m_u − 1) and
+    De = (n² − Σ_c n_c²)/(n − 1).  Two bounded aggregates over
+    (unit, category) counts — pure integer sums into one final ratio.
+    """
+    per_uc = ratings.groupBy(unit_col, category_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_u = per_uc.groupBy(unit_col).agg(
+        F.sum("c").alias("m"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    ).filter(F.col("m") >= 2)
+    do = per_u.agg(
+        F.sum(
+            (F.col("m") * F.col("m") - F.col("sq")).cast("double")
+            / (F.col("m") - 1)
+        ).alias("do_total"),
+        F.sum("m").cast("double").alias("n"),
+    )
+    marg = (
+        per_uc.join(per_u.select(unit_col), unit_col)
+        .groupBy(category_col)
+        .agg(F.sum("c").alias("nc"))
+        .agg(F.sum(F.col("nc") * F.col("nc")).cast("double").alias("sqc"))
+    )
+    j = do.crossJoin(marg)
+    de = (F.col("n") * F.col("n") - F.col("sqc")) / (F.col("n") - 1)
+    # try_divide: a corpus whose kept units all share ONE category has
+    # De = 0 — alpha is undefined there, not infinite.
+    return j.select(
+        F.col("n").cast("bigint").alias("n_ratings"),
+        F.round(F.col("do_total"), 6).alias("do_total"),
+        F.round(de, 6).alias("de_total"),
+        F.round(1 - F.try_divide(F.col("do_total"), de), 6)
+        .alias("alpha"),
+    )

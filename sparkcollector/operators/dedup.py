@@ -1144,3 +1144,65 @@ def winnowing_fingerprints(
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
     )
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    mask: int = 63,
+) -> DataFrame:
+    """Content-defined chunking dedup (rolling-boundary, rsync/borg
+    shape) — shift-resistant duplicate detection.
+
+    Fixed-size chunking (see ``chunk_overlap``) breaks on a 1-char
+    insertion: every later chunk changes.  Content-defined boundaries
+    cut where a k-gram hash satisfies ``hash % (mask+1) == 0``, so
+    boundaries move WITH the content and an edited document still
+    shares every untouched chunk.  Boundary detection, chunk
+    assembly, and chunk hashing all run IN-ROW (one filtered
+    positions array, one transform over the cut list — O(len) md5s,
+    materialized once); only the (doc, chunk-hash) pairs explode.
+
+    Output per doc: chunk count, chunks also present in another doc,
+    and the duplicated-content ratio — the per-doc dedup scorecard.
+    """
+    s = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    base = df.select(F.col(id_col).alias("_id"), s.alias("_s")).filter(
+        F.length("_s") >= k
+    )
+    cuts = (
+        f"filter(sequence({k}, length(_s)), i ->"
+        f" cast(conv(substr(md5(substr(_s, i - {k} + 1, {k})), 1, 8),"
+        f" 16, 10) as bigint) % {mask + 1} = 0)"
+    )
+    base = base.withColumn(
+        "_cuts",
+        F.expr(
+            f"concat(array(0), {cuts},"
+            " array(length(_s)))"
+        ),
+    )
+    chunks = (
+        "array_distinct(filter(transform(sequence(1, size(_cuts) - 1),"
+        " j -> md5(substr(_s, try_element_at(_cuts, j) + 1,"
+        " try_element_at(_cuts, j + 1) - try_element_at(_cuts, j)))),"
+        " c -> c is not null))"
+    )
+    pairs = base.select(
+        "_id", F.explode(F.expr(chunks)).alias("chash")
+    )
+    spread = pairs.groupBy("chash").agg(
+        F.count_distinct("_id").alias("_docs")
+    )
+    j = pairs.join(spread, "chash")
+    return j.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("_docs") > 1).cast("long")).alias("n_dup_chunks"),
+        F.round(
+            F.sum((F.col("_docs") > 1).cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_ratio"),
+    )

@@ -22946,6 +22946,126 @@ def q_propensity_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 517. Content-defined chunking dedup over documents (rolling k-gram
+#      boundary, mask 63): shift-resistant duplicate content ratio
+#      per doc — the rsync/borg trick for edited near-copies.
+# ---------------------------------------------------------------------
+@register(
+    "cdc_chunk_dedup",
+    """
+    with b as (select doc_id as id,
+        lower(regexp_replace(text, '\\s+', ' ', 'g')) as s
+      from documents),
+    f0 as (select id, s from b where length(s) >= 8),
+    c as (select id, s,
+        list_concat(list_concat([0],
+          list_filter(generate_series(8, length(s)), i ->
+            cast(('0x' || substr(md5(substr(s, i - 7, 8)), 1, 8))
+              as bigint) % 64 = 0)),
+          [length(s)]) as cuts from f0),
+    ch as (select id,
+        list_distinct(list_transform(
+          generate_series(1, len(cuts) - 1), j ->
+          md5(substr(s, cuts[j] + 1, cuts[j + 1] - cuts[j]))))
+          as chunks from c),
+    p as (select id, unnest(chunks) as chash from ch),
+    spread as (select chash, count(distinct id) as docs
+      from p group by 1)
+    select p.id as doc_id, cast(count(*) as bigint) as n_chunks,
+      cast(sum(case when spread.docs > 1 then 1 else 0 end) as bigint)
+        as n_dup_chunks,
+      round(sum(case when spread.docs > 1 then 1 else 0 end)
+            / cast(count(*) as double), 6) as dup_ratio
+    from p join spread using (chash) group by p.id
+    """,
+)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import cdc_chunk_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_chunk_dedup(docs, "doc_id", "text", k=8, mask=63)
+
+
+# ---------------------------------------------------------------------
+# 518. Warner randomized response (local DP, p=0.7) on the sensitive
+#      bit value>200, per event_type: per-row flips from the portable
+#      hash, unbiased group-rate recovery, utility audit inline.
+# ---------------------------------------------------------------------
+@register(
+    "randomized_response",
+    """
+    with b as (select event_type, event_id,
+        case when value > 200 then 1 else 0 end as y
+      from events where value is not null),
+    r as (select event_type, y,
+        case when (cast(('0x' || substr(md5(cast(event_id as varchar)),
+            1, 8)) as bigint) + 0.5) / 4294967296.0 < 0.7
+          then y else 1 - y end as rep
+      from b),
+    a as (select event_type, cast(count(*) as bigint) as n,
+        avg(cast(y as double)) as tr, avg(cast(rep as double)) as lam
+      from r group by 1)
+    select event_type, n, round(tr, 6) as true_rate,
+      round(lam, 6) as observed_rate,
+      round((lam + 0.7 - 1) / (2 * 0.7 - 1), 6) as estimated_rate,
+      round(abs((lam + 0.7 - 1) / (2 * 0.7 - 1) - tr), 6) as abs_err
+    from a
+    """,
+)
+def q_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import randomized_response
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return randomized_response(
+        ev, ["event_type"], "event_id",
+        (F.col("value") > 200), p_truth=0.7,
+    )
+
+
+# ---------------------------------------------------------------------
+# 519. Krippendorff's alpha (nominal) over a synthetic annotation
+#      queue (units = event_id%300, category = unit%4 with %7 noise
+#      flips, variable raters per unit) — the agreement coefficient
+#      that tolerates missing raters.
+# ---------------------------------------------------------------------
+@register(
+    "krippendorff_alpha",
+    """
+    with r as (select event_id % 300 as unit,
+        case when event_id % 7 = 0
+          then ((event_id % 300) % 4 + 1) % 4
+          else (event_id % 300) % 4 end as cat
+      from events),
+    uc as (select unit, cat, count(*) as c from r group by 1, 2),
+    u as (select unit, sum(c) as m, sum(c * c) as sq from uc
+      group by 1 having sum(c) >= 2),
+    d as (select
+        sum(cast(m * m - sq as double) / (m - 1)) as do_total,
+        cast(sum(m) as double) as n from u),
+    marg as (select sum(cast(nc * nc as double)) as sqc from (
+        select uc.cat, sum(uc.c) as nc from uc
+        join u using (unit) group by 1)),
+    j as (select * from d cross join marg)
+    select cast(n as bigint) as n_ratings,
+      round(do_total, 6) as do_total,
+      round((n * n - sqc) / (n - 1), 6) as de_total,
+      round(1 - do_total / ((n * n - sqc) / (n - 1)), 6) as alpha
+    from j
+    """,
+)
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import krippendorff_alpha
+
+    ev = _t(spark, sf_dir, "events")
+    unit = F.col("event_id") % 300
+    cat = F.when(
+        F.col("event_id") % 7 == 0, (unit % 4 + 1) % 4
+    ).otherwise(unit % 4)
+    ratings = ev.select(unit.alias("unit"), cat.alias("cat"))
+    return krippendorff_alpha(ratings, "unit", "cat")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

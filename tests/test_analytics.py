@@ -3633,3 +3633,55 @@ def test_propensity_matching_removes_selection_bias(spark):
     assert abs(r["att"] - 2.0) < 0.3
     assert r["att"] < raw_diff - 1
     assert r["match_rate"] > 0.7  # top-score treated lack controls
+
+
+def test_randomized_response_unbiased_and_private(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import randomized_response
+
+    df = spark.createDataFrame(
+        [(i, 1 if i % 5 == 0 else 0) for i in range(20000)],
+        "id long, y int",
+    ).withColumn("g", F.lit("all"))
+    r = randomized_response(
+        df, ["g"], "id", F.col("y") == 1, p_truth=0.7).collect()[0]
+    assert r["true_rate"] == 0.2
+    # observed rate is scrambled toward 0.5, estimator recovers truth
+    assert 0.3 < r["observed_rate"] < 0.45
+    assert abs(r["estimated_rate"] - 0.2) < 0.03
+    # deterministic re-run
+    r2 = randomized_response(
+        df, ["g"], "id", F.col("y") == 1, p_truth=0.7).collect()[0]
+    assert r["estimated_rate"] == r2["estimated_rate"]
+
+
+def test_krippendorff_alpha_extremes(spark):
+    from sparkcollector.operators.analytics import krippendorff_alpha
+
+    # perfect agreement -> alpha = 1
+    perfect = spark.createDataFrame(
+        [(u, u % 3) for u in range(100) for _ in range(3)],
+        "unit int, cat int",
+    )
+    assert krippendorff_alpha(perfect, "unit", "cat").collect()[0][
+        "alpha"] == 1.0
+    # systematic within-unit disagreement -> alpha near or below 0
+    bad = spark.createDataFrame(
+        [(u, r % 2) for u in range(100) for r in range(2)],
+        "unit int, cat int",
+    )
+    a = krippendorff_alpha(bad, "unit", "cat").collect()[0]["alpha"]
+    assert a < 0.05
+    # single-rating units are excluded from n
+    mixed = spark.createDataFrame(
+        [(1, 0), (1, 1), (2, 1)], "unit int, cat int"
+    )
+    r = krippendorff_alpha(mixed, "unit", "cat").collect()[0]
+    assert r["n_ratings"] == 2 and r["alpha"] == 0.0
+    # degenerate: all kept ratings one category -> De = 0 -> NULL
+    degen = spark.createDataFrame(
+        [(1, 0), (1, 0), (2, 1)], "unit int, cat int"
+    )
+    assert krippendorff_alpha(degen, "unit", "cat").collect()[0][
+        "alpha"] is None

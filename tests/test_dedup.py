@@ -580,3 +580,36 @@ def test_winnowing_short_docs_skipped(spark):
         [(1, "tiny"), (2, "tiny")], "doc_id long, text string"
     )
     assert winnowing_fingerprints(df, "doc_id", "text").count() == 0
+
+
+def test_cdc_chunks_survive_insertion(spark):
+    from sparkcollector.operators.dedup import cdc_chunk_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm windowsill nearby every day "
+            "and the birds sing in the tall green trees above")
+    edited = "INSERTED PREFIX " + base  # shifts every byte
+    other = ("completely unrelated content about database engines "
+             "and query optimizers and shuffle partitioning nothing "
+             "shared with the fox document at all in any way")
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in cdc_chunk_dedup(
+        df, "doc_id", "text").collect()}
+    # content-defined boundaries realign after the insertion: the
+    # edited doc still shares most chunks with the original
+    assert out[1]["dup_ratio"] > 0.5
+    assert out[2]["dup_ratio"] > 0.4
+    assert out[3]["dup_ratio"] == 0.0
+
+
+def test_cdc_fixed_chunking_counterfactual(spark):
+    """The same insertion breaks FIXED chunking completely — the
+    reason content-defined exists."""
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm windowsill nearby every day "
+            "and the birds sing in the tall green trees above")
+    edited = "INSERTED PREFIX " + base
+    fixed = lambda s: {s[i:i + 32] for i in range(0, len(s), 32)}  # noqa: E731
+    assert len(fixed(base) & fixed(edited)) <= 1
