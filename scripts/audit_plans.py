@@ -4003,6 +4003,16 @@ def main() -> None:
         ("krippendorff_alpha",
          [("two bounded aggregates over (unit, category) counts",
            lambda p: "Python" not in p)], ""),
+        ("capture_recapture",
+         [("one conditional count-distinct pass",
+           lambda p: "Python" not in p)], ""),
+        ("aa_test_calibration",
+         [("map-side split explode (Generate), one (rep) exchange",
+           lambda p: "Generate" in p and "Python" not in p)], ""),
+        ("degree_assortativity",
+         [("degree joins over the bounded edge list, no windows",
+           lambda p: "Join" in p and "Window" not in p
+           and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

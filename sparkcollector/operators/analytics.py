@@ -11122,3 +11122,103 @@ def krippendorff_alpha(
         F.round(1 - F.try_divide(F.col("do_total"), de), 6)
         .alias("alpha"),
     )
+
+
+def capture_recapture(
+    df: DataFrame,
+    id_col: str,
+    s1_pred,
+    s2_pred,
+) -> DataFrame:
+    """Chapman capture-recapture population estimate — how much is the
+    pipeline NOT seeing?
+
+    Two independent observation windows (two days, two detectors, two
+    scrapers) each see a subset of a population; the overlap tells
+    you the whole: N_hat = (n1+1)(n2+1)/(m+1) − 1 (Chapman's
+    bias-corrected Lincoln-Petersen).  The dedup-recall / coverage
+    question answered without ever enumerating what was missed.  One
+    conditional count-distinct pass; the exact count rides along for
+    the audit (real deployments don't have it — that's the point).
+    """
+    i = F.col(id_col)
+    a = df.agg(
+        F.count_distinct(F.when(s1_pred, i)).alias("n1"),
+        F.count_distinct(F.when(s2_pred, i)).alias("n2"),
+        F.count_distinct(F.when(s1_pred & s2_pred, i)).alias("m"),
+        F.count_distinct(i).alias("exact"),
+    )
+    est = (
+        (F.col("n1") + 1).cast("double") * (F.col("n2") + 1)
+        / (F.col("m") + 1)
+        - 1
+    )
+    return a.select(
+        "n1", "n2", "m",
+        F.round(est, 2).alias("n_estimate"),
+        "exact",
+        F.round(est / F.col("exact"), 4).alias("ratio"),
+    )
+
+
+def aa_test_calibration(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    n_splits: int = 20,
+    z_crit: float = 1.959963984540054,
+) -> DataFrame:
+    """A/A calibration sweep — is the experimentation pipeline's false
+    positive rate actually alpha?
+
+    Before trusting any A/B readout, run the test harness on
+    NO-EFFECT splits: ``n_splits`` independent hash-assignments of
+    units to fake arms, a Welch z per split; a calibrated pipeline
+    rejects ~alpha of them — more means unit contamination (one user
+    in both arms, clustered randomization ignored), fewer means
+    variance over-estimation.  Splits come from the portable
+    md5(unit:rep) parity, exploded map-side (the Poisson-bootstrap
+    pattern) — one exchange on (rep,), n_splits bounded.
+    """
+    x = F.col(value_col).cast("double")
+    rep = df.select(
+        F.col(unit_col).cast("string").alias("_u"), x.alias("_x")
+    ).withColumn("_rep", F.explode(F.expr(f"sequence(1, {n_splits})")))
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("_u"), F.col("_rep"))), 1, 8
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 2
+    )
+    w = rep.withColumn("_a", arm)
+    per = w.groupBy("_rep").agg(
+        F.sum(F.when(F.col("_a") == 0, 1).otherwise(0))
+        .cast("double").alias("na"),
+        F.sum(F.when(F.col("_a") == 0, F.col("_x"))).alias("sa"),
+        F.sum(F.when(F.col("_a") == 0, F.col("_x") * F.col("_x")))
+        .alias("qa"),
+        F.sum(F.when(F.col("_a") == 1, 1).otherwise(0))
+        .cast("double").alias("nb"),
+        F.sum(F.when(F.col("_a") == 1, F.col("_x"))).alias("sb"),
+        F.sum(F.when(F.col("_a") == 1, F.col("_x") * F.col("_x")))
+        .alias("qb"),
+    )
+    ma = F.col("sa") / F.col("na")
+    mb = F.col("sb") / F.col("nb")
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / F.col("na")) / (
+        F.col("na") - 1
+    )
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / F.col("nb")) / (
+        F.col("nb") - 1
+    )
+    z = (ma - mb) / F.sqrt(va / F.col("na") + vb / F.col("nb"))
+    return per.select(
+        F.col("_rep").alias("split"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > z_crit).alias("false_positive"),
+    )

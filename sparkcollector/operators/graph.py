@@ -733,3 +733,52 @@ def missing_parent_audit(
             6,
         ).alias("orphan_frac"),
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient — do hubs attach to hubs?
+
+    The Pearson correlation of endpoint degrees over the (symmetrized)
+    edge list: positive = hub-to-hub (social nets), negative =
+    hub-to-leaf (infrastructure, most service graphs).  The single
+    scalar that says which failure-propagation regime a
+    ``service_graph_edges`` topology is in.  Degrees from one
+    aggregate over the edge list; the correlation from one power-sum
+    pass over edges joined to degrees on both ends — |E| bounded
+    joins, no windows.
+
+    ``edges`` must be distinct undirected pairs (a < b).
+    """
+    both = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    j = (
+        both.join(deg.select(F.col("u"), F.col("d").alias("du")), "u")
+        .join(
+            deg.select(
+                F.col("u").alias("v"), F.col("d").alias("dv")
+            ),
+            "v",
+        )
+    )
+    a = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("du").cast("double")).alias("sx"),
+        F.sum(F.col("dv").cast("double")).alias("sy"),
+        F.sum((F.col("du") * F.col("dv")).cast("double")).alias("sxy"),
+        F.sum((F.col("du") * F.col("du")).cast("double")).alias("sxx"),
+        F.sum((F.col("dv") * F.col("dv")).cast("double")).alias("syy"),
+    )
+    n = F.col("n")
+    num = F.col("sxy") / n - F.col("sx") / n * F.col("sy") / n
+    den = F.sqrt(
+        (F.col("sxx") / n - F.col("sx") / n * F.col("sx") / n)
+        * (F.col("syy") / n - F.col("sy") / n * F.col("sy") / n)
+    )
+    return a.select(
+        (n / 2).cast("bigint").alias("n_edges"),
+        F.round(F.try_divide(num, den), 6).alias("assortativity"),
+    )

@@ -23066,6 +23066,144 @@ def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 520. Chapman capture-recapture estimate of the user population from
+#      two observation windows (even vs odd days) — coverage/recall
+#      estimation without enumerating the missed.
+# ---------------------------------------------------------------------
+@register(
+    "capture_recapture",
+    """
+    with b as (select user_id,
+        cast(floor(epoch(ts) / 86400) as bigint) % 2 = 0 as d0
+      from events),
+    a as (select
+        count(distinct case when d0 then user_id end) as n1,
+        count(distinct case when not d0 then user_id end) as n2,
+        count(distinct case when d0 and user_id in
+          (select user_id from b where not d0) then user_id end) as m,
+        count(distinct user_id) as exact
+      from b)
+    select n1, n2, m,
+      round(cast(n1 + 1 as double) * (n2 + 1) / (m + 1) - 1, 2)
+        as n_estimate,
+      exact,
+      round((cast(n1 + 1 as double) * (n2 + 1) / (m + 1) - 1)
+            / exact, 4) as ratio
+    from a
+    """,
+)
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import capture_recapture
+
+    ev = _t(spark, sf_dir, "events")
+    d0 = F.floor(F.unix_timestamp("ts") / 86400) % 2 == 0
+    base = ev.select("user_id", d0.alias("d0"))
+    w = Window.partitionBy("user_id")
+    flags = base.select(
+        "user_id",
+        F.max(F.col("d0").cast("int")).over(w).alias("s1"),
+        F.max((~F.col("d0")).cast("int")).over(w).alias("s2"),
+    )
+    return capture_recapture(
+        flags, "user_id", F.col("s1") == 1, F.col("s2") == 1
+    )
+
+
+# ---------------------------------------------------------------------
+# 521. A/A calibration sweep: 20 hash-split null experiments on mean
+#      value per user-event; a calibrated harness rejects ~5%.
+# ---------------------------------------------------------------------
+@register(
+    "aa_test_calibration",
+    """
+    with b as (select cast(event_id as varchar) as u,
+        cast(value as double) as x
+      from events where value is not null),
+    e as (select u, x, t.range as rep from b cross join range(1, 21) t),
+    w as (select rep, x,
+        cast(('0x' || substr(md5(u || ':' || cast(rep as varchar)),
+          1, 8)) as bigint) % 2 as a from e),
+    per as (select rep,
+        cast(sum(case when a = 0 then 1 else 0 end) as double) as na,
+        sum(case when a = 0 then x end) as sa,
+        sum(case when a = 0 then x * x end) as qa,
+        cast(sum(case when a = 1 then 1 else 0 end) as double) as nb,
+        sum(case when a = 1 then x end) as sb,
+        sum(case when a = 1 then x * x end) as qb
+      from w group by 1)
+    select rep as split, cast(na as bigint) as n_a,
+      cast(nb as bigint) as n_b,
+      round((sa / na - sb / nb)
+            / sqrt(((qa - sa * sa / na) / (na - 1)) / na
+                   + ((qb - sb * sb / nb) / (nb - 1)) / nb), 6) as z,
+      abs((sa / na - sb / nb)
+          / sqrt(((qa - sa * sa / na) / (na - 1)) / na
+                 + ((qb - sb * sb / nb) / (nb - 1)) / nb))
+        > 1.959963984540054 as false_positive
+    from per
+    """,
+)
+def q_aa_test_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import aa_test_calibration
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return aa_test_calibration(ev, "event_id", "value", n_splits=20)
+
+
+# ---------------------------------------------------------------------
+# 522. Degree assortativity of the co-occurrence graph (same synth
+#      edges as local_clustering_coeff) — hub-to-hub vs hub-to-leaf,
+#      the failure-propagation regime scalar.
+# ---------------------------------------------------------------------
+@register(
+    "degree_assortativity",
+    """
+    with e0 as (select
+        least(user_id % 400, (user_id + event_id * 13) % 400) as a,
+        greatest(user_id % 400, (user_id + event_id * 13) % 400) as b
+      from events),
+    e as (select distinct a, b from e0 where a <> b),
+    bi as (select a as u, b as v from e
+      union all select b as u, a as v from e),
+    deg as (select u, cast(count(*) as bigint) as d
+      from bi group by 1),
+    j as (select du.d as du, dv.d as dv from bi
+      join deg du on du.u = bi.u
+      join deg dv on dv.u = bi.v),
+    agg as (select cast(count(*) as double) as n,
+        sum(cast(du as double)) as sx, sum(cast(dv as double)) as sy,
+        sum(cast(du * dv as double)) as sxy,
+        sum(cast(du * du as double)) as sxx,
+        sum(cast(dv * dv as double)) as syy
+      from j)
+    select cast(n / 2 as bigint) as n_edges,
+      round((sxy / n - sx / n * sy / n)
+            / sqrt((sxx / n - sx / n * sx / n)
+                   * (syy / n - sy / n * sy / n)), 6) as assortativity
+    from agg
+    """,
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import degree_assortativity
+
+    ev = _t(spark, sf_dir, "events")
+    a = F.least(
+        F.col("user_id") % 400,
+        (F.col("user_id") + F.col("event_id") * 13) % 400,
+    )
+    b = F.greatest(
+        F.col("user_id") % 400,
+        (F.col("user_id") + F.col("event_id") * 13) % 400,
+    )
+    edges = (
+        ev.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return degree_assortativity(edges)
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -3685,3 +3685,52 @@ def test_krippendorff_alpha_extremes(spark):
     )
     assert krippendorff_alpha(degen, "unit", "cat").collect()[0][
         "alpha"] is None
+
+
+def test_capture_recapture_estimates_population(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import capture_recapture
+
+    # population 1001 = 7 * 11 * 13; windows keyed on coprime moduli
+    # are exactly independent by CRT -> Chapman lands on the truth
+    rows = [(i, (i % 7) < 4, (i % 11) < 5) for i in range(1001)]
+    df = spark.createDataFrame(rows, "id long, s1 boolean, s2 boolean")
+    r = capture_recapture(
+        df, "id", F.col("s1"), F.col("s2")).collect()[0]
+    assert r["exact"] == 1001
+    assert abs(r["n_estimate"] - 1001) < 60
+    assert r["m"] == 1001 * 4 * 5 // (7 * 11)
+
+
+def test_aa_calibration_rejects_about_alpha(spark):
+    from sparkcollector.operators.analytics import aa_test_calibration
+
+    df = spark.createDataFrame(
+        [(i, float((i * 2654435761) % 997)) for i in range(4000)],
+        "id long, x double",
+    )
+    out = aa_test_calibration(df, "id", "x", n_splits=20).collect()
+    assert len(out) == 20
+    fp = sum(1 for r in out if r["false_positive"])
+    assert fp <= 3                      # ~5% of 20, generous band
+    # arms roughly balanced under the hash
+    for r in out:
+        assert abs(r["n_a"] - r["n_b"]) < 400
+
+
+def test_degree_assortativity_sign(spark):
+    from sparkcollector.operators.graph import degree_assortativity
+
+    # star graph: hub to leaves only -> strongly negative
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 11)], "a int, b int"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r["assortativity"] == -1.0 and r["n_edges"] == 10
+    # two disjoint cliques of equal size: every endpoint degree equal
+    # -> correlation undefined (zero variance) -> NULL
+    k3 = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6)]
+    r2 = degree_assortativity(
+        spark.createDataFrame(k3, "a int, b int")).collect()[0]
+    assert r2["assortativity"] is None
