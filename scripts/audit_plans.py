@@ -4013,6 +4013,17 @@ def main() -> None:
          [("degree joins over the bounded edge list, no windows",
            lambda p: "Join" in p and "Window" not in p
            and "Python" not in p)], ""),
+        ("ams_f2_sketch",
+         [("map-side estimator explode, bounded (j) exchange",
+           lambda p: "Generate" in p and "Python" not in p)], ""),
+        ("simpsons_paradox_detect",
+         [("one power-sum pass; pooled slope from summed group sums",
+           lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+           and "Python" not in p)], ""),
+        ("mediation_analysis",
+         [("single power-sum pass, 2x2 normal equations in-row",
+           lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+           and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

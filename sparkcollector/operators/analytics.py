@@ -11222,3 +11222,161 @@ def aa_test_calibration(
         F.round(z, 6).alias("z"),
         (F.abs(z) > z_crit).alias("false_positive"),
     )
+
+
+def ams_f2_sketch(
+    df: DataFrame,
+    key_col: str,
+    n_estimators: int = 16,
+) -> DataFrame:
+    """AMS (tug-of-war) F2 sketch — the second frequency moment in
+    one pass with bounded state.
+
+    F2 = Σ f_k² is the self-join size / repeat rate — the number a
+    join-cost estimator actually needs, and exact F2 requires a full
+    per-key aggregation.  The AMS estimator keeps only
+    ``n_estimators`` counters: Z_j = Σ_rows s_j(key) with s_j = ±1
+    from the portable md5 of (key:j); each Z_j² is an unbiased F2
+    estimate and the MEDIAN of estimator means tames the variance.
+    Map-side explode of j (Poisson-bootstrap pattern), one (j)
+    exchange with 16 groups, then an in-row median over the bounded
+    estimate list.  ``exact_f2`` rides along for the audit.
+    """
+    rep = df.select(
+        F.col(key_col).cast("string").alias("_k")
+    ).withColumn("_j", F.explode(F.expr(f"sequence(1, {n_estimators})")))
+    sign = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("_k"), F.col("_j"))), 1, 8
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 2
+        * 2
+        - 1
+    )
+    z = rep.groupBy("_j").agg(F.sum(sign).alias("z"))
+    ests = z.agg(
+        F.array_sort(
+            F.collect_list((F.col("z") * F.col("z")).cast("double"))
+        ).alias("_e")
+    )
+    med = (
+        "(try_element_at(_e, cast((size(_e) + 1) / 2 as int))"
+        " + try_element_at(_e, cast(size(_e) / 2 + 1 as int))) / 2"
+    )
+    exact = df.groupBy(F.col(key_col).alias("_k2")).agg(
+        F.count(F.lit(1)).alias("_c")
+    ).agg(
+        F.sum(F.col("_c") * F.col("_c")).alias("exact_f2")
+    )
+    return ests.crossJoin(exact).select(
+        F.lit(n_estimators).alias("n_estimators"),
+        F.round(F.expr(med), 2).alias("f2_estimate"),
+        F.col("exact_f2").cast("bigint").alias("exact_f2"),
+        F.round(F.expr(med) / F.col("exact_f2"), 4).alias("ratio"),
+    )
+
+
+def simpsons_paradox_detect(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Simpson's paradox detector — does the pooled trend reverse
+    inside every stratum?
+
+    The classic analytics integrity failure: x and y trend one way
+    overall, the OTHER way within each group (because group membership
+    confounds both).  One power-sum pass per group; the pooled slope
+    falls out of the summed group sums (no second scan).  Flags
+    ``paradox`` when the pooled slope's sign disagrees with the
+    majority of group slopes — plus each side's values so the report
+    is self-explanatory.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx"),
+    )
+    slope = (
+        F.col("sxy") / F.col("n")
+        - F.col("sx") / F.col("n") * F.col("sy") / F.col("n")
+    ) / (
+        F.col("sxx") / F.col("n")
+        - F.col("sx") / F.col("n") * F.col("sx") / F.col("n")
+    )
+    g = per.withColumn("slope", F.round(slope, 6))
+    pooled = per.agg(
+        F.sum("n").alias("n"), F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"), F.sum("sxy").alias("sxy"),
+        F.sum("sxx").alias("sxx"),
+    ).select(F.round(slope, 6).alias("pooled_slope"))
+    agg = g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("slope") > 0).cast("long")).alias("n_pos"),
+        F.sum((F.col("slope") < 0).cast("long")).alias("n_neg"),
+        F.round(F.avg("slope"), 6).alias("mean_group_slope"),
+    ).crossJoin(pooled)
+    majority_sign = F.when(
+        F.col("n_pos") > F.col("n_neg"), 1.0
+    ).when(F.col("n_neg") > F.col("n_pos"), -1.0).otherwise(0.0)
+    return agg.select(
+        "n_groups", "n_pos", "n_neg", "mean_group_slope",
+        "pooled_slope",
+        (
+            (majority_sign * F.col("pooled_slope") < 0)
+            & (majority_sign != 0)
+        ).alias("paradox"),
+    )
+
+
+def mediation_analysis(
+    df: DataFrame,
+    x_col: str,
+    m_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Baron-Kenny mediation decomposition — HOW does x move y?
+
+    Three closed-form regressions from one power-sum pass:
+    total effect c (y ~ x), the a-path (m ~ x), and the b-path /
+    direct effect c' from the two-regressor fit y ~ x + m (2x2 normal
+    equations, no matrix library).  Indirect = a·b, and
+    proportion_mediated = a·b / c — the number that says whether the
+    metric moved through the hypothesized mechanism or around it.
+    """
+    x = F.col(x_col).cast("double")
+    m = F.col(m_col).cast("double")
+    y = F.col(y_col).cast("double")
+    a = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"), F.sum(m).alias("sm"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(m * m).alias("smm"),
+        F.sum(x * m).alias("sxm"), F.sum(x * y).alias("sxy"),
+        F.sum(m * y).alias("smy"),
+    )
+    n = F.col("n")
+    vxx = F.col("sxx") / n - F.col("sx") / n * F.col("sx") / n
+    vmm = F.col("smm") / n - F.col("sm") / n * F.col("sm") / n
+    vxm = F.col("sxm") / n - F.col("sx") / n * F.col("sm") / n
+    vxy = F.col("sxy") / n - F.col("sx") / n * F.col("sy") / n
+    vmy = F.col("smy") / n - F.col("sm") / n * F.col("sy") / n
+    c_total = vxy / vxx
+    a_path = vxm / vxx
+    det = vxx * vmm - vxm * vxm
+    c_direct = (vxy * vmm - vmy * vxm) / det
+    b_path = (vmy * vxx - vxy * vxm) / det
+    return a.select(
+        n.cast("bigint").alias("n"),
+        F.round(c_total, 6).alias("total_effect"),
+        F.round(a_path, 6).alias("a_path"),
+        F.round(b_path, 6).alias("b_path"),
+        F.round(c_direct, 6).alias("direct_effect"),
+        F.round(a_path * b_path, 6).alias("indirect_effect"),
+        F.round(a_path * b_path / c_total, 6).alias("prop_mediated"),
+    )

@@ -23204,6 +23204,170 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 523. AMS tug-of-war F2 sketch (16 estimators, portable ±1 hashes)
+#      over the user key — self-join-size estimation with bounded
+#      state; exact F2 rides along.
+# ---------------------------------------------------------------------
+@register(
+    "ams_f2_sketch",
+    """
+    with rep as (select cast(user_id as varchar) as k, t.range as j
+      from events cross join range(1, 17) t),
+    z as (select j, sum(cast(('0x' || substr(md5(k || ':'
+        || cast(j as varchar)), 1, 8)) as bigint) % 2 * 2 - 1) as z
+      from rep group by 1),
+    e as (select list_sort(list(cast(z * z as double))) as es from z),
+    ex as (select sum(c * c) as exact_f2 from (
+        select count(*) as c from events group by user_id))
+    select 16 as n_estimators,
+      round((es[(len(es) + 1) // 2] + es[len(es) // 2 + 1]) / 2, 2)
+        as f2_estimate,
+      cast(exact_f2 as bigint) as exact_f2,
+      round(((es[(len(es) + 1) // 2] + es[len(es) // 2 + 1]) / 2)
+            / exact_f2, 4) as ratio
+    from e cross join ex
+    """,
+)
+def q_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import ams_f2_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    return ams_f2_sketch(ev, "user_id", n_estimators=16)
+
+
+# ---------------------------------------------------------------------
+# 524. Simpson's paradox detector on a planted reversal (within-group
+#      slope +2, pooled slope negative via group-level confounding).
+# ---------------------------------------------------------------------
+@register(
+    "simpsons_paradox_detect",
+    """
+    with b as (select user_id % 3 as g,
+        cast(event_id % 10 + 10 * (user_id % 3) as double) as x,
+        2 * cast(event_id % 10 + 10 * (user_id % 3) as double)
+          - 30 * (user_id % 3)
+          + cast(event_id * 7 % 5 - 2 as double) / 10 as y
+      from events),
+    per as (select g, cast(count(*) as double) as n,
+        sum(x) as sx, sum(y) as sy, sum(x * y) as sxy,
+        sum(x * x) as sxx from b group by 1),
+    gs as (select g, round((sxy / n - sx / n * sy / n)
+        / (sxx / n - sx / n * sx / n), 6) as slope, * from per),
+    pooled as (select round((sum(sxy) / sum(n)
+        - sum(sx) / sum(n) * sum(sy) / sum(n))
+        / (sum(sxx) / sum(n)
+           - sum(sx) / sum(n) * sum(sx) / sum(n)), 6)
+        as pooled_slope from per),
+    agg as (select cast(count(*) as bigint) as n_groups,
+        cast(sum(case when slope > 0 then 1 else 0 end) as bigint)
+          as n_pos,
+        cast(sum(case when slope < 0 then 1 else 0 end) as bigint)
+          as n_neg,
+        round(avg(slope), 6) as mean_group_slope
+      from gs)
+    select n_groups, n_pos, n_neg, mean_group_slope, pooled_slope,
+      (case when n_pos > n_neg then 1.0
+            when n_neg > n_pos then -1.0 else 0.0 end)
+        * pooled_slope < 0
+      and (case when n_pos > n_neg then 1.0
+                when n_neg > n_pos then -1.0 else 0.0 end) <> 0
+        as paradox
+    from agg cross join pooled
+    """,
+)
+def q_simpsons_paradox_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import simpsons_paradox_detect
+
+    ev = _t(spark, sf_dir, "events")
+    g = F.col("user_id") % 3
+    x = (F.col("event_id") % 10 + 10 * g).cast("double")
+    y = (
+        2 * x - 30 * g
+        + (F.col("event_id") * 7 % 5 - 2).cast("double") / 10
+    )
+    base = ev.select(g.alias("g"), x.alias("x"), y.alias("y"))
+    return simpsons_paradox_detect(base, "g", "x", "y")
+
+
+# ---------------------------------------------------------------------
+# 525. Baron-Kenny mediation decomposition on a planted mechanism
+#      (x -> m -> y with a direct leak): a=2, b=3, direct=0.5,
+#      proportion mediated ~ 12/13.
+# ---------------------------------------------------------------------
+@register(
+    "mediation_analysis",
+    """
+    with b as (select cast(event_id % 20 as double) as x,
+        2 * cast(event_id % 20 as double)
+          + cast(event_id * 11 % 7 - 3 as double) / 10 as m0,
+        cast(event_id * 13 % 9 - 4 as double) / 10 as e2
+      from events),
+    v as (select x, m0 as m, 3 * m0 + 0.5 * x + e2 as y from b),
+    a as (select cast(count(*) as double) as n, sum(x) as sx,
+        sum(m) as sm, sum(y) as sy, sum(x * x) as sxx,
+        sum(m * m) as smm, sum(x * m) as sxm, sum(x * y) as sxy,
+        sum(m * y) as smy from v)
+    select cast(n as bigint) as n,
+      round((sxy / n - sx / n * sy / n)
+            / (sxx / n - sx / n * sx / n), 6) as total_effect,
+      round((sxm / n - sx / n * sm / n)
+            / (sxx / n - sx / n * sx / n), 6) as a_path,
+      round(((smy / n - sm / n * sy / n)
+             * (sxx / n - sx / n * sx / n)
+             - (sxy / n - sx / n * sy / n)
+               * (sxm / n - sx / n * sm / n))
+            / ((sxx / n - sx / n * sx / n)
+               * (smm / n - sm / n * sm / n)
+               - (sxm / n - sx / n * sm / n)
+                 * (sxm / n - sx / n * sm / n)), 6) as b_path,
+      round(((sxy / n - sx / n * sy / n)
+             * (smm / n - sm / n * sm / n)
+             - (smy / n - sm / n * sy / n)
+               * (sxm / n - sx / n * sm / n))
+            / ((sxx / n - sx / n * sx / n)
+               * (smm / n - sm / n * sm / n)
+               - (sxm / n - sx / n * sm / n)
+                 * (sxm / n - sx / n * sm / n)), 6) as direct_effect,
+      round(((sxm / n - sx / n * sm / n)
+             / (sxx / n - sx / n * sx / n))
+            * (((smy / n - sm / n * sy / n)
+                * (sxx / n - sx / n * sx / n)
+                - (sxy / n - sx / n * sy / n)
+                  * (sxm / n - sx / n * sm / n))
+               / ((sxx / n - sx / n * sx / n)
+                  * (smm / n - sm / n * sm / n)
+                  - (sxm / n - sx / n * sm / n)
+                    * (sxm / n - sx / n * sm / n))), 6)
+        as indirect_effect,
+      round((((sxm / n - sx / n * sm / n)
+              / (sxx / n - sx / n * sx / n))
+             * (((smy / n - sm / n * sy / n)
+                 * (sxx / n - sx / n * sx / n)
+                 - (sxy / n - sx / n * sy / n)
+                   * (sxm / n - sx / n * sm / n))
+                / ((sxx / n - sx / n * sx / n)
+                   * (smm / n - sm / n * sm / n)
+                   - (sxm / n - sx / n * sm / n)
+                     * (sxm / n - sx / n * sm / n))))
+            / ((sxy / n - sx / n * sy / n)
+               / (sxx / n - sx / n * sx / n)), 6) as prop_mediated
+    from a
+    """,
+)
+def q_mediation_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import mediation_analysis
+
+    ev = _t(spark, sf_dir, "events")
+    x = (F.col("event_id") % 20).cast("double")
+    m = 2 * x + (F.col("event_id") * 11 % 7 - 3).cast("double") / 10
+    y = 3 * m + 0.5 * x + (
+        F.col("event_id") * 13 % 9 - 4
+    ).cast("double") / 10
+    base = ev.select(x.alias("x"), m.alias("m"), y.alias("y"))
+    return mediation_analysis(base, "x", "m", "y")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -3734,3 +3734,53 @@ def test_degree_assortativity_sign(spark):
     r2 = degree_assortativity(
         spark.createDataFrame(k3, "a int, b int")).collect()[0]
     assert r2["assortativity"] is None
+
+
+def test_ams_f2_within_factor_of_exact(spark):
+    from sparkcollector.operators.analytics import ams_f2_sketch
+
+    # zipf-ish key: F2 dominated by hot keys
+    df = spark.createDataFrame(
+        [(i % (1 + i % 37),) for i in range(20000)], ["k"]
+    )
+    r = ams_f2_sketch(df, "k", n_estimators=16).collect()[0]
+    assert 0.4 < r["ratio"] < 2.5   # AMS variance band, 16 estimators
+    # deterministic: identical re-run
+    r2 = ams_f2_sketch(df, "k", n_estimators=16).collect()[0]
+    assert r["f2_estimate"] == r2["f2_estimate"]
+
+
+def test_simpsons_paradox_flags_reversal_only(spark):
+    from sparkcollector.operators.analytics import simpsons_paradox_detect
+
+    rows = []
+    for i in range(3000):
+        g = i % 3
+        x = float(i % 10 + 10 * g)
+        y_rev = 2 * x - 30 * g          # within +, pooled -
+        y_ok = 2 * x + 5 * g            # within +, pooled +
+        rows.append((g, x, y_rev, y_ok))
+    df = spark.createDataFrame(rows, "g int, x double, yr double, yk double")
+    r = simpsons_paradox_detect(df, "g", "x", "yr").collect()[0]
+    assert r["paradox"] and r["n_pos"] == 3 and r["pooled_slope"] < 0
+    r2 = simpsons_paradox_detect(df, "g", "x", "yk").collect()[0]
+    assert not r2["paradox"] and r2["pooled_slope"] > 0
+
+
+def test_mediation_recovers_planted_paths(spark):
+    from sparkcollector.operators.analytics import mediation_analysis
+
+    rows = []
+    for i in range(4000):
+        x = float(i % 20)
+        m = 2 * x + float((i * 11) % 7 - 3) / 10
+        y = 3 * m + 0.5 * x + float((i * 13) % 9 - 4) / 10
+        rows.append((x, m, y))
+    df = spark.createDataFrame(rows, "x double, m double, y double")
+    r = mediation_analysis(df, "x", "m", "y").collect()[0]
+    assert abs(r["a_path"] - 2.0) < 0.05
+    assert abs(r["b_path"] - 3.0) < 0.05
+    assert abs(r["direct_effect"] - 0.5) < 0.15
+    assert abs(r["total_effect"] - 6.5) < 0.05
+    assert abs(r["indirect_effect"] - 6.0) < 0.2
+    assert 0.85 < r["prop_mediated"] < 0.99
