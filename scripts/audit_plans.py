@@ -4024,6 +4024,16 @@ def main() -> None:
          [("single power-sum pass, 2x2 normal equations in-row",
            lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
            and "Python" not in p)], ""),
+        ("adtributor_rootcause",
+         [("per-dimension bounded count tables + top-k windows",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("hotelling_t2",
+         [("single conditional power-sum pass, 2x2 inverse in-row",
+           lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+           and "Python" not in p)], ""),
+        ("newsvendor_quantile",
+         [("quantile table joined back for the cost pass",
+           lambda p: "Join" in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

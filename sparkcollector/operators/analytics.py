@@ -11380,3 +11380,179 @@ def mediation_analysis(
         F.round(a_path * b_path, 6).alias("indirect_effect"),
         F.round(a_path * b_path / c_total, 6).alias("prop_mediated"),
     )
+
+
+def adtributor_rootcause(
+    df: DataFrame,
+    dim_cols: list[str],
+    period_pred,
+    top_k: int = 3,
+) -> DataFrame:
+    """Adtributor-style root-cause decomposition — WHICH dimension
+    value drove the KPI change between two windows?
+
+    The on-call question after every spike.  For each dimension, each
+    value's before/after count shares (Laplace-smoothed) give:
+    explanatory power EP = (q_v − p_v)/(Q − P) (its share of the
+    total change) and surprise = 0.5·(p̂·ln(p̂/m) + q̂·ln(q̂/m)) with
+    m the mixture — the JS-style score that separates "grew because
+    everything grew" from "grew anomalously".  Per dimension the
+    ``top_k`` values by surprise (ties by value) are reported with
+    both numbers, so the answer reads: "the change is 78% explained
+    by event_type=error, and that growth is the most surprising".
+
+    One conditional-aggregate pass per dimension over (dim value,
+    window) counts — every table is bounded by dimension cardinality.
+    """
+    out = None
+    in_b = period_pred.cast("int")
+    for dim in dim_cols:
+        per = df.groupBy(F.col(dim).cast("string").alias("value")).agg(
+            F.sum(1 - in_b).alias("n_before"),
+            F.sum(in_b).alias("n_after"),
+        )
+        tot = per.agg(
+            F.sum("n_before").cast("double").alias("P"),
+            F.sum("n_after").cast("double").alias("Q"),
+            F.count(F.lit(1)).cast("double").alias("V"),
+        )
+        j = per.crossJoin(tot)
+        p_hat = (F.col("n_before") + 1) / (F.col("P") + F.col("V"))
+        q_hat = (F.col("n_after") + 1) / (F.col("Q") + F.col("V"))
+        mmix = (p_hat + q_hat) / 2
+        surprise = 0.5 * (
+            p_hat * F.log(p_hat / mmix) + q_hat * F.log(q_hat / mmix)
+        )
+        ep = F.try_divide(
+            F.col("n_after") - F.col("n_before"),
+            F.col("Q") - F.col("P"),
+        )
+        scored = j.select(
+            F.lit(dim).alias("dimension"),
+            "value", "n_before", "n_after",
+            F.round(ep, 6).alias("explanatory_power"),
+            F.round(surprise, 8).alias("surprise"),
+        )
+        w = Window.partitionBy(F.lit(dim)).orderBy(
+            F.col("surprise").desc(), F.col("value")
+        )
+        top = scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= top_k
+        )
+        out = top if out is None else out.unionByName(top)
+    return out
+
+
+def hotelling_t2(
+    df: DataFrame,
+    split_pred,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Hotelling's T² two-sample mean-shift test in 2-D — the
+    multivariate Welch.
+
+    Two univariate z-tests miss a shift along the correlation
+    diagonal; T² = (n1·n2/(n1+n2))·d' S⁻¹ d with the pooled 2x2
+    covariance inverted in closed form charges direction correctly.
+    The F-transform (n1+n2−3)/(2(n1+n2−2))·T² ~ F(2, n−3) gives the
+    decision; the 95% critical value for large n approaches
+    chi²(2)/2 → threshold 3.0 (documented approximation).  One
+    conditional power-sum pass.
+    """
+    s = split_pred.cast("int")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    aggs = []
+    for grp in (0, 1):
+        c = s == grp
+        aggs += [
+            F.sum(F.when(c, 1).otherwise(0)).cast("double")
+            .alias(f"n{grp}"),
+            F.sum(F.when(c, x)).alias(f"sx{grp}"),
+            F.sum(F.when(c, y)).alias(f"sy{grp}"),
+            F.sum(F.when(c, x * x)).alias(f"sxx{grp}"),
+            F.sum(F.when(c, y * y)).alias(f"syy{grp}"),
+            F.sum(F.when(c, x * y)).alias(f"sxy{grp}"),
+        ]
+    a = df.agg(*aggs)
+    n1, n2 = F.col("n0"), F.col("n1")
+    mx = [F.col(f"sx{g}") / F.col(f"n{g}") for g in (0, 1)]
+    my = [F.col(f"sy{g}") / F.col(f"n{g}") for g in (0, 1)]
+    # pooled within-group covariance
+    ssxx = sum(
+        F.col(f"sxx{g}")
+        - F.col(f"sx{g}") * F.col(f"sx{g}") / F.col(f"n{g}")
+        for g in (0, 1)
+    )
+    ssyy = sum(
+        F.col(f"syy{g}")
+        - F.col(f"sy{g}") * F.col(f"sy{g}") / F.col(f"n{g}")
+        for g in (0, 1)
+    )
+    ssxy = sum(
+        F.col(f"sxy{g}")
+        - F.col(f"sx{g}") * F.col(f"sy{g}") / F.col(f"n{g}")
+        for g in (0, 1)
+    )
+    dof = n1 + n2 - 2
+    vxx, vyy, vxy = ssxx / dof, ssyy / dof, ssxy / dof
+    det = vxx * vyy - vxy * vxy
+    dx = mx[1] - mx[0]
+    dy = my[1] - my[0]
+    quad = (dx * (vyy * dx - vxy * dy) + dy * (vxx * dy - vxy * dx)) / det
+    t2 = n1 * n2 / (n1 + n2) * quad
+    return a.select(
+        n1.cast("bigint").alias("n_a"),
+        n2.cast("bigint").alias("n_b"),
+        F.round(dx, 6).alias("shift_x"),
+        F.round(dy, 6).alias("shift_y"),
+        F.round(t2, 6).alias("t2"),
+        (t2 / 2 > 3.0).alias("shifted"),
+    )
+
+
+def newsvendor_quantile(
+    df: DataFrame,
+    group_cols: list[str],
+    demand_col: str,
+    underage_cost: float,
+    overage_cost: float,
+) -> DataFrame:
+    """Newsvendor capacity decision — provision at the critical
+    quantile, not the mean.
+
+    Staffing/capacity under asymmetric costs (a dropped request costs
+    ``underage_cost``, an idle slot ``overage_cost``) is solved by
+    q* = F⁻¹(cu/(cu+co)) of the demand distribution — p99 thinking
+    derived instead of decreed.  Per group: the critical ratio
+    quantile of observed demand (exact interpolated percentile,
+    rounded 6dp) plus the expected cost at q* vs at the MEAN, so the
+    "provision at the mean" fallacy is priced in the output.
+    """
+    cr = underage_cost / (underage_cost + overage_cost)
+    d = F.col(demand_col).cast("double")
+    qtab = df.groupBy(*group_cols).agg(
+        F.round(F.expr(f"percentile({demand_col}, {cr})"), 6)
+        .alias("q_star"),
+        F.round(F.avg(d), 6).alias("mean_demand"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = df.join(qtab, list(group_cols))
+    cost_q = (
+        underage_cost * F.greatest(d - F.col("q_star"), F.lit(0.0))
+        + overage_cost * F.greatest(F.col("q_star") - d, F.lit(0.0))
+    )
+    cost_m = (
+        underage_cost * F.greatest(d - F.col("mean_demand"), F.lit(0.0))
+        + overage_cost * F.greatest(F.col("mean_demand") - d, F.lit(0.0))
+    )
+    return j.groupBy(*group_cols, "q_star", "mean_demand", "n").agg(
+        F.round(F.avg(cost_q), 6).alias("exp_cost_at_q"),
+        F.round(F.avg(cost_m), 6).alias("exp_cost_at_mean"),
+    ).select(
+        *group_cols,
+        F.lit(round(cr, 6)).alias("critical_ratio"),
+        "q_star", "mean_demand", "n",
+        "exp_cost_at_q", "exp_cost_at_mean",
+    )

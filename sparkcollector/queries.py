@@ -23368,6 +23368,176 @@ def q_mediation_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 526. Adtributor root-cause decomposition of the event-count change
+#      between month halves across three dimensions — top-3 values by
+#      surprise with explanatory power.
+# ---------------------------------------------------------------------
+@register(
+    "adtributor_rootcause",
+    """
+    with b as (select event_type,
+        cast(user_id % 10 as varchar) as ubucket,
+        cast(hour(ts) % 6 as varchar) as hslot,
+        case when ts >= timestamp '2024-01-16' then 1 else 0 end
+          as inb
+      from events),
+    dims as (select 'event_type' as dimension, event_type as value,
+        inb from b
+      union all select 'ubucket', ubucket, inb from b
+      union all select 'hslot', hslot, inb from b),
+    per as (select dimension, value,
+        sum(1 - inb) as n_before, sum(inb) as n_after
+      from dims group by 1, 2),
+    tot as (select dimension, cast(sum(n_before) as double) as P,
+        cast(sum(n_after) as double) as Q,
+        cast(count(*) as double) as V from per group by 1),
+    sc as (select per.dimension, per.value, per.n_before, per.n_after,
+        round((per.n_after - per.n_before) / nullif(tot.Q - tot.P, 0),
+          6) as explanatory_power,
+        round(0.5 * (((per.n_before + 1) / (tot.P + tot.V))
+            * ln(((per.n_before + 1) / (tot.P + tot.V))
+                 / ((((per.n_before + 1) / (tot.P + tot.V))
+                     + ((per.n_after + 1) / (tot.Q + tot.V))) / 2))
+          + ((per.n_after + 1) / (tot.Q + tot.V))
+            * ln(((per.n_after + 1) / (tot.Q + tot.V))
+                 / ((((per.n_before + 1) / (tot.P + tot.V))
+                     + ((per.n_after + 1) / (tot.Q + tot.V))) / 2))),
+          8) as surprise
+      from per join tot using (dimension))
+    select dimension, value, cast(n_before as bigint) as n_before,
+      cast(n_after as bigint) as n_after, explanatory_power,
+      surprise, cast(rank as int) as rank
+    from (select *, row_number() over (partition by dimension
+        order by surprise desc, value) as rank from sc)
+    where rank <= 3
+    """,
+)
+def q_adtributor_rootcause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import adtributor_rootcause
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.col("user_id") % 10).cast("string").alias("ubucket"),
+        (F.hour("ts") % 6).cast("string").alias("hslot"),
+        F.col("ts"),
+    )
+    return adtributor_rootcause(
+        base, ["event_type", "ubucket", "hslot"],
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+        top_k=3,
+    )
+
+
+# ---------------------------------------------------------------------
+# 527. Hotelling T² two-sample 2-D mean shift (day-parity split,
+#      planted +3 shift on the correlated second metric) — the
+#      multivariate Welch.
+# ---------------------------------------------------------------------
+@register(
+    "hotelling_t2",
+    """
+    with b as (select
+        cast(floor(epoch(ts) / 86400) as bigint) % 2 as s,
+        cast(value as double) as x,
+        cast(value as double) * 0.5
+          + cast(event_id % 40 as double)
+          + case when cast(floor(epoch(ts) / 86400) as bigint) % 2 = 1
+                 then 3 else 0 end as y
+      from events where value is not null),
+    a as (select
+        cast(sum(case when s = 0 then 1 else 0 end) as double) as n0,
+        sum(case when s = 0 then x end) as sx0,
+        sum(case when s = 0 then y end) as sy0,
+        sum(case when s = 0 then x * x end) as sxx0,
+        sum(case when s = 0 then y * y end) as syy0,
+        sum(case when s = 0 then x * y end) as sxy0,
+        cast(sum(case when s = 1 then 1 else 0 end) as double) as n1,
+        sum(case when s = 1 then x end) as sx1,
+        sum(case when s = 1 then y end) as sy1,
+        sum(case when s = 1 then x * x end) as sxx1,
+        sum(case when s = 1 then y * y end) as syy1,
+        sum(case when s = 1 then x * y end) as sxy1
+      from b),
+    m as (select n0 as na, n1 as nb,
+        sx1 / n1 - sx0 / n0 as dx, sy1 / n1 - sy0 / n0 as dy,
+        ((sxx0 - sx0 * sx0 / n0) + (sxx1 - sx1 * sx1 / n1))
+          / (n0 + n1 - 2) as vxx,
+        ((syy0 - sy0 * sy0 / n0) + (syy1 - sy1 * sy1 / n1))
+          / (n0 + n1 - 2) as vyy,
+        ((sxy0 - sx0 * sy0 / n0) + (sxy1 - sx1 * sy1 / n1))
+          / (n0 + n1 - 2) as vxy
+      from a)
+    select cast(na as bigint) as n_a, cast(nb as bigint) as n_b,
+      round(dx, 6) as shift_x, round(dy, 6) as shift_y,
+      round(na * nb / (na + nb)
+            * (dx * (vyy * dx - vxy * dy) + dy * (vxx * dy - vxy * dx))
+            / (vxx * vyy - vxy * vxy), 6) as t2,
+      na * nb / (na + nb)
+        * (dx * (vyy * dx - vxy * dy) + dy * (vxx * dy - vxy * dx))
+        / (vxx * vyy - vxy * vxy) / 2 > 3.0 as shifted
+    from m
+    """,
+)
+def q_hotelling_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import hotelling_t2
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = F.floor(F.unix_timestamp("ts") / 86400) % 2
+    x = F.col("value").cast("double")
+    y = (
+        x * 0.5 + (F.col("event_id") % 40).cast("double")
+        + F.when(s == 1, 3).otherwise(0)
+    )
+    base = ev.select(s.alias("s"), x.alias("x"), y.alias("y"))
+    return hotelling_t2(base, F.col("s") == 1, "x", "y")
+
+
+# ---------------------------------------------------------------------
+# 528. Newsvendor capacity quantile (cu=9, co=1 -> provision at p90
+#      of hourly demand) per event_type, with the cost of the
+#      provision-at-the-mean fallacy priced inline.
+# ---------------------------------------------------------------------
+@register(
+    "newsvendor_quantile",
+    """
+    with d as (select event_type,
+        cast(count(*) as double) as demand
+      from events group by event_type,
+        cast(floor(epoch(ts) / 3600) as bigint)),
+    q as (select event_type,
+        round(quantile_cont(demand, 0.9), 6) as q_star,
+        round(avg(demand), 6) as mean_demand,
+        cast(count(*) as bigint) as n
+      from d group by 1)
+    select d.event_type, cast(0.9 as double) as critical_ratio,
+      q.q_star,
+      q.mean_demand, q.n,
+      round(avg(9 * greatest(d.demand - q.q_star, 0.0)
+                + 1 * greatest(q.q_star - d.demand, 0.0)), 6)
+        as exp_cost_at_q,
+      round(avg(9 * greatest(d.demand - q.mean_demand, 0.0)
+                + 1 * greatest(q.mean_demand - d.demand, 0.0)), 6)
+        as exp_cost_at_mean
+    from d join q using (event_type)
+    group by d.event_type, q.q_star, q.mean_demand, q.n
+    """,
+)
+def q_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import newsvendor_quantile
+
+    ev = _t(spark, sf_dir, "events")
+    demand = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).alias("h"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("demand"))
+    return newsvendor_quantile(
+        demand, ["event_type"], "demand",
+        underage_cost=9.0, overage_cost=1.0,
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -3784,3 +3784,79 @@ def test_mediation_recovers_planted_paths(spark):
     assert abs(r["total_effect"] - 6.5) < 0.05
     assert abs(r["indirect_effect"] - 6.0) < 0.2
     assert 0.85 < r["prop_mediated"] < 0.99
+
+
+def test_adtributor_finds_planted_driver(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import adtributor_rootcause
+
+    # equal-size windows; the after-window adds rows ONLY to the
+    # (svc=payments) slice -> payments tops the svc dimension and
+    # explains ~all of the total change
+    rows = []
+    for i in range(6000):
+        svc = ["payments", "search", "web"][i % 3]
+        # (i % 4) // 2 keeps region alternating WITHIN the i%6==0
+        # extras too — the planted change must not leak into region
+        region = ["eu", "us"][(i % 4) // 2]
+        after = i % 2 == 0
+        rows.append((svc, region, after))
+        if after and svc == "payments" and i % 6 == 0:
+            rows.append((svc, region, True))
+            rows.append((svc, region, True))
+    df = spark.createDataFrame(rows, "svc string, region string, "
+                               "aft boolean")
+    out = adtributor_rootcause(
+        df, ["svc", "region"], F.col("aft"), top_k=2).collect()
+    svc_top = [r for r in out if r["dimension"] == "svc"
+               and r["rank"] == 1][0]
+    assert svc_top["value"] == "payments"
+    assert svc_top["explanatory_power"] > 0.6
+    # region stayed proportional: its top surprise is far smaller
+    reg_top = [r for r in out if r["dimension"] == "region"
+               and r["rank"] == 1][0]
+    assert reg_top["surprise"] < svc_top["surprise"] / 5
+
+
+def test_hotelling_detects_diagonal_shift_z_tests_miss(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import hotelling_t2
+
+    # PAIRED construction: both arms share the identical (u, noise)
+    # sequence, arm b then shifted (+1, -1) AGAINST the correlation —
+    # small marginals, huge Mahalanobis distance
+    rows = []
+    for i in range(4000):
+        j = i // 2
+        u = float(j % 100)
+        x = u + float((j * 7) % 11) / 10
+        y = u + float((j * 13) % 11) / 10
+        if i % 2 == 1:
+            x, y = x + 1.0, y - 1.0
+        rows.append((i % 2, x, y))
+    df = spark.createDataFrame(rows, "s int, x double, y double")
+    r = hotelling_t2(df, F.col("s") == 1, "x", "y").collect()[0]
+    assert abs(r["shift_x"] - 1.0) < 1e-9
+    assert abs(r["shift_y"] + 1.0) < 1e-9
+    assert r["t2"] > 1000 and r["shifted"]
+    # exact no-shift control (paired arms identical)
+    df0 = df.withColumn("x", F.col("x") - F.when(
+        F.col("s") == 1, 1.0).otherwise(0.0)).withColumn(
+        "y", F.col("y") + F.when(F.col("s") == 1, 1.0).otherwise(0.0))
+    assert not hotelling_t2(
+        df0, F.col("s") == 1, "x", "y").collect()[0]["shifted"]
+
+
+def test_newsvendor_quantile_beats_mean_under_asymmetry(spark):
+    from sparkcollector.operators.analytics import newsvendor_quantile
+
+    df = spark.createDataFrame(
+        [("g", float((i * 2654435761) % 100)) for i in range(5000)],
+        "g string, demand double",
+    )
+    r = newsvendor_quantile(df, ["g"], "demand", 9.0, 1.0).collect()[0]
+    assert r["critical_ratio"] == 0.9
+    assert r["q_star"] > r["mean_demand"]          # cu >> co -> stock up
+    assert r["exp_cost_at_q"] < r["exp_cost_at_mean"]
