@@ -4034,6 +4034,16 @@ def main() -> None:
         ("newsvendor_quantile",
          [("quantile table joined back for the cost pass",
            lambda p: "Join" in p and "Python" not in p)], ""),
+        ("twfe_panel",
+         [("bounded unit/time mean tables joined back, one power-sum",
+           lambda p: "Join" in p and "Window" not in p
+           and "Python" not in p)], ""),
+        ("adstock_fit",
+         [("decay fold per collected bounded series",
+           lambda p: "Generate" in p and "Python" not in p)], ""),
+        ("quantile_treatment_effect",
+         [("one conditional-percentile aggregate",
+           lambda p: "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -11556,3 +11556,195 @@ def newsvendor_quantile(
         "q_star", "mean_demand", "n",
         "exp_cost_at_q", "exp_cost_at_mean",
     )
+
+
+def twfe_panel(
+    df: DataFrame,
+    unit_col: str,
+    time_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Two-way fixed-effects panel estimator (within transformation).
+
+    ``diff_in_diff`` handles one treatment at one time; panel data
+    (unit x period) with a CONTINUOUS regressor wants TWFE: demean x
+    and y by unit AND by period (re-adding the grand mean), then OLS
+    on the residuals — unit-level confounders and common shocks both
+    drop out.  Implemented as two bounded-dimension mean tables
+    joined back (no row-level windows) and one power-sum pass;
+    exactly the estimate a dummy-variable regression with |units| +
+    |periods| columns would give, at none of the cost.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    um = df.groupBy(unit_col).agg(
+        F.avg(x).alias("_ux"), F.avg(y).alias("_uy")
+    )
+    tm = df.groupBy(time_col).agg(
+        F.avg(x).alias("_tx"), F.avg(y).alias("_ty")
+    )
+    gm = df.agg(
+        F.avg(x).alias("_gx"), F.avg(y).alias("_gy")
+    )
+    j = df.join(um, unit_col).join(tm, time_col).crossJoin(gm)
+    xd = x - F.col("_ux") - F.col("_tx") + F.col("_gx")
+    yd = y - F.col("_uy") - F.col("_ty") + F.col("_gy")
+    a = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    beta = F.col("sxy") / F.col("sxx")
+    r2 = (
+        F.col("sxy") * F.col("sxy") / (F.col("sxx") * F.col("syy"))
+    )
+    return a.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round(beta, 6).alias("beta_within"),
+        F.round(r2, 6).alias("r2_within"),
+    )
+
+
+def adstock_fit(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    spend_col: str,
+    y_col: str,
+    decay: float = 0.6,
+) -> DataFrame:
+    """Geometric adstock transform + response fit — delayed-effect
+    regression for spend-like drivers.
+
+    Today's outcome responds to today's spend AND the decayed tail of
+    past spend: adstock_t = spend_t + decay·adstock_{t-1}.  The
+    recursion folds per collected bounded series (the kalman_level
+    contract); the response slope comes from one OLS power-sum pass
+    of y on the adstocked series, reported beside the naive
+    same-period slope so the carryover that naive attribution misses
+    is visible.
+    """
+    base = df.select(
+        *group_cols,
+        F.col(order_col).cast("long").alias("_o"),
+        F.col(spend_col).cast("double").alias("_s"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    ser = base.groupBy(*group_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_o", "_s"))),
+            lambda e: e["_s"],
+        ).alias("_ss"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_o", "_y"))),
+            lambda e: e["_y"],
+        ).alias("_ys"),
+        F.array_sort(F.collect_list("_o")).alias("_os"),
+    )
+    fold = (
+        "aggregate(slice(_ss, 2, size(_ss) - 1),"
+        " named_struct('a', _ss[0], 'out', array(_ss[0])),"
+        f" (acc, s) -> named_struct('a', s + {decay} * acc.a,"
+        f" 'out', concat(acc.out, array(s + {decay} * acc.a))))"
+    )
+    ad = ser.withColumn("_ad", F.expr(fold).getField("out"))
+    rows = ad.select(
+        *group_cols,
+        F.posexplode(F.arrays_zip("_ad", "_ys")).alias("_i", "_z"),
+    ).select(
+        *group_cols,
+        F.col("_z._ad").alias("a"),
+        F.col("_z._ys").alias("yy"),
+    )
+    # recover raw spend slope from the same pass: a - decay*prev = s;
+    # simpler: carry _ss too
+    raw = ser.select(
+        *group_cols,
+        F.posexplode(F.arrays_zip("_ss", "_ys")).alias("_i", "_z"),
+    ).select(
+        *group_cols,
+        F.col("_z._ss").alias("s"),
+        F.col("_z._ys").alias("yy"),
+    )
+
+    def slope(t, xc):
+        return (
+            F.sum(F.col(xc) * F.col("yy")) / F.count(F.lit(1))
+            - F.sum(xc) / F.count(F.lit(1))
+            * F.sum("yy") / F.count(F.lit(1))
+        ) / (
+            F.sum(F.col(xc) * F.col(xc)) / F.count(F.lit(1))
+            - F.sum(xc) / F.count(F.lit(1))
+            * F.sum(xc) / F.count(F.lit(1))
+        )
+
+    s_ad = rows.groupBy(*group_cols).agg(
+        F.round(slope(rows, "a"), 6).alias("beta_adstock"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    s_raw = raw.groupBy(*group_cols).agg(
+        F.round(slope(raw, "s"), 6).alias("beta_naive")
+    )
+    return s_ad.join(s_raw, list(group_cols)).select(
+        *group_cols, "n_points",
+        F.lit(decay).alias("decay"),
+        "beta_adstock", "beta_naive",
+    )
+
+
+def quantile_treatment_effect(
+    df: DataFrame,
+    treat_col: str,
+    y_col: str,
+    qs: list[float] = (0.1, 0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Quantile treatment effects — WHERE in the distribution the
+    effect lands.
+
+    An ATT (see ``propensity_matching``) can be zero while the
+    treatment compresses the tails or widens them; the per-quantile
+    gap between arms tells the real story (latency work usually moves
+    p90, not the median).  Per listed quantile: treated and control
+    exact interpolated quantiles (rounded 6dp) and their difference.
+    One aggregate with conditional percentiles — no per-quantile
+    scans.
+    """
+    t = F.col(treat_col).cast("int")
+    y = F.col(y_col).cast("double")
+    aggs = []
+    for q in qs:
+        tag = str(q).replace(".", "_")
+        aggs.append(
+            F.round(
+                F.expr(
+                    f"percentile(if({treat_col} = 1, {y_col}, null),"
+                    f" {q})"
+                ),
+                6,
+            ).alias(f"qt_{tag}")
+        )
+        aggs.append(
+            F.round(
+                F.expr(
+                    f"percentile(if({treat_col} = 0, {y_col}, null),"
+                    f" {q})"
+                ),
+                6,
+            ).alias(f"qc_{tag}")
+        )
+    a = df.select(t.alias(treat_col), y.alias(y_col)).agg(*aggs)
+    rows = None
+    for q in qs:
+        tag = str(q).replace(".", "_")
+        r = a.select(
+            F.lit(q).alias("quantile"),
+            F.col(f"qt_{tag}").alias("treated_q"),
+            F.col(f"qc_{tag}").alias("control_q"),
+            F.round(
+                F.col(f"qt_{tag}") - F.col(f"qc_{tag}"), 6
+            ).alias("qte"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows

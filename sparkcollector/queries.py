@@ -23538,6 +23538,170 @@ def q_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 529. Two-way fixed effects on a planted (unit x day) panel: unit
+#      and day effects demeaned away, within-beta recovers the
+#      planted 2.0 response.
+# ---------------------------------------------------------------------
+@register(
+    "twfe_panel",
+    """
+    with p as (select user_id % 50 as unit,
+        cast(floor(epoch(ts) / 86400) as bigint) as day,
+        cast(sum(case when event_type = 'click' then 1 else 0 end)
+          as double) as x
+      from events group by 1, 2),
+    v as (select unit, day, x,
+        2 * x + 3 * unit + 1.5 * (day % 31)
+          + cast((unit * 7 + day * 11) % 9 - 4 as double) / 10 as y
+      from p),
+    um as (select unit, avg(x) as ux, avg(y) as uy from v group by 1),
+    tm as (select day, avg(x) as tx, avg(y) as ty from v group by 1),
+    gm as (select avg(x) as gx, avg(y) as gy from v),
+    d as (select v.x - um.ux - tm.tx + gm.gx as xd,
+        v.y - um.uy - tm.ty + gm.gy as yd
+      from v join um using (unit) join tm using (day) cross join gm),
+    a as (select cast(count(*) as bigint) as n_obs,
+        sum(xd * yd) as sxy, sum(xd * xd) as sxx, sum(yd * yd) as syy
+      from d)
+    select n_obs, round(sxy / sxx, 6) as beta_within,
+      round(sxy * sxy / (sxx * syy), 6) as r2_within
+    from a
+    """,
+)
+def q_twfe_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import twfe_panel
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.groupBy(
+        (F.col("user_id") % 50).alias("unit"),
+        F.floor(F.unix_timestamp("ts") / 86400).alias("day"),
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).cast("double").alias("x")
+    )
+    y = (
+        2 * F.col("x") + 3 * F.col("unit") + 1.5 * (F.col("day") % 31)
+        + ((F.col("unit") * 7 + F.col("day") * 11) % 9 - 4)
+        .cast("double") / 10
+    )
+    panel = p.select("unit", "day", "x", y.alias("y"))
+    return twfe_panel(panel, "unit", "day", "x", "y")
+
+
+# ---------------------------------------------------------------------
+# 530. Geometric adstock (decay 0.6) of daily click "spend" against
+#      daily value response per event_type — carryover-aware slope vs
+#      the naive same-period slope.
+# ---------------------------------------------------------------------
+@register(
+    "adstock_fit",
+    """
+    with recursive s as (select event_type as g,
+        cast(floor(epoch(ts) / 86400) as bigint) as o,
+        cast(sum(case when event_type is not null
+                      and value is not null then 1 else 0 end)
+          as double) as sp,
+        sum(coalesce(cast(value as double), 0)) as yv
+      from events group by 1, 2),
+    v as (select *, row_number() over (partition by g order by o)
+        as rn from s),
+    k as (
+      select g, rn, o, sp, yv, sp as a from v where rn = 1
+      union all
+      select v.g, v.rn, v.o, v.sp, v.yv,
+        v.sp + 0.6 * k.a as a
+      from k join v on v.g = k.g and v.rn = k.rn + 1),
+    ad as (select g, cast(count(*) as double) as n,
+        sum(a * yv) as say, sum(a) as sa, sum(yv) as sy,
+        sum(a * a) as saa from k group by 1),
+    rawagg as (select g, cast(count(*) as double) as n,
+        sum(sp * yv) as ssy, sum(sp) as ss, sum(yv) as sy,
+        sum(sp * sp) as sss from k group by 1)
+    select ad.g as event_type, cast(ad.n as bigint) as n_points,
+      cast(0.6 as double) as decay,
+      round((say / ad.n - sa / ad.n * ad.sy / ad.n)
+            / (saa / ad.n - sa / ad.n * sa / ad.n), 6)
+        as beta_adstock,
+      round((ssy / rawagg.n - ss / rawagg.n * rawagg.sy / rawagg.n)
+            / (sss / rawagg.n - ss / rawagg.n * ss / rawagg.n), 6)
+        as beta_naive
+    from ad join rawagg on ad.g = rawagg.g
+    """,
+)
+def q_adstock_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import adstock_fit
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).alias("day"),
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("event_type").isNotNull()
+                & F.col("value").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).cast("double").alias("spend"),
+        F.sum(
+            F.coalesce(F.col("value").cast("double"), F.lit(0))
+        ).alias("yv"),
+    )
+    return adstock_fit(
+        daily, ["event_type"], "day", "spend", "yv", decay=0.6
+    )
+
+
+# ---------------------------------------------------------------------
+# 531. Quantile treatment effects (planted proportional +10% effect
+#      for treated) — the per-quantile gap an ATT averages away.
+# ---------------------------------------------------------------------
+@register(
+    "quantile_treatment_effect",
+    """
+    with b as (select cast(user_id % 2 as int) as t,
+        cast(value as double) * (1 + 0.1 * (user_id % 2)) as y
+      from events where value is not null),
+    a as (select
+        round(quantile_cont(case when t = 1 then y end, 0.1), 6) as qt1,
+        round(quantile_cont(case when t = 0 then y end, 0.1), 6) as qc1,
+        round(quantile_cont(case when t = 1 then y end, 0.25), 6) as qt2,
+        round(quantile_cont(case when t = 0 then y end, 0.25), 6) as qc2,
+        round(quantile_cont(case when t = 1 then y end, 0.5), 6) as qt3,
+        round(quantile_cont(case when t = 0 then y end, 0.5), 6) as qc3,
+        round(quantile_cont(case when t = 1 then y end, 0.75), 6) as qt4,
+        round(quantile_cont(case when t = 0 then y end, 0.75), 6) as qc4,
+        round(quantile_cont(case when t = 1 then y end, 0.9), 6) as qt5,
+        round(quantile_cont(case when t = 0 then y end, 0.9), 6) as qc5
+      from b)
+    select cast(0.1 as double) as quantile, qt1 as treated_q,
+      qc1 as control_q, round(qt1 - qc1, 6) as qte from a
+    union all select cast(0.25 as double), qt2, qc2,
+      round(qt2 - qc2, 6) from a
+    union all select cast(0.5 as double), qt3, qc3,
+      round(qt3 - qc3, 6) from a
+    union all select cast(0.75 as double), qt4, qc4,
+      round(qt4 - qc4, 6) from a
+    union all select cast(0.9 as double), qt5, qc5,
+      round(qt5 - qc5, 6) from a
+    """,
+)
+def q_quantile_treatment_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.analytics import quantile_treatment_effect
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = (F.col("user_id") % 2).cast("int")
+    base = ev.select(
+        t.alias("t"),
+        (F.col("value").cast("double") * (1 + 0.1 * t)).alias("y"),
+    )
+    return quantile_treatment_effect(base, "t", "y")
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -3860,3 +3860,61 @@ def test_newsvendor_quantile_beats_mean_under_asymmetry(spark):
     assert r["critical_ratio"] == 0.9
     assert r["q_star"] > r["mean_demand"]          # cu >> co -> stock up
     assert r["exp_cost_at_q"] < r["exp_cost_at_mean"]
+
+
+def test_twfe_recovers_beta_naive_ols_confounded(spark):
+    from sparkcollector.operators.analytics import twfe_panel
+
+    rows = []
+    for unit in range(30):
+        for day in range(40):
+            x = float((unit * 3 + day * 5) % 10)   # x varies within
+            y = 2.0 * x + 7.0 * unit - 3.0 * day \
+                + float((unit + day) % 5 - 2) / 10
+            rows.append((unit, day, x, y))
+    df = spark.createDataFrame(rows, "u int, d int, x double, y double")
+    r = twfe_panel(df, "u", "d", "x", "y").collect()[0]
+    assert abs(r["beta_within"] - 2.0) < 0.05
+    assert r["r2_within"] > 0.95
+    # naive pooled OLS on the same data is badly confounded
+    import numpy as np
+
+    xs = np.array([r2[2] for r2 in rows])
+    ys = np.array([r2[3] for r2 in rows])
+    naive = np.cov(xs, ys)[0, 1] / np.var(xs)
+    assert abs(naive - 2.0) > 0.3
+
+
+def test_adstock_beats_naive_on_carryover_response(spark):
+    from sparkcollector.operators.analytics import adstock_fit
+
+    # y responds to the ADSTOCKED spend exactly: fitting raw spend
+    # underestimates; fitting adstock recovers 5.0
+    rows = []
+    a = 0.0
+    for tday in range(200):
+        s = float((tday * 7) % 13)
+        a = s + 0.6 * a if tday else s
+        y = 5.0 * a + float(tday % 3 - 1) / 10
+        rows.append(("g", tday, s, y))
+    df = spark.createDataFrame(rows, "g string, o int, s double, y double")
+    r = adstock_fit(df, ["g"], "o", "s", "y", decay=0.6).collect()[0]
+    assert abs(r["beta_adstock"] - 5.0) < 0.05
+    assert abs(r["beta_naive"] - 5.0) > 0.5  # carryover missed
+
+
+def test_qte_shows_proportional_effect_growing(spark):
+    from sparkcollector.operators.analytics import quantile_treatment_effect
+
+    rows = []
+    for i in range(4000):
+        t = i % 2
+        base = float((i * 2654435761) % 1000) / 10
+        rows.append((t, base * (1 + 0.2 * t)))
+    df = spark.createDataFrame(rows, "t int, y double")
+    out = sorted(quantile_treatment_effect(df, "t", "y").collect(),
+                 key=lambda r: r["quantile"])
+    qtes = [r["qte"] for r in out]
+    # proportional effect: gap grows with the quantile
+    assert qtes == sorted(qtes)
+    assert qtes[-1] > 3 * max(qtes[0], 0.5)
