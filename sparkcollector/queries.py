@@ -23728,10 +23728,12 @@ GATE_WINDOW = [
     "priority_source_merge", "forward_fill_gauge", "scd2_intervals_build",
     "k8s_owner_workloads", "resource_detection_precedence",
     "ottl_map_functions", "semconv_migrate",
-    "delta_to_cumulative", "counter_reset_rate", "latency_percentiles",
-    "span_duration_histogram", "apdex_score", "exp_histogram_merge",
-    "log_dedup_counts",
-    "session_window_agg", "trace_assembly", "service_graph_edges",
+    "delta_to_cumulative", "counter_reset_rate", "exp_histogram_merge",
+    "session_window_agg", "service_graph_edges",
+    # round-3 flagships: the iterative / fold-based operator classes
+    # added this round, so the driver gate exercises them directly
+    "markov_attribution", "seasonal_esd", "dtw_profile_distance",
+    "gmm_em_2comp", "poisson_bootstrap_ci",
 ]
 
 
