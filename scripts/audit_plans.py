@@ -4044,6 +4044,17 @@ def main() -> None:
         ("quantile_treatment_effect",
          [("one conditional-percentile aggregate",
            lambda p: "Python" not in p)], ""),
+        ("acronym_pairs",
+         [("extraction + initials check in-row; Generate only for "
+           "candidates", lambda p: "Generate" in p
+           and "Python" not in p)], ""),
+        ("leave_one_out_influence",
+         [("single pass: every refit from power-sum subtraction",
+           lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+           and "Python" not in p)], ""),
+        ("forecast_combo",
+         [("one keyed lag-window pass + bounded weight join",
+           lambda p: "Window" in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

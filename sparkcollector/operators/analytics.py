@@ -11748,3 +11748,130 @@ def quantile_treatment_effect(
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows
+
+
+def leave_one_out_influence(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Leave-one-GROUP-out influence on the global OLS slope — data
+    valuation without re-fitting.
+
+    "Which tenant/source is dragging the trend?" answered exactly:
+    because the slope is a function of power sums, the slope WITHOUT
+    group g is computable from (global sums − g's sums) — every
+    leave-one-out refit in a single pass, no k re-scans (the same
+    algebra that makes ``partial_agg_merge`` work, run backwards).
+    influence_g = slope_without_g − slope: positive means the group
+    was suppressing the trend.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    per = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("tn"), F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"), F.sum("sxy").alias("tsxy"),
+        F.sum("sxx").alias("tsxx"),
+    )
+
+    def slope(n, sx, sy, sxy, sxx):
+        return (sxy / n - sx / n * sy / n) / (
+            sxx / n - sx / n * sx / n
+        )
+
+    j = per.crossJoin(tot)
+    full = slope(
+        F.col("tn"), F.col("tsx"), F.col("tsy"),
+        F.col("tsxy"), F.col("tsxx"),
+    )
+    without = slope(
+        F.col("tn") - F.col("n"), F.col("tsx") - F.col("sx"),
+        F.col("tsy") - F.col("sy"), F.col("tsxy") - F.col("sxy"),
+        F.col("tsxx") - F.col("sxx"),
+    )
+    return j.select(
+        *group_cols,
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(full, 6).alias("slope_full"),
+        F.round(without, 6).alias("slope_without"),
+        F.round(without - full, 6).alias("influence"),
+    )
+
+
+def forecast_combo(
+    df: DataFrame,
+    group_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Inverse-MAE forecast combination (naive / seasonal-naive /
+    drift) — the M-competition lesson as an operator.
+
+    Three zero-parameter one-step forecasters over the series
+    (yesterday, same-day-last-week, yesterday + average step), their
+    rolling one-step absolute errors, and the combination weighted by
+    inverse MAE.  Reports each model's MAE and the combo's — the
+    combo beating every component is the expected (and audited)
+    outcome.  One keyed window pass for the lags, one aggregate.
+    Requires a dense bucket grid (gap-fill first).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(bucket_col)
+    y = F.col(value_col).cast("double")
+    base = df.select(
+        *group_cols, F.col(bucket_col), y.alias("_y"),
+        F.lag(y, 1).over(w).alias("_naive"),
+        F.lag(y, season).over(w).alias("_snaive"),
+        (
+            F.lag(y, 1).over(w)
+            + (F.lag(y, 1).over(w) - F.first(y).over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)
+            ))
+            / F.greatest(
+                F.row_number().over(w) - 2, F.lit(1)
+            ).cast("double")
+        ).alias("_drift"),
+    ).filter(F.col("_snaive").isNotNull())
+    per = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_evals"),
+        F.avg(F.abs(F.col("_y") - F.col("_naive"))).alias("_m1"),
+        F.avg(F.abs(F.col("_y") - F.col("_snaive"))).alias("_m2"),
+        F.avg(F.abs(F.col("_y") - F.col("_drift"))).alias("_m3"),
+    )
+    w1, w2, w3 = (1 / F.col("_m1"), 1 / F.col("_m2"), 1 / F.col("_m3"))
+    tot = w1 + w2 + w3
+    jw = per.select(
+        *group_cols,
+        (w1 / tot).alias("_w1"), (w2 / tot).alias("_w2"),
+        (w3 / tot).alias("_w3"),
+    )
+    combo = base.join(jw, list(group_cols)).groupBy(*group_cols).agg(
+        F.avg(
+            F.abs(
+                F.col("_y")
+                - (
+                    F.col("_w1") * F.col("_naive")
+                    + F.col("_w2") * F.col("_snaive")
+                    + F.col("_w3") * F.col("_drift")
+                )
+            )
+        ).alias("_mc")
+    )
+    return per.join(combo, list(group_cols)).select(
+        *group_cols, "n_evals",
+        F.round("_m1", 6).alias("mae_naive"),
+        F.round("_m2", 6).alias("mae_seasonal_naive"),
+        F.round("_m3", 6).alias("mae_drift"),
+        F.round("_mc", 6).alias("mae_combo"),
+        (
+            F.col("_mc")
+            < F.least(F.col("_m1"), F.col("_m2"), F.col("_m3"))
+        ).alias("combo_wins"),
+    )

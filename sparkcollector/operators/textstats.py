@@ -683,3 +683,52 @@ def dga_score(df: DataFrame, domain_col: str) -> DataFrame:
     return out.withColumn("dga_score", score).withColumn(
         "is_dga", F.col("dga_score") > 1.6
     ).drop(d)
+
+
+def acronym_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Schwartz-Hearst acronym/expansion pairs — glossary extraction.
+
+    The corpus-curation helper behind entity normalization: a
+    parenthesized token of 2-6 capitals following words whose
+    initials spell it ("Large Language Model (LLM)") defines the
+    expansion.  Candidate "(ABC)" spans via ``regexp_extract_all``;
+    the preceding |acronym| words via an in-row array slice; the
+    initials check via a fold over the zipped letters — all Catalyst,
+    zero exchanges until the (doc, acronym, expansion) explode.
+
+    Returns one row per validated pair: id, acronym, expansion.
+    """
+    t = F.col(text_col)
+    # candidates with their char offset so the preceding words can be
+    # located: split text at each '(ACRO)' occurrence
+    cand = (
+        f"regexp_extract_all({text_col},"
+        r" '([\\w ,-]{0,80})\\(([A-Z]{2,6})\\)', 0)"
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.expr(cand)).alias("_span"),
+    )
+    acro = F.regexp_extract(F.col("_span"), r"\(([A-Z]{2,6})\)", 1)
+    before = F.regexp_extract(F.col("_span"), r"^(.*)\(", 1)
+    words = F.expr(
+        "filter(split(trim(_before), ' +'), w -> w <> '')"
+    )
+    parsed = base.withColumn("_acro", acro).withColumn(
+        "_before", F.trim(before)
+    ).withColumn("_words", words)
+    k = F.length("_acro")
+    tail = F.expr("slice(_words, -cast(length(_acro) as int), cast(length(_acro) as int))")
+    parsed = parsed.filter(F.size("_words") >= k).withColumn(
+        "_tail", tail
+    )
+    ok = F.expr(
+        "aggregate(sequence(1, cast(length(_acro) as int)), true,"
+        " (acc, i) -> acc and upper(substr(try_element_at(_tail, i),"
+        " 1, 1)) = substr(_acro, i, 1))"
+    )
+    return parsed.filter(ok).select(
+        F.col("_id").alias(id_col),
+        F.col("_acro").alias("acronym"),
+        F.array_join("_tail", " ").alias("expansion"),
+    ).distinct()

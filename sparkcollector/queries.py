@@ -23702,6 +23702,158 @@ def q_quantile_treatment_effect(
 
 
 # ---------------------------------------------------------------------
+# 532. Schwartz-Hearst acronym/expansion extraction over synthesized
+#      phrases (one mismatching decoy) — the oracle never parses: it
+#      derives expected pairs from event_type counts.
+# ---------------------------------------------------------------------
+@register(
+    "acronym_pairs",
+    """
+    select acronym, expansion, cast(count(*) as bigint) as n from (
+      select case event_type
+          when 'click' then 'CTS' when 'view' then 'VRE'
+          when 'purchase' then 'PPG' when 'signup' then 'UOF' end
+        as acronym,
+        case event_type
+          when 'click' then 'Click Tracking System'
+          when 'view' then 'View Render Engine'
+          when 'purchase' then 'Payment Processing Gateway'
+          when 'signup' then 'User Onboarding Flow' end as expansion
+      from events where event_type <> 'error')
+    group by 1, 2
+    """,
+)
+def q_acronym_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import acronym_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    text = (
+        F.when(
+            F.col("event_type") == "click",
+            F.lit("we use the Click Tracking System (CTS) daily"),
+        )
+        .when(
+            F.col("event_type") == "view",
+            F.lit("the View Render Engine (VRE) is fast"),
+        )
+        .when(
+            F.col("event_type") == "purchase",
+            F.lit("a Payment Processing Gateway (PPG) handles it"),
+        )
+        .when(
+            F.col("event_type") == "signup",
+            F.lit("the new User Onboarding Flow (UOF) works"),
+        )
+        .otherwise(F.lit("bad acronym here (QQQ) mismatch"))
+    )
+    docs = ev.select("event_id", text.alias("text"))
+    pairs = acronym_pairs(docs, "event_id", "text")
+    return pairs.groupBy("acronym", "expansion").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------
+# 533. Leave-one-group-out influence of each event_type on the global
+#      hour->value OLS slope — every refit from one pass (power-sum
+#      subtraction).
+# ---------------------------------------------------------------------
+@register(
+    "leave_one_out_influence",
+    """
+    with b as (select event_type, cast(hour(ts) as double) as x,
+        cast(value as double) as y
+      from events where value is not null),
+    per as (select event_type, cast(count(*) as double) as n,
+        sum(x) as sx, sum(y) as sy, sum(x * y) as sxy,
+        sum(x * x) as sxx from b group by 1),
+    tot as (select sum(n) as tn, sum(sx) as tsx, sum(sy) as tsy,
+        sum(sxy) as tsxy, sum(sxx) as tsxx from per)
+    select event_type, cast(n as bigint) as n_rows,
+      round((tsxy / tn - tsx / tn * tsy / tn)
+            / (tsxx / tn - tsx / tn * tsx / tn), 6) as slope_full,
+      round(((tsxy - sxy) / (tn - n)
+             - (tsx - sx) / (tn - n) * (tsy - sy) / (tn - n))
+            / ((tsxx - sxx) / (tn - n)
+               - (tsx - sx) / (tn - n) * (tsx - sx) / (tn - n)), 6)
+        as slope_without,
+      round((((tsxy - sxy) / (tn - n)
+              - (tsx - sx) / (tn - n) * (tsy - sy) / (tn - n))
+             / ((tsxx - sxx) / (tn - n)
+                - (tsx - sx) / (tn - n) * (tsx - sx) / (tn - n)))
+            - ((tsxy / tn - tsx / tn * tsy / tn)
+               / (tsxx / tn - tsx / tn * tsx / tn)), 6) as influence
+    from per cross join tot
+    """,
+)
+def q_leave_one_out_influence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.analytics import leave_one_out_influence
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").cast("double").alias("y"),
+    )
+    return leave_one_out_influence(base, ["event_type"], "x", "y")
+
+
+# ---------------------------------------------------------------------
+# 534. Inverse-MAE forecast combination (naive / seasonal-naive /
+#      drift, season 7) over daily counts per event_type — the
+#      M-competition "combos win" lesson, audited inline.
+# ---------------------------------------------------------------------
+@register(
+    "forecast_combo",
+    """
+    with s as (select event_type as g,
+        cast(floor(epoch(ts) / 86400) as bigint) as o,
+        cast(count(*) as double) as y from events group by 1, 2),
+    l as (select g, o, y,
+        lag(y, 1) over wo as naive,
+        lag(y, 7) over wo as snaive,
+        lag(y, 1) over wo
+          + (lag(y, 1) over wo - first_value(y) over wf)
+            / cast(greatest(row_number() over wo - 2, 1) as double)
+          as drift
+      from s window wo as (partition by g order by o),
+        wf as (partition by g order by o
+               rows between unbounded preceding and current row)),
+    e as (select * from l where snaive is not null),
+    per as (select g, cast(count(*) as bigint) as n_evals,
+        avg(abs(y - naive)) as m1, avg(abs(y - snaive)) as m2,
+        avg(abs(y - drift)) as m3 from e group by 1),
+    wts as (select g,
+        (1 / m1) / (1 / m1 + 1 / m2 + 1 / m3) as w1,
+        (1 / m2) / (1 / m1 + 1 / m2 + 1 / m3) as w2,
+        (1 / m3) / (1 / m1 + 1 / m2 + 1 / m3) as w3 from per),
+    cmb as (select e.g,
+        avg(abs(e.y - (w.w1 * e.naive + w.w2 * e.snaive
+                       + w.w3 * e.drift))) as mc
+      from e join wts w on w.g = e.g group by 1)
+    select per.g as event_type, per.n_evals,
+      round(per.m1, 6) as mae_naive,
+      round(per.m2, 6) as mae_seasonal_naive,
+      round(per.m3, 6) as mae_drift,
+      round(cmb.mc, 6) as mae_combo,
+      cmb.mc < least(per.m1, per.m2, per.m3) as combo_wins
+    from per join cmb on per.g = cmb.g
+    """,
+)
+def q_forecast_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import forecast_combo
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return forecast_combo(daily, ["event_type"], "day", "y", season=7)
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

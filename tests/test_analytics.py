@@ -3918,3 +3918,44 @@ def test_qte_shows_proportional_effect_growing(spark):
     # proportional effect: gap grows with the quantile
     assert qtes == sorted(qtes)
     assert qtes[-1] > 3 * max(qtes[0], 0.5)
+
+
+def test_leave_one_out_influence_sums_consistently(spark):
+    from sparkcollector.operators.analytics import leave_one_out_influence
+
+    # group "bad" has an inverted x-y relation: removing it must RAISE
+    # the slope (positive influence); removing an aligned group lowers
+    rows = []
+    for i in range(3000):
+        x = float(i % 50)
+        if i % 3 == 0:
+            rows.append(("bad", x, -2.0 * x))
+        else:
+            rows.append((f"ok{i % 2}", x, 3.0 * x))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in leave_one_out_influence(
+        df, ["g"], "x", "y").collect()}
+    assert out["bad"]["influence"] > 1.0
+    assert out["ok0"]["influence"] < 0
+    # removing "bad" yields the clean 3.0 slope
+    assert abs(out["bad"]["slope_without"] - 3.0) < 1e-6
+    # all rows share the same slope_full
+    fulls = {r["slope_full"] for r in out.values()}
+    assert len(fulls) == 1
+
+
+def test_forecast_combo_beats_components_on_mixed_signal(spark):
+    from sparkcollector.operators.analytics import forecast_combo
+
+    # signal = weekly cycle + slow drift + small noise: seasonal-naive
+    # nails the cycle, drift nails the trend; the combo beats both
+    rows = []
+    for d in range(120):
+        y = 100 + 2.0 * d + 30.0 * (d % 7 == 0) + float(d % 3) / 10
+        rows.append(("g", d, y))
+    df = spark.createDataFrame(rows, "g string, o int, y double")
+    r = forecast_combo(df, ["g"], "o", "y", season=7).collect()[0]
+    assert r["n_evals"] == 113
+    assert r["mae_combo"] <= min(
+        r["mae_naive"], r["mae_seasonal_naive"], r["mae_drift"]) * 1.05
+    assert r["combo_wins"] or r["mae_combo"] < r["mae_seasonal_naive"]

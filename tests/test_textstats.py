@@ -282,3 +282,24 @@ def test_readability_indices_known_text(spark):
     import math
     assert abs(r["smog"] - (1.043 * math.sqrt(2 * 30 / 2) + 3.1291)) < 1e-3
     assert got[2]["smog"] is None and got[2]["n_words"] is None
+
+
+def test_acronym_pairs_validates_initials(spark):
+    from sparkcollector.operators.textstats import acronym_pairs
+
+    rows = [
+        (1, "we train a Large Language Model (LLM) on data"),
+        (2, "random words here (XYZ) that do not match"),
+        (3, "two hits: Central Processing Unit (CPU) and a "
+            "Solid State Drive (SSD) too"),
+        (4, "lowercase large language model (LLM) still matches"),
+        (5, "no parens at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_id"], r["acronym"]): r["expansion"]
+           for r in acronym_pairs(df, "doc_id", "text").collect()}
+    assert out[(1, "LLM")] == "Large Language Model"
+    assert out[(3, "CPU")] == "Central Processing Unit"
+    assert out[(3, "SSD")] == "Solid State Drive"
+    assert out[(4, "LLM")] == "large language model"
+    assert not any(k[0] in (2, 5) for k in out)
