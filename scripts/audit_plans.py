@@ -4055,6 +4055,15 @@ def main() -> None:
         ("forecast_combo",
          [("one keyed lag-window pass + bounded weight join",
            lambda p: "Window" in p and "Python" not in p)], ""),
+        ("rmst",
+         [("KM curve integrated via one bounded window",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("obrien_fleming_looks",
+         [("cumulative look window over the 5-row per-look table",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("snips_offpolicy",
+         [("policy dim join onto the eval slice, weighted aggregate",
+           lambda p: "Join" in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

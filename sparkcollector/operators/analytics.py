@@ -11875,3 +11875,170 @@ def forecast_combo(
             < F.least(F.col("_m1"), F.col("_m2"), F.col("_m3"))
         ).alias("combo_wins"),
     )
+
+
+def rmst(
+    df: DataFrame,
+    unit_col: str,
+    ts_col: str,
+    horizon_days: int = 7,
+    tau_days: int = 14,
+) -> DataFrame:
+    """Restricted mean survival time — the KM curve as ONE number.
+
+    Median survival is undefined when the curve never crosses 0.5 and
+    hazard ratios assume proportional hazards; RMST(tau) = area under
+    the KM curve up to tau ("expected days retained within the first
+    tau") is assumption-free and budget-meaningful.  Integrates the
+    step function from ``km_survival``: the head interval [0, d_1)
+    at S = 1 plus each S(d_k)·(min(d_{k+1}, tau) − d_k) — one bounded
+    window over the curve table.
+    """
+    curve = km_survival(df, unit_col, ts_col, horizon_days=horizon_days)
+    w = Window.orderBy("duration_day")
+    seg = curve.select(
+        F.col("duration_day").cast("double").alias("d"),
+        F.col("survival"),
+        F.coalesce(
+            F.lead("duration_day").over(w).cast("double"),
+            F.lit(float(tau_days)),
+        ).alias("d_next"),
+    )
+    head = seg.agg(
+        F.least(F.min("d"), F.lit(float(tau_days))).alias("_h")
+    )
+    area = seg.filter(F.col("d") < tau_days).agg(
+        F.sum(
+            F.col("survival")
+            * (F.least(F.col("d_next"), F.lit(float(tau_days)))
+               - F.col("d"))
+        ).alias("_a")
+    )
+    return head.crossJoin(area).select(
+        F.lit(tau_days).alias("tau_days"),
+        F.round(F.col("_h") + F.coalesce(F.col("_a"), F.lit(0.0)), 6)
+        .alias("rmst_days"),
+    )
+
+
+# O'Brien-Fleming two-sided 5%-level z boundaries for 5 equally-spaced
+# looks (standard published group-sequential table).
+OBF_BOUNDS_5 = (4.8769, 3.3569, 2.6803, 2.2898, 2.0310)
+
+
+def obrien_fleming_looks(
+    df: DataFrame,
+    look_col: str,
+    treat_col: str,
+    value_col: str,
+    bounds: tuple = OBF_BOUNDS_5,
+) -> DataFrame:
+    """Group-sequential monitoring with O'Brien-Fleming boundaries —
+    peeking done right.
+
+    Checking a fixed-alpha z at every interim look inflates false
+    positives several-fold; the OBF spending schedule makes early
+    looks very conservative and the final look nearly full-alpha.
+    Per look k: the Welch z on ALL data accrued through look k
+    (cumulative window over the bounded per-look sums) against the
+    pinned boundary; ``crossed`` and the first crossing are reported
+    so "when could we have stopped?" reads directly.
+    """
+    t = F.col(treat_col).cast("int")
+    x = F.col(value_col).cast("double")
+    per = df.groupBy(F.col(look_col).alias("look")).agg(
+        F.sum(t).cast("double").alias("nt"),
+        F.sum(F.when(t == 1, x)).alias("st"),
+        F.sum(F.when(t == 1, x * x)).alias("qt"),
+        F.sum(1 - t).cast("double").alias("nc"),
+        F.sum(F.when(t == 0, x)).alias("sc"),
+        F.sum(F.when(t == 0, x * x)).alias("qc"),
+    )
+    w = Window.orderBy("look").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "look",
+        *[
+            F.sum(c).over(w).alias(c)
+            for c in ("nt", "st", "qt", "nc", "sc", "qc")
+        ],
+    )
+    mt = F.col("st") / F.col("nt")
+    mc = F.col("sc") / F.col("nc")
+    vt = (F.col("qt") - F.col("st") * F.col("st") / F.col("nt")) / (
+        F.col("nt") - 1
+    )
+    vc = (F.col("qc") - F.col("sc") * F.col("sc") / F.col("nc")) / (
+        F.col("nc") - 1
+    )
+    z = (mt - mc) / F.sqrt(vt / F.col("nt") + vc / F.col("nc"))
+    bound = None
+    for i, b in enumerate(bounds, start=1):
+        cnd = F.when(F.col("look") == i, F.lit(b))
+        bound = cnd if bound is None else bound.when(
+            F.col("look") == i, F.lit(b)
+        )
+    scored = cum.select(
+        "look",
+        (F.col("nt") + F.col("nc")).cast("bigint").alias("n_cum"),
+        F.round(z, 6).alias("z"),
+        bound.alias("boundary"),
+        (F.abs(z) > bound).alias("crossed"),
+    )
+    wf = Window.orderBy("look").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return scored.withColumn(
+        "first_crossing",
+        F.col("crossed")
+        & (F.sum(F.col("crossed").cast("int")).over(wf) == 1),
+    )
+
+
+def snips_offpolicy(
+    df: DataFrame,
+    context_col: str,
+    arm_col: str,
+    reward_col: str,
+    logging_prob: float,
+    train_pred,
+) -> DataFrame:
+    """IPS / SNIPS off-policy value estimation with KNOWN logging
+    propensities — the weighted sibling of ``bandit_replay_eval``.
+
+    Replay throws away unmatched events; inverse-propensity scoring
+    keeps them all with weight w = 1{a = policy(ctx)}/p_log: IPS =
+    mean(w·r) is unbiased but high-variance; SNIPS = Σw·r/Σw trades a
+    vanishing bias for much lower variance.  The effective sample
+    size (Σw)²/Σw² says how much data the weighting really left.
+    Policy learned on the train slice (greedy argmax, deterministic
+    ties) exactly as in the replay estimator, so the two entries
+    cross-check each other.
+    """
+    r = F.col(reward_col).cast("double")
+    train = df.filter(train_pred)
+    ev = df.filter(~train_pred)
+    per_arm = train.groupBy(context_col, arm_col).agg(
+        F.avg(r).alias("_ctr")
+    )
+    wnd = Window.partitionBy(context_col).orderBy(
+        F.col("_ctr").desc(), F.col(arm_col)
+    )
+    policy = (
+        per_arm.withColumn("_rn", F.row_number().over(wnd))
+        .filter(F.col("_rn") == 1)
+        .select(context_col, F.col(arm_col).alias("_pol"))
+    )
+    j = ev.join(policy, context_col)
+    wgt = (F.col(arm_col) == F.col("_pol")).cast("double") / logging_prob
+    return j.groupBy(context_col).agg(
+        F.max("_pol").alias("policy_arm"),
+        F.count(F.lit(1)).alias("n_eval"),
+        F.round(F.avg(wgt * r), 6).alias("ips_value"),
+        F.round(F.sum(wgt * r) / F.sum(wgt), 6).alias("snips_value"),
+        F.round(
+            F.sum(wgt) * F.sum(wgt) / F.sum(wgt * wgt), 2
+        ).alias("ess"),
+        F.round(F.avg(r), 6).alias("logging_value"),
+    )

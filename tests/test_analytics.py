@@ -3959,3 +3959,84 @@ def test_forecast_combo_beats_components_on_mixed_signal(spark):
     assert r["mae_combo"] <= min(
         r["mae_naive"], r["mae_seasonal_naive"], r["mae_drift"]) * 1.05
     assert r["combo_wins"] or r["mae_combo"] < r["mae_seasonal_naive"]
+
+
+def test_rmst_flat_and_dropping_curves(spark):
+    import datetime
+
+    from sparkcollector.operators.analytics import rmst
+
+    T0 = 1_700_000_000
+
+    def ts(days):
+        return datetime.datetime.fromtimestamp(
+            T0 + days * 86400, datetime.timezone.utc)
+
+    # every unit active the whole window (censored) -> S stays 1 up to
+    # its observed duration; RMST near tau for long-lived units
+    rows = []
+    for u in range(50):
+        rows.append((u, ts(0)))
+        rows.append((u, ts(20)))     # 20-day lifetime, censored
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    r = rmst(df, "user_id", "ts", horizon_days=7, tau_days=14).collect()[0]
+    assert r["rmst_days"] == 14.0    # S=1 past tau
+    # all die on day 2 (well before horizon) -> area = 2 * 1.0
+    rows2 = []
+    for u in range(50):
+        rows2.append((u, ts(0)))
+        rows2.append((u, ts(2)))
+    rows2 += [(999, ts(0)), (999, ts(29))]   # keeps the window open
+    df2 = spark.createDataFrame(rows2, "user_id long, ts timestamp")
+    r2 = rmst(df2, "user_id", "ts", horizon_days=7,
+              tau_days=14).collect()[0]
+    assert 2.0 <= r2["rmst_days"] < 4.0
+
+
+def test_obf_boundaries_gate_early_peeking(spark):
+    from sparkcollector.operators.analytics import obrien_fleming_looks
+
+    # modest constant effect: z ~ 2.6 at every look — crosses ONLY the
+    # late lenient boundaries, never the early conservative ones
+    rows = []
+    for i in range(20000):
+        look = i % 5 + 1
+        t = i % 2
+        # base depends on i//10 only -> balanced across arms and looks
+        x = float((i // 10 * 7) % 100) + (1.0 if t else 0.0)
+        rows.append((look, t, x))
+    df = spark.createDataFrame(rows, "look int, t int, x double")
+    out = sorted(obrien_fleming_looks(df, "look", "t", "x").collect(),
+                 key=lambda r: r["look"])
+    assert not out[0]["crossed"]               # 4.88 wall at look 1
+    assert out[4]["boundary"] == 2.0310
+    crossings = [r for r in out if r["first_crossing"]]
+    assert len(crossings) <= 1                 # at most one first stop
+    # z grows with accrual for a constant effect
+    assert abs(out[4]["z"]) > abs(out[0]["z"])
+
+
+def test_snips_lower_variance_than_ips_shape(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import snips_offpolicy
+
+    # arm 2 pays 0.9 in ctx 0; uniform logging over 3 arms
+    rows = []
+    for i in range(9000):
+        ctx, arm = 0, i % 3
+        train = (i // 3) % 2 == 0
+        pay = 0.9 if arm == 2 else 0.1
+        r = 1.0 if (i * 2654435761) % 100 < pay * 100 else 0.0
+        rows.append((ctx, arm, r, train))
+    df = spark.createDataFrame(rows, "ctx int, arm int, r double, "
+                               "is_train boolean")
+    out = snips_offpolicy(
+        df, "ctx", "arm", "r", 1.0 / 3, F.col("is_train")).collect()[0]
+    assert out["policy_arm"] == 2
+    # both estimators near the true 0.9, way above logging value
+    assert abs(out["snips_value"] - 0.9) < 0.06
+    assert abs(out["ips_value"] - 0.9) < 0.15
+    assert out["logging_value"] < 0.5
+    # ESS ~ n/3 (only matched events carry weight)
+    assert 0.2 < out["ess"] / out["n_eval"] < 0.5
