@@ -4064,6 +4064,16 @@ def main() -> None:
         ("snips_offpolicy",
          [("policy dim join onto the eval slice, weighted aggregate",
            lambda p: "Join" in p and "Python" not in p)], ""),
+        ("conformance_fitness",
+         [("one keyed lag window + literal model-edge join",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("usl_fit",
+         [("single power-sum pass, 3x3 Cramer in-row",
+           lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+           and "Python" not in p)], ""),
+        ("brunner_munzel",
+         [("rank machinery on the bounded bucket grid only",
+           lambda p: "Window" in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -12042,3 +12042,210 @@ def snips_offpolicy(
         ).alias("ess"),
         F.round(F.avg(r), 6).alias("logging_value"),
     )
+
+
+def conformance_fitness(
+    df: DataFrame,
+    unit_col: str,
+    order_cols: list[str],
+    act_col: str,
+    allowed: list[tuple],
+    start_token: str = "START",
+) -> DataFrame:
+    """Process-mining conformance (token-replay-lite) — how well do
+    real journeys follow the normative model?
+
+    ``event_transition_matrix`` DESCRIBES what happens; conformance
+    checking JUDGES it against the designed process: per unit, the
+    fraction of direct moves (START -> first, then each consecutive
+    pair) permitted by the ``allowed`` transition set.  One keyed lag
+    window + a broadcast-size join against the literal model edges;
+    outputs the per-unit fitness distribution summary plus the fully
+    conformant share — the audit number a process owner tracks.
+    """
+    w = Window.partitionBy(unit_col).orderBy(*order_cols)
+    moves = df.select(
+        F.col(unit_col).alias("_u"),
+        F.coalesce(
+            F.lag(F.col(act_col)).over(w), F.lit(start_token)
+        ).alias("f"),
+        F.col(act_col).alias("t"),
+    )
+    spark = df.sparkSession
+    model = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("f"), F.lit(b).alias("t"),
+                        F.lit(1).alias("_ok"),
+                    )
+                    for a, b in allowed
+                ]
+            )
+        ).alias("_e")
+    ).select("_e.f", "_e.t", "_e._ok")
+    scored = moves.join(model, ["f", "t"], "left")
+    per = scored.groupBy("_u").agg(
+        F.count(F.lit(1)).alias("_moves"),
+        F.sum(F.coalesce("_ok", F.lit(0))).alias("_good"),
+    ).select(
+        "_u",
+        (F.col("_good") / F.col("_moves").cast("double")).alias("_fit"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.round(F.avg("_fit"), 6).alias("mean_fitness"),
+        F.round(
+            F.avg((F.col("_fit") == 1.0).cast("double")), 6
+        ).alias("fully_conformant_rate"),
+        F.round(F.min("_fit"), 6).alias("min_fitness"),
+    )
+
+
+def usl_fit(
+    df: DataFrame,
+    n_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Universal Scalability Law fit (Gunther) — sigma, kappa, and the
+    concurrency peak from measured throughput.
+
+    THE model behind every scaling-efficiency curve this repo
+    benchmarks: X(N) = lambda·N / (1 + sigma·(N−1) + kappa·N·(N−1)),
+    contention sigma flattens the curve, coherency kappa makes it
+    RETROGRADE.  Linearized exactly: y = N/X is quadratic in N with
+    regressors u = N−1, v = N(N−1); the 3x3 normal equations solve by
+    Cramer in-row (one power-sum pass).  Reports lambda, sigma,
+    kappa, and N* = sqrt((1−sigma)/kappa) — the concurrency beyond
+    which adding workers LOSES throughput.
+    """
+    n = F.col(n_col).cast("double")
+    y = n / F.col(x_col).cast("double")
+    u = n - 1
+    v = n * (n - 1)
+    base = df.select(y.alias("y"), u.alias("u"), v.alias("v"))
+    a = base.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("u").alias("su"), F.sum("v").alias("sv"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum(F.col("u") * F.col("v")).alias("suv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum(F.col("u") * F.col("y")).alias("suy"),
+        F.sum(F.col("v") * F.col("y")).alias("svy"),
+    )
+    m, su, sv = F.col("m"), F.col("su"), F.col("sv")
+    suu, suv, svv = F.col("suu"), F.col("suv"), F.col("svv")
+    sy, suy, svy = F.col("sy"), F.col("suy"), F.col("svy")
+
+    def det3(r1, r2, r3):
+        return (
+            r1[0] * (r2[1] * r3[2] - r2[2] * r3[1])
+            - r1[1] * (r2[0] * r3[2] - r2[2] * r3[0])
+            + r1[2] * (r2[0] * r3[1] - r2[1] * r3[0])
+        )
+
+    A = [[m, su, sv], [su, suu, suv], [sv, suv, svv]]
+    b = [sy, suy, svy]
+    d = det3(*A)
+    coef = []
+    for k in range(3):
+        Ak = [
+            [b[i] if j == k else A[i][j] for j in range(3)]
+            for i in range(3)
+        ]
+        coef.append(det3(*Ak) / d)
+    a0, b1, c2 = coef
+    lam = 1 / a0
+    sigma = b1 / a0
+    kappa = c2 / a0
+    nstar = F.sqrt((1 - sigma) / kappa)
+    return a.select(
+        F.col("m").cast("bigint").alias("n_points"),
+        F.round(lam, 6).alias("lambda_1"),
+        F.round(sigma, 6).alias("sigma"),
+        F.round(kappa, 6).alias("kappa"),
+        F.round(F.when(kappa > 0, nstar), 2).alias("n_peak"),
+    )
+
+
+def brunner_munzel(
+    df: DataFrame,
+    split_pred,
+    value_col: str,
+    grid=None,
+) -> DataFrame:
+    """Brunner-Munzel test — Mann-Whitney without the equal-variance
+    fiction.
+
+    MW's null is exchangeability; under unequal variances its level
+    is wrong.  BM tests P(X < Y) + ½P(X = Y) = ½ directly with a
+    studentized statistic.  All rank machinery runs on the BOUNDED
+    floor-bucket grid (the ks/cvm discipline): combined and
+    within-group MIDRANKS per bucket from cumulative counts, variance
+    terms as bucket-weighted sums — never a row-level sort.
+    Outputs p_hat (the stochastic-superiority effect size) and the
+    z-approximated decision at 1.96.
+    """
+    v = grid if grid is not None else F.floor(F.col(value_col))
+    h = df.select(
+        v.alias("v"),
+        F.when(split_pred, 1).otherwise(0).alias("g"),
+    ).groupBy("v").agg(
+        F.sum(1 - F.col("g")).alias("c1"),
+        F.sum("g").alias("c2"),
+    )
+    wc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = h.select(
+        "v", "c1", "c2",
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(wc), F.lit(0))
+        .alias("cb"),
+        F.coalesce(F.sum("c1").over(wc), F.lit(0)).alias("cb1"),
+        F.coalesce(F.sum("c2").over(wc), F.lit(0)).alias("cb2"),
+    )
+    # midranks: combined and within-group, per bucket
+    r = r.select(
+        "*",
+        (F.col("cb") + (F.col("c1") + F.col("c2") + 1) / 2.0)
+        .alias("rm"),
+        (F.col("cb1") + (F.col("c1") + 1) / 2.0).alias("r1"),
+        (F.col("cb2") + (F.col("c2") + 1) / 2.0).alias("r2"),
+    )
+    tot = r.agg(
+        F.sum("c1").cast("double").alias("n1"),
+        F.sum("c2").cast("double").alias("n2"),
+        F.sum(F.col("c1") * F.col("rm")).alias("sr1"),
+        F.sum(F.col("c2") * F.col("rm")).alias("sr2"),
+    )
+    j = r.crossJoin(tot)
+    rb1 = F.col("sr1") / F.col("n1")
+    rb2 = F.col("sr2") / F.col("n2")
+    d1 = F.col("rm") - F.col("r1") - rb1 + (F.col("n1") + 1) / 2.0
+    d2 = F.col("rm") - F.col("r2") - rb2 + (F.col("n2") + 1) / 2.0
+    a = j.agg(
+        F.max("n1").alias("n1"), F.max("n2").alias("n2"),
+        F.max(rb1).alias("rb1"), F.max(rb2).alias("rb2"),
+        (F.sum(F.col("c1") * d1 * d1)
+         / (F.max("n1") - 1)).alias("s1"),
+        (F.sum(F.col("c2") * d2 * d2)
+         / (F.max("n2") - 1)).alias("s2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    nn = n1 + n2
+    phat = (F.col("rb2") - (n2 + 1) / 2.0) / n1
+    # canonical (lawstat) form:
+    # W = n1·n2·(R̄2−R̄1) / ((n1+n2)·sqrt(n1·S1² + n2·S2²))
+    wbm = (
+        n1 * n2 * (F.col("rb2") - F.col("rb1"))
+        / (nn * F.sqrt(n1 * F.col("s1") + n2 * F.col("s2")))
+    )
+    return a.select(
+        n1.cast("bigint").alias("n_a"),
+        n2.cast("bigint").alias("n_b"),
+        F.round(phat, 6).alias("p_hat"),
+        F.round(wbm, 6).alias("bm_stat"),
+        (F.abs(wbm) > 1.959963984540054).alias("significant"),
+    )

@@ -23998,6 +23998,160 @@ def q_snips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 538. Conformance fitness of user journeys vs the normative funnel
+#      model (view->click->purchase with self-loops and restart;
+#      error is always a deviation) — token-replay-lite.
+# ---------------------------------------------------------------------
+@register(
+    "conformance_fitness",
+    """
+    with s as (select user_id as u, event_type as t,
+        coalesce(lag(event_type) over (partition by user_id
+          order by ts, event_id), 'START') as f
+      from events),
+    model as (select * from (values
+        ('START', 'view'), ('view', 'view'), ('view', 'click'),
+        ('click', 'click'), ('click', 'purchase'),
+        ('purchase', 'view'), ('view', 'signup'),
+        ('signup', 'view')) as m(f, t)),
+    scored as (select s.u,
+        case when m.f is not null then 1 else 0 end as ok
+      from s left join model m on m.f = s.f and m.t = s.t),
+    per as (select u, count(*) as moves, sum(ok) as good
+      from scored group by 1),
+    fit as (select u, good / cast(moves as double) as f from per)
+    select cast(count(*) as bigint) as n_units,
+      round(avg(f), 6) as mean_fitness,
+      round(avg(case when f = 1.0 then 1.0 else 0.0 end), 6)
+        as fully_conformant_rate,
+      round(min(f), 6) as min_fitness
+    from fit
+    """,
+)
+def q_conformance_fitness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import conformance_fitness
+
+    ev = _t(spark, sf_dir, "events")
+    allowed = [
+        ("START", "view"), ("view", "view"), ("view", "click"),
+        ("click", "click"), ("click", "purchase"),
+        ("purchase", "view"), ("view", "signup"), ("signup", "view"),
+    ]
+    return conformance_fitness(
+        ev, "user_id", ["ts", "event_id"], "event_type", allowed
+    )
+
+
+# ---------------------------------------------------------------------
+# 539. Universal Scalability Law fit over synthesized throughput
+#      measurements (planted sigma=0.05, kappa=0.001, lambda=1000):
+#      contention/coherency recovered, retrograde peak N* reported.
+# ---------------------------------------------------------------------
+@register(
+    "usl_fit",
+    """
+    with meas as (select cast(event_id % 16 + 1 as double) as n,
+        1000.0 * cast(event_id % 16 + 1 as double)
+          / (1 + 0.05 * (event_id % 16)
+             + 0.001 * (event_id % 16 + 1) * (event_id % 16))
+          * (1 + cast(event_id * 7 % 11 - 5 as double) / 1000) as x
+      from events),
+    b as (select n / x as y, n - 1 as u, n * (n - 1) as v from meas),
+    a as (select cast(count(*) as double) as m, sum(u) as su,
+        sum(v) as sv, sum(y) as sy, sum(u * u) as suu,
+        sum(u * v) as suv, sum(v * v) as svv, sum(u * y) as suy,
+        sum(v * y) as svy from b),
+    c as (select m,
+        (m * (suu * svv - suv * suv) - su * (su * svv - suv * sv)
+         + sv * (su * suv - suu * sv)) as d,
+        (sy * (suu * svv - suv * suv) - su * (suy * svv - suv * svy)
+         + sv * (suy * suv - suu * svy)) as d0,
+        (m * (suy * svv - suv * svy) - sy * (su * svv - suv * sv)
+         + sv * (su * svy - suy * sv)) as d1,
+        (m * (suu * svy - suy * suv) - su * (su * svy - suy * sv)
+         + sy * (su * suv - suu * sv)) as d2
+      from a)
+    select cast(m as bigint) as n_points,
+      round(1 / (d0 / d), 6) as lambda_1,
+      round((d1 / d) / (d0 / d), 6) as sigma,
+      round((d2 / d) / (d0 / d), 6) as kappa,
+      round(case when (d2 / d) / (d0 / d) > 0
+        then sqrt((1 - (d1 / d) / (d0 / d))
+                  / ((d2 / d) / (d0 / d))) end, 2) as n_peak
+    from c
+    """,
+)
+def q_usl_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import usl_fit
+
+    ev = _t(spark, sf_dir, "events")
+    n = (F.col("event_id") % 16 + 1).cast("double")
+    x = (
+        1000.0 * n
+        / (
+            1 + 0.05 * (F.col("event_id") % 16)
+            + 0.001 * (F.col("event_id") % 16 + 1)
+            * (F.col("event_id") % 16)
+        )
+        * (1 + (F.col("event_id") * 7 % 11 - 5).cast("double") / 1000)
+    )
+    meas = ev.select(n.alias("n"), x.alias("x"))
+    return usl_fit(meas, "n", "x")
+
+
+# ---------------------------------------------------------------------
+# 540. Brunner-Munzel test (user-parity split on value, bucket-grid
+#      midranks) — stochastic superiority without equal-variance
+#      assumptions; p_hat is the effect size.
+# ---------------------------------------------------------------------
+@register(
+    "brunner_munzel",
+    """
+    with d as (select floor(value) as v,
+        case when user_id % 2 = 1 then 1 else 0 end as g
+      from events where value is not null),
+    h as (select v, sum(1 - g) as c1, sum(g) as c2 from d group by 1),
+    r as (select v, c1, c2,
+        coalesce(sum(c1 + c2) over wb, 0) as cb,
+        coalesce(sum(c1) over wb, 0) as cb1,
+        coalesce(sum(c2) over wb, 0) as cb2
+      from h window wb as (order by v
+        rows between unbounded preceding and 1 preceding)),
+    mr as (select *, cb + (c1 + c2 + 1) / 2.0 as rm,
+        cb1 + (c1 + 1) / 2.0 as r1, cb2 + (c2 + 1) / 2.0 as r2
+      from r),
+    t as (select cast(sum(c1) as double) as n1,
+        cast(sum(c2) as double) as n2,
+        sum(c1 * rm) as sr1, sum(c2 * rm) as sr2 from mr),
+    a as (select t.n1, t.n2,
+        t.sr1 / t.n1 as rb1, t.sr2 / t.n2 as rb2,
+        sum(c1 * (rm - r1 - t.sr1 / t.n1 + (t.n1 + 1) / 2.0)
+              * (rm - r1 - t.sr1 / t.n1 + (t.n1 + 1) / 2.0))
+          / (t.n1 - 1) as s1,
+        sum(c2 * (rm - r2 - t.sr2 / t.n2 + (t.n2 + 1) / 2.0)
+              * (rm - r2 - t.sr2 / t.n2 + (t.n2 + 1) / 2.0))
+          / (t.n2 - 1) as s2
+      from mr cross join t group by t.n1, t.n2, t.sr1, t.sr2)
+    select cast(n1 as bigint) as n_a, cast(n2 as bigint) as n_b,
+      round((rb2 - (n2 + 1) / 2.0) / n1, 6) as p_hat,
+      round(n1 * n2 * (rb2 - rb1)
+            / ((n1 + n2) * sqrt(n1 * s1 + n2 * s2)), 6) as bm_stat,
+      abs(n1 * n2 * (rb2 - rb1)
+          / ((n1 + n2) * sqrt(n1 * s1 + n2 * s2)))
+        > 1.959963984540054 as significant
+    from a
+    """,
+)
+def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import brunner_munzel
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return brunner_munzel(
+        ev, (F.col("user_id") % 2) == 1, "value"
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

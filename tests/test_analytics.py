@@ -4040,3 +4040,65 @@ def test_snips_lower_variance_than_ips_shape(spark):
     assert out["logging_value"] < 0.5
     # ESS ~ n/3 (only matched events carry weight)
     assert 0.2 < out["ess"] / out["n_eval"] < 0.5
+
+
+def test_conformance_scores_clean_vs_deviant_journeys(spark):
+    from sparkcollector.operators.analytics import conformance_fitness
+
+    allowed = [("START", "a"), ("a", "b"), ("b", "c")]
+    rows = []
+    # 10 perfectly conformant journeys a->b->c
+    for u in range(10):
+        rows += [(u, 1, "a"), (u, 2, "b"), (u, 3, "c")]
+    # 5 journeys with one illegal move (c->a)
+    for u in range(10, 15):
+        rows += [(u, 1, "a"), (u, 2, "b"), (u, 3, "c"), (u, 4, "a")]
+    df = spark.createDataFrame(rows, "u int, o int, act string")
+    r = conformance_fitness(df, "u", ["o"], "act", allowed).collect()[0]
+    assert r["n_units"] == 15
+    assert abs(r["fully_conformant_rate"] - 10 / 15) < 1e-6
+    assert r["min_fitness"] == 0.75          # 3 of 4 moves legal
+    assert abs(r["mean_fitness"] - (10 * 1.0 + 5 * 0.75) / 15) < 1e-9
+
+
+def test_usl_recovers_planted_contention(spark):
+    from sparkcollector.operators.analytics import usl_fit
+
+    lam, sig, kap = 500.0, 0.08, 0.002
+    rows = []
+    for i in range(1600):
+        n = float(i % 32 + 1)
+        x = lam * n / (1 + sig * (n - 1) + kap * n * (n - 1))
+        rows.append((n, x))
+    df = spark.createDataFrame(rows, "n double, x double")
+    r = usl_fit(df, "n", "x").collect()[0]
+    assert abs(r["lambda_1"] - lam) < 1
+    assert abs(r["sigma"] - sig) < 0.002
+    assert abs(r["kappa"] - kap) < 0.0002
+    import math
+
+    assert abs(r["n_peak"] - math.sqrt((1 - sig) / kap)) < 0.5
+
+
+def test_brunner_munzel_p_hat_and_unequal_variance(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import brunner_munzel
+
+    # identical distributions -> p_hat ~ 0.5, not significant
+    same = spark.createDataFrame(
+        [((i // 100) % 2, float(i % 100)) for i in range(4000)],
+        "g int, v double",
+    )
+    r = brunner_munzel(same, F.col("g") == 1, "v").collect()[0]
+    assert abs(r["p_hat"] - 0.5) < 0.01 and not r["significant"]
+    # group b stochastically larger (shift +20) -> p_hat >> 0.5
+    shifted = spark.createDataFrame(
+        [((i // 100) % 2,
+          float(i % 100) + (20.0 if (i // 100) % 2 else 0.0))
+         for i in range(4000)],
+        "g int, v double",
+    )
+    r2 = brunner_munzel(shifted, F.col("g") == 1, "v").collect()[0]
+    assert r2["p_hat"] > 0.55 and r2["significant"]
+    assert r2["bm_stat"] > 3
