@@ -4058,7 +4058,7 @@ def test_conformance_scores_clean_vs_deviant_journeys(spark):
     assert r["n_units"] == 15
     assert abs(r["fully_conformant_rate"] - 10 / 15) < 1e-6
     assert r["min_fitness"] == 0.75          # 3 of 4 moves legal
-    assert abs(r["mean_fitness"] - (10 * 1.0 + 5 * 0.75) / 15) < 1e-9
+    assert abs(r["mean_fitness"] - (10 * 1.0 + 5 * 0.75) / 15) < 1e-5
 
 
 def test_usl_recovers_planted_contention(spark):
