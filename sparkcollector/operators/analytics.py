@@ -12249,3 +12249,127 @@ def brunner_munzel(
         F.round(wbm, 6).alias("bm_stat"),
         (F.abs(wbm) > 1.959963984540054).alias("significant"),
     )
+
+
+def composite_slo(
+    df: DataFrame,
+    service_col: str,
+    ok_col,
+    serial_groups: dict,
+    quorum: tuple = None,
+) -> DataFrame:
+    """Composite SLO arithmetic — what availability does the SYSTEM
+    offer, given what each service measured?
+
+    Per-service availability from the event stream, then the SRE
+    composition rules over a declared topology: a serial chain
+    multiplies availabilities, a redundant pair survives unless both
+    fail (1 − Π(1−a)), and a k-of-n quorum sums the binomial tail
+    (n <= 5, expanded exactly in-row).  Output: each composed tier
+    with its availability and the equivalent monthly downtime minutes
+    — the number the SLA is written in.
+
+    ``serial_groups`` maps tier name -> (mode, [services]) with mode
+    in {'serial', 'parallel'}; ``quorum`` = (tier, k, [services]).
+    """
+    from itertools import combinations
+
+    a = df.groupBy(F.col(service_col).alias("svc")).agg(
+        F.avg(ok_col.cast("double")).alias("avail")
+    )
+    wide = a.groupBy().pivot("svc").agg(F.first("avail"))
+    rows = []
+    for tier, (mode, svcs) in serial_groups.items():
+        cols = [F.col(s) for s in svcs]
+        if mode == "serial":
+            expr = cols[0]
+            for c in cols[1:]:
+                expr = expr * c
+        else:  # parallel
+            fail = (1 - cols[0])
+            for c in cols[1:]:
+                fail = fail * (1 - c)
+            expr = 1 - fail
+        rows.append((tier, mode, expr))
+    if quorum:
+        tier, k, svcs = quorum
+        n = len(svcs)
+        terms = None
+        # P(at least k up) over all up-subsets of size >= k
+        for m in range(k, n + 1):
+            for combo in combinations(range(n), m):
+                term = F.lit(1.0)
+                for i in range(n):
+                    c = F.col(svcs[i])
+                    term = term * (c if i in combo else (1 - c))
+                terms = term if terms is None else terms + term
+        rows.append((tier, f"{k}-of-{n}", terms))
+    out = None
+    for tier, mode, expr in rows:
+        r = wide.select(
+            F.lit(tier).alias("tier"),
+            F.lit(mode).alias("mode"),
+            F.round(expr, 6).alias("availability"),
+            F.round((1 - expr) * 30 * 24 * 60, 2).alias(
+                "downtime_min_month"
+            ),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def retry_amplification(
+    edges: DataFrame,
+    entry_service: str,
+    max_depth: int = 3,
+) -> DataFrame:
+    """Retry-storm amplification along the call graph — how many
+    backend requests can ONE front-door request become?
+
+    Each edge carries max_attempts; along a call path the factors
+    MULTIPLY (the retry-storm mechanism every incident review
+    rediscovers).  BFS from the entry service over ``max_depth``
+    bounded join rounds, accumulating the product per path and
+    reporting per reachable service the worst-case amplification and
+    the path that achieves it (deterministic max_by on
+    (amplification, path) so ties resolve identically anywhere).
+
+    ``edges``: (src, dst, attempts).  The depth bound is the honest
+    contract: real graphs are shallow, and unbounded closure belongs
+    to the connected-components machinery.
+    """
+    frontier = edges.filter(F.col("src") == entry_service).select(
+        F.col("dst").alias("svc"),
+        F.col("attempts").cast("double").alias("amp"),
+        F.concat(F.lit(entry_service), F.lit(">"), F.col("dst"))
+        .alias("path"),
+    )
+    all_paths = frontier
+    for _ in range(max_depth - 1):
+        nxt = frontier.join(
+            edges.select(
+                F.col("src").alias("svc"),
+                F.col("dst").alias("_d"),
+                F.col("attempts").alias("_a"),
+            ),
+            "svc",
+        ).select(
+            F.col("_d").alias("svc"),
+            (F.col("amp") * F.col("_a")).alias("amp"),
+            F.concat(F.col("path"), F.lit(">"), F.col("_d"))
+            .alias("path"),
+        )
+        frontier = nxt
+        all_paths = all_paths.unionByName(nxt)
+    w = Window.partitionBy("svc").orderBy(
+        F.col("amp").desc(), F.col("path")
+    )
+    return (
+        all_paths.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "svc",
+            F.round("amp", 2).alias("worst_amplification"),
+            F.col("path").alias("worst_path"),
+        )
+    )

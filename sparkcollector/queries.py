@@ -24152,6 +24152,108 @@ def q_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 541. Composite SLO arithmetic: per-service availability measured
+#      from the stream (ok = value <= 400), then serial / redundant /
+#      2-of-3 quorum composition with monthly downtime minutes.
+# ---------------------------------------------------------------------
+@register(
+    "composite_slo",
+    """
+    with a as (select event_type as svc,
+        avg(case when value <= 400 then 1.0 else 0.0 end) as av
+      from events where value is not null group by 1),
+    w as (select
+        max(case when svc = 'click' then av end) as click,
+        max(case when svc = 'view' then av end) as view,
+        max(case when svc = 'purchase' then av end) as purchase,
+        max(case when svc = 'signup' then av end) as signup,
+        max(case when svc = 'error' then av end) as error
+      from a)
+    select 'frontend_chain' as tier, 'serial' as mode,
+      round(click * view, 6) as availability,
+      round((1 - click * view) * 30 * 24 * 60, 2)
+        as downtime_min_month from w
+    union all
+    select 'backend_redundant', 'parallel',
+      round(1 - (1 - purchase) * (1 - signup), 6),
+      round((1 - (1 - (1 - purchase) * (1 - signup)))
+            * 30 * 24 * 60, 2) from w
+    union all
+    select 'storage_quorum', '2-of-3',
+      round(1.0 * click * view * (1 - error)
+            + 1.0 * click * (1 - view) * error
+            + 1.0 * (1 - click) * view * error
+            + 1.0 * click * view * error, 6),
+      round((1 - (1.0 * click * view * (1 - error)
+            + 1.0 * click * (1 - view) * error
+            + 1.0 * (1 - click) * view * error
+            + 1.0 * click * view * error)) * 30 * 24 * 60, 2) from w
+    """,
+)
+def q_composite_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import composite_slo
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return composite_slo(
+        ev, "event_type", F.col("value") <= 400,
+        {
+            "frontend_chain": ("serial", ["click", "view"]),
+            "backend_redundant": ("parallel", ["purchase", "signup"]),
+        },
+        quorum=("storage_quorum", 2, ["click", "view", "error"]),
+    )
+
+
+# ---------------------------------------------------------------------
+# 542. Retry amplification over the measured call graph (per-user
+#      transition edges, attempts = 1 + n%3): worst-case request
+#      multiplication per reachable service within depth 3 from
+#      'view', with the achieving path.
+# ---------------------------------------------------------------------
+@register(
+    "retry_amplification",
+    """
+    with s as (select user_id as u, event_type as t,
+        lag(event_type) over (partition by user_id
+          order by ts, event_id) as f
+      from events),
+    e as (select f as src, t as dst,
+        cast(1 + count(*) % 3 as double) as attempts
+      from s where f is not null and f <> t group by 1, 2),
+    d1 as (select dst as svc, attempts as amp,
+        'view' || '>' || dst as path from e where src = 'view'),
+    d2 as (select e.dst as svc, d1.amp * e.attempts as amp,
+        d1.path || '>' || e.dst as path
+      from d1 join e on e.src = d1.svc),
+    d3 as (select e.dst as svc, d2.amp * e.attempts as amp,
+        d2.path || '>' || e.dst as path
+      from d2 join e on e.src = d2.svc),
+    allp as (select * from d1 union all select * from d2
+      union all select * from d3)
+    select svc, round(amp, 2) as worst_amplification,
+      path as worst_path
+    from (select *, row_number() over (partition by svc
+        order by amp desc, path) as rn from allp) where rn = 1
+    """,
+)
+def q_retry_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import retry_amplification
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).filter(
+        F.col("src").isNotNull() & (F.col("src") != F.col("dst"))
+    )
+    edges = s.groupBy("src", "dst").agg(
+        (1 + F.count(F.lit(1)) % 3).cast("double").alias("attempts")
+    )
+    return retry_amplification(edges, "view", max_depth=3)
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -4102,3 +4102,51 @@ def test_brunner_munzel_p_hat_and_unequal_variance(spark):
     r2 = brunner_munzel(shifted, F.col("g") == 1, "v").collect()[0]
     assert r2["p_hat"] > 0.55 and r2["significant"]
     assert r2["bm_stat"] > 3
+
+
+def test_composite_slo_arithmetic(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import composite_slo
+
+    # exact availabilities: a=0.9, b=0.99, c=0.9
+    rows = []
+    for i in range(1000):
+        rows.append(("a", i % 10 != 0))
+        rows.append(("b", i % 100 != 0))
+        rows.append(("c", i % 10 != 0))
+    df = spark.createDataFrame(rows, "svc string, ok boolean")
+    out = {r["tier"]: r for r in composite_slo(
+        df, "svc", F.col("ok"),
+        {"chain": ("serial", ["a", "b"]),
+         "redundant": ("parallel", ["a", "c"])},
+        quorum=("q", 2, ["a", "b", "c"]),
+    ).collect()}
+    assert abs(out["chain"]["availability"] - 0.9 * 0.99) < 1e-9
+    assert abs(out["redundant"]["availability"]
+               - (1 - 0.1 * 0.1)) < 1e-9
+    # 2-of-3 with (0.9, 0.99, 0.9)
+    a, b, c = 0.9, 0.99, 0.9
+    q = (a * b * (1 - c) + a * (1 - b) * c + (1 - a) * b * c
+         + a * b * c)
+    assert abs(out["q"]["availability"] - q) < 1e-9
+    # downtime minutes consistent
+    assert abs(out["chain"]["downtime_min_month"]
+               - (1 - 0.9 * 0.99) * 43200) < 0.1
+
+
+def test_retry_amplification_multiplies_along_paths(spark):
+    from sparkcollector.operators.analytics import retry_amplification
+
+    edges = spark.createDataFrame(
+        [("fe", "api", 3.0), ("api", "db", 2.0), ("api", "cache", 1.0),
+         ("db", "disk", 2.0)],
+        "src string, dst string, attempts double",
+    )
+    out = {r["svc"]: r for r in retry_amplification(
+        edges, "fe", max_depth=3).collect()}
+    assert out["api"]["worst_amplification"] == 3.0
+    assert out["db"]["worst_amplification"] == 6.0
+    assert out["disk"]["worst_amplification"] == 12.0
+    assert out["disk"]["worst_path"] == "fe>api>db>disk"
+    assert out["cache"]["worst_amplification"] == 3.0
