@@ -4017,8 +4017,9 @@ def main() -> None:
          [("map-side estimator explode, bounded (j) exchange",
            lambda p: "Generate" in p and "Python" not in p)], ""),
         ("simpsons_paradox_detect",
-         [("one power-sum pass; pooled slope from summed group sums",
-           lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         [("one power-sum pass (per-group sums checkpointed; pooled "
+           "slope from summed group sums)",
+           lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1
            and "Python" not in p)], ""),
         ("mediation_analysis",
          [("single power-sum pass, 2x2 normal equations in-row",
@@ -4049,8 +4050,9 @@ def main() -> None:
            "candidates", lambda p: "Generate" in p
            and "Python" not in p)], ""),
         ("leave_one_out_influence",
-         [("single pass: every refit from power-sum subtraction",
-           lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+         [("single pass (checkpointed sums): every refit from "
+           "power-sum subtraction",
+           lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1
            and "Python" not in p)], ""),
         ("forecast_combo",
          [("one keyed lag-window pass + bounded weight join",

@@ -11303,6 +11303,9 @@ def simpsons_paradox_detect(
         F.sum(x).alias("sx"), F.sum(y).alias("sy"),
         F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx"),
     )
+    # the bounded per-group sums feed both branches — materialize so
+    # the fact table is scanned exactly once
+    per = per.localCheckpoint(eager=True)
     slope = (
         F.col("sxy") / F.col("n")
         - F.col("sx") / F.col("n") * F.col("sy") / F.col("n")
@@ -11774,6 +11777,9 @@ def leave_one_out_influence(
         F.sum(x).alias("sx"), F.sum(y).alias("sy"),
         F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx"),
     )
+    # bounded per-group sums feed every leave-one-out refit AND the
+    # grand total — materialize so the fact table is scanned once
+    per = per.localCheckpoint(eager=True)
     tot = per.agg(
         F.sum("n").alias("tn"), F.sum("sx").alias("tsx"),
         F.sum("sy").alias("tsy"), F.sum("sxy").alias("tsxy"),
