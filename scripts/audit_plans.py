@@ -4076,6 +4076,14 @@ def main() -> None:
         ("brunner_munzel",
          [("rank machinery on the bounded bucket grid only",
            lambda p: "Window" in p and "Python" not in p)], ""),
+        ("composite_slo",
+         [("one availability aggregate; composition in-row over the "
+           "pivoted bounded row", lambda p: "Python" not in p)], ""),
+        ("retry_amplification",
+         [("bounded-depth BFS joins over the edge dim; deterministic "
+           "per-service argmax window",
+           lambda p: "Join" in p and "Window" in p
+           and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),
