@@ -4084,6 +4084,14 @@ def main() -> None:
            "per-service argmax window",
            lambda p: "Join" in p and "Window" in p
            and "Python" not in p)], ""),
+        ("transfer_entropy",
+         [("8-cell grid windows after one lag pass; cells "
+           "checkpointed for both directions",
+           lambda p: "Scan ExistingRDD" in p and "Python" not in p)],
+         ""),
+        ("benford_second_digit",
+         [("integer-cents digit extraction, bounded digit grid",
+           lambda p: "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -12379,3 +12379,88 @@ def retry_amplification(
             F.col("path").alias("worst_path"),
         )
     )
+
+
+def transfer_entropy(
+    df: DataFrame,
+    bucket_col: str,
+    x_state,
+    y_state,
+    laplace: float = 0.5,
+) -> DataFrame:
+    """Lag-1 binary transfer entropy, both directions — DIRECTIONAL
+    coupling between two metric streams.
+
+    ``granger_causality`` asks the linear version; transfer entropy
+    asks it model-free: TE(X->Y) = sum p_w(d,dp,sp) ·
+    log2[ p(d|dp,sp) / p(d|dp) ] over binarized states — does X's
+    past reduce uncertainty about Y's next step beyond Y's own past?
+    With binary states the joint is EIGHT cells: one lag window over
+    the bucket series, one 8-cell count aggregate, and the entropy
+    sum over a literal grid with Laplace-smoothed, exactly-normalized
+    conditionals ((c3+la)/(c2+2la) against (c2m+2la)/(c1+4la), weight
+    (c3+la)/(n+8la)).  Both directions reported; the asymmetry is the
+    signal (storms propagate ingest -> index, not back).
+    """
+    w = Window.orderBy(bucket_col)
+    s = df.select(
+        F.col(bucket_col),
+        x_state.cast("int").alias("x"),
+        y_state.cast("int").alias("y"),
+    ).select(
+        "*",
+        F.lag("x").over(w).alias("xp"),
+        F.lag("y").over(w).alias("yp"),
+    ).filter(F.col("xp").isNotNull())
+    cells = s.groupBy("x", "y", "xp", "yp").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=True)
+    la = laplace
+    spark = df.sparkSession
+    grid = spark.range(8).select(
+        (F.col("id") % 2).cast("int").alias("d"),
+        ((F.col("id") / 2).cast("int") % 2).cast("int").alias("dp"),
+        ((F.col("id") / 4).cast("int") % 2).cast("int").alias("sp"),
+    )
+
+    def te(src_prev, dst, dst_prev):
+        c3 = cells.groupBy(
+            F.col(dst).alias("d"), F.col(dst_prev).alias("dp"),
+            F.col(src_prev).alias("sp"),
+        ).agg(F.sum("c").alias("c3"))
+        full = grid.join(c3, ["d", "dp", "sp"], "left").select(
+            "d", "dp", "sp",
+            F.coalesce("c3", F.lit(0)).cast("double").alias("c3"),
+        )
+        w2 = Window.partitionBy("dp", "sp")
+        w2m = Window.partitionBy("d", "dp")
+        w1 = Window.partitionBy("dp")
+        wn = Window.partitionBy()
+        g = full.select(
+            "*",
+            F.sum("c3").over(w2).alias("c2"),
+            F.sum("c3").over(w2m).alias("c2m"),
+            F.sum("c3").over(w1).alias("c1"),
+            F.sum("c3").over(wn).alias("n"),
+        )
+        term = (
+            (F.col("c3") + la) / (F.col("n") + 8 * la)
+            * F.log2(
+                ((F.col("c3") + la) / (F.col("c2") + 2 * la))
+                / ((F.col("c2m") + 2 * la) / (F.col("c1") + 4 * la))
+            )
+        )
+        return g.agg(
+            F.sum(term).alias("te"), F.max("n").alias("n")
+        )
+
+    xy = te("xp", "y", "yp").select(
+        F.col("te").alias("_te_xy"), F.col("n").alias("_n")
+    )
+    yx = te("yp", "x", "xp").select(F.col("te").alias("_te_yx"))
+    return xy.crossJoin(yx).select(
+        F.col("_n").cast("bigint").alias("n_steps"),
+        F.round("_te_xy", 6).alias("te_x_to_y"),
+        F.round("_te_yx", 6).alias("te_y_to_x"),
+        F.round(F.col("_te_xy") - F.col("_te_yx"), 6).alias("asymmetry"),
+    )

@@ -24254,6 +24254,150 @@ def q_retry_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# 543. Lag-1 binary transfer entropy between the error-rate and
+#      click-rate hourly states, both directions — model-free
+#      directional coupling beside the linear Granger test.
+# ---------------------------------------------------------------------
+@register(
+    "transfer_entropy",
+    """
+    with h as (select cast(floor(epoch(ts) / 3600) as bigint) as b,
+        cast(sum(case when event_type = 'error' then 1 else 0 end)
+          as double) as xe,
+        cast(sum(case when event_type = 'click' then 1 else 0 end)
+          as double) as yc
+      from events group by 1),
+    m as (select round(avg(xe), 9) as mx, round(avg(yc), 9) as my
+      from h),
+    st as (select b,
+        case when xe > m.mx then 1 else 0 end as x,
+        case when yc > m.my then 1 else 0 end as y
+      from h cross join m),
+    lg as (select x, y,
+        lag(x) over (order by b) as xp,
+        lag(y) over (order by b) as yp from st),
+    cells as (select x, y, xp, yp, count(*) as c from lg
+      where xp is not null group by 1, 2, 3, 4),
+    grid as (select cast(t.range % 2 as int) as d,
+        cast((t.range // 2) % 2 as int) as dp,
+        cast((t.range // 4) % 2 as int) as sp from range(0, 8) t),
+    c3xy as (select y as d, yp as dp, xp as sp,
+        cast(sum(c) as double) as c3 from cells group by 1, 2, 3),
+    fxy as (select g.d, g.dp, g.sp, coalesce(c.c3, 0.0) as c3
+      from grid g left join c3xy c using (d, dp, sp)),
+    gxy as (select *,
+        sum(c3) over (partition by dp, sp) as c2,
+        sum(c3) over (partition by d, dp) as c2m,
+        sum(c3) over (partition by dp) as c1,
+        sum(c3) over () as n from fxy),
+    texy as (select max(n) as n, sum((c3 + 0.5) / (n + 4.0)
+        * log2(((c3 + 0.5) / (c2 + 1.0))
+               / ((c2m + 1.0) / (c1 + 2.0)))) as te from gxy),
+    c3yx as (select x as d, xp as dp, yp as sp,
+        cast(sum(c) as double) as c3 from cells group by 1, 2, 3),
+    fyx as (select g.d, g.dp, g.sp, coalesce(c.c3, 0.0) as c3
+      from grid g left join c3yx c using (d, dp, sp)),
+    gyx as (select *,
+        sum(c3) over (partition by dp, sp) as c2,
+        sum(c3) over (partition by d, dp) as c2m,
+        sum(c3) over (partition by dp) as c1,
+        sum(c3) over () as n from fyx),
+    teyx as (select sum((c3 + 0.5) / (n + 4.0)
+        * log2(((c3 + 0.5) / (c2 + 1.0))
+               / ((c2m + 1.0) / (c1 + 2.0)))) as te from gyx)
+    select cast(texy.n as bigint) as n_steps,
+      round(texy.te, 6) as te_x_to_y,
+      round(teyx.te, 6) as te_y_to_x,
+      round(texy.te - teyx.te, 6) as asymmetry
+    from texy cross join teyx
+    """,
+)
+def q_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytics import transfer_entropy
+
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).alias("b")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("double").alias("xe"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double").alias("yc"),
+    )
+    w = Window.partitionBy()
+    st = h.select(
+        "b",
+        (F.col("xe") > F.round(F.avg("xe").over(w), 9)).alias("x"),
+        (F.col("yc") > F.round(F.avg("yc").over(w), 9)).alias("y"),
+    )
+    return transfer_entropy(st, "b", F.col("x"), F.col("y"), laplace=0.5)
+
+
+# ---------------------------------------------------------------------
+# 544. Benford SECOND-digit audit (the forensic follow-up when the
+#      first-digit test passes): cents-integer rendering so digit
+#      extraction never touches float formatting.
+# ---------------------------------------------------------------------
+@register(
+    "benford_second_digit",
+    """
+    with k as (select cast(round(value * 100) as bigint) as cents
+      from events where value is not null
+        and cast(round(value * 100) as bigint) >= 10),
+    d as (select cast(substr(cast(cents as varchar), 2, 1) as int)
+        as d2 from k),
+    o as (select d2, cast(count(*) as bigint) as n from d group by 1),
+    t as (select cast(sum(n) as double) as tot from o),
+    e as (select t.range as d2,
+        log10(1 + 1.0 / (10 * 1 + t.range))
+        + log10(1 + 1.0 / (10 * 2 + t.range))
+        + log10(1 + 1.0 / (10 * 3 + t.range))
+        + log10(1 + 1.0 / (10 * 4 + t.range))
+        + log10(1 + 1.0 / (10 * 5 + t.range))
+        + log10(1 + 1.0 / (10 * 6 + t.range))
+        + log10(1 + 1.0 / (10 * 7 + t.range))
+        + log10(1 + 1.0 / (10 * 8 + t.range))
+        + log10(1 + 1.0 / (10 * 9 + t.range)) as expected
+      from range(0, 10) t)
+    select e.d2, coalesce(o.n, 0) as n,
+      round(coalesce(o.n, 0) / t.tot, 6) as observed,
+      round(e.expected, 6) as expected,
+      round(coalesce(o.n, 0) / t.tot - e.expected, 6) as diff
+    from e left join o on o.d2 = e.d2 cross join t
+    """,
+)
+def q_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    k = ev.select(cents.alias("cents")).filter(F.col("cents") >= 10)
+    d = k.select(
+        F.substring(F.col("cents").cast("string"), 2, 1)
+        .cast("int").alias("d2")
+    )
+    o = d.groupBy("d2").agg(F.count(F.lit(1)).alias("n"))
+    tot = o.agg(F.sum("n").cast("double").alias("tot"))
+    spark_grid = o.sparkSession.range(10).select(
+        F.col("id").cast("long").alias("gd2")
+    )
+    expected = sum(
+        F.log10(1 + 1.0 / (10 * kk + F.col("gd2"))) for kk in range(1, 10)
+    )
+    e = spark_grid.select("gd2", expected.alias("expected"))
+    j = e.join(o, e.gd2 == o.d2, "left").crossJoin(tot)
+    return j.select(
+        F.col("gd2").alias("d2"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.round(F.coalesce("n", F.lit(0)) / F.col("tot"), 6)
+        .alias("observed"),
+        F.round("expected", 6).alias("expected"),
+        F.round(
+            F.coalesce("n", F.lit(0)) / F.col("tot") - F.col("expected"),
+            6,
+        ).alias("diff"),
+    )
+
+
+# ---------------------------------------------------------------------
 # Gate window: the driver's correctness gate samples the FIRST 50
 # registry entries only.  Round 2's gate covered entries 1-50
 # (registration order); this curated window rotates in a representative

@@ -4150,3 +4150,31 @@ def test_retry_amplification_multiplies_along_paths(spark):
     assert out["disk"]["worst_amplification"] == 12.0
     assert out["disk"]["worst_path"] == "fe>api>db>disk"
     assert out["cache"]["worst_amplification"] == 3.0
+
+
+def test_transfer_entropy_directionality(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import transfer_entropy
+
+    # y follows x with lag 1 (y_t = x_{t-1}); x is an exogenous
+    # pseudo-random bit -> TE(x->y) >> TE(y->x)
+    xs, rows = [], []
+    v = 1
+    for t in range(600):
+        v = (v * 1103515245 + 12345) % 2147483648
+        x = (v >> 16) & 1
+        y = xs[-1] if xs else 0
+        xs.append(x)
+        rows.append((t, x == 1, y == 1))
+    df = spark.createDataFrame(rows, "b long, x boolean, y boolean")
+    r = transfer_entropy(df, "b", F.col("x"), F.col("y")).collect()[0]
+    assert r["te_x_to_y"] > 0.5          # y is a copy of x's past
+    assert r["te_y_to_x"] < 0.05         # nothing flows back
+    assert r["asymmetry"] > 0.45
+    # independent streams: both directions ~ 0
+    rows2 = [(t, (t // 3) % 2 == 0, (t // 5) % 2 == 0)
+             for t in range(600)]
+    df2 = spark.createDataFrame(rows2, "b long, x boolean, y boolean")
+    r2 = transfer_entropy(df2, "b", F.col("x"), F.col("y")).collect()[0]
+    assert abs(r2["te_x_to_y"]) < 0.1 and abs(r2["te_y_to_x"]) < 0.1
