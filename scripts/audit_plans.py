@@ -4092,6 +4092,81 @@ def main() -> None:
         ("benford_second_digit",
          [("integer-cents digit extraction, bounded digit grid",
            lambda p: "Python" not in p)], ""),
+        ("littles_law_audit",
+         [("bounded hour-explode (Generate) + two keyed aggregates, "
+           "one keyed join, no windows",
+           lambda p: "Generate" in p and "Python" not in p)], ""),
+        ("cochran_armitage_trend",
+         [("keyed group aggregate then single-row reduction, "
+           "map-side partial throughout",
+           lambda p: "Python" not in p and "Window" not in p
+           and "Join" not in p)], ""),
+        ("adamic_adar_linkpred",
+         [("df-banded posting self-join (no unbanded cross product); "
+           "TakeOrdered-style top-k, no Python",
+           lambda p: "Join" in p and "Python" not in p)], ""),
+        ("elb_log_parse",
+         [("single anchored regex, map-only: no exchange/join/window",
+           lambda p: "Join" not in p and "Window" not in p
+           and "Python" not in p)], ""),
+        ("sshd_auth_parse",
+         [("single anchored regex, map-only: no exchange/join/window",
+           lambda p: "Join" not in p and "Window" not in p
+           and "Python" not in p)], ""),
+        ("envoy_access_parse",
+         [("single anchored regex, map-only: no exchange/join/window",
+           lambda p: "Join" not in p and "Window" not in p
+           and "Python" not in p)], ""),
+        ("jonckheere_terpstra",
+         [("bounded cents-grid rank machinery (value-keyed join, "
+           "no O(n^2) pair scan)",
+           lambda p: "Join" in p and "Window" in p
+           and "Python" not in p)], ""),
+        ("kendalls_w",
+         [("midrank windows over the bounded judgexobject grid only",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("cronbach_alpha",
+         [("zero-filled unit x item matrix; variances via sum/sumsq "
+           "keyed aggregates",
+           lambda p: "Python" not in p)], ""),
+        ("theta_forecast",
+         [("closed-form OLS + explicit-weight SES: keyed aggregates, "
+           "bounded horizon explode, no sequential fold",
+           lambda p: "Python" not in p)], ""),
+        ("croston_intermittent",
+         [("per-series in-row fold over bounded dense grid (no "
+           "per-row Python, no iterative driver loop)",
+           lambda p: "Python" not in p)], ""),
+        ("variance_ratio_test",
+         [("two lag windows + single-row reduction",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("rendezvous_routing",
+         [("in-row literal-array argmax, one distinct + one bounded "
+           "group-by, no joins",
+           lambda p: "Join" not in p and "Python" not in p)], ""),
+        ("consistent_hash_ring",
+         [("broadcast range join against the bounded vnode ring",
+           lambda p: "BroadcastNestedLoopJoin" in p
+           and "Python" not in p)], ""),
+        ("ivm_delta_apply",
+         [("two keyed aggregates + one full-outer key-equi merge; "
+           "no base rescan",
+           lambda p: "Join" in p and "Python" not in p)], ""),
+        ("beaconing_detect",
+         [("channel-keyed lag + mean windows, one keyed aggregate, "
+           "no joins",
+           lambda p: "Window" in p and "Join" not in p
+           and "Python" not in p)], ""),
+        ("password_spray_detect",
+         [("single keyed aggregate (count + distinct), no "
+           "windows/joins",
+           lambda p: "Window" not in p and "Join" not in p
+           and "Python" not in p)], ""),
+        ("impossible_travel",
+         [("one per-user lag window; in-row literal-array haversine, "
+           "no geo join",
+           lambda p: "Window" in p and "Join" not in p
+           and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -12464,3 +12464,764 @@ def transfer_entropy(
         F.round("_te_yx", 6).alias("te_y_to_x"),
         F.round(F.col("_te_xy") - F.col("_te_yx"), 6).alias("asymmetry"),
     )
+
+
+def littles_law_audit(
+    df: DataFrame,
+    ts_col: str = "ts",
+    dur_col: str = "value",
+    max_dur_s: float = 21600.0,
+) -> DataFrame:
+    """Little's law audit per hour: does measured time-average
+    concurrency L match arrival-rate times residence time (lambda*W)?
+
+    The collector's own health dashboards assert exactly this identity
+    between queue depth, ingest rate, and processing latency
+    (signalfx-agent's internal metrics expose all three).  Per hour:
+    lambda = arrivals/3600, W = mean duration of arrivals; measured L
+    integrates per-request residence over the hour by exploding each
+    request onto the (bounded, <= max_dur_s/3600 + 1) hours it
+    overlaps and summing clipped overlap seconds.  The explode factor
+    is capped by ``max_dur_s`` so the plan stays linear at 10^12 rows;
+    everything else is two keyed aggregates + one keyed join.
+    """
+    start = F.unix_timestamp(F.col(ts_col)).cast("double")
+    dur = F.least(F.col(dur_col).cast("double"), F.lit(max_dur_s))
+    e = df.filter(F.col(dur_col).isNotNull()).select(
+        start.alias("s"),
+        (start + dur).alias("e"),
+        dur.alias("d"),
+        F.floor(start / 3600).cast("long").alias("h0"),
+    )
+    arr = e.groupBy("h0").agg(
+        F.count(F.lit(1)).alias("n_arrivals"),
+        F.avg("d").alias("w_s"),
+    )
+    spans = e.select(
+        "s", "e",
+        F.explode(
+            F.sequence(F.col("h0"), F.floor(F.col("e") / 3600).cast("long"))
+        ).alias("h"),
+    ).select(
+        "h",
+        (
+            F.least(F.col("e"), (F.col("h") + 1) * 3600.0)
+            - F.greatest(F.col("s"), F.col("h") * 3600.0)
+        ).alias("ov"),
+    )
+    meas = spans.groupBy("h").agg(F.sum("ov").alias("busy_s"))
+    j = arr.join(meas, arr.h0 == meas.h, "left")
+    lam = F.col("n_arrivals") / 3600.0
+    l_pred = lam * F.col("w_s")
+    l_meas = F.coalesce(F.col("busy_s"), F.lit(0.0)) / 3600.0
+    return j.select(
+        F.col("h0").alias("hour_bucket"),
+        F.col("n_arrivals").cast("bigint").alias("n_arrivals"),
+        F.round(lam, 6).alias("lambda_per_s"),
+        F.round("w_s", 6).alias("w_mean_s"),
+        F.round(l_pred, 6).alias("l_predicted"),
+        F.round(l_meas, 6).alias("l_measured"),
+        F.round((l_meas - l_pred) / l_pred, 6).alias("rel_err"),
+    ).orderBy("hour_bucket")
+
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    score_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Cochran-Armitage test for a LINEAR TREND in proportions across
+    ordered groups (dose-response) — the right test when 'is the error
+    rate rising with hour-of-day bucket' matters, where a plain
+    chi-square ignores the ordering.
+
+    T = sum_i w_i (a_i - n_i*A/N); Var = p(1-p)[sum w_i^2 n_i -
+    (sum w_i n_i)^2/N]; Z = T/sqrt(Var).  One keyed aggregate to the
+    bounded group table, then a single-row reduction — map-side
+    partial all the way, nothing driver-side.  Emits Z and the 95%
+    verdict (|Z| > 1.96), not a p-value, matching the repo's other
+    closed-form tests (no erf built-in on either engine).
+    """
+    g = df.select(
+        F.col(score_col).cast("double").alias("w"),
+        F.col(success_col).cast("double").alias("y"),
+    ).groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("n_i"),
+        F.sum("y").alias("a_i"),
+    )
+    tot = g.agg(
+        F.sum("n_i").alias("n"),
+        F.sum("a_i").alias("a"),
+        F.sum(F.col("w") * F.col("a_i")).alias("wa"),
+        F.sum(F.col("w") * F.col("n_i")).alias("wn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n_i")).alias("wwn"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    )
+    p = F.col("a") / F.col("n")
+    t_stat = F.col("wa") - F.col("wn") * p
+    var = p * (1 - p) * (F.col("wwn") - F.col("wn") * F.col("wn") / F.col("n"))
+    z = t_stat / F.sqrt(var)
+    return tot.select(
+        F.col("n_groups"),
+        F.col("n").cast("bigint").alias("n_total"),
+        F.col("a").cast("bigint").alias("n_success"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+def adamic_adar_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    min_df: int = 2,
+    max_df: int = 10,
+    top_k: int = 25,
+) -> DataFrame:
+    """Adamic-Adar link prediction over the doc-shingle bipartite
+    graph: score(d1,d2) = sum over shared n-gram shingles of 1/ln(df)
+    — common-neighbor similarity that discounts promiscuous neighbors.
+
+    The scale trap is the posting-list self-join on hot terms; the
+    standard fix (same as the repo's n-gram Jaccard) is a df-band:
+    only shingles with min_df <= df <= max_df join, so each term
+    contributes <= max_df^2 pairs and the join is linear in postings.
+    Rare-term bands are also where Adamic-Adar's 1/ln(df) weight
+    carries all the signal, so the cap is semantic, not just a guard.
+    """
+    from .dedup import shingles
+
+    words = shingles(df, n=ngram, text_col=text_col, id_col=id_col).select(
+        F.col(id_col).alias("d"), F.explode("sh").alias("word")
+    )
+    dfreq = words.groupBy("word").agg(F.count(F.lit(1)).alias("df_w"))
+    band = dfreq.filter(
+        (F.col("df_w") >= min_df) & (F.col("df_w") <= max_df)
+    )
+    post = words.join(band, "word")
+    a = post.select("word", F.col("d").alias("d1"), "df_w")
+    b = post.select("word", F.col("d").alias("d2"))
+    pairs = a.join(b, "word").filter(F.col("d1") < F.col("d2"))
+    scored = pairs.groupBy("d1", "d2").agg(
+        F.round(F.sum(1.0 / F.log("df_w")), 6).alias("aa_score"),
+        F.count(F.lit(1)).cast("bigint").alias("shared_terms"),
+    )
+    w = Window.orderBy(
+        F.desc("aa_score"), F.asc("d1"), F.asc("d2")
+    )
+    return scored.select(
+        "*", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= top_k).drop("rk")
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED alternative across
+    groups (medians rising with the group index) — sharper than
+    Kruskal-Wallis when the hypothesis is monotone, e.g. 'latency
+    climbs through the day's load bands'.
+
+    U = sum over group pairs i<j of #{x_i < y_j} + 0.5*ties.  The
+    naive pairwise scan is O(n^2); here counts collapse onto the
+    bounded (group x distinct-cents-value) grid first, a per-group
+    strictly-below cumulative window runs over the grid, and the
+    pair sum is a value-keyed grid join with bounded group fanout —
+    the same bounded-grid rank machinery as the repo's
+    Brunner-Munzel.  Normal approximation (no-tie variance, the
+    classical form) -> z; emits U, E[U], z, verdict.
+    """
+    r = df.select(
+        F.col(group_col).cast("long").alias("g"),
+        F.round(F.col(value_col).cast("double") * 100).cast("long")
+        .alias("v"),
+    ).filter(F.col("v").isNotNull())
+    counts = r.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    vals = counts.select("v").distinct()
+    groups = counts.select("g").distinct()
+    grid = vals.crossJoin(groups).join(counts, ["g", "v"], "left").select(
+        "g", "v", F.coalesce("c", F.lit(0.0)).alias("c")
+    )
+    wlt = (
+        Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grid.select(
+        "g", "v", "c",
+        F.coalesce(F.sum("c").over(wlt), F.lit(0.0)).alias("lt"),
+    )
+    a = cum.select(
+        F.col("g").alias("gi"), "v", "lt", F.col("c").alias("ci")
+    )
+    b = counts.select(F.col("g").alias("gj"), "v", F.col("c").alias("cj"))
+    u = a.join(b, "v").filter(F.col("gi") < F.col("gj")).agg(
+        F.sum(
+            F.col("cj") * F.col("lt") + 0.5 * F.col("cj") * F.col("ci")
+        ).alias("u")
+    )
+    sizes = r.groupBy("g").agg(F.count(F.lit(1)).cast("double").alias("n_i"))
+    m = sizes.agg(
+        F.sum("n_i").alias("n"),
+        F.sum(F.col("n_i") * F.col("n_i")).alias("sn2"),
+        F.sum(
+            F.col("n_i") * F.col("n_i") * (2 * F.col("n_i") + 3)
+        ).alias("sn23"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    )
+    j = u.crossJoin(m)
+    mean = (F.col("n") * F.col("n") - F.col("sn2")) / 4
+    var = (
+        F.col("n") * F.col("n") * (2 * F.col("n") + 3) - F.col("sn23")
+    ) / 72
+    z = (F.col("u") - mean) / F.sqrt(var)
+    return j.select(
+        F.col("n_groups"),
+        F.col("n").cast("bigint").alias("n_total"),
+        F.round("u", 2).alias("jt_u"),
+        F.round(mean, 2).alias("expected_u"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+def kendalls_w(
+    df: DataFrame,
+    judge_col: str,
+    object_col: str,
+    score_col,
+) -> DataFrame:
+    """Kendall's W coefficient of concordance: do m judges agree on
+    the ranking of k objects?  (Here: do the ingest sources agree on
+    which languages/tools dominate?)  W = 12*S / (m^2(k^3-k) - m*T)
+    with the standard tie correction T = sum(t^3 - t) over tied
+    groups within each judge.
+
+    One aggregate to the (judge x object) score table — bounded by
+    construction — then in-grid rank windows and two single-row
+    reductions.  W in [0,1]; chi-square statistic m(k-1)W emitted
+    beside it (df = k-1).
+    """
+    cells = df.groupBy(
+        F.col(judge_col).alias("judge"), F.col(object_col).alias("obj")
+    ).agg(F.sum(score_col.cast("double")).alias("score"))
+    # complete-block requirement: zero-fill absent (judge, object)
+    # cells so every judge ranks the same k objects
+    s = (
+        cells.select("judge").distinct()
+        .crossJoin(cells.select("obj").distinct())
+        .join(cells, ["judge", "obj"], "left")
+        .select(
+            "judge", "obj", F.coalesce("score", F.lit(0.0)).alias("score")
+        )
+    )
+    wr = Window.partitionBy("judge").orderBy("score", "obj")
+    ranked = s.select(
+        "judge", "obj",
+        F.avg(F.row_number().over(wr)).over(
+            Window.partitionBy("judge", "score")
+        ).alias("rk"),
+    )
+    ties = (
+        ranked.groupBy("judge", "rk")
+        .agg(F.count(F.lit(1)).cast("double").alias("t"))
+        .agg(F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("t_corr"))
+    )
+    rsum = ranked.groupBy("obj").agg(F.sum("rk").alias("r_i"))
+    mk = s.agg(
+        F.countDistinct("judge").cast("double").alias("m"),
+        F.countDistinct("obj").cast("double").alias("k"),
+    )
+    ss = rsum.crossJoin(mk).agg(
+        F.sum(
+            (F.col("r_i") - F.col("m") * (F.col("k") + 1) / 2)
+            * (F.col("r_i") - F.col("m") * (F.col("k") + 1) / 2)
+        ).alias("s"),
+        F.max("m").alias("m"),
+        F.max("k").alias("k"),
+    )
+    j = ss.crossJoin(ties)
+    w = (12 * F.col("s")) / (
+        F.col("m") * F.col("m")
+        * (F.col("k") * F.col("k") * F.col("k") - F.col("k"))
+        - F.col("m") * F.col("t_corr")
+    )
+    return j.select(
+        F.col("m").cast("bigint").alias("n_judges"),
+        F.col("k").cast("bigint").alias("n_objects"),
+        F.round("s", 4).alias("s_rank_dev"),
+        F.round(w, 6).alias("kendalls_w"),
+        F.round(F.col("m") * (F.col("k") - 1) * w, 6).alias("chi2_stat"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    unit_col: str,
+    item_col: str,
+    value_col,
+    items: list[str],
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient over a
+    bounded item set: alpha = k/(k-1) * (1 - sum(var_i)/var_total).
+    (Here: do a user's per-event-type activity levels move together —
+    is 'activity' one latent scale?)
+
+    Missing (unit,item) cells are zero-filled via a literal item grid
+    so every unit contributes a full row vector.  One keyed aggregate
+    to (unit x item), one pivot-free zero-fill join, population
+    variances via sum/sumsq — every stage map-side partial.
+    """
+    spark = df.sparkSession
+    k = len(items)
+    cells = df.groupBy(
+        F.col(unit_col).alias("unit"), F.col(item_col).alias("item")
+    ).agg(F.sum(value_col.cast("double")).alias("x"))
+    grid = (
+        cells.select("unit").distinct()
+        .crossJoin(spark.createDataFrame(
+            [(i,) for i in items], "item string"
+        ))
+    )
+    full = grid.join(cells, ["unit", "item"], "left").select(
+        "unit", "item", F.coalesce("x", F.lit(0.0)).alias("x")
+    )
+    item_var = full.groupBy("item").agg(
+        (
+            F.sum(F.col("x") * F.col("x")) / F.count(F.lit(1))
+            - F.avg("x") * F.avg("x")
+        ).alias("v_i")
+    ).agg(F.sum("v_i").alias("sum_item_var"))
+    totals = full.groupBy("unit").agg(F.sum("x").alias("tot"))
+    tot_var = totals.agg(
+        (
+            F.sum(F.col("tot") * F.col("tot")) / F.count(F.lit(1))
+            - F.avg("tot") * F.avg("tot")
+        ).alias("v_t"),
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+    )
+    j = item_var.crossJoin(tot_var)
+    alpha = (
+        F.lit(k) / F.lit(k - 1)
+        * (1 - F.col("sum_item_var") / F.col("v_t"))
+    )
+    return j.select(
+        F.lit(k).cast("bigint").alias("n_items"),
+        F.col("n_units"),
+        F.round("sum_item_var", 6).alias("sum_item_var"),
+        F.round("v_t", 6).alias("total_var"),
+        F.round(alpha, 6).alias("alpha"),
+    )
+
+
+def theta_forecast(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    horizon: int = 6,
+) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos, the M3
+    benchmark winner) per series: average of the linear-trend line
+    extrapolation (theta=0) and an SES over the curvature-doubled
+    theta=2 line y_t = 2x_t - trend_t.
+
+    Everything is closed-form: the trend by least squares over the
+    series index (one keyed aggregate of power sums) and the SES
+    level by its explicit weighted form l_T = (1-a)^(T-1) y_1 +
+    a * sum (1-a)^(T-t) y_t — no sequential fold needed, so the plan
+    is two keyed aggregates and a bounded horizon explode.  Forecast
+    rows: (group, h, forecast) for h = 1..horizon.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    base = df.select(
+        *group_cols,
+        F.col(value_col).cast("double").alias("x"),
+        F.row_number().over(w).cast("double").alias("t"),
+    )
+    ols = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("x")).alias("stx"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    ).select(
+        *group_cols, "n",
+        (
+            (F.col("n") * F.col("stx") - F.col("st") * F.col("sx"))
+            / (F.col("n") * F.col("stt") - F.col("st") * F.col("st"))
+        ).alias("b"),
+    ).select(
+        *group_cols, "n", "b",
+    )
+    ols = ols.join(
+        base.groupBy(*group_cols).agg(
+            F.avg("x").alias("xbar"), F.avg("t").alias("tbar")
+        ),
+        group_cols,
+    ).select(
+        *group_cols, "n", "b",
+        (F.col("xbar") - F.col("b") * F.col("tbar")).alias("a"),
+    )
+    y = base.join(ols, group_cols).select(
+        *group_cols, "t", "n", "a", "b",
+        (2 * F.col("x") - (F.col("a") + F.col("b") * F.col("t")))
+        .alias("y"),
+    )
+    a_ = alpha
+    ses = y.groupBy(*group_cols).agg(
+        F.sum(
+            F.when(
+                F.col("t") == 1,
+                F.pow(F.lit(1 - a_), F.col("n") - 1) * F.col("y"),
+            ).otherwise(
+                a_ * F.pow(F.lit(1 - a_), F.col("n") - F.col("t"))
+                * F.col("y")
+            )
+        ).alias("l"),
+        F.max("n").alias("n"),
+        F.max("a").alias("a"),
+        F.max("b").alias("b"),
+    )
+    spark = df.sparkSession
+    hs = spark.range(1, horizon + 1).select(
+        F.col("id").cast("double").alias("h")
+    )
+    return ses.crossJoin(hs).select(
+        *group_cols,
+        F.col("h").cast("bigint").alias("h"),
+        F.round(
+            0.5 * (F.col("a") + F.col("b") * (F.col("n") + F.col("h")))
+            + 0.5 * F.col("l"),
+            6,
+        ).alias("forecast"),
+    )
+
+
+def croston_intermittent(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    demand_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (sparse counters with
+    many zero periods — exactly telemetry error bursts or rare
+    purchase events): separate SES trackers for nonzero demand size z
+    and inter-demand interval p, updated only at demand points;
+    forecast rate = z/p, plus the Syntetos-Boylan (1-alpha/2)
+    bias-corrected variant.
+
+    A genuinely sequential recurrence (state depends on the zero-run
+    structure), so per series it is a fold with the ``aggregate`` HOF
+    over the collected DENSE series — same bounded-series contract as
+    the repo's Kalman filter (rollup series, not raw events).
+    """
+    base = df.select(
+        *group_cols,
+        F.col(order_col).cast("long").alias("_o"),
+        F.col(demand_col).cast("double").alias("_d"),
+    )
+    ser = base.groupBy(*group_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_o", "_d"))),
+            lambda e: e["_d"],
+        ).alias("_ds"),
+    )
+    a_ = alpha
+    fold = (
+        "aggregate(_ds,"
+        " named_struct('z', cast(0.0 as double), 'p',"
+        " cast(0.0 as double), 'q', cast(1.0 as double),"
+        " 'init', false, 'nd', cast(0 as bigint)),"
+        " (acc, d) -> case"
+        " when d > 0 and not acc.init then named_struct("
+        " 'z', d, 'p', acc.q, 'q', cast(1.0 as double),"
+        " 'init', true, 'nd', acc.nd + 1)"
+        " when d > 0 then named_struct("
+        f" 'z', acc.z + {a_} * (d - acc.z),"
+        f" 'p', acc.p + {a_} * (acc.q - acc.p),"
+        " 'q', cast(1.0 as double), 'init', true, 'nd', acc.nd + 1)"
+        " else named_struct('z', acc.z, 'p', acc.p,"
+        " 'q', acc.q + 1.0, 'init', acc.init, 'nd', acc.nd) end)"
+    )
+    folded = ser.withColumn("_st", F.expr(fold))
+    st = F.col("_st")
+    rate = st.getField("z") / st.getField("p")
+    return folded.select(
+        *group_cols,
+        F.size("_ds").cast("bigint").alias("n_periods"),
+        st.getField("nd").alias("demand_periods"),
+        F.when(st.getField("init"), F.round(st.getField("z"), 6))
+        .alias("z_hat"),
+        F.when(st.getField("init"), F.round(st.getField("p"), 6))
+        .alias("p_hat"),
+        F.when(st.getField("init"), F.round(rate, 6))
+        .alias("croston_rate"),
+        F.when(st.getField("init"), F.round((1 - a_ / 2) * rate, 6))
+        .alias("sba_rate"),
+    )
+
+
+def variance_ratio_test(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    q: int = 4,
+) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test on a cumulative series: is the
+    q-period return variance q times the 1-period variance (random
+    walk), or less (mean reversion) / more (trending)?  Applied to
+    log event-rate series it asks whether load drifts or oscillates.
+
+    VR(q) = Var(x_t - x_{t-q}) / (q * Var(x_t - x_{t-1})) with the
+    drift-adjusted population variances; z = sqrt(T) (VR - 1) /
+    sqrt(2(2q-1)(q-1)/(3q)) under homoskedasticity.  Two lag windows
+    over the ordered series + one single-row reduction.
+    """
+    w = Window.orderBy(order_col)
+    s = df.select(
+        F.col(order_col).alias("o"),
+        F.col(value_col).cast("double").alias("x"),
+    ).select(
+        "o", "x",
+        (F.col("x") - F.lag("x", 1).over(w)).alias("r1"),
+        (F.col("x") - F.lag("x", q).over(w)).alias("rq"),
+    )
+    agg = s.agg(
+        F.count("r1").cast("double").alias("t"),
+        F.avg("r1").alias("mu"),
+        F.sum(F.col("r1") * F.col("r1")).alias("s1"),
+        F.sum("r1").alias("sr1"),
+        F.count("rq").cast("double").alias("tq"),
+        F.sum(F.col("rq") * F.col("rq")).alias("sq"),
+        F.sum("rq").alias("srq"),
+    )
+    var1 = (
+        F.col("s1") / F.col("t")
+        - (F.col("sr1") / F.col("t")) * (F.col("sr1") / F.col("t"))
+    )
+    varq = (
+        F.col("sq") / F.col("tq")
+        - (F.col("srq") / F.col("tq")) * (F.col("srq") / F.col("tq"))
+    )
+    vr = varq / (q * var1)
+    z = (
+        F.sqrt(F.col("t")) * (vr - 1)
+        / F.sqrt(F.lit(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q)))
+    )
+    return agg.select(
+        F.col("t").cast("bigint").alias("n_returns"),
+        F.lit(q).cast("bigint").alias("q"),
+        F.round(var1, 6).alias("var_1"),
+        F.round(varq / q, 6).alias("var_q_scaled"),
+        F.round(vr, 6).alias("variance_ratio"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+def ivm_delta_apply(
+    base: DataFrame,
+    delta: DataFrame,
+    group_cols: list[str],
+    n_col: str = "n",
+    sum_col: str | None = None,
+    sign_col: str = "sign",
+) -> DataFrame:
+    """Incremental view maintenance for a grouped count/sum view:
+    apply a signed CDC delta batch (+1 insert / -1 delete rows) to a
+    materialized aggregate WITHOUT rescanning the base fact table —
+    the streaming-aggregation contract behind every rollup sink in
+    this repo, here as an explicit audit operator.
+
+    maintained = base_agg FULL OUTER JOIN delta_agg on the group key,
+    counts added, empty groups (count falls to 0) dropped — the
+    standard bag-semantics IVM rule for distributive aggregates.
+    Both sides are keyed aggregates; the merge is a key-equi join.
+    """
+    b = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("_bn"),
+        *(
+            [F.sum(sum_col).alias("_bs")] if sum_col else []
+        ),
+    )
+    d = delta.groupBy(*group_cols).agg(
+        F.sum(F.col(sign_col).cast("long")).alias("_dn"),
+        *(
+            [F.sum(F.col(sum_col) * F.col(sign_col)).alias("_ds")]
+            if sum_col else []
+        ),
+    )
+    m = b.join(d, group_cols, "full_outer").select(
+        *group_cols,
+        F.coalesce("_bn", F.lit(0)).alias("base_n"),
+        F.coalesce("_dn", F.lit(0)).alias("delta_n"),
+        (
+            F.coalesce("_bn", F.lit(0)) + F.coalesce("_dn", F.lit(0))
+        ).alias("maintained_n"),
+        *(
+            [
+                F.round(F.coalesce("_bs", F.lit(0.0)), 6).alias("base_sum"),
+                F.round(
+                    F.coalesce("_bs", F.lit(0.0))
+                    + F.coalesce("_ds", F.lit(0.0)),
+                    6,
+                ).alias("maintained_sum"),
+            ]
+            if sum_col else []
+        ),
+    )
+    return m.filter(F.col("maintained_n") > 0).orderBy(*group_cols)
+
+
+def beaconing_detect(
+    df: DataFrame,
+    src_col: str,
+    dst_col: str,
+    ts_col: str,
+    min_gaps: int = 20,
+    cv_threshold: float = 0.3,
+) -> DataFrame:
+    """C2-beaconing detector: per (src, dst) channel, how METRONOMIC
+    are the inter-arrival gaps?  Malware check-ins fire on a timer
+    (coefficient of variation near 0, most gaps within 10% of the
+    mean); human/bursty traffic has CV near or above 1.
+
+    One lag window keyed by channel, one channel mean window, one
+    keyed aggregate with explicit sum/sumsq population variance (so
+    the float path is engine-portable).  Emits channels with at least
+    ``min_gaps`` gaps, flagging cv < ``cv_threshold``.
+    """
+    wc = Window.partitionBy(src_col, dst_col).orderBy(ts_col)
+    wp = Window.partitionBy(src_col, dst_col)
+    gaps = df.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        (
+            F.unix_timestamp(ts_col)
+            - F.unix_timestamp(F.lag(ts_col).over(wc))
+        ).cast("double").alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    withmean = gaps.select(
+        "src", "dst", "gap",
+        F.avg("gap").over(
+            Window.partitionBy("src", "dst")
+        ).alias("mean_gap"),
+    )
+    agg = withmean.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.max("mean_gap").alias("mean_gap"),
+        F.sum(F.col("gap") * F.col("gap")).alias("_sumsq"),
+        F.sum("gap").alias("_sum"),
+        F.avg(
+            (
+                F.abs(F.col("gap") - F.col("mean_gap"))
+                <= 0.1 * F.col("mean_gap")
+            ).cast("double")
+        ).alias("share_regular"),
+    )
+    n = F.col("n_gaps").cast("double")
+    var = F.col("_sumsq") / n - (F.col("_sum") / n) * (F.col("_sum") / n)
+    cv = F.sqrt(F.greatest(var, F.lit(0.0))) / F.col("mean_gap")
+    return agg.filter(F.col("n_gaps") >= min_gaps).select(
+        "src", "dst", "n_gaps",
+        F.round("mean_gap", 4).alias("mean_gap_s"),
+        F.round(cv, 6).alias("gap_cv"),
+        F.round("share_regular", 6).alias("share_regular"),
+        (cv < cv_threshold).alias("beacon_suspect"),
+    ).orderBy("src", "dst")
+
+
+def password_spray_detect(
+    df: DataFrame,
+    src_col: str,
+    account_col: str,
+    min_accounts: int = 10,
+    max_attempts_per_account: float = 2.0,
+) -> DataFrame:
+    """Password-spray detector: a source that tries MANY accounts a
+    FEW times each (inverse of per-account brute force, which
+    `bruteforce_detect` covers).  Per source: attempt count, distinct
+    accounts, attempts-per-account; flagged when the account fanout
+    is wide and the per-account depth shallow.  One keyed aggregate.
+    """
+    agg = df.groupBy(F.col(src_col).alias("src")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_attempts"),
+        F.countDistinct(account_col).cast("bigint").alias("n_accounts"),
+    )
+    apa = F.col("n_attempts") / F.col("n_accounts").cast("double")
+    return agg.select(
+        "src", "n_attempts", "n_accounts",
+        F.round(apa, 6).alias("attempts_per_account"),
+        (
+            (F.col("n_accounts") >= min_accounts)
+            & (apa <= max_attempts_per_account)
+        ).alias("spray_suspect"),
+    ).orderBy("src")
+
+
+def impossible_travel(
+    df: DataFrame,
+    user_col: str,
+    loc_col: str,
+    ts_col: str,
+    lats: list[float],
+    lons: list[float],
+    max_speed_kmh: float = 900.0,
+) -> DataFrame:
+    """Impossible-travel detector: consecutive logins of one account
+    from locations farther apart than any plane could cover in the
+    elapsed time.  Locations are a bounded site list passed as
+    literal lat/lon arrays (indexed in-row — no join at all);
+    distance is the haversine great circle, speed = km / elapsed h.
+
+    One lag window per user; flagged rows only.  The asin argument is
+    clamped to [0,1] so antipodal rounding can't NaN.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    la = F.array(*[F.lit(float(v)) for v in lats])
+    lo = F.array(*[F.lit(float(v)) for v in lons])
+    s = df.select(
+        F.col(user_col).alias("user"),
+        F.col(loc_col).cast("int").alias("loc"),
+        F.unix_timestamp(ts_col).cast("double").alias("t"),
+        F.lag(F.col(loc_col).cast("int")).over(w).alias("ploc"),
+        F.unix_timestamp(F.lag(F.col(ts_col)).over(w))
+        .cast("double").alias("pt"),
+    ).filter(
+        F.col("ploc").isNotNull() & (F.col("ploc") != F.col("loc"))
+    )
+    rad = 3.141592653589793 / 180.0
+    lat1 = F.element_at(la, F.col("ploc") + 1) * rad
+    lat2 = F.element_at(la, F.col("loc") + 1) * rad
+    dlat = lat2 - lat1
+    dlon = (
+        F.element_at(lo, F.col("loc") + 1)
+        - F.element_at(lo, F.col("ploc") + 1)
+    ) * rad
+    h = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(lat1) * F.cos(lat2) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    dist = 2 * 6371.0 * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+    dt_h = (F.col("t") - F.col("pt")) / 3600.0
+    speed = dist / dt_h
+    return s.filter(
+        (F.col("t") > F.col("pt")) & (speed > max_speed_kmh)
+    ).select(
+        "user",
+        F.col("ploc").alias("from_loc"),
+        F.col("loc").alias("to_loc"),
+        F.round(dist, 4).alias("dist_km"),
+        F.round(dt_h * 3600, 1).alias("elapsed_s"),
+        F.round(speed, 4).alias("speed_kmh"),
+    ).orderBy("user", "elapsed_s", "from_loc", "to_loc")

@@ -1936,3 +1936,143 @@ def k8s_audit_parse(df: DataFrame, json_col: str = "line") -> DataFrame:
         g("$.responseStatus.code").cast("long").alias("audit_code"),
         g("$.stage").alias("audit_stage"),
     )
+
+
+_ELB_RE = (
+    r'^(\w+) (\S+) (\S+) (\d+\.\d+\.\d+\.\d+):(\d+) (\S+) '
+    r'(-?[\d.]+) (-?[\d.]+) (-?[\d.]+) (\d+) (\S+) (\d+) (\d+) '
+    r'"(\S+) (\S+) (\S+)" "([^"]*)"$'
+)
+
+
+def elb_log_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """AWS ALB/ELB access-log parse — the load-balancer grammar the
+    reference's smart-agent log configs scrape alongside apache/nginx
+    (same regex_parser stanza family, `splunk_logs_config_linux.yaml`):
+    ``type time elb client:port target:port req_t tgt_t resp_t
+    elb_status tgt_status received sent "METHOD URL PROTO" "ua"``.
+
+    `-1` processing times (connection never established) and `-`
+    target status parse as NULL; total_time_s is the serial sum of the
+    three phases when all are present.  One anchored regex, pure
+    codegen, zero exchanges.
+    """
+    line = F.col(line_col)
+    g = lambda i: F.regexp_extract(line, _ELB_RE, i)  # noqa: E731
+    ok = line.rlike(_ELB_RE)
+    t = lambda i: F.when(  # noqa: E731
+        ok & (g(i) != "-1"), g(i).cast("double")
+    )
+    total = t(7) + t(8) + t(9)
+    return df.select(
+        "*",
+        ok.alias("well_formed"),
+        F.when(ok, g(1)).alias("req_type"),
+        F.when(ok, F.date_format(
+            F.to_timestamp(g(2), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSX"),
+            "yyyy-MM-dd HH:mm:ss",
+        )).alias("rtime"),
+        F.when(ok, g(3)).alias("elb"),
+        F.when(ok, g(4)).alias("client_ip"),
+        F.when(ok, g(5).cast("int")).alias("client_port"),
+        F.when(ok & (g(6) != "-"), g(6)).alias("target"),
+        t(7).alias("request_t_s"),
+        t(8).alias("target_t_s"),
+        t(9).alias("response_t_s"),
+        F.when(ok, g(10).cast("int")).alias("elb_status"),
+        F.when(ok & (g(11) != "-"), g(11).cast("int")).alias("target_status"),
+        F.when(ok, g(12).cast("long")).alias("received_bytes"),
+        F.when(ok, g(13).cast("long")).alias("sent_bytes"),
+        F.when(ok, g(14)).alias("method"),
+        F.when(ok, g(15)).alias("url"),
+        F.when(ok, g(16)).alias("proto"),
+        F.when(ok & (g(17) != ""), g(17)).alias("user_agent"),
+        F.when(ok, F.round(total, 6)).alias("total_time_s"),
+    )
+
+
+_SSHD_RE = (
+    r"^(\w{3} +\d+ \d\d:\d\d:\d\d) (\S+) sshd\[(\d+)\]: "
+    r"(Failed|Accepted) (password|publickey) for (invalid user )?"
+    r"(\S+) from (\d+\.\d+\.\d+\.\d+) port (\d+) ssh2"
+)
+
+
+def sshd_auth_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """OpenSSH auth.log parse (`Failed password for invalid user X
+    from IP port P ssh2` / `Accepted publickey for Y ...`) — the
+    canonical security log beside the repo's bruteforce/password-spray
+    detectors; the reference tails it via its journald/file_log
+    sources.
+
+    Fields: syslog time string (year-free by the RFC 3164 grammar —
+    emitted raw, not parsed to a timestamp), host, pid, outcome,
+    auth method, the `invalid user` marker (user not in passwd),
+    user, source ip, port.  One anchored regex, pure codegen.
+    """
+    line = F.col(line_col)
+    g = lambda i: F.regexp_extract(line, _SSHD_RE, i)  # noqa: E731
+    ok = line.rlike(_SSHD_RE)
+    return df.select(
+        "*",
+        ok.alias("well_formed"),
+        F.when(ok, g(1)).alias("log_time"),
+        F.when(ok, g(2)).alias("host"),
+        F.when(ok, g(3).cast("long")).alias("pid"),
+        F.when(ok, g(4)).alias("outcome"),
+        F.when(ok, g(5)).alias("auth_method"),
+        F.when(ok, g(6) != "").alias("invalid_user"),
+        F.when(ok, g(7)).alias("user"),
+        F.when(ok, g(8)).alias("src_ip"),
+        F.when(ok, g(9).cast("int")).alias("src_port"),
+    )
+
+
+_ENVOY_RE = (
+    r'^\[(\S+)\] "(\S+) (\S+) (\S+)" (\d+) (\S+) (\d+) (\d+) '
+    r'(\d+) (-|\d+) "([^"]*)" "([^"]*)" "([^"]*)" "([^"]*)" "([^"]*)"$'
+)
+
+
+def envoy_access_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Envoy default access-log format parse — the sidecar/gateway log
+    the reference's discovery rules match for envoy/istio workloads:
+    ``[START] "METHOD PATH PROTO" STATUS FLAGS BYTES_RECV BYTES_SENT
+    DURATION UPSTREAM_MS "XFF" "UA" "REQ_ID" ":authority" "upstream"``.
+
+    `-` upstream-service-time (no upstream contacted) parses NULL;
+    ``upstream_frac`` = upstream_ms/duration_ms is the derived
+    where-did-the-time-go signal (proxy overhead vs upstream).  One
+    anchored regex, pure codegen, zero exchanges.
+    """
+    line = F.col(line_col)
+    g = lambda i: F.regexp_extract(line, _ENVOY_RE, i)  # noqa: E731
+    ok = line.rlike(_ENVOY_RE)
+    dur = F.when(ok, g(9).cast("long"))
+    ups = F.when(ok & (g(10) != "-"), g(10).cast("long"))
+    return df.select(
+        "*",
+        ok.alias("well_formed"),
+        F.when(ok, F.date_format(
+            F.to_timestamp(g(1), "yyyy-MM-dd'T'HH:mm:ss.SSSX"),
+            "yyyy-MM-dd HH:mm:ss",
+        )).alias("rtime"),
+        F.when(ok, g(2)).alias("method"),
+        F.when(ok, g(3)).alias("path"),
+        F.when(ok, g(4)).alias("proto"),
+        F.when(ok, g(5).cast("int")).alias("status"),
+        F.when(ok, g(6)).alias("resp_flags"),
+        F.when(ok, g(7).cast("long")).alias("bytes_recv"),
+        F.when(ok, g(8).cast("long")).alias("bytes_sent"),
+        dur.alias("duration_ms"),
+        ups.alias("upstream_ms"),
+        F.when(ok & (g(11) != "-"), g(11)).alias("xff"),
+        F.when(ok & (g(12) != "-"), g(12)).alias("user_agent"),
+        F.when(ok, g(13)).alias("request_id"),
+        F.when(ok, g(14)).alias("authority"),
+        F.when(ok & (g(15) != "-"), g(15)).alias("upstream_host"),
+        F.round(
+            ups.cast("double") / F.nullif(dur.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("upstream_frac"),
+    )

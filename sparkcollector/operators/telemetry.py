@@ -3024,3 +3024,112 @@ def interval_last_value(
             F.col("_n").cast("long").alias("n_points"),
         )
     )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str,
+    nodes: list[str],
+) -> Column:
+    """Highest-random-weight (rendezvous) owner for each key over a
+    bounded node list: argmax over nodes of the portable 32-bit
+    md5(key|node) weight — the stateless alternative to a hash ring
+    with the same minimal-disruption property, computed entirely
+    in-row (a literal array of (node, weight) structs, array_max)."""
+    key = F.col(key_col).cast("string")
+    pairs = F.array(*[
+        F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key, F.lit("|"), F.lit(n))), 1, 8
+                ),
+                16, 10,
+            ).cast("bigint").alias("w"),
+            F.lit(n).alias("node"),
+        )
+        for n in nodes
+    ])
+    return F.array_max(pairs).getField("node")
+
+
+def rendezvous_routing(
+    df: DataFrame,
+    key_col: str,
+    nodes: list[str],
+    removed: str,
+) -> DataFrame:
+    """Rendezvous (HRW) routing audit: per-node key counts before and
+    after removing one node, plus the disruption count — HRW's
+    guarantee is that ONLY keys owned by the removed node move, so
+    ``moved`` must equal the removed node's share and every other
+    node can only gain.  Reference parity: the loadbalancing
+    exporter's consistent routing contract
+    (`internal/exporter/loadbalancingexporter`), re-checked here with
+    the stateless HRW construction.  One distinct-key aggregate, two
+    in-row argmaxes, one bounded group-by — no joins.
+    """
+    survivors = [n for n in nodes if n != removed]
+    keys = df.select(F.col(key_col).alias("k")).distinct()
+    owner = keys.select(
+        "k",
+        rendezvous_assign(keys, "k", nodes).alias("before"),
+        rendezvous_assign(keys, "k", survivors).alias("after"),
+    )
+    return owner.groupBy(F.col("before").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys_before"),
+        F.sum(
+            (F.col("after") != F.col("before")).cast("long")
+        ).cast("bigint").alias("moved_out"),
+    ).orderBy("node")
+
+
+def consistent_hash_ring(
+    df: DataFrame,
+    key_col: str,
+    nodes: list[str],
+    vnodes: int = 8,
+) -> DataFrame:
+    """Consistent-hash-ring assignment with virtual nodes: each node
+    owns ``vnodes`` points on the 32-bit md5 ring; a key belongs to
+    the first vnode clockwise from its own hash (wrapping to the
+    ring's minimum).  Emits per-node distinct-key load and its share
+    — the balance check that motivates vnodes in the first place.
+
+    The ring is a bounded literal (len(nodes)*vnodes rows) so the
+    successor search is a broadcast range join + min-aggregate; keys
+    are hashed once.  No unbounded shuffle.
+    """
+    spark = df.sparkSession
+    ring_rows = [(n, v) for n in nodes for v in range(vnodes)]
+    ring = spark.createDataFrame(ring_rows, "node string, v int").select(
+        "node",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("node"), F.col("v"))), 1, 8
+            ),
+            16, 10,
+        ).cast("bigint").alias("vh"),
+    )
+    keys = df.select(F.col(key_col).alias("k")).distinct().select(
+        "k",
+        F.conv(
+            F.substring(F.md5(F.col("k").cast("string")), 1, 8), 16, 10
+        ).cast("bigint").alias("kh"),
+    )
+    j = keys.join(F.broadcast(ring), F.col("vh") >= F.col("kh"), "left")
+    succ = j.groupBy("k", "kh").agg(
+        F.min_by("node", "vh").alias("succ"),
+        F.min("vh").alias("svh"),
+    )
+    wrap = ring.agg(F.min_by("node", "vh").alias("wrap_node"))
+    owned = succ.crossJoin(F.broadcast(wrap)).select(
+        "k", F.coalesce("succ", "wrap_node").alias("node")
+    )
+    load = owned.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )
+    tot = load.agg(F.sum("n_keys").cast("double").alias("tot"))
+    return load.crossJoin(tot).select(
+        "node", "n_keys",
+        F.round(F.col("n_keys") / F.col("tot"), 6).alias("share"),
+    ).orderBy("node")

@@ -4178,3 +4178,315 @@ def test_transfer_entropy_directionality(spark):
     df2 = spark.createDataFrame(rows2, "b long, x boolean, y boolean")
     r2 = transfer_entropy(df2, "b", F.col("x"), F.col("y")).collect()[0]
     assert abs(r2["te_x_to_y"]) < 0.1 and abs(r2["te_y_to_x"]) < 0.1
+
+
+def test_littles_law_holds_for_constant_stream(spark):
+    from datetime import datetime, timedelta
+
+    from sparkcollector.operators.analytics import littles_law_audit
+
+    # one arrival every 10s, each in system exactly 20s ->
+    # lambda = 0.1/s, W = 20s, L = 2 (edge effects only at hour ends)
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(base + timedelta(seconds=10 * i), 20.0)
+            for i in range(720)]  # exactly two hours of arrivals
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["hour_bucket"]: r for r in littles_law_audit(df).collect()}
+    h0 = min(out)
+    r = out[h0]
+    assert r["n_arrivals"] == 360
+    assert abs(r["lambda_per_s"] - 0.1) < 1e-9
+    assert abs(r["w_mean_s"] - 20.0) < 1e-9
+    assert abs(r["l_predicted"] - 2.0) < 1e-9
+    # measured L loses only the last arrival's spillover into hour+1
+    assert abs(r["l_measured"] - 2.0) < 0.01
+    assert abs(r["rel_err"]) < 0.005
+
+
+def test_littles_law_spillover_credited_to_next_hour(spark):
+    from datetime import datetime
+
+    from sparkcollector.operators.analytics import littles_law_audit
+
+    # single request arriving 30s before the hour boundary, 60s long:
+    # 30 busy-seconds in its own hour, 30 in the next (which has no
+    # arrivals, so it only shows on the arrival hour's row)
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 59, 30), 60.0)],
+        "ts timestamp, value double",
+    )
+    r = littles_law_audit(df).collect()
+    assert len(r) == 1
+    assert abs(r[0]["l_measured"] - 30.0 / 3600) < 1e-6
+
+
+def test_cochran_armitage_detects_monotone_trend(spark):
+    from sparkcollector.operators.analytics import cochran_armitage_trend
+
+    # success probability rises deterministically with the score:
+    # group w has w successes out of 10 -> strong positive trend
+    rows = []
+    for w in range(10):
+        for i in range(10):
+            rows.append((float(w), 1 if i < w else 0))
+    df = spark.createDataFrame(rows, "w double, y int")
+    r = cochran_armitage_trend(df, "w", "y").collect()[0]
+    assert r["n_groups"] == 10
+    assert r["n_total"] == 100 and r["n_success"] == 45
+    assert r["z"] > 5 and r["significant_95"]
+    # flat: no trend
+    flat = spark.createDataFrame(
+        [(float(w), i % 2) for w in range(10) for i in range(10)],
+        "w double, y int",
+    )
+    r2 = cochran_armitage_trend(flat, "w", "y").collect()[0]
+    assert abs(r2["z"]) < 1e-6 and not r2["significant_95"]
+
+
+def test_adamic_adar_rare_shared_shingles_win(spark):
+    from sparkcollector.operators.analytics import adamic_adar_pairs
+
+    # docs 1/2 share a rare 3-shingle (df=2); docs 3/4/5 share one
+    # with df=3 -> pair (1,2) outscores any pair of {3,4,5}
+    docs = [
+        (1, "alpha beta gamma zz1 yy1 xx1"),
+        (2, "alpha beta gamma zz2 yy2 xx2"),
+        (3, "delta epsilon zeta zz3 yy3 xx3"),
+        (4, "delta epsilon zeta zz4 yy4 xx4"),
+        (5, "delta epsilon zeta zz5 yy5 xx5"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = adamic_adar_pairs(df, min_df=2, max_df=10, top_k=10).collect()
+    scores = {(r["d1"], r["d2"]): r["aa_score"] for r in out}
+    import math
+    assert abs(scores[(1, 2)] - 1 / math.log(2)) < 1e-6
+    assert abs(scores[(3, 4)] - 1 / math.log(3)) < 1e-6
+    assert scores[(1, 2)] > scores[(3, 4)]
+    # df-band excludes ubiquitous shingles: nothing links 1 to 3
+    assert (1, 3) not in scores
+
+
+def test_jonckheere_detects_ordered_shift(spark):
+    from sparkcollector.operators.analytics import jonckheere_terpstra
+
+    # group g's values all sit strictly above group g-1's -> U is
+    # maximal: every cross-group pair counts, z large positive
+    rows = [(g, float(g * 10 + i)) for g in range(4) for i in range(8)]
+    df = spark.createDataFrame(rows, "g long, v double")
+    r = jonckheere_terpstra(df, "g", "v").collect()[0]
+    # max U = sum over pairs of n_i*n_j = 6 pairs * 64
+    assert r["jt_u"] == 6 * 64
+    assert r["z"] > 3 and r["significant_95"]
+    # identical distributions -> U == E[U], z == 0
+    flat = spark.createDataFrame(
+        [(g, float(i)) for g in range(4) for i in range(8)],
+        "g long, v double",
+    )
+    r2 = jonckheere_terpstra(flat, "g", "v").collect()[0]
+    assert abs(r2["jt_u"] - r2["expected_u"]) < 1e-9
+    assert abs(r2["z"]) < 1e-9 and not r2["significant_95"]
+
+
+def test_kendalls_w_perfect_vs_reversed(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import kendalls_w
+
+    # three judges giving identical scores -> W = 1
+    rows = [(j, o, float(o + 1)) for j in "abc" for o in range(4)]
+    df = spark.createDataFrame(rows, "judge string, obj int, x double")
+    r = kendalls_w(df, "judge", "obj", F.col("x")).collect()[0]
+    assert r["n_judges"] == 3 and r["n_objects"] == 4
+    assert abs(r["kendalls_w"] - 1.0) < 1e-9
+    # two judges exactly reversed -> rank sums all equal -> W = 0
+    rows2 = ([("a", o, float(o + 1)) for o in range(4)]
+             + [("b", o, float(4 - o)) for o in range(4)])
+    df2 = spark.createDataFrame(rows2, "judge string, obj int, x double")
+    r2 = kendalls_w(df2, "judge", "obj", F.col("x")).collect()[0]
+    assert abs(r2["kendalls_w"]) < 1e-9
+
+
+def test_cronbach_alpha_consistent_vs_independent(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import cronbach_alpha
+
+    # items perfectly correlated across units (x_i = unit level for
+    # every item): var_total = k^2 * var_item -> alpha = k/(k-1)*(1-1/k) = 1
+    rows = [(u, it, float(u + 1))
+            for u in range(6) for it in ["a", "b", "c"]]
+    df = spark.createDataFrame(rows, "unit int, item string, x double")
+    r = cronbach_alpha(
+        df, "unit", "item", F.col("x"), ["a", "b", "c"]
+    ).collect()[0]
+    assert r["n_items"] == 3 and r["n_units"] == 6
+    assert abs(r["alpha"] - 1.0) < 1e-9
+    # missing cells zero-fill: a unit with no 'c' rows still counts
+    rows2 = rows + [(99, "a", 5.0)]
+    df2 = spark.createDataFrame(rows2, "unit int, item string, x double")
+    r2 = cronbach_alpha(
+        df2, "unit", "item", F.col("x"), ["a", "b", "c"]
+    ).collect()[0]
+    assert r2["n_units"] == 7
+
+
+def test_theta_forecast_recovers_pure_trend(spark):
+    from sparkcollector.operators.analytics import theta_forecast
+
+    # exact linear series x_t = 10 + 2t: Hyndman & Billah show the
+    # theta forecast equals SES-with-drift-b/2 — successive horizons
+    # step by b/2 = 1.0 exactly, and the forecast sits between the
+    # (lagging) SES level and the trend extrapolation
+    rows = [("a", t, 10.0 + 2.0 * t) for t in range(1, 21)]
+    df = spark.createDataFrame(rows, "g string, o long, x double")
+    out = {r["h"]: r["forecast"] for r in theta_forecast(
+        df, ["g"], "o", "x", alpha=0.3, horizon=3).collect()}
+    assert abs((out[2] - out[1]) - 1.0) < 1e-6
+    assert abs((out[3] - out[2]) - 1.0) < 1e-6
+    # level at T is 50; trend at T+1 is 52 -> forecast in between
+    assert 45.0 < out[1] < 52.0
+    # constant series: forecast is flat at the constant
+    flat = spark.createDataFrame(
+        [("c", t, 7.0) for t in range(1, 21)], "g string, o long, x double"
+    )
+    outf = {r["h"]: r["forecast"] for r in theta_forecast(
+        flat, ["g"], "o", "x", horizon=2).collect()}
+    assert abs(outf[1] - 7.0) < 1e-6 and abs(outf[2] - 7.0) < 1e-6
+
+
+def test_croston_tracks_size_and_interval(spark):
+    from sparkcollector.operators.analytics import croston_intermittent
+
+    # demand of 6 every 3rd period: z -> 6, p -> 3, rate -> 2
+    rows = [("s", t, 6.0 if t % 3 == 0 else 0.0)
+            for t in range(1, 31)]
+    df = spark.createDataFrame(rows, "g string, o long, d double")
+    r = croston_intermittent(df, ["g"], "o", "d", alpha=0.2).collect()[0]
+    assert r["n_periods"] == 30 and r["demand_periods"] == 10
+    assert abs(r["z_hat"] - 6.0) < 1e-9
+    assert 2.5 < r["p_hat"] <= 3.0
+    assert abs(r["croston_rate"] - 6.0 / r["p_hat"]) < 1e-6
+    assert abs(r["sba_rate"] - 0.9 * r["croston_rate"]) < 1e-6
+    # all-zero series: no demand ever -> NULL rate
+    z = spark.createDataFrame(
+        [("z", t, 0.0) for t in range(1, 11)], "g string, o long, d double"
+    )
+    rz = croston_intermittent(z, ["g"], "o", "d").collect()[0]
+    assert rz["demand_periods"] == 0 and rz["croston_rate"] is None
+
+
+def test_variance_ratio_random_walk_vs_reverting(spark):
+    from sparkcollector.operators.analytics import variance_ratio_test
+
+    # deterministic pseudo-random walk: VR approx 1, not significant
+    rows, x, v = [], 0.0, 1
+    for t in range(800):
+        v = (v * 1103515245 + 12345) % 2147483648
+        x += 1.0 if ((v >> 16) & 1) else -1.0
+        rows.append((t, x))
+    df = spark.createDataFrame(rows, "o long, x double")
+    r = variance_ratio_test(df, "o", "x", q=4).collect()[0]
+    assert 0.7 < r["variance_ratio"] < 1.3
+    # strict alternation (maximal mean reversion): q-period returns
+    # nearly cancel -> VR far below 1, significant
+    alt = spark.createDataFrame(
+        [(t, float(t % 2)) for t in range(800)], "o long, x double"
+    )
+    r2 = variance_ratio_test(alt, "o", "x", q=4).collect()[0]
+    assert r2["variance_ratio"] < 0.1 and r2["significant_95"]
+
+
+def test_ivm_delta_matches_direct_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import ivm_delta_apply
+
+    base = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0), ("b", 4, 40.0)],
+        "g string, id int, x double",
+    )
+    # delete id=2 (a loses a row), insert two new rows into b and c
+    delta = spark.createDataFrame(
+        [("a", 2, 20.0, -1), ("b", 5, 5.0, 1), ("c", 6, 6.0, 1)],
+        "g string, id int, x double, sign int",
+    )
+    out = {r["g"]: r for r in ivm_delta_apply(
+        base, delta, ["g"], sum_col="x").collect()}
+    assert out["a"]["maintained_n"] == 1
+    assert out["a"]["maintained_sum"] == 10.0
+    assert out["b"]["maintained_n"] == 3
+    assert out["b"]["maintained_sum"] == 75.0
+    # group born entirely from the delta appears
+    assert out["c"]["base_n"] == 0 and out["c"]["maintained_n"] == 1
+    # group deleted to zero disappears
+    base2 = spark.createDataFrame(
+        [("z", 1, 1.0)], "g string, id int, x double")
+    delta2 = spark.createDataFrame(
+        [("z", 1, 1.0, -1)], "g string, id int, x double, sign int")
+    assert ivm_delta_apply(base2, delta2, ["g"], sum_col="x").count() == 0
+
+
+def test_beaconing_metronome_vs_bursty(spark):
+    from datetime import datetime, timedelta
+
+    from sparkcollector.operators.analytics import beaconing_detect
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # beacon: exactly every 60s
+    for i in range(40):
+        rows.append(("bot", "c2", base + timedelta(seconds=60 * i)))
+    # bursty: alternating 5s / 600s gaps
+    t = base
+    for i in range(40):
+        t += timedelta(seconds=5 if i % 2 == 0 else 600)
+        rows.append(("human", "web", t))
+    df = spark.createDataFrame(rows, "src string, dst string, ts timestamp")
+    out = {(r["src"], r["dst"]): r for r in beaconing_detect(
+        df, "src", "dst", "ts", min_gaps=20).collect()}
+    b = out[("bot", "c2")]
+    assert b["gap_cv"] == 0.0 and b["share_regular"] == 1.0
+    assert b["beacon_suspect"]
+    h = out[("human", "web")]
+    assert h["gap_cv"] > 0.9 and not h["beacon_suspect"]
+    assert h["share_regular"] == 0.0
+
+
+def test_password_spray_wide_shallow_flags(spark):
+    from sparkcollector.operators.analytics import password_spray_detect
+
+    rows = [("sprayer", f"acct{i}") for i in range(30)]          # 1 try each
+    rows += [("bruteforcer", "admin")] * 50                      # 1 acct deep
+    rows += [("normal", "alice"), ("normal", "alice"), ("normal", "bob")]
+    df = spark.createDataFrame(rows, "src string, account string")
+    out = {r["src"]: r for r in password_spray_detect(
+        df, "src", "account").collect()}
+    assert out["sprayer"]["spray_suspect"]
+    assert out["sprayer"]["n_accounts"] == 30
+    assert not out["bruteforcer"]["spray_suspect"]
+    assert not out["normal"]["spray_suspect"]
+
+
+def test_impossible_travel_flags_only_fast_hops(spark):
+    from datetime import datetime, timedelta
+
+    from sparkcollector.operators.analytics import impossible_travel
+
+    base = datetime(2024, 1, 1)
+    lats = [40.7128, 51.5074]   # NYC, London (~5570 km apart)
+    lons = [-74.0060, -0.1278]
+    rows = [
+        ("u1", 0, base),
+        ("u1", 1, base + timedelta(hours=1)),    # 5570 km/h: flagged
+        ("u2", 0, base),
+        ("u2", 1, base + timedelta(hours=8)),    # ~700 km/h: plane, ok
+        ("u3", 0, base),
+        ("u3", 0, base + timedelta(seconds=1)),  # same site: never flagged
+    ]
+    df = spark.createDataFrame(rows, "u string, loc int, ts timestamp")
+    out = impossible_travel(df, "u", "loc", "ts", lats, lons).collect()
+    users = {r["user"] for r in out}
+    assert users == {"u1"}
+    r = out[0]
+    assert 5500 < r["dist_km"] < 5600
+    assert r["speed_kmh"] > 5000

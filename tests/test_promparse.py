@@ -1097,3 +1097,86 @@ def test_k8s_audit_parse_paths_and_malformed(spark):
     assert ok["audit_name"] is None and ok["audit_code"] == 200
     assert wrong_kind["audit_verb"] is None
     assert bad["audit_verb"] is None and bad["audit_code"] is None
+
+
+def test_elb_log_parse_fields_and_null_semantics(spark):
+    from sparkcollector.operators.promparse import elb_log_parse
+
+    ok_line = (
+        'http 2024-01-01T00:00:07.179575Z app/lb1 192.168.0.8:10007 '
+        '10.0.1.7:8080 0.007 0.107 0.007 200 200 7 1007 '
+        '"GET http://ex.com/click HTTP/1.1" "agent/1"'
+    )
+    no_target = (
+        'https 2024-01-01T00:01:00.000000Z app/lb0 192.168.0.9:10008 '
+        '- 0.010 -1 0.020 504 - 10 0 '
+        '"POST http://ex.com/signup HTTP/1.1" ""'
+    )
+    df = spark.createDataFrame(
+        [(1, ok_line), (2, no_target), (3, "junk")], "id long, line string"
+    )
+    out = {r["id"]: r for r in elb_log_parse(df).collect()}
+    r = out[1]
+    assert r["well_formed"] and r["req_type"] == "http"
+    assert r["rtime"] == "2024-01-01 00:00:07"
+    assert r["client_ip"] == "192.168.0.8" and r["client_port"] == 10007
+    assert r["target"] == "10.0.1.7:8080"
+    assert abs(r["target_t_s"] - 0.107) < 1e-9
+    assert abs(r["total_time_s"] - 0.121) < 1e-9
+    assert r["elb_status"] == 200 and r["target_status"] == 200
+    assert r["method"] == "GET" and r["user_agent"] == "agent/1"
+    r2 = out[2]
+    assert r2["well_formed"] and r2["target"] is None
+    assert r2["target_t_s"] is None and r2["total_time_s"] is None
+    assert r2["target_status"] is None and r2["user_agent"] is None
+    assert not out[3]["well_formed"] and out[3]["elb_status"] is None
+
+
+def test_sshd_auth_parse_outcomes(spark):
+    from sparkcollector.operators.promparse import sshd_auth_parse
+
+    lines = [
+        (1, "Jan 5 04:12:33 node1 sshd[1234]: Failed password for "
+            "invalid user admin from 203.0.113.5 port 42424 ssh2"),
+        (2, "Jan 5 04:12:35 node2 sshd[99]: Accepted publickey for "
+            "alice from 198.51.100.7 port 50000 ssh2"),
+        (3, "kernel: something else"),
+    ]
+    df = spark.createDataFrame(lines, "id long, line string")
+    out = {r["id"]: r for r in sshd_auth_parse(df).collect()}
+    r = out[1]
+    assert r["well_formed"] and r["outcome"] == "Failed"
+    assert r["auth_method"] == "password" and r["invalid_user"]
+    assert r["user"] == "admin" and r["src_ip"] == "203.0.113.5"
+    assert r["src_port"] == 42424 and r["pid"] == 1234
+    r2 = out[2]
+    assert r2["outcome"] == "Accepted" and not r2["invalid_user"]
+    assert r2["auth_method"] == "publickey" and r2["user"] == "alice"
+    assert not out[3]["well_formed"] and out[3]["user"] is None
+
+
+def test_envoy_access_parse_upstream_split(spark):
+    from sparkcollector.operators.promparse import envoy_access_parse
+
+    ok = ('[2024-01-01T00:00:07.179Z] "GET /view/7 HTTP/2" 200 - 124 '
+          '356 100 25 "10.0.0.3" "agent/2" "req-1" "svc-1.local" '
+          '"10.1.0.4:8080"')
+    no_upstream = (
+        '[2024-01-01T00:00:08.000Z] "GET /error/1 HTTP/1.1" 503 UF '
+        '10 0 7 - "-" "-" "req-2" "svc-0.local" "-"')
+    df = spark.createDataFrame(
+        [(1, ok), (2, no_upstream), (3, "nope")], "id long, line string"
+    )
+    out = {r["id"]: r for r in envoy_access_parse(df).collect()}
+    r = out[1]
+    assert r["well_formed"] and r["method"] == "GET"
+    assert r["path"] == "/view/7" and r["proto"] == "HTTP/2"
+    assert r["status"] == 200 and r["resp_flags"] == "-"
+    assert r["duration_ms"] == 100 and r["upstream_ms"] == 25
+    assert abs(r["upstream_frac"] - 0.25) < 1e-9
+    assert r["xff"] == "10.0.0.3" and r["upstream_host"] == "10.1.0.4:8080"
+    r2 = out[2]
+    assert r2["well_formed"] and r2["resp_flags"] == "UF"
+    assert r2["upstream_ms"] is None and r2["upstream_frac"] is None
+    assert r2["xff"] is None and r2["user_agent"] is None
+    assert not out[3]["well_formed"]

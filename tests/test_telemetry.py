@@ -1364,3 +1364,33 @@ def test_interval_last_value_keeps_latest_and_counts(spark):
     assert out[("m1", first + 1)]["last_value"] == 9.0
     m2 = [v for k, v in out.items() if k[0] == "m2"][0]
     assert m2["last_value"] == 2.0 and m2["n_points"] == 2
+
+
+def test_rendezvous_only_removed_nodes_keys_move(spark):
+    from sparkcollector.operators.telemetry import rendezvous_routing
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(500)], "k long"
+    )
+    nodes = ["n0", "n1", "n2", "n3"]
+    out = {r["node"]: r for r in rendezvous_routing(
+        df, "k", nodes, removed="n1").collect()}
+    # every key assigned; HRW: keys NOT owned by n1 never move
+    assert sum(r["n_keys_before"] for r in out.values()) == 500
+    for node, r in out.items():
+        if node == "n1":
+            assert r["moved_out"] == r["n_keys_before"] > 0
+        else:
+            assert r["moved_out"] == 0
+
+
+def test_hash_ring_total_and_rebalance(spark):
+    from sparkcollector.operators.telemetry import consistent_hash_ring
+
+    df = spark.createDataFrame([(i,) for i in range(400)], "k long")
+    out = consistent_hash_ring(df, "k", ["a", "b", "c"], vnodes=16)
+    rows = out.collect()
+    assert sum(r["n_keys"] for r in rows) == 400
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-6
+    # with 16 vnodes/node no node should own everything
+    assert max(r["n_keys"] for r in rows) < 400
