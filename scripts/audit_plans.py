@@ -43,6 +43,9 @@ def codegen_spans(df_fn, spark) -> int:
     return len(set(re.findall(r"\[codegen id : (\d+)\]", p)))
 
 
+_FAILED: list = []
+
+
 def audit(name, df_fn, checks, out, notes="", spark=None):
     df = df_fn()
     p = plan_of(df)
@@ -58,6 +61,8 @@ def audit(name, df_fn, checks, out, notes="", spark=None):
     ok_all &= ok_cg
     results.append((">=1 WholeStageCodegen span", ok_cg))
     out.append((name, p, n_exchange, n_codegen, results, notes))
+    if not ok_all:
+        _FAILED.append(name)
     status = "PASS" if ok_all else "FAIL"
     print(f"  {name}: {status}  exchanges={n_exchange} codegen_spans={n_codegen}")
     for desc, ok in results:
@@ -1516,14 +1521,16 @@ def main() -> None:
         "partition — no global sort.",
         spark=spark,
     )
-    # the vocabulary join must carry no ResolvedHint (checked on the
-    # analyzed logical plan, same policy as winsorize/mad)
+    # the vocabulary join must carry no ResolvedHint; the ONE
+    # permitted hint is the broadcast of the 1-row corpus total
+    # (a groupless Aggregate — always broadcast-safe).  Checked on
+    # the analyzed logical plan, same policy as winsorize/mad.
     _lo = queries()["log_odds_terms"](spark, SF_DIR)
-    all_ok &= (
-        "ResolvedHint"
-        not in _lo._jdf.queryExecution().analyzed().toString()
-        or False
-    )
+    _an = _lo._jdf.queryExecution().analyzed().toString()
+    _ok_lo = _an.count("ResolvedHint") <= 1
+    if not _ok_lo:
+        _FAILED.append("log_odds_terms:no-vocab-broadcast-hint")
+    all_ok &= _ok_lo
     all_ok &= audit(
         "vocab_coverage_curve",
         lambda: queries()["vocab_coverage_curve"](spark, SF_DIR),
@@ -4167,6 +4174,32 @@ def main() -> None:
            "no geo join",
            lambda p: "Window" in p and "Join" not in p
            and "Python" not in p)], ""),
+        ("platt_scaling",
+         [("final plan is one aggregate pass with literal fitted "
+           "params (fixed-round Newton: bounded driver state)",
+           lambda p: "Python" not in p and "Join" not in p)], ""),
+        ("roc_auc_rank",
+         [("midrank machinery on the bounded cents grid only",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("jaro_winkler_match",
+         [("one Arrow-batched pandas UDF eval (the intended Python "
+           "boundary), no per-row F.udf, no joins",
+           lambda p: "ArrowEvalPython" in p and "BatchEvalPython"
+           not in p and "Join" not in p)], ""),
+        ("hits_hubs_authorities",
+         [("final plan reads checkpointed iteration results (lineage "
+           "cut per round), keyed joins only",
+           lambda p: "Scan ExistingRDD" in p and "Python" not in p)],
+         ""),
+        ("label_propagation",
+         [("final roll-up over the checkpointed superstep labels",
+           lambda p: "Scan ExistingRDD" in p and "Python" not in p)],
+         ""),
+        ("textrank_keywords",
+         [("per-group top-k window over the checkpointed vocab-graph "
+           "ranks (bounded by vocabulary, not corpus)",
+           lambda p: "Scan ExistingRDD" in p and "Window" in p
+           and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),
@@ -4190,6 +4223,8 @@ def main() -> None:
             f.write(p[:3000])
             f.write("\n```\n\n")
     print("wrote PLANS.md")
+    if _FAILED:
+        print("FAILED AUDITS:", _FAILED)
     sys.exit(0 if all_ok else 1)
 
 

@@ -12779,16 +12779,18 @@ def cronbach_alpha(
     to (unit x item), one pivot-free zero-fill join, population
     variances via sum/sumsq — every stage map-side partial.
     """
-    spark = df.sparkSession
     k = len(items)
     cells = df.groupBy(
         F.col(unit_col).alias("unit"), F.col(item_col).alias("item")
     ).agg(F.sum(value_col.cast("double")).alias("x"))
+    # literal item dim via explode (Catalyst-native — a createDataFrame
+    # here would plant a Python RDD scan node in every plan)
     grid = (
         cells.select("unit").distinct()
-        .crossJoin(spark.createDataFrame(
-            [(i,) for i in items], "item string"
-        ))
+        .select(
+            "unit",
+            F.explode(F.array(*[F.lit(i) for i in items])).alias("item"),
+        )
     )
     full = grid.join(cells, ["unit", "item"], "left").select(
         "unit", "item", F.coalesce("x", F.lit(0.0)).alias("x")
@@ -13225,3 +13227,108 @@ def impossible_travel(
         F.round(dt_h * 3600, 1).alias("elapsed_s"),
         F.round(speed, 4).alias("speed_kmh"),
     ).orderBy("user", "elapsed_s", "from_loc", "to_loc")
+
+
+PLATT_ITERS = 8
+
+
+def platt_scaling(
+    df: DataFrame,
+    score_col,
+    label_col,
+    iters: int = PLATT_ITERS,
+    ridge: float = 1e-6,
+) -> DataFrame:
+    """Platt scaling: fit sigma(A*s + B) to binary outcomes by
+    Newton-Raphson — the post-hoc calibrator that turns a raw anomaly
+    or ranking score into a probability (the step between the repo's
+    classifier_threshold_eval and its ECE audit).
+
+    Engine-reproducible by the same contract as the repo's EM: a
+    FIXED iteration count, per round ONE full-table aggregate of the
+    five gradient/Hessian sums (driver does the 2x2 solve on the
+    collected row — the k-means/markov precedent), and A, B ROUNDED
+    to 9dp after every update so fold noise cannot fork the
+    trajectory.  Emits A, B, base rate, mean calibrated probability,
+    and final log-loss.
+    """
+    s = score_col.cast("double")
+    y = label_col.cast("double")
+    base = df.select(s.alias("s"), y.alias("y"))
+    a_, b_ = 0.0, 0.0
+    for _ in range(iters):
+        p = 1.0 / (1.0 + F.exp(-(F.lit(a_) * F.col("s") + F.lit(b_))))
+        w = p * (1 - p) + ridge
+        r = base.agg(
+            F.sum((p - F.col("y")) * F.col("s")).alias("g1"),
+            F.sum(p - F.col("y")).alias("g0"),
+            F.sum(w * F.col("s") * F.col("s")).alias("h11"),
+            F.sum(w * F.col("s")).alias("h10"),
+            F.sum(w).alias("h00"),
+        ).collect()[0]
+        det = r["h11"] * r["h00"] - r["h10"] * r["h10"]
+        a_ = round(a_ - (r["g1"] * r["h00"] - r["g0"] * r["h10"]) / det, 9)
+        b_ = round(b_ - (r["h11"] * r["g0"] - r["h10"] * r["g1"]) / det, 9)
+    p = 1.0 / (1.0 + F.exp(-(F.lit(a_) * F.col("s") + F.lit(b_))))
+    eps = 1e-12
+    return base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("y"), 6).alias("base_rate"),
+        F.round(F.avg(p), 6).alias("mean_calibrated_p"),
+        F.round(
+            -F.avg(
+                F.col("y") * F.log(p + eps)
+                + (1 - F.col("y")) * F.log(1 - p + eps)
+            ),
+            6,
+        ).alias("log_loss"),
+    ).select(
+        F.lit(round(a_, 6)).alias("platt_a"),
+        F.lit(round(b_, 6)).alias("platt_b"),
+        "n", "base_rate", "mean_calibrated_p", "log_loss",
+    )
+
+
+def roc_auc_rank(
+    df: DataFrame,
+    score_col,
+    label_col,
+) -> DataFrame:
+    """Exact ROC AUC via the rank-sum identity (AUC = U/(n+ n-)) with
+    midranks for ties — no threshold sweep, no curve materialization.
+
+    The scale move: scores collapse onto the bounded distinct-cents
+    grid first (counts + positive counts per distinct score), then
+    ONE ordered window over the grid computes midranks and the rank
+    sum — rank machinery never touches raw rows, same pattern as the
+    repo's Brunner-Munzel/Jonckheere.  Emits AUC and Gini (2AUC-1).
+    """
+    g = df.select(
+        F.round(score_col.cast("double") * 100).cast("long").alias("v"),
+        label_col.cast("double").alias("y"),
+    ).groupBy("v").agg(
+        F.count(F.lit(1)).cast("double").alias("c"),
+        F.sum("y").alias("pos"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.select(
+        "v", "c", "pos",
+        (
+            F.coalesce(F.sum("c").over(w), F.lit(0.0))
+            + (F.col("c") + 1) / 2
+        ).alias("midrank"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("pos") * F.col("midrank")).alias("rpos"),
+        F.sum("pos").alias("npos"),
+        F.sum(F.col("c") - F.col("pos")).alias("nneg"),
+    )
+    auc = (
+        F.col("rpos") - F.col("npos") * (F.col("npos") + 1) / 2
+    ) / (F.col("npos") * F.col("nneg"))
+    return agg.select(
+        F.col("npos").cast("bigint").alias("n_pos"),
+        F.col("nneg").cast("bigint").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(2 * auc - 1, 6).alias("gini"),
+    )

@@ -782,3 +782,183 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         (n / 2).cast("bigint").alias("n_edges"),
         F.round(F.try_divide(num, den), 6).alias("assortativity"),
     )
+
+
+HITS_ITERS = 8
+
+
+def hits_scores(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = HITS_ITERS,
+) -> DataFrame:
+    """HITS hubs & authorities over a bounded directed graph — the
+    service-dependency complement to PageRank: a node is a good HUB
+    if it points at good authorities, a good AUTHORITY if good hubs
+    point at it (think: gateway services vs backend services in the
+    repo's service_graph_edges output).
+
+    Fixed-iteration, engine-reproducible (the EM/Platt contract):
+    per round two keyed join+aggregate passes (a = A^T h, h = A a),
+    each max-normalized with the scalar max COLLECTED driver-side
+    (one bounded row) and scores ROUNDED to 12dp so fold noise
+    cannot fork the trajectory.  Lineage is cut per round with an
+    eager localCheckpoint — iterative-plan hygiene, not persistence.
+    """
+    h = nodes.select("node", F.lit(1.0).alias("h"))
+    a = nodes.select("node", F.lit(1.0).alias("a"))
+    for _ in range(iters):
+        raw_a = (
+            edges.join(h, edges.src == h.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("v"))
+        )
+        a = nodes.join(raw_a, "node", "left").select(
+            "node", F.coalesce("v", F.lit(0.0)).alias("v")
+        )
+        m = a.agg(F.max("v")).collect()[0][0] or 1.0
+        a = a.select(
+            "node", F.round(F.col("v") / F.lit(m), 12).alias("a")
+        ).localCheckpoint(eager=True)
+        raw_h = (
+            edges.join(a, edges.dst == a.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("v"))
+        )
+        h = nodes.join(raw_h, "node", "left").select(
+            "node", F.coalesce("v", F.lit(0.0)).alias("v")
+        )
+        mh = h.agg(F.max("v")).collect()[0][0] or 1.0
+        h = h.select(
+            "node", F.round(F.col("v") / F.lit(mh), 12).alias("h")
+        ).localCheckpoint(eager=True)
+    return (
+        nodes.join(a, "node").join(h, "node")
+        .select(
+            "node",
+            F.round("a", 6).alias("authority"),
+            F.round("h", 6).alias("hub"),
+        )
+        .orderBy("node")
+    )
+
+
+LP_ROUNDS = 5
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = LP_ROUNDS,
+) -> DataFrame:
+    """Synchronous label-propagation community detection with a
+    DETERMINISTIC tie-break (highest neighbor-label count, then
+    lowest label) — async LP is run-order-dependent, which would be
+    un-oracle-able; the synchronous variant with a total tie order
+    is reproducible on any engine.
+
+    Fixed ``rounds`` supersteps: join labels onto (symmetric) edges,
+    count neighbor labels per node, pick per node via one ranked
+    window over the bounded (node x candidate-label) table; isolated
+    nodes keep their label.  Lineage cut per round.  Emits the final
+    community roll-up (community label, size, min member).
+    """
+    lab = nodes.select("node", F.col("node").cast("long").alias("lab"))
+    for _ in range(rounds):
+        cnt = (
+            edges.join(lab, edges.src == lab.node)
+            .groupBy(F.col("dst").alias("n"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("n").orderBy(F.desc("c"), F.asc("lab"))
+        pick = cnt.select(
+            "n", "lab", F.row_number().over(w).alias("rn")
+        ).filter(F.col("rn") == 1).select(
+            F.col("n").alias("node"), F.col("lab").alias("newlab")
+        )
+        lab = lab.join(pick, "node", "left").select(
+            "node", F.coalesce("newlab", "lab").alias("lab")
+        ).localCheckpoint(eager=True)
+    return (
+        lab.groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("size"),
+            F.min("node").alias("exemplar"),
+        )
+        .orderBy("community")
+    )
+
+
+TEXTRANK_ITERS = 10
+
+
+def textrank_keywords(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    iters: int = TEXTRANK_ITERS,
+    damping: float = 0.85,
+    top_k: int = 8,
+) -> DataFrame:
+    """TextRank keyword extraction per corpus group: PageRank over
+    the undirected word co-occurrence graph (adjacent-word edges,
+    weight = co-occurrence count), the unsupervised keyword ranking
+    of Mihalcea & Tarau 2004.
+
+    The graph is bounded by the vocabulary, not the corpus: edges
+    collapse to (group, w1, w2, count) first, so the fixed-iteration
+    weighted power method runs over the small graph regardless of
+    document count.  Scores ROUND to 12dp per iteration (the
+    reproducibility contract); emits top_k words per group.
+    """
+    words = df.select(
+        F.col(group_col).alias("g"),
+        F.split(F.col(text_col), " ").alias("ws"),
+    ).filter(F.size("ws") >= 2)  # sequence(1, 0) would run BACKWARD
+    adj = words.select(
+        "g",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at("ws", i).alias("w1"),
+                    F.element_at("ws", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("g", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    sym = adj.union(
+        adj.select("g", F.col("w2").alias("w1"), F.col("w1").alias("w2"))
+    )
+    e = sym.groupBy("g", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("wt")
+    ).filter(F.col("w1") != F.col("w2")).localCheckpoint(eager=True)
+    deg = e.groupBy("g", "w1").agg(F.sum("wt").alias("d"))
+    ew = e.join(deg, ["g", "w1"]).select(
+        "g", "w1", "w2", (F.col("wt") / F.col("d")).alias("share")
+    ).localCheckpoint(eager=True)
+    vocab = e.select("g", F.col("w1").alias("w")).distinct()
+    r = vocab.select("g", "w", F.lit(1.0).alias("r"))
+    for _ in range(iters):
+        contrib = (
+            ew.join(
+                r,
+                (ew.g == r.g) & (ew.w1 == r.w),
+            )
+            .groupBy(ew.g.alias("g"), F.col("w2").alias("w"))
+            .agg(F.sum(F.col("share") * F.col("r")).alias("cin"))
+        )
+        r = vocab.join(contrib, ["g", "w"], "left").select(
+            "g", "w",
+            F.round(
+                (1 - damping) + damping * F.coalesce("cin", F.lit(0.0)),
+                12,
+            ).alias("r"),
+        ).localCheckpoint(eager=True)
+    wtop = Window.partitionBy("g").orderBy(F.desc("r"), F.asc("w"))
+    return r.select(
+        F.col("g").alias(group_col),
+        F.col("w").alias("word"),
+        F.round("r", 6).alias("textrank"),
+        F.row_number().over(wtop).alias("rk"),
+    ).filter(F.col("rk") <= top_k)

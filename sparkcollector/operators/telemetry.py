@@ -3100,8 +3100,15 @@ def consistent_hash_ring(
     are hashed once.  No unbounded shuffle.
     """
     spark = df.sparkSession
-    ring_rows = [(n, v) for n in nodes for v in range(vnodes)]
-    ring = spark.createDataFrame(ring_rows, "node string, v int").select(
+    # literal vnode ring via range + array indexing (Catalyst-native —
+    # createDataFrame would plant a Python RDD scan node in the plan)
+    node_arr = F.array(*[F.lit(n) for n in nodes])
+    ring = spark.range(len(nodes) * vnodes).select(
+        F.element_at(
+            node_arr, (F.col("id") / vnodes).cast("int") + 1
+        ).alias("node"),
+        (F.col("id") % vnodes).cast("int").alias("v"),
+    ).select(
         "node",
         F.conv(
             F.substring(

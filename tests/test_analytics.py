@@ -4490,3 +4490,60 @@ def test_impossible_travel_flags_only_fast_hops(spark):
     r = out[0]
     assert 5500 < r["dist_km"] < 5600
     assert r["speed_kmh"] > 5000
+
+
+def test_platt_scaling_calibrates_separable_scores(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import platt_scaling
+
+    # y depends on s through a true logistic with A=2, B=-1:
+    # deterministic thresholding at the sigmoid median keeps it exact
+    import math
+    rows = []
+    for i in range(-50, 51):
+        s = i / 10.0
+        p_true = 1 / (1 + math.exp(-(2 * s - 1)))
+        # 10 replicas, y=1 for the first round(10*p) of them
+        k = round(10 * p_true)
+        for j in range(10):
+            rows.append((s, 1 if j < k else 0))
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = platt_scaling(df, F.col("s"), F.col("y")).collect()[0]
+    # the round(10p) label discretization biases the fit slightly
+    assert abs(r["platt_a"] - 2.0) < 0.35
+    assert abs(r["platt_b"] - (-1.0)) < 0.35
+    assert abs(r["mean_calibrated_p"] - r["base_rate"]) < 0.01
+    # uninformative score: A ~ 0, mean p == base rate
+    flat = spark.createDataFrame(
+        [(float(i % 7), i % 3 == 0) for i in range(300)],
+        "s double, y boolean",
+    )
+    r2 = platt_scaling(flat, F.col("s"), F.col("y")).collect()[0]
+    assert abs(r2["platt_a"]) < 0.05
+    assert abs(r2["mean_calibrated_p"] - r2["base_rate"]) < 0.005
+
+
+def test_roc_auc_perfect_random_and_ties(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import roc_auc_rank
+
+    # perfectly separated: AUC = 1
+    rows = [(float(i), 1 if i >= 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = roc_auc_rank(df, F.col("s"), F.col("y")).collect()[0]
+    assert r["auc"] == 1.0 and r["gini"] == 1.0
+    # all scores tied: AUC = 0.5 exactly via midranks
+    tied = spark.createDataFrame(
+        [(1.0, i % 2) for i in range(100)], "s double, y int"
+    )
+    r2 = roc_auc_rank(tied, F.col("s"), F.col("y")).collect()[0]
+    assert r2["auc"] == 0.5
+    # anti-separated: AUC = 0
+    anti = spark.createDataFrame(
+        [(float(i), 1 if i < 50 else 0) for i in range(100)],
+        "s double, y int",
+    )
+    r3 = roc_auc_rank(anti, F.col("s"), F.col("y")).collect()[0]
+    assert r3["auc"] == 0.0 and r3["gini"] == -1.0

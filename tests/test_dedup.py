@@ -613,3 +613,26 @@ def test_cdc_fixed_chunking_counterfactual(spark):
     edited = "INSERTED PREFIX " + base
     fixed = lambda s: {s[i:i + 32] for i in range(0, len(s), 32)}  # noqa: E731
     assert len(fixed(base) & fixed(edited)) <= 1
+
+
+def test_jaro_winkler_reference_values(spark):
+    from sparkcollector.operators.dedup import jaro_winkler_pairs
+
+    # canonical Winkler 1990 worked examples + boost-threshold edges
+    rows = [
+        (1, "MARTHA", "MARHTA"),      # 0.961111
+        (2, "DIXON", "DICKSONX"),     # 0.813333
+        (3, "JELLYFISH", "SMELLYFISH"),  # no common prefix: jaro only
+        (4, "abc", "xyz"),            # 0
+        (5, "abc", "abc"),            # 1
+        (6, "abcd", "abzzzzzzzz"),    # jaro 0.5667 < 0.7: NO boost
+    ]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    out = {r["id"]: r for r in jaro_winkler_pairs(df, "a", "b").collect()}
+    assert abs(out[1]["jw_similarity"] - 0.961111) < 1e-6
+    assert abs(out[2]["jw_similarity"] - 0.813333) < 1e-6
+    assert abs(out[3]["jw_similarity"] - 0.896296) < 1e-6
+    assert out[4]["jw_similarity"] == 0.0
+    assert out[5]["jw_similarity"] == 1.0 and out[5]["jw_match"]
+    assert abs(out[6]["jw_similarity"] - 0.566667) < 1e-6
+    assert not out[6]["jw_match"]

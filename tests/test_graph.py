@@ -303,3 +303,46 @@ def test_missing_parent_audit_roots_and_orphans(spark):
     got = {r["trace_id"]: r for r in missing_parent_audit(df).collect()}
     assert got["t1"]["n_roots"] == 1 and got["t1"]["n_orphans"] == 1
     assert got["t2"]["n_orphans"] == 0 and got["t2"]["n_spans"] == 2
+
+
+def test_hits_star_graph(spark):
+    from sparkcollector.operators.graph import hits_scores
+
+    # hub node 0 points at 1, 2, 3; nothing points at 0:
+    # 1-3 are pure authorities, 0 the pure hub
+    nodes = spark.range(4).selectExpr("id as node")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    out = {r["node"]: r for r in hits_scores(nodes, edges).collect()}
+    assert out[0]["hub"] == 1.0 and out[0]["authority"] == 0.0
+    for n in (1, 2, 3):
+        assert out[n]["authority"] == 1.0 and out[n]["hub"] == 0.0
+
+
+def test_label_propagation_two_cliques(spark):
+    from sparkcollector.operators.graph import label_propagation
+
+    # two triangles {0,1,2} and {3,4,5} joined by nothing: two
+    # communities labeled by their minimum member
+    tri = [(a, b) for a, b, in
+           [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]]
+    sym = tri + [(b, a) for a, b in tri]
+    nodes = spark.range(6).selectExpr("id as node")
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    out = {r["community"]: r for r in
+           label_propagation(nodes, edges).collect()}
+    assert set(out) == {0, 3}
+    assert out[0]["size"] == 3 and out[0]["exemplar"] == 0
+    assert out[3]["size"] == 3 and out[3]["exemplar"] == 3
+
+
+def test_textrank_hub_word_wins(spark):
+    from sparkcollector.operators.graph import textrank_keywords
+
+    # 'core' co-occurs with everything; fringe words only with core
+    docs = [("s", "core alpha core beta core gamma core delta")] * 3
+    df = spark.createDataFrame(docs, "source string, text string")
+    out = textrank_keywords(df, "source", "text", top_k=3).collect()
+    assert out[0]["word"] == "core"
+    assert out[0]["textrank"] > out[1]["textrank"]
