@@ -4200,6 +4200,26 @@ def main() -> None:
            "ranks (bounded by vocabulary, not corpus)",
            lambda p: "Scan ExistingRDD" in p and "Window" in p
            and "Python" not in p)], ""),
+        ("dialog_act_mix",
+         [("codegen'd regex tagging + one keyed aggregate, no joins",
+           lambda p: "Join" not in p and "Python" not in p)], ""),
+        ("context_window_fit",
+         [("one reverse suffix window per conversation + keyed "
+           "aggregate",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("chow_break_test",
+         [("power-sum aggregates only: no windows, segment key join "
+           "is a 1-row bounds broadcast",
+           lambda p: "Window" not in p and "Python" not in p)], ""),
+        ("nelson_aalen",
+         [("risk-set and hazard windows on the bounded duration grid",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("g_test_gof",
+         [("bounded slice x category grid; G terms in-row",
+           lambda p: "Python" not in p)], ""),
+        ("betabinomial_fit",
+         [("per-unit aggregate + single-row MoM reduction",
+           lambda p: "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -13332,3 +13332,310 @@ def roc_auc_rank(
         F.round(auc, 6).alias("auc"),
         F.round(2 * auc - 1, 6).alias("gini"),
     )
+
+
+_DA_QUESTION_START = (
+    "who|what|when|where|why|how|can|could|would|will|is|are|do|does"
+)
+_DA_COMMAND_START = (
+    "run|show|list|please|fix|add|make|stop|restart|delete|set"
+)
+
+
+def dialog_act_mix(
+    df: DataFrame,
+    conv_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Rule-based dialogue-act tagging (question / command /
+    statement) and the per-conversation act mix — the conversational
+    profile a transcript-curation pipeline uses to balance
+    instruction-following vs declarative data.
+
+    Acts by anchored case-insensitive regex: question = ends with
+    '?' OR starts with an interrogative; command = starts with an
+    imperative cue; else statement.  Tagging is pure codegen'd
+    regex; the mix is one keyed aggregate.
+    """
+    t = F.lower(F.trim(F.col(text_col)))
+    is_q = t.rlike(r"\?$") | t.rlike(
+        rf"^({_DA_QUESTION_START})\b"
+    )
+    is_cmd = ~is_q & t.rlike(rf"^({_DA_COMMAND_START})\b")
+    return df.groupBy(F.col(conv_col).alias("conv")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum(is_q.cast("long")).cast("bigint").alias("n_question"),
+        F.sum(is_cmd.cast("long")).cast("bigint").alias("n_command"),
+        F.sum((~is_q & ~is_cmd).cast("long")).cast("bigint")
+        .alias("n_statement"),
+        F.round(F.avg(is_q.cast("double")), 6).alias("question_ratio"),
+        F.round(F.avg(is_cmd.cast("double")), 6).alias("command_ratio"),
+    ).orderBy("conv")
+
+
+def context_window_fit(
+    df: DataFrame,
+    conv_col: str,
+    order_col: str,
+    text_col: str,
+    budget_tokens: int = 150,
+) -> DataFrame:
+    """Context-window truncation audit: keeping the MOST RECENT turns
+    of each conversation, where does a fixed token budget cut?  The
+    planning signal for truncate-middle / sliding-window batching:
+    how much history survives, per conversation.
+
+    Tokens = whitespace word count; one reverse-ordered cumulative
+    window per conversation computes the suffix token sum, a keyed
+    aggregate derives kept/dropped counts, the first kept turn index
+    and budget utilization.  A turn longer than the whole budget
+    still keeps the newest turn (deterministic: the window is
+    strictly per-suffix).
+    """
+    w = (
+        Window.partitionBy(conv_col).orderBy(F.desc(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = F.size(F.split(F.trim(F.col(text_col)), " +"))
+    s = df.select(
+        F.col(conv_col).alias("conv"),
+        F.col(order_col).alias("idx"),
+        toks.alias("tk"),
+    ).select(
+        "conv", "idx", "tk", F.sum("tk").over(w).alias("suffix_tokens")
+    )
+    keep = (F.col("suffix_tokens") <= budget_tokens) | (
+        F.col("suffix_tokens") == F.col("tk")
+    )
+    return s.groupBy("conv").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum(keep.cast("long")).cast("bigint").alias("kept_turns"),
+        F.sum((~keep).cast("long")).cast("bigint").alias("dropped_turns"),
+        F.min(F.when(keep, F.col("idx"))).alias("first_kept_idx"),
+        F.round(
+            F.max(F.when(keep, F.col("suffix_tokens")))
+            / F.lit(float(budget_tokens)),
+            6,
+        ).alias("budget_utilization"),
+    ).orderBy("conv")
+
+
+def chow_break_test(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    break_at,
+) -> DataFrame:
+    """Chow test for a structural break in a linear trend at a KNOWN
+    breakpoint: did the deploy change the slope of the load curve?
+    F = ((SSR_pooled - SSR_1 - SSR_2)/k) / ((SSR_1 + SSR_2)/(n-2k)),
+    k = 2 (intercept + slope).
+
+    All three OLS fits reduce to power sums (closed form) — one
+    segment-keyed aggregate plus a pooled one, zero windows.
+    Significance at the F(2, inf) 95% point (3.00); exact critical
+    values need the F table, so the flag is the asymptotic one
+    (documented, same convention as the repo's z-tests).
+    """
+    pre = df.select(
+        F.col(order_col).cast("double").alias("t"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    if break_at is None:
+        # midpoint break: floor((min+max)/2) — SF-independent, joined
+        # on as a 1-row aggregate so no driver round-trip
+        bounds = pre.agg(
+            F.floor((F.min("t") + F.max("t")) / 2).alias("_brk")
+        )
+        pre = pre.crossJoin(bounds)
+        base = pre.select(
+            "t", "x", (F.col("t") >= F.col("_brk")).cast("int").alias("seg")
+        )
+    else:
+        base = pre.select(
+            "t", "x", (F.col("t") >= break_at).cast("int").alias("seg")
+        )
+
+    def ssr(grouped):
+        n = F.col("n")
+        sxx = F.col("stt") - F.col("st") * F.col("st") / n
+        sxy = F.col("stx") - F.col("st") * F.col("sx") / n
+        syy = F.col("sxx2") - F.col("sx") * F.col("sx") / n
+        return syy - sxy * sxy / sxx
+
+    def sums(g):
+        return g.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("t").alias("st"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("t") * F.col("x")).alias("stx"),
+            F.sum(F.col("t") * F.col("t")).alias("stt"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx2"),
+        )
+
+    seg = sums(base.groupBy("seg")).select(
+        "seg", F.col("n").alias("n"), ssr(None).alias("ssr")
+    )
+    segs = seg.agg(
+        F.sum("n").alias("n"),
+        F.sum("ssr").alias("ssr_split"),
+        F.count(F.lit(1)).alias("n_segs"),
+    )
+    pooled = sums(base.groupBy()).select(ssr(None).alias("ssr_pooled"))
+    j = pooled.crossJoin(segs)
+    # a perfect piecewise fit gives SSR_split == 0 (0/0 under ANSI):
+    # define F = 0 there, matching the oracle's CASE guard
+    f_stat = F.when(
+        F.col("ssr_split") > 0,
+        ((F.col("ssr_pooled") - F.col("ssr_split")) / 2)
+        / (F.col("ssr_split") / (F.col("n") - 4)),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round("ssr_pooled", 6).alias("ssr_pooled"),
+        F.round("ssr_split", 6).alias("ssr_split"),
+        F.round(f_stat, 6).alias("f_stat"),
+        (f_stat > 3.0).alias("break_at_95"),
+    )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator — the hazard-scale
+    twin of the repo's Kaplan-Meier: H(t) = sum over event times
+    <= t of d_i/n_i, with the Fleming-Harrington survival
+    S = exp(-H) beside it (nearly identical to KM at low hazard,
+    more stable at small risk sets).
+
+    One aggregate to the bounded (duration, deaths, total) grid, a
+    reverse cumulative window for the risk set, a forward cumulative
+    window for H.  Censored rows enter risk sets but never the
+    numerator.  Emits one row per observed event time.
+    """
+    g = df.select(
+        F.col(duration_col).cast("long").alias("t"),
+        F.col(event_col).cast("int").alias("e"),
+    ).groupBy("t").agg(
+        F.count(F.lit(1)).cast("double").alias("at_t"),
+        F.sum("e").cast("double").alias("d"),
+    )
+    w_risk = (
+        Window.orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_cum = (
+        Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = g.select(
+        "t", "d", F.sum("at_t").over(w_risk).alias("n_risk")
+    ).select(
+        "t", "d", "n_risk",
+        F.sum(F.col("d") / F.col("n_risk")).over(w_cum).alias("h"),
+    )
+    return r.filter(F.col("d") > 0).select(
+        "t",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("d_events"),
+        F.round("h", 6).alias("cum_hazard"),
+        F.round(F.exp(-F.col("h")), 6).alias("survival_fh"),
+    ).orderBy("t")
+
+
+def g_test_gof(
+    df: DataFrame,
+    slice_col: str,
+    cat_col: str,
+    crit_95: float = 9.488,
+) -> DataFrame:
+    """Log-likelihood-ratio goodness-of-fit (G-test) per slice
+    against the GLOBAL category mix: G = 2 sum O ln(O/E) — the
+    additive (and information-theoretically exact) alternative to
+    the repo's chi_square_gof, preferable when cells are small or
+    G values must sum across slices.
+
+    Two keyed aggregates to the bounded (slice x category) grid and
+    a grid join; zero-observed cells contribute 0 by the 0*ln(0)
+    convention.  ``crit_95`` is the chi-square critical value for
+    the caller's df (default df=4).
+    """
+    cells = df.groupBy(
+        F.col(slice_col).alias("s"), F.col(cat_col).alias("c")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    slice_tot = cells.groupBy("s").agg(F.sum("o").alias("n_s"))
+    cat_tot = cells.groupBy("c").agg(F.sum("o").alias("n_c"))
+    grand = cells.agg(F.sum("o").alias("n"))
+    full = (
+        slice_tot.crossJoin(cat_tot).crossJoin(grand)
+        .join(cells, ["s", "c"], "left")
+        .select(
+            "s", "c", "n_s",
+            F.coalesce("o", F.lit(0.0)).alias("o"),
+            (F.col("n_s") * F.col("n_c") / F.col("n")).alias("e"),
+        )
+    )
+    term = F.when(
+        F.col("o") > 0, F.col("o") * F.log(F.col("o") / F.col("e"))
+    ).otherwise(F.lit(0.0))
+    agg = full.groupBy("s").agg(
+        F.max("n_s").alias("n_s"),
+        (2 * F.sum(term)).alias("g"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return agg.select(
+        F.col("s").alias(slice_col),
+        F.col("n_s").cast("bigint").alias("n"),
+        (F.col("k") - 1).alias("df"),
+        F.round("g", 6).alias("g_stat"),
+        (F.col("g") > crit_95).alias("drifted_95"),
+    ).orderBy(slice_col)
+
+
+def betabinomial_fit(
+    df: DataFrame,
+    unit_col: str,
+    success_col,
+    n_trials: int,
+) -> DataFrame:
+    """Beta-binomial method-of-moments fit over equal-n unit trials:
+    is per-unit conversion overdispersed relative to one shared
+    binomial rate?  (The gatekeeper before pooling rates across
+    conversations/users — rho > 0 says 'units differ', the same
+    question eb_shrunk_rates answers by shrinkage.)
+
+    k_i = successes in each unit's n trials; closed-form MoM:
+    with m1 = E[k], m2 = E[k^2],
+    alpha = (n*m1 - m2) / (n*(m2/m1 - m1 - 1) + m1), beta by
+    symmetry; rho = 1/(alpha+beta+1).  One per-unit aggregate + one
+    single-row reduction.
+    """
+    per = df.groupBy(F.col(unit_col).alias("u")).agg(
+        F.sum(success_col.cast("double")).alias("k")
+    )
+    m = per.agg(
+        F.count(F.lit(1)).cast("double").alias("n_units"),
+        F.avg("k").alias("m1"),
+        F.avg(F.col("k") * F.col("k")).alias("m2"),
+    )
+    n = float(n_trials)
+    denom = n * (F.col("m2") / F.col("m1") - F.col("m1") - 1) + F.col("m1")
+    alpha = (n * F.col("m1") - F.col("m2")) / denom
+    beta = (
+        (n - F.col("m1")) * (n - F.col("m2") / F.col("m1"))
+    ) / denom
+    rho = 1 / (alpha + beta + 1)
+    var_obs = F.col("m2") - F.col("m1") * F.col("m1")
+    p = F.col("m1") / n
+    var_bin = n * p * (1 - p)
+    return m.select(
+        F.col("n_units").cast("bigint").alias("n_units"),
+        F.lit(n_trials).cast("bigint").alias("n_trials"),
+        F.round(p, 6).alias("p_mean"),
+        F.round(alpha, 6).alias("alpha"),
+        F.round(beta, 6).alias("beta"),
+        F.round(rho, 6).alias("rho_overdispersion"),
+        F.round(var_obs / var_bin, 6).alias("var_ratio_vs_binomial"),
+    )

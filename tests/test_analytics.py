@@ -4547,3 +4547,110 @@ def test_roc_auc_perfect_random_and_ties(spark):
     )
     r3 = roc_auc_rank(anti, F.col("s"), F.col("y")).collect()[0]
     assert r3["auc"] == 0.0 and r3["gini"] == -1.0
+
+
+def test_dialog_act_rules(spark):
+    from sparkcollector.operators.analytics import dialog_act_mix
+
+    rows = [
+        ("c1", "Can you restart the service?"),
+        ("c1", "what happened here"),
+        ("c1", "please run the backfill"),
+        ("c1", "the job finished."),
+        ("c1", "Deploys were fine yesterday?"),   # trailing ? wins
+    ]
+    df = spark.createDataFrame(rows, "conv string, utt string")
+    r = dialog_act_mix(df, "conv", "utt").collect()[0]
+    assert r["n_turns"] == 5
+    assert r["n_question"] == 3
+    assert r["n_command"] == 1
+    assert r["n_statement"] == 1
+    assert abs(r["question_ratio"] - 0.6) < 1e-9
+
+
+def test_context_window_keeps_recent_suffix(spark):
+    from sparkcollector.operators.analytics import context_window_fit
+
+    # 5 turns of 10 tokens each, budget 25 -> newest 2 kept
+    rows = [("c", i, " ".join(["w"] * 10)) for i in range(5)]
+    df = spark.createDataFrame(rows, "conv string, idx int, text string")
+    r = context_window_fit(df, "conv", "idx", "text", 25).collect()[0]
+    assert r["kept_turns"] == 2 and r["dropped_turns"] == 3
+    assert r["first_kept_idx"] == 3
+    assert abs(r["budget_utilization"] - 20 / 25) < 1e-9
+    # oversized single newest turn still kept
+    rows2 = [("c", 0, " ".join(["w"] * 10)), ("c", 1, " ".join(["w"] * 99))]
+    df2 = spark.createDataFrame(rows2, "conv string, idx int, text string")
+    r2 = context_window_fit(df2, "conv", "idx", "text", 25).collect()[0]
+    assert r2["kept_turns"] == 1 and r2["first_kept_idx"] == 1
+
+
+def test_chow_detects_slope_break(spark):
+    from sparkcollector.operators.analytics import chow_break_test
+
+    # slope 1 before t=50, slope 5 after: massive F
+    rows = [(t, float(t if t < 50 else 50 + 5 * (t - 50)))
+            for t in range(100)]
+    df = spark.createDataFrame(rows, "h long, x double")
+    r = chow_break_test(df, "h", "x", break_at=None).collect()[0]
+    assert r["f_stat"] > 100 and r["break_at_95"]
+    # one unbroken line: SSR identical, F == 0
+    line = spark.createDataFrame(
+        [(t, 3.0 * t + 1) for t in range(100)], "h long, x double"
+    )
+    r2 = chow_break_test(line, "h", "x", break_at=None).collect()[0]
+    assert abs(r2["f_stat"]) < 1e-6 and not r2["break_at_95"]
+
+
+def test_nelson_aalen_textbook_case(spark):
+    from sparkcollector.operators.analytics import nelson_aalen
+
+    # durations: deaths at 1,2,2 and censored at 3: H(1)=1/4,
+    # H(2)=1/4+2/3
+    rows = [(1, 1), (2, 1), (2, 1), (3, 0)]
+    df = spark.createDataFrame(rows, "t int, e int")
+    out = {r["t"]: r for r in nelson_aalen(df, "t", "e").collect()}
+    assert out[1]["n_risk"] == 4 and out[1]["d_events"] == 1
+    assert abs(out[1]["cum_hazard"] - 0.25) < 1e-6
+    assert out[2]["n_risk"] == 3
+    assert abs(out[2]["cum_hazard"] - (0.25 + 2 / 3)) < 1e-6
+    # censored-only time emits no row
+    assert 3 not in out
+    import math
+    assert abs(out[2]["survival_fh"]
+               - math.exp(-(0.25 + 2 / 3))) < 1e-6
+
+
+def test_g_test_detects_skewed_slice(spark):
+    from sparkcollector.operators.analytics import g_test_gof
+
+    rows = []
+    # slices a,b follow the global 50/50 mix; slice c is all 'x'
+    for s, mix in [("a", 50), ("b", 50), ("c", 100)]:
+        for i in range(100):
+            rows.append((s, "x" if i < mix else "y"))
+    df = spark.createDataFrame(rows, "s string, c string")
+    out = {r["s"]: r for r in g_test_gof(df, "s", "c", 3.841).collect()}
+    assert out["c"]["g_stat"] > out["a"]["g_stat"]
+    assert out["c"]["drifted_95"]
+    assert out["c"]["df"] == 1
+
+
+def test_betabinomial_overdispersed_vs_pure(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import betabinomial_fit
+
+    # polarized units: half convert 9/10, half 1/10 -> strong
+    # overdispersion (rho >> 0, var ratio >> 1)
+    rows = []
+    for u in range(40):
+        k = 9 if u % 2 == 0 else 1
+        for j in range(10):
+            rows.append((u, 1 if j < k else 0))
+    df = spark.createDataFrame(rows, "u int, y int")
+    r = betabinomial_fit(df, "u", F.col("y"), 10).collect()[0]
+    assert r["p_mean"] == 0.5
+    assert r["var_ratio_vs_binomial"] > 3
+    assert r["rho_overdispersion"] > 0.5
+    assert r["alpha"] > 0 and abs(r["alpha"] - r["beta"]) < 1e-6
