@@ -4220,6 +4220,30 @@ def main() -> None:
         ("betabinomial_fit",
          [("per-unit aggregate + single-row MoM reduction",
            lambda p: "Python" not in p)], ""),
+        ("engle_granger_coint",
+         [("two OLS aggregate passes + one lag window on the hourly "
+           "grid",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("newey_west_trend",
+         [("bounded-lag HAC windows (L=4 config constant) over the "
+           "hourly grid",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("breusch_pagan",
+         [("two closed-form aggregate passes, residuals projected "
+           "in-row",
+           lambda p: "Python" not in p)], ""),
+        ("hpa_replay",
+         [("in-row fold over the bounded rollup series, no per-row "
+           "Python",
+           lambda p: "Python" not in p)], ""),
+        ("slo_multiwindow_alert",
+         [("four rolling-frame windows over one ordered pass",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("rbo_topk",
+         [("rank windows + epoch-pair equi join on top-k rows only; "
+           "suffix-weight lookup in-row",
+           lambda p: "Window" in p and "Join" in p
+           and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -13639,3 +13639,411 @@ def betabinomial_fit(
         F.round(rho, 6).alias("rho_overdispersion"),
         F.round(var_obs / var_bin, 6).alias("var_ratio_vs_binomial"),
     )
+
+
+def engle_granger_coint(
+    df: DataFrame,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Engle-Granger two-step cointegration check: regress y on x
+    (closed-form OLS), then the Dickey-Fuller regression on the
+    residual (delta e_t = gamma * e_{t-1}): a strongly negative
+    t(gamma) says the spread mean-reverts — the two load series move
+    together in the long run (e.g. clicks and views decoupling is an
+    incident signal).
+
+    Two aggregate passes + one lag window; the DF statistic is
+    emitted raw (its critical values are tabulated, not closed-form
+    — flagged at the asymptotic no-constant 5% point -1.95, the same
+    convention as the repo's other tabulated tests).
+    """
+    base = df.select(
+        F.col(order_col).alias("o"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    ols = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("mx"), F.avg("y").alias("my"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).select(
+        "n",
+        (
+            (F.col("sxy") - F.col("n") * F.col("mx") * F.col("my"))
+            / (F.col("sxx") - F.col("n") * F.col("mx") * F.col("mx"))
+        ).alias("beta"),
+        "mx", "my",
+    ).select(
+        "n", "beta", (F.col("my") - F.col("beta") * F.col("mx"))
+        .alias("alpha"),
+    )
+    resid = base.crossJoin(ols).select(
+        "o", "n", "alpha", "beta",
+        (F.col("y") - F.col("alpha") - F.col("beta") * F.col("x"))
+        .alias("e"),
+    )
+    w = Window.orderBy("o")
+    d = resid.select(
+        "n", "alpha", "beta",
+        (F.col("e") - F.lag("e").over(w)).alias("de"),
+        F.lag("e").over(w).alias("el"),
+    ).filter(F.col("el").isNotNull())
+    df_reg = d.agg(
+        F.max("n").alias("n"),
+        F.max("alpha").alias("alpha"),
+        F.max("beta").alias("beta"),
+        (F.sum(F.col("de") * F.col("el"))
+         / F.sum(F.col("el") * F.col("el"))).alias("gamma"),
+        F.sum(F.col("el") * F.col("el")).alias("see"),
+        F.count(F.lit(1)).cast("double").alias("t"),
+        F.sum(F.col("de") * F.col("de")).alias("sdd"),
+        F.sum(F.col("de") * F.col("el")).alias("sde"),
+    )
+    ssr = F.col("sdd") - F.col("sde") * F.col("sde") / F.col("see")
+    se = F.sqrt(ssr / (F.col("t") - 1) / F.col("see"))
+    t_g = F.col("gamma") / se
+    return df_reg.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round("alpha", 6).alias("coint_alpha"),
+        F.round("beta", 6).alias("coint_beta"),
+        F.round("gamma", 6).alias("df_gamma"),
+        F.round(t_g, 6).alias("df_t_stat"),
+        (t_g < -1.95).alias("cointegrated_5pct"),
+    )
+
+
+def newey_west_trend(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 4,
+) -> DataFrame:
+    """OLS time trend with Newey-West HAC standard errors: the naive
+    OLS s.e. understates uncertainty when residuals autocorrelate
+    (every telemetry series does).  S = sum_l w_l * sum_t u_t u_{t-l}
+    x_t x_{t-l} with Bartlett weights w_l = 1 - l/(L+1); the robust
+    variance sandwich is S / Sxx^2.
+
+    One OLS aggregate, one residual pass with ``max_lag`` lag
+    windows (a config constant), one reduction.  Emits both the
+    naive and HAC t-statistics — the gap IS the finding.
+    """
+    w = Window.orderBy(order_col)
+    base = df.select(
+        F.col(order_col).alias("o"),
+        F.col(value_col).cast("double").alias("y"),
+    ).select(
+        "o", "y",
+        (F.row_number().over(w)).cast("double").alias("t"),
+    )
+    ols = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("t").alias("mt"), F.avg("y").alias("my"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    ).select(
+        "n", "mt", "my",
+        (
+            (F.col("sty") - F.col("n") * F.col("mt") * F.col("my"))
+            / (F.col("stt") - F.col("n") * F.col("mt") * F.col("mt"))
+        ).alias("b"),
+        (F.col("stt") - F.col("n") * F.col("mt") * F.col("mt"))
+        .alias("sxx"),
+    ).select(
+        "n", "b", "sxx", "mt",
+        (F.col("my") - F.col("b") * F.col("mt")).alias("a"),
+    )
+    r = base.crossJoin(ols).select(
+        "o", "n", "b", "a", "sxx",
+        (F.col("t") - F.col("mt")).alias("xc"),
+        (F.col("y") - F.col("a") - F.col("b") * F.col("t")).alias("u"),
+    )
+    wo = Window.orderBy("o")
+    lags = r.select(
+        "n", "b", "sxx",
+        (F.col("u") * F.col("u")).alias("u2"),
+        (F.col("u") * F.col("xc")).alias("g0"),
+        *[
+            (
+                F.col("u") * F.col("xc")
+                * F.lag(F.col("u") * F.col("xc"), l).over(wo)
+            ).alias(f"g{l}")
+            for l in range(1, max_lag + 1)
+        ],
+    )
+    s_expr = F.sum(F.col("g0") * F.col("g0"))
+    for l in range(1, max_lag + 1):
+        w_l = 1.0 - l / (max_lag + 1.0)
+        s_expr = s_expr + 2.0 * w_l * F.sum(f"g{l}")
+    agg = lags.agg(
+        F.max("n").alias("n"), F.max("b").alias("b"),
+        F.max("sxx").alias("sxx"),
+        F.sum("u2").alias("ssr"),
+        s_expr.alias("s_hac"),
+    )
+    se_naive = F.sqrt(
+        F.col("ssr") / (F.col("n") - 2) / F.col("sxx")
+    )
+    se_hac = F.sqrt(F.col("s_hac") / (F.col("sxx") * F.col("sxx")))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round("b", 6).alias("slope"),
+        F.round(se_naive, 6).alias("se_naive"),
+        F.round(se_hac, 6).alias("se_hac"),
+        F.round(F.col("b") / se_naive, 6).alias("t_naive"),
+        F.round(F.col("b") / se_hac, 6).alias("t_hac"),
+        F.round(se_hac / se_naive, 6).alias("hac_inflation"),
+    )
+
+
+def breusch_pagan(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Breusch-Pagan heteroskedasticity test on the time-trend
+    regression: regress squared residuals on the trend index; LM =
+    n * R-squared of the auxiliary fit — does the variance itself
+    trend (load noise growing with load)?  chi-square(1), 95%
+    critical 3.841.
+
+    Two aggregate passes (main OLS, auxiliary OLS on u^2) and a
+    window-free residual projection — all closed form.
+    """
+    w = Window.orderBy(order_col)
+    base = df.select(
+        F.col(value_col).cast("double").alias("y"),
+        F.row_number().over(w).cast("double").alias("t"),
+    )
+    ols = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("t").alias("mt"), F.avg("y").alias("my"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    ).select(
+        "n", "mt", "my",
+        (
+            (F.col("sty") - F.col("n") * F.col("mt") * F.col("my"))
+            / (F.col("stt") - F.col("n") * F.col("mt") * F.col("mt"))
+        ).alias("b"),
+    ).select(
+        "n", "mt", "b",
+        (F.col("my") - F.col("b") * F.col("mt")).alias("a"),
+    )
+    u2 = base.crossJoin(ols).select(
+        "t", "n",
+        F.pow(
+            F.col("y") - F.col("a") - F.col("b") * F.col("t"), 2
+        ).alias("u2"),
+    )
+    aux = u2.agg(
+        F.max("n").alias("n"),
+        F.avg("t").alias("mt"), F.avg("u2").alias("mu"),
+        F.sum(F.col("t") * F.col("u2")).alias("stu"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("u2") * F.col("u2")).alias("suu"),
+    )
+    sxx = F.col("stt") - F.col("n") * F.col("mt") * F.col("mt")
+    sxy = F.col("stu") - F.col("n") * F.col("mt") * F.col("mu")
+    syy = F.col("suu") - F.col("n") * F.col("mu") * F.col("mu")
+    r2 = sxy * sxy / (sxx * syy)
+    lm = F.col("n") * r2
+    return aux.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(r2, 6).alias("aux_r2"),
+        F.round(lm, 6).alias("lm_stat"),
+        (lm > 3.841).alias("heteroskedastic_95"),
+    )
+
+
+def hpa_replay(
+    df: DataFrame,
+    order_col: str,
+    load_col: str,
+    target_per_replica: float,
+    min_replicas: int = 1,
+    max_replicas: int = 20,
+    stabilization: int = 3,
+) -> DataFrame:
+    """Horizontal-autoscaler replay: walk the load series through the
+    HPA rule (desired = ceil(replicas * load/target / replicas) — i.e.
+    ceil(load/target) — clamped to [min,max]; scale UP immediately,
+    scale DOWN only to the max desired over the last ``stabilization``
+    steps) and emit the replica trajectory — the capacity-planning
+    what-if the collector's k8s-cluster metrics feed.
+
+    Genuinely sequential (the stabilization window couples steps), so
+    per series it is the repo's fold contract: collect the bounded
+    rollup series, run the recurrence with the ``aggregate`` HOF
+    in-row, explode back to (bucket, load, desired, replicas).
+    """
+    mn, mx = int(min_replicas), int(max_replicas)
+    base = df.select(
+        F.col(order_col).cast("long").alias("_o"),
+        F.col(load_col).cast("double").alias("_x"),
+    )
+    ser = base.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_o", "_x"))),
+            lambda e: e["_x"],
+        ).alias("_xs"),
+        F.array_sort(F.collect_list("_o")).alias("_os"),
+    )
+    t = float(target_per_replica)
+    fold = (
+        "aggregate(_xs,"
+        f" named_struct('r', cast({mn} as bigint),"
+        " 'd1', cast(0 as bigint), 'd2', cast(0 as bigint),"
+        " 'des', cast(array() as array<bigint>),"
+        " 'rep', cast(array() as array<bigint>)),"
+        " (acc, x) -> "
+        f" named_struct("
+        f" 'r', case when least(greatest(cast(ceil(x / {t}) as bigint),"
+        f" {mn}), {mx}) > acc.r"
+        f" then least(greatest(cast(ceil(x / {t}) as bigint), {mn}), {mx})"
+        f" when greatest(least(greatest(cast(ceil(x / {t}) as bigint),"
+        f" {mn}), {mx}), acc.d1, acc.d2) < acc.r"
+        f" then greatest(least(greatest(cast(ceil(x / {t}) as bigint),"
+        f" {mn}), {mx}), acc.d1, acc.d2)"
+        " else acc.r end,"
+        f" 'd1', least(greatest(cast(ceil(x / {t}) as bigint), {mn}),"
+        f" {mx}),"
+        " 'd2', acc.d1,"
+        f" 'des', concat(acc.des, array(least(greatest("
+        f" cast(ceil(x / {t}) as bigint), {mn}), {mx}))),"
+        f" 'rep', concat(acc.rep, array(case when least(greatest("
+        f" cast(ceil(x / {t}) as bigint), {mn}), {mx}) > acc.r"
+        f" then least(greatest(cast(ceil(x / {t}) as bigint), {mn}),"
+        f" {mx})"
+        f" when greatest(least(greatest(cast(ceil(x / {t}) as bigint),"
+        f" {mn}), {mx}), acc.d1, acc.d2) < acc.r"
+        f" then greatest(least(greatest(cast(ceil(x / {t}) as bigint),"
+        f" {mn}), {mx}), acc.d1, acc.d2)"
+        " else acc.r end))))"
+    )
+    folded = ser.withColumn("_st", F.expr(fold))
+    return folded.select(
+        F.posexplode(
+            F.arrays_zip(
+                "_os", "_xs",
+                F.col("_st").getField("des"),
+                F.col("_st").getField("rep"),
+            )
+        ).alias("_i", "_z"),
+    ).select(
+        F.col("_z._os").alias("bucket"),
+        F.round(F.col("_z._xs"), 4).alias("load"),
+        F.col("_z.des").alias("desired"),
+        F.col("_z.rep").alias("replicas"),
+    ).orderBy("bucket")
+
+
+def slo_multiwindow_alert(
+    df: DataFrame,
+    order_col: str,
+    err_col: str,
+    total_col: str,
+    slo: float = 0.999,
+    page_windows: tuple = (6, 1),
+    page_burn: float = 14.4,
+    ticket_windows: tuple = (24, 6),
+    ticket_burn: float = 6.0,
+) -> DataFrame:
+    """Multi-window multi-burn-rate SLO alerting (the SRE-workbook
+    policy): PAGE when both the long and short page windows burn
+    error budget faster than ``page_burn``x, TICKET likewise at
+    ``ticket_burn``x — short windows gate stale alerts, long windows
+    gate flapping.
+
+    Four rolling-sum windows over the ordered bucket series (rows
+    frames, burn = rate/(1-slo)), one projection.  Emits every
+    bucket with its four burn rates and the two flags.
+    """
+    budget = 1.0 - slo
+    w = Window.orderBy(order_col)
+
+    def burn(nbuckets):
+        fr = w.rowsBetween(-(nbuckets - 1), 0)
+        return (
+            F.sum(F.col("e")).over(fr) / F.sum(F.col("t")).over(fr)
+        ) / budget
+
+    s = df.select(
+        F.col(order_col).alias("bucket"),
+        F.col(err_col).cast("double").alias("e"),
+        F.col(total_col).cast("double").alias("t"),
+    )
+    pl, ps = page_windows
+    tl, ts = ticket_windows
+    out = s.select(
+        "bucket",
+        F.round(burn(pl), 6).alias("burn_page_long"),
+        F.round(burn(ps), 6).alias("burn_page_short"),
+        F.round(burn(tl), 6).alias("burn_ticket_long"),
+        F.round(burn(ts), 6).alias("burn_ticket_short"),
+    )
+    return out.select(
+        "*",
+        (
+            (F.col("burn_page_long") > page_burn)
+            & (F.col("burn_page_short") > page_burn)
+        ).alias("page"),
+        (
+            (F.col("burn_ticket_long") > ticket_burn)
+            & (F.col("burn_ticket_short") > ticket_burn)
+        ).alias("ticket"),
+    ).orderBy("bucket")
+
+
+def rbo_topk(
+    df: DataFrame,
+    epoch_col: str,
+    item_col: str,
+    score_col,
+    k: int = 20,
+    p: float = 0.9,
+) -> DataFrame:
+    """Rank-biased overlap (Webber 2010) between consecutive epochs'
+    top-k lists — how stable is the leaderboard, weighted toward the
+    top?  The drift-detection complement to rank_churn_topk: RBO(p)
+    = (1-p) * sum_{d<=k} p^(d-1) * |A_d n B_d| / d.
+
+    The depth sum collapses in closed form: each item present in
+    BOTH prefixes at ranks (ra, rb) contributes the SUFFIX weight
+    W[max(ra, rb)] with W[m] = sum_{d=m..k} p^(d-1)/d — a bounded
+    literal array, so the whole computation is two rank windows, one
+    epoch-pair self-join on the top-k rows, and an in-row array
+    lookup.  No depth explode.
+    """
+    wsuf = [0.0] * (k + 2)
+    for m in range(k, 0, -1):
+        wsuf[m] = wsuf[m + 1] + p ** (m - 1) / m
+    warr = F.array(*[F.lit(float(wsuf[m])) for m in range(1, k + 1)])
+    wr = Window.partitionBy("ep").orderBy(F.desc("s"), F.asc("it"))
+    ranked = df.groupBy(
+        F.col(epoch_col).alias("ep"), F.col(item_col).alias("it")
+    ).agg(F.sum(score_col.cast("double")).alias("s")).select(
+        "ep", "it", F.row_number().over(wr).alias("rk")
+    ).filter(F.col("rk") <= k)
+    a = ranked.select(
+        F.col("ep").alias("ea"), "it", F.col("rk").alias("ra")
+    )
+    b = ranked.select(
+        (F.col("ep") - 1).alias("ea"), "it", F.col("rk").alias("rb")
+    )
+    j = a.join(b, ["ea", "it"])
+    per = j.groupBy("ea").agg(
+        F.count(F.lit(1)).cast("bigint").alias("overlap_k"),
+        F.sum(
+            F.element_at(warr, F.greatest("ra", "rb"))
+        ).alias("wsum"),
+    )
+    return per.select(
+        F.col("ea").alias("epoch"),
+        (F.col("ea") + 1).alias("next_epoch"),
+        "overlap_k",
+        F.round(F.lit(1.0 - p) * F.col("wsum"), 6).alias("rbo"),
+    ).orderBy("epoch")

@@ -4654,3 +4654,128 @@ def test_betabinomial_overdispersed_vs_pure(spark):
     assert r["var_ratio_vs_binomial"] > 3
     assert r["rho_overdispersion"] > 0.5
     assert r["alpha"] > 0 and abs(r["alpha"] - r["beta"]) < 1e-6
+
+
+def test_engle_granger_cointegrated_vs_independent_walks(spark):
+    from sparkcollector.operators.analytics import engle_granger_coint
+
+    # y = 2x + stationary alternating noise: strongly cointegrated
+    rows, x = [], 0.0
+    v = 1
+    for t in range(400):
+        v = (v * 1103515245 + 12345) % 2147483648
+        x += 1.0 if ((v >> 16) & 1) else -1.0
+        y = 2 * x + (0.5 if t % 2 == 0 else -0.5)
+        rows.append((t, x, y))
+    df = spark.createDataFrame(rows, "o long, x double, y double")
+    r = engle_granger_coint(df, "o", "x", "y").collect()[0]
+    assert abs(r["coint_beta"] - 2.0) < 0.01
+    assert r["df_t_stat"] < -5 and r["cointegrated_5pct"]
+    # two independent walks: residual is itself a walk, t ~ 0
+    rows2, x2, y2 = [], 0.0, 0.0
+    v = 7
+    for t in range(400):
+        v = (v * 1103515245 + 12345) % 2147483648
+        x2 += 1.0 if ((v >> 16) & 1) else -1.0
+        y2 += 1.0 if ((v >> 13) & 1) else -1.0
+        rows2.append((t, x2, y2))
+    df2 = spark.createDataFrame(rows2, "o long, x double, y double")
+    r2 = engle_granger_coint(df2, "o", "x", "y").collect()[0]
+    assert r2["df_t_stat"] > -3.5
+
+
+def test_newey_west_inflates_se_under_autocorrelation(spark):
+    from sparkcollector.operators.analytics import newey_west_trend
+
+    # AR(1)-ish residuals via a slow deterministic sine on top of a
+    # trend: HAC se must exceed the naive se
+    import math
+    rows = [(t, 2.0 * t + 30 * math.sin(t / 8.0)) for t in range(300)]
+    df = spark.createDataFrame(rows, "o long, y double")
+    r = newey_west_trend(df, "o", "y", max_lag=4).collect()[0]
+    assert abs(r["slope"] - 2.0) < 0.05
+    assert r["hac_inflation"] > 1.5
+    assert r["se_hac"] > r["se_naive"]
+
+
+def test_breusch_pagan_fanning_variance(spark):
+    from sparkcollector.operators.analytics import breusch_pagan
+
+    # residual magnitude grows linearly with t -> heteroskedastic
+    rows = [(t, 5.0 * t + (t * 0.5 if t % 2 == 0 else -t * 0.5))
+            for t in range(200)]
+    df = spark.createDataFrame(rows, "o long, y double")
+    r = breusch_pagan(df, "o", "y").collect()[0]
+    assert r["lm_stat"] > 3.841 and r["heteroskedastic_95"]
+    # homoskedastic alternating noise: LM small
+    rows2 = [(t, 5.0 * t + (1.0 if t % 2 == 0 else -1.0))
+             for t in range(200)]
+    df2 = spark.createDataFrame(rows2, "o long, y double")
+    r2 = breusch_pagan(df2, "o", "y").collect()[0]
+    assert not r2["heteroskedastic_95"]
+
+
+def test_hpa_replay_upscale_fast_downscale_stabilized(spark):
+    from sparkcollector.operators.analytics import hpa_replay
+
+    # load spike then drop: upscale is immediate, downscale waits
+    # until the spike leaves the 3-step desired history
+    loads = [10.0, 10.0, 100.0, 10.0, 10.0, 10.0, 10.0]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(loads)], "o int, x double"
+    )
+    out = [r["replicas"] for r in hpa_replay(
+        df, "o", "x", target_per_replica=10.0,
+        min_replicas=1, max_replicas=20).collect()]
+    assert out[0] == 1 and out[1] == 1
+    assert out[2] == 10            # spike: immediate upscale
+    assert out[3] == 10 and out[4] == 10  # stabilization holds
+    assert out[5] == 1             # spike left the 3-step history
+    assert out[6] == 1
+
+
+def test_slo_multiwindow_requires_both_windows(spark):
+    from sparkcollector.operators.analytics import slo_multiwindow_alert
+
+    # 24 clean buckets then a 2-bucket error storm at 2% (20x burn
+    # at slo 0.999): page needs the 6h window to catch up too
+    rows = []
+    for b in range(24):
+        rows.append((b, 0, 1000))
+    for b in range(24, 26):
+        rows.append((b, 20, 1000))
+    df = spark.createDataFrame(rows, "bucket int, e int, t int")
+    out = {r["bucket"]: r for r in slo_multiwindow_alert(
+        df, "bucket", "e", "t").collect()}
+    assert out[10]["burn_page_short"] == 0.0 and not out[10]["page"]
+    # short window fires instantly at 20x; long (6h) window is at
+    # 20/6 ~ 3.3x after one bucket -> NO page yet (flap guard)
+    assert out[24]["burn_page_short"] == 20.0
+    assert not out[24]["page"]
+    assert not out[25]["page"]     # 2/6 of the window at 20x ~ 6.7x
+
+
+def test_rbo_identical_vs_disjoint_lists(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import rbo_topk
+
+    rows = []
+    # epoch 0 and 1: identical rankings (item i scored k-i)
+    for ep in (0, 1):
+        for i in range(10):
+            for _ in range(10 - i):
+                rows.append((ep, i))
+    # epoch 2: disjoint items
+    for i in range(100, 110):
+        for _ in range(110 - i):
+            rows.append((2, i))
+    df = spark.createDataFrame(rows, "ep int, it int")
+    out = {r["epoch"]: r for r in rbo_topk(
+        df, "ep", "it", F.lit(1), k=10, p=0.9).collect()}
+    # identical top-10 lists: truncated RBO = (1-p) sum p^(d-1) -> 
+    # with k=10, p=0.9: 1 - 0.9^10 adjusted by depth weighting < 1
+    assert out[0]["overlap_k"] == 10
+    assert 0.6 < out[0]["rbo"] <= 1.0
+    # disjoint: no join rows -> epoch 1 pair absent entirely
+    assert 1 not in out
