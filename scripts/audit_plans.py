@@ -4244,6 +4244,27 @@ def main() -> None:
            "suffix-weight lookup in-row",
            lambda p: "Window" in p and "Join" in p
            and "Python" not in p)], ""),
+        ("mrr_eval",
+         [("one rank window per query + reduction",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("expected_reciprocal_rank",
+         [("cascade prefix product as a cumulative log-sum window "
+           "(no fold)",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("sample_entropy",
+         [("pairwise self-join restricted to the bounded rollup "
+           "series (documented contract)",
+           lambda p: "Join" in p and "Python" not in p)], ""),
+        ("lz78_complexity",
+         [("per-series in-row dictionary fold, no per-row Python",
+           lambda p: "Python" not in p)], ""),
+        ("canary_verdict",
+         [("tie-corrected rank machinery on the bounded metric x "
+           "cents grid",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("port_scan_detect",
+         [("two keyed aggregates (window then source), no joins",
+           lambda p: "Join" not in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -14047,3 +14047,343 @@ def rbo_topk(
         "overlap_k",
         F.round(F.lit(1.0 - p) * F.col("wsum"), 6).alias("rbo"),
     ).orderBy("epoch")
+
+
+def mrr_eval(
+    df: DataFrame,
+    query_col: str,
+    item_col: str,
+    score_col,
+    relevant_item: str,
+    k: int = 10,
+) -> DataFrame:
+    """Mean reciprocal rank at k: for each query, 1/rank of the first
+    relevant item in its score-ranked list (0 if absent from the top
+    k) — the first-hit retrieval metric beside the repo's nDCG@10
+    and average-precision entries.
+
+    One rank window per query over the (query, item) aggregate, one
+    reduction.  Emits MRR, hit rate@k, and the mean winning rank
+    among hits.
+    """
+    wr = Window.partitionBy("q").orderBy(F.desc("s"), F.asc("it"))
+    ranked = df.groupBy(
+        F.col(query_col).alias("q"), F.col(item_col).alias("it")
+    ).agg(F.sum(score_col.cast("double")).alias("s")).select(
+        "q", "it", F.row_number().over(wr).alias("rk")
+    ).filter(F.col("rk") <= k)
+    rr = ranked.groupBy("q").agg(
+        F.max(
+            F.when(
+                F.col("it") == relevant_item, 1.0 / F.col("rk")
+            ).otherwise(0.0)
+        ).alias("rr"),
+        F.max(
+            F.when(F.col("it") == relevant_item, F.col("rk"))
+        ).alias("hit_rank"),
+    )
+    return rr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.round(F.avg("rr"), 6).alias("mrr"),
+        F.round(
+            F.avg((F.col("rr") > 0).cast("double")), 6
+        ).alias("hit_rate_at_k"),
+        F.round(F.avg("hit_rank"), 6).alias("mean_hit_rank"),
+    )
+
+
+def expected_reciprocal_rank(
+    df: DataFrame,
+    query_col: str,
+    item_col: str,
+    score_col,
+    grade_col,
+    g_max: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """Expected reciprocal rank (Chapelle 2009): cascade-model
+    ranking quality — ERR = sum_i (1/i) R_i prod_{j<i} (1 - R_j)
+    with stop probability R = (2^g - 1)/2^g_max.  Unlike nDCG, a
+    highly relevant early result SUPPRESSES credit for everything
+    below it (the user stopped reading).
+
+    The prefix product is a cumulative log-sum window per query
+    (exp(sum(ln(1-R))) over the preceding frame) — no sequential
+    fold.  Emits per-corpus mean ERR plus the per-rank credit mass.
+    """
+    wr = Window.partitionBy("q").orderBy(F.desc("s"), F.asc("it"))
+    ranked = df.groupBy(
+        F.col(query_col).alias("q"), F.col(item_col).alias("it")
+    ).agg(
+        F.sum(score_col.cast("double")).alias("s"),
+        # graded gain: per-row grades SUM then cap at g_max, so a
+        # grade_col of lit(1) yields g = min(count, g_max)
+        F.least(
+            F.sum(grade_col.cast("double")), F.lit(float(g_max))
+        ).alias("g"),
+    ).select(
+        "q", "it", "g", F.row_number().over(wr).alias("rk")
+    ).filter(F.col("rk") <= k)
+    r_prob = (F.pow(F.lit(2.0), F.col("g")) - 1) / float(2 ** g_max)
+    wprev = (
+        Window.partitionBy("q").orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    terms = ranked.select(
+        "q", "rk", r_prob.alias("r"),
+    ).select(
+        "q", "rk", "r",
+        F.exp(
+            F.coalesce(
+                F.sum(F.log(1 - F.col("r") + 1e-12)).over(wprev),
+                F.lit(0.0),
+            )
+        ).alias("survive"),
+    ).select(
+        "q", "rk",
+        (F.col("r") * F.col("survive") / F.col("rk")).alias("credit"),
+    )
+    per_q = terms.groupBy("q").agg(F.sum("credit").alias("err"))
+    return per_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.round(F.avg("err"), 6).alias("mean_err"),
+        F.round(F.min("err"), 6).alias("min_err"),
+        F.round(F.max("err"), 6).alias("max_err"),
+    )
+
+
+def sample_entropy(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    r_frac: float = 0.2,
+) -> DataFrame:
+    """Sample entropy (m=2) of a rollup series: -ln(A/B) where B =
+    matching template pairs of length 2 and A of length 3 under
+    tolerance r = r_frac * std — the regularity score that separates
+    metronomic (SampEn ~ 0) from white-noise load (SampEn high),
+    complementing permutation entropy with an amplitude-aware view.
+
+    Templates via two lead windows, pairs via a self-join restricted
+    to i < j — quadratic in the SERIES length, which is the bounded
+    rollup contract (document: |series| <= ~10^4), never the raw
+    event count.  Explicit sum/sumsq std so the tolerance is
+    engine-portable.
+    """
+    w = Window.orderBy(order_col)
+    base = df.select(
+        F.col(value_col).cast("double").alias("x"),
+        F.row_number().over(w).alias("i"),
+        F.lead(F.col(value_col).cast("double"), 1).over(w).alias("x1"),
+        F.lead(F.col(value_col).cast("double"), 2).over(w).alias("x2"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    ).select(
+        "n",
+        F.sqrt(
+            F.col("ss") / F.col("n")
+            - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+        ).alias("sd"),
+    )
+    t = base.filter(F.col("x2").isNotNull()).crossJoin(stats)
+    a_side = t.select(
+        "i", "x", "x1", "x2", (F.col("sd") * r_frac).alias("r")
+    )
+    b_side = a_side.select(
+        F.col("i").alias("j"), F.col("x").alias("y"),
+        F.col("x1").alias("y1"), F.col("x2").alias("y2"),
+    )
+    pairs = a_side.crossJoin(b_side).filter(F.col("i") < F.col("j"))
+    m2 = (
+        F.greatest(
+            F.abs(F.col("x") - F.col("y")),
+            F.abs(F.col("x1") - F.col("y1")),
+        ) <= F.col("r")
+    )
+    m3 = m2 & (F.abs(F.col("x2") - F.col("y2")) <= F.col("r"))
+    agg = pairs.agg(
+        F.sum(m2.cast("long")).cast("double").alias("b"),
+        F.sum(m3.cast("long")).cast("double").alias("a"),
+    )
+    return agg.crossJoin(stats).select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round("sd", 6).alias("std"),
+        F.col("b").cast("bigint").alias("b_pairs"),
+        F.col("a").cast("bigint").alias("a_pairs"),
+        F.round(
+            F.when(
+                (F.col("a") > 0) & (F.col("b") > 0),
+                -F.log(F.col("a") / F.col("b")),
+            ),
+            6,
+        ).alias("sampen"),
+    )
+
+
+def lz78_complexity(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    state_col,
+) -> DataFrame:
+    """LZ78 phrase complexity of a binarized series: greedy-parse the
+    symbol stream into novel phrases; the phrase count (normalized by
+    n/log2 n, the random-sequence asymptote) separates templated
+    periodic load (low) from noise (near 1) — the dictionary-based
+    complement to permutation/sample entropy.
+
+    Sequential by nature -> per-series in-row fold (the repo's
+    Kalman/Croston contract, bounded rollup series): state is the
+    phrase dictionary as a delimited string, the current phrase, and
+    the phrase count.  A trailing partial phrase counts as one.
+    """
+    base = df.select(
+        *group_cols,
+        F.col(order_col).cast("long").alias("_o"),
+        state_col.cast("int").cast("string").alias("_b"),
+    )
+    ser = base.groupBy(*group_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_o", "_b"))),
+            lambda e: e["_b"],
+        ).alias("_bs"),
+    )
+    fold = (
+        "aggregate(_bs,"
+        " named_struct('dict', cast('|' as string),"
+        " 'cur', cast('' as string), 'c', cast(0 as bigint)),"
+        " (acc, ch) -> case"
+        " when instr(acc.dict, '|' || acc.cur || ch || '|') > 0"
+        " then named_struct('dict', acc.dict,"
+        " 'cur', acc.cur || ch, 'c', acc.c)"
+        " else named_struct("
+        " 'dict', acc.dict || acc.cur || ch || '|',"
+        " 'cur', cast('' as string), 'c', acc.c + 1) end,"
+        " acc -> named_struct('dict', acc.dict, 'cur', acc.cur,"
+        " 'c', acc.c + case when acc.cur <> '' then 1 else 0 end))"
+    )
+    folded = ser.withColumn("_st", F.expr(fold))
+    n = F.size("_bs").cast("double")
+    c = F.col("_st").getField("c").cast("double")
+    return folded.select(
+        *group_cols,
+        F.size("_bs").cast("bigint").alias("n_symbols"),
+        F.col("_st").getField("c").alias("n_phrases"),
+        F.round(c / (n / F.log2(n)), 6).alias("normalized_complexity"),
+    )
+
+
+def canary_verdict(
+    df: DataFrame,
+    metric_col: str,
+    group_col,
+    value_col,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Kayenta-style canary analysis: per metric, compare the canary
+    population against control with the Mann-Whitney rank-sum z
+    (computed on the bounded cents grid, tie-corrected midranks) and
+    classify Pass / High / Low; the run verdict is the share of
+    passing metrics.
+
+    All rank machinery lives on the (metric x distinct-cents) grid —
+    the Brunner-Munzel/Jonckheere scale pattern.  Emits one row per
+    metric plus classification.
+    """
+    g = df.select(
+        F.col(metric_col).alias("m"),
+        group_col.cast("int").alias("cn"),
+        F.round(value_col.cast("double") * 100).cast("long").alias("v"),
+    ).groupBy("m", "v").agg(
+        F.count(F.lit(1)).cast("double").alias("c"),
+        F.sum("cn").cast("double").alias("c1"),
+    )
+    wlt = (
+        Window.partitionBy("m").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mid = g.select(
+        "m", "v", "c", "c1",
+        (
+            F.coalesce(F.sum("c").over(wlt), F.lit(0.0))
+            + (F.col("c") + 1) / 2
+        ).alias("midrank"),
+    )
+    agg = mid.groupBy("m").agg(
+        F.sum(F.col("c1") * F.col("midrank")).alias("r1"),
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n2"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie3"),
+    )
+    n = F.col("n1") + F.col("n2")
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2
+    mu = F.col("n1") * F.col("n2") / 2
+    var = (
+        F.col("n1") * F.col("n2") / 12
+        * ((n + 1) - F.col("tie3") / (n * (n - 1)))
+    )
+    z = (u - mu) / F.sqrt(var)
+    cls = (
+        F.when(z > z_crit, F.lit("High"))
+        .when(z < -z_crit, F.lit("Low"))
+        .otherwise(F.lit("Pass"))
+    )
+    per = agg.select(
+        F.col("m").alias("metric"),
+        F.col("n1").cast("bigint").alias("n_canary"),
+        F.col("n2").cast("bigint").alias("n_control"),
+        F.round(u, 2).alias("mw_u"),
+        F.round(z, 6).alias("z"),
+        cls.alias("classification"),
+    )
+    score = per.agg(
+        F.round(
+            F.avg((F.col("classification") == "Pass").cast("double")),
+            6,
+        ).alias("pass_share")
+    )
+    return per.crossJoin(score).orderBy("metric")
+
+
+def port_scan_detect(
+    df: DataFrame,
+    src_col: str,
+    port_col: str,
+    ts_col: str,
+    window_s: int = 60,
+    min_ports: int = 15,
+) -> DataFrame:
+    """Port-scan detector: sources touching many DISTINCT ports
+    within a short tumbling window — wide-and-shallow across ports,
+    the service-surface analogue of the password spray.  Per (src,
+    window): distinct ports, total probes; emits sources whose WORST
+    window crosses ``min_ports``, with their scanning profile.
+    """
+    b = df.select(
+        F.col(src_col).alias("src"),
+        F.col(port_col).alias("port"),
+        F.floor(F.unix_timestamp(ts_col) / window_s).alias("win"),
+    )
+    per_win = b.groupBy("src", "win").agg(
+        F.countDistinct("port").alias("ports"),
+        F.count(F.lit(1)).alias("probes"),
+    )
+    worst = per_win.groupBy("src").agg(
+        F.max("ports").cast("bigint").alias("max_ports_per_win"),
+        F.countDistinct("win").cast("bigint").alias("active_windows"),
+        F.sum("probes").cast("bigint").alias("total_probes"),
+    )
+    return worst.filter(
+        F.col("max_ports_per_win") >= min_ports
+    ).select(
+        "src", "max_ports_per_win", "active_windows", "total_probes",
+        F.round(
+            F.col("total_probes") / F.col("active_windows").cast("double"),
+            6,
+        ).alias("probes_per_window"),
+    ).orderBy("src")

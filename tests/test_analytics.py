@@ -4779,3 +4779,137 @@ def test_rbo_identical_vs_disjoint_lists(spark):
     assert 0.6 < out[0]["rbo"] <= 1.0
     # disjoint: no join rows -> epoch 1 pair absent entirely
     assert 1 not in out
+
+
+def test_mrr_first_hit_positions(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import mrr_eval
+
+    # q1: relevant at rank 1 (score 10); q2: rank 2; q3: absent
+    rows = [
+        ("q1", "rel", 10), ("q1", "b", 5),
+        ("q2", "a", 10), ("q2", "rel", 5), ("q2", "c", 1),
+        ("q3", "a", 10), ("q3", "b", 5),
+    ]
+    df = spark.createDataFrame(rows, "q string, it string, s int")
+    r = mrr_eval(df, "q", "it", F.col("s"), "rel", k=5).collect()[0]
+    assert r["n_queries"] == 3
+    assert abs(r["mrr"] - (1.0 + 0.5 + 0.0) / 3) < 1e-9
+    assert abs(r["hit_rate_at_k"] - 2 / 3) < 1e-6
+    assert abs(r["mean_hit_rank"] - 1.5) < 1e-9
+
+
+def test_err_early_strong_hit_suppresses_tail(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import expected_reciprocal_rank
+
+    # one query, top item max grade: R1 = 15/16, so ERR ~ 15/16
+    # plus a tiny suppressed tail contribution
+    rows = ([("q", "top", 100, 1)] * 4
+            + [("q", "mid", 50, 1)] * 4 + [("q", "low", 10, 1)])
+    df = spark.createDataFrame(rows, "q string, it string, s int, g int")
+    r = expected_reciprocal_rank(
+        df, "q", "it", F.col("s"), F.col("g"), g_max=4, k=10
+    ).collect()[0]
+    # R_top = (2^4-1)/16 = 0.9375; tail suppressed by (1-0.9375)
+    assert 0.93 < r["mean_err"] < 0.98
+    # flat low grades: ERR far smaller
+    rows2 = [("q", it, 10 - i, 1) for i, it in enumerate("abcde")]
+    df2 = spark.createDataFrame(rows2, "q string, it string, s int, g int")
+    r2 = expected_reciprocal_rank(
+        df2, "q", "it", F.col("s"), F.col("g"), g_max=4, k=10
+    ).collect()[0]
+    assert r2["mean_err"] < 0.2
+
+
+def test_sample_entropy_regular_vs_noisy(spark):
+    from sparkcollector.operators.analytics import sample_entropy
+
+    # constant series: every template matches -> A == B, SampEn 0
+    const = spark.createDataFrame(
+        [(i, 5.0) for i in range(60)], "o int, x double"
+    )
+    r = sample_entropy(const, "o", "x").collect()[0]
+    assert r["a_pairs"] == r["b_pairs"] and r["sampen"] == 0.0
+    # pseudo-random series: far fewer length-3 matches
+    rows, v = [], 1
+    for i in range(200):
+        v = (v * 1103515245 + 12345) % 2147483648
+        rows.append((i, float((v >> 16) % 100)))
+    noisy = spark.createDataFrame(rows, "o int, x double")
+    r2 = sample_entropy(noisy, "o", "x").collect()[0]
+    assert r2["sampen"] is None or r2["sampen"] > 0.5
+
+
+def test_lz78_periodic_vs_noisy(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import lz78_complexity
+
+    rows = []
+    # constant run: phrases grow in length -> O(sqrt n) phrases;
+    # noisy LCG bits -> near the n/log2(n) asymptote
+    v = 1
+    for i in range(256):
+        rows.append(("const", i, False))
+        v = (v * 1103515245 + 12345) % 2147483648
+        rows.append(("rnd", i, ((v >> 16) & 1) == 1))
+    df = spark.createDataFrame(rows, "g string, o int, b boolean")
+    out = {r["g"]: r for r in lz78_complexity(
+        df, ["g"], "o", F.col("b")).collect()}
+    assert out["const"]["n_symbols"] == 256
+    # 0,00,000,... : k phrases cover k(k+1)/2 symbols -> ~22
+    assert out["const"]["n_phrases"] <= 23
+    assert out["const"]["n_phrases"] < out["rnd"]["n_phrases"]
+    assert (out["const"]["normalized_complexity"]
+            < out["rnd"]["normalized_complexity"])
+    assert out["rnd"]["normalized_complexity"] > 0.8
+    # known tiny case: '001' parses as 0, 01 -> 2 phrases
+    tiny = spark.createDataFrame(
+        [("t", 0, False), ("t", 1, False), ("t", 2, True)],
+        "g string, o int, b boolean",
+    )
+    rt = lz78_complexity(tiny, ["g"], "o", F.col("b")).collect()[0]
+    assert rt["n_phrases"] == 2
+
+
+def test_canary_verdict_detects_shifted_metric(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import canary_verdict
+
+    rows = []
+    for i in range(200):
+        cn = 1 if i % 10 == 0 else 0
+        # latency: canary 2x slower; errors: identical
+        rows.append(("latency", cn, 10.0 + (10.0 if cn else 0.0)
+                     + (i % 5)))
+        rows.append(("errors", cn, 1.0 + (i % 3)))
+    df = spark.createDataFrame(rows, "m string, cn int, v double")
+    out = {r["metric"]: r for r in canary_verdict(
+        df, "m", F.col("cn"), F.col("v")).collect()}
+    assert out["latency"]["classification"] == "High"
+    assert out["errors"]["classification"] == "Pass"
+    assert out["latency"]["pass_share"] == 0.5
+
+
+def test_port_scan_flags_wide_sources(spark):
+    from datetime import datetime, timedelta
+
+    from sparkcollector.operators.analytics import port_scan_detect
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # scanner: 20 distinct ports inside one minute
+    for p in range(20):
+        rows.append(("scanner", p, base + timedelta(seconds=p)))
+    # normal: 3 ports, many probes
+    for i in range(30):
+        rows.append(("normal", i % 3, base + timedelta(seconds=i)))
+    df = spark.createDataFrame(rows, "src string, port int, ts timestamp")
+    out = port_scan_detect(df, "src", "port", "ts",
+                           window_s=60, min_ports=15).collect()
+    assert [r["src"] for r in out] == ["scanner"]
+    assert out[0]["max_ports_per_win"] == 20
