@@ -4265,6 +4265,17 @@ def main() -> None:
         ("port_scan_detect",
          [("two keyed aggregates (window then source), no joins",
            lambda p: "Join" not in p and "Python" not in p)], ""),
+        ("binseg_changepoints",
+         [("prefix-sum windows + rank-1 argmax, splits rejoined as "
+           "1-row aggregates (no driver state)",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("zip_mom_fit",
+         [("single aggregate pass, closed-form MoM",
+           lambda p: "Window" not in p and "Python" not in p)], ""),
+        ("tail_dependence",
+         [("exact count-logic quantiles on the bounded grid + one "
+           "reduction",
+           lambda p: "Window" in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

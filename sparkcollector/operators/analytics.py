@@ -14387,3 +14387,224 @@ def port_scan_detect(
             6,
         ).alias("probes_per_window"),
     ).orderBy("src")
+
+
+def binseg_changepoints(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Greedy binary-segmentation changepoint detection (two rounds,
+    piecewise-constant mean, SSE cost): find the best split of the
+    series, then the best split of whichever half improves most —
+    up to 3 segments.  The multi-change complement to the repo's
+    single-change CUSUM/Pettitt entries.
+
+    Entirely in-plan: prefix sums via one ordered window, candidate
+    gains in-row, argmax via rank-1 windows, the chosen splits
+    cross-joined back as 1-row aggregates — no driver-side state.
+    Quadratic in NOTHING: every stage is linear in the bounded
+    rollup series.  Emits (segment, start, end, n, mean, sse).
+    """
+    w = Window.orderBy(order_col)
+    wi = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    c = df.select(
+        F.col(value_col).cast("double").alias("x"),
+        F.row_number().over(w).cast("double").alias("i"),
+    ).select(
+        "x", "i",
+        F.sum("x").over(wi).alias("cs"),
+        F.sum(F.col("x") * F.col("x")).over(wi).alias("css"),
+    ).localCheckpoint(eager=True)
+    tot = c.agg(
+        F.max("i").alias("n"), F.max("cs").alias("s"),
+        F.max("css").alias("ss"),
+    )
+
+    def sse(cnt, sm, sq):
+        return sq - sm * sm / cnt
+
+    cand1 = c.crossJoin(tot).filter(F.col("i") < F.col("n")).select(
+        F.col("i").alias("s1"),
+        (
+            sse(F.col("n"), F.col("s"), F.col("ss"))
+            - sse(F.col("i"), F.col("cs"), F.col("css"))
+            - sse(
+                F.col("n") - F.col("i"),
+                F.col("s") - F.col("cs"),
+                F.col("ss") - F.col("css"),
+            )
+        ).alias("_g1"),
+    ).select("s1", F.round("_g1", 9).alias("gain1"))
+    r1 = Window.orderBy(F.desc("gain1"), F.asc("s1"))
+    best1 = cand1.select(
+        "*", F.row_number().over(r1).alias("rk")
+    ).filter(F.col("rk") == 1).select("s1", "gain1")
+    # round 2: best internal split of either resulting segment
+    cc = c.crossJoin(best1).crossJoin(tot)
+    seg = F.when(F.col("i") <= F.col("s1"), F.lit(0)).otherwise(F.lit(1))
+    lo = F.when(seg == 0, F.lit(0.0)).otherwise(F.col("s1"))
+    hi = F.when(seg == 0, F.col("s1")).otherwise(F.col("n"))
+    cand2 = cc.select(
+        "i", "cs", "css", "s1", "n", "s", "ss",
+        seg.alias("seg"), lo.alias("lo"), hi.alias("hi"),
+    )
+    # prefix sums at the segment's left boundary (0 for seg 0, at s1
+    # for seg 1) come from the split row itself
+    at_s1 = c.crossJoin(best1).filter(
+        F.col("i") == F.col("s1")
+    ).select(
+        F.col("cs").alias("cs1"), F.col("css").alias("css1")
+    )
+    cand2 = cand2.crossJoin(at_s1).filter(
+        F.col("i") < F.col("hi")
+    ).select(
+        "seg", "lo", "hi", F.col("i").alias("s2"),
+        (
+            sse(
+                F.col("hi") - F.col("lo"),
+                F.when(F.col("seg") == 0, F.col("cs1"))
+                .otherwise(F.col("s") - F.col("cs1")),
+                F.when(F.col("seg") == 0, F.col("css1"))
+                .otherwise(F.col("ss") - F.col("css1")),
+            )
+            - sse(
+                F.col("i") - F.col("lo"),
+                F.col("cs") - F.when(F.col("seg") == 0, F.lit(0.0))
+                .otherwise(F.col("cs1")),
+                F.col("css") - F.when(F.col("seg") == 0, F.lit(0.0))
+                .otherwise(F.col("css1")),
+            )
+            - sse(
+                F.col("hi") - F.col("i"),
+                F.when(F.col("seg") == 0, F.col("cs1"))
+                .otherwise(F.col("s")) - F.col("cs"),
+                F.when(F.col("seg") == 0, F.col("css1"))
+                .otherwise(F.col("ss")) - F.col("css"),
+            )
+        ).alias("_g2"),
+    ).filter(F.col("s2") > F.col("lo")).select(
+        "seg", "lo", "hi", "s2", F.round("_g2", 9).alias("gain2")
+    )
+    r2 = Window.orderBy(F.desc("gain2"), F.asc("s2"))
+    best2 = cand2.select(
+        "*", F.row_number().over(r2).alias("rk")
+    ).filter(F.col("rk") == 1).select("s2", "gain2")
+    # final segmentation: breaks at s1 and s2
+    seg_rows = c.crossJoin(best1).crossJoin(best2).select(
+        "x", "i",
+        F.when(
+            F.col("i") <= F.least("s1", "s2"), F.lit(0)
+        ).when(
+            F.col("i") <= F.greatest("s1", "s2"), F.lit(1)
+        ).otherwise(F.lit(2)).alias("segment"),
+        F.round("gain1", 4).alias("gain1"),
+        F.round("gain2", 4).alias("gain2"),
+    )
+    return seg_rows.groupBy("segment", "gain1", "gain2").agg(
+        F.min("i").cast("bigint").alias("start_idx"),
+        F.max("i").cast("bigint").alias("end_idx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("x"), 6).alias("seg_mean"),
+        F.round(
+            F.sum(F.col("x") * F.col("x"))
+            - F.sum("x") * F.sum("x") / F.count(F.lit(1)),
+            4,
+        ).alias("seg_sse"),
+    ).orderBy("segment")
+
+
+def zip_mom_fit(
+    df: DataFrame,
+    count_col: str,
+) -> DataFrame:
+    """Zero-inflated Poisson method-of-moments fit over a count
+    column: lambda = (var + mean^2 - mean)/mean, pi = 1 - mean/
+    lambda — does the excess-zero mass come from a separate
+    'structurally inactive' population?  Emits the fit plus the
+    model-vs-observed zero share (the diagnostic that justifies ZIP
+    over plain Poisson).  One aggregate pass.
+    """
+    a = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(F.col(count_col).cast("double")).alias("m"),
+        F.avg(
+            F.col(count_col).cast("double")
+            * F.col(count_col).cast("double")
+        ).alias("m2"),
+        F.avg(
+            (F.col(count_col) == 0).cast("double")
+        ).alias("p0_obs"),
+    )
+    var = F.col("m2") - F.col("m") * F.col("m")
+    lam = (var + F.col("m") * F.col("m") - F.col("m")) / F.col("m")
+    pi = 1 - F.col("m") / lam
+    p0_model = pi + (1 - pi) * F.exp(-lam)
+    return a.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round("m", 6).alias("mean"),
+        F.round(var, 6).alias("var"),
+        F.round(lam, 6).alias("lambda_fit"),
+        F.round(pi, 6).alias("pi_zero_inflation"),
+        F.round("p0_obs", 6).alias("zero_share_observed"),
+        F.round(p0_model, 6).alias("zero_share_model"),
+    )
+
+
+def tail_dependence(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    q: float = 0.9,
+) -> DataFrame:
+    """Upper-tail dependence between two series: chi(q) = P(X > x_q
+    AND Y > y_q) / P(Y > y_q) — do the two metrics CO-CRASH beyond
+    what correlation says?  Under independence chi -> 1-q; chi near
+    1 means joint extremes.
+
+    Thresholds are exact type-1 quantiles computed by integer count
+    logic on the bounded distinct-value grid (smallest value whose
+    cumulative count reaches ceil(q*n)) — engine-portable with no
+    interpolation-rule ambiguity.  Two grid windows, one reduction.
+    """
+    base = df.select(
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).localCheckpoint(eager=True)
+    n = base.count()
+    rank_target = -(-q * n // 1)  # ceil
+
+    def thresh(col):
+        g = base.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        wc = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return g.select(
+            F.col(col).alias("v"), F.sum("c").over(wc).alias("cum")
+        ).filter(F.col("cum") >= F.lit(rank_target)).agg(
+            F.min("v").alias(f"q_{col}")
+        )
+    j = base.crossJoin(thresh("x")).crossJoin(thresh("y"))
+    agg = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(
+            ((F.col("x") > F.col("q_x")) & (F.col("y") > F.col("q_y")))
+            .cast("long")
+        ).cast("double").alias("both"),
+        F.sum((F.col("y") > F.col("q_y")).cast("long"))
+        .cast("double").alias("ytail"),
+        F.max("q_x").alias("q_x"),
+        F.max("q_y").alias("q_y"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round("q_x", 4).alias("x_threshold"),
+        F.round("q_y", 4).alias("y_threshold"),
+        F.col("both").cast("bigint").alias("n_joint_exceed"),
+        F.col("ytail").cast("bigint").alias("n_y_exceed"),
+        F.round(
+            F.when(F.col("ytail") > 0, F.col("both") / F.col("ytail")),
+            6,
+        ).alias("chi_tail_dep"),
+        F.round(F.lit(1.0 - q), 6).alias("chi_independent"),
+    )

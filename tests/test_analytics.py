@@ -4913,3 +4913,58 @@ def test_port_scan_flags_wide_sources(spark):
                            window_s=60, min_ports=15).collect()
     assert [r["src"] for r in out] == ["scanner"]
     assert out[0]["max_ports_per_win"] == 20
+
+
+def test_binseg_finds_two_level_shifts(spark):
+    from sparkcollector.operators.analytics import binseg_changepoints
+
+    # three flat levels 10 / 50 / 25, 30 points each
+    rows = ([(i, 10.0) for i in range(30)]
+            + [(30 + i, 50.0) for i in range(30)]
+            + [(60 + i, 25.0) for i in range(30)])
+    df = spark.createDataFrame(rows, "o int, x double")
+    out = {r["segment"]: r for r in
+           binseg_changepoints(df, "o", "x").collect()}
+    assert len(out) == 3
+    assert out[0]["seg_mean"] == 10.0 and out[0]["n"] == 30
+    assert out[1]["seg_mean"] == 50.0 and out[1]["n"] == 30
+    assert out[2]["seg_mean"] == 25.0 and out[2]["n"] == 30
+    assert out[0]["seg_sse"] == 0.0
+
+
+def test_zip_mom_recovers_planted_mixture(spark):
+    from sparkcollector.operators.analytics import zip_mom_fit
+
+    # 40% structural zeros + Poisson(4)-ish deterministic counts
+    rows = []
+    pois = [2, 3, 4, 4, 5, 6, 4, 3, 5, 4]   # mean 4, var 1.2
+    for i in range(1000):
+        if i % 5 < 2:
+            rows.append((0,))
+        else:
+            rows.append((pois[i % 10],))
+    df = spark.createDataFrame(rows, "k int")
+    r = zip_mom_fit(df, "k").collect()[0]
+    # the deterministic replicate list is UNDER-dispersed relative to
+    # a true Poisson(4), which biases MoM pi downward — direction and
+    # rough magnitude still recover the planted inflation
+    assert r["pi_zero_inflation"] > 0.2
+    assert 2.5 < r["lambda_fit"] < 6.0
+    assert abs(r["zero_share_observed"] - 0.4) < 0.01
+
+
+def test_tail_dependence_coupled_vs_independent(spark):
+    from sparkcollector.operators.analytics import tail_dependence
+
+    rows = []
+    for i in range(500):
+        x = float(i % 100)
+        rows.append((i, x, x))               # perfectly coupled
+    df = spark.createDataFrame(rows, "o int, x double, y double")
+    r = tail_dependence(df.select("x", "y"), "x", "y", 0.9).collect()[0]
+    assert r["chi_tail_dep"] == 1.0          # co-crash always
+    # anti-coupled: x high exactly when y low
+    rows2 = [(float(i % 100), float(99 - i % 100)) for i in range(500)]
+    df2 = spark.createDataFrame(rows2, "x double, y double")
+    r2 = tail_dependence(df2, "x", "y", 0.9).collect()[0]
+    assert r2["chi_tail_dep"] == 0.0
