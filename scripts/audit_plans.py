@@ -4276,6 +4276,29 @@ def main() -> None:
          [("exact count-logic quantiles on the bounded grid + one "
            "reduction",
            lambda p: "Window" in p and "Python" not in p)], ""),
+        ("cochrans_q",
+         [("zero-filled unit x item incidence; two keyed aggregates",
+           lambda p: "Python" not in p)], ""),
+        ("icc_oneway",
+         [("one group aggregate + one reduction, ANOVA from power "
+           "sums",
+           lambda p: "Window" not in p and "Join" not in p
+           and "Python" not in p)], ""),
+        ("mcc_best_threshold",
+         [("confusion sweep from two cumulative grid windows + "
+           "rank-1 argmax",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("speaker_dominance",
+         [("gaps-and-islands run windows + keyed aggregates",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("adjacent_turn_overlap",
+         [("in-row array set ops + one lead window, no posting "
+           "lists",
+           lambda p: "Window" in p and "Join" not in p
+           and "Python" not in p)], ""),
+        ("wilcoxon_signed_rank",
+         [("midranks on the bounded |d| grid only",
+           lambda p: "Window" in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -14608,3 +14608,322 @@ def tail_dependence(
         ).alias("chi_tail_dep"),
         F.round(F.lit(1.0 - q), 6).alias("chi_independent"),
     )
+
+
+def cochrans_q(
+    df: DataFrame,
+    unit_col: str,
+    item_col: str,
+    success_col,
+    items: list[str],
+) -> DataFrame:
+    """Cochran's Q test for k matched binary treatments: do the
+    items' success rates differ when every unit experiences all k?
+    (Here: does a user engage with click vs view vs purchase at the
+    same rate?)  Q = k(k-1) sum_j (G_j - Gbar)^2 / (k sum L_i -
+    sum L_i^2), chi-square(k-1) under H0 — the binary sibling of the
+    repo's Friedman test.
+
+    Zero-filled (unit x item) incidence via a literal item explode
+    (complete-block requirement), two keyed aggregates, one
+    reduction.  Flag at the chi2 95% point for k-1 df, passed by the
+    caller.
+    """
+    k = len(items)
+    cells = df.groupBy(
+        F.col(unit_col).alias("unit"), F.col(item_col).alias("item")
+    ).agg(
+        F.max(success_col.cast("int")).alias("y")
+    )
+    grid = cells.select("unit").distinct().select(
+        "unit",
+        F.explode(F.array(*[F.lit(i) for i in items])).alias("item"),
+    )
+    full = grid.join(cells, ["unit", "item"], "left").select(
+        "unit", "item",
+        F.coalesce("y", F.lit(0)).cast("double").alias("y"),
+    )
+    rows_l = full.groupBy("unit").agg(F.sum("y").alias("l"))
+    lsum = rows_l.agg(
+        F.sum("l").alias("sl"),
+        F.sum(F.col("l") * F.col("l")).alias("sl2"),
+        F.count(F.lit(1)).cast("double").alias("n_units"),
+    )
+    cols_g = full.groupBy("item").agg(F.sum("y").alias("g"))
+    gdev = cols_g.crossJoin(lsum).agg(
+        F.sum(
+            (F.col("g") - F.col("sl") / k)
+            * (F.col("g") - F.col("sl") / k)
+        ).alias("ssg"),
+        F.max("sl").alias("sl"),
+        F.max("sl2").alias("sl2"),
+        F.max("n_units").alias("n_units"),
+    )
+    den = k * F.col("sl") - F.col("sl2")
+    # every unit succeeding on ALL items (or none) leaves no within-
+    # unit variance: Q is undefined -> NULL, matching the oracle
+    q = F.when(den > 0, k * (k - 1) * F.col("ssg") / den)
+    return gdev.select(
+        F.lit(k).cast("bigint").alias("k_items"),
+        F.col("n_units").cast("bigint").alias("n_units"),
+        F.lit(k - 1).cast("bigint").alias("df"),
+        F.round(q, 6).alias("q_stat"),
+    )
+
+
+def icc_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+) -> DataFrame:
+    """One-way intraclass correlation ICC(1): what share of total
+    variance is BETWEEN groups?  (Are a conversation's latencies
+    more alike than the corpus at large — the clustering-degree
+    input to design-effect corrections.)  Unequal group sizes use
+    the standard k0 = (N - sum n_i^2 / N)/(g-1) adjustment.
+
+    One group aggregate + one reduction; ANOVA sums from power sums
+    (engine-portable float path).
+    """
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_i"),
+        F.sum(value_col.cast("double")).alias("s_i"),
+        F.sum(
+            value_col.cast("double") * value_col.cast("double")
+        ).alias("ss_i"),
+    )
+    a = g.agg(
+        F.count(F.lit(1)).cast("double").alias("g"),
+        F.sum("n_i").alias("n"),
+        F.sum("s_i").alias("s"),
+        F.sum("ss_i").alias("ss"),
+        F.sum(F.col("s_i") * F.col("s_i") / F.col("n_i")).alias("sb"),
+        F.sum(F.col("n_i") * F.col("n_i")).alias("sn2"),
+    )
+    ss_total = F.col("ss") - F.col("s") * F.col("s") / F.col("n")
+    ss_between = F.col("sb") - F.col("s") * F.col("s") / F.col("n")
+    ss_within = F.col("ss") - F.col("sb")
+    msb = ss_between / (F.col("g") - 1)
+    msw = ss_within / (F.col("n") - F.col("g"))
+    k0 = (
+        F.col("n") - F.col("sn2") / F.col("n")
+    ) / (F.col("g") - 1)
+    icc = (msb - msw) / (msb + (k0 - 1) * msw)
+    return a.select(
+        F.col("g").cast("bigint").alias("n_groups"),
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round(msb, 6).alias("ms_between"),
+        F.round(msw, 6).alias("ms_within"),
+        F.round(k0, 6).alias("k0"),
+        F.round(icc, 6).alias("icc1"),
+        F.round(ss_between / ss_total, 6).alias("eta_squared"),
+    )
+
+
+def mcc_best_threshold(
+    df: DataFrame,
+    score_col,
+    label_col,
+) -> DataFrame:
+    """Matthews-correlation threshold sweep on the bounded cents
+    grid: for every candidate cutoff (each distinct score), the full
+    confusion matrix comes from two cumulative windows — no per-
+    threshold rescan — and the argmax-MCC cutoff is a rank-1 window.
+    The class-imbalance-honest counterpart of the repo's
+    classifier_threshold_eval (F1 favors the majority class; MCC
+    does not).
+    """
+    g = df.select(
+        F.round(score_col.cast("double") * 100).cast("long").alias("v"),
+        label_col.cast("double").alias("y"),
+    ).groupBy("v").agg(
+        F.count(F.lit(1)).cast("double").alias("c"),
+        F.sum("y").alias("pos"),
+    )
+    tot = g.agg(
+        F.sum("c").alias("n"), F.sum("pos").alias("p")
+    )
+    wge = Window.orderBy("v").rowsBetween(0, Window.unboundedFollowing)
+    cum = g.select(
+        "v",
+        F.sum("pos").over(wge).alias("tp"),
+        F.sum(F.col("c") - F.col("pos")).over(wge).alias("fp"),
+    ).crossJoin(tot).select(
+        "v", "tp", "fp",
+        (F.col("p") - F.col("tp")).alias("fn"),
+        (F.col("n") - F.col("p") - F.col("fp")).alias("tn"),
+    )
+    num = F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")
+    den = F.sqrt(
+        (F.col("tp") + F.col("fp")) * (F.col("tp") + F.col("fn"))
+        * (F.col("tn") + F.col("fp")) * (F.col("tn") + F.col("fn"))
+    )
+    mcc = F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    scored = cum.select(
+        "v", "tp", "fp", "fn", "tn",
+        F.round(mcc, 9).alias("mcc"),
+    )
+    r = Window.orderBy(F.desc("mcc"), F.asc("v"))
+    return scored.select(
+        "*", F.row_number().over(r).alias("rk")
+    ).filter(F.col("rk") == 1).select(
+        (F.col("v") / 100.0).alias("best_threshold"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.col("tn").cast("bigint").alias("tn"),
+        F.round("mcc", 6).alias("best_mcc"),
+    )
+
+
+def speaker_dominance(
+    df: DataFrame,
+    conv_col: str,
+    order_col: str,
+    role_col: str,
+) -> DataFrame:
+    """Turn-taking profile per conversation: role share entropy
+    (balanced dialogue vs monologue), the dominant role's share, and
+    the longest same-role RUN (monologue streak, via the gaps-and-
+    islands window trick) — curation signals for conversational
+    balance.
+
+    One lag window for run boundaries, two keyed aggregates; entropy
+    over the bounded role set in-row.
+    """
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    runs = df.select(
+        F.col(conv_col).alias("conv"),
+        F.col(order_col).alias("o"),
+        F.col(role_col).alias("role"),
+        (
+            F.when(
+                F.lag(role_col).over(w).isNull()
+                | (F.lag(role_col).over(w) != F.col(role_col)),
+                1,
+            ).otherwise(0)
+        ).alias("brk"),
+    ).select(
+        "conv", "role",
+        F.sum("brk").over(
+            Window.partitionBy("conv").orderBy("o")
+        ).alias("run_id"),
+    )
+    run_len = runs.groupBy("conv", "run_id", "role").agg(
+        F.count(F.lit(1)).alias("rl")
+    )
+    longest = run_len.groupBy("conv").agg(
+        F.max("rl").cast("bigint").alias("longest_run")
+    )
+    shares = df.groupBy(
+        F.col(conv_col).alias("conv"), F.col(role_col).alias("role")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = shares.groupBy("conv").agg(F.sum("c").alias("t"))
+    ent = shares.join(tot, "conv").groupBy("conv").agg(
+        F.max("t").cast("bigint").alias("n_turns"),
+        F.round(
+            -F.sum(
+                (F.col("c") / F.col("t"))
+                * F.log2(F.col("c") / F.col("t"))
+            ),
+            6,
+        ).alias("role_entropy"),
+        F.round(F.max(F.col("c") / F.col("t")), 6).alias(
+            "dominant_share"
+        ),
+    )
+    return ent.join(longest, "conv").orderBy("conv")
+
+
+def adjacent_turn_overlap(
+    df: DataFrame,
+    conv_col: str,
+    order_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Adjacent-turn lexical cosine per conversation: |A n B| /
+    sqrt(|A||B|) over distinct-word sets of each turn and its
+    successor — a cheap response-relevance signal (echoing and
+    topic-tracking score high; non-sequiturs score zero), computed
+    entirely with in-row array ops (split, array_distinct,
+    array_intersect) and one lead window.  No posting lists, no
+    UDFs.
+    """
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    words = F.array_distinct(F.split(F.trim(F.col(text_col)), " +"))
+    s = df.select(
+        F.col(conv_col).alias("conv"),
+        words.alias("a"),
+        F.lead(words).over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    sim = F.size(F.array_intersect("a", "b")) / F.sqrt(
+        F.size("a").cast("double") * F.size("b").cast("double")
+    )
+    return s.groupBy("conv").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg(sim), 6).alias("mean_overlap"),
+        F.round(F.min(sim), 6).alias("min_overlap"),
+        F.round(
+            F.avg((F.size(F.array_intersect("a", "b")) == 0)
+                  .cast("double")),
+            6,
+        ).alias("nonsequitur_share"),
+    ).orderBy("conv")
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    x_col,
+    y_col,
+) -> DataFrame:
+    """Wilcoxon signed-rank test for PAIRED samples (the within-unit
+    complement to the repo's unpaired Mann-Whitney): rank |x - y|
+    with midranks over the bounded cents grid, W+ = rank sum of
+    positive differences, normal approximation with the standard tie
+    correction.  Zero differences drop (Wilcoxon's rule).
+
+    Differences collapse to the distinct-|d|-cents grid first; one
+    ordered grid window computes midranks — rank machinery never
+    touches raw rows.
+    """
+    d = df.select(
+        (
+            F.round(x_col.cast("double") * 100)
+            - F.round(y_col.cast("double") * 100)
+        ).cast("long").alias("d")
+    ).filter(F.col("d") != 0)
+    g = d.select(
+        F.abs("d").alias("ad"),
+        (F.col("d") > 0).cast("double").alias("pos"),
+    ).groupBy("ad").agg(
+        F.count(F.lit(1)).cast("double").alias("c"),
+        F.sum("pos").alias("cpos"),
+    )
+    wlt = Window.orderBy("ad").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    mid = g.select(
+        "ad", "c", "cpos",
+        (
+            F.coalesce(F.sum("c").over(wlt), F.lit(0.0))
+            + (F.col("c") + 1) / 2
+        ).alias("midrank"),
+    )
+    a = mid.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("cpos") * F.col("midrank")).alias("wplus"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie3"),
+    )
+    n = F.col("n")
+    mu = n * (n + 1) / 4
+    var = n * (n + 1) * (2 * n + 1) / 24 - F.col("tie3") / 48
+    z = (F.col("wplus") - mu) / F.sqrt(var)
+    return a.select(
+        n.cast("bigint").alias("n_nonzero_pairs"),
+        F.round("wplus", 2).alias("w_plus"),
+        F.round(mu, 2).alias("expected_w"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )

@@ -4968,3 +4968,120 @@ def test_tail_dependence_coupled_vs_independent(spark):
     df2 = spark.createDataFrame(rows2, "x double, y double")
     r2 = tail_dependence(df2, "x", "y", 0.9).collect()[0]
     assert r2["chi_tail_dep"] == 0.0
+
+
+def test_cochrans_q_textbook(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import cochrans_q
+
+    # 4 units x 3 items; item 'c' never succeeds, a/b always:
+    # G = (4,4,0), L_i = 2 each -> Q = 6*sum(G-8/3)^2/(3*8-16) = 8
+    rows = [(u, it, 1) for u in range(4) for it in ("a", "b")]
+    df = spark.createDataFrame(rows, "u int, it string, y int")
+    r = cochrans_q(df, "u", "it", F.col("y"),
+                   ["a", "b", "c"]).collect()[0]
+    assert r["n_units"] == 4 and r["df"] == 2
+    assert abs(r["q_stat"] - 8.0) < 1e-6
+    # saturated design: all units succeed on all items -> NULL
+    sat = spark.createDataFrame(
+        [(u, it, 1) for u in range(4) for it in ("a", "b", "c")],
+        "u int, it string, y int",
+    )
+    r2 = cochrans_q(sat, "u", "it", F.col("y"),
+                    ["a", "b", "c"]).collect()[0]
+    assert r2["q_stat"] is None
+
+
+def test_icc_clustered_vs_flat(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import icc_oneway
+
+    # strongly clustered: group mean dominates within noise
+    rows = [(g, 10.0 * g + (0.1 if i % 2 else -0.1))
+            for g in range(5) for i in range(10)]
+    df = spark.createDataFrame(rows, "g int, x double")
+    r = icc_oneway(df, "g", F.col("x")).collect()[0]
+    assert r["icc1"] > 0.99
+    # no group structure: identical distribution per group
+    flat = spark.createDataFrame(
+        [(g, float(i % 7)) for g in range(5) for i in range(10)],
+        "g int, x double",
+    )
+    r2 = icc_oneway(flat, "g", F.col("x")).collect()[0]
+    # identical groups give MSB = 0 -> the ICC floor -1/(k0-1), i.e.
+    # slightly NEGATIVE, the classic no-clustering signature
+    assert r2["icc1"] < 0.05
+
+
+def test_mcc_threshold_on_separable_scores(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import mcc_best_threshold
+
+    # label = score >= 0.5 exactly: best cutoff 0.5, MCC 1
+    rows = [(i / 100.0, 1 if i >= 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = mcc_best_threshold(df, F.col("s"), F.col("y")).collect()[0]
+    assert abs(r["best_threshold"] - 0.5) < 1e-9
+    assert r["best_mcc"] == 1.0
+    assert r["fp"] == 0 and r["fn"] == 0
+
+
+def test_speaker_dominance_monologue_vs_pingpong(spark):
+    from sparkcollector.operators.analytics import speaker_dominance
+
+    rows = []
+    # c1: strict alternation -> entropy 1, longest run 1
+    for i in range(20):
+        rows.append(("c1", i, "user" if i % 2 == 0 else "assistant"))
+    # c2: 15 assistant turns then 5 user -> dominant 0.75, run 15
+    for i in range(20):
+        rows.append(("c2", i, "assistant" if i < 15 else "user"))
+    df = spark.createDataFrame(rows, "conv string, o int, role string")
+    out = {r["conv"]: r for r in speaker_dominance(
+        df, "conv", "o", "role").collect()}
+    assert out["c1"]["role_entropy"] == 1.0
+    assert out["c1"]["longest_run"] == 1
+    assert out["c1"]["dominant_share"] == 0.5
+    assert out["c2"]["dominant_share"] == 0.75
+    assert out["c2"]["longest_run"] == 15
+
+
+def test_adjacent_overlap_echo_vs_nonsequitur(spark):
+    from sparkcollector.operators.analytics import adjacent_turn_overlap
+
+    rows = [
+        ("echo", 0, "the deploy failed on node seven"),
+        ("echo", 1, "the deploy failed on node seven"),
+        ("nonseq", 0, "apples oranges pears"),
+        ("nonseq", 1, "kernel panic stacktrace"),
+    ]
+    df = spark.createDataFrame(rows, "conv string, o int, utt string")
+    out = {r["conv"]: r for r in adjacent_turn_overlap(
+        df, "conv", "o", "utt").collect()}
+    assert out["echo"]["mean_overlap"] == 1.0
+    assert out["echo"]["nonsequitur_share"] == 0.0
+    assert out["nonseq"]["mean_overlap"] == 0.0
+    assert out["nonseq"]["nonsequitur_share"] == 1.0
+
+
+def test_wilcoxon_shifted_vs_symmetric_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import wilcoxon_signed_rank
+
+    # x consistently above y -> all positive ranks, z >> 0
+    rows = [(float(10 + i), float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = wilcoxon_signed_rank(df, F.col("x"), F.col("y")).collect()[0]
+    assert r["n_nonzero_pairs"] == 40
+    assert r["w_plus"] == 40 * 41 / 2 and r["significant_95"]
+    # antisymmetric differences: W+ == E[W], z == 0
+    rows2 = [(float(i), float(i) + (5.0 if i % 2 == 0 else -5.0))
+             for i in range(40)]
+    df2 = spark.createDataFrame(rows2, "x double, y double")
+    r2 = wilcoxon_signed_rank(df2, F.col("x"), F.col("y")).collect()[0]
+    assert abs(r2["w_plus"] - r2["expected_w"]) < 1e-9
+    assert not r2["significant_95"]
