@@ -4299,6 +4299,17 @@ def main() -> None:
         ("wilcoxon_signed_rank",
          [("midranks on the bounded |d| grid only",
            lambda p: "Window" in p and "Python" not in p)], ""),
+        ("lindley_queue_replay",
+         [("per-series in-row Lindley fold, no per-row Python",
+           lambda p: "Python" not in p)], ""),
+        ("skyline_pareto_front",
+         [("sort-based cummax filter (one window + key join), NOT a "
+           "quadratic dominance join",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("blocking_quality",
+         [("pure count arithmetic (C(n,2) sums) — no pair ever "
+           "materialized",
+           lambda p: "Window" not in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

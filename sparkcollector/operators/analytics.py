@@ -14927,3 +14927,172 @@ def wilcoxon_signed_rank(
         F.round(z, 6).alias("z"),
         (F.abs(z) > 1.96).alias("significant_95"),
     )
+
+
+def lindley_queue_replay(
+    df: DataFrame,
+    order_col: str,
+    interarrival_col: str,
+    service_col: str,
+) -> DataFrame:
+    """Lindley-recursion queue replay: W_k = max(0, W_{k-1} + S_{k-1}
+    - A_k) — the EXACT per-request waiting times a G/G/1 server
+    would produce for the observed arrival/service sequence, the
+    empirical twin of the analytic mg1_waiting entry (which only
+    gives the steady-state mean).
+
+    Sequential by definition -> per-series in-row fold (bounded
+    rollup contract).  Emits the waiting-time trajectory plus the
+    busy-fraction summary.
+    """
+    base = df.select(
+        F.col(order_col).cast("long").alias("_o"),
+        F.col(interarrival_col).cast("double").alias("_a"),
+        F.col(service_col).cast("double").alias("_s"),
+    )
+    ser = base.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("_o", "_a", "_s"))
+        ).alias("_z"),
+    )
+    fold = (
+        "aggregate(_z,"
+        " named_struct('w', cast(0.0 as double),"
+        " 'ps', cast(0.0 as double),"
+        " 'out', cast(array() as array<double>)),"
+        " (acc, e) -> named_struct("
+        " 'w', greatest(0.0, acc.w + acc.ps - e._a),"
+        " 'ps', e._s,"
+        " 'out', concat(acc.out,"
+        " array(round(greatest(0.0, acc.w + acc.ps - e._a), 6)))))"
+    )
+    folded = ser.withColumn("_st", F.expr(fold))
+    rows = folded.select(
+        F.posexplode(
+            F.arrays_zip(
+                F.col("_z").getField("_o").alias("os"),
+                F.col("_st").getField("out").alias("ws"),
+                F.col("_z").getField("_a").alias("ia"),
+                F.col("_z").getField("_s").alias("sv"),
+            )
+        ).alias("_i", "_r"),
+    ).select(
+        F.col("_r.os").alias("k"),
+        F.round(F.col("_r.ia"), 6).alias("interarrival"),
+        F.round(F.col("_r.sv"), 6).alias("service"),
+        F.col("_r.ws").alias("wait"),
+    )
+    return rows.orderBy("k")
+
+
+def skyline_2d(
+    df: DataFrame,
+    id_col: str,
+    x_col,
+    y_col,
+) -> DataFrame:
+    """2-D skyline (Pareto front, maximize both axes): the points no
+    other point dominates — the classic multi-objective 'best
+    tradeoff' operator Spark lacks.  (Here: which users are
+    undominated on (total spend, activity)?)
+
+    The scale move: NOT the quadratic dominance join — sort by x
+    descending and keep a running maximum of y over STRICTLY higher
+    x; a point is on the skyline iff its y exceeds that cummax.
+    Ties on x share the same strict-predecessor frame via a dense
+    grid: one aggregate to distinct-x maxima, one ordered window,
+    one semi-join back.
+    """
+    pts = df.select(
+        F.col(id_col).alias("id"),
+        x_col.cast("double").alias("x"),
+        y_col.cast("double").alias("y"),
+    )
+    per_x = pts.groupBy("x").agg(F.max("y").alias("ymax"))
+    wprev = Window.orderBy(F.desc("x")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = per_x.select(
+        "x", "ymax",
+        F.coalesce(
+            F.max("ymax").over(wprev), F.lit(float("-inf"))
+        ).alias("best_higher_y"),
+    )
+    # survive iff (a) nothing with strictly higher x reaches my y AND
+    # (b) I am the y-max at my own x (same-x higher-y dominates me)
+    sky = pts.join(frontier, "x").filter(
+        (F.col("y") > F.col("best_higher_y"))
+        & (F.col("y") == F.col("ymax"))
+    )
+    return sky.select(
+        "id",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+    ).orderBy(F.desc("x"), F.desc("y"), F.asc("id"))
+
+
+def blocking_quality(
+    df: DataFrame,
+    id_col: str,
+    block_col,
+    truth_col,
+) -> DataFrame:
+    """Entity-resolution blocking quality: pair completeness (share
+    of TRUE duplicate pairs that share a block) and the reduction
+    ratio (share of all pairs the blocking key prunes away) — the
+    two numbers that justify soundex/LSH blocking before an O(n^2)
+    matcher.
+
+    Everything from counts: candidate pairs = sum over blocks of
+    C(b,2); true pairs = sum over truth keys of C(t,2); caught true
+    pairs = sum over (truth, block) cells of C(c,2) — no pair is
+    ever materialized.
+    """
+    cells = df.select(
+        F.col(id_col).alias("id"),
+        block_col.alias("blk"),
+        truth_col.alias("tr"),
+    )
+    n_total = cells.agg(F.count(F.lit(1)).cast("double").alias("n"))
+
+    def pairs(grouped, name):
+        return grouped.agg(
+            F.sum(
+                F.col("c") * (F.col("c") - 1) / 2
+            ).alias(name)
+        )
+
+    blk = pairs(
+        cells.groupBy("blk").agg(F.count(F.lit(1)).cast("double")
+                                 .alias("c")).groupBy(),
+        "cand_pairs",
+    )
+    tru = pairs(
+        cells.groupBy("tr").agg(F.count(F.lit(1)).cast("double")
+                                .alias("c")).groupBy(),
+        "true_pairs",
+    )
+    caught = pairs(
+        cells.groupBy("tr", "blk").agg(
+            F.count(F.lit(1)).cast("double").alias("c")
+        ).groupBy(),
+        "caught_pairs",
+    )
+    j = blk.crossJoin(tru).crossJoin(caught).crossJoin(n_total)
+    all_pairs = F.col("n") * (F.col("n") - 1) / 2
+    return j.select(
+        F.col("n").cast("bigint").alias("n_records"),
+        F.col("cand_pairs").cast("bigint").alias("candidate_pairs"),
+        F.col("true_pairs").cast("bigint").alias("true_pairs"),
+        F.col("caught_pairs").cast("bigint").alias("caught_true_pairs"),
+        F.round(
+            F.when(
+                F.col("true_pairs") > 0,
+                F.col("caught_pairs") / F.col("true_pairs"),
+            ),
+            6,
+        ).alias("pair_completeness"),
+        F.round(1 - F.col("cand_pairs") / all_pairs, 6).alias(
+            "reduction_ratio"
+        ),
+    )

@@ -5085,3 +5085,61 @@ def test_wilcoxon_shifted_vs_symmetric_pairs(spark):
     r2 = wilcoxon_signed_rank(df2, F.col("x"), F.col("y")).collect()[0]
     assert abs(r2["w_plus"] - r2["expected_w"]) < 1e-9
     assert not r2["significant_95"]
+
+
+def test_lindley_known_waits(spark):
+    from sparkcollector.operators.analytics import lindley_queue_replay
+
+    # arrivals every 2s, service 3s: waits build by 1s per request
+    rows = [(k, 2.0, 3.0) for k in range(1, 6)]
+    df = spark.createDataFrame(rows, "k int, a double, s double")
+    out = [r["wait"] for r in lindley_queue_replay(
+        df, "k", "a", "s").collect()]
+    assert out == [0.0, 1.0, 2.0, 3.0, 4.0]
+    # arrivals every 5s, service 1s: nobody ever waits
+    idle = spark.createDataFrame(
+        [(k, 5.0, 1.0) for k in range(1, 6)], "k int, a double, s double"
+    )
+    out2 = [r["wait"] for r in lindley_queue_replay(
+        idle, "k", "a", "s").collect()]
+    assert out2 == [0.0] * 5
+
+
+def test_skyline_dominance_including_ties(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import skyline_2d
+
+    pts = [
+        (1, 10.0, 1.0),   # skyline (best x)
+        (2, 5.0, 5.0),    # skyline
+        (3, 1.0, 10.0),   # skyline (best y)
+        (4, 4.0, 4.0),    # dominated by 2
+        (5, 5.0, 3.0),    # same x as 2, lower y: dominated
+        (6, 5.0, 5.0),    # exact tie with 2: both kept
+    ]
+    df = spark.createDataFrame(pts, "id int, x double, y double")
+    out = {r["id"] for r in skyline_2d(
+        df, "id", F.col("x"), F.col("y")).collect()}
+    assert out == {1, 2, 3, 6}
+
+
+def test_blocking_quality_planted_miss(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import blocking_quality
+
+    # entities: (a1,a2) share a block; (b1,b2) split across blocks
+    rows = [
+        (1, "A", "e1"), (2, "A", "e1"),      # caught pair
+        (3, "B", "e2"), (4, "C", "e2"),      # missed pair
+        (5, "D", "e3"),                      # singleton
+    ]
+    df = spark.createDataFrame(rows, "id int, blk string, tr string")
+    r = blocking_quality(
+        df, "id", F.col("blk"), F.col("tr")).collect()[0]
+    assert r["true_pairs"] == 2 and r["caught_true_pairs"] == 1
+    assert r["pair_completeness"] == 0.5
+    # candidate pairs = 1 of 10 possible -> reduction 0.9
+    assert r["candidate_pairs"] == 1
+    assert abs(r["reduction_ratio"] - 0.9) < 1e-9
