@@ -4310,6 +4310,16 @@ def main() -> None:
          [("pure count arithmetic (C(n,2) sums) — no pair ever "
            "materialized",
            lambda p: "Window" not in p and "Python" not in p)], ""),
+        ("ewma_control_chart",
+         [("per-series in-row EWMA fold + closed-form limits",
+           lambda p: "Python" not in p)], ""),
+        ("hill_diversity",
+         [("two keyed aggregates, Hill numbers in-row",
+           lambda p: "Window" not in p and "Python" not in p)], ""),
+        ("s3_access_log_parse",
+         [("single anchored regex, map-only",
+           lambda p: "Join" not in p and "Window" not in p
+           and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

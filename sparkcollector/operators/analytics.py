@@ -15096,3 +15096,121 @@ def blocking_quality(
             "reduction_ratio"
         ),
     )
+
+
+def ewma_control_chart(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    lam: float = 0.2,
+    l_sigma: float = 3.0,
+) -> DataFrame:
+    """EWMA control chart (SPC): z_t = lam*x_t + (1-lam)*z_{t-1}
+    against the time-varying limits mu +/- L*sigma*sqrt(lam/(2-lam)
+    * (1-(1-lam)^{2t})) — catches small sustained shifts the
+    Shewhart p-chart misses; the Nelson-rules companion.
+
+    The EWMA recursion is a per-series fold (bounded rollup
+    contract); mu/sigma come from one explicit sum/sumsq pass so the
+    float path is engine-portable.  Emits every point with its EWMA,
+    limits, and violation flag.
+    """
+    base = df.select(
+        F.col(order_col).cast("long").alias("_o"),
+        F.col(value_col).cast("double").alias("_x"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("_x").alias("s"),
+        F.sum(F.col("_x") * F.col("_x")).alias("ss"),
+    ).select(
+        (F.col("s") / F.col("n")).alias("mu"),
+        F.sqrt(
+            F.col("ss") / F.col("n")
+            - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+        ).alias("sd"),
+    )
+    ser = base.crossJoin(stats).groupBy("mu", "sd").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_o", "_x"))),
+            lambda e: e["_x"],
+        ).alias("_xs"),
+        F.array_sort(F.collect_list("_o")).alias("_os"),
+    )
+    fold = (
+        "aggregate(_xs,"
+        " named_struct('z', mu, 'out',"
+        " cast(array() as array<double>)),"
+        f" (acc, x) -> named_struct("
+        f" 'z', {lam} * x + (1 - {lam}) * acc.z,"
+        f" 'out', concat(acc.out, array(round({lam} * x"
+        f" + (1 - {lam}) * acc.z, 9)))))"
+    )
+    folded = ser.withColumn("_st", F.expr(fold))
+    rows = folded.select(
+        "mu", "sd",
+        F.posexplode(
+            F.arrays_zip(
+                F.col("_os").alias("os"),
+                F.col("_st").getField("out").alias("zs"),
+                F.col("_xs").alias("xs"),
+            )
+        ).alias("_i", "_r"),
+    )
+    t = (F.col("_i") + 1).cast("double")
+    halfwidth = (
+        F.lit(l_sigma) * F.col("sd")
+        * F.sqrt(
+            F.lit(lam / (2 - lam))
+            * (1 - F.pow(F.lit((1 - lam) ** 2), t))
+        )
+    )
+    return rows.select(
+        F.col("_r.os").alias("bucket"),
+        F.round(F.col("_r.xs"), 4).alias("x"),
+        F.round(F.col("_r.zs"), 6).alias("ewma"),
+        F.round(F.col("mu") - halfwidth, 6).alias("lcl"),
+        F.round(F.col("mu") + halfwidth, 6).alias("ucl"),
+        (
+            (F.col("_r.zs") > F.col("mu") + halfwidth)
+            | (F.col("_r.zs") < F.col("mu") - halfwidth)
+        ).alias("violation"),
+    ).orderBy("bucket")
+
+
+def hill_diversity(
+    df: DataFrame,
+    group_col: str,
+    species_col: str,
+) -> DataFrame:
+    """Hill-number diversity profile per group: q=0 (richness), q=1
+    (exp Shannon), q=2 (inverse Simpson) — the three 'effective
+    species counts' on one scale, unifying the repo's separate
+    entropy and Simpson entries.  Evenness = D1/D0.
+
+    Two keyed aggregates, everything else in-row.
+    """
+    c = df.groupBy(
+        F.col(group_col).alias("g"), F.col(species_col).alias("sp")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = c.groupBy("g").agg(F.sum("c").alias("t"))
+    p = c.join(tot, "g").select(
+        "g", (F.col("c") / F.col("t")).alias("p"),
+        F.col("t").alias("t"),
+    )
+    agg = p.groupBy("g").agg(
+        F.max("t").cast("bigint").alias("n_obs"),
+        F.count(F.lit(1)).cast("bigint").alias("d0_richness"),
+        F.exp(
+            -F.sum(F.col("p") * F.log("p"))
+        ).alias("_d1"),
+        (1 / F.sum(F.col("p") * F.col("p"))).alias("_d2"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col), "n_obs", "d0_richness",
+        F.round("_d1", 6).alias("d1_exp_shannon"),
+        F.round("_d2", 6).alias("d2_inv_simpson"),
+        F.round(
+            F.col("_d1") / F.col("d0_richness").cast("double"), 6
+        ).alias("evenness"),
+    ).orderBy(group_col)

@@ -2076,3 +2076,56 @@ def envoy_access_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
             6,
         ).alias("upstream_frac"),
     )
+
+
+_S3_RE = (
+    r'^(\S+) (\S+) \[([^\]]+)\] (\d+\.\d+\.\d+\.\d+) (\S+) (\S+) '
+    r'(\S+) (\S+) "(\S+) (\S+) (\S+)" (\d+) (\S+) (-|\d+) (-|\d+) '
+    r'(\d+) (-|\d+) "([^"]*)" "([^"]*)"'
+)
+
+
+def s3_access_log_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Amazon S3 server-access-log parse — the object-store sibling
+    of the ELB grammar: ``owner bucket [time] remote_ip requester
+    request_id operation key "METHOD URI PROTO" status error_code
+    bytes_sent object_size total_ms turnaround_ms "referer" "ua"``.
+
+    `-` bytes/object-size/turnaround parse NULL (zero-byte or errored
+    requests); first-byte latency = total - turnaround when both
+    present.  One anchored regex, pure codegen, zero exchanges.
+    """
+    line = F.col(line_col)
+    g = lambda i: F.regexp_extract(line, _S3_RE, i)  # noqa: E731
+    ok = line.rlike(_S3_RE)
+    num = lambda i: F.when(  # noqa: E731
+        ok & (g(i) != "-"), g(i).cast("long")
+    )
+    total = F.when(ok, g(16).cast("long"))
+    turn = num(17)
+    return df.select(
+        "*",
+        ok.alias("well_formed"),
+        F.when(ok, g(1)).alias("owner"),
+        F.when(ok, g(2)).alias("bucket"),
+        F.when(ok, F.date_format(
+            F.to_timestamp(g(3), "dd/MMM/yyyy:HH:mm:ss Z"),
+            "yyyy-MM-dd HH:mm:ss",
+        )).alias("rtime"),
+        F.when(ok, g(4)).alias("remote_ip"),
+        F.when(ok, g(5)).alias("requester"),
+        F.when(ok, g(6)).alias("request_id"),
+        F.when(ok, g(7)).alias("operation"),
+        F.when(ok, g(8)).alias("key"),
+        F.when(ok, g(9)).alias("method"),
+        F.when(ok, g(10)).alias("uri"),
+        F.when(ok, g(12).cast("int")).alias("status"),
+        F.when(ok & (g(13) != "-"), g(13)).alias("error_code"),
+        num(14).alias("bytes_sent"),
+        num(15).alias("object_size"),
+        total.alias("total_ms"),
+        turn.alias("turnaround_ms"),
+        (total - turn).alias("first_byte_ms"),
+        F.when(ok & (g(18) != "-"), g(18)).alias("referer"),
+        F.when(ok & (g(19) != "-"), g(19)).alias("user_agent"),
+    )

@@ -5143,3 +5143,39 @@ def test_blocking_quality_planted_miss(spark):
     # candidate pairs = 1 of 10 possible -> reduction 0.9
     assert r["candidate_pairs"] == 1
     assert abs(r["reduction_ratio"] - 0.9) < 1e-9
+
+
+def test_ewma_chart_catches_small_sustained_shift(spark):
+    from sparkcollector.operators.analytics import ewma_control_chart
+
+    # 60 points at 100 (tight noise), then 20 at 104: a small shift
+    # Shewhart 3-sigma misses per point but EWMA accumulates
+    rows = [(i, 100.0 + (0.5 if i % 2 else -0.5)) for i in range(60)]
+    rows += [(60 + i, 104.0 + (0.5 if i % 2 else -0.5))
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "o int, x double")
+    out = ewma_control_chart(df, "o", "x", lam=0.2).collect()
+    early = [r for r in out if r["bucket"] < 60]
+    late = [r for r in out if r["bucket"] >= 65]
+    assert not any(r["violation"] for r in early)
+    assert all(r["violation"] for r in late)
+    # EWMA converges toward the shifted mean
+    assert out[-1]["ewma"] > 102
+
+
+def test_hill_numbers_even_vs_skewed(spark):
+    from sparkcollector.operators.analytics import hill_diversity
+
+    rows = [("even", f"s{i % 4}") for i in range(400)]
+    rows += [("skew", "dom")] * 370 + [("skew", f"r{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, sp string")
+    out = {r["g"]: r for r in hill_diversity(df, "g", "sp").collect()}
+    e = out["even"]
+    assert e["d0_richness"] == 4
+    assert abs(e["d1_exp_shannon"] - 4.0) < 1e-6
+    assert abs(e["d2_inv_simpson"] - 4.0) < 1e-6
+    assert abs(e["evenness"] - 1.0) < 1e-6
+    s = out["skew"]
+    assert s["d0_richness"] == 31
+    assert s["d2_inv_simpson"] < s["d1_exp_shannon"] < 31
+    assert s["evenness"] < 0.1

@@ -1180,3 +1180,34 @@ def test_envoy_access_parse_upstream_split(spark):
     assert r2["upstream_ms"] is None and r2["upstream_frac"] is None
     assert r2["xff"] is None and r2["user_agent"] is None
     assert not out[3]["well_formed"]
+
+
+def test_s3_access_log_parse_latency_split(spark):
+    from sparkcollector.operators.promparse import s3_access_log_parse
+
+    ok = ('owner1 bkt-3 [01/Jan/2024:00:00:07 +0000] 10.2.0.8 '
+          'arn:user/2 REQ77 REST.GET.OBJECT logs/click/77.gz '
+          '"GET /logs/click HTTP/1.1" 200 - 5000 12000 80 30 '
+          '"https://console/click" "aws-cli/1"')
+    errline = ('owner0 bkt-1 [01/Jan/2024:00:01:00 +0000] 10.2.0.9 '
+               'arn:user/3 REQ78 REST.GET.OBJECT logs/error/1.gz '
+               '"GET /logs/error HTTP/1.1" 404 NoSuchKey - - 40 - '
+               '"-" "aws-cli/0"')
+    df = spark.createDataFrame(
+        [(1, ok), (2, errline), (3, "corrupt")], "id long, line string"
+    )
+    out = {r["id"]: r for r in s3_access_log_parse(df).collect()}
+    r = out[1]
+    assert r["well_formed"] and r["bucket"] == "bkt-3"
+    assert r["operation"] == "REST.GET.OBJECT"
+    assert r["status"] == 200 and r["error_code"] is None
+    assert r["bytes_sent"] == 5000 and r["object_size"] == 12000
+    assert r["total_ms"] == 80 and r["turnaround_ms"] == 30
+    assert r["first_byte_ms"] == 50
+    assert r["referer"] == "https://console/click"
+    r2 = out[2]
+    assert r2["well_formed"] and r2["status"] == 404
+    assert r2["error_code"] == "NoSuchKey"
+    assert r2["bytes_sent"] is None and r2["first_byte_ms"] is None
+    assert r2["referer"] is None
+    assert not out[3]["well_formed"]
