@@ -4320,6 +4320,17 @@ def main() -> None:
          [("single anchored regex, map-only",
            lambda p: "Join" not in p and "Window" not in p
            and "Python" not in p)], ""),
+        ("diameter_double_sweep",
+         [("final reduction over checkpointed BFS levels",
+           lambda p: "Scan ExistingRDD" in p
+           and "Python" not in p)], ""),
+        ("graph_modularity",
+         [("keyed community joins + single-row Q reduction over the "
+           "checkpointed labeling",
+           lambda p: "Join" in p and "Python" not in p)], ""),
+        ("rich_club_coefficient",
+         [("degree-joined bounded-k grid, no quadratic scan",
+           lambda p: "Join" in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -962,3 +962,163 @@ def textrank_keywords(
         F.round("r", 6).alias("textrank"),
         F.row_number().over(wtop).alias("rk"),
     ).filter(F.col("rk") <= top_k)
+
+
+def bfs_levels(
+    nodes: DataFrame,
+    edges: DataFrame,
+    source,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Bounded-round BFS levels from one source over a (symmetric)
+    edge set: fixed ``max_rounds`` supersteps of join + min-aggregate
+    with lineage cut per round — levels stabilize once the frontier
+    empties, so max_rounds only needs to exceed the graph's
+    eccentricity bound.  Returns (node, level) with unreached nodes
+    absent.
+    """
+    lev = nodes.filter(F.col("node") == source).select(
+        "node", F.lit(0).alias("level")
+    ).localCheckpoint(eager=True)
+    for r in range(1, max_rounds + 1):
+        nxt = (
+            edges.join(lev, edges.src == lev.node)
+            .select(F.col("dst").alias("node"), F.lit(r).alias("level"))
+        )
+        lev = (
+            lev.unionByName(nxt)
+            .groupBy("node").agg(F.min("level").alias("level"))
+            .localCheckpoint(eager=True)
+        )
+    return lev
+
+
+def diameter_double_sweep(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Double-sweep diameter estimate: BFS from the minimum node id,
+    take the farthest node (min id among ties — deterministic), BFS
+    again from it; the second eccentricity is the classic tight
+    lower bound on the graph diameter.  2 x bounded BFS (fixed
+    supersteps, keyed joins), one row out: the two sweep roots,
+    eccentricities, and reached counts.
+    """
+    src0 = nodes.agg(F.min("node")).collect()[0][0]
+    l1 = bfs_levels(nodes, edges, F.lit(src0), max_rounds)
+    far = l1.orderBy(F.desc("level"), F.asc("node")).limit(1).collect()[0]
+    l2 = bfs_levels(nodes, edges, F.lit(far["node"]), max_rounds)
+    agg2 = l2.agg(
+        F.max("level").alias("ecc2"),
+        F.count(F.lit(1)).alias("reached2"),
+    )
+    agg1 = l1.agg(F.count(F.lit(1)).alias("reached1"))
+    return agg2.crossJoin(agg1).select(
+        F.lit(int(src0)).cast("bigint").alias("sweep1_root"),
+        F.lit(int(far["node"])).cast("bigint").alias("sweep2_root"),
+        F.lit(int(far["level"])).cast("bigint").alias("ecc1"),
+        F.col("ecc2").cast("bigint").alias("diameter_lb"),
+        F.col("reached1").cast("bigint").alias("reached_from_root1"),
+        F.col("reached2").cast("bigint").alias("reached_from_root2"),
+    )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+) -> DataFrame:
+    """Newman modularity of a node->community assignment over an
+    undirected (symmetric-edge-list) graph: Q = sum_c [ m_c/m -
+    (d_c/2m)^2 ] — the quality score that closes the loop on the
+    label-propagation entry (is the found partition better than
+    random?).
+
+    Degrees and within-community edge counts are keyed aggregates on
+    the community-joined edge list; Q is a single-row reduction.
+    Counts use the symmetric list directly (each edge appears twice),
+    so 2m = |rows|.
+    """
+    lab = communities.select(
+        F.col("node"), F.col("community").alias("com")
+    )
+    e = (
+        edges.join(lab, edges.src == lab.node)
+        .select("src", "dst", F.col("com").alias("com_src"))
+        .join(
+            lab.select(
+                F.col("node").alias("dst2"),
+                F.col("com").alias("com_dst"),
+            ),
+            F.col("dst") == F.col("dst2"),
+        )
+    )
+    two_m = e.count()
+    within = e.filter(F.col("com_src") == F.col("com_dst")).groupBy(
+        F.col("com_src").alias("com")
+    ).agg(F.count(F.lit(1)).cast("double").alias("win2"))
+    deg = e.groupBy(F.col("com_src").alias("com")).agg(
+        F.count(F.lit(1)).cast("double").alias("d_c")
+    )
+    per = deg.join(within, "com", "left").select(
+        "com",
+        (
+            F.coalesce("win2", F.lit(0.0)) / two_m
+            - (F.col("d_c") / two_m) * (F.col("d_c") / two_m)
+        ).alias("q_c"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.lit(two_m // 2).cast("bigint").alias("n_edges"),
+        F.round(F.sum("q_c"), 6).alias("modularity"),
+    )
+
+
+def rich_club(
+    edges: DataFrame,
+    max_k: int = 10,
+) -> DataFrame:
+    """Rich-club coefficient phi(k) for k = 1..max_k: the edge
+    density among nodes of degree > k — do the hubs preferentially
+    interconnect?  (Service meshes: are the high-fanout services a
+    tightly coupled core?)
+
+    Degrees from one aggregate over the symmetric edge list; for
+    each k (bounded literal grid) the surviving-node count and
+    surviving-edge count come from a degree-joined filter — one
+    bounded explode, no quadratic scan.
+    """
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ks = edges.sparkSession.range(1, max_k + 1).select(
+        F.col("id").cast("long").alias("k")
+    )
+    nk = ks.join(deg, deg.d > ks.k).groupBy("k").agg(
+        F.count(F.lit(1)).cast("double").alias("n_k")
+    )
+    ed = (
+        edges.join(deg.select(F.col("node").alias("src"),
+                              F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("node").alias("dst"),
+                         F.col("d").alias("dd")), "dst")
+    )
+    ek = ks.join(
+        ed, (ed.ds > ks.k) & (ed.dd > ks.k)
+    ).groupBy("k").agg(
+        (F.count(F.lit(1)) / 2).cast("double").alias("e_k")
+    )
+    out = nk.join(ek, "k", "left").select(
+        "k",
+        F.col("n_k").cast("bigint").alias("n_nodes"),
+        F.coalesce("e_k", F.lit(0.0)).cast("bigint").alias("n_edges"),
+        F.round(
+            F.when(
+                F.col("n_k") > 1,
+                2 * F.coalesce("e_k", F.lit(0.0))
+                / (F.col("n_k") * (F.col("n_k") - 1)),
+            ),
+            6,
+        ).alias("phi"),
+    )
+    return out.orderBy("k")

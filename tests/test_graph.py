@@ -346,3 +346,58 @@ def test_textrank_hub_word_wins(spark):
     out = textrank_keywords(df, "source", "text", top_k=3).collect()
     assert out[0]["word"] == "core"
     assert out[0]["textrank"] > out[1]["textrank"]
+
+
+def test_diameter_double_sweep_path_graph(spark):
+    from sparkcollector.operators.graph import diameter_double_sweep
+
+    # path 0-1-2-3-4-5: diameter 5, double sweep finds it exactly
+    edges = [(i, i + 1) for i in range(5)]
+    sym = edges + [(b, a) for a, b in edges]
+    nodes = spark.range(6).selectExpr("id as node")
+    e = spark.createDataFrame(sym, "src long, dst long")
+    r = diameter_double_sweep(nodes, e, max_rounds=8).collect()[0]
+    assert r["sweep1_root"] == 0
+    assert r["ecc1"] == 5 and r["sweep2_root"] == 5
+    assert r["diameter_lb"] == 5
+    assert r["reached_from_root1"] == 6
+
+
+def test_modularity_cliques_vs_random_partition(spark):
+    from sparkcollector.operators.graph import modularity
+
+    tri = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
+    sym = tri + [(b, a) for a, b in tri]
+    e = spark.createDataFrame(sym, "src long, dst long")
+    good = spark.createDataFrame(
+        [(n, 0 if n < 3 else 1) for n in range(6)],
+        "node long, community long",
+    )
+    r = modularity(e, good).collect()[0]
+    # two perfect cliques, no cross edges: Q = 1/2
+    assert abs(r["modularity"] - 0.5) < 1e-6
+    assert r["n_edges"] == 6
+    # everything in one community: Q = 0
+    one = spark.createDataFrame(
+        [(n, 0) for n in range(6)], "node long, community long"
+    )
+    r2 = modularity(e, one).collect()[0]
+    assert abs(r2["modularity"]) < 1e-9
+
+
+def test_rich_club_core_vs_periphery(spark):
+    from sparkcollector.operators.graph import rich_club
+
+    # K4 core (degrees >= 3+) with pendant leaves on each core node
+    core = [(a, b) for a in range(4) for b in range(4) if a != b]
+    pendants = []
+    for i in range(4):
+        leaf = 10 + i
+        pendants += [(i, leaf), (leaf, i)]
+    e = spark.createDataFrame(core + pendants, "src long, dst long")
+    out = {r["k"]: r for r in rich_club(e, max_k=4).collect()}
+    # degree>3 set = the 4 core nodes (deg 4); they form a clique:
+    # phi = 1
+    assert out[3]["n_nodes"] == 4 and out[3]["phi"] == 1.0
+    # degree>1 includes nobody else (leaves have degree 1)
+    assert out[1]["n_nodes"] == 4
