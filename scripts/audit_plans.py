@@ -4331,6 +4331,16 @@ def main() -> None:
         ("rich_club_coefficient",
          [("degree-joined bounded-k grid, no quadratic scan",
            lambda p: "Join" in p and "Python" not in p)], ""),
+        ("kneser_ney_bigram",
+         [("three counting aggregates + one join; vocabulary-bounded",
+           lambda p: "Join" in p and "Python" not in p)], ""),
+        ("shard_rebalance_plan",
+         [("prefix-interval windows + one overlap join bounded by "
+           "shard count",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("bloom_size_advisor",
+         [("one distinct aggregate; sizing math in-row",
+           lambda p: "Window" not in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

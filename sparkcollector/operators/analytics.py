@@ -15214,3 +15214,157 @@ def hill_diversity(
             F.col("_d1") / F.col("d0_richness").cast("double"), 6
         ).alias("evenness"),
     ).orderBy(group_col)
+
+
+def kneser_ney_bigram(
+    df: DataFrame,
+    text_col: str,
+    discount: float = 0.75,
+    top_k: int = 30,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (fixed discount):
+    P(w|v) = max(c(vw)-d, 0)/c(v) + d*N1+(v.)/c(v) * Pcont(w), with
+    the continuation probability Pcont(w) = N1+(.w)/N1+(..) — the
+    smoothing that beats Good-Turing for LM scoring because it asks
+    'how many contexts does w complete?' rather than 'how often does
+    w occur?'.
+
+    Everything is counting: bigram counts, per-context type counts,
+    per-word continuation counts — three keyed aggregates and one
+    join; emits the top_k bigrams by KN probability (ties by v, w).
+    """
+    words = df.select(
+        F.split(F.trim(F.col(text_col)), " +").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    bi = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at("ws", i).alias("v"),
+                    F.element_at("ws", i + 1).alias("w"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.v", "p.w").groupBy("v", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("c_vw")
+    )
+    ctx = bi.groupBy("v").agg(
+        F.sum("c_vw").alias("c_v"),
+        F.count(F.lit(1)).cast("double").alias("n1p_v"),
+    )
+    cont = bi.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("n1p_w")
+    )
+    total_types = bi.agg(
+        F.count(F.lit(1)).cast("double").alias("n1p_all")
+    )
+    d = discount
+    j = (
+        bi.join(ctx, "v").join(cont, "w").crossJoin(total_types)
+    )
+    p_kn = (
+        F.greatest(F.col("c_vw") - d, F.lit(0.0)) / F.col("c_v")
+        + d * F.col("n1p_v") / F.col("c_v")
+        * (F.col("n1p_w") / F.col("n1p_all"))
+    )
+    r = Window.orderBy(
+        F.desc("p_kn"), F.asc("v"), F.asc("w")
+    )
+    return j.select(
+        "v", "w",
+        F.col("c_vw").cast("bigint").alias("c_bigram"),
+        F.round(p_kn, 6).alias("p_kn"),
+    ).withColumn("p_kn_rank", F.row_number().over(
+        Window.orderBy(F.desc("p_kn"), F.asc("v"), F.asc("w"))
+    )).filter(F.col("p_kn_rank") <= top_k).drop("p_kn_rank")
+
+
+def shard_rebalance_plan(
+    df: DataFrame,
+    shard_col: str,
+    load_col,
+) -> DataFrame:
+    """Shard rebalance plan: the MINIMAL total data movement that
+    equalizes load to the mean, expressed as concrete (from, to,
+    amount) moves — the planner step after partition_balance_report
+    says the layout is skewed.
+
+    The classic prefix-matching construction: donors (load > mean)
+    and receivers stacked as cumulative intervals; every overlap of
+    a donor interval with a receiver interval is one move.  Two rank
+    windows + one interval-overlap join whose output is at most
+    donors + receivers - 1 rows (the standard minimal-moves bound).
+    Amounts are cents-exact (bigint) so the plan sums exactly.
+    """
+    loads = df.groupBy(F.col(shard_col).alias("shard")).agg(
+        F.sum(load_col.cast("long")).alias("load")
+    )
+    n = loads.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("load").alias("tot")
+    )
+    with_mean = loads.crossJoin(n).select(
+        "shard", "load",
+        F.floor(F.col("tot") / F.col("n")).alias("target"),
+        (F.col("load") - F.floor(F.col("tot") / F.col("n")))
+        .alias("delta"),
+    )
+    wd = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    donors = with_mean.filter(F.col("delta") > 0).select(
+        F.col("shard").alias("from_shard"),
+        (F.sum("delta").over(wd) - F.col("delta")).alias("d_lo"),
+        F.sum("delta").over(wd).alias("d_hi"),
+    )
+    receivers = with_mean.filter(F.col("delta") < 0).select(
+        F.col("shard").alias("to_shard"),
+        (F.sum(-F.col("delta")).over(wd) + F.col("delta"))
+        .alias("r_lo"),
+        F.sum(-F.col("delta")).over(wd).alias("r_hi"),
+    )
+    moves = donors.join(
+        receivers,
+        (F.col("d_lo") < F.col("r_hi")) & (F.col("r_lo") < F.col("d_hi")),
+    ).select(
+        "from_shard", "to_shard",
+        (
+            F.least("d_hi", "r_hi") - F.greatest("d_lo", "r_lo")
+        ).cast("bigint").alias("amount"),
+    ).filter(F.col("amount") > 0)
+    return moves.orderBy("from_shard", "to_shard")
+
+
+def bloom_size_advisor(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    target_fpp: float = 0.01,
+) -> DataFrame:
+    """Bloom-filter sizing advisor per key population: for each
+    group's exact distinct-key count n, the optimal bit count
+    m = ceil(-n ln p / ln2^2), hash count k = round(m/n ln2), and
+    the predicted fpp (1 - e^{-kn/m})^k at those settings — the
+    join-pruning capacity-planning companion to the repo's
+    bloom_filter_probe.
+    """
+    import math
+
+    n = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.countDistinct(key_col).cast("double").alias("n")
+    )
+    ln2 = math.log(2.0)
+    lnp = math.log(target_fpp)
+    m = F.ceil(-F.col("n") * lnp / (ln2 * ln2))
+    k = F.round(m / F.col("n") * ln2)
+    pred = F.pow(
+        1 - F.exp(-k * F.col("n") / m), k
+    )
+    return n.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("bigint").alias("n_distinct_keys"),
+        m.cast("bigint").alias("bits_m"),
+        (F.ceil(m / 8192)).cast("bigint").alias("kib"),
+        k.cast("bigint").alias("hashes_k"),
+        F.round(pred, 6).alias("predicted_fpp"),
+    ).orderBy(group_col)

@@ -5179,3 +5179,54 @@ def test_hill_numbers_even_vs_skewed(spark):
     assert s["d0_richness"] == 31
     assert s["d2_inv_simpson"] < s["d1_exp_shannon"] < 31
     assert s["evenness"] < 0.1
+
+
+def test_kneser_ney_continuation_beats_frequency(spark):
+    from sparkcollector.operators.analytics import kneser_ney_bigram
+
+    # 'francisco' is frequent but ONLY follows 'san'; 'the' follows
+    # many contexts. Pcont rewards versatile words.
+    docs = (["a san francisco b", "c san francisco d"] * 5
+            + ["x the y", "p the q", "m the n", "u the v"])
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    out = kneser_ney_bigram(df, "text", top_k=100).collect()
+    rows = {(r["v"], r["w"]): r for r in out}
+    assert rows[("san", "francisco")]["c_bigram"] == 10
+    # continuation prob of 'the' spread over 4 contexts, but
+    # 'francisco' completes only 1 context -> its backoff mass tiny
+    sf = rows[("san", "francisco")]["p_kn"]
+    assert sf > 0.9     # direct evidence dominates
+    # a NOVEL context ending in a versatile word gets more backoff
+    # mass than the frequency of the word alone would suggest:
+    # n1p('the' completions) = 4 contexts vs 1 for 'francisco'
+    n1p_the = sum(1 for (v, w) in rows if w == "the")
+    n1p_fran = sum(1 for (v, w) in rows if w == "francisco")
+    assert n1p_the == 4 and n1p_fran == 1
+
+
+def test_shard_plan_moves_sum_and_balance(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import shard_rebalance_plan
+
+    rows = [("s0", 100), ("s1", 10), ("s2", 10), ("s3", 40)]
+    df = spark.createDataFrame(rows, "shard string, load long")
+    out = shard_rebalance_plan(df, "shard", F.col("load")).collect()
+    # mean 40: s0 donates 60, s1/s2 each receive 30, s3 balanced
+    moves = {(r["from_shard"], r["to_shard"]): r["amount"] for r in out}
+    assert moves == {("s0", "s1"): 30, ("s0", "s2"): 30}
+    assert sum(moves.values()) == 60
+
+
+def test_bloom_advisor_textbook_numbers(spark):
+    from sparkcollector.operators.analytics import bloom_size_advisor
+
+    import math
+    rows = [("g", i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    r = bloom_size_advisor(df, "g", "k", target_fpp=0.01).collect()[0]
+    assert r["n_distinct_keys"] == 1000
+    m_expected = math.ceil(-1000 * math.log(0.01) / math.log(2) ** 2)
+    assert r["bits_m"] == m_expected       # ~9586
+    assert r["hashes_k"] == 7              # round(m/n * ln2) ~ 6.64
+    assert 0.005 < r["predicted_fpp"] < 0.015
