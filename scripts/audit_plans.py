@@ -4341,6 +4341,18 @@ def main() -> None:
         ("bloom_size_advisor",
          [("one distinct aggregate; sizing math in-row",
            lambda p: "Window" not in p and "Python" not in p)], ""),
+        ("otsu_threshold",
+         [("cumulative grid windows + rank-1 argmax (9dp rounded)",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("kde_modes",
+         [("bounded grid x cents-grid kernel join; modes via "
+           "lag/lead windows",
+           lambda p: "Join" in p and "Window" in p
+           and "Python" not in p)], ""),
+        ("rank_aggregation",
+         [("per-judge rank windows + bounded object-pair duel join",
+           lambda p: "Window" in p and "Join" in p
+           and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

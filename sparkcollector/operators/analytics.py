@@ -15368,3 +15368,193 @@ def bloom_size_advisor(
         k.cast("bigint").alias("hashes_k"),
         F.round(pred, 6).alias("predicted_fpp"),
     ).orderBy(group_col)
+
+
+def otsu_threshold(
+    df: DataFrame,
+    value_col,
+) -> DataFrame:
+    """Otsu's threshold on the cents histogram: the cut maximizing
+    between-class variance w0*w1*(mu0-mu1)^2 — the two-population
+    split without the EM machinery (the histogram-shape shortcut to
+    what gmm_em_2comp fits parametrically).
+
+    Candidate cuts are the distinct values; class stats at every cut
+    come from two cumulative windows over the bounded grid; argmax
+    via a rank-1 window with 9dp variance rounding (fold-noise
+    guard).  Emits the threshold and both class profiles.
+    """
+    g = df.select(
+        F.round(value_col.cast("double") * 100).cast("long").alias("v")
+    ).groupBy("v").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    wle = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = g.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("v")).alias("s"),
+    )
+    cum = g.select(
+        "v",
+        F.sum("c").over(wle).alias("n0"),
+        F.sum(F.col("c") * F.col("v")).over(wle).alias("s0"),
+    ).crossJoin(tot).filter(F.col("n0") < F.col("n"))
+    w0 = F.col("n0") / F.col("n")
+    w1 = 1 - w0
+    mu0 = F.col("s0") / F.col("n0")
+    mu1 = (F.col("s") - F.col("s0")) / (F.col("n") - F.col("n0"))
+    between = F.round(w0 * w1 * (mu0 - mu1) * (mu0 - mu1), 9)
+    r = Window.orderBy(F.desc("bv"), F.asc("v"))
+    scored = cum.select(
+        "v", between.alias("bv"),
+        F.col("n0").alias("n0"),
+        mu0.alias("mu0"), mu1.alias("mu1"),
+        (F.col("n") - F.col("n0")).alias("n1"),
+    )
+    return scored.select(
+        "*", F.row_number().over(r).alias("rk")
+    ).filter(F.col("rk") == 1).select(
+        (F.col("v") / 100.0).alias("otsu_threshold"),
+        F.col("n0").cast("bigint").alias("n_below"),
+        F.col("n1").cast("bigint").alias("n_above"),
+        F.round(F.col("mu0") / 100, 6).alias("mean_below"),
+        F.round(F.col("mu1") / 100, 6).alias("mean_above"),
+        F.round(F.col("bv") / 10000, 6).alias("between_var"),
+    )
+
+
+def kde_modes(
+    df: DataFrame,
+    value_col,
+    grid_points: int = 64,
+) -> DataFrame:
+    """Gaussian KDE on a bounded evaluation grid with Silverman's
+    rule-of-thumb bandwidth, plus local-maximum mode detection — is
+    the distribution unimodal or a mixture?  (The nonparametric
+    companion to gmm_em/otsu.)
+
+    Density at each of ``grid_points`` evaluation points is one
+    grid-x-distinct-value join (both sides bounded: the cents grid
+    and the literal evaluation grid) — never a pass over raw rows
+    per point.  Modes via two lag windows on the density curve.
+    """
+    g = df.select(
+        F.round(value_col.cast("double") * 100).cast("long").alias("v")
+    ).groupBy("v").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    stats = g.agg(
+        F.sum("c").alias("n"),
+        (F.sum(F.col("c") * F.col("v")) / F.sum("c")).alias("mu"),
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+        F.sum(F.col("c") * F.col("v") * F.col("v")).alias("svv"),
+    ).select(
+        "n", "lo", "hi",
+        F.sqrt(
+            F.col("svv") / F.col("n") - F.col("mu") * F.col("mu")
+        ).alias("sd"),
+    ).select(
+        "n", "lo", "hi", "sd",
+        # Silverman: h = 1.06 sigma n^(-1/5)
+        (1.06 * F.col("sd") * F.pow(F.col("n"), -0.2)).alias("h"),
+    )
+    spark = df.sparkSession
+    pts = spark.range(grid_points).select(
+        F.col("id").cast("double").alias("i")
+    )
+    # pad the evaluation range by 2h so boundary clusters become
+    # interior local maxima (the endpoint rows can never pass the
+    # lag/lead mode filter)
+    grid = pts.crossJoin(stats).select(
+        (
+            F.col("lo") - 2 * F.col("h")
+            + F.col("i")
+            * (F.col("hi") - F.col("lo") + 4 * F.col("h"))
+            / (grid_points - 1)
+        ).alias("x"),
+        "h", "n",
+    )
+    dens = grid.join(g, F.lit(True)).groupBy("x", "h", "n").agg(
+        F.sum(
+            F.col("c")
+            * F.exp(
+                -0.5 * F.pow((F.col("x") - F.col("v")) / F.col("h"), 2)
+            )
+        ).alias("ksum")
+    ).select(
+        "x",
+        F.round(
+            F.col("ksum")
+            / (F.col("n") * F.col("h") * 2.5066282746310002),
+            9,
+        ).alias("dens"),
+    )
+    wo = Window.orderBy("x")
+    curve = dens.select(
+        "x", "dens",
+        F.lag("dens").over(wo).alias("dp"),
+        F.lead("dens").over(wo).alias("dn"),
+    )
+    modes = curve.filter(
+        F.col("dp").isNotNull() & F.col("dn").isNotNull()
+        & (F.col("dens") > F.col("dp")) & (F.col("dens") >= F.col("dn"))
+    )
+    return modes.select(
+        F.round(F.col("x") / 100, 6).alias("mode_value"),
+        F.round(F.col("dens") * 100, 9).alias("density"),
+    ).orderBy("mode_value")
+
+
+def rank_aggregation(
+    df: DataFrame,
+    judge_col: str,
+    object_col: str,
+    score_col,
+) -> DataFrame:
+    """Borda + Copeland rank aggregation across judges: Borda points
+    = k - rank summed over judges; Copeland score = pairwise
+    majority wins - losses (the Condorcet-consistent check on the
+    Borda order).  Complete-block zero-fill like Kendall's W.
+
+    Ranks via per-judge windows on the bounded grid; the pairwise
+    Copeland tally is an object x object join restricted to the
+    bounded (judge x object) table.
+    """
+    cells = df.groupBy(
+        F.col(judge_col).alias("judge"), F.col(object_col).alias("obj")
+    ).agg(F.sum(score_col.cast("double")).alias("s"))
+    full = (
+        cells.select("judge").distinct()
+        .crossJoin(cells.select("obj").distinct())
+        .join(cells, ["judge", "obj"], "left")
+        .select("judge", "obj", F.coalesce("s", F.lit(0.0)).alias("s"))
+    )
+    wr = Window.partitionBy("judge").orderBy(F.desc("s"), F.asc("obj"))
+    ranked = full.select(
+        "judge", "obj", F.row_number().over(wr).alias("rk")
+    )
+    k = ranked.agg(F.max("rk")).collect()[0][0]
+    borda = ranked.groupBy("obj").agg(
+        F.sum(F.lit(k) - F.col("rk")).cast("long").alias("borda")
+    )
+    a = ranked.select("judge", F.col("obj").alias("o1"),
+                      F.col("rk").alias("r1"))
+    b = ranked.select("judge", F.col("obj").alias("o2"),
+                      F.col("rk").alias("r2"))
+    duels = a.join(b, "judge").filter(F.col("o1") != F.col("o2"))
+    wins = duels.groupBy("o1", "o2").agg(
+        F.sum((F.col("r1") < F.col("r2")).cast("long")).alias("w"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    cope = wins.select(
+        F.col("o1").alias("obj"),
+        F.when(F.col("w") * 2 > F.col("m"), 1)
+        .when(F.col("w") * 2 < F.col("m"), -1)
+        .otherwise(0).alias("pt"),
+    ).groupBy("obj").agg(F.sum("pt").cast("long").alias("copeland"))
+    out = borda.join(cope, "obj")
+    wfin = Window.orderBy(
+        F.desc("borda"), F.desc("copeland"), F.asc("obj")
+    )
+    return out.select(
+        "obj", "borda", "copeland",
+        F.row_number().over(wfin).cast("int").alias("final_rank"),
+    ).orderBy("final_rank")

@@ -5230,3 +5230,55 @@ def test_bloom_advisor_textbook_numbers(spark):
     assert r["bits_m"] == m_expected       # ~9586
     assert r["hashes_k"] == 7              # round(m/n * ln2) ~ 6.64
     assert 0.005 < r["predicted_fpp"] < 0.015
+
+
+def test_otsu_separates_two_bands(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import otsu_threshold
+
+    # tight band at ~1.0 and tight band at ~5.0
+    rows = ([(1.0 + 0.01 * (i % 3),) for i in range(100)]
+            + [(5.0 + 0.01 * (i % 3),) for i in range(100)])
+    df = spark.createDataFrame(rows, "x double")
+    r = otsu_threshold(df, F.col("x")).collect()[0]
+    assert 1.0 <= r["otsu_threshold"] < 5.0
+    assert r["n_below"] == 100 and r["n_above"] == 100
+    assert abs(r["mean_below"] - 1.01) < 0.02
+    assert abs(r["mean_above"] - 5.01) < 0.02
+
+
+def test_kde_modes_bimodal_vs_unimodal(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import kde_modes
+
+    rows = ([(10.0 + 0.1 * (i % 5),) for i in range(200)]
+            + [(50.0 + 0.1 * (i % 5),) for i in range(200)])
+    df = spark.createDataFrame(rows, "x double")
+    modes = kde_modes(df, F.col("x"), grid_points=64).collect()
+    vals = [m["mode_value"] for m in modes]
+    assert len(vals) == 2
+    assert abs(vals[0] - 10.2) < 1.5 and abs(vals[1] - 50.2) < 1.5
+    # single band -> one mode
+    uni = spark.createDataFrame(
+        [(10.0 + 0.1 * (i % 9),) for i in range(300)], "x double"
+    )
+    assert len(kde_modes(uni, F.col("x")).collect()) == 1
+
+
+def test_borda_copeland_agreement_case(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import rank_aggregation
+
+    # three judges, consistent scores: a > b > c everywhere
+    rows = []
+    for j in "jkl":
+        rows += [(j, "a", 30), (j, "b", 20), (j, "c", 10)]
+    df = spark.createDataFrame(rows, "judge string, obj string, s int")
+    out = {r["obj"]: r for r in rank_aggregation(
+        df, "judge", "obj", F.col("s")).collect()}
+    assert out["a"]["final_rank"] == 1 and out["a"]["borda"] == 6
+    assert out["a"]["copeland"] == 2          # beats both
+    assert out["c"]["final_rank"] == 3 and out["c"]["copeland"] == -2
