@@ -4353,6 +4353,18 @@ def main() -> None:
          [("per-judge rank windows + bounded object-pair duel join",
            lambda p: "Window" in p and "Join" in p
            and "Python" not in p)], ""),
+        ("topo_layers",
+         [("final histogram over checkpointed superstep layers",
+           lambda p: "Scan ExistingRDD" in p
+           and "Python" not in p)], ""),
+        ("markov_stationary",
+         [("power iteration over the |S|^2-bounded matrix; final "
+           "join against checkpointed pi",
+           lambda p: "Scan ExistingRDD" in p
+           and "Python" not in p)], ""),
+        ("getis_ord_hotspots",
+         [("bounded-grid neighborhood self-join + one reduction",
+           lambda p: "Join" in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -15558,3 +15558,134 @@ def rank_aggregation(
         "obj", "borda", "copeland",
         F.row_number().over(wfin).cast("int").alias("final_rank"),
     ).orderBy("final_rank")
+
+
+MARKOV_POWER_ITERS = 20
+
+
+def markov_stationary(
+    df: DataFrame,
+    user_col: str,
+    state_col: str,
+    ts_col: str,
+    order2_col: str,
+    iters: int = MARKOV_POWER_ITERS,
+) -> DataFrame:
+    """Stationary distribution of the empirical state-transition
+    chain by fixed-schedule power iteration (pi' = pi P, 9dp
+    rounding per step — the EM/Platt contract), compared against the
+    plain occurrence distribution: a gap means the chain hasn't
+    mixed, i.e. where users ARE is not where the dynamics would
+    keep them.
+
+    The transition matrix is |S|^2-bounded; each iteration is one
+    keyed join + aggregate over it.  Emits per state: stationary pi,
+    empirical share, and the difference.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order2_col)
+    tr = df.select(
+        F.col(state_col).alias("dst"),
+        F.lag(state_col).over(w).alias("src"),
+    ).filter(F.col("src").isNotNull())
+    p = tr.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    row_tot = p.groupBy("src").agg(F.sum("c").alias("t"))
+    pm = p.join(row_tot, "src").select(
+        "src", "dst", (F.col("c") / F.col("t")).alias("p")
+    ).localCheckpoint(eager=True)
+    states = pm.select(F.col("src").alias("s")).distinct()
+    n_states = states.count()
+    pi = states.select(
+        "s", F.lit(1.0 / n_states).alias("pi")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        nxt = (
+            pm.join(pi, pm.src == pi.s)
+            .groupBy(F.col("dst").alias("s"))
+            .agg(F.round(F.sum(F.col("p") * F.col("pi")), 9).alias("pi"))
+        )
+        pi = states.join(nxt, "s", "left").select(
+            "s", F.coalesce("pi", F.lit(0.0)).alias("pi")
+        ).localCheckpoint(eager=True)
+    emp = df.groupBy(F.col(state_col).alias("s")).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    emp_tot = emp.agg(F.sum("c").alias("t"))
+    emp_share = emp.crossJoin(emp_tot).select(
+        "s", (F.col("c") / F.col("t")).alias("emp")
+    )
+    return pi.join(emp_share, "s").select(
+        F.col("s").alias("state"),
+        F.round("pi", 6).alias("stationary_pi"),
+        F.round("emp", 6).alias("empirical_share"),
+        F.round(F.col("pi") - F.col("emp"), 6).alias("gap"),
+    ).orderBy("state")
+
+
+def getis_ord_hotspots(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    value_col,
+    n_rows: int,
+    n_cols: int,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Getis-Ord Gi* hot/cold-spot detection on a bounded grid (rook
+    + center neighborhood): z-score of each cell's local sum against
+    the global field — WHERE the load clusters, the local complement
+    to the repo's global Moran's I.
+
+    Neighborhood sums via a self-join of the bounded grid on |di| +
+    |dj| <= 1; Gi* uses the standard mean/variance normalization
+    with neighborhood size W.  Emits significant cells only.
+    """
+    g = df.groupBy(
+        F.col(row_col).cast("int").alias("i"),
+        F.col(col_col).cast("int").alias("j"),
+    ).agg(F.sum(value_col.cast("double")).alias("x"))
+    stats = g.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("xbar"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).select(
+        "n", "xbar",
+        F.sqrt(
+            F.col("sxx") / F.col("n") - F.col("xbar") * F.col("xbar")
+        ).alias("s"),
+    )
+    nb = g.select(
+        F.col("i").alias("ni"), F.col("j").alias("nj"),
+        F.col("x").alias("nx"),
+    )
+    local = g.join(
+        nb,
+        (F.abs(F.col("i") - F.col("ni"))
+         + F.abs(F.col("j") - F.col("nj"))) <= 1,
+    ).groupBy("i", "j").agg(
+        F.sum("nx").alias("lsum"),
+        F.count(F.lit(1)).cast("double").alias("w"),
+    )
+    z = local.crossJoin(stats).select(
+        "i", "j", "lsum", "w",
+        (
+            (F.col("lsum") - F.col("xbar") * F.col("w"))
+            / (
+                F.col("s")
+                * F.sqrt(
+                    (F.col("n") * F.col("w") - F.col("w") * F.col("w"))
+                    / (F.col("n") - 1)
+                )
+            )
+        ).alias("gi"),
+    )
+    return z.filter(F.abs(F.col("gi")) > z_crit).select(
+        F.col("i").alias(row_col),
+        F.col("j").alias(col_col),
+        F.round("lsum", 2).alias("local_sum"),
+        F.col("w").cast("bigint").alias("neighborhood"),
+        F.round("gi", 6).alias("gi_star_z"),
+        F.when(F.col("gi") > 0, F.lit("hot")).otherwise(F.lit("cold"))
+        .alias("spot"),
+    ).orderBy(row_col, col_col)

@@ -1122,3 +1122,42 @@ def rich_club(
         ).alias("phi"),
     )
     return out.orderBy("k")
+
+
+TOPO_ROUNDS = 12
+
+
+def topo_layers(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = TOPO_ROUNDS,
+) -> DataFrame:
+    """Kahn-style topological layering of a DAG: layer(n) = length of
+    the longest dependency chain into n — the parallel-scheduling
+    depth chart (which build/ETL stages can run together, and how
+    long the critical chain is).
+
+    Fixed supersteps of join + max-aggregate (layer(n) = 1 +
+    max(layer(pred))), lineage cut per round; ``rounds`` bounds the
+    chain length (a config constant, like the repo's other bounded
+    traversals).  Emits the layer histogram plus each layer's
+    minimum node as exemplar.
+    """
+    lay = nodes.select("node", F.lit(0).alias("layer"))
+    for _ in range(rounds):
+        upd = (
+            edges.join(lay, edges.src == lay.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("layer") + 1).alias("layer"),
+            )
+        )
+        lay = (
+            lay.unionByName(upd)
+            .groupBy("node").agg(F.max("layer").alias("layer"))
+            .localCheckpoint(eager=True)
+        )
+    return lay.groupBy("layer").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("node").alias("exemplar"),
+    ).orderBy("layer")

@@ -5282,3 +5282,51 @@ def test_borda_copeland_agreement_case(spark):
     assert out["a"]["final_rank"] == 1 and out["a"]["borda"] == 6
     assert out["a"]["copeland"] == 2          # beats both
     assert out["c"]["final_rank"] == 3 and out["c"]["copeland"] == -2
+
+
+def test_markov_stationary_biased_chain(spark):
+    from sparkcollector.operators.analytics import markov_stationary
+
+    # deterministic cycle a->b->c->a...: stationary = uniform 1/3
+    rows = []
+    for u in range(5):
+        for t in range(30):
+            rows.append((u, "abc"[t % 3], t, t))
+    df = spark.createDataFrame(rows, "u int, s string, ts int, o int")
+    out = {r["state"]: r for r in markov_stationary(
+        df, "u", "s", "ts", "o").collect()}
+    for s in "abc":
+        assert abs(out[s]["stationary_pi"] - 1 / 3) < 1e-6
+        assert abs(out[s]["gap"]) < 1e-6
+    # absorbing-ish chain: b almost always loops to b
+    rows2 = []
+    for u in range(5):
+        seq = ["a"] + ["b"] * 29
+        for t, s in enumerate(seq):
+            rows2.append((u, s, t, t))
+    df2 = spark.createDataFrame(rows2, "u int, s string, ts int, o int")
+    out2 = {r["state"]: r for r in markov_stationary(
+        df2, "u", "s", "ts", "o").collect()}
+    assert out2["b"]["stationary_pi"] > 0.95
+
+
+def test_getis_ord_finds_planted_hotspot(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import getis_ord_hotspots
+
+    rows = []
+    for i in range(6):
+        for j in range(6):
+            # hot cross around (2,2)
+            hot = abs(i - 2) + abs(j - 2) <= 1
+            for _ in range(200 if hot else 10):
+                rows.append((i, j))
+    df = spark.createDataFrame(rows, "i int, j int")
+    out = getis_ord_hotspots(
+        df, "i", "j", F.lit(1), 6, 6, z_crit=1.96
+    ).collect()
+    spots = {(r["i"], r["j"]): r["spot"] for r in out}
+    assert spots.get((2, 2)) == "hot"
+    # far corner should not be hot
+    assert spots.get((5, 5)) != "hot"

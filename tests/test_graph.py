@@ -401,3 +401,20 @@ def test_rich_club_core_vs_periphery(spark):
     assert out[3]["n_nodes"] == 4 and out[3]["phi"] == 1.0
     # degree>1 includes nobody else (leaves have degree 1)
     assert out[1]["n_nodes"] == 4
+
+
+def test_topo_layers_chain_and_diamond(spark):
+    from sparkcollector.operators.graph import topo_layers
+
+    # diamond 0->1,0->2,1->3,2->3 plus tail 3->4: longest chains
+    # give layers 0,1,1,2,3
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    nodes = spark.range(5).selectExpr("id as node")
+    out = {r["layer"]: r for r in topo_layers(
+        nodes, edges, rounds=6).collect()}
+    assert out[0]["n_nodes"] == 1 and out[0]["exemplar"] == 0
+    assert out[1]["n_nodes"] == 2
+    assert out[2]["exemplar"] == 3
+    assert out[3]["exemplar"] == 4
