@@ -4365,6 +4365,18 @@ def main() -> None:
         ("getis_ord_hotspots",
          [("bounded-grid neighborhood self-join + one reduction",
            lambda p: "Join" in p and "Python" not in p)], ""),
+        ("anderson_darling_uniform",
+         [("exact tie-block rank sums on the bounded grid; ranks "
+           "never touch raw rows",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("kupiec_var_backtest",
+         [("single aggregate; LR in closed form",
+           lambda p: "Window" not in p and "Join" not in p
+           and "Python" not in p)], ""),
+        ("max_drawdown",
+         [("cummax window + rank-1 argmax over the checkpointed "
+           "series",
+           lambda p: "Window" in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -15689,3 +15689,144 @@ def getis_ord_hotspots(
         F.when(F.col("gi") > 0, F.lit("hot")).otherwise(F.lit("cold"))
         .alias("spot"),
     ).orderBy(row_col, col_col)
+
+
+def anderson_darling_uniform(
+    df: DataFrame,
+    u_col,
+) -> DataFrame:
+    """Anderson-Darling test of uniformity on [0,1) — the
+    tail-sensitive upgrade over the repo's KS test (AD weights the
+    tails by 1/(F(1-F))): A^2 = -n - (1/n) sum_i [(2i-1) ln u_(i) +
+    (2(n-i)+1) ln(1-u_(i))].
+
+    The scale move: ranks never touch raw rows.  Ties collapse onto
+    the bounded distinct-value grid; within a tie block of count c
+    starting after C rows, sum(2i-1) = c(2C+c) and
+    sum(2(n-i)+1) = c(2(n-C)-c) in closed form, so one grid window
+    and one reduction produce the exact statistic.  Values are
+    clamped away from {0,1} by eps so logs stay finite.  Flagged at
+    the asymptotic 5% point 2.492.
+    """
+    eps = 1e-10
+    g = df.select(
+        F.least(
+            F.greatest(u_col.cast("double"), F.lit(eps)),
+            F.lit(1 - eps),
+        ).alias("u")
+    ).groupBy("u").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    wlt = Window.orderBy("u").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = g.select(
+        "u", "c",
+        F.coalesce(F.sum("c").over(wlt), F.lit(0.0)).alias("cc"),
+    )
+    tot = g.agg(F.sum("c").alias("n"))
+    t = cum.crossJoin(tot)
+    term = (
+        F.col("c") * (2 * F.col("cc") + F.col("c")) * F.log("u")
+        + F.col("c")
+        * (2 * (F.col("n") - F.col("cc")) - F.col("c"))
+        * F.log(1 - F.col("u"))
+    )
+    a = t.agg(
+        F.max("n").alias("n"), F.sum(term).alias("s")
+    )
+    a2 = -F.col("n") - F.col("s") / F.col("n")
+    return a.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round(a2, 6).alias("a_squared"),
+        (a2 > 2.492).alias("nonuniform_5pct"),
+    )
+
+
+def kupiec_var_backtest(
+    df: DataFrame,
+    breach_col,
+    confidence: float = 0.99,
+) -> DataFrame:
+    """Kupiec proportion-of-failures backtest: does the breach
+    frequency of a (1-confidence) limit match its nominal rate?
+    LR_pof = -2 ln[ (1-p)^{n-x} p^x / ((1-x/n)^{n-x} (x/n)^x) ],
+    chi-square(1) — the SLO-threshold honesty check (a p99 limit
+    breached 5% of the time is lying about being a p99).
+
+    One aggregate; the log-likelihood ratio in closed form with
+    0*ln0 guards.  Flag at 3.841.
+    """
+    p = 1.0 - confidence
+    a = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(breach_col.cast("double")).alias("x"),
+    )
+    n, x = F.col("n"), F.col("x")
+    phat = x / n
+    lnl0 = (n - x) * F.log(F.lit(1 - p)) + x * F.log(F.lit(p))
+    lnl1 = (
+        F.when(n - x > 0, (n - x) * F.log(1 - phat)).otherwise(0.0)
+        + F.when(x > 0, x * F.log(phat)).otherwise(0.0)
+    )
+    lr = -2 * (lnl0 - lnl1)
+    return a.select(
+        n.cast("bigint").alias("n_obs"),
+        x.cast("bigint").alias("n_breaches"),
+        F.round(phat, 6).alias("observed_rate"),
+        F.round(F.lit(p), 6).alias("nominal_rate"),
+        F.round(lr, 6).alias("lr_pof"),
+        (lr > 3.841).alias("miscalibrated_95"),
+    )
+
+
+def max_drawdown(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Maximum drawdown of a cumulative series: the worst
+    peak-to-trough fall, plus where it happened — the burn-down
+    robustness number for error budgets and capacity headroom (how
+    deep did the hole get, and how long to dig out).
+
+    Running peak via one cumulative-max window; drawdown in-row; the
+    argmax trough via a rank-1 window; recovery = first later point
+    reaching the old peak (min filtered over a join against the
+    1-row argmax).
+    """
+    w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = df.select(
+        F.col(order_col).alias("o"),
+        F.col(value_col).cast("double").alias("x"),
+    ).select(
+        "o", "x", F.max("x").over(w).alias("peak")
+    ).select(
+        "o", "x", "peak",
+        F.round(F.col("peak") - F.col("x"), 9).alias("dd"),
+    ).localCheckpoint(eager=True)
+    r = Window.orderBy(F.desc("dd"), F.asc("o"))
+    worst = s.select(
+        "*", F.row_number().over(r).alias("rk")
+    ).filter(F.col("rk") == 1).select(
+        F.col("o").alias("trough_o"), F.col("x").alias("trough_x"),
+        F.col("peak").alias("peak_x"), F.col("dd").alias("mdd"),
+    )
+    rec = s.crossJoin(worst).filter(
+        (F.col("o") > F.col("trough_o"))
+        & (F.col("x") >= F.col("peak_x"))
+    ).agg(F.min("o").alias("recovery_o"))
+    return worst.crossJoin(rec).select(
+        F.round("mdd", 6).alias("max_drawdown"),
+        F.round("peak_x", 6).alias("peak_value"),
+        F.round("trough_x", 6).alias("trough_value"),
+        "trough_o",
+        "recovery_o",
+        F.round(
+            F.when(
+                F.col("peak_x") != 0,
+                F.col("mdd") / F.col("peak_x"),
+            ),
+            6,
+        ).alias("drawdown_frac"),
+    )

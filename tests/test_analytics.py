@@ -5330,3 +5330,56 @@ def test_getis_ord_finds_planted_hotspot(spark):
     assert spots.get((2, 2)) == "hot"
     # far corner should not be hot
     assert spots.get((5, 5)) != "hot"
+
+
+def test_anderson_darling_uniform_vs_clumped(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import anderson_darling_uniform
+
+    # near-uniform evenly spaced points: A2 small
+    uni = spark.createDataFrame(
+        [((i + 0.5) / 500,) for i in range(500)], "u double"
+    )
+    r = anderson_darling_uniform(uni, F.col("u")).collect()[0]
+    assert r["a_squared"] < 1.0 and not r["nonuniform_5pct"]
+    # everything clumped in [0.4, 0.5): A2 explodes
+    clump = spark.createDataFrame(
+        [(0.4 + 0.1 * (i / 500),) for i in range(500)], "u double"
+    )
+    r2 = anderson_darling_uniform(clump, F.col("u")).collect()[0]
+    assert r2["a_squared"] > 50 and r2["nonuniform_5pct"]
+
+
+def test_kupiec_calibrated_vs_lying_limit(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import kupiec_var_backtest
+
+    # exactly 1% breaches out of 10000: LR ~ 0
+    rows = [(1 if i < 100 else 0,) for i in range(10000)]
+    df = spark.createDataFrame(rows, "b int")
+    r = kupiec_var_backtest(df, F.col("b"), 0.99).collect()[0]
+    assert r["n_breaches"] == 100
+    assert abs(r["lr_pof"]) < 0.01 and not r["miscalibrated_95"]
+    # 5% breaches against a claimed 1% limit: strongly rejected
+    rows2 = [(1 if i < 500 else 0,) for i in range(10000)]
+    df2 = spark.createDataFrame(rows2, "b int")
+    r2 = kupiec_var_backtest(df2, F.col("b"), 0.99).collect()[0]
+    assert r2["lr_pof"] > 100 and r2["miscalibrated_95"]
+
+
+def test_max_drawdown_shape(spark):
+    from sparkcollector.operators.analytics import max_drawdown
+
+    # rise to 10, fall to 3, recover to 11: MDD 7, recovery at the
+    # first point back at >= 10
+    xs = [0, 4, 10, 8, 3, 6, 10, 11]
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], "o int, x double"
+    )
+    r = max_drawdown(df, "o", "x").collect()[0]
+    assert r["max_drawdown"] == 7.0
+    assert r["peak_value"] == 10.0 and r["trough_value"] == 3.0
+    assert r["trough_o"] == 4 and r["recovery_o"] == 6
+    assert abs(r["drawdown_frac"] - 0.7) < 1e-9
