@@ -4377,6 +4377,16 @@ def main() -> None:
          [("cummax window + rank-1 argmax over the checkpointed "
            "series",
            lambda p: "Window" in p and "Python" not in p)], ""),
+        ("leaky_bucket_replay",
+         [("per-series in-row fold, no per-row Python",
+           lambda p: "Python" not in p)], ""),
+        ("graph_reciprocity",
+         [("one semi-join on the reversed key + scalar reductions, "
+           "fully in-plan",
+           lambda p: "Join" in p and "Python" not in p)], ""),
+        ("auc_hanley_ci",
+         [("cents-grid midrank machinery + closed-form SE",
+           lambda p: "Window" in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

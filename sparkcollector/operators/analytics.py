@@ -15830,3 +15830,161 @@ def max_drawdown(
             6,
         ).alias("drawdown_frac"),
     )
+
+
+def leaky_bucket_replay(
+    df: DataFrame,
+    order_col: str,
+    arrivals_col: str,
+    drain_rate: float,
+    capacity: float,
+) -> DataFrame:
+    """Leaky-bucket traffic-shaping replay: per step, level =
+    min(capacity, max(0, level + arrivals - drain)); overflow =
+    arrivals that found the bucket full — the smoothing twin of the
+    repo's token_bucket_audit (which gates, where this QUEUES).
+
+    Sequential -> per-series in-row fold over the bounded rollup
+    series; emits the level/overflow trajectory and the total
+    shaped-vs-dropped split.
+    """
+    base = df.select(
+        F.col(order_col).cast("long").alias("_o"),
+        F.col(arrivals_col).cast("double").alias("_a"),
+    )
+    ser = base.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("_o", "_a"))).alias("_z")
+    )
+    d, cap = float(drain_rate), float(capacity)
+    fold = (
+        "aggregate(_z,"
+        " named_struct('lvl', cast(0.0 as double),"
+        " 'levels', cast(array() as array<double>),"
+        " 'drops', cast(array() as array<double>)),"
+        " (acc, e) -> named_struct("
+        f" 'lvl', least({cap}, greatest(0.0, acc.lvl + e._a - {d})),"
+        f" 'levels', concat(acc.levels, array(round(least({cap},"
+        f" greatest(0.0, acc.lvl + e._a - {d})), 6))),"
+        f" 'drops', concat(acc.drops, array(round(greatest(0.0,"
+        f" acc.lvl + e._a - {d} - {cap}), 6)))))"
+    )
+    folded = ser.withColumn("_st", F.expr(fold))
+    return folded.select(
+        F.posexplode(
+            F.arrays_zip(
+                F.col("_z").getField("_o").alias("os"),
+                F.col("_z").getField("_a").alias("ar"),
+                F.col("_st").getField("levels").alias("lv"),
+                F.col("_st").getField("drops").alias("dr"),
+            )
+        ).alias("_i", "_r")
+    ).select(
+        F.col("_r.os").alias("bucket"),
+        F.round(F.col("_r.ar"), 4).alias("arrivals"),
+        F.col("_r.lv").alias("level"),
+        F.col("_r.dr").alias("overflow"),
+    ).orderBy("bucket")
+
+
+def graph_reciprocity(
+    edges: DataFrame,
+) -> DataFrame:
+    """Directed-graph reciprocity: the share of edges whose reverse
+    edge also exists, plus the Garlaschelli-Loffredo rho that
+    corrects for density (rho > 0: mutual links beyond chance) —
+    does the service call graph contain true request/response pairs
+    or one-way pipelines?
+
+    One self-join on the reversed key + two aggregates; the density
+    correction needs only node and edge counts.
+    """
+    e = edges.select("src", "dst").filter(
+        F.col("src") != F.col("dst")
+    ).distinct().localCheckpoint(eager=True)
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mut = e.join(rev, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).cast("double").alias("mutual")
+    )
+    m = e.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    nn = (
+        e.select(F.col("src").alias("n"))
+        .union(e.select(F.col("dst").alias("n")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("nodes"))
+    )
+    j = mut.crossJoin(m).crossJoin(nn)
+    r = F.col("mutual") / F.col("m")
+    abar = F.col("m") / (F.col("nodes") * (F.col("nodes") - 1))
+    # complete graph: density 1 makes the correction degenerate;
+    # reciprocity is trivially 1 there
+    rho = F.when(abar < 1, (r - abar) / (1 - abar)).otherwise(
+        F.lit(1.0)
+    )
+    return j.select(
+        F.col("nodes").cast("bigint").alias("n_nodes"),
+        F.col("m").cast("bigint").alias("n_edges"),
+        F.col("mutual").cast("bigint").alias("n_mutual"),
+        F.round(r, 6).alias("reciprocity"),
+        F.round(abar, 6).alias("density"),
+        F.round(rho, 6).alias("rho_gl"),
+    )
+
+
+def auc_hanley_ci(
+    df: DataFrame,
+    score_col,
+    label_col,
+    z: float = 1.96,
+) -> DataFrame:
+    """ROC AUC with the Hanley-McNeil standard error and a 95%
+    interval: SE^2 = [A(1-A) + (n+ - 1)(Q1 - A^2) + (n- - 1)(Q2 -
+    A^2)] / (n+ n-), Q1 = A/(2-A), Q2 = 2A^2/(1+A) — the error bar
+    the bare roc_auc_rank entry leaves out, from the SAME bounded
+    cents-grid midrank machinery.
+    """
+    g = df.select(
+        F.round(score_col.cast("double") * 100).cast("long").alias("v"),
+        label_col.cast("double").alias("y"),
+    ).groupBy("v").agg(
+        F.count(F.lit(1)).cast("double").alias("c"),
+        F.sum("y").alias("pos"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.select(
+        "v", "c", "pos",
+        (
+            F.coalesce(F.sum("c").over(w), F.lit(0.0))
+            + (F.col("c") + 1) / 2
+        ).alias("midrank"),
+    )
+    a = ranked.agg(
+        F.sum(F.col("pos") * F.col("midrank")).alias("rpos"),
+        F.sum("pos").alias("np"),
+        F.sum(F.col("c") - F.col("pos")).alias("nn"),
+    )
+    auc = (
+        F.col("rpos") - F.col("np") * (F.col("np") + 1) / 2
+    ) / (F.col("np") * F.col("nn"))
+    q1 = auc / (2 - auc)
+    q2 = 2 * auc * auc / (1 + auc)
+    se = F.sqrt(
+        (
+            auc * (1 - auc)
+            + (F.col("np") - 1) * (q1 - auc * auc)
+            + (F.col("nn") - 1) * (q2 - auc * auc)
+        )
+        / (F.col("np") * F.col("nn"))
+    )
+    return a.select(
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(se, 6).alias("se_hanley"),
+        F.round(F.greatest(auc - z * se, F.lit(0.0)), 6).alias("ci_lo"),
+        F.round(F.least(auc + z * se, F.lit(1.0)), 6).alias("ci_hi"),
+        ((auc - z * se > 0.5) | (auc + z * se < 0.5)).alias(
+            "differs_from_chance_95"
+        ),
+    )

@@ -5383,3 +5383,49 @@ def test_max_drawdown_shape(spark):
     assert r["peak_value"] == 10.0 and r["trough_value"] == 3.0
     assert r["trough_o"] == 4 and r["recovery_o"] == 6
     assert abs(r["drawdown_frac"] - 0.7) < 1e-9
+
+
+def test_leaky_bucket_levels_and_overflow(spark):
+    from sparkcollector.operators.analytics import leaky_bucket_replay
+
+    # drain 10, cap 15; arrivals 30,0,0 -> level 15 (5 overflow),
+    # then 5, then 0
+    rows = [(0, 30.0), (1, 0.0), (2, 0.0)]
+    df = spark.createDataFrame(rows, "o int, a double")
+    out = leaky_bucket_replay(df, "o", "a", 10.0, 15.0).collect()
+    assert [r["level"] for r in out] == [15.0, 5.0, 0.0]
+    assert [r["overflow"] for r in out] == [5.0, 0.0, 0.0]
+
+
+def test_reciprocity_full_vs_one_way(spark):
+    from sparkcollector.operators.analytics import graph_reciprocity
+
+    # fully reciprocal triangle
+    tri = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)]
+    e = spark.createDataFrame(tri, "src long, dst long")
+    r = graph_reciprocity(e).collect()[0]
+    assert r["reciprocity"] == 1.0 and r["rho_gl"] == 1.0
+    # pure one-way chain
+    chain = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    r2 = graph_reciprocity(chain).collect()[0]
+    assert r2["reciprocity"] == 0.0 and r2["rho_gl"] < 0
+
+
+def test_auc_ci_narrows_with_n(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import auc_hanley_ci
+
+    def mk(n):
+        rows = [(float(i % 100) + (30.0 if i % 4 == 0 else 0.0),
+                 1 if i % 4 == 0 else 0) for i in range(n)]
+        return spark.createDataFrame(rows, "s double, y int")
+
+    r_small = auc_hanley_ci(mk(200), F.col("s"), F.col("y")).collect()[0]
+    r_big = auc_hanley_ci(mk(4000), F.col("s"), F.col("y")).collect()[0]
+    assert r_big["se_hanley"] < r_small["se_hanley"]
+    assert 0.5 < r_big["auc"] < 1.0
+    assert r_big["ci_lo"] < r_big["auc"] < r_big["ci_hi"]
+    assert r_big["differs_from_chance_95"]
