@@ -4387,6 +4387,16 @@ def main() -> None:
         ("auc_hanley_ci",
          [("cents-grid midrank machinery + closed-form SE",
            lambda p: "Window" in p and "Python" not in p)], ""),
+        ("ratio_metric_ci",
+         [("per-unit aggregate + one moment reduction",
+           lambda p: "Window" not in p and "Python" not in p)], ""),
+        ("relative_risk_ci",
+         [("single 2x2 aggregate; Katz CIs in-row",
+           lambda p: "Window" not in p and "Join" not in p
+           and "Python" not in p)], ""),
+        ("fisher_price_index",
+         [("bounded period x item cells; one item self-join",
+           lambda p: "Join" in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -15988,3 +15988,143 @@ def auc_hanley_ci(
             "differs_from_chance_95"
         ),
     )
+
+
+def ratio_metric_ci(
+    df: DataFrame,
+    unit_col: str,
+    num_col,
+    den_col,
+    z: float = 1.96,
+) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (sum of
+    numerator over sum of denominator across units — revenue per
+    session, errors per call): Var(X/Y) ~ (1/muY^2)[varX - 2R covXY
+    + R^2 varY] / n — the experimentation-grade error bar naive
+    per-row averaging gets wrong (units, not rows, are independent).
+
+    One per-unit aggregate, one moment reduction; everything closed
+    form.
+    """
+    per = df.groupBy(F.col(unit_col).alias("u")).agg(
+        F.sum(num_col.cast("double")).alias("x"),
+        F.sum(den_col.cast("double")).alias("y"),
+    )
+    m = per.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("mx"), F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+    )
+    r = F.col("mx") / F.col("my")
+    vx = F.col("mxx") - F.col("mx") * F.col("mx")
+    vy = F.col("myy") - F.col("my") * F.col("my")
+    cxy = F.col("mxy") - F.col("mx") * F.col("my")
+    se = F.sqrt(
+        (vx - 2 * r * cxy + r * r * vy)
+        / (F.col("my") * F.col("my") * F.col("n"))
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_units"),
+        F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("se_delta"),
+        F.round(r - z * se, 6).alias("ci_lo"),
+        F.round(r + z * se, 6).alias("ci_hi"),
+    )
+
+
+def relative_risk_ci(
+    df: DataFrame,
+    exposed_col,
+    outcome_col,
+    z: float = 1.96,
+) -> DataFrame:
+    """Relative risk and odds ratio for a 2x2 exposure/outcome table
+    with Katz log-scale confidence intervals: ln RR +/- z*sqrt(1/a -
+    1/(a+b) + 1/c - 1/(c+d)), ln OR +/- z*sqrt(1/a+1/b+1/c+1/d) —
+    the epidemiology pair behind 'does the canary double the error
+    risk', with multiplicative error bars.
+    """
+    t = df.agg(
+        F.sum(
+            (exposed_col.cast("int") * outcome_col.cast("int"))
+            .cast("double")
+        ).alias("a"),
+        F.sum(
+            (exposed_col.cast("int") * (1 - outcome_col.cast("int")))
+            .cast("double")
+        ).alias("b"),
+        F.sum(
+            ((1 - exposed_col.cast("int")) * outcome_col.cast("int"))
+            .cast("double")
+        ).alias("c"),
+        F.sum(
+            ((1 - exposed_col.cast("int"))
+             * (1 - outcome_col.cast("int"))).cast("double")
+        ).alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    rr = (a / (a + b)) / (c / (c + d))
+    se_rr = F.sqrt(1 / a - 1 / (a + b) + 1 / c - 1 / (c + d))
+    orr = (a * d) / (b * c)
+    se_or = F.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    return t.select(
+        a.cast("bigint").alias("exposed_cases"),
+        b.cast("bigint").alias("exposed_ok"),
+        c.cast("bigint").alias("control_cases"),
+        d.cast("bigint").alias("control_ok"),
+        F.round(rr, 6).alias("relative_risk"),
+        F.round(F.exp(F.log(rr) - z * se_rr), 6).alias("rr_ci_lo"),
+        F.round(F.exp(F.log(rr) + z * se_rr), 6).alias("rr_ci_hi"),
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(F.exp(F.log(orr) - z * se_or), 6).alias("or_ci_lo"),
+        F.round(F.exp(F.log(orr) + z * se_or), 6).alias("or_ci_hi"),
+    )
+
+
+def fisher_price_index(
+    df: DataFrame,
+    period_col,
+    item_col: str,
+    price_col,
+    qty_col,
+) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices between period 0
+    and period 1 over an item basket: base-weighted vs current-
+    weighted cost drift and their geometric compromise — unit-cost
+    inflation for capacity baskets (per event type: price = mean
+    value, quantity = volume).
+
+    Two keyed aggregates to the bounded (period x item) table, one
+    self-join on item, one reduction.
+    """
+    cell = df.groupBy(
+        period_col.cast("int").alias("per"),
+        F.col(item_col).alias("item"),
+    ).agg(
+        F.avg(price_col.cast("double")).alias("p"),
+        F.sum(qty_col.cast("double")).alias("q"),
+    )
+    p0 = cell.filter(F.col("per") == 0).select(
+        "item", F.col("p").alias("p0"), F.col("q").alias("q0")
+    )
+    p1 = cell.filter(F.col("per") == 1).select(
+        "item", F.col("p").alias("p1"), F.col("q").alias("q1")
+    )
+    j = p0.join(p1, "item")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("p1") * F.col("q0")).alias("s10"),
+        F.sum(F.col("p0") * F.col("q0")).alias("s00"),
+        F.sum(F.col("p1") * F.col("q1")).alias("s11"),
+        F.sum(F.col("p0") * F.col("q1")).alias("s01"),
+    )
+    lasp = F.col("s10") / F.col("s00")
+    paas = F.col("s11") / F.col("s01")
+    return agg.select(
+        "n_items",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )

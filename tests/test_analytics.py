@@ -5429,3 +5429,59 @@ def test_auc_ci_narrows_with_n(spark):
     assert 0.5 < r_big["auc"] < 1.0
     assert r_big["ci_lo"] < r_big["auc"] < r_big["ci_hi"]
     assert r_big["differs_from_chance_95"]
+
+
+def test_ratio_metric_ci_covers_truth(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import ratio_metric_ci
+
+    # every unit: x = 2y exactly -> ratio 2, zero variance
+    rows = [(u, 2.0 * (1 + u % 5), float(1 + u % 5))
+            for u in range(100)]
+    df = spark.createDataFrame(rows, "u int, x double, y double")
+    r = ratio_metric_ci(df, "u", F.col("x"), F.col("y")).collect()[0]
+    assert abs(r["ratio"] - 2.0) < 1e-9
+    assert r["se_delta"] < 1e-9
+    assert r["ci_lo"] <= 2.0 <= r["ci_hi"]
+
+
+def test_relative_risk_doubled(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import relative_risk_ci
+
+    rows = []
+    # exposed: 20% cases of 500; control: 10% of 500
+    for i in range(500):
+        rows.append((1, 1 if i < 100 else 0))
+        rows.append((0, 1 if i < 50 else 0))
+    df = spark.createDataFrame(rows, "e int, y int")
+    r = relative_risk_ci(df, F.col("e"), F.col("y")).collect()[0]
+    assert abs(r["relative_risk"] - 2.0) < 1e-9
+    assert r["rr_ci_lo"] > 1.0         # significantly elevated
+    assert r["odds_ratio"] > 2.0       # OR exceeds RR for common outcomes
+    assert r["or_ci_lo"] > 1.0
+
+
+def test_fisher_index_between_l_and_p(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import fisher_price_index
+
+    # item a: price 10->20 (qty 100->50); item b: price 5->5
+    rows = []
+    rows += [(0, "a", 10.0)] * 100 + [(1, "a", 20.0)] * 50
+    rows += [(0, "b", 5.0)] * 100 + [(1, "b", 5.0)] * 100
+    df = spark.createDataFrame(rows, "per int, item string, v double")
+    r = fisher_price_index(
+        df, F.col("per"), "item", F.col("v"), F.lit(1)
+    ).collect()[0]
+    # L = (20*100+5*100)/(10*100+5*100) = 2500/1500
+    assert abs(r["laspeyres"] - 2500 / 1500) < 1e-6
+    # P = (20*50+5*100)/(10*50+5*100) = 1500/1000
+    assert abs(r["paasche"] - 1.5) < 1e-6
+    import math
+    assert abs(r["fisher"]
+               - math.sqrt((2500 / 1500) * 1.5)) < 1e-6
+    assert r["paasche"] < r["fisher"] < r["laspeyres"]
