@@ -4397,6 +4397,16 @@ def main() -> None:
         ("fisher_price_index",
          [("bounded period x item cells; one item self-join",
            lambda p: "Join" in p and "Python" not in p)], ""),
+        ("circular_stats_hours",
+         [("one sin/cos aggregate; direction math in-row",
+           lambda p: "Window" not in p and "Join" not in p
+           and "Python" not in p)], ""),
+        ("runlength_geometric",
+         [("gaps-and-islands windows + bounded run-length histogram",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("person_time_incidence",
+         [("per-unit exposure aggregate + one reduction",
+           lambda p: "Window" not in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

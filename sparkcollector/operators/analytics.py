@@ -16128,3 +16128,139 @@ def fisher_price_index(
         F.round(paas, 6).alias("paasche"),
         F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
     )
+
+
+def circular_stats(
+    df: DataFrame,
+    angle_col,
+) -> DataFrame:
+    """Circular statistics of an angular variable (time-of-day IS an
+    angle — 23:59 and 00:01 are neighbors, which linear means get
+    completely wrong): mean direction via atan2 of the sin/cos
+    resultant, concentration R-bar, circular variance 1 - R-bar, and
+    the Rayleigh test z = n*R-bar^2 for uniformity-around-the-clock.
+
+    One aggregate of sin/cos sums; everything else in-row.  The
+    angle is radians in [0, 2pi).
+    """
+    a = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(F.sin(angle_col.cast("double"))).alias("ms"),
+        F.avg(F.cos(angle_col.cast("double"))).alias("mc"),
+    )
+    rbar = F.sqrt(F.col("ms") * F.col("ms") + F.col("mc") * F.col("mc"))
+    mean_dir = F.atan2(F.col("ms"), F.col("mc"))
+    # wrap to [0, 2pi)
+    two_pi = 6.283185307179586
+    mean_pos = F.when(mean_dir < 0, mean_dir + two_pi).otherwise(
+        mean_dir
+    )
+    z = F.col("n") * rbar * rbar
+    return a.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round(mean_pos, 6).alias("mean_direction_rad"),
+        F.round(mean_pos / two_pi * 24, 4).alias("mean_hour"),
+        F.round(rbar, 6).alias("resultant_rbar"),
+        F.round(1 - rbar, 6).alias("circular_variance"),
+        F.round(z, 6).alias("rayleigh_z"),
+        (z > 2.996).alias("nonuniform_95"),  # -ln(0.05)
+    )
+
+
+def runlength_geometric_fit(
+    df: DataFrame,
+    order_col: str,
+    flag_col,
+) -> DataFrame:
+    """Run-length analysis of a binary flag stream: observed run
+    lengths of consecutive flagged points (gaps-and-islands), the
+    MoM geometric fit p = 1/mean-run, and the observed-vs-geometric
+    length histogram — do error bursts terminate memorylessly, or do
+    long bursts self-perpetuate (the retry-storm signature)?
+
+    One lag window for run boundaries, two keyed aggregates; the
+    comparison grid is bounded by the longest run.
+    """
+    w = Window.orderBy(order_col)
+    s = df.select(
+        F.col(order_col).alias("o"),
+        flag_col.cast("int").alias("f"),
+    ).select(
+        "o", "f",
+        F.when(
+            (F.lag("f").over(w).isNull())
+            | (F.lag("f").over(w) != F.col("f")),
+            1,
+        ).otherwise(0).alias("brk"),
+    ).select(
+        "o", "f",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("run_id"),
+    )
+    runs = s.filter(F.col("f") == 1).groupBy("run_id").agg(
+        F.count(F.lit(1)).cast("double").alias("len")
+    )
+    m = runs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_runs"),
+        F.avg("len").alias("mean_len"),
+        F.max("len").cast("bigint").alias("max_len"),
+    )
+    hist = runs.groupBy("len").agg(
+        F.count(F.lit(1)).cast("double").alias("obs")
+    )
+    jh = hist.crossJoin(m)
+    p = 1 / F.col("mean_len")
+    expected = F.col("n_runs") * F.pow(1 - p, F.col("len") - 1) * p
+    return jh.select(
+        F.col("len").cast("bigint").alias("run_length"),
+        F.col("obs").cast("bigint").alias("observed_runs"),
+        F.round(expected, 4).alias("geometric_expected"),
+        F.round(p, 6).alias("p_terminate"),
+        F.col("n_runs").cast("bigint").alias("n_runs"),
+        "max_len",
+    ).orderBy("run_length")
+
+
+def person_time_incidence(
+    df: DataFrame,
+    unit_col: str,
+    ts_col: str,
+    case_col,
+) -> DataFrame:
+    """Person-time incidence rate: cases per unit-hour AT RISK — the
+    exposure-honest rate (raw per-user counts conflate heavy users
+    with risky users; dividing by each unit's observed span does
+    not).  Per unit: span hours (first to last event) and case
+    count; pooled rate = total cases / total exposure, with the
+    Poisson-exact-ish Byar CI on the log scale.
+
+    Two aggregates; units observed for < 1 full hour contribute
+    their fractional exposure.
+    """
+    per = df.groupBy(F.col(unit_col).alias("u")).agg(
+        (
+            (
+                F.max(F.unix_timestamp(ts_col))
+                - F.min(F.unix_timestamp(ts_col))
+            ).cast("double") / 3600.0
+        ).alias("hours"),
+        F.sum(case_col.cast("double")).alias("cases"),
+    ).filter(F.col("hours") > 0)
+    a = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("hours").alias("pt"),
+        F.sum("cases").alias("x"),
+    )
+    rate = F.col("x") / F.col("pt")
+    se_ln = 1 / F.sqrt(F.col("x"))
+    return a.select(
+        "n_units",
+        F.round("pt", 2).alias("person_hours"),
+        F.col("x").cast("bigint").alias("n_cases"),
+        F.round(rate * 1000, 6).alias("rate_per_1k_hours"),
+        F.round(F.exp(F.log(rate) - 1.96 * se_ln) * 1000, 6)
+        .alias("ci_lo_per_1k"),
+        F.round(F.exp(F.log(rate) + 1.96 * se_ln) * 1000, 6)
+        .alias("ci_hi_per_1k"),
+    )

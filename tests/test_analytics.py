@@ -5485,3 +5485,68 @@ def test_fisher_index_between_l_and_p(spark):
     assert abs(r["fisher"]
                - math.sqrt((2500 / 1500) * 1.5)) < 1e-6
     assert r["paasche"] < r["fisher"] < r["laspeyres"]
+
+
+def test_circular_mean_wraps_midnight(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import circular_stats
+
+    import math
+    # points at 23:00 and 01:00: circular mean = midnight, NOT noon
+    angs = ([23 / 24 * 2 * math.pi] * 50 + [1 / 24 * 2 * math.pi] * 50)
+    df = spark.createDataFrame([(a,) for a in angs], "th double")
+    r = circular_stats(df, F.col("th")).collect()[0]
+    assert r["mean_hour"] < 0.5 or r["mean_hour"] > 23.5
+    assert r["resultant_rbar"] > 0.9
+    assert r["nonuniform_95"]
+    # uniform around the clock: tiny resultant, test passes
+    uni = spark.createDataFrame(
+        [(i / 96 * 2 * math.pi,) for i in range(96)], "th double"
+    )
+    r2 = circular_stats(uni, F.col("th")).collect()[0]
+    assert r2["resultant_rbar"] < 0.01 and not r2["nonuniform_95"]
+
+
+def test_runlength_geometric_expected_matches(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import runlength_geometric_fit
+
+    # runs of 1s: lengths 1,2,1,3 -> mean 7/4, p = 4/7
+    flags = [1, 0, 1, 1, 0, 1, 0, 0, 1, 1, 1, 0]
+    df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(flags)], "o int, f int"
+    )
+    out = {r["run_length"]: r for r in runlength_geometric_fit(
+        df, "o", F.col("f")).collect()}
+    assert out[1]["observed_runs"] == 2
+    assert out[2]["observed_runs"] == 1
+    assert out[3]["observed_runs"] == 1
+    assert out[1]["n_runs"] == 4 and out[1]["max_len"] == 3
+    assert abs(out[1]["p_terminate"] - 4 / 7) < 1e-6
+
+
+def test_person_time_rate(spark):
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import person_time_incidence
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # u1: 10 hours observed, 2 cases; u2: 5 hours, 1 case
+    for u, hours, cases in [(1, 10, 2), (2, 5, 1)]:
+        n = 20
+        for i in range(n):
+            rows.append(
+                (u, base + timedelta(hours=hours * i / (n - 1)),
+                 1 if i < cases else 0)
+            )
+    df = spark.createDataFrame(rows, "u int, ts timestamp, c int")
+    r = person_time_incidence(df, "u", "ts", F.col("c")).collect()[0]
+    assert r["n_units"] == 2 and r["n_cases"] == 3
+    assert abs(r["person_hours"] - 15.0) < 0.1
+    assert abs(r["rate_per_1k_hours"] - 3 / 15 * 1000) < 5
+    assert r["ci_lo_per_1k"] < r["rate_per_1k_hours"] < r["ci_hi_per_1k"]
