@@ -4407,6 +4407,16 @@ def main() -> None:
         ("person_time_incidence",
          [("per-unit exposure aggregate + one reduction",
            lambda p: "Window" not in p and "Python" not in p)], ""),
+        ("bass_diffusion",
+         [("one cumulative window + power-sum pass; Cramer in-row",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("seasonal_mann_kendall",
+         [("within-season pairwise join on the bounded daily grid",
+           lambda p: "Join" in p and "Python" not in p)], ""),
+        ("l_moments",
+         [("hockey-stick block sums on the value grid; never ranks "
+           "raw rows",
+           lambda p: "Window" in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -16264,3 +16264,203 @@ def person_time_incidence(
         F.round(F.exp(F.log(rate) + 1.96 * se_ln) * 1000, 6)
         .alias("ci_hi_per_1k"),
     )
+
+
+def bass_diffusion(
+    df: DataFrame,
+    period_col: str,
+    adopters_col: str,
+) -> DataFrame:
+    """Bass diffusion fit from the discrete regression n_t = a +
+    b*N_{t-1} + c*N_{t-1}^2 (a = pm, b = q-p, c = -q/m): innovation
+    p, imitation q, market size m, and the predicted adoption peak
+    t* = ln(q/p)/(p+q) — is growth ad-driven or word-of-mouth, and
+    when does it crest?
+
+    One cumulative window for N, one power-sum pass, the 3x3 normal
+    equations by Cramer in-row (the usl_fit pattern), and the
+    quadratic root for m.
+    """
+    w = Window.orderBy(period_col)
+    base = df.select(
+        F.col(adopters_col).cast("double").alias("y"),
+        F.coalesce(
+            F.sum(F.col(adopters_col).cast("double")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0.0),
+        ).alias("u"),
+    ).select("y", "u", (F.col("u") * F.col("u")).alias("v"))
+    a = base.agg(
+        F.count(F.lit(1)).cast("double").alias("m0"),
+        F.sum("u").alias("su"), F.sum("v").alias("sv"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum(F.col("u") * F.col("v")).alias("suv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum(F.col("u") * F.col("y")).alias("suy"),
+        F.sum(F.col("v") * F.col("y")).alias("svy"),
+    )
+    m0, su, sv = F.col("m0"), F.col("su"), F.col("sv")
+    suu, suv, svv = F.col("suu"), F.col("suv"), F.col("svv")
+    sy, suy, svy = F.col("sy"), F.col("suy"), F.col("svy")
+
+    def det3(r1, r2, r3):
+        return (
+            r1[0] * (r2[1] * r3[2] - r2[2] * r3[1])
+            - r1[1] * (r2[0] * r3[2] - r2[2] * r3[0])
+            + r1[2] * (r2[0] * r3[1] - r2[1] * r3[0])
+        )
+
+    A = [[m0, su, sv], [su, suu, suv], [sv, suv, svv]]
+    bb = [sy, suy, svy]
+    d = det3(*A)
+    coef = []
+    for k in range(3):
+        Ak = [
+            [bb[i] if j == k else A[i][j] for j in range(3)]
+            for i in range(3)
+        ]
+        coef.append(det3(*Ak) / d)
+    ca, cb, cc = coef
+    disc = F.sqrt(F.greatest(cb * cb - 4 * ca * cc, F.lit(0.0)))
+    m_hat = (-cb - disc) / (2 * cc)
+    p_hat = ca / m_hat
+    q_hat = -cc * m_hat
+    t_peak = F.when(
+        (p_hat > 0) & (q_hat > 0),
+        F.log(q_hat / p_hat) / (p_hat + q_hat),
+    )
+    return a.select(
+        F.col("m0").cast("bigint").alias("n_periods"),
+        F.round(ca, 6).alias("coef_a"),
+        F.round(cb, 6).alias("coef_b"),
+        F.round(cc, 9).alias("coef_c"),
+        F.round(m_hat, 2).alias("market_size_m"),
+        F.round(p_hat, 6).alias("innovation_p"),
+        F.round(q_hat, 6).alias("imitation_q"),
+        F.round(t_peak, 4).alias("peak_period"),
+    )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    season_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test: the MK S statistic computed
+    WITHIN each season (same hour across days) and summed — a daily
+    cycle cannot masquerade as a trend, which plain MK falls for.
+    Tie-corrected variance per season, continuity-corrected z.
+
+    Pairwise S per season is a within-season self-join on the
+    bounded rollup grid (the repo's documented contract); everything
+    downstream is a reduction.
+    """
+    s = df.select(
+        F.col(season_col).alias("g"),
+        F.col(order_col).alias("o"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    a = s.select("g", F.col("o").alias("oi"), F.col("x").alias("xi"))
+    b = s.select("g", F.col("o").alias("oj"), F.col("x").alias("xj"))
+    pairs = a.join(b, "g").filter(F.col("oi") < F.col("oj"))
+    s_stat = pairs.agg(
+        F.sum(F.signum(F.col("xj") - F.col("xi"))).alias("s")
+    )
+    n_per = s.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    ties = s.groupBy("g", "x").agg(
+        F.count(F.lit(1)).cast("double").alias("t")
+    ).groupBy("g").agg(
+        F.sum(
+            F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+        ).alias("tc")
+    )
+    var = n_per.join(ties, "g").agg(
+        F.sum(
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tc")
+            ) / 18
+        ).alias("v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_seasons"),
+    )
+    j = s_stat.crossJoin(var)
+    z = F.when(
+        F.col("s") > 0, (F.col("s") - 1) / F.sqrt(F.col("v"))
+    ).when(
+        F.col("s") < 0, (F.col("s") + 1) / F.sqrt(F.col("v"))
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("n_seasons"),
+        F.col("s").cast("bigint").alias("s_stat"),
+        F.round(F.sqrt(F.col("v")), 4).alias("sd"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.96).alias("trend_95"),
+    )
+
+
+def l_moments(
+    df: DataFrame,
+    value_col,
+) -> DataFrame:
+    """First four L-moments and the L-ratio diagram coordinates
+    (L-CV, L-skew, L-kurtosis) — the order-statistics moments that
+    stay finite and robust where classical skewness/kurtosis explode
+    on heavy-tailed telemetry.
+
+    Exact with ties and NEVER ranking raw rows: probability-weighted
+    moments b_r = (1/n) sum C(i-1,r)/C(n-1,r) x_(i) collapse per
+    distinct-value block via the hockey-stick identity
+    sum_{i=C+1}^{C+c} C(i-1,r) = C(C+c,r+1) - C(C,r+1), so one grid
+    window + one reduction produce b_0..b_3 in closed form.
+    """
+    g = df.select(
+        value_col.cast("double").alias("x")
+    ).groupBy("x").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    wlt = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = g.select(
+        "x", "c",
+        F.coalesce(F.sum("c").over(wlt), F.lit(0.0)).alias("cc"),
+    )
+
+    def choose(xcol, k):
+        expr = F.lit(1.0)
+        for i in range(k):
+            expr = expr * (xcol - i)
+        return expr / float(__import__("math").factorial(k))
+
+    def block_sum(r):
+        hi = F.col("cc") + F.col("c")
+        return choose(hi, r + 1) - choose(F.col("cc"), r + 1)
+
+    a = cum.agg(
+        F.sum("c").alias("n"),
+        *[
+            F.sum(F.col("x") * block_sum(r)).alias(f"s{r}")
+            for r in range(4)
+        ],
+    )
+    n = F.col("n")
+    b = [
+        F.col(f"s{r}") / choose(n - 1, r) / n if r else
+        F.col("s0") / n
+        for r in range(4)
+    ]
+    l1 = b[0]
+    l2 = 2 * b[1] - b[0]
+    l3 = 6 * b[2] - 6 * b[1] + b[0]
+    l4 = 20 * b[3] - 30 * b[2] + 12 * b[1] - b[0]
+    return a.select(
+        n.cast("bigint").alias("n_obs"),
+        F.round(l1, 6).alias("l1_location"),
+        F.round(l2, 6).alias("l2_scale"),
+        F.round(l2 / l1, 6).alias("l_cv"),
+        F.round(l3 / l2, 6).alias("l_skewness"),
+        F.round(l4 / l2, 6).alias("l_kurtosis"),
+    )

@@ -5550,3 +5550,62 @@ def test_person_time_rate(spark):
     assert abs(r["person_hours"] - 15.0) < 0.1
     assert abs(r["rate_per_1k_hours"] - 3 / 15 * 1000) < 5
     assert r["ci_lo_per_1k"] < r["rate_per_1k_hours"] < r["ci_hi_per_1k"]
+
+
+def test_bass_recovers_planted_curve(spark):
+    from sparkcollector.operators.analytics import bass_diffusion
+
+    # simulate exact discrete Bass: m=1000, p=0.03, q=0.4
+    m, p, q = 1000.0, 0.03, 0.4
+    rows, big_n = [], 0.0
+    for t in range(25):
+        n_t = (p + q * big_n / m) * (m - big_n)
+        rows.append((t, n_t))
+        big_n += n_t
+    df = spark.createDataFrame(rows, "d int, y double")
+    r = bass_diffusion(df, "d", "y").collect()[0]
+    assert abs(r["market_size_m"] - 1000) < 20
+    assert abs(r["innovation_p"] - 0.03) < 0.005
+    assert abs(r["imitation_q"] - 0.4) < 0.02
+    import math
+    assert abs(r["peak_period"]
+               - math.log(q / p) / (p + q)) < 0.5
+
+
+def test_seasonal_mk_sees_through_daily_cycle(spark):
+    from sparkcollector.operators.analytics import seasonal_mann_kendall
+
+    # pure daily cycle, no trend: S == 0 within every season
+    rows = [(h, d, float(10 + h)) for h in range(24) for d in range(20)]
+    df = spark.createDataFrame(rows, "g int, o int, x double")
+    r = seasonal_mann_kendall(df, "g", "o", "x").collect()[0]
+    assert r["s_stat"] == 0 and not r["trend_95"]
+    # cycle + rising trend: detected
+    rows2 = [(h, d, float(10 + h + d)) for h in range(24)
+             for d in range(20)]
+    df2 = spark.createDataFrame(rows2, "g int, o int, x double")
+    r2 = seasonal_mann_kendall(df2, "g", "o", "x").collect()[0]
+    assert r2["s_stat"] == 24 * 190 and r2["trend_95"]
+
+
+def test_l_moments_uniform_reference(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import l_moments
+
+    # uniform on {1..1000}: l1 = 500.5, tau3 = 0, tau4 ~ 0
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 1001)], "x double"
+    )
+    r = l_moments(df, F.col("x")).collect()[0]
+    assert abs(r["l1_location"] - 500.5) < 1e-6
+    # exact discrete-uniform L-scale ~ (n+1)/6 ~ 166.8
+    assert abs(r["l2_scale"] - 1001 / 6) < 0.5
+    assert abs(r["l_skewness"]) < 1e-6
+    assert abs(r["l_kurtosis"]) < 0.01
+    # heavy right tail: positive L-skewness
+    skew = spark.createDataFrame(
+        [(float(i ** 2),) for i in range(1, 101)], "x double"
+    )
+    r2 = l_moments(skew, F.col("x")).collect()[0]
+    assert r2["l_skewness"] > 0.2
