@@ -4417,6 +4417,16 @@ def main() -> None:
          [("hockey-stick block sums on the value grid; never ranks "
            "raw rows",
            lambda p: "Window" in p and "Python" not in p)], ""),
+        ("pinball_loss_eval",
+         [("bounded collect_list frames (window is a config "
+           "constant) + reductions",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("crps_empirical",
+         [("bounded within-group member self-join for E|X-X'|",
+           lambda p: "Join" in p and "Python" not in p)], ""),
+        ("tracking_signal",
+         [("two cumulative windows, flags in-row",
+           lambda p: "Window" in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

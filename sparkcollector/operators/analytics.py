@@ -16464,3 +16464,139 @@ def l_moments(
         F.round(l3 / l2, 6).alias("l_skewness"),
         F.round(l4 / l2, 6).alias("l_kurtosis"),
     )
+
+
+def pinball_loss_eval(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    taus: list[float],
+    window: int = 24,
+) -> DataFrame:
+    """Pinball (quantile) loss of trailing-window empirical quantile
+    forecasts: for each tau, forecast the next point as the
+    tau-quantile of the last ``window`` points and score tau*(y-q)+
+    + (1-tau)*(q-y)+ — the proper scoring rule that makes quantile
+    forecasts honest (an over-wide p90 band loses points).
+
+    The trailing quantile is exact type-1 (k-th smallest via
+    sort_array over a bounded collect_list frame — the window is a
+    config constant, never data-sized).  One frame window per tau.
+    """
+    w = Window.orderBy(order_col).rowsBetween(-window, -1)
+    arr = F.sort_array(
+        F.collect_list(F.col(value_col).cast("double")).over(w)
+    )
+    base = df.select(
+        F.col(order_col).alias("o"),
+        F.col(value_col).cast("double").alias("y"),
+        arr.alias("hist"),
+    ).filter(F.size("hist") >= window)
+    outs = []
+    for tau in taus:
+        k = max(1, int(tau * window + 0.9999999))
+        q = F.element_at("hist", min(k, window))
+        loss = F.when(
+            F.col("y") >= q, tau * (F.col("y") - q)
+        ).otherwise((1 - tau) * (q - F.col("y")))
+        outs.append(
+            base.agg(
+                F.lit(tau).alias("tau"),
+                F.count(F.lit(1)).cast("bigint").alias("n_forecasts"),
+                F.round(F.avg(loss), 6).alias("mean_pinball"),
+                F.round(
+                    F.avg((F.col("y") > q).cast("double")), 6
+                ).alias("exceed_rate"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("tau")
+
+
+def crps_empirical(
+    df: DataFrame,
+    group_col: str,
+    member_col,
+    obs_col,
+) -> DataFrame:
+    """Continuous ranked probability score of an empirical ensemble
+    against an observation, per group: CRPS = E|X - y| -
+    0.5 E|X - X'| — the distribution-honest generalization of MAE
+    (sharp AND calibrated ensembles win).
+
+    Ensembles are bounded member sets per group, so E|X-y| is one
+    keyed aggregate and the pairwise E|X-X'| one within-group
+    self-join on the bounded member table.  Emits per-group CRPS and
+    the corpus mean.
+    """
+    m = df.select(
+        F.col(group_col).alias("g"),
+        member_col.cast("double").alias("x"),
+        obs_col.cast("double").alias("y"),
+    )
+    t1 = m.groupBy("g").agg(
+        F.avg(F.abs(F.col("x") - F.col("y"))).alias("e_xy"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.max("y").alias("y"),
+    )
+    a = m.select("g", F.col("x").alias("x1"))
+    b = m.select("g", F.col("x").alias("x2"))
+    t2 = a.join(b, "g").groupBy("g").agg(
+        F.avg(F.abs(F.col("x1") - F.col("x2"))).alias("e_xx")
+    )
+    per = t1.join(t2, "g").select(
+        "g", "k", "y",
+        F.round(
+            F.col("e_xy") - 0.5 * F.col("e_xx"), 6
+        ).alias("crps"),
+    )
+    tot = per.agg(F.round(F.avg("crps"), 6).alias("mean_crps"))
+    return per.crossJoin(tot).select(
+        F.col("g").alias(group_col),
+        F.col("k").cast("bigint").alias("n_members"),
+        F.round("y", 4).alias("observation"),
+        "crps", "mean_crps",
+    ).orderBy(group_col)
+
+
+def tracking_signal(
+    df: DataFrame,
+    order_col: str,
+    actual_col: str,
+    forecast_col: str,
+    limit: float = 4.0,
+) -> DataFrame:
+    """Forecast tracking signal: cumulative error / mean absolute
+    deviation, point by point — the ops-forecasting drift monitor
+    (|TS| beyond ~4 says the forecast is persistently biased, not
+    just noisy).
+
+    Two cumulative windows (running error sum, running MAD); emits
+    the trajectory with breach flags.
+    """
+    w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    e = F.col("a") - F.col("f")
+    s = df.select(
+        F.col(order_col).alias("o"),
+        F.col(actual_col).cast("double").alias("a"),
+        F.col(forecast_col).cast("double").alias("f"),
+    ).select(
+        "o", "a", "f",
+        F.sum(e).over(w).alias("cum_err"),
+        F.avg(F.abs(e)).over(w).alias("mad"),
+        F.row_number().over(Window.orderBy(order_col)).alias("rn"),
+    )
+    ts = F.when(F.col("mad") > 0, F.col("cum_err") / F.col("mad"))
+    return s.select(
+        "o",
+        F.round("a", 4).alias("actual"),
+        F.round("f", 4).alias("forecast"),
+        F.round("cum_err", 4).alias("cum_error"),
+        F.round("mad", 6).alias("mad"),
+        F.round(ts, 6).alias("tracking_signal"),
+        F.coalesce(F.abs(ts) > limit, F.lit(False)).alias("biased"),
+    ).orderBy("o")

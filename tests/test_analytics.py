@@ -5609,3 +5609,56 @@ def test_l_moments_uniform_reference(spark):
     )
     r2 = l_moments(skew, F.col("x")).collect()[0]
     assert r2["l_skewness"] > 0.2
+
+
+def test_pinball_rewards_correct_quantile(spark):
+    from sparkcollector.operators.analytics import pinball_loss_eval
+
+    # alternating 10/20 series: trailing-window p50 forecast lands
+    # near the middle; exceedance near tau calibration
+    rows = [(i, 10.0 if i % 2 == 0 else 20.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "o int, y double")
+    out = {r["tau"]: r for r in pinball_loss_eval(
+        df, "o", "y", taus=[0.5, 0.9], window=24).collect()}
+    assert out[0.5]["n_forecasts"] == 76
+    # p90 forecast = 20 (the max) -> never exceeded
+    assert out[0.9]["exceed_rate"] == 0.0
+    # p50 forecast = 10 (12th of sorted 24) -> exceeded half the time
+    assert abs(out[0.5]["exceed_rate"] - 0.5) < 0.05
+    assert out[0.5]["mean_pinball"] > 0
+
+
+def test_crps_sharp_beats_wide(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import crps_empirical
+
+    rows = []
+    # group 'sharp': members tightly around obs 10
+    for x in [9.9, 10.0, 10.1, 10.0]:
+        rows.append(("sharp", x, 10.0))
+    # group 'wide': members spread but centered on 10
+    for x in [0.0, 20.0, 5.0, 15.0]:
+        rows.append(("wide", x, 10.0))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in crps_empirical(
+        df, "g", F.col("x"), F.col("y")).collect()}
+    assert out["sharp"]["crps"] < out["wide"]["crps"]
+    assert out["sharp"]["crps"] < 0.1
+
+
+def test_tracking_signal_flags_biased_forecast(spark):
+    from sparkcollector.operators.analytics import tracking_signal
+
+    # forecast persistently 5 under: TS grows ~linearly, breaches 4
+    rows = [(i, 100.0, 95.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "o int, a double, f double")
+    out = tracking_signal(df, "o", "a", "f").collect()
+    assert not out[0]["biased"]
+    assert out[-1]["tracking_signal"] == 20.0
+    assert out[-1]["biased"]
+    # unbiased alternating errors: TS bounded near 0
+    rows2 = [(i, 100.0, 100.0 + (5 if i % 2 else -5)) for i in range(20)]
+    df2 = spark.createDataFrame(rows2, "o int, a double, f double")
+    out2 = tracking_signal(df2, "o", "a", "f").collect()
+    assert all(not r["biased"] for r in out2)
