@@ -4427,6 +4427,16 @@ def main() -> None:
         ("tracking_signal",
          [("two cumulative windows, flags in-row",
            lambda p: "Window" in p and "Python" not in p)], ""),
+        ("msprt_always_valid",
+         [("one cumulative-sum window -> whole Lambda trajectory",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("decision_curve_net_benefit",
+         [("MCC-sweep confusion windows + bounded threshold list",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("auditd_parse",
+         [("envelope regex + per-key anchored extraction, map-only",
+           lambda p: "Join" not in p and "Window" not in p
+           and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

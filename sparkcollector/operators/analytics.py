@@ -16600,3 +16600,125 @@ def tracking_signal(
         F.round(ts, 6).alias("tracking_signal"),
         F.coalesce(F.abs(ts) > limit, F.lit(False)).alias("biased"),
     ).orderBy("o")
+
+
+def msprt_always_valid(
+    df: DataFrame,
+    order_col: str,
+    value_col,
+    mu0: float,
+    sigma: float,
+    tau: float = 1.0,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Mixture sequential probability ratio test (normal mixture,
+    variance tau^2): the ALWAYS-VALID test statistic Lambda_n =
+    sqrt(sigma^2/(sigma^2+n tau^2)) * exp(n^2 tau^2 (xbar-mu0)^2 /
+    (2 sigma^2 (sigma^2 + n tau^2))) — peeking-proof monitoring
+    (reject whenever Lambda exceeds 1/alpha, at any n, and the
+    error guarantee still holds; the fix for the repo's z-test being
+    peeked at every hour).
+
+    One cumulative-sum window produces the whole Lambda trajectory;
+    emits each step with the always-valid decision and the first
+    crossing step.
+    """
+    w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s2, t2 = sigma * sigma, tau * tau
+    base = df.select(
+        F.col(order_col).alias("o"),
+        value_col.cast("double").alias("x"),
+    ).select(
+        "o",
+        F.row_number().over(Window.orderBy(order_col))
+        .cast("double").alias("n"),
+        F.sum("x").over(w).alias("sx"),
+    )
+    xbar = F.col("sx") / F.col("n")
+    lam_ln = (
+        0.5 * F.log(F.lit(s2) / (s2 + F.col("n") * t2))
+        + (
+            F.col("n") * F.col("n") * t2
+            * (xbar - mu0) * (xbar - mu0)
+        ) / (2 * s2 * (s2 + F.col("n") * t2))
+    )
+    thresh = float(__import__("math").log(1.0 / alpha))
+    traj = base.select(
+        "o", F.col("n").cast("bigint").alias("n"),
+        F.round(xbar, 6).alias("running_mean"),
+        F.round(lam_ln, 6).alias("log_lambda"),
+        (lam_ln > thresh).alias("reject_now"),
+    )
+    first = traj.filter(F.col("reject_now")).agg(
+        F.min("n").alias("first_rejection_n")
+    )
+    return traj.crossJoin(first).orderBy("o")
+
+
+def decision_curve_net_benefit(
+    df: DataFrame,
+    score_col,
+    label_col,
+    thresholds: list[float],
+) -> DataFrame:
+    """Decision-curve analysis: net benefit NB(pt) = TP/n - FP/n *
+    pt/(1-pt) of 'treat if score >= cutoff matching pt' against the
+    treat-all and treat-none baselines — does acting on the score
+    beat acting blindly, at each plausible cost/benefit tradeoff?
+
+    The confusion counts at every probability threshold come from
+    cumulative windows on the bounded cents grid (the MCC-sweep
+    machinery); thresholds are a bounded literal list.
+    """
+    g = df.select(
+        F.round(score_col.cast("double") * 100).cast("long").alias("v"),
+        label_col.cast("double").alias("y"),
+    ).groupBy("v").agg(
+        F.count(F.lit(1)).cast("double").alias("c"),
+        F.sum("y").alias("pos"),
+    )
+    tot = g.agg(F.sum("c").alias("n"), F.sum("pos").alias("p"))
+    wge = Window.orderBy("v").rowsBetween(0, Window.unboundedFollowing)
+    cum = g.select(
+        "v",
+        F.sum("pos").over(wge).alias("tp"),
+        F.sum(F.col("c") - F.col("pos")).over(wge).alias("fp"),
+    ).crossJoin(tot)
+    spark = df.sparkSession
+    th = spark.range(len(thresholds)).select(
+        F.element_at(
+            F.array(*[F.lit(float(t)) for t in thresholds]),
+            F.col("id").cast("int") + 1,
+        ).alias("pt")
+    )
+    # cutoff for pt: smallest v with v/100 >= pt
+    joined = th.join(
+        cum, F.col("v") / 100.0 >= F.col("pt")
+    ).groupBy("pt").agg(
+        F.min_by("tp", "v").alias("tp"),
+        F.min_by("fp", "v").alias("fp"),
+        F.max("n").alias("n"),
+        F.max("p").alias("p"),
+    )
+    nb = (
+        F.col("tp") / F.col("n")
+        - F.col("fp") / F.col("n")
+        * (F.col("pt") / (1 - F.col("pt")))
+    )
+    nb_all = (
+        F.col("p") / F.col("n")
+        - (1 - F.col("p") / F.col("n"))
+        * (F.col("pt") / (1 - F.col("pt")))
+    )
+    return joined.select(
+        F.round("pt", 4).alias("threshold_pt"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.round(nb, 6).alias("net_benefit_model"),
+        F.round(nb_all, 6).alias("net_benefit_treat_all"),
+        F.round(nb - F.greatest(nb_all, F.lit(0.0)), 6).alias(
+            "advantage_over_best_baseline"
+        ),
+    ).orderBy("threshold_pt")

@@ -2129,3 +2129,44 @@ def s3_access_log_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
         F.when(ok & (g(18) != "-"), g(18)).alias("referer"),
         F.when(ok & (g(19) != "-"), g(19)).alias("user_agent"),
     )
+
+
+_AUDITD_RE = (
+    r"^type=(\w+) msg=audit\((\d+)\.(\d+):(\d+)\): (.*)$"
+)
+
+
+def auditd_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Linux auditd record parse: ``type=SYSCALL
+    msg=audit(1700000000.123:456): key=value ...`` — the security
+    audit grammar beside sshd/journald; the envelope splits into
+    record type, second-resolution timestamp, millis, and the
+    per-boot serial, and the free-form tail yields the well-known
+    keys (syscall, success, exit, uid, comm, exe) via anchored
+    per-key extraction (the logfmt approach — no per-row Python).
+    """
+    line = F.col(line_col)
+    g = lambda i: F.regexp_extract(line, _AUDITD_RE, i)  # noqa: E731
+    ok = line.rlike(_AUDITD_RE)
+    tail = g(5)
+
+    def kv(key):
+        pat = rf"(?:^| ){key}=([^ ]+)"
+        has = tail.rlike(pat)
+        return F.when(ok & has, F.regexp_extract(tail, pat, 1))
+
+    return df.select(
+        "*",
+        ok.alias("well_formed"),
+        F.when(ok, g(1)).alias("record_type"),
+        F.when(ok, g(2).cast("long")).alias("epoch_s"),
+        F.when(ok, g(3).cast("int")).alias("millis"),
+        F.when(ok, g(4).cast("long")).alias("serial"),
+        kv("syscall").cast("int").alias("syscall"),
+        kv("success").alias("success"),
+        kv("exit").cast("int").alias("exit_code"),
+        kv("uid").cast("long").alias("uid"),
+        kv("comm").alias("comm"),
+        kv("exe").alias("exe"),
+        kv("key").alias("audit_key"),
+    )

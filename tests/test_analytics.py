@@ -5662,3 +5662,47 @@ def test_tracking_signal_flags_biased_forecast(spark):
     df2 = spark.createDataFrame(rows2, "o int, a double, f double")
     out2 = tracking_signal(df2, "o", "a", "f").collect()
     assert all(not r["biased"] for r in out2)
+
+
+def test_msprt_rejects_shifted_mean_only(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import msprt_always_valid
+
+    # true mean 3.0 vs mu0 = 1.0: log-Lambda grows, crossing found
+    rows = [(i, 3.0 + (0.1 if i % 2 else -0.1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "o int, x double")
+    out = msprt_always_valid(
+        df, "o", F.col("x"), mu0=1.0, sigma=1.0, tau=1.0
+    ).collect()
+    assert out[-1]["reject_now"]
+    assert out[0]["first_rejection_n"] is not None
+    assert out[0]["first_rejection_n"] < 20
+    # true mean == mu0: never rejects
+    rows2 = [(i, 1.0 + (0.1 if i % 2 else -0.1)) for i in range(200)]
+    df2 = spark.createDataFrame(rows2, "o int, x double")
+    out2 = msprt_always_valid(
+        df2, "o", F.col("x"), mu0=1.0, sigma=1.0, tau=1.0
+    ).collect()
+    assert all(not r["reject_now"] for r in out2)
+    assert out2[0]["first_rejection_n"] is None
+
+
+def test_decision_curve_useful_score_beats_baselines(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import (
+        decision_curve_net_benefit,
+    )
+
+    # score IS the probability: y = 1 iff score >= 0.5, scores
+    # spread over [0,1) -> at pt=0.2 the model treats scores>=0.2
+    rows = [(i / 100.0, 1 if i >= 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = {r["threshold_pt"]: r for r in decision_curve_net_benefit(
+        df, F.col("s"), F.col("y"), [0.2, 0.6]).collect()}
+    # perfect separation above 0.5: model NB at pt=0.6 = prevalence
+    r = out[0.6]
+    assert r["fp"] == 0 and r["tp"] == 40
+    assert abs(r["net_benefit_model"] - 0.4) < 1e-6
+    assert r["advantage_over_best_baseline"] > 0

@@ -1211,3 +1211,27 @@ def test_s3_access_log_parse_latency_split(spark):
     assert r2["bytes_sent"] is None and r2["first_byte_ms"] is None
     assert r2["referer"] is None
     assert not out[3]["well_formed"]
+
+
+def test_auditd_parse_syscall_and_path(spark):
+    from sparkcollector.operators.promparse import auditd_parse
+
+    sysc = ('type=SYSCALL msg=audit(1704067200.123:42): syscall=59 '
+            'success=no exit=-13 uid=1000 comm=bash exe=/usr/bin/bash '
+            'key=exec-watch')
+    path = 'type=PATH msg=audit(1704067201.5:43): item=0 name=/tmp/x'
+    df = spark.createDataFrame(
+        [(1, sysc), (2, path), (3, "junk")], "id long, line string"
+    )
+    out = {r["id"]: r for r in auditd_parse(df).collect()}
+    r = out[1]
+    assert r["well_formed"] and r["record_type"] == "SYSCALL"
+    assert r["epoch_s"] == 1704067200 and r["millis"] == 123
+    assert r["serial"] == 42 and r["syscall"] == 59
+    assert r["success"] == "no" and r["exit_code"] == -13
+    assert r["uid"] == 1000 and r["comm"] == "bash"
+    assert r["audit_key"] == "exec-watch"
+    r2 = out[2]
+    assert r2["well_formed"] and r2["record_type"] == "PATH"
+    assert r2["syscall"] is None and r2["uid"] is None
+    assert not out[3]["well_formed"]
