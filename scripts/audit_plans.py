@@ -4437,6 +4437,15 @@ def main() -> None:
          [("envelope regex + per-key anchored extraction, map-only",
            lambda p: "Join" not in p and "Window" not in p
            and "Python" not in p)], ""),
+        ("spectral_flatness",
+         [("bounded period-grid x series join; one reduction",
+           lambda p: "Join" in p and "Python" not in p)], ""),
+        ("hmm_forward_loglik",
+         [("per-series scaled-forward fold, no per-row Python",
+           lambda p: "Python" not in p)], ""),
+        ("mondrian_partition",
+         [("count-logic medians on bounded grids + threshold joins",
+           lambda p: "Window" in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -16722,3 +16722,189 @@ def decision_curve_net_benefit(
             "advantage_over_best_baseline"
         ),
     ).orderBy("threshold_pt")
+
+
+def spectral_flatness(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    periods: tuple = (2, 26),
+) -> DataFrame:
+    """Spectral flatness (Wiener entropy) of a rollup series over a
+    bounded period grid: geometric mean / arithmetic mean of the
+    periodogram power — 1.0 is white noise, near 0 is a pure tone
+    (one dominating cycle).  The single-number companion to
+    periodogram_peak's argmax.
+
+    Power at each candidate period from centered sin/cos sums via a
+    bounded grid x series join; flatness via exp(mean log) in one
+    reduction.
+    """
+    base = df.select(
+        F.col(order_col).cast("long").alias("o"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("mu"),
+        F.min("o").alias("o0"),
+    )
+    spark = df.sparkSession
+    pgrid = spark.range(periods[0], periods[1]).select(
+        F.col("id").cast("double").alias("per")
+    )
+    two_pi = 6.283185307179586
+    j = base.crossJoin(stats).crossJoin(pgrid)
+    ang = two_pi * (F.col("o") - F.col("o0")).cast("double") / F.col("per")
+    pw = j.groupBy("per").agg(
+        (
+            (
+                F.pow(
+                    F.sum((F.col("x") - F.col("mu")) * F.cos(ang)), 2
+                )
+                + F.pow(
+                    F.sum((F.col("x") - F.col("mu")) * F.sin(ang)), 2
+                )
+            ) / F.max("n")
+        ).alias("p")
+    )
+    a = pw.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_periods"),
+        F.exp(F.avg(F.log(F.col("p") + 1e-12))).alias("gm"),
+        F.avg("p").alias("am"),
+        F.max_by("per", "p").alias("peak_period"),
+    )
+    return a.select(
+        "n_periods",
+        F.round(F.col("gm") / F.col("am"), 6).alias("flatness"),
+        F.col("peak_period").cast("bigint").alias("peak_period"),
+        F.round("am", 4).alias("mean_power"),
+    )
+
+
+HMM_A = ((0.9, 0.1), (0.2, 0.8))
+HMM_E = (0.2, 0.8)  # P(flag=1 | calm), P(flag=1 | burst)
+
+
+def hmm_forward_loglik(
+    df: DataFrame,
+    order_col: str,
+    flag_col,
+) -> DataFrame:
+    """Forward-algorithm log-likelihood of the binarized series
+    under the fixed 2-state calm/burst HMM the Viterbi entry
+    decodes: how WELL does the burst model explain the stream
+    (model selection / drift score), not just what the best path is.
+
+    Scaled forward recursion as a per-series fold: per step alpha'
+    = (alpha A) * e, normalize, accumulate ln of the normalizer —
+    9dp rounding of the two scaled alphas per step (the fixed-
+    schedule reproducibility contract).  Emits total log-likelihood,
+    per-symbol perplexity, and the final state posterior.
+    """
+    (a00, a01), (a10, a11) = HMM_A
+    e0, e1 = HMM_E
+    base = df.select(
+        F.col(order_col).cast("long").alias("_o"),
+        flag_col.cast("int").alias("_f"),
+    )
+    ser = base.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_o", "_f"))),
+            lambda e: e["_f"],
+        ).alias("_fs"),
+    )
+    def em(state_p1, sym):
+        return (
+            f"(case when {sym} = 1 then {state_p1}"
+            f" else {1 - state_p1} end)"
+        )
+    fold = (
+        "aggregate(_fs,"
+        " named_struct('a0', cast(0.5 as double),"
+        " 'a1', cast(0.5 as double), 'll', cast(0.0 as double)),"
+        " (acc, f) -> "
+        f" named_struct("
+        f" 'a0', round((acc.a0 * {a00} + acc.a1 * {a10})"
+        f" * {em(e0, 'f')}"
+        f" / ((acc.a0 * {a00} + acc.a1 * {a10}) * {em(e0, 'f')}"
+        f"    + (acc.a0 * {a01} + acc.a1 * {a11}) * {em(e1, 'f')}), 9),"
+        f" 'a1', round((acc.a0 * {a01} + acc.a1 * {a11})"
+        f" * {em(e1, 'f')}"
+        f" / ((acc.a0 * {a00} + acc.a1 * {a10}) * {em(e0, 'f')}"
+        f"    + (acc.a0 * {a01} + acc.a1 * {a11}) * {em(e1, 'f')}), 9),"
+        f" 'll', acc.ll + ln((acc.a0 * {a00} + acc.a1 * {a10})"
+        f" * {em(e0, 'f')}"
+        f" + (acc.a0 * {a01} + acc.a1 * {a11}) * {em(e1, 'f')})))"
+    )
+    folded = ser.withColumn("_st", F.expr(fold))
+    st = F.col("_st")
+    n = F.size("_fs").cast("double")
+    return folded.select(
+        F.size("_fs").cast("bigint").alias("n_symbols"),
+        F.round(st.getField("ll"), 6).alias("log_likelihood"),
+        F.round(F.exp(-st.getField("ll") / n), 6).alias("perplexity"),
+        F.round(st.getField("a1"), 6).alias("p_burst_final"),
+    )
+
+
+def mondrian_partition(
+    df: DataFrame,
+    x_col,
+    y_col,
+    k: int = 10,
+) -> DataFrame:
+    """Depth-2 Mondrian k-anonymity partitioning: split the (x, y)
+    population at the exact x-median, then each half at its own
+    y-median — four generalization cells with bounds, sizes, and
+    the k-anonymity verdict per cell (the partition step behind the
+    repo's k_anonymity_audit).
+
+    Medians are exact type-1 count-logic quantiles on bounded
+    distinct-value grids (no interpolation ambiguity); assignment is
+    two threshold joins.  Deterministic everywhere.
+    """
+    pts = df.select(
+        x_col.cast("double").alias("x"), y_col.cast("double").alias("y")
+    ).localCheckpoint(eager=True)
+
+    def median_of(frame, col):
+        g = frame.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        wc = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        tot = g.agg(F.sum("c").alias("n"))
+        return g.select(
+            F.col(col).alias("v"), F.sum("c").over(wc).alias("cum")
+        ).crossJoin(tot).filter(
+            F.col("cum") * 2 >= F.col("n")
+        ).agg(F.min("v").alias("med"))
+
+    mx = median_of(pts, "x")
+    p1 = pts.crossJoin(mx).select(
+        "x", "y", (F.col("x") <= F.col("med")).cast("int").alias("hx")
+    ).localCheckpoint(eager=True)
+    my0 = median_of(p1.filter(F.col("hx") == 1), "y").select(
+        F.lit(1).alias("hx"), F.col("med").alias("medy")
+    )
+    my1 = median_of(p1.filter(F.col("hx") == 0), "y").select(
+        F.lit(0).alias("hx"), F.col("med").alias("medy")
+    )
+    meds = my0.unionByName(my1)
+    cells = p1.join(meds, "hx").select(
+        "x", "y", "hx",
+        (F.col("y") <= F.col("medy")).cast("int").alias("hy"),
+    )
+    out = cells.groupBy("hx", "hy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("x"), 4).alias("x_lo"),
+        F.round(F.max("x"), 4).alias("x_hi"),
+        F.round(F.min("y"), 4).alias("y_lo"),
+        F.round(F.max("y"), 4).alias("y_hi"),
+    )
+    return out.select(
+        (F.lit(2) * (1 - F.col("hx")) + (1 - F.col("hy")))
+        .cast("int").alias("cell"),
+        "n", "x_lo", "x_hi", "y_lo", "y_hi",
+        (F.col("n") >= k).alias("k_anonymous"),
+    ).orderBy("cell")

@@ -5706,3 +5706,68 @@ def test_decision_curve_useful_score_beats_baselines(spark):
     assert r["fp"] == 0 and r["tp"] == 40
     assert abs(r["net_benefit_model"] - 0.4) < 1e-6
     assert r["advantage_over_best_baseline"] > 0
+
+
+def test_spectral_flatness_tone_vs_noise(spark):
+    import math
+
+    from sparkcollector.operators.analytics import spectral_flatness
+
+    # pure 12-period tone: flatness tiny, peak at 12
+    tone = spark.createDataFrame(
+        [(t, 100 + 50 * math.sin(2 * math.pi * t / 12))
+         for t in range(240)], "o int, x double"
+    )
+    r = spectral_flatness(tone, "o", "x").collect()[0]
+    assert r["peak_period"] == 12
+    assert r["flatness"] < 0.05
+    # LCG noise: much flatter spectrum
+    rows, v = [], 1
+    for t in range(240):
+        v = (v * 1103515245 + 12345) % 2147483648
+        rows.append((t, float((v >> 16) % 100)))
+    noise = spark.createDataFrame(rows, "o int, x double")
+    r2 = spectral_flatness(noise, "o", "x").collect()[0]
+    assert r2["flatness"] > 10 * r["flatness"]
+
+
+def test_hmm_forward_prefers_matching_stream(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import hmm_forward_loglik
+
+    # long calm runs with occasional bursts: exactly what the HMM
+    # models -> lower perplexity than a fair-coin stream
+    flags = ([0] * 18 + [1] * 6) * 10
+    df = spark.createDataFrame(
+        [(i, f == 1) for i, f in enumerate(flags)], "o int, f boolean"
+    )
+    r = hmm_forward_loglik(df, "o", F.col("f")).collect()[0]
+    coin = spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(240)], "o int, f boolean"
+    )
+    r2 = hmm_forward_loglik(coin, "o", F.col("f")).collect()[0]
+    assert r["perplexity"] < r2["perplexity"]
+    assert r["log_likelihood"] > r2["log_likelihood"]
+    # ends mid-calm-run: posterior says calm
+    assert r["p_burst_final"] < 0.5 or flags[-1] == 1
+
+
+def test_mondrian_four_balanced_cells(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import mondrian_partition
+
+    # 100 points on a 10x10 grid: quarters of ~25 each (median
+    # splits are exact type-1, so the <=-median halves are 60/40
+    # on x with 10 distinct values of 10 each -> 50/50 at v=4)
+    rows = [(float(i % 10), float(i // 10)) for i in range(100)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = mondrian_partition(df, F.col("x"), F.col("y"), k=10).collect()
+    assert len(out) == 4
+    assert sum(r["n"] for r in out) == 100
+    assert all(r["k_anonymous"] for r in out)
+    # cells are rectangles with non-overlapping x ranges across the
+    # first split (cells 0/1 are the <=median-x half)
+    cells = {r["cell"]: r for r in out}
+    assert cells[2]["x_lo"] > cells[0]["x_hi"]
