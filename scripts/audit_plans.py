@@ -4446,6 +4446,15 @@ def main() -> None:
         ("mondrian_partition",
          [("count-logic medians on bounded grids + threshold joins",
            lambda p: "Window" in p and "Python" not in p)], ""),
+        ("partial_correlation",
+         [("one moment pass, algebra in-row",
+           lambda p: "Window" not in p and "Python" not in p)], ""),
+        ("ledoit_wolf_shrinkage",
+         [("|items|^2-bounded pair aggregates on the dense grid",
+           lambda p: "Join" in p and "Python" not in p)], ""),
+        ("poisson_scan_statistic",
+         [("bounded rolling frames + rank-1 argmax",
+           lambda p: "Window" in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

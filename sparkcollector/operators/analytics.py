@@ -16908,3 +16908,177 @@ def mondrian_partition(
         "n", "x_lo", "x_hi", "y_lo", "y_hi",
         (F.col("n") >= k).alias("k_anonymous"),
     ).orderBy("cell")
+
+
+def partial_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """First-order partial correlation r_xy.z = (r_xy - r_xz r_zy) /
+    sqrt((1-r_xz^2)(1-r_zy^2)): does the x-y co-movement survive
+    once the confounder z is held fixed?  (Errors and clicks both
+    ride total load — the partial asks if they co-move beyond it.)
+
+    One moment pass (three means, three cross-products), in-row
+    algebra; the naive and partial correlations emitted side by
+    side — the gap is the confounding.
+    """
+    base = df.select(
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+        F.col(z_col).cast("double").alias("z"),
+    )
+    m = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("mx"), F.avg("y").alias("my"),
+        F.avg("z").alias("mz"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("z")).alias("mxz"),
+        F.avg(F.col("y") * F.col("z")).alias("myz"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+        F.avg(F.col("z") * F.col("z")).alias("mzz"),
+    )
+
+    def corr(ab, a, b, aa, bb):
+        return (F.col(ab) - F.col(a) * F.col(b)) / F.sqrt(
+            (F.col(aa) - F.col(a) * F.col(a))
+            * (F.col(bb) - F.col(b) * F.col(b))
+        )
+
+    rxy = corr("mxy", "mx", "my", "mxx", "myy")
+    rxz = corr("mxz", "mx", "mz", "mxx", "mzz")
+    rzy = corr("myz", "my", "mz", "myy", "mzz")
+    part = (rxy - rxz * rzy) / F.sqrt(
+        (1 - rxz * rxz) * (1 - rzy * rzy)
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(rxz, 6).alias("r_xz"),
+        F.round(rzy, 6).alias("r_zy"),
+        F.round(part, 6).alias("r_xy_given_z"),
+        F.round(rxy - part, 6).alias("confounded_share"),
+    )
+
+
+def ledoit_wolf_shrinkage(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Ledoit-Wolf covariance shrinkage toward the scaled identity
+    over a bounded item set: intensity rho* = min(1, (1/n) * avg
+    var of sample covariances / dispersion around the target) — the
+    estimator that keeps small-sample covariance matrices invertible
+    and honest (portfolio/anomaly whitening on correlated metrics).
+
+    Items pivot onto the bounded grid per key; all moments are keyed
+    aggregates over item PAIRS (|items|^2-bounded).  Emits the
+    shrinkage intensity, target scale, and the shrunk diagonal/
+    off-diagonal averages.
+    """
+    cells = df.select(
+        F.col(key_col).alias("k"),
+        F.col(item_col).alias("i"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    means = cells.groupBy("i").agg(F.avg("x").alias("mu"))
+    c = cells.join(means, "i").select(
+        "k", "i", (F.col("x") - F.col("mu")).alias("xc")
+    )
+    a = c.select("k", F.col("i").alias("i1"), F.col("xc").alias("x1"))
+    b = c.select("k", F.col("i").alias("i2"), F.col("xc").alias("x2"))
+    pairs = a.join(b, "k")
+    s = pairs.groupBy("i1", "i2").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(F.col("x1") * F.col("x2")).alias("s_ij"),
+        F.avg(
+            F.col("x1") * F.col("x2") * F.col("x1") * F.col("x2")
+        ).alias("s2_ij"),
+    )
+    agg = s.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.when(F.col("i1") == F.col("i2"), F.col("s_ij"))
+            .otherwise(0.0)
+        ).alias("tr_s"),
+        F.sum(
+            F.when(F.col("i1") == F.col("i2"), 1.0).otherwise(0.0)
+        ).alias("p"),
+        F.sum(
+            (F.col("s2_ij") - F.col("s_ij") * F.col("s_ij"))
+            / F.col("n")
+        ).alias("b2"),
+        F.sum(F.col("s_ij") * F.col("s_ij")).alias("fro2"),
+    )
+    mu_t = F.col("tr_s") / F.col("p")
+    d2 = F.col("fro2") - 2 * mu_t * F.col("tr_s") + F.col("p") * mu_t * mu_t
+    rho = F.least(F.lit(1.0), F.col("b2") / d2)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_samples"),
+        F.col("p").cast("bigint").alias("n_items"),
+        F.round(mu_t, 6).alias("target_scale"),
+        F.round(F.col("b2"), 6).alias("est_error_b2"),
+        F.round(d2, 6).alias("dispersion_d2"),
+        F.round(rho, 6).alias("shrinkage_rho"),
+    )
+
+
+def poisson_scan_statistic(
+    df: DataFrame,
+    order_col: str,
+    count_col: str,
+    window_lengths: tuple = (6, 12, 24),
+) -> DataFrame:
+    """Kulldorff-style Poisson scan statistic over the bucket
+    series: the (start, length) window maximizing the likelihood
+    ratio x ln(x/E) + (N-x) ln((N-x)/(N-E)) for inside-vs-outside
+    counts (only excess windows count) — WHERE is the epidemic, with
+    the multiple-window-positions question answered by the max, not
+    a per-window test.
+
+    Rolling sums for each bounded window length + a rank-1 argmax.
+    """
+    w = Window.orderBy(order_col)
+    tot = df.agg(
+        F.sum(F.col(count_col).cast("double")).alias("nn"),
+        F.count(F.lit(1)).cast("double").alias("t"),
+    )
+    cands = None
+    for L in window_lengths:
+        fr = w.rowsBetween(-(L - 1), 0)
+        c = df.select(
+            F.col(order_col).alias("o"),
+            F.sum(F.col(count_col).cast("double")).over(fr).alias("x"),
+            F.count(F.lit(1)).over(fr).alias("m"),
+            F.lit(L).alias("len"),
+        ).filter(F.col("m") == L)
+        cands = c if cands is None else cands.unionByName(c)
+    j = cands.crossJoin(tot)
+    e = F.col("nn") * F.col("len") / F.col("t")
+    llr = F.when(
+        F.col("x") > e,
+        F.col("x") * F.log(F.col("x") / e)
+        + (F.col("nn") - F.col("x"))
+        * F.log((F.col("nn") - F.col("x")) / (F.col("nn") - e)),
+    ).otherwise(F.lit(0.0))
+    scored = j.select(
+        "o", "len", "x",
+        F.round(e, 4).alias("expected"),
+        F.round(llr, 9).alias("llr"),
+    )
+    r = Window.orderBy(F.desc("llr"), F.asc("o"), F.asc("len"))
+    return scored.select(
+        "*", F.row_number().over(r).alias("rk")
+    ).filter(F.col("rk") == 1).select(
+        (F.col("o") - F.col("len") + 1).alias("window_start"),
+        F.col("o").alias("window_end"),
+        F.col("len").cast("bigint").alias("window_len"),
+        F.col("x").cast("bigint").alias("observed"),
+        "expected",
+        F.round(F.col("llr"), 6).alias("scan_llr"),
+    )

@@ -5771,3 +5771,59 @@ def test_mondrian_four_balanced_cells(spark):
     # first split (cells 0/1 are the <=median-x half)
     cells = {r["cell"]: r for r in out}
     assert cells[2]["x_lo"] > cells[0]["x_hi"]
+
+
+def test_partial_correlation_removes_confounder(spark):
+    from sparkcollector.operators.analytics import partial_correlation
+
+    # x and y both driven by z; given z they are (nearly)
+    # independent: naive r large, partial ~ 0
+    rows = []
+    for i in range(300):
+        z = float(i % 50)
+        x = 2 * z + (1.0 if i % 2 else -1.0)
+        y = 3 * z + (1.0 if i % 3 == 0 else -0.5)
+        rows.append((x, y, z))
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    r = partial_correlation(df, "x", "y", "z").collect()[0]
+    assert r["r_xy"] > 0.9
+    assert abs(r["r_xy_given_z"]) < 0.2
+    assert r["confounded_share"] > 0.7
+
+
+def test_ledoit_wolf_shrinks_noise_more(spark):
+    from sparkcollector.operators.analytics import ledoit_wolf_shrinkage
+
+    # strongly correlated items (all follow the key): dispersion
+    # dominates -> small rho
+    rows = []
+    for k in range(60):
+        for i in "abc":
+            rows.append((k, i, float(k % 7) * 10))
+    df = spark.createDataFrame(rows, "k int, i string, x double")
+    r = ledoit_wolf_shrinkage(df, "k", "i", "x").collect()[0]
+    assert r["n_items"] == 3
+    assert 0.0 <= r["shrinkage_rho"] <= 1.0
+    # independent-ish noisy items: rho larger (more shrinkage)
+    rows2 = []
+    for k in range(60):
+        rows2.append((k, "a", float((k * 7) % 11)))
+        rows2.append((k, "b", float((k * 13) % 11)))
+        rows2.append((k, "c", float((k * 5) % 11)))
+    df2 = spark.createDataFrame(rows2, "k int, i string, x double")
+    r2 = ledoit_wolf_shrinkage(df2, "k", "i", "x").collect()[0]
+    assert r2["shrinkage_rho"] > r["shrinkage_rho"]
+
+
+def test_scan_statistic_locates_planted_burst(spark):
+    from sparkcollector.operators.analytics import poisson_scan_statistic
+
+    # flat 10/hour, except hours 50-61 at 30/hour
+    rows = [(i, 30.0 if 50 <= i < 62 else 10.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "o int, x double")
+    r = poisson_scan_statistic(
+        df, "o", "x", window_lengths=(6, 12, 24)).collect()[0]
+    assert r["window_len"] == 12
+    assert r["window_start"] == 50 and r["window_end"] == 61
+    assert r["observed"] == 360
+    assert r["scan_llr"] > 50
