@@ -4455,6 +4455,16 @@ def main() -> None:
         ("poisson_scan_statistic",
          [("bounded rolling frames + rank-1 argmax",
            lambda p: "Window" in p and "Python" not in p)], ""),
+        ("grey_gm11_forecast",
+         [("one cumulative window + closed-form 2x2 OLS + bounded "
+           "horizon explode",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("energy_distance",
+         [("grid x grid weighted joins, never row-level pairs",
+           lambda p: "Join" in p and "Python" not in p)], ""),
+        ("biweight_midvariance",
+         [("count-logic median/MAD + one weighted grid aggregate",
+           lambda p: "Window" in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

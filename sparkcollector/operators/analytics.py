@@ -17082,3 +17082,195 @@ def poisson_scan_statistic(
         "expected",
         F.round(F.col("llr"), 6).alias("scan_llr"),
     )
+
+
+def grey_gm11_forecast(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    horizon: int = 6,
+) -> DataFrame:
+    """GM(1,1) grey-model forecast: the small-sample forecaster that
+    needs only a handful of points — AGO-accumulate the series, fit
+    dx/dt + a x = b by OLS on the mean-generated background z(k),
+    forecast via the exponential response, difference back.  (The
+    classic when a new service has 10 data points and Holt-Winters
+    has nothing to chew on.)
+
+    One cumulative window, one lag, one 2x2 closed-form OLS, a
+    bounded horizon explode.  Emits a and b, the development
+    coefficient verdict, and h-step forecasts.
+    """
+    w = Window.orderBy(order_col)
+    wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    base = df.select(
+        F.col(value_col).cast("double").alias("x"),
+        F.row_number().over(w).cast("double").alias("k"),
+    ).select(
+        "x", "k",
+        F.sum("x").over(wk).alias("ago"),
+    ).select(
+        "x", "k", "ago",
+        (
+            (F.lag("ago").over(Window.orderBy("k")) + F.col("ago")) / 2
+        ).alias("z"),
+    )
+    reg = base.filter(F.col("z").isNotNull())
+    m = reg.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("z").alias("mz"), F.avg("x").alias("mx"),
+        F.avg(F.col("z") * F.col("x")).alias("mzx"),
+        F.avg(F.col("z") * F.col("z")).alias("mzz"),
+    )
+    # x(k) = -a z(k) + b  ->  a = -slope, b = xbar + a zbar
+    a_c = -(
+        (F.col("mzx") - F.col("mz") * F.col("mx"))
+        / (F.col("mzz") - F.col("mz") * F.col("mz"))
+    )
+    b_c = F.col("mx") + a_c * F.col("mz")
+    first = base.filter(F.col("k") == 1).select(
+        F.col("x").alias("x1")
+    )
+    nmax = base.agg(F.max("k").alias("kmax"))
+    spark = df.sparkSession
+    hs = spark.range(1, horizon + 1).select(
+        F.col("id").cast("double").alias("h")
+    )
+    j = m.crossJoin(first).crossJoin(nmax).crossJoin(hs)
+    # x_hat(k) = (x1 - b/a) e^{-a(k-1)} (1 - e^{a}) for k >= 2
+    kf = F.col("kmax") + F.col("h")
+    fc = (
+        (F.col("x1") - b_c / a_c)
+        * F.exp(-a_c * (kf - 1))
+        * (1 - F.exp(a_c))
+    )
+    return j.select(
+        F.col("h").cast("bigint").alias("h"),
+        F.round(a_c, 6).alias("develop_a"),
+        F.round(b_c, 6).alias("grey_b"),
+        F.round(fc, 4).alias("forecast"),
+        (F.abs(a_c) < 0.3).alias("gm11_applicable"),
+    ).orderBy("h")
+
+
+def energy_distance(
+    df: DataFrame,
+    group_col,
+    value_col,
+) -> DataFrame:
+    """Energy distance between two samples: D^2 = 2 E|X-Y| - E|X-X'|
+    - E|Y-Y'| — zero iff the distributions match, sensitive to ANY
+    difference (location, scale, shape), the modern alternative to
+    KS the repo's drift suite lacks.
+
+    All three expectations collapse onto bounded distinct-value
+    grids: |X-Y| terms are a grid x grid join weighted by counts —
+    never a row-level pair.  Emits D^2 and the normalized
+    (0..1-ish) energy coefficient.
+    """
+    g = df.select(
+        group_col.cast("int").alias("grp"),
+        value_col.cast("double").alias("v"),
+    ).groupBy("grp", "v").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    ).localCheckpoint(eager=True)
+
+    def cross(g1, g2, name):
+        a = g.filter(F.col("grp") == g1).select(
+            F.col("v").alias("va"), F.col("c").alias("ca")
+        )
+        b = g.filter(F.col("grp") == g2).select(
+            F.col("v").alias("vb"), F.col("c").alias("cb")
+        )
+        return a.crossJoin(b).agg(
+            (
+                F.sum(
+                    F.col("ca") * F.col("cb")
+                    * F.abs(F.col("va") - F.col("vb"))
+                )
+                / (F.sum(F.col("ca") * F.col("cb")))
+            ).alias(name)
+        )
+    exy = cross(0, 1, "e_xy")
+    exx = cross(0, 0, "e_xx")
+    eyy = cross(1, 1, "e_yy")
+    counts = g.groupBy("grp").agg(F.sum("c").alias("n")).groupBy().pivot(
+        "grp", [0, 1]
+    ).sum("n")
+    j = exy.crossJoin(exx).crossJoin(eyy).crossJoin(counts)
+    d2 = 2 * F.col("e_xy") - F.col("e_xx") - F.col("e_yy")
+    return j.select(
+        F.col("0").cast("bigint").alias("n_x"),
+        F.col("1").cast("bigint").alias("n_y"),
+        F.round("e_xy", 6).alias("e_cross"),
+        F.round(d2, 6).alias("energy_d2"),
+        F.round(d2 / (2 * F.col("e_xy")), 6).alias("energy_coef"),
+    )
+
+
+def biweight_midvariance(
+    df: DataFrame,
+    value_col,
+    c: float = 9.0,
+) -> DataFrame:
+    """Tukey biweight midvariance: the robust scale estimator that
+    downweights (not merely trims) outliers — u = (x-M)/(c*MAD),
+    weight (1-u^2)^2 inside |u|<1 — with ~87% efficiency at the
+    normal, versus the MAD's 37%.  The scale companion to the
+    repo's huber_location.
+
+    Median and MAD are exact count-logic quantiles on the bounded
+    cents grid; the weighted sums are one aggregate over the grid.
+    """
+    g = df.select(
+        F.round(value_col.cast("double") * 100).cast("long").alias("v")
+    ).groupBy("v").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    ).localCheckpoint(eager=True)
+
+    def q50(frame, col):
+        wc = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        tot = frame.agg(F.sum("cnt").alias("n"))
+        return frame.select(
+            F.col(col).alias("vv"), F.sum("cnt").over(wc).alias("cum")
+        ).crossJoin(tot).filter(
+            F.col("cum") * 2 >= F.col("n")
+        ).agg(F.min("vv").alias("med"))
+
+    med = q50(g, "v")
+    dev = g.crossJoin(med).select(
+        "v", "cnt", F.abs(F.col("v") - F.col("med")).alias("ad"),
+        F.col("med").alias("med"),
+    ).localCheckpoint(eager=True)
+    mad_g = dev.groupBy("ad").agg(F.sum("cnt").alias("cnt"))
+    mad = q50(mad_g, "ad").select(F.col("med").alias("mad"))
+    j = dev.crossJoin(mad)
+    u = (F.col("v") - F.col("med")) / (c * F.col("mad"))
+    inside = F.abs(u) < 1
+    w2 = (1 - u * u) * (1 - u * u)
+    num = F.sum(
+        F.when(
+            inside,
+            F.col("cnt") * F.pow(F.col("v") - F.col("med"), 2)
+            * F.pow(1 - u * u, 4),
+        ).otherwise(0.0)
+    )
+    den = F.sum(
+        F.when(inside, F.col("cnt") * w2 * (1 - 5 * u * u))
+        .otherwise(0.0)
+    )
+    ntot = F.sum("cnt")
+    a = j.agg(
+        ntot.alias("n"), num.alias("num"), den.alias("den"),
+        F.max("med").alias("med"), F.max("mad").alias("mad"),
+    )
+    bwmv = F.col("n") * F.col("num") / (F.col("den") * F.col("den"))
+    return a.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        (F.col("med") / 100).alias("median"),
+        (F.col("mad") / 100).alias("mad"),
+        F.round(F.sqrt(bwmv) / 100, 6).alias("biweight_scale"),
+        F.round(bwmv / 10000, 6).alias("biweight_midvariance"),
+    )

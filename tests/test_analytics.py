@@ -5827,3 +5827,56 @@ def test_scan_statistic_locates_planted_burst(spark):
     assert r["window_start"] == 50 and r["window_end"] == 61
     assert r["observed"] == 360
     assert r["scan_llr"] > 50
+
+
+def test_gm11_recovers_exponential(spark):
+    import math
+
+    from sparkcollector.operators.analytics import grey_gm11_forecast
+
+    # x(k) = 100 * 1.05^k: GM(1,1) is exact for exponentials;
+    # a ~ -ln(1.05), forecasts continue the growth
+    rows = [(k, 100.0 * 1.05 ** k) for k in range(12)]
+    df = spark.createDataFrame(rows, "o int, x double")
+    out = grey_gm11_forecast(df, "o", "x", horizon=3).collect()
+    a = out[0]["develop_a"]
+    assert abs(-a - math.log(1.05)) < 0.005
+    assert out[0]["gm11_applicable"]
+    expect_next = 100.0 * 1.05 ** 12
+    assert abs(out[0]["forecast"] - expect_next) / expect_next < 0.02
+
+
+def test_energy_distance_zero_and_shifted(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import energy_distance
+
+    # identical distributions: D2 ~ 0
+    rows = [(g, float(i % 10)) for g in (0, 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    r = energy_distance(df, F.col("g"), F.col("v")).collect()[0]
+    assert abs(r["energy_d2"]) < 1e-9
+    # shifted: D2 ~ 2*shift - 0 when shift >> spread
+    rows2 = ([(0, float(i % 3)) for i in range(200)]
+             + [(1, 50.0 + i % 3) for i in range(200)])
+    df2 = spark.createDataFrame(rows2, "g int, v double")
+    r2 = energy_distance(df2, F.col("g"), F.col("v")).collect()[0]
+    assert r2["energy_d2"] > 90
+    assert r2["energy_coef"] > 0.95
+
+
+def test_biweight_ignores_gross_outliers(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import biweight_midvariance
+
+    # tight core at 10 +- 1 with 5% gross outliers at 1000: the
+    # biweight scale stays near the core spread
+    rows = [(10.0 + (i % 3 - 1),) for i in range(190)]
+    rows += [(1000.0,)] * 10
+    df = spark.createDataFrame(rows, "x double")
+    r = biweight_midvariance(df, F.col("x")).collect()[0]
+    assert r["median"] == 10.0
+    assert r["biweight_scale"] < 2.0
+    # classical std would be ~ 220; make sure we are nowhere near
+    assert r["biweight_scale"] < 10
