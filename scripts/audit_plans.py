@@ -4465,6 +4465,16 @@ def main() -> None:
         ("biweight_midvariance",
          [("count-logic median/MAD + one weighted grid aggregate",
            lambda p: "Window" in p and "Python" not in p)], ""),
+        ("cascade_failure_sim",
+         [("literal history table from bounded per-round scalars "
+           "(no Python RDD scan)",
+           lambda p: "Python" not in p)], ""),
+        ("k_truss",
+         [("final support join over checkpointed peeled edges",
+           lambda p: "Join" in p and "Python" not in p)], ""),
+        ("histogram_bin_advisor",
+         [("one grid pass + count-logic quartiles",
+           lambda p: "Window" in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

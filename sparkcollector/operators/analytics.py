@@ -17274,3 +17274,57 @@ def biweight_midvariance(
         F.round(F.sqrt(bwmv) / 100, 6).alias("biweight_scale"),
         F.round(bwmv / 10000, 6).alias("biweight_midvariance"),
     )
+
+
+def histogram_bin_advisor(
+    df: DataFrame,
+    value_col,
+) -> DataFrame:
+    """Histogram binning advisor: Sturges, Scott, and
+    Freedman-Diaconis bin counts side by side from one pass (exact
+    count-logic quartiles for the IQR) — the pre-step every
+    dashboard histogram needs and nobody computes.
+    """
+    g = df.select(
+        F.round(value_col.cast("double") * 100).cast("long").alias("v")
+    ).groupBy("v").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    ).localCheckpoint(eager=True)
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = g.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("v")).alias("s"),
+        F.sum(F.col("c") * F.col("v") * F.col("v")).alias("ss"),
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+    )
+    cum = g.select("v", F.sum("c").over(wc).alias("cum"))
+
+    def quant(mult_num, mult_den):
+        return cum.crossJoin(tot).filter(
+            F.col("cum") * mult_den >= F.col("n") * mult_num
+        ).agg(F.min("v").alias("q"))
+
+    q1 = quant(1, 4).select(F.col("q").alias("q25"))
+    q3 = quant(3, 4).select(F.col("q").alias("q75"))
+    j = tot.crossJoin(q1).crossJoin(q3)
+    n = F.col("n")
+    sd = F.sqrt(
+        F.col("ss") / n - (F.col("s") / n) * (F.col("s") / n)
+    )
+    rng = (F.col("hi") - F.col("lo")).cast("double")
+    iqr = (F.col("q75") - F.col("q25")).cast("double")
+    h_scott = 3.49 * sd * F.pow(n, -1.0 / 3.0)
+    h_fd = 2.0 * iqr * F.pow(n, -1.0 / 3.0)
+    return j.select(
+        n.cast("bigint").alias("n_obs"),
+        (rng / 100).alias("value_range"),
+        F.round(iqr / 100, 4).alias("iqr"),
+        F.round(sd / 100, 4).alias("std"),
+        (F.ceil(F.log2(n)) + 1).cast("bigint").alias("sturges_bins"),
+        F.when(
+            h_scott > 0, F.ceil(rng / h_scott)
+        ).cast("bigint").alias("scott_bins"),
+        F.when(
+            h_fd > 0, F.ceil(rng / h_fd)
+        ).cast("bigint").alias("fd_bins"),
+    )

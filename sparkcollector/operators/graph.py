@@ -1161,3 +1161,181 @@ def topo_layers(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
         F.min("node").alias("exemplar"),
     ).orderBy("layer")
+
+
+CASCADE_ROUNDS = 6
+
+
+def cascade_failure_sim(
+    nodes: DataFrame,
+    edges: DataFrame,
+    capacity_factor: float = 1.5,
+    rounds: int = CASCADE_ROUNDS,
+) -> DataFrame:
+    """Motter-Lai-style cascade simulation on a load-bearing graph:
+    every node starts at load = degree with capacity = factor *
+    load; the highest-degree node is knocked out; each superstep
+    redistributes every failed node's load equally to its LIVE
+    neighbors and fails anything over capacity — does one failure
+    stay local, or take the mesh down?
+
+    Fixed supersteps of keyed joins + aggregates with lineage cuts;
+    emits the per-round failure counts and surviving fraction.
+    """
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("load0")
+    )
+    state = nodes.join(deg, "node", "left").select(
+        "node",
+        F.coalesce("load0", F.lit(0.0)).alias("load"),
+        (F.coalesce("load0", F.lit(0.0)) * capacity_factor)
+        .alias("cap"),
+        F.lit(True).alias("alive"),
+    )
+    seed = state.orderBy(
+        F.desc("cap"), F.asc("node")
+    ).limit(1).select(F.col("node").alias("kill"))
+    state = state.crossJoin(seed).select(
+        "node", "load", "cap",
+        (F.col("alive") & (F.col("node") != F.col("kill")))
+        .alias("alive"),
+    ).localCheckpoint(eager=True)
+    history = []
+    for r in range(1, rounds + 1):
+        dead = state.filter(
+            ~F.col("alive") & (F.col("load") > 0)
+        ).select(F.col("node").alias("dn"), F.col("load").alias("dl"))
+        live_nb = (
+            edges.join(dead, edges.src == F.col("dn"))
+            .join(
+                state.filter(F.col("alive")).select(
+                    F.col("node").alias("ln")
+                ),
+                F.col("dst") == F.col("ln"),
+            )
+        )
+        nb_counts = live_nb.groupBy("dn", "dl").agg(
+            F.count(F.lit(1)).cast("double").alias("k")
+        )
+        xfer = (
+            live_nb.join(nb_counts, ["dn", "dl"])
+            .groupBy(F.col("ln").alias("node"))
+            .agg(F.sum(F.col("dl") / F.col("k")).alias("extra"))
+        )
+        state = state.join(xfer, "node", "left").select(
+            "node",
+            F.when(
+                ~F.col("alive"), F.lit(0.0)
+            ).otherwise(
+                F.col("load") + F.coalesce("extra", F.lit(0.0))
+            ).alias("load"),
+            "cap",
+            (
+                F.col("alive")
+                & (
+                    F.col("load") + F.coalesce("extra", F.lit(0.0))
+                    <= F.col("cap")
+                )
+            ).alias("alive"),
+        ).localCheckpoint(eager=True)
+        surv = state.agg(
+            F.sum(F.col("alive").cast("long")).alias("a"),
+            F.count(F.lit(1)).alias("t"),
+        ).collect()[0]
+        history.append((r, int(surv["a"]), int(surv["t"])))
+    spark = nodes.sparkSession
+    rows = [
+        (r, t - a, a, round(a / t, 6)) for r, a, t in history
+    ]
+    return spark.range(len(rows)).select(
+        F.col("id").cast("int").alias("_i")
+    ).select(
+        F.element_at(
+            F.array(*[F.lit(r[0]) for r in rows]), F.col("_i") + 1
+        ).alias("round"),
+        F.element_at(
+            F.array(*[F.lit(r[1]) for r in rows]), F.col("_i") + 1
+        ).cast("bigint").alias("failed"),
+        F.element_at(
+            F.array(*[F.lit(r[2]) for r in rows]), F.col("_i") + 1
+        ).cast("bigint").alias("alive"),
+        F.element_at(
+            F.array(*[F.lit(float(r[3])) for r in rows]),
+            F.col("_i") + 1,
+        ).alias("surviving_frac"),
+    ).orderBy("round")
+
+
+K_TRUSS_ROUNDS = 6
+
+
+def k_truss_edges(
+    edges: DataFrame,
+    k: int = 4,
+    rounds: int = K_TRUSS_ROUNDS,
+) -> DataFrame:
+    """k-truss decomposition (fixed peel rounds): keep only edges
+    participating in at least k-2 triangles among surviving edges —
+    the cohesion upgrade over k-core (cores count neighbors,
+    trusses count MUTUAL neighbors).  Emits the surviving truss
+    edges with their final support.
+
+    Per round: triangle support per edge via one two-hop join over
+    the canonical (src<dst) edge list, then the peel filter; fixed
+    ``rounds`` supersteps with lineage cuts (support is monotone
+    under peeling, so convergence is typically < log rounds).
+    """
+    e = edges.select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+    ).filter(F.col("a") != F.col("b")).distinct().localCheckpoint(
+        eager=True
+    )
+    for _ in range(rounds):
+        sym = e.select("a", "b").unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        two = sym.select(
+            F.col("a").alias("u"), F.col("b").alias("w1")
+        ).join(
+            sym.select(F.col("a").alias("w2"), F.col("b").alias("v")),
+            F.col("w1") == F.col("w2"),
+        ).select("u", "v", F.col("w1").alias("w"))
+        tri = two.join(
+            e.select(
+                F.col("a").alias("u2"), F.col("b").alias("v2")
+            ),
+            (F.col("u") == F.col("u2")) & (F.col("v") == F.col("v2")),
+        ).groupBy("u", "v").agg(
+            F.count(F.lit(1)).alias("support")
+        )
+        e = e.join(
+            tri,
+            (e.a == tri.u) & (e.b == tri.v),
+            "left",
+        ).select(
+            "a", "b",
+            F.coalesce("support", F.lit(0)).alias("support"),
+        ).filter(F.col("support") >= k - 2).select(
+            "a", "b"
+        ).localCheckpoint(eager=True)
+    sym = e.select("a", "b").unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    two = sym.select(
+        F.col("a").alias("u"), F.col("b").alias("w1")
+    ).join(
+        sym.select(F.col("a").alias("w2"), F.col("b").alias("v")),
+        F.col("w1") == F.col("w2"),
+    ).select("u", "v")
+    fin = two.join(
+        e.select(F.col("a").alias("u2"), F.col("b").alias("v2")),
+        (F.col("u") == F.col("u2")) & (F.col("v") == F.col("v2")),
+    ).groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
+    return e.join(
+        fin, (e.a == fin.u) & (e.b == fin.v), "left"
+    ).select(
+        F.col("a").alias("src"), F.col("b").alias("dst"),
+        F.coalesce("support", F.lit(0)).cast("bigint")
+        .alias("support"),
+    ).orderBy("src", "dst")

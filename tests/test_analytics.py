@@ -5880,3 +5880,21 @@ def test_biweight_ignores_gross_outliers(spark):
     assert r["biweight_scale"] < 2.0
     # classical std would be ~ 220; make sure we are nowhere near
     assert r["biweight_scale"] < 10
+
+
+def test_bin_advisor_textbook(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import histogram_bin_advisor
+
+    import math
+    # 1024 evenly spread points over [0, 10]: Sturges = 11
+    df = spark.createDataFrame(
+        [(i * 10.0 / 1023,) for i in range(1024)], "x double"
+    )
+    r = histogram_bin_advisor(df, F.col("x")).collect()[0]
+    assert r["sturges_bins"] == 11
+    assert abs(r["value_range"] - 10.0) < 0.01
+    # FD with uniform data: iqr ~ 5, h = 2*5*1024^(-1/3) ~ 0.99
+    assert 9 <= r["fd_bins"] <= 12
+    assert r["scott_bins"] > 0

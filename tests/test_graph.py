@@ -418,3 +418,37 @@ def test_topo_layers_chain_and_diamond(spark):
     assert out[1]["n_nodes"] == 2
     assert out[2]["exemplar"] == 3
     assert out[3]["exemplar"] == 4
+
+
+def test_cascade_contained_vs_fragile(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.graph import cascade_failure_sim
+
+    # star: hub 0 connected to 8 leaves; big capacity factor means
+    # killing the hub fails nothing else (leaves get hub load but
+    # have slack)... with tiny factor they cascade
+    star = [(0, i) for i in range(1, 9)]
+    sym = star + [(b, a) for a, b in star]
+    e = spark.createDataFrame(sym, "src long, dst long")
+    nodes = spark.range(9).selectExpr("id as node")
+    out = cascade_failure_sim(nodes, e, capacity_factor=20.0).collect()
+    # only the seeded hub is down, everything else survives
+    assert out[-1]["failed"] == 1
+    out2 = cascade_failure_sim(nodes, e, capacity_factor=1.1).collect()
+    # hub load 8 redistributed: each leaf gets +1 on load 1 vs cap
+    # 1.1 -> all fail next round
+    assert out2[-1]["alive"] == 0
+
+
+def test_k_truss_keeps_clique_drops_tree(spark):
+    from sparkcollector.operators.graph import k_truss_edges
+
+    # K4 clique + a pendant chain: 4-truss = the clique's 6 edges
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    chain = [(3, 10), (10, 11)]
+    e = spark.createDataFrame(k4 + chain, "src long, dst long")
+    out = k_truss_edges(e, k=4).collect()
+    kept = {(r["src"], r["dst"]) for r in out}
+    assert kept == set(k4)
+    assert all(r["support"] == 2 for r in out)
