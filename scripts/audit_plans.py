@@ -4475,6 +4475,15 @@ def main() -> None:
         ("histogram_bin_advisor",
          [("one grid pass + count-logic quartiles",
            lambda p: "Window" in p and "Python" not in p)], ""),
+        ("youden_j_threshold",
+         [("cents-grid confusion sweep + rank-1 argmax",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("surprisal_outliers",
+         [("bounded cell grid + top-k rank window",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("cmh_test",
+         [("stratum-keyed 2x2 aggregate + single-row MH pooling",
+           lambda p: "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -17328,3 +17328,141 @@ def histogram_bin_advisor(
             h_fd > 0, F.ceil(rng / h_fd)
         ).cast("bigint").alias("fd_bins"),
     )
+
+
+def youden_j_threshold(
+    df: DataFrame,
+    score_col,
+    label_col,
+) -> DataFrame:
+    """Youden's J optimal cutoff (sensitivity + specificity - 1
+    maximized): the prevalence-free counterpart of the MCC sweep —
+    right when the deployment base rate will differ from the
+    training one.  Same cents-grid confusion machinery, rank-1
+    argmax with 9dp rounding.
+    """
+    g = df.select(
+        F.round(score_col.cast("double") * 100).cast("long").alias("v"),
+        label_col.cast("double").alias("y"),
+    ).groupBy("v").agg(
+        F.count(F.lit(1)).cast("double").alias("c"),
+        F.sum("y").alias("pos"),
+    )
+    tot = g.agg(F.sum("c").alias("n"), F.sum("pos").alias("p"))
+    wge = Window.orderBy("v").rowsBetween(0, Window.unboundedFollowing)
+    cum = g.select(
+        "v",
+        F.sum("pos").over(wge).alias("tp"),
+        F.sum(F.col("c") - F.col("pos")).over(wge).alias("fp"),
+    ).crossJoin(tot)
+    sens = F.col("tp") / F.col("p")
+    spec = 1 - F.col("fp") / (F.col("n") - F.col("p"))
+    jst = F.round(sens + spec - 1, 9)
+    scored = cum.select(
+        "v", F.col("tp"), F.col("fp"),
+        F.round(sens, 6).alias("sensitivity"),
+        F.round(spec, 6).alias("specificity"),
+        jst.alias("j"),
+    )
+    r = Window.orderBy(F.desc("j"), F.asc("v"))
+    return scored.select(
+        "*", F.row_number().over(r).alias("rk")
+    ).filter(F.col("rk") == 1).select(
+        (F.col("v") / 100.0).alias("best_threshold"),
+        "sensitivity", "specificity",
+        F.round("j", 6).alias("youden_j"),
+    )
+
+
+def surprisal_outliers(
+    df: DataFrame,
+    type_col: str,
+    hour_col,
+    top_k: int = 20,
+) -> DataFrame:
+    """Per-event surprisal -log2 p(type, hour) under the empirical
+    joint: the information-theoretic anomaly score — which cells of
+    the behavior grid are so rare that any event in them deserves a
+    look.  Emits the top_k most surprising CELLS with their counts
+    (cells, not rows: the score is identical for every event in a
+    cell, and the cell list is bounded).
+    """
+    cells = df.groupBy(
+        F.col(type_col).alias("t"), hour_col.cast("int").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    j = cells.crossJoin(tot)
+    surp = -F.log2(F.col("c") / F.col("n"))
+    w = Window.orderBy(
+        F.desc("surprisal"), F.asc("t"), F.asc("h")
+    )
+    scored = j.select(
+        "t", "h", F.col("c").cast("bigint").alias("n_events"),
+        F.round(surp, 6).alias("surprisal"),
+    )
+    return scored.select(
+        "*", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= top_k).select(
+        F.col("t").alias(type_col), F.col("h").alias("hour"),
+        "n_events", "surprisal",
+    )
+
+
+def cmh_test(
+    df: DataFrame,
+    stratum_col,
+    exposed_col,
+    outcome_col,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 association: the
+    common odds ratio and the CMH chi-square across strata — does
+    the exposure-outcome link survive once the stratifier is held
+    fixed (the tabular sibling of the partial correlation, immune
+    to Simpson flips the pooled 2x2 suffers).
+
+    One stratum-keyed 2x2 aggregate, closed-form MH pooling with
+    the continuity-corrected CMH statistic; flag at 3.841.
+    """
+    t = df.groupBy(stratum_col.alias("s")).agg(
+        F.sum(
+            (exposed_col.cast("int") * outcome_col.cast("int"))
+            .cast("double")
+        ).alias("a"),
+        F.sum(
+            (exposed_col.cast("int") * (1 - outcome_col.cast("int")))
+            .cast("double")
+        ).alias("b"),
+        F.sum(
+            ((1 - exposed_col.cast("int")) * outcome_col.cast("int"))
+            .cast("double")
+        ).alias("c"),
+        F.sum(
+            ((1 - exposed_col.cast("int"))
+             * (1 - outcome_col.cast("int"))).cast("double")
+        ).alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    e_a = (F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) / n
+    v_a = (
+        (F.col("a") + F.col("b")) * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c")) * (F.col("b") + F.col("d"))
+        / (n * n * (n - 1))
+    )
+    agg = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("a").alias("sa"),
+        F.sum(e_a).alias("se"),
+        F.sum(v_a).alias("sv"),
+        F.sum(F.col("a") * F.col("d") / n).alias("s_ad"),
+        F.sum(F.col("b") * F.col("c") / n).alias("s_bc"),
+    )
+    cmh = F.pow(
+        F.abs(F.col("sa") - F.col("se")) - 0.5, 2
+    ) / F.col("sv")
+    or_mh = F.col("s_ad") / F.col("s_bc")
+    return agg.select(
+        "n_strata",
+        F.round(or_mh, 6).alias("common_odds_ratio"),
+        F.round(cmh, 6).alias("cmh_chi2"),
+        (cmh > 3.841).alias("associated_95"),
+    )

@@ -5898,3 +5898,54 @@ def test_bin_advisor_textbook(spark):
     # FD with uniform data: iqr ~ 5, h = 2*5*1024^(-1/3) ~ 0.99
     assert 9 <= r["fd_bins"] <= 12
     assert r["scott_bins"] > 0
+
+
+def test_youden_prevalence_free_cutoff(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import youden_j_threshold
+
+    # imbalanced but separable: cutoff at 0.5, J = 1
+    rows = ([(i / 100.0, 0) for i in range(50)] * 9
+            + [(0.5 + i / 200.0, 1) for i in range(50)])
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = youden_j_threshold(df, F.col("s"), F.col("y")).collect()[0]
+    assert abs(r["best_threshold"] - 0.5) < 1e-9
+    assert r["youden_j"] == 1.0
+    assert r["sensitivity"] == 1.0 and r["specificity"] == 1.0
+
+
+def test_surprisal_ranks_rare_cells(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import surprisal_outliers
+
+    rows = [("common", 1)] * 1000 + [("rare", 23)] * 2
+    df = spark.createDataFrame(rows, "t string, h int")
+    out = surprisal_outliers(df, "t", F.col("h"), top_k=2).collect()
+    assert out[0]["t"] == "rare" and out[0]["n_events"] == 2
+    assert out[0]["surprisal"] > out[1]["surprisal"]
+    import math
+    assert abs(out[0]["surprisal"]
+               - (-math.log2(2 / 1002))) < 1e-6
+
+
+def test_cmh_immune_to_simpson_flip(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import cmh_test
+
+    rows = []
+    # two strata with the SAME within-stratum OR ~ 4, but wildly
+    # different base rates (the Simpson setup)
+    for s, scale in [(0, 1), (1, 10)]:
+        a, b, c, d = 40, 10 * scale, 10, 10 * scale
+        rows += [(s, 1, 1)] * a + [(s, 1, 0)] * b
+        rows += [(s, 0, 1)] * c + [(s, 0, 0)] * d
+    df = spark.createDataFrame(rows, "s int, e int, y int")
+    r = cmh_test(
+        df, F.col("s"), F.col("e"), F.col("y")
+    ).collect()[0]
+    assert r["n_strata"] == 2
+    assert r["common_odds_ratio"] > 2.5
+    assert r["associated_95"]
