@@ -4484,6 +4484,18 @@ def main() -> None:
         ("cmh_test",
          [("stratum-keyed 2x2 aggregate + single-row MH pooling",
            lambda p: "Python" not in p)], ""),
+        ("markov_absorption",
+         [("pivoted one-row transition table + in-row 3x3 Cramer, "
+           "no iteration",
+           lambda p: "Python" not in p)], ""),
+        ("hodges_lehmann_shift",
+         [("grid x grid difference weights + one cumulative window; "
+           "never row pairs",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("postgres_log_parse",
+         [("anchored envelope + duration regexes, map-only",
+           lambda p: "Join" not in p and "Window" not in p
+           and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -17466,3 +17466,151 @@ def cmh_test(
         F.round(cmh, 6).alias("cmh_chi2"),
         (cmh > 3.841).alias("associated_95"),
     )
+
+
+def markov_absorption(
+    df: DataFrame,
+    user_col: str,
+    state_col: str,
+    ts_col: str,
+    order2_col: str,
+    transient: list[str],
+    absorbing: list[str],
+) -> DataFrame:
+    """Absorbing-chain analysis of the empirical transition matrix:
+    for each transient state, the probability of ending in each
+    absorbing state (B = (I-Q)^{-1} R) and the expected steps to
+    absorption ((I-Q)^{-1} 1) — the funnel-outcome question ('from
+    browsing, does this end in purchase or error, and how long?')
+    answered in closed form, no simulation.
+
+    The chain is |S|^2-bounded; with three transient states the
+    (I-Q) solve is a 3x3 Cramer computed in-row from the pivoted
+    one-row transition table — no iteration, no driver math.
+    """
+    assert len(transient) == 3, "closed-form solve is wired for 3"
+    w = Window.partitionBy(user_col).orderBy(ts_col, order2_col)
+    tr = df.select(
+        F.col(state_col).alias("dst"),
+        F.lag(state_col).over(w).alias("src"),
+    ).filter(F.col("src").isNotNull())
+    # transitions out of absorbing states are removed (absorbing =
+    # once there, the episode is over)
+    tr = tr.filter(F.col("src").isin(transient))
+    p = tr.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    rowt = p.groupBy("src").agg(F.sum("c").alias("t"))
+    pm = p.join(rowt, "src").select(
+        "src", "dst", (F.col("c") / F.col("t")).alias("p")
+    )
+    t0, t1, t2 = transient
+
+    def cell(s, d):
+        return F.max(
+            F.when(
+                (F.col("src") == s) & (F.col("dst") == d), F.col("p")
+            )
+        )
+
+    one = pm.agg(
+        *[
+            F.coalesce(cell(s, d), F.lit(0.0)).alias(f"q{i}{j}")
+            for i, s in enumerate(transient)
+            for j, d in enumerate(transient)
+        ],
+        *[
+            F.coalesce(cell(s, a), F.lit(0.0)).alias(f"r{i}{k}")
+            for i, s in enumerate(transient)
+            for k, a in enumerate(absorbing)
+        ],
+    )
+    # M = I - Q; solve M X = b by Cramer for each rhs
+    m = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            base = F.lit(1.0) if i == j else F.lit(0.0)
+            m[i][j] = base - F.col(f"q{i}{j}")
+
+    def det3(a):
+        return (
+            a[0][0] * (a[1][1] * a[2][2] - a[1][2] * a[2][1])
+            - a[0][1] * (a[1][0] * a[2][2] - a[1][2] * a[2][0])
+            + a[0][2] * (a[1][0] * a[2][1] - a[1][1] * a[2][0])
+        )
+
+    dm = det3(m)
+
+    def solve(b):
+        xs = []
+        for col in range(3):
+            a = [
+                [b[i] if j == col else m[i][j] for j in range(3)]
+                for i in range(3)
+            ]
+            xs.append(det3(a) / dm)
+        return xs
+
+    outs = []
+    for k, aname in enumerate(absorbing):
+        bk = [F.col(f"r{i}{k}") for i in range(3)]
+        outs.append((aname, solve(bk)))
+    steps = solve([F.lit(1.0)] * 3)
+    rows = []
+    for i, s in enumerate(transient):
+        sel = [F.lit(s).alias("state")]
+        for aname, xs in outs:
+            sel.append(F.round(xs[i], 6).alias(f"p_absorb_{aname}"))
+        sel.append(F.round(steps[i], 4).alias("expected_steps"))
+        rows.append(one.select(*sel))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("state")
+
+
+def hodges_lehmann_shift(
+    df: DataFrame,
+    group_col,
+    value_col,
+) -> DataFrame:
+    """Hodges-Lehmann shift estimator: the MEDIAN of all pairwise
+    differences y_j - x_i between two samples — the robust effect
+    size that goes with the Mann-Whitney test (its point estimate),
+    immune to the outliers that wreck the difference of means.
+
+    Pairwise differences collapse onto the grid-x-grid difference
+    table (bounded distinct values each side) with product weights;
+    the weighted median is one cumulative window over the bounded
+    difference grid.  Never a row-level pair.
+    """
+    g = df.select(
+        group_col.cast("int").alias("grp"),
+        F.round(value_col.cast("double") * 100).cast("long").alias("v"),
+    ).groupBy("grp", "v").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    a = g.filter(F.col("grp") == 0).select(
+        F.col("v").alias("vx"), F.col("c").alias("cx")
+    )
+    b = g.filter(F.col("grp") == 1).select(
+        F.col("v").alias("vy"), F.col("c").alias("cy")
+    )
+    diffs = a.crossJoin(b).groupBy(
+        (F.col("vy") - F.col("vx")).alias("d")
+    ).agg(F.sum(F.col("cx") * F.col("cy")).alias("w"))
+    tot = diffs.agg(F.sum("w").alias("n"))
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    med = diffs.select(
+        "d", F.sum("w").over(wc).alias("cum")
+    ).crossJoin(tot).filter(
+        F.col("cum") * 2 >= F.col("n")
+    ).agg(F.min("d").alias("hl"))
+    counts = g.groupBy("grp").agg(F.sum("c").alias("n")).groupBy().pivot(
+        "grp", [0, 1]
+    ).sum("n")
+    return med.crossJoin(counts).select(
+        F.col("0").cast("bigint").alias("n_x"),
+        F.col("1").cast("bigint").alias("n_y"),
+        (F.col("hl") / 100.0).alias("hl_shift"),
+    )

@@ -2170,3 +2170,43 @@ def auditd_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
         kv("exe").alias("exe"),
         kv("key").alias("audit_key"),
     )
+
+
+_PG_RE = (
+    r"^(\d{4}-\d\d-\d\d \d\d:\d\d:\d\d\.\d+ \w+) \[(\d+)\] "
+    r"(\S+)@(\S+) (LOG|ERROR|WARNING|FATAL|STATEMENT|DETAIL):  (.*)$"
+)
+_PG_DUR = r"^duration: ([\d.]+) ms  statement: (.*)$"
+
+
+def postgres_log_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """PostgreSQL stderr-format log parse (`log_line_prefix =
+    '%m [%p] %u@%d '`): timestamp, backend pid, user@database,
+    severity, and — for `duration: ... ms  statement: ...` lines —
+    the query latency in ms plus the statement head (first keyword,
+    uppercased), the input grammar for slow-query latency rollups.
+
+    Envelope + duration regexes, both anchored; pure codegen.
+    """
+    line = F.col(line_col)
+    g = lambda i: F.regexp_extract(line, _PG_RE, i)  # noqa: E731
+    ok = line.rlike(_PG_RE)
+    msg = g(6)
+    has_dur = msg.rlike(_PG_DUR)
+    stmt = F.regexp_extract(msg, _PG_DUR, 2)
+    return df.select(
+        "*",
+        ok.alias("well_formed"),
+        F.when(ok, F.substring(g(1), 1, 19)).alias("log_time"),
+        F.when(ok, g(2).cast("long")).alias("pid"),
+        F.when(ok, g(3)).alias("db_user"),
+        F.when(ok, g(4)).alias("database"),
+        F.when(ok, g(5)).alias("severity"),
+        F.when(ok & has_dur,
+               F.regexp_extract(msg, _PG_DUR, 1).cast("double"))
+        .alias("duration_ms"),
+        F.when(ok & has_dur,
+               F.upper(F.regexp_extract(stmt, r"^(\w+)", 1)))
+        .alias("statement_kind"),
+        F.when(ok & ~has_dur, msg).alias("message"),
+    )

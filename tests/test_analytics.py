@@ -5949,3 +5949,42 @@ def test_cmh_immune_to_simpson_flip(spark):
     assert r["n_strata"] == 2
     assert r["common_odds_ratio"] > 2.5
     assert r["associated_95"]
+
+
+def test_markov_absorption_textbook_chain(spark):
+    from sparkcollector.operators.analytics import markov_absorption
+
+    # deterministic episodes: a -> b -> WIN, and c -> LOSE
+    rows = []
+    t = 0
+    for u in range(20):
+        for s in ["a", "b", "WIN"]:
+            rows.append((u, s, t, t)); t += 1
+    for u in range(100, 120):
+        for s in ["c", "LOSE"]:
+            rows.append((u, s, t, t)); t += 1
+    df = spark.createDataFrame(rows, "u int, s string, ts int, o int")
+    out = {r["state"]: r for r in markov_absorption(
+        df, "u", "s", "ts", "o",
+        transient=["a", "b", "c"], absorbing=["WIN", "LOSE"],
+    ).collect()}
+    assert out["a"]["p_absorb_WIN"] == 1.0
+    assert out["a"]["p_absorb_LOSE"] == 0.0
+    assert out["a"]["expected_steps"] == 2.0
+    assert out["b"]["expected_steps"] == 1.0
+    assert out["c"]["p_absorb_LOSE"] == 1.0
+    assert out["c"]["expected_steps"] == 1.0
+
+
+def test_hodges_lehmann_planted_shift(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import hodges_lehmann_shift
+
+    # y = x + 7 with outliers in y: HL ignores them, mean would not
+    rows = ([(0, float(i % 20)) for i in range(200)]
+            + [(1, 7.0 + i % 20) for i in range(190)]
+            + [(1, 10000.0)] * 10)
+    df = spark.createDataFrame(rows, "g int, v double")
+    r = hodges_lehmann_shift(df, F.col("g"), F.col("v")).collect()[0]
+    assert abs(r["hl_shift"] - 7.0) < 1.0

@@ -1235,3 +1235,27 @@ def test_auditd_parse_syscall_and_path(spark):
     assert r2["well_formed"] and r2["record_type"] == "PATH"
     assert r2["syscall"] is None and r2["uid"] is None
     assert not out[3]["well_formed"]
+
+
+def test_postgres_log_parse_duration_and_messages(spark):
+    from sparkcollector.operators.promparse import postgres_log_parse
+
+    slow = ('2024-01-01 00:00:07.179 UTC [1234] app1@db2 LOG:  '
+            'duration: 123.456 ms  statement: select * from t')
+    err = ('2024-01-01 00:01:00.000 UTC [99] app0@db0 ERROR:  '
+           'deadlock detected on relation r7')
+    df = spark.createDataFrame(
+        [(1, slow), (2, err), (3, "junk")], "id long, line string"
+    )
+    out = {r["id"]: r for r in postgres_log_parse(df).collect()}
+    r = out[1]
+    assert r["well_formed"] and r["severity"] == "LOG"
+    assert r["pid"] == 1234 and r["db_user"] == "app1"
+    assert r["database"] == "db2"
+    assert abs(r["duration_ms"] - 123.456) < 1e-9
+    assert r["statement_kind"] == "SELECT"
+    assert r["message"] is None
+    r2 = out[2]
+    assert r2["severity"] == "ERROR" and r2["duration_ms"] is None
+    assert r2["message"].startswith("deadlock")
+    assert not out[3]["well_formed"]
