@@ -4496,6 +4496,16 @@ def main() -> None:
          [("anchored envelope + duration regexes, map-only",
            lambda p: "Join" not in p and "Window" not in p
            and "Python" not in p)], ""),
+        ("tukey_nonadditivity",
+         [("bounded two-way grid aggregates + single reduction",
+           lambda p: "Python" not in p)], ""),
+        ("sbg_retention_forecast",
+         [("cohort survival aggregate + bounded horizon explode; "
+           "telescoping product in-row",
+           lambda p: "Python" not in p)], ""),
+        ("bland_altman",
+         [("two map-side moment passes (limits need global moments)",
+           lambda p: "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -17614,3 +17614,179 @@ def hodges_lehmann_shift(
         F.col("1").cast("bigint").alias("n_y"),
         (F.col("hl") / 100.0).alias("hl_shift"),
     )
+
+
+def tukey_nonadditivity(
+    df: DataFrame,
+    row_col,
+    col_col,
+    value_col,
+) -> DataFrame:
+    """Tukey's one-degree-of-freedom test for non-additivity in a
+    two-way layout: after removing row and column effects, is the
+    residual proportional to (row effect x column effect) — i.e.
+    does the grid need an interaction term or a transformation?
+    F = SS_nonadd / (SS_resid - SS_nonadd) * (df_resid - 1).
+
+    Cell means, marginal effects, and the regression of residuals on
+    the effect product are all keyed aggregates over the bounded
+    grid.
+    """
+    cells = df.groupBy(
+        row_col.alias("r"), col_col.alias("cc")
+    ).agg(F.avg(value_col.cast("double")).alias("y"))
+    gm = cells.agg(F.avg("y").alias("mu"))
+    rm = cells.groupBy("r").agg(F.avg("y").alias("yr"))
+    cm = cells.groupBy("cc").agg(F.avg("y").alias("yc"))
+    j = cells.join(rm, "r").join(cm, "cc").crossJoin(gm).select(
+        "r", "cc", "y",
+        (F.col("yr") - F.col("mu")).alias("a"),
+        (F.col("yc") - F.col("mu")).alias("b"),
+        (
+            F.col("y") - F.col("yr") - F.col("yc") + F.col("mu")
+        ).alias("e"),
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n_cells"),
+        F.countDistinct("r").cast("double").alias("nr"),
+        F.countDistinct("cc").cast("double").alias("nc"),
+        F.sum(F.col("e") * F.col("e")).alias("ss_resid"),
+        F.sum(F.col("e") * F.col("a") * F.col("b")).alias("s_eab"),
+        F.sum(
+            F.col("a") * F.col("a") * F.col("b") * F.col("b")
+        ).alias("s_a2b2"),
+    )
+    ss_nonadd = (
+        F.col("s_eab") * F.col("s_eab") / F.col("s_a2b2")
+    )
+    df_resid = (F.col("nr") - 1) * (F.col("nc") - 1)
+    denom = (F.col("ss_resid") - ss_nonadd) / (df_resid - 1)
+    # a PERFECT multiplicative layout leaves zero residual after the
+    # Tukey term (denom 0): F undefined, verdict still positive
+    f_stat = F.when(denom > 0, ss_nonadd / denom)
+    return agg.select(
+        F.col("n_cells").cast("bigint").alias("n_cells"),
+        F.round("ss_resid", 6).alias("ss_resid"),
+        F.round(ss_nonadd, 6).alias("ss_nonadditivity"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.coalesce(
+            f_stat > 3.92, ss_nonadd > 1e-9
+        ).alias("needs_interaction_95"),
+    )
+
+
+def sbg_retention_forecast(
+    df: DataFrame,
+    unit_col: str,
+    period_col,
+    horizon: int = 8,
+) -> DataFrame:
+    """Shifted-beta-geometric retention (Fader-Hardie): fit alpha,
+    beta in closed form from the first two observed retention rates
+    (r1 = beta/(alpha+beta), r2/r1 = (beta+1)/(alpha+beta+1)) and
+    project the whole retention curve r(t) = (beta+t-1)/(alpha+
+    beta+t-1) — the churn model whose 'retention RISES with tenure'
+    shape a constant-rate geometric cannot produce.
+
+    Cohort survival counts are one keyed aggregate; the projection
+    is a bounded horizon explode.
+    """
+    alive = df.groupBy(period_col.cast("int").alias("t")).agg(
+        F.countDistinct(unit_col).cast("double").alias("n")
+    )
+    n0 = alive.filter(F.col("t") == 0).select(
+        F.col("n").alias("c0")
+    )
+    n1 = alive.filter(F.col("t") == 1).select(F.col("n").alias("c1"))
+    n2 = alive.filter(F.col("t") == 2).select(F.col("n").alias("c2"))
+    base = n0.crossJoin(n1).crossJoin(n2).select(
+        "c0", "c1", "c2",
+        (F.col("c1") / F.col("c0")).alias("r1"),
+        (F.col("c2") / F.col("c1")).alias("r2"),
+    )
+    # r1 = b/(a+b); r2 = (b+1)/(a+b+1)  =>
+    # a = (1-r1)(1-r2)/(r2-r1); b = r1(1-r2)/(r2-r1)
+    # r1 == r2 exactly (homogeneous cohort) leaves the system
+    # unidentified: NULL via nullif, never a division error
+    den = F.nullif(F.col("r2") - F.col("r1"), F.lit(0.0))
+    a_ = (1 - F.col("r1")) * (1 - F.col("r2")) / den
+    b_ = F.col("r1") * (1 - F.col("r2")) / den
+    spark = df.sparkSession
+    hs = spark.range(1, horizon + 1).select(
+        F.col("id").cast("double").alias("t")
+    )
+    j = base.crossJoin(hs)
+    # survival S(t) = prod_{k=1..t} (b+k-1)/(a+b+k-1)
+    #             = B(a, b+t)/B(a, b) — use the product form via
+    # exp(sum log) over the bounded k grid per t: closed form with
+    # lgamma unavailable, so expand the telescoping product directly
+    surv = F.exp(
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("t").cast("int")),
+            F.lit(0.0),
+            lambda acc, k: acc
+            + F.log(
+                (b_ + k.cast("double") - 1)
+                / (a_ + b_ + k.cast("double") - 1)
+            ),
+        )
+    )
+    ret = (b_ + F.col("t") - 1) / (a_ + b_ + F.col("t") - 1)
+    return j.select(
+        F.col("t").cast("bigint").alias("t"),
+        F.round(a_, 6).alias("alpha"),
+        F.round(b_, 6).alias("beta"),
+        F.round(ret, 6).alias("retention_rate"),
+        F.round(surv, 6).alias("survival"),
+    ).orderBy("t")
+
+
+def bland_altman(
+    df: DataFrame,
+    m1_col,
+    m2_col,
+) -> DataFrame:
+    """Bland-Altman agreement between two measurement methods: mean
+    bias, the 95% limits of agreement (bias +/- 1.96 sd of the
+    differences), and the share of pairs outside them — the
+    correct 'do these two agree' analysis where correlation
+    famously misleads.
+
+    One moment pass + one share pass (the limits depend on the
+    global moments, so the outside-share needs the second pass —
+    both are map-side partial aggregates).
+    """
+    base = df.select(
+        m1_col.cast("double").alias("x"), m2_col.cast("double").alias("y")
+    ).select(
+        (F.col("x") - F.col("y")).alias("d"),
+        ((F.col("x") + F.col("y")) / 2).alias("m"),
+    ).localCheckpoint(eager=True)
+    st = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("d").alias("bias"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum("d").alias("sd1"),
+    ).select(
+        "n", "bias",
+        F.sqrt(
+            (F.col("sdd") - F.col("sd1") * F.col("sd1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    j = base.crossJoin(st)
+    lo = F.col("bias") - 1.96 * F.col("sd")
+    hi = F.col("bias") + 1.96 * F.col("sd")
+    return j.agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        F.round(F.max("bias"), 6).alias("mean_bias"),
+        F.round(F.max("sd"), 6).alias("sd_diff"),
+        F.round(F.max(lo), 6).alias("loa_lower"),
+        F.round(F.max(hi), 6).alias("loa_upper"),
+        F.round(
+            F.avg(
+                ((F.col("d") < lo) | (F.col("d") > hi)).cast("double")
+            ),
+            6,
+        ).alias("outside_loa_share"),
+    )

@@ -5988,3 +5988,72 @@ def test_hodges_lehmann_planted_shift(spark):
     df = spark.createDataFrame(rows, "g int, v double")
     r = hodges_lehmann_shift(df, F.col("g"), F.col("v")).collect()[0]
     assert abs(r["hl_shift"] - 7.0) < 1.0
+
+
+def test_tukey_nonadditivity_multiplicative_grid(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import tukey_nonadditivity
+
+    rows = []
+    # multiplicative structure y = r*c: the textbook non-additive
+    # case Tukey's 1-df test exists to catch
+    for r in range(1, 6):
+        for c in range(1, 6):
+            for _ in range(3):
+                rows.append((r, c, float(r * c)))
+    df = spark.createDataFrame(rows, "r int, c int, y double")
+    t = tukey_nonadditivity(
+        df, F.col("r"), F.col("c"), F.col("y")).collect()[0]
+    assert t["needs_interaction_95"]
+    # exact multiplicative layout: the Tukey term absorbs ALL the
+    # residual, so F is undefined (NULL) but the verdict holds
+    assert t["f_stat"] is None or t["f_stat"] > 10
+    # purely additive y = r + c: F ~ 0
+    rows2 = [(r, c, float(r + c)) for r in range(1, 6)
+             for c in range(1, 6)]
+    df2 = spark.createDataFrame(rows2, "r int, c int, y double")
+    t2 = tukey_nonadditivity(
+        df2, F.col("r"), F.col("c"), F.col("y")).collect()[0]
+    assert t2["ss_resid"] < 1e-9 or not t2["needs_interaction_95"]
+
+
+def test_sbg_recovers_planted_beta_geometric(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import sbg_retention_forecast
+
+    # plant alpha=1, beta=3: r(t) = (3+t-1)/(4+t-1) = (t+2)/(t+3)
+    # survival S(t) = prod r(k) = 3/(t+3); cohort of 600
+    rows = []
+    uid = 0
+    # S(0)=1, S(1)=3/4, S(2)=3/5, S(3)=1/2... choose counts to match
+    # exactly: 600 at t0, 450 at t1, 360 at t2 (die-offs 150, 90)
+    for n_t, tenure in [(150, 0), (90, 1), (360, 2)]:
+        for _ in range(n_t):
+            rows += [(uid, t) for t in range(tenure + 1)]
+            uid += 1
+    df = spark.createDataFrame(rows, "u int, t int")
+    out = {r["t"]: r for r in sbg_retention_forecast(
+        df, "u", F.col("t"), horizon=4).collect()}
+    assert abs(out[1]["alpha"] - 1.0) < 1e-6
+    assert abs(out[1]["beta"] - 3.0) < 1e-6
+    # projected retention continues (t+2)/(t+3)
+    assert abs(out[3]["retention_rate"] - 5 / 6) < 1e-6
+    assert abs(out[3]["survival"] - 3 / 6) < 1e-6
+
+
+def test_bland_altman_limits(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import bland_altman
+
+    # method y reads 2 units higher with +-1 alternating noise
+    rows = [(float(i % 50), float(i % 50) + 2.0
+             + (1.0 if i % 2 else -1.0)) for i in range(200)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = bland_altman(df, F.col("x"), F.col("y")).collect()[0]
+    assert abs(r["mean_bias"] + 2.0) < 1e-6     # x - y = -2 +- 1
+    assert abs(r["sd_diff"] - 1.0) < 0.01
+    assert r["loa_lower"] < -3.9 and r["loa_upper"] > -0.1
+    assert r["outside_loa_share"] == 0.0
