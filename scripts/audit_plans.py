@@ -4506,6 +4506,16 @@ def main() -> None:
         ("bland_altman",
          [("two map-side moment passes (limits need global moments)",
            lambda p: "Python" not in p)], ""),
+        ("yuen_trimmed_t",
+         [("exact boundary-weighted winsorization on the per-group "
+           "cents grid",
+           lambda p: "Window" in p and "Python" not in p)], ""),
+        ("ruin_probability",
+         [("one claim-moment aggregate + bounded reserve grid",
+           lambda p: "Window" not in p and "Python" not in p)], ""),
+        ("topsis_ranking",
+         [("bounded alt x criteria matrix aggregates throughout",
+           lambda p: "Join" in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -17790,3 +17790,274 @@ def bland_altman(
             6,
         ).alias("outside_loa_share"),
     )
+
+
+def yuen_trimmed_t(
+    df: DataFrame,
+    group_col,
+    value_col,
+    trim: float = 0.2,
+) -> DataFrame:
+    """Yuen's t-test on 20%-trimmed means with winsorized variances:
+    the two-sample location test that keeps its nominal error rate
+    under heavy tails, where Student's t silently loses power.
+
+    Trim boundaries are exact count-logic quantiles per group on the
+    cents grid; trimmed/winsorized moments are grid aggregates with
+    the boundary cells partially weighted (exact, no row sampling).
+    Emits the trimmed difference, Yuen SE, t, and approximate df.
+    """
+    g = df.select(
+        group_col.cast("int").alias("grp"),
+        F.round(value_col.cast("double") * 100).cast("long").alias("v"),
+    ).groupBy("grp", "v").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    ).localCheckpoint(eager=True)
+    tot = g.groupBy("grp").agg(F.sum("c").alias("n"))
+    wc = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = g.select(
+        "grp", "v", "c", F.sum("c").over(wc).alias("cumhi")
+    ).join(tot, "grp").select(
+        "grp", "v", "c", "n",
+        (F.col("cumhi") - F.col("c")).alias("cumlo"),
+    )
+    glo = F.ceil(F.col("n") * trim)        # rows trimmed per tail
+    # winsorized weight of each cell: clip the rank interval
+    lo_k = glo
+    hi_k = F.col("n") - glo
+    inner = (
+        F.least(F.col("cumlo") + F.col("c"), hi_k)
+        - F.greatest(F.col("cumlo"), lo_k)
+    )
+    w_in = F.greatest(inner, F.lit(0.0))
+    # winsorization: rows below lo_k take the value at the lo_k-th
+    # rank; implement by adding clipped mass at the boundary cells
+    low_mass = F.greatest(
+        F.least(F.col("cumlo") + F.col("c"), lo_k) - F.col("cumlo"),
+        F.lit(0.0),
+    )
+    high_mass = F.greatest(
+        F.col("cumlo") + F.col("c")
+        - F.greatest(F.col("cumlo"), hi_k),
+        F.lit(0.0),
+    )
+    # boundary values per group
+    lo_val = cum.filter(
+        F.col("cumlo") + F.col("c") > glo
+    ).groupBy("grp").agg(F.min("v").alias("vlo"))
+    hi_val = cum.filter(
+        F.col("cumlo") < hi_k
+    ).groupBy("grp").agg(F.max("v").alias("vhi"))
+    z = cum.join(lo_val, "grp").join(hi_val, "grp").select(
+        "grp", "n", "v",
+        w_in.alias("wi"), low_mass.alias("wl"), high_mass.alias("wh"),
+        "vlo", "vhi",
+    )
+    # winsorized value contribution
+    contrib = (
+        F.col("wi") * F.col("v")
+        + F.col("wl") * F.col("vlo")
+        + F.col("wh") * F.col("vhi")
+    )
+    contrib2 = (
+        F.col("wi") * F.col("v") * F.col("v")
+        + F.col("wl") * F.col("vlo") * F.col("vlo")
+        + F.col("wh") * F.col("vhi") * F.col("vhi")
+    )
+    per = z.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("wi") * F.col("v")).alias("tsum"),
+        F.sum("wi").alias("tn"),
+        F.sum(contrib).alias("wsum"),
+        F.sum(contrib2).alias("wsum2"),
+    ).select(
+        "grp", "n", "tn",
+        (F.col("tsum") / F.col("tn")).alias("tmean"),
+        (
+            (
+                F.col("wsum2")
+                - F.col("wsum") * F.col("wsum") / F.col("n")
+            ) / (F.col("n") - 1)
+        ).alias("wvar"),
+    )
+    p0 = per.filter(F.col("grp") == 0).select(
+        *[F.col(c).alias(c + "0") for c in ["n", "tn", "tmean", "wvar"]]
+    )
+    p1 = per.filter(F.col("grp") == 1).select(
+        *[F.col(c).alias(c + "1") for c in ["n", "tn", "tmean", "wvar"]]
+    )
+    j = p0.crossJoin(p1)
+    d0 = (F.col("n0") - 1) * F.col("wvar0") / (
+        F.col("tn0") * (F.col("tn0") - 1)
+    )
+    d1 = (F.col("n1") - 1) * F.col("wvar1") / (
+        F.col("tn1") * (F.col("tn1") - 1)
+    )
+    se = F.sqrt(d0 + d1)
+    t = (F.col("tmean1") - F.col("tmean0")) / se
+    dof = F.pow(d0 + d1, 2) / (
+        d0 * d0 / (F.col("tn0") - 1) + d1 * d1 / (F.col("tn1") - 1)
+    )
+    return j.select(
+        F.col("n0").cast("bigint").alias("n_x"),
+        F.col("n1").cast("bigint").alias("n_y"),
+        F.round((F.col("tmean1") - F.col("tmean0")) / 100, 6)
+        .alias("trimmed_diff"),
+        F.round(se / 100, 6).alias("yuen_se"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 2).alias("approx_df"),
+        (F.abs(t) > 1.96).alias("significant_95"),
+    )
+
+
+def ruin_probability(
+    df: DataFrame,
+    claim_col,
+    window_s_col,
+    premium_rate: float,
+    reserves: list,
+) -> DataFrame:
+    """Cramér-Lundberg ruin probability with exponential claims:
+    psi(u) = (1/(1+theta)) exp(-theta u / ((1+theta) mu)) where
+    theta = c/(lambda mu) - 1 is the safety loading — for a given
+    error-budget 'reserve', the probability the claims process ever
+    exhausts it.  The closed-form capacity question behind every
+    'how much headroom do we need' debate.
+
+    lambda and mu from one aggregate over the claim stream; the
+    reserve grid is a bounded literal.
+    """
+    a = df.agg(
+        F.count(F.lit(1)).cast("double").alias("nclaims"),
+        F.avg(claim_col.cast("double")).alias("mu"),
+        F.max(window_s_col.cast("double")).alias("t"),
+    ).select(
+        "nclaims", "mu", "t",
+        (F.col("nclaims") / F.col("t")).alias("lam"),
+    )
+    spark = df.sparkSession
+    uarr = F.array(*[F.lit(float(u)) for u in reserves])
+    grid = spark.range(len(reserves)).select(
+        F.element_at(uarr, F.col("id").cast("int") + 1).alias("u")
+    )
+    j = a.crossJoin(grid)
+    theta = premium_rate / (F.col("lam") * F.col("mu")) - 1
+    psi = F.when(
+        theta > 0,
+        (1 / (1 + theta))
+        * F.exp(
+            -theta * F.col("u") / ((1 + theta) * F.col("mu"))
+        ),
+    ).otherwise(F.lit(1.0))
+    return j.select(
+        F.round("u", 2).alias("reserve_u"),
+        F.col("nclaims").cast("bigint").alias("n_claims"),
+        F.round("mu", 4).alias("mean_claim"),
+        F.round("lam", 6).alias("claim_rate_per_s"),
+        F.round(theta, 6).alias("safety_loading"),
+        F.round(psi, 6).alias("ruin_probability"),
+    ).orderBy("reserve_u")
+
+
+def topsis_ranking(
+    df: DataFrame,
+    alt_col: str,
+    crit_col: str,
+    value_col,
+    benefit_flags: dict,
+) -> DataFrame:
+    """Entropy-weighted TOPSIS multi-criteria ranking over a bounded
+    alternative x criteria matrix: criteria weights from Shannon
+    entropy of the normalized columns (high-contrast criteria earn
+    weight), distances to the ideal and anti-ideal, closeness = d- /
+    (d+ + d-) — the principled 'rank services on latency AND errors
+    AND volume' aggregator.
+
+    Matrix, normalizations, entropies, and distances are all keyed
+    aggregates over the bounded matrix; benefit_flags marks which
+    criteria are larger-is-better.
+    """
+    cells = df.groupBy(
+        F.col(alt_col).alias("alt"), F.col(crit_col).alias("crit")
+    ).agg(F.sum(value_col.cast("double")).alias("x"))
+    colnorm = cells.groupBy("crit").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"),
+        F.sum("x").alias("colsum"),
+        F.count(F.lit(1)).cast("double").alias("m"),
+    )
+    r = cells.join(colnorm, "crit").select(
+        "alt", "crit",
+        (F.col("x") / F.col("nrm")).alias("r"),
+        (F.col("x") / F.col("colsum")).alias("p"),
+        "m",
+    )
+    ent = r.groupBy("crit").agg(
+        (
+            -F.sum(
+                F.when(
+                    F.col("p") > 0, F.col("p") * F.log("p")
+                ).otherwise(0.0)
+            ) / F.log(F.max("m"))
+        ).alias("e")
+    ).select("crit", (1 - F.col("e")).alias("d"))
+    wsum = ent.agg(F.sum("d").alias("sd"))
+    wts = ent.crossJoin(wsum).select(
+        "crit", (F.col("d") / F.col("sd")).alias("w")
+    )
+    v = r.join(wts, "crit").select(
+        "alt", "crit", (F.col("r") * F.col("w")).alias("v")
+    )
+    flags = [
+        (c, 1 if b else 0) for c, b in sorted(benefit_flags.items())
+    ]
+    spark = df.sparkSession
+    fl = spark.range(len(flags)).select(
+        F.element_at(
+            F.array(*[F.lit(c) for c, _ in flags]),
+            F.col("id").cast("int") + 1,
+        ).alias("crit"),
+        F.element_at(
+            F.array(*[F.lit(b) for _, b in flags]),
+            F.col("id").cast("int") + 1,
+        ).alias("benefit"),
+    )
+    vb = v.join(fl, "crit")
+    ideal = vb.groupBy("crit").agg(
+        F.max(
+            F.when(F.col("benefit") == 1, F.col("v"))
+            .otherwise(-F.col("v"))
+        ).alias("best_signed"),
+        F.min(
+            F.when(F.col("benefit") == 1, F.col("v"))
+            .otherwise(-F.col("v"))
+        ).alias("worst_signed"),
+        F.max("benefit").alias("benefit"),
+    ).select(
+        "crit",
+        F.when(
+            F.col("benefit") == 1, F.col("best_signed")
+        ).otherwise(-F.col("best_signed")).alias("vplus"),
+        F.when(
+            F.col("benefit") == 1, F.col("worst_signed")
+        ).otherwise(-F.col("worst_signed")).alias("vminus"),
+    )
+    d = vb.join(ideal, "crit").groupBy("alt").agg(
+        F.sqrt(
+            F.sum(F.pow(F.col("v") - F.col("vplus"), 2))
+        ).alias("dplus"),
+        F.sqrt(
+            F.sum(F.pow(F.col("v") - F.col("vminus"), 2))
+        ).alias("dminus"),
+    )
+    closeness = F.col("dminus") / (F.col("dplus") + F.col("dminus"))
+    wr = Window.orderBy(F.desc("closeness"), F.asc("alt"))
+    return d.select(
+        "alt",
+        F.round("dplus", 6).alias("d_ideal"),
+        F.round("dminus", 6).alias("d_anti"),
+        F.round(closeness, 6).alias("closeness"),
+    ).select(
+        "*", F.row_number().over(wr).cast("int").alias("rank")
+    ).orderBy("rank")

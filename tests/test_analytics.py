@@ -6057,3 +6057,61 @@ def test_bland_altman_limits(spark):
     assert abs(r["sd_diff"] - 1.0) < 0.01
     assert r["loa_lower"] < -3.9 and r["loa_upper"] > -0.1
     assert r["outside_loa_share"] == 0.0
+
+
+def test_yuen_ignores_tail_contamination(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import yuen_trimmed_t
+
+    # groups differ by 5 in the core; group 1 adds gross outliers
+    # that would wreck Student's t but not the trimmed test
+    rows = ([(0, float(10 + i % 5)) for i in range(200)]
+            + [(1, float(15 + i % 5)) for i in range(190)]
+            + [(1, 100000.0)] * 10)
+    df = spark.createDataFrame(rows, "g int, v double")
+    r = yuen_trimmed_t(df, F.col("g"), F.col("v")).collect()[0]
+    assert abs(r["trimmed_diff"] - 5.0) < 0.5
+    assert r["significant_95"] and r["t_stat"] > 10
+
+
+def test_ruin_probability_monotone_in_reserve(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import ruin_probability
+
+    # claims mean 10, one per 100s -> lam*mu = 0.1; premium 0.2
+    # -> theta = 1: psi(0) = 1/2, decaying in u
+    rows = [(10.0 + (1.0 if i % 2 else -1.0), 10000.0)
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "x double, span double")
+    out = {r["reserve_u"]: r for r in ruin_probability(
+        df, F.col("x"), F.col("span"), premium_rate=0.2,
+        reserves=[0.0, 10.0, 50.0]).collect()}
+    assert abs(out[0.0]["safety_loading"] - 1.0) < 1e-6
+    assert abs(out[0.0]["ruin_probability"] - 0.5) < 1e-6
+    assert (out[0.0]["ruin_probability"]
+            > out[10.0]["ruin_probability"]
+            > out[50.0]["ruin_probability"])
+
+
+def test_topsis_dominant_alternative_wins(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import topsis_ranking
+
+    # 'best' dominates on both benefit criteria and the cost one
+    rows = [
+        ("best", "a", 100.0), ("best", "b", 100.0), ("best", "c", 1.0),
+        ("mid", "a", 50.0), ("mid", "b", 50.0), ("mid", "c", 5.0),
+        ("worst", "a", 10.0), ("worst", "b", 10.0), ("worst", "c", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "alt string, crit string, x double")
+    out = topsis_ranking(
+        df, "alt", "crit", F.col("x"),
+        benefit_flags={"a": True, "b": True, "c": False},
+    ).collect()
+    assert out[0]["alt"] == "best" and out[0]["rank"] == 1
+    assert abs(out[0]["closeness"] - 1.0) < 1e-9
+    assert out[-1]["alt"] == "worst"
+    assert abs(out[-1]["closeness"]) < 1e-9
