@@ -4516,6 +4516,15 @@ def main() -> None:
         ("topsis_ranking",
          [("bounded alt x criteria matrix aggregates throughout",
            lambda p: "Join" in p and "Python" not in p)], ""),
+        ("hawkes_branching_ratio",
+         [("bucket-count aggregate + moment reduction per group",
+           lambda p: "Window" not in p and "Python" not in p)], ""),
+        ("taylor_fluctuation_scaling",
+         [("per-stream moments + closed-form log-log OLS",
+           lambda p: "Window" not in p and "Python" not in p)], ""),
+        ("jackknife_richness",
+         [("two counting aggregates; estimators in-row",
+           lambda p: "Window" not in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

@@ -18061,3 +18061,133 @@ def topsis_ranking(
     ).select(
         "*", F.row_number().over(wr).cast("int").alias("rank")
     ).orderBy("rank")
+
+
+def hawkes_branching_ratio(
+    df: DataFrame,
+    group_col: str,
+    bucket_col,
+) -> DataFrame:
+    """Hawkes branching-ratio moment estimate per stream: for a
+    self-exciting process the windowed-count Fano factor satisfies
+    F -> 1/(1-n)^2, so n = 1 - 1/sqrt(F) — what FRACTION of events
+    are echoes of earlier events rather than exogenous arrivals (the
+    retry-storm endogeneity number, one step past burstiness_fano's
+    raw F).
+
+    One bucket-count aggregate + one moment reduction per group;
+    sub-Poisson streams (F < 1) clamp to 0.
+    """
+    cnt = df.groupBy(
+        F.col(group_col).alias("g"), bucket_col.alias("b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    a = cnt.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("nb"),
+        F.avg("x").alias("mu"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).select(
+        "g", "nb", "mu",
+        (
+            (F.col("sxx") / F.col("nb") - F.col("mu") * F.col("mu"))
+            / F.col("mu")
+        ).alias("fano"),
+    )
+    n_hat = F.when(
+        F.col("fano") > 0,
+        F.greatest(F.lit(0.0), 1 - 1 / F.sqrt(F.col("fano"))),
+    ).otherwise(F.lit(0.0))
+    return a.select(
+        F.col("g").alias(group_col),
+        F.col("nb").cast("bigint").alias("n_buckets"),
+        F.round("mu", 4).alias("mean_per_bucket"),
+        F.round("fano", 6).alias("fano_factor"),
+        F.round(n_hat, 6).alias("branching_ratio"),
+        F.round(1 / (1 - n_hat), 4).alias("cascade_multiplier"),
+    ).orderBy(group_col)
+
+
+def taylor_fluctuation_scaling(
+    df: DataFrame,
+    group_col: str,
+    bucket_col,
+) -> DataFrame:
+    """Taylor's power law (fluctuation scaling): across streams,
+    var = a * mean^b; the log-log OLS slope b diagnoses the
+    aggregation regime (b=1 Poisson-independent, b=2 fully
+    synchronized/clustered) — one number for 'do my streams burst
+    together or independently'.
+
+    Per-group bucket-count moments, then a closed-form log-log OLS
+    over the bounded group table.
+    """
+    cnt = df.groupBy(
+        F.col(group_col).alias("g"), bucket_col.alias("b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    gm = cnt.groupBy("g").agg(
+        F.avg("x").alias("mu"),
+        (
+            F.sum(F.col("x") * F.col("x")) / F.count(F.lit(1))
+            - F.avg("x") * F.avg("x")
+        ).alias("var"),
+    ).filter((F.col("mu") > 0) & (F.col("var") > 0)).select(
+        "g", F.log("mu").alias("lx"), F.log("var").alias("ly")
+    )
+    a = gm.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("lx").alias("mx"), F.avg("ly").alias("my"),
+        F.avg(F.col("lx") * F.col("ly")).alias("mxy"),
+        F.avg(F.col("lx") * F.col("lx")).alias("mxx"),
+    )
+    b = (F.col("mxy") - F.col("mx") * F.col("my")) / (
+        F.col("mxx") - F.col("mx") * F.col("mx")
+    )
+    return a.select(
+        F.col("n").cast("bigint").alias("n_streams"),
+        F.round(b, 6).alias("taylor_b"),
+        F.round(F.exp(F.col("my") - b * F.col("mx")), 6).alias(
+            "taylor_a"
+        ),
+        F.when(b < 1.3, F.lit("poisson-like"))
+        .when(b < 1.7, F.lit("intermediate"))
+        .otherwise(F.lit("synchronized")).alias("regime"),
+    )
+
+
+def jackknife_richness(
+    df: DataFrame,
+    group_col: str,
+    species_col: str,
+) -> DataFrame:
+    """First- and second-order jackknife species-richness estimates
+    per group: S1 = S + f1(n-1)/n, S2 = S + f1(2n-3)/n -
+    f2(n-2)^2/(n(n-1)) — the nonparametric 'how much vocabulary
+    have we NOT seen yet' pair beside the Chao1 entry (jackknife is
+    less biased when doubletons are noisy).
+    """
+    sp = df.groupBy(
+        F.col(group_col).alias("g"), F.col(species_col).alias("sp")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    a = sp.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("s_obs"),
+        F.sum("c").alias("n"),
+        F.sum((F.col("c") == 1).cast("double")).alias("f1"),
+        F.sum((F.col("c") == 2).cast("double")).alias("f2"),
+    )
+    s1 = F.col("s_obs") + F.col("f1") * (F.col("n") - 1) / F.col("n")
+    s2 = (
+        F.col("s_obs")
+        + F.col("f1") * (2 * F.col("n") - 3) / F.col("n")
+        - F.col("f2") * F.pow(F.col("n") - 2, 2)
+        / (F.col("n") * (F.col("n") - 1))
+    )
+    return a.select(
+        F.col("g").alias(group_col),
+        F.col("s_obs").cast("bigint").alias("s_observed"),
+        F.col("f1").cast("bigint").alias("singletons"),
+        F.col("f2").cast("bigint").alias("doubletons"),
+        F.round(s1, 4).alias("jackknife1"),
+        F.round(s2, 4).alias("jackknife2"),
+        F.round(
+            F.col("s_obs") / s1, 6
+        ).alias("coverage_vs_jk1"),
+    ).orderBy(group_col)

@@ -6115,3 +6115,69 @@ def test_topsis_dominant_alternative_wins(spark):
     assert abs(out[0]["closeness"] - 1.0) < 1e-9
     assert out[-1]["alt"] == "worst"
     assert abs(out[-1]["closeness"]) < 1e-9
+
+
+def test_hawkes_ratio_poisson_vs_bursty(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import hawkes_branching_ratio
+
+    rows = []
+    # 'flat': one event per bucket (Fano ~ 0 -> clamped ratio 0)
+    for b in range(100):
+        rows.append(("flat", b))
+    # 'bursty': alternating 5 and 15 per bucket -> mean 10,
+    # var 25, Fano 2.5 (empty buckets are invisible to a groupBy,
+    # so the test keeps every bucket occupied)
+    for b in range(100):
+        rows += [("bursty", b)] * (5 if b % 2 == 0 else 15)
+    df = spark.createDataFrame(rows, "g string, b int")
+    out = {r["g"]: r for r in hawkes_branching_ratio(
+        df, "g", F.col("b")).collect()}
+    assert out["flat"]["branching_ratio"] == 0.0
+    assert out["flat"]["cascade_multiplier"] == 1.0
+    assert abs(out["bursty"]["fano_factor"] - 2.5) < 1e-9
+    import math
+    assert abs(out["bursty"]["branching_ratio"]
+               - (1 - 1 / math.sqrt(2.5))) < 1e-6
+
+
+def test_taylor_slope_for_scaled_streams(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import (
+        taylor_fluctuation_scaling,
+    )
+
+    rows = []
+    # stream g alternates g and 3g events per bucket: mean 2g,
+    # var g^2 -> var scales like mean^2 / 4 -> slope b = 2
+    for g in range(2, 12):
+        for b in range(100):
+            rows += [(g, b)] * (g if b % 2 == 0 else 3 * g)
+    df = spark.createDataFrame(rows, "g int, b int")
+    r = taylor_fluctuation_scaling(df, "g", F.col("b")).collect()[0]
+    assert abs(r["taylor_b"] - 2.0) < 0.05
+    assert r["regime"] == "synchronized"
+
+
+def test_jackknife_matches_closed_form(spark):
+    from sparkcollector.operators.analytics import jackknife_richness
+
+    # 3 species seen 1x, 2 seen 2x, 5 seen 10x: S=10, n=57, f1=3,
+    # f2=2
+    rows = []
+    for i in range(3):
+        rows.append(("g", f"s1_{i}"))
+    for i in range(2):
+        rows += [("g", f"s2_{i}")] * 2
+    for i in range(5):
+        rows += [("g", f"s10_{i}")] * 10
+    df = spark.createDataFrame(rows, "g string, sp string")
+    r = jackknife_richness(df, "g", "sp").collect()[0]
+    n = 57.0
+    assert r["s_observed"] == 10
+    assert abs(r["jackknife1"] - (10 + 3 * (n - 1) / n)) < 1e-4
+    assert abs(r["jackknife2"]
+               - (10 + 3 * (2 * n - 3) / n
+                  - 2 * (n - 2) ** 2 / (n * (n - 1)))) < 1e-4
