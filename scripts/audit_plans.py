@@ -4525,6 +4525,14 @@ def main() -> None:
         ("jackknife_richness",
          [("two counting aggregates; estimators in-row",
            lambda p: "Window" not in p and "Python" not in p)], ""),
+        ("seasonal_sen_slope",
+         [("within-season pairwise join on the bounded daily grid; "
+           "weighted median over the slope grid",
+           lambda p: "Join" in p and "Window" in p
+           and "Python" not in p)], ""),
+        ("abc_classification",
+         [("one rank/cumulative window on the bounded item table",
+           lambda p: "Window" in p and "Python" not in p)], ""),
     ]:
         all_ok &= audit(
             nm, (lambda nm: lambda: queries()[nm](spark, SF_DIR))(nm),

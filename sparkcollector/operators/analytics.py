@@ -18191,3 +18191,90 @@ def jackknife_richness(
             F.col("s_obs") / s1, 6
         ).alias("coverage_vs_jk1"),
     ).orderBy(group_col)
+
+
+def seasonal_sen_slope(
+    df: DataFrame,
+    season_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Seasonal Sen slope: the median of WITHIN-season pairwise
+    slopes (x_j - x_i)/(o_j - o_i) — the magnitude estimate that
+    goes with the seasonal Mann-Kendall verdict, robust to outliers
+    and immune to the daily cycle.
+
+    Pairwise slopes live on the bounded within-season rollup grid
+    (the repo's documented pairwise contract); the median is one
+    cumulative window over the collected slope values.
+    """
+    s = df.select(
+        F.col(season_col).alias("g"),
+        F.col(order_col).cast("double").alias("o"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    a = s.select("g", F.col("o").alias("oi"), F.col("x").alias("xi"))
+    b = s.select("g", F.col("o").alias("oj"), F.col("x").alias("xj"))
+    slopes = a.join(b, "g").filter(F.col("oi") < F.col("oj")).select(
+        F.round(
+            (F.col("xj") - F.col("xi")) / (F.col("oj") - F.col("oi")),
+            9,
+        ).alias("sl")
+    )
+    grid = slopes.groupBy("sl").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tot = grid.agg(F.sum("c").alias("n"))
+    wc = Window.orderBy("sl").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    med = grid.select(
+        "sl", F.sum("c").over(wc).alias("cum")
+    ).crossJoin(tot).filter(
+        F.col("cum") * 2 >= F.col("n")
+    ).agg(F.min("sl").alias("sen"))
+    return med.crossJoin(tot).select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round("sen", 6).alias("sen_slope_per_period"),
+    )
+
+
+def abc_classification(
+    df: DataFrame,
+    item_col: str,
+    value_col,
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+) -> DataFrame:
+    """ABC (Pareto) classification: rank items by value share, class
+    A until the cumulative share crosses ``a_cut``, B until
+    ``b_cut``, C after — the operational artifact behind 'these 12
+    conversations are 80% of the spend'.
+
+    One keyed aggregate, one rank/cumulative window on the bounded
+    item table, class roll-up emitted (class, items, share).
+    """
+    items = df.groupBy(F.col(item_col).alias("item")).agg(
+        F.sum(value_col.cast("double")).alias("v")
+    )
+    tot = items.agg(F.sum("v").alias("t"))
+    w = Window.orderBy(F.desc("v"), F.asc("item")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = items.crossJoin(tot).select(
+        "item", "v",
+        (F.sum("v").over(w) / F.col("t")).alias("cumshare"),
+        (F.col("v") / F.col("t")).alias("share"),
+    ).select(
+        "item", "v", "share",
+        F.when(
+            F.col("cumshare") - F.col("share") < a_cut, F.lit("A")
+        ).when(
+            F.col("cumshare") - F.col("share") < b_cut, F.lit("B")
+        ).otherwise(F.lit("C")).alias("abc"),
+    )
+    return ranked.groupBy("abc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.round(F.sum("share"), 6).alias("value_share"),
+        F.round(F.min("v"), 2).alias("min_value"),
+    ).orderBy("abc")

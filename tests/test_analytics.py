@@ -6181,3 +6181,32 @@ def test_jackknife_matches_closed_form(spark):
     assert abs(r["jackknife2"]
                - (10 + 3 * (2 * n - 3) / n
                   - 2 * (n - 2) ** 2 / (n * (n - 1)))) < 1e-4
+
+
+def test_seasonal_sen_magnitude(spark):
+    from sparkcollector.operators.analytics import seasonal_sen_slope
+
+    # every season rises exactly 2 per period (plus a season offset
+    # the within-season pairing removes): Sen slope = 2
+    rows = [(g, d, float(100 * g + 2 * d))
+            for g in range(4) for d in range(15)]
+    df = spark.createDataFrame(rows, "g int, o int, x double")
+    r = seasonal_sen_slope(df, "g", "o", "x").collect()[0]
+    assert r["sen_slope_per_period"] == 2.0
+    assert r["n_pairs"] == 4 * 15 * 14 // 2
+
+
+def test_abc_classic_80_15_5(spark):
+    from pyspark.sql import functions as F
+
+    from sparkcollector.operators.analytics import abc_classification
+
+    rows = [("big", 800.0), ("mid1", 100.0), ("mid2", 50.0),
+            ("t1", 20.0), ("t2", 20.0), ("t3", 10.0)]
+    df = spark.createDataFrame(rows, "item string, v double")
+    out = {r["abc"]: r for r in abc_classification(
+        df, "item", F.col("v")).collect()}
+    assert out["A"]["n_items"] == 1 and out["A"]["value_share"] == 0.8
+    assert out["B"]["n_items"] == 2
+    assert abs(out["B"]["value_share"] - 0.15) < 1e-9
+    assert out["C"]["n_items"] == 3
