@@ -35,6 +35,13 @@ def canon(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            # IEEE -0.0 must stay distinct: DuckDB's round() preserves
+            # the sign of zero while Spark's (BigDecimal) never emits
+            # it, and the driver's hash sees the difference (the
+            # littles_law_audit r03 red).  Folding it to "0" here is
+            # exactly how the local harness missed that divergence.
+            return "-0"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(round(v, 9))

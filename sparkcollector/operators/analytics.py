@@ -390,7 +390,10 @@ def holt_smooth(
         "key",
         F.size("_pts").cast("long").alias("n_points"),
         F.round(folded["l"], 6).alias("level"),
-        F.round(folded["t"], 6).alias("trend"),
+        # + 0.0: trend is a signed near-zero quantity; DuckDB's round()
+        # preserves IEEE -0.0 while Spark's never emits it, so both
+        # sides normalize the sign of zero before hashing.
+        (F.round(folded["t"], 6) + 0.0).alias("trend"),
         F.round(folded["l"] + folded["t"], 6).alias("forecast"),
     )
 
@@ -12487,15 +12490,20 @@ def littles_law_audit(
     """
     start = F.unix_timestamp(F.col(ts_col)).cast("double")
     dur = F.least(F.col(dur_col).cast("double"), F.lit(max_dur_s))
+    # Durations and overlaps are summed on an integer-microsecond grid:
+    # bigint addition is exact and associative, so the aggregate is
+    # independent of partition/merge order — a float sum here can
+    # differ in the last ulp between runs (and engines), flipping
+    # round()-boundary outputs and the SIGN of a near-zero rel_err.
     e = df.filter(F.col(dur_col).isNotNull()).select(
         start.alias("s"),
         (start + dur).alias("e"),
-        dur.alias("d"),
+        F.round(dur * 1e6).cast("long").alias("d_us"),
         F.floor(start / 3600).cast("long").alias("h0"),
     )
     arr = e.groupBy("h0").agg(
         F.count(F.lit(1)).alias("n_arrivals"),
-        F.avg("d").alias("w_s"),
+        F.sum("d_us").alias("d_us_sum"),
     )
     spans = e.select(
         "s", "e",
@@ -12504,24 +12512,36 @@ def littles_law_audit(
         ).alias("h"),
     ).select(
         "h",
-        (
-            F.least(F.col("e"), (F.col("h") + 1) * 3600.0)
-            - F.greatest(F.col("s"), F.col("h") * 3600.0)
-        ).alias("ov"),
+        F.round(
+            (
+                F.least(F.col("e"), (F.col("h") + 1) * 3600.0)
+                - F.greatest(F.col("s"), F.col("h") * 3600.0)
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("ov_us"),
     )
-    meas = spans.groupBy("h").agg(F.sum("ov").alias("busy_s"))
+    meas = spans.groupBy("h").agg(F.sum("ov_us").alias("busy_us"))
     j = arr.join(meas, arr.h0 == meas.h, "left")
+    w_s = F.col("d_us_sum").cast("double") / 1e6 / F.col("n_arrivals")
     lam = F.col("n_arrivals") / 3600.0
-    l_pred = lam * F.col("w_s")
-    l_meas = F.coalesce(F.col("busy_s"), F.lit(0.0)) / 3600.0
+    l_pred = lam * w_s
+    l_meas = F.coalesce(F.col("busy_us").cast("double"), F.lit(0.0)) / 1e6 / 3600.0
+    # rel_err: NULL (not NaN/Inf) when l_pred == 0, and `+ 0.0` so a
+    # round() of a tiny negative difference can never ship IEEE -0.0
+    # (engines disagree on preserving the sign of zero through round).
+    rel_err = F.when(
+        l_pred > 0, F.round((l_meas - l_pred) / l_pred, 6) + 0.0
+    ).otherwise(F.lit(None).cast("double"))
     return j.select(
         F.col("h0").alias("hour_bucket"),
         F.col("n_arrivals").cast("bigint").alias("n_arrivals"),
         F.round(lam, 6).alias("lambda_per_s"),
-        F.round("w_s", 6).alias("w_mean_s"),
+        F.round(w_s, 6).alias("w_mean_s"),
         F.round(l_pred, 6).alias("l_predicted"),
         F.round(l_meas, 6).alias("l_measured"),
-        F.round((l_meas - l_pred) / l_pred, 6).alias("rel_err"),
+        rel_err.alias("rel_err"),
     ).orderBy("hour_bucket")
 
 

@@ -483,7 +483,9 @@ def secret_entropy_scan(
         "        / cast(size(_chars) as double)))"
     )
     return (
-        toks.withColumn("entropy_bits", F.round(ent, 6))
+        # + 0.0 folds IEEE -0.0 (a zero-entropy token is literally
+        # -sum(0.0)) to +0.0 so both engines render it identically.
+        toks.withColumn("entropy_bits", F.round(ent, 6) + 0.0)
         .withColumn("is_secret", F.col("entropy_bits") >= bits_threshold)
         .drop("_chars")
     )
