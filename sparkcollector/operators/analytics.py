@@ -13208,8 +13208,25 @@ def impossible_travel(
 
     One lag window per user; flagged rows only.  The asin argument is
     clamped to [0,1] so antipodal rounding can't NaN.
+
+    Two logins from different sites within ``min_elapsed_s`` (dt <= 0
+    included — the most extreme case, simultaneous logins) are flagged
+    on the explicit infinite-speed branch with speed_kmh NULL; a
+    strict ``t > pt`` + ``speed = dist/dt`` formulation would
+    null-propagate exactly those rows out of the report.  The lag
+    window tie-breaks on location so equal-timestamp pairs order
+    deterministically on every engine.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    min_elapsed_s = 1.0
+    # order by the SAME second-truncated time the speed math uses
+    # (unix_timestamp drops sub-second parts): ordering by the raw
+    # timestamp while differencing truncated seconds would pair
+    # same-second logins differently than any engine working on the
+    # second grid.  loc breaks the remaining ties deterministically.
+    tsec = F.unix_timestamp(F.col(ts_col)).cast("double")
+    w = Window.partitionBy(user_col).orderBy(
+        tsec, F.col(loc_col).cast("int")
+    )
     la = F.array(*[F.lit(float(v)) for v in lats])
     lo = F.array(*[F.lit(float(v)) for v in lons])
     s = df.select(
@@ -13235,10 +13252,15 @@ def impossible_travel(
         + F.cos(lat1) * F.cos(lat2) * F.sin(dlon / 2) * F.sin(dlon / 2)
     )
     dist = 2 * 6371.0 * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
-    dt_h = (F.col("t") - F.col("pt")) / 3600.0
-    speed = dist / dt_h
+    dt_s = F.col("t") - F.col("pt")
+    dt_h = dt_s / 3600.0
+    speed = F.when(dt_s > 0, dist / dt_h)
     return s.filter(
-        (F.col("t") > F.col("pt")) & (speed > max_speed_kmh)
+        (dt_s >= 0)
+        & (
+            ((dt_s <= min_elapsed_s) & (dist > 0))
+            | (speed > max_speed_kmh)
+        )
     ).select(
         "user",
         F.col("ploc").alias("from_loc"),

@@ -1014,9 +1014,13 @@ def diameter_double_sweep(
         F.count(F.lit(1)).alias("reached2"),
     )
     agg1 = l1.agg(F.count(F.lit(1)).alias("reached1"))
+    # roots keep the node column's own type: int() coercion would
+    # raise on string node ids (service names — the stated use case)
+    # while bfs_levels itself is type-agnostic.
+    node_type = nodes.schema["node"].dataType
     return agg2.crossJoin(agg1).select(
-        F.lit(int(src0)).cast("bigint").alias("sweep1_root"),
-        F.lit(int(far["node"])).cast("bigint").alias("sweep2_root"),
+        F.lit(src0).cast(node_type).alias("sweep1_root"),
+        F.lit(far["node"]).cast(node_type).alias("sweep2_root"),
         F.lit(int(far["level"])).cast("bigint").alias("ecc1"),
         F.col("ecc2").cast("bigint").alias("diameter_lb"),
         F.col("reached1").cast("bigint").alias("reached_from_root1"),
@@ -1094,8 +1098,12 @@ def rich_club(
     ks = edges.sparkSession.range(1, max_k + 1).select(
         F.col("id").cast("long").alias("k")
     )
-    nk = ks.join(deg, deg.d > ks.k).groupBy("k").agg(
-        F.count(F.lit(1)).cast("double").alias("n_k")
+    # LEFT join so every k in 1..max_k emits a row: with an inner join
+    # a k with zero surviving nodes silently vanishes and consumers
+    # can't tell 'no rich club at k' from 'not computed'.  count(d)
+    # (non-null only) makes the unmatched grid row n_k = 0.
+    nk = ks.join(deg, deg.d > ks.k, "left").groupBy("k").agg(
+        F.count(deg.d).cast("double").alias("n_k")
     )
     ed = (
         edges.join(deg.select(F.col("node").alias("src"),

@@ -1938,8 +1938,13 @@ def k8s_audit_parse(df: DataFrame, json_col: str = "line") -> DataFrame:
     )
 
 
+# client is (\S+):(\d+), not an IPv4 dotted quad: ALB logs IPv6
+# clients (and h2/ws request types) as ip:port with colons inside the
+# ip, and the greedy \S+ correctly yields everything before the LAST
+# colon as the address.  An IPv4-only pattern silently marked every
+# IPv6 line well_formed=false.
 _ELB_RE = (
-    r'^(\w+) (\S+) (\S+) (\d+\.\d+\.\d+\.\d+):(\d+) (\S+) '
+    r'^(\w+) (\S+) (\S+) (\S+):(\d+) (\S+) '
     r'(-?[\d.]+) (-?[\d.]+) (-?[\d.]+) (\d+) (\S+) (\d+) (\d+) '
     r'"(\S+) (\S+) (\S+)" "([^"]*)"$'
 )

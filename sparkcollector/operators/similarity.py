@@ -559,7 +559,9 @@ def embedding_centroids(
         .groupBy(label_col, "dim")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("x"), round_digits).alias("mean"),
+            # + 0.0: a mean that rounds to zero from below is -0.0 in
+            # engines that preserve the sign of zero through round()
+            (F.round(F.avg("x"), round_digits) + 0.0).alias("mean"),
         )
     )
 

@@ -6210,3 +6210,34 @@ def test_abc_classic_80_15_5(spark):
     assert out["B"]["n_items"] == 2
     assert abs(out["B"]["value_share"] - 0.15) < 1e-9
     assert out["C"]["n_items"] == 3
+
+
+def test_impossible_travel_simultaneous_logins_flagged(spark):
+    from datetime import datetime, timedelta
+
+    from sparkcollector.operators.analytics import impossible_travel
+
+    base = datetime(2024, 1, 1)
+    lats = [40.7128, 51.5074]   # NYC, London
+    lons = [-74.0060, -0.1278]
+    rows = [
+        # u1: two DIFFERENT sites in the same second — infinite speed,
+        # the most extreme impossible-travel case; a strict t > pt +
+        # dist/dt formulation silently drops exactly this row
+        ("u1", 0, base),
+        ("u1", 1, base),
+        # u2: different sites 1s apart — finite but absurd speed
+        ("u2", 0, base),
+        ("u2", 1, base + timedelta(seconds=1)),
+        # u3: same site in the same second — never flagged (dist 0)
+        ("u3", 0, base),
+        ("u3", 0, base),
+    ]
+    df = spark.createDataFrame(rows, "u string, loc int, ts timestamp")
+    out = {r["user"]: r for r in
+           impossible_travel(df, "u", "loc", "ts", lats, lons).collect()}
+    assert set(out) == {"u1", "u2"}
+    assert out["u1"]["elapsed_s"] == 0.0
+    assert out["u1"]["speed_kmh"] is None      # infinite-speed branch
+    assert out["u1"]["dist_km"] > 5000
+    assert out["u2"]["speed_kmh"] is None or out["u2"]["elapsed_s"] == 1.0

@@ -452,3 +452,38 @@ def test_k_truss_keeps_clique_drops_tree(spark):
     kept = {(r["src"], r["dst"]) for r in out}
     assert kept == set(k4)
     assert all(r["support"] == 2 for r in out)
+
+
+def test_rich_club_emits_full_k_grid_with_empty_levels(spark):
+    from sparkcollector.operators.graph import rich_club
+
+    # triangle: every node has degree 2, so k >= 2 has NO surviving
+    # nodes — those grid rows must still appear (n_nodes=0, phi NULL),
+    # not silently vanish (inner-join regression)
+    tri = [(0, 1), (1, 2), (0, 2)]
+    sym = tri + [(b, a) for a, b in tri]
+    e = spark.createDataFrame(sym, "src long, dst long")
+    out = {r["k"]: r for r in rich_club(e, max_k=5).collect()}
+    assert sorted(out) == [1, 2, 3, 4, 5], "full k grid promised"
+    assert out[1]["n_nodes"] == 3 and out[1]["phi"] == 1.0
+    for k in (2, 3, 4, 5):
+        assert out[k]["n_nodes"] == 0
+        assert out[k]["n_edges"] == 0
+        assert out[k]["phi"] is None
+
+
+def test_diameter_double_sweep_string_node_ids(spark):
+    from sparkcollector.operators.graph import diameter_double_sweep
+
+    # service names, the stated use case: int() coercion regression
+    chain = [("auth", "cart"), ("cart", "pay"), ("pay", "ship")]
+    sym = chain + [(b, a) for a, b in chain]
+    nodes = spark.createDataFrame(
+        [("auth",), ("cart",), ("pay",), ("ship",)], "node string"
+    )
+    e = spark.createDataFrame(sym, "src string, dst string")
+    r = diameter_double_sweep(nodes, e, max_rounds=6).collect()[0]
+    assert r["sweep1_root"] == "auth"   # min string id
+    assert r["sweep2_root"] == "ship"
+    assert r["diameter_lb"] == 3
+    assert r["reached_from_root1"] == 4

@@ -1259,3 +1259,21 @@ def test_postgres_log_parse_duration_and_messages(spark):
     assert r2["severity"] == "ERROR" and r2["duration_ms"] is None
     assert r2["message"].startswith("deadlock")
     assert not out[3]["well_formed"]
+
+
+def test_elb_log_parse_ipv6_client(spark):
+    from sparkcollector.operators.promparse import elb_log_parse
+
+    v6 = (
+        'h2 2024-01-01T00:00:07.179575Z app/lb1 '
+        '2001:db8:3333:4444:5555:6666:7777:8888:49153 '
+        '10.0.1.7:8080 0.007 0.107 0.007 200 200 7 1007 '
+        '"GET http://ex.com/click HTTP/2.0" "agent/1"'
+    )
+    df = spark.createDataFrame([(1, v6)], "id long, line string")
+    r = elb_log_parse(df).collect()[0]
+    assert r["well_formed"], "IPv6 client must not fail the parse"
+    assert r["req_type"] == "h2"
+    assert r["client_ip"] == "2001:db8:3333:4444:5555:6666:7777:8888"
+    assert r["client_port"] == 49153
+    assert r["elb_status"] == 200
