@@ -51,11 +51,7 @@ def test_iceberg_append_requires_runtime(spark):
         IcebergCatalog("local.db.t").append(spark.range(1))
 
 
-@pytest.mark.skipif(
-    "not config.getoption('--run-iceberg', default=False)",
-    reason="needs iceberg-spark-runtime on the classpath "
-    "(pass --run-iceberg on a configured cluster)",
-)
+@pytest.mark.iceberg_runtime
 def test_iceberg_roundtrip_unmodified_job_path(spark, tmp_path):
     """On a session configured with the Iceberg runtime + a `local`
     hadoop catalog, run_pipeline writes/reads through IcebergCatalog
