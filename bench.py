@@ -45,6 +45,34 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_times() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from /proc/stat — the hypervisor
+    steal counter plus total, for the co-tenancy annotation below."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return sum(vals), (vals[7] if len(vals) > 7 else 0)
+
+
+def _wait_for_quiet_host(max_wait_s: float = 90.0) -> float:
+    """Best-effort co-tenancy guard (round-3 verdict item 2: the r03
+    headline regressed 1.33x with byte-identical plans because the
+    measurement ran co-tenant).  If the 1-minute loadavg says sibling
+    processes are burning CPU, wait — bounded — for the host to go
+    quiet before measuring.  Returns the loadavg measurement started
+    at; the run is ANNOTATED either way, never refused, so the driver
+    always gets its JSON line."""
+    deadline = time.time() + max_wait_s
+    while True:
+        load1 = os.getloadavg()[0]
+        if load1 < 4.0 or time.time() >= deadline:
+            return load1
+        print(
+            f"  host busy (load1={load1:.1f}), waiting for quiet...",
+            file=sys.stderr,
+        )
+        time.sleep(5.0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -52,6 +80,9 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     from sparkcollector.session import get_spark
+
+    load1_start = _wait_for_quiet_host()
+    jiffies0, steal0 = _cpu_times()
 
     spark = get_spark(master=f"local[{cpus}]", app_name="sparkcollector-bench")
 
@@ -118,6 +149,8 @@ def main() -> None:
         extra[name] = round(time.time() - t0, 3)
         print(f"  [extra] {name}: {extra[name]}s", file=sys.stderr)
 
+    jiffies1, steal1 = _cpu_times()
+    steal_frac = round((steal1 - steal0) / max(jiffies1 - jiffies0, 1), 4)
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -128,6 +161,12 @@ def main() -> None:
         "cpus": int(cpus) if cpus.isdigit() else cpus,
         "turns": n_turns,
         "turns_per_sec": round(n_turns / e2e, 1),
+        # co-tenancy annotations (see _wait_for_quiet_host): a rep with
+        # steal_frac > 0.01 or load1_at_start > 4 ran on a contended
+        # host and its timings are not plan evidence
+        "steal_frac": steal_frac,
+        "load1_at_start": round(load1_start, 2),
+        "guard_clean": steal_frac <= 0.01 and load1_start <= 4.0,
     }
     print(json.dumps(out))
 

@@ -162,3 +162,26 @@ def test_partial_agg_merge_equals_direct(spark):
     m = merge_partial_aggs([a, b], ["grp"]).collect()[0]
     assert (m["n"], m["total"], m["vmin"], m["vmax"]) == (6, 28.0, 1.0, 9.0)
     assert abs(m["avg"] - 28.0 / 6) < 1e-6
+
+
+def test_time_rollup_pyramid_null_ts_keeps_resolution(spark):
+    import datetime as dt
+
+    from sparkcollector.aggregate import time_rollup_pyramid
+
+    # a NULL input ts makes EVERY trunc column NULL; resolution must
+    # come from the grouping_id indicators, so the NULL-ts row appears
+    # at each level with bucket_ts NULL instead of silently claiming a
+    # coarser resolution (the coalesce-on-truncs regression)
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 30)
+    rows = [("a", t0, 1.0), ("a", None, 5.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = time_rollup_pyramid(df, "ts", "v", ["k"]).collect()
+    assert len(out) == 6  # (valid + NULL bucket) x 3 levels
+    for lv in ("minute", "hour", "day"):
+        lvl = [r for r in out if r["resolution"] == lv]
+        assert len(lvl) == 2, f"{lv}: NULL-ts bucket missing"
+        nullb = next(r for r in lvl if r["bucket_ts"] is None)
+        assert nullb["n"] == 1 and nullb["total"] == 5.0
+        valid = next(r for r in lvl if r["bucket_ts"] is not None)
+        assert valid["n"] == 1 and valid["total"] == 1.0
