@@ -255,10 +255,16 @@ def main() -> None:
 
     if args.no_md:
         return
+    # APPEND a campaign section — BASELINE.md accumulates the round
+    # history (campaign tables, waivers, end-of-round notes); a "w"
+    # rewrite here silently destroyed all of it in round 4 and the
+    # history had to be restored from git.
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(md, "w") as f:
+    with open(md, "a") as f:
         f.write(
-            f"""# BENCH results — scaling efficiency (north rule criterion)
+            f"""
+
+## Campaign {args.tag or '(untagged)'} — scaling efficiency (north rule criterion)
 
 The north rule requires the job to run via `spark-submit --py-files`
 at two cluster sizes (N and 4N executors) with throughput scaling

@@ -151,6 +151,20 @@ def main() -> None:
 
     jiffies1, steal1 = _cpu_times()
     steal_frac = round((steal1 - steal0) / max(jiffies1 - jiffies0, 1), 4)
+    # Single-core calibration anchor: fixed deterministic md5-chain
+    # work, timed AFTER the measurement.  Rounds run on whatever host
+    # the driver gives them — r3/r4 saw uniform ~1.3x spreads across
+    # EVERY query with byte-identical plans and steal < 0.4%, i.e.
+    # per-core host speed varies round to round.  This anchor lets a
+    # reader normalize: headline_sec / cpu_calib_sec is comparable
+    # across hosts in a way raw seconds are not.
+    import hashlib
+
+    t0 = time.perf_counter()
+    blob = b"x" * 4096
+    for _ in range(20000):
+        blob = hashlib.md5(blob).digest() * 256
+    cpu_calib_sec = round(time.perf_counter() - t0, 4)
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -167,6 +181,7 @@ def main() -> None:
         "steal_frac": steal_frac,
         "load1_at_start": round(load1_start, 2),
         "guard_clean": steal_frac <= 0.01 and load1_start <= 4.0,
+        "cpu_calib_sec": cpu_calib_sec,
     }
     print(json.dumps(out))
 
