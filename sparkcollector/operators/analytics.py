@@ -15179,12 +15179,17 @@ def ewma_control_chart(
         ).alias("_xs"),
         F.array_sort(F.collect_list("_o")).alias("_os"),
     )
+    # the recursion PROPAGATES the 9dp-rounded z (not the raw one):
+    # per-step rounding quenches fold noise so both engines walk the
+    # identical trajectory — propagating raw z while emitting rounded
+    # z lets the two paths drift apart at round boundaries (the sf0.1
+    # sweep caught exactly one 6dp boundary flip from that).
     fold = (
         "aggregate(_xs,"
         " named_struct('z', mu, 'out',"
         " cast(array() as array<double>)),"
         f" (acc, x) -> named_struct("
-        f" 'z', {lam} * x + (1 - {lam}) * acc.z,"
+        f" 'z', round({lam} * x + (1 - {lam}) * acc.z, 9),"
         f" 'out', concat(acc.out, array(round({lam} * x"
         f" + (1 - {lam}) * acc.z, 9)))))"
     )
@@ -15210,7 +15215,10 @@ def ewma_control_chart(
     return rows.select(
         F.col("_r.os").alias("bucket"),
         F.round(F.col("_r.xs"), 4).alias("x"),
-        F.round(F.col("_r.zs"), 6).alias("ewma"),
+        # zs is already the 9dp per-step value carried bit-identically
+        # on both engines; re-rounding it to 6dp would reintroduce the
+        # half-point ambiguity the per-step rounding exists to avoid
+        F.col("_r.zs").alias("ewma"),
         F.round(F.col("mu") - halfwidth, 6).alias("lcl"),
         F.round(F.col("mu") + halfwidth, 6).alias("ucl"),
         (
