@@ -14983,48 +14983,50 @@ def lindley_queue_replay(
     empirical twin of the analytic mg1_waiting entry (which only
     gives the steady-state mean).
 
-    Sequential by definition -> per-series in-row fold (bounded
-    rollup contract).  Emits the waiting-time trajectory plus the
-    busy-fraction summary.
+    The recursion is sequential, but it has an EXACT closed form —
+    the reflected-random-walk identity: with U_k = S_{k-1} - A_k
+    (U_1 = 0, since W_1 = max(0, -A_1) = 0) and prefix sums
+    P_k = sum_{i<=k} U_i,
+
+        W_k = P_k - min(0, min_{j<=k} P_j)
+
+    so the whole trajectory is two running window aggregates instead
+    of an in-row fold.  (The previous fold built its output array via
+    concat-per-step — O(n^2) copying, 340 s for a 20k-point series;
+    this is linear and streams.)  Inputs quantize to an integer
+    microsecond grid first, so the prefix sums are exact bigints and
+    the identity holds bit-for-bit on every engine — no fold-order or
+    round-boundary sensitivity at all.  Single-series by contract
+    (the bounded replay); partition the window by a key column first
+    for a per-key fleet replay.
     """
+    w = Window.orderBy("_o")
+    run = Window.orderBy("_o").rowsBetween(Window.unboundedPreceding, 0)
     base = df.select(
         F.col(order_col).cast("long").alias("_o"),
         F.col(interarrival_col).cast("double").alias("_a"),
         F.col(service_col).cast("double").alias("_s"),
+        F.round(F.col(interarrival_col).cast("double") * 1e6)
+        .cast("long")
+        .alias("_a_us"),
+        F.round(F.col(service_col).cast("double") * 1e6)
+        .cast("long")
+        .alias("_s_us"),
     )
-    ser = base.groupBy().agg(
-        F.array_sort(
-            F.collect_list(F.struct("_o", "_a", "_s"))
-        ).alias("_z"),
+    u = base.withColumn(
+        "_u",
+        F.coalesce(F.lag("_s_us").over(w) - F.col("_a_us"), F.lit(0)),
     )
-    fold = (
-        "aggregate(_z,"
-        " named_struct('w', cast(0.0 as double),"
-        " 'ps', cast(0.0 as double),"
-        " 'out', cast(array() as array<double>)),"
-        " (acc, e) -> named_struct("
-        " 'w', greatest(0.0, acc.w + acc.ps - e._a),"
-        " 'ps', e._s,"
-        " 'out', concat(acc.out,"
-        " array(round(greatest(0.0, acc.w + acc.ps - e._a), 6)))))"
-    )
-    folded = ser.withColumn("_st", F.expr(fold))
-    rows = folded.select(
-        F.posexplode(
-            F.arrays_zip(
-                F.col("_z").getField("_o").alias("os"),
-                F.col("_st").getField("out").alias("ws"),
-                F.col("_z").getField("_a").alias("ia"),
-                F.col("_z").getField("_s").alias("sv"),
-            )
-        ).alias("_i", "_r"),
-    ).select(
-        F.col("_r.os").alias("k"),
-        F.round(F.col("_r.ia"), 6).alias("interarrival"),
-        F.round(F.col("_r.sv"), 6).alias("service"),
-        F.col("_r.ws").alias("wait"),
-    )
-    return rows.orderBy("k")
+    p = u.withColumn("_p", F.sum("_u").over(run))
+    m = p.withColumn("_mn", F.least(F.min("_p").over(run), F.lit(0)))
+    return m.select(
+        F.col("_o").alias("k"),
+        F.round(F.col("_a"), 6).alias("interarrival"),
+        F.round(F.col("_s"), 6).alias("service"),
+        F.round(
+            (F.col("_p") - F.col("_mn")).cast("double") / 1e6, 6
+        ).alias("wait"),
+    ).orderBy("k")
 
 
 def skyline_2d(
