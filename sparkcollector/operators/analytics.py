@@ -4290,9 +4290,17 @@ def periodogram_peak(
     per_key = per_key.filter(F.size("_pts") >= 8)
     n = F.size("_pts").cast("double")
     o0 = F.element_at("_pts", 1)["o"]
-    mean = F.aggregate(
-        F.col("_pts"), F.lit(0.0), lambda a, e: a + e["x"]
-    ) / n
+    # materialized as a COLUMN, not an inline F.aggregate expression:
+    # referenced inside the per-period fold below, an inline aggregate
+    # is re-evaluated at every element of every period's fold —
+    # O(periods * n^2) (35 s at 720 buckets); as a column it's O(1)
+    # per reference and the periodogram is O(periods * n).
+    per_key = per_key.withColumn(
+        "_mean",
+        F.aggregate(F.col("_pts"), F.lit(0.0), lambda a, e: a + e["x"])
+        / n,
+    )
+    mean = F.col("_mean")
 
     def power(p):
         cs = F.aggregate(
@@ -4315,18 +4323,23 @@ def periodogram_peak(
         F.sequence(F.lit(min_period), F.lit(max_period)),
         lambda p: F.array(p.cast("double"), power(p)),
     )
-    best = F.aggregate(
-        powers,
-        F.array(F.lit(0.0), F.lit(-1.0)),
-        lambda a, e: F.when(
-            F.element_at(e, 2) > F.element_at(a, 2), e
-        ).otherwise(a),
+    # _best materialized too: it is referenced twice below, and each
+    # reference would otherwise re-run all the per-period folds.
+    per_key = per_key.withColumn(
+        "_best",
+        F.aggregate(
+            powers,
+            F.array(F.lit(0.0), F.lit(-1.0)),
+            lambda a, e: F.when(
+                F.element_at(e, 2) > F.element_at(a, 2), e
+            ).otherwise(a),
+        ),
     )
     return per_key.select(
         "key",
         F.size("_pts").cast("long").alias("n_buckets"),
-        F.element_at(best, 1).cast("long").alias("best_period"),
-        F.round(F.element_at(best, 2), 4).alias("best_power"),
+        F.element_at("_best", 1).cast("long").alias("best_period"),
+        F.round(F.element_at("_best", 2), 4).alias("best_power"),
     )
 
 
@@ -4367,9 +4380,17 @@ def nelson_rules(
     xs = F.transform("_pts", lambda e: e["x"])
     n = F.size(xs).cast("double")
     sx = F.aggregate(xs, F.lit(0.0), lambda a, x: a + x)
-    cl = sx / n
+    # MATERIALIZE centerline/sigma as columns before the rule fold:
+    # referencing an F.aggregate expression inside another fold's
+    # lambda makes Catalyst inline the whole O(n) fold at every
+    # reference of every step — O(n^2..3) expression evaluation that
+    # turned a 720-bucket series into a 527 s query.  As plain column
+    # references each use is O(1) and the whole thing is linear.
+    per_key = per_key.withColumn("_cl", sx / n)
+    cl = F.col("_cl")
     sdev = F.aggregate(xs, F.lit(0.0), lambda a, x: a + (x - cl) * (x - cl))
-    sd = F.sqrt(sdev / (n - 1.0))
+    per_key = per_key.withColumn("_sd", F.sqrt(sdev / (n - 1.0)))
+    sd = F.col("_sd")
 
     # rule fold state: [side_run, trend_run, prev, r1, r2, r3, idx]
     zero = F.array(*[F.lit(0.0)] * 7)
