@@ -4450,8 +4450,35 @@ def main() -> None:
          [("one moment pass, algebra in-row",
            lambda p: "Window" not in p and "Python" not in p)], ""),
         ("ledoit_wolf_shrinkage",
-         [("|items|^2-bounded pair aggregates on the dense grid",
-           lambda p: "Join" in p and "Python" not in p)], ""),
+         [("|items|^2-bounded pair aggregates; zero-fill via pivot, "
+           "NO hours x types grid crossJoin",
+           lambda p: "Join" in p and "Python" not in p
+           and "BroadcastNestedLoopJoin" not in p
+           and "CartesianProduct" not in p)], ""),
+        # Grid-ban family (round-5): zero-inflation analytics must
+        # compute zero cells ARITHMETICALLY, never materialize a
+        # |keys| x |buckets| crossJoin grid (10^12 rows at 10^9 users
+        # x 10^3 days).  The only nested-loop joins allowed are 1-row
+        # aggregate broadcasts (formatted explain prints each op
+        # twice, so the textual cap is 2x the real count).
+        ("count_dispersion_diag",
+         [("sparse zero-cell arithmetic: nested-loop joins only for "
+           "1-row n_days broadcast (no users x days grid)",
+           lambda p: p.count("BroadcastNestedLoopJoin") <= 2
+           and "CartesianProduct" not in p
+           and "SortMergeJoin" not in p and "Python" not in p)], ""),
+        ("croston_intermittent",
+         [("sparse demand-point fold: nested-loop joins only for "
+           "1-row n_periods broadcast (no cohorts x days grid)",
+           lambda p: p.count("BroadcastNestedLoopJoin") <= 2
+           and "CartesianProduct" not in p
+           and "SortMergeJoin" not in p and "Python" not in p)], ""),
+        ("zip_mom_fit",
+         [("sparse moments: nested-loop joins only for two 1-row "
+           "aggregate broadcasts (no users x days grid)",
+           lambda p: p.count("BroadcastNestedLoopJoin") <= 4
+           and "CartesianProduct" not in p
+           and "SortMergeJoin" not in p and "Python" not in p)], ""),
         ("poisson_scan_statistic",
          [("bounded rolling frames + rank-1 argmax",
            lambda p: "Window" in p and "Python" not in p)], ""),

@@ -8576,6 +8576,62 @@ def count_distribution_diagnostics(
     )
 
 
+def count_distribution_diagnostics_sparse(
+    nonzero_counts: DataFrame,
+    group_col: str,
+    count_col: str,
+    cell_totals: DataFrame,
+    total_col: str = "n_cells",
+) -> DataFrame:
+    """Grid-free twin of :func:`count_distribution_diagnostics`.
+
+    The dense variant needs the caller to materialize the COMPLETE
+    unit grid (every (user, day) cell including zeros) — at 10^9
+    users x 10^3 days that is a 10^12-row crossJoin just to represent
+    zeros.  But zero cells are pure arithmetic: with ``n`` total
+    cells per group (supplied via ``cell_totals``; typically
+    n_units x n_buckets) and power sums over only the NONZERO cells
+    (zeros contribute exactly 0.0 to both s and q, and integer counts
+    sum exactly in doubles), the zero-cell count is
+    ``z = n - n_nonzero`` and every diagnostic follows from
+    (n, s, q, z) unchanged.  Same float arithmetic as the dense path
+    — identical output — with no grid and no left join.
+
+    ``cell_totals``: per-group total cell counts (group_col,
+    total_col); groups absent from ``nonzero_counts`` fold to
+    all-zero cells.
+    """
+    c = F.col(count_col).cast("double")
+    nz = nonzero_counts.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_nnz"),
+        F.sum(c).alias("_s"),
+        F.sum(c * c).alias("_q"),
+    )
+    agg = cell_totals.join(nz, group_col, "left").select(
+        group_col,
+        F.col(total_col).cast("double").alias("_n"),
+        F.coalesce("_s", F.lit(0.0)).alias("_s"),
+        F.coalesce("_q", F.lit(0.0)).alias("_q"),
+        (
+            F.col(total_col).cast("double")
+            - F.coalesce("_nnz", F.lit(0.0))
+        ).alias("_z"),
+    )
+    n, s, q = F.col("_n"), F.col("_s"), F.col("_q")
+    m = s / n
+    v = (q - s * s / n) / (n - 1)
+    return agg.select(
+        group_col,
+        n.cast("long").alias("n_units"),
+        F.round(m, 6).alias("mean"),
+        F.round(v, 6).alias("var"),
+        F.round(v / m, 6).alias("dispersion_ratio"),
+        F.round(F.when(v > m, m * m / (v - m)), 6).alias("nb_size_r"),
+        F.round(F.col("_z") / n, 6).alias("zero_frac"),
+        F.round(F.exp(-m), 6).alias("poisson_zero_frac"),
+    )
+
+
 def gamma_moments_fit(
     df: DataFrame,
     group_col: str,
@@ -13014,6 +13070,80 @@ def croston_intermittent(
     )
 
 
+def croston_intermittent_sparse(
+    demands: DataFrame,
+    group_cols: list[str],
+    pos_col: str,
+    demand_col: str,
+    periods: DataFrame,
+    n_periods_col: str = "n_periods",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Grid-free twin of :func:`croston_intermittent`.
+
+    The dense fold walks EVERY period of the zero-filled grid, but
+    Croston state only changes at demand points: zero periods leave
+    (z, p) untouched and merely advance the interval counter, which
+    at the next demand equals the integer position gap.  So folding
+    over just the nonzero demand points — each tagged with its
+    1-based rank ``pos_col`` in the full period sequence — replays
+    the dense recurrence with bit-identical float operations
+    (interval gaps are exact integer doubles), while the input
+    shrinks from |groups| x |periods| grid cells to the demand points
+    alone.  No crossJoin grid, no zero-fill join.
+
+    ``periods`` carries per-group ``n_periods_col`` (total period
+    count); groups with no demand points emit NULL estimates, like
+    the dense fold on an all-zero series.  Demand points per group
+    are bounded by the intermittency contract (the method is FOR
+    sparse demand), so the collected fold stays bounded exactly as
+    the dense variant's bounded-series contract.
+    """
+    base = demands.select(
+        *group_cols,
+        F.col(pos_col).cast("long").alias("_rn"),
+        F.col(demand_col).cast("double").alias("_d"),
+    )
+    ser = base.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list(F.struct("_rn", "_d"))).alias("_ps"),
+    )
+    a_ = alpha
+    fold = (
+        "aggregate(_ps,"
+        " named_struct('z', cast(0.0 as double), 'p',"
+        " cast(0.0 as double), 'prev', cast(0 as bigint),"
+        " 'init', false, 'nd', cast(0 as bigint)),"
+        " (acc, e) -> case"
+        " when not acc.init then named_struct("
+        " 'z', e._d, 'p', cast(e._rn as double), 'prev', e._rn,"
+        " 'init', true, 'nd', acc.nd + 1)"
+        " else named_struct("
+        f" 'z', acc.z + {a_} * (e._d - acc.z),"
+        f" 'p', acc.p + {a_} *"
+        " (cast(e._rn - acc.prev as double) - acc.p),"
+        " 'prev', e._rn, 'init', true, 'nd', acc.nd + 1) end)"
+    )
+    folded = periods.join(
+        ser.withColumn("_st", F.expr(fold)), group_cols, "left"
+    )
+    st = F.col("_st")
+    rate = st.getField("z") / st.getField("p")
+    return folded.select(
+        *group_cols,
+        F.col(n_periods_col).cast("bigint").alias("n_periods"),
+        F.coalesce(st.getField("nd"), F.lit(0).cast("bigint"))
+        .alias("demand_periods"),
+        F.when(st.getField("init"), F.round(st.getField("z"), 6))
+        .alias("z_hat"),
+        F.when(st.getField("init"), F.round(st.getField("p"), 6))
+        .alias("p_hat"),
+        F.when(st.getField("init"), F.round(rate, 6))
+        .alias("croston_rate"),
+        F.when(st.getField("init"), F.round((1 - a_ / 2) * rate, 6))
+        .alias("sba_rate"),
+    )
+
+
 def variance_ratio_test(
     df: DataFrame,
     order_col: str,
@@ -14610,6 +14740,49 @@ def zip_mom_fit(
         F.round(lam, 6).alias("lambda_fit"),
         F.round(pi, 6).alias("pi_zero_inflation"),
         F.round("p0_obs", 6).alias("zero_share_observed"),
+        F.round(p0_model, 6).alias("zero_share_model"),
+    )
+
+
+def zip_mom_fit_sparse(
+    nonzero_counts: DataFrame,
+    count_col: str,
+    totals: DataFrame,
+    total_col: str = "n_cells",
+) -> DataFrame:
+    """Grid-free twin of :func:`zip_mom_fit`.
+
+    The dense variant averages over the COMPLETE zero-filled unit
+    grid; but with ``n`` total cells known (a 1-row ``totals`` frame,
+    typically n_units x n_buckets computed from two tiny distinct
+    counts), every grid moment is arithmetic on the nonzero cells
+    alone: mean = s/n, second moment = q/n, observed zero share =
+    (n - n_nonzero)/n — integer count sums are exact in doubles, so
+    the output is float-identical to the dense path with no
+    |units| x |buckets| crossJoin.
+    """
+    k = F.col(count_col).cast("double")
+    nz = nonzero_counts.agg(
+        F.count(F.lit(1)).cast("double").alias("_nnz"),
+        F.sum(k).alias("_s"),
+        F.sum(k * k).alias("_q"),
+    )
+    a = nz.crossJoin(totals)
+    n = F.col(total_col).cast("double")
+    m = F.col("_s") / n
+    m2 = F.col("_q") / n
+    p0 = (n - F.col("_nnz")) / n
+    var = m2 - m * m
+    lam = (var + m * m - m) / m
+    pi = 1 - m / lam
+    p0_model = pi + (1 - pi) * F.exp(-lam)
+    return a.select(
+        n.cast("bigint").alias("n_obs"),
+        F.round(m, 6).alias("mean"),
+        F.round(var, 6).alias("var"),
+        F.round(lam, 6).alias("lambda_fit"),
+        F.round(pi, 6).alias("pi_zero_inflation"),
+        F.round(p0, 6).alias("zero_share_observed"),
         F.round(p0_model, 6).alias("zero_share_model"),
     )
 

@@ -6241,3 +6241,95 @@ def test_impossible_travel_simultaneous_logins_flagged(spark):
     assert out["u1"]["speed_kmh"] is None      # infinite-speed branch
     assert out["u1"]["dist_km"] > 5000
     assert out["u2"]["speed_kmh"] is None or out["u2"]["elapsed_s"] == 1.0
+
+
+def test_sparse_twins_match_dense_grids(spark):
+    """The round-5 grid-free rewrites must reproduce the dense-grid
+    operators EXACTLY (same float ops, zero cells folded to
+    arithmetic) — the property that let the crossJoin grids be
+    deleted without touching the oracles."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from sparkcollector.operators.analytics import (
+        count_distribution_diagnostics,
+        count_distribution_diagnostics_sparse,
+        croston_intermittent,
+        croston_intermittent_sparse,
+        zip_mom_fit,
+        zip_mom_fit_sparse,
+    )
+
+    rng = random.Random(7)
+    units = [f"u{i}" for i in range(40)]
+    buckets = list(range(25))
+    # sparse nonzero counts: ~20% fill, Poisson-ish values
+    nz_rows = [
+        (u, b, rng.randint(1, 6))
+        for u in units for b in buckets if rng.random() < 0.2
+    ]
+    nz = spark.createDataFrame(nz_rows, "u string, b int, c int")
+    nz = nz.withColumn("g", F.substring("u", 2, 10).cast("int") % 3)
+
+    # dense grid for the reference computation
+    grid = (
+        spark.createDataFrame([(u,) for u in units], "u string")
+        .crossJoin(spark.createDataFrame([(b,) for b in buckets], "b int"))
+        .join(nz.select("u", "b", "c"), ["u", "b"], "left")
+        .select(
+            (F.substring("u", 2, 10).cast("int") % 3).alias("g"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    dense = {
+        r["g"]: r for r in
+        count_distribution_diagnostics(grid, "g", "c").collect()
+    }
+    totals = spark.createDataFrame(
+        [(g, len([u for u in units
+                  if int(u[1:]) % 3 == g]) * len(buckets))
+         for g in range(3)],
+        "g int, n_cells long",
+    )
+    sparse = {
+        r["g"]: r for r in
+        count_distribution_diagnostics_sparse(nz, "g", "c", totals).collect()
+    }
+    assert set(dense) == set(sparse)
+    for g in dense:
+        assert dense[g].asDict() == sparse[g].asDict(), g
+
+    # zip_mom_fit: global moments over the same grid
+    d = zip_mom_fit(grid.select("c"), "c").collect()[0].asDict()
+    tot1 = spark.createDataFrame(
+        [(len(units) * len(buckets),)], "n_cells long"
+    )
+    s = zip_mom_fit_sparse(nz.select("c"), "c", tot1).collect()[0].asDict()
+    assert d == s
+
+    # croston: dense fold over the zero-filled series vs sparse fold
+    # over demand points with rank positions
+    periods = list(range(1, 61))
+    dem_rows = []
+    for g in ("a", "b"):
+        for t in periods:
+            v = float(rng.randint(2, 9)) if rng.random() < 0.15 else 0.0
+            dem_rows.append((g, t, v))
+    series = spark.createDataFrame(dem_rows, "g string, o long, d double")
+    dense_c = {
+        r["g"]: r.asDict() for r in
+        croston_intermittent(series, ["g"], "o", "d", alpha=0.1).collect()
+    }
+    demands = series.filter(F.col("d") > 0).select(
+        "g", F.col("o").alias("rn"), "d"
+    )
+    per = spark.createDataFrame(
+        [("a", len(periods)), ("b", len(periods))], "g string, n_periods long"
+    )
+    sparse_c = {
+        r["g"]: r.asDict() for r in croston_intermittent_sparse(
+            demands, ["g"], "rn", "d", per, alpha=0.1
+        ).collect()
+    }
+    assert dense_c == sparse_c
