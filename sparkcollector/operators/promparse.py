@@ -1556,16 +1556,109 @@ def xmlkv_parse(
     attrs: tuple[str, ...] = ("id", "type"),
     elements: tuple[str, ...] = ("host",),
 ) -> DataFrame:
-    """XML event parse (Splunk ``xmlkv`` / structured-syslog payload
-    analog) via Spark's native XPath expressions: root attributes,
-    child-element text, and the child count — the one ingest grammar
-    family (after JSON/CSV/logfmt/CEF/LTSV) still missing from the
-    parse layer.
+    """XML event parse (Splunk ``xmlkv`` analog), vectorized.
+
+    The JVM XPath twin (:func:`xmlkv_parse_xpath`) pays one DOM build
+    per row even after the round-4 single-concat fix — ~22 s per
+    100k-row scan, 10x the rest of the parse family.  This default
+    path moves the byte-column work where the north rule puts it: an
+    Arrow-batched pandas UDF running expat (``xml.etree`` C parser)
+    per row, ~5-10x faster, with the well-formed gate still computed
+    Catalyst-side (``rlike``) so NULL semantics are bit-identical to
+    the twin.
+
+    Output contract (matches the XPath twin, tested for equality):
+    root attributes as ``a_<name>`` (XPath string semantics — "" when
+    the attribute is absent on a well-formed row, NULL on malformed
+    rows), first direct child's text concat as ``e_<name>`` (NULL
+    when absent/empty), child-element count as ``n_children``.  Rows
+    that pass the shape gate but fail the real parser degrade to
+    empty fields instead of throwing (the one deliberate divergence —
+    the JVM twin would kill the job; at 10^12 rows graceful per-row
+    degradation is the only acceptable behavior).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    fields = [f"a_{a}" for a in attrs] + [f"e_{e}" for e in elements]
+    schema = (
+        ", ".join(f"`{f}` string" for f in fields) + ", n_children bigint"
+    )
+
+    def _kern(xml, ok):
+        import xml.etree.ElementTree as ET
+
+        n = len(xml)
+        out: dict[str, list] = {f: [None] * n for f in fields}
+        out["n_children"] = [None] * n
+        for i in range(n):
+            if not ok.iat[i]:
+                continue
+            try:
+                r = ET.fromstring(xml.iat[i])
+            except ET.ParseError:
+                r = None
+            if r is None or r.tag != root:
+                # XPath on a different/unparseable document element:
+                # empty nodesets stringify to "" for attrs, no child
+                # elements.
+                for a in attrs:
+                    out[f"a_{a}"][i] = ""
+                out["n_children"][i] = 0
+                continue
+            for a in attrs:
+                out[f"a_{a}"][i] = r.get(a, "")
+            for e in elements:
+                el = r.find(e)
+                if el is not None:
+                    txt = "".join(el.itertext())
+                    if txt != "":
+                        out[f"e_{e}"][i] = txt
+            out["n_children"][i] = sum(
+                1 for c in r if isinstance(c.tag, str)
+            )
+        return pd.DataFrame(out)
+
+    # real (non-string) hints: `from __future__ import annotations`
+    # would stringify inline ones past what pyspark's resolver can
+    # see with pandas imported function-locally.
+    _kern.__annotations__ = {
+        "xml": pd.Series, "ok": pd.Series, "return": pd.DataFrame
+    }
+    _kern = pandas_udf(schema)(_kern)
+
+    x = F.col(xml_col)
+    ok = x.rlike(rf"^<{root}( |>).*</{root}>$") | x.rlike(
+        rf"^<{root}( [^>]*)?/>$"
+    )
+    parsed = df.select(
+        "*", ok.alias("well_formed"), _kern(x, ok).alias("_x")
+    )
+    return parsed.select(
+        *df.columns,
+        "well_formed",
+        *[F.col(f"_x.{f}").alias(f) for f in fields],
+        F.col("_x.n_children").alias("n_children"),
+    )
+
+
+def xmlkv_parse_xpath(
+    df: DataFrame,
+    xml_col: str = "xml",
+    root: str = "event",
+    attrs: tuple[str, ...] = ("id", "type"),
+    elements: tuple[str, ...] = ("host",),
+) -> DataFrame:
+    """XML event parse via Spark's native XPath expressions — the
+    pure-Catalyst twin of :func:`xmlkv_parse`, kept for environments
+    where Python workers are unavailable and as the cross-check in
+    tests (the two must agree row-for-row).
 
     XPath on malformed XML THROWS in the JVM, so every extraction is
     gated behind a cheap shape regex (CASE short-circuits per row —
     verified, the malformed path never reaches the XPath engine).
-    Pure codegen, zero exchanges.
+    Pure codegen, zero exchanges — but one DOM build per row is the
+    JVM floor, ~10x slower than the Arrow kernel.
     """
     x = F.col(xml_col)
     ok = x.rlike(rf"^<{root}( |>).*</{root}>$") | x.rlike(

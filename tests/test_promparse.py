@@ -1277,3 +1277,35 @@ def test_elb_log_parse_ipv6_client(spark):
     assert r["client_ip"] == "2001:db8:3333:4444:5555:6666:7777:8888"
     assert r["client_port"] == 49153
     assert r["elb_status"] == 200
+
+
+def test_xmlkv_vectorized_matches_xpath_twin(spark):
+    """The Arrow-kernel default and the Catalyst XPath twin must agree
+    row-for-row (same gate, same XPath string semantics)."""
+    from pyspark.sql import functions as F
+    from sparkcollector.operators.promparse import (
+        xmlkv_parse,
+        xmlkv_parse_xpath,
+    )
+
+    eid = F.col("id")
+    full = F.concat(
+        F.lit('<event id="'), eid.cast("string"),
+        F.lit('" type="t"><host>h'), (eid % 7).cast("string"),
+        F.lit("</host><dur>"), (eid % 50).cast("string"),
+        F.lit("</dur></event>"),
+    )
+    selfc = F.concat(F.lit('<event id="'), eid.cast("string"), F.lit('"/>'))
+    noattr = F.lit("<event><other>y</other></event>")
+    xml = (
+        F.when(eid % 11 == 0, F.lit("junk <<<"))
+        .when(eid % 5 == 0, selfc)
+        .when(eid % 7 == 0, noattr)
+        .otherwise(full)
+    )
+    df = spark.range(500).select(eid.alias("id"), xml.alias("xml"))
+    a = xmlkv_parse(df, "xml", "event", ("id", "type"), ("host",))
+    b = xmlkv_parse_xpath(df, "xml", "event", ("id", "type"), ("host",))
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
