@@ -297,3 +297,66 @@ def test_image_feature_separates_dark_from_light():
     light = np.full((8, 8, 3), 255, dtype=np.uint8)
     fd, fl = image_features(dark), image_features(light)
     assert fd[0] == 1.0 and fl[-1] == 1.0  # mass in opposite bins
+
+
+def test_y4m_roundtrip_and_real_frame_sampling(spark):
+    """Round-5: video decode is real for Y4M — encode K frames,
+    decode back within BT.601 integer-rounding tolerance, and
+    frame_sample emits PPM-decodable nearest frames."""
+    import numpy as np
+
+    from sparkcollector.operators.multimodal import (
+        decode_image,
+        decode_y4m,
+        encode_y4m,
+        frame_sample,
+        synth_media,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(5, 6, 4, 3), dtype=np.uint8)
+    back, fps = decode_y4m(encode_y4m(frames, fps=2))
+    assert back.shape == frames.shape and fps == 2
+    # full-range BT.601 with C444 round-trips to within rounding error
+    assert np.abs(back.astype(int) - frames.astype(int)).max() <= 3
+
+    media = synth_media(spark, n=30)
+    out = frame_sample(media, every_ms=5000).collect()
+    vids = {
+        r["media_id"]: r for r in media.filter("kind='video'").collect()
+    }
+    assert len(out) > 0 and {r["media_id"] for r in out} <= set(vids)
+    for r in out:
+        assert r["frame_ms"] % 5000 == 0
+        arr = decode_image(bytes(r["content"]))  # genuine PPM payload
+        assert arr.shape == (8, 8, 3)
+        # the sampled frame is the clip's nearest stored frame
+        clip, cfps = decode_y4m(bytes(vids[r["media_id"]]["content"]))
+        j = min(r["frame_ms"] * cfps // 1000, len(clip) - 1)
+        assert np.array_equal(arr, clip[j])
+
+
+def test_video_features_use_decoded_frames(spark):
+    """extract_features on Y4M video rows must run the real decode
+    path (mean-frame image features), not the byte-stats fallback."""
+    import numpy as np
+
+    from sparkcollector.operators.multimodal import (
+        _fake_decode,
+        extract_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=30)
+    feats = {
+        r["media_id"]: np.array(r["feature"])
+        for r in extract_features(media).collect()
+    }
+    raw = {
+        r["media_id"]: r["content"]
+        for r in media.filter("kind='video'").collect()
+    }
+    assert raw, "synth corpus must contain video rows"
+    for mid, content in raw.items():
+        fallback = _fake_decode(bytes(content), "video")
+        assert not np.allclose(feats[mid], fallback), mid
