@@ -182,6 +182,13 @@ def main() -> None:
         "load1_at_start": round(load1_start, 2),
         "guard_clean": steal_frac <= 0.01 and load1_start <= 4.0,
         "cpu_calib_sec": cpu_calib_sec,
+        # the recorded DENOMINATOR for round-over-round comparison:
+        # raw seconds confound code with host speed (the round-3/4
+        # false regressions); headline / calib cancels the per-core
+        # host factor, so THIS is the number to trend.
+        "headline_per_calib": round(
+            sum(timings.values()) / cpu_calib_sec, 2
+        ),
     }
     print(json.dumps(out))
 
