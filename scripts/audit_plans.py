@@ -3220,13 +3220,17 @@ def main() -> None:
     )
 
     # round-3 batch 94: xmlkv, IQR fences, transaction boundaries.
+    # (round 5: the default parse is the Arrow-batched expat kernel —
+    # vectorized pandas UDF, never row-at-a-time Python.)
     all_ok &= audit(
         "xmlkv_parse",
         lambda: queries()["xmlkv_parse"](spark, SF_DIR),
         [
             ("pure map job: zero exchanges",
              lambda p: "Exchange" not in p),
-            ("no Python / UDF in plan", lambda p: "Python" not in p),
+            ("Arrow-batched kernel, no row-wise Python",
+             lambda p: "ArrowEvalPython" in p
+             and "BatchEvalPython" not in p),
         ],
         out,
         spark=spark,
@@ -3764,7 +3768,8 @@ def main() -> None:
          "plan is the final 1-row result, so the covariance-free "
          "aggregates are inside the loop, not in this plan."),
         ("count_dispersion_diag",
-         [("zero grid via cross join of bounded distincts",
+         [("grid-free (r5): zero cells arithmetic from n_users x "
+           "n_days; power sums over nonzero cells only",
            lambda p: "Join" in p),
           ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
         ("gamma_moments_fit",
@@ -4141,8 +4146,8 @@ def main() -> None:
            "bounded horizon explode, no sequential fold",
            lambda p: "Python" not in p)], ""),
         ("croston_intermittent",
-         [("per-series in-row fold over bounded dense grid (no "
-           "per-row Python, no iterative driver loop)",
+         [("grid-free (r5): in-row fold over rank-tagged sparse "
+           "demand points (no per-row Python, no driver loop)",
            lambda p: "Python" not in p)], ""),
         ("variance_ratio_test",
          [("two lag windows + single-row reduction",
@@ -4270,7 +4275,8 @@ def main() -> None:
            "1-row aggregates (no driver state)",
            lambda p: "Window" in p and "Python" not in p)], ""),
         ("zip_mom_fit",
-         [("single aggregate pass, closed-form MoM",
+         [("grid-free (r5): nonzero-cell moments + two tiny distinct "
+           "counts, closed-form MoM",
            lambda p: "Window" not in p and "Python" not in p)], ""),
         ("tail_dependence",
          [("exact count-logic quantiles on the bounded grid + one "
