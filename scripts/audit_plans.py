@@ -3948,7 +3948,9 @@ def main() -> None:
         ("lof_outliers",
          [("kNN edge table checkpointed once (3 reuses)",
            lambda p: "Scan ExistingRDD" in p),
-          ("no Python / UDF in plan", lambda p: "Python" not in p)], ""),
+          ("density math JVM-side (the kNN scoring kernel runs "
+           "upstream of the checkpoint)",
+           lambda p: "BatchEvalPython" not in p)], ""),
         ("stratified_kfold",
          [("one class-keyed window, stable hash order",
            lambda p: "Window" in p and "Python" not in p)], ""),

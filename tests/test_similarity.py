@@ -394,3 +394,25 @@ def test_mmr_rerank_lam1_reduces_to_topk(spark):
         mmr_rerank(df, q, k=4, lam=1.0, n_candidates=7).collect(),
         key=lambda r: r["rank"])]
     assert out == [1, 2, 3, 4]  # pure relevance order
+
+
+def test_knn_join_numpy_matches_catalyst_twin(spark):
+    """The round-5 BLAS kernel and the Catalyst HOF twin must produce
+    identical (id, neighbor, 4dp sim, rank) rows."""
+    import numpy as np
+
+    from sparkcollector.operators.similarity import (
+        knn_join_exact,
+        knn_join_exact_catalyst,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(16)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    left = df.filter("vec_id < 25")
+    a = sorted(map(tuple, knn_join_exact(left, df, k=4).collect()))
+    b = sorted(map(tuple, knn_join_exact_catalyst(left, df, k=4).collect()))
+    assert a == b
