@@ -41,6 +41,17 @@ HEADLINE = [
 ]
 
 
+def _calib_chain(_i: int) -> int:
+    """One fixed md5-chain work unit (same as the serial calib) —
+    mapped across processes for the parallel host anchor."""
+    import hashlib
+
+    blob = b"x" * 4096
+    for _ in range(20000):
+        blob = hashlib.md5(blob).digest() * 256
+    return len(blob)
+
+
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -165,6 +176,16 @@ def main() -> None:
     for _ in range(20000):
         blob = hashlib.md5(blob).digest() * 256
     cpu_calib_sec = round(time.perf_counter() - t0, 4)
+    # parallel anchor (round-5): the single-core chain can't see
+    # memory-bandwidth / SMT contention that slows PARALLEL Spark
+    # stages on an otherwise "idle" host (the r4->r5 drift class);
+    # 8 concurrent chains in separate processes measure exactly that.
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    with mp.get_context("fork").Pool(8) as pool:
+        pool.map(_calib_chain, range(8))
+    cpu_calib_par8_sec = round(time.perf_counter() - t0, 4)
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -182,6 +203,7 @@ def main() -> None:
         "load1_at_start": round(load1_start, 2),
         "guard_clean": steal_frac <= 0.01 and load1_start <= 4.0,
         "cpu_calib_sec": cpu_calib_sec,
+        "cpu_calib_par8_sec": cpu_calib_par8_sec,
         # the recorded DENOMINATOR for round-over-round comparison:
         # raw seconds confound code with host speed (the round-3/4
         # false regressions); headline / calib cancels the per-core
